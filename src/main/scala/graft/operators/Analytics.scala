@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** OLAP query library over the TPC-H-ish star schema — the analytic
+  * surface a retail warehouse needs beyond the reference's single
+  * summary (SURVEY.md §2.B).
+  *
+  * Scale posture: every dimension side is explicitly `broadcast()`
+  * (region/nation/supplier/customer are tiny relative to the facts),
+  * so only fact-fact joins shuffle; aggregates are all
+  * partial-aggregation friendly; windows partition by high-cardinality
+  * keys so no single partition collects the world.
+  */
+object Analytics {
+
+  /** TPC-H Q1-style pricing summary: wide multi-aggregate grouped on
+    * a low-cardinality key — exercises map-side partial aggregation.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: segment filter → join → revenue per order →
+    * deterministic top-N. Customer side is broadcast; lineitem only
+    * shuffles once for the groupBy.
+    */
+  def topRevenueOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING", n: Int = 10): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(n)
+
+  /** TPC-H Q5-style: six-way join with all dims broadcast, revenue by
+    * nation (supplier and customer in the same nation).
+    */
+  def regionalRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      regionName: String = "REGION#0"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+
+  /** Star-join enrichment: orders decorated with customer + nation
+    * attributes. Pure broadcast joins — the fact table never shuffles,
+    * which is the only viable plan when orders is 100 TB and the dims
+    * are megabytes.
+    */
+  def enrichOrders(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("c_name").as("customer_name"),
+        col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+
+  /** Top-N per group via row_number window — tie-broken on the key so
+    * the result is deterministic.
+    */
+  def topCustomersPerSegment(customer: DataFrame, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .withColumn("rank_in_segment", row_number().over(w))
+      .filter(col("rank_in_segment") <= n)
+      .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** Running total + 3-row moving average of order value per
+    * customer, ordered by date (event-time ordering tie-broken by
+    * key). Partitioned by customer → parallel across the cluster.
+    */
+  def runningTotals(orders: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      sum("o_totalprice").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("running_total"),
+      avg("o_totalprice").over(ord.rowsBetween(-2, Window.currentRow))
+        .as("moving_avg_3"))
+  }
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS) in one relation:
+    * customers with vs without orders. Semi/anti joins shuffle only
+    * keys, never materialize the probe payload.
+    */
+  def customerOrderPresence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val keys = orders.select(col("o_custkey"))
+    val has = customer.join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), lit("has_order").as("status"))
+    val not = customer.join(keys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), lit("no_order").as("status"))
+    has.unionByName(not)
+  }
+
+  /** ROLLUP revenue by (nation, segment) with subtotals at each
+    * level; NULL group markers kept as-is (standard ROLLUP output).
+    *
+    * Goes through `spark.sql`: in Spark 4.1 the Dataset `rollup` API
+    * over a joined input trips the ambiguous-self-join check (the
+    * Expand node duplicates the grouping attributes and the
+    * dataset-id detection flags them); the SQL path carries no
+    * dataset-id metadata and plans the identical single-pass
+    * Expand + partial aggregate.
+    */
+  def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_ro_orders")
+    customer.createOrReplaceTempView("graft_ro_customer")
+    nation.createOrReplaceTempView("graft_ro_nation")
+    spark.sql(
+      """SELECT n_name, c_mktsegment,
+        |       sum(o_totalprice) AS revenue, count(*) AS num_orders
+        |FROM graft_ro_orders
+        |JOIN graft_ro_customer ON o_custkey = c_custkey
+        |JOIN graft_ro_nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin)
+  }
+}

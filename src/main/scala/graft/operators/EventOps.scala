@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators over the `events` table (event_id, ts,
+  * user_id, event_type, value, props-json). The batch forms here are
+  * transform-for-transform identical to the streaming versions in
+  * [[graft.streaming.EventStream]] — same column logic, so batch
+  * backfill and the live stream can never disagree.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour aggregate. `date_trunc` keeps the result a plain
+    * timestamp column (portable); the streaming twin uses
+    * `window()` with a watermark. `withApproxUsers` adds an HLL
+    * distinct-user sketch — the 100 TB default, but engine-specific,
+    * so the oracle-checked entry leaves it off.
+    */
+  def hourlyStats(events: DataFrame, withApproxUsers: Boolean = true): DataFrame = {
+    val base = Seq(
+      count(lit(1)).as("num_events"),
+      sum("value").as("total_value"),
+      avg("value").as("avg_value"))
+    val aggs = if (withApproxUsers)
+      base :+ approx_count_distinct("user_id").as("approx_users")
+    else base
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact distinct-user variant (shuffles user ids; the approx one
+    * above is the 100 TB default). */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct("user_id").as("distinct_users"))
+
+  /** Sessionization: a new session starts after `gapMinutes` of
+    * inactivity per user. Classic lag+cumsum — one shuffle on
+    * user_id, session assignment is then per-partition.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("num_events"),
+        sum("value").as("total_value"))
+  }
+
+  /** Per-user event-type counts — a pivot with the value set pinned
+    * up front (no extra distinct pass over 100 TB to discover it).
+    */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "purchase", "error", "signup", "view")): DataFrame = {
+    val counts = events.groupBy("user_id").pivot("event_type", types).count()
+    types.foldLeft(counts)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+  }
+
+  /** JSON prop extraction + aggregate: parse `props.k` (string JSON)
+    * without a UDF — `get_json_object` is codegen'd.
+    */
+  def jsonPropStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k").isNotNull)
+      .withColumn("k_bucket", col("k") % 10)
+      .groupBy("k_bucket")
+      .agg(
+        count(lit(1)).as("num_events"),
+        avg("value").as("avg_value"),
+        max("k").as("max_k"))
+}

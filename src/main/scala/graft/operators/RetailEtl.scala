@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native re-expression of the reference retail ETL
+  * (extract → transform → load).
+  *
+  * Reference semantics (see SURVEY.md §1):
+  *  - extraction stringifies every column for transport
+  *    (/root/reference/scripts/extraction.py:60-68,146-183)
+  *  - transformation re-types, unions the two sources, drops
+  *    null/non-positive rows, aggregates by product_id
+  *    (/root/reference/scripts/transformation.py:46-121)
+  *  - loading validates non-negative totals and idempotently
+  *    replaces the sink (/root/reference/scripts/loading.py:39-161)
+  *
+  * Unlike the reference (pandas on the driver), every step here is a
+  * narrow projection/filter until the single groupBy shuffle, so the
+  * plan scales horizontally: the parquet scan prunes to the five
+  * sales columns, the clean filters push past the union, and the
+  * aggregate runs with map-side partial aggregation.
+  */
+object RetailEtl {
+
+  /** Required sales schema (extraction.py:23). */
+  val RequiredColumns: Seq[String] =
+    Seq("sale_id", "product_id", "quantity", "sale_amount", "sale_date")
+
+  private val NumericColumns = Seq("sale_id", "product_id", "quantity", "sale_amount")
+
+  /** Map the TPC-H-ish `lineitem` fact onto the reference's sales
+    * schema. `l_linestatus = 'O'` plays the online source and `'F'`
+    * the in-store source (SURVEY.md §1).
+    */
+  def salesFromLineitem(lineitem: DataFrame, linestatus: Option[String] = None): DataFrame = {
+    val base = linestatus.fold(lineitem)(s => lineitem.filter(col("l_linestatus") === s))
+    base.select(
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("sale_id"),
+      col("l_partkey").as("product_id"),
+      col("l_quantity").as("quantity"),
+      col("l_extendedprice").as("sale_amount"),
+      col("l_shipdate").cast(DateType).as("sale_date"))
+  }
+
+  /** Transport format: every column stringified, dates as
+    * `yyyy-MM-dd` (extraction.py:60-68,171-178). */
+  def asTransportStrings(df: DataFrame): DataFrame =
+    df.select(df.columns.map {
+      case "sale_date" => date_format(col("sale_date"), "yyyy-MM-dd").as("sale_date")
+      case c           => col(c).cast(StringType).as(c)
+    }: _*)
+
+  /** Inverse of [[asTransportStrings]]: numeric re-conversion + date
+    * parse (transformation.py:46-62,161-162). Spark's double↔string
+    * round-trip is exact (shortest-representation formatting), so
+    * extract→transport→retype is value-preserving.
+    */
+  def convertTyped(df: DataFrame): DataFrame =
+    df.select(
+      col("sale_id").cast(LongType).as("sale_id"),
+      col("product_id").cast(LongType).as("product_id"),
+      col("quantity").cast(DoubleType).as("quantity"),
+      col("sale_amount").cast(DoubleType).as("sale_amount"),
+      to_date(col("sale_date"), "yyyy-MM-dd").as("sale_date"))
+
+  /** Schema validation (extraction.py:70-96): fails fast at plan time
+    * when required columns are missing. The reference also raises on
+    * an empty frame — an action-forcing check; callers that need it
+    * use [[requireNonEmpty]] so the common path stays lazy.
+    */
+  def validateColumns(df: DataFrame, required: Seq[String] = RequiredColumns): DataFrame = {
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"Missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  def requireNonEmpty(df: DataFrame): DataFrame = {
+    require(!df.isEmpty, "DataFrame is empty")
+    df
+  }
+
+  /** Union of the online and in-store sources (transformation.py:166). */
+  def combine(online: DataFrame, inStore: DataFrame): DataFrame =
+    online.unionByName(inStore)
+
+  /** Cleaning (transformation.py:64-93): drop rows with any null,
+    * then drop non-positive quantities/amounts. Plain filters — they
+    * push down past the union into both source scans.
+    */
+  def clean(df: DataFrame): DataFrame =
+    df.na.drop()
+      .filter(col("quantity") > 0 && col("sale_amount") > 0)
+
+  /** Full aggregation by product (transformation.py:95-121). */
+  def aggregate(df: DataFrame): DataFrame =
+    df.groupBy("product_id")
+      .agg(
+        sum("quantity").as("total_quantity"),
+        sum("sale_amount").as("total_sale_amount"))
+
+  /** Per-(product, day) variant with count/avg — the granularity the
+    * reference formats dates for but drops (transformation.py:159-163). */
+  def dailySummary(df: DataFrame): DataFrame =
+    df.groupBy("product_id", "sale_date")
+      .agg(
+        sum("quantity").as("total_quantity"),
+        sum("sale_amount").as("total_sale_amount"),
+        count(lit(1)).as("num_sales"),
+        avg("sale_amount").as("avg_sale_amount"))
+
+  /** Load-side validation (loading.py:39-75) as a declarative
+    * invariant: raise_error on any negative total, so a bad batch
+    * fails the job exactly like the reference's ValueError — but
+    * distributed, without collecting the summary to the driver.
+    */
+  def validateSummary(df: DataFrame): DataFrame = {
+    validateColumns(df, Seq("product_id", "total_quantity", "total_sale_amount"))
+    df.select(
+      col("product_id"),
+      when(col("total_quantity") < 0,
+        raise_error(concat(lit("Found negative quantities: product "), col("product_id"))))
+        .otherwise(col("total_quantity")).as("total_quantity"),
+      when(col("total_sale_amount") < 0,
+        raise_error(concat(lit("Found negative sale amounts: product "), col("product_id"))))
+        .otherwise(col("total_sale_amount")).as("total_sale_amount"))
+  }
+
+  /** End-to-end pipeline on already-typed sources: the reference DAG's
+    * transform stage (extract output → summary).
+    */
+  def pipeline(online: DataFrame, inStore: DataFrame): DataFrame = {
+    val typedOnline  = convertTyped(asTransportStrings(validateColumns(online)))
+    val typedInStore = convertTyped(asTransportStrings(validateColumns(inStore)))
+    validateSummary(aggregate(clean(combine(typedOnline, typedInStore))))
+  }
+
+  /** Idempotent sink, mirroring the truncate+replace MySQL load and
+    * the always-overwritten CSV (loading.py:124-161): a full
+    * overwrite of the target path.
+    */
+  def writeSummary(df: DataFrame, path: String, format: String = "parquet"): Unit =
+    df.write.mode("overwrite").format(format).save(path)
+}
