@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import org.apache.spark.sql.graft.{CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64}
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions as SQL functions, so plain `spark.sql` users get them
+  * too:
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  *   spark.sql("SELECT cosine_sim(a.embedding, b.embedding) ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _)  => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("graft_hash64"),
+      info("graft_hash64", "graft_hash64(s) - 64-bit FNV-1a fingerprint"),
+      (args: Seq[Expression]) => Hash64(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(tokens, k) - hashes of k-token shingles"),
+      (args: Seq[Expression]) =>
+        ShingleHashes(args(0), intLit(args(1), "shingle size"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, numPerms, seed) - MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        intLit(args(1), "numPerms"), longLit(args(2), "seed"))))
+  }
+}

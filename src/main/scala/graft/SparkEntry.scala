@@ -82,6 +82,45 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "q_events_pivot" -> ((s, dir) => EventOps.eventTypePivot(Tables.events(s, dir))),
     "q_events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
+    // §2.E text analysis
+    "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
+    "text_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
+    "text_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir))
+        .select("doc_id", "fingerprint_md5")),
+    // §2.C dedup
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+    "dedup_exact_report" -> ((s, dir) => Dedup.exactReport(Tables.documents(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashSummary(Tables.documents(s, dir), tau = 0.4)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashSummary(Tables.documents(s, dir), maxHamming = 12)),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardSummary(Tables.documents(s, dir), tau = 0.4)),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingSummary(Tables.embeddings(s, dir), tau = 0.9)),
+    // §2.D similarity search
+    "ann_bruteforce_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
+    // §2.F multimodal
+    "mm_blob_stats" -> ((s, dir) => Multimodal.blobStats(Tables.documents(s, dir))),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // §2.G streaming (batch twins of the streaming transforms)
+    "stream_events_hourly" -> ((s, dir) =>
+      graft.streaming.EventStream.hourlyWindow(Tables.events(s, dir))),
+    "stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupEvents(Tables.events(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -106,6 +145,12 @@ object SparkEntry {
     s"""SELECT product_id, sum(quantity) AS total_quantity,
        | sum(sale_amount) AS total_sale_amount
        |FROM ($cleanSalesSql) c GROUP BY product_id""".stripMargin.replace("\n", " ")
+
+  /** Shared token-array CTE for the text oracles (DuckDB dialect). */
+  private val toksCte: String =
+    """WITH t AS (SELECT doc_id, text,
+      | list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |FROM documents)""".stripMargin.replace("\n", " ")
 
   def oracleSql: Map[String, String] = Map(
     "etl_extract_typed" -> salesSql("WHERE l_linestatus = 'F'"),
@@ -215,5 +260,89 @@ object SparkEntry {
         | avg(value) AS avg_value, max(k) AS max_k
         |FROM (SELECT CAST(props->>'$.k' AS BIGINT) AS k, value FROM events) e
         |WHERE k IS NOT NULL GROUP BY k % 10""".stripMargin.replace("\n", " "),
+    "text_stats" ->
+      (toksCte +
+        """, s AS (SELECT doc_id,
+          | CAST(length(text) AS BIGINT) AS n_chars,
+          | CAST(len(toks) AS BIGINT) AS n_tokens,
+          | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_count,
+          | CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS stopword_count,
+          | CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_chars
+          | FROM t)
+          |SELECT doc_id, n_chars, n_tokens, punct_count, stopword_count,
+          | punct_count / greatest(n_chars, 1) AS punct_ratio,
+          | stopword_count / greatest(n_tokens, 1) AS stopword_ratio,
+          | token_chars / greatest(n_tokens, 1) AS avg_token_len,
+          | least(1.0, n_tokens / 128.0)
+          |  * (1.0 - least(1.0, (punct_count / greatest(n_chars, 1)) * 4.0))
+          |  * (0.3 + 0.7 * least(1.0, (stopword_count / greatest(n_tokens, 1)) * 5.0))
+          |  AS quality_score
+          |FROM s""".stripMargin.replace("\n", " ")),
+    "text_token_count" ->
+      (toksCte +
+        """ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+          | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+          |FROM t""".stripMargin.replace("\n", " ")),
+    "text_lang_id" ->
+      (toksCte +
+        """, h AS (SELECT doc_id,
+          | CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+          | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+          | CAST(len(list_filter(toks, x -> x IN ('el','los','de','que','y'))) AS BIGINT) AS hits_es,
+          | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+          | CAST(len(list_filter(toks, x -> x IN ('的','是','在','了','和'))) AS BIGINT) AS hits_zh
+          | FROM t)
+          |SELECT doc_id, hits_en, hits_fr, hits_es, hits_de, hits_zh,
+          | CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) = 0 THEN 'und'
+          |  WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'en'
+          |  WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'fr'
+          |  WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'es'
+          |  WHEN hits_de = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'de'
+          |  ELSE 'zh' END AS predicted_lang
+          |FROM h""".stripMargin.replace("\n", " ")),
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_md5
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) n
+        |GROUP BY norm""".stripMargin.replace("\n", " "),
+    "dedup_exact_report" ->
+      """SELECT md5(norm) AS group_md5, count(*) AS n_copies,
+        | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) n
+        |GROUP BY norm HAVING count(*) > 1""".stripMargin.replace("\n", " "),
+    "ann_bruteforce_topk" ->
+      """SELECT query_id, neighbor_id, cosine FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(q.embedding, c.embedding) AS cosine
+        | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        | WHERE q.vec_id % 100 = 0) s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "mm_blob_stats" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        | sha256(text) AS sha256, hex(substr(text, 1, 4)) AS magic_hex
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        | CAST(i * 128 AS BIGINT) AS byte_offset,
+        | CAST(length(substr(text, i * 128 + 1, 64)) AS BIGINT) AS frame_len,
+        | md5(substr(text, i * 128 + 1, 64)) AS frame_md5
+        |FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |  greatest((length(text) - 1) // 128, 0))) AS i) g""".stripMargin
+        .replace("\n", " "),
+    "stream_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS num_events, sum(value) AS total_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type""".stripMargin
+        .replace("\n", " "),
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1"""
+        .stripMargin.replace("\n", " "),
   )
 }

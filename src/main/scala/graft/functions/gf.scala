@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, ShingleHashes, SimHash64}
+
+/** Column-API facade over graft's native expressions — use like
+  * `org.apache.spark.sql.functions`:
+  *
+  * {{{
+  *   import graft.functions.gf
+  *   embeddings.select(gf.cosineSim(col("embedding"), gf.lit64(q)))
+  * }}}
+  */
+object gf {
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    ColumnShim.column(e)
+  private def e(col: Column) = ColumnShim.expression(col)
+
+  /** Cosine similarity of two `array<float>` columns (double). */
+  def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** 64-bit FNV-1a fingerprint of a string column. */
+  def hash64(s: Column): Column = c(Hash64(e(s)))
+
+  /** Hashes of all k-token shingles of an `array<string>` column. */
+  def shingleHashes(tokens: Column, k: Int): Column = c(ShingleHashes(e(tokens), k))
+
+  /** 64-bit SimHash of an `array<string>` token column. */
+  def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))
+
+  /** MinHash signature (`numPerms` longs) of a shingle-hash column. */
+  def minhashSignature(hashes: Column, numPerms: Int, seed: Long): Column =
+    c(MinHashSignature(e(hashes), numPerms, seed))
+
+  /** Random-hyperplane LSH signature (long) of an `array<float>` column. */
+  def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
+    c(HyperplaneSignature(e(vec), planes))
+
+  /** Probe list of the `nprobe` nearest centroids for an
+    * `array<float>` column. */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    c(NearestCentroids(e(vec), centroids, nprobe))
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded). */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes) {
+      val v = Array.fill(dim)((rnd.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      if (n == 0f) v else v.map(_ / n)
+    }
+  }
+}

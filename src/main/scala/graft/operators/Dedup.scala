@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Deduplication operators for a documents table — exact and
+  * near-duplicate (MinHash+LSH, SimHash, character-n-gram Jaccard,
+  * embedding cosine), the core hygiene pass of an LLM training-data
+  * pipeline (SURVEY.md §2.C).
+  *
+  * Scale design: nothing here is O(n²). Candidate generation is
+  * always locality-sensitive banding — a hash-partitioned equi-join
+  * on band keys — and bucket sizes are capped (`maxBucket`) so one
+  * degenerate bucket (e.g. the empty document) can't quadratically
+  * blow up a partition. Verification (true Jaccard / Hamming /
+  * cosine) runs only on candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup on canonical text: one survivor (min id) per
+    * distinct normalized document. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TextAnalysis.canonical(col("text")).as("norm"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Duplicate-group report: only groups with more than one copy. */
+  def exactReport(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(TextAnalysis.canonical(col("text")).as("norm"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min("doc_id").as("min_doc_id"),
+        max("doc_id").as("max_doc_id"))
+      .filter(col("n_copies") > 1)
+      .select(md5(col("norm")).as("group_md5"), col("n_copies"),
+        col("min_doc_id"), col("max_doc_id"))
+
+  /** doc_id + distinct k-token shingle hash set. */
+  private def shingleSets(docs: DataFrame, k: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_distinct(gf.shingleHashes(
+        TextAnalysis.tokens(TextAnalysis.canonical(col("text"))), k)).as("shingles"))
+
+  /** Candidate pairs from LSH banding over a signature array column:
+    * rows sharing any band hash meet in one shuffle bucket.
+    */
+  private def bandedPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                          bands: Int, maxBucket: Int): DataFrame = {
+    val rowsPerBand = ceil(size(col(sigCol)) / lit(bands)).cast("int")
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val buckets = banded
+      .groupBy("band", "band_hash")
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // cap degenerate buckets: deterministic subset, documented loss
+      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
+    buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** MinHash + LSH near-dup pairs with exact-Jaccard verification:
+    * (id_a, id_b, jaccard) for all pairs with Jaccard ≥ tau among
+    * LSH candidates.
+    */
+  def minhashPairs(docs: DataFrame, shingleSize: Int = 3, numPerms: Int = 64,
+                   bands: Int = 16, tau: Double = 0.5, seed: Long = 42L,
+                   maxBucket: Int = 64): DataFrame = {
+    val sets = shingleSets(docs, shingleSize).cache()
+    val sigs = sets.select(col("doc_id"),
+      gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
+    val pairs = bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
+    pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Per-document near-dup summary from a pair list: always one row
+    * per document (robust output shape regardless of how many dupes
+    * exist), with `keep` = false iff a more-senior (smaller-id)
+    * duplicate exists.
+    */
+  def pairSummary(docs: DataFrame, pairs: DataFrame, scoreCol: String): DataFrame = {
+    val perDoc = pairs.select(col("id_a").as("doc_id"), col(scoreCol).as("score"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col(scoreCol).as("score")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dupes"), max("score").as("max_score"))
+    val dominated = pairs.select(col("id_b").as("doc_id")).distinct()
+      .withColumn("dominated", lit(true))
+    docs.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(dominated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
+        coalesce(col("max_score"), lit(0.0)).as("max_score"),
+        coalesce(col("dominated") === lit(false), lit(true)).as("keep"))
+  }
+
+  /** MinHash+LSH dedup, per-document summary form. */
+  def minhashSummary(docs: DataFrame, shingleSize: Int = 3, numPerms: Int = 64,
+                     bands: Int = 16, tau: Double = 0.5, seed: Long = 42L): DataFrame =
+    pairSummary(docs, minhashPairs(docs, shingleSize, numPerms, bands, tau, seed), "jaccard")
+
+  /** SimHash near-dup pairs: 64-bit signatures, banded into
+    * `bands` bit-groups for candidates, verified with exact Hamming
+    * distance ≤ maxHamming.
+    */
+  def simhashPairs(docs: DataFrame, bands: Int = 4, maxHamming: Int = 8,
+                   maxBucket: Int = 64): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sigs = docs.select(col("doc_id"),
+      gf.simhash64(TextAnalysis.tokens(TextAnalysis.canonical(col("text")))).as("sig"))
+      .cache()
+    // (sig >> n) & mask == (sig >>> n) & mask once masked, so signed
+    // shiftright is fine here
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bits) & ${mask}L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    val buckets = banded
+      .groupBy("band", "band_bits")
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash dedup, per-document summary (score = 64 - hamming so
+    * "bigger is more similar" like the other summaries). */
+  def simhashSummary(docs: DataFrame, bands: Int = 4, maxHamming: Int = 8): DataFrame =
+    pairSummary(docs,
+      simhashPairs(docs, bands, maxHamming)
+        .withColumn("sim", lit(64) - col("hamming")),
+      "sim")
+
+  /** Character-n-gram Jaccard near-dup: same LSH skeleton as MinHash
+    * but shingling over characters, catching word-reordering dupes
+    * that token shingles miss.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
+                        bands: Int = 16, tau: Double = 0.5, seed: Long = 7L,
+                        maxBucket: Int = 64): DataFrame = {
+    val grams = docs.select(col("doc_id"),
+      array_distinct(gf.shingleHashes(
+        split(TextAnalysis.canonical(col("text")), ""), n)).as("shingles"))
+      .cache()
+    val sigs = grams.select(col("doc_id"),
+      gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
+    bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
+      .join(grams.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))) /
+          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  def ngramJaccardSummary(docs: DataFrame, n: Int = 5, tau: Double = 0.5): DataFrame =
+    pairSummary(docs, ngramJaccardPairs(docs, n = n, tau = tau), "jaccard")
+
+  /** Embedding-cosine near-dup: multi-table random-hyperplane LSH
+    * for candidates, exact cosine verification.
+    */
+  def embeddingPairs(embeddings: DataFrame, tau: Double = 0.95,
+                     tables: Int = 8, planesPerTable: Int = 8,
+                     seed: Long = 11L, maxBucket: Int = 64): DataFrame = {
+    val dim = 64
+    val vecs = embeddings.select(col("vec_id"), col("embedding")).cache()
+    val bucketed = (0 until tables).map { t =>
+      val planes = gf.randomPlanes(planesPerTable, dim, seed + t)
+      vecs.select(col("vec_id"), lit(t).as("table"),
+        gf.hyperplaneSig(col("embedding"), planes).as("sig"))
+    }.reduce(_ unionByName _)
+    val buckets = bucketed
+      .groupBy("table", "sig")
+      .agg(collect_set(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), "id_a")
+      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), "id_b")
+      .withColumn("cosine", gf.cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  def embeddingSummary(embeddings: DataFrame, tau: Double = 0.95): DataFrame =
+    pairSummary(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+      embeddingPairs(embeddings, tau), "cosine")
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.F): treat image/audio/
+  * video payloads as opaque `binary` columns with typed metadata,
+  * processed per-partition without ever collecting to the driver.
+  *
+  * The decode step is STUBBED (no image/audio codecs in this
+  * environment): [[decodeStub]] derives deterministic fake
+  * image properties from the bytes. The Spark-side plumbing —
+  * binary schema, frame explode, typed Dataset batching — is real;
+  * swap `decodeStub` for a JNI/codec call in production.
+  *
+  * Payloads here are derived from `documents.text` (the testdata has
+  * no binary table); every byte-level op works unchanged on real
+  * media bytes.
+  */
+object Multimodal {
+
+  /** Project a documents table into (doc_id, payload binary, meta). */
+  def asBlobs(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        lit("text/plain").as("content_type")).as("meta"))
+
+  /** Byte-level stats: size, sha-256, leading-magic hex — the
+    * dedup/integrity pass for binary corpora. */
+  def blobStats(docs: DataFrame): DataFrame =
+    asBlobs(docs).select(
+      col("doc_id"),
+      col("meta.n_bytes").as("n_bytes"),
+      sha2(col("payload"), 256).as("sha256"),
+      hex(substring(col("payload"), 1, 4)).as("magic_hex"))
+
+  /** Frame/chunk sampling: cut each payload into `frameSize`-byte
+    * frames every `stride` bytes (video frame-sample / audio window
+    * shape). Pure explode+substring — codegen'd, no UDF, and the
+    * explode keeps rows within the source partition.
+    */
+  def frameSample(docs: DataFrame, frameSize: Int = 64, stride: Int = 128): DataFrame =
+    asBlobs(docs)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(((col("meta.n_bytes") - 1) / stride).cast("int"), lit(0))))
+          .as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * stride).cast("long").as("byte_offset"),
+        length(expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)"))
+          .cast("long").as("frame_len"),
+        md5(expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)"))
+          .as("frame_md5"))
+
+  case class Frame(doc_id: Long, frame_idx: Long, bytes: Array[Byte])
+  case class DecodedFrame(doc_id: Long, frame_idx: Long,
+                          width: Int, height: Int, mean_luma: Double)
+
+  /** Deterministic fake decode: "image" properties derived from the
+    * bytes. Replace with a real codec in production — the signature
+    * (bytes in, typed struct out) is the contract.
+    */
+  def decodeStub(f: Frame): DecodedFrame = {
+    var h = 0xcbf29ce484222325L
+    var s = 0L
+    f.bytes.foreach { b => h = (h ^ (b & 0xffL)) * 0x100000001b3L; s += (b & 0xff) }
+    DecodedFrame(f.doc_id, f.frame_idx,
+      width = 16 + ((h >>> 8) % 48).toInt.abs,
+      height = 16 + ((h >>> 24) % 48).toInt.abs,
+      mean_luma = if (f.bytes.isEmpty) 0.0 else s.toDouble / f.bytes.length)
+  }
+
+  /** Typed decode pass over sampled frames: the batch shape
+    * (Dataset[Frame] → mapPartitions → Dataset[DecodedFrame]) is how
+    * a real codec would be driven — per-partition, streaming,
+    * driver never touches payload bytes.
+    */
+  def decodeFrames(docs: DataFrame, frameSize: Int = 64, stride: Int = 128): Dataset[DecodedFrame] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    asBlobs(docs)
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0),
+          greatest(((col("meta.n_bytes") - 1) / stride).cast("int"), lit(0))))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)").as("bytes"))
+      .as[Frame]
+      .mapPartitions(_.map(decodeStub))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2.D).
+  *
+  * Three tiers, trading recall for cost:
+  *  - [[bruteForceTopK]]: exact. The query set is broadcast and the
+  *    corpus streams past it once — the right plan when |queries| is
+  *    small, at any corpus size.
+  *  - [[lshTopK]]: multi-table random-hyperplane LSH. Candidates
+  *    meet in bucket equi-joins; cost ∝ bucket collisions, not n².
+  *  - [[ivfTopK]]: IVF — corpus partitioned into `nlist` centroid
+  *    cells, queries probe the `nprobe` nearest cells.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of each query vector (self-matches
+    * excluded; ties broken by neighbor id for determinism).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Multi-table hyperplane-LSH ANN: candidates = corpus vectors
+    * sharing a bucket with the query in any table; exact cosine
+    * ranks candidates. Recall grows with `tables`, cost with bucket
+    * sizes (2^planesPerTable buckets per table).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
+              seed: Long = 23L): DataFrame = {
+    val sigCols = (0 until tables).map { t =>
+      gf.hyperplaneSig(col("embedding"), gf.randomPlanes(planesPerTable, dim, seed + t))
+        .as(s"sig_$t")
+    }
+    def bucketize(df: DataFrame, idName: String) =
+      df.select(col("vec_id").as(idName) +: col("embedding").as(s"emb_$idName") +: sigCols: _*)
+        .select(col(idName), col(s"emb_$idName"),
+          posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
+        .select(col(idName), col(s"emb_$idName"),
+          col("pos").as("table"), col("col").as("sig"))
+    val cands = bucketize(corpus, "neighbor_id")
+      .join(bucketize(queries, "query_id"), Seq("table", "sig"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("emb_query_id"), col("emb_neighbor_id"))
+      .distinct()
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      gf.cosineSim(col("emb_query_id"), col("emb_neighbor_id")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Deterministic IVF "training": every `step`-th corpus vector (by
+    * id order) is a centroid. Real k-means would drop in here; the
+    * index/search structure is identical.
+    */
+  def pickCentroids(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
+    val w = Window.orderBy("vec_id")
+    val n = corpus.count()
+    val step = math.max(n / nlist, 1L)
+    corpus
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % step === 0)
+      .limit(nlist)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+  }
+
+  /** IVF search: corpus vectors live in their nearest-centroid cell
+    * (nprobe=1 assignment); queries probe `nprobe` cells. One
+    * equi-join on cell id — the 100 TB plan is a co-partitioned join
+    * on a key with `nlist` distinct values.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = pickCentroids(corpus, nlist)
+    val assigned = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("n_emb"),
+      gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
+    val probed = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(gf.nearestCentroids(col("embedding"), centroids, nprobe)).as("cell"))
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Text-analysis operators over a documents table (doc_id, text, …) —
+  * the per-document scoring pass of an LLM training-data pipeline
+  * (SURVEY.md §2.E).
+  *
+  * Everything here is a narrow per-row projection built from
+  * codegen'd builtins (split/filter/regexp) + graft native
+  * expressions — no shuffle, no UDF, scales linearly with the scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped (leading/trailing
+    * separators produce empty strings in every engine). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword proxy: word runs + single non-word-non-space
+    * chars. The ASCII `\w` class matches Java and RE2 semantics. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0))).cast("long")
+
+  /** English-ish default stopword list (tiny on purpose: it must be
+    * replicable in the SQL oracle). */
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Per-language stopword profiles for the language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
+
+  /** Quality statistics + a deterministic [0,1] quality score
+    * (length / punctuation / stopword-density heuristics — the
+    * C4/Gopher-style cheap filters).
+    */
+  def stats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "\\p{Punct}", "")))
+          .cast("long").as("punct_count"),
+        countIn(toks, stopwords).as("stopword_count"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("token_chars"))
+      .withColumn("punct_ratio", col("punct_count") / greatest(col("n_chars"), lit(1L)))
+      .withColumn("stopword_ratio", col("stopword_count") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("avg_token_len", col("token_chars") / greatest(col("n_tokens"), lit(1L)))
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / 128.0)
+          * (lit(1.0) - least(lit(1.0), col("punct_ratio") * 4.0))
+          * (lit(0.3) + lit(0.7) * least(lit(1.0), col("stopword_ratio") * 5.0)))
+      .drop("token_chars")
+  }
+
+  /** Stopword-profile language ID: count profile hits per language,
+    * pick the argmax (ties broken by profile order, zero hits →
+    * 'und'). Pure column arithmetic — replicable in ANSI SQL, which
+    * is exactly why the heuristic is this simple.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val withHits = docs.select(
+      col("doc_id") +: LangProfiles.map { case (lang, words) =>
+        countIn(toks, words).as(s"hits_$lang")
+      }: _*)
+    val hitCols = LangProfiles.map { case (l, _) => col(s"hits_$l") }
+    val best = LangProfiles.foldRight(lit("und")) { case ((lang, _), fallback) =>
+      // first profile (in order) that attains the max wins
+      when(col(s"hits_$lang") === greatest(hitCols: _*), lit(lang)).otherwise(fallback)
+    }
+    withHits.withColumn("predicted_lang",
+      when(greatest(hitCols: _*) === 0, lit("und")).otherwise(best))
+  }
+
+  /** Canonical form used for fingerprinting/exact dedup: lowercase,
+    * collapsed whitespace, trimmed. */
+  def canonical(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprints: md5 of the canonical text (portable) and
+    * a 64-bit FNV-1a (graft native, join-friendly). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val canon = canonical(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(canon).as("fingerprint_md5"),
+      gf.hash64(canon).as("fingerprint64"))
+  }
+}

@@ -1,0 +1,167 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{TextHashes, VectorOps}
+
+/** Native Catalyst expressions for graft's vector/text kernels.
+  *
+  * Each generates code that calls the static kernels in
+  * [[VectorOps]]/[[TextHashes]], so they participate in whole-stage
+  * codegen (no Scala-UDF ser/de, no interpreted fallback in the hot
+  * path). Reference data (hyperplanes, centroids) rides along via
+  * `ctx.addReferenceObj`, the standard pattern for
+  * broadcast-small-model-into-expression.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit FNV-1a of a string — document fingerprinting. */
+case class Hash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_hash64"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashes.hash64(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextHashes.hash64($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashes of all k-token shingles of a token array. */
+case class ShingleHashes(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    TextHashes.shingleHashes(tokens.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashes.shingleHashes($t, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array. */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(tokens: Any): Any =
+    TextHashes.simhash64(tokens.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHashes.simhash64($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature (array of `numPerms` unsigned mins) of a
+  * shingle-hash array.
+  */
+case class MinHashSignature(child: Expression, numPerms: Int, seed: Long)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(numPerms >= 1, s"numPerms must be >= 1, got $numPerms")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override protected def nullSafeEval(hashes: Any): Any =
+    TextHashes.minhashSignature(hashes.asInstanceOf[ArrayData], numPerms, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      h => s"graft.functions.TextHashes.minhashSignature($h, $numPerms, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature of a float vector (≤64 planes →
+  * one long). The plane matrix is attached as a codegen reference
+  * object — generated per plan, broadcast with the task binary.
+  */
+case class HyperplaneSignature(child: Expression, planes: Array[Array[Float]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.nonEmpty && planes.length <= 64, "need 1..64 hyperplanes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.hyperplaneSig(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.hyperplaneSig($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** IVF probe list: indices of the `nprobe` nearest centroids. */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nprobe >= 1 && nprobe <= centroids.length, s"bad nprobe $nprobe")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCentroids(v.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorOps.nearestCentroids($v, $ref, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
