@@ -16,7 +16,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   private def withWatermarkIfStreaming(events: DataFrame, watermark: String): DataFrame =
-    if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    if (events.isStreaming) {
+      // watermarks require TIMESTAMP (ltz); sessions run in UTC so the
+      // ntz→ltz cast is value-preserving
+      events.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    } else events
 
   /** Watermarked tumbling 1-hour aggregate: window start/end kept as
     * plain columns. Batch twin of a `writeStream` hourly rollup.

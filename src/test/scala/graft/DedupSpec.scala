@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Dedup
+
+/** Dedup specs on crafted documents with known duplicate structure. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches " +
+      "from a warm window sill and the birds sing in the morning light"
+  private val nearDup = base.replace("morning", "evening")
+  private val caseDup = base.toUpperCase + "  " // exact dup modulo canonicalization
+  private val unrelated =
+    "completely different content about databases indexes partitions " +
+      "shuffles joins aggregates and the relational algebra of query engines"
+
+  private def docs: DataFrame = Seq(
+    (0L, base), (1L, caseDup), (2L, nearDup), (3L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exact dedup collapses canonical-equal docs") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 2L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("exact report lists only duplicate groups") {
+    val rep = Dedup.exactReport(docs).collect()
+    assert(rep.length == 1)
+    assert(rep(0).getAs[Long]("n_copies") == 2L)
+    assert(rep(0).getAs[Long]("min_doc_id") == 0L)
+    assert(rep(0).getAs[Long]("max_doc_id") == 1L)
+  }
+
+  test("minhash LSH finds near-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)),
+      "near-dup must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("minhash summary marks dominated docs as non-keepers") {
+    val s = Dedup.minhashSummary(docs, tau = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(s(0L), "doc 0 is the senior copy")
+    assert(!s(1L), "doc 1 duplicates doc 0")
+    assert(s(3L), "unrelated doc survives")
+    assert(s.size == 4)
+  }
+
+  test("simhash finds near-dups with small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) == 0)
+    assert(pairs.contains((0L, 2L)), "near-dup within hamming 12")
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard catches near-dups at character level") {
+    val pairs = Dedup.ngramJaccardPairs(docs, tau = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("embedding near-dup finds high-cosine pairs via LSH") {
+    val vecs = Seq(
+      (0L, Seq.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (1L, Seq.tabulate(64)(i => (math.sin(i + 1) * 1.01 + 0.001).toFloat)), // ~parallel
+      (2L, Seq.tabulate(64)(i => math.cos(i * 2 + 3).toFloat))) // unrelated
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

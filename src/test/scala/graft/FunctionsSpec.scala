@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Native expression specs: numeric correctness vs plain-Scala
+  * reference computations, plus codegen-path sanity (values computed
+  * through a real plan, not expression.eval()).
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+    if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+  }
+
+  test("cosineSim matches reference computation") {
+    val a = Seq(1f, 2f, 3f)
+    val b = Seq(-1f, 0.5f, 2f)
+    val out = Seq((a, b)).toDF("a", "b")
+      .select(gf.cosineSim($"a", $"b")).as[Double].head()
+    assert(math.abs(out - refCosine(a, b)) < 1e-12)
+  }
+
+  test("cosineSim is 1 for parallel vectors, 0 for zero vector") {
+    val rows = Seq(
+      (Seq(1f, 1f), Seq(2f, 2f)),
+      (Seq(1f, 1f), Seq(0f, 0f)))
+    val out = rows.toDF("a", "b").select(gf.cosineSim($"a", $"b")).as[Double].collect()
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+  }
+
+  test("hash64 is deterministic and spreads") {
+    val out = Seq("a", "b", "a").toDF("s")
+      .select(gf.hash64($"s")).as[Long].collect()
+    assert(out(0) == out(2))
+    assert(out(0) != out(1))
+    // FNV-1a("a") known value
+    assert(out(0) == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("shingleHashes: n-k+1 shingles, order-sensitive, separator-safe") {
+    val df = Seq(
+      Seq("a", "b", "c", "d"),
+      Seq("a", "b"),
+      Seq("ab", "c"),  // must differ from ("a","bc") — separator test
+      Seq("a", "bc")).toDF("toks")
+    val out = df.select(gf.shingleHashes($"toks", 2)).as[Seq[Long]].collect()
+    assert(out(0).length == 3)
+    assert(out(1).length == 1)
+    assert(out(2) != out(3))
+  }
+
+  test("shingleHashes: fewer tokens than k gives empty") {
+    val out = Seq(Seq("a")).toDF("toks")
+      .select(gf.shingleHashes($"toks", 3)).as[Seq[Long]].head()
+    assert(out.isEmpty)
+  }
+
+  test("simhash64: identical token sets identical, near sets near, far sets far") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val near = base.updated(3, "CHANGED")
+    val far = (1 to 40).map(i => s"other$i")
+    val out = Seq(base, base, near, far).toDF("toks")
+      .select(gf.simhash64($"toks")).as[Long].collect()
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(out(0) == out(1))
+    assert(ham(out(0), out(2)) < 16, s"near hamming ${ham(out(0), out(2))}")
+    assert(ham(out(0), out(3)) > 16, s"far hamming ${ham(out(0), out(3))}")
+  }
+
+  test("minhashSignature approximates Jaccard") {
+    val a = (1 to 100).map(_.toLong)
+    val b = (51 to 150).map(_.toLong) // true J = 50/150 = 1/3
+    val out = Seq(a, b).toDF("h")
+      .select(gf.minhashSignature($"h", 256, seed = 42L)).as[Seq[Long]].collect()
+    val est = out(0).zip(out(1)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est")
+  }
+
+  test("hyperplaneSig: same vector same bucket, opposite vector opposite bits") {
+    val planes = gf.randomPlanes(16, 4, seed = 1L)
+    val out = Seq(
+      Seq(1f, 2f, 3f, 4f), Seq(1f, 2f, 3f, 4f), Seq(-1f, -2f, -3f, -4f))
+      .toDF("v").select(gf.hyperplaneSig($"v", planes)).as[Long].collect()
+    assert(out(0) == out(1))
+    assert((out(0) & 0xffffL) == (~out(2) & 0xffffL))
+  }
+
+  test("nearestCentroids orders probes by similarity") {
+    val centroids = Array(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f))
+    val out = Seq(Seq(0.9f, 0.1f)).toDF("v")
+      .select(gf.nearestCentroids($"v", centroids, 3)).as[Seq[Int]].head()
+    assert(out == Seq(0, 1, 2))
+  }
+
+  test("SQL registration via GraftExtensions works end-to-end") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c, " +
+        "graft_hash64('a') AS h, " +
+        "simhash64(array('x','y')) AS s, " +
+        "shingle_hashes(array('x','y','z'), 2) AS sh, " +
+        "minhash_signature(array(1L, 2L), 4, 42) AS mh").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
+    assert(r.getSeq[Long](3).length == 2)
+    assert(r.getSeq[Long](4).length == 4)
+  }
+}

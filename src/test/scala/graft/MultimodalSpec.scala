@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Multimodal plumbing specs: binary schema, frame math, decode stub
+  * determinism.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val payload200 = "x" * 200
+  private def docs = Seq((0L, payload200), (1L, "short")).toDF("doc_id", "text")
+
+  test("asBlobs produces binary payload with typed metadata") {
+    val b = Multimodal.asBlobs(docs)
+    assert(b.schema("payload").dataType.typeName == "binary")
+    val r = b.filter($"doc_id" === 0L).select($"meta.n_bytes", $"meta.content_type").head()
+    assert(r.getLong(0) == 200L)
+    assert(r.getString(1) == "text/plain")
+  }
+
+  test("blobStats: sizes, sha256, magic bytes") {
+    val r = Multimodal.blobStats(docs).collect()
+      .map(row => row.getLong(0) -> row).toMap
+    assert(r(0L).getAs[Long]("n_bytes") == 200L)
+    assert(r(1L).getAs[Long]("n_bytes") == 5L)
+    assert(r(1L).getAs[String]("magic_hex") == "73686F72") // "shor"
+    assert(r(0L).getAs[String]("sha256").length == 64)
+  }
+
+  test("frameSample chunk math: count, offsets, tail frame length") {
+    // 200 bytes, stride 128, frame 64 → frames at 0 (len 64) and 128 (len 64)
+    val f = Multimodal.frameSample(docs, frameSize = 64, stride = 128)
+      .filter($"doc_id" === 0L).collect()
+      .map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("byte_offset"),
+        r.getAs[Long]("frame_len")))
+      .sortBy(_._1)
+    assert(f.toSeq == Seq((0L, 0L, 64L), (1L, 128L, 64L)))
+    // short doc: one frame, truncated to payload size
+    val s = Multimodal.frameSample(docs, frameSize = 64, stride = 128)
+      .filter($"doc_id" === 1L).collect()
+    assert(s.length == 1)
+    assert(s(0).getAs[Long]("frame_len") == 5L)
+  }
+
+  test("frame tail shorter than frameSize is truncated not padded") {
+    val d = Seq((0L, "a" * 150)).toDF("doc_id", "text")
+    val f = Multimodal.frameSample(d, frameSize = 64, stride = 128).collect()
+      .map(r => (r.getAs[Long]("frame_idx"), r.getAs[Long]("frame_len"))).sortBy(_._1)
+    assert(f.toSeq == Seq((0L, 64L), (1L, 22L)))
+  }
+
+  test("decodeFrames: deterministic stub through the typed partition path") {
+    val out1 = Multimodal.decodeFrames(docs).collect().sortBy(d => (d.doc_id, d.frame_idx))
+    val out2 = Multimodal.decodeFrames(docs).collect().sortBy(d => (d.doc_id, d.frame_idx))
+    assert(out1.toSeq == out2.toSeq)
+    assert(out1.forall(d => d.width >= 16 && d.height >= 16))
+    // all-'x' frame: mean luma is exactly 'x'.toInt
+    assert(out1.find(d => d.doc_id == 0L && d.frame_idx == 0L).get.mean_luma == 'x'.toInt.toDouble)
+  }
+}

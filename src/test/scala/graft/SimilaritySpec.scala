@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** ANN specs: brute force against a plain-Scala reference, LSH/IVF
+  * recall against brute force on the driver testdata.
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  private lazy val queries: DataFrame = emb.filter($"vec_id" % 100 === 0)
+
+  private def topkSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  private lazy val exact: Map[Long, Set[Long]] =
+    topkSets(Similarity.bruteForceTopK(emb, queries, k = 10))
+
+  test("bruteForceTopK matches a driver-side reference computation") {
+    val all = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val q0 = all.find(_._1 == 0L).get
+    val expected = all.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q0._2, v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(10).map(_._1).toSet
+    assert(exact(0L) == expected)
+  }
+
+  test("every query gets exactly k neighbors, self excluded") {
+    val rows = Similarity.bruteForceTopK(emb, queries, k = 10).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 10))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("LSH ANN achieves reasonable recall vs exact") {
+    val lsh = topkSets(Similarity.lshTopK(emb, queries, k = 10,
+      tables = 16, planesPerTable = 6))
+    val recalls = exact.keys.toSeq.map { q =>
+      val found = lsh.getOrElse(q, Set.empty)
+      (found intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean LSH recall $mean too low")
+  }
+
+  test("IVF ANN achieves reasonable recall vs exact and beats nprobe=1") {
+    val ivf4 = topkSets(Similarity.ivfTopK(emb, queries, k = 10, nlist = 8, nprobe = 4))
+    val recalls = exact.keys.toSeq.map { q =>
+      (ivf4.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean IVF recall $mean too low")
+
+    val ivf8 = topkSets(Similarity.ivfTopK(emb, queries, k = 10, nlist = 8, nprobe = 8))
+    // probing every cell == exact search
+    assert(ivf8 == exact)
+  }
+}

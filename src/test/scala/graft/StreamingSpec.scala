@@ -1,0 +1,103 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+/** Structured-Streaming specs: the same transforms that serve the
+  * batch oracle keys, driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int): LocalDateTime =
+    LocalDateTime.of(2024, 1, 1, h, m, 0)
+
+  private val sampleEvents = Seq(
+    Event(1L, ts(0, 5), 1L, "click", 1.0),
+    Event(2L, ts(0, 20), 1L, "click", 2.0),
+    Event(3L, ts(1, 10), 1L, "view", 3.0),
+    Event(4L, ts(0, 30), 2L, "click", 4.0),
+    Event(2L, ts(0, 20), 1L, "click", 2.0)) // duplicate event_id
+
+  test("hourlyWindow over a MemoryStream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourlyWindow(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      // streaming path carries ltz timestamps (watermark requirement);
+      // extract the hour engine-side to stay type-agnostic
+      val rows = spark.table("hourly_test")
+        .select(hour($"window_start"), $"event_type", $"num_events", $"total_value")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(rows((0, "click")) == (4L, 9.0))
+      assert(rows((1, "view")) == (1L, 3.0))
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops duplicate event ids in-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(sampleEvents: _*)
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("batch twin of hourlyWindow equals streaming result") {
+    val batch = EventStream.hourlyWindow(sampleEvents.toDF())
+      .collect()
+      .map(r => (r.getAs[LocalDateTime]("window_start").getHour,
+        r.getAs[String]("event_type")) -> r.getAs[Long]("num_events")).toMap
+    assert(batch((0, "click")) == 4L)
+    assert(batch((1, "view")) == 1L)
+  }
+
+  test("stateful sessionize (batch mode) splits on gap") {
+    val events = Seq(
+      Event(1L, ts(0, 0), 1L, "click", 1.0),
+      Event(2L, ts(0, 10), 1L, "click", 1.0),
+      Event(3L, ts(2, 0), 1L, "view", 2.0), // >30min gap → new session
+      Event(4L, ts(0, 0), 2L, "view", 5.0))
+    val out = EventStream.sessionize(events.toDS(), gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start))
+    assert(out.length == 3)
+    assert(out(0).num_events == 2 && out(0).total_value == 2.0)
+    assert(out(1).num_events == 1 && out(1).session_start == ts(2, 0))
+    assert(out(2).user_id == 2L)
+  }
+
+  test("sessionize over a stream emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts(0, 0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // a later event past the gap closes the first session
+      mem.addData(Event(2L, ts(3, 0), 1L, "view", 2.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_test").as[EventStream.Session].collect()
+      assert(sessions.length == 1)
+      assert(sessions(0).num_events == 1L)
+      assert(sessions(0).session_start == ts(0, 0))
+    } finally q.stop()
+  }
+}

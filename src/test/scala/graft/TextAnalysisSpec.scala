@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis specs on known strings. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace vs BPE-ish") {
+    val docs = Seq(
+      (0L, "hello world"),
+      (1L, "  spaced   out  "),
+      (2L, "punct, heavy! text."),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenCounts(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L) == (2L, 2L))
+    assert(out(1L) == (2L, 2L))
+    assert(out(2L) == (3L, 6L)) // punct, heavy! text. → 3 ws, 6 bpe
+    assert(out(3L) == (0L, 0L))
+  }
+
+  test("stats computes ratios and bounded quality score") {
+    val docs = Seq(
+      (0L, "the cat and the dog in the house"),
+      (1L, "!!! ??? ..."),
+      (2L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.stats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d0 = rows(0L)
+    assert(d0.getAs[Long]("n_tokens") == 8L)
+    assert(d0.getAs[Long]("stopword_count") == 5L) // the×3, and, in
+    assert(d0.getAs[Long]("punct_count") == 0L)
+    val q0 = d0.getAs[Double]("quality_score")
+    assert(q0 > 0.0 && q0 <= 1.0)
+    val d1 = rows(1L)
+    assert(d1.getAs[Long]("punct_count") == 9L)
+    assert(d1.getAs[Double]("quality_score") == 0.0) // punct_ratio 0.75 → clamped
+    assert(rows(2L).getAs[Double]("stopword_ratio") == 0.0)
+  }
+
+  test("langId picks profile with most hits, und on none") {
+    val docs = Seq(
+      (0L, "the cat and the dog of to in"),
+      (1L, "le chat et la mer les des"),
+      (2L, "der hund die katze und das haus ist"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "de", 3L -> "und"))
+  }
+
+  test("fingerprints are canonicalization-invariant") {
+    val docs = Seq(
+      (0L, "Hello   World"),
+      (1L, "  hello world "),
+      (2L, "different")).toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprints(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+}
