@@ -97,7 +97,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSummary(Tables.documents(s, dir), maxHamming = 12)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardSummary(Tables.documents(s, dir), tau = 0.4)),
+      Dedup.ngramJaccardSummary(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingSummary(Tables.embeddings(s, dir), tau = 0.9)),
     // §2.D similarity search

@@ -78,7 +78,10 @@ object Dedup {
   def minhashPairs(docs: DataFrame, shingleSize: Int = 3, numPerms: Int = 64,
                    bands: Int = 16, tau: Double = 0.5, seed: Long = 42L,
                    maxBucket: Int = 64): DataFrame = {
-    val sets = shingleSets(docs, shingleSize).cache()
+    // no .cache(): shingle sets are cheap to recompute (one codegen'd
+    // scan) and pinning them poisons executor memory for later queries;
+    // at cluster scale persist(DISK_ONLY) here if the input scan is hot
+    val sets = shingleSets(docs, shingleSize)
     val sigs = sets.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     val pairs = bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
@@ -98,20 +101,28 @@ object Dedup {
     * duplicate exists.
     */
   def pairSummary(docs: DataFrame, pairs: DataFrame, scoreCol: String): DataFrame = {
-    val perDoc = pairs.select(col("id_a").as("doc_id"), col(scoreCol).as("score"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"), col(scoreCol).as("score")))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_dupes"), max("score").as("max_score"))
-    val dominated = pairs.select(col("id_b").as("doc_id")).distinct()
-      .withColumn("dominated", lit(true))
+    // single consumption of `pairs`: explode each pair into both of
+    // its sides and aggregate once — referencing the pair relation
+    // more than once would re-evaluate the whole LSH candidate
+    // pipeline per reference (nothing upstream is cached)
+    val sides = pairs.select(explode(array(
+        struct(col("id_a").as("doc_id"),
+          col(scoreCol).cast("double").as("score"), lit(false).as("is_junior")),
+        struct(col("id_b").as("doc_id"),
+          col(scoreCol).cast("double").as("score"), lit(true).as("is_junior"))))
+        .as("s"))
+      .select(col("s.doc_id"), col("s.score"), col("s.is_junior"))
+    val perDoc = sides.groupBy("doc_id").agg(
+      count(lit(1)).as("n_dupes"),
+      max("score").as("max_score"),
+      max("is_junior").as("dominated"))
     docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
-      .join(dominated, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_dupes"), lit(0L)).as("n_dupes"),
         coalesce(col("max_score"), lit(0.0)).as("max_score"),
-        coalesce(col("dominated") === lit(false), lit(true)).as("keep"))
+        coalesce(!col("dominated"), lit(true)).as("keep"))
   }
 
   /** MinHash+LSH dedup, per-document summary form. */
@@ -130,7 +141,6 @@ object Dedup {
     val mask = if (bits == 64) -1L else (1L << bits) - 1
     val sigs = docs.select(col("doc_id"),
       gf.simhash64(TextAnalysis.tokens(TextAnalysis.canonical(col("text")))).as("sig"))
-      .cache()
     // (sig >> n) & mask == (sig >>> n) & mask once masked, so signed
     // shiftright is fine here
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -173,7 +183,6 @@ object Dedup {
     val grams = docs.select(col("doc_id"),
       array_distinct(gf.shingleHashes(
         split(TextAnalysis.canonical(col("text")), ""), n)).as("shingles"))
-      .cache()
     val sigs = grams.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
@@ -186,8 +195,15 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  def ngramJaccardSummary(docs: DataFrame, n: Int = 5, tau: Double = 0.5): DataFrame =
-    pairSummary(docs, ngramJaccardPairs(docs, n = n, tau = tau), "jaccard")
+  /** Character-level near-dup summary. Defaults are tuned for true
+    * near-duplicates (τ=0.7, 8 bands × 8 rows): with wide bands the
+    * per-band collision probability is J^8, so moderately-similar
+    * pairs — which a low-τ char-gram config would flood the verify
+    * join with — rarely become candidates at all.
+    */
+  def ngramJaccardSummary(docs: DataFrame, n: Int = 5, tau: Double = 0.7,
+                          bands: Int = 8): DataFrame =
+    pairSummary(docs, ngramJaccardPairs(docs, n = n, tau = tau, bands = bands), "jaccard")
 
   /** Embedding-cosine near-dup: multi-table random-hyperplane LSH
     * for candidates, exact cosine verification.
@@ -196,7 +212,7 @@ object Dedup {
                      tables: Int = 8, planesPerTable: Int = 8,
                      seed: Long = 11L, maxBucket: Int = 64): DataFrame = {
     val dim = 64
-    val vecs = embeddings.select(col("vec_id"), col("embedding")).cache()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
     val bucketed = (0 until tables).map { t =>
       val planes = gf.randomPlanes(planesPerTable, dim, seed + t)
       vecs.select(col("vec_id"), lit(t).as("table"),

@@ -53,8 +53,12 @@ object TextAnalysis {
     * C4/Gopher-style cheap filters).
     */
   def stats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame = {
-    val toks = tokens(col("text"))
-    docs.select(
+    // tokenize once into its own projection: `toks` is non-cheap and
+    // referenced by three stats, so CollapseProject keeps it
+    // materialized instead of re-running split() per derived column
+    val toks = col("toks")
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
@@ -78,11 +82,13 @@ object TextAnalysis {
     * is exactly why the heuristic is this simple.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val withHits = docs.select(
-      col("doc_id") +: LangProfiles.map { case (lang, words) =>
-        countIn(toks, words).as(s"hits_$lang")
-      }: _*)
+    val toks = col("toks")
+    val withHits = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: LangProfiles.map { case (lang, words) =>
+          countIn(toks, words).as(s"hits_$lang")
+        }: _*)
     val hitCols = LangProfiles.map { case (l, _) => col(s"hits_$l") }
     val best = LangProfiles.foldRight(lit("und")) { case ((lang, _), fallback) =>
       // first profile (in order) that attains the max wins
