@@ -46,6 +46,20 @@ object SparkEntry {
   private def loadValidated(s: SparkSession, dir: String): DataFrame =
     RetailEtl.validateSummary(RetailEtl.aggregate(cleanSales(s, dir)))
 
+  private def sourceSummary(s: SparkSession, dir: String, status: String): DataFrame =
+    RetailEtl.aggregate(RetailEtl.clean(
+      RetailEtl.salesFromLineitem(Tables.lineitem(s, dir), Some(status))))
+
+  private def upsertSummaries(s: SparkSession, dir: String): DataFrame =
+    RetailEtl.upsertSummary(
+      existing = sourceSummary(s, dir, "F"),
+      updates = sourceSummary(s, dir, "O"))
+
+  private def saltedSummary(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedAgg(cleanSales(s, dir), Seq("product_id"),
+      partials = Seq(sum("quantity").as("q"), sum("sale_amount").as("a")),
+      merge = Seq(sum("q").as("total_quantity"), sum("a").as("total_sale_amount")))
+
   // ---- the inventory ---------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,6 +70,8 @@ object SparkEntry {
     "etl_sales_summary" -> ((s, dir) => salesSummary(s, dir)),
     "etl_daily_product_summary" -> ((s, dir) => dailySummary(s, dir)),
     "etl_load_validated" -> ((s, dir) => loadValidated(s, dir)),
+    "etl_upsert" -> ((s, dir) => upsertSummaries(s, dir)),
+    "etl_sales_summary_salted" -> ((s, dir) => saltedSummary(s, dir)),
     // §2.B analytics
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_top_unshipped" -> ((s, dir) =>
@@ -169,6 +185,20 @@ object SparkEntry {
          |FROM ($cleanSalesSql) c GROUP BY product_id, sale_date""".stripMargin
         .replace("\n", " "),
     "etl_load_validated" -> summarySql,
+    "etl_upsert" -> {
+      def src(status: String) =
+        s"""SELECT product_id, sum(quantity) AS total_quantity,
+           | sum(sale_amount) AS total_sale_amount
+           |FROM (${salesSql(s"WHERE l_linestatus = '$status'")}) s
+           |WHERE quantity > 0 AND sale_amount > 0
+           |GROUP BY product_id""".stripMargin.replace("\n", " ")
+      s"""WITH f AS (${src("F")}), o AS (${src("O")})
+         |SELECT * FROM o UNION ALL
+         |SELECT f.* FROM f WHERE NOT EXISTS
+         | (SELECT 1 FROM o WHERE o.product_id = f.product_id)""".stripMargin
+        .replace("\n", " ")
+    },
+    "etl_sales_summary_salted" -> summarySql,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | sum(l_extendedprice) AS sum_base_price,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graft.{CharShingleHashes, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, ShingleHashes, SimHash64}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -24,6 +24,10 @@ object gf {
 
   /** Hashes of all k-token shingles of an `array<string>` column. */
   def shingleHashes(tokens: Column, k: Int): Column = c(ShingleHashes(e(tokens), k))
+
+  /** Hashes of all character n-grams of a string column (rolling
+    * hash, O(len)). */
+  def charShingleHashes(text: Column, n: Int): Column = c(CharShingleHashes(e(text), n))
 
   /** 64-bit SimHash of an `array<string>` token column. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -142,6 +142,33 @@ object TextHashes {
     bits
   }
 
+  /** Hashes of all character n-grams of a string, via a rolling
+    * polynomial hash over the UTF-8 bytes — O(len) total, no
+    * per-character array materialization (`split(text, "")` allocates
+    * one UTF8String per char; this allocates nothing but the output).
+    */
+  def charShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    if (bytes.length < n) return new GenericArrayData(Array.empty[Any])
+    val B = FnvPrime
+    // B^n (wrapping)
+    var bn = 1L
+    var i = 0
+    while (i < n) { bn *= B; i += 1 }
+    val out = new Array[Any](bytes.length - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    out(0) = h
+    i = n
+    while (i < bytes.length) {
+      h = h * B + (bytes(i) & 0xffL) - (bytes(i - n) & 0xffL) * bn
+      out(i - n + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -181,8 +181,8 @@ object Dedup {
                         bands: Int = 16, tau: Double = 0.5, seed: Long = 7L,
                         maxBucket: Int = 64): DataFrame = {
     val grams = docs.select(col("doc_id"),
-      array_distinct(gf.shingleHashes(
-        split(TextAnalysis.canonical(col("text")), ""), n)).as("shingles"))
+      array_distinct(gf.charShingleHashes(
+        TextAnalysis.canonical(col("text")), n)).as("shingles"))
     val sigs = grams.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)

@@ -142,4 +142,17 @@ object RetailEtl {
     */
   def writeSummary(df: DataFrame, path: String, format: String = "parquet"): Unit =
     df.write.mode("overwrite").format(format).save(path)
+
+  /** Key-based upsert — the reference's `INSERT ... ON DUPLICATE KEY
+    * UPDATE` (loading.py:25-32) as a relational merge: update rows
+    * replace existing rows with the same key, everything else is
+    * carried over. Left-anti join shuffles only keys; at table scale
+    * this is the merge-on-read compaction pattern.
+    */
+  def upsertSummary(existing: DataFrame, updates: DataFrame,
+                    keys: Seq[String] = Seq("product_id")): DataFrame = {
+    val keyCols = keys.map(col)
+    updates.unionByName(
+      existing.join(updates.select(keyCols: _*), keys, "left_anti"))
+  }
 }

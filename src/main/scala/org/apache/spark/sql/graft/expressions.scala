@@ -75,6 +75,28 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Hashes of all character n-grams of a string (rolling polynomial
+  * hash, O(len) — see [[graft.functions.TextHashes.charShingleHashes]]).
+  */
+case class CharShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"n-gram size must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingle_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashes.charShingleHashes(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextHashes.charShingleHashes($s, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {

@@ -62,6 +62,20 @@ class FunctionsSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("charShingleHashes: rolling hash matches n-gram set semantics") {
+    val out = Seq("abcde", "abcde", "abcdf", "ab").toDF("s")
+      .select(gf.charShingleHashes($"s", 3)).as[Seq[Long]].collect()
+    assert(out(0).length == 3) // abc, bcd, cde
+    assert(out(0) == out(1))
+    assert(out(2).take(2) == out(0).take(2)) // shared prefix grams equal
+    assert(out(2)(2) != out(0)(2))           // differing tail gram differs
+    assert(out(3).isEmpty)                   // shorter than n
+    // same gram at different positions hashes identically (set semantics)
+    val rep = Seq("abcabc").toDF("s")
+      .select(gf.charShingleHashes($"s", 3)).as[Seq[Long]].head()
+    assert(rep(0) == rep(3))
+  }
+
   test("simhash64: identical token sets identical, near sets near, far sets far") {
     val base = (1 to 40).map(i => s"tok$i")
     val near = base.updated(3, "CHANGED")

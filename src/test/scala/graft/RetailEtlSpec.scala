@@ -122,6 +122,19 @@ class RetailEtlSpec extends SparkSpec {
     assert(back.exceptAll(typed).count() == 0)
   }
 
+  test("upsertSummary replaces matching keys and keeps the rest") {
+    val existing = Seq((101L, 1.0, 10.0), (102L, 2.0, 20.0))
+      .toDF("product_id", "total_quantity", "total_sale_amount")
+    val updates = Seq((102L, 9.0, 90.0), (103L, 3.0, 30.0))
+      .toDF("product_id", "total_quantity", "total_sale_amount")
+    val out = RetailEtl.upsertSummary(existing, updates).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      101L -> (1.0, 10.0),   // untouched
+      102L -> (9.0, 90.0),   // replaced by update
+      103L -> (3.0, 30.0)))  // inserted
+  }
+
   test("writeSummary overwrite is idempotent (truncate+replace semantics)") {
     val dir = Files.createTempDirectory("graft_sum").toString
     val s1 = Seq((1L, 2.0, 3.0)).toDF("product_id", "total_quantity", "total_sale_amount")
