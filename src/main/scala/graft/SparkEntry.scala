@@ -93,6 +93,10 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, dir) =>
       Analytics.rollupRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir))),
+    "q_brand_revenue" -> ((s, dir) =>
+      Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_percentiles" -> ((s, dir) =>
+      Analytics.orderValuePercentiles(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_events_hourly" -> ((s, dir) =>
       EventOps.hourlyStats(Tables.events(s, dir), withApproxUsers = false)),
     "q_events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
@@ -257,6 +261,19 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin.replace("\n", " "),
+    "q_brand_revenue" ->
+      """SELECT p_brand, p_type,
+        | sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        | sum(l_quantity) AS total_qty, count(*) AS num_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, p_type""".stripMargin.replace("\n", " "),
+    "q_percentiles" ->
+      """SELECT c_mktsegment,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | quantile_cont(o_totalprice, 0.99) AS p99
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin.replace("\n", " "),
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         | count(*) AS num_events, sum(value) AS total_value,

@@ -119,6 +119,31 @@ object Analytics {
     has.unionByName(not)
   }
 
+  /** Revenue by part brand/type: fact⋈dim broadcast join + two-key
+    * aggregate, touching the `part` dimension.
+    */
+  def brandRevenue(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        sum("l_quantity").as("total_qty"),
+        count(lit(1)).as("num_lines"))
+
+  /** Exact interpolated percentiles of order value per segment
+    * (Spark `percentile` ≡ ANSI `quantile_cont`). At 100 TB swap for
+    * `percentile_approx` — same plan shape, bounded memory.
+    */
+  def orderValuePercentiles(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"))
+
   /** ROLLUP revenue by (nation, segment) with subtotals at each
     * level; NULL group markers kept as-is (standard ROLLUP output).
     *
