@@ -102,6 +102,17 @@ object SparkEntry {
     "q_events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
     "q_events_pivot" -> ((s, dir) => EventOps.eventTypePivot(Tables.events(s, dir))),
     "q_events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
+    "q_events_retention" -> ((s, dir) =>
+      EventOps.hourlyRetention(Tables.events(s, dir))),
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      AsOf.join(
+        left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        right = ev.filter(col("event_type") === "click"),
+        keys = Seq("user_id"), timeCol = "ts",
+        rightValues = Seq("value"), tieBreak = Some("event_id"))
+    }),
     // §2.E text analysis
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "text_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
@@ -307,6 +318,19 @@ object SparkEntry {
         | avg(value) AS avg_value, max(k) AS max_k
         |FROM (SELECT CAST(props->>'$.k' AS BIGINT) AS k, value FROM events) e
         |WHERE k IS NOT NULL GROUP BY k % 10""".stripMargin.replace("\n", " "),
+    "q_events_retention" ->
+      """WITH uh AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events)
+        |SELECT a.h AS hour, count(*) AS retained_users
+        |FROM uh a JOIN uh b ON a.user_id = b.user_id
+        | AND b.h = a.h + INTERVAL 1 HOUR
+        |GROUP BY a.h""".stripMargin.replace("\n", " "),
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, c.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |      WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin.replace("\n", " "),
     "text_stats" ->
       (toksCte +
         """, s AS (SELECT doc_id,

@@ -70,6 +70,23 @@ object EventOps {
     types.foldLeft(counts)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** Hour-over-hour retention: per hour, how many of its active
+    * users are active again in the following hour. Two-column
+    * distinct + a self-equi-join on (user, hour+1) — both sides
+    * prune to the same shuffle key, no windowing over raw events.
+    */
+  def hourlyRetention(events: DataFrame): DataFrame = {
+    val userHours = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    userHours.as("a")
+      .join(userHours.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.h") === col("a.h") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("a.h").as("hour"))
+      .agg(count(lit(1)).as("retained_users"))
+  }
+
   /** JSON prop extraction + aggregate: parse `props.k` (string JSON)
     * without a UDF — `get_json_object` is codegen'd.
     */
