@@ -23,8 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: codegen + parquet reader + shuffle machinery
+    // warmup: codegen + parquet reader + shuffle machinery + the
+    // interpreted higher-order-function evaluator (lambdas never
+    // whole-stage-compile, so their first use pays classloading)
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    spark.range(1000)
+      .selectExpr("size(filter(split('a b c', ' '), x -> x != 'z')) AS n",
+        "transform(sequence(0, 3), i -> i * 2) AS t")
+      .selectExpr("sum(n)", "max(t[0])").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -16,9 +16,13 @@ import graft.functions.gf
 object TextAnalysis {
 
   /** Whitespace tokens with empties dropped (leading/trailing
-    * separators produce empty strings in every engine). */
+    * separators produce empty strings in every engine).
+    * `array_remove` rather than a `filter` lambda: identical
+    * semantics, but it stays inside whole-stage codegen while
+    * higher-order functions run interpreted.
+    */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    array_remove(split(text, "\\s+"), "")
 
   /** BPE-ish subword proxy: word runs + single non-word-non-space
     * chars. The ASCII `\w` class matches Java and RE2 semantics. */
