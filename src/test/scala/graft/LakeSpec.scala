@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Physical-layout specs: these assert PLAN properties (no exchange,
+  * partition pruning), because at 100 TB the plan is the product.
+  */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def dropTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    // the in-memory catalog forgets managed tables between JVMs but
+    // their warehouse directories survive — clear them explicitly
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), name)
+    if (loc.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(loc).deleteRecursively()
+    }
+  }
+
+  test("same-bucket tables join without a shuffle exchange") {
+    val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "l")
+    val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "r")
+    dropTable("graft_bucketed_left")
+    dropTable("graft_bucketed_right")
+    Lake.writeBucketed(left, "graft_bucketed_left", "id", buckets = 8)
+    Lake.writeBucketed(right, "graft_bucketed_right", "id", buckets = 8)
+    val joined = spark.table("graft_bucketed_left")
+      .join(spark.table("graft_bucketed_right"), "id")
+      // disable broadcast so the bucketing, not the size, removes the shuffle
+      .hint("merge")
+    val plan = executedPlan(joined)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+
+  test("partitioned writes prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_lake").toString
+    val df = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "click" else "view"))
+      .toDF("id", "event_type")
+    Lake.writePartitioned(df, s"$dir/events", Seq("event_type"))
+    val filtered = spark.read.parquet(s"$dir/events")
+      .filter($"event_type" === "click")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"expected partition pruning in:\n$scan")
+    // pruned read touches only the matching partition's files. The
+    // scan metric counts post-pruning files (inputFiles does not);
+    // collect() executes THIS plan (count() would build another one)
+    val all = spark.read.parquet(s"$dir/events")
+    assert(all.collect().length == 100)
+    val totalFiles = all.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    assert(filtered.collect().length == 50)
+    val readFiles = filtered.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    assert(readFiles > 0 && readFiles < totalFiles,
+      s"no pruning: $readFiles of $totalFiles files")
+  }
+
+  test("compact rewrites to the requested file count") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    (1 to 1000).toDF("id").repartition(16).write.parquet(s"$dir/in")
+    assert(spark.read.parquet(s"$dir/in").inputFiles.length == 16)
+    Lake.compact(spark, s"$dir/in", s"$dir/out", numFiles = 2)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.inputFiles.length == 2)
+    assert(out.count() == 1000)
+  }
+}
