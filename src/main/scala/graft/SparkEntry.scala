@@ -144,6 +144,12 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "q_embedding_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    "split_assign" -> ((s, dir) =>
+      DataSplit.assign(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split")),
     // §2.F multimodal
     "mm_blob_stats" -> ((s, dir) => Multimodal.blobStats(Tables.documents(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
@@ -394,6 +400,10 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "q_embedding_centroids" ->
+      """SELECT label, CAST(i AS INT) AS pos, avg(embedding[i + 1]) AS avg_val
+        |FROM embeddings, range(64) t(i)
+        |GROUP BY label, i""".stripMargin.replace("\n", " "),
     "mm_blob_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256, hex(substr(text, 1, 4)) AS magic_hex

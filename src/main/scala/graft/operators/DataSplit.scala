@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for train/validation/test — the
+  * last step of a training-data pipeline.
+  *
+  * The split is a pure function of (id, seed): stable across runs,
+  * partitionings, and cluster sizes, so a document lands in the same
+  * split forever — the property that matters for contamination
+  * control. No sampling state, no shuffle; just a hash projection.
+  */
+object DataSplit {
+
+  /** Assign each row a split label by hashing `idCol` into [0,1) and
+    * cutting at the cumulative weights.
+    *
+    * {{{
+    *   DataSplit.assign(docs, "doc_id",
+    *     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    * }}}
+    */
+  def assign(df: DataFrame, idCol: String,
+             weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    // xxhash64 → [0,1): shift to 53 usable mantissa bits
+    val u = (shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11)
+      .cast("double") / lit((1L << 53).toDouble))
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val label = weights.zip(cuts).foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), fallback) => when(u < cut, name).otherwise(fallback)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Convenience: materialized per-split frames. */
+  def splits(df: DataFrame, idCol: String,
+             weights: Seq[(String, Double)], seed: Long = 42L): Map[String, DataFrame] = {
+    val assigned = assign(df, idCol, weights, seed)
+    weights.map { case (name, _) =>
+      name -> assigned.filter(col("split") === name).drop("split")
+    }.toMap
+  }
+}

@@ -66,6 +66,24 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
   }
 
+  /** Per-label centroid components: mean of each embedding dimension
+    * per label, flat (label, pos, avg_val) shape. posexplode + a
+    * two-key aggregate — one shuffle of (n·dim) scalars, no vector
+    * objects on the heap. `assembleCentroids` folds the flat shape
+    * back into vectors for model use.
+    */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg("col").as("avg_val"))
+
+  def assembleCentroids(flat: DataFrame): DataFrame =
+    flat.groupBy("label")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("avg_val")))),
+        s => s.getField("avg_val")).as("centroid"))
+
   /** Deterministic IVF "training": every `step`-th corpus vector (by
     * id order) is a centroid. Real k-means would drop in here; the
     * index/search structure is identical.
