@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharShingleHashes, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graft.{CharShingleHashes, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, ShingleHashes, SimHash64, TokenShingleHashes}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -28,6 +28,10 @@ object gf {
   /** Hashes of all character n-grams of a string column (rolling
     * hash, O(len)). */
   def charShingleHashes(text: Column, n: Int): Column = c(CharShingleHashes(e(text), n))
+
+  /** Fused canonicalize+tokenize+k-shingle of raw text — one byte
+    * pass, no regexp (dedup fast path). */
+  def tokenShingleHashes(text: Column, k: Int): Column = c(TokenShingleHashes(e(text), k))
 
   /** 64-bit SimHash of an `array<string>` token column. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -169,6 +169,58 @@ object TextHashes {
     new GenericArrayData(out)
   }
 
+  /** Fused canonicalize→tokenize→k-shingle in ONE pass over the
+    * UTF-8 bytes: ASCII-lowercases on the fly, treats whitespace runs
+    * as token boundaries, maintains a ring of the last k token hashes
+    * and emits the combined shingle hash at each token end. No
+    * regexp, no intermediate token array — the fast path for
+    * dedup pipelines (the general ops keep the regexp-based
+    * tokenizer for engine-parity with SQL oracles).
+    */
+  def tokenShingleHashesFused(s: UTF8String, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val ring = new Array[Long](k)
+    val out = new java.util.ArrayList[Any]()
+    var nTokens = 0
+    var h = FnvOffset
+    var inToken = false
+
+    def endToken(): Unit = if (inToken) {
+      ring(nTokens % k) = h
+      nTokens += 1
+      if (nTokens >= k) {
+        // combine the last k token hashes, oldest first
+        var sh = FnvOffset
+        var j = 0
+        while (j < k) {
+          val th = ring((nTokens - k + j) % k)
+          sh ^= (th & 0xffL); sh *= FnvPrime
+          sh ^= ((th >>> 32) & 0xffffffffL); sh *= FnvPrime
+          j += 1
+        }
+        out.add(sh)
+      }
+      h = FnvOffset
+      inToken = false
+    }
+
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == '\r' ||
+        b == '\f' || b == 0x0b
+      if (isWs) endToken()
+      else {
+        val lower = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        h ^= (lower & 0xffL); h *= FnvPrime
+        inToken = true
+      }
+      i += 1
+    }
+    endToken()
+    new GenericArrayData(out.toArray)
+  }
+
   private def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L

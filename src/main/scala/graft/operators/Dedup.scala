@@ -39,12 +39,12 @@ object Dedup {
       .select(md5(col("norm")).as("group_md5"), col("n_copies"),
         col("min_doc_id"), col("max_doc_id"))
 
-  /** doc_id + distinct k-token shingle hash set. */
+  /** doc_id + distinct k-token shingle hash set — fused single-pass
+    * kernel (canonicalize+tokenize+shingle, no regexp). */
   private def shingleSets(docs: DataFrame, k: Int): DataFrame =
     docs.select(
       col("doc_id"),
-      array_distinct(gf.shingleHashes(
-        TextAnalysis.tokens(TextAnalysis.canonical(col("text"))), k)).as("shingles"))
+      array_distinct(gf.tokenShingleHashes(col("text"), k)).as("shingles"))
 
   /** Candidate pairs from LSH banding over a signature array column:
     * rows sharing any band hash meet in one shuffle bucket.

@@ -97,6 +97,29 @@ case class CharShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Fused canonicalize+tokenize+k-shingle of raw text in one byte
+  * pass (see [[graft.functions.TextHashes.tokenShingleHashesFused]]).
+  */
+case class TokenShingleHashes(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"shingle size must be >= 1, got $k")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_shingle_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextHashes.tokenShingleHashesFused(s.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextHashes.tokenShingleHashesFused($s, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {

@@ -76,6 +76,20 @@ class FunctionsSpec extends SparkSpec {
     assert(rep(0) == rep(3))
   }
 
+  test("tokenShingleHashes: fused kernel is canonicalization-invariant") {
+    val out = Seq(
+      "the quick  brown fox",     // double space
+      "  The QUICK brown FOX ",   // case + padding
+      "the quick brown cat",      // one token differs
+      "a b")                      // fewer than k tokens
+      .toDF("s").select(gf.tokenShingleHashes($"s", 3)).as[Seq[Long]].collect()
+    assert(out(0).length == 2) // 4 tokens, k=3 → 2 shingles
+    assert(out(0) == out(1))   // whitespace/case-insensitive
+    assert(out(2).head == out(0).head)  // shared prefix shingle
+    assert(out(2).last != out(0).last)  // differing tail shingle
+    assert(out(3).isEmpty)
+  }
+
   test("simhash64: identical token sets identical, near sets near, far sets far") {
     val base = (1 to 40).map(i => s"tok$i")
     val near = base.updated(3, "CHANGED")
