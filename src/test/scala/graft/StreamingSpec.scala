@@ -68,6 +68,43 @@ class StreamingSpec extends SparkSpec {
     assert(batch((1, "view")) == 1L)
   }
 
+  test("file source → watermarked window agg → parquet sink, end to end") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+
+    // first file: events in hours 0 and 1
+    Seq(
+      Event(1L, ts(0, 10), 1L, "click", 1.0),
+      Event(2L, ts(0, 40), 2L, "click", 2.0),
+      Event(3L, ts(1, 15), 1L, "view", 3.0))
+      .toDS().write.parquet(in)
+
+    val stream = spark.readStream
+      .schema(Seq.empty[Event].toDS().schema)
+      .parquet(in)
+    val q = EventStream.hourlyWindow(stream, watermark = "2 hours")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", chk)
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      // append mode: nothing can be final until the watermark passes
+      // the window end — a later file advances event time past it
+      Seq(Event(99L, ts(10, 0), 9L, "click", 0.0))
+        .toDS().write.mode("append").parquet(in)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val result = spark.read.parquet(out)
+      .select(hour($"window_start"), $"event_type", $"num_events", $"total_value")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(result((0, "click")) == (2L, 3.0))
+    assert(result((1, "view")) == (1L, 3.0))
+  }
+
   test("stateful sessionize (batch mode) splits on gap") {
     val events = Seq(
       Event(1L, ts(0, 0), 1L, "click", 1.0),
