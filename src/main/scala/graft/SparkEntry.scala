@@ -104,6 +104,10 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
     "q_events_retention" -> ((s, dir) =>
       EventOps.hourlyRetention(Tables.events(s, dir))),
+    "q_session_window" -> ((s, dir) =>
+      EventOps.sessionWindows(Tables.events(s, dir))),
+    "q_events_unpivot" -> ((s, dir) =>
+      EventOps.eventTypeUnpivot(Tables.events(s, dir))),
     "q_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       AsOf.join(
@@ -278,6 +282,27 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         | JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin.replace("\n", " "),
+    "q_session_window" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        | max(ts) + INTERVAL 30 MINUTE AS session_end,
+        | count(*) AS num_events, sum(value) AS total_value
+        |FROM numbered GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+    "q_events_unpivot" ->
+      Seq("click", "purchase", "error", "signup", "view").map(t =>
+        s"""SELECT user_id, '$t' AS event_type,
+           | count(*) FILTER (WHERE event_type = '$t') AS n_events
+           |FROM events GROUP BY user_id""".stripMargin.replace("\n", " "))
+        .mkString(" UNION ALL "),
     "q_brand_revenue" ->
       """SELECT p_brand, p_type,
         | sum(l_extendedprice * (1 - l_discount)) AS revenue,

@@ -61,6 +61,34 @@ object EventOps {
         sum("value").as("total_value"))
   }
 
+  /** Session aggregation via Spark's built-in `session_window`
+    * (gap-based, window end = last event + gap). Same shuffle shape
+    * as [[sessionize]] but expressed declaratively — Catalyst plans
+    * the session merge natively, and the identical code runs under
+    * Structured Streaming with a watermark.
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("num_events"), sum("value").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("num_events"), col("total_value"))
+
+  /** Unpivot (melt): the per-type count matrix back to long form —
+    * `Dataset.unpivot` is a zero-shuffle row-local expansion.
+    */
+  def eventTypeUnpivot(events: DataFrame,
+                       types: Seq[String] = Seq("click", "purchase", "error", "signup", "view")): DataFrame =
+    eventTypePivot(events, types)
+      .unpivot(
+        ids = Array(col("user_id")),
+        values = types.map(col).toArray,
+        variableColumnName = "event_type",
+        valueColumnName = "n_events")
+
   /** Per-user event-type counts — a pivot with the value set pinned
     * up front (no extra distinct pass over 100 TB to discover it).
     */

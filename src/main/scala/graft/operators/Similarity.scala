@@ -101,14 +101,48 @@ object Similarity {
       .map(_.getSeq[Float](0).toArray)
   }
 
+  /** Lloyd's k-means over the embedding column — deterministic init
+    * from [[pickCentroids]], then `iters` rounds of assign
+    * (native `nearestCentroids` expression, one scan) + recompute
+    * (posexplode mean, one shuffle of (n·dim) scalars). Only the
+    * centroid matrix (nlist × dim floats) ever reaches the driver —
+    * the same thing that gets broadcast for search.
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3): Array[Array[Float]] = {
+    var cents = pickCentroids(corpus, nlist)
+    for (_ <- 0 until iters) {
+      val byCell = corpus
+        .select(gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"),
+          posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(avg("col").as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.indices.map { c =>
+        byCell.get(c)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+          .getOrElse(cents(c)) // empty cell keeps its centroid
+      }.toArray
+    }
+    cents
+  }
+
+  /** IVF search with k-means-trained centroids. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
+    ivfSearch(corpus, queries, k, trainCentroids(corpus, nlist, iters), nprobe)
+
   /** IVF search: corpus vectors live in their nearest-centroid cell
     * (nprobe=1 assignment); queries probe `nprobe` cells. One
     * equi-join on cell id — the 100 TB plan is a co-partitioned join
     * on a key with `nlist` distinct values.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = pickCentroids(corpus, nlist)
+              nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfSearch(corpus, queries, k, pickCentroids(corpus, nlist), nprobe)
+
+  private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+                        centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("n_emb"),
       gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))

@@ -69,4 +69,17 @@ class SimilaritySpec extends SparkSpec {
     // probing every cell == exact search
     assert(ivf8 == exact)
   }
+
+  test("k-means training does not hurt IVF recall") {
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0)
+        .sum / exact.size
+    val naive = recall(topkSets(
+      Similarity.ivfTopK(emb, queries, k = 10, nlist = 8, nprobe = 4)))
+    val trained = recall(topkSets(
+      Similarity.ivfTopKTrained(emb, queries, k = 10, nlist = 8, nprobe = 4, iters = 3)))
+    assert(trained >= naive - 0.05, s"trained $trained vs naive $naive")
+    assert(trained >= 0.5, s"trained recall $trained too low")
+  }
 }
