@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted physical plans for the flagship queries
+  * (docs/PLANS.md is generated from this output).
+  */
+object ExplainMain {
+  def main(a: Array[String]): Unit = {
+    val spark = GraftSession.local(4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val names = if (a.nonEmpty) a.toSeq else Seq(
+      "etl_sales_summary", "q5_regional_revenue", "q_customer_enrich",
+      "q_asof_join", "dedup_minhash_lsh", "ann_bruteforce_topk")
+    for (name <- names) {
+      println(s"\n## $name\n")
+      println("```")
+      println(SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      println("```")
+    }
+    spark.stop()
+  }
+}

@@ -162,6 +162,8 @@ object SparkEntry {
       graft.streaming.EventStream.hourlyWindow(Tables.events(s, dir))),
     "stream_dedup" -> ((s, dir) =>
       graft.streaming.EventStream.dedupEvents(Tables.events(s, dir))),
+    "stream_join" -> ((s, dir) =>
+      graft.streaming.EventStream.purchaseClickJoin(Tables.events(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -450,5 +452,12 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value FROM events
         |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1"""
         .stripMargin.replace("\n", " "),
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+        | p.value AS purchase_value, c.event_id AS click_id, c.ts AS click_ts
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id AND c.ts <= p.ts
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin.replace("\n", " "),
   )
 }

@@ -43,6 +43,30 @@ object EventStream {
       .dropDuplicates("event_id")
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** Stream-stream inner join: purchases enriched with the clicks
+    * that preceded them within `windowMinutes` per user. Both sides
+    * watermarked so the state store evicts — the interval condition
+    * bounds how long a click stays buffered. Works identically in
+    * batch (the watermarks no-op).
+    */
+  def purchaseClickJoin(events: DataFrame, windowMinutes: Int = 30,
+                        watermark: String = "1 hour"): DataFrame = {
+    val purchases = withWatermarkIfStreaming(
+      events.filter(col("event_type") === "purchase"), watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val clicks = withWatermarkIfStreaming(
+      events.filter(col("event_type") === "click"), watermark)
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+    purchases.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select("purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "click_id", "click_ts")
+  }
+
   case class Event(event_id: Long, ts: LocalDateTime, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: LocalDateTime, last: LocalDateTime,

@@ -135,6 +135,20 @@ class RetailEtlSpec extends SparkSpec {
       103L -> (3.0, 30.0)))  // inserted
   }
 
+  test("JDBC option map is partition-parallel and credential-aware") {
+    import graft.sources.SalesJdbc
+    val opts = SalesJdbc.options(SalesJdbc.Config(
+      url = "jdbc:postgresql://db:5432/sales",
+      user = Some("u"), password = Some("p"), numPartitions = 16))
+    assert(opts("dbtable") == "online_sales")
+    assert(opts("partitionColumn") == "sale_id")
+    assert(opts("numPartitions") == "16")
+    assert(opts("fetchsize") == "10000")
+    assert(opts("user") == "u" && opts("password") == "p")
+    val anon = SalesJdbc.options(SalesJdbc.Config(url = "jdbc:h2:mem:x"))
+    assert(!anon.contains("user") && !anon.contains("password"))
+  }
+
   test("writeSummary overwrite is idempotent (truncate+replace semantics)") {
     val dir = Files.createTempDirectory("graft_sum").toString
     val s1 = Seq((1L, 2.0, 3.0)).toDF("product_id", "total_quantity", "total_sale_amount")

@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
     assert(result((1, "view")) == (1L, 3.0))
   }
 
+  test("stream-stream join pairs purchases with recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.purchaseClickJoin(mem.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1L, ts(1, 0), 1L, "click", 0.0),
+        Event(2L, ts(1, 10), 1L, "purchase", 9.0), // 10 min after click → joins
+        Event(3L, ts(5, 0), 2L, "click", 0.0),
+        Event(4L, ts(7, 0), 2L, "purchase", 5.0))  // 2h after click → no join
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((2L, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionize (batch mode) splits on gap") {
     val events = Seq(
       Event(1L, ts(0, 0), 1L, "click", 1.0),
