@@ -137,16 +137,22 @@ class RetailEtlSpec extends SparkSpec {
 
   test("JDBC option map is partition-parallel and credential-aware") {
     import graft.sources.SalesJdbc
-    val opts = SalesJdbc.options(SalesJdbc.Config(
+    val cfg = SalesJdbc.Config(
       url = "jdbc:postgresql://db:5432/sales",
-      user = Some("u"), password = Some("p"), numPartitions = 16))
+      user = Some("u"), password = Some("secret"),
+      bounds = Some((0L, 5000000L)), numPartitions = 16)
+    val opts = SalesJdbc.options(cfg)
     assert(opts("dbtable") == "online_sales")
     assert(opts("partitionColumn") == "sale_id")
+    assert(opts("lowerBound") == "0" && opts("upperBound") == "5000000")
     assert(opts("numPartitions") == "16")
     assert(opts("fetchsize") == "10000")
-    assert(opts("user") == "u" && opts("password") == "p")
-    val anon = SalesJdbc.options(SalesJdbc.Config(url = "jdbc:h2:mem:x"))
-    assert(!anon.contains("user") && !anon.contains("password"))
+    assert(opts("user") == "u" && opts("password") == "secret")
+    // credentials must never surface via toString (logs, exceptions)
+    assert(!cfg.toString.contains("secret"))
+    // no bounds -> no partitioning keys (Spark rejects partial config)
+    val unbounded = SalesJdbc.options(SalesJdbc.Config(url = "jdbc:h2:mem:x"))
+    assert(!unbounded.contains("partitionColumn") && !unbounded.contains("user"))
   }
 
   test("writeSummary overwrite is idempotent (truncate+replace semantics)") {
