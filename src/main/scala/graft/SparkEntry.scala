@@ -124,6 +124,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .select("doc_id", "fingerprint_md5")),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir))),
+    "text_source_stats" -> ((s, dir) =>
+      TextAnalysis.sourceStats(Tables.documents(s, dir))),
+    "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
     // §2.C dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_exact_report" -> ((s, dir) => Dedup.exactReport(Tables.documents(s, dir))),
@@ -408,6 +413,48 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_md5
         |FROM documents""".stripMargin.replace("\n", " "),
+    "text_repetition" ->
+      (toksCte +
+        """, b AS (SELECT doc_id,
+          | CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+          |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          | END AS bigrams FROM t)
+          |SELECT doc_id, CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+          | CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+          | CASE WHEN len(bigrams) > 0
+          |  THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
+          |  ELSE 0.0 END AS dup_bigram_fraction
+          |FROM b""".stripMargin.replace("\n", " ")),
+    "text_source_stats" ->
+      """WITH t2 AS (SELECT source, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |s AS (SELECT source,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_count,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS stopword_count
+        | FROM t2)
+        |SELECT source, count(*) AS n_docs, avg(n_chars) AS avg_chars,
+        | avg(n_tokens) AS avg_tokens,
+        | avg(stopword_count / greatest(n_tokens, 1)) AS avg_stopword_ratio,
+        | avg(least(1.0, n_tokens / 128.0)
+        |  * (1.0 - least(1.0, (punct_count / greatest(n_chars, 1)) * 4.0))
+        |  * (0.3 + 0.7 * least(1.0, (stopword_count / greatest(n_tokens, 1)) * 5.0)))
+        |  AS avg_quality
+        |FROM s GROUP BY source""".stripMargin.replace("\n", " "),
+    "q_events_funnel" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e
+        |  JOIN s ON e.user_id = s.user_id AND e.ts > s.signup_ts
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.click_ts
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s) AS n_signup,
+        | (SELECT count(*) FROM c) AS n_click_after,
+        | (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin.replace("\n", " "),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT doc_id,

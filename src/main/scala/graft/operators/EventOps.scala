@@ -98,6 +98,27 @@ object EventOps {
     types.foldLeft(counts)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** Conversion funnel signup → click → purchase: users who
+    * completed each stage in order (each stage strictly after the
+    * previous one's first completion). Three aggregates over the
+    * same scan, joined on user — no window over raw events.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val click = events.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("click_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column
     * distinct + a self-equi-join on (user, hour+1) — both sides

@@ -102,6 +102,39 @@ object TextAnalysis {
       when(greatest(hitCols: _*) === 0, lit("und")).otherwise(best))
   }
 
+  /** Repetition metrics (Gopher-style): fraction of duplicate
+    * token bigrams per document — high values flag boilerplate /
+    * degenerate text. Pure per-row array arithmetic.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        // sequence(0, n) DESCENDS when n < 0, so guard short docs
+        expr("CASE WHEN size(toks) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1])) END").as("bigrams"))
+      .select(
+        col("doc_id"),
+        size(col("bigrams")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bigrams"))).cast("long").as("n_distinct_bigrams"))
+      .withColumn("dup_bigram_fraction",
+        when(col("n_bigrams") > 0,
+          lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"))
+          .otherwise(lit(0.0)))
+
+  /** Per-source quality rollup: corpus-health dashboard numbers
+    * (mean quality/length/stopword-density by provenance).
+    */
+  def sourceStats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame =
+    stats(docs.select(col("source").as("doc_id"), col("text")), stopwords)
+      .groupBy(col("doc_id").as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg("n_chars").as("avg_chars"),
+        avg("n_tokens").as("avg_tokens"),
+        avg("stopword_ratio").as("avg_stopword_ratio"),
+        avg("quality_score").as("avg_quality"))
+
   /** Canonical form used for fingerprinting/exact dedup: lowercase,
     * collapsed whitespace, trimmed. */
   def canonical(text: Column): Column =
