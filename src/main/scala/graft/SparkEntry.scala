@@ -93,6 +93,12 @@ object SparkEntry {
     "q_rollup_revenue" -> ((s, dir) =>
       Analytics.rollupRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir))),
+    "q_cube_revenue" -> ((s, dir) =>
+      Analytics.cubeRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))),
+    "q_order_gaps" -> ((s, dir) => Analytics.orderGaps(Tables.orders(s, dir))),
+    "q_set_ops" -> ((s, dir) =>
+      Analytics.segmentSpenderSets(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_brand_revenue" -> ((s, dir) =>
       Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_percentiles" -> ((s, dir) =>
@@ -310,6 +316,29 @@ object SparkEntry {
            | count(*) FILTER (WHERE event_type = '$t') AS n_events
            |FROM events GROUP BY user_id""".stripMargin.replace("\n", " "))
         .mkString(" UNION ALL "),
+    "q_cube_revenue" ->
+      """SELECT n_name, c_mktsegment,
+        | sum(o_totalprice) AS revenue, count(*) AS num_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin.replace("\n", " "),
+    "q_order_gaps" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | date_diff('day',
+        |  lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey),
+        |  CAST(o_orderdate AS DATE)) AS days_since_prev
+        |FROM orders""".stripMargin.replace("\n", " "),
+    "q_set_ops" ->
+      """WITH big AS (SELECT o_custkey AS c_custkey FROM orders
+        |  GROUP BY o_custkey HAVING sum(o_totalprice) > 2500000.0),
+        |seg AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_custkey, 'segment_and_big' AS tag
+        | FROM (SELECT c_custkey FROM seg INTERSECT SELECT c_custkey FROM big) i
+        |UNION ALL
+        |SELECT c_custkey, 'segment_only' AS tag
+        | FROM (SELECT c_custkey FROM seg EXCEPT SELECT c_custkey FROM big) e"""
+        .stripMargin.replace("\n", " "),
     "q_brand_revenue" ->
       """SELECT p_brand, p_type,
         | sum(l_extendedprice * (1 - l_discount)) AS revenue,

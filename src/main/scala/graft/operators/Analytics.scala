@@ -144,6 +144,39 @@ object Analytics {
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         expr("percentile(o_totalprice, 0.99)").as("p99"))
 
+  /** Days since each customer's previous order — lag window +
+    * day-difference, the order-cadence feature. */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      // long: DuckDB/ANSI date_diff is BIGINT, Spark datediff is int
+      datediff(col("o_orderdate").cast("date"),
+        lag(col("o_orderdate").cast("date"), 1).over(w)).cast("long")
+        .as("days_since_prev"))
+  }
+
+  /** Set operators: customers who are both big spenders AND in the
+    * segment (INTERSECT) vs in the segment but not big spenders
+    * (EXCEPT), unioned with a tag. Set semantics — both engines
+    * deduplicate.
+    */
+  def segmentSpenderSets(orders: DataFrame, customer: DataFrame,
+                         segment: String = "BUILDING",
+                         minSpend: Double = 2500000.0): DataFrame = {
+    val bigSpenders = orders.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("spend"))
+      .filter(col("spend") > minSpend)
+      .select(col("o_custkey").as("c_custkey"))
+    val inSegment = customer.filter(col("c_mktsegment") === segment)
+      .select("c_custkey")
+    inSegment.intersect(bigSpenders)
+      .withColumn("tag", lit("segment_and_big"))
+      .unionByName(
+        inSegment.except(bigSpenders).withColumn("tag", lit("segment_only")))
+  }
+
   /** ROLLUP revenue by (nation, segment) with subtotals at each
     * level; NULL group markers kept as-is (standard ROLLUP output).
     *
@@ -166,5 +199,21 @@ object Analytics {
         |JOIN graft_ro_customer ON o_custkey = c_custkey
         |JOIN graft_ro_nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin)
+  }
+
+  /** CUBE variant of [[rollupRevenue]] — every grouping-set
+    * combination including the segment-only slice ROLLUP lacks. */
+  def cubeRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_cu_orders")
+    customer.createOrReplaceTempView("graft_cu_customer")
+    nation.createOrReplaceTempView("graft_cu_nation")
+    spark.sql(
+      """SELECT n_name, c_mktsegment,
+        |       sum(o_totalprice) AS revenue, count(*) AS num_orders
+        |FROM graft_cu_orders
+        |JOIN graft_cu_customer ON o_custkey = c_custkey
+        |JOIN graft_cu_nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin)
   }
 }
