@@ -187,33 +187,26 @@ object Analytics {
     * dataset-id metadata and plans the identical single-pass
     * Expand + partial aggregate.
     */
-  def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
-    val spark = orders.sparkSession
-    orders.createOrReplaceTempView("graft_ro_orders")
-    customer.createOrReplaceTempView("graft_ro_customer")
-    nation.createOrReplaceTempView("graft_ro_nation")
-    spark.sql(
-      """SELECT n_name, c_mktsegment,
-        |       sum(o_totalprice) AS revenue, count(*) AS num_orders
-        |FROM graft_ro_orders
-        |JOIN graft_ro_customer ON o_custkey = c_custkey
-        |JOIN graft_ro_nation ON c_nationkey = n_nationkey
-        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin)
-  }
+  def rollupRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    groupingSetRevenue(orders, customer, nation, "ROLLUP")
 
   /** CUBE variant of [[rollupRevenue]] — every grouping-set
     * combination including the segment-only slice ROLLUP lacks. */
-  def cubeRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame = {
+  def cubeRevenue(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    groupingSetRevenue(orders, customer, nation, "CUBE")
+
+  private def groupingSetRevenue(orders: DataFrame, customer: DataFrame,
+                                 nation: DataFrame, op: String): DataFrame = {
     val spark = orders.sparkSession
-    orders.createOrReplaceTempView("graft_cu_orders")
-    customer.createOrReplaceTempView("graft_cu_customer")
-    nation.createOrReplaceTempView("graft_cu_nation")
+    orders.createOrReplaceTempView("graft_gs_orders")
+    customer.createOrReplaceTempView("graft_gs_customer")
+    nation.createOrReplaceTempView("graft_gs_nation")
     spark.sql(
-      """SELECT n_name, c_mktsegment,
-        |       sum(o_totalprice) AS revenue, count(*) AS num_orders
-        |FROM graft_cu_orders
-        |JOIN graft_cu_customer ON o_custkey = c_custkey
-        |JOIN graft_cu_nation ON c_nationkey = n_nationkey
-        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin)
+      s"""SELECT n_name, c_mktsegment,
+         |       sum(o_totalprice) AS revenue, count(*) AS num_orders
+         |FROM graft_gs_orders
+         |JOIN graft_gs_customer ON o_custkey = c_custkey
+         |JOIN graft_gs_nation ON c_nationkey = n_nationkey
+         |GROUP BY $op (n_name, c_mktsegment)""".stripMargin)
   }
 }

@@ -46,6 +46,33 @@ object Dedup {
       col("doc_id"),
       array_distinct(gf.tokenShingleHashes(col("text"), k)).as("shingles"))
 
+  /** Candidate pairs from any bucketed relation: rows sharing a
+    * bucket key meet in one shuffle group; buckets are capped
+    * (deterministic subset, documented loss) so a degenerate bucket
+    * can't explode quadratically.
+    */
+  private def candidatePairs(bucketed: DataFrame, bucketCols: Seq[String],
+                             idCol: String, maxBucket: Int): DataFrame =
+    bucketed
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+
+  /** Attach a per-id payload column to both sides of a pair list
+    * (as `<payload>_a` / `<payload>_b`). */
+  private def joinPairPayload(pairs: DataFrame, payload: DataFrame,
+                              idCol: String, payloadCol: String): DataFrame =
+    pairs
+      .join(payload.select(col(idCol).as("id_a"),
+        col(payloadCol).as(s"${payloadCol}_a")), "id_a")
+      .join(payload.select(col(idCol).as("id_b"),
+        col(payloadCol).as(s"${payloadCol}_b")), "id_b")
+
   /** Candidate pairs from LSH banding over a signature array column:
     * rows sharing any band hash meet in one shuffle bucket.
     */
@@ -58,17 +85,7 @@ object Dedup {
         b => hash(b, slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val buckets = banded
-      .groupBy("band", "band_hash")
-      .agg(collect_set(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // cap degenerate buckets: deterministic subset, documented loss
-      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
-    buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
+    candidatePairs(banded, Seq("band", "band_hash"), idCol, maxBucket)
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification:
@@ -85,15 +102,18 @@ object Dedup {
     val sigs = sets.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     val pairs = bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
-    pairs
-      .join(sets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+    verifiedJaccard(pairs, sets, tau)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against shingle
+    * sets. */
+  private def verifiedJaccard(pairs: DataFrame, sets: DataFrame, tau: Double): DataFrame =
+    joinPairPayload(pairs, sets, "doc_id", "shingles")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
+        size(array_intersect(col("shingles_a"), col("shingles_b"))) /
+          greatest(size(array_union(col("shingles_a"), col("shingles_b"))), lit(1)))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
-  }
 
   /** Per-document near-dup summary from a pair list: always one row
     * per document (robust output shape regardless of how many dupes
@@ -147,19 +167,8 @@ object Dedup {
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $bits) & ${mask}L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
-    val buckets = banded
-      .groupBy("band", "band_bits")
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
-    val pairs = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+    val pairs = candidatePairs(banded, Seq("band", "band_bits"), "doc_id", maxBucket)
+    joinPairPayload(pairs, sigs, "doc_id", "sig")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -185,14 +194,7 @@ object Dedup {
         TextAnalysis.canonical(col("text")), n)).as("shingles"))
     val sigs = grams.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
-    bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
-      .join(grams.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(grams.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))) /
-          greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)))
-      .filter(col("jaccard") >= tau)
-      .select("id_a", "id_b", "jaccard")
+    verifiedJaccard(bandedPairs(sigs, "doc_id", "sig", bands, maxBucket), grams, tau)
   }
 
   /** Character-level near-dup summary. Defaults are tuned for true
@@ -218,20 +220,9 @@ object Dedup {
       vecs.select(col("vec_id"), lit(t).as("table"),
         gf.hyperplaneSig(col("embedding"), planes).as("sig"))
     }.reduce(_ unionByName _)
-    val buckets = bucketed
-      .groupBy("table", "sig")
-      .agg(collect_set(col("vec_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(slice(sort_array(col("ids")), 1, maxBucket).as("ids"))
-    val pairs = buckets
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .distinct()
-    pairs
-      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("v_a")), "id_a")
-      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("v_b")), "id_b")
-      .withColumn("cosine", gf.cosineSim(col("v_a"), col("v_b")))
+    val pairs = candidatePairs(bucketed, Seq("table", "sig"), "vec_id", maxBucket)
+    joinPairPayload(pairs, vecs, "vec_id", "embedding")
+      .withColumn("cosine", gf.cosineSim(col("embedding_a"), col("embedding_b")))
       .filter(col("cosine") >= tau)
       .select("id_a", "id_b", "cosine")
   }

@@ -20,19 +20,24 @@ import graft.functions.gf
   */
 object Similarity {
 
+  /** Deterministic per-query top-k: rank by cosine desc, ties broken
+    * by neighbor id. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
   /** Exact top-k cosine neighbors of each query vector (self-matches
     * excluded; ties broken by neighbor id for determinism).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
     val q = broadcast(queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb")))
-    val scored = corpus.crossJoin(q)
+    topKPerQuery(corpus.crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        gf.cosineSim(col("q_emb"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+        gf.cosineSim(col("q_emb"), col("embedding")).as("cosine")), k)
   }
 
   /** Multi-table hyperplane-LSH ANN: candidates = corpus vectors
@@ -59,11 +64,8 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("emb_query_id"), col("emb_neighbor_id"))
       .distinct()
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      gf.cosineSim(col("emb_query_id"), col("emb_neighbor_id")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    topKPerQuery(cands.select(col("query_id"), col("neighbor_id"),
+      gf.cosineSim(col("emb_query_id"), col("emb_neighbor_id")).as("cosine")), k)
   }
 
   /** Per-label centroid components: mean of each embedding dimension
@@ -149,12 +151,9 @@ object Similarity {
     val probed = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       explode(gf.nearestCentroids(col("embedding"), centroids, nprobe)).as("cell"))
-    val scored = probed.join(assigned, Seq("cell"))
+    topKPerQuery(probed.join(assigned, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine")), k)
   }
 }

@@ -56,14 +56,15 @@ object TextAnalysis {
     * (length / punctuation / stopword-density heuristics — the
     * C4/Gopher-style cheap filters).
     */
-  def stats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame = {
+  def stats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords,
+            idCol: String = "doc_id"): DataFrame = {
     // tokenize once into its own projection: `toks` is non-cheap and
     // referenced by three stats, so CollapseProject keeps it
     // materialized instead of re-running split() per derived column
     val toks = col("toks")
-    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+    docs.select(col(idCol), col("text"), tokens(col("text")).as("toks"))
       .select(
-        col("doc_id"),
+        col(idCol),
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "\\p{Punct}", "")))
@@ -126,8 +127,8 @@ object TextAnalysis {
     * (mean quality/length/stopword-density by provenance).
     */
   def sourceStats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords): DataFrame =
-    stats(docs.select(col("source").as("doc_id"), col("text")), stopwords)
-      .groupBy(col("doc_id").as("source"))
+    stats(docs, stopwords, idCol = "source")
+      .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         avg("n_chars").as("avg_chars"),
