@@ -168,6 +168,8 @@ object SparkEntry {
     // §2.F multimodal
     "mm_blob_stats" -> ((s, dir) => Multimodal.blobStats(Tables.documents(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
+    "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
     // §2.G streaming (batch twins of the streaming transforms)
     "stream_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStream.hourlyWindow(Tables.events(s, dir))),
@@ -519,6 +521,19 @@ object SparkEntry {
         |FROM documents, LATERAL (SELECT unnest(generate_series(0,
         |  greatest((length(text) - 1) // 128, 0))) AS i) g""".stripMargin
         .replace("\n", " "),
+    "mm_chunk_dedup" ->
+      """SELECT frame_md5, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS n_occurrences, min(doc_id) AS first_doc_id
+        |FROM (SELECT doc_id, md5(substr(text, i * 128 + 1, 64)) AS frame_md5
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |   greatest((length(text) - 1) // 128, 0))) AS i) g) f
+        |GROUP BY frame_md5 HAVING count(DISTINCT doc_id) > 1""".stripMargin
+        .replace("\n", " "),
+    "q_priority_mix" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+        | count(*) AS num_orders, sum(o_totalprice) AS revenue
+        |FROM orders GROUP BY date_trunc('month', o_orderdate), o_orderpriority"""
+        .stripMargin.replace("\n", " "),
     "stream_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS num_events, sum(value) AS total_value

@@ -144,6 +144,14 @@ object Analytics {
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         expr("percentile(o_totalprice, 0.99)").as("p99"))
 
+  /** Order-priority mix per month — covers the priority dimension
+    * with a two-key count/sum aggregate. */
+  def priorityMix(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("num_orders"), sum("o_totalprice").as("revenue"))
+
   /** Days since each customer's previous order — lag window +
     * day-difference, the order-cadence feature. */
   def orderGaps(orders: DataFrame): DataFrame = {

@@ -57,6 +57,20 @@ object Multimodal {
         md5(expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)"))
           .as("frame_md5"))
 
+  /** Chunk-level dedup across payloads: frames whose bytes appear in
+    * more than one document — the binary analogue of boilerplate
+    * detection (shared headers, repeated segments). GroupBy on the
+    * frame hash, never on the bytes themselves.
+    */
+  def chunkDedup(docs: DataFrame, frameSize: Int = 64, stride: Int = 128): DataFrame =
+    frameSample(docs, frameSize, stride)
+      .groupBy("frame_md5")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min("doc_id").as("first_doc_id"))
+      .filter(col("n_docs") > 1)
+
   case class Frame(doc_id: Long, frame_idx: Long, bytes: Array[Byte])
   case class DecodedFrame(doc_id: Long, frame_idx: Long,
                           width: Int, height: Int, mean_luma: Double)
