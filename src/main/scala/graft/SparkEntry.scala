@@ -135,6 +135,9 @@ object SparkEntry {
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
+    "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    "text_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     // §2.C dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_exact_report" -> ((s, dir) => Dedup.exactReport(Tables.documents(s, dir))),
@@ -444,6 +447,26 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_md5
         |FROM documents""".stripMargin.replace("\n", " "),
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS scrubbed_md5
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "text_quality_filter" ->
+      (toksCte +
+        """ SELECT * FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          | least(1.0, len(toks) / 128.0)
+          |  * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+          |  * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+          |  AS quality_score
+          |FROM t) q
+          |WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2"""
+          .stripMargin.replace("\n", " ")),
     "text_repetition" ->
       (toksCte +
         """, b AS (SELECT doc_id,

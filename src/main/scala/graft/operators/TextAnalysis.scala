@@ -136,6 +136,45 @@ object TextAnalysis {
         avg("stopword_ratio").as("avg_stopword_ratio"),
         avg("quality_score").as("avg_quality"))
 
+  /** PII patterns — ASCII-only so Java and RE2 agree byte-for-byte. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII scan + redaction: counts per category and the md5 of the
+    * scrubbed text (emails → `<EMAIL>`, then URLs → `<URL>`, then
+    * phone-like runs → `<PHONE>`; order matters for overlaps and is
+    * part of the contract). Pure regexp projections — codegen'd,
+    * no shuffle.
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      PhoneRe, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).cast("long")
+        .as("n_urls"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long")
+        .as("n_phones"),
+      md5(scrubbed).as("scrubbed_md5"))
+  }
+
+  /** C4-style hard filter: keep documents inside the token-count
+    * band with at least the minimum quality score. The filter
+    * composes with the scan — pushdown-friendly, no extra pass.
+    */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 20L,
+                    maxTokens: Long = 100000L, minQuality: Double = 0.2): DataFrame =
+    stats(docs)
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality)
+      .select("doc_id", "n_tokens", "quality_score")
+
   /** Canonical form used for fingerprinting/exact dedup: lowercase,
     * collapsed whitespace, trimmed. */
   def canonical(text: Column): Column =

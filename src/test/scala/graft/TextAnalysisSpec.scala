@@ -50,6 +50,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "de", 3L -> "und"))
   }
 
+  test("piiScrub counts and redacts emails, urls, phone numbers") {
+    val docs = Seq(
+      (0L, "contact alice@example.com or visit https://example.com/x now"),
+      (1L, "call +1 (555) 123-4567 today"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) == (1L, 1L, 0L))
+    assert(out(1L) == (0L, 0L, 1L))
+    assert(out(2L) == (0L, 0L, 0L))
+    // clean doc's scrubbed text is unchanged → md5 equals original md5
+    val clean = TextAnalysis.piiScrub(docs).filter($"doc_id" === 2L)
+      .select("scrubbed_md5").head().getString(0)
+    val orig = docs.filter($"doc_id" === 2L)
+      .select(org.apache.spark.sql.functions.md5($"text")).head().getString(0)
+    assert(clean == orig)
+  }
+
+  test("qualityFilter applies token band and quality threshold") {
+    val good = (1 to 60).map(_ => "the cat and dog").mkString(" ") // long, stopword-rich
+    val docs = Seq((0L, good), (1L, "too short"), (2L, "")).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L))
+  }
+
   test("fingerprints are canonicalization-invariant") {
     val docs = Seq(
       (0L, "Hello   World"),
