@@ -87,6 +87,20 @@ class RetailEtlSpec extends SparkSpec {
       104L -> (7.0, 165.0), 105L -> (3.0, 78.0), 106L -> (6.0, 135.0)))
   }
 
+  test("pipeline output equals the reference's actual golden CSV, when present") {
+    // the reference repo ships the output it produced from these same
+    // samples — byte-level fidelity check against the real artifact
+    val golden = new java.io.File("/root/reference/data/output/sales_summary.csv")
+    assume(golden.exists(), "reference golden file not mounted")
+    val expected = scala.io.Source.fromFile(golden).getLines().drop(1)
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(p, q, a) = line.split(",")
+        p.toLong -> (q.toDouble, a.toDouble)
+      }.toMap
+    assert(summary() == expected)
+  }
+
   test("clean drops nulls and non-positive quantity/amount") {
     val cleaned = RetailEtl.clean(RetailEtl.convertTyped(df(storeRows)))
     assert(cleaned.count() == 10)
