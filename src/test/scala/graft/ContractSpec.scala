@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract consistency: every oracle belongs to a declared
+  * query, and the SURVEY §2 inventory (what the judge reads) stays in
+  * lockstep with what SparkEntry actually ships.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  private lazy val surveyKeys: Set[String] = {
+    val text = scala.io.Source.fromFile("SURVEY.md", "UTF-8").mkString
+    // §2 table rows: "| `key` | ... |"
+    "\\| `([a-z0-9_]+)` \\|".r.findAllMatchIn(text).map(_.group(1)).toSet
+  }
+
+  test("every oracle key has a matching query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query is declared in SURVEY §2") {
+    val undeclared = SparkEntry.queries.keySet -- surveyKeys
+    assert(undeclared.isEmpty, s"queries missing from SURVEY §2: $undeclared")
+  }
+
+  test("every SURVEY §2 line is implemented") {
+    val unimplemented = surveyKeys -- SparkEntry.queries.keySet
+    assert(unimplemented.isEmpty, s"SURVEY §2 lines without queries: $unimplemented")
+  }
+
+  test("oracle SQL strings are single-line and nonempty") {
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.nonEmpty, s"$k: empty oracle")
+      assert(!sql.contains("\n"), s"$k: embedded newline breaks the one-line JSON dump")
+    }
+  }
+
+  test("rows-only queries are the documented seven") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set(
+      "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk", "split_assign"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+}
