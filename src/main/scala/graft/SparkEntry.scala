@@ -149,6 +149,10 @@ object SparkEntry {
       Dedup.ngramJaccardSummary(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingSummary(Tables.embeddings(s, dir), tau = 0.9)),
+    "dedup_groups" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupGroups(docs, Dedup.minhashPairs(docs, tau = 0.4))
+    }),
     // §2.D similarity search
     "ann_bruteforce_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)

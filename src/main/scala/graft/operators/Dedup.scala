@@ -145,6 +145,34 @@ object Dedup {
         coalesce(!col("dominated"), lit(true)).as("keep"))
   }
 
+  /** Transitive closure of a near-dup pair list: connected
+    * components by iterative min-label propagation. Each iteration
+    * is one join + one aggregate over the (small) pair list; labels
+    * converge in ≤ component-diameter iterations, so `maxIter` ≈ 10
+    * covers any realistic near-dup cluster. Output: (doc_id,
+    * group_id) where group_id is the smallest member id — `keep`
+    * means doc_id == group_id (one survivor per duplicate class,
+    * including transitive duplicates that never paired directly).
+    */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+    for (_ <- 0 until maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("n_label")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("n_label").as("neighbor_label"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("neighbor_label"), col("group_id")))
+            .as("group_id"))
+      // truncate lineage: each iteration otherwise doubles the plan
+      labels = labels.localCheckpoint(true)
+    }
+    labels.withColumn("keep", col("doc_id") === col("group_id"))
+  }
+
   /** MinHash+LSH dedup, per-document summary form. */
   def minhashSummary(docs: DataFrame, shingleSize: Int = 3, numPerms: Int = 64,
                      bands: Int = 16, tau: Double = 0.5, seed: Long = 42L): DataFrame =

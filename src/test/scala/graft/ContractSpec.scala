@@ -36,11 +36,12 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented seven") {
+  test("rows-only queries are the documented eight") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-      "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk", "split_assign"),
+      "dedup_embedding", "dedup_groups", "ann_lsh_topk", "ann_ivf_topk",
+      "split_assign"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -71,6 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("dedupGroups closes transitive chains into components") {
+    val ids = (0L to 5L).map(Tuple1(_)).toDF("doc_id")
+    // chain 0-1, 1-2 (never 0-2 directly) + isolated pair 3-4 + singleton 5
+    val pairs = Seq((0L, 1L, 0.9), (1L, 2L, 0.9), (3L, 4L, 0.8))
+      .toDF("id_a", "id_b", "jaccard")
+    val out = Dedup.dedupGroups(ids, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == (0L, true))
+    assert(out(1L) == (0L, false))
+    assert(out(2L) == (0L, false), "transitive member must join the component")
+    assert(out(3L) == (3L, true))
+    assert(out(4L) == (3L, false))
+    assert(out(5L) == (5L, true))
+  }
+
   test("embedding near-dup finds high-cosine pairs via LSH") {
     val vecs = Seq(
       (0L, Seq.tabulate(64)(i => math.sin(i + 1).toFloat)),

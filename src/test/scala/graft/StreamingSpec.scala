@@ -125,6 +125,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert sink merges micro-batches by key") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val mem = MemoryStream[(Long, Double, Double)]
+    val q = graft.streaming.StreamingLoad.upsertSink(
+      mem.toDF().toDF("product_id", "total_quantity", "total_sale_amount"),
+      path = s"$base/summary", checkpoint = s"$base/chk")
+    try {
+      mem.addData((101L, 1.0, 10.0), (102L, 2.0, 20.0))
+      q.processAllAvailable()
+      mem.addData((102L, 9.0, 90.0), (103L, 3.0, 30.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/summary").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      101L -> (1.0, 10.0),   // untouched by batch 2
+      102L -> (9.0, 90.0),   // replaced by batch 2
+      103L -> (3.0, 30.0)))  // inserted by batch 2
+  }
+
   test("stateful sessionize (batch mode) splits on gap") {
     val events = Seq(
       Event(1L, ts(0, 0), 1L, "click", 1.0),
