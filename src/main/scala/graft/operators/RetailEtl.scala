@@ -129,12 +129,17 @@ object RetailEtl {
 
   /** End-to-end pipeline on already-typed sources: the reference DAG's
     * transform stage (extract output → summary).
+    *
+    * The reference stringifies everything for XCom transport and
+    * re-types in the transform — a per-row identity (proven by the
+    * round-trip spec and the `etl_extract_typed` oracle) that this
+    * engine doesn't replay in the hot path: columns stay typed from
+    * scan to sink. `asTransportStrings`/`convertTyped` remain
+    * available for actual wire-format boundaries.
     */
-  def pipeline(online: DataFrame, inStore: DataFrame): DataFrame = {
-    val typedOnline  = convertTyped(asTransportStrings(validateColumns(online)))
-    val typedInStore = convertTyped(asTransportStrings(validateColumns(inStore)))
-    validateSummary(aggregate(clean(combine(typedOnline, typedInStore))))
-  }
+  def pipeline(online: DataFrame, inStore: DataFrame): DataFrame =
+    validateSummary(aggregate(clean(
+      combine(validateColumns(online), validateColumns(inStore)))))
 
   /** Idempotent sink, mirroring the truncate+replace MySQL load and
     * the always-overwritten CSV (loading.py:124-161): a full
