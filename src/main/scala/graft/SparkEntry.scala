@@ -136,6 +136,12 @@ object SparkEntry {
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
+    "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
+    "q_events_anomaly" -> ((s, dir) => EventOps.hourlyAnomalies(Tables.events(s, dir))),
+    "ann_range_search" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
+    }),
     "text_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     // §2.C dedup
@@ -471,6 +477,31 @@ object SparkEntry {
           |FROM t) q
           |WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2"""
           .stripMargin.replace("\n", " ")),
+    "text_top_bigrams" ->
+      (toksCte +
+        """ SELECT bigram, count(*) AS n_occurrences
+          |FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+          |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          |  END) AS bigram FROM t) b
+          |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 100"""
+          .stripMargin.replace("\n", " ")),
+    "q_events_anomaly" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,
+        |  count(*) AS n_events FROM events GROUP BY date_trunc('hour', ts)),
+        |g AS (SELECT avg(n_events) AS mean_events,
+        |  stddev_samp(n_events) AS sd_events FROM hourly)
+        |SELECT hour, n_events,
+        | (n_events - mean_events) / sd_events AS z_score
+        |FROM hourly, g
+        |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
+        .replace("\n", " "),
+    "ann_range_search" ->
+      """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        | list_cosine_similarity(q.embedding, c.embedding) AS cosine
+        |FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |WHERE q.vec_id % 100 = 0
+        | AND list_cosine_similarity(q.embedding, c.embedding) >= 0.2"""
+        .stripMargin.replace("\n", " "),
     "text_repetition" ->
       (toksCte +
         """, b AS (SELECT doc_id,

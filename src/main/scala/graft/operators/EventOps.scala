@@ -98,6 +98,24 @@ object EventOps {
     types.foldLeft(counts)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
   }
 
+  /** Volume anomaly detection: hours whose event count deviates more
+    * than `sigmas` standard deviations from the corpus mean. The
+    * global mean/stddev is a one-row aggregate broadcast back over
+    * the hourly counts — two passes over counts, not events.
+    */
+  def hourlyAnomalies(events: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val global = hourly.agg(
+      avg("n_events").as("mean_events"),
+      stddev_samp("n_events").as("sd_events"))
+    hourly.crossJoin(broadcast(global))
+      .withColumn("z_score", (col("n_events") - col("mean_events")) / col("sd_events"))
+      .filter(abs(col("z_score")) > sigmas)
+      .select("hour", "n_events", "z_score")
+  }
+
   /** Conversion funnel signup → click → purchase: users who
     * completed each stage in order (each stage strictly after the
     * previous one's first completion). Three aggregates over the

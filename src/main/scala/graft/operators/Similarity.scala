@@ -40,6 +40,19 @@ object Similarity {
         gf.cosineSim(col("q_emb"), col("embedding")).as("cosine")), k)
   }
 
+  /** Range search: ALL corpus vectors with cosine ≥ tau per query
+    * (no k cutoff) — the recall-complete companion to top-k.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double): DataFrame = {
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    corpus.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("embedding")).as("cosine"))
+      .filter(col("cosine") >= tau)
+  }
+
   /** Multi-table hyperplane-LSH ANN: candidates = corpus vectors
     * sharing a bucket with the query in any table; exact cosine
     * ranks candidates. Recall grows with `tables`, cost with bucket

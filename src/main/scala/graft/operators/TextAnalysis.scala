@@ -123,6 +123,22 @@ object TextAnalysis {
           lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"))
           .otherwise(lit(0.0)))
 
+  /** Corpus-wide top token bigrams — vocabulary/boilerplate
+    * analysis. Explode + count + deterministic top-N (ties broken
+    * lexically). The explode stays partition-local; only (bigram,
+    * partial count) pairs shuffle.
+    */
+  def topBigrams(docs: DataFrame, n: Int = 100): DataFrame =
+    docs.select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        "CASE WHEN size(toks) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1])) END")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(n)
+
   /** Per-source quality rollup: corpus-health dashboard numbers
     * (mean quality/length/stopword-density by provenance).
     */
