@@ -497,11 +497,12 @@ object SparkEntry {
         .replace("\n", " "),
     "ann_range_search" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        | list_cosine_similarity(q.embedding, c.embedding) AS cosine
+        | list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |   CAST(c.embedding AS DOUBLE[])) AS cosine
         |FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |WHERE q.vec_id % 100 = 0
-        | AND list_cosine_similarity(q.embedding, c.embedding) >= 0.2"""
-        .stripMargin.replace("\n", " "),
+        | AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |   CAST(c.embedding AS DOUBLE[])) >= 0.2""".stripMargin.replace("\n", " "),
     "text_repetition" ->
       (toksCte +
         """, b AS (SELECT doc_id,
@@ -556,9 +557,13 @@ object SparkEntry {
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) n
         |GROUP BY norm HAVING count(*) > 1""".stripMargin.replace("\n", " "),
     "ann_bruteforce_topk" ->
+      // DOUBLE[] casts: DuckDB accumulates FLOAT[] cosines in single
+      // precision, which flips near-boundary ranks vs graft's
+      // double-accumulating kernel
       """SELECT query_id, neighbor_id, cosine FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  list_cosine_similarity(q.embedding, c.embedding) AS cosine
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) AS cosine
         | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
