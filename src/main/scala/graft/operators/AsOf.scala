@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (point-in-time) join — for each left row, the most recent
   * right row with `right.time <= left.time` within the same key
@@ -13,8 +14,15 @@ import org.apache.spark.sql.functions._
   *  2. one shuffle: partition by key, order by (time, side, tie),
   *     right rows sorting before left rows at equal timestamps
   *     (inclusive `<=` semantics, matching ANSI/DuckDB ASOF),
-  *  3. `last(col, ignoreNulls)` carries the latest right values
-  *     forward to each left row.
+  *  3. `last(struct, ignoreNulls)` carries the latest right ROW
+  *     forward to each left row — a single struct, so all carried
+  *     values come from the same right row even when some of its
+  *     columns are null, and "no prior right row" is exactly
+  *     "struct is null".
+  *
+  * Right rows with a null timestamp are dropped (they have no
+  * position on the timeline; letting them sort first would seed
+  * every left row with phantom values).
   *
   * Cost is a single sort-shuffle of |left| + |right| — no range-join
   * explosion, no per-key collect, skew bounded by the hottest key
@@ -34,38 +42,34 @@ object AsOf {
     val leftCols = left.columns.toSeq
     val sideCol = "__asof_side"
     val tieCol = "__asof_tie"
+    val rowCol = "__asof_row"
+    val rowType = StructType(rightValues.map(c =>
+      StructField(c, right.schema(c).dataType)))
 
-    val taggedLeft = left
-      .withColumn(sideCol, lit(1))
-      .withColumn(tieCol, lit(null).cast("long"))
-    val taggedRight = right.select(
-      (keys :+ timeCol).map(col) ++
-        rightValues.map(c => col(c).as(s"asof_$c")) :+
-        tieBreak.fold(lit(0L))(col(_).cast("long")).as(tieCol): _*)
-      .withColumn(sideCol, lit(0))
+    val taggedLeft = left.select(
+      leftCols.map(col) :+
+        lit(null).cast(rowType).as(rowCol) :+
+        lit(1).as(sideCol) :+
+        lit(null).cast("long").as(tieCol): _*)
 
-    val unified = taggedLeft
+    val taggedRight = right
+      .filter(col(timeCol).isNotNull)
       .select(
-        leftCols.map(col) ++
-          rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(s"asof_$c")) :+
-          col(sideCol) :+ col(tieCol): _*)
-      .unionByName(
-        taggedRight.select(
-          leftCols.map(c =>
-            if (keys.contains(c) || c == timeCol) col(c)
-            else lit(null).cast(left.schema(c).dataType).as(c)) ++
-            rightValues.map(c => col(s"asof_$c")) :+
-            col(sideCol) :+ col(tieCol): _*))
+        leftCols.map(c =>
+          if (keys.contains(c) || c == timeCol) col(c)
+          else lit(null).cast(left.schema(c).dataType).as(c)) :+
+          struct(rightValues.map(col): _*).cast(rowType).as(rowCol) :+
+          lit(0).as(sideCol) :+
+          tieBreak.fold(lit(0L))(col(_).cast("long")).as(tieCol): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(sideCol).asc, col(tieCol).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightValues.foldLeft(unified)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w)))
-
-    carried
+    taggedLeft.unionByName(taggedRight)
+      .withColumn(rowCol, last(col(rowCol), ignoreNulls = true).over(w))
       .filter(col(sideCol) === 1)
-      .select(leftCols.map(col) ++ rightValues.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightValues.map(c => col(rowCol).getField(c).as(s"asof_$c")): _*)
   }
 }

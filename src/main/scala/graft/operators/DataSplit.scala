@@ -24,6 +24,7 @@ object DataSplit {
   def assign(df: DataFrame, idCol: String,
              weights: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
     require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 >= 0), s"weights must be non-negative: $weights")
     require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"weights must sum to 1, got ${weights.map(_._2).sum}")
     // xxhash64 → [0,1): shift to 53 usable mantissa bits

@@ -23,16 +23,19 @@ object Skew {
     *     merge    = Seq(sum("q").as("total_quantity"), sum("a").as("total_sale_amount")))
     * }}}
     *
-    * The salt is derived from a hash of the full row (via
-    * `monotonically_increasing_id`), so it distributes uniformly and
-    * never changes the result — only the shuffle layout.
+    * The salt is a hash of the row's own column values — deterministic
+    * under task retries (a `monotonically_increasing_id` salt changes
+    * on partial stage recompute, which can lose or duplicate rows at
+    * the final aggregate, SPARK-23207-style). Identical rows share a
+    * salt, which only matters if one literal row dominates — and the
+    * aggregate is still correct either way.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String],
                 partials: Seq[Column], merge: Seq[Column],
                 saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(df.columns.map(col): _*), lit(saltBuckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partials.head, partials.tail: _*)
@@ -48,8 +51,9 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  saltBuckets: Int = 16): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(hash(big.columns.map(col): _*), lit(saltBuckets)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedBig.join(replicated, keys :+ "__salt").drop("__salt")

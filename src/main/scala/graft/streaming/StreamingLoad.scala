@@ -26,8 +26,12 @@ object StreamingLoad {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // Hadoop FS, not java.io.File: the path may be s3://, hdfs://,
+        // or resolved against a non-local defaultFS
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val merged =
-          if (new java.io.File(path).exists()) {
+          if (fs.exists(hPath)) {
             // pin the current state off the files we're about to replace
             val existing = spark.read.parquet(path).localCheckpoint(true)
             RetailEtl.upsertSummary(existing, batch, keys)

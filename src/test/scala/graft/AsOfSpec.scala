@@ -59,6 +59,29 @@ class AsOfSpec extends SparkSpec {
     assert(out(0).getDouble(4) == 2.0)
   }
 
+  test("carried values all come from the same right row, even with nulls") {
+    val left = Seq((1L, 100L, t(10), 5.0)).toDF("event_id", "user_id", "ts", "value")
+    // latest right row has a NULL value; its event_id must still win,
+    // and the null must NOT be patched from the older row
+    val right = Seq(
+      (901L, 100L, t(5), Some(1.0)),
+      (902L, 100L, t(8), Option.empty[Double]))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts",
+      rightValues = Seq("value", "event_id"), tieBreak = Some("event_id")).head()
+    assert(out.isNullAt(4), "null value of the matching row must be preserved")
+    assert(out.getLong(5) == 902L)
+  }
+
+  test("right rows with null timestamps are ignored") {
+    val left = Seq((1L, 100L, t(10), 5.0)).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((901L, 100L, Option.empty[Timestamp], 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = AsOf.join(left, right, Seq("user_id"), "ts", Seq("value"),
+      tieBreak = Some("event_id")).head()
+    assert(out.isNullAt(4), "timeless right row must not match")
+  }
+
   test("multiple carried right columns") {
     val left = Seq((1L, 100L, t(10), 5.0)).toDF("event_id", "user_id", "ts", "value")
     val right = Seq((901L, 100L, t(8), 1.0)).toDF("event_id", "user_id", "ts", "value")

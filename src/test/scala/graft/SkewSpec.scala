@@ -35,8 +35,9 @@ class SkewSpec extends SparkSpec {
   }
 
   test("saltedAgg actually spreads the hot key over salt buckets") {
+    // same salt derivation as the implementation (hash of row values)
     val salted = skewed.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(16)))
+      pmod(hash(skewed.columns.map(col): _*), lit(16)))
     val buckets = salted.filter($"k" === "hot")
       .select("__salt").distinct().count()
     assert(buckets > 8, s"hot key landed in only $buckets buckets")
