@@ -155,8 +155,11 @@ object Dedup {
     * including transitive duplicates that never paired directly).
     */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the (small) edge list once: it is joined every
+    // iteration, and its lineage is the whole LSH candidate pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
     for (_ <- 0 until maxIter) {
       val neighborMin = edges
