@@ -183,6 +183,11 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
+    "q_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(Tables.orders(s, dir))),
+    "q_segment_quartiles" -> ((s, dir) =>
+      Analytics.segmentQuartiles(Tables.customer(s, dir))),
+    "events_approx_stats" -> ((s, dir) =>
+      EventOps.approxTypeStats(Tables.events(s, dir))),
     // §2.G streaming (batch twins of the streaming transforms)
     "stream_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStream.hourlyWindow(Tables.events(s, dir))),
@@ -354,6 +359,24 @@ object SparkEntry {
         |SELECT c_custkey, 'segment_only' AS tag
         | FROM (SELECT c_custkey FROM seg EXCEPT SELECT c_custkey FROM big) e"""
         .stripMargin.replace("\n", " "),
+    "q_cohort_ltv" ->
+      """WITH cohorts AS (SELECT o_custkey,
+        |  date_trunc('month', min(o_orderdate)) AS cohort_month
+        | FROM orders GROUP BY o_custkey)
+        |SELECT cohort_month,
+        | date_diff('month', cohort_month,
+        |   date_trunc('month', o_orderdate)) AS month_offset,
+        | sum(o_totalprice) AS revenue,
+        | count(DISTINCT o.o_custkey) AS active_customers
+        |FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+        |GROUP BY cohort_month, month_offset""".stripMargin.replace("\n", " "),
+    "q_segment_quartiles" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        | dense_rank() OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal DESC) AS balance_rank,
+        | ntile(4) OVER (PARTITION BY c_mktsegment
+        |   ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        |FROM customer""".stripMargin.replace("\n", " "),
     "q_brand_revenue" ->
       """SELECT p_brand, p_type,
         | sum(l_extendedprice * (1 - l_discount)) AS revenue,

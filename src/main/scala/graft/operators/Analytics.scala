@@ -144,6 +144,35 @@ object Analytics {
         expr("percentile(o_totalprice, 0.9)").as("p90"),
         expr("percentile(o_totalprice, 0.99)").as("p99"))
 
+  /** Cohort LTV: revenue by acquisition-month cohort × months since
+    * acquisition. The cohort assignment is a per-customer min — one
+    * aggregate + one broadcast-back join, no window over the fact.
+    */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val cohorts = orders.groupBy("o_custkey")
+      .agg(date_trunc("month", min("o_orderdate")).as("cohort_month"))
+    orders
+      .join(cohorts, "o_custkey")
+      .groupBy(col("cohort_month"),
+        months_between(date_trunc("month", col("o_orderdate")), col("cohort_month"))
+          .cast("long").as("month_offset"))
+      .agg(
+        sum("o_totalprice").as("revenue"),
+        countDistinct("o_custkey").as("active_customers"))
+  }
+
+  /** dense_rank + ntile quartiles per segment — the ranking-window
+    * family beyond row_number. */
+  def segmentQuartiles(customer: DataFrame): DataFrame = {
+    val byBal = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    val total = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer.select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      dense_rank().over(byBal).cast("long").as("balance_rank"),
+      ntile(4).over(total).cast("long").as("quartile"))
+  }
+
   /** Order-priority mix per month — covers the priority dimension
     * with a two-key count/sum aggregate. */
   def priorityMix(orders: DataFrame): DataFrame =

@@ -31,6 +31,18 @@ object EventOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sketch-based per-type stats — the 100 TB shapes: HLL distinct
+    * users (fixed-size state vs shuffling every user id) and
+    * approximate percentiles (bounded memory vs full sort). Spec
+    * bounds the error against exact computation; no SQL oracle
+    * (sketches are engine-specific).
+    */
+  def approxTypeStats(events: DataFrame, relativeError: Double = 0.05): DataFrame =
+    events.groupBy("event_type").agg(
+      approx_count_distinct("user_id", rsd = relativeError).as("approx_users"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+      percentile_approx(col("value"), lit(0.9), lit(1000)).as("approx_p90"))
+
   /** Exact distinct-user variant (shuffles user ids; the approx one
     * above is the 100 TB default). */
   def hourlyDistinctUsers(events: DataFrame): DataFrame =

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventOps
+import graft.sources.Tables
+
+/** Sketch-accuracy specs: approximate stats must stay within their
+  * declared error of exact computation on the driver testdata.
+  */
+class ApproxSpec extends SparkSpec {
+
+  private lazy val events = Tables.events(spark, "/root/testdata/sf0.01")
+
+  test("approx distinct users within 10% of exact per event type") {
+    val approx = EventOps.approxTypeStats(events).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      val a = approx(t)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.10).toLong),
+        s"$t: approx $a vs exact $n")
+    }
+  }
+
+  test("approx percentiles within 10% of exact per event type") {
+    val approx = EventOps.approxTypeStats(events).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (t, (p50, p90)) =>
+      val (a50, a90) = approx(t)
+      assert(math.abs(a50 - p50) / p50 < 0.10, s"$t p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.10, s"$t p90: $a90 vs $p90")
+    }
+  }
+}
