@@ -404,8 +404,8 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (
         | SELECT user_id, ts, value,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         | FROM flagged)
         |SELECT user_id, session_seq, min(ts) AS session_start,
         | max(ts) AS session_end, count(*) AS num_events, sum(value) AS total_value

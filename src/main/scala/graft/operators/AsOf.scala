@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *
   * Right rows with a null timestamp are dropped (they have no
   * position on the timeline; letting them sort first would seed
-  * every left row with phantom values).
+  * every left row with phantom values). Right rows with a null in
+  * any key column are dropped too: `Window.partitionBy` groups NULL
+  * keys together, which would let null-keyed left rows enrich from
+  * null-keyed right rows — ASOF is an equi-join and equi-joins never
+  * match on NULL (DuckDB ASOF agrees).
   *
   * Cost is a single sort-shuffle of |left| + |right| — no range-join
   * explosion, no per-key collect, skew bounded by the hottest key
@@ -53,7 +57,7 @@ object AsOf {
         lit(null).cast("long").as(tieCol): _*)
 
     val taggedRight = right
-      .filter(col(timeCol).isNotNull)
+      .filter(keys.foldLeft(col(timeCol).isNotNull)((p, k) => p && col(k).isNotNull))
       .select(
         leftCols.map(c =>
           if (keys.contains(c) || c == timeCol) col(c)

@@ -56,12 +56,13 @@ object EventOps {
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gapSec = gapMinutes * 60L
+    // Native timestamp comparison (full µs precision): unix_timestamp
+    // truncates to whole seconds and flips sub-second gap boundaries.
+    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L)
           .otherwise(0L))
       .withColumn("session_seq", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -99,21 +99,24 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("avg_val")))),
         s => s.getField("avg_val")).as("centroid"))
 
-  /** Deterministic IVF "training": every `step`-th corpus vector (by
-    * id order) is a centroid. Real k-means would drop in here; the
-    * index/search structure is identical.
+  /** Deterministic IVF "training" init: a pseudo-random (but
+    * run-stable) hash-thinned sample of ~4×nlist vectors, cut to
+    * `nlist` by a distributed top-k on vec_id. No global window — a
+    * `Window.orderBy` with no partition funnels the whole corpus
+    * through one task; hash-thin + `sort.limit`
+    * (TakeOrderedAndProject) keeps every stage partition-parallel.
+    * Real k-means refinement drops in via [[trainCentroids]].
     */
   def pickCentroids(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
-    val w = Window.orderBy("vec_id")
     val n = corpus.count()
-    val step = math.max(n / nlist, 1L)
-    corpus
-      .withColumn("rn", row_number().over(w))
-      .filter((col("rn") - 1) % step === 0)
-      .limit(nlist)
-      .select("embedding")
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val step = math.max(n / math.max(nlist, 1) / 4, 1L)
+    def firstByIdOf(df: DataFrame) =
+      df.sort("vec_id").limit(nlist).select("embedding")
+        .collect().map(_.getSeq[Float](0).toArray)
+    val thinned = firstByIdOf(
+      corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
+    if (thinned.length >= math.min(nlist.toLong, n)) thinned
+    else firstByIdOf(corpus) // hash-thinning came up short (tiny corpus)
   }
 
   /** Lloyd's k-means over the embedding column — deterministic init

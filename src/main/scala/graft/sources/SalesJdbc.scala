@@ -55,19 +55,23 @@ object SalesJdbc {
       }
 
   /** One-row probe for the partition bounds (pushed down to the
-    * database as min/max — trivial for a btree-indexed key). */
-  def probeBounds(spark: SparkSession, cfg: Config): (Long, Long) = {
+    * database as min/max — trivial for a btree-indexed key). None
+    * when the table is empty (min/max are NULL): the caller falls
+    * back to an unpartitioned read instead of NPE-ing.
+    */
+  def probeBounds(spark: SparkSession, cfg: Config): Option[(Long, Long)] = {
     val probe = spark.read.format("jdbc")
       .options(baseOptions(cfg) + ("dbtable" ->
         s"(SELECT min(${cfg.partitionColumn}) AS lo, max(${cfg.partitionColumn}) AS hi FROM ${cfg.table}) b"))
       .load()
       .collect()(0)
-    (probe.getLong(0), probe.getLong(1))
+    if (probe.isNullAt(0) || probe.isNullAt(1)) None
+    else Some((probe.getLong(0), probe.getLong(1)))
   }
 
   def read(spark: SparkSession, cfg: Config): DataFrame = {
     val bounded = if (cfg.bounds.isDefined) cfg
-      else cfg.copy(bounds = Some(probeBounds(spark, cfg)))
+      else cfg.copy(bounds = probeBounds(spark, cfg))
     spark.read.format("jdbc").options(options(bounded)).load()
   }
 

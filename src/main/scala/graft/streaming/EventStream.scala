@@ -13,7 +13,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermarking is the only streaming-specific step and is applied
   * only when the input is actually streaming.
   */
-object EventStream {
+object EventStream extends Serializable {
 
   private def withWatermarkIfStreaming(events: DataFrame, watermark: String): DataFrame =
     if (events.isStreaming) {
@@ -69,56 +69,92 @@ object EventStream {
 
   case class Event(event_id: Long, ts: LocalDateTime, user_id: Long,
                    event_type: String, value: Double)
-  case class SessionState(start: LocalDateTime, last: LocalDateTime,
-                          n: Long, total: Double)
+  /** Internal event-time-in-millis form shared by batch and streaming
+    * (public: encoder codegen needs an accessible constructor). */
+  case class Ev(event_id: Long, ts_ms: Long, user_id: Long, value: Double)
+  case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start: LocalDateTime,
                      session_end: LocalDateTime, num_events: Long, total_value: Double)
 
+  private def msToLdt(ms: Long): LocalDateTime =
+    java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+
   /** Stateful sessionization with `flatMapGroupsWithState`: a
-    * session closes after `gapMinutes` of user inactivity (event-time
-    * timeout in streaming; end-of-group flush in batch). State per
-    * user is O(1) — start/last/count/sum — so state store size is
-    * bounded by active users, not events.
+    * session closes after `gapMinutes` of user inactivity. In
+    * streaming the gap is enforced with `EventTimeTimeout` — the
+    * watermark passing `last event + gap` flushes the trailing
+    * session AND evicts the user's state, so the state store is
+    * bounded by concurrently-active users, not by every user ever
+    * seen. In batch, end-of-group flushes instead (timeouts never
+    * fire in batch execution). State per user is O(1) —
+    * start/last/count/sum. Event times are handled at millisecond
+    * precision (`unix_millis`).
     */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapSec = gapMinutes * 60L
+    val gapMs = gapMinutes * 60000L
     // hoisted: capturing the Dataset itself in the closure would fail
     // task serialization
     val isStreamingInput = events.isStreaming
 
-    def fn(userId: Long, it: Iterator[Event],
+    def toSession(userId: Long, s: SessionState): Session =
+      Session(userId, msToLdt(s.startMs), msToLdt(s.lastMs), s.n, s.total)
+
+    def fn(userId: Long, it: Iterator[Ev],
            state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = it.toSeq.sortBy(e => (e.ts, e.event_id))
+      if (state.hasTimedOut) {
+        // watermark passed last+gap with no new events: flush + evict
+        val s = state.get
+        state.remove()
+        return Iterator.single(toSession(userId, s))
+      }
+      val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.event_id))
       var cur = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       sorted.foreach { e =>
         cur match {
-          case Some(s) if java.time.Duration.between(s.last, e.ts).getSeconds <= gapSec =>
-            cur = Some(s.copy(last = e.ts, n = s.n + 1, total = s.total + e.value))
+          case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
+            cur = Some(s.copy(lastMs = e.ts_ms, n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
-            out += Session(userId, s.start, s.last, s.n, s.total)
-            cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            out += toSession(userId, s)
+            cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
           case None =>
-            cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
         }
       }
       cur match {
         case Some(s) if !isStreamingInput =>
-          // batch: end-of-group flushes the trailing session;
-          // streaming keeps it in state until more events arrive
-          out += Session(userId, s.start, s.last, s.n, s.total)
+          // batch: end-of-group flushes the trailing session
+          out += toSession(userId, s)
           state.remove()
         case Some(s) =>
           state.update(s)
-        case None => state.remove()
+          // never set a timeout at/behind the watermark (Spark rejects it)
+          state.setTimeoutTimestamp(
+            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1L))
+        case None => if (state.exists) state.remove()
       }
       out.iterator
     }
 
-    events
+    // watermark needs an ltz TIMESTAMP column; UTC session makes the
+    // ntz→ltz cast value-preserving
+    val withTs = events.toDF().withColumn("ts", col("ts").cast("timestamp"))
+    val watermarked =
+      if (isStreamingInput) withTs.withWatermark("ts", watermark) else withTs
+    // withColumn (not select): the watermarked ts attribute must stay
+    // in the child plan or the streaming checker rejects EventTimeTimeout
+    val typed = watermarked
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .as[Ev]
+    val timeoutConf =
+      if (isStreamingInput) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    typed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(fn)
   }
 }

@@ -178,4 +178,28 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(0).session_start == ts(0, 0))
     } finally q.stop()
   }
+
+  test("sessionize event-time timeout flushes idle users without new events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_timeout_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts(0, 0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // OTHER users advance the watermark past user 1's last+gap;
+      // user 1 never sends another event
+      mem.addData(Event(2L, ts(5, 0), 2L, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(3L, ts(5, 10), 2L, "view", 3.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_timeout_test")
+        .as[EventStream.Session].collect().filter(_.user_id == 1L)
+      assert(sessions.length == 1, "idle user session must flush via timeout")
+      assert(sessions(0).session_start == ts(0, 0))
+      assert(sessions(0).session_end == ts(0, 0))
+      assert(sessions(0).num_events == 1L)
+    } finally q.stop()
+  }
 }
