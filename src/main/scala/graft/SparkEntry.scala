@@ -195,6 +195,34 @@ object SparkEntry {
       graft.streaming.EventStream.dedupEvents(Tables.events(s, dir))),
     "stream_join" -> ((s, dir) =>
       graft.streaming.EventStream.purchaseClickJoin(Tables.events(s, dir))),
+    // §2.B relational breadth (round 2)
+    "q_min_cost_supplier" -> ((s, dir) =>
+      Analytics.minCostSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        Tables.part(s, dir))),
+    "q_nation_volume" -> ((s, dir) =>
+      Analytics.nationVolume(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "q_important_parts" -> ((s, dir) =>
+      Analytics.importantParts(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_large_orders" -> ((s, dir) =>
+      Analytics.largeOrders(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir))),
+    "q_window_features" -> ((s, dir) =>
+      Analytics.windowFeatures(Tables.orders(s, dir))),
+    // §2.E sampling / packing / ranking (round 2)
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "source",
+        rates = Map("src0" -> 0.5, "src1" -> 0.05), defaultRate = 0.25)
+        .select("doc_id", "source", "lang")),
+    "sample_uniform_k" -> ((s, dir) =>
+      Sampling.uniformKPerStratum(Tables.documents(s, dir), "doc_id", "source", k = 5)
+        .select("source", "sample_rank", "doc_id")),
+    "docs_pack_sequences" -> ((s, dir) =>
+      Packing.packSequences(Tables.documents(s, dir))),
+    "text_tfidf_top3" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
+    "text_length_histogram" -> ((s, dir) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -636,5 +664,101 @@ object SparkEntry {
         | ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.user_id = p.user_id AND c.ts <= p.ts
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE""".stripMargin.replace("\n", " "),
+    "q_min_cost_supplier" ->
+      """WITH ps AS (
+        | SELECT l_partkey, l_suppkey,
+        |  min(l_extendedprice / l_quantity) AS min_unit_price
+        | FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY l_partkey ORDER BY min_unit_price, l_suppkey) AS rn FROM ps)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, min_unit_price
+        |FROM r JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1""".stripMargin.replace("\n", " "),
+    "q_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | year(l_shipdate) AS ship_year,
+        | sum(l_extendedprice * (1 - l_discount)) AS volume
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
+    "q_important_parts" ->
+      """WITH pp AS (SELECT l_partkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem GROUP BY 1),
+        |m AS (SELECT avg(revenue) AS mean_revenue FROM pp)
+        |SELECT p_partkey, p_name, p_brand, revenue
+        |FROM pp CROSS JOIN m JOIN part ON l_partkey = p_partkey
+        |WHERE revenue > 1.5 * mean_revenue""".stripMargin.replace("\n", " "),
+    "q_large_orders" ->
+      """WITH s AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        | FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+        |SELECT o_orderkey, c_custkey, c_name, o_orderdate, o_totalprice, sum_qty
+        |FROM orders JOIN s ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey""".stripMargin.replace("\n", " "),
+    "q_window_features" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | lead(o_totalprice) OVER w AS next_price,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume_dist,
+        | first_value(o_orderdate) OVER wf AS first_order_date,
+        | last_value(o_orderdate) OVER wf AS last_order_date
+        |FROM orders WINDOW
+        | w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin.replace("\n", " "),
+    "sample_stratified" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8) <
+        | CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '0ccccccc'
+        |  ELSE '40000000' END""".stripMargin.replace("\n", " "),
+    "sample_uniform_k" ->
+      """WITH r AS (SELECT source, doc_id, row_number() OVER (
+        |  PARTITION BY source
+        |  ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8), doc_id
+        | ) AS sample_rank FROM documents)
+        |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+        |FROM r WHERE sample_rank <= 5""".stripMargin.replace("\n", " "),
+    "docs_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |   AS BIGINT) AS tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, tokens,
+        |  COALESCE(sum(tokens) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        | FROM t)
+        |SELECT CAST(cum_excl // 2048 AS BIGINT) AS seq_bin,
+        | count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1""".stripMargin.replace("\n", " "),
+    "text_tfidf_top3" ->
+      (toksCte +
+        """, tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+          |n AS (SELECT count(*) AS n_docs FROM documents),
+          |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |  round(tf.tf * ln((n.n_docs + 1) / (df.df + 1)), 6) AS score
+          | FROM tf JOIN df USING (term) CROSS JOIN n),
+          |r AS (SELECT *, row_number() OVER (
+          |  PARTITION BY doc_id ORDER BY score DESC, term) AS term_rank FROM s)
+          |SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term, tf, df, score
+          |FROM r WHERE term_rank <= 3""".stripMargin.replace("\n", " ")),
+    "text_length_histogram" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |   AS BIGINT) AS n_tokens
+        | FROM documents)
+        |SELECT lang, n_tokens // 16 AS bucket, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM d GROUP BY 1, 2""".stripMargin.replace("\n", " "),
   )
 }

@@ -246,4 +246,103 @@ object Analytics {
          |JOIN graft_gs_nation ON c_nationkey = n_nationkey
          |GROUP BY $op (n_name, c_mktsegment)""".stripMargin)
   }
+
+  /** TPC-H Q2-flavored: per part, the supplier offering the lowest
+    * observed unit price (extendedprice/quantity), ties broken by
+    * supplier key. Aggregate-then-rank: the window runs over the
+    * (part, supplier) aggregate — |parts|·|suppliers-per-part| rows,
+    * never raw lineitem. Dimensions broadcast.
+    */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame,
+                      part: DataFrame): DataFrame = {
+    val perSupp = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("min_unit_price"))
+    val w = Window.partitionBy("l_partkey")
+      .orderBy(col("min_unit_price").asc, col("l_suppkey").asc)
+    perSupp
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("min_unit_price"))
+  }
+
+  /** TPC-H Q7-flavored: shipped revenue between distinct
+    * (supplier-nation → customer-nation) pairs by ship year. One
+    * fact-fact shuffle (lineitem ⋈ orders); all dims broadcast.
+    */
+  def nationVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                   supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val suppNation = broadcast(supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val custNation = broadcast(customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+  }
+
+  /** TPC-H Q11-flavored: parts whose revenue exceeds `factor` × the
+    * mean per-part revenue. The threshold is scale-free (a global
+    * mean, not an absolute), computed as a one-row aggregate and
+    * broadcast — no second scan of the fact.
+    */
+  def importantParts(lineitem: DataFrame, part: DataFrame,
+                     factor: Double = 1.5): DataFrame = {
+    val perPart = lineitem
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val meanRev = perPart.agg(avg("revenue").as("mean_revenue"))
+    perPart
+      .crossJoin(broadcast(meanRev))
+      .filter(col("revenue") > lit(factor) * col("mean_revenue"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("revenue"))
+  }
+
+  /** TPC-H Q18-flavored: orders whose total line quantity exceeds
+    * `minQty`, with their customer. Aggregate-then-semi-join: the
+    * grouped HAVING runs first, and only qualifying keys join back —
+    * orders/customer sides never see disqualified rows.
+    */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  minQty: Double = 200.0): DataFrame = {
+    val bigKeys = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders
+      .join(bigKeys, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  /** Window-function feature pack over each customer's order
+    * sequence: next order price (lead), percent_rank / cume_dist
+    * within the customer, and the first/last order dates via
+    * explicit full-partition frames (default frames differ between
+    * engines; spelling them out keeps every engine honest).
+    */
+  def windowFeatures(orders: DataFrame): DataFrame = {
+    val seq = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val full = seq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+      lead("o_totalprice", 1).over(seq).as("next_price"),
+      percent_rank().over(seq).as("pct_rank"),
+      cume_dist().over(seq).as("cume_dist"),
+      first_value(col("o_orderdate")).over(full).as("first_order_date"),
+      last_value(col("o_orderdate")).over(full).as("last_order_date"))
+  }
 }

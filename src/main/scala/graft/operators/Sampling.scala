@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation
+  * (SURVEY.md §2.E). Everything here is hash-driven, never
+  * `rand()`-driven: a sample must be reproducible across retries,
+  * partitionings, and cluster sizes, or downstream training runs
+  * aren't comparable. (The reference pipeline has no sampling stage;
+  * these are the curation ops a 100 TB corpus needs on top —
+  * cf. /root/reference/scripts/transformation.py:64-93 which keeps
+  * or drops rows only by validity, never by rate.)
+  *
+  * The hash is `md5(id:salt)` compared through its first 8 hex chars
+  * — portable (identical in Spark, DuckDB, Postgres, …, so the
+  * oracle can replay it bit-for-bit) and uniform. Lowercase hex
+  * compares lexicographically in numeric order, so a rate maps to a
+  * plain string threshold.
+  */
+object Sampling {
+
+  /** First-8-hex-chars threshold for a keep-rate in [0,1]:
+    * `floor(rate · 16^8)` zero-padded — `md5hex8 < threshold` keeps
+    * ~rate of rows.
+    */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val v = math.min(math.floor(rate * 4294967296.0).toLong, 0xffffffffL)
+    f"$v%08x"
+  }
+
+  /** The portable sampling key: `substr(md5(id:salt), 1, 8)`. */
+  def sampleKey(id: Column, salt: String): Column =
+    substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8)
+
+  /** Bernoulli sample at `rate` — a pure filter: no shuffle, no
+    * state, embarrassingly parallel, stable under retries and
+    * repartitioning (unlike `DataFrame.sample`, whose output depends
+    * on partition layout).
+    */
+  def hashSample(df: DataFrame, idCol: String, rate: Double,
+                 salt: String = "s42"): DataFrame =
+    df.filter(sampleKey(col(idCol), salt) < lit(hexThreshold(rate)))
+
+  /** Stratified Bernoulli sample: per-stratum keep-rates (e.g.
+    * up-sample rare high-quality sources, down-sample crawl bulk).
+    * Still a pure filter — the per-stratum threshold is a CASE
+    * expression, so no join and no shuffle at any corpus size.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "s42"): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (stratum, r)) =>
+        when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
+    }
+    df.filter(sampleKey(col(idCol), salt) < threshold)
+  }
+
+  /** Exactly-k-per-stratum uniform sample: rank rows inside each
+    * stratum by sampling key (hash order ≈ uniform random order, but
+    * deterministic) and keep the first k. One shuffle on the stratum
+    * key; skew is bounded by the largest stratum — for a pathological
+    * mega-stratum, pre-thin with [[hashSample]] at ~10·k/|stratum|
+    * first so the per-stratum sort stays small.
+    */
+  def uniformKPerStratum(df: DataFrame, idCol: String, stratumCol: String,
+                         k: Int, salt: String = "s42"): DataFrame = {
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(sampleKey(col(idCol), salt), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+}

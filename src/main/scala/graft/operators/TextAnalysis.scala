@@ -205,4 +205,47 @@ object TextAnalysis {
       md5(canon).as("fingerprint_md5"),
       gf.hash64(canon).as("fingerprint64"))
   }
+
+  /** Top-k TF-IDF terms per document. tf = in-doc term count,
+    * idf = ln((N+1)/(df+1)); the score is rounded to 6 decimals
+    * BEFORE ranking so the ordering is identical across engines
+    * (ln differs in the last ulp between libm implementations; the
+    * integer-ratio inputs and the 1e-6 grid make that invisible).
+    * Plan shape: one explode + two hash aggregations (doc-term, then
+    * term) + a term-keyed join — the doc-frequency side is
+    * broadcast-small only for tiny corpora, so it stays a shuffle
+    * join on `term`; at 100 TB df has |vocab| rows, which Spark
+    * hash-partitions fine.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select("doc_id", "term_rank", "term", "tf", "df", "score")
+  }
+
+  /** Token-length histogram per language: fixed-width buckets of the
+    * whitespace token count. Integer-only arithmetic (portable), one
+    * narrow projection + one aggregation.
+    */
+  def lengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
+    docs
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"n_tokens div $bucketWidth"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"))
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+/** Hash-sampling specs: determinism under repartitioning, rate
+  * accuracy, per-stratum behavior, exact-k selection.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 10000L)
+    .map(i => (i, s"src${i % 4}"))
+    .toDF("doc_id", "source")
+
+  test("hexThreshold maps rates to the 8-hex-char grid") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+    assert(Sampling.hexThreshold(0.25) == "40000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
+  }
+
+  test("hashSample is deterministic and partition-independent") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.hashSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hashSample keeps ~rate of rows") {
+    val n = Sampling.hashSample(docs, "doc_id", 0.3).count()
+    assert(math.abs(n - 3000L) < 300, s"kept $n of 10000 at rate 0.3")
+  }
+
+  test("different salts give different samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.3, salt = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.3, salt = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val out = Sampling.stratifiedSample(docs, "doc_id", "source",
+      rates = Map("src0" -> 0.9, "src1" -> 0.05), defaultRate = 0.4)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("src0") - 2250L) < 250, s"src0 ${out("src0")}")
+    assert(out("src1") < 350, s"src1 ${out("src1")}")
+    assert(math.abs(out("src2") - 1000L) < 250, s"src2 ${out("src2")}")
+  }
+
+  test("uniformKPerStratum returns exactly k rows per stratum, stable") {
+    val a = Sampling.uniformKPerStratum(docs, "doc_id", "source", k = 7)
+    val counts = a.groupBy("source").count().collect().map(_.getLong(1))
+    assert(counts.length == 4 && counts.forall(_ == 7L))
+    val b = Sampling.uniformKPerStratum(docs.repartition(11), "doc_id", "source", k = 7)
+    assert(a.select("doc_id").as[Long].collect().sorted.toSeq ==
+      b.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
