@@ -37,7 +37,11 @@ object Bench {
     // neighbor during a single pass would be indistinguishable from
     // a plan regression. A query that throws reports -1, never its
     // time-to-failure (which would read as a fast pass).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_ONLY=q1,q2 benches a subset (driver unset → all)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names.contains(k) })
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try {

@@ -148,11 +148,15 @@ object Dedup {
   /** Transitive closure of a near-dup pair list: connected
     * components by iterative min-label propagation. Each iteration
     * is one join + one aggregate over the (small) pair list; labels
-    * converge in ≤ component-diameter iterations, so `maxIter` ≈ 10
-    * covers any realistic near-dup cluster. Output: (doc_id,
-    * group_id) where group_id is the smallest member id — `keep`
-    * means doc_id == group_id (one survivor per duplicate class,
-    * including transitive duplicates that never paired directly).
+    * converge in ≤ component-diameter iterations. The loop exits as
+    * soon as an iteration changes no label (near-dup clusters have
+    * tiny diameters, so this is usually ~3 rounds, not `maxIter`) —
+    * the convergence count is a cheap scan of the already-
+    * materialized iteration result, far cheaper than the shuffles it
+    * skips. Output: (doc_id, group_id) where group_id is the
+    * smallest member id — `keep` means doc_id == group_id (one
+    * survivor per duplicate class, including transitive duplicates
+    * that never paired directly).
     */
   def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     // materialize the (small) edge list once: it is joined every
@@ -161,17 +165,23 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
-    for (_ <- 0 until maxIter) {
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("group_id").as("n_label")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("n_label").as("neighbor_label"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+      // truncate lineage: each iteration otherwise doubles the plan
+      val stepped = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("neighbor_label"), col("group_id")))
-            .as("group_id"))
-      // truncate lineage: each iteration otherwise doubles the plan
-      labels = labels.localCheckpoint(true)
+            .as("group_id"),
+          (col("neighbor_label") < col("group_id")).as("changed"))
+        .localCheckpoint(true)
+      converged = stepped.filter(col("changed")).isEmpty
+      labels = stepped.drop("changed")
+      iter += 1
     }
     labels.withColumn("keep", col("doc_id") === col("group_id"))
   }

@@ -51,4 +51,45 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$p")
   }
+
+  test("minCostSupplier aggregates before ranking and broadcasts dims") {
+    val p = plan(Analytics.minCostSupplier(Tables.lineitem(spark, dir),
+      Tables.supplier(spark, dir), Tables.part(spark, dir)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"part and supplier must broadcast:\n$p")
+    // the window must consume the (part, supplier) aggregate, never raw lineitem:
+    // partial agg on the scan side proves aggregation-then-rank ordering
+    assert(p.contains("partial_min"), s"expected pre-window partial agg:\n$p")
+  }
+
+  test("nationVolume has exactly one fact-fact shuffle join") {
+    val p = plan(Analytics.nationVolume(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir),
+      Tables.supplier(spark, dir), Tables.nation(spark, dir)))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"supplier/customer nation maps must broadcast:\n$p")
+    val sortMerge = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(sortMerge <= 1, s"only lineitem⋈orders may shuffle:\n$p")
+  }
+
+  test("largeOrders filters on the aggregate before joining orders") {
+    val p = plan(Analytics.largeOrders(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.customer(spark, dir)))
+    // the HAVING predicate must sit on the aggregate output, not after the join
+    assert(p.contains("partial_sum"), s"expected partial agg on lineitem:\n$p")
+    assert(p.contains("(sum_qty"), s"expected sum_qty filter in plan:\n$p")
+  }
+
+  test("packing prefix sum never uses a global (unpartitioned) window") {
+    val perDoc = graft.operators.Packing.tokensPerDoc(Tables.documents(spark, dir))
+    val p = plan(graft.operators.Packing.prefixSum(perDoc))
+    // the window spec must partition on the bucket key …
+    assert("windowspecdefinition\\(bucket#\\d+L, doc_id".r.findFirstIn(p).isDefined,
+      s"window must be bucket-partitioned:\n$p")
+    // … and its exchange must hash-partition, never collapse to one partition
+    assert("Exchange hashpartitioning\\(bucket#\\d+L".r.findFirstIn(p).isDefined &&
+      !p.contains("Exchange SinglePartition"),
+      s"expected bucket-partitioned exchange, no single-partition funnel:\n$p")
+  }
 }
