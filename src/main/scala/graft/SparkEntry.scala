@@ -223,6 +223,16 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
     "text_length_histogram" -> ((s, dir) =>
       TextAnalysis.lengthHistogram(Tables.documents(s, dir))),
+    "text_lm_score" -> ((s, dir) =>
+      TextAnalysis.lmScore(Tables.documents(s, dir))),
+    "q_event_transitions" -> ((s, dir) =>
+      EventOps.eventTransitions(Tables.events(s, dir))),
+    "q_above_avg_orders" -> ((s, dir) =>
+      Analytics.aboveAvgOrders(Tables.orders(s, dir))),
+    "ann_pq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -760,5 +770,30 @@ object SparkEntry {
         | CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         | min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
         |FROM d GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "text_lm_score" ->
+      (toksCte +
+        """, p AS (SELECT doc_id,
+          |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+          | FROM t WHERE len(toks) >= 2),
+          |b AS (SELECT w1, w2, count(*) AS c_bigram FROM p GROUP BY 1, 2),
+          |f AS (SELECT w1, count(*) AS c_first FROM p GROUP BY 1)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
+          |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
+          |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "q_event_transitions" ->
+      """WITH s AS (SELECT event_type, lag(event_type) OVER (
+        |  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        | FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        | round(n_transitions / CAST(sum(n_transitions) OVER (
+        |  PARTITION BY prev_type) AS BIGINT), 6) AS p_transition
+        |FROM c""".stripMargin.replace("\n", " "),
+    "q_above_avg_orders" ->
+      """WITH a AS (SELECT *, round(avg(o_totalprice) OVER (
+        |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
+        |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
   )
 }

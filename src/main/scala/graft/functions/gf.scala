@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharShingleHashes, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, ShingleHashes, SimHash64, TokenShingleHashes}
+import org.apache.spark.sql.graft.{CharShingleHashes, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -46,6 +46,14 @@ object gf {
 
   /** Probe list of the `nprobe` nearest centroids for an
     * `array<float>` column. */
+  /** PQ codes of a vector under per-subspace codebooks. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqEncode(e(vec), codebooks))
+
+  /** Approximate cosine between a query vector and PQ codes. */
+  def pqCosine(q: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqCosine(e(q), e(codes), codebooks))
+
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     c(NearestCentroids(e(vec), centroids, nprobe))
 

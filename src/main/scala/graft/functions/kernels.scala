@@ -76,6 +76,57 @@ object VectorOps {
     val order = (0 until centroids.length).sortBy(i => (-sims(i), i)).take(nprobe)
     new GenericArrayData(order.map(_.asInstanceOf[Any]).toArray)
   }
+
+  /** Product-quantization encode: for each subspace j (contiguous
+    * slice of the vector), the index of the L2-nearest codebook
+    * entry. `codebooks(j)` is the k×subDim codebook of subspace j.
+    */
+  def pqEncode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Any](m)
+    var j = 0; var off = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val sub = cb(0).length
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val x = if (off + i < v.numElements()) v.getFloat(off + i).toDouble else 0.0
+          val diff = x - cent(i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += sub; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate cosine of a full query vector against a
+    * PQ-reconstructed corpus vector, reading only the m code bytes —
+    * the corpus's float payload never enters the scan.
+    */
+  def pqCosine(q: ArrayData, codes: ArrayData,
+               codebooks: Array[Array[Array[Float]]]): Double = {
+    var dot = 0.0; var nq = 0.0; var nx = 0.0
+    var j = 0; var off = 0
+    while (j < codebooks.length) {
+      val cent = codebooks(j)(codes.getInt(j))
+      var i = 0
+      while (i < cent.length) {
+        val qv = if (off + i < q.numElements()) q.getFloat(off + i).toDouble else 0.0
+        val xv = cent(i).toDouble
+        dot += qv * xv; nq += qv * qv; nx += xv * xv
+        i += 1
+      }
+      off += cent.length; j += 1
+    }
+    if (nq == 0.0 || nx == 0.0) -2.0 else dot / (math.sqrt(nq) * math.sqrt(nx))
+  }
 }
 
 object TextHashes {

@@ -327,6 +327,20 @@ object Analytics {
         col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
   }
 
+  /** Correlated-subquery pattern — orders above their own customer's
+    * average — decorrelated into a per-customer window (one shuffle,
+    * no self-join). The average is rounded to a fixed 1e-6 grid
+    * before the comparison so the row set is identical across
+    * engines (double summation order differs).
+    */
+  def aboveAvgOrders(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+    orders
+      .withColumn("cust_avg", round(avg("o_totalprice").over(byCust), 6))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "cust_avg")
+  }
+
   /** Window-function feature pack over each customer's order
     * sequence: next order price (lead), percent_rank / cume_dist
     * within the customer, and the first/last order dates via

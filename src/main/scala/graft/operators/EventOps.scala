@@ -90,6 +90,25 @@ object EventOps {
         col("session_window.end").as("session_end"),
         col("num_events"), col("total_value"))
 
+  /** Event-type transition matrix (first-order Markov view of user
+    * journeys): count and probability of each (prev → next) event
+    * pair within a user's time-ordered stream. One shuffle on
+    * user_id for the lag; the transition aggregate is tiny
+    * (|types|²) and its per-prev_type normalizing window runs over
+    * that tiny aggregate, never the raw events.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("p_transition",
+        round(col("n_transitions") /
+          sum("n_transitions").over(Window.partitionBy("prev_type")), 6))
+  }
+
   /** Unpivot (melt): the per-type count matrix back to long form —
     * `Dataset.unpivot` is a zero-shuffle row-local expansion.
     */

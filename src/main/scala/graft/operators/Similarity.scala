@@ -159,6 +159,46 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(corpus, queries, k, pickCentroids(corpus, nlist), nprobe)
 
+  /** Deterministic PQ codebooks: the [[pickCentroids]] sample's
+    * vectors, sliced per subspace — k entries of dim/m floats each.
+    * (Per-subspace k-means refinement drops in here the same way
+    * [[trainCentroids]] refines IVF centroids.)
+    */
+  def trainPqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                       dim: Int = 64): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val sub = dim / m
+    val sample = pickCentroids(corpus, k)
+    Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Product-quantization ANN: corpus vectors compressed to m
+    * codebook indices (m·4 bytes vs dim·4 — at 100 TB the scan reads
+    * the code column only, an 8–32× bandwidth cut), scored with an
+    * asymmetric approximate cosine (full query × reconstruction),
+    * then the top `k·rerank` candidates re-scored exactly against
+    * their true embeddings. Recall/cost dial: m and `rerank`.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+             m: Int = 8, nCodes: Int = 16, rerank: Int = 4): DataFrame = {
+    val cbs = trainPqCodebooks(corpus, m, nCodes)
+    val encoded = corpus.select(col("vec_id").as("neighbor_id"),
+      gf.pqEncode(col("embedding"), cbs).as("codes"))
+    val q = broadcast(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val approx = topKPerQuery(encoded.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.pqCosine(col("q_emb"), col("codes"), cbs).as("cosine")), k * rerank)
+    val exact = approx.select("query_id", "neighbor_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine"))
+    topKPerQuery(exact, k)
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
                         centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col("vec_id").as("neighbor_id"),

@@ -233,6 +233,38 @@ object TextAnalysis {
       .select("doc_id", "term_rank", "term", "tf", "df", "score")
   }
 
+  /** Per-document bigram-LM surprisal (CCNet/KenLM-style perplexity
+    * filtering, with the corpus as its own model): score(doc) =
+    * mean over its bigrams of −ln p(w2|w1), where p(w2|w1) =
+    * count(w1 w2) / count(w1 ·). Low = stereotypical text, high =
+    * unusual token sequences. Docs with <2 tokens drop out.
+    *
+    * Plan: one explode into (doc, w1, w2) pairs, two hash aggregates
+    * for the model (bigram and first-token counts), two
+    * vocabulary-keyed shuffle joins back, one per-doc aggregate. The
+    * model stays distributed — nothing driver-side — so vocabulary
+    * size is unbounded. Score rounded to 6 decimals (ln differs in
+    * the last ulp across engines).
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(expr(
+        "CASE WHEN size(toks) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val firstCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c_first"))
+    pairs
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(firstCounts, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("c_bigram") / col("c_first"))), 6).as("avg_surprisal"))
+  }
+
   /** Token-length histogram per language: fixed-width buckets of the
     * whitespace token count. Integer-only arithmetic (portable), one
     * narrow projection + one aggregation.

@@ -188,6 +188,54 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Float]])
 }
 
 /** IVF probe list: indices of the `nprobe` nearest centroids. */
+/** Product-quantization encode — per-subspace L2-nearest codebook
+  * index; the codebooks ride along as a codegen reference object. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebook")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.pqEncode($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Approximate cosine from PQ codes (asymmetric: full query vector ×
+  * reconstructed corpus vector) — the ANN scan reads only the codes. */
+case class PqCosine(left: Expression, right: Expression,
+                    codebooks: Array[Array[Array[Float]]])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_cosine"
+
+  override protected def nullSafeEval(q: Any, codes: Any): Any =
+    VectorOps.pqCosine(q.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      (q, c) => s"graft.functions.VectorOps.pqCosine($q, $c, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
   extends UnaryExpression with ExpectsInputTypes {
 

@@ -82,4 +82,32 @@ class SimilaritySpec extends SparkSpec {
     assert(trained >= naive - 0.05, s"trained $trained vs naive $naive")
     assert(trained >= 0.5, s"trained recall $trained too low")
   }
+
+  test("PQ ANN achieves reasonable recall and rerank improves it") {
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0)
+        .sum / exact.size
+    val reranked = recall(topkSets(
+      Similarity.pqTopK(emb, queries, k = 10, m = 8, nCodes = 16, rerank = 4)))
+    assert(reranked >= 0.5, s"PQ recall $reranked too low")
+    val narrow = recall(topkSets(
+      Similarity.pqTopK(emb, queries, k = 10, m = 8, nCodes = 16, rerank = 1)))
+    assert(reranked >= narrow - 1e-9,
+      s"wider rerank pool must not lose recall: $reranked vs $narrow")
+  }
+
+  test("PQ codes are deterministic and within code range") {
+    val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
+    assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
+    val codes = emb.select($"vec_id",
+      graft.functions.gf.pqEncode($"embedding", cbs).as("codes"))
+      .as[(Long, Seq[Int])].collect()
+    assert(codes.forall(_._2.length == 8))
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 16)))
+    val again = emb.repartition(7).select($"vec_id",
+      graft.functions.gf.pqEncode($"embedding", cbs).as("codes"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.forall { case (id, cs) => again(id) == cs })
+  }
 }
