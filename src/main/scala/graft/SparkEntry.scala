@@ -233,6 +233,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "q_brand_revenue_salted" -> ((s, dir) =>
+      Analytics.brandRevenueSalted(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "stream_session_window" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionWindowAgg(Tables.events(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -264,7 +268,14 @@ object SparkEntry {
       | list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       |FROM documents)""".stripMargin.replace("\n", " ")
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = base
+    // result-parity keys: same semantics, different physical strategy
+    m + ("q_brand_revenue_salted" -> m("q_brand_revenue")) +
+      ("stream_session_window" -> m("q_session_window"))
+  }
+
+  private def base: Map[String, String] = Map(
     "etl_extract_typed" -> salesSql("WHERE l_linestatus = 'F'"),
     "etl_union_sources" ->
       ("""SELECT l_orderkey * 10 + l_linenumber AS sale_id, l_partkey AS product_id,

@@ -131,6 +131,26 @@ object Analytics {
         sum("l_quantity").as("total_qty"),
         count(lit(1)).as("num_lines"))
 
+  /** [[brandRevenue]] through [[Skew.saltedJoin]] — result-identical
+    * (oracle-checked against the same SQL), but the fact side fans
+    * each part key over salt buckets first. The defense for when one
+    * part dominates the fact table and even a broadcast join's
+    * downstream aggregate would hot-spot; result parity is the point
+    * of the driver check.
+    */
+  def brandRevenueSalted(lineitem: DataFrame, part: DataFrame,
+                         saltBuckets: Int = 16): DataFrame =
+    Skew.saltedJoin(
+      lineitem.select("l_partkey", "l_extendedprice", "l_discount", "l_quantity"),
+      part.withColumnRenamed("p_partkey", "l_partkey")
+        .select("l_partkey", "p_brand", "p_type"),
+      keys = Seq("l_partkey"), saltBuckets = saltBuckets)
+      .groupBy("p_brand", "p_type")
+      .agg(
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        sum("l_quantity").as("total_qty"),
+        count(lit(1)).as("num_lines"))
+
   /** Exact interpolated percentiles of order value per segment
     * (Spark `percentile` ≡ ANSI `quantile_cont`). At 100 TB swap for
     * `percentile_approx` — same plan shape, bounded memory.

@@ -67,6 +67,23 @@ object EventStream extends Serializable {
         "click_id", "click_ts")
   }
 
+  /** Native `session_window` aggregate (gap-based; window end = last
+    * event + gap), watermarked when streaming — Catalyst merges
+    * session state natively, so this is the declarative twin of
+    * [[sessionize]]'s explicit state machine. Batch form matches
+    * [[graft.operators.EventOps.sessionWindows]] exactly.
+    */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): DataFrame =
+    withWatermarkIfStreaming(events, watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("num_events"), sum("value").as("total_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("num_events"), col("total_value"))
+
   case class Event(event_id: Long, ts: LocalDateTime, user_id: Long,
                    event_type: String, value: Double)
   /** Internal event-time-in-millis form shared by batch and streaming

@@ -179,6 +179,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window emits closed sessions in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionWindowAgg(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("swin_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1L, ts(0, 0), 1L, "click", 1.0),
+        Event(2L, ts(0, 10), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // watermark must pass session end (0:40) before append emits
+      mem.addData(Event(3L, ts(3, 0), 2L, "view", 9.0))
+      q.processAllAvailable()
+      mem.addData(Event(4L, ts(3, 5), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin_test")
+        .filter($"user_id" === 1L)
+        .select($"num_events", $"total_value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((2L, 3.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionize event-time timeout flushes idle users without new events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
