@@ -10,7 +10,9 @@ object ExplainMain {
     val dir = "/root/testdata/sf0.001"
     val names = if (a.nonEmpty) a.toSeq else Seq(
       "etl_sales_summary", "q5_regional_revenue", "q_customer_enrich",
-      "q_asof_join", "dedup_minhash_lsh", "ann_bruteforce_topk")
+      "q_asof_join", "dedup_minhash_lsh", "ann_bruteforce_topk",
+      "ann_pq_topk", "docs_pack_sequences", "text_lm_score",
+      "q_nation_volume")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
