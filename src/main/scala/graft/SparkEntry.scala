@@ -237,6 +237,8 @@ object SparkEntry {
       Analytics.brandRevenueSalted(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "stream_session_window" -> ((s, dir) =>
       graft.streaming.EventStream.sessionWindowAgg(Tables.events(s, dir))),
+    "q_events_engagement" -> ((s, dir) =>
+      EventOps.engagement(Tables.events(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -806,5 +808,15 @@ object SparkEntry {
         |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
         |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
+    "q_events_engagement" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |contrib AS (SELECT user_id,
+        |  CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+        |   CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM ud),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)"""
+        .stripMargin.replace("\n", " "),
   )
 }

@@ -109,6 +109,25 @@ object EventOps {
           sum("n_transitions").over(Window.partitionBy("prev_type")), 6))
   }
 
+  /** DAU/WAU engagement: daily active users and trailing-7-day
+    * weekly active users per observed day. WAU without a sliding
+    * self-join: each distinct (user, day) contributes itself to the
+    * 7 target days it keeps the user "weekly active" for (a ×7
+    * explode of the ALREADY-distinct pairs, not raw events), then a
+    * distinct count per target day. Exact counts here; at 100 TB
+    * swap `countDistinct` for `approx_count_distinct` — same plan,
+    * sketch-sized state.
+    */
+  def engagement(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val contrib = ud.select(col("user_id"),
+      explode(sequence(col("day"), date_add(col("day"), 6))).as("day"))
+    val wau = contrib.groupBy("day").agg(countDistinct("user_id").as("wau"))
+    // inner join drops the ramp-past-the-data trailing days
+    dau.join(wau, Seq("day"))
+  }
+
   /** Unpivot (melt): the per-type count matrix back to long form —
     * `Dataset.unpivot` is a zero-shuffle row-local expansion.
     */
