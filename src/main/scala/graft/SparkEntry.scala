@@ -239,6 +239,11 @@ object SparkEntry {
       graft.streaming.EventStream.sessionWindowAgg(Tables.events(s, dir))),
     "q_events_engagement" -> ((s, dir) =>
       EventOps.engagement(Tables.events(s, dir))),
+    "q_grouping_sets" -> ((s, dir) =>
+      Analytics.groupingSetsRevenue(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))),
+    "stream_dedup_within_wm" -> ((s, dir) =>
+      graft.streaming.EventStream.dedupEventsWithinWatermark(Tables.events(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -273,8 +278,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val m = base
     // result-parity keys: same semantics, different physical strategy
+    // (or, for stream_dedup_within_wm, the batch degenerate form)
     m + ("q_brand_revenue_salted" -> m("q_brand_revenue")) +
-      ("stream_session_window" -> m("q_session_window"))
+      ("stream_session_window" -> m("q_session_window")) +
+      ("stream_dedup_within_wm" -> m("stream_dedup"))
   }
 
   private def base: Map[String, String] = Map(
@@ -808,6 +815,15 @@ object SparkEntry {
         |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
         |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+        | CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        | CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+        | sum(o_totalprice) AS revenue, count(*) AS num_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))"""
+        .stripMargin.replace("\n", " "),
     "q_events_engagement" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |  CAST(date_trunc('day', ts) AS DATE) AS day FROM events),

@@ -267,6 +267,30 @@ object Analytics {
          |GROUP BY $op (n_name, c_mktsegment)""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (the asymmetric cousin of
+    * rollup/cube): per-nation and per-segment slices in one pass
+    * over the join, with `grouping()` flags marking which dimension
+    * each output row aggregates away. One shuffle; the expand
+    * operator fans each input row into its grouping sets before the
+    * partial aggregate, so no second scan.
+    */
+  def groupingSetsRevenue(orders: DataFrame, customer: DataFrame,
+                          nation: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_gs2_orders")
+    customer.createOrReplaceTempView("graft_gs2_customer")
+    nation.createOrReplaceTempView("graft_gs2_nation")
+    spark.sql(
+      """SELECT n_name, c_mktsegment,
+        |       CAST(grouping(n_name) AS BIGINT) AS g_nation,
+        |       CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+        |       sum(o_totalprice) AS revenue, count(*) AS num_orders
+        |FROM graft_gs2_orders
+        |JOIN graft_gs2_customer ON o_custkey = c_custkey
+        |JOIN graft_gs2_nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))""".stripMargin)
+  }
+
   /** TPC-H Q2-flavored: per part, the supplier offering the lowest
     * observed unit price (extendedprice/quantity), ties broken by
     * supplier key. Aggregate-then-rank: the window runs over the

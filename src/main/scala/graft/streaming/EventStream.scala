@@ -43,6 +43,25 @@ object EventStream extends Serializable {
       .dropDuplicates("event_id")
       .select("event_id", "ts", "user_id", "event_type", "value")
 
+  /** Deduplication with bounded state via
+    * `dropDuplicatesWithinWatermark`: duplicates are only guaranteed
+    * dropped if they arrive within the watermark delay of the first
+    * sighting — in exchange the state store evicts keys as the
+    * watermark passes, so state is O(events per watermark window),
+    * not O(all keys ever). The right dedup for infinite streams
+    * where duplicates are produced close together (retries,
+    * at-least-once sources). Batch form degenerates to exact
+    * dropDuplicates (no watermark in batch).
+    */
+  def dedupEventsWithinWatermark(events: DataFrame,
+                                 watermark: String = "2 hours"): DataFrame = {
+    val src = withWatermarkIfStreaming(events, watermark)
+    val deduped =
+      if (src.isStreaming) src.dropDuplicatesWithinWatermark("event_id")
+      else src.dropDuplicates("event_id")
+    deduped.select("event_id", "ts", "user_id", "event_type", "value")
+  }
+
   /** Stream-stream inner join: purchases enriched with the clicks
     * that preceded them within `windowMinutes` per user. Both sides
     * watermarked so the state store evicts — the interval condition

@@ -179,6 +179,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark dedups in-stream with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupEventsWithinWatermark(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_wm_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(sampleEvents: _*) // contains a duplicate event_id=2
+      q.processAllAvailable()
+      mem.addData(Event(2L, ts(0, 20), 1L, "click", 2.0)) // dup again, within wm
+      q.processAllAvailable()
+      val ids = spark.table("dedup_wm_test").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("native session_window emits closed sessions in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
