@@ -244,6 +244,13 @@ object SparkEntry {
         Tables.nation(s, dir))),
     "stream_dedup_within_wm" -> ((s, dir) =>
       graft.streaming.EventStream.dedupEventsWithinWatermark(Tables.events(s, dir))),
+    "q_yoy_growth" -> ((s, dir) =>
+      Analytics.yoyGrowth(Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir))),
+    "q_market_share" -> ((s, dir) =>
+      Analytics.marketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -815,6 +822,32 @@ object SparkEntry {
         |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
         |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
+    "q_yoy_growth" ->
+      """WITH y AS (SELECT n_name, year(o_orderdate) AS order_year,
+        |  sum(o_totalprice) AS revenue
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1, 2)
+        |SELECT n_name, order_year, revenue,
+        | round(revenue / lag(revenue) OVER (
+        |  PARTITION BY n_name ORDER BY order_year) - 1, 6) AS yoy_growth
+        |FROM y""".stripMargin.replace("\n", " "),
+    "q_market_share" ->
+      """SELECT year(o_orderdate) AS order_year,
+        | sum(CASE WHEN sn.n_name = 'NATION_3'
+        |  THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) AS nation_volume,
+        | sum(l_extendedprice * (1 - l_discount)) AS total_volume,
+        | round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS market_share
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        | JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_grouping_sets" ->
       """SELECT n_name, c_mktsegment,
         | CAST(grouping(n_name) AS BIGINT) AS g_nation,

@@ -385,6 +385,52 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "cust_avg")
   }
 
+  /** Year-over-year revenue growth per nation: yearly aggregate,
+    * then a lag ratio within each nation's year sequence. The window
+    * runs over the aggregate (|nations|·|years| rows), never the
+    * fact. Growth rounded to the 1e-6 grid (double division).
+    */
+  def yoyGrowth(orders: DataFrame, customer: DataFrame,
+                nation: DataFrame): DataFrame = {
+    val yearly = orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(sum("o_totalprice").as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy("order_year")
+    yearly.withColumn("yoy_growth",
+      round(col("revenue") / lag("revenue", 1).over(w) - 1, 6))
+  }
+
+  /** TPC-H Q8-flavored market share: one nation's suppliers' share
+    * of a region's yearly delivered revenue — a conditional-sum /
+    * total-sum ratio inside a single aggregate (no second pass, no
+    * self-join). */
+  def marketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                  suppNation: String = "NATION_3", custRegion: String = "ASIA"): DataFrame = {
+    val custInRegion = broadcast(customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === custRegion)
+      .select("c_custkey"))
+    val suppNations = broadcast(supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppNations, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(when(col("supp_nation") === suppNation,
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)))
+          .as("nation_volume"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_volume"))
+      .withColumn("market_share",
+        round(col("nation_volume") / col("total_volume"), 6))
+  }
+
   /** Window-function feature pack over each customer's order
     * sequence: next order price (lead), percent_rank / cume_dist
     * within the customer, and the first/last order dates via
