@@ -251,6 +251,12 @@ object SparkEntry {
       Analytics.marketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
         Tables.region(s, dir))),
+    "q_supplier_variety" -> ((s, dir) =>
+      Analytics.supplierVariety(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_heavy_suppliers" -> ((s, dir) =>
+      Analytics.heavySuppliers(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "etl_quarantine" -> ((s, dir) =>
+      RetailEtl.quarantine(RetailEtl.combine(onlineSales(s, dir), storeSales(s, dir)))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -822,6 +828,25 @@ object SparkEntry {
         |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
         |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
+    "q_supplier_variety" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_heavy_suppliers" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem
+        | GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 90)"""
+        .stripMargin.replace("\n", " "),
+    "etl_quarantine" ->
+      (s"""SELECT *, CASE
+         | WHEN sale_id IS NULL OR product_id IS NULL OR quantity IS NULL
+         |   OR sale_amount IS NULL OR sale_date IS NULL THEN 'missing_field'
+         | WHEN quantity <= 0 THEN 'nonpositive_quantity'
+         | WHEN sale_amount <= 0 THEN 'nonpositive_amount' END AS reject_reason
+         |FROM (${salesSql("")}) s
+         |WHERE sale_id IS NULL OR product_id IS NULL OR quantity IS NULL
+         |  OR sale_amount IS NULL OR sale_date IS NULL
+         |  OR quantity <= 0 OR sale_amount <= 0""".stripMargin.replace("\n", " ")),
     "q_yoy_growth" ->
       """WITH y AS (SELECT n_name, year(o_orderdate) AS order_year,
         |  sum(o_totalprice) AS revenue

@@ -385,6 +385,34 @@ object Analytics {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "cust_avg")
   }
 
+  /** TPC-H Q16-flavored supplier variety: distinct suppliers
+    * observed shipping each (brand, type). Exact distinct here —
+    * a two-key shuffle of (brand, type, suppkey) triples; swap for
+    * `approx_count_distinct` at 100 TB (same plan, sketch state).
+    */
+  def supplierVariety(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+
+  /** TPC-H Q20-flavored heavy suppliers: suppliers that shipped more
+    * than `minQty` of at least one part — grouped-HAVING on the
+    * (supplier, part) aggregate, then a semi-join into the supplier
+    * dim. The aggregate runs first, so the dim only ever joins
+    * against qualifying keys.
+    */
+  def heavySuppliers(lineitem: DataFrame, supplier: DataFrame,
+                     minQty: Double = 90.0): DataFrame = {
+    val heavy = lineitem
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("l_quantity").as("qty"))
+      .filter(col("qty") > minQty)
+      .select("l_suppkey").distinct()
+    supplier.join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal")
+  }
+
   /** Year-over-year revenue growth per nation: yearly aggregate,
     * then a lag ratio within each nation's year sequence. The window
     * runs over the aggregate (|nations|·|years| rows), never the

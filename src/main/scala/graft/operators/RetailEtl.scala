@@ -93,6 +93,21 @@ object RetailEtl {
     df.na.drop()
       .filter(col("quantity") > 0 && col("sale_amount") > 0)
 
+  /** Dead-letter branch of [[clean]]: the rows clean() drops, each
+    * tagged with the FIRST failing rule (the reference silently
+    * discards them, transformation.py:64-93 — at pipeline scale you
+    * quarantine instead, so bad upstream batches are observable and
+    * replayable). clean ∪ quarantine ≡ input, disjoint; spec-held.
+    */
+  def quarantine(df: DataFrame): DataFrame = {
+    val anyNull = df.columns.map(col(_).isNull).reduce(_ || _)
+    df.withColumn("reject_reason",
+      when(anyNull, lit("missing_field"))
+        .when(col("quantity") <= 0, lit("nonpositive_quantity"))
+        .when(col("sale_amount") <= 0, lit("nonpositive_amount")))
+      .filter(col("reject_reason").isNotNull)
+  }
+
   /** Full aggregation by product (transformation.py:95-121). */
   def aggregate(df: DataFrame): DataFrame =
     df.groupBy("product_id")

@@ -172,6 +172,39 @@ object Similarity {
     Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
   }
 
+  /** Per-subspace Lloyd refinement of [[trainPqCodebooks]]: encode
+    * with the current codebooks, recompute each (subspace, code)
+    * cell centroid as the mean of its assigned subvectors — all
+    * subspaces in ONE scan per iteration (posexplode + a
+    * (subspace, code, dim) aggregate of m·k·subDim rows; only that
+    * tiny matrix reaches the driver). Empty cells keep their
+    * centroid. Deterministic end to end.
+    */
+  def trainPqCodebooksKMeans(corpus: DataFrame, m: Int = 8, k: Int = 16,
+                             dim: Int = 64, iters: Int = 2): Array[Array[Array[Float]]] = {
+    var cbs = trainPqCodebooks(corpus, m, k, dim)
+    val sub = dim / m
+    for (_ <- 0 until iters) {
+      val stats = corpus
+        .select(gf.pqEncode(col("embedding"), cbs).as("codes"),
+          posexplode(col("embedding")))
+        .select(
+          expr(s"CAST(pos div $sub AS INT)").as("subspace"),
+          pmod(col("pos"), lit(sub)).as("sub_pos"),
+          expr(s"codes[pos div $sub]").as("code"),
+          col("col").as("v"))
+        .groupBy("subspace", "code", "sub_pos")
+        .agg(avg("v").as("mean_v"))
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      stats.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      cbs = next
+    }
+    cbs
+  }
+
   /** Product-quantization ANN: corpus vectors compressed to m
     * codebook indices (m·4 bytes vs dim·4 — at 100 TB the scan reads
     * the code column only, an 8–32× bandwidth cut), scored with an
@@ -180,8 +213,11 @@ object Similarity {
     * their true embeddings. Recall/cost dial: m and `rerank`.
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-             m: Int = 8, nCodes: Int = 16, rerank: Int = 4): DataFrame = {
-    val cbs = trainPqCodebooks(corpus, m, nCodes)
+             m: Int = 8, nCodes: Int = 16, rerank: Int = 4,
+             kmeansIters: Int = 0): DataFrame = {
+    val cbs =
+      if (kmeansIters > 0) trainPqCodebooksKMeans(corpus, m, nCodes, iters = kmeansIters)
+      else trainPqCodebooks(corpus, m, nCodes)
     val encoded = corpus.select(col("vec_id").as("neighbor_id"),
       gf.pqEncode(col("embedding"), cbs).as("codes"))
     val q = broadcast(queries.select(

@@ -107,6 +107,20 @@ class RetailEtlSpec extends SparkSpec {
     assert(cleaned.filter($"quantity" <= 0 || $"sale_amount" <= 0).count() == 0)
   }
 
+  test("quarantine is the exact complement of clean, with reasons") {
+    val typed = RetailEtl.convertTyped(df(storeRows))
+    val cleaned = RetailEtl.clean(typed)
+    val dead = RetailEtl.quarantine(typed)
+    assert(cleaned.count() + dead.count() == typed.count())
+    // no row in both branches
+    assert(cleaned.join(dead, Seq("sale_id"), "inner").count() == 0)
+    val reasons = dead.select("reject_reason").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(reasons.subsetOf(Set(
+      "missing_field", "nonpositive_quantity", "nonpositive_amount")))
+    assert(dead.filter($"reject_reason".isNull).count() == 0)
+  }
+
   test("validateColumns rejects missing columns") {
     val bad = Seq(("1", "2")).toDF("sale_id", "product_id")
     val e = intercept[IllegalArgumentException](RetailEtl.validateColumns(bad))

@@ -97,6 +97,19 @@ class SimilaritySpec extends SparkSpec {
       s"wider rerank pool must not lose recall: $reranked vs $narrow")
   }
 
+  test("per-subspace k-means refinement does not hurt PQ recall") {
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0)
+        .sum / exact.size
+    val init = recall(topkSets(
+      Similarity.pqTopK(emb, queries, k = 10, rerank = 4)))
+    val refined = recall(topkSets(
+      Similarity.pqTopK(emb, queries, k = 10, rerank = 4, kmeansIters = 2)))
+    assert(refined >= init - 0.05, s"refined $refined vs init $init")
+    assert(refined >= 0.5, s"refined recall $refined too low")
+  }
+
   test("PQ codes are deterministic and within code range") {
     val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
     assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
