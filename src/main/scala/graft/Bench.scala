@@ -42,7 +42,7 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names.contains(k) })
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -52,7 +52,11 @@ object Bench {
           -1.0
         }
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val first = once()
+      // don't re-run a failing query — the retry pays the same
+      // time-to-failure for the same -1
+      name -> (if (first < 0) -1.0 else { val second = once()
+        if (second < 0) -1.0 else math.min(first, second) })
     }
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -737,7 +737,8 @@ object SparkEntry {
         |m AS (SELECT avg(revenue) AS mean_revenue FROM pp)
         |SELECT p_partkey, p_name, p_brand, revenue
         |FROM pp CROSS JOIN m JOIN part ON l_partkey = p_partkey
-        |WHERE revenue > 1.5 * mean_revenue""".stripMargin.replace("\n", " "),
+        |WHERE round(revenue, 6) > round(1.5 * mean_revenue, 6)"""
+        .stripMargin.replace("\n", " "),
     "q_large_orders" ->
       """WITH s AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
         | FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
@@ -840,12 +841,14 @@ object SparkEntry {
     "etl_quarantine" ->
       (s"""SELECT *, CASE
          | WHEN sale_id IS NULL OR product_id IS NULL OR quantity IS NULL
-         |   OR sale_amount IS NULL OR sale_date IS NULL THEN 'missing_field'
+         |   OR sale_amount IS NULL OR sale_date IS NULL
+         |   OR isnan(quantity) OR isnan(sale_amount) THEN 'missing_field'
          | WHEN quantity <= 0 THEN 'nonpositive_quantity'
          | WHEN sale_amount <= 0 THEN 'nonpositive_amount' END AS reject_reason
          |FROM (${salesSql("")}) s
          |WHERE sale_id IS NULL OR product_id IS NULL OR quantity IS NULL
          |  OR sale_amount IS NULL OR sale_date IS NULL
+         |  OR isnan(quantity) OR isnan(sale_amount)
          |  OR quantity <= 0 OR sale_amount <= 0""".stripMargin.replace("\n", " ")),
     "q_yoy_growth" ->
       """WITH y AS (SELECT n_name, year(o_orderdate) AS order_year,

@@ -44,8 +44,6 @@ object gf {
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
     c(HyperplaneSignature(e(vec), planes))
 
-  /** Probe list of the `nprobe` nearest centroids for an
-    * `array<float>` column. */
   /** PQ codes of a vector under per-subspace codebooks. */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =
     c(PqEncode(e(vec), codebooks))
@@ -54,6 +52,8 @@ object gf {
   def pqCosine(q: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
     c(PqCosine(e(q), e(codes), codebooks))
 
+  /** Probe list of the `nprobe` nearest centroids for an
+    * `array<float>` column. */
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     c(NearestCentroids(e(vec), centroids, nprobe))
 

@@ -348,7 +348,10 @@ object Analytics {
     val meanRev = perPart.agg(avg("revenue").as("mean_revenue"))
     perPart
       .crossJoin(broadcast(meanRev))
-      .filter(col("revenue") > lit(factor) * col("mean_revenue"))
+      // both comparands snapped to the 1e-6 grid: double summation
+      // order differs across engines, and an ulp at the threshold
+      // would flip row membership (cf. aboveAvgOrders)
+      .filter(round(col("revenue"), 6) > round(lit(factor) * col("mean_revenue"), 6))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("revenue"))
   }

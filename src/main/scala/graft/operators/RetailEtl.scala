@@ -100,9 +100,15 @@ object RetailEtl {
     * replayable). clean ∪ quarantine ≡ input, disjoint; spec-held.
     */
   def quarantine(df: DataFrame): DataFrame = {
-    val anyNull = df.columns.map(col(_).isNull).reduce(_ || _)
+    // na.drop() in clean() treats NaN like null in double columns —
+    // mirror that here or NaN rows would vanish from BOTH branches
+    val missing = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.DoubleType)
+        col(f.name).isNull || isnan(col(f.name))
+      else col(f.name).isNull
+    }.reduce(_ || _)
     df.withColumn("reject_reason",
-      when(anyNull, lit("missing_field"))
+      when(missing, lit("missing_field"))
         .when(col("quantity") <= 0, lit("nonpositive_quantity"))
         .when(col("sale_amount") <= 0, lit("nonpositive_amount")))
       .filter(col("reject_reason").isNotNull)

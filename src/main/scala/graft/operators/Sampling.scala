@@ -42,7 +42,15 @@ object Sampling {
     */
   def hashSample(df: DataFrame, idCol: String, rate: Double,
                  salt: String = "s42"): DataFrame =
-    df.filter(sampleKey(col(idCol), salt) < lit(hexThreshold(rate)))
+    if (rate >= 1.0) df
+    else df.filter(sampleKey(col(idCol), salt) < lit(hexThreshold(rate)))
+
+  /** Threshold literal for a stratum: rate 1.0 maps to "g", which is
+    * greater than every lowercase-hex key, so a full-keep stratum
+    * keeps the 2^-32 tail ("ffffffff" keys) a strict `< "ffffffff"`
+    * compare would drop. */
+  private def thresholdLit(rate: Double): String =
+    if (rate >= 1.0) "g" else hexThreshold(rate)
 
   /** Stratified Bernoulli sample: per-stratum keep-rates (e.g.
     * up-sample rare high-quality sources, down-sample crawl bulk).
@@ -52,9 +60,9 @@ object Sampling {
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Double], defaultRate: Double,
                        salt: String = "s42"): DataFrame = {
-    val threshold = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+    val threshold = rates.foldLeft(lit(thresholdLit(defaultRate))) {
       case (acc, (stratum, r)) =>
-        when(col(stratumCol) === stratum, lit(hexThreshold(r))).otherwise(acc)
+        when(col(stratumCol) === stratum, lit(thresholdLit(r))).otherwise(acc)
     }
     df.filter(sampleKey(col(idCol), salt) < threshold)
   }

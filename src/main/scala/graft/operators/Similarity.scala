@@ -110,13 +110,17 @@ object Similarity {
   def pickCentroids(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
     val n = corpus.count()
     val step = math.max(n / math.max(nlist, 1) / 4, 1L)
-    def firstByIdOf(df: DataFrame) =
-      df.sort("vec_id").limit(nlist).select("embedding")
+    // cut the survivors in HASH order, not id order: an id-ordered cut
+    // would draw every centroid from the low end of the id range,
+    // which skews coverage when ids correlate with data drift
+    def firstByHashOf(df: DataFrame) =
+      df.sort(xxhash64(col("vec_id"), lit(1)), col("vec_id"))
+        .limit(nlist).select("embedding")
         .collect().map(_.getSeq[Float](0).toArray)
-    val thinned = firstByIdOf(
+    val thinned = firstByHashOf(
       corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0))
     if (thinned.length >= math.min(nlist.toLong, n)) thinned
-    else firstByIdOf(corpus) // hash-thinning came up short (tiny corpus)
+    else firstByHashOf(corpus) // hash-thinning came up short (tiny corpus)
   }
 
   /** Lloyd's k-means over the embedding column — deterministic init
@@ -169,6 +173,10 @@ object Similarity {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
     val sample = pickCentroids(corpus, k)
+    // fail fast on a dim mismatch: pqEncode would silently zero-pad
+    // short vectors and the k-means refinement would NPE on long ones
+    sample.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
+      s"embedding length ${v.length} != declared dim $dim"))
     Array.tabulate(m)(j => sample.map(v => v.slice(j * sub, (j + 1) * sub)))
   }
 

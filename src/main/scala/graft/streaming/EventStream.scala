@@ -165,11 +165,16 @@ object EventStream extends Serializable {
           // batch: end-of-group flushes the trailing session
           out += toSession(userId, s)
           state.remove()
+        case Some(s) if state.getCurrentWatermarkMs >= s.lastMs + gapMs =>
+          // already expired by event time: flush NOW — deferring to a
+          // timeout would strand the session if the stream idles
+          out += toSession(userId, s)
+          state.remove()
         case Some(s) =>
           state.update(s)
-          // never set a timeout at/behind the watermark (Spark rejects it)
-          state.setTimeoutTimestamp(
-            math.max(s.lastMs + gapMs, state.getCurrentWatermarkMs + 1L))
+          // the branch above guarantees lastMs+gapMs > watermark, so
+          // Spark's timeout-after-watermark requirement holds
+          state.setTimeoutTimestamp(s.lastMs + gapMs)
         case None => if (state.exists) state.remove()
       }
       out.iterator

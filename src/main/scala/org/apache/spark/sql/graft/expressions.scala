@@ -187,7 +187,6 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Float]])
     copy(child = newChild)
 }
 
-/** IVF probe list: indices of the `nprobe` nearest centroids. */
 /** Product-quantization encode — per-subspace L2-nearest codebook
   * index; the codebooks ride along as a codegen reference object. */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
@@ -236,6 +235,7 @@ case class PqCosine(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** IVF probe list: indices of the `nprobe` nearest centroids. */
 case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
   extends UnaryExpression with ExpectsInputTypes {
 

@@ -121,6 +121,20 @@ class RetailEtlSpec extends SparkSpec {
     assert(dead.filter($"reject_reason".isNull).count() == 0)
   }
 
+  test("quarantine captures NaN rows that clean() drops") {
+    val rows = Seq(
+      (1L, 10L, 1.0, 5.0, java.sql.Date.valueOf("2024-01-01")),
+      (2L, 11L, Double.NaN, 5.0, java.sql.Date.valueOf("2024-01-01")),
+      (3L, 12L, 1.0, Double.NaN, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("sale_id", "product_id", "quantity", "sale_amount", "sale_date")
+    val cleaned = RetailEtl.clean(rows)
+    val dead = RetailEtl.quarantine(rows)
+    assert(cleaned.count() == 1 && dead.count() == 2,
+      "clean ∪ quarantine must cover NaN rows too")
+    assert(dead.select("reject_reason").distinct().collect()
+      .map(_.getString(0)).toSet == Set("missing_field"))
+  }
+
   test("validateColumns rejects missing columns") {
     val bad = Seq(("1", "2")).toDF("sale_id", "product_id")
     val e = intercept[IllegalArgumentException](RetailEtl.validateColumns(bad))

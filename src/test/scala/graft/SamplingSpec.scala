@@ -35,6 +35,13 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(n - 3000L) < 300, s"kept $n of 10000 at rate 0.3")
   }
 
+  test("rate 1.0 keeps every row (no md5-tail loss)") {
+    assert(Sampling.hashSample(docs, "doc_id", 1.0).count() == 10000L)
+    val strat = Sampling.stratifiedSample(docs, "doc_id", "source",
+      rates = Map("src0" -> 1.0), defaultRate = 1.0)
+    assert(strat.count() == 10000L)
+  }
+
   test("different salts give different samples") {
     val a = Sampling.hashSample(docs, "doc_id", 0.3, salt = "a")
       .select("doc_id").as[Long].collect().toSet
