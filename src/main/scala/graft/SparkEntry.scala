@@ -257,6 +257,10 @@ object SparkEntry {
       Analytics.heavySuppliers(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "etl_quarantine" -> ((s, dir) =>
       RetailEtl.quarantine(RetailEtl.combine(onlineSales(s, dir), storeSales(s, dir)))),
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
   )
 
   // ---- DuckDB oracles --------------------------------------------------

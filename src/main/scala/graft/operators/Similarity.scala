@@ -243,6 +243,41 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** IVF+PQ composed index (the FAISS-style 100 TB layout): vectors
+    * live in their nearest-centroid cell AND are stored as PQ codes,
+    * so a probe scans only `nprobe/nlist` of the corpus and reads
+    * only code bytes while doing it. Queries probe `nprobe` cells
+    * (cell-keyed equi-join), candidates score via the approximate
+    * code cosine, and the top `k·rerank` re-score exactly. (Classic
+    * IVF-PQ encodes residuals against the cell centroid; plain-code
+    * PQ keeps the encode cell-independent — one codebook set, no
+    * per-cell re-encode on cell rebalance.)
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+                nCodes: Int = 16, rerank: Int = 4): DataFrame = {
+    val cents = pickCentroids(corpus, nlist)
+    val cbs = trainPqCodebooks(corpus, m, nCodes)
+    val encoded = corpus.select(col("vec_id").as("neighbor_id"),
+      gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"),
+      gf.pqEncode(col("embedding"), cbs).as("codes"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val probed = q.select(col("query_id"), col("q_emb"),
+      explode(gf.nearestCentroids(col("q_emb"), cents, nprobe)).as("cell"))
+    val approx = topKPerQuery(probed.join(encoded, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.pqCosine(col("q_emb"), col("codes"), cbs).as("cosine")), k * rerank)
+    val exact = approx.select("query_id", "neighbor_id")
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine"))
+    topKPerQuery(exact, k)
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
                         centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col("vec_id").as("neighbor_id"),

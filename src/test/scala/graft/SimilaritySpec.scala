@@ -110,6 +110,22 @@ class SimilaritySpec extends SparkSpec {
     assert(refined >= 0.5, s"refined recall $refined too low")
   }
 
+  test("IVF+PQ composed index recalls reasonably; full probe ≈ plain PQ") {
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0)
+        .sum / exact.size
+    val partial = recall(topkSets(
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 8, nprobe = 4)))
+    assert(partial >= 0.4, s"IVF+PQ recall $partial too low")
+    // probing every cell degenerates to plain PQ search
+    val full = topkSets(
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 8, nprobe = 8))
+    val plain = topkSets(
+      Similarity.pqTopK(emb, queries, k = 10, rerank = 4))
+    assert(full == plain, "nprobe=nlist must equal plain PQ search")
+  }
+
   test("PQ codes are deterministic and within code range") {
     val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
     assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
