@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-lake layout utilities — the physical-design levers that
   * decide whether a 100 TB join shuffles or not.
@@ -14,8 +15,47 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    (`PartitionFilters` in the scan, zero I/O for pruned values).
   *  - [[compact]]: rewrite a dataset into `numFiles` files — the
   *    small-files fix after streaming/incremental ingestion.
+  *  - [[zorderValue]]/[[writeZordered]]: multi-dimension clustering.
+  *    Range-partitioning by an interleaved-bit key co-locates rows
+  *    that are close in EVERY clustered dimension, so parquet
+  *    min/max row-group stats stay tight on all of them and
+  *    selective filters on any dimension skip most files — the
+  *    single-sort-key layout only ever prunes on its leading column.
   */
 object Lake {
+
+  /** Z-order (Morton) key of up to 4 non-negative long columns:
+    * each value is quantized to `bitsPerDim` bits (caller scales
+    * into [0, 2^bits) — e.g. `datediff` days, bucketed prices),
+    * then bits interleave round-robin. Pure projection, codegen'd
+    * arithmetic, no UDF.
+    */
+  def zorderValue(cols: Seq[Column], bitsPerDim: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size <= 4, "zorder supports 1..4 dims")
+    require(bitsPerDim * cols.size <= 62, "interleaved key must fit a long")
+    val capped = cols.map(c =>
+      least(greatest(c.cast("long"), lit(0L)), lit((1L << bitsPerDim) - 1)))
+    (0 until bitsPerDim).flatMap { bit =>
+      capped.zipWithIndex.map { case (c, dim) =>
+        // bit `bit` of dim d lands at interleaved position bit*ndims+d
+        shiftleft(shiftright(c, bit).bitwiseAND(lit(1L)),
+          bit * cols.size + dim)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write parquet range-partitioned + sorted by the z-order key of
+    * `dims`: each output file covers a tight hyper-rectangle of the
+    * clustered dimensions, so min/max stats prune on any of them.
+    */
+  def writeZordered(df: DataFrame, path: String, dims: Seq[Column],
+                    files: Int, bitsPerDim: Int = 16,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("__z", zorderValue(dims, bitsPerDim))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -77,4 +77,45 @@ class LakeSpec extends SparkSpec {
     assert(out.inputFiles.length == 2)
     assert(out.count() == 1000)
   }
+
+  test("zorderValue interleaves bits like the reference computation") {
+    def ref(xs: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      for (b <- 0 until bits; (x, d) <- xs.zipWithIndex)
+        z |= ((x >> b) & 1L) << (b * xs.size + d)
+      z
+    }
+    val rows = Seq((0L, 0L), (3L, 0L), (0L, 3L), (5L, 9L), (65535L, 65535L))
+    val got = rows.toDF("x", "y")
+      .select(Lake.zorderValue(Seq($"x", $"y"), bitsPerDim = 16).as("z"))
+      .as[Long].collect()
+    val want = rows.map { case (x, y) => ref(Seq(x, y), 16) }
+    assert(got.toSeq == want)
+  }
+
+  test("z-order layout keeps per-file ranges tight on BOTH dimensions") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // two independent uniform dims — a single-key sort leaves the
+    // second dimension spanning the full range in every file
+    val data = (0 until 4096).map(i => ((i * 2654435761L) % 1024, i.toLong % 1024))
+      .toDF("x", "y")
+    data.repartitionByRange(8, $"x").sortWithinPartitions("x")
+      .write.parquet(s"$dir/bysort")
+    Lake.writeZordered(data, s"$dir/byz", Seq($"x", $"y"), files = 8, bitsPerDim = 10)
+
+    def meanRangePerFile(path: String, dim: String): Double = {
+      val perFile = spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy("f").agg((max(dim) - min(dim)).as("r"))
+        .as[(String, Long)].collect()
+      perFile.map(_._2).sum.toDouble / perFile.length
+    }
+    val zX = meanRangePerFile(s"$dir/byz", "x")
+    val zY = meanRangePerFile(s"$dir/byz", "y")
+    val sY = meanRangePerFile(s"$dir/bysort", "y")
+    // both dims clustered under z-order; y is unclustered under x-sort
+    assert(zY < sY / 1.5, s"zorder y-range $zY !< sorted y-range $sY / 1.5")
+    assert(zX < 1024, s"x must stay clustered too, range $zX")
+    assert(spark.read.parquet(s"$dir/byz").count() == 4096)
+  }
 }
