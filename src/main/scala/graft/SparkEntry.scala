@@ -261,6 +261,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "q_status_priority" -> ((s, dir) =>
+      Analytics.statusPriorityMatrix(Tables.orders(s, dir))),
+    "q_part_size_stats" -> ((s, dir) =>
+      Analytics.partSizeStats(Tables.part(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -833,6 +837,15 @@ object SparkEntry {
         |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
         |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
+    "q_status_priority" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS num_orders,
+        | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price
+        |FROM orders GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_part_size_stats" ->
+      """SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_band,
+        | count(*) AS num_parts, avg(p_retailprice) AS avg_retail,
+        | min(p_retailprice) AS min_retail, max(p_retailprice) AS max_retail
+        |FROM part GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_supplier_variety" ->
       """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -416,6 +416,28 @@ object Analytics {
       .select("s_suppkey", "s_name", "s_acctbal")
   }
 
+  /** Order status × priority matrix — a two-low-cardinality-key
+    * aggregate (map-side partials collapse it almost entirely before
+    * the exchange). Covers the status dimension of the order
+    * lifecycle. */
+  def statusPriorityMatrix(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("num_orders"),
+        sum("o_totalprice").as("revenue"),
+        avg("o_totalprice").as("avg_price"))
+
+  /** Part catalog stats by brand and size band — covers the size /
+    * retail-price dimensions. Pure dimension-table aggregate (no
+    * fact scan). */
+  def partSizeStats(part: DataFrame, sizeBand: Int = 10): DataFrame =
+    part
+      .withColumn("size_band", expr(s"p_size div $sizeBand"))
+      .groupBy("p_brand", "size_band")
+      .agg(count(lit(1)).as("num_parts"),
+        avg("p_retailprice").as("avg_retail"),
+        min("p_retailprice").as("min_retail"),
+        max("p_retailprice").as("max_retail"))
+
   /** Year-over-year revenue growth per nation: yearly aggregate,
     * then a lag ratio within each nation's year sequence. The window
     * runs over the aggregate (|nations|·|years| rows), never the
