@@ -146,6 +146,34 @@ class StreamingSpec extends SparkSpec {
       103L -> (3.0, 30.0)))  // inserted by batch 2
   }
 
+  test("continuous hourly rollup materializes via the upsert sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.StreamingLoad.upsertSink(
+      EventStream.hourlyWindow(mem.toDF()),
+      path = s"$base/rollup", checkpoint = s"$base/chk",
+      keys = Seq("window_start", "event_type"))
+    try {
+      mem.addData(Event(1L, ts(0, 10), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // second batch updates hour 0 and adds hour 1 — the sink must
+      // merge, not append
+      mem.addData(
+        Event(2L, ts(0, 50), 2L, "click", 2.0),
+        Event(3L, ts(1, 5), 1L, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$base/rollup")
+      .select(hour($"window_start"), $"event_type", $"num_events", $"total_value")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out((0, "click")) == (2L, 3.0), s"hour-0 rollup must merge: $out")
+    assert(out((1, "view")) == (1L, 3.0))
+    assert(out.size == 2)
+  }
+
   test("stateful sessionize (batch mode) splits on gap") {
     val events = Seq(
       Event(1L, ts(0, 0), 1L, "click", 1.0),
