@@ -265,6 +265,8 @@ object SparkEntry {
       Analytics.statusPriorityMatrix(Tables.orders(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
+    "mm_type_summary" -> ((s, dir) =>
+      Multimodal.typeSummary(Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -678,6 +680,12 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256, hex(substr(text, 1, 4)) AS magic_hex
         |FROM documents""".stripMargin.replace("\n", " "),
+    "mm_type_summary" ->
+      """SELECT hex(substr(text, 1, 2)) AS magic2, count(*) AS n_blobs,
+        | CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+        | CAST(min(length(text)) AS BIGINT) AS min_bytes,
+        | CAST(max(length(text)) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         | CAST(i * 128 AS BIGINT) AS byte_offset,

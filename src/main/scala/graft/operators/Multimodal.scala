@@ -37,6 +37,22 @@ object Multimodal {
       sha2(col("payload"), 256).as("sha256"),
       hex(substring(col("payload"), 1, 4)).as("magic_hex"))
 
+  /** Corpus rollup by sniffed type (leading magic bytes): blob
+    * counts and size stats per detected format — the manifest pass
+    * that decides which decoder fleet each subset routes to. One
+    * narrow projection + a tiny aggregate.
+    */
+  def typeSummary(docs: DataFrame): DataFrame =
+    asBlobs(docs)
+      .select(hex(substring(col("payload"), 1, 2)).as("magic2"),
+        col("meta.n_bytes").as("n_bytes"))
+      .groupBy("magic2")
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum("n_bytes").as("total_bytes"),
+        min("n_bytes").as("min_bytes"),
+        max("n_bytes").as("max_bytes"))
+
   /** Frame/chunk sampling: cut each payload into `frameSize`-byte
     * frames every `stride` bytes (video frame-sample / audio window
     * shape). Pure explode+substring — codegen'd, no UDF, and the
