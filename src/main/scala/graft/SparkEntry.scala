@@ -267,6 +267,9 @@ object SparkEntry {
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
       Multimodal.typeSummary(Tables.documents(s, dir))),
+    "sample_uniform_k_agg" -> ((s, dir) =>
+      Sampling.uniformKPerStratumAgg(Tables.documents(s, dir), "doc_id", "source", k = 5)
+        .select("source", "sample_rank", "doc_id")),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -304,7 +307,8 @@ object SparkEntry {
     // (or, for stream_dedup_within_wm, the batch degenerate form)
     m + ("q_brand_revenue_salted" -> m("q_brand_revenue")) +
       ("stream_session_window" -> m("q_session_window")) +
-      ("stream_dedup_within_wm" -> m("stream_dedup"))
+      ("stream_dedup_within_wm" -> m("stream_dedup")) +
+      ("sample_uniform_k_agg" -> m("sample_uniform_k"))
   }
 
   private def base: Map[String, String] = Map(

@@ -81,4 +81,19 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** [[uniformKPerStratum]] semantics through the bounded-memory
+    * [[graft.functions.ReservoirAgg]] aggregator: one hash aggregate
+    * with partial merge — map tasks pre-reduce to ≤ k candidates, so
+    * the shuffle carries |strata|·k rows instead of every row the
+    * window variant sorts. Result-identical (shared oracle).
+    */
+  def uniformKPerStratumAgg(df: DataFrame, idCol: String, stratumCol: String,
+                            k: Int, salt: String = "s42"): DataFrame =
+    df.groupBy(col(stratumCol))
+      .agg(graft.functions.ReservoirAgg.smallestKByKey(
+        sampleKey(col(idCol), salt), col(idCol), k).as("ids"))
+      .select(col(stratumCol), posexplode(col("ids")))
+      .select(col(stratumCol), (col("pos") + 1).cast("long").as("sample_rank"),
+        col("col").as(idCol))
 }
