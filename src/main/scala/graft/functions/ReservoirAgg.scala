@@ -26,6 +26,7 @@ object ReservoirAgg {
 
   private class SmallestK(k: Int)
     extends Aggregator[KeyId, Seq[(String, Long)], Seq[Long]] {
+    require(k >= 1, s"k must be >= 1, got $k") // b.last below assumes nonempty-when-full
     private def cap(s: Seq[(String, Long)]): Seq[(String, Long)] =
       s.sortBy(identity).take(k)
     override def zero: Seq[(String, Long)] = Seq.empty

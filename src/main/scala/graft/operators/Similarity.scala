@@ -169,10 +169,13 @@ object Similarity {
     * [[trainCentroids]] refines IVF centroids.)
     */
   def trainPqCodebooks(corpus: DataFrame, m: Int = 8, k: Int = 16,
-                       dim: Int = 64): Array[Array[Array[Float]]] = {
+                       dim: Int = 64): Array[Array[Array[Float]]] =
+    codebooksFromSample(pickCentroids(corpus, k), m, dim)
+
+  private def codebooksFromSample(sample: Array[Array[Float]], m: Int,
+                                  dim: Int): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m
-    val sample = pickCentroids(corpus, k)
     // fail fast on a dim mismatch: pqEncode would silently zero-pad
     // short vectors and the k-means refinement would NPE on long ones
     sample.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
@@ -255,16 +258,22 @@ object Similarity {
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
-                nCodes: Int = 16, rerank: Int = 4): DataFrame = {
-    val cents = pickCentroids(corpus, nlist)
-    val cbs = trainPqCodebooks(corpus, m, nCodes)
+                nCodes: Int = 16, rerank: Int = 4, dim: Int = 64): DataFrame = {
+    // ONE sampling pass feeds both structures (IVF centroids and PQ
+    // codebooks are both deterministic cuts of the same sample)
+    val sample = pickCentroids(corpus, math.max(nlist, nCodes))
+    val cents = sample.take(nlist)
+    val cbs = codebooksFromSample(sample.take(nCodes), m, dim)
     val encoded = corpus.select(col("vec_id").as("neighbor_id"),
       gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"),
       gf.pqEncode(col("embedding"), cbs).as("codes"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
-    val probed = q.select(col("query_id"), col("q_emb"),
-      explode(gf.nearestCentroids(col("q_emb"), cents, nprobe)).as("cell"))
+    // probe side is |queries|·nprobe rows — broadcast it explicitly;
+    // a fallback shuffle join on `cell` would funnel the corpus into
+    // nlist reducer partitions
+    val probed = broadcast(q.select(col("query_id"), col("q_emb"),
+      explode(gf.nearestCentroids(col("q_emb"), cents, nprobe)).as("cell")))
     val approx = topKPerQuery(probed.join(encoded, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),

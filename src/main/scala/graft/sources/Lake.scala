@@ -32,7 +32,10 @@ object Lake {
     */
   def zorderValue(cols: Seq[Column], bitsPerDim: Int = 16): Column = {
     require(cols.nonEmpty && cols.size <= 4, "zorder supports 1..4 dims")
-    require(bitsPerDim * cols.size <= 62, "interleaved key must fit a long")
+    require(bitsPerDim >= 1, s"bitsPerDim must be >= 1, got $bitsPerDim")
+    require(bitsPerDim * cols.size <= 62,
+      s"interleaved key must fit a long: $bitsPerDim bits × ${cols.size} dims > 62" +
+        " (lower bitsPerDim — e.g. 4 dims need bitsPerDim <= 15)")
     val capped = cols.map(c =>
       least(greatest(c.cast("long"), lit(0L)), lit((1L << bitsPerDim) - 1)))
     (0 until bitsPerDim).flatMap { bit =>
@@ -50,12 +53,16 @@ object Lake {
     */
   def writeZordered(df: DataFrame, path: String, dims: Seq[Column],
                     files: Int, bitsPerDim: Int = 16,
-                    mode: SaveMode = SaveMode.Overwrite): Unit =
+                    mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column; rename it before z-ordering" +
+        " (the clustering key would silently replace it)")
     df.withColumn("__z", zorderValue(dims, bitsPerDim))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(mode).parquet(path)
+  }
 
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =

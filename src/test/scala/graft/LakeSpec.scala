@@ -113,9 +113,11 @@ class LakeSpec extends SparkSpec {
     val zX = meanRangePerFile(s"$dir/byz", "x")
     val zY = meanRangePerFile(s"$dir/byz", "y")
     val sY = meanRangePerFile(s"$dir/bysort", "y")
-    // both dims clustered under z-order; y is unclustered under x-sort
+    // both dims clustered under z-order; y is unclustered under x-sort.
+    // full span is 1023, so < 70% of it is a real clustering claim
+    // (8 z-range files over 2 dims give ~half-span rectangles)
     assert(zY < sY / 1.5, s"zorder y-range $zY !< sorted y-range $sY / 1.5")
-    assert(zX < 1024, s"x must stay clustered too, range $zX")
+    assert(zX < 1023 * 0.7, s"x must stay clustered too, range $zX")
     assert(spark.read.parquet(s"$dir/byz").count() == 4096)
   }
 }
