@@ -86,6 +86,29 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (5L, true))
   }
 
+  test("dedupGroups equals driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val n = 40
+      val edges = Seq.fill(25)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter { case (a, b) => a != b }
+      // reference: union-find, components labeled by min member
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n.toInt).map(i => i.toLong -> find(i).toLong).toMap
+
+      val ids = (0L until n).map(Tuple1(_)).toDF("doc_id")
+      val pairs = edges.map { case (a, b) => (a, b, 0.9) }.toDF("id_a", "id_b", "jaccard")
+      val got = Dedup.dedupGroups(ids, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round: components diverge from union-find")
+    }
+  }
+
   test("embedding near-dup finds high-cosine pairs via LSH") {
     val vecs = Seq(
       (0L, Seq.tabulate(64)(i => math.sin(i + 1).toFloat)),
