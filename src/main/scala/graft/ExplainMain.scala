@@ -11,8 +11,8 @@ object ExplainMain {
     val names = if (a.nonEmpty) a.toSeq else Seq(
       "etl_sales_summary", "q5_regional_revenue", "q_customer_enrich",
       "q_asof_join", "dedup_minhash_lsh", "ann_bruteforce_topk",
-      "ann_pq_topk", "docs_pack_sequences", "text_lm_score",
-      "q_nation_volume")
+      "ann_pq_topk", "ann_ivfpq_topk", "docs_pack_sequences",
+      "text_lm_score", "q_nation_volume", "sample_uniform_k_agg")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
