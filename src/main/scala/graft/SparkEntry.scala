@@ -270,6 +270,8 @@ object SparkEntry {
     "sample_uniform_k_agg" -> ((s, dir) =>
       Sampling.uniformKPerStratumAgg(Tables.documents(s, dir), "doc_id", "source", k = 5)
         .select("source", "sample_rank", "doc_id")),
+    "text_trigram_affinity" -> ((s, dir) =>
+      TextAnalysis.charTrigramAffinity(Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -835,6 +837,24 @@ object SparkEntry {
           | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
           |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
           |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "text_trigram_affinity" ->
+      """WITH g AS (SELECT DISTINCT doc_id, lang, trigram FROM (
+        |  SELECT doc_id, lang, substr(text,
+        |   CAST(unnest(generate_series(1, len(text) - 2)) AS INT), 3) AS trigram
+        |  FROM documents)),
+        |p AS (SELECT lang, trigram FROM (
+        |  SELECT lang, trigram, row_number() OVER (
+        |   PARTITION BY lang ORDER BY count(*) DESC, trigram) AS rk
+        |  FROM g GROUP BY lang, trigram) WHERE rk <= 200),
+        |h AS (SELECT doc_id, count(*) AS n_profile_hits FROM g
+        | WHERE EXISTS (SELECT 1 FROM p
+        |  WHERE p.lang = g.lang AND p.trigram = g.trigram) GROUP BY 1),
+        |t AS (SELECT doc_id, lang, count(*) AS n_trigrams FROM g GROUP BY 1, 2)
+        |SELECT t.doc_id, t.lang, t.n_trigrams,
+        | COALESCE(h.n_profile_hits, 0) AS n_profile_hits,
+        | round(COALESCE(h.n_profile_hits, 0) / t.n_trigrams, 6) AS affinity
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id"""
+        .stripMargin.replace("\n", " "),
     "q_event_transitions" ->
       """WITH s AS (SELECT event_type, lag(event_type) OVER (
         |  PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events),

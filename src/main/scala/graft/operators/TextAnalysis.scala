@@ -265,6 +265,51 @@ object TextAnalysis {
         round(avg(-log(col("c_bigram") / col("c_first"))), 6).as("avg_surprisal"))
   }
 
+  /** Char-trigram language affinity (fastText-style profile check,
+    * with the corpus as its own training set): each language's
+    * profile is its top-`profileSize` char trigrams by corpus count
+    * (ties broken lexically); a document's score is the fraction of
+    * its DISTINCT trigrams found in its own language's profile — low
+    * affinity flags mislabeled or code-mixed documents.
+    *
+    * Plan: one explode into (doc, lang, trigram), distinct, a tiny
+    * (|langs|·profileSize) profile aggregate broadcast back as a
+    * semi-joinable set, one per-doc aggregate. Integer counts + one
+    * division (rounded) — fully oracle-portable.
+    */
+  def charTrigramAffinity(docs: DataFrame, profileSize: Int = 200): DataFrame = {
+    // per-doc dedupe happens MAP-SIDE (array_distinct before the
+    // explode), so no corpus-wide distinct shuffle ever runs; the
+    // deduped array column is materialized once for its three
+    // consumers (profile, hits, totals)
+    val withGrams = docs
+      .select(col("doc_id"), col("lang"),
+        array_distinct(expr(
+          "CASE WHEN length(text) < 3 THEN array() " +
+            "ELSE transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)) END")).as("grams"))
+      .localCheckpoint(true)
+    val grams = withGrams.select(col("doc_id"), col("lang"),
+      explode(col("grams")).as("trigram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n").desc, col("trigram"))
+    val profile = grams.groupBy("lang", "trigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= profileSize)
+      .select("lang", "trigram")
+    val hits = grams.join(broadcast(profile), Seq("lang", "trigram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_profile_hits"))
+    withGrams
+      .select(col("doc_id"), col("lang"), size(col("grams")).cast("long").as("n_trigrams"))
+      .filter(col("n_trigrams") > 0) // <3-char docs have no trigrams to score
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_trigrams"),
+        coalesce(col("n_profile_hits"), lit(0L)).as("n_profile_hits"),
+        round(coalesce(col("n_profile_hits"), lit(0L)) / col("n_trigrams"), 6)
+          .as("affinity"))
+  }
+
   /** Token-length histogram per language: fixed-width buckets of the
     * whitespace token count. Integer-only arithmetic (portable), one
     * narrow projection + one aggregation.
