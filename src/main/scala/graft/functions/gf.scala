@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharShingleHashes, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes}
+import org.apache.spark.sql.graft.{CharShingleHashes, CharTrigrams, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -28,6 +28,9 @@ object gf {
   /** Hashes of all character n-grams of a string column (rolling
     * hash, O(len)). */
   def charShingleHashes(text: Column, n: Int): Column = c(CharShingleHashes(e(text), n))
+
+  /** All consecutive 3-char windows of a string (codegen'd). */
+  def charTrigrams(text: Column): Column = c(CharTrigrams(e(text)))
 
   /** Fused canonicalize+tokenize+k-shingle of raw text — one byte
     * pass, no regexp (dedup fast path). */

@@ -129,6 +129,40 @@ object VectorOps {
   }
 }
 
+object TextChars {
+
+  /** All consecutive 3-char windows of a string (char-indexed, so
+    * multibyte-safe and identical to SQL substr semantics). One byte
+    * pass recording char-start offsets, then O(1) slices — both
+    * `UTF8String.substring(i, j)` per window (O(len) seek each) and
+    * the `transform(sequence(...))` HOF spelling (interpreted per
+    * element) are quadratic by comparison.
+    */
+  def charTrigrams(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](n + 1)
+    var count = 0
+    var i = 0
+    while (i < n) {
+      starts(count) = i
+      count += 1
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+    }
+    starts(count) = n
+    if (count < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count - 2)
+    var c = 0
+    while (c < count - 2) {
+      out(c) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, starts(c), starts(c + 3)))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashes {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime  = 0x100000001b3L

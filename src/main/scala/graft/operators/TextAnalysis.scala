@@ -279,35 +279,33 @@ object TextAnalysis {
     */
   def charTrigramAffinity(docs: DataFrame, profileSize: Int = 200): DataFrame = {
     // per-doc dedupe happens MAP-SIDE (array_distinct before the
-    // explode), so no corpus-wide distinct shuffle ever runs; the
-    // deduped array column is materialized once for its three
-    // consumers (profile, hits, totals)
-    val withGrams = docs
+    // explode), so no corpus-wide distinct shuffle ever runs
+    def withGrams = docs
       .select(col("doc_id"), col("lang"),
-        array_distinct(expr(
-          "CASE WHEN length(text) < 3 THEN array() " +
-            "ELSE transform(sequence(1, length(text) - 2), " +
-            "i -> substring(text, i, 3)) END")).as("grams"))
-      .localCheckpoint(true)
-    val grams = withGrams.select(col("doc_id"), col("lang"),
-      explode(col("grams")).as("trigram"))
+        array_distinct(gf.charTrigrams(col("text"))).as("grams"))
+    // pass 1: the per-lang profile — |langs|·profileSize rows total,
+    // folded to |langs| array rows and broadcast
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("trigram"))
-    val profile = grams.groupBy("lang", "trigram")
+    val profile = withGrams
+      .select(col("lang"), explode(col("grams")).as("trigram"))
+      .groupBy("lang", "trigram")
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= profileSize)
-      .select("lang", "trigram")
-    val hits = grams.join(broadcast(profile), Seq("lang", "trigram"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_profile_hits"))
+      .groupBy("lang").agg(collect_list("trigram").as("profile"))
+    // pass 2: scoring is fully row-local — array_intersect against
+    // the broadcast profile array; no explode, no shuffle, no pinned
+    // intermediate state
     withGrams
-      .select(col("doc_id"), col("lang"), size(col("grams")).cast("long").as("n_trigrams"))
+      .join(broadcast(profile), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        size(col("grams")).cast("long").as("n_trigrams"),
+        coalesce(size(array_intersect(col("grams"), col("profile"))).cast("long"),
+          lit(0L)).as("n_profile_hits"))
       .filter(col("n_trigrams") > 0) // <3-char docs have no trigrams to score
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"), col("n_trigrams"),
-        coalesce(col("n_profile_hits"), lit(0L)).as("n_profile_hits"),
-        round(coalesce(col("n_profile_hits"), lit(0L)) / col("n_trigrams"), 6)
-          .as("affinity"))
+      .withColumn("affinity",
+        round(col("n_profile_hits") / col("n_trigrams"), 6))
   }
 
   /** Token-length histogram per language: fixed-width buckets of the

@@ -33,17 +33,24 @@ object EventsJson {
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS]")
+      // no explicit timestampFormat: Spark's lenient ISO-8601 parser
+      // accepts 'Z'/offset suffixes and any fraction width — a fixed
+      // pattern would quarantine those valid wire forms wholesale
       .json(path)
 
   /** (clean, quarantined): clean rows drop the corrupt column;
     * quarantined rows carry the raw offending line for replay. A
     * line is quarantined if it failed to parse OR parsed without
     * the key identity fields.
+    *
+    * The two branches are lazy filters over the same source — each
+    * materialization re-reads the path (standard Spark laziness).
+    * For exact clean ∪ quarantined ≡ input accounting, snapshot the
+    * input (write both branches in one job, or read an immutable
+    * directory) rather than materializing the branches at different
+    * times against a moving directory.
     */
   def readWithQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
-    // json() lazily populates _corrupt_record; cache-free split via
-    // two filters over the same scan
     val raw = read(spark, path)
     val bad = col("_corrupt_record").isNotNull ||
       col("event_id").isNull || col("ts").isNull

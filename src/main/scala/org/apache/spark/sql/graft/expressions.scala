@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{TextHashes, VectorOps}
+import graft.functions.{TextChars, TextHashes, VectorOps}
 
 /** Native Catalyst expressions for graft's vector/text kernels.
   *
@@ -115,6 +115,28 @@ case class TokenShingleHashes(child: Expression, k: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       s => s"graft.functions.TextHashes.tokenShingleHashesFused($s, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All consecutive 3-char windows of a string — the codegen'd form
+  * of `transform(sequence(1, length-2), i -> substring(text, i, 3))`
+  * (which runs interpreted per element).
+  */
+case class CharTrigrams(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_trigrams"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextChars.charTrigrams(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextChars.charTrigrams($s)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -139,4 +139,20 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](3).length == 2)
     assert(r.getSeq[Long](4).length == 4)
   }
+
+  test("charTrigrams matches sliding substring semantics, multibyte-safe") {
+    val rows = Seq("abcdef", "ab", "", "日本語テスト", "aé日x")
+      .toDF("text")
+      .select($"text", graft.functions.gf.charTrigrams($"text").as("tg"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    def ref(s: String): Seq[String] = {
+      val chars = s.toSeq.map(_.toString) // BMP-only test data: 1 char = 1 code unit
+      if (chars.length < 3) Seq.empty
+      else chars.sliding(3).map(_.mkString).toSeq
+    }
+    rows.foreach { case (s, got) => assert(got == ref(s), s"for '$s'") }
+    assert(rows("日本語テスト") == Seq("日本語", "本語テ", "語テス", "テスト"))
+  }
 }
