@@ -272,6 +272,10 @@ object SparkEntry {
         .select("source", "sample_rank", "doc_id")),
     "text_trigram_affinity" -> ((s, dir) =>
       TextAnalysis.charTrigramAffinity(Tables.documents(s, dir))),
+    "q_shipping_delay" -> ((s, dir) =>
+      Analytics.shippingDelay(Tables.lineitem(s, dir), Tables.orders(s, dir))),
+    "q_return_rate" -> ((s, dir) =>
+      Analytics.returnRateByBrand(Tables.lineitem(s, dir), Tables.part(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -837,6 +841,24 @@ object SparkEntry {
           | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
           |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
           |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "q_shipping_delay" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | avg(datediff('day', o_orderdate, CAST(l_shipdate AS DATE))) AS avg_delay,
+        | min(datediff('day', o_orderdate, CAST(l_shipdate AS DATE))) AS min_delay,
+        | max(datediff('day', o_orderdate, CAST(l_shipdate AS DATE))) AS max_delay
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_return_rate" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_returned,
+        | round(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        |  / count(*), 6) AS return_rate,
+        | round(sum(CASE WHEN l_returnflag = 'R'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS returned_revenue_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
     "text_trigram_affinity" ->
       """WITH g AS (SELECT DISTINCT doc_id, lang, trigram FROM (
         |  SELECT doc_id, lang, substr(text,

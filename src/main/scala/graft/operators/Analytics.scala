@@ -416,6 +416,40 @@ object Analytics {
       .select("s_suppkey", "s_name", "s_acctbal")
   }
 
+  /** Order-to-ship delay distribution per priority: one fact-fact
+    * join (lineitem⋈orders), then integer day-diffs aggregated on a
+    * 5-value key — map-side partials collapse almost everything.
+    */
+  def shippingDelay(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), col("o_orderdate"))
+          .cast("long").as("delay_days"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        avg("delay_days").as("avg_delay"),
+        min("delay_days").as("min_delay"),
+        max("delay_days").as("max_delay"))
+
+  /** Return-rate by brand: returned-line share and revenue share as
+    * conditional-sum ratios inside one aggregate (the
+    * [[marketShare]] pattern on the returns dimension). */
+  def returnRateByBrand(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val returned = when(col("l_returnflag") === "R", 1L).otherwise(0L)
+    val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(returned).as("n_returned"),
+        round(sum(returned) / count(lit(1)), 6).as("return_rate"),
+        round(sum(when(col("l_returnflag") === "R", revenue).otherwise(lit(0.0))) /
+          sum(revenue), 6).as("returned_revenue_share"))
+  }
+
   /** Order status × priority matrix — a two-low-cardinality-key
     * aggregate (map-side partials collapse it almost entirely before
     * the exchange). Covers the status dimension of the order
