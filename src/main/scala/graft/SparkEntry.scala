@@ -276,6 +276,8 @@ object SparkEntry {
       Analytics.shippingDelay(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_return_rate" -> ((s, dir) =>
       Analytics.returnRateByBrand(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "dedup_exact_apply" -> ((s, dir) =>
+      Dedup.exactApply(Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -659,6 +661,12 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s) AS n_signup,
         | (SELECT count(*) FROM c) AS n_click_after,
         | (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin.replace("\n", " "),
+    "dedup_exact_apply" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id)
+        | FROM (SELECT doc_id,
+        |   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents) n GROUP BY norm)""".stripMargin.replace("\n", " "),
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM (SELECT doc_id,

@@ -27,6 +27,14 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** Apply exact dedup: the surviving documents themselves (metadata
+    * projection) — a semi-join of the corpus against the keeper set,
+    * i.e. what actually ships to training after the dedup decision.
+    */
+  def exactApply(docs: DataFrame): DataFrame =
+    docs.join(exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id", "lang", "source", "n_chars")
+
   /** Duplicate-group report: only groups with more than one copy. */
   def exactReport(docs: DataFrame): DataFrame =
     docs
