@@ -47,7 +47,9 @@ object Bench {
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        } catch { case scala.util.control.NonFatal(e) =>
+          // fatal JVM errors (OOM etc.) propagate and abort the run —
+          // timings taken on a broken JVM would be silently wrong
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }

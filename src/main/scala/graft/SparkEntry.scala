@@ -412,7 +412,7 @@ object SparkEntry {
       """WITH flagged AS (
         | SELECT user_id, ts, event_id, value,
         |  CASE WHEN lag(ts) OVER w IS NULL
-        |       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |       OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |numbered AS (
         | SELECT user_id, ts, value,

@@ -32,7 +32,11 @@ object ReservoirAgg {
     override def zero: Seq[(String, Long)] = Seq.empty
     private val ord = Ordering.Tuple2[String, Long]
     override def reduce(b: Seq[(String, Long)], e: KeyId): Seq[(String, Long)] =
-      if (b.size < k || ord.lt((e.key, e.id), b.last)) cap(b :+ (e.key -> e.id)) else b
+      // null sampling keys can't be ordered — skip them, matching the
+      // window variant's behavior of never selecting an unrankable row
+      if (e == null || e.key == null) b
+      else if (b.size < k || ord.lt((e.key, e.id), b.last)) cap(b :+ (e.key -> e.id))
+      else b
     override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
       cap(a ++ b)
     override def finish(b: Seq[(String, Long)]): Seq[Long] = b.map(_._2)

@@ -83,6 +83,13 @@ object VectorOps {
     */
   def pqEncode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
     val m = codebooks.length
+    var dims = 0
+    locally { var j = 0; while (j < m) { dims += codebooks(j)(0).length; j += 1 } }
+    // fail fast on a mixed-dim corpus — zero-padding here would
+    // silently produce wrong neighbors (codebooksFromSample only
+    // checks the sampled vectors)
+    require(v.numElements() == dims,
+      s"pq_encode: vector has ${v.numElements()} dims, codebooks cover $dims")
     val out = new Array[Any](m)
     var j = 0; var off = 0
     while (j < m) {
@@ -93,8 +100,7 @@ object VectorOps {
         val cent = cb(c)
         var d = 0.0; var i = 0
         while (i < sub) {
-          val x = if (off + i < v.numElements()) v.getFloat(off + i).toDouble else 0.0
-          val diff = x - cent(i)
+          val diff = v.getFloat(off + i).toDouble - cent(i)
           d += diff * diff; i += 1
         }
         if (d < bestD) { bestD = d; best = c }
@@ -112,13 +118,17 @@ object VectorOps {
     */
   def pqCosine(q: ArrayData, codes: ArrayData,
                codebooks: Array[Array[Array[Float]]]): Double = {
+    var dims = 0
+    locally { var j = 0; while (j < codebooks.length) { dims += codebooks(j)(0).length; j += 1 } }
+    require(q.numElements() == dims,
+      s"pq_cosine: query has ${q.numElements()} dims, codebooks cover $dims")
     var dot = 0.0; var nq = 0.0; var nx = 0.0
     var j = 0; var off = 0
     while (j < codebooks.length) {
       val cent = codebooks(j)(codes.getInt(j))
       var i = 0
       while (i < cent.length) {
-        val qv = if (off + i < q.numElements()) q.getFloat(off + i).toDouble else 0.0
+        val qv = q.getFloat(off + i).toDouble
         val xv = cent(i).toDouble
         dot += qv * xv; nq += qv * qv; nx += xv * xv
         i += 1
