@@ -178,6 +178,23 @@ object SparkEntry {
       DataSplit.assign(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")),
+    "split_assign_md5" -> ((s, dir) =>
+      DataSplit.assignPortable(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split")),
+    "q_forecast_revenue" -> ((s, dir) =>
+      Analytics.forecastRevenue(Tables.lineitem(s, dir))),
+    "q_promo_share" -> ((s, dir) =>
+      Analytics.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_disjunctive_revenue" -> ((s, dir) =>
+      Analytics.disjunctiveRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_sole_blame_supplier" -> ((s, dir) =>
+      Analytics.soleBlameSuppliers(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q_idle_rich_customers" -> ((s, dir) =>
+      Analytics.idleRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))),
+    "q_returned_customers" -> ((s, dir) =>
+      Analytics.returnedCustomers(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
     // §2.F multimodal
     "mm_blob_stats" -> ((s, dir) => Multimodal.blobStats(Tables.documents(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
@@ -796,6 +813,73 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8) <
         | CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '0ccccccc'
         |  ELSE '40000000' END""".stripMargin.replace("\n", " "),
+    "split_assign_md5" ->
+      """SELECT doc_id,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
+        |        < 'e6666666' THEN 'train'
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
+        |        < 'f3333333' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "q_forecast_revenue" ->
+      """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+        | sum(l_extendedprice * l_discount) AS forecast_revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_promo_share" ->
+      """SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,
+        | sum(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END) AS promo_revenue,
+        | sum(l_extendedprice * (1 - l_discount)) AS total_revenue,
+        | round(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN l_extendedprice * (1 - l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_disjunctive_revenue" ->
+      """SELECT p_brand,
+        | sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_sole_blame_supplier" ->
+      """WITH per AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return
+        | FROM lineitem GROUP BY 1, 2),
+        |flagged AS (
+        | SELECT l_suppkey, has_return,
+        |  count(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+        |  sum(has_return) OVER (PARTITION BY l_orderkey) AS n_with_returns
+        | FROM per)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE has_return = 1 AND n_suppliers > 1 AND n_with_returns = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 100""".stripMargin.replace("\n", " "),
+    "q_idle_rich_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        | sum(c_acctbal) AS total_acctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_returned_customers" ->
+      """WITH rev AS (
+        | SELECT o_custkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin.replace("\n", " "),
     "sample_uniform_k" ->
       """WITH r AS (SELECT source, doc_id, row_number() OVER (
         |  PARTITION BY source

@@ -536,4 +536,135 @@ object Analytics {
       first_value(col("o_orderdate")).over(full).as("first_order_date"),
       last_value(col("o_orderdate")).over(full).as("last_order_date"))
   }
+
+  /** TPC-H Q6-style forecast-revenue delta: tight conjunctive filter
+    * (discount band × quantity cap) then one sum per ship-year. The
+    * whole predicate pushes to the parquet scan — at 100 TB this is
+    * the query that should read almost nothing (row-group min/max
+    * stats skip non-matching files entirely).
+    */
+  def forecastRevenue(lineitem: DataFrame,
+                      discLo: Double = 0.05, discHi: Double = 0.07,
+                      maxQty: Double = 24.0): DataFrame =
+    lineitem
+      .filter(col("l_discount").between(discLo, discHi) && col("l_quantity") < maxQty)
+      .groupBy(year(to_date(col("l_shipdate"))).cast("long").as("ship_year"))
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("forecast_revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q14-style promo share: monthly conditional-sum ratio over
+    * the part-type dimension. Part is broadcast; one shuffle on the
+    * month key; the ratio is computed from two partial-agg-friendly
+    * sums, never a second pass.
+    */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", to_date(col("l_shipdate"))).cast("date").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        sum(revenue).as("total_revenue"))
+      .withColumn("promo_share",
+        round(col("promo_revenue") / col("total_revenue"), 6))
+  }
+
+  /** TPC-H Q19-style disjunctive predicate: OR-of-ANDs over
+    * (brand, quantity band). Spelled as one Column expression so
+    * Catalyst can push the common `p_brand IN (...)` prefix into the
+    * broadcast-dim filter and the quantity bounds into the fact scan
+    * — disjunctions are where naive planners fall back to full scans.
+    */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame,
+                         bands: Seq[(String, Double, Double)] =
+                         Seq(("Brand#1", 1, 11), ("Brand#2", 10, 20), ("Brand#3", 20, 30)))
+  : DataFrame = {
+    val pred = bands.map { case (brand, lo, hi) =>
+      col("p_brand") === brand && col("l_quantity").between(lo, hi)
+    }.reduce(_ || _)
+    lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .groupBy("p_brand")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21-flavored sole-blame suppliers: in orders served by
+    * more than one supplier, the supplier who is the ONLY one with
+    * returned lines. The classic double-correlated EXISTS/NOT EXISTS
+    * decorrelates into two aggregates: per-(order, supplier) return
+    * flags, then per-order supplier/return counts — both shuffle on
+    * l_orderkey once, and no self-join ever replicates the fact.
+    */
+  def soleBlameSuppliers(lineitem: DataFrame, supplier: DataFrame,
+                         topN: Int = 100): DataFrame = {
+    // one explicit l_orderkey shuffle up front: hash-partitioning on
+    // l_orderkey alone satisfies BOTH the (orderkey, suppkey) group
+    // and the per-order window, so neither re-exchanges. The per-pair
+    // key is near-unique in lineitem, so the map-side combine a
+    // groupBy-first plan would add has almost nothing to combine —
+    // this shape shuffles the fact once instead of ~twice.
+    val perSupp = lineitem
+      .select("l_orderkey", "l_suppkey", "l_returnflag")
+      .repartition(col("l_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_return"))
+    val perOrder = Window.partitionBy("l_orderkey")
+    val blamed = perSupp
+      .withColumn("n_suppliers", count(lit(1)).over(perOrder))
+      .withColumn("n_with_returns", sum("has_return").over(perOrder))
+      .filter(col("has_return") === 1 && col("n_suppliers") > 1 &&
+        col("n_with_returns") === 1)
+    blamed
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(topN)
+  }
+
+  /** TPC-H Q22-flavored idle rich customers: above-global-average
+    * balance and no orders since `cutoff`, rolled up per segment.
+    * The global mean is a one-row broadcast (scalar subquery shape);
+    * the "no recent orders" is a left-anti join against only the
+    * post-cutoff slice of orders — the anti side is pre-filtered so
+    * the join state is months, not history.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+                        cutoff: String = "2000-01-01"): DataFrame = {
+    val avgBal = customer.agg(avg("c_acctbal").as("avg_bal"))
+    val recent = orders.filter(col("o_orderdate") >= lit(cutoff))
+      .select("o_custkey").distinct()
+    customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("c_acctbal").as("total_acctbal"))
+  }
+
+  /** TPC-H Q10-style returned-revenue customers: revenue lost to
+    * returns per customer, top-N. The fact filters to returned lines
+    * BEFORE the orders join (smallest side into the shuffle);
+    * customer and nation enrich the small aggregated result, not the
+    * fact.
+    */
+  def returnedCustomers(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, nation: DataFrame,
+                        n: Int = 20): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(n)
 }

@@ -37,6 +37,30 @@ object DataSplit {
     df.withColumn("split", label)
   }
 
+  /** [[assign]] on the portable `md5(id:salt)` key ([[Sampling]]'s
+    * sampling hash) instead of xxhash64: ~4× more hash work per row,
+    * but the assignment replays bit-for-bit in any engine with md5 —
+    * so the split decision itself is oracle-checkable and survives a
+    * migration off Spark. Cut points are the cumulative-weight hex
+    * thresholds; comparison is plain string order on lowercase hex.
+    */
+  def assignPortable(df: DataFrame, idCol: String,
+                     weights: Seq[(String, Double)],
+                     salt: String = "split42"): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 >= 0), s"weights must be non-negative: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val key = Sampling.sampleKey(col(idCol), salt)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val label = weights.zip(cuts).foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), fallback) =>
+        when(key < lit(Sampling.hexThreshold(math.min(cut, 1.0))), name)
+          .otherwise(fallback)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Convenience: materialized per-split frames. */
   def splits(df: DataFrame, idCol: String,
              weights: Seq[(String, Double)], seed: Long = 42L): Map[String, DataFrame] = {

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+
+/** Crafted-input specs for the round-4 relational operators (the
+  * TPC-H Q6/Q10/Q14/Q19/Q21/Q22-flavored queries). Each test builds
+  * the smallest dataset where the operator's distinguishing branch
+  * matters — the oracle gate covers the full-table semantics.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li(rows: (Long, Long, Long, Double, Double, Double, String, String)*) =
+    rows.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+
+  test("forecastRevenue keeps only the discount band and quantity cap") {
+    val l = li(
+      (1L, 1L, 1L, 10.0, 100.0, 0.06, "N", "1995-03-01"), // kept
+      (2L, 1L, 1L, 30.0, 100.0, 0.06, "N", "1995-04-01"), // qty too high
+      (3L, 1L, 1L, 10.0, 100.0, 0.02, "N", "1995-05-01"), // discount below band
+      (4L, 1L, 1L, 10.0, 200.0, 0.07, "N", "1996-01-01")) // kept, other year
+    val out = Analytics.forecastRevenue(l).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1995L, 1996L))
+    assert(math.abs(out(1995L)._1 - 6.0) < 1e-9 && out(1995L)._2 == 1L)
+    assert(math.abs(out(1996L)._1 - 14.0) < 1e-9 && out(1996L)._2 == 1L)
+  }
+
+  test("promoShare is promo revenue over total revenue per month") {
+    val l = li(
+      (1L, 1L, 1L, 1.0, 100.0, 0.0, "N", "1995-03-05"),
+      (2L, 2L, 1L, 1.0, 300.0, 0.0, "N", "1995-03-20"))
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val r = Analytics.promoShare(l, part).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Double]("promo_share") == 0.25)
+    assert(r(0).getAs[Double]("total_revenue") == 400.0)
+  }
+
+  test("disjunctiveRevenue applies each band to its own brand only") {
+    val l = li(
+      (1L, 1L, 1L, 5.0, 100.0, 0.0, "N", "1995-01-01"),  // Brand#1 qty 5: in [1,11]
+      (2L, 2L, 1L, 5.0, 100.0, 0.0, "N", "1995-01-01"),  // Brand#2 qty 5: NOT in [10,20]
+      (3L, 2L, 1L, 15.0, 50.0, 0.0, "N", "1995-01-01"))  // Brand#2 qty 15: in band
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#2")).toDF("p_partkey", "p_brand")
+    val out = Analytics.disjunctiveRevenue(l, part).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out == Map("Brand#1" -> (100.0, 1L), "Brand#2" -> (50.0, 1L)))
+  }
+
+  test("soleBlameSuppliers: only supplier with returns in a multi-supplier order") {
+    val l = li(
+      // order 1: two suppliers, only supplier 10 has a return -> blamed
+      (1L, 1L, 10L, 1.0, 1.0, 0.0, "R", "1995-01-01"),
+      (1L, 2L, 20L, 1.0, 1.0, 0.0, "N", "1995-01-01"),
+      // order 2: both suppliers have returns -> nobody is solely to blame
+      (2L, 1L, 10L, 1.0, 1.0, 0.0, "R", "1995-01-01"),
+      (2L, 2L, 20L, 1.0, 1.0, 0.0, "R", "1995-01-01"),
+      // order 3: single-supplier order with a return -> excluded (no peers)
+      (3L, 1L, 30L, 1.0, 1.0, 0.0, "R", "1995-01-01"))
+    val supplier = Seq((10L, "s10"), (20L, "s20"), (30L, "s30"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.soleBlameSuppliers(l, supplier).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, "s10", 1L)))
+  }
+
+  test("idleRichCustomers needs above-average balance AND no recent orders") {
+    val customer = Seq(
+      (1L, 1000.0, "A"), // rich, idle -> counted
+      (2L, 1000.0, "A"), // rich, but ordered recently -> dropped
+      (3L, 10.0, "B"))   // poor -> dropped (avg is 670)
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq(
+      (2L, "2001-05-01"), (1L, "1999-01-01")) // cust 1's order predates cutoff
+      .toDF("o_custkey", "o_orderdate_s")
+      .select($"o_custkey", $"o_orderdate_s".cast("date").as("o_orderdate"))
+    val out = Analytics.idleRichCustomers(customer, orders).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("A", 1L, 1000.0)))
+  }
+
+  test("returnedCustomers ranks by returned revenue with deterministic ties") {
+    val l = li(
+      (1L, 1L, 1L, 1.0, 100.0, 0.0, "R", "1995-01-01"),
+      (2L, 1L, 1L, 1.0, 500.0, 0.5, "R", "1995-01-01"), // cust 2: 250
+      (3L, 1L, 1L, 1.0, 999.0, 0.0, "N", "1995-01-01")) // not returned
+    val orders = Seq((1L, 1L), (2L, 2L), (3L, 2L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((1L, "c1", 1L, 5.0), (2L, "c2", 1L, 6.0))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+    val nation = Seq((1L, "FRANCE")).toDF("n_nationkey", "n_name")
+    val out = Analytics.returnedCustomers(l, orders, customer, nation)
+      .select("c_custkey", "revenue").as[(Long, Double)].collect()
+    assert(out.toSeq == Seq((2L, 250.0), (1L, 100.0)))
+  }
+}

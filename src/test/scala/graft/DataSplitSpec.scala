@@ -44,4 +44,34 @@ class DataSplitSpec extends SparkSpec {
       DataSplit.assign(ids, "id", Seq("a" -> 0.5, "b" -> 0.2))
     }
   }
+
+  test("portable split matches an independent md5 replay") {
+    // re-derive the assignment outside Spark: the portability claim
+    // is that any engine with md5 reproduces the split bit-for-bit
+    def replay(id: Long): String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:split42".getBytes("UTF-8"))
+      val hex8 = digest.take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (hex8 < "cccccccc") "train" else if (hex8 < "e6666666") "val" else "test"
+    }
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = DataSplit.assignPortable(ids, "id", w).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    got.foreach { case (id, split) =>
+      assert(split == replay(id), s"id $id: spark=$split replay=${replay(id)}")
+    }
+  }
+
+  test("portable split is partition-independent with ~correct proportions") {
+    val w = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = DataSplit.assignPortable(ids, "id", w).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = DataSplit.assignPortable(ids.repartition(7), "id", w).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    val counts = a.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(math.abs(counts("train") - 9000) < 300, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 500) < 150, s"val ${counts("val")}")
+    assert(math.abs(counts("test") - 500) < 150, s"test ${counts("test")}")
+  }
 }

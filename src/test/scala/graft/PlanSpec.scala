@@ -81,6 +81,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("(sum_qty"), s"expected sum_qty filter in plan:\n$p")
   }
 
+  test("forecastRevenue pushes the whole predicate to the scan") {
+    val p = plan(Analytics.forecastRevenue(Tables.lineitem(spark, dir)))
+    // the PushedFilters list is elided in toString — assert on the
+    // DataFilters/Filter spellings, which carry the same predicates
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+      "\\(l_quantity#\\d+ < 24\\.0\\)".r.findFirstIn(p).isDefined,
+      s"discount band + quantity cap must reach the parquet scan:\n$p")
+    assert(!p.contains("l_orderkey"), s"unused columns must prune:\n$p")
+  }
+
+  test("disjunctiveRevenue broadcasts part and keeps one shuffle") {
+    val p = plan(Analytics.disjunctiveRevenue(Tables.lineitem(spark, dir),
+      Tables.part(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"only the groupBy may shuffle, got $exchanges:\n$p")
+    // the brand IN prefix of the OR-of-ANDs must reach the part scan
+    assert(p.contains("In(p_brand") || p.contains("Or(EqualTo(p_brand"),
+      s"brand disjunction should push into the dim scan:\n$p")
+  }
+
+  test("soleBlameSuppliers shuffles the fact once, never self-joins it") {
+    val p = plan(Analytics.soleBlameSuppliers(Tables.lineitem(spark, dir),
+      Tables.supplier(spark, dir)))
+    val factShuffles = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(p).length
+    assert(factShuffles == 1,
+      s"per-(order,supplier) agg and per-order window share one l_orderkey shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no fact self-join allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"supplier must broadcast:\n$p")
+  }
+
+  test("idleRichCustomers broadcasts the scalar average and the anti side") {
+    val p = plan(Analytics.idleRichCustomers(Tables.customer(spark, dir),
+      Tables.orders(spark, dir)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the one-row average must broadcast:\n$p")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"the cutoff must reach the orders scan:\n$p")
+  }
+
   test("packing prefix sum never uses a global (unpartitioned) window") {
     val perDoc = graft.operators.Packing.tokensPerDoc(Tables.documents(spark, dir))
     val p = plan(graft.operators.Packing.prefixSum(perDoc))
