@@ -182,6 +182,12 @@ object SparkEntry {
       DataSplit.assignPortable(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")),
+    "text_decontaminate" -> ((s, dir) =>
+      TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+        least(lit(1.0), col("n_chars") / lit(2000.0)))
+        .select("doc_id", "source", "n_chars")),
     "q_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
     "q_promo_share" -> ((s, dir) =>
@@ -813,6 +819,25 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8) <
         | CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '0ccccccc'
         |  ELSE '40000000' END""".stripMargin.replace("\n", " "),
+    "text_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM corpus JOIN bench USING (gram) GROUP BY 1""".stripMargin.replace("\n", " "),
+    "sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':w42'), 1, 8) <
+        | CASE WHEN least(1.0, n_chars / 2000.0) >= 1.0 THEN 'g'
+        |  ELSE printf('%08x',
+        |   CAST(floor(greatest(least(1.0, n_chars / 2000.0), 0.0) * 4294967296)
+        |    AS BIGINT)) END""".stripMargin.replace("\n", " "),
     "split_assign_md5" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)

@@ -96,4 +96,21 @@ object Sampling {
       .select(col(stratumCol), posexplode(col("ids")))
       .select(col(stratumCol), (col("pos") + 1).cast("long").as("sample_rank"),
         col("col").as(idCol))
+
+  /** Per-row weighted Bernoulli sample: each row keeps with
+    * probability `weight` (a Column in [0,1], e.g. a quality score) —
+    * up/down-weighting sources by quality without a shuffle or any
+    * sampling state. The row-wise hex threshold is
+    * `printf("%08x", floor(w·16^8))`, so the decision stays portable
+    * (the oracle replays it); weights ≥ 1 compare against "g", which
+    * clears every hex key ([[thresholdLit]]'s full-keep rule), and
+    * weights ≤ 0 yield "00000000", which no key is below.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     salt: String = "w42"): DataFrame = {
+    val threshold = when(weight >= 1.0, lit("g"))
+      .otherwise(format_string("%08x",
+        floor(greatest(weight, lit(0.0)) * lit(4294967296.0)).cast("long")))
+    df.filter(sampleKey(col(idCol), salt) < threshold)
+  }
 }

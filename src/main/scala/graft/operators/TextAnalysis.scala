@@ -312,6 +312,36 @@ object TextAnalysis {
     * whitespace token count. Integer-only arithmetic (portable), one
     * narrow projection + one aggregation.
     */
+  /** Benchmark decontamination: flag corpus documents sharing any
+    * token n-gram with a held-out benchmark set (here: a deterministic
+    * doc_id slice standing in for an eval suite). The real-world
+    * contract — tiny benchmark, vast corpus — is what makes this
+    * scale: the benchmark's distinct n-grams broadcast, so the corpus
+    * side is a map-side hash semi-join with no shuffle; only matched
+    * (doc, gram) rows reach the per-doc count exchange. N-grams are
+    * kept as plain strings so any engine can replay the check
+    * bit-for-bit; at 100 TB you'd hash them to 8 bytes first (same
+    * plan shape, smaller broadcast).
+    */
+  def decontaminate(docs: DataFrame, n: Int = 3, benchMod: Int = 97): DataFrame = {
+    def grams(d: DataFrame): DataFrame = {
+      val toks = tokens(col("text"))
+      d.select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          explode(when(size(col("toks")) >= n,
+            array_distinct(transform(
+              sequence(lit(0), size(col("toks")) - n),
+              i => array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+    }
+    val bench = broadcast(
+      grams(docs.filter(col("doc_id") % benchMod === 0)).select("gram").distinct())
+    grams(docs.filter(col("doc_id") % benchMod =!= 0))
+      .join(bench, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+  }
+
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
     docs
       .select(col("lang"),

@@ -82,4 +82,30 @@ class SamplingSpec extends SparkSpec {
     assert(a.select("doc_id").as[Long].collect().sorted.toSeq ==
       b.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("weightedSample keeps ~weight fraction, edge weights exact") {
+    val ids = (1L to 20000L).toDF("id")
+    assert(Sampling.weightedSample(ids, "id", lit(0.0)).count() == 0L)
+    assert(Sampling.weightedSample(ids, "id", lit(-0.5)).count() == 0L)
+    assert(Sampling.weightedSample(ids, "id", lit(1.0)).count() == 20000L)
+    assert(Sampling.weightedSample(ids, "id", lit(1.5)).count() == 20000L)
+    val half = Sampling.weightedSample(ids, "id", lit(0.5)).count()
+    assert(math.abs(half - 10000L) < 400, s"rate-0.5 kept $half of 20000")
+    // per-row weights: keep-rate tracks each row's own weight
+    val rows = (1L to 20000L).toDF("id")
+      .withColumn("w", when($"id" % 2 === 0, 0.9).otherwise(0.1))
+    val kept = Sampling.weightedSample(rows, "id", $"w")
+      .groupBy($"id" % 2).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept(0L) - 9000L) < 400, s"w=0.9 stratum kept ${kept(0L)}")
+    assert(math.abs(kept(1L) - 1000L) < 300, s"w=0.1 stratum kept ${kept(1L)}")
+  }
+
+  test("weightedSample is deterministic and partition-independent") {
+    val ids = (1L to 5000L).toDF("id")
+    val a = Sampling.weightedSample(ids, "id", lit(0.3)).as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedSample(ids.repartition(13), "id", lit(0.3))
+      .as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
 }

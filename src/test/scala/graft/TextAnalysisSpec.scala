@@ -86,4 +86,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) == out(1))
     assert(out(0) != out(2))
   }
+
+  test("decontaminate counts distinct benchmark n-grams per corpus doc") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),          // benchmark (0 % 97 == 0)
+      (1L, "x alpha beta gamma y"),            // shares "alpha beta gamma"
+      (2L, "beta gamma delta alpha beta gamma delta"), // shares 2 distinct grams
+      (3L, "nothing in common here at all"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L),
+      s"doc 2 repeats grams but must count each distinct gram once: $out")
+  }
 }
