@@ -77,6 +77,14 @@ object SparkEntry {
     "q3_top_unshipped" -> ((s, dir) =>
       Analytics.topRevenueOrders(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    "q3_bloom_pruned" -> ((s, dir) =>
+      Analytics.topRevenueOrdersBloom(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "events_heavy_hitters" -> ((s, dir) =>
+      Analytics.heavyHitters(Tables.events(s, dir))),
+    "stream_enrich" -> ((s, dir) =>
+      graft.streaming.EventStream.enrichedSegmentStats(
+        Tables.events(s, dir), Tables.customer(s, dir))),
     "q5_regional_revenue" -> ((s, dir) =>
       Analytics.regionalRevenue(Tables.region(s, dir), Tables.nation(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.orders(s, dir),
@@ -339,7 +347,9 @@ object SparkEntry {
     m + ("q_brand_revenue_salted" -> m("q_brand_revenue")) +
       ("stream_session_window" -> m("q_session_window")) +
       ("stream_dedup_within_wm" -> m("stream_dedup")) +
-      ("sample_uniform_k_agg" -> m("sample_uniform_k"))
+      ("sample_uniform_k_agg" -> m("sample_uniform_k")) +
+      // Bloom pruning changes the physical plan, never the result
+      ("q3_bloom_pruned" -> m("q3_top_unshipped"))
   }
 
   private def base: Map[String, String] = Map(
@@ -819,6 +829,17 @@ object SparkEntry {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 8) <
         | CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN '0ccccccc'
         |  ELSE '40000000' END""".stripMargin.replace("\n", " "),
+    "events_heavy_hitters" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY 1)
+        |SELECT user_id, n_events FROM c
+        |WHERE n_events > (SELECT avg(n_events) * 1.25 FROM c)""".stripMargin
+        .replace("\n", " "),
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events,
+        | sum(value) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "text_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

@@ -48,6 +48,50 @@ object Analytics {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(n)
 
+  /** [[topRevenueOrders]] with an explicit Bloom runtime filter: the
+    * segment predicate qualifies ~1/5 of customers, so the qualifying
+    * order keys are Bloom-compacted and lineitem is pruned BEFORE its
+    * join shuffle. Same result (false positives die in the real
+    * join — shares the q3 oracle); the win is the shuffle writing
+    * ~selectivity of the fact instead of all of it. The extra
+    * `count()` job prices the filter's size honestly — at scale you'd
+    * take it from table statistics instead.
+    */
+  def topRevenueOrdersBloom(customer: DataFrame, orders: DataFrame,
+                            lineitem: DataFrame,
+                            segment: String = "BUILDING", n: Int = 10): DataFrame = {
+    val qualOrders = orders
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)
+        .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_custkey")
+    val bf = BloomPrune.keyFilter(qualOrders, "o_orderkey",
+      expectedItems = qualOrders.count())
+    BloomPrune.prune(lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", bf)
+      .join(qualOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(n)
+  }
+
+  /** Exact heavy hitters over the event stream: users whose event
+    * count exceeds `factor`× the per-user mean. Two aggregates — the
+    * per-user count (one shuffle) and a one-row mean over those
+    * counts (broadcast back as a scalar) — so the fact is read once.
+    * At 100 TB with too many users for an exact per-key count,
+    * the swap is a Misra-Gries / Count-Min summary per partition
+    * merged on the driver; this exact form is also the oracle for
+    * validating that sketch's error bound.
+    */
+  def heavyHitters(events: DataFrame, factor: Double = 1.25): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val thr = counts.agg((avg("n_events") * factor).as("thr"))
+    counts.crossJoin(broadcast(thr))
+      .filter(col("n_events") > col("thr"))
+      .select(col("user_id"), col("n_events"))
+  }
+
   /** TPC-H Q5-style: six-way join with all dims broadcast, revenue by
     * nation (supplier and customer in the same nation).
     */

@@ -34,6 +34,21 @@ object EventStream extends Serializable {
         col("window.start").as("window_start"),
         col("event_type"), col("num_events"), col("total_value"))
 
+  /** Stream-static enrichment: the event stream joined against a
+    * slowly-changing dimension (customer segment), aggregated per
+    * (segment, event_type). The static side broadcasts, so the
+    * streaming micro-batches never shuffle for the join — the only
+    * stateful piece is the running aggregate, whose key space is
+    * |segments|×|event types| (tiny, bounded). Batch form is the
+    * oracle twin; streaming runs in update mode.
+    */
+  def enrichedSegmentStats(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+
   /** Watermark + dropDuplicates on event_id — exactly-once style
     * dedup with bounded state in streaming; plain distinct-by-key in
     * batch.

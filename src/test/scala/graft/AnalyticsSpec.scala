@@ -82,6 +82,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("A", 1L, 1000.0)))
   }
 
+  test("heavyHitters keeps only users above factor×mean count") {
+    val events = (Seq.fill(10)(1L) ++ Seq.fill(10)(2L) ++ Seq.fill(40)(3L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+      .toDF("event_id", "user_id")
+    // mean count = 20; only user 3 (40 events) clears 1.25×20 = 25
+    val out = Analytics.heavyHitters(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.toSeq == Seq(3L -> 40L))
+  }
+
+  test("bloom-pruned q3 is result-identical to the unpruned plan") {
+    val dir = "/root/testdata/sf0.001"
+    val plain = Analytics.topRevenueOrders(
+      graft.sources.Tables.customer(spark, dir),
+      graft.sources.Tables.orders(spark, dir),
+      graft.sources.Tables.lineitem(spark, dir)).collect().toSeq
+    val pruned = Analytics.topRevenueOrdersBloom(
+      graft.sources.Tables.customer(spark, dir),
+      graft.sources.Tables.orders(spark, dir),
+      graft.sources.Tables.lineitem(spark, dir)).collect().toSeq
+    assert(plain.size == pruned.size)
+    plain.zip(pruned).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.get(1) == b.get(1))
+      // pruning reorders the partial sums — identical up to float ulps
+      assert(math.abs(a.getDouble(2) - b.getDouble(2)) <= 1e-6 * math.abs(a.getDouble(2)))
+    }
+  }
+
   test("returnedCustomers ranks by returned revenue with deterministic ties") {
     val l = li(
       (1L, 1L, 1L, 1.0, 100.0, 0.0, "R", "1995-01-01"),

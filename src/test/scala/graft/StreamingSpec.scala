@@ -45,6 +45,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedSegmentStats joins the static dim and merges across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[Event]
+    val q = EventStream.enrichedSegmentStats(mem.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Event(1L, ts(0, 5), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // second micro-batch must merge into the same (segment, type) key
+      mem.addData(
+        Event(2L, ts(0, 10), 1L, "click", 2.0),
+        Event(3L, ts(0, 15), 2L, "view", 5.0),
+        Event(4L, ts(0, 20), 9L, "click", 7.0)) // user 9: no dim row, dropped
+      q.processAllAvailable()
+      val rows = spark.table("enrich_test").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(rows == Map(
+        ("BUILDING", "click") -> (2L, 3.0),
+        ("MACHINERY", "view") -> (1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupEvents drops duplicate event ids in-stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
