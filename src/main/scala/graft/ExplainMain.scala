@@ -12,7 +12,9 @@ object ExplainMain {
       "etl_sales_summary", "q5_regional_revenue", "q_customer_enrich",
       "q_asof_join", "dedup_minhash_lsh", "ann_bruteforce_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "docs_pack_sequences",
-      "text_lm_score", "q_nation_volume", "sample_uniform_k_agg")
+      "text_lm_score", "q_nation_volume", "sample_uniform_k_agg",
+      "q3_bloom_pruned", "q_sole_blame_supplier", "text_decontaminate",
+      "q_topn_per_group_agg")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

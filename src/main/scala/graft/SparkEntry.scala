@@ -95,6 +95,8 @@ object SparkEntry {
     "q_topn_per_group" -> ((s, dir) =>
       Analytics.topCustomersPerSegment(Tables.customer(s, dir))
         .withColumn("rank_in_segment", col("rank_in_segment").cast("long"))),
+    "q_topn_per_group_agg" -> ((s, dir) =>
+      Analytics.topCustomersPerSegmentAgg(Tables.customer(s, dir))),
     "q_running_totals" -> ((s, dir) => Analytics.runningTotals(Tables.orders(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Analytics.customerOrderPresence(Tables.customer(s, dir), Tables.orders(s, dir))),
@@ -349,7 +351,8 @@ object SparkEntry {
       ("stream_dedup_within_wm" -> m("stream_dedup")) +
       ("sample_uniform_k_agg" -> m("sample_uniform_k")) +
       // Bloom pruning changes the physical plan, never the result
-      ("q3_bloom_pruned" -> m("q3_top_unshipped"))
+      ("q3_bloom_pruned" -> m("q3_top_unshipped")) +
+      ("q_topn_per_group_agg" -> m("q_topn_per_group"))
   }
 
   private def base: Map[String, String] = Map(

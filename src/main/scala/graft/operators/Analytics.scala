@@ -135,6 +135,24 @@ object Analytics {
       .select("c_mktsegment", "rank_in_segment", "c_custkey", "c_name", "c_acctbal")
   }
 
+  /** [[topCustomersPerSegment]] through the bounded-memory
+    * [[graft.functions.TopKAgg]] aggregator: map tasks pre-reduce
+    * each segment to ≤ n candidates, so the exchange carries
+    * |segments|·n rows where the window variant sort-shuffles every
+    * customer. Result-identical (shares the oracle).
+    */
+  def topCustomersPerSegmentAgg(customer: DataFrame, n: Int = 5): DataFrame =
+    customer
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKAgg.largestKWithPayload(
+        col("c_acctbal"), col("c_custkey"), col("c_name"), n).as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"),
+        (col("pos") + 1).cast("long").as("rank_in_segment"),
+        col("col._2").as("c_custkey"),
+        col("col._3").as("c_name"),
+        col("col._1").as("c_acctbal"))
+
   /** Running total + 3-row moving average of order value per
     * customer, ordered by date (event-time ordering tie-broken by
     * key). Partitioned by customer → parallel across the cluster.

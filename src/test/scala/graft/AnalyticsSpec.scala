@@ -110,6 +110,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("aggregator top-k matches the window formulation exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val win = Analytics.topCustomersPerSegment(cust)
+      .withColumn("rank_in_segment", col("rank_in_segment").cast("long"))
+      .collect().map(_.toSeq).toSet
+    val agg = Analytics.topCustomersPerSegmentAgg(cust)
+      .collect().map(_.toSeq).toSet
+    assert(win == agg)
+  }
+
   test("returnedCustomers ranks by returned revenue with deterministic ties") {
     val l = li(
       (1L, 1L, 1L, 1.0, 100.0, 0.0, "R", "1995-01-01"),
