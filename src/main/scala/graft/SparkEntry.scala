@@ -82,6 +82,8 @@ object SparkEntry {
         Tables.lineitem(s, dir))),
     "events_heavy_hitters" -> ((s, dir) =>
       Analytics.heavyHitters(Tables.events(s, dir))),
+    "events_heavy_hitters_mg" -> ((s, dir) =>
+      EventOps.approxHeavyHitters(Tables.events(s, dir))),
     "stream_enrich" -> ((s, dir) =>
       graft.streaming.EventStream.enrichedSegmentStats(
         Tables.events(s, dir), Tables.customer(s, dir))),
@@ -194,6 +196,8 @@ object SparkEntry {
         .select("doc_id", "split")),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "text_chunk_dedup" -> ((s, dir) =>
+      TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
         least(lit(1.0), col("n_chars") / lit(2000.0)))
@@ -352,7 +356,9 @@ object SparkEntry {
       ("sample_uniform_k_agg" -> m("sample_uniform_k")) +
       // Bloom pruning changes the physical plan, never the result
       ("q3_bloom_pruned" -> m("q3_top_unshipped")) +
-      ("q_topn_per_group_agg" -> m("q_topn_per_group"))
+      ("q_topn_per_group_agg" -> m("q_topn_per_group")) +
+      // exact (no evictions) while distinct keys per partition <= k
+      ("events_heavy_hitters_mg" -> m("events_heavy_hitters"))
   }
 
   private def base: Map[String, String] = Map(
@@ -862,6 +868,18 @@ object SparkEntry {
         |  ELSE printf('%08x',
         |   CAST(floor(greatest(least(1.0, n_chars / 2000.0), 0.0) * 4294967296)
         |    AS BIGINT)) END""".stripMargin.replace("\n", " "),
+    "text_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |c AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+        |  THEN list_transform(range(1, len(toks) - 6, 8),
+        |   i -> md5(array_to_string(toks[i:i+7], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END) AS chunk_md5 FROM t)
+        |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | count(*) AS n_occurrences
+        |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
+        .replace("\n", " "),
     "split_assign_md5" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)

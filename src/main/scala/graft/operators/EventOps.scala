@@ -43,6 +43,54 @@ object EventOps {
       percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
       percentile_approx(col("value"), lit(0.9), lit(1000)).as("approx_p90"))
 
+  /** Misra-Gries heavy hitters: each partition keeps at most `k`
+    * counters (the decrement-all step evicts light keys), then the
+    * ≤ partitions·k surviving (key, count) summaries merge with one
+    * tiny shuffle — memory and shuffle are O(k), independent of key
+    * cardinality. Guarantee: any key with true frequency > N/k
+    * survives, and its merged count underestimates by at most N/k.
+    *
+    * While every partition sees ≤ k distinct keys there are no
+    * evictions, counts are exact, and the result equals
+    * [[Analytics.heavyHitters]] — which is why the driver checks
+    * this entry against the exact query's oracle at test scale
+    * (≤ 1.5k users vs k=2048). At 100 TB key cardinality k stays
+    * fixed and the answer degrades gracefully per the bound — that
+    * regime is what `MisraGriesSpec`-style crafted-skew tests cover.
+    */
+  def approxHeavyHitters(events: DataFrame, k: Int = 2048,
+                         factor: Double = 1.25): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val longEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val pairEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val summaries = events.select(col("user_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        it.foreach { u =>
+          counters.get(u) match {
+            case Some(c) => counters.update(u, c + 1)
+            case None if counters.size < k => counters.update(u, 1L)
+            case None =>
+              // decrement-all: one shared "charge" against every
+              // counter and the incoming key; zeros evict
+              val dead = List.newBuilder[Long]
+              counters.foreach { case (key, c) =>
+                if (c == 1L) dead += key else counters.update(key, c - 1)
+              }
+              dead.result().foreach(counters.remove)
+          }
+        }
+        counters.iterator.map { case (u, c) => (u, c) }
+      }
+    val merged = summaries.toDF("user_id", "est_count")
+      .groupBy("user_id").agg(sum("est_count").as("n_events"))
+    val thr = merged.agg((avg("n_events") * factor).as("thr"))
+    merged.crossJoin(broadcast(thr))
+      .filter(col("n_events") > col("thr"))
+      .select(col("user_id"), col("n_events"))
+  }
+
   /** Exact distinct-user variant (shuffles user ids; the approx one
     * above is the 100 TB default). */
   def hourlyDistinctUsers(events: DataFrame): DataFrame =

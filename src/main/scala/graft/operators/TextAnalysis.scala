@@ -342,6 +342,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Sub-document (chunk-level) dedup: split every document into
+    * non-overlapping `n`-token chunks, hash each, and report chunks
+    * shared across documents — the boilerplate/copied-span detector
+    * that document-level dedup can't see (a doc that is 95% unique
+    * still carries the shared header). Only 16-byte digests ever
+    * shuffle; the chunk text stays in the map task. Same explode →
+    * two-level count shape at any corpus size.
+    */
+  def chunkDedup(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n, lit(n)),
+            i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<string>"))).as("chunk_md5"))
+      .groupBy("chunk_md5")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+  }
+
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
     docs
       .select(col("lang"),

@@ -121,6 +121,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(win == agg)
   }
 
+  test("misra-gries matches the exact heavy hitters when k covers the keys") {
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.sources.Tables.events(spark, dir)
+    val exact = Analytics.heavyHitters(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mg = graft.operators.EventOps.approxHeavyHitters(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact == mg)
+  }
+
+  test("misra-gries under eviction still surfaces true heavies within N/k") {
+    // one dominant key among 500 singletons, k far below cardinality
+    val ids = (Seq.fill(1000)(7L) ++ (100L until 600L)).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+    val events = ids.toDF("event_id", "user_id").repartition(4)
+    val out = graft.operators.EventOps.approxHeavyHitters(events, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = 1500.0
+    assert(out.contains(7L), s"true heavy key must survive: $out")
+    assert(out(7L) >= 1000L - (n / 10).toLong && out(7L) <= 1000L,
+      s"estimate ${out(7L)} outside the N/k bound")
+  }
+
   test("returnedCustomers ranks by returned revenue with deterministic ties") {
     val l = li(
       (1L, 1L, 1L, 1.0, 100.0, 0.0, "R", "1995-01-01"),

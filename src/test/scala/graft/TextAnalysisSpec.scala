@@ -87,6 +87,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0) != out(2))
   }
 
+  test("chunkDedup finds cross-document shared chunks only") {
+    val eight = "a b c d e f g h"
+    val other = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"$eight $other"),        // chunk1 shared, chunk2 unique
+      (2L, s"$eight x y z q w e r t"), // repeats chunk1
+      (3L, "only seven tokens here not more no")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDedup(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 1, s"only the shared chunk qualifies: ${out.toSeq}")
+    assert(out(0)._2 == 2L && out(0)._3 == 2L)
+  }
+
   test("decontaminate counts distinct benchmark n-grams per corpus doc") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),          // benchmark (0 % 97 == 0)
