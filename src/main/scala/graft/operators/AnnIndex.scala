@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Persisted IVF index as a lake layout: the search structure IS the
+  * physical layout, nothing more.
+  *
+  * - `<path>/centroids` — nlist (cell, centroid) rows; broadcast-
+  *   sized model state, loaded to the driver at probe time exactly
+  *   like the in-memory variant trains it.
+  * - `<path>/vectors` — the corpus partitioned BY CELL. Probing
+  *   `nprobe` of `nlist` cells is then a partition-PRUNED scan: the
+  *   nprobe/nlist read fraction that [[Similarity.ivfPqTopK]] gets
+  *   logically becomes physical — unprobed cells' files are never
+  *   opened (spec-asserted via scan metrics).
+  *
+  * Build once, probe many: amortizes centroid training and cell
+  * assignment across every subsequent query batch, which is how an
+  * ANN service over a 100 TB embedding corpus actually runs.
+  */
+object AnnIndex {
+
+  /** Train (or pick, iters=0) centroids, assign each corpus vector
+    * to its nearest cell, and write the layout. */
+  def buildIvf(corpus: DataFrame, path: String,
+               nlist: Int = 16, iters: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids =
+      if (iters == 0) Similarity.pickCentroids(corpus, nlist)
+      else Similarity.trainCentroids(corpus, nlist, iters)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** The broadcastable model state back from disk. */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Top-k cosine search against the persisted index. The probed
+    * cell set (≤ |queries|·nprobe distinct values, typically ≪
+    * nlist) becomes a static `IN` partition filter, so the scan
+    * opens only probed cells' files. */
+  def probeIvf(spark: SparkSession, path: String, queries: DataFrame,
+               k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    val probed = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(gf.nearestCentroids(col("embedding"), centroids, nprobe)).as("cell"))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("cell"))
+    Similarity.topKPerQuery(
+      probed.join(vectors, Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine")), k)
+  }
+}

@@ -22,7 +22,7 @@ object Similarity {
 
   /** Deterministic per-query top-k: rank by cosine desc, ties broken
     * by neighbor id. */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndex, Similarity}
+import graft.sources.Tables
+
+/** Persisted-IVF-index specs: round-trip parity with the in-memory
+  * search and physical partition pruning at probe time.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("persisted probe matches the in-memory IVF search exactly") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    val persisted = AnnIndex.probeIvf(spark, s"$base/ivf", queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inMemory = Similarity.ivfTopK(corpus, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == inMemory)
+    assert(persisted.nonEmpty)
+  }
+
+  test("probing opens only the probed cells' files") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    // a single query probes nprobe=2 of 16 cells
+    val one = corpus.filter(col("vec_id") === 0)
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    val all = spark.read.parquet(s"$base/ivf/vectors")
+    all.collect()
+    val totalFiles = all.queryExecution.executedPlan
+      .collectLeaves().head.metrics("numFiles").value
+    val probed = AnnIndex.probeIvf(spark, s"$base/ivf", one, k = 5, nprobe = 2)
+    probed.collect()
+    // AQE hides file scans inside query stages — walk into them
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: QueryStageExec => scansOf(q.plan)
+      case r: ReusedExchangeExec => scansOf(r.child)
+      case other => other.children.flatMap(scansOf)
+    }
+    val scans = scansOf(probed.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "cell"))
+    assert(scans.nonEmpty, "expected a file scan over the vectors table")
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(readFiles > 0 && readFiles * 4 <= totalFiles,
+      s"probe read $readFiles of $totalFiles files — no pruning")
+  }
+}
