@@ -55,6 +55,18 @@ object SparkEntry {
       existing = sourceSummary(s, dir, "F"),
       updates = sourceSummary(s, dir, "O"))
 
+  /** Incremental maintenance: "history" (pre-cutoff, standing in for
+    * yesterday's stored summary) merged with the post-cutoff delta —
+    * associative re-aggregation, result-identical to the full
+    * recompute (shares `etl_sales_summary`'s oracle). */
+  private def incrementalSummary(s: SparkSession, dir: String,
+                                 cutoff: String = "1999-01-01"): DataFrame = {
+    val clean = cleanSales(s, dir)
+    RetailEtl.mergeSummaries(
+      RetailEtl.aggregate(clean.filter(col("sale_date") < lit(cutoff))),
+      RetailEtl.aggregate(clean.filter(col("sale_date") >= lit(cutoff))))
+  }
+
   private def saltedSummary(s: SparkSession, dir: String): DataFrame =
     Skew.saltedAgg(cleanSales(s, dir), Seq("product_id"),
       partials = Seq(sum("quantity").as("q"), sum("sale_amount").as("a")),
@@ -72,6 +84,7 @@ object SparkEntry {
     "etl_load_validated" -> ((s, dir) => loadValidated(s, dir)),
     "etl_upsert" -> ((s, dir) => upsertSummaries(s, dir)),
     "etl_sales_summary_salted" -> ((s, dir) => saltedSummary(s, dir)),
+    "etl_incremental_summary" -> ((s, dir) => incrementalSummary(s, dir)),
     // §2.B analytics
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_top_unshipped" -> ((s, dir) =>
@@ -358,7 +371,9 @@ object SparkEntry {
       ("q3_bloom_pruned" -> m("q3_top_unshipped")) +
       ("q_topn_per_group_agg" -> m("q_topn_per_group")) +
       // exact (no evictions) while distinct keys per partition <= k
-      ("events_heavy_hitters_mg" -> m("events_heavy_hitters"))
+      ("events_heavy_hitters_mg" -> m("events_heavy_hitters")) +
+      // associative partial-merge == full recompute
+      ("etl_incremental_summary" -> m("etl_sales_summary"))
   }
 
   private def base: Map[String, String] = Map(

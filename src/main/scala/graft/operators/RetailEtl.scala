@@ -121,6 +121,22 @@ object RetailEtl {
         sum("quantity").as("total_quantity"),
         sum("sale_amount").as("total_sale_amount"))
 
+  /** Incremental summary maintenance: merge an already-materialized
+    * summary with a fresh delta's summary by re-aggregating the
+    * partial sums — sum is associative, so the result is IDENTICAL
+    * to recomputing over all history (the driver checks this entry
+    * against the full pipeline's oracle). This is how the daily job
+    * actually runs at 100 TB: yesterday's summary table + today's
+    * partition, never a scan of all history. The merge shuffles
+    * |products| rows twice-aggregated, not the fact.
+    */
+  def mergeSummaries(existing: DataFrame, deltaSummary: DataFrame): DataFrame =
+    existing.unionByName(deltaSummary)
+      .groupBy("product_id")
+      .agg(
+        sum("total_quantity").as("total_quantity"),
+        sum("total_sale_amount").as("total_sale_amount"))
+
   /** Per-(product, day) variant with count/avg — the granularity the
     * reference formats dates for but drops (transformation.py:159-163). */
   def dailySummary(df: DataFrame): DataFrame =

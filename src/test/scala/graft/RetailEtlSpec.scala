@@ -204,4 +204,26 @@ class RetailEtlSpec extends SparkSpec {
     RetailEtl.writeSummary(s1, s"$dir/out")
     assert(spark.read.parquet(s"$dir/out").count() == 1)
   }
+
+  test("mergeSummaries of any slice split equals the full recompute") {
+    val sales = Seq(
+      (1L, 10L, 2.0, 20.0, "1998-05-01"),
+      (2L, 10L, 3.0, 30.0, "1999-06-01"),
+      (3L, 20L, 4.0, 40.0, "1998-07-01"),
+      (4L, 30L, 5.0, 50.0, "2000-01-01"))
+      .toDF("sale_id", "product_id", "quantity", "sale_amount", "d")
+      .withColumn("sale_date", $"d".cast("date")).drop("d")
+    val full = RetailEtl.aggregate(sales).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    val merged = RetailEtl.mergeSummaries(
+      RetailEtl.aggregate(sales.filter($"sale_date" < "1999-01-01")),
+      RetailEtl.aggregate(sales.filter($"sale_date" >= "1999-01-01")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(merged == full)
+    // merging an empty delta is the identity
+    val noop = RetailEtl.mergeSummaries(
+      RetailEtl.aggregate(sales), RetailEtl.aggregate(sales.filter($"sale_id" < 0)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(noop == full)
+  }
 }
