@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Randomized (seeded, reproducible) checks of the span-level text
+  * operators against naive in-memory references. A tiny vocabulary
+  * makes n-gram and chunk collisions common on purpose — the regime
+  * where an off-by-one in windowing or a missed distinct shows up.
+  */
+class TextPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Array("a", "b", "c", "d")
+
+  private def randomDocs(rnd: scala.util.Random, n: Int): Seq[(Long, String)] =
+    (0L until n.toLong).map { id =>
+      val len = rnd.nextInt(12) // 0..11 tokens: shorter than n sometimes
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+
+  private def toks(s: String): Seq[String] = s.split("\\s+").filter(_.nonEmpty)
+
+  test("decontaminate equals the naive n-gram intersection on random docs") {
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val docs = randomDocs(rnd, 60)
+      def grams(s: String): Set[String] =
+        toks(s).sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      val bench = docs.filter(_._1 % 97 == 0).flatMap(d => grams(d._2)).toSet
+      val want = docs.filter(_._1 % 97 != 0)
+        .map { case (id, t) => id -> (grams(t) & bench).size.toLong }
+        .filter(_._2 > 0).toMap
+      val got = TextAnalysis.decontaminate(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"round $round: got $got want $want")
+    }
+  }
+
+  test("chunkDedup equals the naive chunk census on random docs") {
+    val rnd = new scala.util.Random(11)
+    for (round <- 1 to 5) {
+      val docs = randomDocs(rnd, 80)
+      val n = 8
+      def chunks(s: String): Seq[String] =
+        toks(s).grouped(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      val occurrences = docs.flatMap { case (id, t) => chunks(t).map(c => (c, id)) }
+      val want = occurrences.groupBy(_._1)
+        .map { case (c, occ) =>
+          c -> (occ.map(_._2).distinct.size.toLong, occ.size.toLong) }
+        .filter(_._2._1 > 1)
+      val got = TextAnalysis.chunkDedup(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // spark reports md5(chunk); re-key the naive result the same way
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      assert(got == want.map { case (c, v) => md5hex(c) -> v },
+        s"round $round mismatch")
+    }
+  }
+
+  test("weighted sampling frequency tracks the weight on a big draw") {
+    val ids = (1L to 30000L).toDF("id")
+    for (w <- Seq(0.2, 0.7)) {
+      val kept = graft.operators.Sampling
+        .weightedSample(ids, "id", org.apache.spark.sql.functions.lit(w),
+          salt = s"prop$w")
+        .count()
+      val expect = 30000 * w
+      assert(math.abs(kept - expect) < 5 * math.sqrt(expect),
+        s"w=$w kept $kept, expected ~$expect")
+    }
+  }
+}
