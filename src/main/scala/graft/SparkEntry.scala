@@ -217,6 +217,8 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars")),
     "q_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
+    "q_priority_check" -> ((s, dir) =>
+      Analytics.orderPriorityCheck(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_promo_share" -> ((s, dir) =>
       Analytics.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_disjunctive_revenue" -> ((s, dir) =>
@@ -909,6 +911,13 @@ object SparkEntry {
         | count(*) AS n_lines
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
         |GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_promo_share" ->
       """SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE)) AS DATE) AS ship_month,

@@ -92,6 +92,22 @@ object Analytics {
       .select(col("user_id"), col("n_events"))
   }
 
+  /** TPC-H Q4-style order priority check: orders in a date window
+    * with at least one returned line, counted per priority. The
+    * EXISTS is a left-semi join — no fact row ever duplicates, and
+    * the lineitem side is pre-filtered to returned lines so the
+    * semi-join state holds the qualifying slice only.
+    */
+  def orderPriorityCheck(orders: DataFrame, lineitem: DataFrame,
+                         lo: String = "1996-01-01",
+                         hi: String = "1997-01-01"): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .join(lineitem.filter(col("l_returnflag") === "R").select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+
   /** TPC-H Q5-style: six-way join with all dims broadcast, revenue by
     * nation (supplier and customer in the same nation).
     */

@@ -35,6 +35,8 @@ object BloomPrune {
   def prune(big: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
     val bfBc = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
-    big.filter(mightContain(col(keyCol)))
+    // null keys are dropped explicitly — the downstream inner join
+    // would drop them anyway, so the prefilter can't change results
+    big.filter(col(keyCol).isNotNull && mightContain(col(keyCol)))
   }
 }

@@ -64,7 +64,11 @@ object EventOps {
     implicit val longEnc: Encoder[Long] = Encoders.scalaLong
     implicit val pairEnc: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    val summaries = events.select(col("user_id").cast("long")).as[Long]
+    // null keys would NPE the primitive encoder; the exact variant
+    // groups them — callers with nullable keys should bucket nulls
+    // upstream (events.user_id is non-null by contract)
+    val summaries = events.select(col("user_id").cast("long"))
+      .filter(col("user_id").isNotNull).as[Long]
       .mapPartitions { it =>
         val counters = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
         it.foreach { u =>
