@@ -123,4 +123,25 @@ object Multimodal {
       .as[Frame]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** Per-document pooled feature embedding: decode frames, mean-pool
+    * their (stub) features into one `array<float>` per document —
+    * the bridge from binary payloads into the [[Similarity]] ANN /
+    * [[Dedup]] embedding operators (`embedding-cosine dedup over
+    * video corpora` is exactly this composition). Pooling is an
+    * ordinary partial-friendly aggregate; with a real encoder the
+    * mapPartitions step emits model features and nothing else
+    * changes.
+    */
+  def pooledFeatures(docs: DataFrame, frameSize: Int = 64,
+                     stride: Int = 128): DataFrame =
+    decodeFrames(docs, frameSize, stride).toDF()
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        array(
+          avg("width").cast("float"),
+          avg("height").cast("float"),
+          avg("mean_luma").cast("float"),
+          stddev_pop("mean_luma").cast("float")).as("embedding"))
 }

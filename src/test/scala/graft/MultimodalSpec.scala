@@ -58,4 +58,20 @@ class MultimodalSpec extends SparkSpec {
     // all-'x' frame: mean luma is exactly 'x'.toInt
     assert(out1.find(d => d.doc_id == 0L && d.frame_idx == 0L).get.mean_luma == 'x'.toInt.toDouble)
   }
+
+  test("pooledFeatures bridges binary payloads into the ANN operators") {
+    val corpus = Multimodal.pooledFeatures(
+      (0L until 20L).map(i => (i, s"payload $i ${"y" * (i.toInt * 13 % 97)}"))
+        .toDF("doc_id", "text"))
+      .select($"doc_id".as("vec_id"), $"embedding")
+    assert(corpus.schema("embedding").dataType.simpleString == "array<float>")
+    val queries = corpus.filter($"vec_id" < 3)
+    val nn = graft.operators.Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect()
+    assert(nn.length == 9, s"3 queries x k=3, got ${nn.length}")
+    // a pooled embedding is deterministic: same input, same neighbors
+    val nn2 = graft.operators.Similarity.bruteForceTopK(corpus, queries, k = 3)
+      .collect()
+    assert(nn.map(_.toSeq).toSet == nn2.map(_.toSeq).toSet)
+  }
 }
