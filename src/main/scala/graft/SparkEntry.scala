@@ -240,6 +240,8 @@ object SparkEntry {
       Analytics.segmentQuartiles(Tables.customer(s, dir))),
     "events_approx_stats" -> ((s, dir) =>
       EventOps.approxTypeStats(Tables.events(s, dir))),
+    "events_audience_overlap" -> ((s, dir) =>
+      EventOps.approxAudienceOverlap(Tables.events(s, dir))),
     // §2.G streaming (batch twins of the streaming transforms)
     "stream_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStream.hourlyWindow(Tables.events(s, dir))),

@@ -38,4 +38,26 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(a90 - p90) / p90 < 0.10, s"$t p90: $a90 vs $p90")
     }
   }
+
+  test("audience overlap within compounded HLL error of exact") {
+    val approx = EventOps.approxAudienceOverlap(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(approx.nonEmpty)
+    approx.foreach { case ((a, b), got) =>
+      val exact = events
+        .filter(col("event_type") === a).select("user_id").distinct()
+        .intersect(
+          events.filter(col("event_type") === b).select("user_id").distinct())
+        .count()
+      // three 2%-rsd sketches compound through inclusion–exclusion:
+      // |A|+|B|−|A∪B| error is bounded by the sum of the absolute
+      // errors, each ~2% of a set that can be much larger than A∩B
+      val union = events
+        .filter(col("event_type") === a || col("event_type") === b)
+        .select("user_id").distinct().count()
+      val tolerance = math.max(3L, (3 * 0.02 * 3 * union).toLong)
+      assert(math.abs(got - exact) <= tolerance,
+        s"($a,$b): approx $got vs exact $exact (tol $tolerance)")
+    }
+  }
 }
