@@ -96,37 +96,33 @@ object EventOps {
   }
 
   /** Approximate audience overlap between event-type pairs:
-    * |A∩B| ≈ |A| + |B| − |A∪B| with every term an HLL sketch
-    * (`approx_count_distinct`), plus the Jaccard ratio. One scan
-    * computes all three sketch families; no user-id set ever
-    * shuffles — the 100 TB form of "how many purchasers also
-    * clicked". Inclusion–exclusion compounds the HLL error (the
-    * spec bounds it against exact counts); pin `rsd` accordingly.
+    * |A∩B| ≈ |A| + |B| − |A∪B| via HLL sketch ALGEBRA — one scan
+    * builds one mergeable sketch per type (`hll_sketch_agg`), then
+    * every pairwise union is computed by merging the already-built
+    * sketches (`hll_union`), never by rescanning the fact. The fact
+    * pays exactly one sketch update per row; the pair join runs over
+    * |types| rows. This merge-don't-rescan shape is the whole point
+    * of sketches at 100 TB (per-day sketches roll up to any window
+    * the same way). Inclusion–exclusion compounds the HLL error —
+    * the spec bounds it against exact counts.
     */
   def approxAudienceOverlap(events: DataFrame,
-                            rsd: Double = 0.02): DataFrame = {
-    val types = events.select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted
-    val pairs = for {
-      (a, ia) <- types.zipWithIndex; b <- types.drop(ia + 1)
-    } yield (a, b)
-    val perType = types.map(t =>
-      approx_count_distinct(when(col("event_type") === t, col("user_id")), rsd)
-        .as(s"n_$t"))
-    val perPair = pairs.map { case (a, b) =>
-      approx_count_distinct(
-        when(col("event_type") === a || col("event_type") === b, col("user_id")),
-        rsd).as(s"u_${a}_$b")
-    }
-    val agg = events.agg((perType ++ perPair).head, (perType ++ perPair).tail: _*)
-    val rows = pairs.map { case (a, b) =>
-      val inter = greatest(col(s"n_$a") + col(s"n_$b") - col(s"u_${a}_$b"), lit(0L))
-      struct(lit(a).as("type_a"), lit(b).as("type_b"),
-        col(s"n_$a").as("users_a"), col(s"n_$b").as("users_b"),
-        inter.as("approx_overlap"),
-        round(inter / col(s"u_${a}_$b"), 6).as("approx_jaccard"))
-    }
-    agg.select(explode(array(rows: _*)).as("p")).select("p.*")
+                            lgConfigK: Int = 12): DataFrame = {
+    val sketches = events.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"))
+    val a = sketches.select(col("event_type").as("type_a"), col("sk").as("sk_a"))
+    val b = sketches.select(col("event_type").as("type_b"), col("sk").as("sk_b"))
+    val est = (c: org.apache.spark.sql.Column) => hll_sketch_estimate(c)
+    a.join(b, col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"),
+        est(col("sk_a")).as("users_a"),
+        est(col("sk_b")).as("users_b"),
+        greatest(est(col("sk_a")) + est(col("sk_b"))
+          - est(hll_union(col("sk_a"), col("sk_b"))), lit(0L))
+          .as("approx_overlap"))
+      .withColumn("approx_jaccard",
+        round(col("approx_overlap") /
+          (col("users_a") + col("users_b") - col("approx_overlap")), 6))
   }
 
   /** Exact distinct-user variant (shuffles user ids; the approx one
