@@ -53,10 +53,14 @@ object DataSplit {
       s"weights must sum to 1, got ${weights.map(_._2).sum}")
     val key = Sampling.sampleKey(col(idCol), salt)
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    // a cut of 1.0 maps to "g" (> every hex key): otherwise the
+    // "ffffffff" key tail would fall past a full-weight split into
+    // whatever zero-weight splits trail it
+    def cutLit(cut: Double): String =
+      if (cut >= 1.0) "g" else Sampling.hexThreshold(cut)
     val label = weights.zip(cuts).foldRight(lit(weights.last._1)) {
       case (((name, _), cut), fallback) =>
-        when(key < lit(Sampling.hexThreshold(math.min(cut, 1.0))), name)
-          .otherwise(fallback)
+        when(key < lit(cutLit(cut)), name).otherwise(fallback)
     }
     df.withColumn("split", label)
   }

@@ -104,7 +104,9 @@ object Sampling {
     * `printf("%08x", floor(w·16^8))`, so the decision stays portable
     * (the oracle replays it); weights ≥ 1 compare against "g", which
     * clears every hex key ([[thresholdLit]]'s full-keep rule), and
-    * weights ≤ 0 yield "00000000", which no key is below.
+    * weights ≤ 0 yield "00000000", which no key is below. A null or
+    * NaN weight yields a null threshold and the row is dropped —
+    * rows without a usable quality score don't sample in.
     */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      salt: String = "w42"): DataFrame = {
