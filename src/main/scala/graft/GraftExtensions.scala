@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.{CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graft.{CharShingleHashes, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so plain `spark.sql` users get them
@@ -56,6 +56,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("shingle_hashes", "shingle_hashes(tokens, k) - hashes of k-token shingles"),
       (args: Seq[Expression]) =>
         ShingleHashes(args(0), intLit(args(1), "shingle size"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("char_shingle_hashes"),
+      info("char_shingle_hashes",
+        "char_shingle_hashes(s, n) - rolling hashes of char n-grams, O(len)"),
+      (args: Seq[Expression]) =>
+        CharShingleHashes(args(0), intLit(args(1), "n-gram size"))))
 
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),

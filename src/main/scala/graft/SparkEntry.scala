@@ -219,6 +219,8 @@ object SparkEntry {
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
     "q_priority_check" -> ((s, dir) =>
       Analytics.orderPriorityCheck(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_customer_distribution" -> ((s, dir) =>
+      Analytics.customerDistribution(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_promo_share" -> ((s, dir) =>
       Analytics.promoShare(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_disjunctive_revenue" -> ((s, dir) =>
@@ -913,6 +915,12 @@ object SparkEntry {
         | count(*) AS n_lines
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        | SELECT c_custkey, count(o_orderkey) AS c_count
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY 1) pc
         |GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_priority_check" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -108,6 +108,23 @@ object Analytics {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
 
+  /** TPC-H Q13-style customer distribution: how many customers
+    * placed 0, 1, 2, … orders — the left-join double-aggregate
+    * shape. The first aggregate shuffles on c_custkey (the join
+    * key, so AQE can often collapse join+agg into one exchange);
+    * the second groups the per-customer counts, a |customers|-row
+    * input with map-side partials. Zero-order customers survive via
+    * the left join's null o_orderkey, which `count(col)` skips.
+    */
+  def customerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+
   /** TPC-H Q5-style: six-way join with all dims broadcast, revenue by
     * nation (supplier and customer in the same nation).
     */

@@ -133,11 +133,13 @@ class FunctionsSpec extends SparkSpec {
         "graft_hash64('a') AS h, " +
         "simhash64(array('x','y')) AS s, " +
         "shingle_hashes(array('x','y','z'), 2) AS sh, " +
-        "minhash_signature(array(1L, 2L), 4, 42) AS mh").head()
+        "minhash_signature(array(1L, 2L), 4, 42) AS mh, " +
+        "char_shingle_hashes('abcd', 3) AS cs").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) == 0xaf63dc4c8601ec8cL)
     assert(r.getSeq[Long](3).length == 2)
     assert(r.getSeq[Long](4).length == 4)
+    assert(r.getSeq[Long](5).length == 2) // "abc", "bcd"
   }
 
   test("charTrigrams matches sliding substring semantics, multibyte-safe") {
