@@ -211,6 +211,8 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "text_chunk_dedup" -> ((s, dir) =>
       TextAnalysis.chunkDedup(Tables.documents(s, dir))),
+    "text_winnow_dedup" -> ((s, dir) =>
+      TextAnalysis.winnowDedup(Tables.documents(s, dir))),
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
         least(lit(1.0), col("n_chars") / lit(2000.0)))
@@ -900,6 +902,22 @@ object SparkEntry {
         |SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         | count(*) AS n_occurrences
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
+        .replace("\n", " "),
+    "text_winnow_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> md5(array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(grams) >= 4
+        |  THEN list_transform(range(1, len(grams) - 2),
+        |   j -> list_min(grams[j:j+3]))
+        |  ELSE grams END)) AS fp FROM g)
+        |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | count(*) AS n_occurrences
+        |FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
         .replace("\n", " "),
     "split_assign_md5" ->
       """SELECT doc_id,

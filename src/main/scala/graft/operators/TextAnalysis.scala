@@ -365,6 +365,40 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every token n-gram, slide a window of
+    * `window` consecutive hashes, keep each window's minimum. Any
+    * shared run of ≥ n+window−1 tokens is GUARANTEED to share a
+    * fingerprint regardless of where it starts — the
+    * alignment-robustness that fixed-stride [[chunkDedup]] lacks —
+    * while storing ~1/window of the n-gram hashes. Same
+    * explode→count plan shape; md5 keeps the fingerprints
+    * engine-portable (a production run swaps in the codegen'd
+    * rolling hash).
+    */
+  def winnowDedup(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          // short docs keep their raw gram hashes: a doc must never
+          // fingerprint to nothing just because it is small
+          when(size(col("grams")) >= window,
+            transform(sequence(lit(0), size(col("grams")) - window),
+              j => array_min(slice(col("grams"), j + lit(1), lit(window)))))
+            .otherwise(col("grams")))).as("fp"))
+      .groupBy("fp")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+  }
+
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
     docs
       .select(col("lang"),

@@ -100,6 +100,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)._2 == 2L && out(0)._3 == 2L)
   }
 
+  test("winnowDedup catches a shared run at ANY alignment (where chunks miss it)") {
+    // a 6-token run (>= n+w-1 = 3+4-1) shared at different offsets
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two $run"),                    // run starts at offset 2
+      (2L, s"$run nine ten eleven twelve"),     // run starts at offset 0
+      (3L, "totally unrelated words only here today")).toDF("doc_id", "text")
+    val winnowed = TextAnalysis.winnowDedup(docs).collect()
+    assert(winnowed.nonEmpty, "winnowing must find the misaligned shared run")
+    assert(winnowed.forall(r => r.getLong(1) == 2L), "only docs 1 and 2 share")
+    // the fixed-stride chunker (8-token chunks) cannot see this overlap
+    assert(TextAnalysis.chunkDedup(docs).collect().isEmpty)
+  }
+
   test("decontaminate counts distinct benchmark n-grams per corpus doc") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),          // benchmark (0 % 97 == 0)
