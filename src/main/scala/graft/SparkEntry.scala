@@ -336,6 +336,23 @@ object SparkEntry {
       Analytics.returnRateByBrand(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "dedup_exact_apply" -> ((s, dir) =>
       Dedup.exactApply(Tables.documents(s, dir))),
+    // round 4: deterministic near-dup, SCD2, Q15/Q17, activity/Zipf
+    "dedup_ngram_blocked" -> ((s, dir) =>
+      Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
+    "q_top_supplier" -> ((s, dir) =>
+      Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    "q_small_qty_revenue" -> ((s, dir) =>
+      Analytics.smallQtyRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_pareto_revenue" -> ((s, dir) =>
+      Analytics.paretoRevenue(Tables.lineitem(s, dir))),
+    "etl_scd2_user_state" -> ((s, dir) =>
+      EventOps.scd2UserState(Tables.events(s, dir))),
+    "q_new_vs_returning" -> ((s, dir) =>
+      EventOps.newVsReturning(Tables.events(s, dir))),
+    "text_zipf_spectrum" -> ((s, dir) =>
+      TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
+    "text_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -1177,5 +1194,104 @@ object SparkEntry {
         |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)"""
         .stripMargin.replace("\n", " "),
+    "dedup_ngram_blocked" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND d.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT p.id_a, p.id_b,
+        |  len(list_intersect(ga.grams, gb.grams)) AS inter,
+        |  len(ga.grams) + len(gb.grams)
+        |    - len(list_intersect(ga.grams, gb.grams)) AS uni
+        | FROM p JOIN g ga ON ga.doc_id = p.id_a
+        |  JOIN g gb ON gb.doc_id = p.id_b)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
+        .stripMargin.replace("\n", " "),
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        | FROM lineitem
+        | WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        | GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)"""
+        .stripMargin.replace("\n", " "),
+    "q_small_qty_revenue" ->
+      """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
+        .stripMargin.replace("\n", " "),
+    "q_pareto_revenue" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem GROUP BY 1),
+        |rk AS (SELECT
+        |  row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rank,
+        |  sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   / sum(revenue) OVER () AS cum_share
+        | FROM rev)
+        |SELECT threshold, min(rank) AS n_products
+        |FROM rk JOIN (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) t(threshold)
+        | ON cum_share >= threshold
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "etl_scd2_user_state" ->
+      """WITH r AS (SELECT user_id, ts, event_type, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg
+        | FROM events),
+        |v AS (SELECT user_id, ts, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        | FROM r),
+        |g AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |  event_type AS state, min(ts) AS valid_from, count(*) AS n_events
+        | FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, version, state, valid_from,
+        | lead(valid_from) OVER w AS valid_to, n_events,
+        | lead(valid_from) OVER w IS NULL AS is_current
+        |FROM g WINDOW w AS (PARTITION BY user_id ORDER BY version)"""
+        .stripMargin.replace("\n", " "),
+    "q_new_vs_returning" ->
+      """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        |  FROM events GROUP BY 1)
+        |SELECT day,
+        | CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        | CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_returning,
+        | count(*) AS n_active
+        |FROM daily JOIN f USING (user_id) GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+    "text_zipf_spectrum" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        | FROM documents),
+        |c AS (SELECT token, count(*) AS occurrences FROM tok GROUP BY 1)
+        |SELECT occurrences, count(*) AS n_tokens FROM c GROUP BY 1"""
+        .stripMargin.replace("\n", " "),
+    "text_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        | FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  sum(c * log2(c)) AS clog FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, log2(n_tokens) - clog / n_tokens AS entropy_bits
+        |FROM a""".stripMargin.replace("\n", " "),
   )
 }

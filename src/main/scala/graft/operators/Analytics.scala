@@ -762,4 +762,70 @@ object Analytics {
         col("c_acctbal"), col("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(n)
+
+  /** TPC-H Q15-style top supplier: per-supplier revenue over a
+    * shipdate quarter, keeping every supplier tied at the maximum.
+    * The max is a one-row scalar aggregate of the (already tiny)
+    * supplier rollup, joined back as a broadcast — no global window,
+    * no single-partition sort, so the shape survives any supplier
+    * count.
+    */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  from: String = "1996-01-01", until: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+    rev
+      .join(broadcast(rev.agg(max("total_revenue").as("max_revenue"))),
+        col("total_revenue") === col("max_revenue"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q17-style small-quantity revenue: average yearly revenue
+    * that would be lost by refusing orders below 20% of a part's mean
+    * order quantity, for one brand. The correlated subquery is
+    * decorrelated into a per-part aggregate joined back to the same
+    * brand-pruned fact slice; the brand's part keys broadcast, so the
+    * fact is filtered map-side before any shuffle.
+    */
+  def smallQtyRevenue(lineitem: DataFrame, part: DataFrame,
+                      brand: String = "Brand#23"): DataFrame = {
+    val brandParts = broadcast(
+      part.filter(col("p_brand") === brand).select("p_partkey"))
+    val li = lineitem.join(brandParts, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val limits = li.groupBy("l_partkey")
+      .agg((avg("l_quantity") * 0.2).as("qty_limit"))
+    li.join(limits, "l_partkey")
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg((sum("l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  /** Pareto concentration of revenue: for each coverage threshold,
+    * the number of top products (ranked by revenue) needed to reach
+    * that share of total revenue. The window runs over the PRODUCT
+    * AGGREGATE (|parts| rows), never the fact; the final answer is
+    * thresholds×1 rows. The deliberate single-partition rank over the
+    * rollup is the standard exact-quantile trade — swap in
+    * approx-percentile of the aggregate if even that is too wide.
+    */
+  def paretoRevenue(lineitem: DataFrame,
+                    thresholds: Seq[Double] = Seq(0.5, 0.8, 0.9, 0.95, 0.99)): DataFrame = {
+    val rev = lineitem.groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("l_partkey").asc)
+    val ranked = rev.select(
+      row_number().over(w).cast("long").as("rank"),
+      (sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) /
+        sum("revenue").over(Window.partitionBy())).as("cum_share"))
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val ths = thresholds.toDF("threshold")
+    ranked.join(broadcast(ths), col("cum_share") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(min("rank").as("n_products"))
+  }
 }

@@ -300,4 +300,55 @@ object EventOps {
         count(lit(1)).as("num_events"),
         avg("value").as("avg_value"),
         max("k").as("max_k"))
+
+  /** SCD Type-2 dimension build from a change stream: collapse each
+    * user's consecutive runs of the same event_type into versioned
+    * validity intervals — `[valid_from, valid_to)`, open-ended for
+    * the current version. This is the warehouse pattern for deriving
+    * a slowly-changing dimension from raw events: one shuffle on the
+    * natural key, two windows over it (run detection + interval
+    * chaining), no self-join, no fact re-scan. Ties broken by
+    * event_id so the versioning is deterministic in every engine.
+    */
+  def scd2UserState(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("chg",
+        when(lag("event_type", 1).over(byUser) === col("event_type"), 0)
+          .otherwise(1))
+      .withColumn("version",
+        sum("chg").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val versions = runs.groupBy("user_id", "version", "event_type")
+      .agg(min("ts").as("valid_from"),
+        max("ts").as("last_seen"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    versions
+      .withColumn("valid_to", lead("valid_from", 1).over(byVersion))
+      .select(col("user_id"), col("version"),
+        col("event_type").as("state"),
+        col("valid_from"), col("valid_to"),
+        col("n_events"), col("valid_to").isNull.as("is_current"))
+  }
+
+  /** New-vs-returning daily actives: split each day's active users by
+    * whether that day is their first-ever activity. The first-seen
+    * date is a per-user aggregate (partial-agg friendly), joined to
+    * the per-(user, day) distinct actives — both sides shuffle on
+    * user_id once; no window, no self-join over time.
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstSeen = events.groupBy("user_id")
+      .agg(to_date(min("ts")).as("first_day"))
+    daily.join(firstSeen, "user_id")
+      .groupBy("day")
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"),
+        count(lit(1)).as("n_active"))
+  }
 }

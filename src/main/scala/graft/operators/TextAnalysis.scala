@@ -399,6 +399,39 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
   }
 
+  /** Zipf frequency spectrum: for each corpus-wide token occurrence
+    * count, how many distinct tokens occur exactly that often — the
+    * frequency-of-frequencies curve used to sanity-check corpus
+    * naturalness (Zipfian decay) and spot synthetic/templated text.
+    * Two hash aggregations; the second runs over the vocabulary, not
+    * the corpus, and its output is at most |distinct counts| rows.
+    */
+  def zipfSpectrum(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(canonical(col("text")))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("occurrences"))
+      .groupBy("occurrences")
+      .agg(count(lit(1)).as("n_tokens"))
+
+  /** Per-document Shannon entropy over whitespace tokens (bits/token)
+    * — low entropy flags repetitive/templated documents that length
+    * and punctuation heuristics miss. One explode + one two-key
+    * aggregate + one per-doc aggregate; H = log2(n) − Σc·log2(c)/n
+    * keeps everything partial-aggregation friendly (no p=c/n division
+    * before the final combine).
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(canonical(col("text")))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * log2(col("c"))).as("clog"))
+      .select(col("doc_id"), col("n_tokens"),
+        (log2(col("n_tokens")) - col("clog") / col("n_tokens")).as("entropy_bits"))
+
   def lengthHistogram(docs: DataFrame, bucketWidth: Int = 16): DataFrame =
     docs
       .select(col("lang"),

@@ -28,6 +28,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out(1996L)._1 - 14.0) < 1e-9 && out(1996L)._2 == 1L)
   }
 
+  test("topSupplier keeps every supplier tied at the window maximum") {
+    val l = li(
+      (1L, 1L, 10L, 1.0, 100.0, 0.0, "N", "1996-02-01"),
+      (2L, 1L, 20L, 1.0, 60.0, 0.0, "N", "1996-02-01"),
+      (3L, 1L, 20L, 1.0, 40.0, 0.0, "N", "1996-03-01"), // 20 ties 10 at 100
+      (4L, 1L, 30L, 1.0, 999.0, 0.0, "N", "1995-01-01")) // outside window
+    val sup = Seq((10L, "S10"), (20L, "S20"), (30L, "S30"))
+      .toDF("s_suppkey", "s_name")
+    val out = Analytics.topSupplier(l, sup).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(10L -> 100.0, 20L -> 100.0))
+  }
+
+  test("smallQtyRevenue counts only lines below 20% of the part's mean") {
+    val l = li(
+      (1L, 1L, 1L, 1.0, 70.0, 0.0, "N", "1995-01-01"),  // avg qty 10.5 -> 1 < 2.1
+      (2L, 1L, 1L, 20.0, 999.0, 0.0, "N", "1995-01-01"),
+      (3L, 2L, 1L, 1.0, 999.0, 0.0, "N", "1995-01-01")) // other brand
+    val part = Seq((1L, "Brand#23"), (2L, "Brand#1")).toDF("p_partkey", "p_brand")
+    val out = Analytics.smallQtyRevenue(l, part).collect()
+    assert(out.length == 1)
+    assert(math.abs(out(0).getDouble(0) - 10.0) < 1e-9) // 70 / 7
+  }
+
+  test("paretoRevenue counts top products per coverage threshold") {
+    val l = li(
+      (1L, 1L, 1L, 1.0, 50.0, 0.0, "N", "1995-01-01"),
+      (2L, 2L, 1L, 1.0, 30.0, 0.0, "N", "1995-01-01"),
+      (3L, 3L, 1L, 1.0, 20.0, 0.0, "N", "1995-01-01"))
+    val out = Analytics.paretoRevenue(l).collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(out == Map(0.5 -> 1L, 0.8 -> 2L, 0.9 -> 3L, 0.95 -> 3L, 0.99 -> 3L))
+  }
+
   test("promoShare is promo revenue over total revenue per month") {
     val l = li(
       (1L, 1L, 1L, 1.0, 100.0, 0.0, "N", "1995-03-05"),

@@ -35,6 +35,30 @@ class DedupSpec extends SparkSpec {
     assert(rep(0).getAs[Long]("max_doc_id") == 1L)
   }
 
+  test("blocked jaccard matches a naive all-pairs computation exactly") {
+    // naive reference: lowercase whitespace tokens → distinct 3-gram
+    // strings → rare-gram candidacy (df<=64, >=3 shared) → exact Jaccard
+    val texts = Map(0L -> base, 1L -> caseDup, 2L -> nearDup, 3L -> unrelated)
+    val gramSets = texts.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).map(_.mkString(" ")).toSet
+    }
+    val df = gramSets.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      shared = gramSets(a).intersect(gramSets(b))
+      if shared.count(g => df(g) <= 64) >= 3
+      j = shared.size.toDouble / gramSets(a).union(gramSets(b)).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    val got = Dedup.blockedJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
+    assert(got((0L, 1L)) == 1.0) // exact dup modulo canonicalization
+    assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("minhash LSH finds near-dup pairs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docs, tau = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

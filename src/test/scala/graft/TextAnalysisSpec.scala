@@ -6,6 +6,28 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("zipfSpectrum counts tokens per occurrence count, case-folded") {
+    val docs = Seq(
+      (0L, "a a B"),
+      (1L, "b c")).toDF("doc_id", "text")
+    // corpus counts: a->2, b->2 (B folds), c->1
+    val out = TextAnalysis.zipfSpectrum(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(2L -> 2L, 1L -> 1L))
+  }
+
+  test("tokenEntropy: uniform tokens hit log2(n), constant docs hit 0") {
+    val docs = Seq(
+      (0L, "a b c d"), // 4 distinct -> 2 bits
+      (1L, "x x x x"), // constant -> 0 bits
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(math.abs(out(0L)._2 - 2.0) < 1e-12 && out(0L)._1 == 4L)
+    assert(math.abs(out(1L)._2 - 0.0) < 1e-12)
+    assert(!out.contains(2L)) // tokenless docs produce no entropy row
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val docs = Seq(
       (0L, "hello world"),
