@@ -353,6 +353,10 @@ object SparkEntry {
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
     "text_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
+    "q_concurrent_sessions" -> ((s, dir) =>
+      EventOps.sessionConcurrency(Tables.events(s, dir))),
+    "stream_user_state" -> ((s, dir) =>
+      graft.streaming.EventStream.latestUserState(Tables.events(s, dir))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -1284,6 +1288,33 @@ object SparkEntry {
         |c AS (SELECT token, count(*) AS occurrences FROM tok GROUP BY 1)
         |SELECT occurrences, count(*) AS n_tokens FROM c GROUP BY 1"""
         .stripMargin.replace("\n", " "),
+    "q_concurrent_sessions" ->
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, ts,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |s AS (SELECT user_id, session_seq, min(ts) AS session_start,
+        |  max(ts) AS session_end FROM numbered GROUP BY 1, 2),
+        |b AS (SELECT session_start AS ts, 1 AS delta FROM s
+        |  UNION ALL SELECT session_end, -1 FROM s),
+        |c AS (SELECT ts, sum(delta) OVER (ORDER BY ts, delta DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b)
+        |SELECT date_trunc('hour', ts) AS hour,
+        | CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM c GROUP BY 1""".stripMargin.replace("\n", " "),
+    "stream_user_state" ->
+      """SELECT user_id, event_type AS state, ts AS state_ts,
+        | event_id AS state_event_id
+        |FROM (SELECT user_id, event_type, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM events) r
+        |WHERE rn = 1""".stripMargin.replace("\n", " "),
     "text_token_entropy" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(
         |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token

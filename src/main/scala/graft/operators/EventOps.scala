@@ -301,6 +301,52 @@ object EventOps {
         avg("value").as("avg_value"),
         max("k").as("max_k"))
 
+  /** Peak concurrent sessions per hour — an interval sweep-line over
+    * the sessionized stream. Each session contributes +1 at its start
+    * and −1 at its end (closed intervals: starts sort before ends at
+    * the same instant); the running sum of deltas at each boundary is
+    * the live concurrency, and the per-hour max of it is the
+    * capacity-planning number.
+    *
+    * The global time-ordered running sum uses the same two-phase
+    * distributed prefix-sum as [[graft.operators.Packing]]: bucket
+    * boundaries by hour (deterministic projection), collect only the
+    * per-hour delta totals (O(hours), bounded — a year is ~9k rows at
+    * any corpus size), broadcast exclusive offsets back, and run the
+    * within-hour sweep as per-bucket windows in parallel. No global
+    * single-partition window anywhere.
+    *
+    * Hours with no session boundary don't emit a row (concurrency
+    * can't peak without a change point); per-row prefix values inside
+    * a tied (ts, delta) group are permutation-dependent but their MAX
+    * is not, so the output is deterministic in any engine.
+    */
+  def sessionConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val s = sessionize(events, gapMinutes)
+    val bounds = s
+      .select(col("session_start").as("ts"), lit(1L).as("delta"))
+      .unionByName(s.select(col("session_end").as("ts"), lit(-1L).as("delta")))
+    val bucketed = bounds
+      .withColumn("bucket", date_trunc("hour", col("ts")))
+      .withColumn("bucket_us", unix_micros(col("bucket").cast("timestamp")))
+    val totals = bucketed.groupBy("bucket_us").agg(sum("delta").as("bdelta"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val exclusive = totals.map { case (b, d) => val off = acc; acc += d; (b, off) }
+    val offsets = spark.createDataFrame(exclusive.toSeq)
+      .toDF("bucket_us", "bucket_offset")
+    val inBucket = Window.partitionBy("bucket_us")
+      .orderBy(col("ts"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(offsets), Seq("bucket_us"))
+      .withColumn("conc", col("bucket_offset") + sum("delta").over(inBucket))
+      .groupBy(col("bucket").as("hour"))
+      .agg(max("conc").as("max_concurrent"))
+  }
+
   /** SCD Type-2 dimension build from a change stream: collapse each
     * user's consecutive runs of the same event_type into versioned
     * validity intervals — `[valid_from, valid_to)`, open-ended for

@@ -213,4 +213,52 @@ object EventStream extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(fn)
   }
+
+  case class StateEv(event_id: Long, ts_us: Long, user_id: Long, event_type: String)
+  case class LatestState(ts_us: Long, event_id: Long, state: String)
+  case class UserStateRow(user_id: Long, state: String,
+                          state_ts: LocalDateTime, state_event_id: Long)
+
+  private def usToLdt(us: Long): LocalDateTime =
+    java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+
+  /** Continuously-maintained latest-state-per-user dimension via
+    * `mapGroupsWithState` — the streaming materialization of "current
+    * user state" that [[graft.operators.EventOps.scd2UserState]]
+    * reconstructs historically. State per user is O(1) (latest
+    * (ts, event_id, type) triple, arg-max by event time with
+    * event_id tiebreak at full µs precision); it deliberately never
+    * expires because the state IS the product — a dimension row per
+    * user, emitted in update mode whenever it changes. The same code
+    * path runs batch (driver oracle: window arg-max over history)
+    * and streaming (MemoryStream spec: later micro-batches overwrite
+    * earlier state, out-of-order events lose to newer state).
+    */
+  def latestUserState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[StateEv],
+           state: GroupState[LatestState]): UserStateRow = {
+      var cur = state.getOption
+      it.foreach { e =>
+        val newer = cur.forall(c =>
+          e.ts_us > c.ts_us || (e.ts_us == c.ts_us && e.event_id > c.event_id))
+        if (newer) cur = Some(LatestState(e.ts_us, e.event_id, e.event_type))
+      }
+      val s = cur.get // the group has at least one input row or prior state
+      state.update(s)
+      UserStateRow(userId, s.state, usToLdt(s.ts_us), s.event_id)
+    }
+
+    events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "ts_us", "user_id", "event_type")
+      .as[StateEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
 }

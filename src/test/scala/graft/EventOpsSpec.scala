@@ -16,6 +16,7 @@ class EventOpsSpec extends SparkSpec {
   private def events(rows: (Long, String, Long, String)*): DataFrame =
     rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("value", lit(1.0))
 
   test("scd2UserState collapses runs and chains validity intervals") {
     val e = events(
@@ -53,6 +54,65 @@ class EventOpsSpec extends SparkSpec {
       case _ =>
     }
     assert(rows.last.getTimestamp(4) == null)
+  }
+
+  test("sessionConcurrency peaks where sessions overlap, closed-interval") {
+    val e = events(
+      // user 1: one session 10:00–10:10
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      // user 2: session 10:05–10:20 (overlaps user 1 → concurrency 2)
+      (3L, "2024-01-01 10:05:00", 2L, "click"),
+      (4L, "2024-01-01 10:20:00", 2L, "click"),
+      // user 3: session starting exactly at user 2's end — closed
+      // intervals, so 10:20 counts both (concurrency 2 again)
+      (5L, "2024-01-01 10:20:00", 3L, "click"),
+      // user 3 continues into the next hour alone
+      (6L, "2024-01-01 11:40:00", 3L, "click"),
+      (7L, "2024-01-01 11:50:00", 3L, "click"))
+    val out = EventOps.sessionConcurrency(e)
+      .select(date_format(col("hour"), "HH:mm"), col("max_concurrent"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 11:40 session is user 3's second (10:20→11:40 exceeds the 30-min gap)
+    assert(out == Map("10:00" -> 2L, "11:00" -> 1L))
+  }
+
+  test("sessionConcurrency matches a naive driver-side sweep on random data") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { i =>
+      val ts = f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"
+      (i.toLong, ts, rnd.nextInt(8).toLong, "e")
+    }
+    val e = events(rows: _*)
+    // naive: sessionize per user in memory, sweep boundaries globally
+    // (epochs computed explicitly in UTC — the Spark session timezone —
+    // so the reference is JVM-default-tz independent)
+    def epoch(s: String): Long =
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val byUser = rows.groupBy(_._3).view.mapValues(_.map(r => epoch(r._2)).sorted)
+    val sessions = byUser.values.flatMap { times =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = times.head; var last = times.head
+      times.tail.foreach { t =>
+        if (t - last > 30 * 60000L) { out += ((start, last)); start = t }
+        last = t
+      }
+      out += ((start, last)); out
+    }.toSeq
+    val bounds = sessions.flatMap { case (s, en) => Seq((s, 1), (en, -1)) }
+      .sortBy { case (t, d) => (t, -d) }
+    var conc = 0
+    val perHour = scala.collection.mutable.Map.empty[Long, Int]
+    bounds.foreach { case (t, d) =>
+      conc += d
+      val hour = t - (t % 3600000L)
+      perHour(hour) = math.max(perHour.getOrElse(hour, Int.MinValue), conc)
+    }
+    val got = EventOps.sessionConcurrency(e)
+      .select(unix_millis(col("hour").cast("timestamp")), col("max_concurrent"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == perHour.map { case (k, v) => k -> v.toLong }.toMap)
   }
 
   test("newVsReturning classifies a user as new only on the first day") {

@@ -296,4 +296,41 @@ class StreamingSpec extends SparkSpec {
       assert(sessions(0).num_events == 1L)
     } finally q.stop()
   }
+
+  test("latestUserState keeps the newest state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.latestUserState(mem.toDF())
+      .writeStream.format("memory").queryName("user_state_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1L, ts(0, 5), 1L, "signup", 0.0),
+        Event(2L, ts(0, 10), 1L, "click", 0.0))
+      q.processAllAvailable()
+      // batch 2: user 1 advances; an OUT-OF-ORDER event (earlier ts)
+      // must lose to the state carried from batch 1
+      mem.addData(
+        Event(3L, ts(0, 30), 1L, "purchase", 0.0),
+        Event(4L, ts(0, 1), 2L, "signup", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(5L, ts(0, 7), 1L, "view", 0.0)) // stale, ignored
+      q.processAllAvailable()
+      // update-mode memory sink appends a row per emission — the
+      // LAST row per user is the maintained dimension value
+      val last = spark.table("user_state_test").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .zipWithIndex
+        .groupBy(_._1._1).view.mapValues(_.maxBy(_._2)._1._2).toMap
+      assert(last(1L) == "purchase")
+      assert(last(2L) == "signup")
+    } finally q.stop()
+  }
+
+  test("latestUserState batch run equals the window arg-max") {
+    val batch = sampleEvents.toDF()
+    val got = EventStream.latestUserState(batch).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(got == Map(1L -> ("view", 3L), 2L -> ("click", 4L)))
+  }
 }
