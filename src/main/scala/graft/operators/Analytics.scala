@@ -806,23 +806,58 @@ object Analytics {
 
   /** Pareto concentration of revenue: for each coverage threshold,
     * the number of top products (ranked by revenue) needed to reach
-    * that share of total revenue. The window runs over the PRODUCT
-    * AGGREGATE (|parts| rows), never the fact; the final answer is
-    * thresholds×1 rows. The deliberate single-partition rank over the
-    * rollup is the standard exact-quantile trade — swap in
-    * approx-percentile of the aggregate if even that is too wide.
+    * that share of total revenue.
+    *
+    * The global rank + running sum over the product aggregate uses
+    * the same two-phase distributed prefix sum as
+    * [[graft.operators.Packing.prefixSum]] — a bare
+    * `Window.orderBy(revenue)` would funnel every product (~20M rows
+    * at sf100) through ONE task. Instead:
+    *
+    *  1. band products by a log-spaced revenue bucket — a pure
+    *     projection (no sampling), deterministic across jobs and
+    *     retries, and monotone: ascending band = descending revenue,
+    *     so band order extends the rank order exactly;
+    *  2. per-band (count, revenue) totals are collected — O(#bands),
+    *     ≤ a few hundred rows at ANY corpus size (quarter-octave
+    *     bands over the double exponent range) — and turned into
+    *     exclusive rank/revenue offsets plus the grand total;
+    *  3. rank and running revenue run as per-band windows, all bands
+    *     in parallel, plus the broadcast band offsets.
     */
   def paretoRevenue(lineitem: DataFrame,
                     thresholds: Seq[Double] = Seq(0.5, 0.8, 0.9, 0.95, 0.99)): DataFrame = {
-    val rev = lineitem.groupBy("l_partkey")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-    val w = Window.orderBy(col("revenue").desc, col("l_partkey").asc)
-    val ranked = rev.select(
-      row_number().over(w).cast("long").as("rank"),
-      (sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) /
-        sum("revenue").over(Window.partitionBy())).as("cum_share"))
     val spark = lineitem.sparkSession
     import spark.implicits._
+    // |parts| rows, bounded; checkpointed because the band-total
+    // collect and the final ranking both consume it (recomputing
+    // would rescan + reshuffle the whole fact twice)
+    val rev = lineitem.groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .localCheckpoint(true)
+    // quarter-octave bands: each spans a 2^(1/4) revenue ratio, so a
+    // band can't degenerate into "most of the corpus" unless revenues
+    // are near-constant (in which case any split is balanced anyway)
+    val banded = rev.withColumn("band",
+      (-floor(log2(greatest(col("revenue"), lit(java.lang.Double.MIN_VALUE))) * 4))
+        .cast("long"))
+    val totals = banded.groupBy("band")
+      .agg(count(lit(1)).as("cnt"), sum("revenue").as("brev"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val totalRev = totals.map(_._3).sum
+    var cAcc = 0L; var rAcc = 0.0
+    val offsets = totals.map { case (b, c, r) =>
+      val off = (b, cAcc, rAcc); cAcc += c; rAcc += r; off }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("band", "rank_offset", "rev_offset")
+    val w = Window.partitionBy("band")
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+    val ranked = banded.join(broadcast(offsetsDf), Seq("band"))
+      .select(
+        (col("rank_offset") + row_number().over(w)).cast("long").as("rank"),
+        ((col("rev_offset") +
+          sum("revenue").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))) /
+          lit(totalRev)).as("cum_share"))
     val ths = thresholds.toDF("threshold")
     ranked.join(broadcast(ths), col("cum_share") >= col("threshold"))
       .groupBy("threshold")

@@ -294,6 +294,10 @@ object Dedup {
     * pair slots, so boilerplate grams ("terms of service apply")
     * would otherwise quadratically explode one shuffle bucket;
     * capped, the worst bucket is maxDf², independent of corpus size.
+    * The cap is enforced BEFORE any posting list materializes: df is
+    * counted first (constant-size buffer), then only grams with
+    * df ≤ maxDf are semi-joined back, so no aggregation buffer ever
+    * holds more than maxDf ids.
     * The min-shared floor is applied as a HASH AGGREGATE over the
     * exploded pair slots (count per pair), so only pairs with real
     * overlap ever reach the array-payload verification join — on a
@@ -311,11 +315,22 @@ object Dedup {
                           maxDf: Int = 64, minShared: Int = 3): DataFrame = {
     val sets = shingleSets(docs, n)
     val inv = sets.select(col("doc_id"), explode(col("shingles")).as("gram"))
-    // one hash-aggregate builds the inverted index; df ∈ [2, maxDf]
-    // keeps exactly the discriminative grams
-    val buckets = inv.groupBy("gram")
+    // Two-pass inverted index. Pass 1 counts df per gram with a
+    // CONSTANT-SIZE aggregation buffer (one long); a collect_set
+    // followed by a size filter would materialize the full posting
+    // list of a boilerplate gram (df ~ corpus size) inside one
+    // hash-agg entry before discarding it — an executor OOM at scale.
+    val rareGrams = inv.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("gram")
+    // Pass 2: postings only for surviving grams, so collect_set is
+    // provably ≤ maxDf elements. The semi-join and the aggregate
+    // hash-partition on the same key, so pass 2 adds no extra
+    // shuffle of the postings beyond the join itself.
+    val buckets = inv.join(rareGrams, Seq("gram"), "left_semi")
+      .groupBy("gram")
       .agg(collect_set("doc_id").as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
     val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))

@@ -59,6 +59,46 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("blocked jaccard counts df before materializing any posting list") {
+    // one gram shared by every doc must be dropped by the df COUNT
+    // (constant-size buffer), never collected into a set first: in the
+    // plan tree the collect_set aggregate sits ABOVE the semi-join,
+    // which sits above the count aggregate (parents print first)
+    val p = Dedup.blockedJaccardPairs(docs, maxDf = 2)
+      .queryExecution.executedPlan.toString
+    val collectIdx = p.indexOf("collect_set")
+    val semiIdx = p.indexOf("LeftSemi")
+    assert(collectIdx >= 0 && semiIdx >= 0,
+      s"expected collect_set above a LeftSemi df prune:\n$p")
+    assert(collectIdx < semiIdx,
+      s"collect_set must consume the df-pruned postings, not precede the prune:\n$p")
+    assert(p.contains("partial_count"),
+      s"df must be counted with a partial-aggregating count, not a set size:\n$p")
+    // the df cap is a range filter on the COUNT output (a long), not
+    // on the size of a collected set (the optimizer's own
+    // size(ids) > 0 explode guard is fine — it runs on ≤ maxDf sets)
+    assert("Filter \\(\\(df#\\d+L >= 2\\) AND \\(df#\\d+L <= \\d+\\)\\)".r
+      .findFirstIn(p).isDefined,
+      s"expected the maxDf cap as a filter on the df count:\n$p")
+
+    // semantics unchanged: a corpus-wide gram yields no pairs at
+    // maxDf=1... (can't happen with between(2, maxDf)); instead assert
+    // the crafted all-docs gram never pairs unrelated docs
+    val boiler = Seq(
+      (0L, "shared boilerplate header " + base),
+      (1L, "shared boilerplate header " + caseDup),
+      (2L, "shared boilerplate header " + nearDup),
+      (3L, "shared boilerplate header " + unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.blockedJaccardPairs(boiler, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "shared boilerplate header ..." grams have df=4 > maxDf=3 →
+    // pruned; unrelated doc must still not pair via boilerplate alone
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "df-capped boilerplate must not create candidate pairs")
+    assert(pairs.contains((0L, 1L)), "true dup still found")
+  }
+
   test("minhash LSH finds near-dup pairs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docs, tau = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -123,6 +123,16 @@ class PlanSpec extends SparkSpec {
       s"the cutoff must reach the orders scan:\n$p")
   }
 
+  test("paretoRevenue ranks within revenue bands, never one partition") {
+    val p = plan(Analytics.paretoRevenue(Tables.lineitem(spark, dir)))
+    assert("windowspecdefinition\\(band#\\d+L, revenue".r.findFirstIn(p).isDefined,
+      s"rank/cumsum window must partition by revenue band:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition funnel allowed:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"band offsets and thresholds must broadcast:\n$p")
+  }
+
   test("packing prefix sum never uses a global (unpartitioned) window") {
     val perDoc = graft.operators.Packing.tokensPerDoc(Tables.documents(spark, dir))
     val p = plan(graft.operators.Packing.prefixSum(perDoc))
