@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharShingleHashes, CharTrigrams, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes}
+import org.apache.spark.sql.graft.{CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -35,6 +35,15 @@ object gf {
   /** Fused canonicalize+tokenize+k-shingle of raw text — one byte
     * pass, no regexp (dedup fast path). */
   def tokenShingleHashes(text: Column, k: Int): Column = c(TokenShingleHashes(e(text), k))
+
+  /** md5s of the non-overlapping n-token chunks of a text column
+    * (fused, SQL-md5-parity — oracle-checkable). */
+  def chunkMd5s(text: Column, n: Int): Column = c(ChunkMd5s(e(text), n))
+
+  /** Winnowing fingerprints (distinct windowed-min gram md5s) of a
+    * text column (fused, SQL-md5-parity — oracle-checkable). */
+  def winnowFingerprints(text: Column, n: Int, window: Int): Column =
+    c(WinnowMd5Fingerprints(e(text), n, window))
 
   /** 64-bit SimHash of an `array<string>` token column. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -173,6 +173,121 @@ object TextChars {
   }
 }
 
+/** md5-based text kernels with exact SQL parity: these produce the
+  * SAME values as the `md5(array_join(slice(tokens, i+1, n), ' '))`
+  * SQL spelling (tokens = `array_remove(split(text, "\\s+"), "")`),
+  * so operators built on them keep their DuckDB oracles — but in one
+  * fused byte pass per document instead of an interpreted
+  * higher-order `transform` that allocates a joined string per gram.
+  */
+object TextMd5 {
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hex = "0123456789abcdef".getBytes
+
+  // Java regex \s = ASCII [ \t\n\x0B\f\r]; multibyte UTF-8 chars are
+  // never whitespace, so byte-level scanning is exact
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** Flattened [start0, end0, start1, end1, …] byte spans of the
+    * whitespace-delimited tokens. */
+  private def tokenSpans(bytes: Array[Byte]): Array[Int] = {
+    val spans = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      if (!isWs(bytes(i))) {
+        val start = i
+        while (i < bytes.length && !isWs(bytes(i))) i += 1
+        spans.add(start); spans.add(i)
+      } else i += 1
+    }
+    val out = new Array[Int](spans.size)
+    var j = 0
+    while (j < out.length) { out(j) = spans.get(j); j += 1 }
+    out
+  }
+
+  /** md5 hex (lowercase, 32 chars — identical to SQL `md5`) of
+    * tokens[from..from+n) joined with a single space, fed to the
+    * digest straight from the document bytes (no joined string). */
+  private def gramMd5(bytes: Array[Byte], spans: Array[Int],
+                      from: Int, n: Int): UTF8String = {
+    val md = digest.get()
+    md.reset()
+    var j = 0
+    while (j < n) {
+      val s = spans(2 * (from + j)); val e = spans(2 * (from + j) + 1)
+      if (j > 0) md.update(' '.toByte)
+      md.update(bytes, s, e - s)
+      j += 1
+    }
+    val d = md.digest()
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(d(i) & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** md5s of the non-overlapping n-token chunks (stride n), in
+    * order; empty when the document has fewer than n tokens. */
+  def chunkMd5s(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any]((nTok - n) / n + 1)
+    var i = 0; var c = 0
+    while (i <= nTok - n) { out(c) = gramMd5(bytes, spans, i, n); c += 1; i += n }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowing fingerprints: md5s of all n-token grams, sliding
+    * window of `window` consecutive gram hashes, each window's
+    * lexicographic minimum, distinct. Short docs (fewer grams than
+    * one window) keep all their gram hashes — a doc must never
+    * fingerprint to nothing just because it is small.
+    */
+  def winnowMd5Fingerprints(s: UTF8String, n: Int, window: Int): ArrayData = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val g = nTok - n + 1
+    val grams = new Array[UTF8String](g)
+    var i = 0
+    while (i < g) { grams(i) = gramMd5(bytes, spans, i, n); i += 1 }
+    // LinkedHashSet = array_distinct semantics (first-occurrence order)
+    val sel = new java.util.LinkedHashSet[UTF8String]()
+    if (g >= window) {
+      var j = 0
+      while (j <= g - window) {
+        var m = grams(j)
+        var k = 1
+        while (k < window) {
+          if (grams(j + k).compareTo(m) < 0) m = grams(j + k)
+          k += 1
+        }
+        sel.add(m)
+        j += 1
+      }
+    } else {
+      var k = 0
+      while (k < g) { sel.add(grams(k)); k += 1 }
+    }
+    val out = new Array[Any](sel.size)
+    val it = sel.iterator()
+    var c = 0
+    while (it.hasNext) { out(c) = it.next(); c += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 object TextHashes {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime  = 0x100000001b3L

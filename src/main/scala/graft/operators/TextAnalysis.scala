@@ -350,20 +350,14 @@ object TextAnalysis {
     * shuffle; the chunk text stays in the map task. Same explode →
     * two-level count shape at any corpus size.
     */
-  def chunkDedup(docs: DataFrame, n: Int = 8): DataFrame = {
-    val toks = tokens(col("text"))
+  def chunkDedup(docs: DataFrame, n: Int = 8): DataFrame =
     docs
-      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        explode(when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n, lit(n)),
-            i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
-          .otherwise(array().cast("array<string>"))).as("chunk_md5"))
+        explode(graft.functions.gf.chunkMd5s(col("text"), n)).as("chunk_md5"))
       .groupBy("chunk_md5")
       .agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
-  }
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): hash every token n-gram, slide a window of
@@ -372,32 +366,22 @@ object TextAnalysis {
     * fingerprint regardless of where it starts — the
     * alignment-robustness that fixed-stride [[chunkDedup]] lacks —
     * while storing ~1/window of the n-gram hashes. Same
-    * explode→count plan shape; md5 keeps the fingerprints
-    * engine-portable (a production run swaps in the codegen'd
-    * rolling hash).
+    * explode→count plan shape; tokenize→gram-md5→windowed-min runs
+    * as ONE fused codegen'd kernel per document
+    * ([[graft.functions.TextMd5.winnowMd5Fingerprints]]) — md5 keeps
+    * the fingerprints engine-portable (the DuckDB oracle recomputes
+    * the identical values), without the interpreted higher-order
+    * `transform` and per-gram joined-string allocation of the pure
+    * SQL spelling.
     */
-  def winnowDedup(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame = {
-    val toks = tokens(col("text"))
+  def winnowDedup(docs: DataFrame, n: Int = 3, window: Int = 4): DataFrame =
     docs
-      .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(0), size(col("toks")) - n),
-            i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          // short docs keep their raw gram hashes: a doc must never
-          // fingerprint to nothing just because it is small
-          when(size(col("grams")) >= window,
-            transform(sequence(lit(0), size(col("grams")) - window),
-              j => array_min(slice(col("grams"), j + lit(1), lit(window)))))
-            .otherwise(col("grams")))).as("fp"))
+        explode(graft.functions.gf.winnowFingerprints(col("text"), n, window)).as("fp"))
       .groupBy("fp")
       .agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
-  }
 
   /** Zipf frequency spectrum: for each corpus-wide token occurrence
     * count, how many distinct tokens occur exactly that often — the

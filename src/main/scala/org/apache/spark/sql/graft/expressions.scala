@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{TextChars, TextHashes, VectorOps}
+import graft.functions.{TextChars, TextHashes, TextMd5, VectorOps}
 
 /** Native Catalyst expressions for graft's vector/text kernels.
   *
@@ -137,6 +137,54 @@ case class CharTrigrams(child: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, s => s"graft.functions.TextChars.charTrigrams($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** md5s of the non-overlapping n-token chunks of raw text — fused
+  * tokenize+join+digest, value-identical to the
+  * `md5(array_join(slice(tokens, i+1, n), ' '))` SQL spelling (see
+  * [[graft.functions.TextMd5.chunkMd5s]]).
+  */
+case class ChunkMd5s(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"chunk size must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chunk_md5s"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextMd5.chunkMd5s(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextMd5.chunkMd5s($s, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (distinct windowed-min gram md5s) of raw
+  * text — one fused pass (see
+  * [[graft.functions.TextMd5.winnowMd5Fingerprints]]).
+  */
+case class WinnowMd5Fingerprints(child: Expression, n: Int, window: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1 && window >= 1, s"need n,window >= 1, got $n,$window")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_md5_fingerprints"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextMd5.winnowMd5Fingerprints(s.asInstanceOf[UTF8String], n, window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.TextMd5.winnowMd5Fingerprints($s, $n, $window)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -59,6 +59,53 @@ class TextPropertySpec extends SparkSpec {
     }
   }
 
+  test("fused md5 kernels equal the SQL higher-order spelling exactly") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(13)
+    val docs = (randomDocs(rnd, 120) ++ Seq(
+      (1000L, ""), (1001L, " \t\n "), (1002L, "  a\tb\nc  de\ff "),
+      (1003L, "héllo wörld héllo wörld héllo wörld émoji  nbsp"),
+      (1004L, "one two"))) // fewer tokens than n
+      .toDF("doc_id", "text")
+    val (n, window, stride) = (3, 4, 8)
+    val toksC = graft.operators.TextAnalysis.tokens(col("text"))
+
+    def collectFps(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+
+    // winnow: kernel vs the interpreted transform/array_min spelling
+    val sqlWinnow = docs
+      .select(col("doc_id"), toksC.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => md5(array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"), array_distinct(
+        when(size(col("grams")) >= window,
+          transform(sequence(lit(0), size(col("grams")) - window),
+            j => array_min(slice(col("grams"), j + lit(1), lit(window)))))
+          .otherwise(col("grams"))).as("fps"))
+    val kernelWinnow = docs.select(col("doc_id"),
+      graft.functions.gf.winnowFingerprints(col("text"), n, window).as("fps"))
+    assert(collectFps(kernelWinnow) == collectFps(sqlWinnow),
+      "winnow kernel diverges from the SQL spelling")
+
+    // chunks: kernel vs the interpreted transform spelling
+    val sqlChunks = docs
+      .select(col("doc_id"), toksC.as("toks"))
+      .select(col("doc_id"),
+        when(size(col("toks")) >= stride,
+          transform(sequence(lit(0), size(col("toks")) - stride, lit(stride)),
+            i => md5(array_join(slice(col("toks"), i + lit(1), lit(stride)), " "))))
+          .otherwise(array().cast("array<string>")).as("fps"))
+    val kernelChunks = docs.select(col("doc_id"),
+      graft.functions.gf.chunkMd5s(col("text"), stride).as("fps"))
+    assert(collectFps(kernelChunks) == collectFps(sqlChunks),
+      "chunk kernel diverges from the SQL spelling")
+  }
+
   test("weighted sampling frequency tracks the weight on a big draw") {
     val ids = (1L to 30000L).toDF("id")
     for (w <- Seq(0.2, 0.7)) {
