@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -18,6 +18,12 @@ object gf {
 
   /** Cosine similarity of two `array<float>` columns (double). */
   def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+
+  /** Codegen'd Bloom membership probe of a long column against a
+    * pre-built sketch (no per-row UDF ser/de). */
+  def bloomMightContain(key: Column,
+                        bf: org.apache.spark.util.sketch.BloomFilter): Column =
+    c(BloomMightContainLong(e(key), bf))
 
   /** 64-bit FNV-1a fingerprint of a string column. */
   def hash64(s: Column): Column = c(Hash64(e(s)))

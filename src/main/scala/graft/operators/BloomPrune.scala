@@ -30,13 +30,14 @@ object BloomPrune {
 
   /** Keep only rows whose `keyCol` might be in the filter. The test
     * runs map-side before any exchange, so the join shuffle carries
-    * only survivors (+ FPP false positives).
+    * only survivors (+ FPP false positives). The probe is a native
+    * codegen'd expression ([[graft.functions.gf.bloomMightContain]]),
+    * not a Scala UDF — no per-row ser/de, and the filter stays fused
+    * into the scan's whole-stage-codegen span.
     */
-  def prune(big: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
-    val bfBc = big.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+  def prune(big: DataFrame, keyCol: String, bf: BloomFilter): DataFrame =
     // null keys are dropped explicitly — the downstream inner join
     // would drop them anyway, so the prefilter can't change results
-    big.filter(col(keyCol).isNotNull && mightContain(col(keyCol)))
-  }
+    big.filter(col(keyCol).isNotNull &&
+      graft.functions.gf.bloomMightContain(col(keyCol), bf))
 }

@@ -190,6 +190,36 @@ case class WinnowMd5Fingerprints(child: Expression, n: Int, window: Int)
     copy(child = newChild)
 }
 
+/** Bloom-filter membership test over a long key — the codegen'd
+  * replacement for a per-row Scala UDF closing over a broadcast
+  * sketch: the filter rides along as a plan reference object (shipped
+  * once per executor inside the task binary, Spark's own broadcast
+  * path), and the probe inlines into whole-stage codegen on the scan,
+  * so the fattest table's pre-shuffle filter stays fused with the
+  * parquet read.
+  */
+case class BloomMightContainLong(child: Expression,
+                                 bf: org.apache.spark.util.sketch.BloomFilter)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override protected def nullSafeEval(k: Any): Any =
+    bf.mightContainLong(k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, k => s"$ref.mightContainLong($k)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array. */
 case class SimHash64(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {

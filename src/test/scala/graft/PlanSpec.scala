@@ -123,6 +123,14 @@ class PlanSpec extends SparkSpec {
       s"the cutoff must reach the orders scan:\n$p")
   }
 
+  test("bloom prune probes via a codegen'd expression, not a Scala UDF") {
+    val p = plan(Analytics.topRevenueOrdersBloom(Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir)))
+    assert(!p.contains("UDF"), s"no ScalaUDF may survive in the plan:\n$p")
+    assert(p.contains("bloom_might_contain_long"),
+      s"expected the native bloom probe on the lineitem scan:\n$p")
+  }
+
   test("paretoRevenue ranks within revenue bands, never one partition") {
     val p = plan(Analytics.paretoRevenue(Tables.lineitem(spark, dir)))
     assert("windowspecdefinition\\(band#\\d+L, revenue".r.findFirstIn(p).isDefined,
