@@ -319,6 +319,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "ann_ivfpq_res_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
     "q_status_priority" -> ((s, dir) =>
       Analytics.statusPriorityMatrix(Tables.orders(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>

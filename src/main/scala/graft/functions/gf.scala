@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqEncode, ShingleHashes, SimHash64, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -69,6 +69,18 @@ object gf {
   /** Approximate cosine between a query vector and PQ codes. */
   def pqCosine(q: Column, codes: Column, codebooks: Array[Array[Array[Float]]]): Column =
     c(PqCosine(e(q), e(codes), codebooks))
+
+  /** IVF-PQ residual codes: PQ-encode `vec − centroids(cell)`. */
+  def pqEncodeResidual(vec: Column, cell: Column,
+                       centroids: Array[Array[Float]],
+                       codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqEncodeResidual(e(vec), e(cell), centroids, codebooks))
+
+  /** Approximate cosine against `centroids(cell) + residual(codes)`. */
+  def pqCosineResidual(q: Column, codes: Column, cell: Column,
+                       centroids: Array[Array[Float]],
+                       codebooks: Array[Array[Array[Float]]]): Column =
+    c(PqCosineResidual(e(q), e(codes), e(cell), centroids, codebooks))
 
   /** Probe list of the `nprobe` nearest centroids for an
     * `array<float>` column. */

@@ -112,6 +112,72 @@ object VectorOps {
     new GenericArrayData(out)
   }
 
+  /** PQ-encode the RESIDUAL `v − centroids(cell)` — the classic
+    * IVF-PQ layout: residuals concentrate around 0 with far less
+    * variance than raw vectors, so the same codebook budget encodes
+    * them with less error (recall uplift at equal bytes).
+    */
+  def pqEncodeResidual(v: ArrayData, cell: Int,
+                       centroids: Array[Array[Float]],
+                       codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    var dims = 0
+    locally { var j = 0; while (j < m) { dims += codebooks(j)(0).length; j += 1 } }
+    require(v.numElements() == dims,
+      s"pq_encode_residual: vector has ${v.numElements()} dims, codebooks cover $dims")
+    val cent = centroids(cell)
+    require(cent.length == dims,
+      s"pq_encode_residual: centroid has ${cent.length} dims, codebooks cover $dims")
+    val out = new Array[Any](m)
+    var j = 0; var off = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      val sub = cb(0).length
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cb.length) {
+        val entry = cb(c)
+        var d = 0.0; var i = 0
+        while (i < sub) {
+          val diff = (v.getFloat(off + i) - cent(off + i)).toDouble - entry(i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += sub; j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Approximate cosine of a full query vector against an IVF-PQ
+    * reconstruction `centroids(cell) + codebook residual` — reads
+    * only the cell id and m code bytes.
+    */
+  def pqCosineResidual(q: ArrayData, codes: ArrayData, cell: Int,
+                       centroids: Array[Array[Float]],
+                       codebooks: Array[Array[Array[Float]]]): Double = {
+    var dims = 0
+    locally { var j = 0; while (j < codebooks.length) { dims += codebooks(j)(0).length; j += 1 } }
+    require(q.numElements() == dims,
+      s"pq_cosine_residual: query has ${q.numElements()} dims, codebooks cover $dims")
+    val cent = centroids(cell)
+    var dot = 0.0; var nq = 0.0; var nx = 0.0
+    var j = 0; var off = 0
+    while (j < codebooks.length) {
+      val entry = codebooks(j)(codes.getInt(j))
+      var i = 0
+      while (i < entry.length) {
+        val qv = q.getFloat(off + i).toDouble
+        val xv = cent(off + i).toDouble + entry(i)
+        dot += qv * xv; nq += qv * qv; nx += xv * xv
+        i += 1
+      }
+      off += entry.length; j += 1
+    }
+    if (nq == 0.0 || nx == 0.0) -2.0 else dot / (math.sqrt(nq) * math.sqrt(nx))
+  }
+
   /** Approximate cosine of a full query vector against a
     * PQ-reconstructed corpus vector, reading only the m code bytes —
     * the corpus's float payload never enters the scan.

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -333,6 +333,64 @@ case class PqCosine(left: Expression, right: Expression,
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** IVF-PQ residual encode: PQ codes of `vec − centroids(cell)` (see
+  * [[graft.functions.VectorOps.pqEncodeResidual]]). */
+case class PqEncodeResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Float]],
+                            codebooks: Array[Array[Array[Float]]])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode_residual"
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    VectorOps.pqEncodeResidual(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], centroids, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev,
+      (v, cell) => s"graft.functions.VectorOps.pqEncodeResidual($v, $cell, $cref, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Approximate cosine against an IVF-PQ reconstruction
+  * `centroids(cell) + residual(codes)` (see
+  * [[graft.functions.VectorOps.pqCosineResidual]]). */
+case class PqCosineResidual(first: Expression, second: Expression, third: Expression,
+                            centroids: Array[Array[Float]],
+                            codebooks: Array[Array[Array[Float]]])
+  extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_cosine_residual"
+
+  override protected def nullSafeEval(q: Any, codes: Any, cell: Any): Any =
+    VectorOps.pqCosineResidual(q.asInstanceOf[ArrayData],
+      codes.asInstanceOf[ArrayData], cell.asInstanceOf[Int], centroids, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, (q, codes, cell) =>
+      s"graft.functions.VectorOps.pqCosineResidual($q, $codes, $cell, $cref, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** IVF probe list: indices of the `nprobe` nearest centroids. */

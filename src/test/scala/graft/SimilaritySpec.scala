@@ -126,6 +126,41 @@ class SimilaritySpec extends SparkSpec {
     assert(full == plain, "nprobe=nlist must equal plain PQ search")
   }
 
+  test("residual IVF-PQ reconstructs tighter than plain-code IVF-PQ") {
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0)
+        .sum / exact.size
+    val residual = recall(topkSets(
+      Similarity.ivfPqResidualTopK(emb, queries, k = 10, nlist = 8, nprobe = 4)))
+    val plain = recall(topkSets(
+      Similarity.ivfPqTopK(emb, queries, k = 10, nlist = 8, nprobe = 4)))
+    // the uplift claim, with slack for sampling luck on a small corpus
+    assert(residual >= plain - 0.05,
+      s"residual recall $residual must not trail plain $plain")
+    assert(residual >= 0.4, s"residual IVF-PQ recall $residual too low")
+
+    // reconstruction-error check, like-for-like (both Lloyd-refined,
+    // same iters): residual coding must reconstruct tighter
+    val cents = Similarity.trainCentroids(emb, 8, iters = 2)
+    val rcbs = Similarity.trainResidualCodebooksKMeans(emb, cents, m = 8, k = 16, iters = 2)
+    val pcbs = Similarity.trainPqCodebooksKMeans(emb, m = 8, k = 16, iters = 2)
+    import org.apache.spark.sql.functions._
+    val gf = graft.functions.gf
+    val assigned = emb.select(col("embedding"),
+      gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+    val errs = assigned.select(
+      abs(lit(1.0) - gf.pqCosineResidual(col("embedding"),
+        gf.pqEncodeResidual(col("embedding"), col("cell"), cents, rcbs),
+        col("cell"), cents, rcbs)).as("residual_err"),
+      abs(lit(1.0) - gf.pqCosine(col("embedding"),
+        gf.pqEncode(col("embedding"), pcbs), pcbs)).as("plain_err"))
+      .agg(avg("residual_err"), avg("plain_err")).collect()(0)
+    val (rErr, pErr) = (errs.getDouble(0), errs.getDouble(1))
+    assert(rErr < pErr,
+      s"self-reconstruction error must shrink: residual $rErr vs plain $pErr")
+  }
+
   test("PQ codes are deterministic and within code range") {
     val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
     assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
