@@ -246,6 +246,10 @@ object SparkEntry {
       EventOps.approxTypeStats(Tables.events(s, dir))),
     "events_audience_overlap" -> ((s, dir) =>
       EventOps.approxAudienceOverlap(Tables.events(s, dir))),
+    "events_sketch_reach" -> ((s, dir) =>
+      EventOps.reachFromSketches(
+        EventOps.dailyAudienceSketches(Tables.events(s, dir)),
+        "2024-01-05", "2024-01-15")),
     // §2.G streaming (batch twins of the streaming transforms)
     "stream_events_hourly" -> ((s, dir) =>
       graft.streaming.EventStream.hourlyWindow(Tables.events(s, dir))),

@@ -125,6 +125,38 @@ object EventOps {
           (col("users_a") + col("users_b") - col("approx_overlap")), 6))
   }
 
+  /** The incremental sketch STORE: one HLL sketch per (day, type),
+    * built in a single pass and meant to be persisted (parquet
+    * binary column). This is the layout that makes distinct-count
+    * questions O(|days|·|types|) forever after: any date-range reach
+    * query merges stored sketches ([[reachFromSketches]]) instead of
+    * rescanning the fact — the nightly job appends one day's row
+    * group, history is never touched.
+    */
+  def dailyAudienceSketches(events: DataFrame, lgConfigK: Int = 12): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"),
+        count(lit(1)).as("n_events"))
+
+  /** Distinct-user reach per type over `[lo, hi)` from STORED
+    * sketches — pure sketch algebra (`hll_union_agg`), no fact
+    * access. HLL union is LOSSLESS (the merged sketch is
+    * bit-identical to one built over the concatenated input), so
+    * range-from-store equals direct-sketch-of-range exactly —
+    * spec-asserted, which is what justifies storing sketches instead
+    * of raw ids.
+    */
+  def reachFromSketches(sketches: DataFrame, lo: String, hi: String): DataFrame =
+    sketches
+      .filter(col("day") >= lit(lo) && col("day") < lit(hi))
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users"),
+        sum("n_events").as("n_events"))
+
   /** Exact distinct-user variant (shuffles user ids; the approx one
     * above is the 100 TB default). */
   def hourlyDistinctUsers(events: DataFrame): DataFrame =

@@ -39,6 +39,39 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketch store: range merge is lossless and within HLL error of exact") {
+    val sketches = EventOps.dailyAudienceSketches(events)
+    val (lo, hi) = ("2024-01-05", "2024-01-15")
+    val fromStore = EventOps.reachFromSketches(sketches, lo, hi).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromStore.nonEmpty)
+
+    // lossless merge: the store answer equals a sketch built
+    // DIRECTLY over the range — exactly, not approximately (HLL
+    // union is bit-faithful). This is the property that justifies
+    // persisting sketches instead of ids.
+    val ranged = events.filter(
+      to_date(col("ts")) >= lit(lo) && to_date(col("ts")) < lit(hi))
+    val direct = ranged.groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(12))).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStore.view.mapValues(_._1).toMap == direct,
+      "merged-from-store must equal direct sketch of the range")
+
+    // error bound vs exact distinct users in the range
+    val exact = ranged.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromStore.keySet == exact.keySet)
+    fromStore.foreach { case (t, (approxUsers, nEvents)) =>
+      val (exactUsers, exactEvents) = exact(t)
+      assert(nEvents == exactEvents, s"$t: event counts are exact by construction")
+      assert(math.abs(approxUsers - exactUsers) <= math.max(3L, (0.05 * exactUsers).toLong),
+        s"$t: approx $approxUsers vs exact $exactUsers")
+    }
+  }
+
   test("audience overlap within compounded HLL error of exact") {
     val approx = EventOps.approxAudienceOverlap(events).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
