@@ -347,6 +347,8 @@ object SparkEntry {
     // round 4: deterministic near-dup, SCD2, Q15/Q17, activity/Zipf
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
+    "dedup_ngram_contain" -> ((s, dir) =>
+      Dedup.blockedContainmentPairs(Tables.documents(s, dir))),
     "q_top_supplier" -> ((s, dir) =>
       Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "q_small_qty_revenue" -> ((s, dir) =>
@@ -1228,6 +1230,28 @@ object SparkEntry {
         |  JOIN g gb ON gb.doc_id = p.id_b)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
+        .stripMargin.replace("\n", " "),
+    "dedup_ngram_contain" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND d.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT p.id_a, p.id_b,
+        |  len(list_intersect(ga.grams, gb.grams)) AS inter,
+        |  greatest(least(len(ga.grams), len(gb.grams)), 1) AS mn
+        | FROM p JOIN g ga ON ga.doc_id = p.id_a
+        |  JOIN g gb ON gb.doc_id = p.id_b)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / mn AS containment
+        |FROM j WHERE CAST(inter AS DOUBLE) / mn >= 0.8"""
         .stripMargin.replace("\n", " "),
     "q_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,

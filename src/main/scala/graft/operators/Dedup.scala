@@ -311,27 +311,30 @@ object Dedup {
     * strings — identical set cardinalities absent a 64-bit collision
     * inside one document's gram set (~|grams|²/2⁶⁴, negligible).
     */
-  def blockedJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                          maxDf: Int = 64, minShared: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, n)
+  /** DF-capped inverted-index candidate pairs — the shared blocking
+    * of the deterministic verifiers ([[blockedJaccardPairs]],
+    * [[blockedContainmentPairs]]).
+    *
+    * Two-pass inverted index. Pass 1 counts df per gram with a
+    * CONSTANT-SIZE aggregation buffer (one long); a collect_set
+    * followed by a size filter would materialize the full posting
+    * list of a boilerplate gram (df ~ corpus size) inside one
+    * hash-agg entry before discarding it — an executor OOM at scale.
+    * Pass 2 collects postings only for surviving grams, so
+    * collect_set is provably ≤ maxDf elements; the semi-join and the
+    * aggregate hash-partition on the same key, so pass 2 adds no
+    * extra shuffle of the postings beyond the join itself.
+    */
+  private def blockedCandidates(sets: DataFrame, maxDf: Int,
+                                minShared: Int): DataFrame = {
     val inv = sets.select(col("doc_id"), explode(col("shingles")).as("gram"))
-    // Two-pass inverted index. Pass 1 counts df per gram with a
-    // CONSTANT-SIZE aggregation buffer (one long); a collect_set
-    // followed by a size filter would materialize the full posting
-    // list of a boilerplate gram (df ~ corpus size) inside one
-    // hash-agg entry before discarding it — an executor OOM at scale.
     val rareGrams = inv.groupBy("gram")
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .select("gram")
-    // Pass 2: postings only for surviving grams, so collect_set is
-    // provably ≤ maxDf elements. The semi-join and the aggregate
-    // hash-partition on the same key, so pass 2 adds no extra
-    // shuffle of the postings beyond the join itself.
-    val buckets = inv.join(rareGrams, Seq("gram"), "left_semi")
+    inv.join(rareGrams, Seq("gram"), "left_semi")
       .groupBy("gram")
       .agg(collect_set("doc_id").as("ids"))
-    val pairs = buckets
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -339,6 +342,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= minShared)
       .select("id_a", "id_b")
-    verifiedJaccard(pairs, sets, tau)
+  }
+
+  def blockedJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                          maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, n)
+    verifiedJaccard(blockedCandidates(sets, maxDf, minShared), sets, tau)
+  }
+
+  /** Deterministic CONTAINMENT near-dup: same blocking as
+    * [[blockedJaccardPairs]], but verification scores
+    * `|G_A ∩ G_B| / min(|G_A|, |G_B|)` — the asymmetric measure that
+    * catches a short document embedded in a long one (quotes,
+    * scraped inclusions, doc-in-doc concatenations), which symmetric
+    * Jaccard structurally misses: a doc fully contained in one 10×
+    * its size has containment 1.0 but Jaccard ≤ 0.1. Fully
+    * deterministic → oracle-checked end to end like its Jaccard twin.
+    */
+  def blockedContainmentPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.8,
+                              maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, n)
+    joinPairPayload(blockedCandidates(sets, maxDf, minShared), sets,
+      "doc_id", "shingles")
+      .withColumn("containment",
+        size(array_intersect(col("shingles_a"), col("shingles_b"))) /
+          greatest(least(size(col("shingles_a")), size(col("shingles_b"))), lit(1)))
+      .filter(col("containment") >= tau)
+      .select("id_a", "id_b", "containment")
   }
 }

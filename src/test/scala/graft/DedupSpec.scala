@@ -99,6 +99,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), "true dup still found")
   }
 
+  test("blocked containment catches subset docs that jaccard misses") {
+    // doc 1 CONTAINS doc 0 (prefix) plus as much again — Jaccard
+    // craters (~0.5 of grams shared) while containment is exactly 1.0
+    val superdoc = base + " " + unrelated
+    val d = Seq((0L, base), (1L, superdoc), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val contain = Dedup.blockedContainmentPairs(d, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(contain.contains((0L, 1L)), "contained doc must pair with its superset")
+    assert(contain((0L, 1L)) == 1.0, "full containment scores exactly 1.0")
+    assert(contain.contains((1L, 2L)), "the other embedded doc pairs too")
+    // the symmetric verifier rejects the same pair at matched strictness:
+    // jaccard(0,1) ~ |G_base| / (|G_base| + |G_unrelated| + junction) < 0.6
+    val jac = Dedup.blockedJaccardPairs(d, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)), "jaccard at 0.9 must miss the subset pair")
+  }
+
   test("minhash LSH finds near-dup pairs, not unrelated ones") {
     val pairs = Dedup.minhashPairs(docs, tau = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
