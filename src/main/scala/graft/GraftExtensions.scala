@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.{CharShingleHashes, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64}
+import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64, WinnowMd5Fingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so plain `spark.sql` users get them
@@ -70,5 +70,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash_signature(hashes, numPerms, seed) - MinHash signature"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
         intLit(args(1), "numPerms"), longLit(args(2), "seed"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("chunk_md5s"),
+      info("chunk_md5s",
+        "chunk_md5s(text, n) - md5s of non-overlapping n-token chunks (fused)"),
+      (args: Seq[Expression]) =>
+        ChunkMd5s(args(0), intLit(args(1), "chunk size"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "winnow_fingerprints(text, n, window) - winnowing fingerprints (windowed-min gram md5s)"),
+      (args: Seq[Expression]) => WinnowMd5Fingerprints(args(0),
+        intLit(args(1), "gram size"), intLit(args(2), "window"))))
   }
 }

@@ -349,6 +349,17 @@ object SparkEntry {
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
     "dedup_ngram_contain" -> ((s, dir) =>
       Dedup.blockedContainmentPairs(Tables.documents(s, dir))),
+    // incremental ingest split: doc_id % 10 == 0 plays the new batch
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.incrementalExact(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
+    "dedup_incremental_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.incrementalNearDupPairs(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
     "q_top_supplier" -> ((s, dir) =>
       Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "q_small_qty_revenue" -> ((s, dir) =>
@@ -1252,6 +1263,38 @@ object SparkEntry {
         |  JOIN g gb ON gb.doc_id = p.id_b)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / mn AS containment
         |FROM j WHERE CAST(inter AS DOUBLE) / mn >= 0.8"""
+        .stripMargin.replace("\n", " "),
+    "dedup_incremental" ->
+      """WITH c AS (SELECT DISTINCT
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        | FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT doc_id, lang, source, n_chars FROM documents n
+        |WHERE doc_id % 10 = 0 AND NOT EXISTS (SELECT 1 FROM c
+        | WHERE c.norm = trim(regexp_replace(lower(n.text), '\s+', ' ', 'g')))"""
+        .stripMargin.replace("\n", " "),
+    "dedup_incremental_pairs" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |   AND d.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT p.new_id, p.corpus_id,
+        |  len(list_intersect(ga.grams, gb.grams)) AS inter,
+        |  len(ga.grams) + len(gb.grams)
+        |    - len(list_intersect(ga.grams, gb.grams)) AS uni
+        | FROM p JOIN g ga ON ga.doc_id = p.new_id
+        |  JOIN g gb ON gb.doc_id = p.corpus_id)
+        |SELECT new_id, corpus_id, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
         .stripMargin.replace("\n", " "),
     "q_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,

@@ -350,6 +350,62 @@ object Dedup {
     verifiedJaccard(blockedCandidates(sets, maxDf, minShared), sets, tau)
   }
 
+  /** Incremental EXACT dedup — the daily-ingest shape: keep only the
+    * new-batch docs whose canonical text has never been seen in the
+    * corpus. The corpus side reduces to its distinct canonical form
+    * (in production: a persisted fingerprint column — history never
+    * rescans text), and the anti-join shuffles fingerprints, not
+    * documents. Requires doc_ids globally unique across both inputs.
+    */
+  def incrementalExact(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val seen = corpus
+      .select(TextAnalysis.canonical(col("text")).as("norm")).distinct()
+    newDocs
+      .withColumn("norm", TextAnalysis.canonical(col("text")))
+      .join(seen, Seq("norm"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  /** Incremental NEAR-dup pairs: deterministic blocked-Jaccard
+    * between a new batch and the existing corpus, generating ONLY
+    * new×corpus candidates — the corpus is never paired with itself
+    * (its internal near-dups are yesterday's problem; re-verifying
+    * them daily would dominate the job at 100 TB). Gram df is counted
+    * over the union so boilerplate shared between batch and corpus
+    * still gets capped. Same two-pass bounded blocking as
+    * [[blockedJaccardPairs]]; output is (new_id, corpus_id, jaccard)
+    * for pairs with Jaccard ≥ tau — the drop list for the ingest.
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                              n: Int = 3, tau: Double = 0.5,
+                              maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val tagged = newDocs.select(col("doc_id"), col("text"), lit(true).as("is_new"))
+      .unionByName(corpus.select(col("doc_id"), col("text"), lit(false).as("is_new")))
+    val sets = tagged.select(col("doc_id"), col("is_new"),
+      array_distinct(gf.tokenShingleHashes(col("text"), n)).as("shingles"))
+    val inv = sets.select(col("doc_id"), col("is_new"),
+      explode(col("shingles")).as("gram"))
+    val rareGrams = inv.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("gram")
+    // cross-pairs only: the old×old combinations die map-side inside
+    // the (≤ maxDf²-bounded) bucket enumeration, before any shuffle
+    val pairs = inv.join(rareGrams, Seq("gram"), "left_semi")
+      .groupBy("gram")
+      .agg(collect_set(struct(col("doc_id"), col("is_new"))).as("ids"))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a.is_new") && !col("b.is_new"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_rare_shared"))
+      .filter(col("n_rare_shared") >= minShared)
+      .select("id_a", "id_b")
+    verifiedJaccard(pairs, sets.drop("is_new"), tau)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"), col("jaccard"))
+  }
+
   /** Deterministic CONTAINMENT near-dup: same blocking as
     * [[blockedJaccardPairs]], but verification scores
     * `|G_A ∩ G_B| / min(|G_A|, |G_B|)` — the asymmetric measure that

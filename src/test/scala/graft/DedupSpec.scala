@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, length, lit}
 
 import graft.operators.Dedup
 
@@ -115,6 +116,31 @@ class DedupSpec extends SparkSpec {
     val jac = Dedup.blockedJaccardPairs(d, tau = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!jac.contains((0L, 1L)), "jaccard at 0.9 must miss the subset pair")
+  }
+
+  test("incremental dedup drops seen docs, pairs only new-vs-corpus") {
+    val corpus = Seq((0L, base), (1L, unrelated)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fresh = Seq(
+      (10L, caseDup),      // exact dup (mod canonicalization) of corpus doc 0
+      (11L, nearDup),      // near-dup of corpus doc 0, not exact
+      (12L, "entirely novel content with words never seen before today"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
+    val kept = Dedup.incrementalExact(fresh, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 12L), "only the exact duplicate is dropped")
+
+    val pairs = Dedup.incrementalNearDupPairs(fresh, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 0L)) && pairs.contains((11L, 0L)),
+      "both the exact and the near duplicate pair with their corpus source")
+    assert(pairs.forall { case (n, c) => n >= 10L && c < 10L },
+      "pairs must be oriented new->corpus and never corpus-internal")
+    assert(!pairs.exists(_._1 == 12L), "novel doc pairs with nothing")
   }
 
   test("minhash LSH finds near-dup pairs, not unrelated ones") {
