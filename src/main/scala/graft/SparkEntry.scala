@@ -217,6 +217,11 @@ object SparkEntry {
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
         least(lit(1.0), col("n_chars") / lit(2000.0)))
         .select("doc_id", "source", "n_chars")),
+    // exact binary-fraction shares: rate arithmetic replays exactly
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.sampleToMixture(Tables.documents(s, dir), "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
+        .select("doc_id", "source")),
     "q_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
     "q_priority_check" -> ((s, dir) =>
@@ -933,6 +938,21 @@ object SparkEntry {
         |  ELSE printf('%08x',
         |   CAST(floor(greatest(least(1.0, n_chars / 2000.0), 0.0) * 4294967296)
         |    AS BIGINT)) END""".stripMargin.replace("\n", " "),
+    "sample_mixture" ->
+      """WITH cnt AS (SELECT source, count(*) AS n,
+        |  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |   ELSE CAST(0.25 AS DOUBLE) END AS p
+        | FROM documents WHERE source IN ('src0', 'src1', 'src2')
+        | GROUP BY source),
+        |tot AS (SELECT min(n / p) AS total FROM cnt),
+        |r AS (SELECT source,
+        |  least(p * (SELECT total FROM tot) / n, CAST(1 AS DOUBLE)) AS rate
+        | FROM cnt)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':m42'), 1, 8) <
+        | CASE WHEN r.rate >= 1.0 THEN 'g'
+        |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END"""
+        .stripMargin.replace("\n", " "),
     "text_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

@@ -97,6 +97,37 @@ object Sampling {
       .select(col(stratumCol), (col("pos") + 1).cast("long").as("sample_rank"),
         col("col").as(idCol))
 
+  /** Rebalance a corpus to target source proportions — the
+    * data-MIXTURE step of a training run ("50% web, 30% wiki, 20%
+    * code"). Per-source keep-rates are derived to hit the target
+    * shares while retaining the maximum possible volume: no source
+    * can be up-sampled past its actual size, so the achievable total
+    * is `T = min_s n_s / p_s` and `keep_s = p_s · T / n_s` (the
+    * binding source keeps everything). Sources outside the target
+    * map drop entirely. The only non-filter work is the per-source
+    * count — one aggregate, O(|sources|) rows to the driver; the
+    * sample itself is the usual deterministic stratified hash filter
+    * (portable md5 threshold, so the whole computation — rate
+    * derivation included — replays bit-for-bit in the oracle).
+    */
+  def sampleToMixture(df: DataFrame, idCol: String, stratumCol: String,
+                      targetShares: Map[String, Double],
+                      salt: String = "m42"): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val shareSum = targetShares.values.sum
+    val shares = targetShares.map { case (s, p) => s -> p / shareSum }
+    val inMix = df.filter(col(stratumCol).isin(shares.keys.toSeq: _*))
+    val counts = inMix.groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = shares.keySet -- counts.keySet
+    require(missing.isEmpty, s"no rows for target sources: $missing")
+    val total = shares.map { case (s, p) => counts(s) / p }.min
+    val rates = shares.map { case (s, p) =>
+      s -> math.min(p * total / counts(s), 1.0) }
+    stratifiedSample(inMix, idCol, stratumCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Per-row weighted Bernoulli sample: each row keeps with
     * probability `weight` (a Column in [0,1], e.g. a quality score) —
     * up/down-weighting sources by quality without a shuffle or any

@@ -83,6 +83,31 @@ class SamplingSpec extends SparkSpec {
       b.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("mixture sampling hits target shares at maximum retention") {
+    // skewed corpus: a=1000, b=4000, c=500 rows; targets 0.5/0.25/0.25
+    // → achievable total T = min(1000/.5, 4000/.25, 500/.25) = 2000:
+    // a and c bind (keep all), b thins to ~500, d drops entirely
+    val skewed = ((0L until 1000L).map(i => (i, "a")) ++
+      (1000L until 5000L).map(i => (i, "b")) ++
+      (5000L until 5500L).map(i => (i, "c")) ++
+      (5500L until 6000L).map(i => (i, "d")))
+      .toDF("doc_id", "source")
+    val out = Sampling.sampleToMixture(skewed, "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    val bySource = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.getOrElse("a", 0L) == 1000L, s"binding source keeps all: $bySource")
+    assert(bySource.getOrElse("c", 0L) == 500L, s"binding source keeps all: $bySource")
+    assert(!bySource.contains("d"), "sources outside the mixture drop")
+    val b = bySource.getOrElse("b", 0L)
+    assert(math.abs(b - 500L) < 5 * math.sqrt(500.0), s"b thinned to ~500, got $b")
+    // deterministic: replay is identical
+    val again = Sampling.sampleToMixture(skewed.repartition(7), "doc_id", "source",
+      Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == bySource)
+  }
+
   test("weightedSample keeps ~weight fraction, edge weights exact") {
     val ids = (1L to 20000L).toDF("id")
     assert(Sampling.weightedSample(ids, "id", lit(0.0)).count() == 0L)
