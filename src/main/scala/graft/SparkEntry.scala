@@ -128,6 +128,8 @@ object SparkEntry {
       Analytics.brandRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_percentiles" -> ((s, dir) =>
       Analytics.orderValuePercentiles(Tables.orders(s, dir), Tables.customer(s, dir))),
+    "q_interval_join" -> ((s, dir) =>
+      operators.RangeJoin.eventImpactWindows(Tables.events(s, dir), "error", 300L)),
     "q_events_hourly" -> ((s, dir) =>
       EventOps.hourlyStats(Tables.events(s, dir), withApproxUsers = false)),
     "q_events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
@@ -938,6 +940,13 @@ object SparkEntry {
         |  ELSE printf('%08x',
         |   CAST(floor(greatest(least(1.0, n_chars / 2000.0), 0.0) * 4294967296)
         |    AS BIGINT)) END""".stripMargin.replace("\n", " "),
+    "q_interval_join" ->
+      """SELECT e.event_id AS window_id, p.event_type,
+        | count(*) AS n_events
+        |FROM events e JOIN events p
+        | ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 300 SECONDS
+        |WHERE e.event_type = 'error'
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "sample_mixture" ->
       """WITH cnt AS (SELECT source, count(*) AS n,
         |  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
