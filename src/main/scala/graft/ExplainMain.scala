@@ -14,7 +14,9 @@ object ExplainMain {
       "ann_pq_topk", "ann_ivfpq_topk", "docs_pack_sequences",
       "text_lm_score", "q_nation_volume", "sample_uniform_k_agg",
       "q3_bloom_pruned", "q_sole_blame_supplier", "text_decontaminate",
-      "q_topn_per_group_agg", "text_winnow_dedup", "events_audience_overlap")
+      "q_topn_per_group_agg", "text_winnow_dedup", "events_audience_overlap",
+      "dedup_ngram_blocked", "q_pareto_revenue", "q_interval_join",
+      "dedup_incremental_pairs", "sample_mixture", "q_profit_nation_year")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
