@@ -294,10 +294,10 @@ object Dedup {
     * pair slots, so boilerplate grams ("terms of service apply")
     * would otherwise quadratically explode one shuffle bucket;
     * capped, the worst bucket is maxDf², independent of corpus size.
-    * The cap is enforced BEFORE any posting list materializes: df is
-    * counted first (constant-size buffer), then only grams with
-    * df ≤ maxDf are semi-joined back, so no aggregation buffer ever
-    * holds more than maxDf ids.
+    * The cap is enforced WHILE postings collect, not after: the
+    * bounded collector stops growing at maxDf+1 elements, so no
+    * aggregation buffer ever holds more than maxDf+1 ids regardless
+    * of a gram's true document frequency.
     * The min-shared floor is applied as a HASH AGGREGATE over the
     * exploded pair slots (count per pair), so only pairs with real
     * overlap ever reach the array-payload verification join — on a
@@ -315,26 +315,22 @@ object Dedup {
     * of the deterministic verifiers ([[blockedJaccardPairs]],
     * [[blockedContainmentPairs]]).
     *
-    * Two-pass inverted index. Pass 1 counts df per gram with a
-    * CONSTANT-SIZE aggregation buffer (one long); a collect_set
-    * followed by a size filter would materialize the full posting
-    * list of a boilerplate gram (df ~ corpus size) inside one
-    * hash-agg entry before discarding it — an executor OOM at scale.
-    * Pass 2 collects postings only for surviving grams, so
-    * collect_set is provably ≤ maxDf elements; the semi-join and the
-    * aggregate hash-partition on the same key, so pass 2 adds no
-    * extra shuffle of the postings beyond the join itself.
+    * One pass, BOUNDED buffers: postings are collected with
+    * [[graft.functions.BoundedCollectSetAgg]] capped at `maxDf + 1`
+    * elements, so a boilerplate gram shared by 10⁸ documents costs a
+    * 65-entry aggregation buffer, never a 10⁸-entry one (a plain
+    * `collect_set` + size filter would materialize the full posting
+    * list before discarding it — an executor OOM at scale). A group
+    * that reaches the cap has df > maxDf by definition and the
+    * `size ≤ maxDf` filter drops it; `size ≥ 2` needs a partner.
     */
   private def blockedCandidates(sets: DataFrame, maxDf: Int,
                                 minShared: Int): DataFrame = {
     val inv = sets.select(col("doc_id"), explode(col("shingles")).as("gram"))
-    val rareGrams = inv.groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select("gram")
-    inv.join(rareGrams, Seq("gram"), "left_semi")
-      .groupBy("gram")
-      .agg(collect_set("doc_id").as("ids"))
+    inv.groupBy("gram")
+      .agg(graft.functions.BoundedCollectSetAgg
+        .boundedCollectSet(col("doc_id"), maxDf + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -370,9 +366,9 @@ object Dedup {
     * between a new batch and the existing corpus, generating ONLY
     * new×corpus candidates — the corpus is never paired with itself
     * (its internal near-dups are yesterday's problem; re-verifying
-    * them daily would dominate the job at 100 TB). Gram df is counted
+    * them daily would dominate the job at 100 TB). Gram df is capped
     * over the union so boilerplate shared between batch and corpus
-    * still gets capped. Same two-pass bounded blocking as
+    * still gets dropped. Same bounded single-pass blocking as
     * [[blockedJaccardPairs]]; output is (new_id, corpus_id, jaccard)
     * for pairs with Jaccard ≥ tau — the drop list for the ingest.
     */
@@ -383,21 +379,21 @@ object Dedup {
       .unionByName(corpus.select(col("doc_id"), col("text"), lit(false).as("is_new")))
     val sets = tagged.select(col("doc_id"), col("is_new"),
       array_distinct(gf.tokenShingleHashes(col("text"), n)).as("shingles"))
-    val inv = sets.select(col("doc_id"), col("is_new"),
+    // is_new rides in the posting id's low bit so the bounded
+    // single-pass collector (longs) applies unchanged
+    val inv = sets.select(
+      (col("doc_id") * 2 + when(col("is_new"), 1L).otherwise(0L)).as("tagged_id"),
       explode(col("shingles")).as("gram"))
-    val rareGrams = inv.groupBy("gram")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select("gram")
     // cross-pairs only: the old×old combinations die map-side inside
     // the (≤ maxDf²-bounded) bucket enumeration, before any shuffle
-    val pairs = inv.join(rareGrams, Seq("gram"), "left_semi")
-      .groupBy("gram")
-      .agg(collect_set(struct(col("doc_id"), col("is_new"))).as("ids"))
+    val pairs = inv.groupBy("gram")
+      .agg(graft.functions.BoundedCollectSetAgg
+        .boundedCollectSet(col("tagged_id"), maxDf + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
       .select(explode(col("ids")).as("a"), col("ids"))
       .select(col("a"), explode(col("ids")).as("b"))
-      .filter(col("a.is_new") && !col("b.is_new"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .filter(col("a") % 2 === 1 && col("b") % 2 === 0)
+      .select(expr("a div 2").as("id_a"), expr("b div 2").as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_rare_shared"))
       .filter(col("n_rare_shared") >= minShared)

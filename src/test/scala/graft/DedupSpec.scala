@@ -60,27 +60,22 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
-  test("blocked jaccard counts df before materializing any posting list") {
-    // one gram shared by every doc must be dropped by the df COUNT
-    // (constant-size buffer), never collected into a set first: in the
-    // plan tree the collect_set aggregate sits ABOVE the semi-join,
-    // which sits above the count aggregate (parents print first)
+  test("blocked jaccard never materializes an unbounded posting list") {
+    // postings collect through the BOUNDED aggregator (buffer capped
+    // at maxDf+1), never a plain collect_set whose buffer grows with
+    // a boilerplate gram's document frequency
     val p = Dedup.blockedJaccardPairs(docs, maxDf = 2)
       .queryExecution.executedPlan.toString
-    val collectIdx = p.indexOf("collect_set")
-    val semiIdx = p.indexOf("LeftSemi")
-    assert(collectIdx >= 0 && semiIdx >= 0,
-      s"expected collect_set above a LeftSemi df prune:\n$p")
-    assert(collectIdx < semiIdx,
-      s"collect_set must consume the df-pruned postings, not precede the prune:\n$p")
-    assert(p.contains("partial_count"),
-      s"df must be counted with a partial-aggregating count, not a set size:\n$p")
-    // the df cap is a range filter on the COUNT output (a long), not
-    // on the size of a collected set (the optimizer's own
-    // size(ids) > 0 explode guard is fine — it runs on ≤ maxDf sets)
-    assert("Filter \\(\\(df#\\d+L >= 2\\) AND \\(df#\\d+L <= \\d+\\)\\)".r
-      .findFirstIn(p).isDefined,
-      s"expected the maxDf cap as a filter on the df count:\n$p")
+    assert(!p.contains("collect_set"),
+      s"no unbounded collect_set may appear in the blocking:\n$p")
+    assert(p.toLowerCase.contains("boundedset"),
+      s"expected the bounded posting collector:\n$p")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      s"bounded collector must partially aggregate map-side:\n$p")
+    // the df cap is the size filter over the capped set
+    assert("size\\(ids#\\d+, true\\) >= 2".r.findFirstIn(p).isDefined ||
+      p.contains("(size(ids"),
+      s"expected the df range filter on the capped set:\n$p")
 
     // semantics unchanged: a corpus-wide gram yields no pairs at
     // maxDf=1... (can't happen with between(2, maxDf)); instead assert
