@@ -135,6 +135,10 @@ object SparkEntry {
         Tables.part(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
     "stream_impact_join" -> ((s, dir) =>
       graft.streaming.EventStream.impactJoin(Tables.events(s, dir))),
+    // below eviction scale (users ≪ buckets·k) MG counts are exact →
+    // plain GROUP BY oracle; past eviction the MG bound takes over
+    "stream_heavy_hitters" -> ((s, dir) =>
+      graft.streaming.EventStream.heavyHittersState(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) =>
       EventOps.hourlyStats(Tables.events(s, dir), withApproxUsers = false)),
     "q_events_sessionize" -> ((s, dir) => EventOps.sessionize(Tables.events(s, dir))),
@@ -948,6 +952,8 @@ object SparkEntry {
         |  ELSE printf('%08x',
         |   CAST(floor(greatest(least(1.0, n_chars / 2000.0), 0.0) * 4294967296)
         |    AS BIGINT)) END""".stripMargin.replace("\n", " "),
+    "stream_heavy_hitters" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY 1",
     "stream_impact_join" ->
       """SELECT e.event_id AS window_id, p.event_id AS event_id,
         | p.event_type

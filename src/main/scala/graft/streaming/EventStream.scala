@@ -261,6 +261,67 @@ object EventStream extends Serializable {
     * and streaming (MemoryStream spec: later micro-batches overwrite
     * earlier state, out-of-order events lose to newer state).
     */
+  case class MgState(users: Map[Long, Long])
+  case class UserCount(user_id: Long, n_events: Long)
+
+  /** Streaming Misra-Gries heavy hitters: the event stream folds
+    * into `buckets` MG summaries of ≤ `k` counters each, keyed by
+    * `user_id % buckets` — total state is buckets·k counters, FIXED
+    * regardless of user cardinality or stream length (the classic
+    * unbounded-keys problem of a naive streaming count). Each
+    * micro-batch updates its buckets' summaries and re-emits them
+    * (update mode); users live in exactly one bucket, so no
+    * cross-bucket merge is needed. While a bucket tracks ≤ k
+    * distinct users there are no evictions and counts are exact —
+    * which is how the batch form of this SAME code path carries a
+    * plain GROUP BY oracle at test scale; past eviction the
+    * per-bucket guarantee degrades gracefully to the MG bound
+    * (underestimate ≤ N_bucket/k).
+    */
+  def heavyHittersState(events: DataFrame, k: Int = 256,
+                        buckets: Int = 16): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def mgFold(counters: scala.collection.mutable.LinkedHashMap[Long, Long],
+               it: Iterator[Long]): Unit =
+      it.foreach { u =>
+        counters.get(u) match {
+          case Some(c) => counters.update(u, c + 1)
+          case None if counters.size < k => counters.update(u, 1L)
+          case None =>
+            val dead = List.newBuilder[Long]
+            counters.foreach { case (key, c) =>
+              if (c == 1L) dead += key else counters.update(key, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+
+    val typed = events.toDF()
+      .select(col("user_id").cast("long").as("u"))
+      .filter(col("u").isNotNull).as[Long]
+      .groupByKey(_ % buckets)
+    if (events.isStreaming) {
+      def fn(bucket: Long, it: Iterator[Long],
+             state: GroupState[MgState]): Iterator[UserCount] = {
+        val counters = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        state.getOption.foreach(_.users.foreach { case (u, c) => counters.update(u, c) })
+        mgFold(counters, it)
+        state.update(MgState(counters.toMap))
+        counters.iterator.map { case (u, c) => UserCount(u, c) }
+      }
+      typed.flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout())(fn)
+        .toDF()
+    } else {
+      typed.flatMapGroups { (_: Long, it: Iterator[Long]) =>
+        val counters = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+        mgFold(counters, it)
+        counters.iterator.map { case (u, c) => UserCount(u, c) }
+      }.toDF()
+    }
+  }
+
   def latestUserState(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -72,6 +72,26 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketch store survives a parquet round trip (the lake layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketches").toString
+    // nightly-append layout: one partition per day, binary sketch col
+    EventOps.dailyAudienceSketches(events)
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val fromDisk = EventOps.reachFromSketches(reloaded, "2024-01-05", "2024-01-15")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromMemory = EventOps.reachFromSketches(
+      EventOps.dailyAudienceSketches(events), "2024-01-05", "2024-01-15")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromDisk == fromMemory,
+      "persisted sketches must answer identically to freshly built ones")
+    // range pruning works off the day partition column after reload
+    val p = EventOps.reachFromSketches(reloaded, "2024-01-05", "2024-01-15")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") || p.contains("day#"),
+      s"day range should prune partitions on the reloaded store:\n$p")
+  }
+
   test("audience overlap within compounded HLL error of exact") {
     val approx = EventOps.approxAudienceOverlap(events).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap

@@ -172,6 +172,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters accumulate counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.heavyHittersState(mem.toDF(), k = 4, buckets = 2)
+      .writeStream.format("memory").queryName("hh_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1L, ts(1, 0), 7L, "click", 0.0),
+        Event(2L, ts(1, 1), 7L, "click", 0.0),
+        Event(3L, ts(1, 2), 8L, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData( // second batch: state must carry the earlier counts
+        Event(4L, ts(1, 3), 7L, "click", 0.0),
+        Event(5L, ts(1, 4), 9L, "view", 0.0))
+      q.processAllAvailable()
+      // update mode re-emits summaries; the LAST emission per user is
+      // the current state
+      val rows = spark.table("hh_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, occ) => u -> occ.maxBy(_._2)._1._2 }
+      assert(latest == Map(7L -> 3L, 8L -> 1L, 9L -> 1L),
+        s"counts must accumulate across batches, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink merges micro-batches by key") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString
