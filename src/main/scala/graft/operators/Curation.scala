@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composed pass a user runs
+  * nightly — C4-style quality filter → exact dedup (min-id survivor
+  * per canonical text) → benchmark-slice exclusion + n-gram
+  * decontamination — producing the training-eligible document set.
+  * Every stage is one of the library's deterministic operators, so
+  * the WHOLE pipeline is oracle-checked end to end, and every stage
+  * is a filter/semi-join over the previous one (no stage ever
+  * re-widens the data).
+  *
+  * Composition order matters and is deliberate: dedup runs on the
+  * quality-kept corpus (a low-quality copy must not steal
+  * survivorship from a high-quality one), and if a duplicate group's
+  * min-id survivor is itself benchmark/contaminated the whole group
+  * drops — re-instating a junior copy would train on the same
+  * contaminated content under a different id.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, minTokens: Long = 20L, maxTokens: Long = 100000L,
+             minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+    val quality = TextAnalysis
+      .qualityFilter(docs, minTokens, maxTokens, minQuality).select("doc_id")
+    val kept = docs.join(quality, Seq("doc_id"), "left_semi")
+    val survivors = Dedup.exact(kept).select("doc_id")
+    val contaminated = TextAnalysis
+      .decontaminate(docs, n = 3, benchMod = benchMod).select("doc_id")
+    kept
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % benchMod =!= 0) // the benchmark never trains
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+}
