@@ -95,6 +95,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)), "true dup still found")
   }
 
+  test("blocked pairs are partition-invariant below the df cap") {
+    // the bounded collector's partial merge must not depend on how
+    // rows land in partitions while groups stay under the cap
+    val rnd = new scala.util.Random(5)
+    val vocab = Array.tabulate(80)(i => s"v$i")
+    val many = (0L until 60L).map { i =>
+      i -> Seq.fill(20)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    def pairsOf(parts: Int) = Dedup.blockedJaccardPairs(
+        many.toDF("doc_id", "text").repartition(parts), tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsOf(1) == pairsOf(13),
+      "pair set must not change with partitioning")
+  }
+
   test("blocked containment catches subset docs that jaccard misses") {
     // doc 1 CONTAINS doc 0 (prefix) plus as much again — Jaccard
     // craters (~0.5 of grams shared) while containment is exactly 1.0

@@ -40,6 +40,26 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("random points x random intervals equal the naive join") {
+    val rnd = new scala.util.Random(17)
+    val base = ts("2024-03-01 00:00:00").getTime
+    val points = (0L until 300L)
+      .map(i => (i, new java.sql.Timestamp(base + rnd.nextInt(86400) * 1000L)))
+      .toDF("pid", "ts")
+    val intervals = (0 until 40).map { i =>
+      val lo = base + rnd.nextInt(86400) * 1000L
+      (s"i$i", new java.sql.Timestamp(lo),
+        new java.sql.Timestamp(lo + (60 + rnd.nextInt(7200)) * 1000L))
+    }.toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "lo", "hi", 1800L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = points.crossJoin(intervals)
+      .filter(col("ts") >= col("lo") && col("ts") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    assert(got.length == got.distinct.length, "no duplicated pairs")
+  }
+
   test("plans as an equi-join on the bin, never a nested loop") {
     val points = (0L until 100L).map(i => (i, ts(f"2024-01-01 ${i % 24}%02d:00:01")))
       .toDF("pid", "ts")
