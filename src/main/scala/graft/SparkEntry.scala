@@ -226,6 +226,8 @@ object SparkEntry {
       TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "text_winnow_dedup" -> ((s, dir) =>
       TextAnalysis.winnowDedup(Tables.documents(s, dir))),
+    "text_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(Tables.documents(s, dir))),
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
         least(lit(1.0), col("n_chars") / lit(2000.0)))
@@ -1050,6 +1052,24 @@ object SparkEntry {
         | count(*) AS n_occurrences
         |FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
         .replace("\n", " "),
+    "text_winnow_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> md5(array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(grams) >= 4
+        |  THEN list_transform(range(1, len(grams) - 2),
+        |   j -> list_min(grams[j:j+3]))
+        |  ELSE grams END)) AS fp FROM g),
+        |d AS (SELECT fp FROM w GROUP BY fp
+        |  HAVING count(*) BETWEEN 2 AND 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM w a JOIN d ON a.fp = d.fp JOIN w b ON b.fp = a.fp
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin.replace("\n", " "),
     "split_assign_md5" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)

@@ -383,6 +383,33 @@ object TextAnalysis {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
 
+  /** Winnowing PAIR detection — the MOSS pairing step on top of
+    * [[winnowDedup]]'s fingerprints: documents sharing at least
+    * `minShared` winnow fingerprints, with the per-fingerprint
+    * document frequency capped at `maxDf` (a fingerprint every doc
+    * carries — boilerplate — is not evidence of copying and would
+    * quadratically explode the bucket). Same bounded single-pass
+    * posting collection as the blocked dedup family; any shared run
+    * of ≥ n+window−1 tokens guarantees ≥ 1 shared fingerprint, so
+    * `minShared = 2` already demands two independent shared runs.
+    * Fully deterministic (md5 selection) → oracle-checked.
+    */
+  def winnowPairs(docs: DataFrame, n: Int = 3, window: Int = 4,
+                  maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val inv = docs.select(col("doc_id"),
+      explode(graft.functions.gf.winnowFingerprints(col("text"), n, window)).as("fp"))
+    inv.groupBy("fp")
+      .agg(graft.functions.BoundedCollectSetAgg
+        .boundedCollectSet(col("doc_id"), maxDf + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Zipf frequency spectrum: for each corpus-wide token occurrence
     * count, how many distinct tokens occur exactly that often — the
     * frequency-of-frequencies curve used to sanity-check corpus

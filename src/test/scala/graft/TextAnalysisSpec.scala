@@ -136,6 +136,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.chunkDedup(docs).collect().isEmpty)
   }
 
+  test("winnowPairs pairs docs sharing two independent runs, not one") {
+    val runA = "alpha beta gamma delta epsilon zeta"
+    val runB = "red orange yellow green blue indigo"
+    val docs = Seq(
+      (1L, s"one two $runA padding here $runB"),
+      (2L, s"$runA nine ten eleven $runB twelve"), // shares BOTH runs with 1
+      (3L, s"start $runA finish stop end now"),    // shares only run A
+      (4L, "totally unrelated words only here today"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowPairs(docs, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), "two shared runs must pair")
+    assert(pairs((1L, 2L)) >= 2L)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc never pairs")
+    // single-run overlap stays below minShared=2 unless the run is
+    // long enough to select two fingerprints — allowed either way for
+    // (1,3)/(2,3); the guarantee under test is the (1,2) detection
+  }
+
   test("decontaminate counts distinct benchmark n-grams per corpus doc") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),          // benchmark (0 % 97 == 0)
