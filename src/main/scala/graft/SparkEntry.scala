@@ -222,6 +222,8 @@ object SparkEntry {
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "docs_curate" -> ((s, dir) =>
       operators.Curation.curate(Tables.documents(s, dir))),
+    "docs_curate_manifest" -> ((s, dir) =>
+      operators.Curation.manifest(Tables.documents(s, dir))),
     "text_chunk_dedup" -> ((s, dir) =>
       TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "text_winnow_dedup" -> ((s, dir) =>
@@ -964,6 +966,36 @@ object SparkEntry {
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
+    "docs_curate_manifest" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id FROM (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t) s
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
+        |  JOIN bench USING (gram))
+        |SELECT source,
+        | CASE WHEN doc_id NOT IN (SELECT doc_id FROM q) THEN 'quality'
+        |      WHEN doc_id NOT IN (SELECT doc_id FROM dd) THEN 'duplicate'
+        |      WHEN doc_id % 97 = 0 THEN 'benchmark'
+        |      WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+        |      ELSE 'kept' END AS reason,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "text_decontaminate" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

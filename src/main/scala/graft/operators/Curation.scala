@@ -35,4 +35,36 @@ object Curation {
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
   }
+
+  /** Per-(source, drop-reason) accounting of the SAME pass — the
+    * report a pipeline owner reads before shipping a corpus: how much
+    * of each source was lost to which gate. Reasons apply with
+    * [[curate]]'s exact precedence (quality → duplicate → benchmark →
+    * contaminated → kept), so summing `kept` here equals
+    * `curate(docs)` row-for-row — spec- and oracle-held.
+    */
+  def manifest(docs: DataFrame, minTokens: Long = 20L, maxTokens: Long = 100000L,
+               minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+    val quality = TextAnalysis
+      .qualityFilter(docs, minTokens, maxTokens, minQuality)
+      .select(col("doc_id"), lit(true).as("q"))
+    val kept = docs.join(quality.select("doc_id"), Seq("doc_id"), "left_semi")
+    val survivors = Dedup.exact(kept)
+      .select(col("doc_id"), lit(true).as("surv"))
+    val contaminated = TextAnalysis
+      .decontaminate(docs, n = 3, benchMod = benchMod)
+      .select(col("doc_id"), lit(true).as("cont"))
+    docs
+      .join(quality, Seq("doc_id"), "left")
+      .join(survivors, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("source"),
+        when(col("q").isNull, "quality")
+          .when(col("surv").isNull, "duplicate")
+          .when(col("doc_id") % benchMod === 0, "benchmark")
+          .when(col("cont").isNotNull, "contaminated")
+          .otherwise("kept").as("reason"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

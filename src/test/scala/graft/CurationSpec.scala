@@ -21,7 +21,10 @@ class CurationSpec extends SparkSpec {
     val docs = Seq(
       (0L, benchText),                       // benchMod slice: held-out benchmark
       (10L, good),                           // unique, clean → the one survivor
-      (11L, good.toUpperCase),               // canonical duplicate of 10 → dedup drop
+      // whitespace-only variant: canonical duplicate of 10 that still
+      // PASSES quality (uppercasing would fail the stopword check
+      // first and be attributed to 'quality', not 'duplicate')
+      (11L, good.replace(" ", "  ")),
       (12L, "tiny low quality doc"),         // fails the quality filter
       (13L, "extra words here " + benchText)) // shares bench 3-grams → contaminated
       .toDF("doc_id", "text")
@@ -32,5 +35,16 @@ class CurationSpec extends SparkSpec {
 
     val kept = Curation.curate(docs).collect().map(_.getLong(0)).toSet
     assert(kept == Set(10L), s"expected only the clean survivor, got $kept")
+
+    // the manifest attributes every doc to exactly one reason, with
+    // curate's precedence, and its 'kept' bucket matches curate
+    val reasons = Curation.manifest(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(reasons.values.sum == 5L, "every doc appears exactly once")
+    assert(reasons(("s", "kept")) == 1L)
+    assert(reasons(("s", "quality")) == 1L)      // doc 12
+    assert(reasons(("s", "duplicate")) == 1L)    // doc 11
+    assert(reasons(("s", "benchmark")) == 1L)    // doc 0
+    assert(reasons(("s", "contaminated")) == 1L) // doc 13
   }
 }
