@@ -16,7 +16,8 @@ object ExplainMain {
       "q3_bloom_pruned", "q_sole_blame_supplier", "text_decontaminate",
       "q_topn_per_group_agg", "text_winnow_dedup", "events_audience_overlap",
       "dedup_ngram_blocked", "q_pareto_revenue", "q_interval_join",
-      "dedup_incremental_pairs", "sample_mixture", "q_profit_nation_year")
+      "dedup_incremental_pairs", "sample_mixture", "q_profit_nation_year",
+      "ann_rerank", "docs_source_cap", "sketch_compact")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -200,6 +200,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "ann_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.rerankTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
@@ -303,6 +307,16 @@ object SparkEntry {
         .select("source", "sample_rank", "doc_id")),
     "docs_pack_sequences" -> ((s, dir) =>
       Packing.packSequences(Tables.documents(s, dir))),
+    "docs_padding_efficiency" -> ((s, dir) =>
+      // padTo=32 so the testdata's 10–99-token docs spread over
+      // several buckets (the 128 default collapses them into one)
+      Packing.paddingEfficiency(Tables.documents(s, dir), padTo = 32L)),
+    "docs_source_cap" -> ((s, dir) =>
+      operators.Curation.sourceCap(Tables.documents(s, dir))),
+    "sketch_compact" -> ((s, dir) =>
+      EventOps.compactSketches(
+        EventOps.dailyAudienceSketches(Tables.events(s, dir)))
+        .select("month", "event_type", "n_day_rows", "n_events")),
     "text_tfidf_top3" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir))),
     "text_length_histogram" -> ((s, dir) =>
@@ -822,6 +836,28 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_rerank" ->
+      // stage 1: cosine top-40 per query (k·expand); stage 2: label
+      // boost rerank, top-10 survive. DOUBLE[] casts as in
+      // ann_bruteforce_topk.
+      """WITH s1 AS (
+        | SELECT query_id, neighbor_id, cosine, q_label FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])) AS cosine,
+        |   q.label AS q_label
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id % 100 = 0) s
+        | QUALIFY row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) <= 40)
+        |SELECT query_id, neighbor_id, rerank_score FROM (
+        | SELECT s1.query_id, s1.neighbor_id,
+        |  s1.cosine + CASE WHEN s1.q_label = c.label
+        |    THEN 0.05 ELSE 0.0 END AS rerank_score
+        | FROM s1 JOIN embeddings c ON c.vec_id = s1.neighbor_id) r
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY rerank_score DESC, neighbor_id) <= 10""".stripMargin
+        .replace("\n", " "),
     "q_embedding_centroids" ->
       """SELECT label, CAST(i AS INT) AS pos, avg(embedding[i + 1]) AS avg_val
         |FROM embeddings, range(64) t(i)
@@ -1189,6 +1225,41 @@ object SparkEntry {
         | ) AS sample_rank FROM documents)
         |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
         |FROM r WHERE sample_rank <= 5""".stripMargin.replace("\n", " "),
+    "docs_padding_efficiency" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |   AS BIGINT) AS tokens
+        | FROM documents),
+        |b AS (SELECT tokens, ((tokens + 31) // 32) * 32 AS padded_len FROM t)
+        |SELECT padded_len, count(*) AS n_docs,
+        | CAST(sum(tokens) AS BIGINT) AS true_tokens,
+        | CAST(count(*) * padded_len AS BIGINT) AS padded_tokens,
+        | CASE WHEN padded_len = 0 THEN 0.0
+        |  ELSE 1.0 - CAST(sum(tokens) AS BIGINT) / (count(*) * padded_len)
+        |  END AS waste_frac
+        |FROM b GROUP BY padded_len""".stripMargin.replace("\n", " "),
+    "docs_source_cap" ->
+      // shared quality score (same expression as text_quality_filter),
+      // capped per source: row_number twin of the bounded-heap agg
+      (toksCte +
+        """, q AS (SELECT doc_id,
+          | least(1.0, len(toks) / 128.0)
+          |  * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+          |  * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+          |  AS quality_score
+          | FROM t)
+          |SELECT source, rank_in_source, doc_id, quality_score FROM (
+          | SELECT d.source, d.doc_id, q.quality_score,
+          |  CAST(row_number() OVER (PARTITION BY d.source
+          |    ORDER BY q.quality_score DESC, d.doc_id) AS BIGINT)
+          |   AS rank_in_source
+          | FROM documents d JOIN q ON q.doc_id = d.doc_id) r
+          |WHERE rank_in_source <= 40""".stripMargin.replace("\n", " ")),
+    "sketch_compact" ->
+      """SELECT date_trunc('month', CAST(ts AS DATE)) AS month, event_type,
+        | count(DISTINCT CAST(ts AS DATE)) AS n_day_rows,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "docs_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))

@@ -36,6 +36,46 @@ object Curation {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Per-source document cap — the "no domain dominates the corpus"
+    * curation gate: keep at most `cap` docs per source, ranked by the
+    * shared quality score (desc; ties → doc_id asc). The rank engine
+    * is the bounded-heap [[graft.functions.TopKAgg]] aggregation:
+    * map tasks pre-reduce each source to ≤ cap candidates, so the
+    * exchange carries |sources|·cap rows — a crawl where one domain
+    * is 30% of 100 TB costs O(cap) aggregation state, where a window
+    * formulation would sort-shuffle that whole domain through one
+    * task. Deterministic → oracle-checked; the window twin
+    * [[sourceCapWindow]] shares the result (spec-held parity, same
+    * pattern as the other agg/window twins).
+    */
+  def sourceCap(docs: DataFrame, cap: Int = 40): DataFrame =
+    docs
+      .join(TextAnalysis.stats(docs).select("doc_id", "quality_score"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(graft.functions.TopKAgg.largestKWithPayload(
+        col("quality_score"), col("doc_id"), lit(""), cap).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"),
+        (col("pos") + 1).cast("long").as("rank_in_source"),
+        col("col._2").as("doc_id"),
+        col("col._1").as("quality_score"))
+
+  /** [[sourceCap]] as a window — result-identical reference
+    * formulation (fine when no source is skewed; the agg twin is the
+    * 100 TB default). */
+  def sourceCapWindow(docs: DataFrame, cap: Int = 40): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    docs
+      .join(TextAnalysis.stats(docs).select("doc_id", "quality_score"),
+        Seq("doc_id"))
+      .withColumn("rank_in_source", row_number().over(w).cast("long"))
+      .filter(col("rank_in_source") <= cap)
+      .select("source", "rank_in_source", "doc_id", "quality_score")
+  }
+
   /** Per-(source, drop-reason) accounting of the SAME pass — the
     * report a pipeline owner reads before shipping a corpus: how much
     * of each source was lost to which gate. Reasons apply with

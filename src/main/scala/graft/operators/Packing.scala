@@ -78,4 +78,28 @@ object Packing {
         sum("tokens").as("bin_tokens"),
         min("doc_id").as("first_doc"),
         max("doc_id").as("last_doc"))
+
+  /** Padding-efficiency report for naive pad-to-multiple batching —
+    * the "what NOT packing costs" manifest: each doc padded up to the
+    * next multiple of `padTo` tokens; per padded length, doc count,
+    * true token total, padded token total, and the wasted fraction.
+    * Pure integer bucket arithmetic feeding a |buckets|-row
+    * aggregate — fully partial-agg friendly, one tiny shuffle. Read
+    * next to [[packSequences]]: the gap between `padded_tokens` here
+    * and the packed bins' fill there is the compute packing saves.
+    */
+  def paddingEfficiency(docs: DataFrame, padTo: Long = 128L): DataFrame =
+    tokensPerDoc(docs)
+      .withColumn("padded_len",
+        expr(s"((tokens + ${padTo - 1}L) div ${padTo}L) * ${padTo}L"))
+      .groupBy("padded_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("tokens").as("true_tokens"))
+      .select(col("padded_len"), col("n_docs"), col("true_tokens"),
+        (col("n_docs") * col("padded_len")).as("padded_tokens"),
+        when(col("padded_len") === 0L, lit(0.0))
+          .otherwise(lit(1.0) -
+            col("true_tokens") / (col("n_docs") * col("padded_len")))
+          .as("waste_frac"))
 }

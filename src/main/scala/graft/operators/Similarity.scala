@@ -407,6 +407,54 @@ object Similarity {
     topKPerQuery(exact, k)
   }
 
+  /** Two-stage retrieve-then-rerank — the cross-encoder serving
+    * shape: a cheap first stage over-retrieves `k·expand` candidates
+    * per query, a richer second-stage scorer re-orders just those
+    * pairs, and only the rerank's top `k` survive. Here the reranker
+    * is a deterministic feature scorer (exact cosine blended with a
+    * label-affinity boost) standing in for a learned cross-encoder;
+    * a real model drops into the same hydrated pair frame via
+    * `mapInPandas` (pairs arrive as (query_id, neighbor_id,
+    * features…) in executor-sized batches — the expensive model only
+    * ever sees |queries|·k·expand rows, never the corpus).
+    *
+    * Both stages are rank-deterministic (ties → neighbor_id), so the
+    * WHOLE pipeline is oracle-checked — unlike the PQ refine step,
+    * the second stage here scores on features the first stage never
+    * saw, which is what makes it a rerank and not just a refine.
+    *
+    * 100 TB shape: stage 1 is the broadcast-query corpus scan (or any
+    * ANN tier — the stages compose on (query_id, neighbor_id));
+    * stage 2 touches only the candidate set, so its joins carry
+    * |queries|·k·expand rows and the query side stays broadcast.
+    */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                 expand: Int = 4, labelBoost: Double = 0.05): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("label").as("q_label")))
+    val stage1 = topKPerQuery(corpus.crossJoin(q.select("query_id", "q_emb"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("embedding")).as("cosine")), k * expand)
+    // hydrate candidate pairs with the second-stage features: one
+    // equi-join against the corpus — broadcast the CANDIDATE side
+    // (|queries|·k·expand rows) explicitly; without the hint the
+    // optimizer may broadcast the corpus projection instead, which
+    // only happens to fit at test scale
+    val pairs = broadcast(stage1)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .join(q.select("query_id", "q_label"), Seq("query_id"))
+    val rescored = pairs.select(col("query_id"), col("neighbor_id"),
+      (col("cosine") +
+        when(col("q_label") === col("n_label"), labelBoost).otherwise(0.0))
+        .as("rerank_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rerank_score").desc, col("neighbor_id"))
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
                         centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col("vec_id").as("neighbor_id"),

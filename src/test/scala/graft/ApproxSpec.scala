@@ -72,6 +72,26 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketch compaction is lossless: month rows answer like day rows") {
+    val daily = EventOps.dailyAudienceSketches(events)
+    val monthly = EventOps.compactSketches(daily)
+    // the store shrinks to one row per (month, type) and the manifest
+    // accounts for every merged day row
+    val nDaily = daily.count()
+    assert(monthly.count() < nDaily, "compaction must shrink the store")
+    assert(monthly.agg(sum("n_day_rows")).collect()(0).getLong(0) == nDaily)
+    // a month-aligned range answers IDENTICALLY from either grain —
+    // estimates and exact counts both (HLL union is lossless, so
+    // compaction loses nothing for month-or-coarser queries)
+    val (lo, hi) = ("2024-01-01", "2024-02-01")
+    val fromDaily = EventOps.reachFromSketches(daily, lo, hi).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fromMonthly = EventOps.reachFromCompacted(monthly, lo, hi).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromDaily == fromMonthly,
+      "compacted store must answer month ranges identically to the daily store")
+  }
+
   test("sketch store survives a parquet round trip (the lake layout)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sketches").toString
     // nightly-append layout: one partition per day, binary sketch col

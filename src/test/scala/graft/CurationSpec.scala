@@ -47,4 +47,33 @@ class CurationSpec extends SparkSpec {
     assert(reasons(("s", "benchmark")) == 1L)    // doc 0
     assert(reasons(("s", "contaminated")) == 1L) // doc 13
   }
+
+  test("source cap: bounded-heap agg equals the window twin, cap holds") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val agg = keyed(Curation.sourceCap(docs, cap = 7))
+    val win = keyed(Curation.sourceCapWindow(docs, cap = 7))
+    assert(agg == win, "agg and window formulations must be result-identical")
+    // at most `cap` docs per source, ranks dense from 1
+    val bySource = agg.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    assert(bySource.values.forall(rs => rs.size <= 7 && rs == (1L to rs.size)))
+    // survivors really are each source's highest-quality docs: every
+    // kept score >= every dropped score within the source
+    val scored = graft.operators.TextAnalysis.stats(docs)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val allBySource = docs.select("doc_id", "source").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).groupBy(_._1)
+    bySource.foreach { case (src, _) =>
+      val keptIds = agg.keys.filter(_._1 == src)
+        .map(k => agg(k)._1).toSet
+      val minKept = keptIds.map(scored).min
+      val dropped = allBySource(src).map(_._2).filterNot(keptIds)
+      assert(dropped.forall(d => scored(d) <= minKept + 1e-12),
+        s"source $src kept a lower-quality doc over a higher one")
+    }
+  }
 }

@@ -53,4 +53,25 @@ class PackingSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("padding efficiency: conservation, bucket math, waste bounds") {
+    val docs = perDoc.withColumn("text",
+      concat_ws(" ", sequence(lit(1), col("tokens"))))
+    val rows = Packing.paddingEfficiency(docs, padTo = 128L).collect()
+    // every doc lands in exactly one bucket; true tokens conserved
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    assert(rows.map(_.getLong(2)).sum ==
+      perDoc.agg(sum("tokens")).as[Long].head())
+    rows.foreach { r =>
+      val (bucket, nDocs, trueToks, paddedToks, waste) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(bucket % 128 == 0)
+      assert(paddedToks == nDocs * bucket)
+      assert(trueToks <= paddedToks)
+      // every doc in the bucket needs more than bucket-128 tokens
+      assert(trueToks > (bucket - 128) * nDocs)
+      assert(waste >= 0.0 && waste < 1.0)
+      assert(math.abs(waste - (1.0 - trueToks.toDouble / paddedToks)) < 1e-12)
+    }
+  }
 }

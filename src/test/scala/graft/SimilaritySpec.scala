@@ -161,6 +161,30 @@ class SimilaritySpec extends SparkSpec {
       s"self-reconstruction error must shrink: residual $rErr vs plain $pErr")
   }
 
+  test("rerank with zero boost degenerates to exact top-k") {
+    val plain = topkSets(
+      Similarity.rerankTopK(emb, queries, k = 10, labelBoost = 0.0)
+        .withColumnRenamed("rerank_score", "cosine"))
+    assert(plain == exact,
+      "a reranker that adds nothing must preserve the stage-1 order")
+  }
+
+  test("rerank only promotes stage-1 candidates and the boost reorders") {
+    val reranked = Similarity.rerankTopK(emb, queries, k = 10, expand = 4,
+      labelBoost = 0.05)
+    val byQ = reranked.collect().groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.length == 10))
+    // closed-world: every survivor came from the k·expand cosine pool
+    val pool = topkSets(Similarity.bruteForceTopK(emb, queries, k = 40))
+    assert(byQ.forall { case (q, rows) =>
+      rows.map(_.getLong(1)).toSet.subsetOf(pool(q)) })
+    // a large boost must let label affinity override raw cosine
+    // somewhere on this corpus (labels are non-degenerate)
+    val big = topkSets(Similarity.rerankTopK(emb, queries, k = 10,
+      expand = 4, labelBoost = 10.0))
+    assert(big != exact, "an overwhelming boost must change some top-k")
+  }
+
   test("PQ codes are deterministic and within code range") {
     val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
     assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
