@@ -123,17 +123,43 @@ object Similarity {
     else firstByHashOf(corpus) // hash-thinning came up short (tiny corpus)
   }
 
+  /** Deterministic hash-thinned training sample of ~`cap` vectors —
+    * run-stable (no rand()), one count + one filtered scan. k-means
+    * quality needs a representative sample, not the corpus: training
+    * on all of 100 TB would rescan the fact `iters` times for
+    * centroids that a few thousand vectors pin down equally well
+    * (the FAISS default trains on ~256 vectors/cell). `cap ≤ 0` or a
+    * small corpus degenerates to the full input.
+    */
+  private[operators] def trainSample(corpus: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) corpus
+    else {
+      val n = corpus.count()
+      val step = n / math.max(cap, 1)
+      if (step <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(step)) === 0)
+    }
+
   /** Lloyd's k-means over the embedding column — deterministic init
     * from [[pickCentroids]], then `iters` rounds of assign
     * (native `nearestCentroids` expression, one scan) + recompute
     * (posexplode mean, one shuffle of (n·dim) scalars). Only the
     * centroid matrix (nlist × dim floats) ever reaches the driver —
-    * the same thing that gets broadcast for search.
+    * the same thing that gets broadcast for search. With
+    * `sampleCap > 0` the iterations run over a [[trainSample]]
+    * instead of the corpus — the 100 TB default (assignment at
+    * search build time still scans everything exactly once).
     */
-  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3): Array[Array[Float]] = {
-    var cents = pickCentroids(corpus, nlist)
+  def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                     sampleCap: Int = 0): Array[Array[Float]] = {
+    val sampled = trainSample(corpus, sampleCap)
+    // cache ONLY the thinned sample (it's rescanned per iteration);
+    // caching the full corpus would pin 100 TB of executor memory
+    val thinned = sampled ne corpus
+    val trainOn = if (thinned) sampled.cache() else sampled
+    var cents = pickCentroids(trainOn, nlist)
     for (_ <- 0 until iters) {
-      val byCell = corpus
+      val byCell = trainOn
         .select(gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"),
           posexplode(col("embedding")))
         .groupBy("cell", "pos")
@@ -146,13 +172,17 @@ object Similarity {
           .getOrElse(cents(c)) // empty cell keeps its centroid
       }.toArray
     }
+    if (thinned) trainOn.unpersist(false)
     cents
   }
 
-  /** IVF search with k-means-trained centroids. */
+  /** IVF search with k-means-trained centroids (trained on a
+    * bounded sample by default — see [[trainSample]]). */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame =
-    ivfSearch(corpus, queries, k, trainCentroids(corpus, nlist, iters), nprobe)
+                     nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                     sampleCap: Int = 4096): DataFrame =
+    ivfSearch(corpus, queries, k,
+      trainCentroids(corpus, nlist, iters, sampleCap), nprobe)
 
   /** IVF search: corpus vectors live in their nearest-centroid cell
     * (nprobe=1 assignment); queries probe `nprobe` cells. One
@@ -192,11 +222,15 @@ object Similarity {
     * centroid. Deterministic end to end.
     */
   def trainPqCodebooksKMeans(corpus: DataFrame, m: Int = 8, k: Int = 16,
-                             dim: Int = 64, iters: Int = 2): Array[Array[Array[Float]]] = {
+                             dim: Int = 64, iters: Int = 2,
+                             sampleCap: Int = 4096): Array[Array[Array[Float]]] = {
     var cbs = trainPqCodebooks(corpus, m, k, dim)
     val sub = dim / m
+    val sampled = trainSample(corpus, sampleCap)
+    val thinned = sampled ne corpus
+    val trainOn = if (thinned) sampled.cache() else sampled
     for (_ <- 0 until iters) {
-      val stats = corpus
+      val stats = trainOn
         .select(gf.pqEncode(col("embedding"), cbs).as("codes"),
           posexplode(col("embedding")))
         .select(
@@ -213,6 +247,7 @@ object Similarity {
       }
       cbs = next
     }
+    if (thinned) trainOn.unpersist(false)
     cbs
   }
 
@@ -333,12 +368,16 @@ object Similarity {
   def trainResidualCodebooksKMeans(corpus: DataFrame,
                                    centroids: Array[Array[Float]],
                                    m: Int = 8, k: Int = 16, dim: Int = 64,
-                                   iters: Int = 2): Array[Array[Array[Float]]] = {
+                                   iters: Int = 2,
+                                   sampleCap: Int = 4096): Array[Array[Array[Float]]] = {
     var cbs = trainResidualCodebooks(corpus, centroids, m, k, dim)
     val sub = dim / m
     val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val sampled = trainSample(corpus, sampleCap)
+    val thinned = sampled ne corpus
+    val trainOn = if (thinned) sampled.cache() else sampled
     for (_ <- 0 until iters) {
-      val stats = corpus
+      val stats = trainOn
         .select(col("embedding"),
           gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
         .select(col("cell"),
@@ -359,6 +398,7 @@ object Similarity {
       }
       cbs = next
     }
+    if (thinned) trainOn.unpersist(false)
     cbs
   }
 
@@ -380,7 +420,11 @@ object Similarity {
     // worse than coding the raw vector. Lloyd-trained means make the
     // residual the within-cell deviation — the tighter distribution
     // the shared code budget then spends itself on.
-    val cents = trainCentroids(corpus, nlist, iters = math.max(kmeansIters, 1))
+    // training (both stages) runs over the bounded hash-thinned
+    // sample; only the one-time cell assignment below scans the
+    // full corpus
+    val cents = trainCentroids(corpus, nlist,
+      iters = math.max(kmeansIters, 1), sampleCap = 4096)
     val cbs =
       if (kmeansIters > 0)
         trainResidualCodebooksKMeans(corpus, cents, m, nCodes, dim, kmeansIters)
