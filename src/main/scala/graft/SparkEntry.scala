@@ -228,8 +228,12 @@ object SparkEntry {
       operators.Curation.curate(Tables.documents(s, dir))),
     "docs_curate_manifest" -> ((s, dir) =>
       operators.Curation.manifest(Tables.documents(s, dir))),
+    "docs_curate_capped" -> ((s, dir) =>
+      operators.Curation.curateCapped(Tables.documents(s, dir), cap = 10)),
     "text_chunk_dedup" -> ((s, dir) =>
       TextAnalysis.chunkDedup(Tables.documents(s, dir))),
+    "docs_context_chunks" -> ((s, dir) =>
+      TextAnalysis.contextChunks(Tables.documents(s, dir))),
     "text_winnow_dedup" -> ((s, dir) =>
       TextAnalysis.winnowDedup(Tables.documents(s, dir))),
     "text_winnow_pairs" -> ((s, dir) =>
@@ -312,7 +316,7 @@ object SparkEntry {
       // several buckets (the 128 default collapses them into one)
       Packing.paddingEfficiency(Tables.documents(s, dir), padTo = 32L)),
     "docs_source_cap" -> ((s, dir) =>
-      operators.Curation.sourceCap(Tables.documents(s, dir))),
+      operators.Curation.sourceCap(Tables.documents(s, dir), cap = 10)),
     "sketch_compact" -> ((s, dir) =>
       EventOps.compactSketches(
         EventOps.dailyAudienceSketches(Tables.events(s, dir)))
@@ -1002,6 +1006,53 @@ object SparkEntry {
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
+    "docs_context_chunks" ->
+      // window=32, stride=24; chunk count 1 + ceil(max(0,n-32)/24)
+      (toksCte +
+        """ SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |  CAST(i * 24 AS BIGINT) AS start_token,
+          |  CAST(len(toks[i * 24 + 1 : i * 24 + 32]) AS BIGINT) AS n_tokens,
+          |  md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' ')) AS chunk_md5
+          |FROM t, LATERAL (SELECT unnest(range(
+          |  CASE WHEN len(toks) = 0 THEN 0
+          |   ELSE 1 + ((greatest(0, len(toks) - 32) + 23) // 24) END)) AS i) g"""
+          .stripMargin.replace("\n", " ")),
+    "docs_curate_capped" ->
+      // curate's survivor set, then the per-source quality cap —
+      // same CTEs as docs_curate plus a scored rank over survivors
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t),
+        |q AS (SELECT doc_id FROM sc
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
+        |  JOIN bench USING (gram)),
+        |cur AS (SELECT d.doc_id, d.source FROM documents d
+        | WHERE d.doc_id IN (SELECT doc_id FROM dd)
+        |  AND d.doc_id % 97 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont))
+        |SELECT source, rank_in_source, doc_id, quality_score FROM (
+        | SELECT cur.source, cur.doc_id, sc.quality_score,
+        |  CAST(row_number() OVER (PARTITION BY cur.source
+        |    ORDER BY sc.quality_score DESC, cur.doc_id) AS BIGINT)
+        |   AS rank_in_source
+        | FROM cur JOIN sc ON sc.doc_id = cur.doc_id) r
+        |WHERE rank_in_source <= 10""".stripMargin.replace("\n", " "),
     "docs_curate_manifest" ->
       """WITH t AS (SELECT doc_id, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -1254,7 +1305,7 @@ object SparkEntry {
           |    ORDER BY q.quality_score DESC, d.doc_id) AS BIGINT)
           |   AS rank_in_source
           | FROM documents d JOIN q ON q.doc_id = d.doc_id) r
-          |WHERE rank_in_source <= 40""".stripMargin.replace("\n", " ")),
+          |WHERE rank_in_source <= 10""".stripMargin.replace("\n", " ")),
     "sketch_compact" ->
       """SELECT date_trunc('month', CAST(ts AS DATE)) AS month, event_type,
         | count(DISTINCT CAST(ts AS DATE)) AS n_day_rows,

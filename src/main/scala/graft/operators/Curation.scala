@@ -61,6 +61,21 @@ object Curation {
         col("col._2").as("doc_id"),
         col("col._1").as("quality_score"))
 
+  /** The full nightly pass with domain balancing: [[curate]]'s
+    * survivors, then [[sourceCap]] applied to the CURATED corpus —
+    * cap order matters and is deliberate (capping before dedup would
+    * let a duplicate burn a source's budget slot). One more
+    * |sources|·cap-row aggregate on top of curate's cost; the whole
+    * composition stays deterministic and oracle-checked end to end.
+    */
+  def curateCapped(docs: DataFrame, cap: Int = 40, minTokens: Long = 20L,
+                   maxTokens: Long = 100000L, minQuality: Double = 0.2,
+                   benchMod: Int = 97): DataFrame =
+    sourceCap(
+      docs.join(curate(docs, minTokens, maxTokens, minQuality, benchMod)
+        .select("doc_id"), Seq("doc_id"), "left_semi"),
+      cap)
+
   /** [[sourceCap]] as a window — result-identical reference
     * formulation (fine when no source is skewed; the agg twin is the
     * 100 TB default). */

@@ -359,6 +359,41 @@ object TextAnalysis {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") > 1)
 
+  /** Context-window chunking — the RAG / pretraining chunker:
+    * overlapping windows of `window` tokens advancing by `stride`
+    * (stride < window ⇒ window−stride tokens of overlap, so no
+    * span longer than the overlap is ever split across a boundary
+    * without also appearing whole in some chunk). Chunk count is
+    * `1 + ⌈max(0, n−window)/stride⌉` — the last window is taken
+    * early enough to cover the tail, never beyond it. Pure
+    * per-row projection + explode: embarrassingly parallel, no
+    * shuffle at all; emits the chunk manifest (offsets, sizes,
+    * md5) — the md5 keys feed [[chunkDedup]]-style cross-doc
+    * matching and the (doc_id, chunk_idx) keys a downstream
+    * embedding pass.
+    */
+  def contextChunks(docs: DataFrame, window: Int = 32,
+                    stride: Int = 24): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN size(toks) = 0 THEN 0 " +
+          s"ELSE 1 + ((greatest(0, size(toks) - $window) + ${stride - 1}) div $stride) END"))
+      // empty docs produce no chunks (sequence(0,-1) would DESCEND)
+      .filter(col("n_chunks") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("sequence(0, n_chunks - 1)")))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        (col("col") * stride).cast("long").as("start_token"),
+        expr(s"slice(toks, col * $stride + 1, $window)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): hash every token n-gram, slide a window of
     * `window` consecutive hashes, keep each window's minimum. Any

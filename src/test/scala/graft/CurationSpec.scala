@@ -48,6 +48,39 @@ class CurationSpec extends SparkSpec {
     assert(reasons(("s", "contaminated")) == 1L) // doc 13
   }
 
+  test("capped curation: cap applies AFTER dedup, never to a duplicate") {
+    // four docs in one source: a good doc, its whitespace-variant
+    // duplicate, and two distinct lower-value docs. cap=2.
+    val third = "numbers and letters mixed in a long plain sentence " +
+      "about nothing in particular that still reads like prose to the filter"
+    val docs = Seq(
+      (10L, good),                     // survivor of the dup pair
+      (11L, good.replace(" ", "  ")),  // duplicate — high quality score
+      (20L, benchText),                // distinct (no bench ids here → no contamination)
+      (30L, third + " " + third))      // distinct, lowest value
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length($"text").cast("long"))
+
+    // capping the RAW corpus would spend a budget slot on the
+    // duplicate (both copies outscore the shorter docs)…
+    val rawCap = Curation.sourceCap(docs, cap = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(rawCap == Set(10L, 11L),
+      s"precondition: the dup pair should top the raw ranking, got $rawCap")
+    // …curateCapped dedups first, so the freed slot goes to real content
+    val kept = Curation.curateCapped(docs, cap = 2)
+      .collect().map(_.getLong(2)).toSet
+    assert(!kept.contains(11L), "a duplicate must never hold a cap slot")
+    assert(kept.size == 2 && kept.contains(10L),
+      s"expected the dup survivor plus one distinct doc, got $kept")
+    assert(kept.subsetOf(
+      Curation.curate(docs).collect().map(_.getLong(0)).toSet),
+      "capped output must be a subset of the curated corpus")
+  }
+
   test("source cap: bounded-heap agg equals the window twin, cap holds") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -168,4 +168,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L),
       s"doc 2 repeats grams but must count each distinct gram once: $out")
   }
+
+  test("contextChunks tile every doc: strided starts, full overlap coverage") {
+    // 0 tokens, sub-window, exact window, window+1, and a long doc
+    val docs = Seq(
+      (0L, ""),
+      (1L, (1 to 5).mkString(" ")),
+      (2L, (1 to 8).mkString(" ")),
+      (3L, (1 to 9).mkString(" ")),
+      (4L, (1 to 100).mkString(" "))).toDF("doc_id", "text")
+    val rows = TextAnalysis.contextChunks(docs, window = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(0L), "empty doc yields no chunks")
+    val nToks = Map(1L -> 5L, 2L -> 8L, 3L -> 9L, 4L -> 100L)
+    nToks.foreach { case (id, n) =>
+      val cs = byDoc(id).sortBy(_._2)
+      // expected count: 1 + ceil(max(0, n-window)/stride)
+      val expected = 1 + (math.max(0, n - 8) + 4) / 5
+      assert(cs.length == expected, s"doc $id: ${cs.length} vs $expected chunks")
+      // dense indices, strided starts
+      assert(cs.map(_._2).toSeq == (0L until expected).map(_.toLong), s"doc $id indices")
+      assert(cs.forall { case (_, i, st, _) => st == i * 5 }, s"doc $id starts")
+      // full window everywhere except possibly the tail, which ends at n
+      assert(cs.init.forall(_._4 == 8L), s"doc $id: non-tail chunk not full")
+      val (_, _, lastStart, lastLen) = cs.last
+      assert(lastStart + lastLen == n, s"doc $id: tail must end at $n")
+      // coverage: consecutive chunks overlap (stride < window), no gaps
+      cs.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s2 <= s1 + l1, s"doc $id: gap between chunks at $s2")
+        case _ =>
+      }
+    }
+  }
 }
