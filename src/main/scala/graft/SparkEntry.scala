@@ -137,6 +137,11 @@ object SparkEntry {
       graft.streaming.EventStream.impactJoin(Tables.events(s, dir))),
     // below eviction scale (users ≪ buckets·k) MG counts are exact →
     // plain GROUP BY oracle; past eviction the MG bound takes over
+    "stream_curate_gate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.streaming.DocStream.curateGate(
+        docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
     "stream_heavy_hitters" -> ((s, dir) =>
       graft.streaming.EventStream.heavyHittersState(Tables.events(s, dir))),
     "q_events_hourly" -> ((s, dir) =>
@@ -1006,6 +1011,26 @@ object SparkEntry {
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
+    "stream_curate_gate" ->
+      // the stateless curation prefix: quality band + benchmark-slice
+      // exclusion + any-gram decontamination (no dedup stage)
+      (toksCte +
+        """, sc AS (SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  least(1.0, len(toks) / 128.0)
+          |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+          |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+          |   AS quality_score FROM t),
+          |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+          |  THEN list_transform(range(1, len(toks) - 1),
+          |   i -> array_to_string(toks[i:i+2], ' '))
+          |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+          |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+          |SELECT doc_id, n_tokens, quality_score FROM sc
+          |WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2
+          | AND doc_id % 97 <> 0
+          | AND doc_id NOT IN (SELECT c.doc_id FROM g c JOIN bench USING (gram))"""
+          .stripMargin.replace("\n", " ")),
     "docs_context_chunks" ->
       // window=32, stride=24; chunk count 1 + ceil(max(0,n-32)/24)
       (toksCte +

@@ -57,20 +57,23 @@ object TextAnalysis {
     * C4/Gopher-style cheap filters).
     */
   def stats(docs: DataFrame, stopwords: Seq[String] = DefaultStopwords,
-            idCol: String = "doc_id"): DataFrame = {
+            idCol: String = "doc_id", keep: Seq[String] = Nil): DataFrame = {
     // tokenize once into its own projection: `toks` is non-cheap and
     // referenced by three stats, so CollapseProject keeps it
     // materialized instead of re-running split() per derived column
     val toks = col("toks")
-    docs.select(col(idCol), col("text"), tokens(col("text")).as("toks"))
-      .select(
+    val passthrough = keep.filterNot(Set(idCol, "text")).map(col)
+    docs.select(col(idCol) +: col("text") +:
+        tokens(col("text")).as("toks") +: passthrough: _*)
+      .select(Seq(
         col(idCol),
         length(col("text")).cast("long").as("n_chars"),
         size(toks).cast("long").as("n_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), "\\p{Punct}", "")))
           .cast("long").as("punct_count"),
         countIn(toks, stopwords).as("stopword_count"),
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("token_chars"))
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("token_chars")) ++
+        (if (keep.contains("text")) Seq(col("text")) else Nil) ++ passthrough: _*)
       .withColumn("punct_ratio", col("punct_count") / greatest(col("n_chars"), lit(1L)))
       .withColumn("stopword_ratio", col("stopword_count") / greatest(col("n_tokens"), lit(1L)))
       .withColumn("avg_token_len", col("token_chars") / greatest(col("n_tokens"), lit(1L)))
@@ -323,17 +326,24 @@ object TextAnalysis {
     * bit-for-bit; at 100 TB you'd hash them to 8 bytes first (same
     * plan shape, smaller broadcast).
     */
+  /** DISTINCT space-joined token n-grams from an already-tokenized
+    * array column — the shared gram extractor for [[decontaminate]]
+    * and the streaming curation gate. Pass a toks column bound to
+    * its own projection (the expression references it several
+    * times; an inline `tokens(text)` would re-split per reference).
+    */
+  def ngramArrayFromToks(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
   def decontaminate(docs: DataFrame, n: Int = 3, benchMod: Int = 97): DataFrame = {
-    def grams(d: DataFrame): DataFrame = {
-      val toks = tokens(col("text"))
-      d.select(col("doc_id"), toks.as("toks"))
+    def grams(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"),
-          explode(when(size(col("toks")) >= n,
-            array_distinct(transform(
-              sequence(lit(0), size(col("toks")) - n),
-              i => array_join(slice(col("toks"), i + lit(1), lit(n)), " "))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-    }
+          explode(ngramArrayFromToks(col("toks"), n)).as("gram"))
     val bench = broadcast(
       grams(docs.filter(col("doc_id") % benchMod === 0)).select("gram").distinct())
     grams(docs.filter(col("doc_id") % benchMod =!= 0))

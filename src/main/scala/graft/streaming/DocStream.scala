@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Streaming document intake (SURVEY.md §2.G): the STATELESS prefix
+  * of the curation pipeline, applied at ingest.
+  */
+object DocStream {
+
+  /** Stateless streaming curation gate: C4-style quality filter +
+    * benchmark-slice exclusion + n-gram decontamination against a
+    * STATIC benchmark slice. Every rule is a row-local
+    * projection/filter or a stream-static broadcast join (the
+    * benchmark's distinct grams fold to ONE array row), so the
+    * stream query runs in append mode with ZERO state stores —
+    * spec-asserted via `lastProgress.stateOperators`. The stateful
+    * stage of curation (exact dedup, first-copy-wins across the
+    * whole corpus) deliberately stays OUT of the intake path: it
+    * belongs to the nightly batch compaction
+    * ([[graft.operators.Curation.curate]]), where min-id
+    * survivorship is well-defined. Batch form is the oracle twin
+    * (reference dags/etl_pipeline.py:23-31 runs the same gate as a
+    * scheduled batch; this is the always-on spelling).
+    */
+  def curateGate(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                 minTokens: Long = 20L, maxTokens: Long = 100000L,
+                 minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+    // |bench grams| is bounded by the tiny-benchmark contract; the
+    // single-row array is the static side of a stream-static join
+    val benchGrams = bench
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(TextAnalysis.ngramArrayFromToks(col("toks"), n)).as("gram"))
+      .distinct()
+      .agg(collect_set("gram").as("bench_grams"))
+    TextAnalysis.stats(docs, keep = Seq("text"))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality &&
+        col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("grams", TextAnalysis.ngramArrayFromToks(col("toks"), n))
+      .crossJoin(broadcast(benchGrams))
+      .filter(!arrays_overlap(col("grams"), col("bench_grams")))
+      .select("doc_id", "n_tokens", "quality_score")
+  }
+}

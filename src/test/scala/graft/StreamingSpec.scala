@@ -381,4 +381,41 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
     assert(got == Map(1L -> ("view", 3L), 2L -> ("click", 4L)))
   }
+
+  test("curateGate streams append-mode with ZERO state, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val batchKept = graft.streaming.DocStream.curateGate(docs, bench)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(batchKept.nonEmpty, "gate should keep something at sf0.001")
+
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = graft.streaming.DocStream.curateGate(mem.toDF(), bench)
+      .writeStream.format("memory").queryName("gate_test")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect()
+        .map(r => StreamingSpec.Doc(r.getLong(0), r.getString(1)))
+      // two micro-batches to prove per-batch independence
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_test").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed == batchKept,
+        "streaming gate must admit exactly the batch gate's documents")
+      // the architectural claim: NO state store anywhere in the query
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty,
+        s"gate must be stateless, found state operators: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+}
+
+object StreamingSpec {
+  final case class Doc(doc_id: Long, text: String)
 }
