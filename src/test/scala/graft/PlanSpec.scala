@@ -141,6 +141,37 @@ class PlanSpec extends SparkSpec {
       s"band offsets and thresholds must broadcast:\n$p")
   }
 
+  test("context chunker is a pure projection: zero shuffles, zero joins") {
+    val p = plan(graft.operators.TextAnalysis.contextChunks(
+      Tables.documents(spark, dir)))
+    assert(!p.contains("Exchange"), s"chunking must never shuffle:\n$p")
+    assert(!p.contains("Join"), s"chunking must never join:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only doc_id and text:\n$p")
+  }
+
+  test("source cap ranks via bounded aggregation, not a window sort") {
+    val p = plan(graft.operators.Curation.sourceCap(
+      Tables.documents(spark, dir), cap = 10))
+    assert(!p.contains("windowspecdefinition"),
+      s"the cap must use the bounded-heap aggregator, not a window:\n$p")
+    assert(p.contains("partial_largestkwithpayload") ||
+      p.contains("ObjectHashAggregate"),
+      s"expected a partial-merging aggregate for the heap:\n$p")
+  }
+
+  test("streaming curate gate: broadcast only, no hash-partition exchange") {
+    val docs = Tables.documents(spark, dir)
+    val p = plan(graft.streaming.DocStream.curateGate(
+      docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)))
+    // the corpus path must be shuffle-free (stateless in streaming);
+    // the benchmark-gram fold is the static side and MAY exchange
+    val corpusSide = p.linesIterator.takeWhile(l =>
+      !l.contains("BroadcastExchange")).mkString("\n")
+    assert(!corpusSide.contains("Exchange hashpartitioning"),
+      s"corpus path must not shuffle before the broadcast:\n$p")
+  }
+
   test("packing prefix sum never uses a global (unpartitioned) window") {
     val perDoc = graft.operators.Packing.tokensPerDoc(Tables.documents(spark, dir))
     val p = plan(graft.operators.Packing.prefixSum(perDoc))
