@@ -71,4 +71,77 @@ object AnnIndex {
         .select(col("query_id"), col("neighbor_id"),
           gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine")), k)
   }
+
+  /** The IVF-PQ SERVING layout: [[buildIvf]]'s cell partitioning
+    * plus a PQ code column stored NEXT TO the raw vector. The probe
+    * then gets both prunings physically: partition pruning skips
+    * unprobed cells' files, and column pruning makes the candidate
+    * scan read ONLY (vec_id, codes) — m·4 bytes a vector, never the
+    * dim·4-byte embedding (spec-asserted on the scan's ReadSchema).
+    * The exact rerank re-reads embeddings for candidate ids alone.
+    * Same deterministic single-sample training as
+    * [[Similarity.ivfPqTopK]], so probe results match the in-memory
+    * operator row-for-row (spec-held).
+    */
+  def buildIvfPq(corpus: DataFrame, path: String, nlist: Int = 16,
+                 m: Int = 8, nCodes: Int = 16, dim: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = Similarity.pickCentroids(corpus, math.max(nlist, nCodes))
+    val cents = sample.take(nlist)
+    val cbs = Similarity.codebooksFromSample(sample.take(nCodes), m, dim)
+    cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq
+      .toDF("subspace", "code", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        gf.pqEncode(col("embedding"), cbs).as("codes"),
+        gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  /** The persisted codebooks back in [[graft.functions.gf.pqCosine]]
+    * shape — m·nCodes·subDim floats, driver/broadcast-sized. */
+  def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy("subspace", "code")
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray))
+
+  /** IVF-PQ probe against the persisted layout: candidate scoring
+    * reads codes only (pruned to probed cells), the top k·rerank
+    * re-score exactly from a second candidates-only read. */
+  def probeIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+                 k: Int = 10, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val centroids = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val probed = broadcast(q.select(col("query_id"), col("q_emb"),
+      explode(gf.nearestCentroids(col("q_emb"), centroids, nprobe)).as("cell")))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    def prunedScan(cols: Seq[String]) = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("neighbor_id") +: cols.map(col): _*)
+    val approx = Similarity.topKPerQuery(
+      probed.join(prunedScan(Seq("codes", "cell")), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          gf.pqCosine(col("q_emb"), col("codes"), cbs).as("cosine")), k * rerank)
+    val exact = broadcast(approx.select("query_id", "neighbor_id"))
+      .join(prunedScan(Seq("embedding")), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("embedding")).as("cosine"))
+    Similarity.topKPerQuery(exact, k)
+  }
 }

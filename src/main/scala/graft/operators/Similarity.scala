@@ -202,7 +202,7 @@ object Similarity {
                        dim: Int = 64): Array[Array[Array[Float]]] =
     codebooksFromSample(pickCentroids(corpus, k), m, dim)
 
-  private def codebooksFromSample(sample: Array[Array[Float]], m: Int,
+  private[operators] def codebooksFromSample(sample: Array[Array[Float]], m: Int,
                                   dim: Int): Array[Array[Array[Float]]] = {
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val sub = dim / m

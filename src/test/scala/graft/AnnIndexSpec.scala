@@ -57,4 +57,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(readFiles > 0 && readFiles * 4 <= totalFiles,
       s"probe read $readFiles of $totalFiles files — no pruning")
   }
+
+  test("persisted IVF-PQ probe matches in-memory; code scan skips embeddings") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    AnnIndex.buildIvfPq(corpus, s"$base/ivfpq")
+    val probe = AnnIndex.probeIvfPq(spark, s"$base/ivfpq", queries)
+    val persisted = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical deterministic training → row-for-row parity with the
+    // in-memory composed operator
+    val inMemory = Similarity.ivfPqTopK(corpus, queries)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == inMemory)
+    assert(persisted.nonEmpty)
+    // the bandwidth claim made physical: the candidate-scoring scan's
+    // ReadSchema carries codes but NOT the embedding column
+    val p = probe.queryExecution.executedPlan.toString
+    val codeScan = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("codes"))
+      .mkString("\n")
+    assert(codeScan.nonEmpty, s"expected a codes-only scan:\n$p")
+    assert(!codeScan.contains("embedding"),
+      s"candidate scan must not read embeddings:\n$codeScan")
+  }
 }
