@@ -227,6 +227,8 @@ object SparkEntry {
       DataSplit.assignPortable(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")),
+    "docs_shuffle_shard" -> ((s, dir) =>
+      DataSplit.shuffleShards(Tables.documents(s, dir), nShards = 4)),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "docs_curate" -> ((s, dir) =>
@@ -1222,6 +1224,22 @@ object SparkEntry {
         |        < 'f3333333' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin.replace("\n", " "),
+    "docs_shuffle_shard" ->
+      // 4 equal hex-range cuts of the salted md5 key; position =
+      // rank within shard in key order (ties → doc_id)
+      """WITH k AS (SELECT doc_id,
+        | substring(md5(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 8)
+        |  AS shuffle_key FROM documents),
+        |s AS (SELECT doc_id, shuffle_key,
+        | CAST(CASE WHEN shuffle_key < '40000000' THEN 0
+        |      WHEN shuffle_key < '80000000' THEN 1
+        |      WHEN shuffle_key < 'c0000000' THEN 2
+        |      ELSE 3 END AS BIGINT) AS shard FROM k)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard
+        |   ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard,
+        | shuffle_key
+        |FROM s""".stripMargin.replace("\n", " "),
     "q_forecast_revenue" ->
       """SELECT CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
         | sum(l_extendedprice * l_discount) AS forecast_revenue,

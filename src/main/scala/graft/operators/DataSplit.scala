@@ -65,6 +65,38 @@ object DataSplit {
     df.withColumn("split", label)
   }
 
+  /** Deterministic training-order shuffle + sharding: every doc gets
+    * a portable md5 shuffle key (salted — a new salt IS the next
+    * epoch's reshuffle), a shard from equal hex-range cuts of that
+    * key (uniform by md5's uniformity, no conversion arithmetic —
+    * pure string compares, replayable in any engine), and its
+    * position within the shard in key order. `pos_in_shard`
+    * materializes exactly the order a shard writer lays down with
+    * `repartition(shard).sortWithinPartitions(key)` — one balanced
+    * shuffle, per-shard parallel sort, no global ordering anywhere.
+    * SGD-shuffle quality note: the order is pseudo-random in doc_id
+    * (md5 avalanche), uncorrelated with any data column.
+    */
+  def shuffleShards(df: DataFrame, idCol: String = "doc_id",
+                    nShards: Int = 8, salt: String = "epoch0"): DataFrame = {
+    require(nShards >= 1, s"need at least one shard, got $nShards")
+    val cuts = (1 to nShards).map(i => i.toDouble / nShards)
+    def cutLit(cut: Double): String =
+      if (cut >= 1.0) "g" else Sampling.hexThreshold(cut)
+    // shard compares against the MATERIALIZED key column — folding
+    // over the md5 expression itself would re-hash per threshold
+    val shard = (0 until nShards).zip(cuts)
+      .foldRight(lit((nShards - 1).toLong)) { case ((i, cut), fallback) =>
+        when(col("shuffle_key") < lit(cutLit(cut)), i.toLong).otherwise(fallback)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol), Sampling.sampleKey(col(idCol), salt).as("shuffle_key"))
+      .withColumn("shard", shard)
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos_in_shard"), col("shuffle_key"))
+  }
+
   /** Convenience: materialized per-split frames. */
   def splits(df: DataFrame, idCol: String,
              weights: Seq[(String, Double)], seed: Long = 42L): Map[String, DataFrame] = {

@@ -74,4 +74,33 @@ class DataSplitSpec extends SparkSpec {
     assert(math.abs(counts("val") - 500) < 150, s"val ${counts("val")}")
     assert(math.abs(counts("test") - 500) < 150, s"test ${counts("test")}")
   }
+
+  test("shuffle shards: balanced, dense positions, epoch reshuffles") {
+    val a = DataSplit.shuffleShards(ids, "id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc in exactly one shard; shards roughly balanced
+    assert(a.length == 10000 && a.map(_._1).distinct.length == 10000)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 8)
+    sizes.foreach { case (s, n) =>
+      assert(math.abs(n - 1250) < 200, s"shard $s holds $n of 10000") }
+    // positions are dense 1..|shard| (a writer can stream them out)
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (1L to rows.length), s"shard $s positions not dense") }
+    // deterministic under repartitioning…
+    val b = DataSplit.shuffleShards(ids.repartition(7), "id", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // …and a new salt is a genuinely different epoch order
+    val e1 = DataSplit.shuffleShards(ids, "id", 8, salt = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).map(t => (t._2, t._3)).toSeq !=
+      e1.sortBy(_._1).map(t => (t._2, t._3)).toSeq,
+      "epoch salt must reshuffle")
+    // shuffle order must not correlate with id order: the first shard
+    // position of consecutive ids should be scattered (crude check:
+    // ids 0..9 do not all share a shard)
+    assert(a.filter(_._1 < 10).map(_._2).distinct.length > 1)
+  }
 }
