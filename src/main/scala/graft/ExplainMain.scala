@@ -17,7 +17,9 @@ object ExplainMain {
       "q_topn_per_group_agg", "text_winnow_dedup", "events_audience_overlap",
       "dedup_ngram_blocked", "q_pareto_revenue", "q_interval_join",
       "dedup_incremental_pairs", "sample_mixture", "q_profit_nation_year",
-      "ann_rerank", "docs_source_cap", "sketch_compact")
+      "ann_rerank", "docs_source_cap", "sketch_compact",
+      "docs_context_chunks", "docs_curate_capped", "stream_curate_gate",
+      "docs_shuffle_shard")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

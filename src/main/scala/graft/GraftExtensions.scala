@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenNgrams, WinnowMd5Fingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so plain `spark.sql` users get them
@@ -77,6 +77,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "chunk_md5s(text, n) - md5s of non-overlapping n-token chunks (fused)"),
       (args: Seq[Expression]) =>
         ChunkMd5s(args(0), intLit(args(1), "chunk size"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      info("token_ngrams",
+        "token_ngrams(text, n) - distinct space-joined token n-grams (fused)"),
+      (args: Seq[Expression]) =>
+        TokenNgrams(args(0), intLit(args(1), "gram size"))))
 
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),

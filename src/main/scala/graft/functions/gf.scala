@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -50,6 +50,10 @@ object gf {
     * text column (fused, SQL-md5-parity — oracle-checkable). */
   def winnowFingerprints(text: Column, n: Int, window: Int): Column =
     c(WinnowMd5Fingerprints(e(text), n, window))
+
+  /** Distinct space-joined token n-grams of a text column (fused,
+    * SQL-spelling parity — oracle-checkable). */
+  def tokenNgrams(text: Column, n: Int): Column = c(TokenNgrams(e(text), n))
 
   /** 64-bit SimHash of an `array<string>` token column. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -352,6 +352,48 @@ object TextMd5 {
     while (it.hasNext) { out(c) = it.next(); c += 1 }
     new GenericArrayData(out)
   }
+
+  /** The n-token gram STRING (tokens joined by one space) built
+    * straight from the document bytes — no intermediate token
+    * strings. */
+  private def gramString(bytes: Array[Byte], spans: Array[Int],
+                         from: Int, n: Int): UTF8String = {
+    var len = n - 1
+    var j = 0
+    while (j < n) {
+      len += spans(2 * (from + j) + 1) - spans(2 * (from + j)); j += 1
+    }
+    val out = new Array[Byte](len)
+    var pos = 0; j = 0
+    while (j < n) {
+      if (j > 0) { out(pos) = ' '; pos += 1 }
+      val s = spans(2 * (from + j)); val e = spans(2 * (from + j) + 1)
+      System.arraycopy(bytes, s, out, pos, e - s)
+      pos += e - s; j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** DISTINCT space-joined token n-grams in first-occurrence order —
+    * value-identical to the `array_distinct(transform(sequence(...),
+    * i -> array_join(slice(toks, i+1, n), ' ')))` SQL spelling
+    * (parity spec-held), fused into one byte-level pass: one span
+    * scan, one output string per distinct gram, no per-token string
+    * allocation and no interpreted higher-order lambda. */
+  def tokenNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= nTok - n) { seen.add(gramString(bytes, spans, i, n)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var c = 0
+    while (it.hasNext) { out(c) = it.next(); c += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 object TextHashes {

@@ -340,10 +340,12 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
 
   def decontaminate(docs: DataFrame, n: Int = 3, benchMod: Int = 97): DataFrame = {
+    // gram extraction runs as the fused codegen'd kernel
+    // (gf.tokenNgrams); [[ngramArrayFromToks]] is the SQL-spelling
+    // twin, parity spec-held in FunctionsSpec
     def grams(d: DataFrame): DataFrame =
-      d.select(col("doc_id"), tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          explode(ngramArrayFromToks(col("toks"), n)).as("gram"))
+      d.select(col("doc_id"),
+        explode(graft.functions.gf.tokenNgrams(col("text"), n)).as("gram"))
     val bench = broadcast(
       grams(docs.filter(col("doc_id") % benchMod === 0)).select("gram").distinct())
     grams(docs.filter(col("doc_id") % benchMod =!= 0))

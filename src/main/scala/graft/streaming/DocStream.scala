@@ -28,22 +28,23 @@ object DocStream {
   def curateGate(docs: DataFrame, bench: DataFrame, n: Int = 3,
                  minTokens: Long = 20L, maxTokens: Long = 100000L,
                  minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
-    // |bench grams| is bounded by the tiny-benchmark contract; the
-    // single-row array is the static side of a stream-static join
+    // |bench grams| is bounded by the tiny-benchmark contract, so the
+    // static side folds to an ARRAY LITERAL at plan time — no join
+    // node at all (a 1-row cross join would break whole-stage codegen
+    // on the corpus path), and the gate plan is scan → filter →
+    // project with zero exchanges. The set is pinned per (re)start,
+    // exactly like a broadcast would pin it per batch query.
     val benchGrams = bench
-      .select(TextAnalysis.tokens(col("text")).as("toks"))
-      .select(explode(TextAnalysis.ngramArrayFromToks(col("toks"), n)).as("gram"))
+      .select(explode(graft.functions.gf.tokenNgrams(col("text"), n)).as("gram"))
       .distinct()
-      .agg(collect_set("gram").as("bench_grams"))
+      .collect().map(_.getString(0)).toSeq.sorted
     TextAnalysis.stats(docs, keep = Seq("text"))
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("quality_score") >= minQuality &&
         col("doc_id") % benchMod =!= 0)
       .select(col("doc_id"), col("n_tokens"), col("quality_score"),
-        TextAnalysis.tokens(col("text")).as("toks"))
-      .withColumn("grams", TextAnalysis.ngramArrayFromToks(col("toks"), n))
-      .crossJoin(broadcast(benchGrams))
-      .filter(!arrays_overlap(col("grams"), col("bench_grams")))
+        graft.functions.gf.tokenNgrams(col("text"), n).as("grams"))
+      .filter(!arrays_overlap(col("grams"), typedlit(benchGrams)))
       .select("doc_id", "n_tokens", "quality_score")
   }
 }

@@ -166,6 +166,31 @@ case class ChunkMd5s(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct space-joined token n-grams of raw text, first-occurrence
+  * order — fused tokenize+join+dedup, value-identical to the
+  * `array_distinct(transform(..., i -> array_join(slice(toks, i+1,
+  * n), ' ')))` SQL spelling (see
+  * [[graft.functions.TextMd5.tokenNgrams]]).
+  */
+case class TokenNgrams(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextMd5.tokenNgrams(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.TextMd5.tokenNgrams($s, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (distinct windowed-min gram md5s) of raw
   * text — one fused pass (see
   * [[graft.functions.TextMd5.winnowMd5Fingerprints]]).

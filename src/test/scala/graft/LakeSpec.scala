@@ -27,6 +27,22 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("ORC round-trips losslessly and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema, "ORC must preserve the schema")
+    val a = docs.orderBy("doc_id").collect().toSeq
+    val b = back.orderBy("doc_id").collect().toSeq
+    assert(a == b, "ORC round trip must be lossless")
+    // predicate pushdown works on the ORC scan too
+    val p = executedPlan(back.filter($"doc_id" === 7L).select("doc_id", "lang"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(doc_id,7)"),
+      s"expected pushed doc_id filter on the ORC scan:\n$p")
+  }
+
   test("same-bucket tables join without a shuffle exchange") {
     val left = (1 to 1000).map(i => (i.toLong, s"l$i")).toDF("id", "l")
     val right = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("id", "r")

@@ -104,6 +104,19 @@ class TextPropertySpec extends SparkSpec {
       graft.functions.gf.chunkMd5s(col("text"), stride).as("fps"))
     assert(collectFps(kernelChunks) == collectFps(sqlChunks),
       "chunk kernel diverges from the SQL spelling")
+
+    // token n-grams: kernel vs the interpreted HOF spelling — EXACT
+    // order too (both are first-occurrence-ordered distinct)
+    val sqlGrams = docs
+      .select(col("doc_id"), toksC.as("toks"))
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.ngramArrayFromToks(col("toks"), n).as("fps"))
+    val kernelGrams = docs.select(col("doc_id"),
+      graft.functions.gf.tokenNgrams(col("text"), n).as("fps"))
+    def collectOrdered(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(collectOrdered(kernelGrams) == collectOrdered(sqlGrams),
+      "token-ngram kernel diverges from the SQL spelling")
   }
 
   test("weighted sampling frequency tracks the weight on a big draw") {
