@@ -387,7 +387,10 @@ object SparkEntry {
       Sampling.uniformKPerStratumAgg(Tables.documents(s, dir), "doc_id", "source", k = 5)
         .select("source", "sample_rank", "doc_id")),
     "text_trigram_affinity" -> ((s, dir) =>
-      TextAnalysis.charTrigramAffinity(Tables.documents(s, dir))),
+      // profile from a 25% deterministic sample (the scale default);
+      // the oracle replays the identical md5 filter
+      TextAnalysis.charTrigramAffinity(Tables.documents(s, dir),
+        profileRate = 0.25)),
     "q_shipping_delay" -> ((s, dir) =>
       Analytics.shippingDelay(Tables.lineitem(s, dir), Tables.orders(s, dir))),
     "q_return_rate" -> ((s, dir) =>
@@ -1426,7 +1429,9 @@ object SparkEntry {
         |p AS (SELECT lang, trigram FROM (
         |  SELECT lang, trigram, row_number() OVER (
         |   PARTITION BY lang ORDER BY count(*) DESC, trigram) AS rk
-        |  FROM g GROUP BY lang, trigram) WHERE rk <= 200),
+        |  FROM g WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':trigram_profile'), 1, 8)
+        |    < '40000000'
+        |  GROUP BY lang, trigram) WHERE rk <= 200),
         |h AS (SELECT doc_id, count(*) AS n_profile_hits FROM g
         | WHERE EXISTS (SELECT 1 FROM p
         |  WHERE p.lang = g.lang AND p.trigram = g.trigram) GROUP BY 1),

@@ -280,17 +280,29 @@ object TextAnalysis {
     * semi-joinable set, one per-doc aggregate. Integer counts + one
     * division (rounded) — fully oracle-portable.
     */
-  def charTrigramAffinity(docs: DataFrame, profileSize: Int = 200): DataFrame = {
+  def charTrigramAffinity(docs: DataFrame, profileSize: Int = 200,
+                          profileRate: Double = 1.0): DataFrame = {
+    require(profileRate > 0.0 && profileRate <= 1.0,
+      s"profileRate must be in (0,1], got $profileRate")
     // per-doc dedupe happens MAP-SIDE (array_distinct before the
     // explode), so no corpus-wide distinct shuffle ever runs
     def withGrams = docs
       .select(col("doc_id"), col("lang"),
         array_distinct(gf.charTrigrams(col("text"))).as("grams"))
     // pass 1: the per-lang profile — |langs|·profileSize rows total,
-    // folded to |langs| array rows and broadcast
+    // folded to |langs| array rows and broadcast. profileRate < 1
+    // builds it from a deterministic portable hash sample of docs
+    // (the 100 TB default: a top-200 trigram profile converges on a
+    // small fraction of the corpus; the oracle replays the same md5
+    // filter, so sampling costs no checkability)
+    val profileDocs =
+      if (profileRate >= 1.0) withGrams
+      else withGrams.filter(
+        Sampling.sampleKey(col("doc_id"), "trigram_profile")
+          < lit(Sampling.hexThreshold(profileRate)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("n").desc, col("trigram"))
-    val profile = withGrams
+    val profile = profileDocs
       .select(col("lang"), explode(col("grams")).as("trigram"))
       .groupBy("lang", "trigram")
       .agg(count(lit(1)).as("n"))

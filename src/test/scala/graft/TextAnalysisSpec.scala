@@ -169,6 +169,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"doc 2 repeats grams but must count each distinct gram once: $out")
   }
 
+  test("sampled trigram profile stays faithful to the full profile") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def affinities(rate: Double): Map[Long, Double] =
+      TextAnalysis.charTrigramAffinity(docs, profileRate = rate)
+        .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val full = affinities(1.0)
+    val sampled = affinities(0.25)
+    assert(full.keySet == sampled.keySet)
+    val meanAbsDiff = full.keys.map(k =>
+      math.abs(full(k) - sampled(k))).sum / full.size
+    assert(meanAbsDiff < 0.1,
+      f"a quarter-sample profile drifted too far: mean |Δaffinity| = $meanAbsDiff%.4f")
+  }
+
   test("contextChunks tile every doc: strided starts, full overlap coverage") {
     // 0 tokens, sub-window, exact window, window+1, and a long doc
     val docs = Seq(
