@@ -160,16 +160,15 @@ class PlanSpec extends SparkSpec {
       s"expected a partial-merging aggregate for the heap:\n$p")
   }
 
-  test("streaming curate gate: broadcast only, no hash-partition exchange") {
+  test("streaming curate gate plan is scan → filter → project, no exchanges") {
     val docs = Tables.documents(spark, dir)
     val p = plan(graft.streaming.DocStream.curateGate(
       docs, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0)))
-    // the corpus path must be shuffle-free (stateless in streaming);
-    // the benchmark-gram fold is the static side and MAY exchange
-    val corpusSide = p.linesIterator.takeWhile(l =>
-      !l.contains("BroadcastExchange")).mkString("\n")
-    assert(!corpusSide.contains("Exchange hashpartitioning"),
-      s"corpus path must not shuffle before the broadcast:\n$p")
+    // the static benchmark-gram set folds to a literal at plan time,
+    // so the WHOLE gate plan is exchange- and join-free — the shape
+    // that guarantees zero state stores in streaming
+    assert(!p.contains("Exchange"), s"gate must not shuffle or broadcast:\n$p")
+    assert(!p.contains("Join"), s"gate must not join:\n$p")
   }
 
   test("packing prefix sum never uses a global (unpartitioned) window") {
