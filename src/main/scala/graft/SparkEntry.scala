@@ -237,6 +237,9 @@ object SparkEntry {
       operators.Curation.manifest(Tables.documents(s, dir))),
     "docs_curate_capped" -> ((s, dir) =>
       operators.Curation.curateCapped(Tables.documents(s, dir), cap = 10)),
+    "docs_token_budget" -> ((s, dir) =>
+      // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
+      operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),
     "text_chunk_dedup" -> ((s, dir) =>
       TextAnalysis.chunkDedup(Tables.documents(s, dir))),
     "docs_context_chunks" -> ((s, dir) =>
@@ -1016,6 +1019,22 @@ object SparkEntry {
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
+    "docs_token_budget" ->
+      // quality-order prefix under a global token budget; the doc
+      // that crosses the line is kept (exclusive-cum < budget)
+      (toksCte +
+        """, sc AS (SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  least(1.0, len(toks) / 128.0)
+          |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+          |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+          |   AS quality_score FROM t)
+          |SELECT doc_id, n_tokens, quality_score FROM (
+          | SELECT doc_id, n_tokens, quality_score,
+          |  COALESCE(sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          | FROM sc) c
+          |WHERE cum_excl < 10000""".stripMargin.replace("\n", " ")),
     "stream_curate_gate" ->
       // the stateless curation prefix: quality band + benchmark-slice
       // exclusion + any-gram decontamination (no dedup stage)

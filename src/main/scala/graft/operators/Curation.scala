@@ -76,6 +76,56 @@ object Curation {
         .select("doc_id"), Seq("doc_id"), "left_semi"),
       cap)
 
+  /** Token-budget corpus selection: walk the corpus in quality order
+    * (desc; ties → doc_id) and keep documents while the cumulative
+    * token count stays under `tokenBudget` — "the best `B` tokens",
+    * the final sizing gate before training. A bare
+    * `Window.orderBy(quality)` would funnel every doc through one
+    * task, so the global rank+cumsum runs as the same banded
+    * two-phase prefix sum as `Analytics.paretoRevenue` /
+    * `Packing.prefixSum`:
+    *
+    *  1. band by quantized quality (monotone: ascending band =
+    *     descending quality, and band is a pure function of the
+    *     score, so band order extends the global order exactly);
+    *  2. per-band token totals → driver (O(#bands), ≤ 4097 rows at
+    *     any corpus size) → broadcast exclusive offsets;
+    *  3. within-band windows run all bands in parallel.
+    *
+    * Keeps the doc whose EXCLUSIVE cumulative tokens are below
+    * budget (the doc that crosses the line is kept — "fill then
+    * stop", matching the oracle's `cum - tokens < budget`).
+    */
+  def selectToBudget(docs: DataFrame, tokenBudget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = 4096
+    val scored = TextAnalysis.stats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      // quality ∈ [0,1]: quantize; negate so ascending band =
+      // descending quality
+      .withColumn("band",
+        -floor(least(col("quality_score"), lit(1.0)) * bands).cast("long"))
+      .localCheckpoint(true)
+    val totals = scored.groupBy("band")
+      .agg(sum("n_tokens").as("btok"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val off = (b, acc); acc += t; off }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("band", "tok_offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored
+      .join(broadcast(offsetsDf), Seq("band"))
+      .withColumn("cum_excl",
+        col("tok_offset") + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("cum_excl") < tokenBudget)
+      .select("doc_id", "n_tokens", "quality_score")
+  }
+
   /** [[sourceCap]] as a window — result-identical reference
     * formulation (fine when no source is skewed; the agg twin is the
     * 100 TB default). */

@@ -81,6 +81,44 @@ class CurationSpec extends SparkSpec {
       "capped output must be a subset of the curated corpus")
   }
 
+  test("token budget: banded prefix sum equals the global window, budget holds") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 5000L
+    val kept = Curation.selectToBudget(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(kept.nonEmpty)
+    // reference: the naive single-window global prefix sum
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.col("quality_score").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    import org.apache.spark.sql.functions._
+    val naive = graft.operators.TextAnalysis.stats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .withColumn("cum_excl", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("cum_excl") < budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(kept.sortBy(_._1).toSeq == naive.sortBy(_._1).toSeq,
+      "banded two-phase selection must equal the global-window selection")
+    // fill-then-stop: total minus the crossing doc stays under budget
+    val total = kept.map(_._2).sum
+    val maxDoc = kept.map(_._2).max
+    assert(total - maxDoc < budget, s"kept $total tokens for budget $budget")
+    // the kept set is a quality prefix: every dropped doc ranks below
+    // the worst kept doc in (quality desc, doc_id) order
+    val keptIds = kept.map(_._1).toSet
+    val (worstQ, worstId) = kept.map(t => (t._3, t._1))
+      .minBy { case (q, id) => (q, -id.toDouble) }
+    val scores = graft.operators.TextAnalysis.stats(docs)
+      .select(col("doc_id"), col("quality_score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    scores.filterNot(s => keptIds(s._1)).foreach { case (id, q) =>
+      assert(q < worstQ || (q == worstQ && id > worstId),
+        s"dropped doc $id (q=$q) outranks kept doc $worstId (q=$worstQ)")
+    }
+  }
+
   test("source cap: bounded-heap agg equals the window twin, cap holds") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

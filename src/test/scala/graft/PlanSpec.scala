@@ -171,6 +171,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"gate must not join:\n$p")
   }
 
+  test("token-budget selection ranks within quality bands, never one partition") {
+    val p = plan(graft.operators.Curation.selectToBudget(
+      Tables.documents(spark, dir), 5000L))
+    assert("windowspecdefinition\\(band#\\d+L".r.findFirstIn(p).isDefined,
+      s"cumsum window must partition by quality band:\n$p")
+    assert(!p.contains("Exchange SinglePartition") ||
+      // the O(#bands) offset frame may legitimately single-partition;
+      // the corpus-side window exchange must hash-partition by band
+      "Exchange hashpartitioning\\(band#\\d+L".r.findFirstIn(p).isDefined,
+      s"no single-partition funnel for the corpus window:\n$p")
+  }
+
   test("packing prefix sum never uses a global (unpartitioned) window") {
     val perDoc = graft.operators.Packing.tokensPerDoc(Tables.documents(spark, dir))
     val p = plan(graft.operators.Packing.prefixSum(perDoc))
