@@ -401,6 +401,8 @@ object SparkEntry {
     "dedup_exact_apply" -> ((s, dir) =>
       Dedup.exactApply(Tables.documents(s, dir))),
     // round 4: deterministic near-dup, SCD2, Q15/Q17, activity/Zipf
+    "dedup_blocked_suppress" -> ((s, dir) =>
+      Dedup.nearDupSuppress(Tables.documents(s, dir))),
     "dedup_ngram_blocked" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
     "dedup_ngram_contain" -> ((s, dir) =>
@@ -1548,6 +1550,44 @@ object SparkEntry {
         |   CAST(day + 6 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM ud),
         |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY 1)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)"""
+        .stripMargin.replace("\n", " "),
+    "dedup_blocked_suppress" ->
+      // blocked pairs + quality domination: the beaten side of every
+      // pair drops (tie → higher id drops)
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND d.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT p.id_a, p.id_b FROM p
+        | JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b
+        | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |  / (len(ga.grams) + len(gb.grams)
+        |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |tq AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM tq),
+        |losers AS (SELECT DISTINCT
+        |  CASE WHEN qa.quality_score < qb.quality_score THEN j.id_a
+        |       WHEN qb.quality_score < qa.quality_score THEN j.id_b
+        |       ELSE greatest(j.id_a, j.id_b) END AS doc_id
+        | FROM j JOIN sc qa ON qa.doc_id = j.id_a
+        |  JOIN sc qb ON qb.doc_id = j.id_b)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)"""
         .stripMargin.replace("\n", " "),
     "dedup_ngram_blocked" ->
       """WITH t AS (SELECT doc_id, list_filter(

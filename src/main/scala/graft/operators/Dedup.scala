@@ -346,6 +346,36 @@ object Dedup {
     verifiedJaccard(blockedCandidates(sets, maxDf, minShared), sets, tau)
   }
 
+  /** Quality-aware near-dup SUPPRESSION: every document beaten in any
+    * [[blockedJaccardPairs]] pair drops — beaten means the partner
+    * has the higher quality score (ties → the lower doc_id
+    * survives, identical texts score identically so this degenerates
+    * to exact dedup's min-id convention). Pairwise and greedy, NOT
+    * closure survivorship: in a chain a~b~c with quality a>b>c, b
+    * and c both drop even when a≁c — the aggressive end of the
+    * near-dup policy spectrum, which is what a training corpus
+    * wants (a borderline duplicate of a kept doc has little
+    * marginal value). Deterministic end to end → oracle-checked;
+    * cost = the blocked pair generation + one |pairs|-row join
+    * against the quality projection.
+    */
+  def nearDupSuppress(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                      maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val q = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+    val losers = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
+      .join(q.select(col("doc_id").as("id_a"), col("quality_score").as("q_a")),
+        Seq("id_a"))
+      .join(q.select(col("doc_id").as("id_b"), col("quality_score").as("q_b")),
+        Seq("id_b"))
+      .select(
+        when(col("q_a") < col("q_b"), col("id_a"))
+          .when(col("q_b") < col("q_a"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Incremental EXACT dedup — the daily-ingest shape: keep only the
     * new-batch docs whose canonical text has never been seen in the
     * corpus. The corpus side reduces to its distinct canonical form

@@ -128,6 +128,29 @@ class DedupSpec extends SparkSpec {
     assert(!jac.contains((0L, 1L)), "jaccard at 0.9 must miss the subset pair")
   }
 
+  test("near-dup suppression keeps the best-quality copy, not the min id") {
+    // a near-dup family where the HIGHEST id is the best-quality doc:
+    // longer text → higher length factor in the quality score. The
+    // uppercase dup (0) tokenizes identically for pairing but scores
+    // WORSE than base (stopword check is case-sensitive) — id order
+    // must not save it.
+    val richer = base + " and the light settles softly over the quiet town"
+    val fam = Seq(
+      (0L, caseDup),   // near-dup of 1/5, lowest quality (uppercase)
+      (1L, base),      // mid quality
+      (3L, unrelated), // untouched bystander
+      (5L, richer))    // near-dup of 1, best quality, HIGHEST id
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val kept = Dedup.nearDupSuppress(fam).collect().map(_.getLong(0)).toSet
+    assert(kept.contains(3L), "unrelated doc must survive")
+    assert(kept.contains(5L), "the best-quality copy must survive")
+    assert(!kept.contains(0L) && !kept.contains(1L),
+      s"beaten copies must drop even with lower ids, kept: $kept")
+  }
+
   test("incremental dedup drops seen docs, pairs only new-vs-corpus") {
     val corpus = Seq((0L, base), (1L, unrelated)).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("s"))
