@@ -39,4 +39,29 @@ object StreamingLoad {
         merged.write.mode("overwrite").parquet(path)
       }
       .start()
+
+  /** Streaming sketch-store maintenance — the always-on spelling of
+    * the nightly [[graft.operators.EventOps.dailyAudienceSketches]]
+    * job: each micro-batch folds into per-(day, type) HLL sketch
+    * rows APPENDED to the store. The store's invariant is
+    * "mergeable rows", not "one row per key": a (day, type) may hold
+    * one partial sketch per micro-batch, and every reader already
+    * merges with `hll_union_agg`
+    * ([[graft.operators.EventOps.reachFromSketches]] /
+    * [[graft.operators.EventOps.compactSketches]]), so partials are
+    * indistinguishable from a single-row store at query time
+    * (HLL union is lossless — spec-held). Compaction doubles as the
+    * partial-row collapser: month rows are single again.
+    * Append-only parquet: no read-modify-write race with readers.
+    */
+  def sketchStoreSink(events: DataFrame, path: String, checkpoint: String,
+                      lgConfigK: Int = 12): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.EventOps.dailyAudienceSketches(batch, lgConfigK)
+          .write.mode("append").parquet(path)
+      }
+      .start()
 }

@@ -382,6 +382,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> ("view", 3L), 2L -> ("click", 4L)))
   }
 
+  test("streaming sketch store: appended partials answer like one batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.EventOps
+    val base = java.nio.file.Files.createTempDirectory("graft_sk").toString
+    val (store, chk) = (s"$base/store", s"$base/chk")
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.StreamingLoad.sketchStoreSink(mem.toDF(), store, chk)
+    try {
+      // user 1 appears in BOTH micro-batches on the same day — the
+      // partial-row merge must still count them once
+      mem.addData(
+        Event(1L, ts(0, 5), 1L, "click", 1.0),
+        Event(2L, ts(0, 20), 2L, "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        Event(3L, ts(1, 10), 1L, "click", 3.0),
+        Event(4L, ts(2, 30), 3L, "view", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fromStore = EventOps.reachFromSketches(
+      spark.read.parquet(store), "2024-01-01", "2024-01-02")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val allEvents = Seq(
+      Event(1L, ts(0, 5), 1L, "click", 1.0),
+      Event(2L, ts(0, 20), 2L, "click", 2.0),
+      Event(3L, ts(1, 10), 1L, "click", 3.0),
+      Event(4L, ts(2, 30), 3L, "view", 4.0)).toDF()
+    val direct = EventOps.reachFromSketches(
+      EventOps.dailyAudienceSketches(allEvents), "2024-01-01", "2024-01-02")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromStore == direct,
+      s"partial sketch rows must merge losslessly: $fromStore vs $direct")
+    assert(fromStore("click")._1 == 2L, "user 1 double-appended, counted once")
+    // the store really is multi-row per (day, type) before compaction
+    assert(spark.read.parquet(store)
+      .filter(col("event_type") === "click").count() == 2L)
+  }
+
   test("curateGate streams append-mode with ZERO state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val docs = spark.read
