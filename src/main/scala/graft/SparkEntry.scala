@@ -237,6 +237,8 @@ object SparkEntry {
       operators.Curation.manifest(Tables.documents(s, dir))),
     "docs_curate_capped" -> ((s, dir) =>
       operators.Curation.curateCapped(Tables.documents(s, dir), cap = 10)),
+    "docs_curate_full" -> ((s, dir) =>
+      operators.Curation.curateFull(Tables.documents(s, dir))),
     "docs_token_budget" -> ((s, dir) =>
       // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
       operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),
@@ -1021,6 +1023,75 @@ object SparkEntry {
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
+    "docs_curate_full" ->
+      // the whole nightly pipeline: quality → exact dedup → benchmark
+      // exclusion → decontamination → near-dup suppression (pairs and
+      // gram df scoped to curated survivors) → source cap(10) →
+      // token budget(5000, fill-then-stop)
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t),
+        |q AS (SELECT doc_id FROM sc
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
+        |  JOIN bench USING (gram)),
+        |cur AS (SELECT d.doc_id, d.source FROM documents d
+        | WHERE d.doc_id IN (SELECT doc_id FROM dd)
+        |  AND d.doc_id % 97 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |tl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams
+        | FROM (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)) lt),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM tl),
+        |idf AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN idf ON idf.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND idf.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT p.id_a, p.id_b FROM p
+        | JOIN tl ga ON ga.doc_id = p.id_a JOIN tl gb ON gb.doc_id = p.id_b
+        | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |  / (len(ga.grams) + len(gb.grams)
+        |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |losers AS (SELECT DISTINCT
+        |  CASE WHEN qa.quality_score < qb.quality_score THEN j.id_a
+        |       WHEN qb.quality_score < qa.quality_score THEN j.id_b
+        |       ELSE greatest(j.id_a, j.id_b) END AS doc_id
+        | FROM j JOIN sc qa ON qa.doc_id = j.id_a
+        |  JOIN sc qb ON qb.doc_id = j.id_b),
+        |sup AS (SELECT cur.doc_id, cur.source FROM cur
+        | WHERE cur.doc_id NOT IN (SELECT doc_id FROM losers)),
+        |capped AS (SELECT doc_id, source FROM (
+        | SELECT sup.doc_id, sup.source,
+        |  row_number() OVER (PARTITION BY sup.source
+        |    ORDER BY sc.quality_score DESC, sup.doc_id) AS rk
+        | FROM sup JOIN sc ON sc.doc_id = sup.doc_id) r WHERE rk <= 10)
+        |SELECT doc_id, source, n_tokens, quality_score FROM (
+        | SELECT capped.doc_id, capped.source, sc.n_tokens, sc.quality_score,
+        |  COALESCE(sum(sc.n_tokens) OVER (
+        |    ORDER BY sc.quality_score DESC, capped.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+        | FROM capped JOIN sc ON sc.doc_id = capped.doc_id) f
+        |WHERE cum_excl < 5000""".stripMargin.replace("\n", " "),
     "docs_token_budget" ->
       // quality-order prefix under a global token budget; the doc
       // that crosses the line is kept (exclusive-cum < budget)

@@ -76,6 +76,32 @@ object Curation {
         .select("doc_id"), Seq("doc_id"), "left_semi"),
       cap)
 
+  /** THE full nightly pipeline, every gate in one oracle-checked
+    * query: [[curate]] (quality → exact dedup → benchmark exclusion →
+    * decontamination) → [[graft.operators.Dedup.nearDupSuppress]]
+    * (quality-dominated near-dups drop; pairs and gram df are scoped
+    * to the curated survivors — yesterday's rejects must not block
+    * today's docs) → [[sourceCap]] (domain balancing) →
+    * [[selectToBudget]] (global token budget). Stage order is the
+    * policy: dedup before capping (a duplicate never holds a budget
+    * slot), balancing before the budget (the budget must not be
+    * spent on one domain). Every stage narrows — the composition
+    * costs roughly the sum of its stages, nothing re-widens.
+    */
+  def curateFull(docs: DataFrame, cap: Int = 10, tokenBudget: Long = 5000L,
+                 minTokens: Long = 20L, maxTokens: Long = 100000L,
+                 minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+    def restrict(ids: DataFrame): DataFrame =
+      docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+    val curated = restrict(
+      curate(docs, minTokens, maxTokens, minQuality, benchMod))
+    val suppressed = restrict(Dedup.nearDupSuppress(curated))
+    val capped = restrict(sourceCap(suppressed, cap))
+    selectToBudget(capped, tokenBudget)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "quality_score")
+  }
+
   /** Token-budget corpus selection: walk the corpus in quality order
     * (desc; ties → doc_id) and keep documents while the cumulative
     * token count stays under `tokenBudget` — "the best `B` tokens",

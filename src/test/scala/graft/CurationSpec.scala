@@ -81,6 +81,31 @@ class CurationSpec extends SparkSpec {
       "capped output must be a subset of the curated corpus")
   }
 
+  test("curateFull narrows through every gate; all gate invariants hold at once") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val (cap, budget) = (5, 2000L)
+    val full = Curation.curateFull(docs, cap = cap, tokenBudget = budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(full.nonEmpty, "the composed pipeline should keep something")
+    val keptIds = full.map(_._1).toSet
+    // subset chain: the final set survived curation AND suppression
+    val curated = docs.join(
+      Curation.curate(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val suppressed = graft.operators.Dedup.nearDupSuppress(curated)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(suppressed),
+      "final set must be a subset of the suppressed curated corpus")
+    // domain cap holds
+    full.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= cap, s"source $src exceeds cap: ${rows.length}") }
+    // budget holds, fill-then-stop
+    val total = full.map(_._3).sum
+    assert(total - full.map(_._3).max < budget,
+      s"kept $total tokens for budget $budget")
+  }
+
   test("token budget: banded prefix sum equals the global window, budget holds") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
