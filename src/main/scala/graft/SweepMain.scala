@@ -1,0 +1,45 @@
+package graft
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+/** Dev tool: recall@10 sweep of the ANN tiers over (nlist, nprobe, m)
+  * on sf0.01 — docs/ANN_SWEEP.md is generated from this output.
+  * Ground truth is exact brute force on the same query set.
+  */
+object SweepMain {
+  def main(a: Array[String]): Unit = {
+    val spark = GraftSession.local(8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = graft.sources.Tables
+      .embeddings(spark, "/root/testdata/sf0.01").cache()
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val exact = sets(Similarity.bruteForceTopK(emb, queries, k = 10))
+    def recall(m: Map[Long, Set[Long]]): Double =
+      exact.keys.map(q => (m.getOrElse(q, Set.empty[Long])
+        .intersect(exact(q)).size / 10.0)).sum / exact.size
+    println("| index | nlist | nprobe | m | recall@10 |")
+    println("| --- | --- | --- | --- | --- |")
+    for (nlist <- Seq(16, 64); nprobe <- Seq(2, 4, 8)) {
+      val r = recall(sets(Similarity.ivfTopK(emb, queries, 10, nlist, nprobe)))
+      println(f"| IVF | $nlist | $nprobe | – | $r%.3f |")
+    }
+    for (m <- Seq(8, 16)) {
+      val r = recall(sets(Similarity.pqTopK(emb, queries, 10, m = m,
+        nCodes = 16, rerank = 4)))
+      println(f"| PQ (rerank 4) | – | – | $m | $r%.3f |")
+    }
+    for (nprobe <- Seq(4, 8); m <- Seq(8, 16)) {
+      val plain = recall(sets(Similarity.ivfPqTopK(emb, queries, 10,
+        nlist = 16, nprobe = nprobe, m = m)))
+      val res = recall(sets(Similarity.ivfPqResidualTopK(emb, queries, 10,
+        nlist = 16, nprobe = nprobe, m = m)))
+      println(f"| IVF-PQ plain | 16 | $nprobe | $m | $plain%.3f |")
+      println(f"| IVF-PQ residual | 16 | $nprobe | $m | $res%.3f |")
+    }
+    spark.stop()
+  }
+}
