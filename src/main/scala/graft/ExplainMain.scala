@@ -19,7 +19,8 @@ object ExplainMain {
       "dedup_incremental_pairs", "sample_mixture", "q_profit_nation_year",
       "ann_rerank", "docs_source_cap", "sketch_compact",
       "docs_context_chunks", "docs_curate_capped", "stream_curate_gate",
-      "docs_shuffle_shard")
+      "docs_shuffle_shard", "docs_token_budget", "dedup_blocked_suppress",
+      "docs_curate_full")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
