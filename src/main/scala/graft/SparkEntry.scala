@@ -205,6 +205,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "ann_knn_classify" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.knnClassify(e, e.filter(col("vec_id") % 20 === 0), k = 10)
+    }),
     "ann_rerank" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.rerankTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
@@ -857,6 +861,30 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_knn_classify" ->
+      // exact top-10 neighbors, majority label (ties → smaller
+      // label), leave-one-out correctness vs the query's own label
+      """WITH nn AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |     CAST(c.embedding AS DOUBLE[])) AS cosine
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id % 20 = 0) s
+        | QUALIFY row_number() OVER (PARTITION BY query_id
+        |   ORDER BY cosine DESC, neighbor_id) <= 10),
+        |votes AS (SELECT nn.query_id, c.label AS n_label,
+        |  count(*) AS n_votes
+        | FROM nn JOIN embeddings c ON c.vec_id = nn.neighbor_id
+        | GROUP BY 1, 2),
+        |win AS (SELECT query_id, n_label, n_votes FROM (
+        | SELECT query_id, n_label, n_votes, row_number() OVER (
+        |   PARTITION BY query_id ORDER BY n_votes DESC, n_label) AS rn
+        | FROM votes) v WHERE rn = 1)
+        |SELECT w.query_id, w.n_label AS pred_label, w.n_votes,
+        | q.label AS true_label, w.n_label = q.label AS correct
+        |FROM win w JOIN embeddings q ON q.vec_id = w.query_id"""
+        .stripMargin.replace("\n", " "),
     "ann_rerank" ->
       // stage 1: cosine top-40 per query (k·expand); stage 2: label
       // boost rerank, top-10 survive. DOUBLE[] casts as in

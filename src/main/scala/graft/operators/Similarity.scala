@@ -499,6 +499,31 @@ object Similarity {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** kNN label classification — the standard embedding-quality eval:
+    * each query's predicted label is the majority label of its k
+    * exact nearest neighbors (ties → the smaller label wins, so the
+    * vote is deterministic and oracle-checkable). `correct` compares
+    * against the query's own label (leave-one-out, since self-matches
+    * are excluded from the neighbor search). Swap the brute-force
+    * stage for any ANN tier to eval the index instead of the
+    * embedding space — the vote composes on (query_id, neighbor_id).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
+    val neighbors = bruteForceTopK(corpus, queries, k)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+    val votes = neighbors.groupBy("query_id", "n_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("n_label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("label").as("true_label"))), Seq("query_id"))
+      .select(col("query_id"), col("n_label").as("pred_label"),
+        col("n_votes"), col("true_label"),
+        (col("n_label") === col("true_label")).as("correct"))
+  }
+
   private def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
                         centroids: Array[Array[Float]], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col("vec_id").as("neighbor_id"),

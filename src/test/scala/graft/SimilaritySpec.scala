@@ -185,6 +185,22 @@ class SimilaritySpec extends SparkSpec {
     assert(big != exact, "an overwhelming boost must change some top-k")
   }
 
+  test("knnClassify predicts the deterministic majority of exact neighbors") {
+    val out = Similarity.knnClassify(emb, queries, k = 10).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(out.keySet == exact.keySet, "every query gets exactly one prediction")
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    exact.foreach { case (q, ns) =>
+      val counts = ns.groupBy(labels).map { case (l, s) => l -> s.size }
+      val (bestLabel, bestVotes) = counts.toSeq.minBy { case (l, c) => (-c, l) }
+      assert(out(q)._1 == bestLabel && out(q)._2 == bestVotes.toLong,
+        s"query $q: got ${out(q)}, expected ($bestLabel, $bestVotes)")
+      assert(out(q)._3 == (bestLabel == labels(q)))
+    }
+  }
+
   test("PQ codes are deterministic and within code range") {
     val cbs = Similarity.trainPqCodebooks(emb, m = 8, k = 16)
     assert(cbs.length == 8 && cbs.forall(cb => cb.length == 16 && cb.forall(_.length == 8)))
