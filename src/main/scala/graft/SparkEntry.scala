@@ -285,6 +285,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
+    "q_rfm_segments" -> ((s, dir) =>
+      Analytics.rfmSegments(Tables.orders(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(Tables.orders(s, dir))),
     "q_segment_quartiles" -> ((s, dir) =>
       Analytics.segmentQuartiles(Tables.customer(s, dir))),
@@ -937,6 +939,35 @@ object SparkEntry {
         |   greatest((length(text) - 1) // 128, 0))) AS i) g) f
         |GROUP BY frame_md5 HAVING count(DISTINCT doc_id) > 1""".stripMargin
         .replace("\n", " "),
+    "q_rfm_segments" ->
+      // quintile cuts via quantile_cont (≡ Spark percentile); score =
+      // 1 + #(cuts strictly below), recency inverted
+      """WITH per AS (SELECT o_custkey,
+        |  CAST(date_diff('day', max(o_orderdate),
+        |   (SELECT max(o_orderdate) FROM orders)) AS BIGINT) AS recency_days,
+        |  count(*) AS frequency, sum(o_totalprice) AS monetary
+        | FROM orders GROUP BY 1),
+        |c AS (SELECT
+        |  quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+        |  quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fc,
+        |  quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mc FROM per)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        | 5 - ((recency_days > rc[1])::BIGINT + (recency_days > rc[2])::BIGINT
+        |   + (recency_days > rc[3])::BIGINT + (recency_days > rc[4])::BIGINT)
+        |  AS r_score,
+        | 1 + ((frequency > fc[1])::BIGINT + (frequency > fc[2])::BIGINT
+        |   + (frequency > fc[3])::BIGINT + (frequency > fc[4])::BIGINT)
+        |  AS f_score,
+        | 1 + ((monetary > mc[1])::BIGINT + (monetary > mc[2])::BIGINT
+        |   + (monetary > mc[3])::BIGINT + (monetary > mc[4])::BIGINT)
+        |  AS m_score,
+        | (5 - ((recency_days > rc[1])::BIGINT + (recency_days > rc[2])::BIGINT
+        |   + (recency_days > rc[3])::BIGINT + (recency_days > rc[4])::BIGINT)) * 100
+        |  + (1 + ((frequency > fc[1])::BIGINT + (frequency > fc[2])::BIGINT
+        |   + (frequency > fc[3])::BIGINT + (frequency > fc[4])::BIGINT)) * 10
+        |  + (1 + ((monetary > mc[1])::BIGINT + (monetary > mc[2])::BIGINT
+        |   + (monetary > mc[3])::BIGINT + (monetary > mc[4])::BIGINT)) AS rfm
+        |FROM per, c""".stripMargin.replace("\n", " "),
     "q_priority_mix" ->
       """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
         | count(*) AS num_orders, sum(o_totalprice) AS revenue

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -286,6 +286,46 @@ object Analytics {
       col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
       dense_rank().over(byBal).cast("long").as("balance_rank"),
       ntile(4).over(total).cast("long").as("quartile"))
+  }
+
+  /** RFM customer segmentation — recency / frequency / monetary
+    * quintile scores, the classic retail marketing cut. The global
+    * quintile boundaries are computed EXACTLY on the |customers|-row
+    * aggregate with interpolated percentiles and collected — 12
+    * scalars — then applied as broadcast cut-point comparisons: a
+    * `ntile(5) OVER (ORDER BY …)` would funnel every customer
+    * through one task, three times. Scores are
+    * `1 + #(cuts strictly below the value)` (recency inverted —
+    * fresher is better), so boundary semantics are explicit and
+    * replay identically in the oracle (`quantile_cont` ≡ Spark's
+    * `percentile`, the q_percentiles-proven pairing).
+    */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    // corpus max date rides in as a broadcast 1-row frame (no typed
+    // driver collect — the column may be date or ntz timestamp)
+    val per = orders
+      .crossJoin(broadcast(orders.agg(max("o_orderdate").as("corpus_max"))))
+      .groupBy("o_custkey").agg(
+        datediff(max("corpus_max"), max("o_orderdate"))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum("o_totalprice").as("monetary"))
+      .localCheckpoint(true) // percentile pass + scoring pass share it
+    val cuts = per.agg(
+      expr("percentile(recency_days, array(0.2, 0.4, 0.6, 0.8))").as("rc"),
+      expr("percentile(frequency, array(0.2, 0.4, 0.6, 0.8))").as("fc"),
+      expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc")).head()
+    def above(v: Column, cs: Seq[Double]): Column =
+      cs.map(c => when(v > c, 1L).otherwise(0L)).reduce(_ + _)
+    val rc = cuts.getSeq[Double](0); val fc = cuts.getSeq[Double](1)
+    val mc = cuts.getSeq[Double](2)
+    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"),
+      (lit(5L) - above(col("recency_days"), rc)).as("r_score"),
+      (lit(1L) + above(col("frequency"), fc)).as("f_score"),
+      (lit(1L) + above(col("monetary"), mc)).as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
   /** Order-priority mix per month — covers the priority dimension

@@ -191,4 +191,24 @@ class AnalyticsSpec extends SparkSpec {
       .select("c_custkey", "revenue").as[(Long, Double)].collect()
     assert(out.toSeq == Seq((2L, 250.0), (1L, 100.0)))
   }
+
+  test("RFM scores are quintiles: in range, balanced on the continuous dim") {
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val rows = Analytics.rfmSegments(orders).collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, rS, fS, mS, rfm) =>
+      assert(rS >= 1 && rS <= 5 && fS >= 1 && fS <= 5 && mS >= 1 && mS <= 5,
+        s"customer $c out-of-range scores ($rS,$fS,$mS)")
+      assert(rfm == rS * 100 + fS * 10 + mS, s"customer $c rfm code $rfm")
+    }
+    // monetary is continuous (no tie mass) → each quintile holds
+    // ~20% of customers
+    val n = rows.length.toDouble
+    val mShare = rows.groupBy(_._4).view.mapValues(_.length / n)
+    (1L to 5L).foreach { q =>
+      val share = mShare.getOrElse(q, 0.0)
+      assert(share > 0.10 && share < 0.30,
+        s"monetary quintile $q holds ${share * 100}%% of customers") }
+  }
 }
