@@ -287,6 +287,8 @@ object SparkEntry {
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
     "q_rfm_segments" -> ((s, dir) =>
       Analytics.rfmSegments(Tables.orders(s, dir))),
+    "q_basket_affinity" -> ((s, dir) =>
+      Analytics.basketAffinity(Tables.lineitem(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(Tables.orders(s, dir))),
     "q_segment_quartiles" -> ((s, dir) =>
       Analytics.segmentQuartiles(Tables.customer(s, dir))),
@@ -968,6 +970,19 @@ object SparkEntry {
         |  + (1 + ((monetary > mc[1])::BIGINT + (monetary > mc[2])::BIGINT
         |   + (monetary > mc[3])::BIGINT + (monetary > mc[4])::BIGINT)) AS rfm
         |FROM per, c""".stripMargin.replace("\n", " "),
+    "q_basket_affinity" ->
+      // distinct parts per order, giant-order guard (≤20 parts),
+      // unordered pair counts with support ≥ 2
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |small AS (SELECT l_orderkey FROM po
+        | GROUP BY 1 HAVING count(*) <= 20),
+        |g AS (SELECT po.l_orderkey, po.l_partkey FROM po
+        | JOIN small USING (l_orderkey))
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        | count(*) AS n_orders_together
+        |FROM g a JOIN g b ON a.l_orderkey = b.l_orderkey
+        | AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin.replace("\n", " "),
     "q_priority_mix" ->
       """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
         | count(*) AS num_orders, sum(o_totalprice) AS revenue

@@ -328,6 +328,33 @@ object Analytics {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
   }
 
+  /** Market-basket affinity: part pairs co-purchased in the same
+    * order, with support counts — the retail association-rules
+    * input. The pair fan-out is the quadratic hazard: it's bounded
+    * per order by (distinct parts choose 2), so orders with more
+    * than `maxParts` distinct parts are excluded FIRST (standard
+    * basket hygiene — a 10k-line procurement order would contribute
+    * 50M pairs and no signal). After the guard, the self-join on
+    * l_orderkey fans out ≤ maxParts²/2 per order: linear in orders,
+    * one shuffle for the join, one for the pair count.
+    */
+  def basketAffinity(lineitem: DataFrame, minOrders: Long = 2,
+                     maxParts: Int = 20): DataFrame = {
+    val perOrder = lineitem.select("l_orderkey", "l_partkey").distinct()
+    val small = perOrder.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_parts"))
+      .filter(col("n_parts") <= maxParts)
+      .select("l_orderkey")
+    val guarded = perOrder.join(small, Seq("l_orderkey"), "left_semi")
+    guarded.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(guarded.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders_together"))
+      .filter(col("n_orders_together") >= minOrders)
+  }
+
   /** Order-priority mix per month — covers the priority dimension
     * with a two-key count/sum aggregate. */
   def priorityMix(orders: DataFrame): DataFrame =

@@ -192,6 +192,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 250.0), (1L, 100.0)))
   }
 
+  test("basket affinity counts distinct co-purchases, giant orders excluded") {
+    // orders 1-3 share parts {1,2}; order 1 also has part 3; order 9
+    // is a 25-part giant that CONTAINS {1,2} but must not count;
+    // duplicate lines within an order must not double-count
+    val rows =
+      Seq((1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+        (3L, 1L), (3L, 2L)) ++ (1L to 25L).map(p => (9L, p))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val out = Analytics.basketAffinity(li, minOrders = 2, maxParts = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((1L, 2L) -> 3L),
+      s"expected only (1,2)->3 (giant order excluded, dup line ignored): $out")
+  }
+
   test("RFM scores are quintiles: in range, balanced on the continuous dim") {
     val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
     val rows = Analytics.rfmSegments(orders).collect()
