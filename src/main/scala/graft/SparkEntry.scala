@@ -289,6 +289,8 @@ object SparkEntry {
       Analytics.rfmSegments(Tables.orders(s, dir))),
     "q_basket_affinity" -> ((s, dir) =>
       Analytics.basketAffinity(Tables.lineitem(s, dir))),
+    "q_basket_rules" -> ((s, dir) =>
+      Analytics.basketRules(Tables.lineitem(s, dir))),
     "q_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(Tables.orders(s, dir))),
     "q_segment_quartiles" -> ((s, dir) =>
       Analytics.segmentQuartiles(Tables.customer(s, dir))),
@@ -983,6 +985,30 @@ object SparkEntry {
         |FROM g a JOIN g b ON a.l_orderkey = b.l_orderkey
         | AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin.replace("\n", " "),
+    "q_basket_rules" ->
+      // directed confidence/lift over the same guarded pairs
+      """WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |small AS (SELECT l_orderkey FROM po
+        | GROUP BY 1 HAVING count(*) <= 20),
+        |g AS (SELECT po.l_orderkey, po.l_partkey FROM po
+        | JOIN small USING (l_orderkey)),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM g),
+        |pc AS (SELECT l_partkey, count(*) AS n_orders_part FROM g GROUP BY 1),
+        |pr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_together
+        | FROM g a JOIN g b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dir AS (SELECT part_a AS antecedent, part_b AS consequent, n_together FROM pr
+        | UNION ALL
+        | SELECT part_b, part_a, n_together FROM pr)
+        |SELECT d.antecedent, d.consequent, d.n_together,
+        | CAST(d.n_together AS DOUBLE) / pa.n_orders_part AS confidence,
+        | CAST(d.n_together AS DOUBLE) * tot.n_orders
+        |  / (pa.n_orders_part * pb.n_orders_part) AS lift
+        |FROM dir d JOIN pc pa ON pa.l_partkey = d.antecedent
+        | JOIN pc pb ON pb.l_partkey = d.consequent, tot"""
+        .stripMargin.replace("\n", " "),
     "q_priority_mix" ->
       """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
         | count(*) AS num_orders, sum(o_totalprice) AS revenue

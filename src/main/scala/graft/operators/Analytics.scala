@@ -355,6 +355,48 @@ object Analytics {
       .filter(col("n_orders_together") >= minOrders)
   }
 
+  /** Association rules over [[basketAffinity]]'s pairs: directed
+    * confidence(a→b) = together/orders(a) and lift =
+    * confidence / P(b) — the ranking a recommender actually uses.
+    * Per-part order counts and the guarded order total are
+    * broadcast-sized joins on the pair frame; both directions emit
+    * from one pair row (a union of two projections, no second
+    * self-join).
+    */
+  def basketRules(lineitem: DataFrame, minOrders: Long = 2,
+                  maxParts: Int = 20): DataFrame = {
+    val perOrder = lineitem.select("l_orderkey", "l_partkey").distinct()
+    val small = perOrder.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_parts"))
+      .filter(col("n_parts") <= maxParts)
+      .select("l_orderkey")
+    val guarded = perOrder.join(small, Seq("l_orderkey"), "left_semi")
+      .localCheckpoint(true) // feeds pairs, per-part counts, and the total
+    val nOrders = guarded.select("l_orderkey").distinct().count()
+    val partOrders = guarded.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_orders_part"))
+    val pairs = guarded.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(guarded.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minOrders)
+    val directed = pairs.select(col("part_a").as("antecedent"),
+        col("part_b").as("consequent"), col("n_together"))
+      .unionByName(pairs.select(col("part_b").as("antecedent"),
+        col("part_a").as("consequent"), col("n_together")))
+    directed
+      .join(partOrders.select(col("l_partkey").as("antecedent"),
+        col("n_orders_part").as("n_ante")), Seq("antecedent"))
+      .join(partOrders.select(col("l_partkey").as("consequent"),
+        col("n_orders_part").as("n_cons")), Seq("consequent"))
+      .select(col("antecedent"), col("consequent"), col("n_together"),
+        (col("n_together") / col("n_ante")).as("confidence"),
+        (col("n_together") * lit(nOrders.toDouble) /
+          (col("n_ante") * col("n_cons"))).as("lift"))
+  }
+
   /** Order-priority mix per month — covers the priority dimension
     * with a two-key count/sum aggregate. */
   def priorityMix(orders: DataFrame): DataFrame =

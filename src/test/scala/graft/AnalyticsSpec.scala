@@ -204,6 +204,18 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out == Map((1L, 2L) -> 3L),
       s"expected only (1,2)->3 (giant order excluded, dup line ignored): $out")
+
+    // rules: both directions of the surviving pair; parts 1 and 2
+    // each appear in all 3 guarded orders → confidence 1, lift
+    // 3·3/(3·3) = 1
+    val rules = Analytics.basketRules(li, minOrders = 2, maxParts = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rules.keySet == Set((1L, 2L), (2L, 1L)))
+    rules.values.foreach { case (n, conf, lift) =>
+      assert(n == 3L && math.abs(conf - 1.0) < 1e-12 &&
+        math.abs(lift - 1.0) < 1e-12, s"unexpected rule stats ($n,$conf,$lift)")
+    }
   }
 
   test("RFM scores are quintiles: in range, balanced on the continuous dim") {
