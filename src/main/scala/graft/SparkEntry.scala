@@ -263,6 +263,14 @@ object SparkEntry {
       Sampling.sampleToMixture(Tables.documents(s, dir), "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id", "source")),
+    "docs_curate_mixture" -> ((s, dir) =>
+      // gentler gates than docs_curate: every target source must
+      // survive curation at every SF (sampleToMixture fails fast on
+      // an empty target source — the right call for a training run,
+      // where a vanished source means a broken upstream feed)
+      operators.Curation.curateMixture(Tables.documents(s, dir),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+        minQuality = 0.05, benchMod = 997)),
     "q_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
     "q_priority_check" -> ((s, dir) =>
@@ -1350,6 +1358,48 @@ object SparkEntry {
         | ON p.ts >= e.ts AND p.ts < e.ts + INTERVAL 300 SECONDS
         |WHERE e.event_type = 'error'
         |GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "docs_curate_mixture" ->
+      // curate's survivor set (same CTE chain as docs_curate), then
+      // the mixture rate derivation REPLAYED OVER THE CURATED COUNTS
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id FROM (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t) s
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.05),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 997 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 997 <> 0) c
+        |  JOIN bench USING (gram)),
+        |cur AS (SELECT d.doc_id, d.source FROM documents d
+        | WHERE d.doc_id IN (SELECT doc_id FROM dd)
+        |  AND d.doc_id % 997 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |cnt AS (SELECT source, count(*) AS n,
+        |  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+        |   ELSE CAST(0.25 AS DOUBLE) END AS p
+        | FROM cur WHERE source IN ('src0', 'src1', 'src2')
+        | GROUP BY source),
+        |tot AS (SELECT min(n / p) AS total FROM cnt),
+        |r AS (SELECT source,
+        |  least(p * (SELECT total FROM tot) / n, CAST(1 AS DOUBLE)) AS rate
+        | FROM cnt)
+        |SELECT c.doc_id, c.source FROM cur c JOIN r ON c.source = r.source
+        |WHERE substring(md5(CAST(c.doc_id AS VARCHAR) || ':m42'), 1, 8) <
+        | CASE WHEN r.rate >= 1.0 THEN 'g'
+        |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END"""
+        .stripMargin.replace("\n", " "),
     "sample_mixture" ->
       """WITH cnt AS (SELECT source, count(*) AS n,
         |  CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)

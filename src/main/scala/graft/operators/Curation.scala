@@ -102,6 +102,28 @@ object Curation {
       .select("doc_id", "source", "n_tokens", "quality_score")
   }
 
+  /** Curation composed with MIXTURE rebalancing: [[curate]]'s
+    * survivors re-sampled to target source proportions
+    * ([[Sampling.sampleToMixture]]) — the step between "what is
+    * trainable" and "what the run actually consumes". Order is the
+    * point: keep-rates must derive from POST-curation counts (a
+    * source that loses half its docs to quality gates needs a
+    * different rate than its raw size suggests), so the per-source
+    * count runs over the curated set. Cost on top of curate is one
+    * O(|sources|) aggregate + a stateless hash filter; the rate
+    * derivation replays in the oracle, so the whole composition
+    * stays hash-checked end to end.
+    */
+  def curateMixture(docs: DataFrame, targetShares: Map[String, Double],
+                    minTokens: Long = 20L, maxTokens: Long = 100000L,
+                    minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+    val curated = docs.join(
+      curate(docs, minTokens, maxTokens, minQuality, benchMod)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    Sampling.sampleToMixture(curated, "doc_id", "source", targetShares)
+      .select("doc_id", "source")
+  }
+
   /** Token-budget corpus selection: walk the corpus in quality order
     * (desc; ties → doc_id) and keep documents while the cumulative
     * token count stays under `tokenBudget` — "the best `B` tokens",

@@ -172,4 +172,35 @@ class CurationSpec extends SparkSpec {
         s"source $src kept a lower-quality doc over a higher one")
     }
   }
+
+  test("curateMixture: rates derive from POST-curation counts, output ⊆ curated") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val shares = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val got = Curation.curateMixture(docs, shares)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val curatedIds = Curation.curate(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(curatedIds), "mixture must sample the curated set")
+    assert(got.values.forall(shares.keySet), "out-of-mixture sources must drop")
+    // identical to composing the two operators by hand — the rate
+    // derivation must see curated (not raw) per-source counts
+    val curated = docs.join(
+      Curation.curate(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val direct = graft.operators.Sampling
+      .sampleToMixture(curated, "doc_id", "source", shares)
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == direct)
+    // the binding source keeps ALL its curated docs (rate 1.0): the
+    // achieved mixture can't be improved without up-sampling
+    import org.apache.spark.sql.functions.col
+    val curBySource = curated.filter(col("source").isin(shares.keys.toSeq: _*))
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = curBySource.keys.minBy(s => curBySource(s) / shares(s))
+    val keptBySource = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(keptBySource(binding) == curBySource(binding),
+      s"binding source $binding must keep everything")
+  }
 }
