@@ -418,6 +418,30 @@ class StreamingSpec extends SparkSpec {
     // the store really is multi-row per (day, type) before compaction
     assert(spark.read.parquet(store)
       .filter(col("event_type") === "click").count() == 2L)
+
+    // --- the composed maintenance pipeline: stream-append → compact.
+    // Month-grain compaction of the STREAMED store (partial rows and
+    // all) must answer exactly like the day-grain store — HLL union
+    // is lossless and associative, so merge order (micro-batch
+    // partials vs day rows vs month rows) can never show through.
+    val compactedPath = s"$base/compacted"
+    EventOps.compactSketches(spark.read.parquet(store))
+      .write.mode("overwrite").parquet(compactedPath)
+    val monthly = spark.read.parquet(compactedPath)
+    assert(monthly.count() == 2L, "one month-grain row per event_type")
+    val fromCompacted = EventOps.reachFromCompacted(
+      monthly, "2024-01-01", "2024-02-01")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fullRange = EventOps.reachFromSketches(
+      spark.read.parquet(store), "2024-01-01", "2024-02-01")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromCompacted == fullRange,
+      s"compacted store must answer like the daily one: $fromCompacted vs $fullRange")
+    // exact companions survive compaction: n_events sums, day rows counted
+    val dayRows = monthly.collect()
+      .map(r => r.getString(1) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(dayRows == Map("click" -> (3L, 2L), "view" -> (1L, 1L)),
+      "n_events sums and store rows count through compaction")
   }
 
   test("curateGate streams append-mode with ZERO state, matches batch") {
