@@ -444,6 +444,20 @@ object SparkEntry {
       Analytics.smallQtyRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_pareto_revenue" -> ((s, dir) =>
       Analytics.paretoRevenue(Tables.lineitem(s, dir))),
+    "etl_cdc_apply" -> ((s, dir) =>
+      operators.EventOps.cdcApply(Tables.events(s, dir))),
+    "etl_table_diff" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      // two period snapshots of the product summary; sums rounded to
+      // cents so the changed/unchanged classification is
+      // engine-stable (see tableDiff's contract)
+      def snap(yr: Int) = li.filter(year(col("l_shipdate")) === yr)
+        .groupBy(col("l_partkey").as("product_id"))
+        .agg(round(sum("l_quantity"), 2).as("total_quantity"),
+          round(sum("l_extendedprice"), 2).as("total_sale_amount"))
+      operators.RetailEtl.tableDiff(snap(1995), snap(1996),
+        Seq("product_id"), Seq("total_quantity", "total_sale_amount"))
+    }),
     "etl_scd2_user_state" -> ((s, dir) =>
       EventOps.scd2UserState(Tables.events(s, dir))),
     "q_new_vs_returning" -> ((s, dir) =>
@@ -1918,6 +1932,31 @@ object SparkEntry {
         |FROM rk JOIN (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) t(threshold)
         | ON cum_share >= threshold
         |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "etl_cdc_apply" ->
+      """WITH last AS (SELECT user_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_type AS state, value, ts
+        |FROM last WHERE rn = 1 AND event_type <> 'error'"""
+        .stripMargin.replace("\n", " "),
+    "etl_table_diff" ->
+      """WITH o AS (SELECT l_partkey AS product_id,
+        |  round(sum(l_quantity), 2) AS q, round(sum(l_extendedprice), 2) AS a
+        | FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
+        |n AS (SELECT l_partkey AS product_id,
+        |  round(sum(l_quantity), 2) AS q, round(sum(l_extendedprice), 2) AS a
+        | FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
+        |SELECT * FROM (
+        | SELECT coalesce(o.product_id, n.product_id) AS product_id,
+        |  CASE WHEN o.product_id IS NULL THEN 'added'
+        |   WHEN n.product_id IS NULL THEN 'removed'
+        |   WHEN o.q IS DISTINCT FROM n.q OR o.a IS DISTINCT FROM n.a
+        |    THEN 'changed' END AS diff_type,
+        |  o.q AS old_total_quantity, n.q AS new_total_quantity,
+        |  o.a AS old_total_sale_amount, n.a AS new_total_sale_amount
+        | FROM o FULL OUTER JOIN n ON o.product_id = n.product_id) d
+        |WHERE diff_type IS NOT NULL""".stripMargin.replace("\n", " "),
     "etl_scd2_user_state" ->
       """WITH r AS (SELECT user_id, ts, event_type, event_id,
         |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id

@@ -460,4 +460,30 @@ object EventOps {
         sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"),
         count(lit(1)).as("n_active"))
   }
+
+  /** CDC log apply — materialize the current table from a change
+    * stream with DELETES: per key, the latest change wins (ordered by
+    * ts, then event_id so replays are deterministic), and a key whose
+    * latest change is the delete marker leaves the table entirely.
+    * The lakehouse MERGE primitive, as one partial-agg-friendly
+    * `max_by` hash aggregate: map tasks pre-reduce each key to its
+    * in-partition latest, the exchange carries one row per key — a
+    * window (`row_number` desc = 1) would sort-shuffle every change.
+    * At 100 TB the log is far larger than the keyset, which is
+    * exactly when pre-aggregation pays. Delete handling AFTER the
+    * arg-max is the correctness point: a delete followed by a
+    * re-insert must resurrect the key, so deletes can't be filtered
+    * out up front.
+    */
+  def cdcApply(changes: DataFrame, deleteType: String = "error"): DataFrame =
+    changes
+      .groupBy("user_id")
+      .agg(max_by(
+        struct(col("event_type"), col("value"), col("ts")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= deleteType)
+      .select(col("user_id"),
+        col("last.event_type").as("state"),
+        col("last.value").as("value"),
+        col("last.ts").as("ts"))
 }

@@ -197,4 +197,39 @@ object RetailEtl {
     updates.unionByName(
       existing.join(updates.select(keyCols: _*), keys, "left_anti"))
   }
+
+  /** Snapshot reconciliation — the delta between two versions of a
+    * keyed table: per key, `added` (new only), `removed` (old only),
+    * or `changed` (present in both, any compared column differs
+    * null-safely); unchanged keys don't emit (at table scale the
+    * delta is the output you can afford to look at). One full-outer
+    * join on the key — a single co-partitioned shuffle, AQE-skew
+    * safe; presence is tracked with explicit marker columns so
+    * legitimately-null compared values never masquerade as absence.
+    * Compared columns should be rounded/exact upstream if they are
+    * accumulated floats — classification compares engine-computed
+    * values, so the caller owns their stability (the driver query
+    * rounds its sums to cents).
+    */
+  def tableDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                compare: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val o = oldDf.select(
+      keyCols ++ compare.map(c => col(c).as(s"old_$c")) :+
+        lit(true).as("in_old"): _*)
+    val n = newDf.select(
+      keyCols ++ compare.map(c => col(c).as(s"new_$c")) :+
+        lit(true).as("in_new"): _*)
+    val changed = compare
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("diff_type",
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("diff_type").isNotNull)
+      .select(keyCols ++ Seq(col("diff_type")) ++
+        compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+  }
 }

@@ -18,6 +18,24 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("value", lit(1.0))
 
+  test("cdcApply: latest change wins, deletes drop keys, re-inserts resurrect") {
+    val log = events(
+      // user 1: insert → delete → RE-INSERT: must resurrect with the new state
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (2L, "2024-01-02 10:00:00", 1L, "error"),
+      (3L, "2024-01-03 10:00:00", 1L, "purchase"),
+      // user 2: latest change is the delete marker: key leaves the table
+      (4L, "2024-01-01 10:00:00", 2L, "click"),
+      (5L, "2024-01-05 10:00:00", 2L, "error"),
+      // user 3: same-ts tie broken by event_id (7 beats 6)
+      (6L, "2024-01-01 10:00:00", 3L, "view"),
+      (7L, "2024-01-01 10:00:00", 3L, "click"))
+    val out = EventOps.cdcApply(log).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "purchase", 3L -> "click"),
+      s"delete must drop user 2, re-insert must resurrect user 1: $out")
+  }
+
   test("scd2UserState collapses runs and chains validity intervals") {
     val e = events(
       (1L, "2024-01-01 10:00:00", 7L, "click"),

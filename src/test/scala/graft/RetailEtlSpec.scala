@@ -226,4 +226,29 @@ class RetailEtlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
     assert(noop == full)
   }
+
+  test("tableDiff classifies added/removed/changed; nulls are values, not absence") {
+    val old = Seq(
+      (1L, Some(10.0)), // unchanged → must not emit
+      (2L, Some(20.0)), // changed value
+      (3L, Some(30.0)), // removed
+      (5L, None: Option[Double])) // null value on both sides → unchanged
+      .toDF("product_id", "total")
+    val neu = Seq(
+      (1L, Some(10.0)),
+      (2L, Some(25.0)),
+      (4L, Some(40.0)), // added
+      (5L, None: Option[Double]))
+      .toDF("product_id", "total")
+    val out = RetailEtl
+      .tableDiff(old, neu, Seq("product_id"), Seq("total"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out == Map(
+      2L -> ("changed", Some(20.0), Some(25.0)),
+      3L -> ("removed", Some(30.0), None),
+      4L -> ("added", None, Some(40.0))),
+      s"unchanged keys (incl. the null<=>null one) must not emit: $out")
+  }
 }
