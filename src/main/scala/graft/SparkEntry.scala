@@ -254,6 +254,9 @@ object SparkEntry {
       TextAnalysis.winnowDedup(Tables.documents(s, dir))),
     "text_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(Tables.documents(s, dir))),
+    "sample_poisson_k" -> ((s, dir) =>
+      Sampling.poissonK(Tables.documents(s, dir), "doc_id",
+        col("n_chars").cast("double"), k = 100)),
     "sample_weighted" -> ((s, dir) =>
       Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
         least(lit(1.0), col("n_chars") / lit(2000.0)))
@@ -1339,6 +1342,14 @@ object SparkEntry {
         |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
         |SELECT doc_id, count(*) AS n_overlap
         |FROM corpus JOIN bench USING (gram) GROUP BY 1""".stripMargin.replace("\n", " "),
+    "sample_poisson_k" ->
+      """WITH r AS (SELECT doc_id,
+        |  (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p42'), 1, 8)
+        |    AS BIGINT) + 1.0) / 4294967296.0 / n_chars AS xi
+        | FROM documents WHERE n_chars > 0)
+        |SELECT CAST(row_number() OVER (ORDER BY xi, doc_id) AS BIGINT)
+        |  AS sample_rank, doc_id, xi
+        |FROM r QUALIFY sample_rank <= 100""".stripMargin.replace("\n", " "),
     "sample_weighted" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':w42'), 1, 8) <

@@ -128,6 +128,35 @@ object Sampling {
     stratifiedSample(inMix, idCol, stratumCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Sequential Poisson (Ohlsson) sample: exactly k rows drawn with
+    * probability ∝ `weight` (without replacement, to first order) —
+    * the survey-sampling standard for "k docs, longer ones more
+    * likely". Each row's rank is ξ = u/w with u a deterministic
+    * uniform from the id hash (`(h+1)/2^32` over the first 8 md5 hex
+    * digits — +1 keeps u > 0); the k smallest ξ win. Only exact IEEE
+    * ops (hash-int + 1, two divisions), so ranks — and therefore the
+    * selected SET — replay bit-for-bit in any engine; an
+    * Efraimidis-Spirakis `u^(1/w)` key would hit cross-libm `pow`
+    * divergence. The k-smallest runs on the bounded-heap
+    * [[graft.functions.TopKAgg]] (negated rank): map tasks pre-reduce
+    * to ≤ k candidates, the exchange carries O(k) rows — no global
+    * sort of the corpus. Non-positive weights can't be ranked and
+    * are excluded (portably: `WHERE w > 0`).
+    */
+  def poissonK(df: DataFrame, idCol: String, weight: Column, k: Int,
+               salt: String = "p42"): DataFrame = {
+    val u = (conv(sampleKey(col(idCol), salt), 16, 10).cast("double") + 1.0) /
+      lit(4294967296.0)
+    val xi = u / weight
+    df.filter(weight > 0)
+      .select(col(idCol), xi.as("xi"))
+      .agg(graft.functions.TopKAgg.largestKWithPayload(
+        -col("xi"), col(idCol), lit(""), k).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("sample_rank"),
+        col("col._2").as(idCol), (-col("col._1")).as("xi"))
+  }
+
   /** Per-row weighted Bernoulli sample: each row keeps with
     * probability `weight` (a Column in [0,1], e.g. a quality score) —
     * up/down-weighting sources by quality without a shuffle or any

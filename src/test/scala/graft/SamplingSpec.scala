@@ -133,4 +133,32 @@ class SamplingSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("poissonK selects the exact k-smallest u/w ranks; weight skews inclusion") {
+    val rows = (1L to 4000L).map(i => (i, if (i % 4 == 0) 12.0 else 1.0))
+      .toDF("id", "w")
+    val got = Sampling.poissonK(rows, "id", $"w", k = 200).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // driver-side replay of the exact rank definition
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def xi(id: Long, w: Double): Double = {
+      val hex = md.digest(s"$id:p42".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0 / w
+    }
+    val expected = (1L to 4000L)
+      .map(i => (i, xi(i, if (i % 4 == 0) 12.0 else 1.0)))
+      .sortBy { case (id, x) => (x, id) }.take(200)
+    assert(got.map(_._2).toSeq == expected.map(_._1),
+      "selected set+order must equal the k smallest ξ, exactly")
+    assert(got.map(_._1).toSeq == (1L to 200L), "ranks dense from 1")
+    // 1/4 of rows carry 12× weight → they should dominate the sample
+    // (expected share 12/15 = 0.8); assert well above their 0.25 base
+    val heavy = got.count(_._2 % 4 == 0)
+    assert(heavy > 120, s"heavy rows must be overrepresented, got $heavy/200")
+    // partition-independent
+    val b = Sampling.poissonK(rows.repartition(17), "id", $"w", k = 200)
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(b == got.map(_._2).toSeq)
+  }
 }
