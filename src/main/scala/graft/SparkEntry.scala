@@ -405,6 +405,8 @@ object SparkEntry {
     }),
     "q_status_priority" -> ((s, dir) =>
       Analytics.statusPriorityMatrix(Tables.orders(s, dir))),
+    "q_skyline" -> ((s, dir) =>
+      Analytics.skyline(Tables.part(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -1726,6 +1728,12 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS num_orders,
         | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        | WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        |  AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))"""
+        .stripMargin.replace("\n", " "),
     "q_part_size_stats" ->
       """SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_band,
         | count(*) AS num_parts, avg(p_retailprice) AS avg_retail,

@@ -997,4 +997,58 @@ object Analytics {
       .groupBy("threshold")
       .agg(min("rank").as("n_products"))
   }
+
+  /** 2-D skyline (Pareto frontier) of parts on (retailprice ↓,
+    * size ↓): a part survives iff no other part is ≤ on both and <
+    * on one — the classic "cheapest for its size class" query.
+    * Equal (price, size) pairs don't dominate each other, so
+    * duplicates co-survive.
+    *
+    * A self-join skyline is O(n²); the sorted formulation ("walk by
+    * price, keep rows that beat the running size minimum") needs a
+    * global order, and a bare `Window.orderBy` would funnel every
+    * part through one task. So: the same banded two-phase prefix
+    * pattern as [[paretoRevenue]], on MIN instead of SUM —
+    *
+    *  1. collapse to one row per distinct price (min size) — one
+    *     shuffle, output ≤ |distinct prices|;
+    *  2. band by `floor(price)` (bounded: one band per currency
+    *     unit), per-band minima to the driver (O(#bands)), exclusive
+    *     prefix-min broadcast back;
+    *  3. within-band strict-predecessor minima via a rows-frame
+    *     window — all bands in parallel.
+    *
+    * A row is dominated iff `min size over strictly-cheaper prices
+    * ≤ size` (that side is already strict on price) or `min size at
+    * the same price < size`. Dominance classification then joins
+    * back to parts by price — broadcast-sized in practice (the
+    * per-price table is ≤ the frontier's price spread, but even
+    * unpruned it's one equi-join, never a pair join).
+    */
+  def skyline(part: DataFrame): DataFrame = {
+    val spark = part.sparkSession
+    import spark.implicits._
+    val sentinel = Int.MaxValue.toLong
+    val perPrice = part.groupBy(col("p_retailprice").as("price"))
+      .agg(min(col("p_size").cast("long")).as("grp_min"))
+      .withColumn("band", floor(col("price")).cast("long"))
+      .localCheckpoint(true)
+    val bandMins = perPrice.groupBy("band")
+      .agg(min("grp_min").as("bmin"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var acc = sentinel
+    val offsets = bandMins.map { case (b, m) =>
+      val off = (b, acc); acc = math.min(acc, m); off }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("band", "prefix_min")
+    val w = Window.partitionBy("band").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = perPrice.join(broadcast(offsetsDf), Seq("band"))
+      .select(col("price"), col("grp_min"),
+        least(coalesce(min("grp_min").over(w), lit(sentinel)),
+          col("prefix_min")).as("m1"))
+    part.join(stats, part("p_retailprice") === stats("price"))
+      .filter(!(col("m1") <= col("p_size") || col("grp_min") < col("p_size")))
+      .select("p_partkey", "p_retailprice", "p_size")
+  }
 }

@@ -237,4 +237,34 @@ class AnalyticsSpec extends SparkSpec {
       assert(share > 0.10 && share < 0.30,
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
+
+  test("skyline keeps exactly the non-dominated parts; equal pairs co-survive") {
+    def parts(rows: (Long, Double, Int)*) =
+      rows.toDF("p_partkey", "p_retailprice", "p_size")
+    val crafted = parts(
+      (1L, 100.0, 10), // frontier
+      (2L, 100.0, 10), // exact duplicate of 1 → co-survives
+      (3L, 100.0, 12), // same price, larger size → dominated by 1
+      (4L, 150.0, 5),  // frontier (bigger price, smaller size)
+      (5L, 150.0, 10), // dominated by 1 (cheaper, same size)
+      (6L, 90.0, 20),  // frontier (cheapest)
+      (7L, 200.0, 5),  // dominated by 4 (same size, pricier)
+      (8L, 80.5, 30),  // frontier
+      (9L, 80.7, 30))  // dominated by 8 within the same floor() band
+    val got = Analytics.skyline(crafted).collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 4L, 6L, 8L), s"crafted frontier: $got")
+
+    // randomized cross-check against the O(n²) definition
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(i =>
+      (i, 900.0 + rnd.nextInt(1100) + rnd.nextInt(100) / 100.0,
+        1 + rnd.nextInt(50)))
+    val naive = rows.filter { case (_, p, s) =>
+      !rows.exists { case (_, p2, s2) =>
+        p2 <= p && s2 <= s && (p2 < p || s2 < s) }
+    }.map(_._1).toSet
+    val dist = Analytics.skyline(parts(rows: _*).repartition(7))
+      .collect().map(_.getLong(0)).toSet
+    assert(dist == naive, "banded prefix-min must equal the pairwise definition")
+  }
 }
