@@ -407,6 +407,8 @@ object SparkEntry {
       Analytics.statusPriorityMatrix(Tables.orders(s, dir))),
     "q_skyline" -> ((s, dir) =>
       Analytics.skyline(Tables.part(s, dir))),
+    "q_price_fill" -> ((s, dir) =>
+      Analytics.priceFill(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -1728,6 +1730,23 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS num_orders,
         | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_price_fill" ->
+      """WITH prods AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
+        |m AS (SELECT l_partkey AS product_id,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  round(avg(l_extendedprice), 2) AS avg_price
+        | FROM lineitem JOIN prods ON l_partkey = p_partkey GROUP BY 1, 2),
+        |b AS (SELECT min(month) AS lo, max(month) AS hi FROM m),
+        |spine AS (SELECT p_partkey AS product_id,
+        |  CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE)
+        |   AS month FROM prods, b)
+        |SELECT s.product_id, s.month,
+        | last_value(m.avg_price IGNORE NULLS) OVER (PARTITION BY s.product_id
+        |  ORDER BY s.month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS price_filled,
+        | m.avg_price IS NOT NULL AS is_observed
+        |FROM spine s LEFT JOIN m USING (product_id, month)"""
+        .stripMargin.replace("\n", " "),
     "q_skyline" ->
       """SELECT p_partkey, p_retailprice, p_size FROM part p
         |WHERE NOT EXISTS (SELECT 1 FROM part q

@@ -998,6 +998,47 @@ object Analytics {
       .agg(min("rank").as("n_products"))
   }
 
+  /** Calendar-spine resampling with forward fill — the time-series
+    * "as-of price for every (product, month), observed or not" gap
+    * filler. Three bounded steps:
+    *
+    *  1. observed grain: per-(product, month) average price, one
+    *     partial-agg shuffle over the (brand-pruned) fact;
+    *  2. spine: products × `sequence(lo, hi, 1 month)` — the month
+    *     range is a 1-row global aggregate broadcast into a
+    *     generator, so the "cross join" is a broadcast nested loop
+    *     whose output is linear in |products|·|months|, never a
+    *     shuffle;
+    *  3. fill: `last(_, ignoreNulls)` over a per-product ordered
+    *     rows-frame — partitioned by product, so every product fills
+    *     in parallel and no global order exists anywhere.
+    *
+    * Months before a product's first observation stay null (there is
+    * nothing to carry); `is_observed` distinguishes carried from
+    * measured values downstream.
+    */
+  def priceFill(lineitem: DataFrame, part: DataFrame,
+                brand: String = "Brand#11"): DataFrame = {
+    val prods = part.filter(col("p_brand") === brand).select("p_partkey")
+    val monthly = lineitem
+      .join(broadcast(prods), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey").as("product_id"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(round(avg("l_extendedprice"), 2).as("avg_price"))
+      .localCheckpoint(true) // consumed by the bounds agg AND the fill join
+    val bounds = monthly.agg(min("month").as("lo"), max("month").as("hi"))
+    val spine = prods.crossJoin(broadcast(bounds))
+      .select(col("p_partkey").as("product_id"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("month"))
+    val w = Window.partitionBy("product_id").orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(monthly, Seq("product_id", "month"), "left")
+      .select(col("product_id"), col("month"),
+        last("avg_price", ignoreNulls = true).over(w).as("price_filled"),
+        col("avg_price").isNotNull.as("is_observed"))
+  }
+
   /** 2-D skyline (Pareto frontier) of parts on (retailprice ↓,
     * size ↓): a part survives iff no other part is ≤ on both and <
     * on one — the classic "cheapest for its size class" query.

@@ -238,6 +238,33 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("priceFill: gaps carry the last observation, leading months stay null") {
+    val part = Seq((1L, "Brand#11"), (2L, "Brand#11"), (3L, "Brand#55"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      // product 1: observed Jan + Apr; Feb/Mar must carry Jan's price
+      (1L, "1995-01-15", 10.0), (1L, "1995-01-20", 20.0),
+      (1L, "1995-04-02", 40.0),
+      // product 2: first observed Mar → Jan/Feb stay null
+      (2L, "1995-03-10", 99.0),
+      // product 3: other brand → excluded entirely
+      (3L, "1995-02-01", 1.0))
+      .toDF("l_partkey", "d", "l_extendedprice")
+      .withColumn("l_shipdate", $"d".cast("timestamp")).drop("d")
+    val out = Analytics.priceFill(li, part, "Brand#11").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(out.size == 8, s"2 products x 4 spine months: ${out.keys}")
+    assert(out((1L, "1995-01-01")) == (Some(15.0), true)) // avg of 10, 20
+    assert(out((1L, "1995-02-01")) == (Some(15.0), false)) // carried
+    assert(out((1L, "1995-03-01")) == (Some(15.0), false))
+    assert(out((1L, "1995-04-01")) == (Some(40.0), true))
+    assert(out((2L, "1995-01-01")) == (None, false), "nothing to carry yet")
+    assert(out((2L, "1995-02-01")) == (None, false))
+    assert(out((2L, "1995-03-01")) == (Some(99.0), true))
+    assert(out((2L, "1995-04-01")) == (Some(99.0), false))
+  }
+
   test("skyline keeps exactly the non-dominated parts; equal pairs co-survive") {
     def parts(rows: (Long, Double, Int)*) =
       rows.toDF("p_partkey", "p_retailprice", "p_size")
