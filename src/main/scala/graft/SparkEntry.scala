@@ -434,6 +434,8 @@ object SparkEntry {
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
     "dedup_ngram_contain" -> ((s, dir) =>
       Dedup.blockedContainmentPairs(Tables.documents(s, dir))),
+    "dedup_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.documents(s, dir))),
     // incremental ingest split: doc_id % 10 == 0 plays the new batch
     "dedup_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
@@ -1884,6 +1886,26 @@ object SparkEntry {
         |  JOIN g gb ON gb.doc_id = p.id_b)
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
+        .stripMargin.replace("\n", " "),
+    "dedup_edit_distance" ->
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND d.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p.id_a, p.id_b,
+        | CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_distance
+        |FROM p JOIN documents ta ON ta.doc_id = p.id_a
+        | JOIN documents tb ON tb.doc_id = p.id_b
+        |WHERE levenshtein(ta.text, tb.text) <= 80"""
         .stripMargin.replace("\n", " "),
     "dedup_ngram_contain" ->
       """WITH t AS (SELECT doc_id, list_filter(

@@ -376,6 +376,35 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Fuzzy near-dup pairs by EDIT DISTANCE — the "same doc, small
+    * edits" verifier (Jaccard is insensitive to where changes land;
+    * edit distance is the character-level ground truth): the shared
+    * DF-capped inverted-index blocking ([[blockedCandidates]], so
+    * never an all-pairs join), then banded Levenshtein on the
+    * candidates. The distance call carries the `maxDist` threshold
+    * down into the kernel — Spark's thresholded `levenshtein` runs
+    * the O(len·k) diagonal band and bails to -1 past the bound,
+    * instead of filling the full O(len²) matrix per pair; at
+    * book-length docs that is the difference between a verify join
+    * and a job that never finishes. Deterministic → oracle-checked
+    * (the oracle computes the unbanded distance and filters — same
+    * result by definition).
+    */
+  def editDistancePairs(docs: DataFrame, n: Int = 3, maxDist: Int = 80,
+                        maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val cands = blockedCandidates(shingleSets(docs, n), maxDf, minShared)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cands
+      .join(texts.select(col("doc_id").as("id_a"), col("text").as("t_a")),
+        Seq("id_a"))
+      .join(texts.select(col("doc_id").as("id_b"), col("text").as("t_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b"), maxDist).cast("long")
+          .as("edit_distance"))
+      .filter(col("edit_distance") >= 0)
+  }
+
   /** Incremental EXACT dedup — the daily-ingest shape: keep only the
     * new-batch docs whose canonical text has never been seen in the
     * corpus. The corpus side reduces to its distinct canonical form

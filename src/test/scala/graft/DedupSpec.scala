@@ -260,4 +260,25 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("editDistancePairs: banded distance on blocked candidates, threshold binds") {
+    val d = Seq(
+      (0L, base),
+      (1L, nearDup), // one word substituted: distance 6 (morning→evening)
+      // shares enough rare grams with base to be a candidate, but the
+      // tail rewrite pushes edit distance past the threshold
+      (2L, base.take(80) + " entirely rewritten remainder that goes on " +
+        "about other things for quite a while longer than before it did"),
+      (3L, unrelated))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(d, maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet == Set((0L, 1L)), s"only the small edit survives: $out")
+    assert(out((0L, 1L)) == 3L, "morning -> evening is 3 substitutions")
+    // raising the threshold admits the candidate it previously banded out
+    val wide = Dedup.editDistancePairs(d, maxDist = 200)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((0L, 2L)),
+      "the rewritten doc is a candidate and verifies at a loose bound")
+  }
 }
