@@ -168,6 +168,8 @@ object SparkEntry {
     "text_stats" -> ((s, dir) => TextAnalysis.stats(Tables.documents(s, dir))),
     "text_token_count" -> ((s, dir) => TextAnalysis.tokenCounts(Tables.documents(s, dir))),
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
+    "text_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .select("doc_id", "fingerprint_md5")),
@@ -179,6 +181,7 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
     "q_events_anomaly" -> ((s, dir) => EventOps.hourlyAnomalies(Tables.events(s, dir))),
+    "q_mad_outliers" -> ((s, dir) => EventOps.madOutliers(Tables.events(s, dir))),
     "ann_range_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
@@ -409,6 +412,8 @@ object SparkEntry {
       Analytics.skyline(Tables.part(s, dir))),
     "q_price_fill" -> ((s, dir) =>
       Analytics.priceFill(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_brand_trend" -> ((s, dir) =>
+      Analytics.brandTrend(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -777,6 +782,26 @@ object SparkEntry {
           |  WHEN hits_de = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'de'
           |  ELSE 'zh' END AS predicted_lang
           |FROM h""".stripMargin.replace("\n", " ")),
+    "text_lang_confusion" ->
+      (toksCte +
+        """, h AS (SELECT doc_id,
+          | CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in'))) AS BIGINT) AS hits_en,
+          | CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS hits_fr,
+          | CAST(len(list_filter(toks, x -> x IN ('el','los','de','que','y'))) AS BIGINT) AS hits_es,
+          | CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS BIGINT) AS hits_de,
+          | CAST(len(list_filter(toks, x -> x IN ('的','是','在','了','和'))) AS BIGINT) AS hits_zh
+          | FROM t),
+          |p AS (SELECT doc_id,
+          | CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) = 0 THEN 'und'
+          |  WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'en'
+          |  WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'fr'
+          |  WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'es'
+          |  WHEN hits_de = greatest(hits_en, hits_fr, hits_es, hits_de, hits_zh) THEN 'de'
+          |  ELSE 'zh' END AS predicted_lang
+          |FROM h)
+          |SELECT d.lang AS labeled, p.predicted_lang, count(*) AS n_docs
+          |FROM p JOIN documents d USING (doc_id) GROUP BY 1, 2"""
+          .stripMargin.replace("\n", " ")),
     "text_fingerprint" ->
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_md5
@@ -818,6 +843,20 @@ object SparkEntry {
         | (n_events - mean_events) / sd_events AS z_score
         |FROM hourly, g
         |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
+        .replace("\n", " "),
+    "q_mad_outliers" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  count(*) AS n_events FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, median(n_events) AS med
+        |  FROM hourly GROUP BY 1),
+        |dev AS (SELECT h.event_type, h.hour, h.n_events, m.med,
+        |  abs(h.n_events - m.med) AS abs_dev
+        | FROM hourly h JOIN m USING (event_type)),
+        |mad AS (SELECT event_type, median(abs_dev) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, d.hour, d.n_events, d.med, mad.mad
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE mad.mad > 0 AND d.abs_dev > 3.0 * mad.mad""".stripMargin
         .replace("\n", " "),
     "ann_range_search" ->
       """SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1732,6 +1771,20 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS num_orders,
         | sum(o_totalprice) AS revenue, avg(o_totalprice) AS avg_price
         |FROM orders GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+    "q_brand_trend" ->
+      """WITH m AS (SELECT p_brand,
+        |  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2)
+        |SELECT p_brand,
+        | round(regr_slope(revenue, 12 * year(month) + month(month)), 4)
+        |  AS slope,
+        | round(regr_intercept(revenue, 12 * year(month) + month(month)), 2)
+        |  AS intercept,
+        | round(regr_r2(revenue, 12 * year(month) + month(month)), 6) AS r2,
+        | CAST(regr_count(revenue, 12 * year(month) + month(month)) AS BIGINT)
+        |  AS n_months
+        |FROM m GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_price_fill" ->
       """WITH prods AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
         |m AS (SELECT l_partkey AS product_id,

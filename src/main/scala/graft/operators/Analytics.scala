@@ -998,6 +998,35 @@ object Analytics {
       .agg(min("rank").as("n_products"))
   }
 
+  /** Per-brand revenue TREND: ordinary least squares of monthly
+    * revenue against a month index, per brand — "which product lines
+    * are growing" as one aggregation pass. The regression runs on
+    * Spark's codegen'd `regr_slope/intercept/r2` aggregates (sums of
+    * x, y, xy, x² — partial-agg friendly, one shuffle on brand after
+    * the monthly rollup), not a collected time series per brand; the
+    * month index is `12·year + month` so x is exact integer-valued
+    * and the only float accumulation is over revenue. Outputs are
+    * rounded for cross-engine stability (the regression sums divide
+    * to ~1e-12 relative agreement; rounding pins the grid).
+    */
+  def brandTrend(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val monthly = lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+    val x = (year(col("month")) * 12 + month(col("month"))).cast("double")
+    monthly
+      .groupBy("p_brand")
+      .agg(
+        round(regr_slope(col("revenue"), x), 4).as("slope"),
+        round(regr_intercept(col("revenue"), x), 2).as("intercept"),
+        round(regr_r2(col("revenue"), x), 6).as("r2"),
+        regr_count(col("revenue"), x).as("n_months"))
+  }
+
   /** Calendar-spine resampling with forward fill — the time-series
     * "as-of price for every (product, month), observed or not" gap
     * filler. Three bounded steps:

@@ -312,6 +312,35 @@ object EventOps {
       .select("hour", "n_events", "z_score")
   }
 
+  /** Robust per-type anomaly detection — the median/MAD twin of
+    * [[hourlyAnomalies]]: flag (type, hour) buckets whose count
+    * deviates from the type's MEDIAN by more than `k` median
+    * absolute deviations. Mean/σ break when the anomalies themselves
+    * inflate the spread (a 100× traffic spike drags the mean toward
+    * itself and hides sibling spikes); the median/MAD pair has a 50%
+    * breakdown point. One fact pass (the hourly rollup); the two
+    * median aggregates and the classification all run on the tiny
+    * |types|·|hours| relation, with the per-type stats broadcast
+    * back. `mad = 0` types (over-half-constant counts) flag nothing
+    * — every deviation would be infinite σ-equivalents, which is
+    * noise, not signal.
+    */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint(true) // consumed by the median agg AND the join
+    val med = hourly.groupBy("event_type")
+      .agg(median(col("n_events")).as("med"))
+    val dev = hourly.join(broadcast(med), Seq("event_type"))
+      .withColumn("abs_dev", abs(col("n_events") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(median(col("abs_dev")).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("mad") > 0 && col("abs_dev") > lit(k) * col("mad"))
+      .select("event_type", "hour", "n_events", "med", "mad")
+  }
+
   /** Conversion funnel signup → click → purchase: users who
     * completed each stage in order (each stage strictly after the
     * previous one's first completion). Three aggregates over the

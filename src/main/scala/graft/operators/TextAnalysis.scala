@@ -106,6 +106,18 @@ object TextAnalysis {
       when(greatest(hitCols: _*) === 0, lit("und")).otherwise(best))
   }
 
+  /** Lang-ID CONFUSION MATRIX — the eval harness for [[langId]]:
+    * labeled language × predicted language × doc count. One extra
+    * aggregate over the per-doc prediction (the id never leaves the
+    * map side un-reduced); the diagonal mass is the classifier's
+    * accuracy, off-diagonal cells say which profile pairs confuse.
+    */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy(col("lang").as("labeled"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Repetition metrics (Gopher-style): fraction of duplicate
     * token bigrams per document — high values flag boilerplate /
     * degenerate text. Pure per-row array arithmetic.

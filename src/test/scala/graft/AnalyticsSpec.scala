@@ -238,6 +238,26 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("brandTrend recovers an exact linear monthly trend per brand") {
+    val part = Seq((1L, "Up"), (2L, "Flat")).toDF("p_partkey", "p_brand")
+    // brand Up: revenue 100, 200, 300 over consecutive months (slope
+    // 100/month, perfect fit); brand Flat: constant 50 (slope 0)
+    val li = Seq(
+      (1L, "1995-01-10", 100.0), (1L, "1995-02-10", 200.0),
+      (1L, "1995-03-10", 300.0),
+      (2L, "1995-01-05", 50.0), (2L, "1995-02-05", 50.0),
+      (2L, "1995-03-05", 50.0))
+      .toDF("l_partkey", "d", "l_extendedprice")
+      .withColumn("l_shipdate", $"d".cast("timestamp"))
+      .withColumn("l_discount", lit(0.0)).drop("d")
+    val out = Analytics.brandTrend(li, part).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(3), r.getLong(4))).toMap
+    assert(out("Up") == (100.0, 1.0, 3L), s"perfect line: ${out("Up")}")
+    val (slopeF, _, nF) = out("Flat")
+    assert(slopeF == 0.0 && nF == 3L, s"flat series: ${out("Flat")}")
+  }
+
   test("priceFill: gaps carry the last observation, leading months stay null") {
     val part = Seq((1L, "Brand#11"), (2L, "Brand#11"), (3L, "Brand#55"))
       .toDF("p_partkey", "p_brand")

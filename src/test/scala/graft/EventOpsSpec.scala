@@ -18,6 +18,24 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("value", lit(1.0))
 
+  test("madOutliers flags spikes against a varied baseline; mad=0 types stay silent") {
+    def burst(hour: Int, n: Int, typ: String, base: Long) =
+      (1 to n).map(i => (base + i, f"2024-01-01 $hour%02d:0${i % 6}:00", 7L, typ))
+    val rows =
+      // 'click': varied baseline 8..12 per hour, then a 90-count spike
+      burst(0, 8, "click", 0) ++ burst(1, 9, "click", 100) ++
+        burst(2, 10, "click", 200) ++ burst(3, 11, "click", 300) ++
+        burst(4, 12, "click", 400) ++ burst(5, 90, "click", 500) ++
+        // 'view': constant 5 per hour plus one 50-spike → mad = 0 → silent
+        burst(0, 5, "view", 1000) ++ burst(1, 5, "view", 1100) ++
+        burst(2, 5, "view", 1200) ++ burst(3, 5, "view", 1300) ++
+        burst(4, 50, "view", 1400)
+    val out = EventOps.madOutliers(events(rows: _*)).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString.take(13)))
+    assert(out.toSeq == Seq(("click", "2024-01-01 05")),
+      s"only click's spike flags; view's mad is 0: ${out.toSeq}")
+  }
+
   test("cdcApply: latest change wins, deletes drop keys, re-inserts resurrect") {
     val log = events(
       // user 1: insert → delete → RE-INSERT: must resurrect with the new state

@@ -72,6 +72,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "de", 3L -> "und"))
   }
 
+  test("langConfusion: diagonal counts hits, off-diagonal shows the miss") {
+    val docs = Seq(
+      (0L, "the cat and the dog of to in", "en"),  // correct → (en, en)
+      (1L, "the other english text of the day", "en"),
+      (2L, "le chat et la mer les des", "en"),     // mislabeled → (en, fr)
+      (3L, "zzz qqq www", "de"))                   // no hits → (de, und)
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("en", "en") -> 2L, ("en", "fr") -> 1L, ("de", "und") -> 1L))
+  }
+
   test("piiScrub counts and redacts emails, urls, phone numbers") {
     val docs = Seq(
       (0L, "contact alice@example.com or visit https://example.com/x now"),
