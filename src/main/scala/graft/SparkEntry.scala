@@ -208,6 +208,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "ann_filtered_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.filteredTopK(e, e.filter(col("vec_id") % 100 === 0),
+        col("label") % 3 === 0, k = 10)
+    }),
+    "mm_near_dup_blobs" -> ((s, dir) =>
+      Multimodal.blobNearDupPairs(Tables.documents(s, dir))),
     "ann_knn_classify" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.knnClassify(e, e.filter(col("vec_id") % 20 === 0), k = 10)
@@ -937,6 +944,33 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_filtered_topk" ->
+      // pre-filter semantics: the predicate restricts the corpus
+      // BEFORE ranking, so this is the true top-k of the eligible set
+      """SELECT query_id, neighbor_id, cosine FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.embedding AS DOUBLE[])) AS cosine
+        | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        | WHERE q.vec_id % 100 = 0 AND c.label % 3 = 0) s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "mm_near_dup_blobs" ->
+      """WITH f AS (SELECT doc_id, md5(substr(text, i * 128 + 1, 64)) AS fmd5
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |   greatest((length(text) - 1) // 128, 0))) AS i) g),
+        |pd AS (SELECT DISTINCT doc_id, fmd5 FROM f),
+        |sz AS (SELECT doc_id, count(*) AS n FROM pd GROUP BY 1),
+        |d AS (SELECT fmd5, count(*) AS df FROM pd GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM pd a JOIN d USING (fmd5) JOIN pd b USING (fmd5)
+        |  WHERE a.doc_id < b.doc_id AND d.df BETWEEN 2 AND 64 GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        | round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS chunk_jaccard
+        |FROM sh JOIN sz sa ON sa.doc_id = sh.id_a
+        | JOIN sz sb ON sb.doc_id = sh.id_b
+        |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.3"""
+        .stripMargin.replace("\n", " "),
     "ann_knn_classify" ->
       // exact top-10 neighbors, majority label (ties → smaller
       // label), leave-one-out correctness vs the query's own label

@@ -87,6 +87,42 @@ object Multimodal {
         min("doc_id").as("first_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** Binary NEAR-DUP pairs: blob pairs whose chunk-hash vocabularies
+    * overlap — re-encoded/truncated/header-patched copies that a
+    * whole-file sha256 misses. Same candidate discipline as the text
+    * near-dup family: per-blob DISTINCT chunk hashes, df-capped
+    * postings (a boilerplate chunk shared by every file never
+    * explodes — [[graft.functions.BoundedCollectSetAgg]] caps the
+    * buffer at maxDf+1), pair fan-out only inside rare chunks, then
+    * Jaccard over the df-capped chunk vocabulary (both sides of the
+    * oracle replay the cap, so the score is deterministic). GroupBys
+    * ride on 32-hex hashes, never payload bytes.
+    */
+  def blobNearDupPairs(docs: DataFrame, frameSize: Int = 64,
+                       stride: Int = 128, tau: Double = 0.3,
+                       maxDf: Int = 64): DataFrame = {
+    val perDoc = frameSample(docs, frameSize, stride)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+      .localCheckpoint(true) // consumed by sizes, postings, and nothing re-derives frames
+    val sizes = perDoc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = perDoc.groupBy("frame_md5")
+      .agg(graft.functions.BoundedCollectSetAgg
+        .boundedCollectSet(col("doc_id"), maxDf + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("chunk_jaccard",
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("chunk_jaccard") >= tau)
+      .select("id_a", "id_b", "n_shared", "chunk_jaccard")
+  }
+
   case class Frame(doc_id: Long, frame_idx: Long, bytes: Array[Byte])
   case class DecodedFrame(doc_id: Long, frame_idx: Long,
                           width: Int, height: Int, mean_luma: Double)

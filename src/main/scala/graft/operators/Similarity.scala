@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,21 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         gf.cosineSim(col("q_emb"), col("embedding")).as("cosine")), k)
   }
+
+  /** FILTERED vector search: top-k under a metadata predicate, with
+    * PRE-filter semantics — the predicate restricts the corpus
+    * before any distance is computed, so the result is the true
+    * top-k of the eligible set. (Post-filtering a plain top-k is the
+    * classic wrong answer: it returns ≤ k and silently drops
+    * neighbors when the predicate is selective.) Because the filter
+    * is an ordinary Column, Catalyst pushes it into the parquet scan
+    * (`PushedFilters`) and the cosine kernel runs only on survivors
+    * — a 1% predicate means 1% of the distance work, which is the
+    * entire point of filtered search at corpus scale.
+    */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame,
+                   predicate: Column, k: Int = 10): DataFrame =
+    bruteForceTopK(corpus.filter(predicate), queries, k)
 
   /** Range search: ALL corpus vectors with cosine ≥ tau per query
     * (no k cutoff) — the recall-complete companion to top-k.

@@ -74,4 +74,26 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(nn.map(_.toSeq).toSet == nn2.map(_.toSeq).toSet)
   }
+
+  test("blobNearDupPairs pairs re-encoded copies, not distinct payloads") {
+    import org.apache.spark.sql.functions._
+    val chunk = (c: Char) => c.toString * 128
+    // doc 0 and 1 share 3 of their 4 chunks (one patched) → jaccard
+    // 3/5; doc 2 is disjoint; every doc also carries a boilerplate
+    // chunk shared by all three — df-capped out at maxDf=2, so it
+    // can neither pair 2 with anyone nor inflate 0~1's score
+    val boiler = chunk('z')
+    val d = Seq(
+      (0L, chunk('a') + chunk('b') + chunk('c') + boiler),
+      (1L, chunk('a') + chunk('b') + chunk('d') + boiler),
+      (2L, chunk('p') + chunk('q') + chunk('r') + boiler))
+      .toDF("doc_id", "text")
+    val out = Multimodal.blobNearDupPairs(d, frameSize = 128, stride = 128,
+      tau = 0.3, maxDf = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set((0L, 1L)), s"only the near-copy pairs: $out")
+    // shared = {a,b} (boiler is df-capped), sizes 4 and 4 → 2/6
+    assert(out((0L, 1L)) == (2L, 0.333333), s"df-capped jaccard: $out")
+  }
 }

@@ -214,4 +214,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Int])].collect().toMap
     assert(codes.forall { case (id, cs) => again(id) == cs })
   }
+
+  test("filteredTopK: pre-filter returns the true top-k of the eligible set") {
+    import org.apache.spark.sql.functions.col
+    val pred = col("label") % 3 === 0
+    val got = topkSets(Similarity.filteredTopK(emb, queries, pred, k = 10))
+    val eligibleLabels = emb.filter(pred).select("vec_id")
+      .as[Long].collect().toSet
+    // every neighbor satisfies the predicate, every query still gets k
+    got.foreach { case (q, ns) =>
+      assert(ns.subsetOf(eligibleLabels), s"query $q leaked a filtered-out vec")
+      assert(ns.size == 10, s"pre-filter must still fill k for query $q")
+    }
+    // and it is exactly brute-force over the restricted corpus —
+    // NOT a post-filter of the unrestricted top-k (which would lose
+    // whatever the exact top-10 had outside the predicate)
+    val reference = topkSets(
+      Similarity.bruteForceTopK(emb.filter(pred), queries, k = 10))
+    assert(got == reference)
+    val postFiltered = exact.map { case (q, ns) =>
+      q -> ns.intersect(eligibleLabels) }
+    assert(postFiltered.exists { case (q, ns) => ns.size < 10 },
+      "fixture sanity: post-filtering would under-fill at least one query")
+  }
 }
