@@ -20,7 +20,9 @@ object ExplainMain {
       "ann_rerank", "docs_source_cap", "sketch_compact",
       "docs_context_chunks", "docs_curate_capped", "stream_curate_gate",
       "docs_shuffle_shard", "docs_token_budget", "dedup_blocked_suppress",
-      "docs_curate_full")
+      "docs_curate_full", "etl_cdc_apply", "etl_table_diff", "q_skyline",
+      "sample_poisson_k", "ann_filtered_topk", "dedup_edit_distance",
+      "q_price_fill", "q_brand_trend", "mm_near_dup_blobs")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
