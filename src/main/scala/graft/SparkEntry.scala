@@ -491,6 +491,12 @@ object SparkEntry {
       EventOps.sessionConcurrency(Tables.events(s, dir))),
     "stream_user_state" -> ((s, dir) =>
       graft.streaming.EventStream.latestUserState(Tables.events(s, dir))),
+    // the shared batch/stream CDC path, live rows only — shares
+    // etl_cdc_apply's semantics (and an equivalent oracle)
+    "stream_cdc_apply" -> ((s, dir) =>
+      graft.streaming.EventStream.cdcState(Tables.events(s, dir))
+        .filter(col("is_live"))
+        .select("user_id", "state", "value", "ts")),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -2079,6 +2085,14 @@ object SparkEntry {
         |FROM rk JOIN (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) t(threshold)
         | ON cum_share >= threshold
         |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "stream_cdc_apply" ->
+      """WITH last AS (SELECT user_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events)
+        |SELECT user_id, event_type AS state, value, ts
+        |FROM last WHERE rn = 1 AND event_type <> 'error'"""
+        .stripMargin.replace("\n", " "),
     "etl_cdc_apply" ->
       """WITH last AS (SELECT user_id, event_type, value, ts,
         |  row_number() OVER (PARTITION BY user_id

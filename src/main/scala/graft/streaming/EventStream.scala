@@ -261,6 +261,49 @@ object EventStream extends Serializable {
     * and streaming (MemoryStream spec: later micro-batches overwrite
     * earlier state, out-of-order events lose to newer state).
     */
+  case class CdcEv(event_id: Long, ts_us: Long, user_id: Long,
+                   event_type: String, value: Double)
+  case class CdcState(ts_us: Long, event_id: Long, state: String, value: Double)
+  case class CdcRow(user_id: Long, state: String, value: Double,
+                    ts: LocalDateTime, is_live: Boolean)
+
+  /** Streaming twin of [[graft.operators.EventOps.cdcApply]] — the
+    * continuously-maintained CDC table with DELETE semantics, via the
+    * same latest-wins arg-max state as [[latestUserState]] (O(1) per
+    * key, (ts, event_id)-ordered so out-of-order micro-batches lose
+    * to newer state, and a delete followed by a re-insert
+    * resurrects). Streams can't silently retract an emitted row, so
+    * a key whose latest change is the delete marker emits a TOMBSTONE
+    * (`is_live = false`) for downstream appliers; the batch run of
+    * this same code path filtered to live rows equals `cdcApply`
+    * exactly — which is how it shares that query's oracle.
+    */
+  def cdcState(changes: DataFrame, deleteType: String = "error"): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[CdcEv],
+           st: GroupState[CdcState]): CdcRow = {
+      var cur = st.getOption
+      it.foreach { e =>
+        val newer = cur.forall(c =>
+          e.ts_us > c.ts_us || (e.ts_us == c.ts_us && e.event_id > c.event_id))
+        if (newer) cur = Some(CdcState(e.ts_us, e.event_id, e.event_type, e.value))
+      }
+      val s = cur.get // the group has at least one input row or prior state
+      st.update(s)
+      CdcRow(userId, s.state, s.value, usToLdt(s.ts_us), s.state != deleteType)
+    }
+
+    changes.toDF()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[CdcEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class MgState(users: Map[Long, Long])
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -382,6 +382,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> ("view", 3L), 2L -> ("click", 4L)))
   }
 
+  test("cdcState streams deletes as tombstones; re-insert revives the key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.cdcState(mem.toDF()).writeStream
+      .format("memory").queryName("cdc_rows").outputMode("update").start()
+    def snapshot(): Map[Long, (String, Boolean)] = {
+      q.processAllAvailable()
+      // latest emission per user wins (memory sink appends updates)
+      spark.table("cdc_rows").collect().zipWithIndex
+        .groupBy(_._1.getLong(0)).view.mapValues { rows =>
+          val r = rows.maxBy(_._2)._1; (r.getString(1), r.getBoolean(4))
+        }.toMap
+    }
+    try {
+      mem.addData(Event(1L, ts(0, 5), 1L, "signup", 1.0))
+      assert(snapshot()(1L) == ("signup", true))
+      mem.addData(Event(2L, ts(0, 10), 1L, "error", 0.0))
+      assert(snapshot()(1L) == ("error", false), "delete emits a tombstone")
+      mem.addData(Event(3L, ts(0, 15), 1L, "purchase", 9.0))
+      assert(snapshot()(1L) == ("purchase", true), "re-insert revives the key")
+      // an out-of-order older change must lose to current state
+      mem.addData(Event(4L, ts(0, 12), 1L, "error", 0.0))
+      assert(snapshot()(1L) == ("purchase", true), "stale delete loses")
+    } finally q.stop()
+  }
+
+  test("cdcState batch run (live rows) equals EventOps.cdcApply") {
+    val batch = sampleEvents.toDF()
+    val live = EventStream.cdcState(batch)
+      .filter(col("is_live")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val applied = graft.operators.EventOps.cdcApply(batch).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(live == applied, "shared path: stream code batch-run ≡ relational apply")
+  }
+
   test("streaming sketch store: appended partials answer like one batch build") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.EventOps
