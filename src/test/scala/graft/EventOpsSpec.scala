@@ -54,6 +54,22 @@ class EventOpsSpec extends SparkSpec {
       s"delete must drop user 2, re-insert must resurrect user 1: $out")
   }
 
+  test("cdcApply equals a naive driver-side replay on random logs") {
+    val rnd = new scala.util.Random(11)
+    val types = Seq("signup", "click", "purchase", "error", "view")
+    val rows = (1L to 2000L).map { i =>
+      (i, f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00",
+        rnd.nextInt(80).toLong, types(rnd.nextInt(types.length)))
+    }
+    val got = EventOps.cdcApply(events(rows: _*).repartition(13)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naive = rows
+      .groupBy(_._3)
+      .view.mapValues(_.maxBy(e => (e._2, e._1))._4) // latest by (ts, id)
+      .filter(_._2 != "error").toMap
+    assert(got == naive)
+  }
+
   test("scd2UserState collapses runs and chains validity intervals") {
     val e = events(
       (1L, "2024-01-01 10:00:00", 7L, "click"),

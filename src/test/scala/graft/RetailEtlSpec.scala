@@ -227,6 +227,33 @@ class RetailEtlSpec extends SparkSpec {
     assert(noop == full)
   }
 
+  test("tableDiff delta applied to old reconstructs new, on random snapshots") {
+    val rnd = new scala.util.Random(42)
+    def snap(keys: Range) = keys
+      .map(k => (k.toLong, rnd.nextInt(5).toDouble))
+      .toDF("product_id", "total")
+    val old = snap(1 to 300)         // keys 1..300
+    val neu = snap(150 to 450)       // keys 150..450, values re-rolled
+    val diff = RetailEtl
+      .tableDiff(old, neu, Seq("product_id"), Seq("total")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val oldM = old.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val neuM = neu.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replay the delta over the old snapshot
+    val rebuilt = diff.foldLeft(oldM) {
+      case (acc, (k, ("added", _, Some(v))))   => acc + (k -> v.asInstanceOf[Double])
+      case (acc, (k, ("removed", _, _)))       => acc - k
+      case (acc, (k, ("changed", _, Some(v)))) => acc + (k -> v.asInstanceOf[Double])
+      case (acc, _)                            => acc
+    }
+    assert(rebuilt == neuM, "old + delta must equal new")
+    // and the diff is minimal: unchanged keys never appear
+    diff.foreach { case (k, (t, _, _)) =>
+      assert(t != "changed" || oldM(k) != neuM(k), s"key $k flagged but equal")
+    }
+  }
+
   test("tableDiff classifies added/removed/changed; nulls are values, not absence") {
     val old = Seq(
       (1L, Some(10.0)), // unchanged → must not emit
