@@ -40,6 +40,15 @@ object SweepMain {
       println(f"| IVF-PQ plain | 16 | $nprobe | $m | $plain%.3f |")
       println(f"| IVF-PQ residual | 16 | $nprobe | $m | $res%.3f |")
     }
+    // codebook-size axis: residual coding error vs code budget
+    // (nCodes entries per subspace = log2(nCodes) bits/subspace)
+    println("| index | nprobe | m | nCodes | recall@10 |")
+    println("| --- | --- | --- | --- | --- |")
+    for (nCodes <- Seq(8, 16, 64); m <- Seq(8, 16)) {
+      val r = recall(sets(Similarity.ivfPqResidualTopK(emb, queries, 10,
+        nlist = 16, nprobe = 4, m = m, nCodes = nCodes)))
+      println(f"| IVF-PQ residual | 4 | $m | $nCodes | $r%.3f |")
+    }
     spark.stop()
   }
 }
