@@ -421,6 +421,8 @@ object SparkEntry {
       Analytics.priceFill(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_brand_trend" -> ((s, dir) =>
       Analytics.brandTrend(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_abc_class" -> ((s, dir) =>
+      Analytics.abcClass(Tables.lineitem(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -2071,6 +2073,19 @@ object SparkEntry {
         | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
         .stripMargin.replace("\n", " "),
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem GROUP BY 1),
+        |rk AS (SELECT l_partkey,
+        |  sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   / sum(revenue) OVER () AS cum_share
+        | FROM rev)
+        |SELECT l_partkey AS product_id,
+        | CASE WHEN cum_share <= 0.8 THEN 'A'
+        |  WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM rk""".stripMargin.replace("\n", " "),
     "q_pareto_revenue" ->
       """WITH rev AS (SELECT l_partkey,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue

@@ -1068,6 +1068,47 @@ object Analytics {
         col("avg_price").isNotNull.as("is_observed"))
   }
 
+  /** ABC (Pareto-class) product classification — the inventory-
+    * management standard: label each product A/B/C by where it falls
+    * in cumulative revenue share (A carries the first `aShare`,
+    * B up to `bShare`, C the tail). Where [[paretoRevenue]] answers
+    * "how many products make X%", this emits the per-product label a
+    * planner joins against — same banded two-phase prefix sum
+    * (quarter-octave revenue bands, O(#bands) driver totals,
+    * broadcast exclusive offsets, within-band windows in parallel),
+    * no single-task global window.
+    */
+  def abcClass(lineitem: DataFrame, aShare: Double = 0.8,
+               bShare: Double = 0.95): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val rev = lineitem.groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .localCheckpoint(true)
+    val banded = rev.withColumn("band",
+      (-floor(log2(greatest(col("revenue"), lit(java.lang.Double.MIN_VALUE))) * 4))
+        .cast("long"))
+    val totals = banded.groupBy("band")
+      .agg(sum("revenue").as("brev"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val totalRev = totals.map(_._2).sum
+    var acc = 0.0
+    val offsets = totals.map { case (b, r) => val off = (b, acc); acc += r; off }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("band", "rev_offset")
+    val w = Window.partitionBy("band")
+      .orderBy(col("revenue").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsetsDf), Seq("band"))
+      .select(col("l_partkey").as("product_id"),
+        ((col("rev_offset") + sum("revenue").over(w)) / lit(totalRev))
+          .as("cum_share"))
+      .select(col("product_id"),
+        when(col("cum_share") <= aShare, "A")
+          .when(col("cum_share") <= bShare, "B")
+          .otherwise("C").as("abc_class"))
+  }
+
   /** 2-D skyline (Pareto frontier) of parts on (retailprice ↓,
     * size ↓): a part survives iff no other part is ≤ on both and <
     * on one — the classic "cheapest for its size class" query.

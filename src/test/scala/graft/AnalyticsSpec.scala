@@ -238,6 +238,19 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("abcClass labels products by cumulative revenue share") {
+    // revenues 50, 30, 15, 4, 1 (total 100): cum shares .50 .80 .95 .99 1.0
+    // → A, A (exactly at .8), B (exactly at .95), C, C
+    val li = Seq(
+      (1L, 50.0), (2L, 30.0), (3L, 15.0), (4L, 4.0), (5L, 1.0))
+      .toDF("l_partkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val out = Analytics.abcClass(li).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "C", 5L -> "C"),
+      s"boundary products belong to the straddled class: $out")
+  }
+
   test("brandTrend recovers an exact linear monthly trend per brand") {
     val part = Seq((1L, "Up"), (2L, "Flat")).toDF("p_partkey", "p_brand")
     // brand Up: revenue 100, 200, 300 over consecutive months (slope

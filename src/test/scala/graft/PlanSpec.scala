@@ -141,6 +141,14 @@ class PlanSpec extends SparkSpec {
       s"band offsets and thresholds must broadcast:\n$p")
   }
 
+  test("abcClass ranks within revenue bands, never one partition") {
+    val p = plan(Analytics.abcClass(Tables.lineitem(spark, dir)))
+    assert("windowspecdefinition\\(band#\\d+L, revenue".r.findFirstIn(p).isDefined,
+      s"cumulative-share window must partition by revenue band:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition funnel allowed:\n$p")
+  }
+
   test("context chunker is a pure projection: zero shuffles, zero joins") {
     val p = plan(graft.operators.TextAnalysis.contextChunks(
       Tables.documents(spark, dir)))
