@@ -21,10 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Per-doc (doc_id, n_tokens, quality_score) used by several gates.
+    * Quality stats are PURE per-document (length/punct/stopword
+    * ratios — no corpus dependence), so one tokenization scan can
+    * feed every stage of a composed pipeline; [[curateFull]] and
+    * [[curateCapped]] thread this through instead of re-tokenizing
+    * the corpus once per gate.
+    */
+  private def scoreDocs(docs: DataFrame): DataFrame =
+    TextAnalysis.stats(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+
   def curate(docs: DataFrame, minTokens: Long = 20L, maxTokens: Long = 100000L,
-             minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
-    val quality = TextAnalysis
-      .qualityFilter(docs, minTokens, maxTokens, minQuality).select("doc_id")
+             minQuality: Double = 0.2, benchMod: Int = 97,
+             scored: Option[DataFrame] = None): DataFrame = {
+    val quality = scored.getOrElse(scoreDocs(docs))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality)
+      .select("doc_id")
     val kept = docs.join(quality, Seq("doc_id"), "left_semi")
     val survivors = Dedup.exact(kept).select("doc_id")
     val contaminated = TextAnalysis
@@ -48,10 +62,11 @@ object Curation {
     * [[sourceCapWindow]] shares the result (spec-held parity, same
     * pattern as the other agg/window twins).
     */
-  def sourceCap(docs: DataFrame, cap: Int = 40): DataFrame =
+  def sourceCap(docs: DataFrame, cap: Int = 40,
+                scored: Option[DataFrame] = None): DataFrame =
     docs
-      .join(TextAnalysis.stats(docs).select("doc_id", "quality_score"),
-        Seq("doc_id"))
+      .join(scored.getOrElse(scoreDocs(docs))
+        .select("doc_id", "quality_score"), Seq("doc_id"))
       .groupBy("source")
       .agg(graft.functions.TopKAgg.largestKWithPayload(
         col("quality_score"), col("doc_id"), lit(""), cap).as("top"))
@@ -70,11 +85,15 @@ object Curation {
     */
   def curateCapped(docs: DataFrame, cap: Int = 40, minTokens: Long = 20L,
                    maxTokens: Long = 100000L, minQuality: Double = 0.2,
-                   benchMod: Int = 97): DataFrame =
+                   benchMod: Int = 97): DataFrame = {
+    // one tokenization scan feeds both the quality gate and the cap
+    // ranking (scores are per-doc pure; see scoreDocs)
+    val scored = Some(scoreDocs(docs).localCheckpoint(true))
     sourceCap(
-      docs.join(curate(docs, minTokens, maxTokens, minQuality, benchMod)
+      docs.join(curate(docs, minTokens, maxTokens, minQuality, benchMod, scored)
         .select("doc_id"), Seq("doc_id"), "left_semi"),
-      cap)
+      cap, scored)
+  }
 
   /** THE full nightly pipeline, every gate in one oracle-checked
     * query: [[curate]] (quality → exact dedup → benchmark exclusion →
@@ -93,11 +112,15 @@ object Curation {
                  minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+    // ONE tokenization scan scores the corpus; four gates (quality,
+    // suppression, cap ranking, budget walk) reuse it — per-doc
+    // scores don't depend on which docs survived earlier gates
+    val scored = Some(scoreDocs(docs).localCheckpoint(true))
     val curated = restrict(
-      curate(docs, minTokens, maxTokens, minQuality, benchMod))
-    val suppressed = restrict(Dedup.nearDupSuppress(curated))
-    val capped = restrict(sourceCap(suppressed, cap))
-    selectToBudget(capped, tokenBudget)
+      curate(docs, minTokens, maxTokens, minQuality, benchMod, scored))
+    val suppressed = restrict(Dedup.nearDupSuppress(curated, scored = scored))
+    val capped = restrict(sourceCap(suppressed, cap, scored))
+    selectToBudget(capped, tokenBudget, scored)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "n_tokens", "quality_score")
   }
@@ -144,12 +167,14 @@ object Curation {
     * budget (the doc that crosses the line is kept — "fill then
     * stop", matching the oracle's `cum - tokens < budget`).
     */
-  def selectToBudget(docs: DataFrame, tokenBudget: Long): DataFrame = {
+  def selectToBudget(docs: DataFrame, tokenBudget: Long,
+                     preScored: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = 4096
-    val scored = TextAnalysis.stats(docs)
-      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val scored = preScored
+      .map(_.join(docs.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .getOrElse(scoreDocs(docs))
       // quality ∈ [0,1]: quantize; negate so ascending band =
       // descending quality
       .withColumn("band",

@@ -360,8 +360,12 @@ object Dedup {
     * against the quality projection.
     */
   def nearDupSuppress(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                      maxDf: Int = 64, minShared: Int = 3): DataFrame = {
-    val q = TextAnalysis.stats(docs).select(col("doc_id"), col("quality_score"))
+                      maxDf: Int = 64, minShared: Int = 3,
+                      scored: Option[DataFrame] = None): DataFrame = {
+    // scores are per-doc pure, so a caller composing several gates
+    // can thread one precomputed stats relation through all of them
+    val q = scored.getOrElse(TextAnalysis.stats(docs))
+      .select(col("doc_id"), col("quality_score"))
     val losers = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
       .join(q.select(col("doc_id").as("id_a"), col("quality_score").as("q_a")),
         Seq("id_a"))
