@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gf
+
+/** Persisted dedup FINGERPRINT store — the layout that makes daily
+  * incremental dedup O(batch), not O(corpus): one row per document
+  * holding only its canonical-text md5 (exact identity) and minhash
+  * signature (near-dup banding key). Text is never stored and the
+  * historical corpus is never re-tokenized — the nightly job appends
+  * one batch of fingerprint rows, and tomorrow's dedup joins against
+  * fingerprints alone. Corpus TEXT is read again only for the
+  * candidate ids a band join actually surfaces (a tiny, targeted
+  * semi-join — the verification contract at 100 TB).
+  *
+  * This is the dedup twin of [[AnnIndex]]: the search structure is
+  * the physical layout, nothing more, and everything derived is a
+  * pure deterministic function of the text — so the store-based
+  * paths are EXACTLY equal to recomputing from text (spec-held),
+  * just without the history scan.
+  */
+object DedupStore {
+
+  val DefaultPerms = 64
+  val DefaultSeed = 42L
+
+  /** The store row shape: (doc_id, norm_md5, sig). Pure per-doc
+    * projection — no shuffle, safe to run inside any ingest job. */
+  def fingerprintRows(docs: DataFrame, shingleSize: Int = 3,
+                      numPerms: Int = DefaultPerms,
+                      seed: Long = DefaultSeed): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(TextAnalysis.canonical(col("text"))).as("norm_md5"),
+      gf.minhashSignature(
+        array_distinct(gf.tokenShingleHashes(col("text"), shingleSize)),
+        numPerms, seed).as("sig"))
+
+  def build(docs: DataFrame, path: String): Unit =
+    fingerprintRows(docs).write.mode("overwrite").parquet(path)
+
+  /** Nightly maintenance: append one batch's fingerprints. */
+  def append(newDocs: DataFrame, path: String): Unit =
+    fingerprintRows(newDocs).write.mode("append").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental EXACT dedup against the store: new docs whose
+    * canonical text has never been seen. The corpus side is
+    * fingerprints only — an anti-join on 32-hex strings, no history
+    * text, no history tokenization. Result-identical to
+    * [[Dedup.incrementalExact]] (md5 of the same canonical form).
+    */
+  def incrementalExact(newDocs: DataFrame, store: DataFrame): DataFrame =
+    newDocs
+      .withColumn("norm_md5", md5(TextAnalysis.canonical(col("text"))))
+      .join(store.select("norm_md5").distinct(), Seq("norm_md5"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+
+  /** LSH band keys from a signature column — the same banding as
+    * [[Dedup]]'s in-memory minhash path (hash of each signature
+    * slice), exposed for store-side joins. */
+  private def bandKeys(sigs: DataFrame, bands: Int): DataFrame = {
+    val rowsPerBand = ceil(size(col("sig")) / lit(bands)).cast("int")
+    sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(b, slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Incremental NEAR-dup pairs, new batch × stored corpus, with the
+    * history side driven ENTIRELY by stored signatures:
+    *
+    *  1. band keys of the new batch (computed) join band keys of the
+    *     store (persisted) — only new×corpus collisions survive, the
+    *     corpus never pairs with itself;
+    *  2. per-bucket fan-out is capped (deterministic smallest-id
+    *     subset, same documented loss as every banded path);
+    *  3. exact-Jaccard verification re-reads text for the CANDIDATE
+    *     corpus ids only — a semi-join on an id list whose size is
+    *     bounded by the band collisions, not the corpus.
+    *
+    * Returns (id_new, id_corpus, jaccard ≥ tau). Requires globally
+    * unique doc_ids across batch and corpus (same contract as
+    * [[Dedup.incrementalExact]]).
+    */
+  def incrementalNearDupPairs(newDocs: DataFrame, corpus: DataFrame,
+                              store: DataFrame, tau: Double = 0.5,
+                              shingleSize: Int = 3, bands: Int = 16,
+                              maxBucket: Int = 64,
+                              numPerms: Int = DefaultPerms,
+                              seed: Long = DefaultSeed): DataFrame = {
+    val newKeys = bandKeys(
+      fingerprintRows(newDocs, shingleSize, numPerms, seed)
+        .select("doc_id", "sig"), bands)
+      .withColumnRenamed("doc_id", "id_new")
+    val storeKeys = bandKeys(store.select("doc_id", "sig"), bands)
+      .withColumnRenamed("doc_id", "id_corpus")
+    val candidates = newKeys
+      .join(storeKeys, Seq("band", "band_hash"))
+      .select("id_new", "id_corpus")
+      .distinct()
+      // deterministic cap per new doc: verification work per batch
+      // doc is bounded no matter how templated the corpus is
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("id_new").orderBy("id_corpus")))
+      .filter(col("rk") <= maxBucket)
+      .drop("rk")
+    def shingles(docs: DataFrame) = docs.select(
+      col("doc_id"),
+      array_distinct(gf.tokenShingleHashes(col("text"), shingleSize))
+        .as("shingles"))
+    // corpus text touched ONLY for surfaced candidate ids
+    val corpusSets = shingles(corpus.join(
+      candidates.select(col("id_corpus").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi"))
+    val newSets = shingles(newDocs)
+    candidates
+      .join(newSets.select(col("doc_id").as("id_new"),
+        col("shingles").as("sh_new")), Seq("id_new"))
+      .join(corpusSets.select(col("doc_id").as("id_corpus"),
+        col("shingles").as("sh_corpus")), Seq("id_corpus"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_new"), col("sh_corpus"))) /
+          greatest(size(array_union(col("sh_new"), col("sh_corpus"))), lit(1)))
+      .filter(col("jaccard") >= tau)
+      .select("id_new", "id_corpus", "jaccard")
+  }
+}
