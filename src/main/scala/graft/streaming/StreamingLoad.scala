@@ -64,4 +64,24 @@ object StreamingLoad {
           .write.mode("append").parquet(path)
       }
       .start()
+
+  /** Streaming dedup-fingerprint maintenance — the ingest-time
+    * spelling of the nightly [[graft.operators.DedupStore.append]]:
+    * each document micro-batch appends its (norm_md5, minhash sig)
+    * rows, so the store is always current and tomorrow's incremental
+    * dedup never waits on a backfill. Fingerprints are pure per-row
+    * projections (no state, no shuffle); append-only parquet — no
+    * read-modify-write race with concurrent dedup readers, same
+    * invariant as [[sketchStoreSink]].
+    */
+  def fingerprintStoreSink(docs: DataFrame, path: String,
+                           checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.DedupStore.fingerprintRows(batch)
+          .write.mode("append").parquet(path)
+      }
+      .start()
 }

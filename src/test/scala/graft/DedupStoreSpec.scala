@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, DedupStore}
 
+case class StoreDoc(doc_id: Long, text: String, lang: String,
+                    source: String, n_chars: Long)
+
 /** The persisted fingerprint store must answer exactly like
   * recomputing from text — it persists deterministic functions of
   * the text, so any divergence is a bug, not noise.
@@ -76,6 +79,33 @@ class DedupStoreSpec extends SparkSpec {
       assert(batchIds.contains(n) && !batchIds.contains(c),
         s"pair ($c, $n) must be corpus x new")
     }
+  }
+
+  test("streaming fingerprint sink: streamed store equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows = corpus.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => StoreDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val base = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    val (store, chk) = (s"$base/store", s"$base/chk")
+    val mem = MemoryStream[StoreDoc]
+    val q = graft.streaming.StreamingLoad
+      .fingerprintStoreSink(mem.toDF(), store, chk)
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      mem.addData(b1.toSeq); q.processAllAvailable()
+      mem.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(store)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Long](2)))
+      .toMap
+    val batchBuilt = DedupStore.fingerprintRows(corpus)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Long](2)))
+      .toMap
+    assert(streamed == batchBuilt,
+      "micro-batched appends must equal the one-shot build")
   }
 
   test("near-dup verification finds a planted near-copy of a corpus doc") {
