@@ -213,6 +213,13 @@ object SparkEntry {
       Similarity.filteredTopK(e, e.filter(col("vec_id") % 100 === 0),
         col("label") % 3 === 0, k = 10)
     }),
+    // rows-only (randomized-index family): recall spec anchors it to
+    // ann_filtered_topk's exact result
+    "ann_ivf_filtered_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.ivfFilteredTopK(e, e.filter(col("vec_id") % 100 === 0),
+        col("label") % 3 === 0, k = 10, nprobe = 8)
+    }),
     "mm_near_dup_blobs" -> ((s, dir) =>
       Multimodal.blobNearDupPairs(Tables.documents(s, dir))),
     "ann_knn_classify" -> ((s, dir) => {

@@ -55,6 +55,34 @@ object Similarity {
                    predicate: Column, k: Int = 10): DataFrame =
     bruteForceTopK(corpus.filter(predicate), queries, k)
 
+  /** Filtered search over a SHARED IVF index: cells are assigned on
+    * the unfiltered corpus (one index serves every predicate — you
+    * don't rebuild the index per filter), the predicate drops
+    * ineligible vectors at candidate time, after the cell-probe
+    * pruning and before ranking. The filter is still an ordinary
+    * scan predicate (pushed down), so the probe's partition pruning
+    * and the filter's row pruning compose. Selective predicates cost
+    * recall — the probed cells may hold < k eligible vectors — which
+    * is the documented ANN trade (raise nprobe with selectivity;
+    * the recall spec measures this against [[filteredTopK]]).
+    */
+  def ivfFilteredTopK(corpus: DataFrame, queries: DataFrame,
+                      predicate: Column, k: Int = 10,
+                      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = pickCentroids(corpus, nlist)
+    val assigned = corpus.filter(predicate)
+      .select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"),
+        gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
+    val probed = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(gf.nearestCentroids(col("embedding"), centroids, nprobe)).as("cell"))
+    topKPerQuery(probed.join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine")), k)
+  }
+
   /** Range search: ALL corpus vectors with cosine ≥ tau per query
     * (no k cutoff) — the recall-complete companion to top-k.
     */

@@ -237,4 +237,20 @@ class SimilaritySpec extends SparkSpec {
     assert(postFiltered.exists { case (q, ns) => ns.size < 10 },
       "fixture sanity: post-filtering would under-fill at least one query")
   }
+
+  test("ivfFilteredTopK: shared index + predicate, recall vs exact filtered") {
+    import org.apache.spark.sql.functions.col
+    val pred = col("label") % 3 === 0
+    val exactFiltered = topkSets(Similarity.filteredTopK(emb, queries, pred, k = 10))
+    val ivf = topkSets(
+      Similarity.ivfFilteredTopK(emb, queries, pred, k = 10, nprobe = 8))
+    val eligible = emb.filter(pred).select("vec_id").as[Long].collect().toSet
+    ivf.values.foreach(ns =>
+      assert(ns.subsetOf(eligible), "no filtered-out vector may surface"))
+    val recall = exactFiltered.keys.map(q =>
+      ivf.getOrElse(q, Set.empty[Long]).intersect(exactFiltered(q)).size / 10.0)
+      .sum / exactFiltered.size
+    assert(recall >= 0.5,
+      f"probing half the cells should recover >=50%% of exact filtered top-10, got $recall%.2f")
+  }
 }
