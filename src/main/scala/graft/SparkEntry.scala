@@ -170,6 +170,8 @@ object SparkEntry {
     "text_lang_id" -> ((s, dir) => TextAnalysis.langId(Tables.documents(s, dir))),
     "text_lang_confusion" -> ((s, dir) =>
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
+    "docs_perplexity_filter" -> ((s, dir) =>
+      TextAnalysis.perplexityFilter(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .select("doc_id", "fingerprint_md5")),
@@ -1764,6 +1766,20 @@ object SparkEntry {
           | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
           |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
           |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "docs_perplexity_filter" ->
+      (toksCte +
+        """, p AS (SELECT doc_id,
+          |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+          | FROM t WHERE len(toks) >= 2),
+          |b AS (SELECT w1, w2, count(*) AS c_bigram FROM p GROUP BY 1, 2),
+          |f AS (SELECT w1, count(*) AS c_first FROM p GROUP BY 1),
+          |s AS (SELECT doc_id, count(*) AS n_bigrams,
+          |  round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
+          | FROM p JOIN b USING (w1, w2) JOIN f USING (w1) GROUP BY doc_id),
+          |c AS (SELECT quantile_cont(avg_surprisal, 0.9) AS cut FROM s)
+          |SELECT s.doc_id, s.n_bigrams, s.avg_surprisal
+          |FROM s, c WHERE s.avg_surprisal <= c.cut"""
+          .stripMargin.replace("\n", " ")),
     "q_shipping_delay" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         | avg(datediff('day', o_orderdate, CAST(l_shipdate AS DATE))) AS avg_delay,

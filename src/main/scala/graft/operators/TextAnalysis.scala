@@ -280,6 +280,23 @@ object TextAnalysis {
         round(avg(-log(col("c_bigram") / col("c_first"))), 6).as("avg_surprisal"))
   }
 
+  /** Perplexity curation gate (CCNet-style): keep documents whose
+    * [[lmScore]] surprisal is at or below the corpus's `pct`
+    * percentile — "drop the weirdest 10%". The cut-point is ONE
+    * exact interpolated percentile collected to the driver and
+    * applied as a broadcast comparison (the RFM pattern — no global
+    * sort, no ntile window); the comparison runs on the 6-dp-rounded
+    * score, so the kept SET replays across engines (ln differs in
+    * the last ulp; the rounded grid doesn't).
+    */
+  def perplexityFilter(docs: DataFrame, pct: Double = 0.9): DataFrame = {
+    val scored = lmScore(docs)
+      .localCheckpoint(true) // consumed by the percentile agg AND the filter
+    val cut = scored
+      .agg(percentile(col("avg_surprisal"), lit(pct))).head.getDouble(0)
+    scored.filter(col("avg_surprisal") <= cut)
+  }
+
   /** Char-trigram language affinity (fastText-style profile check,
     * with the corpus as its own training set): each language's
     * profile is its top-`profileSize` char trigrams by corpus count

@@ -72,6 +72,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "de", 3L -> "und"))
   }
 
+  test("perplexityFilter drops the highest-surprisal tail at the percentile cut") {
+    // 9 docs of stereotyped text and one doc that pairs the COMMON
+    // first-token "the" with continuations seen nowhere else — that
+    // is what high surprisal means under a corpus-trained bigram LM
+    // (a doc of purely unique vocabulary would score ZERO: singleton
+    // first tokens make every continuation certain)
+    val stereotyped = (0L until 9L).map(i =>
+      (i, "the cat sat on the mat and the cat sat on the mat again"))
+    val weird = Seq((9L, "the zephyr the quixotic the brambles"))
+    val docs = (stereotyped ++ weird).toDF("doc_id", "text")
+    val kept = TextAnalysis.perplexityFilter(docs, pct = 0.89)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 9L).toSet,
+      s"only the unique-vocab doc exceeds the cut: $kept")
+    // pct = 1.0 keeps everything (<= max)
+    assert(TextAnalysis.perplexityFilter(docs, pct = 1.0).count() == 10L)
+  }
+
   test("langConfusion: diagonal counts hits, off-diagonal shows the miss") {
     val docs = Seq(
       (0L, "the cat and the dog of to in", "en"),  // correct → (en, en)
