@@ -184,6 +184,8 @@ object SparkEntry {
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
     "q_events_anomaly" -> ((s, dir) => EventOps.hourlyAnomalies(Tables.events(s, dir))),
     "q_mad_outliers" -> ((s, dir) => EventOps.madOutliers(Tables.events(s, dir))),
+    "events_common_paths" -> ((s, dir) =>
+      EventOps.commonSessionPaths(Tables.events(s, dir))),
     "ann_range_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
@@ -868,6 +870,23 @@ object SparkEntry {
         |FROM hourly, g
         |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
         .replace("\n", " "),
+    "events_common_paths" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |   AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |  session_seq ORDER BY ts, event_id) AS step FROM numbered),
+        |paths AS (SELECT user_id, session_seq,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        | FROM ranked WHERE step <= 8 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM paths
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin.replace("\n", " "),
     "q_mad_outliers" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |  count(*) AS n_events FROM events GROUP BY 1, 2),

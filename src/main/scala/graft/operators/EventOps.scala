@@ -312,6 +312,43 @@ object EventOps {
       .select("hour", "n_events", "z_score")
   }
 
+  /** Common session PATHS — product-analytics path analysis: the
+    * ordered event-type sequence of each session (truncated to its
+    * first `maxSteps` steps), kept when at least `minSessions`
+    * sessions walked it. Thresholded, NOT top-N — a support floor
+    * needs no global rank, so there is no corpus-wide ordering
+    * anywhere; and steps are rank-filtered BEFORE the path
+    * aggregate, so a pathological million-event session buffers
+    * `maxSteps` rows, not the session. Reuses [[sessionize]]'s
+    * lag+cumsum assignment (both windows ride the same user_id
+    * shuffle).
+    */
+  def commonSessionPaths(events: DataFrame, gapMinutes: Int = 30,
+                         maxSteps: Int = 8,
+                         minSessions: Long = 5): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
+    val bySession = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("step", row_number().over(bySession))
+      .filter(col("step") <= maxSteps)
+      .groupBy("user_id", "session_seq")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minSessions)
+  }
+
   /** Robust per-type anomaly detection — the median/MAD twin of
     * [[hourlyAnomalies]]: flag (type, hour) buckets whose count
     * deviates from the type's MEDIAN by more than `k` median

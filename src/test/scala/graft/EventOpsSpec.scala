@@ -18,6 +18,35 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("value", lit(1.0))
 
+  test("commonSessionPaths: ordered, gap-split, step-capped, support-floored") {
+    val e = events(
+      // user 7, one session: click > view > purchase (ordered by ts)
+      (1L, "2024-01-01 10:00:00", 7L, "click"),
+      (2L, "2024-01-01 10:05:00", 7L, "view"),
+      (3L, "2024-01-01 10:10:00", 7L, "purchase"),
+      // same user, NEW session after the 30-min gap: same path again
+      (4L, "2024-01-01 12:00:00", 7L, "click"),
+      (5L, "2024-01-01 12:05:00", 7L, "view"),
+      (6L, "2024-01-01 12:10:00", 7L, "purchase"),
+      // user 9 walks it once more
+      (7L, "2024-01-01 09:00:00", 9L, "click"),
+      (8L, "2024-01-01 09:01:00", 9L, "view"),
+      (9L, "2024-01-01 09:02:00", 9L, "purchase"),
+      // a lone path below the support floor
+      (10L, "2024-01-01 08:00:00", 11L, "signup"))
+    val out = EventOps.commonSessionPaths(e, minSessions = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("click>view>purchase" -> 3L),
+      s"three sessions walked the path; the lone signup is floored out: $out")
+    // step cap truncates long sessions BEFORE the path forms
+    val long = events((1L to 12L).map(i =>
+      (i, f"2024-01-01 10:${i - 1}%02d:00", 5L, if (i <= 11) "view" else "click")): _*)
+    val capped = EventOps.commonSessionPaths(long, maxSteps = 4, minSessions = 1)
+      .collect().map(_.getString(0))
+    assert(capped.toSeq == Seq("view>view>view>view"),
+      s"the 12-step session truncates to its first 4 steps: ${capped.toSeq}")
+  }
+
   test("madOutliers flags spikes against a varied baseline; mad=0 types stay silent") {
     def burst(hour: Int, n: Int, typ: String, base: Long) =
       (1 to n).map(i => (base + i, f"2024-01-01 $hour%02d:0${i % 6}:00", 7L, typ))
