@@ -186,6 +186,8 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, dir) => EventOps.madOutliers(Tables.events(s, dir))),
     "events_common_paths" -> ((s, dir) =>
       EventOps.commonSessionPaths(Tables.events(s, dir))),
+    "q_conversion_latency" -> ((s, dir) =>
+      EventOps.conversionLatency(Tables.events(s, dir))),
     "ann_range_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
@@ -870,6 +872,19 @@ object SparkEntry {
         |FROM hourly, g
         |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
         .replace("\n", " "),
+    "q_conversion_latency" ->
+      """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts GROUP BY 1),
+        |l AS (SELECT epoch_us(purchase_ts - signup_ts) // 60000000
+        |   AS latency_min FROM s JOIN p USING (user_id))
+        |SELECT count(*) AS n_converted,
+        | quantile_cont(latency_min, 0.5) AS p50_min,
+        | quantile_cont(latency_min, 0.9) AS p90_min,
+        | quantile_cont(latency_min, 0.99) AS p99_min
+        |FROM l""".stripMargin.replace("\n", " "),
     "events_common_paths" ->
       """WITH flagged AS (SELECT user_id, ts, event_id, event_type,
         |  CASE WHEN lag(ts) OVER w IS NULL

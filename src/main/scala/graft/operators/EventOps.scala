@@ -312,6 +312,34 @@ object EventOps {
       .select("hour", "n_events", "z_score")
   }
 
+  /** Conversion LATENCY distribution: per user, first signup → first
+    * purchase strictly after it; then exact interpolated percentiles
+    * of the latency in minutes. Two filtered min-aggregates over one
+    * scan shape (the [[funnel]] discipline — no window over raw
+    * events), a broadcast-sized join on user, and a 4-value
+    * percentile aggregate. Latency is integer minutes (truncated) so
+    * the percentile interpolation replays exactly cross-engine.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    signup.join(purchase, "user_id")
+      .withColumn("us_diff",
+        unix_micros(col("purchase_ts").cast("timestamp")) -
+          unix_micros(col("signup_ts").cast("timestamp")))
+      // `div`: integer division — no double rounding at minute edges
+      .select(expr("us_diff div 60000000").as("latency_min"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        percentile(col("latency_min"), lit(0.5)).as("p50_min"),
+        percentile(col("latency_min"), lit(0.9)).as("p90_min"),
+        percentile(col("latency_min"), lit(0.99)).as("p99_min"))
+  }
+
   /** Common session PATHS — product-analytics path analysis: the
     * ordered event-type sequence of each session (truncated to its
     * first `maxSteps` steps), kept when at least `minSessions`

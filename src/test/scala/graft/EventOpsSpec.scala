@@ -18,6 +18,22 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("value", lit(1.0))
 
+  test("conversionLatency: strictly-after purchases, exact minute percentiles") {
+    val e = events(
+      // user 1: signup 10:00, purchase BEFORE it (ignored), then 10:30 → 30 min
+      (1L, "2024-01-01 09:00:00", 1L, "purchase"),
+      (2L, "2024-01-01 10:00:00", 1L, "signup"),
+      (3L, "2024-01-01 10:30:00", 1L, "purchase"),
+      // user 2: converts in 90 min
+      (4L, "2024-01-01 08:00:00", 2L, "signup"),
+      (5L, "2024-01-01 09:30:00", 2L, "purchase"),
+      // user 3: signup, never purchases → not counted
+      (6L, "2024-01-01 07:00:00", 3L, "signup"))
+    val r = EventOps.conversionLatency(e).collect().head
+    assert(r.getLong(0) == 2L, "two converters")
+    assert(r.getDouble(1) == 60.0, s"p50 of {30, 90} interpolates to 60: $r")
+  }
+
   test("commonSessionPaths: ordered, gap-split, step-capped, support-floored") {
     val e = events(
       // user 7, one session: click > view > purchase (ordered by ts)
