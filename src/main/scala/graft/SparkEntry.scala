@@ -482,6 +482,9 @@ object SparkEntry {
       Analytics.paretoRevenue(Tables.lineitem(s, dir))),
     "etl_cdc_apply" -> ((s, dir) =>
       operators.EventOps.cdcApply(Tables.events(s, dir))),
+    "etl_dq_profile" -> ((s, dir) =>
+      operators.RetailEtl.dqProfile(Tables.lineitem(s, dir),
+        Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
     "etl_table_diff" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       // two period snapshots of the product summary; sums rounded to
@@ -2172,6 +2175,23 @@ object SparkEntry {
         | FROM events)
         |SELECT user_id, event_type AS state, value, ts
         |FROM last WHERE rn = 1 AND event_type <> 'error'"""
+        .stripMargin.replace("\n", " "),
+    "etl_dq_profile" ->
+      """SELECT col_name, n_rows, n_nulls,
+        | n_distinct, round(n_nulls * 1.0 / n_rows, 6) AS null_frac
+        |FROM (
+        | SELECT 'l_partkey' AS col_name, count(*) AS n_rows,
+        |  sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  count(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        | UNION ALL SELECT 'l_returnflag', count(*),
+        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT l_returnflag) FROM lineitem
+        | UNION ALL SELECT 'l_shipdate', count(*),
+        |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT l_shipdate) FROM lineitem
+        | UNION ALL SELECT 'l_quantity', count(*),
+        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT l_quantity) FROM lineitem) p"""
         .stripMargin.replace("\n", " "),
     "etl_table_diff" ->
       """WITH o AS (SELECT l_partkey AS product_id,

@@ -198,6 +198,29 @@ object RetailEtl {
       existing.join(updates.select(keyCols: _*), keys, "left_anti"))
   }
 
+  /** Data-quality PROFILE — the "what is this table" primitive a
+    * pipeline runs on every new feed: per column, row count, null
+    * count/fraction and exact distinct cardinality, computed in ONE
+    * scan (a single wide aggregate row, unpivoted with `stack`).
+    * Multiple exact count-distincts expand the scan |cols|-fold
+    * inside the aggregate — the exactness price; at 100 TB swap
+    * `countDistinct` for `approx_count_distinct` and the plan
+    * collapses back to one pass with HLL±2% cardinalities (same
+    * output shape, which is why the column is named without "exact").
+    */
+  def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', n_rows, `${c}__nulls`, `${c}__distinct`").mkString(", ") +
+          ") as (col_name, n_rows, n_nulls, n_distinct)"))
+      .withColumn("null_frac",
+        round(col("n_nulls") / col("n_rows"), 6))
+  }
+
   /** Snapshot reconciliation — the delta between two versions of a
     * keyed table: per key, `added` (new only), `removed` (old only),
     * or `changed` (present in both, any compared column differs

@@ -227,6 +227,18 @@ class RetailEtlSpec extends SparkSpec {
     assert(noop == full)
   }
 
+  test("dqProfile counts nulls and distincts per column in one pass") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("b")))
+      .toDF("k", "v")
+    val out = RetailEtl.dqProfile(df, Seq("k", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("k") == (4L, 1L, 2L, 0.25), s"k: ${out("k")}")
+    assert(out("v") == (4L, 1L, 2L, 0.25), s"v: ${out("v")}")
+  }
+
   test("tableDiff delta applied to old reconstructs new, on random snapshots") {
     val rnd = new scala.util.Random(42)
     def snap(keys: Range) = keys
