@@ -436,6 +436,8 @@ object SparkEntry {
       Analytics.brandTrend(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_abc_class" -> ((s, dir) =>
       Analytics.abcClass(Tables.lineitem(s, dir))),
+    "q_order_backlog" -> ((s, dir) =>
+      Analytics.orderBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -2133,6 +2135,23 @@ object SparkEntry {
         | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
         .stripMargin.replace("\n", " "),
+    "q_order_backlog" ->
+      """WITH ls AS (SELECT l_orderkey, CAST(max(l_shipdate) AS DATE)
+        |   AS last_ship FROM lineitem GROUP BY 1),
+        |spans AS (SELECT
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS open_m,
+        |  CAST(date_trunc('month', last_ship) AS DATE) AS close_m
+        | FROM orders JOIN ls ON o_orderkey = l_orderkey),
+        |o AS (SELECT open_m AS month, count(*) AS opened
+        |  FROM spans GROUP BY 1),
+        |c AS (SELECT close_m AS month, count(*) AS closed
+        |  FROM spans GROUP BY 1)
+        |SELECT month, coalesce(opened, 0) AS opened,
+        | coalesce(closed, 0) AS closed,
+        | sum(coalesce(opened, 0) - coalesce(closed, 0)) OVER (ORDER BY month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+        |FROM o FULL OUTER JOIN c USING (month)""".stripMargin
+        .replace("\n", " "),
     "q_abc_class" ->
       """WITH rev AS (SELECT l_partkey,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue

@@ -1068,6 +1068,38 @@ object Analytics {
         col("avg_price").isNotNull.as("is_observed"))
   }
 
+  /** Order BACKLOG time series: orders open (placed, not yet fully
+    * shipped) at each month end. The naive spine×orders interval
+    * join is |orders|·|months| rows; the +1/−1 event encoding is two
+    * per-month counts instead — backlog(m) = Σ opened(≤m) −
+    * Σ closed(≤m), where an order closes in the month its LAST line
+    * ships. The running sum is a global-order window over the
+    * month relation, which is CALENDAR-BOUNDED (decades ≈ hundreds
+    * of rows) — the one place a partition-less window is correct by
+    * construction.
+    */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val lastShip = lineitem.groupBy("l_orderkey")
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val spans = orders
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        date_trunc("month", col("o_orderdate")).cast("date").as("open_m"),
+        date_trunc("month", col("last_ship")).cast("date").as("close_m"))
+    val opened = spans.groupBy(col("open_m").as("month"))
+      .agg(count(lit(1)).as("opened"))
+    val closed = spans.groupBy(col("close_m").as("month"))
+      .agg(count(lit(1)).as("closed"))
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("month"), "full_outer")
+      .select(col("month"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .withColumn("backlog",
+        sum(col("opened") - col("closed")).over(w))
+  }
+
   /** ABC (Pareto-class) product classification — the inventory-
     * management standard: label each product A/B/C by where it falls
     * in cumulative revenue share (A carries the first `aShare`,

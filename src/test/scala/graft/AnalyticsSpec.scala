@@ -238,6 +238,28 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("orderBacklog: +1/-1 encoding equals a naive open-interval count") {
+    val orders = Seq(
+      (1L, "1995-01-10"), (2L, "1995-01-20"), (3L, "1995-02-05"),
+      (4L, "1995-04-01"))
+      .toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", $"d".cast("timestamp")).drop("d")
+    val li = Seq( // last ship per order: 1→Mar, 2→Jan, 3→Feb, 4→Apr
+      (1L, "1995-02-10"), (1L, "1995-03-15"),
+      (2L, "1995-01-25"),
+      (3L, "1995-02-20"),
+      (4L, "1995-04-20"))
+      .toDF("l_orderkey", "d")
+      .withColumn("l_shipdate", $"d".cast("timestamp")).drop("d")
+    val got = Analytics.orderBacklog(orders, li).collect()
+      .map(r => r.getDate(0).toString.take(7) -> r.getLong(3)).toMap
+    // end of Jan: 1 open (order 1; 2 closed same month). Feb: order 3
+    // opened AND closed, so still just order 1. Mar: order 1 closes → 0.
+    // Apr: order 4 opens and closes → 0.
+    assert(got == Map("1995-01" -> 1L, "1995-02" -> 1L,
+      "1995-03" -> 0L, "1995-04" -> 0L), s"backlog series: $got")
+  }
+
   test("abcClass labels products by cumulative revenue share") {
     // revenues 50, 30, 15, 4, 1 (total 100): cum shares .50 .80 .95 .99 1.0
     // → A, A (exactly at .8), B (exactly at .95), C, C
