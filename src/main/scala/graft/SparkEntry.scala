@@ -188,6 +188,8 @@ object SparkEntry {
       EventOps.commonSessionPaths(Tables.events(s, dir))),
     "q_conversion_latency" -> ((s, dir) =>
       EventOps.conversionLatency(Tables.events(s, dir))),
+    "events_dow_hour_profile" -> ((s, dir) =>
+      EventOps.dowHourProfile(Tables.events(s, dir))),
     "ann_range_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
@@ -877,6 +879,15 @@ object SparkEntry {
         |FROM hourly, g
         |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
         .replace("\n", " "),
+    "events_dow_hour_profile" ->
+      // DuckDB dayofweek: Sunday=0; Spark: Sunday=1 → +1
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(dayofweek(hb) + 1 AS BIGINT) AS dow,
+        | CAST(hour(hb) AS BIGINT) AS hour_of_day,
+        | sum(n) AS n_events, count(*) AS n_slots,
+        | round(avg(n), 6) AS avg_events
+        |FROM h GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_conversion_latency" ->
       """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),

@@ -312,6 +312,25 @@ object EventOps {
       .select("hour", "n_events", "z_score")
   }
 
+  /** Weekly seasonality profile — the (day-of-week × hour-of-day)
+    * activity heatmap: average events per occurrence of each slot,
+    * i.e. total slot events / number of distinct calendar hours that
+    * fell in the slot (so a corpus spanning partial weeks doesn't
+    * skew the profile). Two aggregates over one rollup; output is
+    * always ≤ 168 rows.
+    */
+  def dowHourProfile(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(
+        dayofweek(col("hour_bucket")).cast("long").as("dow"),
+        hour(col("hour_bucket")).cast("long").as("hour_of_day"))
+      .agg(
+        sum("n").as("n_events"),
+        count(lit(1)).as("n_slots"),
+        round(avg("n"), 6).as("avg_events"))
+
   /** Conversion LATENCY distribution: per user, first signup → first
     * purchase strictly after it; then exact interpolated percentiles
     * of the latency in minutes. Two filtered min-aggregates over one

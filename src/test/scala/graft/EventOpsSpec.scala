@@ -18,6 +18,24 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("value", lit(1.0))
 
+  test("dowHourProfile averages per slot occurrence, not per calendar hour") {
+    // two Mondays at 09:00 with 3 and 1 events, one Sunday 09:00 with 1
+    val e = events(
+      (1L, "2024-01-08 09:05:00", 1L, "click"),
+      (2L, "2024-01-08 09:10:00", 2L, "click"),
+      (3L, "2024-01-08 09:15:00", 3L, "click"),
+      (4L, "2024-01-15 09:30:00", 1L, "click"),
+      (5L, "2024-01-07 09:45:00", 1L, "view"))
+    val out = EventOps.dowHourProfile(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // Spark dayofweek: Sunday=1, Monday=2. The Monday average is per
+    // SLOT occurrence — (3+1)/2, not 4/1 — which is the test's point.
+    assert(out == Map(
+      (2L, 9L) -> (4L, 2L, 2.0),
+      (1L, 9L) -> (1L, 1L, 1.0)), s"profile: $out")
+  }
+
   test("conversionLatency: strictly-after purchases, exact minute percentiles") {
     val e = events(
       // user 1: signup 10:00, purchase BEFORE it (ignored), then 10:30 → 30 min
