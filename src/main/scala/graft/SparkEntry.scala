@@ -252,6 +252,9 @@ object SparkEntry {
       DataSplit.assign(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")),
+    "split_kfold" -> ((s, dir) =>
+      DataSplit.kfold(Tables.documents(s, dir))
+        .select("doc_id", "source", "fold")),
     "split_assign_md5" -> ((s, dir) =>
       DataSplit.assignPortable(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
@@ -1632,6 +1635,19 @@ object SparkEntry {
         |FROM w a JOIN d ON a.fp = d.fp JOIN w b ON b.fp = a.fp
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin.replace("\n", " "),
+    "split_kfold" ->
+      // 5 equal hex-range cuts of md5(doc_id || ':cv42')
+      """SELECT doc_id, source,
+        | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':cv42'), 1, 8)
+        |        < '33333333' THEN 0
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':cv42'), 1, 8)
+        |        < '66666666' THEN 1
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':cv42'), 1, 8)
+        |        < '99999999' THEN 2
+        |      WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':cv42'), 1, 8)
+        |        < 'cccccccc' THEN 3
+        |      ELSE 4 END::BIGINT AS fold
+        |FROM documents""".stripMargin.replace("\n", " "),
     "split_assign_md5" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)

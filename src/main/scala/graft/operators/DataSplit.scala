@@ -97,6 +97,29 @@ object DataSplit {
       .select(col(idCol), col("shard"), col("pos_in_shard"), col("shuffle_key"))
   }
 
+  /** Deterministic K-FOLD assignment for cross-validation: fold =
+    * equal hex-range cut of the portable md5 key (uniform by md5's
+    * uniformity; pure string compares, no integer conversion — the
+    * same discipline as [[shuffleShards]]). Stateless per-row filter
+    * work at any scale; a doc's fold never changes unless the salt
+    * does, so fold-holdout runs are reproducible across engines and
+    * cluster sizes.
+    */
+  def kfold(df: DataFrame, idCol: String = "doc_id", k: Int = 5,
+            salt: String = "cv42"): DataFrame = {
+    require(k >= 2, s"need at least two folds, got $k")
+    val cuts = (1 to k).map(i => i.toDouble / k)
+    def cutLit(cut: Double): String =
+      if (cut >= 1.0) "g" else Sampling.hexThreshold(cut)
+    val fold = (0 until k).zip(cuts)
+      .foldRight(lit((k - 1).toLong)) { case ((i, cut), fallback) =>
+        when(col("cv_key") < lit(cutLit(cut)), i.toLong).otherwise(fallback)
+      }
+    df.withColumn("cv_key", Sampling.sampleKey(col(idCol), salt))
+      .withColumn("fold", fold)
+      .drop("cv_key")
+  }
+
   /** Convenience: materialized per-split frames. */
   def splits(df: DataFrame, idCol: String,
              weights: Seq[(String, Double)], seed: Long = 42L): Map[String, DataFrame] = {

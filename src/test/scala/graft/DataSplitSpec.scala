@@ -103,4 +103,18 @@ class DataSplitSpec extends SparkSpec {
     // ids 0..9 do not all share a shard)
     assert(a.filter(_._1 < 10).map(_._2).distinct.length > 1)
   }
+
+  test("kfold: deterministic, partition-independent, ~balanced folds") {
+    val ids = (1L to 5000L).toDF("doc_id")
+    val a = DataSplit.kfold(ids, k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = DataSplit.kfold(ids.repartition(17), k = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "fold assignment must not depend on partitioning")
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    (0L until 5L).foreach { f =>
+      val n = sizes.getOrElse(f, 0)
+      assert(math.abs(n - 1000) < 150, s"fold $f holds $n of 5000")
+    }
+  }
 }
