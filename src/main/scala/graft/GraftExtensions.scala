@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenNgrams, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, WinnowMd5Fingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so plain `spark.sql` users get them
@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Literal(v: Int, _)  => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be a long literal, got $other")
+  }
+
+  private def stringLit(e: Expression, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -91,5 +97,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fingerprints(text, n, window) - winnowing fingerprints (windowed-min gram md5s)"),
       (args: Seq[Expression]) => WinnowMd5Fingerprints(args(0),
         intLit(args(1), "gram size"), intLit(args(2), "window"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("token_dropout"),
+      info("token_dropout",
+        "token_dropout(text, doc_id, threshold_hex, salt) - deterministic " +
+          "positional token dropout (fused; drop iff md5(id:pos:salt)[:8] < threshold)"),
+      (args: Seq[Expression]) => TokenDropout(args(0), args(1),
+        stringLit(args(2), "threshold_hex"), stringLit(args(3), "salt"))))
   }
 }

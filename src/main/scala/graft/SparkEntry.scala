@@ -172,6 +172,8 @@ object SparkEntry {
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "docs_perplexity_filter" -> ((s, dir) =>
       TextAnalysis.perplexityFilter(Tables.documents(s, dir))),
+    "docs_augment_dropout" -> ((s, dir) =>
+      TextAnalysis.augmentTokenDropout(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .select("doc_id", "fingerprint_md5")),
@@ -1832,6 +1834,17 @@ object SparkEntry {
           | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
           |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
           |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "docs_augment_dropout" ->
+      // drop token i of doc d iff md5('d:i:aug0')[:8] < 0x19999999
+      // (rate 0.1); DuckDB lambda index is 1-based → i - 1
+      (toksCte +
+        """, kept AS (SELECT doc_id, list_filter(toks, (x, i) ->
+          |  substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+          |    CAST(i - 1 AS VARCHAR) || ':aug0'), 1, 8) >= '19999999')
+          |  AS ktoks FROM t)
+          |SELECT doc_id, array_to_string(ktoks, ' ') AS text_aug,
+          | CAST(len(ktoks) AS BIGINT) AS n_kept
+          |FROM kept""".stripMargin.replace("\n", " ")),
     "docs_perplexity_filter" ->
       (toksCte +
         """, p AS (SELECT doc_id,

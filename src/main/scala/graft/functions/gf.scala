@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -54,6 +54,20 @@ object gf {
   /** Distinct space-joined token n-grams of a text column (fused,
     * SQL-spelling parity — oracle-checkable). */
   def tokenNgrams(text: Column, n: Int): Column = c(TokenNgrams(e(text), n))
+
+  /** Deterministic token dropout at `rate` keyed on (doc, position,
+    * salt) — fused tokenize+hash+filter+rejoin, value-identical to
+    * the indexed-lambda SQL spelling (oracle-checkable). Output
+    * whitespace is canonicalized to single spaces by construction.
+    */
+  def tokenDropout(text: Column, docId: Column, rate: Double,
+                   salt: String): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val thr =
+      if (rate >= 1.0) "g"
+      else f"${math.floor(rate * 4294967296.0).toLong}%08x"
+    c(TokenDropout(e(text), e(docId), thr, salt))
+  }
 
   /** 64-bit SimHash of an `array<string>` token column. */
   def simhash64(tokens: Column): Column = c(SimHash64(e(tokens)))

@@ -394,6 +394,60 @@ object TextMd5 {
     while (it.hasNext) { out(c) = it.next(); c += 1 }
     new GenericArrayData(out)
   }
+
+  /** Deterministic token dropout: token at position i (0-based)
+    * drops iff the first 8 md5 hex chars of "docId:i:salt" sort
+    * below `thresholdHex` — the same portable hash-randomness
+    * convention as the sampling family, per (doc, position) so the
+    * SAME doc augments identically on every run/engine and a new
+    * salt is the next epoch's re-draw. One fused pass over the
+    * document bytes; survivors re-join with single spaces
+    * (whitespace is canonicalized by construction — document it).
+    */
+  def tokenDropout(s: UTF8String, docId: Long, thresholdHex: UTF8String,
+                   salt: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val spans = tokenSpans(bytes)
+    val nTok = spans.length / 2
+    val thr = thresholdHex.getBytes
+    val saltBytes = salt.getBytes
+    val md = digest.get()
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    val keyHex = new Array[Byte](8)
+    var i = 0
+    var first = true
+    while (i < nTok) {
+      md.reset()
+      md.update(java.lang.Long.toString(docId).getBytes)
+      md.update(':'.toByte)
+      md.update(java.lang.Integer.toString(i).getBytes)
+      md.update(':'.toByte)
+      md.update(saltBytes)
+      val d = md.digest()
+      var j = 0
+      while (j < 4) {
+        keyHex(2 * j) = hex((d(j) >> 4) & 0xf)
+        keyHex(2 * j + 1) = hex(d(j) & 0xf)
+        j += 1
+      }
+      // lexicographic compare of 8 ASCII hex bytes vs the threshold
+      // (a "g" threshold sorts above every hex key → drop everything)
+      var cmp = 0
+      var k = 0
+      val lim = math.min(8, thr.length)
+      while (cmp == 0 && k < lim) {
+        cmp = java.lang.Byte.compare(keyHex(k), thr(k)); k += 1
+      }
+      if (cmp == 0 && thr.length > 8) cmp = -1
+      if (cmp >= 0) { // key >= threshold → keep
+        if (!first) out.write(' ')
+        out.write(bytes, spans(2 * i), spans(2 * i + 1) - spans(2 * i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
 }
 
 object TextHashes {

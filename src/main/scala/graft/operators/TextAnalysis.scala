@@ -280,6 +280,21 @@ object TextAnalysis {
         round(avg(-log(col("c_bigram") / col("c_first"))), 6).as("avg_surprisal"))
   }
 
+  /** Deterministic augmentation — token dropout at `rate`, keyed on
+    * (doc_id, position, salt): the same document augments
+    * IDENTICALLY on every run and engine (reproducible training
+    * data), and a new salt is the next epoch's independent re-draw.
+    * Runs on the fused codegen'd kernel (one pass over the document
+    * bytes — tokenize, per-position md5 key, filter, rejoin), with
+    * the indexed-lambda SQL spelling as the oracle twin. Output
+    * whitespace is canonicalized to single spaces by construction.
+    */
+  def augmentTokenDropout(docs: DataFrame, rate: Double = 0.1,
+                          salt: String = "aug0"): DataFrame =
+    docs.select(col("doc_id"),
+      gf.tokenDropout(col("text"), col("doc_id"), rate, salt).as("text_aug"))
+      .withColumn("n_kept", size(tokens(col("text_aug"))).cast("long"))
+
   /** Perplexity curation gate (CCNet-style): keep documents whose
     * [[lmScore]] surprisal is at or below the corpus's `pct`
     * percentile — "drop the weirdest 10%". The cut-point is ONE

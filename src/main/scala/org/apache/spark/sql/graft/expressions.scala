@@ -441,3 +441,37 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Deterministic token dropout (fused tokenize+hash+filter+rejoin;
+  * see [[graft.functions.TextMd5.tokenDropout]]): token i of a doc
+  * drops iff md5("docId:i:salt")'s first 8 hex chars sort below the
+  * threshold — value-identical to the indexed-lambda SQL spelling,
+  * one pass over the document bytes.
+  */
+case class TokenDropout(left: Expression, right: Expression,
+                        thresholdHex: String, salt: String)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_dropout"
+
+  override protected def nullSafeEval(s: Any, docId: Any): Any =
+    graft.functions.TextMd5.tokenDropout(s.asInstanceOf[UTF8String],
+      docId.asInstanceOf[Long],
+      UTF8String.fromString(thresholdHex), UTF8String.fromString(salt))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val thr = ctx.addReferenceObj("thr", UTF8String.fromString(thresholdHex),
+      "org.apache.spark.unsafe.types.UTF8String")
+    val sl = ctx.addReferenceObj("salt", UTF8String.fromString(salt),
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      (s, id) => s"graft.functions.TextMd5.tokenDropout($s, $id, $thr, $sl)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -140,6 +140,13 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](3).length == 2)
     assert(r.getSeq[Long](4).length == 4)
     assert(r.getSeq[Long](5).length == 2) // "abc", "bcd"
+    // token_dropout from SQL: threshold 'g' drops everything,
+    // '00000000' keeps everything
+    val td = spark.sql(
+      "SELECT token_dropout('a b c', 7L, 'g', 's') AS none, " +
+        "token_dropout('a  b\tc', 7L, '00000000', 's') AS all").head()
+    assert(td.getString(0) == "")
+    assert(td.getString(1) == "a b c", "whitespace canonicalizes to single spaces")
   }
 
   test("charTrigrams matches sliding substring semantics, multibyte-safe") {

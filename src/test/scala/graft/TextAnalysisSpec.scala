@@ -72,6 +72,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "de", 3L -> "und"))
   }
 
+  test("augmentTokenDropout: deterministic per (doc, position, salt)") {
+    val docs = (1L to 200L).map(i =>
+      (i, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.augmentTokenDropout(docs, rate = 0.3).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = TextAnalysis.augmentTokenDropout(docs.repartition(13), rate = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b, "same doc must augment identically on any layout")
+    // ~30% of the 2000 (doc, position) slots drop
+    val dropped = 2000 - a.values.map(_.split(" ").count(_.nonEmpty)).sum
+    assert(dropped > 450 && dropped < 750, s"~600 of 2000 expected, got $dropped")
+    // rate edges: 0 keeps every token, 1 empties the doc
+    val keep0 = TextAnalysis.augmentTokenDropout(docs, rate = 0.0)
+      .collect().map(_.getLong(2)).toSet
+    assert(keep0 == Set(10L))
+    val keep1 = TextAnalysis.augmentTokenDropout(docs, rate = 1.0)
+      .collect().map(_.getLong(2)).toSet
+    assert(keep1 == Set(0L))
+    // a new salt is an independent re-draw
+    val c = TextAnalysis.augmentTokenDropout(docs, rate = 0.3, salt = "aug1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a != c, "epoch salt must change the draw")
+  }
+
   test("perplexityFilter drops the highest-surprisal tail at the percentile cut") {
     // 9 docs of stereotyped text and one doc that pairs the COMMON
     // first-token "the" with continuations seen nowhere else — that
