@@ -22,7 +22,9 @@ object ExplainMain {
       "docs_shuffle_shard", "docs_token_budget", "dedup_blocked_suppress",
       "docs_curate_full", "etl_cdc_apply", "etl_table_diff", "q_skyline",
       "sample_poisson_k", "ann_filtered_topk", "dedup_edit_distance",
-      "q_price_fill", "q_brand_trend", "mm_near_dup_blobs")
+      "q_price_fill", "q_brand_trend", "mm_near_dup_blobs", "q_abc_class",
+      "q_order_backlog", "events_common_paths", "docs_perplexity_filter",
+      "docs_augment_dropout", "etl_dq_profile")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
