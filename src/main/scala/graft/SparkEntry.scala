@@ -192,6 +192,10 @@ object SparkEntry {
       EventOps.conversionLatency(Tables.events(s, dir))),
     "events_dow_hour_profile" -> ((s, dir) =>
       EventOps.dowHourProfile(Tables.events(s, dir))),
+    "events_inter_event_gaps" -> ((s, dir) =>
+      EventOps.interEventGaps(Tables.events(s, dir))),
+    "q_cart_abandonment" -> ((s, dir) =>
+      EventOps.cartAbandonment(Tables.events(s, dir))),
     "ann_range_search" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
@@ -883,6 +887,34 @@ object SparkEntry {
         | (n_events - mean_events) / sd_events AS z_score
         |FROM hourly, g
         |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
+        .replace("\n", " "),
+    "events_inter_event_gaps" ->
+      """WITH g AS (SELECT epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id)) // 1000000 AS gap_s
+        | FROM events)
+        |SELECT count(*) AS n_gaps,
+        | quantile_cont(gap_s, 0.5) AS p50_s,
+        | quantile_cont(gap_s, 0.9) AS p90_s,
+        | quantile_cont(gap_s, 0.99) AS p99_s
+        |FROM g WHERE gap_s IS NOT NULL""".stripMargin.replace("\n", " "),
+    "q_cart_abandonment" ->
+      """WITH flagged AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+        |   AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |sess AS (SELECT user_id, session_seq, CAST(min(ts) AS DATE) AS day,
+        |  max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        | FROM numbered GROUP BY 1, 2)
+        |SELECT day, count(*) AS n_click_sessions,
+        | sum(1 - purchased) AS n_abandoned,
+        | round(sum(1 - purchased) * 1.0 / count(*), 6) AS abandonment_rate
+        |FROM sess WHERE clicked = 1 GROUP BY 1""".stripMargin
         .replace("\n", " "),
     "events_dow_hour_profile" ->
       // DuckDB dayofweek: Sunday=0; Spark: Sunday=1 → +1

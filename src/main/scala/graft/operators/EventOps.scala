@@ -312,6 +312,60 @@ object EventOps {
       .select("hour", "n_events", "z_score")
   }
 
+  /** Inter-event time distribution: per-user gaps between
+    * consecutive events (lag over the per-user shuffle — the same
+    * exchange sessionization rides), summarized as exact
+    * percentiles of integer-second gaps. The engagement-cadence
+    * metric behind session-gap tuning: p90 here is what a
+    * `gapMinutes` choice should dominate.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("us_gap",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("prev_ts").cast("timestamp")))
+      .select(expr("us_gap div 1000000").as("gap_s"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        percentile(col("gap_s"), lit(0.5)).as("p50_s"),
+        percentile(col("gap_s"), lit(0.9)).as("p90_s"),
+        percentile(col("gap_s"), lit(0.99)).as("p99_s"))
+  }
+
+  /** Cart abandonment per day: sessions that clicked but never
+    * purchased, as a share of clicking sessions — the funnel's
+    * session-grain complement. Session assignment is the shared
+    * lag+cumsum; flags are one boolean aggregate per session, the
+    * daily rate one more tiny aggregate. A session belongs to the
+    * day it starts.
+    */
+  def cartAbandonment(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        to_date(min("ts")).as("day"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicked"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"))
+      .filter(col("clicked") === 1L)
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_click_sessions"),
+        sum(lit(1L) - col("purchased")).as("n_abandoned"))
+      .withColumn("abandonment_rate",
+        round(col("n_abandoned") / col("n_click_sessions"), 6))
+  }
+
   /** Weekly seasonality profile — the (day-of-week × hour-of-day)
     * activity heatmap: average events per occurrence of each slot,
     * i.e. total slot events / number of distinct calendar hours that

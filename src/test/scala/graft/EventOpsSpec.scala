@@ -18,6 +18,38 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withColumn("value", lit(1.0))
 
+  test("interEventGaps: per-user consecutive gaps only, first events excluded") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),  // first for user 1 → no gap
+      (2L, "2024-01-01 10:00:10", 1L, "view"),   // 10 s
+      (3L, "2024-01-01 10:00:40", 1L, "click"),  // 30 s
+      (4L, "2024-01-01 09:00:00", 2L, "view"),   // first for user 2 → no gap
+      (5L, "2024-01-01 09:00:20", 2L, "click"))  // 20 s
+    val r = EventOps.interEventGaps(e).collect().head
+    assert(r.getLong(0) == 3L, "three gaps across two users")
+    assert(r.getDouble(1) == 20.0, s"median of {10, 20, 30}: $r")
+  }
+
+  test("cartAbandonment: clicking sessions without purchase, by start day") {
+    val e = events(
+      // session A (user 1, Jan 1): click, no purchase → abandoned
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:05:00", 1L, "view"),
+      // session B (user 1, same day after gap): click → purchase
+      (3L, "2024-01-01 14:00:00", 1L, "click"),
+      (4L, "2024-01-01 14:10:00", 1L, "purchase"),
+      // session C (user 2, Jan 2): view only → NOT a clicking session
+      (5L, "2024-01-02 09:00:00", 2L, "view"),
+      // session D (user 2, Jan 2, later): click, no purchase
+      (6L, "2024-01-02 12:00:00", 2L, "click"))
+    val out = EventOps.cartAbandonment(e).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      "2024-01-01" -> (2L, 1L, 0.5),
+      "2024-01-02" -> (1L, 1L, 1.0)), s"abandonment: $out")
+  }
+
   test("dowHourProfile averages per slot occurrence, not per calendar hour") {
     // two Mondays at 09:00 with 3 and 1 events, one Sunday 09:00 with 1
     val e = events(
