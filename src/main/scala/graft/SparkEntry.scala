@@ -449,6 +449,8 @@ object SparkEntry {
       Analytics.abcClass(Tables.lineitem(s, dir))),
     "q_order_backlog" -> ((s, dir) =>
       Analytics.orderBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q_gini_revenue" -> ((s, dir) =>
+      Analytics.giniRevenue(Tables.lineitem(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -2207,6 +2209,16 @@ object SparkEntry {
         | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
         .stripMargin.replace("\n", " "),
+    "q_gini_revenue" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        | FROM lineitem GROUP BY 1),
+        |rk AS (SELECT revenue, CAST(row_number() OVER (ORDER BY revenue,
+        |   l_partkey) AS DOUBLE) AS rank FROM rev)
+        |SELECT count(*) AS n_products,
+        | round(2.0 * sum(rank * revenue) / (count(*) * sum(revenue))
+        |  - (count(*) + 1.0) / count(*), 6) AS gini
+        |FROM rk""".stripMargin.replace("\n", " "),
     "q_order_backlog" ->
       """WITH ls AS (SELECT l_orderkey, CAST(max(l_shipdate) AS DATE)
         |   AS last_ship FROM lineitem GROUP BY 1),

@@ -1068,6 +1068,44 @@ object Analytics {
         col("avg_price").isNotNull.as("is_observed"))
   }
 
+  /** GINI coefficient of product revenue — the single-number
+    * concentration companion to [[paretoRevenue]]/[[abcClass]]:
+    * G = 2·Σ(iᵢ·xᵢ)/(n·Σx) − (n+1)/n with revenues ranked
+    * ascending. The global ascending rank runs as the same banded
+    * two-phase prefix pattern (ascending quarter-octave bands this
+    * time), so no single-task window; the weighted sum, n and Σx are
+    * then one aggregate. Rounded to 6 dp (rank·revenue sums agree
+    * cross-engine to ~1e-12 relative).
+    */
+  def giniRevenue(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val rev = lineitem.groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .localCheckpoint(true)
+    val banded = rev.withColumn("band",
+      floor(log2(greatest(col("revenue"), lit(java.lang.Double.MIN_VALUE))) * 4)
+        .cast("long"))
+    val totals = banded.groupBy("band")
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, c) => val off = (b, acc); acc += c; off }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("band", "rank_offset")
+    val w = Window.partitionBy("band")
+      .orderBy(col("revenue").asc, col("l_partkey").asc)
+    banded.join(broadcast(offsetsDf), Seq("band"))
+      .select(col("revenue"),
+        (col("rank_offset") + row_number().over(w)).cast("double").as("rank"))
+      .agg(
+        count(lit(1)).as("n_products"),
+        round(
+          lit(2.0) * sum(col("rank") * col("revenue")) /
+            (count(lit(1)) * sum(col("revenue"))) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1)), 6).as("gini"))
+  }
+
   /** Order BACKLOG time series: orders open (placed, not yet fully
     * shipped) at each month end. The naive spine×orders interval
     * join is |orders|·|months| rows; the +1/−1 event encoding is two

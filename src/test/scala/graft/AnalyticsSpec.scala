@@ -238,6 +238,23 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("giniRevenue: 0 for equality, known value for crafted inequality") {
+    def li(revs: Double*) = revs.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }
+      .toDF("l_partkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val equal = Analytics.giniRevenue(li(10, 10, 10, 10)).collect().head
+    assert(equal.getDouble(1) == 0.0, s"perfect equality: $equal")
+    // revenues 1, 1, 1, 7: G = 2*(1+2+3+28)/(4*10) - 5/4 = 0.45
+    val skewed = Analytics.giniRevenue(li(1, 1, 1, 7)).collect().head
+    assert(skewed.getLong(0) == 4L && skewed.getDouble(1) == 0.45,
+      s"crafted gini: $skewed")
+    // the banded rank path is partition-independent
+    val again = Analytics.giniRevenue(
+      li(1, 1, 1, 7).repartition(7)).collect().head
+    assert(again.getDouble(1) == 0.45)
+  }
+
   test("orderBacklog: +1/-1 encoding equals a naive open-interval count") {
     val orders = Seq(
       (1L, "1995-01-10"), (2L, "1995-01-20"), (3L, "1995-02-05"),
