@@ -238,6 +238,19 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("banded-prefix operators survive empty input (no driver-collect crash)") {
+    val noLi = Seq.empty[(Long, Double, Double)]
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    assert(Analytics.paretoRevenue(noLi).collect().isEmpty)
+    assert(Analytics.abcClass(noLi).collect().isEmpty)
+    val noPart = Seq.empty[(Long, Double, Int)]
+      .toDF("p_partkey", "p_retailprice", "p_size")
+    assert(Analytics.skyline(noPart).collect().isEmpty)
+    // gini of nothing: one aggregate row, zero products, null ratio
+    val g = Analytics.giniRevenue(noLi).collect().head
+    assert(g.getLong(0) == 0L && g.isNullAt(1))
+  }
+
   test("giniRevenue: 0 for equality, known value for crafted inequality") {
     def li(revs: Double*) = revs.zipWithIndex
       .map { case (r, i) => (i.toLong, r) }
