@@ -131,4 +131,33 @@ class TextPropertySpec extends SparkSpec {
         s"w=$w kept $kept, expected ~$expect")
     }
   }
+
+  test("tokenDropout kernel equals a driver-side reference on random docs") {
+    val rnd = new scala.util.Random(23)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refDropout(id: Long, text: String, thr: String, salt: String): String =
+      toks(text).zipWithIndex.filter { case (_, i) =>
+        val hex = md.digest(s"$id:$i:$salt".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        hex >= thr
+      }.map(_._1).mkString(" ")
+    for (round <- 1 to 5) {
+      val docs = randomDocs(rnd, 80)
+      val rate = 0.1 + rnd.nextInt(8) / 10.0
+      val thr = f"${math.floor(rate * 4294967296.0).toLong}%08x"
+      val got = TextAnalysis
+        .augmentTokenDropout(docs.toDF("doc_id", "text"), rate, salt = s"r$round")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = docs.map { case (id, t) =>
+        id -> refDropout(id, t, thr, s"r$round") }.toMap
+      assert(got == want, s"round $round rate $rate")
+      // survivors preserve original token order (subsequence property)
+      got.foreach { case (id, aug) =>
+        val orig = toks(docs.find(_._1 == id).get._2).iterator
+        toks(aug).foreach { t =>
+          assert(orig.contains(t), s"doc $id: '$t' out of order or absent")
+        }
+      }
+    }
+  }
 }
