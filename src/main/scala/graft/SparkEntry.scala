@@ -451,6 +451,10 @@ object SparkEntry {
       Analytics.orderBacklog(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "q_gini_revenue" -> ((s, dir) =>
       Analytics.giniRevenue(Tables.lineitem(s, dir))),
+    "q_supplier_hhi" -> ((s, dir) =>
+      Analytics.supplierHhi(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_basket_sizes" -> ((s, dir) =>
+      Analytics.basketSizes(Tables.lineitem(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
@@ -2209,6 +2213,24 @@ object SparkEntry {
         | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
         .stripMargin.replace("\n", " "),
+    "q_supplier_hhi" ->
+      """WITH s AS (SELECT p_type, l_suppkey,
+        |  sum(l_extendedprice * (1 - l_discount)) AS supp_rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |t AS (SELECT p_type, sum(supp_rev) AS type_rev,
+        |  count(*) AS n_suppliers FROM s GROUP BY 1)
+        |SELECT s.p_type, t.n_suppliers,
+        | round(sum(pow(s.supp_rev / t.type_rev, 2)), 6) AS hhi
+        |FROM s JOIN t USING (p_type) GROUP BY 1, 2""".stripMargin
+        .replace("\n", " "),
+    "q_basket_sizes" ->
+      """WITH b AS (SELECT l_orderkey,
+        |  count(DISTINCT l_partkey) AS n_parts FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_orders,
+        | quantile_cont(n_parts, 0.5) AS p50_parts,
+        | quantile_cont(n_parts, 0.9) AS p90_parts,
+        | quantile_cont(n_parts, 0.99) AS p99_parts,
+        | max(n_parts) AS max_parts FROM b""".stripMargin.replace("\n", " "),
     "q_gini_revenue" ->
       """WITH rev AS (SELECT l_partkey,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue

@@ -1068,6 +1068,47 @@ object Analytics {
         col("avg_price").isNotNull.as("is_observed"))
   }
 
+  /** Herfindahl–Hirschman index per product type: Σ(share²) of
+    * supplier revenue within each type — the GROUP-grain market
+    * concentration companion to the global [[giniRevenue]] (>0.25 ≈
+    * "highly concentrated" in the antitrust convention). Shares live
+    * entirely inside their group, so this is two partial-agg
+    * shuffles ((type, supplier) rollup → per-type total joined back)
+    * and no ranking at all.
+    */
+  def supplierHhi(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val bySupp = lineitem
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type", "l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("supp_rev"))
+    val byType = bySupp.groupBy("p_type")
+      .agg(sum("supp_rev").as("type_rev"),
+        count(lit(1)).as("n_suppliers"))
+    bySupp.join(byType, Seq("p_type"))
+      .groupBy(col("p_type"), col("n_suppliers"))
+      .agg(round(sum(pow(col("supp_rev") / col("type_rev"), 2)), 6).as("hhi"))
+      .select("p_type", "n_suppliers", "hhi")
+  }
+
+  /** Basket-size distribution: exact percentiles of distinct parts
+    * per order — the fan-out profile that justifies
+    * [[basketAffinity]]'s giant-order guard (maxParts should sit
+    * above p99). One rollup, one count-map percentile over small
+    * integers.
+    */
+  def basketSizes(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_partkey").as("n_parts"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile(col("n_parts"), lit(0.5)).as("p50_parts"),
+        percentile(col("n_parts"), lit(0.9)).as("p90_parts"),
+        percentile(col("n_parts"), lit(0.99)).as("p99_parts"),
+        max("n_parts").as("max_parts"))
+
   /** GINI coefficient of product revenue — the single-number
     * concentration companion to [[paretoRevenue]]/[[abcClass]]:
     * G = 2·Σ(iᵢ·xᵢ)/(n·Σx) − (n+1)/n with revenues ranked

@@ -238,6 +238,31 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("supplierHhi: monopoly scores 1, even split scores 1/n") {
+    val part = Seq((1L, "widget"), (2L, "gadget")).toDF("p_partkey", "p_type")
+    val li = Seq(
+      // widget: one supplier → HHI 1.0
+      (1L, 10L, 100.0),
+      // gadget: two equal suppliers → HHI 0.5
+      (2L, 20L, 50.0), (2L, 21L, 50.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+      .withColumn("l_discount", lit(0.0))
+    val out = Analytics.supplierHhi(li, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map("widget" -> (1L, 1.0), "gadget" -> (2L, 0.5)), s"$out")
+  }
+
+  test("basketSizes: distinct parts per order, exact percentiles") {
+    val li = Seq(
+      (1L, 10L), (1L, 10L), (1L, 11L), // order 1: 2 distinct (10 repeats)
+      (2L, 10L),                       // order 2: 1
+      (3L, 10L), (3L, 11L), (3L, 12L)) // order 3: 3
+      .toDF("l_orderkey", "l_partkey")
+    val r = Analytics.basketSizes(li).collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 2.0 && r.getLong(4) == 3L,
+      s"sizes {1,2,3}: $r")
+  }
+
   test("banded-prefix operators survive empty input (no driver-collect crash)") {
     val noLi = Seq.empty[(Long, Double, Double)]
       .toDF("l_partkey", "l_extendedprice", "l_discount")
