@@ -174,6 +174,8 @@ object SparkEntry {
       TextAnalysis.perplexityFilter(Tables.documents(s, dir))),
     "docs_augment_dropout" -> ((s, dir) =>
       TextAnalysis.augmentTokenDropout(Tables.documents(s, dir))),
+    "docs_vocab_growth" -> ((s, dir) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .select("doc_id", "fingerprint_md5")),
@@ -1872,6 +1874,18 @@ object SparkEntry {
           | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
           |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
           |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "docs_vocab_growth" ->
+      (toksCte +
+        """, f AS (SELECT unnest(list_distinct(toks)) AS word,
+          |  doc_id FROM t),
+          |fs AS (SELECT word, min(doc_id) AS first_doc FROM f GROUP BY 1),
+          |m AS (SELECT max(doc_id) AS max_id FROM documents),
+          |b AS (SELECT first_doc * 10 // (max_id + 1) AS checkpoint
+          |  FROM fs, m)
+          |SELECT checkpoint, count(*) AS new_types,
+          | sum(count(*)) OVER (ORDER BY checkpoint
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+          |FROM b GROUP BY 1""".stripMargin.replace("\n", " ")),
     "docs_augment_dropout" ->
       // drop token i of doc d iff md5('d:i:aug0')[:8] < 0x19999999
       // (rate 0.1); DuckDB lambda index is 1-based → i - 1

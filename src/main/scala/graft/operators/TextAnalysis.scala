@@ -280,6 +280,33 @@ object TextAnalysis {
         round(avg(-log(col("c_bigram") / col("c_first"))), 6).as("avg_surprisal"))
   }
 
+  /** Vocabulary GROWTH curve (Heaps' law): distinct token types seen
+    * after each corpus checkpoint, in doc_id order. The naive form
+    * (distinct-count per prefix) rescans the corpus per checkpoint;
+    * this computes each type's FIRST occurrence (one min-aggregate —
+    * a type is "new" exactly once), bands first occurrences into
+    * `checkpoints` equal doc_id ranges with pure integer arithmetic,
+    * and prefix-sums new-type counts over the checkpoint relation
+    * (≤ `checkpoints` rows — bounded by construction, like the
+    * calendar windows). One corpus scan total, any corpus size.
+    */
+  def vocabGrowth(docs: DataFrame, checkpoints: Int = 10): DataFrame = {
+    val firstSeen = docs
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text"))))
+        .as("word"))
+      .groupBy("word").agg(min("doc_id").as("first_doc"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("checkpoint")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    firstSeen.crossJoin(broadcast(maxId))
+      .select(expr(s"first_doc * $checkpoints div (max_id + 1)")
+        .as("checkpoint"))
+      .groupBy("checkpoint")
+      .agg(count(lit(1)).as("new_types"))
+      .withColumn("vocab_size", sum("new_types").over(w))
+  }
+
   /** Deterministic augmentation — token dropout at `rate`, keyed on
     * (doc_id, position, salt): the same document augments
     * IDENTICALLY on every run and engine (reproducible training

@@ -72,6 +72,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "de", 3L -> "und"))
   }
 
+  test("vocabGrowth: first occurrences band into checkpoints, curve accumulates") {
+    // 10 docs; each doc d introduces word w_d and repeats w_0 —
+    // vocabulary grows by exactly one type per doc
+    val docs = (0L until 10L).map(d => (d, s"w$d w0 w0")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, checkpoints = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 5 checkpoints of 2 docs each → 2 new types per checkpoint,
+    // vocab_size accumulating 2, 4, 6, 8, 10
+    assert(out == Map(
+      0L -> (2L, 2L), 1L -> (2L, 4L), 2L -> (2L, 6L),
+      3L -> (2L, 8L), 4L -> (2L, 10L)), s"growth curve: $out")
+  }
+
   test("augmentTokenDropout: deterministic per (doc, position, salt)") {
     val docs = (1L to 200L).map(i =>
       (i, "alpha bravo charlie delta echo foxtrot golf hotel india juliett"))
