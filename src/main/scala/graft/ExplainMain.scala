@@ -20,7 +20,7 @@ object ExplainMain {
       "ann_rerank", "docs_source_cap", "sketch_compact",
       "docs_context_chunks", "docs_curate_capped", "stream_curate_gate",
       "docs_shuffle_shard", "docs_token_budget", "dedup_blocked_suppress",
-      "docs_curate_full", "etl_cdc_apply", "etl_table_diff", "q_skyline",
+      "docs_curate_full", "q_gini_revenue", "q_supplier_hhi", "events_inter_event_gaps", "q_cart_abandonment", "docs_vocab_growth", "etl_cdc_apply", "etl_table_diff", "q_skyline",
       "sample_poisson_k", "ann_filtered_topk", "dedup_edit_distance",
       "q_price_fill", "q_brand_trend", "mm_near_dup_blobs", "q_abc_class",
       "q_order_backlog", "events_common_paths", "docs_perplexity_filter",
