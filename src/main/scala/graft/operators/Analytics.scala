@@ -1083,6 +1083,9 @@ object Analytics {
       .groupBy("p_type", "l_suppkey")
       .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
         .as("supp_rev"))
+      // |types|·|suppliers| rows, consumed by the per-type total AND
+      // the share join — without pinning, the fact scans twice
+      .localCheckpoint(true)
     val byType = bySupp.groupBy("p_type")
       .agg(sum("supp_rev").as("type_rev"),
         count(lit(1)).as("n_suppliers"))
@@ -1165,6 +1168,9 @@ object Analytics {
       .select(
         date_trunc("month", col("o_orderdate")).cast("date").as("open_m"),
         date_trunc("month", col("last_ship")).cast("date").as("close_m"))
+      // consumed by BOTH the opened and closed counts — without
+      // pinning, the orders⋈lineitem join runs twice
+      .localCheckpoint(true)
     val opened = spans.groupBy(col("open_m").as("month"))
       .agg(count(lit(1)).as("opened"))
     val closed = spans.groupBy(col("close_m").as("month"))

@@ -143,6 +143,10 @@ object Curation {
     val curated = docs.join(
       curate(docs, minTokens, maxTokens, minQuality, benchMod)
         .select("doc_id"), Seq("doc_id"), "left_semi")
+      // sampleToMixture consumes its input twice (per-source counts,
+      // then the rate filter) — pin the survivors or the whole
+      // curation chain runs twice
+      .localCheckpoint(true)
     Sampling.sampleToMixture(curated, "doc_id", "source", targetShares)
       .select("doc_id", "source")
   }
