@@ -396,6 +396,9 @@ object EventOps {
   def conversionLatency(events: DataFrame): DataFrame = {
     val signup = events.filter(col("event_type") === "signup")
       .groupBy("user_id").agg(min("ts").as("signup_ts"))
+      // |users| rows, consumed by the purchase join AND the final
+      // pairing — pin it or the signup scan runs twice
+      .localCheckpoint(true)
     val purchase = events.filter(col("event_type") === "purchase")
       .join(signup, "user_id")
       .filter(col("ts") > col("signup_ts"))
