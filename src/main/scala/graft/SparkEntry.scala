@@ -925,14 +925,20 @@ object SparkEntry {
         |FROM sess WHERE clicked = 1 GROUP BY 1""".stripMargin
         .replace("\n", " "),
     "events_dow_hour_profile" ->
-      // DuckDB dayofweek: Sunday=0; Spark: Sunday=1 → +1
+      // DuckDB dayofweek: Sunday=0; Spark: Sunday=1 → +1. Calendar
+      // spine: zero-event hours count in the slot denominator
       """WITH h AS (SELECT date_trunc('hour', ts) AS hb, count(*) AS n
-        |  FROM events GROUP BY 1)
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS hb FROM b),
+        |f AS (SELECT spine.hb, coalesce(h.n, 0) AS n
+        |  FROM spine LEFT JOIN h USING (hb))
         |SELECT CAST(dayofweek(hb) + 1 AS BIGINT) AS dow,
         | CAST(hour(hb) AS BIGINT) AS hour_of_day,
         | sum(n) AS n_events, count(*) AS n_slots,
         | round(avg(n), 6) AS avg_events
-        |FROM h GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+        |FROM f GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_conversion_latency" ->
       """WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
@@ -2265,21 +2271,24 @@ object SparkEntry {
         |o AS (SELECT open_m AS month, count(*) AS opened
         |  FROM spans GROUP BY 1),
         |c AS (SELECT close_m AS month, count(*) AS closed
-        |  FROM spans GROUP BY 1)
+        |  FROM spans GROUP BY 1),
+        |b AS (SELECT min(open_m) AS lo, max(close_m) AS hi FROM spans),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi,
+        |  INTERVAL 1 MONTH)) AS DATE) AS month FROM b)
         |SELECT month, coalesce(opened, 0) AS opened,
         | coalesce(closed, 0) AS closed,
         | sum(coalesce(opened, 0) - coalesce(closed, 0)) OVER (ORDER BY month
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
-        |FROM o FULL OUTER JOIN c USING (month)""".stripMargin
-        .replace("\n", " "),
+        |FROM spine LEFT JOIN o USING (month) LEFT JOIN c USING (month)"""
+        .stripMargin.replace("\n", " "),
     "q_abc_class" ->
       """WITH rev AS (SELECT l_partkey,
         |  sum(l_extendedprice * (1 - l_discount)) AS revenue
         | FROM lineitem GROUP BY 1),
         |rk AS (SELECT l_partkey,
-        |  sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+        |  round(sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   / sum(revenue) OVER () AS cum_share
+        |   / sum(revenue) OVER (), 9) AS cum_share
         | FROM rev)
         |SELECT l_partkey AS product_id,
         | CASE WHEN cum_share <= 0.8 THEN 'A'

@@ -317,6 +317,11 @@ object Analytics {
       expr("percentile(monetary, array(0.2, 0.4, 0.6, 0.8))").as("mc")).head()
     def above(v: Column, cs: Seq[Double]): Column =
       cs.map(c => when(v > c, 1L).otherwise(0L)).reduce(_ + _)
+    // empty input → null percentile arrays: no customers to score
+    if (cuts.isNullAt(0)) return per.select(
+      col("o_custkey"), col("recency_days"), col("frequency"),
+      col("monetary"), lit(0L).as("r_score"), lit(0L).as("f_score"),
+      lit(0L).as("m_score"), lit(0L).as("rfm")).limit(0)
     val rc = cuts.getSeq[Double](0); val fc = cuts.getSeq[Double](1)
     val mc = cuts.getSeq[Double](2)
     per.select(col("o_custkey"), col("recency_days"), col("frequency"),
@@ -338,14 +343,23 @@ object Analytics {
     * l_orderkey fans out ≤ maxParts²/2 per order: linear in orders,
     * one shuffle for the join, one for the pair count.
     */
-  def basketAffinity(lineitem: DataFrame, minOrders: Long = 2,
-                     maxParts: Int = 20): DataFrame = {
+  /** The shared basket core: (order, part) distinct rows surviving
+    * the giant-order guard, pinned because every consumer reads it
+    * at least twice (both sides of the pair self-join, the per-part
+    * counts). */
+  private def guardedBaskets(lineitem: DataFrame, maxParts: Int): DataFrame = {
     val perOrder = lineitem.select("l_orderkey", "l_partkey").distinct()
     val small = perOrder.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_parts"))
       .filter(col("n_parts") <= maxParts)
       .select("l_orderkey")
-    val guarded = perOrder.join(small, Seq("l_orderkey"), "left_semi")
+    perOrder.join(small, Seq("l_orderkey"), "left_semi")
+      .localCheckpoint(true)
+  }
+
+  /** Guarded co-purchase pair counts ≥ minOrders — the shared pair
+    * engine of [[basketAffinity]] and [[basketRules]]. */
+  private def guardedPairs(guarded: DataFrame, minOrders: Long): DataFrame =
     guarded.select(col("l_orderkey"), col("l_partkey").as("part_a"))
       .join(guarded.select(col("l_orderkey"), col("l_partkey").as("part_b")),
         Seq("l_orderkey"))
@@ -353,7 +367,10 @@ object Analytics {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_orders_together"))
       .filter(col("n_orders_together") >= minOrders)
-  }
+
+  def basketAffinity(lineitem: DataFrame, minOrders: Long = 2,
+                     maxParts: Int = 20): DataFrame =
+    guardedPairs(guardedBaskets(lineitem, maxParts), minOrders)
 
   /** Association rules over [[basketAffinity]]'s pairs: directed
     * confidence(a→b) = together/orders(a) and lift =
@@ -365,23 +382,12 @@ object Analytics {
     */
   def basketRules(lineitem: DataFrame, minOrders: Long = 2,
                   maxParts: Int = 20): DataFrame = {
-    val perOrder = lineitem.select("l_orderkey", "l_partkey").distinct()
-    val small = perOrder.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_parts"))
-      .filter(col("n_parts") <= maxParts)
-      .select("l_orderkey")
-    val guarded = perOrder.join(small, Seq("l_orderkey"), "left_semi")
-      .localCheckpoint(true) // feeds pairs, per-part counts, and the total
+    val guarded = guardedBaskets(lineitem, maxParts)
     val nOrders = guarded.select("l_orderkey").distinct().count()
     val partOrders = guarded.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_orders_part"))
-    val pairs = guarded.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(guarded.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("n_together"))
-      .filter(col("n_together") >= minOrders)
+    val pairs = guardedPairs(guarded, minOrders)
+      .withColumnRenamed("n_orders_together", "n_together")
     val directed = pairs.select(col("part_a").as("antecedent"),
         col("part_b").as("consequent"), col("n_together"))
       .unionByName(pairs.select(col("part_b").as("antecedent"),
@@ -1175,9 +1181,18 @@ object Analytics {
       .agg(count(lit(1)).as("opened"))
     val closed = spans.groupBy(col("close_m").as("month"))
       .agg(count(lit(1)).as("closed"))
+    // month SPINE from the span bounds: a quiet month still carries
+    // its (nonzero) backlog — without it the series silently skips
+    // months with no open/close events
+    val bounds = spans.agg(min("open_m").as("lo"), max("close_m").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 month"))).as("month"))
     val w = Window.orderBy("month")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    opened.join(closed, Seq("month"), "full_outer")
+    spine
+      .join(opened, Seq("month"), "left")
+      .join(closed, Seq("month"), "left")
       .select(col("month"),
         coalesce(col("opened"), lit(0L)).as("opened"),
         coalesce(col("closed"), lit(0L)).as("closed"))
@@ -1218,7 +1233,11 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     banded.join(broadcast(offsetsDf), Seq("band"))
       .select(col("l_partkey").as("product_id"),
-        ((col("rev_offset") + sum("revenue").over(w)) / lit(totalRev))
+        // 9-dp rounding pins the classification grid: the cumulative
+        // double sums agree cross-engine to ~1e-12 relative, and a
+        // raw compare could flip a product sitting ulps from a
+        // boundary (same convention as gini/trend/hhi outputs)
+        round((col("rev_offset") + sum("revenue").over(w)) / lit(totalRev), 9)
           .as("cum_share"))
       .select(col("product_id"),
         when(col("cum_share") <= aShare, "A")

@@ -38,12 +38,22 @@ object DedupStore {
         array_distinct(gf.tokenShingleHashes(col("text"), shingleSize)),
         numPerms, seed).as("sig"))
 
-  def build(docs: DataFrame, path: String): Unit =
-    fingerprintRows(docs).write.mode("overwrite").parquet(path)
+  /** Builder and maintenance take the SAME fingerprint parameters as
+    * the query side: a store built with one shingle/signature shape
+    * and banded with another would silently collide on (almost)
+    * nothing — recall collapse, no error — so the parameters travel
+    * together everywhere. */
+  def build(docs: DataFrame, path: String, shingleSize: Int = 3,
+            numPerms: Int = DefaultPerms, seed: Long = DefaultSeed): Unit =
+    fingerprintRows(docs, shingleSize, numPerms, seed)
+      .write.mode("overwrite").parquet(path)
 
-  /** Nightly maintenance: append one batch's fingerprints. */
-  def append(newDocs: DataFrame, path: String): Unit =
-    fingerprintRows(newDocs).write.mode("append").parquet(path)
+  /** Nightly maintenance: append one batch's fingerprints (must use
+    * the build-time parameters). */
+  def append(newDocs: DataFrame, path: String, shingleSize: Int = 3,
+             numPerms: Int = DefaultPerms, seed: Long = DefaultSeed): Unit =
+    fingerprintRows(newDocs, shingleSize, numPerms, seed)
+      .write.mode("append").parquet(path)
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

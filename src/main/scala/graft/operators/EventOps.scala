@@ -199,10 +199,16 @@ object EventOps {
     * inactivity per user. Classic lag+cumsum — one shuffle on
     * user_id, session assignment is then per-partition.
     */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+  /** The SHARED session-assignment core: every event gains its
+    * `session_seq` via the classic lag+cumsum over one user_id
+    * shuffle. Native timestamp comparison at full µs precision —
+    * `unix_timestamp` truncates to whole seconds and flips
+    * sub-second gap boundaries — which is why this exists ONCE and
+    * [[sessionize]]/[[commonSessionPaths]]/[[cartAbandonment]] all
+    * call it instead of re-typing the boundary comparison.
+    */
+  private def assignSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    // Native timestamp comparison (full µs precision): unix_timestamp
-    // truncates to whole seconds and flips sub-second gap boundaries.
     val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
     events
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
@@ -211,13 +217,16 @@ object EventOps {
           .otherwise(0L))
       .withColumn("session_seq", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    assignSessions(events, gapMinutes)
       .groupBy("user_id", "session_seq")
       .agg(
         min("ts").as("session_start"),
         max("ts").as("session_end"),
         count(lit(1)).as("num_events"),
         sum("value").as("total_value"))
-  }
 
   /** Session aggregation via Spark's built-in `session_window`
     * (gap-based, window end = last event + gap). Same shuffle shape
@@ -342,16 +351,8 @@ object EventOps {
     * daily rate one more tiny aggregate. A session belongs to the
     * day it starts.
     */
-  def cartAbandonment(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
-    events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum("new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def cartAbandonment(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    assignSessions(events, gapMinutes)
       .groupBy("user_id", "session_seq")
       .agg(
         to_date(min("ts")).as("day"),
@@ -364,19 +365,28 @@ object EventOps {
         sum(lit(1L) - col("purchased")).as("n_abandoned"))
       .withColumn("abandonment_rate",
         round(col("n_abandoned") / col("n_click_sessions"), 6))
-  }
 
   /** Weekly seasonality profile — the (day-of-week × hour-of-day)
-    * activity heatmap: average events per occurrence of each slot,
-    * i.e. total slot events / number of distinct calendar hours that
-    * fell in the slot (so a corpus spanning partial weeks doesn't
-    * skew the profile). Two aggregates over one rollup; output is
-    * always ≤ 168 rows.
+    * activity heatmap: average events per CALENDAR occurrence of
+    * each slot — total slot events / calendar hours of the span that
+    * fell in the slot, zero-event hours included (the spine comes
+    * from a 1-row bounds aggregate exploded through a generator, the
+    * [[graft.operators.Analytics.priceFill]] pattern). Counting only
+    * active hours would overstate quiet slots; counting the calendar
+    * keeps partial weeks honest too. Output ≤ 168 rows, always.
     */
-  def dowHourProfile(events: DataFrame): DataFrame =
-    events
+  def dowHourProfile(events: DataFrame): DataFrame = {
+    val hourly = events
       .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // bounds agg + spine join share it
+    val bounds = hourly.agg(
+      min("hour_bucket").as("lo"), max("hour_bucket").as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+      .as("hour_bucket"))
+    spine.join(hourly, Seq("hour_bucket"), "left")
+      .select(col("hour_bucket"), coalesce(col("n"), lit(0L)).as("n"))
       .groupBy(
         dayofweek(col("hour_bucket")).cast("long").as("dow"),
         hour(col("hour_bucket")).cast("long").as("hour_of_day"))
@@ -384,6 +394,7 @@ object EventOps {
         sum("n").as("n_events"),
         count(lit(1)).as("n_slots"),
         round(avg("n"), 6).as("avg_events"))
+  }
 
   /** Conversion LATENCY distribution: per user, first signup → first
     * purchase strictly after it; then exact interpolated percentiles
@@ -430,17 +441,9 @@ object EventOps {
   def commonSessionPaths(events: DataFrame, gapMinutes: Int = 30,
                          maxSteps: Int = 8,
                          minSessions: Long = 5): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
     val bySession = Window.partitionBy("user_id", "session_seq")
       .orderBy(col("ts"), col("event_id"))
-    events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + gap, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq", sum("new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assignSessions(events, gapMinutes)
       .withColumn("step", row_number().over(bySession))
       .filter(col("step") <= maxSteps)
       .groupBy("user_id", "session_seq")

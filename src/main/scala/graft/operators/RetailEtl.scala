@@ -209,6 +209,11 @@ object RetailEtl {
     * output shape, which is why the column is named without "exact").
     */
   def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "dqProfile needs at least one column")
+    // names are interpolated into stack() SQL below — restrict to
+    // plain identifiers rather than attempt escaping
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"dqProfile column name must be a plain identifier, got '$c'"))
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
       countDistinct(col(c)).as(s"${c}__distinct")))

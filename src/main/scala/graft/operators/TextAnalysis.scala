@@ -334,9 +334,12 @@ object TextAnalysis {
   def perplexityFilter(docs: DataFrame, pct: Double = 0.9): DataFrame = {
     val scored = lmScore(docs)
       .localCheckpoint(true) // consumed by the percentile agg AND the filter
-    val cut = scored
-      .agg(percentile(col("avg_surprisal"), lit(pct))).head.getDouble(0)
-    scored.filter(col("avg_surprisal") <= cut)
+    val cutRow = scored
+      .agg(percentile(col("avg_surprisal"), lit(pct))).head
+    // no scorable docs (every doc < 2 tokens) → null percentile →
+    // nothing to keep, not an NPE
+    if (cutRow.isNullAt(0)) scored.limit(0)
+    else scored.filter(col("avg_surprisal") <= cutRow.getDouble(0))
   }
 
   /** Char-trigram language affinity (fastText-style profile check,

@@ -274,6 +274,14 @@ class AnalyticsSpec extends SparkSpec {
     // gini of nothing: one aggregate row, zero products, null ratio
     val g = Analytics.giniRevenue(noLi).collect().head
     assert(g.getLong(0) == 0L && g.isNullAt(1))
+    // percentile-cut operators: empty in, empty out (not an NPE on
+    // the null percentile row)
+    val noOrders = Seq.empty[(Long, java.sql.Timestamp, Double)]
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    assert(Analytics.rfmSegments(noOrders).collect().isEmpty)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.perplexityFilter(noDocs)
+      .collect().isEmpty)
   }
 
   test("giniRevenue: 0 for equality, known value for crafted inequality") {
@@ -313,6 +321,16 @@ class AnalyticsSpec extends SparkSpec {
     // Apr: order 4 opens and closes → 0.
     assert(got == Map("1995-01" -> 1L, "1995-02" -> 1L,
       "1995-03" -> 0L, "1995-04" -> 0L), s"backlog series: $got")
+    // a QUIET month still reports its open backlog: one order spans
+    // Jan..May with zero activity in between → Feb/Mar/Apr rows exist
+    val lone = Seq((9L, "1995-01-15")).toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", $"d".cast("timestamp")).drop("d")
+    val loneLi = Seq((9L, "1995-05-20")).toDF("l_orderkey", "d")
+      .withColumn("l_shipdate", $"d".cast("timestamp")).drop("d")
+    val spine = Analytics.orderBacklog(lone, loneLi).collect()
+      .map(r => r.getDate(0).toString.take(7) -> r.getLong(3)).toMap
+    assert(spine == Map("1995-01" -> 1L, "1995-02" -> 1L, "1995-03" -> 1L,
+      "1995-04" -> 1L, "1995-05" -> 0L), s"spine-filled series: $spine")
   }
 
   test("abcClass labels products by cumulative revenue share") {

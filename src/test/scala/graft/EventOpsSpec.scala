@@ -51,7 +51,10 @@ class EventOpsSpec extends SparkSpec {
   }
 
   test("dowHourProfile averages per slot occurrence, not per calendar hour") {
-    // two Mondays at 09:00 with 3 and 1 events, one Sunday 09:00 with 1
+    // span 2024-01-07 09:00 .. 2024-01-15 09:00 (193 calendar hours,
+    // > one week → all 168 slots exist). Mondays at 09:00 carry 3+1
+    // events over 2 calendar occurrences; Sunday 09:00 has 1 event
+    // but TWO calendar occurrences (Jan 7 and the quiet Jan 14)
     val e = events(
       (1L, "2024-01-08 09:05:00", 1L, "click"),
       (2L, "2024-01-08 09:10:00", 2L, "click"),
@@ -61,11 +64,13 @@ class EventOpsSpec extends SparkSpec {
     val out = EventOps.dowHourProfile(e).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
-    // Spark dayofweek: Sunday=1, Monday=2. The Monday average is per
-    // SLOT occurrence — (3+1)/2, not 4/1 — which is the test's point.
-    assert(out == Map(
-      (2L, 9L) -> (4L, 2L, 2.0),
-      (1L, 9L) -> (1L, 1L, 1.0)), s"profile: $out")
+    assert(out.size == 168, s"full-week span covers every slot: ${out.size}")
+    // Spark dayofweek: Sunday=1, Monday=2. Averages are per CALENDAR
+    // slot occurrence — the quiet Sunday hour halves Sunday's average
+    assert(out((2L, 9L)) == (4L, 2L, 2.0), s"monday 9: ${out((2L, 9L))}")
+    assert(out((1L, 9L)) == (1L, 2L, 0.5), s"sunday 9: ${out((1L, 9L))}")
+    // a never-active slot reports zero over its calendar occurrences
+    assert(out((3L, 3L)) == (0L, 1L, 0.0), s"tuesday 3am: ${out((3L, 3L))}")
   }
 
   test("conversionLatency: strictly-after purchases, exact minute percentiles") {
