@@ -344,17 +344,20 @@ object Analytics {
     * one shuffle for the join, one for the pair count.
     */
   /** The shared basket core: (order, part) distinct rows surviving
-    * the giant-order guard, pinned because every consumer reads it
-    * at least twice (both sides of the pair self-join, the per-part
-    * counts). */
-  private def guardedBaskets(lineitem: DataFrame, maxParts: Int): DataFrame = {
+    * the giant-order guard. `pin` materializes it for callers with
+    * several independent consumers ([[basketRules]]: pairs,
+    * per-part counts, order total); [[basketAffinity]]'s lone
+    * self-join gets exchange reuse for free and skips the
+    * checkpoint write. */
+  private def guardedBaskets(lineitem: DataFrame, maxParts: Int,
+                             pin: Boolean): DataFrame = {
     val perOrder = lineitem.select("l_orderkey", "l_partkey").distinct()
     val small = perOrder.groupBy("l_orderkey")
       .agg(count(lit(1)).as("n_parts"))
       .filter(col("n_parts") <= maxParts)
       .select("l_orderkey")
-    perOrder.join(small, Seq("l_orderkey"), "left_semi")
-      .localCheckpoint(true)
+    val guarded = perOrder.join(small, Seq("l_orderkey"), "left_semi")
+    if (pin) guarded.localCheckpoint(true) else guarded
   }
 
   /** Guarded co-purchase pair counts ≥ minOrders — the shared pair
@@ -370,7 +373,7 @@ object Analytics {
 
   def basketAffinity(lineitem: DataFrame, minOrders: Long = 2,
                      maxParts: Int = 20): DataFrame =
-    guardedPairs(guardedBaskets(lineitem, maxParts), minOrders)
+    guardedPairs(guardedBaskets(lineitem, maxParts, pin = false), minOrders)
 
   /** Association rules over [[basketAffinity]]'s pairs: directed
     * confidence(a→b) = together/orders(a) and lift =
@@ -382,7 +385,7 @@ object Analytics {
     */
   def basketRules(lineitem: DataFrame, minOrders: Long = 2,
                   maxParts: Int = 20): DataFrame = {
-    val guarded = guardedBaskets(lineitem, maxParts)
+    val guarded = guardedBaskets(lineitem, maxParts, pin = true)
     val nOrders = guarded.select("l_orderkey").distinct().count()
     val partOrders = guarded.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_orders_part"))
