@@ -108,6 +108,36 @@ class DedupStoreSpec extends SparkSpec {
       "micro-batched appends must equal the one-shot build")
   }
 
+  test("streamed store feeds the NEXT batch's incremental dedup end to end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    val (store, chk) = (s"$base/store", s"$base/chk")
+    // night 1: stream today's corpus slice into the fingerprint store
+    val night1 = corpus.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+      .map(r => StoreDoc(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val mem = MemoryStream[StoreDoc]
+    val q = graft.streaming.StreamingLoad
+      .fingerprintStoreSink(mem.toDF(), store, chk)
+    try { mem.addData(night1.toSeq); q.processAllAvailable() } finally q.stop()
+    // night 2's batch: half genuinely new docs, half re-ingested
+    // copies of night-1 texts under new ids — only the new survive
+    val reingested = corpus.limit(5)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val night2 = batch.unionByName(reingested)
+    val unseen = DedupStore
+      .incrementalExact(night2, DedupStore.load(spark, store))
+      .collect().map(_.getLong(0)).toSet
+    val expected = Dedup.incrementalExact(batch, corpus)
+      .collect().map(_.getLong(0)).toSet
+    assert(unseen == expected,
+      s"re-ingested texts must drop against the STREAMED store: " +
+        s"${unseen -- expected} unexpected, ${expected -- unseen} missing")
+  }
+
   test("near-dup verification finds a planted near-copy of a corpus doc") {
     val path = tmp()
     DedupStore.build(corpus, path)
