@@ -455,6 +455,9 @@ object SparkEntry {
       Analytics.giniRevenue(Tables.lineitem(s, dir))),
     "q_supplier_hhi" -> ((s, dir) =>
       Analytics.supplierHhi(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_discount_elasticity" -> ((s, dir) =>
+      Analytics.discountElasticity(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
     "q_basket_sizes" -> ((s, dir) =>
       Analytics.basketSizes(Tables.lineitem(s, dir))),
     "q_part_size_stats" -> ((s, dir) =>
@@ -2233,6 +2236,15 @@ object SparkEntry {
         | AND l_quantity < (SELECT 0.2 * avg(l_quantity)
         |  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)"""
         .stripMargin.replace("\n", " "),
+    "q_discount_elasticity" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        | round(regr_slope(l_quantity, l_discount), 4)
+        |  AS qty_per_discount_unit,
+        | round(regr_slope(l_quantity, l_discount) / 100.0, 6)
+        |  AS qty_per_discount_pct,
+        | round(regr_r2(l_quantity, l_discount), 6) AS r2
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_supplier_hhi" ->
       """WITH s AS (SELECT p_type, l_suppkey,
         |  sum(l_extendedprice * (1 - l_discount)) AS supp_rev

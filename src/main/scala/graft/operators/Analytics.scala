@@ -1077,6 +1077,28 @@ object Analytics {
         col("avg_price").isNotNull.as("is_observed"))
   }
 
+  /** Discount ELASTICITY per brand: least-squares slope of line-item
+    * quantity against discount — "does discounting move volume for
+    * this product line" — plus the slope scaled to percentage terms
+    * (unit response per discount point) and r². Same codegen'd
+    * `regr_*` partial-aggregation shape as [[brandTrend]], on the
+    * (discount, quantity) relationship instead of the time series:
+    * one broadcast dim join, one shuffle on brand, sums of products
+    * all the way down.
+    */
+  def discountElasticity(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(regr_slope(col("l_quantity"), col("l_discount")), 4)
+          .as("qty_per_discount_unit"),
+        round(regr_slope(col("l_quantity"), col("l_discount")) / 100.0, 6)
+          .as("qty_per_discount_pct"),
+        round(regr_r2(col("l_quantity"), col("l_discount")), 6).as("r2"))
+
   /** Herfindahl–Hirschman index per product type: Σ(share²) of
     * supplier revenue within each type — the GROUP-grain market
     * concentration companion to the global [[giniRevenue]] (>0.25 ≈

@@ -238,6 +238,20 @@ class AnalyticsSpec extends SparkSpec {
         s"monetary quintile $q holds ${share * 100}%% of customers") }
   }
 
+  test("discountElasticity recovers a crafted quantity-vs-discount slope") {
+    val part = Seq((1L, "Resp"), (2L, "Flat")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      // Resp: qty = 100*discount + 5 exactly → slope 100, r2 1
+      (1L, 0.00, 5.0), (1L, 0.05, 10.0), (1L, 0.10, 15.0),
+      // Flat: constant qty regardless of discount → slope 0
+      (2L, 0.00, 7.0), (2L, 0.05, 7.0), (2L, 0.10, 7.0))
+      .toDF("l_partkey", "l_discount", "l_quantity")
+    val out = Analytics.discountElasticity(li, part).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("Resp") == (3L, 100.0), s"responsive brand: ${out("Resp")}")
+    assert(out("Flat") == (3L, 0.0), s"flat brand: ${out("Flat")}")
+  }
+
   test("supplierHhi: monopoly scores 1, even split scores 1/n") {
     val part = Seq((1L, "widget"), (2L, "gadget")).toDF("p_partkey", "p_type")
     val li = Seq(
