@@ -485,6 +485,10 @@ object SparkEntry {
       Dedup.blockedJaccardPairs(Tables.documents(s, dir))),
     "dedup_ngram_contain" -> ((s, dir) =>
       Dedup.blockedContainmentPairs(Tables.documents(s, dir))),
+    "dedup_source_matrix" -> ((s, dir) =>
+      Dedup.crossSourceMatrix(Tables.documents(s, dir))),
+    "dedup_source_rate" -> ((s, dir) =>
+      Dedup.nearDupRateBySource(Tables.documents(s, dir))),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
     // incremental ingest split: doc_id % 10 == 0 plays the new batch
@@ -569,6 +573,32 @@ object SparkEntry {
     """WITH t AS (SELECT doc_id, text,
       | list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       |FROM documents)""".stripMargin.replace("\n", " ")
+
+  /** Verified blocked near-dup pairs as a CTE chain ending in
+    * `m(id_a, id_b)` — the DuckDB mirror of
+    * [[graft.operators.Dedup.blockedJaccardPairs]] at its defaults
+    * (3-token shingles, df ∈ [2, 64], ≥3 shared rare grams,
+    * Jaccard ≥ 0.5), shared by the source-diagnostic oracles. */
+  private val blockedPairsCte: String =
+    """WITH t AS (SELECT doc_id, list_filter(
+      |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+      | FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |   i -> array_to_string(toks[i:i+2], ' ')))
+      |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+      |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+      |  WHERE a.doc_id < c.doc_id AND d.df BETWEEN 2 AND 64
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |m AS (SELECT p.id_a, p.id_b FROM p
+      | JOIN g ga ON ga.doc_id = p.id_a JOIN g gb ON gb.doc_id = p.id_b
+      | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+      |  / (len(ga.grams) + len(gb.grams)
+      |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5) """
+      .stripMargin.replace("\n", " ")
 
   def oracleSql: Map[String, String] = {
     val m = base
@@ -2145,6 +2175,25 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
         .stripMargin.replace("\n", " "),
+    "dedup_source_matrix" ->
+      (blockedPairsCte +
+        """SELECT least(da.source, db.source) AS source_x,
+          | greatest(da.source, db.source) AS source_y,
+          | count(*) AS n_pairs
+          |FROM m JOIN documents da ON da.doc_id = m.id_a
+          | JOIN documents db ON db.doc_id = m.id_b
+          |GROUP BY 1, 2""".stripMargin.replace("\n", " ")),
+    "dedup_source_rate" ->
+      (blockedPairsCte +
+        """, ids AS (SELECT DISTINCT doc_id FROM
+          |  (SELECT id_a AS doc_id FROM m
+          |   UNION ALL SELECT id_b AS doc_id FROM m) u)
+          |SELECT d.source, count(*) AS n_docs,
+          | CAST(count(ids.doc_id) AS BIGINT) AS n_near_dup,
+          | round(CAST(count(ids.doc_id) AS DOUBLE) / count(*), 6)
+          |  AS near_dup_rate
+          |FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id
+          |GROUP BY 1""".stripMargin.replace("\n", " ")),
     "dedup_edit_distance" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks

@@ -485,4 +485,62 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select("id_a", "id_b", "containment")
   }
+
+  /** Cross-source mirror matrix: for every unordered pair of
+    * sources, how many [[blockedJaccardPairs]] near-dup pairs span
+    * them (diagonal = within-source duplication). The curation
+    * question this answers — "which crawl mirrors which" — decides
+    * whether a whole source can be dropped instead of deduping it
+    * document by document.
+    *
+    * One corpus scan: the pair list (tiny next to the corpus) is
+    * exploded into its two sides and joined ONCE against the
+    * (doc_id, source) projection — two separate source-lookup joins
+    * would evaluate the projection subtree, and therefore the
+    * corpus scan, twice. Output is at most |sources|² rows.
+    */
+  def crossSourceMatrix(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                        maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val pairs = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .select(col("id_a"), col("id_b"),
+        explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .join(src, "doc_id")
+      .groupBy("id_a", "id_b")
+      .agg(
+        min(when(col("doc_id") === col("id_a"), col("source"))).as("sa"),
+        min(when(col("doc_id") === col("id_b"), col("source"))).as("sb"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-source near-dup contamination rate: of each source's
+    * documents, how many sit in at least one
+    * [[blockedJaccardPairs]] pair (either side). A source whose
+    * rate is an outlier is over-crawled or boilerplate-heavy and a
+    * candidate for a source-level cap ([[Curation]]) rather than
+    * pair-level dedup. Left join of the corpus against the distinct
+    * paired-id set — the pair side is tiny, the corpus side is one
+    * pruned (doc_id, source) scan; rate rounded to 6 dp for
+    * cross-engine float stability.
+    */
+  def nearDupRateBySource(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                          maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+    val pairs = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
+    val dupIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_near_dup"))
+      .withColumn("near_dup_rate",
+        round(col("n_near_dup") / col("n_docs"), 6))
+  }
 }

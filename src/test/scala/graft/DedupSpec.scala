@@ -281,4 +281,34 @@ class DedupSpec extends SparkSpec {
     assert(wide.contains((0L, 2L)),
       "the rewritten doc is a candidate and verifies at a loose bound")
   }
+
+  test("cross-source matrix and per-source rate agree with the pair list") {
+    val src = Map(0L -> "srcA", 1L -> "srcB", 2L -> "srcA", 3L -> "srcC")
+    val srcDocs = Seq(
+      (0L, base, "srcA"), (1L, caseDup, "srcB"),
+      (2L, nearDup, "srcA"), (3L, unrelated, "srcC"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.blockedJaccardPairs(srcDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+
+    val expMatrix = pairs.groupBy { case (a, b) =>
+      val (x, y) = (src(a), src(b))
+      if (x <= y) (x, y) else (y, x)
+    }.map { case (k, v) => k -> v.length.toLong }
+    val gotMatrix = Dedup.crossSourceMatrix(srcDocs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotMatrix == expMatrix)
+
+    val involved = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val expRate = src.groupBy(_._2).map { case (s, m) =>
+      val n = m.size.toLong
+      val hit = m.keys.count(involved).toLong
+      s -> ((n, hit, hit.toDouble / n))
+    }
+    val gotRate = Dedup.nearDupRateBySource(srcDocs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(gotRate == expRate)
+  }
 }
