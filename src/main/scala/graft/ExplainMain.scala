@@ -24,7 +24,8 @@ object ExplainMain {
       "sample_poisson_k", "ann_filtered_topk", "dedup_edit_distance",
       "q_price_fill", "q_brand_trend", "mm_near_dup_blobs", "q_abc_class",
       "q_order_backlog", "events_common_paths", "docs_perplexity_filter",
-      "docs_augment_dropout", "etl_dq_profile")
+      "docs_augment_dropout", "etl_dq_profile",
+      "dedup_source_matrix", "dedup_source_rate")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

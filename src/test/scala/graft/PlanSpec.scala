@@ -202,4 +202,18 @@ class PlanSpec extends SparkSpec {
       !p.contains("Exchange SinglePartition"),
       s"expected bucket-partitioned exchange, no single-partition funnel:\n$p")
   }
+
+  test("source diagnostics read sources through one narrow pruned scan") {
+    // the (doc_id, source) lookup side must be column-pruned (no text)
+    // and must appear exactly once — a second narrow scan would mean
+    // the corpus was consumed per side instead of per pair list
+    val narrow = "ReadSchema: struct<doc_id:bigint,source:string>"
+    for (q <- Seq(
+      graft.operators.Dedup.crossSourceMatrix(Tables.documents(spark, dir)),
+      graft.operators.Dedup.nearDupRateBySource(Tables.documents(spark, dir)))) {
+      val p = plan(q)
+      val n = p.sliding(narrow.length).count(_ == narrow)
+      assert(n == 1, s"expected exactly one narrow (doc_id, source) scan, got $n:\n$p")
+    }
+  }
 }
