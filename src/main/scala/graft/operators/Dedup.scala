@@ -500,8 +500,15 @@ object Dedup {
     * corpus scan, twice. Output is at most |sources|² rows.
     */
   def crossSourceMatrix(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                        maxDf: Int = 64, minShared: Int = 3): DataFrame = {
-    val pairs = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
+                        maxDf: Int = 64, minShared: Int = 3): DataFrame =
+    crossSourceMatrixOf(blockedJaccardPairs(docs, n, tau, maxDf, minShared),
+      docs)
+
+  /** [[crossSourceMatrix]] over an already-computed pair list — a
+    * pipeline that also runs [[nearDupRateBySourceOf]] or
+    * [[nearDupSuppress]] should materialize the (expensive) pairs
+    * once and feed all three, not re-block the corpus per report. */
+  def crossSourceMatrixOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .select(col("id_a"), col("id_b"),
@@ -528,8 +535,13 @@ object Dedup {
     * cross-engine float stability.
     */
   def nearDupRateBySource(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                          maxDf: Int = 64, minShared: Int = 3): DataFrame = {
-    val pairs = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
+                          maxDf: Int = 64, minShared: Int = 3): DataFrame =
+    nearDupRateBySourceOf(blockedJaccardPairs(docs, n, tau, maxDf, minShared),
+      docs)
+
+  /** [[nearDupRateBySource]] over an already-computed pair list (see
+    * [[crossSourceMatrixOf]]). */
+  def nearDupRateBySourceOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val dupIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
       .distinct()

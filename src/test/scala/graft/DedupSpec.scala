@@ -310,5 +310,14 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
     assert(gotRate == expRate)
+
+    // pair-reuse overloads: identical results from a materialized list
+    val pairList = Dedup.blockedJaccardPairs(srcDocs).localCheckpoint(true)
+    assert(Dedup.crossSourceMatrixOf(pairList, srcDocs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == gotMatrix)
+    assert(Dedup.nearDupRateBySourceOf(pairList, srcDocs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap == gotRate)
   }
 }
