@@ -254,6 +254,8 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    "ann_ivf_cell_stats" -> ((s, dir) =>
+      Similarity.ivfCellStats(Tables.embeddings(s, dir))),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "split_assign" -> ((s, dir) =>

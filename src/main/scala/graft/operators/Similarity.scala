@@ -236,6 +236,34 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(corpus, queries, k, pickCentroids(corpus, nlist), nprobe)
 
+  /** IVF cell-balance diagnostic: occupancy of every cell (empty
+    * cells included via an `nlist`-row spine), its share of the
+    * corpus, and `balance` = occupancy / ideal (1.0 = perfectly
+    * even). A cell with balance ≫ 1 concentrates probe cost — at
+    * 100 TB the fix is re-training centroids (or raising nlist)
+    * BEFORE building the index, and this one-aggregate scan is how
+    * you find out. The per-cell relation is nlist rows; it is
+    * pinned before fan-out so the corpus assignment scan runs once,
+    * not once per consumer.
+    */
+  def ivfCellStats(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = pickCentroids(corpus, nlist)
+    val perCell = corpus
+      .select(gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val spine = spark.range(nlist).select(col("id").cast("int").as("cell"))
+    val filled = spine.join(perCell, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+      .localCheckpoint(true)
+    val totals = filled.agg(sum("n_vecs").as("total"))
+    filled.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs") / col("total"), 6).as("share"),
+        round(col("n_vecs") * lit(nlist.toDouble) / col("total"), 6)
+          .as("balance"))
+  }
+
   /** Deterministic PQ codebooks: the [[pickCentroids]] sample's
     * vectors, sliced per subspace — k entries of dim/m floats each.
     * (Per-subspace k-means refinement drops in here the same way

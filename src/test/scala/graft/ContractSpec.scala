@@ -36,13 +36,13 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented fifteen") {
+  test("rows-only queries are the documented sixteen") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding", "dedup_groups", "ann_lsh_topk", "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
-      "ann_ivf_filtered_topk", "split_assign",
+      "ann_ivf_filtered_topk", "ann_ivf_cell_stats", "split_assign",
       "events_approx_stats", "events_audience_overlap", "events_sketch_reach"),
       s"unexpected rows-only set: $rowsOnly")
   }

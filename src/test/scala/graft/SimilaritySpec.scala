@@ -253,4 +253,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5,
       f"probing half the cells should recover >=50%% of exact filtered top-10, got $recall%.2f")
   }
+
+  test("ivf cell stats: full spine, counts conserve, balance is share×nlist") {
+    val nlist = 8
+    val rows = Similarity.ivfCellStats(emb, nlist).collect()
+    assert(rows.length == nlist, "one row per cell, empty cells included")
+    assert(rows.map(_.getAs[Int]("cell")).sorted.toSeq == (0 until nlist),
+      "cells form the complete 0..nlist-1 spine")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == emb.count(),
+      "every corpus vector lands in exactly one cell")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4,
+      "shares partition the corpus")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("balance") -
+        r.getAs[Double]("share") * nlist) < 1e-4,
+        "balance is share scaled by nlist")
+    }
+  }
 }
