@@ -49,6 +49,21 @@ object SweepMain {
         nlist = 16, nprobe = 4, m = m, nCodes = nCodes)))
       println(f"| IVF-PQ residual | 4 | $m | $nCodes | $r%.3f |")
     }
+    // cell-balance axis: does k-means training buy a flatter index
+    // than the deterministic hash pick? (max balance = worst probe
+    // concentration; nonempty = cells actually carrying vectors)
+    println("| centroids | nlist | min bal | max bal | nonempty |")
+    println("| --- | --- | --- | --- | --- |")
+    for (nlist <- Seq(16, 64);
+         (tag, cents) <- Seq(
+           "picked" -> Similarity.pickCentroids(emb, nlist),
+           "trained" -> Similarity.trainCentroids(emb, nlist,
+             iters = 3, sampleCap = 4096))) {
+      val st = Similarity.ivfCellStatsOf(emb, cents).collect()
+      val bal = st.map(_.getAs[Double]("balance"))
+      val ne = st.count(_.getAs[Long]("n_vecs") > 0)
+      println(f"| $tag | $nlist | ${bal.min}%.2f | ${bal.max}%.2f | $ne |")
+    }
     spark.stop()
   }
 }

@@ -246,9 +246,16 @@ object Similarity {
     * pinned before fan-out so the corpus assignment scan runs once,
     * not once per consumer.
     */
-  def ivfCellStats(corpus: DataFrame, nlist: Int = 16): DataFrame = {
+  def ivfCellStats(corpus: DataFrame, nlist: Int = 16): DataFrame =
+    ivfCellStatsOf(corpus, pickCentroids(corpus, nlist))
+
+  /** [[ivfCellStats]] for an explicit centroid matrix — compare the
+    * deterministic pick against k-means-trained centroids before
+    * committing to an index build. */
+  def ivfCellStatsOf(corpus: DataFrame,
+                     cents: Array[Array[Float]]): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = pickCentroids(corpus, nlist)
+    val nlist = cents.length
     val perCell = corpus
       .select(gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
