@@ -491,6 +491,12 @@ object SparkEntry {
       Dedup.crossSourceMatrix(Tables.documents(s, dir))),
     "dedup_source_rate" -> ((s, dir) =>
       Dedup.nearDupRateBySource(Tables.documents(s, dir))),
+    // oracle-checked components twin: deterministic blocked pairs in,
+    // DuckDB WITH RECURSIVE transitive closure as the ground truth
+    "dedup_groups_blocked" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dedupGroups(docs, Dedup.blockedJaccardPairs(docs))
+    }),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
     // incremental ingest split: doc_id % 10 == 0 plays the new batch
@@ -2196,6 +2202,20 @@ object SparkEntry {
           |  AS near_dup_rate
           |FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id
           |GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "dedup_groups_blocked" ->
+      // transitive closure by recursive reachability: label = min id
+      // reachable through the undirected blocked-pair edge set
+      (blockedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (SELECT id_a AS src, id_b AS dst FROM m
+          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM m),
+          |reach AS (SELECT doc_id, doc_id AS r FROM documents
+          |  UNION
+          |  SELECT reach.doc_id, e.dst AS r
+          |  FROM reach JOIN e ON e.src = reach.r),
+          |lab AS (SELECT doc_id, min(r) AS group_id
+          |  FROM reach GROUP BY doc_id)
+          |SELECT doc_id, group_id, doc_id = group_id AS keep
+          |FROM lab""".stripMargin.replace("\n", " ")),
     "dedup_edit_distance" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
