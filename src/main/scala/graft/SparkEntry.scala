@@ -497,6 +497,11 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.dedupGroups(docs, Dedup.blockedJaccardPairs(docs))
     }),
+    "dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.clusterSizeHistogram(
+        Dedup.dedupGroups(docs, Dedup.blockedJaccardPairs(docs)))
+    }),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
     // incremental ingest split: doc_id % 10 == 0 plays the new batch
@@ -2216,6 +2221,20 @@ object SparkEntry {
           |  FROM reach GROUP BY doc_id)
           |SELECT doc_id, group_id, doc_id = group_id AS keep
           |FROM lab""".stripMargin.replace("\n", " ")),
+    "dedup_cluster_sizes" ->
+      (blockedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (SELECT id_a AS src, id_b AS dst FROM m
+          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM m),
+          |reach AS (SELECT doc_id, doc_id AS r FROM documents
+          |  UNION
+          |  SELECT reach.doc_id, e.dst AS r
+          |  FROM reach JOIN e ON e.src = reach.r),
+          |lab AS (SELECT doc_id, min(r) AS group_id
+          |  FROM reach GROUP BY doc_id),
+          |sizes AS (SELECT group_id, count(*) AS cluster_size
+          |  FROM lab GROUP BY 1)
+          |SELECT cluster_size, count(*) AS n_clusters
+          |FROM sizes GROUP BY 1""".stripMargin.replace("\n", " ")),
     "dedup_edit_distance" ->
       """WITH t AS (SELECT doc_id, list_filter(
         |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks

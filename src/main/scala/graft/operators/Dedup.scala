@@ -486,6 +486,18 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** Dup-cluster size histogram from a components labeling
+    * ([[dedupGroups]] output): how many clusters have 1, 2, 3, …
+    * members. The curation read: a long tail of big clusters means
+    * template/mirror content the pair-level dedup is fighting
+    * one edge at a time — cap or drop at the source instead. Two
+    * count aggregates over the (doc_id, group_id) relation; output
+    * is O(max cluster size) rows.
+    */
+  def clusterSizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy("group_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** Cross-source mirror matrix: for every unordered pair of
     * sources, how many [[blockedJaccardPairs]] near-dup pairs span
     * them (diagonal = within-source duplication). The curation

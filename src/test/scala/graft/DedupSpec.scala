@@ -324,11 +324,16 @@ class DedupSpec extends SparkSpec {
   test("blocked components close transitively to the min-id label") {
     // fixture pairs: (0,1) exact dup, (0,2)/(1,2) near dup → one
     // triangle {0,1,2} labeled 0; doc 3 is its own singleton
-    val got = Dedup.dedupGroups(docs, Dedup.blockedJaccardPairs(docs))
-      .collect()
+    val labels = Dedup.dedupGroups(docs, Dedup.blockedJaccardPairs(docs))
+      .localCheckpoint(true)
+    val got = labels.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(got == Map(
       0L -> ((0L, true)), 1L -> ((0L, false)),
       2L -> ((0L, false)), 3L -> ((3L, true))))
+    val hist = Dedup.clusterSizeHistogram(labels).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist == Map(3L -> 1L, 1L -> 1L),
+      "one triangle cluster and one singleton")
   }
 }
