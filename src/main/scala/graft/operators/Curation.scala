@@ -249,4 +249,32 @@ object Curation {
       .groupBy("source", "reason")
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Source-level curation policy: the decision the per-source
+    * diagnostics exist to drive. A source whose near-dup
+    * contamination rate ([[Dedup.nearDupRateBySource]]) reaches
+    * `dropDupRate` is DROPPED outright (mirror/template crawls —
+    * cheaper than deduping it pair by pair); otherwise a source
+    * whose mean quality score falls below `capQuality` is CAPPED
+    * (contribute, but through [[sourceCap]]'s per-source budget);
+    * everything else is kept as-is. Drop outranks cap: a mirrored
+    * source's quality is irrelevant once its content is redundant.
+    * Both inputs are deterministic, so the policy table itself is
+    * oracle-checked; output is O(|sources|) rows. Thresholds are
+    * corpus-calibration knobs — rates/qualities are rounded to 6 dp
+    * BEFORE comparison, so the cut is reproducible cross-engine.
+    */
+  def sourcePolicy(docs: DataFrame, dropDupRate: Double = 0.3,
+                   capQuality: Double = 0.35): DataFrame = {
+    val rate = Dedup.nearDupRateBySource(docs)
+      .select("source", "n_docs", "near_dup_rate")
+    val qual = TextAnalysis.stats(docs, keep = Seq("source"))
+      .groupBy("source")
+      .agg(round(avg("quality_score"), 6).as("avg_quality"))
+    rate.join(qual, Seq("source"))
+      .withColumn("policy",
+        when(col("near_dup_rate") >= dropDupRate, lit("drop"))
+          .when(col("avg_quality") < capQuality, lit("cap"))
+          .otherwise(lit("keep")))
+  }
 }

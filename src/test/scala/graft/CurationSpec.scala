@@ -203,4 +203,29 @@ class CurationSpec extends SparkSpec {
     assert(keptBySource(binding) == curBySource(binding),
       s"binding source $binding must keep everything")
   }
+
+  test("source policy: drop mirrors, cap low quality, keep the rest, drop wins") {
+    // stopword-free (quality floor) AND token-disjoint, so the two
+    // junk docs never become a near-dup pair of each other
+    val junkA = "zz qq xx ww vv " * 12
+    val junkB = "kk ll mm nn oo " * 12
+    val fresh =
+      "the curious engineer walks to the harbor and watches the boats " +
+        "while the gulls circle over the water in the evening breeze"
+    val docs = Seq(
+      // srcDup: two of three docs are near-dup pair members (rate 2/3)
+      (0L, good, "srcDup"), (1L, good.replace("morning", "evening"), "srcDup"),
+      (2L, other + " " + other, "srcDup"),
+      // srcJunk: clean of dups but scores at the quality floor
+      (3L, junkA, "srcJunk"), (4L, junkB, "srcJunk"),
+      // srcOk: unique (gram-disjoint from srcDup) and high quality
+      (5L, fresh + " " + fresh, "srcOk"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.operators.Curation
+      .sourcePolicy(docs, dropDupRate = 0.5, capQuality = 0.3)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[String]("policy")).toMap
+    assert(got == Map(
+      "srcDup" -> "drop", "srcJunk" -> "cap", "srcOk" -> "keep"), s"got $got")
+  }
 }
