@@ -507,6 +507,10 @@ object SparkEntry {
     "docs_source_policy" -> ((s, dir) =>
       operators.Curation.sourcePolicy(Tables.documents(s, dir),
         dropDupRate = 0.18, capQuality = 0.2)),
+    // cap=8 trims the capped sources (25 docs each at sf0.01)
+    "docs_source_policy_apply" -> ((s, dir) =>
+      operators.Curation.applySourcePolicy(Tables.documents(s, dir),
+        dropDupRate = 0.18, capQuality = 0.2, cap = 8)),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.documents(s, dir))),
     // incremental ingest split: doc_id % 10 == 0 plays the new batch
@@ -2266,6 +2270,38 @@ object SparkEntry {
           |      WHEN qual.avg_quality < 0.2 THEN 'cap'
           |      ELSE 'keep' END AS policy
           |FROM rate JOIN qual ON qual.source = rate.source"""
+        .stripMargin.replace("\n", " ")),
+    "docs_source_policy_apply" ->
+      (blockedPairsCte +
+        """, ids AS (SELECT DISTINCT doc_id FROM
+          |  (SELECT id_a AS doc_id FROM m
+          |   UNION ALL SELECT id_b AS doc_id FROM m) u),
+          |rate AS (SELECT d.source,
+          |  round(CAST(count(ids.doc_id) AS DOUBLE) / count(*), 6)
+          |   AS near_dup_rate
+          | FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id
+          | GROUP BY 1),
+          |tq AS (SELECT doc_id, source, lang, n_chars, text,
+          |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+          |   AS toks FROM documents),
+          |sc AS (SELECT doc_id, source, lang, n_chars,
+          |  least(1.0, len(toks) / 128.0)
+          |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+          |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+          |   AS quality_score FROM tq),
+          |qual AS (SELECT source, round(avg(quality_score), 6)
+          |  AS avg_quality FROM sc GROUP BY 1),
+          |pol AS (SELECT rate.source,
+          |  CASE WHEN rate.near_dup_rate >= 0.18 THEN 'drop'
+          |       WHEN qual.avg_quality < 0.2 THEN 'cap'
+          |       ELSE 'keep' END AS policy
+          | FROM rate JOIN qual ON qual.source = rate.source),
+          |rk AS (SELECT sc.*, row_number() OVER (PARTITION BY sc.source
+          |  ORDER BY sc.quality_score DESC, sc.doc_id) AS rk FROM sc)
+          |SELECT rk.doc_id, rk.lang, rk.source, rk.n_chars
+          |FROM rk JOIN pol ON pol.source = rk.source
+          |WHERE pol.policy = 'keep'
+          |  OR (pol.policy = 'cap' AND rk.rk <= 8)"""
         .stripMargin.replace("\n", " ")),
     "dedup_edit_distance" ->
       """WITH t AS (SELECT doc_id, list_filter(

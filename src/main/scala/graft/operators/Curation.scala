@@ -277,4 +277,36 @@ object Curation {
           .when(col("avg_quality") < capQuality, lit("cap"))
           .otherwise(lit("keep")))
   }
+
+  /** [[sourcePolicy]] APPLIED: the post-policy corpus. Dropped
+    * sources vanish, capped sources keep their top-`cap` docs by
+    * (quality desc, doc_id), kept sources pass through whole —
+    * diagnose → decide → apply as one operator.
+    *
+    * Two corpus scans total, the floor for these semantics: one
+    * stats scan carries quality AND the output metadata (the `keep`
+    * passthrough — no second lookup join against documents), and the
+    * policy's blocked-pair generation is the other. The policy table
+    * is |sources| rows → broadcast; the cap window partitions by
+    * source and only ever ranks capped sources' rows.
+    */
+  def applySourcePolicy(docs: DataFrame, dropDupRate: Double = 0.3,
+                        capQuality: Double = 0.35,
+                        cap: Int = 40): DataFrame = {
+    // stats' computed n_chars IS length(text) — identical to the
+    // table column, so no metadata lookup join is needed for it
+    val scored = TextAnalysis
+      .stats(docs, keep = Seq("source", "lang"))
+      .select("doc_id", "source", "lang", "n_chars", "quality_score")
+    val policy = sourcePolicy(docs, dropDupRate, capQuality)
+      .select("source", "policy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.join(broadcast(policy), Seq("source"))
+      .filter(col("policy") =!= "drop")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("policy") === "keep" || col("rk") <= cap)
+      .select("doc_id", "lang", "source", "n_chars")
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, length, lit}
+
 import graft.operators.Curation
 
 /** The composed curation pass drops each failure class for its own
@@ -227,5 +229,16 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getAs[String]("policy")).toMap
     assert(got == Map(
       "srcDup" -> "drop", "srcJunk" -> "cap", "srcOk" -> "keep"), s"got $got")
+
+    // applied: srcDup gone, srcJunk trimmed to cap=1 (its best doc —
+    // junkA and junkB tie on every quality factor except length, so
+    // the min-id tiebreak keeps doc 3), srcOk intact
+    val metaDocs = docs.withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val applied = graft.operators.Curation
+      .applySourcePolicy(metaDocs, dropDupRate = 0.5, capQuality = 0.3,
+        cap = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(applied == Set(3L, 5L), s"got $applied")
   }
 }
