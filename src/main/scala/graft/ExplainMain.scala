@@ -25,7 +25,8 @@ object ExplainMain {
       "q_price_fill", "q_brand_trend", "mm_near_dup_blobs", "q_abc_class",
       "q_order_backlog", "events_common_paths", "docs_perplexity_filter",
       "docs_augment_dropout", "etl_dq_profile",
-      "dedup_source_matrix", "dedup_source_rate")
+      "dedup_source_matrix", "dedup_source_rate",
+      "docs_source_policy_apply", "dedup_cluster_sizes")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
