@@ -975,7 +975,7 @@ object SparkEntry {
         |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
         | FROM numbered GROUP BY 1, 2)
         |SELECT day, count(*) AS n_click_sessions,
-        | sum(1 - purchased) AS n_abandoned,
+        | CAST(sum(1 - purchased) AS BIGINT) AS n_abandoned,
         | round(sum(1 - purchased) * 1.0 / count(*), 6) AS abandonment_rate
         |FROM sess WHERE clicked = 1 GROUP BY 1""".stripMargin
         .replace("\n", " "),
@@ -991,7 +991,7 @@ object SparkEntry {
         |  FROM spine LEFT JOIN h USING (hb))
         |SELECT CAST(dayofweek(hb) + 1 AS BIGINT) AS dow,
         | CAST(hour(hb) AS BIGINT) AS hour_of_day,
-        | sum(n) AS n_events, count(*) AS n_slots,
+        | CAST(sum(n) AS BIGINT) AS n_events, count(*) AS n_slots,
         | round(avg(n), 6) AS avg_events
         |FROM f GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_conversion_latency" ->
@@ -1944,8 +1944,9 @@ object SparkEntry {
           |b AS (SELECT first_doc * 10 // (max_id + 1) AS checkpoint
           |  FROM fs, m)
           |SELECT checkpoint, count(*) AS new_types,
-          | sum(count(*)) OVER (ORDER BY checkpoint
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_size
+          | CAST(sum(count(*)) OVER (ORDER BY checkpoint
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS vocab_size
           |FROM b GROUP BY 1""".stripMargin.replace("\n", " ")),
     "docs_augment_dropout" ->
       // drop token i of doc d iff md5('d:i:aug0')[:8] < 0x19999999
@@ -2046,7 +2047,8 @@ object SparkEntry {
       """WITH prods AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11'),
         |m AS (SELECT l_partkey AS product_id,
         |  CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
-        |  round(avg(l_extendedprice), 2) AS avg_price
+        |  CAST((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_price
         | FROM lineitem JOIN prods ON l_partkey = p_partkey GROUP BY 1, 2),
         |b AS (SELECT min(month) AS lo, max(month) AS hi FROM m),
         |spine AS (SELECT p_partkey AS product_id,
@@ -2447,8 +2449,10 @@ object SparkEntry {
         |  INTERVAL 1 MONTH)) AS DATE) AS month FROM b)
         |SELECT month, coalesce(opened, 0) AS opened,
         | coalesce(closed, 0) AS closed,
-        | sum(coalesce(opened, 0) - coalesce(closed, 0)) OVER (ORDER BY month
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+        | CAST(sum(coalesce(opened, 0) - coalesce(closed, 0)) OVER
+        |  (ORDER BY month
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS backlog
         |FROM spine LEFT JOIN o USING (month) LEFT JOIN c USING (month)"""
         .stripMargin.replace("\n", " "),
     "q_abc_class" ->
@@ -2474,7 +2478,8 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   / sum(revenue) OVER () AS cum_share
         | FROM rev)
-        |SELECT threshold, min(rank) AS n_products
+        |SELECT CAST(threshold AS DOUBLE) AS threshold,
+        | min(rank) AS n_products
         |FROM rk JOIN (VALUES (0.5), (0.8), (0.9), (0.95), (0.99)) t(threshold)
         | ON cum_share >= threshold
         |GROUP BY 1""".stripMargin.replace("\n", " "),
@@ -2499,16 +2504,20 @@ object SparkEntry {
         | n_distinct, round(n_nulls * 1.0 / n_rows, 6) AS null_frac
         |FROM (
         | SELECT 'l_partkey' AS col_name, count(*) AS n_rows,
-        |  sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nulls,
         |  count(DISTINCT l_partkey) AS n_distinct FROM lineitem
         | UNION ALL SELECT 'l_returnflag', count(*),
-        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
         |  count(DISTINCT l_returnflag) FROM lineitem
         | UNION ALL SELECT 'l_shipdate', count(*),
-        |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
         |  count(DISTINCT l_shipdate) FROM lineitem
         | UNION ALL SELECT 'l_quantity', count(*),
-        |  sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
         |  count(DISTINCT l_quantity) FROM lineitem) p"""
         .stripMargin.replace("\n", " "),
     "etl_table_diff" ->

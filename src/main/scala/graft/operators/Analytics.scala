@@ -1058,11 +1058,19 @@ object Analytics {
   def priceFill(lineitem: DataFrame, part: DataFrame,
                 brand: String = "Brand#11"): DataFrame = {
     val prods = part.filter(col("p_brand") === brand).select("p_partkey")
+    // Exact-before-round: prices are cent-precision doubles, so sum
+    // them as integer cents (order-independent) and round the exact
+    // average with integer half-up arithmetic — a float `avg` sums in
+    // partition order, and even round(double, 2) ties break
+    // differently across engines at exact half-cent averages.
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
     val monthly = lineitem
       .join(broadcast(prods), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey").as("product_id"),
         date_trunc("month", col("l_shipdate")).cast("date").as("month"))
-      .agg(round(avg("l_extendedprice"), 2).as("avg_price"))
+      .agg(sum(cents).as("c"), count(lit(1)).as("n"))
+      .select(col("product_id"), col("month"),
+        (expr("(2*c + n) div (2*n)").cast("double") / 100.0).as("avg_price"))
       .localCheckpoint(true) // consumed by the bounds agg AND the fill join
     val bounds = monthly.agg(min("month").as("lo"), max("month").as("hi"))
     val spine = prods.crossJoin(broadcast(bounds))

@@ -1,10 +1,22 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run each oracle
 SQL from verify-output oracle_sql.json in DuckDB over the sfDir
-parquet tables, compare against the Spark result parquet (sorted
-columns, sorted rows, float tolerance). Dev tool only — not shipped.
+parquet tables, compare against the Spark result parquet.
 
-Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_sf0.01
+Strict by default, matching the driver's gate:
+  - any oracle column whose DuckDB result type is HUGEINT / UHUGEINT /
+    DECIMAL is an ORACLE-TYPE failure (the driver hashes the raw value
+    encoding, so an int128 sum never matches a Spark BIGINT even when
+    the values are equal — CAST the oracle column instead);
+  - numeric kind must agree (int vs float is a TYPE failure, not a
+    coercion);
+  - floats compare as equality AFTER np.round(x, 6) — the driver
+    hashes values on a 6-decimal grid, so a 1-ulp summation-order
+    difference passes but a half-cent boundary flip (q_price_fill,
+    r5) fails, exactly like the driver. Pass --loose for the old
+    np.isclose(rtol=1e-6) behaviour when triaging.
+
+Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_sf0.01 [--loose]
 """
 import json
 import sys
@@ -15,6 +27,8 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -27,7 +41,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-def compare(name, spark_df, oracle_df):
+def kind(dtype) -> str:
+    if np.issubdtype(dtype, np.bool_):
+        return "bool"
+    if np.issubdtype(dtype, np.integer):
+        return "int"
+    if np.issubdtype(dtype, np.floating):
+        return "float"
+    if str(dtype).startswith("datetime64"):
+        return "datetime"
+    return "object"
+
+
+def compare(name, spark_df, oracle_df, loose=False):
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols {list(a.columns)} vs {list(b.columns)}"
@@ -35,13 +61,21 @@ def compare(name, spark_df, oracle_df):
         return f"ROWS {len(a)} vs {len(b)}"
     for c in a.columns:
         x, y = a[c], b[c]
-        if np.issubdtype(x.dtype, np.floating) or np.issubdtype(y.dtype, np.floating):
-            xv = x.astype(float).to_numpy()
-            yv = y.astype(float).to_numpy()
-            ok = np.isclose(xv, yv, rtol=1e-6, atol=1e-9, equal_nan=True)
+        kx, ky = kind(x.dtype), kind(y.dtype)
+        if kx != ky:
+            return f"TYPE col {c}: spark {x.dtype} ({kx}) vs oracle {y.dtype} ({ky})"
+        if kx == "float":
+            xv, yv = x.to_numpy(), y.to_numpy()
+            if loose:
+                ok = np.isclose(xv, yv, rtol=1e-6, atol=1e-9, equal_nan=True)
+            else:
+                ok = (np.round(xv, 6) == np.round(yv, 6)) | \
+                    (np.isnan(xv) & np.isnan(yv))
             if not ok.all():
                 i = int(np.argmin(ok))
-                return f"VALUE col {c} row {i}: {xv[i]} vs {yv[i]}"
+                n_bad = int((~ok).sum())
+                return (f"VALUE col {c} row {i}: {xv[i]!r} vs {yv[i]!r}"
+                        f" ({n_bad}/{len(ok)} rows differ)")
         else:
             if not x.equals(y):
                 neq = (x != y)
@@ -50,7 +84,7 @@ def compare(name, spark_df, oracle_df):
     return None
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, loose=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -65,18 +99,27 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no spark output ({e})")
             continue
         try:
-            oracle_df = con.execute(sql).df()
+            rel = con.sql(sql)
+            bad = [(col, str(t)) for col, t in zip(rel.columns, rel.types)
+                   if any(str(t).upper().startswith(p) for p in BAD_ORACLE_TYPES)]
+            oracle_df = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             continue
-        err = compare(name, spark_df, oracle_df)
+        if bad and not loose:
+            print(f"FAIL {name}: ORACLE-TYPE {bad} (CAST the oracle column)")
+            continue
+        err = compare(name, spark_df, oracle_df, loose=loose)
         if err:
             print(f"FAIL {name}: {err}")
         else:
             n_ok += 1
             print(f"ok   {name} ({len(spark_df)} rows)")
     print(f"== {n_ok}/{len(oracles)} matched")
+    return n_ok == len(oracles)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    loose = "--loose" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(0 if main(args[0], args[1], loose=loose) else 1)
