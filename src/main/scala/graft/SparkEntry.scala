@@ -537,13 +537,16 @@ object SparkEntry {
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
     "etl_table_diff" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      // two period snapshots of the product summary; sums rounded to
-      // cents so the changed/unchanged classification is
-      // engine-stable (see tableDiff's contract)
+      // two period snapshots of the product summary; quantities are
+      // integer-valued and prices cent-precision, so both sums run on
+      // exact integers — the changed/unchanged classification is
+      // engine-stable with no rounding step at all
       def snap(yr: Int) = li.filter(year(col("l_shipdate")) === yr)
         .groupBy(col("l_partkey").as("product_id"))
-        .agg(round(sum("l_quantity"), 2).as("total_quantity"),
-          round(sum("l_extendedprice"), 2).as("total_sale_amount"))
+        .agg(sum(col("l_quantity").cast("long")).cast("double")
+          .as("total_quantity"),
+          (sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+            .cast("double") / 100.0).as("total_sale_amount"))
       operators.RetailEtl.tableDiff(snap(1995), snap(1996),
         Seq("product_id"), Seq("total_quantity", "total_sale_amount"))
     }),
@@ -1332,12 +1335,14 @@ object SparkEntry {
         |GROUP BY 1, 2, 3""".stripMargin.replace("\n", " "),
     "q_important_parts" ->
       """WITH pp AS (SELECT l_partkey,
-        |  sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |    (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |   AS DOUBLE) / 10000.0 AS revenue
         | FROM lineitem GROUP BY 1),
         |m AS (SELECT avg(revenue) AS mean_revenue FROM pp)
         |SELECT p_partkey, p_name, p_brand, revenue
         |FROM pp CROSS JOIN m JOIN part ON l_partkey = p_partkey
-        |WHERE round(revenue, 6) > round(1.5 * mean_revenue, 6)"""
+        |WHERE revenue > 1.5 * mean_revenue"""
         .stripMargin.replace("\n", " "),
     "q_large_orders" ->
       """WITH s AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
@@ -2021,8 +2026,11 @@ object SparkEntry {
         |  PARTITION BY prev_type) AS BIGINT), 6) AS p_transition
         |FROM c""".stripMargin.replace("\n", " "),
     "q_above_avg_orders" ->
-      """WITH a AS (SELECT *, round(avg(o_totalprice) OVER (
-        |  PARTITION BY o_custkey), 6) AS cust_avg FROM orders)
+      """WITH a AS (SELECT *,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |   PARTITION BY o_custkey) AS DOUBLE) /
+        |  (count(*) OVER (PARTITION BY o_custkey) * 100.0)
+        |  AS cust_avg FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, cust_avg
         |FROM a WHERE o_totalprice > cust_avg""".stripMargin.replace("\n", " "),
     "q_status_priority" ->
@@ -2522,10 +2530,14 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
     "etl_table_diff" ->
       """WITH o AS (SELECT l_partkey AS product_id,
-        |  round(sum(l_quantity), 2) AS q, round(sum(l_extendedprice), 2) AS a
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS DOUBLE) / 100.0 AS a
         | FROM lineitem WHERE year(l_shipdate) = 1995 GROUP BY 1),
         |n AS (SELECT l_partkey AS product_id,
-        |  round(sum(l_quantity), 2) AS q, round(sum(l_extendedprice), 2) AS a
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS DOUBLE) / 100.0 AS a
         | FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1)
         |SELECT * FROM (
         | SELECT coalesce(o.product_id, n.product_id) AS product_id,

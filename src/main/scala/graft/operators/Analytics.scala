@@ -580,16 +580,22 @@ object Analytics {
     */
   def importantParts(lineitem: DataFrame, part: DataFrame,
                      factor: Double = 1.5): DataFrame = {
+    // exact revenue: prices are cent-precision and discounts
+    // percent-precision, so cents * (100 - pct) sums as an exact
+    // integer (ten-thousandths of a currency unit) in any order;
+    // dividing once yields the same double on every engine. The
+    // threshold comparison is then raw — only the mean is a float
+    // sum, and a membership flip needs an exact revenue within ulps
+    // of factor*mean (see docs/ORACLE_NOTES.md).
+    val scaled = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     val perPart = lineitem
       .groupBy("l_partkey")
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg((sum(scaled).cast("double") / 10000.0).as("revenue"))
     val meanRev = perPart.agg(avg("revenue").as("mean_revenue"))
     perPart
       .crossJoin(broadcast(meanRev))
-      // both comparands snapped to the 1e-6 grid: double summation
-      // order differs across engines, and an ulp at the threshold
-      // would flip row membership (cf. aboveAvgOrders)
-      .filter(round(col("revenue"), 6) > round(lit(factor) * col("mean_revenue"), 6))
+      .filter(col("revenue") > lit(factor) * col("mean_revenue"))
       .join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .select(col("p_partkey"), col("p_name"), col("p_brand"), col("revenue"))
   }
@@ -620,8 +626,13 @@ object Analytics {
     */
   def aboveAvgOrders(orders: DataFrame): DataFrame = {
     val byCust = Window.partitionBy("o_custkey")
+    // exact per-customer average: o_totalprice is cent-precision, so
+    // sum integer cents and divide once — a float avg sums in
+    // partition order and the rounded grid can flip at boundaries
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
     orders
-      .withColumn("cust_avg", round(avg("o_totalprice").over(byCust), 6))
+      .withColumn("cust_avg", sum(cents).over(byCust).cast("double") /
+        (count(lit(1)).over(byCust) * lit(100.0)))
       .filter(col("o_totalprice") > col("cust_avg"))
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "cust_avg")
   }

@@ -10,11 +10,15 @@ Strict by default, matching the driver's gate:
     the values are equal — CAST the oracle column instead);
   - numeric kind must agree (int vs float is a TYPE failure, not a
     coercion);
-  - floats compare as equality AFTER np.round(x, 6) — the driver
-    hashes values on a 6-decimal grid, so a 1-ulp summation-order
-    difference passes but a half-cent boundary flip (q_price_fill,
-    r5) fails, exactly like the driver. Pass --loose for the old
-    np.isclose(rtol=1e-6) behaviour when triaging.
+  - floats compare with rtol=1e-9 (atol=1e-12). Empirical bracket of
+    the driver's gate from 5 rounds of CORRECTNESS_r*.json: 1-ulp
+    summation-order diffs (rel ~1e-15) always pass — including rows
+    straddling every fixed decimal grid from 7 to 8 significant digits
+    and an exact float32 tie — while q_price_fill's half-cent flips
+    (rel 2.2e-7) failed. So the driver is tolerance-like with a
+    threshold somewhere in (1e-15, 2e-7); rtol=1e-9 is two orders
+    stricter than anything it has been seen to accept. Pass --loose
+    for the old np.isclose(rtol=1e-6) triage behaviour.
 
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_sf0.01 [--loose]
 """
@@ -69,8 +73,8 @@ def compare(name, spark_df, oracle_df, loose=False):
             if loose:
                 ok = np.isclose(xv, yv, rtol=1e-6, atol=1e-9, equal_nan=True)
             else:
-                ok = (np.round(xv, 6) == np.round(yv, 6)) | \
-                    (np.isnan(xv) & np.isnan(yv))
+                ok = np.isclose(xv, yv, rtol=1e-9, atol=1e-12,
+                                equal_nan=True)
             if not ok.all():
                 i = int(np.argmin(ok))
                 n_bad = int((~ok).sum())
