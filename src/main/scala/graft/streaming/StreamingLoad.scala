@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.RetailEtl
@@ -52,16 +53,29 @@ object StreamingLoad {
     * indistinguishable from a single-row store at query time
     * (HLL union is lossless — spec-held). Compaction doubles as the
     * partial-row collapser: month rows are single again.
-    * Append-only parquet: no read-modify-write race with readers.
+    *
+    * Replay-idempotent: rows land in a `batch_id=<n>` partition and a
+    * micro-batch OVERWRITES its own partition (dynamic partition
+    * overwrite), so a batch replayed after a sink failure replaces
+    * its earlier half-written rows instead of appending duplicates —
+    * HLL reach is union-idempotent either way, but the exact
+    * companion columns (n_events, n_day_rows) summed by
+    * [[graft.operators.EventOps.reachFromSketches]] are not.
+    * Writers never touch another batch's partition: no
+    * read-modify-write race with readers.
     */
   def sketchStoreSink(events: DataFrame, path: String, checkpoint: String,
                       lgConfigK: Int = 12): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.EventOps.dailyAudienceSketches(batch, lgConfigK)
-          .write.mode("append").parquet(path)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
       }
       .start()
 
@@ -70,18 +84,24 @@ object StreamingLoad {
     * each document micro-batch appends its (norm_md5, minhash sig)
     * rows, so the store is always current and tomorrow's incremental
     * dedup never waits on a backfill. Fingerprints are pure per-row
-    * projections (no state, no shuffle); append-only parquet — no
-    * read-modify-write race with concurrent dedup readers, same
-    * invariant as [[sketchStoreSink]].
+    * projections (no state, no shuffle). Replay-idempotent the same
+    * way as [[sketchStoreSink]]: each micro-batch overwrites its own
+    * `batch_id` partition, so a replayed batch can't double its rows
+    * (exact-dedup reads are distinct-protected regardless, but a
+    * doubled store would inflate every scan of it).
     */
   def fingerprintStoreSink(docs: DataFrame, path: String,
                            checkpoint: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.operators.DedupStore.fingerprintRows(batch)
-          .write.mode("append").parquet(path)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(path)
       }
       .start()
 }
