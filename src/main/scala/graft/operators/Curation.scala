@@ -265,8 +265,14 @@ object Curation {
     * BEFORE comparison, so the cut is reproducible cross-engine.
     */
   def sourcePolicy(docs: DataFrame, dropDupRate: Double = 0.3,
-                   capQuality: Double = 0.35): DataFrame = {
-    val rate = Dedup.nearDupRateBySource(docs)
+                   capQuality: Double = 0.35,
+                   pairs: Option[DataFrame] = None): DataFrame = {
+    // a precomputed near-dup pair list (the expensive half) can be
+    // threaded through — a pipeline running several of the
+    // source-diagnostic operators should block the corpus once
+    val rate = pairs
+      .map(p => Dedup.nearDupRateBySourceOf(p, docs))
+      .getOrElse(Dedup.nearDupRateBySource(docs))
       .select("source", "n_docs", "near_dup_rate")
     val qual = TextAnalysis.stats(docs, keep = Seq("source"))
       .groupBy("source")
@@ -292,13 +298,14 @@ object Curation {
     */
   def applySourcePolicy(docs: DataFrame, dropDupRate: Double = 0.3,
                         capQuality: Double = 0.35,
-                        cap: Int = 40): DataFrame = {
+                        cap: Int = 40,
+                        pairs: Option[DataFrame] = None): DataFrame = {
     // stats' computed n_chars IS length(text) — identical to the
     // table column, so no metadata lookup join is needed for it
     val scored = TextAnalysis
       .stats(docs, keep = Seq("source", "lang"))
       .select("doc_id", "source", "lang", "n_chars", "quality_score")
-    val policy = sourcePolicy(docs, dropDupRate, capQuality)
+    val policy = sourcePolicy(docs, dropDupRate, capQuality, pairs)
       .select("source", "policy")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source")

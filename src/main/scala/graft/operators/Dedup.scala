@@ -361,12 +361,16 @@ object Dedup {
     */
   def nearDupSuppress(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                       maxDf: Int = 64, minShared: Int = 3,
-                      scored: Option[DataFrame] = None): DataFrame = {
+                      scored: Option[DataFrame] = None,
+                      pairs: Option[DataFrame] = None): DataFrame = {
     // scores are per-doc pure, so a caller composing several gates
     // can thread one precomputed stats relation through all of them
+    // (and likewise a precomputed pair list — blocking is the
+    // expensive half of this operator)
     val q = scored.getOrElse(TextAnalysis.stats(docs))
       .select(col("doc_id"), col("quality_score"))
-    val losers = blockedJaccardPairs(docs, n, tau, maxDf, minShared)
+    val losers = pairs
+      .getOrElse(blockedJaccardPairs(docs, n, tau, maxDf, minShared))
       .join(q.select(col("doc_id").as("id_a"), col("quality_score").as("q_a")),
         Seq("id_a"))
       .join(q.select(col("doc_id").as("id_b"), col("quality_score").as("q_b")),
@@ -519,17 +523,25 @@ object Dedup {
   /** [[crossSourceMatrix]] over an already-computed pair list — a
     * pipeline that also runs [[nearDupRateBySourceOf]] or
     * [[nearDupSuppress]] should materialize the (expensive) pairs
-    * once and feed all three, not re-block the corpus per report. */
+    * once and feed all three, not re-block the corpus per report.
+    *
+    * `pairs` ids should come from `docs`; if one doesn't (pairs
+    * computed against a wider corpus), its side is reported under
+    * the sentinel source `<missing>` rather than silently folding
+    * into a null row — the inconsistency stays visible in the
+    * matrix. Left join so the absent id can't drop the pair. */
   def crossSourceMatrixOf(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .select(col("id_a"), col("id_b"),
         explode(array(col("id_a"), col("id_b"))).as("doc_id"))
-      .join(src, "doc_id")
+      .join(src, Seq("doc_id"), "left")
       .groupBy("id_a", "id_b")
       .agg(
-        min(when(col("doc_id") === col("id_a"), col("source"))).as("sa"),
-        min(when(col("doc_id") === col("id_b"), col("source"))).as("sb"))
+        min(when(col("doc_id") === col("id_a"),
+          coalesce(col("source"), lit("<missing>")))).as("sa"),
+        min(when(col("doc_id") === col("id_b"),
+          coalesce(col("source"), lit("<missing>")))).as("sb"))
       .select(least(col("sa"), col("sb")).as("source_x"),
         greatest(col("sa"), col("sb")).as("source_y"))
       .groupBy("source_x", "source_y")
