@@ -18,9 +18,13 @@ Strict by default, matching the driver's gate:
     (rel 2.2e-7) failed. So the driver is tolerance-like with a
     threshold somewhere in (1e-15, 2e-7); rtol=1e-9 is two orders
     stricter than anything it has been seen to accept. Pass --loose
-    for the old np.isclose(rtol=1e-6) triage behaviour.
+    for the old np.isclose(rtol=1e-6) triage behaviour, or --exact
+    for ZERO tolerance (bit-equality, nan==nan) — the audit mode of
+    docs/ORACLE_NOTES.md: queries that fail --exact but pass strict
+    are exactly the documented 1-ulp summation-order class, and any
+    NEW entrant to that list needs an ORACLE_NOTES exactness argument.
 
-Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_sf0.01 [--loose]
+Usage: python3 tools/check.py SF_DIR OUT_DIR [--loose|--exact]
 """
 import json
 import sys
@@ -57,7 +61,7 @@ def kind(dtype) -> str:
     return "object"
 
 
-def compare(name, spark_df, oracle_df, loose=False):
+def compare(name, spark_df, oracle_df, loose=False, exact=False):
     a, b = canon(spark_df), canon(oracle_df)
     if list(a.columns) != list(b.columns):
         return f"SCHEMA cols {list(a.columns)} vs {list(b.columns)}"
@@ -70,7 +74,9 @@ def compare(name, spark_df, oracle_df, loose=False):
             return f"TYPE col {c}: spark {x.dtype} ({kx}) vs oracle {y.dtype} ({ky})"
         if kx == "float":
             xv, yv = x.to_numpy(), y.to_numpy()
-            if loose:
+            if exact:
+                ok = (xv == yv) | (np.isnan(xv) & np.isnan(yv))
+            elif loose:
                 ok = np.isclose(xv, yv, rtol=1e-6, atol=1e-9, equal_nan=True)
             else:
                 ok = np.isclose(xv, yv, rtol=1e-9, atol=1e-12,
@@ -88,7 +94,7 @@ def compare(name, spark_df, oracle_df, loose=False):
     return None
 
 
-def main(sf_dir, out_dir, loose=False):
+def main(sf_dir, out_dir, loose=False, exact=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -113,7 +119,7 @@ def main(sf_dir, out_dir, loose=False):
         if bad and not loose:
             print(f"FAIL {name}: ORACLE-TYPE {bad} (CAST the oracle column)")
             continue
-        err = compare(name, spark_df, oracle_df, loose=loose)
+        err = compare(name, spark_df, oracle_df, loose=loose, exact=exact)
         if err:
             print(f"FAIL {name}: {err}")
         else:
@@ -125,5 +131,6 @@ def main(sf_dir, out_dir, loose=False):
 
 if __name__ == "__main__":
     loose = "--loose" in sys.argv
+    exact = "--exact" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sys.exit(0 if main(args[0], args[1], loose=loose) else 1)
+    sys.exit(0 if main(args[0], args[1], loose=loose, exact=exact) else 1)
