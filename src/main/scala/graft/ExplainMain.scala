@@ -26,7 +26,8 @@ object ExplainMain {
       "q_order_backlog", "events_common_paths", "docs_perplexity_filter",
       "docs_augment_dropout", "etl_dq_profile",
       "dedup_source_matrix", "dedup_source_rate",
-      "docs_source_policy_apply", "dedup_cluster_sizes")
+      "docs_source_policy_apply", "dedup_cluster_sizes",
+      "stream_funnel", "dedup_ngram_contain")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

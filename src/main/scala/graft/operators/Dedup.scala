@@ -102,11 +102,13 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, shingleSize: Int = 3, numPerms: Int = 64,
                    bands: Int = 16, tau: Double = 0.5, seed: Long = 42L,
-                   maxBucket: Int = 64): DataFrame = {
+                   maxBucket: Int = 64,
+                   shingles: Option[DataFrame] = None): DataFrame = {
     // no .cache(): shingle sets are cheap to recompute (one codegen'd
     // scan) and pinning them poisons executor memory for later queries;
     // at cluster scale persist(DISK_ONLY) here if the input scan is hot
-    val sets = shingleSets(docs, shingleSize)
+    // — or thread a BlockingTrunk's sets in via `shingles`
+    val sets = shingles.getOrElse(shingleSets(docs, shingleSize))
     val sigs = sets.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     val pairs = bandedPairs(sigs, "doc_id", "sig", bands, maxBucket)
@@ -196,8 +198,10 @@ object Dedup {
 
   /** MinHash+LSH dedup, per-document summary form. */
   def minhashSummary(docs: DataFrame, shingleSize: Int = 3, numPerms: Int = 64,
-                     bands: Int = 16, tau: Double = 0.5, seed: Long = 42L): DataFrame =
-    pairSummary(docs, minhashPairs(docs, shingleSize, numPerms, bands, tau, seed), "jaccard")
+                     bands: Int = 16, tau: Double = 0.5, seed: Long = 42L,
+                     shingles: Option[DataFrame] = None): DataFrame =
+    pairSummary(docs, minhashPairs(docs, shingleSize, numPerms, bands, tau,
+      seed, shingles = shingles), "jaccard")
 
   /** SimHash near-dup pairs: 64-bit signatures, banded into
     * `bands` bit-groups for candidates, verified with exact Hamming
@@ -340,11 +344,33 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  def blockedJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                          maxDf: Int = 64, minShared: Int = 3): DataFrame = {
+  /** The deterministic blocking trunk shared by the whole blocked
+    * near-dup family at one parameterization: the distinct
+    * token-shingle sets plus the df-capped candidate pair relation
+    * over them. Jaccard verification, containment verification and
+    * banded edit distance are all cheap per-pair verifies over this
+    * SAME trunk — a pipeline (or the driver, which runs each report
+    * standalone) should build it once and feed every verifier,
+    * instead of re-tokenizing and re-inverting the corpus per
+    * report. At cluster scale the trunk is what you'd persist per
+    * corpus snapshot (sets are corpus-sized — DISK_ONLY or a table,
+    * not executor memory; candidates are pair-count-sized). */
+  final case class BlockingTrunk(sets: DataFrame, candidates: DataFrame)
+
+  def blockingTrunk(docs: DataFrame, n: Int = 3, maxDf: Int = 64,
+                    minShared: Int = 3): BlockingTrunk = {
     val sets = shingleSets(docs, n)
-    verifiedJaccard(blockedCandidates(sets, maxDf, minShared), sets, tau)
+    BlockingTrunk(sets, blockedCandidates(sets, maxDf, minShared))
   }
+
+  def blockedJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
+                          maxDf: Int = 64, minShared: Int = 3): DataFrame =
+    blockedJaccardPairsOf(blockingTrunk(docs, n, maxDf, minShared), tau)
+
+  /** [[blockedJaccardPairs]] over a prebuilt [[BlockingTrunk]]. */
+  def blockedJaccardPairsOf(trunk: BlockingTrunk,
+                            tau: Double = 0.5): DataFrame =
+    verifiedJaccard(trunk.candidates, trunk.sets, tau)
 
   /** Quality-aware near-dup SUPPRESSION: every document beaten in any
     * [[blockedJaccardPairs]] pair drops — beaten means the partner
@@ -399,10 +425,17 @@ object Dedup {
     * result by definition).
     */
   def editDistancePairs(docs: DataFrame, n: Int = 3, maxDist: Int = 80,
-                        maxDf: Int = 64, minShared: Int = 3): DataFrame = {
-    val cands = blockedCandidates(shingleSets(docs, n), maxDf, minShared)
+                        maxDf: Int = 64, minShared: Int = 3): DataFrame =
+    editDistancePairsOf(blockingTrunk(docs, n, maxDf, minShared), docs,
+      maxDist)
+
+  /** [[editDistancePairs]] over a prebuilt [[BlockingTrunk]] (only
+    * the candidate side is consumed — the verify payload is the raw
+    * text, not the shingles). */
+  def editDistancePairsOf(trunk: BlockingTrunk, docs: DataFrame,
+                          maxDist: Int = 80): DataFrame = {
     val texts = docs.select(col("doc_id"), col("text"))
-    cands
+    trunk.candidates
       .join(texts.select(col("doc_id").as("id_a"), col("text").as("t_a")),
         Seq("id_a"))
       .join(texts.select(col("doc_id").as("id_b"), col("text").as("t_b")),
@@ -479,10 +512,13 @@ object Dedup {
     * deterministic → oracle-checked end to end like its Jaccard twin.
     */
   def blockedContainmentPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.8,
-                              maxDf: Int = 64, minShared: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, n)
-    joinPairPayload(blockedCandidates(sets, maxDf, minShared), sets,
-      "doc_id", "shingles")
+                              maxDf: Int = 64, minShared: Int = 3): DataFrame =
+    blockedContainmentPairsOf(blockingTrunk(docs, n, maxDf, minShared), tau)
+
+  /** [[blockedContainmentPairs]] over a prebuilt [[BlockingTrunk]]. */
+  def blockedContainmentPairsOf(trunk: BlockingTrunk,
+                                tau: Double = 0.8): DataFrame = {
+    joinPairPayload(trunk.candidates, trunk.sets, "doc_id", "shingles")
       .withColumn("containment",
         size(array_intersect(col("shingles_a"), col("shingles_b"))) /
           greatest(least(size(col("shingles_a")), size(col("shingles_b"))), lit(1)))

@@ -304,6 +304,67 @@ object EventStream extends Serializable {
       .toDF()
   }
 
+  case class FunnelEv(ts_us: Long, user_id: Long, event_type: String)
+  case class FunnelState(signup_us: Option[Long], click_us: Option[Long],
+                         purchase_us: Option[Long])
+  case class FunnelRow(user_id: Long, signup_ts: Option[LocalDateTime],
+                       click_ts: Option[LocalDateTime],
+                       purchase_ts: Option[LocalDateTime])
+
+  /** Continuously-maintained conversion-funnel stage per user — the
+    * streaming twin of [[graft.operators.EventOps.funnel]]'s
+    * first-completion chain (signup → first click strictly after it →
+    * first purchase strictly after that). State per user is O(1): the
+    * three stage timestamps, each set exactly once and never
+    * rewritten. Each micro-batch folds its group's events in
+    * event-time order; tie order within a timestamp is irrelevant
+    * because every transition requires a STRICTLY later timestamp
+    * than the previous stage, so an equal-ts event fails whether it
+    * is folded before or after the stage it would chain off.
+    *
+    * Batch run of this code path ≡ the three-aggregate min-chain
+    * (each stage's first qualifying event IS the min qualifying ts
+    * when folded in ts order) — counting the non-null stage columns
+    * therefore shares `q_events_funnel`'s oracle. Streaming run
+    * assumes per-user event-time-ordered arrival ACROSS micro-batches
+    * (in-batch disorder is handled by the sort): an event older than
+    * an already-set stage can no longer lower that stage's timestamp,
+    * the same at-watermark contract the sessionization ops document.
+    */
+  def funnelState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[FunnelEv],
+           st: GroupState[FunnelState]): FunnelRow = {
+      var s = st.getOption.getOrElse(FunnelState(None, None, None))
+      it.toArray.sortBy(_.ts_us).foreach { e =>
+        e.event_type match {
+          case "signup" if s.signup_us.isEmpty =>
+            s = s.copy(signup_us = Some(e.ts_us))
+          case "click" if s.click_us.isEmpty &&
+            s.signup_us.exists(e.ts_us > _) =>
+            s = s.copy(click_us = Some(e.ts_us))
+          case "purchase" if s.purchase_us.isEmpty &&
+            s.click_us.exists(e.ts_us > _) =>
+            s = s.copy(purchase_us = Some(e.ts_us))
+          case _ => ()
+        }
+      }
+      st.update(s)
+      FunnelRow(userId, s.signup_us.map(usToLdt),
+        s.click_us.map(usToLdt), s.purchase_us.map(usToLdt))
+    }
+
+    events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("ts_us", "user_id", "event_type")
+      .as[FunnelEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class MgState(users: Map[Long, Long])
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -512,6 +512,60 @@ class StreamingSpec extends SparkSpec {
         s"gate must be stateless, found state operators: ${ops.mkString(",")}")
     } finally q.stop()
   }
+
+  // event set exercising every funnel edge: in-batch disorder, a
+  // click at EXACTLY the signup ts (strict inequality must reject),
+  // a purchase before its click (rejected), a user who never signs up
+  private val funnelEvents = Seq(
+    Event(1L, ts(0, 10), 1L, "signup", 0.0),
+    Event(2L, ts(0, 10), 1L, "click", 0.0), // equal ts: NOT after
+    Event(3L, ts(0, 20), 1L, "click", 0.0),
+    Event(4L, ts(0, 15), 1L, "purchase", 0.0), // before click_ts
+    Event(5L, ts(0, 25), 1L, "purchase", 0.0),
+    Event(6L, ts(0, 5), 2L, "click", 0.0), // clicks, never signs up
+    Event(7L, ts(0, 30), 2L, "signup", 0.0),
+    Event(8L, ts(0, 40), 3L, "signup", 0.0),
+    Event(9L, ts(0, 50), 3L, "click", 0.0))
+
+  test("funnelState batch run equals EventOps.funnel's min-chain") {
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    val viaState = EventStream.funnelState(funnelEvents.toDF())
+      .agg(count($"signup_ts").as("n_signup"),
+        count($"click_ts").as("n_click_after"),
+        count($"purchase_ts").as("n_purchase_after"))
+    val viaAgg = graft.operators.EventOps.funnel(funnelEvents.toDF())
+    assert(counts(viaState) == counts(viaAgg))
+    assert(counts(viaState) == ((3L, 2L, 1L)),
+      "u1 completes, u2's pre-signup click doesn't count, u3 stops at click")
+  }
+
+  test("funnelState progresses stages across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnelState(mem.toDF()).writeStream
+      .format("memory").queryName("funnel_rows").outputMode("update").start()
+    def stage(): (Boolean, Boolean, Boolean) = {
+      q.processAllAvailable()
+      // update-mode memory sink appends; last emission per user wins
+      val r = spark.table("funnel_rows").collect().zipWithIndex
+        .filter(_._1.getLong(0) == 1L).maxBy(_._2)._1
+      (!r.isNullAt(1), !r.isNullAt(2), !r.isNullAt(3))
+    }
+    try {
+      // batch 1 arrives out of order WITHIN the batch: the sort puts
+      // the signup first, so the click still chains off it
+      mem.addData(
+        Event(2L, ts(0, 20), 1L, "click", 0.0),
+        Event(1L, ts(0, 10), 1L, "signup", 0.0))
+      assert(stage() == ((true, true, false)))
+      // purchase at exactly click_ts fails the STRICT transition
+      mem.addData(Event(3L, ts(0, 20), 1L, "purchase", 0.0))
+      assert(stage() == ((true, true, false)))
+      mem.addData(Event(4L, ts(0, 45), 1L, "purchase", 0.0))
+      assert(stage() == ((true, true, true)), "stage completes batch 3")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
