@@ -218,6 +218,7 @@ object SparkEntry {
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
+    "text_pmi_bigrams" -> ((s, dir) => TextAnalysis.pmiBigrams(Tables.documents(s, dir))),
     "q_events_anomaly" -> ((s, dir) => EventOps.hourlyAnomalies(Tables.events(s, dir))),
     "q_mad_outliers" -> ((s, dir) => EventOps.madOutliers(Tables.events(s, dir))),
     "events_common_paths" -> ((s, dir) =>
@@ -993,6 +994,26 @@ object SparkEntry {
           |  ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
           |  END) AS bigram FROM t) b
           |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 100"""
+          .stripMargin.replace("\n", " ")),
+    "text_pmi_bigrams" ->
+      (toksCte +
+        """, uni AS (SELECT w, count(*) AS c_w
+          |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+          |bi AS (SELECT bigram, count(*) AS n_ab
+          |  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+          |   ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+          |   END) AS bigram FROM t) GROUP BY bigram),
+          |tot AS (SELECT (SELECT sum(c_w) FROM uni) AS n_tokens,
+          |  (SELECT sum(n_ab) FROM bi) AS n_bigrams)
+          |SELECT b.bigram, b.n_ab,
+          | round(ln(b.n_ab) - ln(n_bigrams) - ln(u1.c_w) - ln(u2.c_w)
+          |  + 2 * ln(n_tokens), 6) AS pmi
+          |FROM bi b
+          |JOIN uni u1 ON u1.w = split_part(b.bigram, ' ', 1)
+          |JOIN uni u2 ON u2.w = split_part(b.bigram, ' ', 2)
+          |CROSS JOIN tot
+          |WHERE b.n_ab >= 5
+          |ORDER BY pmi DESC, b.bigram LIMIT 100"""
           .stripMargin.replace("\n", " ")),
     "q_events_anomaly" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts) AS hour,

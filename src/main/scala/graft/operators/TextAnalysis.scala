@@ -154,6 +154,57 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("bigram"))
       .limit(n)
 
+  /** Corpus-wide PMI collocations: pointwise mutual information of
+    * adjacent token pairs, `ln p(ab) − ln p(a) − ln p(b)` with
+    * `p(ab) = c_ab/N_bigrams` and `p(w) = c_w/N_tokens` — the
+    * standard "which bigrams occur far more than their unigram
+    * frequencies predict" collocation score, with a support floor
+    * (`minCount`) so singleton pairs can't top the list on noise.
+    *
+    * The unigram and bigram count relations are vocabulary-sized
+    * (≪ corpus) and each consumed twice (totals + join), so both
+    * are pinned once (localCheckpoint) — two corpus tokenization
+    * scans total, the floor for unigram+bigram counting without
+    * fusing the two explodes. The count joins broadcast (vocab ≪
+    * corpus; at web scale a token vocabulary still broadcasts —
+    * hundreds of MB at worst — and if it ever didn't, both sides
+    * are already keyed for a plain shuffle join). PMI itself is
+    * ln/arithmetic on exact integer counts, identical expression
+    * shape in the oracle, snapped to the 1e-6 grid BEFORE ranking
+    * (the libm rule — docs/ORACLE_NOTES.md); ties break on the
+    * bigram text, which is unique per row, so the top-N cut is a
+    * total order.
+    */
+  def pmiBigrams(docs: DataFrame, n: Int = 100,
+                 minCount: Long = 5L): DataFrame = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .localCheckpoint(true)
+    val bi = toks.select(explode(expr(
+        "CASE WHEN size(toks) < 2 THEN array() " +
+          "ELSE transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1])) END")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    val totals = uni.agg(sum("c_w").as("n_tokens"))
+      .crossJoin(bi.agg(sum("n_ab").as("n_bigrams")))
+    bi.filter(col("n_ab") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(uni.select(col("w").as("w1"), col("c_w").as("c_a"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c_w").as("c_b"))),
+        Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log(col("n_ab")) - log(col("n_bigrams")) - log(col("c_a")) -
+          log(col("c_b")) + lit(2.0) * log(col("n_tokens")), 6))
+      .select(col("bigram"), col("n_ab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(n)
+  }
+
   /** Per-source quality rollup: corpus-health dashboard numbers
     * (mean quality/length/stopword-density by provenance).
     */

@@ -253,6 +253,30 @@ class TextAnalysisSpec extends SparkSpec {
       f"a quarter-sample profile drifted too far: mean |Δaffinity| = $meanAbsDiff%.4f")
   }
 
+  test("pmiBigrams ranks the exclusive collocation above the chance pair") {
+    // "aa bb" always co-occur and appear nowhere else: p(ab) =
+    // p(a) = p(b) -> maximal pmi. "cc" and "dd" are frequent but
+    // pair up only sometimes -> lower pmi. "ee ff" occurs once,
+    // below the support floor -> excluded entirely.
+    val base = Seq.fill(6)("aa bb cc dd") ++ Seq.fill(6)("cc dd") ++
+      Seq("ee ff")
+    val docs = base.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiBigrams(docs, n = 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byBigram = out.map(t => t._1 -> t).toMap
+    assert(!byBigram.contains("ee ff"), "support floor excludes singletons")
+    assert(byBigram.contains("aa bb") && byBigram.contains("cc dd"))
+    assert(byBigram("aa bb")._3 > byBigram("cc dd")._3,
+      s"exclusive pair must out-score the chance pair: $out")
+    // hand check: pmi(aa,bb) = ln(c_ab) - ln(Nb) - ln(c_a) - ln(c_b)
+    //                          + 2 ln(Nt)
+    val (nt, nb) = (38.0, 25.0) // 6*4 + 6*2 + 2 tokens; 6*3 + 6 + 1 bigrams
+    val exp = math.log(6) - math.log(nb) - math.log(6) - math.log(6) +
+      2 * math.log(nt)
+    assert(math.abs(byBigram("aa bb")._3 - exp) < 1e-5)
+  }
+
   test("contextChunks tile every doc: strided starts, full overlap coverage") {
     // 0 tokens, sub-window, exact window, window+1, and a long doc
     val docs = Seq(
