@@ -27,7 +27,8 @@ object ExplainMain {
       "docs_augment_dropout", "etl_dq_profile",
       "dedup_source_matrix", "dedup_source_rate",
       "docs_source_policy_apply", "dedup_cluster_sizes",
-      "stream_funnel", "dedup_ngram_contain")
+      "stream_funnel", "dedup_ngram_contain",
+      "text_pmi_bigrams", "events_attribution")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

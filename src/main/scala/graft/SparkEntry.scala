@@ -216,6 +216,8 @@ object SparkEntry {
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
+    "events_attribution" -> ((s, dir) =>
+      EventOps.lastTouchAttribution(Tables.events(s, dir))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
     "text_top_bigrams" -> ((s, dir) => TextAnalysis.topBigrams(Tables.documents(s, dir))),
     "text_pmi_bigrams" -> ((s, dir) => TextAnalysis.pmiBigrams(Tables.documents(s, dir))),
@@ -995,6 +997,23 @@ object SparkEntry {
           |  END) AS bigram FROM t) b
           |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 100"""
           .stripMargin.replace("\n", " ")),
+    "events_attribution" ->
+      """WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        |a AS (SELECT *, max(CASE WHEN event_type = 'click' THEN ts END)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        | FROM ev)
+        |SELECT CAST(ts AS DATE) AS day,
+        | CAST(count(*) AS BIGINT) AS n_purchases,
+        | CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+        |   AND last_click_ts >= ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_attributed,
+        | round(CAST(sum(CASE WHEN last_click_ts IS NOT NULL
+        |   AND last_click_ts >= ts - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+        |  AS BIGINT) / CAST(count(*) AS BIGINT), 6) AS attribution_rate
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY CAST(ts AS DATE)""".stripMargin.replace("\n", " "),
     "text_pmi_bigrams" ->
       (toksCte +
         """, uni AS (SELECT w, count(*) AS c_w

@@ -506,6 +506,42 @@ object EventOps {
       .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
   }
 
+  /** Last-touch attribution: each purchase is attributed to the
+    * user's most recent click no older than `windowHours` before it;
+    * per purchase day, how many purchases were click-attributed vs
+    * organic. One window over the (click, purchase)-pruned event
+    * stream — partitioned by user, so no global ordering anywhere —
+    * carrying the running "latest click so far" (`max` of a
+    * click-only CASE is the latest because the frame is ts-ordered).
+    * The frame ends at 1 PRECEDING on a (ts, event_id) order: at an
+    * equal timestamp the smaller event_id counts as earlier, a
+    * deterministic tie rule the oracle spells identically.
+    * Timestamps compare natively at µs precision (the
+    * unix_timestamp second-truncation trap — see assignSessions).
+    */
+  def lastTouchAttribution(events: DataFrame,
+                           windowHours: Int = 1): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_ts").isNotNull &&
+          col("last_click_ts") >= col("ts") -
+            make_dt_interval(lit(0), lit(windowHours), lit(0), lit(0)))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"))
+      .withColumn("attribution_rate",
+        round(col("n_attributed") / col("n_purchases"), 6))
+  }
+
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column
     * distinct + a self-equi-join on (user, hour+1) — both sides

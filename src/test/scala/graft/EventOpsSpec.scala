@@ -50,6 +50,33 @@ class EventOpsSpec extends SparkSpec {
       "2024-01-02" -> (1L, 1L, 1.0)), s"abandonment: $out")
   }
 
+  test("lastTouchAttribution: window cutoff, tie rule, organic purchases") {
+    val e = events(
+      // user 1: click 10:00 → purchase 10:30 (within 1h, attributed)
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:30:00", 1L, "purchase"),
+      // user 2: click 08:00 → purchase 10:00 (stale, organic) — the
+      // intervening view must not reset anything
+      (3L, "2024-01-01 08:00:00", 2L, "click"),
+      (4L, "2024-01-01 09:00:00", 2L, "view"),
+      (5L, "2024-01-01 10:00:00", 2L, "purchase"),
+      // user 3: purchase with no click ever → organic
+      (6L, "2024-01-02 12:00:00", 3L, "purchase"),
+      // user 4: click at the SAME ts as the purchase, smaller
+      // event_id → counts as earlier → attributed
+      (7L, "2024-01-02 15:00:00", 4L, "click"),
+      (8L, "2024-01-02 15:00:00", 4L, "purchase"),
+      // user 5: click only AFTER the purchase → organic
+      (9L, "2024-01-02 16:00:00", 5L, "purchase"),
+      (10L, "2024-01-02 16:05:00", 5L, "click"))
+    val out = EventOps.lastTouchAttribution(e).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      "2024-01-01" -> (2L, 1L, 0.5),
+      "2024-01-02" -> (3L, 1L, 0.333333)), s"attribution: $out")
+  }
+
   test("dowHourProfile averages per slot occurrence, not per calendar hour") {
     // span 2024-01-07 09:00 .. 2024-01-15 09:00 (193 calendar hours,
     // > one week → all 168 slots exist). Mondays at 09:00 carry 3+1
