@@ -41,6 +41,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names.contains(k) })
+
+    // the shared near-dup caches (blocking trunk + verified pairs)
+    // are built once and billed HERE, not to whichever family query
+    // runs first — min-of-two would otherwise drop the build cost
+    // from every per-query number
+    val primeT0 = System.nanoTime()
+    SparkEntry.primeSharedCaches(spark, sfDir)
+    val primeSec = (System.nanoTime() - primeT0) / 1e9
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -60,11 +68,18 @@ object Bench {
       name -> (if (first < 0) -1.0 else { val second = once()
         if (second < 0) -1.0 else math.min(first, second) })
     }
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // cap the failed list: a systemic failure (bad SF dir → ~all
+    // queries throw) must not blow the contract line past the 2KB
+    // tail window either — names beyond 10 collapse into the count
+    val failedAll = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val failed = (failedAll.take(10).map("\"" + _ + "\"") ++
+      (if (failedAll.size > 10) Seq("\"+" + (failedAll.size - 10) + " more\"")
+       else Nil)).mkString("[", ",", "]")
+    def fmt(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jsonOf(rs: Map[String, Double]) = rs.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.values.filter(_ >= 0).sum + primeSec
     // Full per-query detail on a PREFIXED line (greppable, not the
     // contract line), because the driver keeps only the last 2000
     // chars of stdout: a 191-entry queries map is ~6KB, so embedding
@@ -72,7 +87,8 @@ object Bench {
     // tail window and the driver's JSON parse fails (BENCH_r01–r05
     // all have "parsed": null). The final line stays under ~1.2KB —
     // headline queries only — so it survives the tail intact.
-    println("[bench-detail] " + jsonOf(results))
+    println("[bench-detail] " +
+      jsonOf(results + ("shared_prime" -> primeSec)))
     val headline = Seq(
       "q1_pricing_summary", "q3_bloom_pruned", "q_basket_affinity",
       "q_brand_revenue", "q_brand_revenue_salted", "q_asof_join",
@@ -82,8 +98,9 @@ object Bench {
       "ann_bruteforce_topk", "ann_ivf_topk", "text_lm_score",
       "text_winnow_pairs", "docs_curate_mixture", "mm_type_summary",
       "stream_dedup_within_wm").toSet
-    val qs = jsonOf(results.filter { case (k, _) => headline.contains(k) })
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val qs = jsonOf(results.filter { case (k, _) => headline.contains(k) } +
+      ("shared_prime" -> primeSec))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,20 +72,39 @@ object SparkEntry {
     * executor memory — see the [[Dedup.BlockingTrunk]] scaladoc).
     * Caches are keyed on (session, dir) and never evicted — sessions
     * here live for one driver/bench JVM. */
-  private val trunkCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Dedup.BlockingTrunk]
-  private def sharedTrunk(s: SparkSession, dir: String): Dedup.BlockingTrunk =
-    trunkCache.getOrElseUpdate((s, dir), {
-      val t = Dedup.blockingTrunk(Tables.documents(s, dir))
-      Dedup.BlockingTrunk(t.sets.localCheckpoint(true),
-        t.candidates.localCheckpoint(true))
-    })
+  private val setsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
+    setsCache.getOrElseUpdate((s, dir),
+      Dedup.blockingTrunk(Tables.documents(s, dir)).sets
+        .localCheckpoint(true))
+  private val candsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // sets and candidates cache separately: minhash/groups consume only
+  // the sets, and must not pay the inverted-index candidate build as
+  // a side effect of asking for them
+  private def sharedTrunk(s: SparkSession, dir: String): Dedup.BlockingTrunk = {
+    val sets = sharedShingleSets(s, dir)
+    Dedup.BlockingTrunk(sets,
+      candsCache.getOrElseUpdate((s, dir),
+        Dedup.candidatesOf(sets).localCheckpoint(true)))
+  }
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedBlockedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
       Dedup.blockedJaccardPairsOf(sharedTrunk(s, dir))
         .localCheckpoint(true))
+
+  /** Force-build every shared cache for (session, dir). Bench calls
+    * this ONCE and reports the time as its own line item — otherwise
+    * min-of-two timing hides the build (first run pays it, second
+    * hits the cache) and the near-dup family's numbers silently
+    * become verify-only, invisible to regression tracking. */
+  def primeSharedCaches(s: SparkSession, dir: String): Unit = {
+    sharedBlockedPairs(s, dir)
+    ()
+  }
 
   /** Incremental maintenance: "history" (pre-cutoff, standing in for
     * yesterday's stored summary) merged with the post-cutoff delta —
@@ -244,7 +263,7 @@ object SparkEntry {
     "dedup_exact_report" -> ((s, dir) => Dedup.exactReport(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashSummary(Tables.documents(s, dir), tau = 0.4,
-        shingles = Some(sharedTrunk(s, dir).sets))),
+        shingles = Some(sharedShingleSets(s, dir)))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSummary(Tables.documents(s, dir), maxHamming = 12)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -254,7 +273,7 @@ object SparkEntry {
     "dedup_groups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupGroups(docs, Dedup.minhashPairs(docs, tau = 0.4,
-        shingles = Some(sharedTrunk(s, dir).sets)))
+        shingles = Some(sharedShingleSets(s, dir))))
     }),
     // §2.D similarity search
     "ann_bruteforce_topk" -> ((s, dir) => {

@@ -360,8 +360,17 @@ object Dedup {
   def blockingTrunk(docs: DataFrame, n: Int = 3, maxDf: Int = 64,
                     minShared: Int = 3): BlockingTrunk = {
     val sets = shingleSets(docs, n)
-    BlockingTrunk(sets, blockedCandidates(sets, maxDf, minShared))
+    BlockingTrunk(sets, candidatesOf(sets, maxDf, minShared))
   }
+
+  /** The candidate half of the trunk from an existing (possibly
+    * materialized) shingle-set relation — lets a caller cache the
+    * sets and the candidates independently: signature-based
+    * consumers (minhash) need only the sets, and must not pay the
+    * inverted-index candidate build to get them. */
+  def candidatesOf(sets: DataFrame, maxDf: Int = 64,
+                   minShared: Int = 3): DataFrame =
+    blockedCandidates(sets, maxDf, minShared)
 
   def blockedJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                           maxDf: Int = 64, minShared: Int = 3): DataFrame =

@@ -42,18 +42,42 @@ object DedupStore {
     * the query side: a store built with one shingle/signature shape
     * and banded with another would silently collide on (almost)
     * nothing — recall collapse, no error — so the parameters travel
-    * together everywhere. */
+    * together everywhere.
+    *
+    * All three writers (build, [[append]], and the streaming
+    * [[graft.streaming.StreamingLoad.fingerprintStoreSink]]) emit
+    * the SAME `batch_id`-partitioned layout, so one store path can
+    * be batch-built, nightly-appended and stream-maintained
+    * interchangeably — mixing a partitioned and an unpartitioned
+    * writer on one path would fail parquet partition discovery.
+    * Convention: negative ids are "unversioned" batch writes; the
+    * streaming sink's micro-batch ids are ≥ 0 and never collide
+    * with them. */
   def build(docs: DataFrame, path: String, shingleSize: Int = 3,
-            numPerms: Int = DefaultPerms, seed: Long = DefaultSeed): Unit =
+            numPerms: Int = DefaultPerms, seed: Long = DefaultSeed,
+            batchId: Long = -1L): Unit =
     fingerprintRows(docs, shingleSize, numPerms, seed)
-      .write.mode("overwrite").parquet(path)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(path)
 
   /** Nightly maintenance: append one batch's fingerprints (must use
-    * the build-time parameters). */
+    * the build-time parameters). Pass a stable per-run `batchId`
+    * (e.g. the run date as yyyyMMdd) and a re-run becomes
+    * idempotent — it overwrites its OWN partition, the same replay
+    * contract as the streaming sink; the default -1 is a plain
+    * append into the shared unversioned partition (no replay
+    * protection). */
   def append(newDocs: DataFrame, path: String, shingleSize: Int = 3,
-             numPerms: Int = DefaultPerms, seed: Long = DefaultSeed): Unit =
-    fingerprintRows(newDocs, shingleSize, numPerms, seed)
-      .write.mode("append").parquet(path)
+             numPerms: Int = DefaultPerms, seed: Long = DefaultSeed,
+             batchId: Long = -1L): Unit = {
+    val rows = fingerprintRows(newDocs, shingleSize, numPerms, seed)
+      .withColumn("batch_id", lit(batchId))
+    if (batchId >= 0L)
+      rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(path)
+    else rows.write.mode("append").partitionBy("batch_id").parquet(path)
+  }
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

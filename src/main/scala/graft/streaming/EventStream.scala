@@ -357,6 +357,10 @@ object EventStream extends Serializable {
     }
 
     events.toDF()
+      // only stage events shuffle into the state fold — everything
+      // else would just hit the no-op arm after a pointless shuffle,
+      // and stage-less users would hold state and emit null rows
+      .filter(col("event_type").isin("signup", "click", "purchase"))
       .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
       .select("ts_us", "user_id", "event_type")
       .as[FunnelEv]

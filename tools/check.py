@@ -71,7 +71,15 @@ def compare(name, spark_df, oracle_df, loose=False, exact=False):
         x, y = a[c], b[c]
         kx, ky = kind(x.dtype), kind(y.dtype)
         if kx != ky:
-            return f"TYPE col {c}: spark {x.dtype} ({kx}) vs oracle {y.dtype} ({ky})"
+            # --loose restores the old triage behaviour: numeric-kind
+            # mismatches (e.g. HUGEINT rendered as float64) coerce and
+            # compare by value instead of hard-failing on the dtype
+            if loose and {kx, ky} == {"int", "float"}:
+                x, y = x.astype(float), y.astype(float)
+                kx = ky = "float"
+            else:
+                return (f"TYPE col {c}: spark {x.dtype} ({kx})"
+                        f" vs oracle {y.dtype} ({ky})")
         if kx == "float":
             xv, yv = x.to_numpy(), y.to_numpy()
             if exact:
