@@ -216,4 +216,24 @@ class PlanSpec extends SparkSpec {
       assert(n == 1, s"expected exactly one narrow (doc_id, source) scan, got $n:\n$p")
     }
   }
+
+  test("lastTouchAttribution windows per user and prunes event types at the scan") {
+    val p = plan(graft.operators.EventOps
+      .lastTouchAttribution(Tables.events(spark, dir)))
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"the latest-click carry must partition by user:\n$p")
+    assert(!p.contains("windowspecdefinition(ts") &&
+      !p.contains("SinglePartition, ENSURE_REQUIREMENTS\n   +- Window"),
+      s"no global (unpartitioned) window allowed:\n$p")
+    assert(p.contains("In(event_type") || p.contains("event_type IN"),
+      s"the click/purchase prune must reach the plan's filter:\n$p")
+  }
+
+  test("pmiBigrams joins unigram counts via broadcast") {
+    val p = plan(graft.operators.TextAnalysis
+      .pmiBigrams(Tables.documents(spark, dir)))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"both unigram count joins must broadcast, got $broadcasts:\n$p")
+  }
 }
