@@ -571,6 +571,9 @@ object SparkEntry {
       operators.Curation.applySourcePolicy(Tables.documents(s, dir),
         dropDupRate = 0.18, capQuality = 0.2, cap = 8,
         pairs = Some(sharedBlockedPairs(s, dir)))),
+    "docs_quality_dup_profile" -> ((s, dir) =>
+      operators.Curation.qualityDupProfile(Tables.documents(s, dir),
+        pairs = Some(sharedBlockedPairs(s, dir)))),
     "dedup_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairsOf(sharedTrunk(s, dir),
         Tables.documents(s, dir))),
@@ -1016,6 +1019,28 @@ object SparkEntry {
           |  END) AS bigram FROM t) b
           |GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 100"""
           .stripMargin.replace("\n", " ")),
+    "docs_quality_dup_profile" ->
+      (blockedPairsCte +
+        """, dd AS (SELECT DISTINCT doc_id FROM
+          |  (SELECT id_a AS doc_id FROM m UNION ALL SELECT id_b AS doc_id FROM m)),
+          |rawstats AS (SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars,
+          |  CAST(len(rtoks) AS BIGINT) AS n_tokens,
+          |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_count,
+          |  CAST(len(list_filter(rtoks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS stopword_count
+          | FROM (SELECT doc_id, text,
+          |   list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS rtoks
+          |  FROM documents)),
+          |qb AS (SELECT doc_id, CAST(least(floor((least(1.0, n_tokens / 128.0)
+          |  * (1.0 - least(1.0, (punct_count / greatest(n_chars, 1)) * 4.0))
+          |  * (0.3 + 0.7 * least(1.0, (stopword_count / greatest(n_tokens, 1)) * 5.0))) * 10), 9) AS BIGINT) AS q_bucket
+          | FROM rawstats)
+          |SELECT q_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+          | round(CAST(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |  / CAST(count(*) AS BIGINT), 6) AS near_dup_rate
+          |FROM qb LEFT JOIN dd ON dd.doc_id = qb.doc_id
+          |GROUP BY q_bucket""".stripMargin.replace("\n", " ")),
     "events_attribution" ->
       """WITH ev AS (SELECT event_id, ts, user_id, event_type FROM events
         |  WHERE event_type IN ('click', 'purchase')),

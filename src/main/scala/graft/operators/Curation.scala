@@ -284,6 +284,40 @@ object Curation {
           .otherwise(lit("keep")))
   }
 
+  /** Quality-band × near-dup cross diagnostic: the corpus bucketed
+    * by quality score (`buckets` equal bands over [0,1], top band
+    * closed) with each band's near-dup contamination rate. The
+    * curation question it answers — "are the low-quality documents
+    * also the duplicated ones?" — decides whether a quality gate
+    * alone already removes most duplication (cheap) or dedup must
+    * run on the full corpus (expensive). One stats scan + the pair
+    * list (thread a materialized one via `pairs` — cf.
+    * [[sourcePolicy]]); bucket assignment is floor on the identical
+    * quality expression both engines compute (rule-2 determinism,
+    * same argument as [[curate]]'s threshold). Output is O(buckets)
+    * rows.
+    */
+  def qualityDupProfile(docs: DataFrame, buckets: Int = 10,
+                        pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(Dedup.blockedJaccardPairs(docs))
+    val dupIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("dup", lit(1L))
+    TextAnalysis.stats(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("q_bucket",
+        least(floor(col("quality_score") * buckets),
+          lit(buckets - 1L)).cast("long"))
+      .join(dupIds, Seq("doc_id"), "left")
+      .groupBy("q_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_near_dup"))
+      .withColumn("near_dup_rate",
+        round(col("n_near_dup") / col("n_docs"), 6))
+  }
+
   /** [[sourcePolicy]] APPLIED: the post-policy corpus. Dropped
     * sources vanish, capped sources keep their top-`cap` docs by
     * (quality desc, doc_id), kept sources pass through whole —

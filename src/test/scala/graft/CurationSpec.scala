@@ -241,4 +241,23 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(applied == Set(3L, 5L), s"got $applied")
   }
+
+  test("qualityDupProfile: bands by score, rates count injected pair members") {
+    // docs 1, 2: 4 stopword-free tokens → q = (4/128)·1·0.3 ≈ 0.009
+    // → band 0. doc 3: 128 tokens, every 4th a stopword → all three
+    // quality factors saturate at 1.0·1.0·1.0 → clamped top band 9
+    val docs = Seq(
+      (1L, "xq yq zq wq"),
+      (2L, "aq bq cq dq"),
+      (3L, Seq.fill(32)("the xa ya za").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Curation.qualityDupProfile(docs, pairs = Some(pairs))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      0L -> (2L, 2L, 1.0),
+      9L -> (1L, 0L, 0.0)), s"profile: $out")
+  }
 }
