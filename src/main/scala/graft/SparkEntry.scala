@@ -641,6 +641,15 @@ object SparkEntry {
         .agg(count(col("signup_ts")).as("n_signup"),
           count(col("click_ts")).as("n_click_after"),
           count(col("purchase_ts")).as("n_purchase_after"))),
+    // batch run of the streaming attribution state fold, aggregated
+    // to the relational form's day grain — shares its oracle
+    "stream_attribution" -> ((s, dir) =>
+      graft.streaming.EventStream.attributionState(Tables.events(s, dir))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"))
+        .withColumn("attribution_rate",
+          round(col("n_attributed") / col("n_purchases"), 6))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -714,7 +723,9 @@ object SparkEntry {
       // associative partial-merge == full recompute
       ("etl_incremental_summary" -> m("etl_sales_summary")) +
       // ts-ordered state-machine fold == three-aggregate min-chain
-      ("stream_funnel" -> m("q_events_funnel"))
+      ("stream_funnel" -> m("q_events_funnel")) +
+      // ts-ordered latest-click fold == the window's 1-PRECEDING frame
+      ("stream_attribution" -> m("events_attribution"))
   }
 
   private def base: Map[String, String] = Map(

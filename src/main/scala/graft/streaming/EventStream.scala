@@ -369,6 +369,57 @@ object EventStream extends Serializable {
       .toDF()
   }
 
+  case class AttrEv(event_id: Long, ts_us: Long, user_id: Long,
+                    event_type: String)
+  case class AttrState(last_click_us: Long)
+  case class AttrRow(user_id: Long, ts: LocalDateTime, attributed: Boolean)
+
+  /** Streaming last-touch attribution — the continuous twin of
+    * [[graft.operators.EventOps.lastTouchAttribution]]: per user,
+    * O(1) state (the latest click timestamp so far), and every
+    * purchase emits an attributed/organic row the moment its
+    * micro-batch folds. Events fold in (ts, event_id) order inside
+    * each batch, so a same-timestamp click with the smaller id
+    * lands before the purchase — the exact frame-edge tie rule of
+    * the batch window ((ts, event_id) order, frame to 1 PRECEDING).
+    * A batch run of this path aggregated by day therefore equals
+    * the relational form row-for-row and shares its oracle; the
+    * streaming run assumes per-user event-time-ordered arrival
+    * across micro-batches, the same at-watermark contract as
+    * [[funnelState]].
+    */
+  def attributionState(events: DataFrame, windowHours: Int = 1): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = windowHours * 3600L * 1000000L
+
+    def fn(userId: Long, it: Iterator[AttrEv],
+           st: GroupState[AttrState]): Iterator[AttrRow] = {
+      var last = st.getOption.map(_.last_click_us).getOrElse(Long.MinValue)
+      val out = Seq.newBuilder[AttrRow]
+      it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "click" => last = math.max(last, e.ts_us)
+          case "purchase" => out += AttrRow(userId, usToLdt(e.ts_us),
+            last != Long.MinValue && last >= e.ts_us - windowUs)
+          case _ => ()
+        }
+      }
+      st.update(AttrState(last))
+      out.result().iterator
+    }
+
+    events.toDF()
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "ts_us", "user_id", "event_type")
+      .as[AttrEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class MgState(users: Map[Long, Long])
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -540,6 +540,52 @@ class StreamingSpec extends SparkSpec {
       "u1 completes, u2's pre-signup click doesn't count, u3 stops at click")
   }
 
+  test("attributionState batch run equals the relational window form") {
+    val e = Seq(
+      Event(1L, ts(0, 0), 1L, "click", 0.0),
+      Event(2L, ts(0, 30), 1L, "purchase", 0.0), // within 1h → attributed
+      Event(3L, ts(3, 0), 1L, "purchase", 0.0),  // stale → organic
+      Event(4L, ts(1, 0), 2L, "purchase", 0.0),  // never clicked
+      Event(5L, ts(2, 0), 2L, "click", 0.0),     // click after the fact
+      Event(6L, ts(4, 0), 3L, "click", 0.0),
+      Event(7L, ts(4, 0), 3L, "purchase", 0.0))  // same-ts, click id lower
+    val viaState = EventStream.attributionState(e.toDF())
+      .groupBy(to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"))
+      .withColumn("attribution_rate",
+        round($"n_attributed" / $"n_purchases", 6))
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val viaWindow = graft.operators.EventOps.lastTouchAttribution(e.toDF())
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(viaState == viaWindow, s"$viaState vs $viaWindow")
+    assert(viaState("2024-01-01") == ((4L, 2L, 0.5)), s"got $viaState")
+  }
+
+  test("attributionState carries click state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.attributionState(mem.toDF()).writeStream
+      .format("memory").queryName("attr_rows").outputMode("append").start()
+    def rows(): Seq[(Long, Boolean)] = {
+      q.processAllAvailable()
+      spark.table("attr_rows").collect()
+        .map(r => (r.getLong(0), r.getBoolean(2))).toSeq
+    }
+    try {
+      mem.addData(Event(1L, ts(0, 10), 1L, "click", 0.0))
+      assert(rows().isEmpty, "clicks alone emit nothing")
+      // the purchase arrives in a LATER batch — state must remember
+      mem.addData(Event(2L, ts(0, 40), 1L, "purchase", 0.0))
+      assert(rows() == Seq((1L, true)), "cross-batch click attributes")
+      mem.addData(Event(3L, ts(5, 0), 1L, "purchase", 0.0))
+      assert(rows().toSet == Set((1L, true), (1L, false)),
+        "a stale click no longer attributes")
+    } finally q.stop()
+  }
+
   test("funnelState progresses stages across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
