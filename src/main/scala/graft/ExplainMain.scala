@@ -28,7 +28,8 @@ object ExplainMain {
       "dedup_source_matrix", "dedup_source_rate",
       "docs_source_policy_apply", "dedup_cluster_sizes",
       "stream_funnel", "dedup_ngram_contain",
-      "text_pmi_bigrams", "events_attribution")
+      "text_pmi_bigrams", "events_attribution",
+      "events_key_skew", "docs_quality_dup_profile")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -329,6 +329,10 @@ object SparkEntry {
       DataSplit.shuffleShards(Tables.documents(s, dir), nShards = 4)),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
+    "docs_contamination_by_source" -> ((s, dir) =>
+      TextAnalysis.contaminationBySource(Tables.documents(s, dir))),
+    "events_key_skew" -> ((s, dir) =>
+      operators.Skew.keySkewProfile(Tables.events(s, dir), "user_id")),
     "docs_curate" -> ((s, dir) =>
       operators.Curation.curate(Tables.documents(s, dir))),
     "docs_curate_manifest" -> ((s, dir) =>
@@ -1744,6 +1748,38 @@ object SparkEntry {
         |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
         |SELECT doc_id, count(*) AS n_overlap
         |FROM corpus JOIN bench USING (gram) GROUP BY 1""".stripMargin.replace("\n", " "),
+    "docs_contamination_by_source" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+        |o AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM corpus JOIN bench USING (gram) GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN o.n_overlap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contaminated,
+        | CAST(sum(coalesce(o.n_overlap, 0)) AS BIGINT) AS total_overlap,
+        | round(CAST(sum(CASE WHEN o.n_overlap IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) / CAST(count(*) AS BIGINT), 6) AS contamination_rate
+        |FROM documents d LEFT JOIN o USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.source""".stripMargin.replace("\n", " "),
+    "events_key_skew" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+        |  CAST(max(n_rows) AS BIGINT) AS max_rows FROM c)
+        |SELECT n_keys, n_rows_total, max_rows,
+        | (SELECT min(key) FROM c WHERE n_rows = s.max_rows) AS top_key,
+        | round(CAST(n_rows_total AS DOUBLE) / n_keys, 6) AS avg_rows,
+        | round(CAST(max_rows * n_keys AS DOUBLE) / n_rows_total, 6) AS skew_ratio
+        |FROM s""".stripMargin.replace("\n", " "),
     "sample_poisson_k" ->
       """WITH r AS (SELECT doc_id,
         |  (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':p42'), 1, 8)

@@ -491,6 +491,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Benchmark contamination rolled up BY SOURCE — which provenance
+    * carries the benchmark-overlapping documents [[decontaminate]]
+    * flags. A source whose contamination rate is an outlier scraped
+    * the benchmark (or its mirrors) wholesale and is a drop/refetch
+    * candidate at the source level, far cheaper than doc-by-doc
+    * excision. One extra |corpus|-row left join + an O(|sources|)
+    * aggregate on top of the decontamination semi-join; rate is an
+    * exact integer ratio rounded once.
+    */
+  def contaminationBySource(docs: DataFrame, n: Int = 3,
+                            benchMod: Int = 97): DataFrame = {
+    val overlap = decontaminate(docs, n, benchMod) // (doc_id, n_overlap)
+    docs.filter(col("doc_id") % benchMod =!= 0)
+      .select("doc_id", "source")
+      .join(overlap, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_overlap").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(coalesce(col("n_overlap"), lit(0L))).as("total_overlap"))
+      .withColumn("contamination_rate",
+        round(col("n_contaminated") / col("n_docs"), 6))
+  }
+
   /** Sub-document (chunk-level) dedup: split every document into
     * non-overlapping `n`-token chunks, hash each, and report chunks
     * shared across documents — the boilerplate/copied-span detector

@@ -34,6 +34,20 @@ class SkewSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("keySkewProfile reports the hot key, exact mean, and max/mean ratio") {
+    // keys: "hot" ×6, "a" ×2, "b" ×2, "tie" ... make a count tie to
+    // check the smallest-key tiebreak: "aa" ×4 and "ab" ×4 with max 4
+    val df = (Seq.fill(4)("aa") ++ Seq.fill(4)("ab") ++
+      Seq.fill(2)("z")).toDF("k")
+    val r = Skew.keySkewProfile(df, "k").collect().head
+    assert(r.getLong(0) == 3L, s"n_keys: $r")          // aa, ab, z
+    assert(r.getLong(1) == 10L, s"n_rows_total: $r")
+    assert(r.getLong(2) == 4L, s"max_rows: $r")
+    assert(r.getString(3) == "aa", s"smallest key wins the tie: $r")
+    assert(r.getDouble(4) == 3.333333, s"avg_rows rounded: $r")
+    assert(r.getDouble(5) == 1.2, s"skew = 4·3/10: $r")
+  }
+
   test("saltedAgg actually spreads the hot key over salt buckets") {
     // same salt derivation as the implementation (hash of row values)
     val salted = skewed.withColumn("__salt",

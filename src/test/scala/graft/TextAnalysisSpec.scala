@@ -253,6 +253,24 @@ class TextAnalysisSpec extends SparkSpec {
       f"a quarter-sample profile drifted too far: mean |Δaffinity| = $meanAbsDiff%.4f")
   }
 
+  test("contaminationBySource: only the copying source shows overlap") {
+    // doc 0 (id % 97 == 0) is the benchmark slice; srcCopy's doc 5
+    // shares its grams, srcClean's doc 1 is token-disjoint
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (0L, bench, "whatever"),
+      (5L, bench + " extra tail tokens here", "srcCopy"),
+      (1L, "one two three four five six seven", "srcClean"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.contaminationBySource(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out("srcCopy") == ((1L, 1L, 4L, 1.0)),
+      s"four shared 3-grams from the copied span: $out")
+    assert(out("srcClean") == ((1L, 0L, 0L, 0.0)), s"clean: $out")
+    assert(!out.contains("whatever"), "the benchmark slice is not corpus")
+  }
+
   test("pmiBigrams ranks the exclusive collocation above the chance pair") {
     // "aa bb" always co-occur and appear nowhere else: p(ab) =
     // p(a) = p(b) -> maximal pmi. "cc" and "dd" are frequent but
