@@ -296,6 +296,19 @@ class AnalyticsSpec extends SparkSpec {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.operators.TextAnalysis.perplexityFilter(noDocs)
       .collect().isEmpty)
+    // round-6 operators: empty in → empty (or single-null-row) out
+    assert(graft.operators.TextAnalysis.pmiBigrams(noDocs)
+      .collect().isEmpty)
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(graft.operators.EventOps.lastTouchAttribution(noEvents)
+      .collect().isEmpty)
+    assert(graft.streaming.EventStream.funnelState(noEvents
+      .withColumn("value", lit(0.0))).collect().isEmpty)
+    // key-skew summary of nothing: one row, zero keys, null extrema
+    val sk = graft.operators.Skew.keySkewProfile(noEvents, "user_id")
+      .collect().head
+    assert(sk.getLong(0) == 0L && sk.isNullAt(2), s"empty skew: $sk")
   }
 
   test("giniRevenue: 0 for equality, known value for crafted inequality") {
