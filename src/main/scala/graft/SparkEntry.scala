@@ -646,14 +646,11 @@ object SparkEntry {
           count(col("click_ts")).as("n_click_after"),
           count(col("purchase_ts")).as("n_purchase_after"))),
     // batch run of the streaming attribution state fold, aggregated
-    // to the relational form's day grain — shares its oracle
+    // through the SAME day-grain rollup as the window form — shares
+    // its oracle
     "stream_attribution" -> ((s, dir) =>
-      graft.streaming.EventStream.attributionState(Tables.events(s, dir))
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_purchases"),
-          sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"))
-        .withColumn("attribution_rate",
-          round(col("n_attributed") / col("n_purchases"), 6))),
+      EventOps.attributionDaily(
+        graft.streaming.EventStream.attributionState(Tables.events(s, dir)))),
   )
 
   // ---- DuckDB oracles --------------------------------------------------

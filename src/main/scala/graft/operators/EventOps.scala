@@ -526,21 +526,29 @@ object EventOps {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ev
+    attributionDaily(ev
       .withColumn("last_click_ts",
         max(when(col("event_type") === "click", col("ts"))).over(w))
       .filter(col("event_type") === "purchase")
       .withColumn("attributed",
         col("last_click_ts").isNotNull &&
           col("last_click_ts") >= col("ts") -
-            make_dt_interval(lit(0), lit(windowHours), lit(0), lit(0)))
+            make_dt_interval(lit(0), lit(windowHours), lit(0), lit(0))))
+  }
+
+  /** The day-grain attribution rollup — ONE spelling shared by
+    * [[lastTouchAttribution]] and the streaming twin's batch run
+    * (`stream_attribution`), so the attributed/organic accounting
+    * can never drift between the two forms. Input: one row per
+    * purchase with `ts` and boolean `attributed`. */
+  def attributionDaily(purchases: DataFrame): DataFrame =
+    purchases
       .groupBy(to_date(col("ts")).as("day"))
       .agg(
         count(lit(1)).as("n_purchases"),
         sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"))
       .withColumn("attribution_rate",
         round(col("n_attributed") / col("n_purchases"), 6))
-  }
 
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column

@@ -40,7 +40,10 @@ object Skew {
       .withColumn("avg_rows",
         round(col("n_rows_total").cast("double") / col("n_keys"), 6))
       .withColumn("skew_ratio",
-        round((col("max_rows") * col("n_keys")).cast("double") /
+        // cast BEFORE the multiply: a Long product can silently wrap
+        // at extreme cardinalities (non-ANSI), and the result is a
+        // double anyway
+        round(col("max_rows").cast("double") * col("n_keys") /
           col("n_rows_total"), 6))
       .select("n_keys", "n_rows_total", "max_rows", "top_key",
         "avg_rows", "skew_ratio")

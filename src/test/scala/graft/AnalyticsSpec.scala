@@ -303,8 +303,8 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("event_id", "ts", "user_id", "event_type")
     assert(graft.operators.EventOps.lastTouchAttribution(noEvents)
       .collect().isEmpty)
-    assert(graft.streaming.EventStream.funnelState(noEvents
-      .withColumn("value", lit(0.0))).collect().isEmpty)
+    assert(graft.streaming.EventStream.funnelState(noEvents)
+      .collect().isEmpty)
     // key-skew summary of nothing: one row, zero keys, null extrema
     val sk = graft.operators.Skew.keySkewProfile(noEvents, "user_id")
       .collect().head

@@ -35,8 +35,8 @@ class SkewSpec extends SparkSpec {
   }
 
   test("keySkewProfile reports the hot key, exact mean, and max/mean ratio") {
-    // keys: "hot" ×6, "a" ×2, "b" ×2, "tie" ... make a count tie to
-    // check the smallest-key tiebreak: "aa" ×4 and "ab" ×4 with max 4
+    // "aa" ×4 and "ab" ×4 tie at the max count — the smallest key
+    // must win the tiebreak — plus a "z" ×2 tail
     val df = (Seq.fill(4)("aa") ++ Seq.fill(4)("ab") ++
       Seq.fill(2)("z")).toDF("k")
     val r = Skew.keySkewProfile(df, "k").collect().head

@@ -549,12 +549,8 @@ class StreamingSpec extends SparkSpec {
       Event(5L, ts(2, 0), 2L, "click", 0.0),     // click after the fact
       Event(6L, ts(4, 0), 3L, "click", 0.0),
       Event(7L, ts(4, 0), 3L, "purchase", 0.0))  // same-ts, click id lower
-    val viaState = EventStream.attributionState(e.toDF())
-      .groupBy(to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("n_purchases"),
-        sum(when($"attributed", 1L).otherwise(0L)).as("n_attributed"))
-      .withColumn("attribution_rate",
-        round($"n_attributed" / $"n_purchases", 6))
+    val viaState = graft.operators.EventOps
+      .attributionDaily(EventStream.attributionState(e.toDF()))
       .collect().map(r => r.getDate(0).toString ->
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     val viaWindow = graft.operators.EventOps.lastTouchAttribution(e.toDF())
