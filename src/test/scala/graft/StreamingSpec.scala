@@ -560,6 +560,31 @@ class StreamingSpec extends SparkSpec {
     assert(viaState("2024-01-01") == ((4L, 2L, 0.5)), s"got $viaState")
   }
 
+  test("attributionState equals the window form on random event sets") {
+    // seeded random events over a SMALL (user, second) domain so
+    // same-timestamp click/purchase collisions — the frame-edge tie
+    // cases — occur constantly; the state fold and the relational
+    // window must agree on every one of them
+    val rnd = new scala.util.Random(7)
+    val types = Seq("click", "purchase", "view", "signup")
+    for (round <- 1 to 6) {
+      val e = Seq.tabulate(60)(i => Event(
+        i.toLong,
+        ts(rnd.nextInt(4), rnd.nextInt(3) * 20),
+        rnd.nextLong(3),
+        types(rnd.nextInt(types.length)),
+        0.0)).toDF()
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val viaState = m(graft.operators.EventOps
+        .attributionDaily(EventStream.attributionState(e)))
+      val viaWindow = m(graft.operators.EventOps.lastTouchAttribution(e))
+      assert(viaState == viaWindow,
+        s"round $round: $viaState vs $viaWindow")
+    }
+  }
+
   test("attributionState carries click state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
