@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -651,6 +652,23 @@ object SparkEntry {
     "stream_attribution" -> ((s, dir) =>
       EventOps.attributionDaily(
         graft.streaming.EventStream.attributionState(Tables.events(s, dir)))),
+    // batch run of the stateful flatMapGroupsWithState sessionizer —
+    // (ts, event_id)-ordered fold at full µs precision reproduces the
+    // lag+cumsum assignment exactly; session_seq re-derived by start
+    // order over the SESSION-grain rows (|sessions| ≪ |events|), so
+    // it shares q_events_sessionize's oracle
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val sess = graft.streaming.EventStream.sessionize(
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventStream.Event])
+      val byStart = Window.partitionBy("user_id").orderBy("session_start")
+      sess.toDF()
+        .withColumn("session_seq", row_number().over(byStart).cast("long"))
+        .select("user_id", "session_seq", "session_start", "session_end",
+          "num_events", "total_value")
+    }),
   )
 
   // ---- DuckDB oracles --------------------------------------------------
@@ -726,7 +744,9 @@ object SparkEntry {
       // ts-ordered state-machine fold == three-aggregate min-chain
       ("stream_funnel" -> m("q_events_funnel")) +
       // ts-ordered latest-click fold == the window's 1-PRECEDING frame
-      ("stream_attribution" -> m("events_attribution"))
+      ("stream_attribution" -> m("events_attribution")) +
+      // ts-ordered µs gap fold == the lag+cumsum session assignment
+      ("stream_sessionize" -> m("q_events_sessionize"))
   }
 
   private def base: Map[String, String] = Map(

@@ -145,15 +145,15 @@ object EventStream extends Serializable {
 
   case class Event(event_id: Long, ts: LocalDateTime, user_id: Long,
                    event_type: String, value: Double)
-  /** Internal event-time-in-millis form shared by batch and streaming
-    * (public: encoder codegen needs an accessible constructor). */
-  case class Ev(event_id: Long, ts_ms: Long, user_id: Long, value: Double)
-  case class SessionState(startMs: Long, lastMs: Long, n: Long, total: Double)
+  /** Internal event-time-in-MICROS form shared by batch and streaming
+    * (public: encoder codegen needs an accessible constructor).
+    * Full µs precision so the batch run of this code path is
+    * value-identical to the lag+cumsum assignment — `unix_millis`
+    * would truncate and flip sub-millisecond gap boundaries. */
+  case class Ev(event_id: Long, ts_us: Long, user_id: Long, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start: LocalDateTime,
                      session_end: LocalDateTime, num_events: Long, total_value: Double)
-
-  private def msToLdt(ms: Long): LocalDateTime =
-    java.time.Instant.ofEpochMilli(ms).atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
 
   /** Stateful sessionization with `flatMapGroupsWithState`: a
     * session closes after `gapMinutes` of user inactivity. In
@@ -163,20 +163,21 @@ object EventStream extends Serializable {
     * bounded by concurrently-active users, not by every user ever
     * seen. In batch, end-of-group flushes instead (timeouts never
     * fire in batch execution). State per user is O(1) —
-    * start/last/count/sum. Event times are handled at millisecond
-    * precision (`unix_millis`).
+    * start/last/count/sum. Event times are handled at full µs
+    * precision (`unix_micros`; the state-store timeout API is ms, so
+    * timeouts are registered at the ceiling millisecond).
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermark: String = "1 hour"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     // hoisted: capturing the Dataset itself in the closure would fail
     // task serialization
     val isStreamingInput = events.isStreaming
 
     def toSession(userId: Long, s: SessionState): Session =
-      Session(userId, msToLdt(s.startMs), msToLdt(s.lastMs), s.n, s.total)
+      Session(userId, usToLdt(s.startUs), usToLdt(s.lastUs), s.n, s.total)
 
     def fn(userId: Long, it: Iterator[Ev],
            state: GroupState[SessionState]): Iterator[Session] = {
@@ -186,18 +187,18 @@ object EventStream extends Serializable {
         state.remove()
         return Iterator.single(toSession(userId, s))
       }
-      val sorted = it.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
       var cur = state.getOption
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       sorted.foreach { e =>
         cur match {
-          case Some(s) if e.ts_ms - s.lastMs <= gapMs =>
-            cur = Some(s.copy(lastMs = e.ts_ms, n = s.n + 1, total = s.total + e.value))
+          case Some(s) if e.ts_us - s.lastUs <= gapUs =>
+            cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             out += toSession(userId, s)
-            cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
           case None =>
-            cur = Some(SessionState(e.ts_ms, e.ts_ms, 1L, e.value))
+            cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
         }
       }
       cur match {
@@ -205,16 +206,17 @@ object EventStream extends Serializable {
           // batch: end-of-group flushes the trailing session
           out += toSession(userId, s)
           state.remove()
-        case Some(s) if state.getCurrentWatermarkMs >= s.lastMs + gapMs =>
+        case Some(s) if state.getCurrentWatermarkMs * 1000L >= s.lastUs + gapUs =>
           // already expired by event time: flush NOW — deferring to a
           // timeout would strand the session if the stream idles
           out += toSession(userId, s)
           state.remove()
         case Some(s) =>
           state.update(s)
-          // the branch above guarantees lastMs+gapMs > watermark, so
+          // ceil to ms: the branch above guarantees last+gap (µs) is
+          // past the watermark, so the rounded-up millisecond is too —
           // Spark's timeout-after-watermark requirement holds
-          state.setTimeoutTimestamp(s.lastMs + gapMs)
+          state.setTimeoutTimestamp(Math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
         case None => if (state.exists) state.remove()
       }
       out.iterator
@@ -228,7 +230,7 @@ object EventStream extends Serializable {
     // withColumn (not select): the watermarked ts attribute must stay
     // in the child plan or the streaming checker rejects EventTimeTimeout
     val typed = watermarked
-      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("ts_us", unix_micros(col("ts")))
       .as[Ev]
     val timeoutConf =
       if (isStreamingInput) GroupStateTimeout.EventTimeTimeout()

@@ -633,6 +633,33 @@ class StreamingSpec extends SparkSpec {
       assert(stage() == ((true, true, true)), "stage completes batch 3")
     } finally q.stop()
   }
+
+  test("sessionize batch run equals the lag+cumsum assignment at µs boundaries") {
+    // seeded events whose gaps land ON and 1 µs around the 30-min
+    // boundary — the cases a truncated-precision fold would misfile;
+    // integer values keep the per-session sums float-exact so the
+    // comparison is equality, not tolerance
+    val rnd = new scala.util.Random(11)
+    val gapUs = 30L * 60000000L
+    for (round <- 1 to 5) {
+      val events = Seq.tabulate(60) { i =>
+        val us = rnd.nextInt(6).toLong * gapUs + (rnd.nextInt(3) - 1).toLong
+        Event(i.toLong,
+          LocalDateTime.of(2024, 1, 1, 0, 0).plusNanos(us * 1000L),
+          rnd.nextLong(3), "click", rnd.nextInt(5).toDouble)
+      }
+      def m(df: org.apache.spark.sql.DataFrame) = df
+        .select("user_id", "session_seq", "session_start", "session_end",
+          "num_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      val byStart = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("session_start")
+      val viaState = m(EventStream.sessionize(events.toDS()).toDF()
+        .withColumn("session_seq", row_number().over(byStart).cast("long")))
+      val viaWindow = m(graft.operators.EventOps.sessionize(events.toDF()))
+      assert(viaState == viaWindow, s"round $round: $viaState vs $viaWindow")
+    }
+  }
 }
 
 object StreamingSpec {
