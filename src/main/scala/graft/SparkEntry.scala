@@ -652,6 +652,12 @@ object SparkEntry {
     "stream_attribution" -> ((s, dir) =>
       EventOps.attributionDaily(
         graft.streaming.EventStream.attributionState(Tables.events(s, dir)))),
+    // batch run of the first-seen state fold rolled up by day —
+    // one group pass sees all history, so it equals the relational
+    // first-seen join and shares q_new_vs_returning's oracle
+    "stream_new_vs_returning" -> ((s, dir) =>
+      EventOps.activeDayDaily(
+        graft.streaming.EventStream.firstSeenState(Tables.events(s, dir)))),
     // batch run of the stateful flatMapGroupsWithState sessionizer —
     // (ts, event_id)-ordered fold at full µs precision reproduces the
     // lag+cumsum assignment exactly; session_seq re-derived by start
@@ -746,7 +752,9 @@ object SparkEntry {
       // ts-ordered latest-click fold == the window's 1-PRECEDING frame
       ("stream_attribution" -> m("events_attribution")) +
       // ts-ordered µs gap fold == the lag+cumsum session assignment
-      ("stream_sessionize" -> m("q_events_sessionize"))
+      ("stream_sessionize" -> m("q_events_sessionize")) +
+      // single-batch first-seen min-fold == the first-seen join
+      ("stream_new_vs_returning" -> m("q_new_vs_returning"))
   }
 
   private def base: Map[String, String] = Map(

@@ -550,6 +550,21 @@ object EventOps {
       .withColumn("attribution_rate",
         round(col("n_attributed") / col("n_purchases"), 6))
 
+  /** Daily new-vs-returning rollup over (user, day, is_new) activity
+    * rows — the aggregation end of the streaming first-seen state
+    * ([[graft.streaming.EventStream.firstSeenState]]). `distinct`
+    * first: the stream re-emits a (user, day) pair in every
+    * micro-batch the user is active, with a stable flag, so the
+    * rollup must be idempotent to re-emission.
+    */
+  def activeDayDaily(activeDays: DataFrame): DataFrame =
+    activeDays.select("user_id", "day", "is_new").distinct()
+      .groupBy("day")
+      .agg(
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"),
+        count(lit(1)).as("n_active"))
+
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column
     * distinct + a self-equi-join on (user, hour+1) — both sides

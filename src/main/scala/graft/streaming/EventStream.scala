@@ -422,6 +422,51 @@ object EventStream extends Serializable {
       .toDF()
   }
 
+  case class FsEv(event_id: Long, ts_us: Long, user_id: Long)
+  case class FirstSeenState(first_day: Int)
+  case class ActiveDayRow(user_id: Long, day: java.time.LocalDate, is_new: Boolean)
+
+  /** Continuously-maintained new-vs-returning activity via
+    * `flatMapGroupsWithState` — the FIRST-touch state primitive next
+    * to [[latestUserState]]'s last-touch arg-max. State per user is
+    * O(1): the epoch day of their first event seen so far (min-fold,
+    * order-insensitive within a batch, monotone across batches). Each
+    * batch emits one (user, active day, is_new) row per distinct day
+    * the user touched in that batch; a day spanning micro-batches
+    * re-emits with the SAME flag (min state only tightens for
+    * watermark-late first events), so downstream daily rollups
+    * `distinct` before counting — the dashboard aggregate is
+    * insensitive to the re-emission. The batch run sees all history
+    * in one group pass, making it value-identical to the relational
+    * first-seen join ([[graft.operators.EventOps.newVsReturning]]),
+    * whose oracle it shares.
+    */
+  def firstSeenState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[FsEv],
+           st: GroupState[FirstSeenState]): Iterator[ActiveDayRow] = {
+      val days = it.map(e => Math.floorDiv(e.ts_us, 86400000000L).toInt)
+        .toArray.distinct.sorted
+      if (days.isEmpty) return Iterator.empty
+      val first = st.getOption.map(_.first_day)
+        .fold(days.head)(f => math.min(f, days.head))
+      st.update(FirstSeenState(first))
+      days.iterator.map(d =>
+        ActiveDayRow(userId, java.time.LocalDate.ofEpochDay(d.toLong), d == first))
+    }
+
+    events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "ts_us", "user_id")
+      .as[FsEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class MgState(users: Map[Long, Long])
   case class UserCount(user_id: Long, n_events: Long)
 

@@ -660,6 +660,50 @@ class StreamingSpec extends SparkSpec {
       assert(viaState == viaWindow, s"round $round: $viaState vs $viaWindow")
     }
   }
+
+  test("firstSeenState batch run equals the relational first-seen join") {
+    val rnd = new scala.util.Random(23)
+    for (round <- 1 to 5) {
+      val events = Seq.tabulate(80)(i => Event(
+        i.toLong,
+        LocalDateTime.of(2024, 1, 1 + rnd.nextInt(5), rnd.nextInt(24), rnd.nextInt(60), 0),
+        rnd.nextLong(6), "view", 0.0)).toDF()
+      def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => r.getDate(0).toString ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val viaState = m(graft.operators.EventOps.activeDayDaily(
+        EventStream.firstSeenState(events)))
+      val viaJoin = m(graft.operators.EventOps.newVsReturning(events))
+      assert(viaState == viaJoin, s"round $round: $viaState vs $viaJoin")
+    }
+  }
+
+  test("firstSeenState keeps is_new stable across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.firstSeenState(mem.toDF()).writeStream
+      .format("memory").queryName("fs_rows").outputMode("append").start()
+    def rows(): Set[(Long, String, Boolean)] = {
+      q.processAllAvailable()
+      spark.table("fs_rows").collect()
+        .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2))).toSet
+    }
+    try {
+      mem.addData(Event(1L, ts(10, 0), 1L, "view", 0.0))
+      assert(rows() == Set((1L, "2024-01-01", true)), "first day is new")
+      // same day again in a later batch: re-emitted with the SAME flag
+      mem.addData(Event(2L, ts(11, 0), 1L, "view", 0.0))
+      assert(rows() == Set((1L, "2024-01-01", true)),
+        "re-emission collapses under distinct with a stable flag")
+      // a later day is returning; a fresh user starts new
+      mem.addData(
+        Event(3L, LocalDateTime.of(2024, 1, 2, 9, 0, 0), 1L, "view", 0.0),
+        Event(4L, LocalDateTime.of(2024, 1, 2, 9, 0, 0), 2L, "view", 0.0))
+      assert(rows() == Set(
+        (1L, "2024-01-01", true), (1L, "2024-01-02", false),
+        (2L, "2024-01-02", true)), "returning vs new split per user")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
