@@ -286,6 +286,10 @@ object SparkEntry {
       Similarity.filteredTopK(e, e.filter(col("vec_id") % 100 === 0),
         col("label") % 3 === 0, k = 10)
     }),
+    "ann_sq_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.sqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+    }),
     // rows-only (randomized-index family): recall spec anchors it to
     // ann_filtered_topk's exact result
     "ann_ivf_filtered_topk" -> ((s, dir) => {
@@ -1291,6 +1295,31 @@ object SparkEntry {
         |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
         |    CAST(c.embedding AS DOUBLE[])) AS cosine
         | FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        | WHERE q.vec_id % 100 = 0) s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_sq_topk" ->
+      // the dequantized reconstruction replays exactly: double grid
+      // arithmetic (1-based lambda index j ↔ Spark's 0-based i+1),
+      // narrowed to FLOAT — the stored working type — then widened
+      // back for the double-accumulating similarity
+      """WITH dims AS (SELECT i,
+        |  min(CAST(embedding[i + 1] AS DOUBLE)) AS mn,
+        |  max(CAST(embedding[i + 1] AS DOUBLE)) AS mx
+        | FROM embeddings, range(64) t(i) GROUP BY i),
+        |st AS (SELECT list(mn ORDER BY i) AS mins,
+        |  list((mx - mn) / 255 ORDER BY i) AS scales FROM dims),
+        |dq AS (SELECT vec_id, CAST(list_transform(
+        |   CAST(embedding AS DOUBLE[]), (x, j) ->
+        |   CASE WHEN scales[j] = 0 THEN mins[j]
+        |        ELSE mins[j] + least(greatest(round((x - mins[j]) / scales[j]), 0), 255)
+        |             * scales[j] END) AS FLOAT[]) AS demb
+        | FROM embeddings, st)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |    CAST(c.demb AS DOUBLE[])) AS cosine
+        | FROM embeddings q JOIN dq c ON c.vec_id != q.vec_id
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),

