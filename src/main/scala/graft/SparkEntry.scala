@@ -627,6 +627,8 @@ object SparkEntry {
       EventOps.scd2UserState(Tables.events(s, dir))),
     "q_new_vs_returning" -> ((s, dir) =>
       EventOps.newVsReturning(Tables.events(s, dir))),
+    "events_user_lifespan" -> ((s, dir) =>
+      EventOps.userLifespan(Tables.events(s, dir))),
     "text_zipf_spectrum" -> ((s, dir) =>
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
     "text_token_entropy" -> ((s, dir) =>
@@ -1132,6 +1134,21 @@ object SparkEntry {
         |FROM hourly, g
         |WHERE abs((n_events - mean_events) / sd_events) > 2.0""".stripMargin
         .replace("\n", " "),
+    "events_user_lifespan" ->
+      """WITH u AS (SELECT user_id,
+        |  date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS ld,
+        |  count(DISTINCT CAST(ts AS DATE)) AS ad,
+        |  count(*) AS n
+        | FROM events GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        | quantile_cont(ld, 0.5) AS p50_lifespan_days,
+        | quantile_cont(ld, 0.9) AS p90_lifespan_days,
+        | quantile_cont(ld, 0.99) AS p99_lifespan_days,
+        | round(CAST(sum(ad) AS DOUBLE) / count(*), 6) AS mean_active_days,
+        | round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_events_per_user,
+        | round(CAST(sum(CASE WHEN ld = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 6) AS single_day_frac
+        |FROM u""".stripMargin.replace("\n", " "),
     "events_inter_event_gaps" ->
       """WITH g AS (SELECT epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
         |   ORDER BY ts, event_id)) // 1000000 AS gap_s

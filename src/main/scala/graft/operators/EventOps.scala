@@ -565,6 +565,38 @@ object EventOps {
         sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_returning"),
         count(lit(1)).as("n_active"))
 
+  /** Per-user lifetime profile rolled up to one corpus row — the
+    * across-sessions companion to [[interEventGaps]]' within-session
+    * cadence: how long users stay (exact interpolated p50/p90/p99 of
+    * first→last day span), how densely they return (mean distinct
+    * active days), and how much they do (mean events), plus the
+    * single-day share — the churn-before-return mass. One hash
+    * aggregate to user grain (count-distinct on day runs inside the
+    * same shuffle), then one tiny aggregate over |users| rows; the
+    * percentile buffer holds |users| integers, swap to
+    * `percentile_approx` when the user base itself won't sit on one
+    * node. Ratios are exact-integer divisions rounded to the 1e-6
+    * grid by contract.
+    */
+  def userLifespan(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        datediff(to_date(max("ts")), to_date(min("ts"))).as("lifespan_days"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        expr("percentile(lifespan_days, 0.5)").as("p50_lifespan_days"),
+        expr("percentile(lifespan_days, 0.9)").as("p90_lifespan_days"),
+        expr("percentile(lifespan_days, 0.99)").as("p99_lifespan_days"),
+        round(sum("active_days").cast("double") / count(lit(1)), 6)
+          .as("mean_active_days"),
+        round(sum("n_events").cast("double") / count(lit(1)), 6)
+          .as("mean_events_per_user"),
+        round(sum(when(col("lifespan_days") === 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("single_day_frac"))
+
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column
     * distinct + a self-equi-join on (user, hour+1) — both sides

@@ -307,4 +307,25 @@ class EventOpsSpec extends SparkSpec {
       "2024-01-01" -> (1L, 0L, 1L),
       "2024-01-02" -> (1L, 1L, 2L)))
   }
+
+  test("userLifespan: spans, active days, single-day share") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-11 10:00:00", 1L, "view"),  // user 1: 10-day span, 2 active days
+      (3L, "2024-01-05 09:00:00", 2L, "click"),
+      (4L, "2024-01-05 21:00:00", 2L, "view"),  // user 2: single day, 2 events
+      (5L, "2024-01-03 08:00:00", 3L, "view"))  // user 3: single event
+    val r = EventOps.userLifespan(e).collect().head
+    assert(r.getLong(0) == 3L, "three users")
+    assert(r.getDouble(1) == 0.0, s"median lifespan of {10, 0, 0}: $r")
+    // p90 of {0, 0, 10} interpolated: 0.9·(n-1)=1.8 → 0.8 between 0 and 10
+    assert(math.abs(r.getDouble(2) - 8.0) < 1e-9, s"p90: $r")
+    assert(math.abs(r.getDouble(3) - 9.8) < 1e-9, s"p99: $r")
+    assert(r.getDouble(4) == round6(4.0 / 3), s"mean active days: $r")
+    assert(r.getDouble(5) == round6(5.0 / 3), s"mean events: $r")
+    assert(r.getDouble(6) == round6(2.0 / 3), s"single-day share: $r")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
