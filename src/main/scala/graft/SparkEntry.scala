@@ -399,6 +399,8 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
+    "q_segment_migration" -> ((s, dir) =>
+      Analytics.segmentMigration(Tables.orders(s, dir))),
     "q_rfm_segments" -> ((s, dir) =>
       Analytics.rfmSegments(Tables.orders(s, dir))),
     "q_basket_affinity" -> ((s, dir) =>
@@ -1443,6 +1445,23 @@ object SparkEntry {
         |   greatest((length(text) - 1) // 128, 0))) AS i) g) f
         |GROUP BY frame_md5 HAVING count(DISTINCT doc_id) > 1""".stripMargin
         .replace("\n", " "),
+    "q_segment_migration" ->
+      """WITH a AS (SELECT o_custkey,
+        |  CASE WHEN count(*) = 1 THEN 'one_time'
+        |       WHEN count(*) <= 3 THEN 'repeat' ELSE 'loyal' END AS tier_from
+        | FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        |b AS (SELECT o_custkey,
+        |  CASE WHEN count(*) = 1 THEN 'one_time'
+        |       WHEN count(*) <= 3 THEN 'repeat' ELSE 'loyal' END AS tier_to
+        | FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        |m AS (SELECT coalesce(tier_from, 'absent') AS tier_from,
+        |  coalesce(tier_to, 'absent') AS tier_to, count(*) AS n_customers
+        | FROM a FULL OUTER JOIN b USING (o_custkey) GROUP BY 1, 2)
+        |SELECT tier_from, tier_to, n_customers,
+        | round(CAST(n_customers AS DOUBLE)
+        |  / CAST(sum(n_customers) OVER (PARTITION BY tier_from) AS DOUBLE), 6)
+        |  AS from_share
+        |FROM m""".stripMargin.replace("\n", " "),
     "q_rfm_segments" ->
       // quintile cuts via quantile_cont (≡ Spark percentile); score =
       // 1 + #(cuts strictly below), recency inverted

@@ -300,6 +300,40 @@ object Analytics {
     * replay identically in the oracle (`quantile_cont` ≡ Spark's
     * `percentile`, the q_percentiles-proven pairing).
     */
+  /** Customer lifecycle migration between two periods — where did
+    * each tier's customers GO (the question RFM snapshots can't
+    * answer alone): activity tiers from fixed order-count bands
+    * (1 → one_time, 2–3 → repeat, 4+ → loyal; integer thresholds, so
+    * the tiering replays in any engine with no percentile state),
+    * `absent` filled in on either side by the full-outer join —
+    * churn is (tier → absent), acquisition (absent → tier). Two
+    * year-pruned aggregates (partition pruning reaches the scan),
+    * one co-partitioned full-outer join on the customer key, and the
+    * per-from-tier share window runs over the ≤ 16-cell matrix,
+    * never the fact.
+    */
+  def segmentMigration(orders: DataFrame, yearA: Int = 1995,
+                       yearB: Int = 1996): DataFrame = {
+    def tiers(yr: Int, alias: String) = orders
+      .filter(year(col("o_orderdate")) === yr)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("o_custkey"),
+        when(col("n") === 1, "one_time")
+          .when(col("n") <= 3, "repeat")
+          .otherwise("loyal").as(alias))
+    val moved = tiers(yearA, "tier_from")
+      .join(tiers(yearB, "tier_to"), Seq("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("tier_from"), lit("absent")).as("tier_from"),
+        coalesce(col("tier_to"), lit("absent")).as("tier_to"))
+      .groupBy("tier_from", "tier_to")
+      .agg(count(lit(1)).as("n_customers"))
+    moved.withColumn("from_share",
+      round(col("n_customers") /
+        sum("n_customers").over(Window.partitionBy("tier_from")), 6))
+  }
+
   def rfmSegments(orders: DataFrame): DataFrame = {
     // corpus max date rides in as a broadcast 1-row frame (no typed
     // driver collect — the column may be date or ntz timestamp)

@@ -449,4 +449,29 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(dist == naive, "banded prefix-min must equal the pairwise definition")
   }
+
+  test("segmentMigration: churn, acquisition and tier moves, shares per from-tier") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      // cust 1: one order in 1995, none in 1996 → one_time → absent
+      (1L, d("1995-03-01")),
+      // cust 2: 2 orders in 1995, 4 in 1996 → repeat → loyal
+      (2L, d("1995-01-01")), (2L, d("1995-06-01")),
+      (2L, d("1996-01-01")), (2L, d("1996-02-01")),
+      (2L, d("1996-03-01")), (2L, d("1996-04-01")),
+      // cust 3: none in 1995, 1 in 1996 → absent → one_time
+      (3L, d("1996-07-01")),
+      // cust 4: one in each → one_time → one_time
+      (4L, d("1995-05-01")), (4L, d("1996-05-01")),
+      // a 1994 order must not leak into either period
+      (5L, d("1994-12-31"))).toDF("o_custkey", "o_orderdate")
+    val out = Analytics.segmentMigration(orders).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      ("one_time", "absent") -> (1L, 0.5),
+      ("one_time", "one_time") -> (1L, 0.5),
+      ("repeat", "loyal") -> (1L, 1.0),
+      ("absent", "one_time") -> (1L, 1.0)), s"got $out")
+  }
 }
