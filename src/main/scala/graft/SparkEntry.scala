@@ -610,6 +610,13 @@ object SparkEntry {
     "etl_dq_profile" -> ((s, dir) =>
       operators.RetailEtl.dqProfile(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
+    "etl_dq_drift" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      operators.RetailEtl.dqDrift(
+        li.filter(year(col("l_shipdate")) === 1995),
+        li.filter(year(col("l_shipdate")) === 1996),
+        Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))
+    }),
     "etl_table_diff" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       // two period snapshots of the product summary; quantities are
@@ -2799,6 +2806,26 @@ object SparkEntry {
         |   AS BIGINT),
         |  count(DISTINCT l_quantity) FROM lineitem) p"""
         .stripMargin.replace("\n", " "),
+    "etl_dq_drift" -> {
+      def prof(year: Int): String =
+        Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity").map(c =>
+          s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+            s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+            s"count(DISTINCT $c) AS n_distinct " +
+            s"FROM lineitem WHERE year(l_shipdate) = $year")
+          .mkString(" UNION ALL ")
+      s"""WITH a AS (${prof(1995)}), b AS (${prof(1996)})
+         |SELECT col_name, a.n_rows AS n_rows_a, a.n_distinct AS n_distinct_a,
+         | round(a.n_nulls * 1.0 / a.n_rows, 6) AS null_frac_a,
+         | b.n_rows AS n_rows_b, b.n_distinct AS n_distinct_b,
+         | round(b.n_nulls * 1.0 / b.n_rows, 6) AS null_frac_b,
+         | round(round(b.n_nulls * 1.0 / b.n_rows, 6)
+         |  - round(a.n_nulls * 1.0 / a.n_rows, 6), 6) AS null_frac_delta,
+         | CASE WHEN a.n_distinct = 0 THEN NULL
+         |  ELSE round(CAST(b.n_distinct AS DOUBLE)
+         |   / CAST(a.n_distinct AS DOUBLE), 6) END AS distinct_ratio
+         |FROM a JOIN b USING (col_name)""".stripMargin.replace("\n", " ")
+    },
     "etl_table_diff" ->
       """WITH o AS (SELECT l_partkey AS product_id,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS q,

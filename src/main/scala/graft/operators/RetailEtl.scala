@@ -226,6 +226,31 @@ object RetailEtl {
         round(col("n_nulls") / col("n_rows"), 6))
   }
 
+  /** Data-quality DRIFT between two snapshots of the same feed — the
+    * "did today's load break" alarm composed from two [[dqProfile]]
+    * passes joined on column name: row-count movement, null-fraction
+    * delta (on the rounded grid, so the alert threshold replays
+    * cross-engine) and distinct-cardinality ratio per column. Each
+    * side is one wide aggregate over its snapshot; the join is
+    * |cols| rows. A collapsing distinct_ratio means a feed started
+    * sending constants; a null_frac_delta jump means a column went
+    * dark — both invisible to row-count-only checks.
+    */
+  def dqDrift(a: DataFrame, b: DataFrame, cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) = dqProfile(df, cols).select(
+      col("col_name"),
+      col("n_rows").as(s"n_rows_$sfx"),
+      col("n_distinct").as(s"n_distinct_$sfx"),
+      col("null_frac").as(s"null_frac_$sfx"))
+    side(a, "a").join(side(b, "b"), Seq("col_name"))
+      .withColumn("null_frac_delta",
+        round(col("null_frac_b") - col("null_frac_a"), 6))
+      .withColumn("distinct_ratio",
+        when(col("n_distinct_a") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_distinct_b").cast("double")
+            / col("n_distinct_a").cast("double"), 6)))
+  }
+
   /** Snapshot reconciliation — the delta between two versions of a
     * keyed table: per key, `added` (new only), `removed` (old only),
     * or `changed` (present in both, any compared column differs

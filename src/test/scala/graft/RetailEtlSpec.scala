@@ -290,4 +290,31 @@ class RetailEtlSpec extends SparkSpec {
       4L -> ("added", None, Some(40.0))),
       s"unchanged keys (incl. the null<=>null one) must not emit: $out")
   }
+
+  test("dqDrift surfaces null-fraction and cardinality movement per column") {
+    val a = Seq(
+      (Some(1), Some("x")), (Some(2), Some("y")),
+      (Some(3), Some("z")), (Some(4), Some("w"))) // 0 nulls, 4 distinct each
+      .toDF("k", "v")
+    val b = Seq(
+      (Some(1), Some("x")), (Some(1), Option.empty[String]),
+      (Some(1), Option.empty[String]), (Some(2), Some("x"))) // k: 2 distinct; v: 2/4 null
+      .toDF("k", "v")
+    val out = RetailEtl.dqDrift(a, b, Seq("k", "v")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getAs[Long]("n_rows_a") == 4L && v.getAs[Long]("n_rows_b") == 4L)
+    assert(v.getAs[Double]("null_frac_a") == 0.0)
+    assert(v.getAs[Double]("null_frac_b") == 0.5)
+    assert(v.getAs[Double]("null_frac_delta") == 0.5, "v went half dark")
+    // 4 distinct → 1 distinct non-null value ("x"): collapse shows in ratio
+    assert(v.getAs[Double]("distinct_ratio") == 0.25, s"got $v")
+    val k = out("k")
+    assert(k.getAs[Double]("null_frac_delta") == 0.0)
+    assert(k.getAs[Double]("distinct_ratio") == 0.5, "k halved its cardinality")
+    // zero-distinct left side guards to null, not a division error
+    val empty = Seq.empty[(Option[Int], Option[String])].toDF("k", "v")
+    val g = RetailEtl.dqDrift(empty, b, Seq("k", "v")).collect()
+    assert(g.forall(_.isNullAt(g.head.fieldIndex("distinct_ratio"))))
+  }
 }
