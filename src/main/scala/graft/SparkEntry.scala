@@ -554,6 +554,8 @@ object SparkEntry {
       Dedup.nearDupSuppress(Tables.documents(s, dir),
         pairs = Some(sharedBlockedPairs(s, dir)))),
     "dedup_ngram_blocked" -> ((s, dir) => sharedBlockedPairs(s, dir)),
+    "docs_novelty" -> ((s, dir) =>
+      Dedup.noveltyProfile(Tables.documents(s, dir))),
     "dedup_ngram_contain" -> ((s, dir) =>
       Dedup.blockedContainmentPairsOf(sharedTrunk(s, dir))),
     "dedup_source_matrix" -> ((s, dir) =>
@@ -2532,6 +2534,23 @@ object SparkEntry {
           |  FROM lab GROUP BY 1)
           |SELECT cluster_size, count(*) AS n_clusters
           |FROM sizes GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "docs_novelty" ->
+      // string grams stand in for the 64-bit shingle hashes — same
+      // cardinalities absent a hash collision (blockingTrunk note)
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END) AS gram FROM t),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_novel,
+        | round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0
+        |  / count(*), 6) AS novelty_frac
+        |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin.replace("\n", " "),
     "docs_source_policy" ->
       (blockedPairsCte +
         """, ids AS (SELECT DISTINCT doc_id FROM

@@ -543,6 +543,33 @@ object Dedup {
     * count aggregates over the (doc_id, group_id) relation; output
     * is O(max cluster size) rows.
     */
+  /** Per-document n-gram NOVELTY against the whole corpus — how much
+    * of each document is genuinely first (in stable doc_id order),
+    * versus re-treading grams some earlier document already
+    * introduced. The redundancy-mass view pairwise dedup can't give:
+    * a doc can clear every Jaccard check yet be 95% recombined
+    * boilerplate — its novelty fraction says so. Two shuffles total:
+    * gram → min(doc_id) first-occurrence aggregate (a gram is "new"
+    * exactly once, the same one-pass trick as `docs_vocab_growth`),
+    * a co-partitioned join back on gram, then the per-doc count
+    * aggregate. Gram identity is the shared 64-bit shingle hash
+    * (collision odds as documented on [[blockingTrunk]]); docs with
+    * fewer than `n` tokens have no grams and don't emit.
+    */
+  def noveltyProfile(docs: DataFrame, n: Int = 3): DataFrame = {
+    val inv = shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("shingles")).as("gram"))
+    val first = inv.groupBy("gram").agg(min("doc_id").as("first_doc"))
+    inv.join(first, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   def clusterSizeHistogram(labels: DataFrame): DataFrame =
     labels.groupBy("group_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))

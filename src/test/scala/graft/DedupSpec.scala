@@ -336,4 +336,20 @@ class DedupSpec extends SparkSpec {
     assert(hist == Map(3L -> 1L, 1L -> 1L),
       "one triangle cluster and one singleton")
   }
+
+  test("noveltyProfile credits each gram to its lowest doc_id exactly once") {
+    val d = Seq(
+      (1L, "a b c d"),   // grams {a b c, b c d} — both first
+      (2L, "a b c x"),   // {a b c} seen in doc 1, {b c x} novel
+      (3L, "a b c d"),   // identical to doc 1 → nothing novel
+      (4L, "too short")) // < 3 tokens → no grams, absent from output
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyProfile(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == Map(
+      1L -> (2L, 2L, 1.0),
+      2L -> (2L, 1L, 0.5),
+      3L -> (2L, 0L, 0.0)), s"got $out")
+  }
 }
