@@ -556,6 +556,8 @@ object SparkEntry {
     "dedup_ngram_blocked" -> ((s, dir) => sharedBlockedPairs(s, dir)),
     "docs_novelty" -> ((s, dir) =>
       Dedup.noveltyProfile(Tables.documents(s, dir))),
+    "docs_boilerplate_prefix" -> ((s, dir) =>
+      TextAnalysis.boilerplatePrefix(Tables.documents(s, dir))),
     "dedup_ngram_contain" -> ((s, dir) =>
       Dedup.blockedContainmentPairsOf(sharedTrunk(s, dir))),
     "dedup_source_matrix" -> ((s, dir) =>
@@ -2551,6 +2553,17 @@ object SparkEntry {
         | round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1.0
         |  / count(*), 6) AS novelty_frac
         |FROM g JOIN f USING (gram) GROUP BY 1""".stripMargin.replace("\n", " "),
+    "docs_boilerplate_prefix" ->
+      """WITH p AS (SELECT source, md5(array_to_string(
+        |  list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |   x -> x <> '')[1:8], ' ')) AS pfx
+        | FROM documents),
+        |c AS (SELECT source, pfx, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        | count(*) AS n_prefixes,
+        | CAST(max(n) AS BIGINT) AS top_prefix_docs,
+        | round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS top_share
+        |FROM c GROUP BY 1""".stripMargin.replace("\n", " "),
     "docs_source_policy" ->
       (blockedPairsCte +
         """, ids AS (SELECT DISTINCT doc_id FROM

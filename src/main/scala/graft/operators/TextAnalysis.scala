@@ -218,6 +218,31 @@ object TextAnalysis {
         avg("stopword_ratio").as("avg_stopword_ratio"),
         avg("quality_score").as("avg_quality"))
 
+  /** Per-source TEMPLATE-prefix profile — the "is this crawl one
+    * boilerplate page stamped N times" check that doc-grain dedup
+    * only answers after paying for pairs: documents fingerprint by
+    * the md5 of their first `k` lowercase tokens, and each source
+    * reports its distinct-prefix count plus the share of docs behind
+    * the single hottest prefix. A share near 1 with many docs means
+    * a templated/mirrored source — cap or drop it at the source
+    * level. Pure projection + two narrowing aggregates ((source,
+    * prefix) then source); only 16-byte digests shuffle, never text.
+    */
+  def boilerplatePrefix(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .select(col("source"),
+        md5(concat_ws(" ",
+          slice(tokens(lower(col("text"))), 1, k))).as("pfx"))
+      .groupBy("source", "pfx")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_prefixes"),
+        max("n").as("top_prefix_docs"))
+      .withColumn("top_share",
+        round(col("top_prefix_docs").cast("double") / col("n_docs"), 6))
+
   /** PII patterns — ASCII-only so Java and RE2 agree byte-for-byte. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val UrlRe = "https?://[^\\s]+"

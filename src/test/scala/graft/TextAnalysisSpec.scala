@@ -328,4 +328,31 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("boilerplatePrefix: hottest-prefix share per source, prefix-grain identity") {
+    val docs = Seq(
+      // templated source: same 8-token prefix, different tails
+      (1L, "Welcome to our site the best deals page one", "tmpl"),
+      (2L, "Welcome to our site the best deals page two extra", "tmpl"),
+      (3L, "Welcome to our site the best deals page three", "tmpl"),
+      (4L, "something completely different here for a change now", "tmpl"),
+      // varied source: all prefixes distinct
+      (5L, "alpha beta gamma delta epsilon zeta eta theta", "varied"),
+      (6L, "one two three four five six seven eight", "varied"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplatePrefix(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // docs 1–3 share their first 8 tokens exactly; doc 4 differs
+    assert(out("tmpl") == (4L, 2L, 3L, 0.75), s"got $out")
+    assert(out("varied") == (2L, 2L, 1L, 0.5), s"got $out")
+    // a tail past the 8th token must not split the fingerprint:
+    // CASE-only difference must (lowercasing) also collapse
+    val cased = Seq(
+      (1L, "A b c d e f g h tail-one", "s"),
+      (2L, "a B c d e f g h tail-two", "s")).toDF("doc_id", "text", "source")
+    val c = TextAnalysis.boilerplatePrefix(cased).collect().head
+    assert(c.getLong(2) == 1L && c.getLong(3) == 2L,
+      s"case/tail variants share one prefix: $c")
+  }
 }
