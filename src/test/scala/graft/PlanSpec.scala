@@ -236,4 +236,26 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 2,
       s"both unigram count joins must broadcast, got $broadcasts:\n$p")
   }
+
+  test("sqTopK encode is a pure map: corpus streams past broadcast queries") {
+    val e = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Similarity.sqTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the corpus stream:\n$p")
+    // the only hash exchange is the per-query top-k window — the
+    // dequantizing projection itself must add none
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly the top-k window exchange, got $exchanges:\n$p")
+  }
+
+  test("boilerplatePrefix reads only text and source, aggregates map-side") {
+    val p = plan(graft.operators.TextAnalysis.boilerplatePrefix(
+      Tables.documents(spark, dir)))
+    assert(p.contains("ReadSchema: struct<text:string,source:string>"),
+      s"scan must prune to text + source:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"(source, prefix) counts must pre-aggregate map-side:\n$p")
+  }
 }
