@@ -369,6 +369,11 @@ object SparkEntry {
       Sampling.sampleToMixture(Tables.documents(s, dir), "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25))
         .select("doc_id", "source")),
+    // τ=1/2: rates are sqrt(nmin/n) — correctly-rounded IEEE ops,
+    // so the selected set replays bit-for-bit in the oracle
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.sampleTemperature(Tables.documents(s, dir), "doc_id", "source")
+        .select("doc_id", "source")),
     "docs_curate_mixture" -> ((s, dir) =>
       // gentler gates than docs_curate: every target source must
       // survive curation at every SF (sampleToMixture fails fast on
@@ -638,6 +643,8 @@ object SparkEntry {
     }),
     "etl_scd2_user_state" -> ((s, dir) =>
       EventOps.scd2UserState(Tables.events(s, dir))),
+    "etl_dim_asof_enrich" -> ((s, dir) =>
+      EventOps.enrichPointInTime(Tables.events(s, dir))),
     "q_new_vs_returning" -> ((s, dir) =>
       EventOps.newVsReturning(Tables.events(s, dir))),
     "events_user_lifespan" -> ((s, dir) =>
@@ -1979,6 +1986,18 @@ object SparkEntry {
         | CASE WHEN r.rate >= 1.0 THEN 'g'
         |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END"""
         .stripMargin.replace("\n", " "),
+    "sample_temperature" ->
+      """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+        | WHERE source IS NOT NULL GROUP BY source),
+        |m AS (SELECT min(n) AS nmin FROM cnt),
+        |r AS (SELECT source,
+        |  sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+        | FROM cnt)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR) || ':t42'), 1, 8) <
+        | CASE WHEN r.rate >= 1.0 THEN 'g'
+        |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END"""
+        .stripMargin.replace("\n", " "),
     "text_chunk_dedup" ->
       """WITH t AS (SELECT doc_id,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -2895,6 +2914,25 @@ object SparkEntry {
         | lead(valid_from) OVER w AS valid_to, n_events,
         | lead(valid_from) OVER w IS NULL AS is_current
         |FROM g WINDOW w AS (PARTITION BY user_id ORDER BY version)"""
+        .stripMargin.replace("\n", " "),
+    "etl_dim_asof_enrich" ->
+      """WITH r AS (SELECT user_id, ts, event_type, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg
+        | FROM events WHERE event_type <> 'purchase'),
+        |v AS (SELECT user_id, ts, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        | FROM r),
+        |g AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |  event_type AS state, min(ts) AS valid_from
+        | FROM v GROUP BY 1, 2, 3)
+        |SELECT f.event_id, f.user_id, f.ts, f.value,
+        | d.version AS dim_version, d.state AS dim_state
+        |FROM (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase') f
+        |ASOF LEFT JOIN g d
+        | ON f.user_id = d.user_id AND f.ts >= d.valid_from"""
         .stripMargin.replace("\n", " "),
     "q_new_vs_returning" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

@@ -705,6 +705,40 @@ object EventOps {
         col("n_events"), col("valid_to").isNull.as("is_current"))
   }
 
+  /** Point-in-time (as-of) dimension enrichment — the temporal-join
+    * half of the SCD2 pattern [[scd2UserState]] builds the dimension
+    * for: each fact row picks up the dimension VERSION that was valid
+    * at its event time, not today's. Facts are one event type (e.g.
+    * purchases); the dimension derives from the rest of the stream,
+    * so "the user's state when they bought" is well-defined and not
+    * circular. Because SCD2 versions tile each user's timeline
+    * contiguously from the first change onward, "version valid at
+    * ts" ≡ "latest version with `valid_from` ≤ ts" — an as-of join
+    * ([[AsOf.join]]: union + one ordered window, single shuffle on
+    * user_id, no interval explosion), never a per-fact interval
+    * probe. A fact before its user's first version — or from a user
+    * the dimension has never seen — keeps null state/version: the
+    * classic early-arriving-fact row, surfaced rather than dropped.
+    * Boundary semantics: a fact AT `valid_from` belongs to the new
+    * version (intervals are `[valid_from, valid_to)`; AsOf's
+    * inclusive `<=` matches).
+    */
+  def enrichPointInTime(events: DataFrame, factType: String = "purchase")
+      : DataFrame = {
+    val facts = events.filter(col("event_type") === factType)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val dim = scd2UserState(events.filter(col("event_type") =!= factType))
+      .select(col("user_id"), col("valid_from").as("ts"),
+        col("version"), col("state"))
+    AsOf.join(
+      left = facts, right = dim,
+      keys = Seq("user_id"), timeCol = "ts",
+      rightValues = Seq("version", "state"), tieBreak = Some("version"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        col("asof_version").as("dim_version"),
+        col("asof_state").as("dim_state"))
+  }
+
   /** New-vs-returning daily actives: split each day's active users by
     * whether that day is their first-ever activity. The first-seen
     * date is a per-user aggregate (partial-agg friendly), joined to

@@ -128,6 +128,40 @@ object Sampling {
     stratifiedSample(inMix, idCol, stratumCol, rates, defaultRate = 0.0, salt)
   }
 
+  /** Temperature-scaled source rebalancing — the multilingual /
+    * multi-source mixing rule from the mBERT/XLM-R/mT5 line of work:
+    * sample source `s` with probability ∝ `n_s^τ`, τ ∈ (0, 1), so
+    * head sources are flattened and tail sources are (relatively)
+    * boosted without ever up-sampling past a source's actual size.
+    * As per-source Bernoulli keep-rates at maximum retained volume:
+    * `rate_s = (n_min / n_s)^(1-τ)` — the smallest source keeps
+    * everything (rate 1), a source c× larger keeps `c^(τ-1)` of
+    * itself, and retained counts land ∝ n_s^τ exactly.
+    *
+    * τ is fixed at 1/2 (the common default): the rate is then
+    * `sqrt(n_min / n_s)`, and both the division and `sqrt` are
+    * correctly-rounded single IEEE-754 ops — the rate, its hex
+    * threshold, and therefore the selected SET replay bit-for-bit in
+    * any engine (a general `pow(x, 1-τ)` is libm-dependent and would
+    * break the oracle, the same trap [[poissonK]] documents for
+    * Efraimidis-Spirakis keys). The only non-filter work is the
+    * per-stratum count — one aggregate, O(|sources|) rows to the
+    * driver; the sample itself is the zero-shuffle stratified hash
+    * filter.
+    */
+  def sampleTemperature(df: DataFrame, idCol: String, stratumCol: String,
+                        salt: String = "t42"): DataFrame = {
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no strata to rebalance")
+    val nMin = counts.values.min
+    val rates = counts.map { case (s, n) =>
+      s -> math.sqrt(nMin.toDouble / n.toDouble) }
+    stratifiedSample(df.filter(col(stratumCol).isNotNull),
+      idCol, stratumCol, rates, defaultRate = 0.0, salt)
+  }
+
   /** Sequential Poisson (Ohlsson) sample: exactly k rows drawn with
     * probability ∝ `weight` (without replacement, to first order) —
     * the survey-sampling standard for "k docs, longer ones more
