@@ -2924,9 +2924,11 @@ object SparkEntry {
         |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
         | FROM r),
-        |g AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |g0 AS (SELECT user_id, CAST(version AS BIGINT) AS version,
         |  event_type AS state, min(ts) AS valid_from
-        | FROM v GROUP BY 1, 2, 3)
+        | FROM v GROUP BY 1, 2, 3),
+        |g AS (SELECT * FROM g0 QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, valid_from ORDER BY version DESC) = 1)
         |SELECT f.event_id, f.user_id, f.ts, f.value,
         | d.version AS dim_version, d.state AS dim_state
         |FROM (SELECT event_id, user_id, ts, value FROM events

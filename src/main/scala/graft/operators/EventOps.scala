@@ -721,15 +721,25 @@ object EventOps {
     * classic early-arriving-fact row, surfaced rather than dropped.
     * Boundary semantics: a fact AT `valid_from` belongs to the new
     * version (intervals are `[valid_from, valid_to)`; AsOf's
-    * inclusive `<=` matches).
+    * inclusive `<=` matches). Two versions CAN share a `valid_from`
+    * (run-boundary events at the same instant): such a zero-width
+    * older version is collapsed away — max(version) per
+    * (user_id, valid_from) — BEFORE the join, because an engine's
+    * ASOF tie choice is otherwise unspecified (DuckDB picks an
+    * arbitrary tied row; this pins both engines to the same,
+    * SCD2-correct answer: the version actually in effect at that
+    * instant). The collapse is a hash aggregate that reuses the
+    * window's existing user_id partitioning — no extra shuffle.
     */
   def enrichPointInTime(events: DataFrame, factType: String = "purchase")
       : DataFrame = {
     val facts = events.filter(col("event_type") === factType)
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val dim = scd2UserState(events.filter(col("event_type") =!= factType))
-      .select(col("user_id"), col("valid_from").as("ts"),
-        col("version"), col("state"))
+      .groupBy(col("user_id"), col("valid_from").as("ts"))
+      .agg(max_by(struct(col("version"), col("state")), col("version")).as("v"))
+      .select(col("user_id"), col("ts"),
+        col("v.version").as("version"), col("v.state").as("state"))
     AsOf.join(
       left = facts, right = dim,
       keys = Seq("user_id"), timeCol = "ts",

@@ -235,6 +235,43 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.last.getTimestamp(4) == null)
   }
 
+  test("enrichPointInTime: version at fact time, [from,to) boundary, early facts") {
+    val e = events(
+      // user 1 dimension stream: click@10:00 (v1) → view@12:00 (v2)
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 12:00:00", 1L, "view"),
+      // facts:
+      (10L, "2024-01-01 09:00:00", 1L, "purchase"), // early-arriving → null dim
+      (11L, "2024-01-01 11:00:00", 1L, "purchase"), // inside v1
+      (12L, "2024-01-01 12:00:00", 1L, "purchase"), // AT v2.valid_from → v2
+      (20L, "2024-01-01 10:00:00", 2L, "purchase")) // user unseen by dim → null
+    val out = EventOps.enrichPointInTime(e).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(4)).map(_.asInstanceOf[Long]), Option(r.getString(5))))
+      .toMap
+    assert(out.size == 4)
+    assert(out(10L) == ((None, None)), s"early-arriving fact: ${out(10L)}")
+    assert(out(11L) == ((Some(1L), Some("click"))))
+    assert(out(12L) == ((Some(2L), Some("view"))),
+      "a fact at valid_from belongs to the NEW version")
+    assert(out(20L) == ((None, None)), "never-seen user keeps null dim")
+  }
+
+  test("enrichPointInTime collapses same-instant version ties to max(version)") {
+    // two dim changes at the SAME ts: v1 (click) is zero-width, v2 (view)
+    // is the version actually in effect from 10:00 on — facts at and
+    // after 10:00 must see v2, deterministically on both engines
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:00:00", 1L, "view"),
+      (3L, "2024-01-01 10:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:30:00", 1L, "purchase"))
+    val out = EventOps.enrichPointInTime(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getString(5))).toMap
+    assert(out(3L) == ((2L, "view")), s"boundary fact on tied versions: $out")
+    assert(out(4L) == ((2L, "view")), s"later fact on tied versions: $out")
+  }
+
   test("sessionConcurrency peaks where sessions overlap, closed-interval") {
     val e = events(
       // user 1: one session 10:00–10:10

@@ -161,4 +161,37 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSeq
     assert(b == got.map(_._2).toSeq)
   }
+
+  test("sampleTemperature: equal-size sources all keep (rates hit 1.0 exactly)") {
+    // 4 sources × 2500 docs: n_min/n_s = 1 → sqrt = 1.0 → the full-keep
+    // threshold path, so NOT EVEN the 2^-32 hash tail may drop
+    assert(Sampling.sampleTemperature(docs, "doc_id", "source").count() == 10000L)
+  }
+
+  test("sampleTemperature: retained counts ∝ sqrt(n); smallest source keeps all") {
+    val skewed = ((0L until 8000L).map(i => (i, "src0")) ++
+      (8000L until 10000L).map(i => (i, "src1")) ++
+      (10000L until 10500L).map(i => (i, "src2")) ++
+      Seq((99999L, null.asInstanceOf[String])))  // null stratum: dropped
+      .toDF("doc_id", "source")
+    val kept = Sampling.sampleTemperature(skewed, "doc_id", "source")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // τ=1/2 rates: src2 → 1.0 (binding), src1 → sqrt(500/2000) = 0.5,
+    // src0 → sqrt(500/8000) = 0.25; retained ∝ sqrt(n): 2000/1000/500
+    assert(kept.keySet == Set("src0", "src1", "src2"), s"null stratum leaked: $kept")
+    assert(kept("src2") == 500L, s"binding source must keep everything: $kept")
+    assert(math.abs(kept("src1") - 1000L) < 150, s"src1 ${kept("src1")} !~ 1000")
+    assert(math.abs(kept("src0") - 2000L) < 200, s"src0 ${kept("src0")} !~ 2000")
+  }
+
+  test("sampleTemperature is deterministic and partition-independent") {
+    val skewed = ((0L until 6000L).map(i => (i, "a")) ++
+      (6000L until 7000L).map(i => (i, "b"))).toDF("doc_id", "source")
+    val a = Sampling.sampleTemperature(skewed, "doc_id", "source")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.sampleTemperature(skewed.repartition(13), "doc_id", "source")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
