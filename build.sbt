@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt default behaviours broke that for seven rounds
+// (BENCH_r01–r07 all `parsed: null`): forked program output is logged
+// through sbt with an "[info] " prefix, and a "[success] Total time"
+// line trails the program's final line. Send forked output straight
+// to stdout and drop the success banner so the contract line is the
+// last line, bare.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

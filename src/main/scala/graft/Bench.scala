@@ -80,15 +80,48 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum + primeSec
-    // Full per-query detail on a PREFIXED line (greppable, not the
-    // contract line), because the driver keeps only the last 2000
-    // chars of stdout: a 191-entry queries map is ~6KB, so embedding
-    // it in the contract line truncates the line's head out of the
-    // tail window and the driver's JSON parse fails (BENCH_r01–r05
-    // all have "parsed": null). The final line stays under ~1.2KB —
-    // headline queries only — so it survives the tail intact.
-    println("[bench-detail] " +
-      jsonOf(results + ("shared_prime" -> primeSec)))
+
+    // recall@k of the approximate ANN tiers vs their exact anchor —
+    // a correctness-of-approximation number the timing loop can't
+    // see. Computed here (untimed) and carried in the contract line
+    // so the recall specs' thresholds can be TRENDED per round, not
+    // just gated at test time. Each is two bounded top-k relations
+    // joined on (query_id, neighbor_id): O(|queries|·k) rows.
+    val recallPairs = Seq(
+      "ann_lsh_topk" -> "ann_bruteforce_topk",
+      "ann_ivf_topk" -> "ann_bruteforce_topk",
+      "ann_pq_topk" -> "ann_bruteforce_topk",
+      "ann_ivfpq_topk" -> "ann_bruteforce_topk",
+      "ann_ivfpq_res_topk" -> "ann_bruteforce_topk",
+      "ann_ivf_filtered_topk" -> "ann_filtered_topk")
+    val recalls = recallPairs.collect {
+      case (approx, exactKey)
+          if selected.contains(approx) && SparkEntry.queries.contains(exactKey) =>
+        val cols = Seq("query_id", "neighbor_id")
+        val exact = SparkEntry.queries(exactKey)(spark, sfDir)
+          .select(cols.head, cols.tail: _*)
+        val got = SparkEntry.queries(approx)(spark, sfDir)
+          .select(cols.head, cols.tail: _*)
+        val nExact = exact.count()
+        approx -> (if (nExact == 0L) -1.0
+                   else exact.join(got, cols).count().toDouble / nExact)
+    }.toMap
+    val recallJson = jsonOf(recalls)
+
+    // Full per-query detail goes to a FILE (the driver keeps only the
+    // last 2000 chars of stdout — a 200+-entry map is ~7KB and can
+    // never ride the contract line); the contract line carries the
+    // headline subset + recall and stays well under 2KB.
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"queries":${jsonOf(
+        results + ("shared_prime" -> primeSec))},"recall":$recallJson,""" +
+      s""""sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+    Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(detailPath,
+      (fullJson + "\n").getBytes("UTF-8"))
+
     val headline = Seq(
       "q1_pricing_summary", "q3_bloom_pruned", "q_basket_affinity",
       "q_brand_revenue", "q_brand_revenue_salted", "q_asof_join",
@@ -100,7 +133,9 @@ object Bench {
       "stream_dedup_within_wm").toSet
     val qs = jsonOf(results.filter { case (k, _) => headline.contains(k) } +
       ("shared_prime" -> primeSec))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // stop BEFORE the contract line so no Spark shutdown logging can
+    // trail it — the driver parses the last stdout line as JSON
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"recall":$recallJson,"failed":$failed,"sf":"$sfDir"}""")
   }
 }
