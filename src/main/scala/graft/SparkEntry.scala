@@ -382,6 +382,11 @@ object SparkEntry {
       operators.Curation.curateMixture(Tables.documents(s, dir),
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
         minQuality = 0.05, benchMod = 997)),
+    "docs_curate_temperature" -> ((s, dir) =>
+      // same gentler gates as docs_curate_mixture; rates derive from
+      // POST-curation per-source counts (τ=1/2 → exact-IEEE sqrt)
+      operators.Curation.curateTemperature(Tables.documents(s, dir),
+        minQuality = 0.05, benchMod = 997)),
     "q_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
     "q_priority_check" -> ((s, dir) =>
@@ -1968,6 +1973,47 @@ object SparkEntry {
         | FROM cnt)
         |SELECT c.doc_id, c.source FROM cur c JOIN r ON c.source = r.source
         |WHERE substring(md5(CAST(c.doc_id AS VARCHAR) || ':m42'), 1, 8) <
+        | CASE WHEN r.rate >= 1.0 THEN 'g'
+        |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END"""
+        .stripMargin.replace("\n", " "),
+    "docs_curate_temperature" ->
+      // curate's survivor set (same CTE chain as docs_curate_mixture),
+      // then the τ=1/2 temperature rate derivation REPLAYED OVER THE
+      // CURATED COUNTS — sqrt(n_min/n) is a single correctly-rounded
+      // IEEE op, so the rates (and the selected set) are engine-exact
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id FROM (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t) s
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.05),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 997 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 997 <> 0) c
+        |  JOIN bench USING (gram)),
+        |cur AS (SELECT d.doc_id, d.source FROM documents d
+        | WHERE d.doc_id IN (SELECT doc_id FROM dd)
+        |  AND d.doc_id % 997 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |cnt AS (SELECT source, count(*) AS n FROM cur
+        | WHERE source IS NOT NULL GROUP BY source),
+        |m AS (SELECT min(n) AS nmin FROM cnt),
+        |r AS (SELECT source,
+        |  sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+        | FROM cnt)
+        |SELECT c.doc_id, c.source FROM cur c JOIN r ON c.source = r.source
+        |WHERE substring(md5(CAST(c.doc_id AS VARCHAR) || ':t42'), 1, 8) <
         | CASE WHEN r.rate >= 1.0 THEN 'g'
         |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT)) END"""
         .stripMargin.replace("\n", " "),

@@ -151,6 +151,32 @@ object Curation {
       .select("doc_id", "source")
   }
 
+  /** Curation composed with TEMPERATURE rebalancing
+    * ([[Sampling.sampleTemperature]], τ=1/2): [[curateMixture]]'s
+    * sibling for the case where no explicit target shares exist —
+    * the corpus is flattened toward uniform by sampling each source
+    * at `sqrt(n_min/n_s)`, the multilingual mixing default. Same
+    * composition rule as mixture: rates derive from POST-curation
+    * per-source counts (quality gates reshape the source histogram,
+    * so pre-curation counts would mis-set every rate), the count is
+    * one O(|sources|) aggregate over the pinned survivors, and the
+    * exact-IEEE rate math replays in the oracle so the composed
+    * pass stays hash-checked end to end.
+    */
+  def curateTemperature(docs: DataFrame, minTokens: Long = 20L,
+                        maxTokens: Long = 100000L, minQuality: Double = 0.2,
+                        benchMod: Int = 97): DataFrame = {
+    val curated = docs.join(
+      curate(docs, minTokens, maxTokens, minQuality, benchMod)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      // sampleTemperature consumes its input twice (per-source
+      // counts, then the rate filter) — pin the survivors or the
+      // whole curation chain runs twice
+      .localCheckpoint(true)
+    Sampling.sampleTemperature(curated, "doc_id", "source")
+      .select("doc_id", "source")
+  }
+
   /** Token-budget corpus selection: walk the corpus in quality order
     * (desc; ties → doc_id) and keep documents while the cumulative
     * token count stays under `tokenBudget` — "the best `B` tokens",

@@ -206,6 +206,34 @@ class CurationSpec extends SparkSpec {
       s"binding source $binding must keep everything")
   }
 
+  test("curateTemperature: τ=1/2 rates from POST-curation counts, output ⊆ curated") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Curation.curateTemperature(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val curated = docs.join(
+      Curation.curate(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val curatedIds = curated.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.keySet.subsetOf(curatedIds), "temperature must sample the curated set")
+    // identical to composing the two operators by hand — the rate
+    // derivation must see curated (not raw) per-source counts
+    val direct = graft.operators.Sampling
+      .sampleTemperature(curated, "doc_id", "source")
+      .select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == direct)
+    // the smallest curated source is binding: rate 1.0, keeps all
+    import org.apache.spark.sql.functions.col
+    val curBySource = curated.filter(col("source").isNotNull)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val binding = curBySource.minBy(_._2)._1
+    val keptBySource = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(keptBySource(binding) == curBySource(binding),
+      s"smallest source $binding must keep everything")
+  }
+
   test("source policy: drop mirrors, cap low quality, keep the rest, drop wins") {
     // stopword-free (quality floor) AND token-disjoint, so the two
     // junk docs never become a near-dup pair of each other
