@@ -648,6 +648,10 @@ object SparkEntry {
     }),
     "etl_scd2_user_state" -> ((s, dir) =>
       EventOps.scd2UserState(Tables.events(s, dir))),
+    // the shared batch/stream SCD2 path — batch fold of sorted
+    // history ≡ the relational run-collapse (shares the oracle)
+    "stream_scd2" -> ((s, dir) =>
+      graft.streaming.EventStream.scd2State(Tables.events(s, dir))),
     "etl_dim_asof_enrich" -> ((s, dir) =>
       EventOps.enrichPointInTime(Tables.events(s, dir))),
     "q_new_vs_returning" -> ((s, dir) =>
@@ -2945,6 +2949,25 @@ object SparkEntry {
         | FROM o FULL OUTER JOIN n ON o.product_id = n.product_id) d
         |WHERE diff_type IS NOT NULL""".stripMargin.replace("\n", " "),
     "etl_scd2_user_state" ->
+      """WITH r AS (SELECT user_id, ts, event_type, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg
+        | FROM events),
+        |v AS (SELECT user_id, ts, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        | FROM r),
+        |g AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |  event_type AS state, min(ts) AS valid_from, count(*) AS n_events
+        | FROM v GROUP BY 1, 2, 3)
+        |SELECT user_id, version, state, valid_from,
+        | lead(valid_from) OVER w AS valid_to, n_events,
+        | lead(valid_from) OVER w IS NULL AS is_current
+        |FROM g WINDOW w AS (PARTITION BY user_id ORDER BY version)"""
+        .stripMargin.replace("\n", " "),
+    // stream_scd2's batch run replays the same run-collapse by
+    // folding sorted history — identical output, identical oracle
+    "stream_scd2" ->
       """WITH r AS (SELECT user_id, ts, event_type, event_id,
         |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg

@@ -306,6 +306,81 @@ object EventStream extends Serializable {
       .toDF()
   }
 
+  case class Scd2Ev(event_id: Long, ts_us: Long, user_id: Long,
+                    event_type: String)
+  case class Scd2St(version: Long, state: String, from_us: Long,
+                    last_us: Long, n: Long)
+  case class Scd2Row(user_id: Long, version: Long, state: String,
+                     valid_from: LocalDateTime,
+                     valid_to: Option[LocalDateTime],
+                     n_events: Long, is_current: Boolean)
+
+  /** Streaming twin of [[graft.operators.EventOps.scd2UserState]] —
+    * continuous maintenance of the SCD Type-2 dimension via
+    * `flatMapGroupsWithState`. State per user is O(1): only the OPEN
+    * version (number, state, valid_from, last_seen, run length);
+    * closed versions are immutable history and leave state the
+    * moment they close. Each micro-batch folds its group's events in
+    * (ts, event_id) order: a same-state event extends the open run,
+    * a state change CLOSES the open version (emitted once, with
+    * `valid_to` = the new version's `valid_from` — the half-open
+    * interval chain) and opens the next. The open version re-emits
+    * whenever it changes (update-mode semantics: downstream keys on
+    * (user_id, version), newer emission wins — same contract as
+    * [[cdcState]]'s dimension rows). State never expires because the
+    * open version IS the product.
+    *
+    * Batch run of this code path ≡ the relational build exactly
+    * (folding sorted history replays the run-collapse:
+    * version k's `valid_from` is its first event, `valid_to` the
+    * next run's first event, `n_events` the run length, the last run
+    * open) — which is how it shares `etl_scd2_user_state`'s oracle.
+    * Streaming run assumes per-user event-time-ordered arrival
+    * ACROSS micro-batches (in-batch disorder is handled by the
+    * sort), the same at-watermark contract [[funnelState]] and the
+    * sessionization ops document: a cross-batch straggler older than
+    * the open run's `last_seen` would split an already-closed run —
+    * unreconstructable from O(1) state — and is dropped.
+    */
+  def scd2State(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def fn(userId: Long, it: Iterator[Scd2Ev],
+           st: GroupState[Scd2St]): Iterator[Scd2Row] = {
+      val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+      var cur = st.getOption
+      evs.foreach { e =>
+        cur match {
+          case None =>
+            cur = Some(Scd2St(1L, e.event_type, e.ts_us, e.ts_us, 1L))
+          case Some(c) if e.ts_us < c.last_us =>
+            () // stale cross-batch straggler: dropped (documented)
+          case Some(c) if e.event_type == c.state =>
+            cur = Some(c.copy(last_us = e.ts_us, n = c.n + 1))
+          case Some(c) =>
+            closed += Scd2Row(userId, c.version, c.state, usToLdt(c.from_us),
+              Some(usToLdt(e.ts_us)), c.n, is_current = false)
+            cur = Some(Scd2St(c.version + 1, e.event_type, e.ts_us, e.ts_us, 1L))
+        }
+      }
+      val c = cur.get // the group has at least one input row or prior state
+      st.update(c)
+      (closed :+ Scd2Row(userId, c.version, c.state, usToLdt(c.from_us),
+        None, c.n, is_current = true)).iterator
+    }
+
+    events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "ts_us", "user_id", "event_type")
+      .as[Scd2Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class FunnelEv(ts_us: Long, user_id: Long, event_type: String)
   case class FunnelState(signup_us: Option[Long], click_us: Option[Long],
                          purchase_us: Option[Long])

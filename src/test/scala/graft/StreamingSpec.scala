@@ -408,6 +408,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scd2State streams version closes and opens across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.scd2State(mem.toDF()).writeStream
+      .format("memory").queryName("scd2_rows").outputMode("update").start()
+    // latest emission per (user, version) wins (memory sink appends)
+    def snapshot(): Map[(Long, Long), (String, Boolean, Long, Option[LocalDateTime])] = {
+      q.processAllAvailable()
+      spark.table("scd2_rows").collect().zipWithIndex
+        .groupBy { case (r, _) => (r.getLong(0), r.getLong(1)) }
+        .view.mapValues { rows =>
+          val r = rows.maxBy(_._2)._1
+          (r.getString(2), r.getBoolean(6), r.getLong(5),
+            Option(r.getAs[LocalDateTime](4)))
+        }.toMap
+    }
+    try {
+      mem.addData(Event(1L, ts(0, 5), 1L, "click", 1.0))
+      assert(snapshot() == Map((1L, 1L) -> (("click", true, 1L, None))))
+      // same state extends the open run (n_events grows, still v1)
+      mem.addData(Event(2L, ts(0, 10), 1L, "click", 1.0))
+      assert(snapshot() == Map((1L, 1L) -> (("click", true, 2L, None))))
+      // state change: v1 closes at the new valid_from, v2 opens
+      mem.addData(Event(3L, ts(0, 20), 1L, "view", 1.0))
+      val s = snapshot()
+      assert(s((1L, 1L)) == (("click", false, 2L, Some(ts(0, 20)))),
+        s"v1 must close at v2's valid_from: $s")
+      assert(s((1L, 2L)) == (("view", true, 1L, None)), s"v2 open: $s")
+      // a cross-batch straggler older than the open run is dropped
+      mem.addData(Event(4L, ts(0, 15), 1L, "click", 1.0))
+      assert(snapshot() == s, "stale straggler must not rewrite history")
+    } finally q.stop()
+  }
+
+  test("scd2State batch run equals EventOps.scd2UserState") {
+    val batch = sampleEvents.toDF()
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    def value(r: org.apache.spark.sql.Row) =
+      (r.getString(2), String.valueOf(r.get(3)), String.valueOf(r.get(4)),
+        r.getLong(5), r.getBoolean(6))
+    val got = EventStream.scd2State(batch).collect()
+      .map(r => key(r) -> value(r)).toMap
+    val relational = graft.operators.EventOps.scd2UserState(batch).collect()
+      .map(r => key(r) -> value(r)).toMap
+    assert(got == relational,
+      "shared path: stream code batch-run ≡ relational SCD2 build")
+  }
+
   test("cdcState batch run (live rows) equals EventOps.cdcApply") {
     val batch = sampleEvents.toDF()
     val live = EventStream.cdcState(batch)
