@@ -307,13 +307,19 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.rerankTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    // approximate-tier parameters are set from the measured sweep
+    // (docs/ANN_SWEEP.md, post-r8 corrected recall metric): each pair
+    // below is a measured recall@10 point at sf0.1, trended per round
+    // via the bench contract line's recall map
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+      Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
+        tables = 16, planesPerTable = 6)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
+        nprobe = 8)
     }),
     "ann_ivf_cell_stats" -> ((s, dir) =>
       Similarity.ivfCellStats(Tables.embeddings(s, dir))),
@@ -481,7 +487,10 @@ object SparkEntry {
       Analytics.aboveAvgOrders(Tables.orders(s, dir))),
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+      // m=16 (4-dim subspaces), 32-entry codebooks, rerank 8: the
+      // measured 0.82-recall point — still a 16× scan-bandwidth cut
+      Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
+        m = 16, nCodes = 32, rerank = 8)
     }),
     "q_brand_revenue_salted" -> ((s, dir) =>
       Analytics.brandRevenueSalted(Tables.lineitem(s, dir), Tables.part(s, dir))),
@@ -509,14 +518,15 @@ object SparkEntry {
       RetailEtl.quarantine(RetailEtl.combine(onlineSales(s, dir), storeSales(s, dir)))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
+        nprobe = 8, m = 16)
     }),
     "ann_ivfpq_res_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // one refinement round: the index is train-once/probe-forever,
       // but the bench bills training per run
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 10, kmeansIters = 1)
+        k = 10, nprobe = 8, m = 16, kmeansIters = 1)
     }),
     "q_status_priority" -> ((s, dir) =>
       Analytics.statusPriorityMatrix(Tables.orders(s, dir))),

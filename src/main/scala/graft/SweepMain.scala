@@ -12,14 +12,20 @@ object SweepMain {
     val spark = GraftSession.local(8)
     spark.sparkContext.setLogLevel("ERROR")
     val emb = graft.sources.Tables
-      .embeddings(spark, "/root/testdata/sf0.01").cache()
+      .embeddings(spark,
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+      .cache()
     val queries = emb.filter(col("vec_id") % 100 === 0)
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
         .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
     val exact = sets(Similarity.bruteForceTopK(emb, queries, k = 10))
+    // .toSeq before .map: mapping over the KEY SET would collapse
+    // queries with EQUAL per-query recall (all on the 1/k grid) into
+    // one element before the sum — a silent undercount that skewed
+    // every pre-r8 sweep (docs/ANN_SWEEP.md history)
     def recall(m: Map[Long, Set[Long]]): Double =
-      exact.keys.map(q => (m.getOrElse(q, Set.empty[Long])
+      exact.keys.toSeq.map(q => (m.getOrElse(q, Set.empty[Long])
         .intersect(exact(q)).size / 10.0)).sum / exact.size
     println("| index | nlist | nprobe | m | recall@10 |")
     println("| --- | --- | --- | --- | --- |")
@@ -31,6 +37,20 @@ object SweepMain {
       val r = recall(sets(Similarity.pqTopK(emb, queries, 10, m = m,
         nCodes = 16, rerank = 4)))
       println(f"| PQ (rerank 4) | – | – | $m | $r%.3f |")
+    }
+    for (m <- Seq(8, 16); rerank <- Seq(8); nCodes <- Seq(16, 32)) {
+      val r = recall(sets(Similarity.pqTopK(emb, queries, 10, m = m,
+        nCodes = nCodes, rerank = rerank)))
+      println(f"| PQ (rerank $rerank, nCodes $nCodes) | – | – | $m | $r%.3f |")
+    }
+    // LSH axis: bucket width (planes/table) vs table count — recall
+    // tracks the candidate fraction each combination scans
+    println("| LSH tables | planes | recall@10 |")
+    println("| --- | --- | --- |")
+    for (tables <- Seq(8, 16); planes <- Seq(5, 6, 8)) {
+      val r = recall(sets(Similarity.lshTopK(emb, queries, 10,
+        tables = tables, planesPerTable = planes)))
+      println(f"| $tables | $planes | $r%.3f |")
     }
     for (nprobe <- Seq(4, 8); m <- Seq(8, 16)) {
       val plain = recall(sets(Similarity.ivfPqTopK(emb, queries, 10,

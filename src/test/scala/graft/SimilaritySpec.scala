@@ -281,7 +281,9 @@ class SimilaritySpec extends SparkSpec {
     val eligible = emb.filter(pred).select("vec_id").as[Long].collect().toSet
     ivf.values.foreach(ns =>
       assert(ns.subsetOf(eligible), "no filtered-out vector may surface"))
-    val recall = exactFiltered.keys.map(q =>
+    // .toSeq: a bare keys.map would dedup equal per-query recalls
+    // (Set semantics) and silently undercount the mean
+    val recall = exactFiltered.keys.toSeq.map(q =>
       ivf.getOrElse(q, Set.empty[Long]).intersect(exactFiltered(q)).size / 10.0)
       .sum / exactFiltered.size
     assert(recall >= 0.5,

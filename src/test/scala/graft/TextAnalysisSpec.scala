@@ -247,7 +247,9 @@ class TextAnalysisSpec extends SparkSpec {
     val full = affinities(1.0)
     val sampled = affinities(0.25)
     assert(full.keySet == sampled.keySet)
-    val meanAbsDiff = full.keys.map(k =>
+    // .toSeq: a bare keys.map would dedup equal per-doc |Δ| values
+    // (Set semantics) and silently understate the mean drift
+    val meanAbsDiff = full.keys.toSeq.map(k =>
       math.abs(full(k) - sampled(k))).sum / full.size
     assert(meanAbsDiff < 0.1,
       f"a quarter-sample profile drifted too far: mean |Δaffinity| = $meanAbsDiff%.4f")
