@@ -250,6 +250,17 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the top-k window exchange, got $exchanges:\n$p")
   }
 
+  test("enrichPointInTime shuffles twice: SCD2 window + as-of union window") {
+    val p = plan(graft.operators.EventOps.enrichPointInTime(
+      Tables.events(spark, dir)))
+    // the version-tie collapse (max_by per (user_id, valid_from)) must
+    // ride the SCD2 window's user_id partitioning — an extra exchange
+    // there means the aggregate stopped reusing the window's shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly 2 shuffles (dim build + as-of), got $exchanges:\n$p")
+  }
+
   test("boilerplatePrefix reads only text and source, aggregates map-side") {
     val p = plan(graft.operators.TextAnalysis.boilerplatePrefix(
       Tables.documents(spark, dir)))
