@@ -271,6 +271,10 @@ object SparkEntry {
       Dedup.ngramJaccardSummary(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingSummary(Tables.embeddings(s, dir), tau = 0.9)),
+    // SemDeDup clusters over the EXACT pair relation (the LSH pair
+    // source drops in at scale) — fully oracle-checked incl. closure
+    "dedup_embedding_groups" -> ((s, dir) =>
+      Dedup.embeddingGroups(Tables.embeddings(s, dir), tau = 0.9)),
     "dedup_groups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupGroups(docs, Dedup.minhashPairs(docs, tau = 0.4,
@@ -664,6 +668,8 @@ object SparkEntry {
       graft.streaming.EventStream.scd2State(Tables.events(s, dir))),
     "etl_dim_asof_enrich" -> ((s, dir) =>
       EventOps.enrichPointInTime(Tables.events(s, dir))),
+    "etl_dim_asof_coverage" -> ((s, dir) =>
+      EventOps.asofCoverage(Tables.events(s, dir))),
     "q_new_vs_returning" -> ((s, dir) =>
       EventOps.newVsReturning(Tables.events(s, dir))),
     "events_user_lifespan" -> ((s, dir) =>
@@ -2587,6 +2593,25 @@ object SparkEntry {
           |  AS near_dup_rate
           |FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id
           |GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "dedup_embedding_groups" ->
+      // exact cosine pair relation (list_cosine_similarity over
+      // DOUBLE[] replays Spark's kernel — ann_range_search
+      // precedent), then the same recursive reachability closure as
+      // dedup_groups_blocked
+      """WITH RECURSIVE m AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM m
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM m),
+        |reach AS (SELECT vec_id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT reach.vec_id, e.dst AS r
+        |  FROM reach JOIN e ON e.src = reach.r),
+        |lab AS (SELECT vec_id, min(r) AS group_id
+        |  FROM reach GROUP BY vec_id)
+        |SELECT vec_id, group_id, vec_id = group_id AS keep
+        |FROM lab""".stripMargin.replace("\n", " "),
     "dedup_groups_blocked" ->
       // transitive closure by recursive reachability: label = min id
       // reachable through the undirected blocked-pair edge set
@@ -3015,6 +3040,34 @@ object SparkEntry {
         |ASOF LEFT JOIN g d
         | ON f.user_id = d.user_id AND f.ts >= d.valid_from"""
         .stripMargin.replace("\n", " "),
+    "etl_dim_asof_coverage" ->
+      // the enrichment CTE chain aggregated to the per-day coverage
+      // report; n_early sum CAST to BIGINT (HUGEINT trap), rate on
+      // the 1e-6 grid from exact long division
+      """WITH r AS (SELECT user_id, ts, event_type, event_id,
+        |  CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) = event_type THEN 0 ELSE 1 END AS chg
+        | FROM events WHERE event_type <> 'purchase'),
+        |v AS (SELECT user_id, ts, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        | FROM r),
+        |g0 AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+        |  min(ts) AS valid_from
+        | FROM v GROUP BY 1, 2, event_type),
+        |g AS (SELECT * FROM g0 QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, valid_from ORDER BY version DESC) = 1),
+        |enr AS (SELECT f.ts, d.version AS dim_version
+        | FROM (SELECT event_id, user_id, ts FROM events
+        |   WHERE event_type = 'purchase') f
+        | ASOF LEFT JOIN g d
+        |  ON f.user_id = d.user_id AND f.ts >= d.valid_from)
+        |SELECT CAST(ts AS DATE) AS day, count(*) AS n_facts,
+        | CAST(sum(CASE WHEN dim_version IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_early,
+        | round(sum(CASE WHEN dim_version IS NULL THEN 1 ELSE 0 END)
+        |  * 1.0 / count(*), 6) AS early_rate
+        |FROM enr GROUP BY 1""".stripMargin.replace("\n", " "),
     "q_new_vs_returning" ->
       """WITH daily AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
         |  FROM events),

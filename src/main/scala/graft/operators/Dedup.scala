@@ -284,6 +284,47 @@ object Dedup {
     pairSummary(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
       embeddingPairs(embeddings, tau), "cosine")
 
+  /** EXACT embedding near-dup pairs: all (id_a < id_b) vector pairs
+    * with cosine ≥ tau, no candidate generation — the brute-force
+    * exactness anchor for [[embeddingPairs]]'s LSH path, same role
+    * the deterministic blocked family plays for MinHash. O(n²)
+    * cosines: the small-corpus / per-shard baseline, not the 100 TB
+    * plan (there, [[embeddingPairs]] generates candidates and this
+    * pair shape verifies a sample). The cosine math replays exactly
+    * in DuckDB (`list_cosine_similarity` over DOUBLE[] — the
+    * `ann_range_search` precedent), so downstream compositions stay
+    * hash-checked.
+    */
+  def embeddingPairsExact(embeddings: DataFrame, tau: Double = 0.95): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = embeddings.select(col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", gf.cosineSim(col("emb_a"), col("emb_b")))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup-style semantic duplicate CLUSTERS: connected
+    * components over the embedding near-dup pair relation — "these k
+    * documents say the same thing" rather than the pairwise view.
+    * Transitive closure matters here more than for text dedup:
+    * paraphrase chains (a≈b, b≈c, a̸≈c) are exactly what embedding
+    * similarity surfaces, and cluster-then-keep-one (min id, like
+    * every dedup family here) is the SemDeDup selection rule.
+    * Composes [[embeddingPairsExact]] (oracle anchor) with
+    * [[dedupGroups]]'s min-label propagation; at 100 TB swap the
+    * pair relation for [[embeddingPairs]] (LSH candidates) — the
+    * closure code is pair-source-agnostic.
+    */
+  def embeddingGroups(embeddings: DataFrame, tau: Double = 0.95,
+                      pairs: Option[DataFrame] = None): DataFrame =
+    dedupGroups(
+      embeddings.select(col("vec_id").as("doc_id")),
+      pairs.getOrElse(embeddingPairsExact(embeddings, tau)))
+      .select(col("doc_id").as("vec_id"), col("group_id"), col("keep"))
+
   /** Deterministic near-dup pairs: token-n-gram INVERTED-INDEX
     * blocking + exact Jaccard. Unlike the MinHash/SimHash paths there
     * is no randomness anywhere, so the complete output — candidate

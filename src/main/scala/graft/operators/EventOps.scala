@@ -749,6 +749,26 @@ object EventOps {
         col("asof_state").as("dim_state"))
   }
 
+  /** Temporal-join coverage report — the operational alarm for the
+    * [[enrichPointInTime]] pipeline: per fact day, how many facts
+    * found a dimension version valid at their event time and how
+    * many arrived EARLY (before their user's first dimension
+    * version, or from a user the dimension has never seen). A
+    * rising early rate means the dimension feed is lagging the fact
+    * feed — the thing to alert on before downstream consumers train
+    * on null-enriched rows. One O(days) aggregate over the
+    * enrichment output; shares its two-shuffle plan.
+    */
+  def asofCoverage(events: DataFrame, factType: String = "purchase")
+      : DataFrame =
+    enrichPointInTime(events, factType)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_facts"),
+        sum(when(col("dim_version").isNull, 1L).otherwise(0L)).as("n_early"),
+        round(sum(when(col("dim_version").isNull, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("early_rate"))
+
   /** New-vs-returning daily actives: split each day's active users by
     * whether that day is their first-ever activity. The first-seen
     * date is a per-user aggregate (partial-agg friendly), joined to

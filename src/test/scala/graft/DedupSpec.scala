@@ -261,6 +261,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("embeddingGroups closes paraphrase chains; exact pairs anchor the LSH path") {
+    // chain: v0 ~ v1 ~ v2 (each ≈ its neighbor, ends NOT directly
+    // similar at τ) must land in ONE cluster labeled min id; v3 is
+    // isolated and survives alone
+    def unit(base: Int => Double, tilt: Double) =
+      Seq.tabulate(64)(i => (base(i) + tilt * math.cos(i * 7 + 1)).toFloat)
+    val vecs = Seq(
+      (10L, unit(i => math.sin(i + 1), 0.0)),
+      (11L, unit(i => math.sin(i + 1), 0.22)),
+      (12L, unit(i => math.sin(i + 1), 0.44)),
+      (13L, Seq.tabulate(64)(i => math.cos(i * 2 + 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val tau = 0.97
+    val pairs = Dedup.embeddingPairsExact(vecs, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L), (11L, 12L)),
+      s"chain must pair only adjacent members at tau=$tau: $pairs")
+    val groups = Dedup.embeddingGroups(vecs, tau).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(groups(10L) == ((10L, true)), "min id keeps")
+    assert(groups(11L) == ((10L, false)) && groups(12L) == ((10L, false)),
+      s"transitive members join the min-id cluster: $groups")
+    assert(groups(13L) == ((13L, true)), "isolated vector survives alone")
+  }
+
   test("editDistancePairs: banded distance on blocked candidates, threshold binds") {
     val d = Seq(
       (0L, base),

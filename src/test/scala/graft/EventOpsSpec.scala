@@ -272,6 +272,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, "view")), s"later fact on tied versions: $out")
   }
 
+  test("asofCoverage counts early-arriving facts per day") {
+    val e = events(
+      // user 1 dimension opens at Jan 1 12:00
+      (1L, "2024-01-01 12:00:00", 1L, "click"),
+      // Jan 1: one early fact (09:00), one enriched (13:00)
+      (10L, "2024-01-01 09:00:00", 1L, "purchase"),
+      (11L, "2024-01-01 13:00:00", 1L, "purchase"),
+      // Jan 2: user 2 has no dimension at all → early
+      (20L, "2024-01-02 10:00:00", 2L, "purchase"))
+    val out = EventOps.asofCoverage(e).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, 1L, 0.5)),
+      "2024-01-02" -> ((1L, 1L, 1.0))), s"coverage: $out")
+  }
+
   test("sessionConcurrency peaks where sessions overlap, closed-interval") {
     val e = events(
       // user 1: one session 10:00–10:10
