@@ -29,7 +29,10 @@ object ExplainMain {
       "docs_source_policy_apply", "dedup_cluster_sizes",
       "stream_funnel", "dedup_ngram_contain",
       "text_pmi_bigrams", "events_attribution",
-      "events_key_skew", "docs_quality_dup_profile")
+      "events_key_skew", "docs_quality_dup_profile",
+      "etl_dim_asof_enrich", "etl_dim_asof_coverage",
+      "sample_temperature", "docs_curate_temperature",
+      "dedup_embedding_groups", "stream_scd2")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
