@@ -262,6 +262,8 @@ object SparkEntry {
     // §2.C dedup
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
     "dedup_exact_report" -> ((s, dir) => Dedup.exactReport(Tables.documents(s, dir))),
+    "dedup_token_inflation" -> ((s, dir) =>
+      Dedup.tokenInflation(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashSummary(Tables.documents(s, dir), tau = 0.4,
         shingles = Some(sharedShingleSets(s, dir)))),
@@ -1348,6 +1350,27 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) n
         |GROUP BY norm HAVING count(*) > 1""".stripMargin.replace("\n", " "),
+    "dedup_token_inflation" ->
+      // all sums CAST to BIGINT (HUGEINT trap); rate is exact
+      // integer division on the 1e-6 grid, zero-token source → null
+      """WITH t AS (SELECT doc_id, source,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        | FROM documents),
+        |k AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY norm),
+        |d AS (SELECT doc_id, source, n_tokens,
+        |  doc_id IN (SELECT doc_id FROM k) AS keep FROM t)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN NOT keep THEN n_tokens ELSE 0 END) AS BIGINT)
+        |  AS n_dup_tokens,
+        | CASE WHEN sum(n_tokens) = 0 THEN NULL
+        |  ELSE round(sum(CASE WHEN NOT keep THEN n_tokens ELSE 0 END)
+        |   * 1.0 / sum(n_tokens), 6) END AS dup_token_rate
+        |FROM d GROUP BY 1""".stripMargin.replace("\n", " "),
     "ann_bruteforce_topk" ->
       // DOUBLE[] casts: DuckDB accumulates FLOAT[] cosines in single
       // precision, which flips near-boundary ranks vs graft's

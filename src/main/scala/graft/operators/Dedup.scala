@@ -35,6 +35,32 @@ object Dedup {
     docs.join(exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
       .select("doc_id", "lang", "source", "n_chars")
 
+  /** Token-budget impact of exact dedup, per source — the planning
+    * metric between the dedup diagnostics and `docs_token_budget`:
+    * how many DOCS each source loses to duplicates vs how many
+    * TOKENS (duplicates skew long — mirrored boilerplate — so the
+    * token rate routinely exceeds the doc rate, and the token rate
+    * is what moves a training budget). One stats scan + the exact
+    * keeper set as a left join on 8-byte ids; output is O(|sources|).
+    */
+  def tokenInflation(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.stats(docs).select(col("doc_id"), col("n_tokens"))
+    val keepers = exact(docs).select(col("doc_id"), lit(true).as("keep"))
+    val dupToks = sum(when(col("keep").isNull, col("n_tokens")).otherwise(0L))
+    docs.select("doc_id", "source")
+      .join(toks, Seq("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep").isNull, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        dupToks.as("n_dup_tokens"),
+        when(sum(col("n_tokens")) === 0, lit(null).cast("double"))
+          .otherwise(round(dupToks / sum(col("n_tokens")).cast("double"), 6))
+          .as("dup_token_rate"))
+  }
+
   /** Duplicate-group report: only groups with more than one copy. */
   def exactReport(docs: DataFrame): DataFrame =
     docs

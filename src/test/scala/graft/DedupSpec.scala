@@ -36,6 +36,27 @@ class DedupSpec extends SparkSpec {
     assert(rep(0).getAs[Long]("max_doc_id") == 1L)
   }
 
+  test("tokenInflation charges duplicate tokens to the copy, not the survivor") {
+    val docs = Seq(
+      // srcA: a 4-token original + its exact copy (dup: 1 doc, 4 tokens)
+      (1L, "alpha beta gamma delta", "srcA"),
+      (2L, "alpha beta gamma delta", "srcA"),
+      // srcA: a unique 2-token doc
+      (3L, "epsilon zeta", "srcA"),
+      // srcB: copy of doc 1's text — min-id survivor lives in srcA,
+      // so srcB's copy is ALL duplicate (1 doc, 4 tokens of 6)
+      (4L, "alpha beta gamma delta", "srcB"),
+      (5L, "eta theta", "srcB"))
+      .map { case (id, text, src) => (id, text, src, "en", text.length.toLong) }
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    val out = Dedup.tokenInflation(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out("srcA") == ((3L, 1L, 10L, 4L, 0.4)), s"srcA: $out")
+    assert(out("srcB") == ((2L, 1L, 6L, 4L, 0.666667)), s"srcB: $out")
+  }
+
   test("blocked jaccard matches a naive all-pairs computation exactly") {
     // naive reference: lowercase whitespace tokens → distinct 3-gram
     // strings → rare-gram candidacy (df<=64, >=3 shared) → exact Jaccard
