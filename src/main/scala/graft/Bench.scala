@@ -94,17 +94,27 @@ object Bench {
       "ann_ivfpq_topk" -> "ann_bruteforce_topk",
       "ann_ivfpq_res_topk" -> "ann_bruteforce_topk",
       "ann_ivf_filtered_topk" -> "ann_filtered_topk")
+    // a recall failure must not cost the contract line (the timing
+    // data is already in hand) — report -1 like a failed timing; the
+    // exact anchor is evaluated once per KEY, not once per tier
+    val cols = Seq("query_id", "neighbor_id")
+    val exactCache = scala.collection.mutable.Map.empty[String, (Long, org.apache.spark.sql.DataFrame)]
     val recalls = recallPairs.collect {
-      case (approx, exactKey)
-          if selected.contains(approx) && SparkEntry.queries.contains(exactKey) =>
-        val cols = Seq("query_id", "neighbor_id")
-        val exact = SparkEntry.queries(exactKey)(spark, sfDir)
-          .select(cols.head, cols.tail: _*)
-        val got = SparkEntry.queries(approx)(spark, sfDir)
-          .select(cols.head, cols.tail: _*)
-        val nExact = exact.count()
-        approx -> (if (nExact == 0L) -1.0
-                   else exact.join(got, cols).count().toDouble / nExact)
+      case (approx, exactKey) if selected.contains(approx) =>
+        approx -> (try {
+          val (nExact, exact) = exactCache.getOrElseUpdate(exactKey, {
+            val df = SparkEntry.queries(exactKey)(spark, sfDir)
+              .select(cols.head, cols.tail: _*).localCheckpoint(true)
+            (df.count(), df)
+          })
+          val got = SparkEntry.queries(approx)(spark, sfDir)
+            .select(cols.head, cols.tail: _*)
+          if (nExact == 0L) -1.0
+          else exact.join(got, cols).count().toDouble / nExact
+        } catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] recall($approx) failed: ${e.getMessage}")
+          -1.0
+        })
     }.toMap
     val recallJson = jsonOf(recalls)
 
