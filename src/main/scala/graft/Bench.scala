@@ -93,6 +93,8 @@ object Bench {
       "ann_pq_topk" -> "ann_bruteforce_topk",
       "ann_ivfpq_topk" -> "ann_bruteforce_topk",
       "ann_ivfpq_res_topk" -> "ann_bruteforce_topk",
+      "ann_sq_topk" -> "ann_bruteforce_topk",
+      "ann_rerank" -> "ann_bruteforce_topk",
       "ann_ivf_filtered_topk" -> "ann_filtered_topk")
     // a recall failure must not cost the contract line (the timing
     // data is already in hand) — report -1 like a failed timing; the
