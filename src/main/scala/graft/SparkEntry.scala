@@ -305,6 +305,8 @@ object SparkEntry {
     }),
     "mm_near_dup_blobs" -> ((s, dir) =>
       Multimodal.blobNearDupPairs(Tables.documents(s, dir))),
+    "mm_dedup_groups" -> ((s, dir) =>
+      Multimodal.blobDedupGroups(Tables.documents(s, dir))),
     "ann_knn_classify" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.knnClassify(e, e.filter(col("vec_id") % 20 === 0), k = 10)
@@ -1435,6 +1437,33 @@ object SparkEntry {
         | JOIN sz sb ON sb.doc_id = sh.id_b
         |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.3"""
         .stripMargin.replace("\n", " "),
+    "mm_dedup_groups" ->
+      // the blob pair relation + the shared recursive reachability
+      // closure (dedup_groups_blocked / dedup_embedding_groups shape)
+      """WITH RECURSIVE f AS (SELECT doc_id,
+        |  md5(substr(text, i * 128 + 1, 64)) AS fmd5
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |   greatest((length(text) - 1) // 128, 0))) AS i) g),
+        |pd AS (SELECT DISTINCT doc_id, fmd5 FROM f),
+        |sz AS (SELECT doc_id, count(*) AS n FROM pd GROUP BY 1),
+        |d AS (SELECT fmd5, count(*) AS df FROM pd GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |  FROM pd a JOIN d USING (fmd5) JOIN pd b USING (fmd5)
+        |  WHERE a.doc_id < b.doc_id AND d.df BETWEEN 2 AND 64 GROUP BY 1, 2),
+        |m AS (SELECT id_a, id_b FROM sh
+        |  JOIN sz sa ON sa.doc_id = sh.id_a
+        |  JOIN sz sb ON sb.doc_id = sh.id_b
+        |  WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.3),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM m
+        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM m),
+        |reach AS (SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT reach.doc_id, e.dst AS r
+        |  FROM reach JOIN e ON e.src = reach.r),
+        |lab AS (SELECT doc_id, min(r) AS group_id
+        |  FROM reach GROUP BY doc_id)
+        |SELECT doc_id, group_id, doc_id = group_id AS keep
+        |FROM lab""".stripMargin.replace("\n", " "),
     "ann_knn_classify" ->
       // exact top-10 neighbors, majority label (ties → smaller
       // label), leave-one-out correctness vs the query's own label

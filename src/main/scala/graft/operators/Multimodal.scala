@@ -123,6 +123,20 @@ object Multimodal {
       .select("id_a", "id_b", "n_shared", "chunk_jaccard")
   }
 
+  /** Connected components over the blob near-dup pair relation —
+    * the multimodal member of the groups family ([[Dedup.dedupGroups]]
+    * for text pairs, [[Dedup.embeddingGroups]] for embeddings):
+    * re-encoded copy CHAINS (a≈b≈c where the ends no longer share
+    * enough frames directly) collapse to one cluster with the min-id
+    * survivor. Same min-label propagation, same `WITH RECURSIVE`
+    * oracle shape as the other two.
+    */
+  def blobDedupGroups(docs: DataFrame, frameSize: Int = 64,
+                      stride: Int = 128, tau: Double = 0.3,
+                      maxDf: Int = 64): DataFrame =
+    Dedup.dedupGroups(docs.select(col("doc_id")),
+      blobNearDupPairs(docs, frameSize, stride, tau, maxDf))
+
   case class Frame(doc_id: Long, frame_idx: Long, bytes: Array[Byte])
   case class DecodedFrame(doc_id: Long, frame_idx: Long,
                           width: Int, height: Int, mean_luma: Double)

@@ -96,4 +96,24 @@ class MultimodalSpec extends SparkSpec {
     // shared = {a,b} (boiler is df-capped), sizes 4 and 4 → 2/6
     assert(out((0L, 1L)) == (2L, 0.333333), s"df-capped jaccard: $out")
   }
+
+  test("blobDedupGroups chains re-encoded copies to the min-id cluster") {
+    import org.apache.spark.sql.functions._
+    val chunk = (c: Char) => c.toString * 128
+    // chain: 0 ~ 1 (share a), 1 ~ 2 (share y) but 0 ∩ 2 = ∅ —
+    // transitive closure must still cluster all three under 0;
+    // doc 3 shares nothing and survives alone
+    val d = Seq(
+      (0L, chunk('a') + chunk('b')),
+      (1L, chunk('a') + chunk('y')),
+      (2L, chunk('z') + chunk('y')),
+      (3L, chunk('p') + chunk('q')))
+      .toDF("doc_id", "text")
+    val groups = Multimodal.blobDedupGroups(d, frameSize = 128, stride = 128,
+      tau = 0.3, maxDf = 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(groups(0L) == ((0L, true)) && groups(1L) == ((0L, false)) &&
+      groups(2L) == ((0L, false)), s"chain closes to min id: $groups")
+    assert(groups(3L) == ((3L, true)), s"isolated blob survives: $groups")
+  }
 }
