@@ -273,10 +273,20 @@ object SparkEntry {
       Dedup.ngramJaccardSummary(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingSummary(Tables.embeddings(s, dir), tau = 0.9)),
-    // SemDeDup clusters over the EXACT pair relation (the LSH pair
-    // source drops in at scale) — fully oracle-checked incl. closure
+    // SemDeDup clusters over the EXACT pair relation — the O(n²)
+    // brute-force ANCHOR tier (fully oracle-checked incl. closure);
+    // the production key at scale is dedup_embedding_groups_lsh below
     "dedup_embedding_groups" -> ((s, dir) =>
       Dedup.embeddingGroups(Tables.embeddings(s, dir), tau = 0.9)),
+    // the SCALE form of SemDeDup clustering: LSH candidate pairs
+    // (banded equi-joins, never all-pairs) feed the same min-label
+    // closure — rows-only; DedupRecallSpec pins pair recall and
+    // keep-decision parity against the exact anchor above
+    "dedup_embedding_groups_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.embeddingGroups(e, tau = 0.9,
+        pairs = Some(Dedup.embeddingPairs(e, tau = 0.9)))
+    }),
     "dedup_groups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupGroups(docs, Dedup.minhashPairs(docs, tau = 0.4,

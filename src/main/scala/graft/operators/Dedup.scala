@@ -193,8 +193,19 @@ object Dedup {
     * smallest member id — `keep` means doc_id == group_id (one
     * survivor per duplicate class, including transitive duplicates
     * that never paired directly).
+    *
+    * `maxIter` is a runaway guard, not a tuning knob: the loop runs
+    * to CONVERGENCE (labels fixed), and if the guard trips first the
+    * labels are not a transitive closure — the consumers of this
+    * operator (SemDeDup clusters, blob copy chains) are specifically
+    * about chains, and their oracles compute the full closure — so
+    * that exit LOUDLY warns rather than silently returning a
+    * partial closure. Propagation distance halves-ish per round for
+    * min-label on undirected edges, so 64 rounds covers any cluster
+    * diameter a dedup corpus can produce; a trip means a pathological
+    * pair source, and the warning names the operator to check.
     */
-  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 64): DataFrame = {
     // materialize the (small) edge list once: it is joined every
     // iteration, and its lineage is the whole LSH candidate pipeline
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -219,6 +230,10 @@ object Dedup {
       labels = stepped.drop("changed")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupGroups exited via maxIter=$maxIter without convergence — " +
+          "labels are NOT a full transitive closure; check the pair source")
     labels.withColumn("keep", col("doc_id") === col("group_id"))
   }
 
@@ -340,9 +355,12 @@ object Dedup {
     * similarity surfaces, and cluster-then-keep-one (min id, like
     * every dedup family here) is the SemDeDup selection rule.
     * Composes [[embeddingPairsExact]] (oracle anchor) with
-    * [[dedupGroups]]'s min-label propagation; at 100 TB swap the
-    * pair relation for [[embeddingPairs]] (LSH candidates) — the
-    * closure code is pair-source-agnostic.
+    * [[dedupGroups]]'s min-label propagation; the closure code is
+    * pair-source-agnostic, and the PRODUCTION pair source is
+    * [[embeddingPairs]] (LSH candidates, banded equi-joins) — both
+    * forms ship as driver keys (`dedup_embedding_groups` = exact
+    * anchor, `dedup_embedding_groups_lsh` = scale path), with pair
+    * recall and keep-parity spec'd against each other.
     */
   def embeddingGroups(embeddings: DataFrame, tau: Double = 0.95,
                       pairs: Option[DataFrame] = None): DataFrame =

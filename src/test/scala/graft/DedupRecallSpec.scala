@@ -72,6 +72,72 @@ class DedupRecallSpec extends SparkSpec {
     assert(r >= 0.85, s"char-ngram recall $r over ${anchor.size} anchor pairs")
   }
 
+  // planted EMBEDDING near-dup corpus (the testdata embeddings are
+  // independent random vectors — no cosine-0.9 pairs exist there, so
+  // a testdata-anchored recall spec would be vacuously green): 80
+  // seeded base vectors in the driver's 64-dim space, each with a
+  // noise-perturbed copy (cosine ≈ 0.97) and every fourth with a
+  // SECOND-generation mutation — a chain a≈b≈c whose ends may fall
+  // below τ, which is exactly the transitive-closure case SemDeDup
+  // clustering exists for
+  private lazy val plantedEmb: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def perturb(v: Array[Float], sigma: Double): Array[Double] =
+      v.map(x => x + sigma * rnd.nextGaussian())
+    val rows = (0 until 80).flatMap { i =>
+      val base = unit(Array.fill(64)(rnd.nextGaussian()))
+      val mut = unit(perturb(base, 0.04))
+      val chain = if (i % 4 == 0)
+        Seq((100000L + i, unit(perturb(mut, 0.04)))) else Seq.empty
+      Seq((10L * i, base), (10L * i + 1, mut)) ++ chain
+    }
+    rows.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+  }
+
+  test("embedding LSH pairs: exact-verified subset of the anchor, recall >= 0.8, keep-parity >= 0.95") {
+    // the scale pair source behind dedup_embedding_groups_lsh, at the
+    // driver key's exact parameters (tau=0.9, default tables/planes),
+    // anchored to the O(n²) exact relation the oracle checks
+    val emb = plantedEmb
+    val exactPairs = pairSet(Dedup.embeddingPairsExact(emb, tau = 0.9))
+    assert(exactPairs.size >= 80,
+      s"corpus regression: only ${exactPairs.size} exact anchor pairs planted")
+    val lshPairs = pairSet(Dedup.embeddingPairs(emb, tau = 0.9))
+    // precision is 1.0 by construction — every candidate is verified
+    // with the same exact cosine — so any non-anchor pair is a bug
+    assert((lshPairs -- exactPairs).isEmpty,
+      s"LSH emitted ${(lshPairs -- exactPairs).size} pairs outside the exact relation")
+    val r = recall(lshPairs, exactPairs)
+    info(f"embedding LSH pair recall $r%.3f over ${exactPairs.size} anchor pairs")
+    assert(r >= 0.8, s"embedding LSH pair recall $r over ${exactPairs.size} anchor pairs")
+
+    // downstream parity: the keep/suppress DECISION (what a curation
+    // pipeline actually consumes) must agree with the exact closure
+    // on nearly every doc — missed pairs can only over-keep, never
+    // wrongly suppress a unique doc into someone else's cluster
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.select(col("vec_id"), col("keep")).collect()
+        .map(row => row.getLong(0) -> row.getBoolean(1)).toMap
+    val exactKeep = keeps(Dedup.embeddingGroups(emb, tau = 0.9))
+    val lshKeep = keeps(Dedup.embeddingGroups(emb, tau = 0.9,
+      pairs = Some(Dedup.embeddingPairs(emb, tau = 0.9))))
+    assert(exactKeep.keySet == lshKeep.keySet)
+    val agree = exactKeep.count { case (id, k) => lshKeep(id) == k }
+    val parity = agree.toDouble / exactKeep.size
+    info(f"keep-decision parity $parity%.3f over ${exactKeep.size} docs")
+    assert(parity >= 0.95, s"keep-decision parity $parity (${exactKeep.size} docs)")
+    // and the miss direction is the safe one: LSH never suppresses a
+    // doc the exact closure keeps... unless a missed pair SPLIT a
+    // cluster so a different member became the min-id survivor; what
+    // must hold unconditionally is that LSH keeps at least as many
+    assert(lshKeep.count(_._2) >= exactKeep.count(_._2),
+      "LSH closure suppressed more docs than the exact closure")
+  }
+
   test("simhash candidate recall >= 0.75 on anchor pairs within its radius") {
     // simhash answers a different question (Hamming on a 64-bit
     // sketch), so the fair denominator is anchor pairs whose TRUE
