@@ -87,19 +87,17 @@ object Bench {
     // so the recall specs' thresholds can be TRENDED per round, not
     // just gated at test time. Each is two bounded top-k relations
     // joined on (query_id, neighbor_id): O(|queries|·k) rows.
-    val recallPairs = Seq(
-      "ann_lsh_topk" -> "ann_bruteforce_topk",
-      "ann_ivf_topk" -> "ann_bruteforce_topk",
-      "ann_pq_topk" -> "ann_bruteforce_topk",
-      "ann_ivfpq_topk" -> "ann_bruteforce_topk",
-      "ann_ivfpq_res_topk" -> "ann_bruteforce_topk",
-      "ann_sq_topk" -> "ann_bruteforce_topk",
-      "ann_rerank" -> "ann_bruteforce_topk",
-      "ann_ivf_filtered_topk" -> "ann_filtered_topk")
+    val recallPairs = RecallFloors.tiers.map { case (a, e, _) => a -> e }
     // a recall failure must not cost the contract line (the timing
     // data is already in hand) — report -1 like a failed timing; the
-    // exact anchor is evaluated once per KEY, not once per tier
+    // exact anchor is evaluated once per KEY, not once per tier.
+    // Metric: per-query MACRO mean (group hits by query_id, average
+    // hit/n_exact) — the SAME definition SweepMain and the recall
+    // specs use, so the trended number is directly comparable to the
+    // spec floors even when the anchor returns < k rows for a query
+    // (e.g. ann_filtered_topk under a sparse filter).
     val cols = Seq("query_id", "neighbor_id")
+    import org.apache.spark.sql.functions.{avg, coalesce, count, lit, col}
     val exactCache = scala.collection.mutable.Map.empty[String, (Long, org.apache.spark.sql.DataFrame)]
     val recalls = recallPairs.collect {
       case (approx, exactKey) if selected.contains(approx) =>
@@ -112,12 +110,25 @@ object Bench {
           val got = SparkEntry.queries(approx)(spark, sfDir)
             .select(cols.head, cols.tail: _*)
           if (nExact == 0L) -1.0
-          else exact.join(got, cols).count().toDouble / nExact
+          else {
+            val perQuery = exact.groupBy("query_id")
+              .agg(count(lit(1)).as("n_exact"))
+              .join(exact.join(got, cols).groupBy("query_id")
+                .agg(count(lit(1)).as("n_hit")), Seq("query_id"), "left")
+            perQuery
+              .agg(avg(coalesce(col("n_hit"), lit(0L)) / col("n_exact")))
+              .first().getDouble(0)
+          }
         } catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] recall($approx) failed: ${e.getMessage}")
           -1.0
         })
     }.toMap
+    // below-floor tiers warn here; AnnRecallGateSpec is the hard gate
+    RecallFloors.tiers.foreach { case (approx, _, floor) =>
+      recalls.get(approx).filter(r => r >= 0 && r < floor).foreach(r =>
+        System.err.println(f"[bench] RECALL BELOW FLOOR: $approx $r%.3f < $floor"))
+    }
     val recallJson = jsonOf(recalls)
 
     // Full per-query detail goes to a FILE (the driver keeps only the
@@ -128,11 +139,18 @@ object Bench {
       s""""n_queries":${results.size},"queries":${jsonOf(
         results + ("shared_prime" -> primeSec))},"recall":$recallJson,""" +
       s""""sf":"$sfDir"}"""
-    val detailPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
-    Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.write(detailPath,
-      (fullJson + "\n").getBytes("UTF-8"))
+    // best-effort: an unwritable detail path (read-only target/, bad
+    // SPARK_GRAFT_BENCH_OUT) must not kill the run after all timing
+    // and recall work is done — the contract line always prints
+    try {
+      val detailPath = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json"))
+      Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(detailPath,
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] detail-file write failed: ${e.getMessage}")
+    }
 
     val headline = Seq(
       "q1_pricing_summary", "q3_bloom_pruned", "q_basket_affinity",

@@ -1,0 +1,30 @@
+package graft
+
+/** The approximate-ANN tier contract: each driver key, its exact
+  * anchor key, and the recall@10 FLOOR it must clear at sf0.1.
+  *
+  * One table, two consumers: [[Bench]] trends the measured values in
+  * the contract line (and warns on stderr below floor — the contract
+  * line itself must survive, so the bench never exits nonzero), and
+  * `AnnRecallGateSpec` ASSERTS the floors so a deliberately mistuned
+  * tier fails `sbt test` — the r8 LSH retune (0.16 → 0.575) showed a
+  * tier can rot silently when the number only trends.
+  *
+  * Floors sit 0.03–0.05 under the values measured at the driver
+  * parameter points (docs/ANN_SWEEP.md): every tier is deterministic
+  * given its seeds, but centroid training averages floats, whose
+  * rounding shifts with partitioning — the slack absorbs that, not
+  * tuning drift.
+  */
+object RecallFloors {
+  /** approx driver key -> (exact anchor driver key, recall floor). */
+  val tiers: Seq[(String, String, Double)] = Seq(
+    ("ann_lsh_topk", "ann_bruteforce_topk", 0.53),
+    ("ann_ivf_topk", "ann_bruteforce_topk", 0.70),
+    ("ann_pq_topk", "ann_bruteforce_topk", 0.78),
+    ("ann_ivfpq_topk", "ann_bruteforce_topk", 0.60),
+    ("ann_ivfpq_res_topk", "ann_bruteforce_topk", 0.70),
+    ("ann_sq_topk", "ann_bruteforce_topk", 0.95),
+    ("ann_rerank", "ann_bruteforce_topk", 0.85),
+    ("ann_ivf_filtered_topk", "ann_filtered_topk", 0.65))
+}
