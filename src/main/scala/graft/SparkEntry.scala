@@ -317,6 +317,18 @@ object SparkEntry {
       Multimodal.blobNearDupPairs(Tables.documents(s, dir))),
     "mm_dedup_groups" -> ((s, dir) =>
       Multimodal.blobDedupGroups(Tables.documents(s, dir))),
+    // the multimodal→embedding bridge as a first-class key: stub
+    // decode → per-doc mean-pooled features → exact cosine top-k.
+    // Everything is deterministic, so the whole composition is
+    // hash-checked against the DuckDB FNV replay (swap decodeStub
+    // for a real encoder and only the feature values change).
+    "mm_pooled_topk" -> ((s, dir) => {
+      val pooled = Multimodal.pooledFeatures(Tables.documents(s, dir))
+        .select(col("doc_id").as("vec_id"), col("embedding"))
+        .localCheckpoint(true) // decode once; corpus + query side share it
+      Similarity.bruteForceTopK(pooled,
+        pooled.filter(col("vec_id") % 50 === 0), k = 10)
+    }),
     "ann_knn_classify" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.knnClassify(e, e.filter(col("vec_id") % 20 === 0), k = 10)
@@ -658,6 +670,11 @@ object SparkEntry {
     "etl_dq_profile" -> ((s, dir) =>
       operators.RetailEtl.dqProfile(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
+    // the single-pass HLL twin (rows-only: sketch cardinalities have
+    // no SQL oracle; ApproxSpec bounds the error vs the exact key)
+    "etl_dq_profile_approx" -> ((s, dir) =>
+      operators.RetailEtl.dqProfileApprox(Tables.lineitem(s, dir),
+        Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
     "etl_dq_drift" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       operators.RetailEtl.dqDrift(
@@ -694,6 +711,10 @@ object SparkEntry {
       EventOps.newVsReturning(Tables.events(s, dir))),
     "events_user_lifespan" -> ((s, dir) =>
       EventOps.userLifespan(Tables.events(s, dir))),
+    // bounded-state percentile_approx twin (rows-only; ApproxSpec
+    // bounds the percentile rank error vs the exact key)
+    "events_user_lifespan_approx" -> ((s, dir) =>
+      EventOps.userLifespanApprox(Tables.events(s, dir))),
     "text_zipf_spectrum" -> ((s, dir) =>
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
     "text_token_entropy" -> ((s, dir) =>
@@ -1480,6 +1501,44 @@ object SparkEntry {
         |  FROM reach GROUP BY doc_id)
         |SELECT doc_id, group_id, doc_id = group_id AS keep
         |FROM lab""".stripMargin.replace("\n", " "),
+    "mm_pooled_topk" ->
+      // the multimodal→embedding bridge, oracle-checked END TO END:
+      // the stub decode's FNV-1a fold replays in DuckDB as a
+      // list_reduce over HUGEINT (64-bit wraparound via % 2^64; the
+      // xor rides on the low byte only, so it stays in BIGINT range),
+      // width/height read the same shifted hash windows, luma is an
+      // exact integer-sum division, and the pooled per-doc features
+      // are FLOAT-narrowed exactly like the Spark side before the
+      // double-accumulating cosine. ord()==byte because the corpus is
+      // pure ASCII (asserted at all SFs; the other mm oracles already
+      // lean on char-index == byte-offset).
+      """WITH f AS (SELECT doc_id, substr(text, i * 128 + 1, 64) AS frame
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |   greatest((length(text) - 1) // 128, 0))) AS i) g),
+        |d AS (SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(1, length(frame) + 1),
+        |      i -> CAST(ord(substr(frame, i, 1)) AS HUGEINT))),
+        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616) AS h,
+        |  CASE WHEN length(frame) = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(range(1, length(frame) + 1),
+        |      i -> ord(substr(frame, i, 1)))) AS DOUBLE) / length(frame)
+        |  END AS ml FROM f),
+        |p AS (SELECT doc_id, CAST([
+        |   CAST(avg(CAST(16 + (h // 256) % 48 AS BIGINT)) AS FLOAT),
+        |   CAST(avg(CAST(16 + (h // 16777216) % 48 AS BIGINT)) AS FLOAT),
+        |   CAST(avg(ml) AS FLOAT),
+        |   CAST(stddev_pop(ml) AS FLOAT)] AS FLOAT[]) AS emb
+        |  FROM d GROUP BY 1)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        | SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |  list_cosine_similarity(CAST(q.emb AS DOUBLE[]),
+        |    CAST(c.emb AS DOUBLE[])) AS cosine
+        | FROM p q JOIN p c ON c.doc_id != q.doc_id
+        | WHERE q.doc_id % 50 = 0) s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
     "ann_knn_classify" ->
       // exact top-10 neighbors, majority label (ties → smaller
       // label), leave-one-out correctness vs the query's own label

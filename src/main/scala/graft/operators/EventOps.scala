@@ -597,6 +597,39 @@ object EventOps {
         round(sum(when(col("lifespan_days") === 0, 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 6).as("single_day_frac"))
 
+  /** [[userLifespan]] with `percentile_approx` — the 100 TB form as
+    * a FIRST-CLASS twin: exact `percentile` buffers every value per
+    * group (the whole |users|-row lifespan column on one reducer for
+    * this single-group rollup), while the KLL-style approx sketch
+    * holds bounded state at `accuracy` and merges associatively, so
+    * the rollup stays one partial-aggregating pass no matter how
+    * large the user base grows. Same output shape (approx percentile
+    * of an integer column is integer-valued, cast to double to match
+    * the exact twin's schema); ApproxSpec bounds the rank error
+    * against the exact profile.
+    */
+  def userLifespanApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        datediff(to_date(max("ts")), to_date(min("ts"))).as("lifespan_days"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        percentile_approx(col("lifespan_days"), lit(0.5), lit(accuracy))
+          .cast("double").as("p50_lifespan_days"),
+        percentile_approx(col("lifespan_days"), lit(0.9), lit(accuracy))
+          .cast("double").as("p90_lifespan_days"),
+        percentile_approx(col("lifespan_days"), lit(0.99), lit(accuracy))
+          .cast("double").as("p99_lifespan_days"),
+        round(sum("active_days").cast("double") / count(lit(1)), 6)
+          .as("mean_active_days"),
+        round(sum("n_events").cast("double") / count(lit(1)), 6)
+          .as("mean_events_per_user"),
+        round(sum(when(col("lifespan_days") === 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("single_day_frac"))
+
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column
     * distinct + a self-equi-join on (user, hour+1) — both sides

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -208,7 +208,23 @@ object RetailEtl {
     * collapses back to one pass with HLL±2% cardinalities (same
     * output shape, which is why the column is named without "exact").
     */
-  def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def dqProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    dqProfileWith(df, cols, c => countDistinct(col(c)))
+
+  /** [[dqProfile]] with HLL cardinalities — the 100 TB form as a
+    * FIRST-CLASS twin, not a comment: `approx_count_distinct`
+    * (relativeSD ~2%) collapses the |cols| exact distinct expansions
+    * back into one true single-pass aggregate with bounded state per
+    * column. Same output shape as the exact profile (which is why
+    * that column is named without "exact"); ApproxSpec bounds the
+    * cardinality error against the exact profile.
+    */
+  def dqProfileApprox(df: DataFrame, cols: Seq[String],
+                      rsd: Double = 0.02): DataFrame =
+    dqProfileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def dqProfileWith(df: DataFrame, cols: Seq[String],
+                            distinctOf: String => Column): DataFrame = {
     require(cols.nonEmpty, "dqProfile needs at least one column")
     // names are interpolated into stack() SQL below — restrict to
     // plain identifiers rather than attempt escaping
@@ -216,7 +232,7 @@ object RetailEtl {
       s"dqProfile column name must be a plain identifier, got '$c'"))
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct")))
+      distinctOf(c).as(s"${c}__distinct")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(
         s"stack(${cols.size}, " + cols.map(c =>

@@ -39,6 +39,41 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("dqProfileApprox: HLL cardinalities within 5% of the exact profile") {
+    import graft.operators.RetailEtl
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val cols = Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity")
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val exact = byCol(RetailEtl.dqProfile(li, cols))
+    val approx = byCol(RetailEtl.dqProfileApprox(li, cols))
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nRows, nNulls, nDistinct)) =>
+      val (aRows, aNulls, aDistinct) = approx(c)
+      // rows and nulls are EXACT in both forms — only distinct sketches
+      assert(aRows == nRows && aNulls == nNulls, s"$c: non-sketch columns must be exact")
+      assert(math.abs(aDistinct - nDistinct) <= math.max(2L, (nDistinct * 0.05).toLong),
+        s"$c: approx distinct $aDistinct vs exact $nDistinct")
+    }
+  }
+
+  test("userLifespanApprox: percentiles within 1 day, means exact") {
+    val exact = EventOps.userLifespan(events).collect().head
+    val approx = EventOps.userLifespanApprox(events).collect().head
+    assert(approx.getLong(0) == exact.getLong(0), "n_users is exact")
+    // percentile_approx returns an OBSERVED value within the rank
+    // accuracy; on an integer day column that lands within a day of
+    // the exact (interpolated) percentile at this accuracy
+    Seq(1, 2, 3).foreach { i =>
+      assert(math.abs(approx.getDouble(i) - exact.getDouble(i)) <= 1.0,
+        s"percentile col $i: ${approx.getDouble(i)} vs ${exact.getDouble(i)}")
+    }
+    Seq(4, 5, 6).foreach { i =>
+      assert(approx.getDouble(i) == exact.getDouble(i),
+        s"mean col $i must be exact")
+    }
+  }
+
   test("sketch store: range merge is lossless and within HLL error of exact") {
     val sketches = EventOps.dailyAudienceSketches(events)
     val (lo, hi) = ("2024-01-05", "2024-01-15")
