@@ -166,6 +166,16 @@ object EventStream extends Serializable {
     * start/last/count/sum. Event times are handled at full µs
     * precision (`unix_micros`; the state-store timeout API is ms, so
     * timeouts are registered at the ceiling millisecond).
+    *
+    * Cross-batch disorder contract (chaos-spec'd in StreamingSpec):
+    * a straggler within `gap` of the open session's last event
+    * merges exactly where the batch sort would have placed it
+    * (start may extend backward; `last` never regresses — regressing
+    * it would let the next on-time event silently split a live
+    * session); a straggler older than `last − gap` belongs to an
+    * already-flushed session, unreconstructable from O(1) state, and
+    * is dropped — the same at-watermark contract as
+    * [[scd2State]]/[[cdcState]].
     */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermark: String = "1 hour"): Dataset[Session] = {
@@ -192,8 +202,22 @@ object EventStream extends Serializable {
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       sorted.foreach { e =>
         cur match {
+          // cross-batch straggler older than the open session's reach
+          // minus the gap: it belongs to an already-flushed session —
+          // unreconstructable from O(1) state — DROPPED, the same
+          // documented at-watermark contract as scd2State/cdcState.
+          // (In batch the group arrives in one sorted call, so this
+          // arm never fires and the lag+cumsum equality is untouched.)
+          case Some(s) if e.ts_us < s.lastUs - gapUs => ()
           case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-            cur = Some(s.copy(lastUs = e.ts_us, n = s.n + 1, total = s.total + e.value))
+            // a WITHIN-gap straggler merges exactly as the batch sort
+            // would have placed it: start may extend backward, but
+            // lastUs must NOT regress — `lastUs = e.ts_us` here would
+            // let the next on-time event measure its gap from the
+            // straggler and silently split a live session
+            cur = Some(s.copy(startUs = math.min(s.startUs, e.ts_us),
+              lastUs = math.max(s.lastUs, e.ts_us),
+              n = s.n + 1, total = s.total + e.value))
           case Some(s) =>
             out += toSession(userId, s)
             cur = Some(SessionState(e.ts_us, e.ts_us, 1L, e.value))
@@ -504,17 +528,21 @@ object EventStream extends Serializable {
   /** Continuously-maintained new-vs-returning activity via
     * `flatMapGroupsWithState` — the FIRST-touch state primitive next
     * to [[latestUserState]]'s last-touch arg-max. State per user is
-    * O(1): the epoch day of their first event seen so far (min-fold,
-    * order-insensitive within a batch, monotone across batches). Each
-    * batch emits one (user, active day, is_new) row per distinct day
-    * the user touched in that batch; a day spanning micro-batches
-    * re-emits with the SAME flag (min state only tightens for
-    * watermark-late first events), so downstream daily rollups
-    * `distinct` before counting — the dashboard aggregate is
-    * insensitive to the re-emission. The batch run sees all history
-    * in one group pass, making it value-identical to the relational
-    * first-seen join ([[graft.operators.EventOps.newVsReturning]]),
-    * whose oracle it shares.
+    * O(1): the epoch day of their first event — min-fold WITHIN a
+    * batch, then FROZEN: a cross-batch straggler from an earlier day
+    * emits its active-day row with `is_new = false` rather than
+    * re-minning state, because the true first day's `is_new = true`
+    * row is already emitted (append mode — it cannot be retracted),
+    * and a second `is_new = true` day would double-count the user in
+    * every downstream new-users rollup. First-seen is first-OBSERVED:
+    * the same at-watermark disorder contract as scd2State/cdcState,
+    * chaos-spec'd in StreamingSpec. A day spanning micro-batches
+    * re-emits with the SAME flag, so downstream daily rollups
+    * `distinct` before counting. The batch run sees all history
+    * in one group pass (the freeze arm never fires), making it
+    * value-identical to the relational first-seen join
+    * ([[graft.operators.EventOps.newVsReturning]]), whose oracle it
+    * shares.
     */
   def firstSeenState(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
@@ -525,8 +553,8 @@ object EventStream extends Serializable {
       val days = it.map(e => Math.floorDiv(e.ts_us, 86400000000L).toInt)
         .toArray.distinct.sorted
       if (days.isEmpty) return Iterator.empty
-      val first = st.getOption.map(_.first_day)
-        .fold(days.head)(f => math.min(f, days.head))
+      // frozen once set — see the disorder contract in the scaladoc
+      val first = st.getOption.map(_.first_day).getOrElse(days.head)
       st.update(FirstSeenState(first))
       days.iterator.map(d =>
         ActiveDayRow(userId, java.time.LocalDate.ofEpochDay(d.toLong), d == first))

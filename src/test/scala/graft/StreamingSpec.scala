@@ -281,6 +281,115 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize disorder: a within-gap straggler merges without regressing last") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_chaos_merge")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1L, ts(0, 40), 1L, "click", 1.0),
+        Event(2L, ts(0, 50), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // cross-batch straggler 0:35 — within gap of the open session's
+      // last (0:50): merges where the batch sort would have put it
+      mem.addData(Event(3L, ts(0, 35), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // on-time event at 1:15 is within 30 min of the TRUE last
+      // (0:50); if the straggler had regressed last to 0:35 this
+      // would silently split a live session — the chaos case
+      mem.addData(Event(4L, ts(1, 15), 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(5L, ts(4, 0), 1L, "view", 1.0)) // closes it
+      q.processAllAvailable()
+      val sessions = spark.table("sess_chaos_merge").as[EventStream.Session]
+        .collect().sortBy(_.session_start)
+      assert(sessions.length == 1,
+        s"straggler must not split the live session: ${sessions.toSeq}")
+      assert(sessions(0).session_start == ts(0, 35), "start extends backward")
+      assert(sessions(0).session_end == ts(1, 15), "last never regresses")
+      assert(sessions(0).num_events == 4L)
+    } finally q.stop()
+  }
+
+  test("sessionize disorder: a stale-beyond-gap straggler is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_chaos_drop")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1L, ts(2, 0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // 0:10 is older than last − gap (1:30): it belongs to an
+      // already-flushed session — documented drop, NOT a merge that
+      // would stretch session_start back two hours
+      mem.addData(Event(2L, ts(0, 10), 1L, "click", 7.0))
+      q.processAllAvailable()
+      mem.addData(Event(3L, ts(5, 0), 1L, "view", 1.0)) // closes it
+      q.processAllAvailable()
+      val sessions = spark.table("sess_chaos_drop").as[EventStream.Session]
+        .collect()
+      assert(sessions.length == 1, s"got ${sessions.toSeq}")
+      assert(sessions(0).session_start == ts(2, 0) &&
+        sessions(0).num_events == 1L && sessions(0).total_value == 1.0,
+        s"stale straggler must be dropped, got ${sessions(0)}")
+    } finally q.stop()
+  }
+
+  test("firstSeenState disorder: first-observed day is frozen against older stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.firstSeenState(mem.toDF()).writeStream
+      .format("memory").queryName("fs_chaos").outputMode("append").start()
+    def rows(): Seq[(String, Boolean)] = {
+      q.processAllAvailable()
+      spark.table("fs_chaos").collect()
+        .map(r => (String.valueOf(r.get(1)), r.getBoolean(2))).toSeq
+    }
+    try {
+      mem.addData(Event(1L, LocalDateTime.of(2024, 1, 5, 9, 0), 1L, "click", 0.0))
+      assert(rows() == Seq(("2024-01-05", true)))
+      // cross-batch straggler two days earlier: its active-day row is
+      // emitted, but is_new=true for Jan 5 is already appended and
+      // cannot be retracted — a second is_new=true day would
+      // double-count the user in every downstream new-users rollup
+      mem.addData(Event(2L, LocalDateTime.of(2024, 1, 3, 9, 0), 1L, "click", 0.0))
+      assert(rows().toSet == Set(("2024-01-05", true), ("2024-01-03", false)),
+        "older straggler day must emit is_new=false (first-OBSERVED is frozen)")
+      assert(rows().count(_._2) == 1, "exactly one is_new=true day per user")
+    } finally q.stop()
+  }
+
+  test("funnelState disorder: a cross-batch straggler cannot lower a set stage") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnelState(mem.toDF()).writeStream
+      .format("memory").queryName("funnel_chaos").outputMode("update").start()
+    def last(): (String, String, String) = {
+      q.processAllAvailable()
+      val r = spark.table("funnel_chaos").collect().zipWithIndex
+        .filter(_._1.getLong(0) == 1L).maxBy(_._2)._1
+      (String.valueOf(r.get(1)), String.valueOf(r.get(2)), String.valueOf(r.get(3)))
+    }
+    try {
+      mem.addData(
+        Event(1L, ts(0, 10), 1L, "signup", 0.0),
+        Event(2L, ts(0, 30), 1L, "click", 0.0))
+      val before = last()
+      assert(before._2 == String.valueOf(ts(0, 30)), s"click stage set: $before")
+      // straggler click at 0:20 (valid per signup, older than the set
+      // stage): each stage is set exactly once — must not rewrite
+      mem.addData(Event(3L, ts(0, 20), 1L, "click", 0.0))
+      assert(last() == before, "set stage must not move for a straggler")
+      // and the chain keeps operating off the ORIGINAL stage ts: a
+      // purchase at 0:25 is before click_ts=0:30 → still rejected
+      mem.addData(Event(4L, ts(0, 25), 1L, "purchase", 0.0))
+      assert(last()._3 == "null", "purchase before the set click stage rejected")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups in-stream with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
