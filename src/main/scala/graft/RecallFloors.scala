@@ -26,5 +26,9 @@ object RecallFloors {
     ("ann_ivfpq_res_topk", "ann_bruteforce_topk", 0.70),
     ("ann_sq_topk", "ann_bruteforce_topk", 0.95),
     ("ann_rerank", "ann_bruteforce_topk", 0.85),
-    ("ann_ivf_filtered_topk", "ann_filtered_topk", 0.65))
+    ("ann_ivf_filtered_topk", "ann_filtered_topk", 0.65),
+    // persisted-index probes: build params mirror the in-memory
+    // tiers, so the floors do too
+    ("ann_index_ivf_probe", "ann_bruteforce_topk", 0.70),
+    ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.60))
 }

@@ -97,13 +97,38 @@ object SparkEntry {
       Dedup.blockedJaccardPairsOf(sharedTrunk(s, dir))
         .localCheckpoint(true))
 
+  /** Persisted [[AnnIndex]] lake layouts, built ONCE per (session,
+    * dir) under target/ann-index (gitignored, overwrite-safe): the
+    * `ann_index_*` probe keys are the 100 TB serving story —
+    * partition-pruned probes over a build-once index — promoted to
+    * driver keys now that a query fn can self-contain the build.
+    * Build parameters mirror the in-memory tiers (IVF nlist=16;
+    * IVF-PQ m=16/nCodes=32, the r9 retune), so probe recall equals
+    * the corresponding in-memory tier and sits under the same
+    * [[RecallFloors]] gate. */
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def annIndexPaths(s: SparkSession, dir: String): (String, String) =
+    annIndexCache.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "ann-index",
+          java.lang.Integer.toHexString(dir.hashCode))).toString
+      AnnIndex.buildIvf(Tables.embeddings(s, dir), s"$base/ivf")
+      AnnIndex.buildIvfPq(Tables.embeddings(s, dir), s"$base/ivfpq",
+        m = 16, nCodes = 32)
+      (s"$base/ivf", s"$base/ivfpq")
+    })
+
   /** Force-build every shared cache for (session, dir). Bench calls
     * this ONCE and reports the time as its own line item — otherwise
     * min-of-two timing hides the build (first run pays it, second
     * hits the cache) and the near-dup family's numbers silently
-    * become verify-only, invisible to regression tracking. */
+    * become verify-only, invisible to regression tracking. The
+    * [[AnnIndex]] builds are billed the same way: probes are the
+    * steady-state cost, the build is the amortized one-time cost. */
   def primeSharedCaches(s: SparkSession, dir: String): Unit = {
     sharedBlockedPairs(s, dir)
+    annIndexPaths(s, dir)
     ()
   }
 
@@ -353,6 +378,19 @@ object SparkEntry {
     }),
     "ann_ivf_cell_stats" -> ((s, dir) =>
       Similarity.ivfCellStats(Tables.embeddings(s, dir))),
+    // persisted-index probes (rows-only; AnnIndexSpec holds parity
+    // with the in-memory tiers + the partition-pruning/codes-only
+    // scan claims; RecallFloors gates their recall like every tier)
+    "ann_index_ivf_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnIndex.probeIvf(s, annIndexPaths(s, dir)._1,
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8)
+    }),
+    "ann_index_ivfpq_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._2,
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 8)
+    }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "split_assign" -> ((s, dir) =>
