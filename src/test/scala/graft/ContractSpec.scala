@@ -36,14 +36,21 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented sixteen") {
+  test("rows-only queries are the documented twenty-one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_embedding", "dedup_groups", "ann_lsh_topk", "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
       "ann_ivf_filtered_topk", "ann_ivf_cell_stats", "split_assign",
-      "events_approx_stats", "events_audience_overlap", "events_sketch_reach"),
+      "events_approx_stats", "events_audience_overlap", "events_sketch_reach",
+      // r9 additions, each spec-bounded against an exact anchor:
+      // LSH SemDeDup closure (DedupRecallSpec), the two approx twins
+      // (ApproxSpec error bounds), the persisted-index probes
+      // (AnnIndexSpec parity + AnnRecallGateSpec floors)
+      "dedup_embedding_groups_lsh", "etl_dq_profile_approx",
+      "events_user_lifespan_approx", "ann_index_ivf_probe",
+      "ann_index_ivfpq_probe"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
