@@ -32,7 +32,10 @@ object ExplainMain {
       "events_key_skew", "docs_quality_dup_profile",
       "etl_dim_asof_enrich", "etl_dim_asof_coverage",
       "sample_temperature", "docs_curate_temperature",
-      "dedup_embedding_groups", "stream_scd2")
+      "dedup_embedding_groups", "stream_scd2",
+      "dedup_embedding_groups_lsh", "mm_pooled_topk",
+      "ann_index_ivf_probe", "ann_index_ivfpq_probe",
+      "etl_dq_profile_approx", "events_user_lifespan_approx")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
