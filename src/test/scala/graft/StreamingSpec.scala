@@ -390,6 +390,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize is batch-split invariant on in-order streams (randomized)") {
+    // the documented contract's positive half: when per-user arrival
+    // is ts-ordered ACROSS micro-batches, the streaming fold must
+    // equal the batch run EXACTLY, wherever the batch boundaries
+    // fall. Seeded random events, globally ts-sorted, chunked into
+    // uneven micro-batches; a far-future sentinel per user closes
+    // every real trailing session so append mode emits it.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val real = Seq.tabulate(120) { i =>
+      Event(i.toLong, ts(rnd.nextInt(5), rnd.nextInt(12) * 5),
+        rnd.nextLong(3), "click", rnd.nextInt(5).toDouble)
+    }
+    val sentinels = (0L until 3L).map(u =>
+      Event(1000L + u, LocalDateTime.of(2024, 1, 2, 12, 0), u, "end", 0.0))
+    val ordered = real.sortBy(e => (e.ts, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_split_inv")
+      .outputMode("append").start()
+    try {
+      var rest = ordered
+      while (rest.nonEmpty) {
+        val take = 1 + rnd.nextInt(40) // uneven boundaries
+        mem.addData(rest.take(take): _*)
+        q.processAllAvailable()
+        rest = rest.drop(take)
+      }
+      mem.addData(sentinels: _*)
+      q.processAllAvailable()
+      def key(s: EventStream.Session) =
+        (s.user_id, s.session_start, s.session_end, s.num_events, s.total_value)
+      val streamed = spark.table("sess_split_inv").as[EventStream.Session]
+        .collect().map(key).toSet
+      val batch = EventStream.sessionize(real.toDS(), gapMinutes = 30)
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups in-stream with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
