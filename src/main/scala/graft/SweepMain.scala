@@ -60,6 +60,23 @@ object SweepMain {
       println(f"| IVF-PQ plain | 16 | $nprobe | $m | $plain%.3f |")
       println(f"| IVF-PQ residual | 16 | $nprobe | $m | $res%.3f |")
     }
+    // rerank-depth axis at FIXED scan bytes (nlist=16, nprobe=8,
+    // m=16): nCodes widens only the broadcast codebook and rerank
+    // only the exact-rescore set — the free recall dials the r9
+    // driver retune was chosen from
+    println("| index | nCodes | rerank | recall@10 |")
+    println("| --- | --- | --- | --- |")
+    for (nCodes <- Seq(16, 32); rerank <- Seq(4, 8, 16)) {
+      val plain = recall(sets(Similarity.ivfPqTopK(emb, queries, 10,
+        nlist = 16, nprobe = 8, m = 16, nCodes = nCodes, rerank = rerank)))
+      println(f"| IVF-PQ plain | $nCodes | $rerank | $plain%.3f |")
+    }
+    for (nCodes <- Seq(16, 32); rerank <- Seq(8, 16)) {
+      val res = recall(sets(Similarity.ivfPqResidualTopK(emb, queries, 10,
+        nlist = 16, nprobe = 8, m = 16, nCodes = nCodes, rerank = rerank,
+        kmeansIters = 1)))
+      println(f"| IVF-PQ residual | $nCodes | $rerank | $res%.3f |")
+    }
     // codebook-size axis: residual coding error vs code budget
     // (nCodes entries per subspace = log2(nCodes) bits/subspace)
     println("| index | nprobe | m | nCodes | recall@10 |")
