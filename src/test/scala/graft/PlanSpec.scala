@@ -269,4 +269,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial count"),
       s"(source, prefix) counts must pre-aggregate map-side:\n$p")
   }
+
+  test("production SemDeDup pair source is equi-join only (no nested loop)") {
+    // the r9 headline claim: dedup_embedding_groups_lsh must never
+    // regress to the all-pairs plan its exact oracle anchor uses —
+    // candidates meet in (table, sig) bucket equi-joins, so a
+    // BroadcastNestedLoopJoin/CartesianProduct anywhere in the pair
+    // relation means the scale path silently became O(n²)
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Dedup.embeddingPairs(emb, tau = 0.9))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH pair source must stay an equi-join plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
 }
