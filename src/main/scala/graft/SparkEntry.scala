@@ -107,16 +107,21 @@ object SparkEntry {
     * the corresponding in-memory tier and sits under the same
     * [[RecallFloors]] gate. */
   private val annIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
-  private def annIndexPaths(s: SparkSession, dir: String): (String, String) =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String)]
+  private def annIndexPaths(s: SparkSession, dir: String): (String, String, String) =
     annIndexCache.getOrElseUpdate((s, dir), {
       val base = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "ann-index",
           java.lang.Integer.toHexString(dir.hashCode))).toString
-      AnnIndex.buildIvf(Tables.embeddings(s, dir), s"$base/ivf")
-      AnnIndex.buildIvfPq(Tables.embeddings(s, dir), s"$base/ivfpq",
-        m = 16, nCodes = 32)
-      (s"$base/ivf", s"$base/ivfpq")
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildIvf(emb, s"$base/ivf")
+      AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32)
+      // the incremental twin: built on the even half ("yesterday"),
+      // the odd half appended against the STORED centroids — no
+      // retrain, no history rewrite (the daily-ingest shape)
+      AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
+      (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr")
     })
 
   /** Force-build every shared cache for (session, dir). Bench calls
@@ -390,6 +395,15 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._2,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 8)
+    }),
+    // probe of the INCREMENTALLY-maintained index (built on half the
+    // corpus, other half appended against stored centroids — no
+    // retrain, no history rewrite); AnnIndexSpec proves append ≡
+    // union-corpus build at fixed centroids
+    "ann_index_ivf_append_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnIndex.probeIvf(s, annIndexPaths(s, dir)._3,
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8)
     }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),

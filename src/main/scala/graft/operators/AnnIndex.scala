@@ -50,6 +50,26 @@ object AnnIndex {
       .collect()
       .map(_.getSeq[Float](1).toArray)
 
+  /** INCREMENTAL maintenance — the daily-ingest shape for a serving
+    * index: assign a new vector batch to the index's STORED
+    * centroids (never retrained here — retraining would re-cell the
+    * existing corpus, i.e. a rebuild) and append its cell partitions.
+    * Cost is one scan of the delta; history is never rewritten, and
+    * a probe after append ≡ a probe over an index built with the
+    * same centroids on the union corpus (spec-held). Cell balance
+    * drifts as the data does — watch [[Similarity.ivfCellStats]]
+    * (`balance` of the hot cell) to decide when a re-train/rebuild
+    * pays; that is the same compact-vs-rebuild economics as
+    * [[DedupStore]]'s fingerprint log.
+    */
+  def appendIvf(newVectors: DataFrame, path: String): Unit = {
+    val centroids = loadCentroids(newVectors.sparkSession, path)
+    newVectors
+      .select(col("vec_id"), col("embedding"),
+        gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** Top-k cosine search against the persisted index. The probed
     * cell set (≤ |queries|·nprobe distinct values, typically ≪
     * nlist) becomes a static `IN` partition filter, so the scan

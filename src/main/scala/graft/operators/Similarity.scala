@@ -292,6 +292,15 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4): DataFrame =
     ivfSearch(corpus, queries, k, pickCentroids(corpus, nlist), nprobe)
 
+  /** IVF search against an EXPLICIT centroid matrix — the in-memory
+    * twin of probing a persisted index whose centroids are already
+    * fixed ([[graft.operators.AnnIndex.probeIvf]]); the parity
+    * reference for incremental append. */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  centroids: Array[Array[Float]], k: Int = 10,
+                  nprobe: Int = 4): DataFrame =
+    ivfSearch(corpus, queries, k, centroids, nprobe)
+
   /** IVF cell-balance diagnostic: occupancy of every cell (empty
     * cells included via an `nlist`-row spine), its share of the
     * corpus, and `balance` = occupancy / ideal (1.0 = perfectly

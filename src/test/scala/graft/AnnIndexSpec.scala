@@ -27,6 +27,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("incremental append: probe after append equals a union-corpus build") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val (day1, day2) = (corpus.filter(col("vec_id") % 2 === 0),
+      corpus.filter(col("vec_id") % 2 =!= 0))
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    // build on day-1 data, append day-2 WITHOUT retraining — the
+    // daily-ingest shape; history partitions are never rewritten
+    AnnIndex.buildIvf(day1, s"$base/ivf")
+    AnnIndex.appendIvf(day2, s"$base/ivf")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = pairs(AnnIndex.probeIvf(spark, s"$base/ivf", queries))
+    // parity: identical to the in-memory search over the UNION corpus
+    // with the index's stored (fixed) centroids
+    val cents = AnnIndex.loadCentroids(spark, s"$base/ivf")
+    assert(probed == pairs(Similarity.ivfTopKWith(corpus, queries, cents)))
+    // the appended batch is really searchable (odd ids appear)
+    assert(probed.exists { case (_, n) => n % 2 != 0 },
+      "day-2 vectors must be reachable after append")
+  }
+
   test("probing opens only the probed cells' files") {
     val base = Files.createTempDirectory("graft_ann").toString
     val corpus = Tables.embeddings(spark, dir)
