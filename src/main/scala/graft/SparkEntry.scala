@@ -167,6 +167,8 @@ object SparkEntry {
     "etl_upsert" -> ((s, dir) => upsertSummaries(s, dir)),
     "etl_sales_summary_salted" -> ((s, dir) => saltedSummary(s, dir)),
     "etl_incremental_summary" -> ((s, dir) => incrementalSummary(s, dir)),
+    "etl_backfill_plan" -> ((s, dir) =>
+      RetailEtl.backfillPlan(cleanSales(s, dir))),
     // §2.B analytics
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_top_unshipped" -> ((s, dir) =>
@@ -195,6 +197,10 @@ object SparkEntry {
     "q_topn_per_group_agg" -> ((s, dir) =>
       Analytics.topCustomersPerSegmentAgg(Tables.customer(s, dir))),
     "q_running_totals" -> ((s, dir) => Analytics.runningTotals(Tables.orders(s, dir))),
+    "q_rolling_revenue" -> ((s, dir) =>
+      Analytics.rollingRevenue(Tables.lineitem(s, dir))),
+    "q_copurchase_pagerank" -> ((s, dir) =>
+      Analytics.copurchasePagerank(Tables.lineitem(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Analytics.customerOrderPresence(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_rollup_revenue" -> ((s, dir) =>
@@ -235,6 +241,12 @@ object SparkEntry {
       EventOps.hourlyRetention(Tables.events(s, dir))),
     "q_session_window" -> ((s, dir) =>
       EventOps.sessionWindows(Tables.events(s, dir))),
+    "events_bot_flag" -> ((s, dir) =>
+      EventOps.burstFlags(Tables.events(s, dir))),
+    "events_deseasonalized_anomaly" -> ((s, dir) =>
+      EventOps.deseasonalizedAnomaly(Tables.events(s, dir))),
+    "events_session_entry_exit" -> ((s, dir) =>
+      EventOps.sessionEntryExit(Tables.events(s, dir))),
     "q_events_unpivot" -> ((s, dir) =>
       EventOps.eventTypeUnpivot(Tables.events(s, dir))),
     "q_asof_join" -> ((s, dir) => {
@@ -407,6 +419,8 @@ object SparkEntry {
     }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    "emb_norm_profile" -> ((s, dir) =>
+      Similarity.normProfile(Tables.embeddings(s, dir))),
     "split_assign" -> ((s, dir) =>
       DataSplit.assign(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
@@ -420,6 +434,8 @@ object SparkEntry {
         .select("doc_id", "split")),
     "docs_shuffle_shard" -> ((s, dir) =>
       DataSplit.shuffleShards(Tables.documents(s, dir), nShards = 4)),
+    "docs_interleave_order" -> ((s, dir) =>
+      DataSplit.interleaveOrder(Tables.documents(s, dir))),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "docs_contamination_by_source" -> ((s, dir) =>
@@ -641,6 +657,8 @@ object SparkEntry {
       Analytics.partSizeStats(Tables.part(s, dir))),
     "mm_type_summary" -> ((s, dir) =>
       Multimodal.typeSummary(Tables.documents(s, dir))),
+    "mm_blob_policy" -> ((s, dir) =>
+      Multimodal.blobPolicy(Tables.documents(s, dir))),
     "sample_uniform_k_agg" -> ((s, dir) =>
       Sampling.uniformKPerStratumAgg(Tables.documents(s, dir), "doc_id", "source", k = 5)
         .select("source", "sample_rank", "doc_id")),
@@ -932,6 +950,15 @@ object SparkEntry {
         .replace("\n", " ")
     },
     "etl_sales_summary_salted" -> summarySql,
+    "etl_backfill_plan" ->
+      s"""WITH d AS (SELECT sale_date AS day, count(*) AS n_rows
+         |  FROM ($cleanSalesSql) c GROUP BY 1),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+         |s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+         |  AS DATE) AS day FROM b)
+         |SELECT s.day, coalesce(d.n_rows, 0) AS n_rows,
+         | d.n_rows IS NULL AS is_gap
+         |FROM s LEFT JOIN d ON d.day = s.day""".stripMargin.replace("\n", " "),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | sum(l_extendedprice) AS sum_base_price,
@@ -1058,6 +1085,50 @@ object SparkEntry {
         | sum(l_quantity) AS total_qty, count(*) AS num_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand, p_type""".stripMargin.replace("\n", " "),
+    "q_rolling_revenue" ->
+      // revenue as exact integer (cents × integer discount-percent)
+      // so the sliding RANGE-frame sum is order-independent; one
+      // division at the end
+      """WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS c,
+        | count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT day, c / 10000.0 AS day_revenue,
+        | CAST(sum(c) OVER w AS BIGINT) / 10000.0 AS rev_window,
+        | CAST(sum(n) OVER w AS BIGINT) AS lines_window,
+        | count(*) OVER w AS active_days
+        |FROM d WINDOW w AS (ORDER BY day
+        | RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
+        .stripMargin.replace("\n", " "),
+    "q_copurchase_pagerank" ->
+      // the three power iterations unrolled as CTEs; every engine-
+      // crossing expression is written identically (frac, teleport,
+      // damped sum), final score rounded at 1e-9 vs ~1e-17 error
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM b GROUP BY 1 HAVING count(*) <= 20),
+        |g AS (SELECT b.* FROM b JOIN ok USING (l_orderkey)),
+        |up AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |  count(*) AS w FROM g x JOIN g y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_partkey < y.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT part_a AS src, part_b AS dst, w FROM up
+        |  UNION ALL SELECT part_b, part_a, w FROM up),
+        |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM deg),
+        |f AS (SELECT e.src, e.dst,
+        |  CAST(e.w AS DOUBLE) / CAST(d.wdeg AS DOUBLE) AS frac
+        | FROM e JOIN deg d ON d.src = e.src),
+        |p0 AS (SELECT src AS id, 1.0 / nn AS pr FROM deg, n),
+        |p1 AS (SELECT f.dst AS id,
+        |  (1.0 - 0.85) / max(n.nn) + 0.85 * sum(p.pr * f.frac) AS pr
+        | FROM f JOIN p0 p ON p.id = f.src, n GROUP BY f.dst),
+        |p2 AS (SELECT f.dst AS id,
+        |  (1.0 - 0.85) / max(n.nn) + 0.85 * sum(p.pr * f.frac) AS pr
+        | FROM f JOIN p1 p ON p.id = f.src, n GROUP BY f.dst),
+        |p3 AS (SELECT f.dst AS id,
+        |  (1.0 - 0.85) / max(n.nn) + 0.85 * sum(p.pr * f.frac) AS pr
+        | FROM f JOIN p2 p ON p.id = f.src, n GROUP BY f.dst)
+        |SELECT id AS part_id, round(pr, 9) AS pagerank FROM p3"""
+        .stripMargin.replace("\n", " "),
     "q_percentiles" ->
       """SELECT c_mktsegment,
         | quantile_cont(o_totalprice, 0.5) AS p50,
@@ -1085,6 +1156,73 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(ts) AS session_start,
         | max(ts) AS session_end, count(*) AS num_events, sum(value) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+    "events_deseasonalized_anomaly" ->
+      // LEAVE-ONE-OUT slot stats from exact integer sums; mean/
+      // variance/z are the identical fixed expression in both
+      // engines — bit-exact, no rounding. dayofweek: DuckDB
+      // Sunday=0 → +1 to match Spark.
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS hb FROM b),
+        |f AS (SELECT spine.hb, coalesce(h.n, 0) AS n,
+        |  CAST(dayofweek(spine.hb) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(spine.hb) AS BIGINT) AS hour_of_day
+        | FROM spine LEFT JOIN h USING (hb)),
+        |p AS (SELECT dow, hour_of_day, count(*) AS cnt,
+        |  CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        | FROM f GROUP BY 1, 2),
+        |j AS (SELECT f.hb, CAST(f.n AS BIGINT) AS n_events, f.dow,
+        |  f.hour_of_day,
+        |  CAST(s1 - n AS DOUBLE) / CAST(cnt - 1 AS DOUBLE) AS m,
+        |  (CAST(s2 - n * n AS DOUBLE) - CAST(s1 - n AS DOUBLE)
+        |    * CAST(s1 - n AS DOUBLE) / CAST(cnt - 1 AS DOUBLE))
+        |   / CAST(cnt - 1 AS DOUBLE) AS v
+        | FROM f JOIN p USING (dow, hour_of_day) WHERE cnt > 1)
+        |SELECT hb AS hour_bucket, n_events, dow, hour_of_day,
+        | m AS profile_mean, (n_events - m) / sqrt(v) AS z
+        |FROM j WHERE v > 0 AND abs((n_events - m) / sqrt(v)) > 3.0"""
+        .stripMargin.replace("\n", " "),
+    "events_bot_flag" ->
+      // tightest 20-event span per user, exact integer microseconds
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS us,
+        | lag(epoch_us(ts), 19) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        | min(us - prev) AS min_burst_span_us,
+        | coalesce(min(us - prev) <= 60000000, false) AS is_bot
+        |FROM g GROUP BY user_id""".stripMargin.replace("\n", " "),
+    "events_session_entry_exit" ->
+      // the sessionize CTE chain, endpoints picked by row_number on
+      // the (ts, event_id) total order — mirrors min_by/max_by
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, event_type, ts, event_id,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        | FROM flagged),
+        |r AS (
+        | SELECT user_id, session_seq, event_type,
+        |  row_number() OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY ts, event_id) AS ra,
+        |  row_number() OVER (PARTITION BY user_id, session_seq
+        |    ORDER BY ts DESC, event_id DESC) AS rd,
+        |  count(*) OVER (PARTITION BY user_id, session_seq) AS n
+        | FROM numbered),
+        |sess AS (
+        | SELECT user_id, session_seq,
+        |  max(CASE WHEN ra = 1 THEN event_type END) AS entry_type,
+        |  max(CASE WHEN rd = 1 THEN event_type END) AS exit_type,
+        |  max(n) AS n FROM r GROUP BY 1, 2)
+        |SELECT entry_type, exit_type, count(*) AS n_sessions,
+        | CAST(sum(n) AS BIGINT) AS total_events
+        |FROM sess GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "q_events_pivot" ->
       """SELECT user_id,
         | count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -1641,6 +1779,22 @@ object SparkEntry {
       """SELECT label, CAST(i AS INT) AS pos, avg(embedding[i + 1]) AS avg_val
         |FROM embeddings, range(64) t(i)
         |GROUP BY label, i""".stripMargin.replace("\n", " "),
+    "emb_norm_profile" ->
+      // the norm replays Spark's pinned left fold bit-for-bit:
+      // list_prepend(0.0) = the explicit fold init, per-element
+      // double cast before the multiply; min/max over bit-identical
+      // doubles are exact, the mean alone is rounded (ORACLE_NOTES)
+      """WITH n AS (SELECT label, CAST(len(embedding) AS INTEGER) AS dim,
+        | sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |  (a, b) -> a + b)) AS nrm
+        |FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        | min(dim) AS min_dim, max(dim) AS max_dim,
+        | min(nrm) AS min_norm, max(nrm) AS max_norm,
+        | round(avg(nrm), 6) AS avg_norm,
+        | CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM n GROUP BY label""".stripMargin.replace("\n", " "),
     "mm_blob_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256, hex(substr(text, 1, 4)) AS magic_hex
@@ -1651,6 +1805,22 @@ object SparkEntry {
         | CAST(min(length(text)) AS BIGINT) AS min_bytes,
         | CAST(max(length(text)) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
+    "mm_blob_policy" ->
+      // byte_share is ONE division of two exact longs — replays
+      // bit-for-bit, so the threshold CASE needs no rounding
+      """WITH t AS (SELECT hex(substr(text, 1, 2)) AS magic2,
+        |  count(*) AS n_blobs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_bytes
+        | FROM documents GROUP BY 1)
+        |SELECT magic2, n_blobs, total_bytes,
+        | CAST(total_bytes AS DOUBLE)
+        |  / CAST(CAST(sum(total_bytes) OVER () AS BIGINT) AS DOUBLE)
+        |  AS byte_share,
+        | CASE WHEN n_blobs < 3 THEN 'drop'
+        |  WHEN CAST(total_bytes AS DOUBLE)
+        |   / CAST(CAST(sum(total_bytes) OVER () AS BIGINT) AS DOUBLE) > 0.25
+        |  THEN 'cap' ELSE 'keep' END AS action
+        |FROM t""".stripMargin.replace("\n", " "),
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         | CAST(i * 128 AS BIGINT) AS byte_offset,
@@ -2310,6 +2480,19 @@ object SparkEntry {
         |        < 'f3333333' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin.replace("\n", " "),
+    "docs_interleave_order" ->
+      // strict round-robin across sources: doc i of source s lands
+      // at (i-1)·n_sources + src_idx — all integer-exact
+      """WITH s AS (SELECT source,
+        |  row_number() OVER (ORDER BY source) - 1 AS src_idx,
+        |  count(*) OVER () AS n_sources
+        | FROM (SELECT DISTINCT source FROM documents) q),
+        |r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |   AS rank_in_source FROM documents)
+        |SELECT r.doc_id, r.source, r.rank_in_source,
+        | (r.rank_in_source - 1) * s.n_sources + s.src_idx AS interleave_pos
+        |FROM r JOIN s ON r.source = s.source""".stripMargin.replace("\n", " "),
     "docs_shuffle_shard" ->
       // 4 equal hex-range cuts of the salted md5 key; position =
       // rank within shard in key order (ties → doc_id)

@@ -1376,4 +1376,80 @@ object Analytics {
       .filter(!(col("m1") <= col("p_size") || col("grp_min") < col("p_size")))
       .select("p_partkey", "p_retailprice", "p_size")
   }
+
+  /** Weighted PageRank over the co-purchase graph — "which products
+    * sit at the center of the catalog": nodes are parts, edges the
+    * [[basketAffinity]] pair counts (giant-order guard + support
+    * floor bound the graph build exactly like the basket family),
+    * power iteration with damping. Spark-first iteration shape: the
+    * static per-edge contribution fraction `w/wdeg` is materialized
+    * ONCE, each iteration is then one equi-join + one hash aggregate
+    * (shuffles on part ids only — never the basket relation), and
+    * `localCheckpoint` truncates lineage so the plan does not grow
+    * with `iters`. The symmetric edge list means every node has both
+    * in- and out-edges — no dangling-mass term needed. Only the node
+    * COUNT reaches the driver (one scalar, like the SQ grid). The
+    * oracle unrolls the same three iterations as CTEs; the final
+    * score is rounded (1e-9 grid vs ~1e-17 summation-order error —
+    * docs/ORACLE_NOTES.md).
+    */
+  def copurchasePagerank(lineitem: DataFrame, iters: Int = 3,
+                         damping: Double = 0.85, minOrders: Long = 2,
+                         maxParts: Int = 20): DataFrame = {
+    val undirected = guardedPairs(
+      guardedBaskets(lineitem, maxParts, pin = true), minOrders)
+    val edges = undirected.select(col("part_a").as("src"),
+        col("part_b").as("dst"), col("n_orders_together").as("w"))
+      .unionByName(undirected.select(col("part_b").as("src"),
+        col("part_a").as("dst"), col("n_orders_together").as("w")))
+      .localCheckpoint(true) // deg + frac both consume it
+    val deg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val frac = edges.join(deg, "src")
+      .select(col("src"), col("dst"),
+        (col("w").cast("double") / col("wdeg").cast("double")).as("frac"))
+      .localCheckpoint(true) // re-joined every iteration
+    val n = frac.select("src").distinct().count()
+    var pr = frac.select(col("src").as("id")).distinct()
+      .withColumn("pr", lit(1.0) / n.toDouble)
+    for (_ <- 1 to iters) {
+      pr = frac.join(pr, col("src") === col("id"))
+        .groupBy("dst")
+        .agg(sum(col("pr") * col("frac")).as("s"))
+        .select(col("dst").as("id"),
+          (lit((1.0 - damping) / n.toDouble) + lit(damping) * col("s")).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("id").as("part_id"), round(col("pr"), 9).as("pagerank"))
+  }
+
+  /** Rolling `days`-day revenue series — the trailing-window KPI
+    * (7-day revenue, line volume, active-day coverage per day). The
+    * frame is a RANGE frame over epoch-day, not a ROWS frame: a gap
+    * in the calendar narrows the window's contents instead of
+    * silently reaching further back, so no spine join is needed —
+    * `active_days` makes the coverage explicit. Revenue is summed as
+    * exact integer (cents × integer discount-percent, the
+    * [[discountElasticity]] trick) and divided once at the end, so
+    * the sliding sum is order-independent — engines disagree on
+    * sliding-frame float summation (segment trees vs recompute).
+    * Scale: one shuffle to day grain (lineitem count → O(days)
+    * rows); the partition-less ordered window then runs over a
+    * CALENDAR-BOUNDED relation (decades ≈ thousands of rows), the
+    * same correct-by-construction case as [[orderBacklog]].
+    */
+  def rollingRevenue(lineitem: DataFrame, days: Int = 7): DataFrame = {
+    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(centsX).as("c"), count(lit(1)).as("n"))
+      .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.orderBy("epoch_day").rangeBetween(-(days - 1L), 0L)
+    daily.select(
+      col("day"),
+      (col("c").cast("double") / 10000.0).as("day_revenue"),
+      (sum("c").over(w).cast("double") / 10000.0).as("rev_window"),
+      sum("n").over(w).as("lines_window"),
+      count(lit(1)).over(w).as("active_days"))
+  }
 }

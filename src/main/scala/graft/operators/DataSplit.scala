@@ -97,6 +97,50 @@ object DataSplit {
       .select(col(idCol), col("shard"), col("pos_in_shard"), col("shuffle_key"))
   }
 
+  /** Deterministic source-INTERLEAVED training order: strict
+    * round-robin across sources (doc i of source s lands at global
+    * position `(i-1)·n_sources + src_idx`), so a training loader
+    * streaming in `interleave_pos` order sees every source at its
+    * corpus rate with no long same-source runs — the curriculum
+    * complement to [[shuffleShards]]'s pseudo-random order. The
+    * per-source rank is NOT one global window: doc_ids band into
+    * `bandWidth` buckets, per-(source, band) counts roll into
+    * exclusive offsets via a window over the BAND-grain relation
+    * (O(bands) rows), and within-band `row_number` runs in parallel
+    * across (source, band) partitions — the banded two-phase prefix
+    * idiom ([[Packing]], `q_pareto_revenue`), no single-task sort.
+    * All arithmetic is integer-exact.
+    */
+  def interleaveOrder(df: DataFrame, idCol: String = "doc_id",
+                      sourceCol: String = "source",
+                      bandWidth: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(sourceCol).as("source"))
+      .withColumn("band", floor(col(idCol) / bandWidth).cast("long"))
+    val counts = base.groupBy("source", "band").agg(count(lit(1)).as("cnt"))
+    val byBand = w.partitionBy("source").orderBy("band")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("cnt").over(byBand), lit(0L)))
+      .drop("cnt")
+    // source index + count over the O(sources) distinct-source frame
+    val allRows = w.partitionBy(lit(1))
+      .rowsBetween(w.unboundedPreceding, w.unboundedFollowing)
+    val srcIdx = counts.select("source").distinct()
+      .withColumn("src_idx",
+        row_number().over(w.partitionBy(lit(1)).orderBy("source")).cast("long") - 1L)
+      .withColumn("n_sources", count(lit(1)).over(allRows))
+    val inBand = w.partitionBy("source", "band").orderBy(idCol)
+    base
+      .join(broadcast(offsets), Seq("source", "band"))
+      .withColumn("rank_in_source",
+        col("off") + row_number().over(inBand).cast("long"))
+      .join(broadcast(srcIdx), Seq("source"))
+      .select(col(idCol), col("source"), col("rank_in_source"),
+        ((col("rank_in_source") - 1L) * col("n_sources") + col("src_idx"))
+          .as("interleave_pos"))
+  }
+
   /** Deterministic K-FOLD assignment for cross-validation: fold =
     * equal hex-range cut of the portable md5 key (uniform by md5's
     * uniformity; pure string compares, no integer conversion — the

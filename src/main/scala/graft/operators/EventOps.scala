@@ -847,4 +847,100 @@ object EventOps {
         col("last.event_type").as("state"),
         col("last.value").as("value"),
         col("last.ts").as("ts"))
+
+  /** Deseasonalized volume anomaly — [[hourlyAnomalies]] with the
+    * weekly rhythm removed: each hour's count is scored against the
+    * (day-of-week × hour-of-day) PROFILE, so a quiet Sunday 3am is
+    * not "anomalous" merely for being Sunday 3am, and a weekday-peak
+    * outage that still clears the global mean IS caught. Spine-filled
+    * like [[dowHourProfile]] (a zero-event hour both feeds the slot
+    * statistics and can itself be the anomaly). The score is
+    * LEAVE-ONE-OUT: each hour is compared to the OTHER weeks in its
+    * slot — with the point included, |z| is bounded by √(cnt−1)
+    * (≈1.9 at a month of data), so a self-masked z-score can never
+    * clear a 2σ threshold no matter how extreme the hour; excluding
+    * it needs no second scan, just `(Σn − n, Σn² − n²)` arithmetic
+    * on the same slot sums. Every derived number is a FIXED
+    * expression over exact integer sums (count, Σn, Σn²), so
+    * mean/variance/z replay bit-for-bit in any engine — no rounding,
+    * and the guards cannot flip. The profile is 168 rows, broadcast
+    * back onto the hour series.
+    */
+  def deseasonalizedAnomaly(events: DataFrame, sigmas: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // bounds agg + spine join share it
+    val bounds = hourly.agg(
+      min("hour_bucket").as("lo"), max("hour_bucket").as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+      .as("hour_bucket"))
+    val slotted = spine.join(hourly, Seq("hour_bucket"), "left")
+      .select(col("hour_bucket"), coalesce(col("n"), lit(0L)).as("n"),
+        dayofweek(col("hour_bucket")).cast("long").as("dow"),
+        hour(col("hour_bucket")).cast("long").as("hour_of_day"))
+      .localCheckpoint(true) // profile agg + residual join share it
+    val profile = slotted.groupBy("dow", "hour_of_day")
+      .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val rest = (col("cnt") - lit(1L)).cast("double")
+    val m = (col("s1") - col("n")).cast("double") / rest
+    val v = ((col("s2") - col("n") * col("n")).cast("double") -
+      (col("s1") - col("n")).cast("double") *
+        (col("s1") - col("n")).cast("double") / rest) / rest
+    slotted.join(broadcast(profile), Seq("dow", "hour_of_day"))
+      .filter(col("cnt") > 1L)
+      .select(col("hour_bucket"), col("n").as("n_events"),
+        col("dow"), col("hour_of_day"),
+        m.as("profile_mean"), v.as("variance"),
+        ((col("n").cast("double") - m) / sqrt(v)).as("z"))
+      .filter(col("variance") > 0.0 && abs(col("z")) > sigmas)
+      .drop("variance")
+  }
+
+  /** Burst (bot/abuse) detection — the training-data-pipeline intake
+    * gate that flags automated traffic before events feed any
+    * downstream aggregate: a user is flagged when some `burstEvents`
+    * consecutive events span ≤ `maxSpanSeconds`. The sliding span is
+    * `ts − lag(ts, burstEvents−1)` over one user_id shuffle — O(1)
+    * state per row, no self-join, exact µs integer arithmetic (the
+    * sub-second precision point [[assignSessions]] documents).
+    * Emits every user with their tightest burst so the threshold can
+    * be re-cut downstream without rescanning the log.
+    */
+  def burstFlags(events: DataFrame, burstEvents: Int = 20,
+                 maxSpanSeconds: Long = 60L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .withColumn("span_us",
+        col("us") - lag(col("us"), burstEvents - 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("span_us").as("min_burst_span_us"))
+      .withColumn("is_bot",
+        coalesce(col("min_burst_span_us") <= maxSpanSeconds * 1000000L,
+          lit(false)))
+  }
+
+  /** Session entry/exit matrix — which event type opens a session ×
+    * which closes it (landing/exit-page analysis). Rides the shared
+    * [[assignSessions]] core, then ONE hash aggregate per session
+    * picks both endpoints via `min_by`/`max_by` on the (ts, event_id)
+    * total order — partial-agg-friendly, where the textbook
+    * first/last-value window would sort-shuffle every event twice.
+    * The rollup to the (entry, exit) matrix is a second, tiny
+    * aggregate.
+    */
+  def sessionEntryExit(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    assignSessions(events, gapMinutes)
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("entry_type"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("exit_type"),
+        count(lit(1)).as("n"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n").as("total_events"))
 }

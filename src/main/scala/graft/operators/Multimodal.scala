@@ -194,4 +194,30 @@ object Multimodal {
           avg("height").cast("float"),
           avg("mean_luma").cast("float"),
           stddev_pop("mean_luma").cast("float")).as("embedding"))
+
+  /** Format policy over the [[typeSummary]] manifest — the multimodal
+    * twin of `docs_source_policy`: which sniffed formats the decoder
+    * fleet DROPs (below `minCount`, long-tail formats not worth a
+    * decoder), CAPs (above `maxByteShare` of corpus bytes — one
+    * format must not monopolize training), or KEEPs. `byte_share` is
+    * one division of two exact longs, so the thresholds replay
+    * bit-for-bit in any engine. The decision table is O(formats)
+    * rows; the partition-less share window is bounded by the format
+    * universe (256² magic pairs), correct by construction.
+    */
+  def blobPolicy(docs: DataFrame, minCount: Long = 3L,
+                 maxByteShare: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    typeSummary(docs)
+      .withColumn("byte_share",
+        col("total_bytes").cast("double") /
+          sum("total_bytes").over(all).cast("double"))
+      .withColumn("action",
+        when(col("n_blobs") < minCount, "drop")
+          .when(col("byte_share") > maxByteShare, "cap")
+          .otherwise("keep"))
+      .select("magic2", "n_blobs", "total_bytes", "byte_share", "action")
+  }
 }

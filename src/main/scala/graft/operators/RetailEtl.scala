@@ -301,4 +301,29 @@ object RetailEtl {
       .select(keyCols ++ Seq(col("diff_type")) ++
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
+
+  /** Backfill plan — the ingest-completeness audit an orchestrator
+    * runs before declaring a date range loaded: every calendar day
+    * between the corpus bounds with its row count and a gap flag
+    * (zero rows = a partition the scheduler must re-run; the
+    * reference's Airflow DAG has retries but no completeness check,
+    * so a skipped day stays silently absent). One shuffle collapses
+    * the fact table to day grain; the calendar spine is generated
+    * from the two-scalar bounds row ([[Analytics.orderBacklog]]'s
+    * spine idiom) and LEFT-joins the day counts — O(days) rows,
+    * broadcast-sized, regardless of fact volume.
+    */
+  def backfillPlan(sales: DataFrame): DataFrame = {
+    val daily = sales.groupBy(col("sale_date").as("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(true)
+    val spine = daily
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("n_rows").isNull.as("is_gap"))
+  }
 }

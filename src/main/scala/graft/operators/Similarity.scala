@@ -680,4 +680,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine")), k)
   }
+
+  /** Embedding QA profile — the sanity pass run before any vectors
+    * enter an index: per label, vector count, dimension spread, and
+    * the L2-norm envelope (a zero-norm or wildly-scaled batch is an
+    * upstream encoder bug; cosine silently hides scale, MIPS does
+    * not). The norm is a LEFT-FOLD over the float array with every
+    * element cast to double — the fold order is pinned, so DuckDB's
+    * `list_reduce` replays it bit-for-bit ([[Multimodal]]'s pooled-
+    * feature oracle trick) and min/max over bit-identical doubles
+    * are exact; the mean alone crosses row order, so it is rounded
+    * (1e-6, error ~1e-13/row — docs/ORACLE_NOTES.md). One narrow
+    * scan, one tiny aggregate; per-row work is O(dim). A diagnostic,
+    * so the interpreted HOF lambda is acceptable off the hot path.
+    */
+  def normProfile(embeddings: DataFrame): DataFrame = {
+    val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    embeddings
+      .select(col("label"), size(col("embedding")).as("dim"), norm.as("nrm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min("dim").as("min_dim"),
+        max("dim").as("max_dim"),
+        min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"),
+        round(avg("nrm"), 6).as("avg_norm"),
+        sum(when(col("nrm") === 0.0d, 1L).otherwise(0L)).as("n_zero"))
+  }
 }

@@ -474,4 +474,49 @@ class AnalyticsSpec extends SparkSpec {
       ("repeat", "loyal") -> (1L, 1.0),
       ("absent", "one_time") -> (1L, 1.0)), s"got $out")
   }
+
+  test("rollingRevenue: RANGE frame narrows over calendar gaps") {
+    // days 1,2,3 then a jump to day 10: the day-10 frame [4..10]
+    // must contain ONLY day 10 — a ROWS frame would wrongly reach
+    // back to days 1-3
+    val l = Seq(
+      ("1995-01-01", 100.0), ("1995-01-02", 200.0), ("1995-01-03", 400.0),
+      ("1995-01-10", 800.0))
+      .toDF("d", "l_extendedprice")
+      .withColumn("l_shipdate", $"d".cast("timestamp")).drop("d")
+      .withColumn("l_discount", lit(0.0))
+    val got = Analytics.rollingRevenue(l, days = 7).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("1995-01-03") == ((700.0, 3L, 3L)), s"got $got")
+    assert(got("1995-01-10") == ((800.0, 1L, 1L)),
+      s"gap must narrow the frame: $got")
+    // a 50% discount halves exact revenue: 100 * 0.5
+    val disc = Analytics.rollingRevenue(
+      Seq(("1995-01-01", 100.0)).toDF("d", "l_extendedprice")
+        .withColumn("l_shipdate", $"d".cast("timestamp")).drop("d")
+        .withColumn("l_discount", lit(0.5))).collect().head
+    assert(disc.getDouble(1) == 50.0 && disc.getDouble(2) == 50.0)
+  }
+
+  test("copurchasePagerank: mass conserved, hub ranks highest, partition-invariant") {
+    // star: part 1 co-purchased with 2, 3, 4 (each pair in two
+    // orders to clear minOrders); no leaf-leaf edges
+    val rows = for {
+      (leaf, orders) <- Seq(2L -> Seq(10L, 11L), 3L -> Seq(20L, 21L),
+        4L -> Seq(30L, 31L))
+      o <- orders
+      p <- Seq(1L, leaf)
+    } yield (o, p)
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val pr = Analytics.copurchasePagerank(li).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // teleport + damped redistribution conserves total mass at 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, s"mass: ${pr.values.sum}")
+    assert(pr(1L) > pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L),
+      s"hub must dominate symmetric leaves: $pr")
+    val again = Analytics.copurchasePagerank(li.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == pr, "partition-dependent pagerank")
+  }
 }

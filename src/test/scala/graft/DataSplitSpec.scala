@@ -117,4 +117,32 @@ class DataSplitSpec extends SparkSpec {
       assert(math.abs(n - 1000) < 150, s"fold $f holds $n of 5000")
     }
   }
+
+  test("interleaveOrder: strict round-robin, banding-invariant, distinct positions") {
+    import org.apache.spark.sql.functions.col
+    // ragged sources: a=5 docs, b=3, c=1 — doc_ids deliberately
+    // interleaved so source rank ≠ doc_id order
+    val docs = Seq(
+      (10L, "a"), (20L, "a"), (30L, "a"), (40L, "a"), (50L, "a"),
+      (15L, "b"), (25L, "b"), (35L, "b"),
+      (22L, "c"))
+      .toDF("doc_id", "source")
+    val got = DataSplit.interleaveOrder(docs, bandWidth = 16L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // positions are distinct, each source's positions step by n_sources
+    assert(got.map(_._4).distinct.length == got.length, s"dup positions: ${got.toSeq}")
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.drop(1)).forall { case (a, b) => b - a == 3 },
+        s"stride must be n_sources: ${rows.toSeq}")
+    }
+    // round-robin head while all sources are live: a, b, c at 0,1,2
+    val byPos = got.sortBy(_._4).map(x => (x._2, x._1))
+    assert(byPos.take(3).toSeq == Seq(("a", 10L), ("b", 15L), ("c", 22L)),
+      s"head order: ${byPos.toSeq}")
+    // banding is an implementation detail: tiny bands ≡ one band
+    val wide = DataSplit.interleaveOrder(docs, bandWidth = 1000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.map(x => x._1 -> x._4).toMap == wide, "bandWidth changed the order")
+  }
 }

@@ -382,4 +382,76 @@ class EventOpsSpec extends SparkSpec {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("burstFlags: tightest w-event span per user, short-history users unflagged") {
+    val e = events(
+      // user 1: three events in 2 s → burst
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:00:01", 1L, "click"),
+      (3L, "2024-01-01 10:00:02", 1L, "click"),
+      // user 2: three events spread over 200 s → clean
+      (4L, "2024-01-01 10:00:00", 2L, "click"),
+      (5L, "2024-01-01 10:01:40", 2L, "view"),
+      (6L, "2024-01-01 10:03:20", 2L, "click"),
+      // user 3: only two events → no 3-window exists, never flagged
+      (7L, "2024-01-01 10:00:00", 3L, "click"),
+      (8L, "2024-01-01 10:00:01", 3L, "click"))
+    val got = EventOps.burstFlags(e, burstEvents = 3, maxSpanSeconds = 60L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((3L, Some(2000000L), true)), s"bursty user: $got")
+    assert(got(2L) == ((3L, Some(200000000L), false)), s"slow user: $got")
+    assert(got(3L) == ((2L, None, false)), s"short-history user: $got")
+  }
+
+  test("sessionEntryExit: min_by/max_by endpoints per session, matrix rollup") {
+    val e = events(
+      // user 1, session 1: click → view → purchase
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:05:00", 1L, "view"),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // user 1, session 2 (gap > 30 min): lone error
+      (4L, "2024-01-01 12:00:00", 1L, "error"),
+      // user 2: same (click, purchase) endpoint pair → matrix count 2
+      (5L, "2024-01-01 09:00:00", 2L, "click"),
+      (6L, "2024-01-01 09:01:00", 2L, "purchase"))
+    val got = EventOps.sessionEntryExit(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("click", "purchase") -> ((2L, 5L)),
+      ("error", "error") -> ((1L, 1L))), s"entry/exit matrix: $got")
+  }
+
+  test("deseasonalizedAnomaly: leave-one-out catches the outlier week, peers stay") {
+    // the same Monday-10:00 slot across four weeks with counts
+    // 2, 2, 4, 20 — week 4 is the outage-spike; leave-one-out for it:
+    // m = 8/3, v = ((4+4+16) − 64/3)/3 = 8/9 → z ≈ 18.4. Every other
+    // slot in the spine is all-zero → variance 0 → guarded out.
+    def burst(day: String, k: Int, idBase: Long) =
+      (0 until k).map(i => (idBase + i, s"$day 10:00:${i % 60}", 7L, "click"))
+    val e = events(
+      burst("2024-01-01", 2, 100L) ++ burst("2024-01-08", 2, 200L) ++
+        burst("2024-01-15", 4, 300L) ++ burst("2024-01-22", 20, 400L): _*)
+    val got = EventOps.deseasonalizedAnomaly(e).collect()
+    assert(got.length == 1, s"exactly the spike hour: ${got.toSeq}")
+    val r = got.head
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-22 10:00") &&
+      r.getLong(1) == 20L, s"spike row: $r")
+    assert(r.getDouble(4) == 8.0 / 3 && r.getDouble(5) > 3.0, s"loo stats: $r")
+    // weeks 1-3 are unflagged even though 4 > their slot-mean — the
+    // spike inflates the leave-one-out variance for THEM
+    assert(!got.exists(_.getLong(1) == 4L))
+  }
+
+  test("burstFlags ties: same-ts events ordered by event_id, span stays exact") {
+    // two events share ts; the (ts, event_id) total order must make
+    // the 2-window span 0 µs, not nondeterministic
+    val e = events(
+      (10L, "2024-01-01 10:00:00", 7L, "click"),
+      (11L, "2024-01-01 10:00:00", 7L, "click"))
+    val r = EventOps.burstFlags(e, burstEvents = 2, maxSpanSeconds = 1L)
+      .collect().head
+    assert(r.getLong(2) == 0L && r.getBoolean(3), s"tie span: $r")
+  }
 }

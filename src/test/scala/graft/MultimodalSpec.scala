@@ -116,4 +116,24 @@ class MultimodalSpec extends SparkSpec {
       groups(2L) == ((0L, false)), s"chain closes to min id: $groups")
     assert(groups(3L) == ((3L, true)), s"isolated blob survives: $groups")
   }
+
+  test("blobPolicy: rare formats drop, byte-dominant formats cap, rest keep") {
+    // magic2 sniffs the first TWO bytes: "aa.." (3 blobs, dominant
+    // bytes), "bb.." (3 small blobs), "cc" (1 blob → rare)
+    val d = Seq(
+      (1L, "aa" + "x" * 500), (2L, "aa" + "y" * 500), (3L, "aa" + "z" * 500),
+      (4L, "bb1"), (5L, "bb2"), (6L, "bb3"),
+      (7L, "cc"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.blobPolicy(d, minCount = 3L, maxByteShare = 0.5)
+      .collect().map(r => new String(
+        java.util.HexFormat.of().parseHex(r.getString(0)),
+        "US-ASCII") -> ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    assert(got("aa") == ((3L, 1506L, "cap")), s"dominant format: $got")
+    assert(got("bb") == ((3L, 9L, "keep")), s"normal format: $got")
+    assert(got("cc") == ((1L, 2L, "drop")), s"rare format: $got")
+    // shares sum to exactly 1 (exact-long divisions over one total)
+    val shares = Multimodal.blobPolicy(d).collect().map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-12, s"share sum: ${shares.sum}")
+  }
 }

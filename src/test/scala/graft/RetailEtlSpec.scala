@@ -317,4 +317,23 @@ class RetailEtlSpec extends SparkSpec {
     val g = RetailEtl.dqDrift(empty, b, Seq("k", "v")).collect()
     assert(g.forall(_.isNullAt(g.head.fieldIndex("distinct_ratio"))))
   }
+
+  test("backfillPlan: every spine day present, zero-row days flagged as gaps") {
+    import org.apache.spark.sql.functions.col
+    val sales = Seq(
+      ("1995-01-01", 1L), ("1995-01-01", 2L), // 2 rows
+      ("1995-01-03", 3L),                     // day 2 missing entirely
+      ("1995-01-05", 4L))                     // day 4 missing
+      .toDF("d", "sale_id")
+      .withColumn("sale_date", col("d").cast("date")).drop("d")
+    val got = RetailEtl.backfillPlan(sales).collect()
+      .map(r => r.getDate(0).toString -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      "1995-01-01" -> ((2L, false)),
+      "1995-01-02" -> ((0L, true)),
+      "1995-01-03" -> ((1L, false)),
+      "1995-01-04" -> ((0L, true)),
+      "1995-01-05" -> ((1L, false))), s"backfill plan: $got")
+  }
 }

@@ -306,4 +306,24 @@ class SimilaritySpec extends SparkSpec {
         "balance is share scaled by nlist")
     }
   }
+
+  test("normProfile: exact envelope on crafted vectors, zero vectors counted") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f), 0),        // norm 5
+      (2L, Array(0.0f, 0.0f), 0),        // zero vector
+      (3L, Array(6.0f, 8.0f), 0),        // norm 10
+      (4L, Array(1.0f, 0.0f, 0.0f), 1))  // norm 1, dim 3
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.normProfile(vecs).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val l0 = got(0)
+    assert(l0.getLong(1) == 3L, s"label-0 count: $l0")
+    assert(l0.getInt(2) == 2 && l0.getInt(3) == 2, s"dims: $l0")
+    assert(l0.getDouble(4) == 0.0 && l0.getDouble(5) == 10.0, s"envelope: $l0")
+    assert(l0.getDouble(6) == 5.0, s"mean norm (5+0+10)/3: $l0")
+    assert(l0.getLong(7) == 1L, s"zero-vector count: $l0")
+    val l1 = got(1)
+    assert(l1.getLong(1) == 1L && l1.getInt(2) == 3 &&
+      l1.getDouble(4) == 1.0 && l1.getLong(7) == 0L, s"label 1: $l1")
+  }
 }
