@@ -31,8 +31,9 @@ object RecallFloors {
     // tiers, so the floors do too
     ("ann_index_ivf_probe", "ann_bruteforce_topk", 0.70),
     ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.60),
-    // incrementally-maintained index (centroids from the base half,
-    // delta appended): measured 0.755 — hash-picked half-corpus
-    // centroids cover the space as well as the full pick
-    ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.70))
+    // incrementally-maintained indexes (model state from the base
+    // half, delta appended): measured 0.755 (IVF) — hash-picked
+    // half-corpus centroids cover the space as well as the full pick
+    ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.70),
+    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.60))
 }

@@ -107,8 +107,8 @@ object SparkEntry {
     * the corresponding in-memory tier and sits under the same
     * [[RecallFloors]] gate. */
   private val annIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String)]
-  private def annIndexPaths(s: SparkSession, dir: String): (String, String, String) =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String, String)]
+  private def annIndexPaths(s: SparkSession, dir: String): (String, String, String, String) =
     annIndexCache.getOrElseUpdate((s, dir), {
       val base = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "ann-index",
@@ -116,12 +116,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       AnnIndex.buildIvf(emb, s"$base/ivf")
       AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32)
-      // the incremental twin: built on the even half ("yesterday"),
-      // the odd half appended against the STORED centroids — no
-      // retrain, no history rewrite (the daily-ingest shape)
+      // the incremental twins: built on the even half ("yesterday"),
+      // the odd half appended against the STORED centroids (and, for
+      // IVF-PQ, STORED codebooks) — no retrain, no history rewrite
+      // (the daily-ingest shape)
       AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
       AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
-      (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr")
+      AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
+        s"$base/ivfpq_incr", m = 16, nCodes = 32)
+      AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
+      (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr", s"$base/ivfpq_incr")
     })
 
   /** Force-build every shared cache for (session, dir). Bench calls
@@ -416,6 +420,11 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvf(s, annIndexPaths(s, dir)._3,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8)
+    }),
+    "ann_index_ivfpq_append_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 8)
     }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -793,6 +802,8 @@ object SparkEntry {
       EventOps.sessionConcurrency(Tables.events(s, dir))),
     "stream_user_state" -> ((s, dir) =>
       graft.streaming.EventStream.latestUserState(Tables.events(s, dir))),
+    "stream_bot_flag" -> ((s, dir) =>
+      graft.streaming.EventStream.botState(Tables.events(s, dir))),
     // the shared batch/stream CDC path, live rows only — shares
     // etl_cdc_apply's semantics (and an equivalent oracle)
     "stream_cdc_apply" -> ((s, dir) =>
@@ -916,7 +927,9 @@ object SparkEntry {
       // ts-ordered µs gap fold == the lag+cumsum session assignment
       ("stream_sessionize" -> m("q_events_sessionize")) +
       // single-batch first-seen min-fold == the first-seen join
-      ("stream_new_vs_returning" -> m("q_new_vs_returning"))
+      ("stream_new_vs_returning" -> m("q_new_vs_returning")) +
+      // ts-ordered O(w)-tail span fold == the lag(w-1) window form
+      ("stream_bot_flag" -> m("events_bot_flag"))
   }
 
   private def base: Map[String, String] = Map(

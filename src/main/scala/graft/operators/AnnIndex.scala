@@ -128,6 +128,25 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** [[appendIvf]] for the IVF-PQ layout: the delta batch is encoded
+    * with the index's STORED codebooks and assigned to its STORED
+    * centroids, then appended as cell partitions — one delta scan, no
+    * retrain, no history rewrite. Quantization drift compounds the
+    * cell-balance drift here: codebooks trained on yesterday's
+    * distribution encode tomorrow's vectors with growing
+    * reconstruction error, so the rebuild trigger is recall (the
+    * [[graft.RecallFloors]] gate) as much as cell balance. */
+  def appendIvfPq(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = loadCentroids(spark, path)
+    val cbs = loadCodebooks(spark, path)
+    newVectors
+      .select(col("vec_id"), col("embedding"),
+        gf.pqEncode(col("embedding"), cbs).as("codes"),
+        gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   /** The persisted codebooks back in [[graft.functions.gf.pqCosine]]
     * shape — m·nCodes·subDim floats, driver/broadcast-sized. */
   def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] =

@@ -440,8 +440,19 @@ object Similarity {
     // ONE sampling pass feeds both structures (IVF centroids and PQ
     // codebooks are both deterministic cuts of the same sample)
     val sample = pickCentroids(corpus, math.max(nlist, nCodes))
-    val cents = sample.take(nlist)
-    val cbs = codebooksFromSample(sample.take(nCodes), m, dim)
+    ivfPqTopKWith(corpus, queries, sample.take(nlist),
+      codebooksFromSample(sample.take(nCodes), m, dim), k, nprobe, rerank)
+  }
+
+  /** [[ivfPqTopK]] against EXPLICIT model state (centroids +
+    * codebooks) — the in-memory twin of probing a persisted IVF-PQ
+    * index whose model is already fixed
+    * ([[graft.operators.AnnIndex.probeIvfPq]]); the parity reference
+    * for incremental append, mirroring [[ivfTopKWith]]. */
+  def ivfPqTopKWith(corpus: DataFrame, queries: DataFrame,
+                    cents: Array[Array[Float]],
+                    cbs: Array[Array[Array[Float]]], k: Int = 10,
+                    nprobe: Int = 4, rerank: Int = 4): DataFrame = {
     val encoded = corpus.select(col("vec_id").as("neighbor_id"),
       gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"),
       gf.pqEncode(col("embedding"), cbs).as("codes"))

@@ -570,6 +570,66 @@ object EventStream extends Serializable {
       .toDF()
   }
 
+  case class BotEv(event_id: Long, ts_us: Long, user_id: Long)
+  case class BotState(tail: List[Long], last_us: Long, last_id: Long,
+                      n_events: Long, min_span_us: Option[Long])
+  case class BotRow(user_id: Long, n_events: Long,
+                    min_burst_span_us: Option[Long], is_bot: Boolean)
+
+  /** Streaming twin of [[graft.operators.EventOps.burstFlags]] — the
+    * continuously-maintained bot/abuse flag: per user, the tightest
+    * span covered by any `burstEvents` consecutive events, re-emitted
+    * each batch (update mode). State is O(w): the last `w−1` event
+    * timestamps (the only history any future window can reach), the
+    * running minimum span, and the last-seen (ts, event_id) cursor.
+    * Disorder contract (same as scd2State/cdcState, chaos-spec'd):
+    * events are folded in (ts, event_id) order within a batch, and a
+    * cross-batch straggler at or before the cursor is DROPPED — its
+    * true window membership is unrecoverable once the tail rolled
+    * past it, and a silently wrong (over-wide) span is worse than a
+    * documented drop. The batch run sees all history in one sorted
+    * group pass (the drop arm never fires), making it value-identical
+    * to the lag-window form — it shares `events_bot_flag`'s oracle.
+    */
+  def botState(events: DataFrame, burstEvents: Int = 20,
+               maxSpanSeconds: Long = 60L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val maxSpanUs = maxSpanSeconds * 1000000L
+
+    def fn(userId: Long, it: Iterator[BotEv],
+           st: GroupState[BotState]): BotRow = {
+      var s = st.getOption.getOrElse(
+        BotState(Nil, Long.MinValue, Long.MinValue, 0L, None))
+      it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val fresh = e.ts_us > s.last_us ||
+          (e.ts_us == s.last_us && e.event_id > s.last_id)
+        if (fresh) {
+          // tail is ascending and ≤ w−1 long; its head is exactly
+          // the (w−1)-back event, closing a w-event window with e
+          val span =
+            if (s.tail.length == burstEvents - 1) Some(e.ts_us - s.tail.head)
+            else None
+          val best = (s.min_span_us.toList ++ span.toList)
+            .reduceOption(math.min(_: Long, _: Long))
+          s = BotState((s.tail :+ e.ts_us).takeRight(burstEvents - 1),
+            e.ts_us, e.event_id, s.n_events + 1, best)
+        }
+      }
+      st.update(s)
+      BotRow(userId, s.n_events, s.min_span_us,
+        s.min_span_us.exists(_ <= maxSpanUs))
+    }
+
+    events.toDF()
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select("event_id", "ts_us", "user_id")
+      .as[BotEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class MgState(users: Map[Long, Long])
   case class UserCount(user_id: Long, n_events: Long)
 

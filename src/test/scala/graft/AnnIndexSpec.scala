@@ -49,6 +49,27 @@ class AnnIndexSpec extends SparkSpec {
       "day-2 vectors must be reachable after append")
   }
 
+  test("IVF-PQ incremental append: probe equals union build at fixed model") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val (day1, day2) = (corpus.filter(col("vec_id") % 2 === 0),
+      corpus.filter(col("vec_id") % 2 =!= 0))
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    // model state (centroids AND codebooks) comes from day 1 only;
+    // day 2 is encoded with the STORED model and appended
+    AnnIndex.buildIvfPq(day1, s"$base/ivfpq")
+    AnnIndex.appendIvfPq(day2, s"$base/ivfpq")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = pairs(AnnIndex.probeIvfPq(spark, s"$base/ivfpq", queries))
+    val cents = AnnIndex.loadCentroids(spark, s"$base/ivfpq")
+    val cbs = AnnIndex.loadCodebooks(spark, s"$base/ivfpq")
+    assert(probed == pairs(
+      Similarity.ivfPqTopKWith(corpus, queries, cents, cbs)))
+    assert(probed.exists { case (_, n) => n % 2 != 0 },
+      "day-2 vectors must be reachable after append")
+  }
+
   test("probing opens only the probed cells' files") {
     val base = Files.createTempDirectory("graft_ann").toString
     val corpus = Tables.embeddings(spark, dir)

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-two") {
+  test("rows-only queries are the documented twenty-three") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -50,7 +50,8 @@ class ContractSpec extends AnyFunSuite {
       // (AnnIndexSpec parity + AnnRecallGateSpec floors)
       "dedup_embedding_groups_lsh", "etl_dq_profile_approx",
       "events_user_lifespan_approx", "ann_index_ivf_probe",
-      "ann_index_ivfpq_probe", "ann_index_ivf_append_probe"),
+      "ann_index_ivfpq_probe", "ann_index_ivf_append_probe",
+      "ann_index_ivfpq_append_probe"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -902,6 +902,70 @@ class StreamingSpec extends SparkSpec {
         (2L, "2024-01-02", true)), "returning vs new split per user")
     } finally q.stop()
   }
+
+  test("botState: window spanning micro-batches closes; batch run matches lag form") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1L, ts(0, 5), 1L, "click", 1.0),
+      Event(2L, ts(0, 6), 1L, "click", 1.0),
+      Event(3L, ts(0, 7), 1L, "click", 1.0), // 3-window span 120 s
+      Event(4L, ts(0, 30), 2L, "click", 1.0),
+      Event(5L, ts(2, 30), 2L, "click", 1.0),
+      Event(6L, ts(4, 30), 2L, "click", 1.0)) // span 4 h — clean
+    val mem = MemoryStream[Event]
+    val q = EventStream.botState(mem.toDF(), burstEvents = 3,
+        maxSpanSeconds = 150L)
+      .writeStream.format("memory").queryName("bot_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(events.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(2): _*) // the tight window spans batches
+      q.processAllAvailable()
+      // n_events is monotone — the max-n row per user is final state
+      val fin = spark.table("bot_state").collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3)))
+        .groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(fin(1L) == ((1L, 3L, Some(120000000L), true)), s"got $fin")
+      assert(fin(2L) == ((2L, 3L, Some(14400000000L), false)), s"got $fin")
+      // batch run of the SAME code path equals the lag-window operator
+      val batchDf = events.toDF()
+      val a = EventStream.botState(batchDf, burstEvents = 3, maxSpanSeconds = 150L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toSet
+      val b = graft.operators.EventOps.burstFlags(batchDf, burstEvents = 3,
+          maxSpanSeconds = 150L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toSet
+      assert(a == b, s"stream/batch divergence: $a vs $b")
+    } finally q.stop()
+  }
+
+  test("botState disorder: a straggler at or before the cursor is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.botState(mem.toDF(), burstEvents = 3,
+        maxSpanSeconds = 150L)
+      .writeStream.format("memory").queryName("bot_chaos")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1L, ts(0, 5), 1L, "click", 1.0),
+        Event(2L, ts(0, 6), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // straggler OLDER than the cursor (0:06): documented drop — it
+      // must not count, and must not corrupt the ascending tail
+      mem.addData(Event(9L, ts(0, 3), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val afterStraggler = spark.table("bot_chaos").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)))).maxBy(_._1)
+      assert(afterStraggler == ((2L, None)),
+        s"straggler must be dropped, not folded: $afterStraggler")
+      // the next on-time event closes the window over TRUE history
+      mem.addData(Event(3L, ts(0, 7), 1L, "click", 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("bot_chaos").collect()
+        .map(r => (r.getLong(1), Option(r.get(2)), r.getBoolean(3))).maxBy(_._1)
+      assert(fin == ((3L, Some(120000000L), true)), s"final: $fin")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
