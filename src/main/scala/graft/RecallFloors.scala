@@ -35,5 +35,10 @@ object RecallFloors {
     // half, delta appended): measured 0.755 (IVF) — hash-picked
     // half-corpus centroids cover the space as well as the full pick
     ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.70),
-    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.60))
+    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.60),
+    // PCA-compressed first pass (64 → 32 dims, rerank 8) + exact
+    // rerank: measured 0.775. The 16-dim point measured 0.305 — the
+    // testdata embeddings are near-isotropic, so the spectrum gives
+    // PCA little to keep; 32 dims is the honest byte/recall point
+    ("ann_pca_topk", "ann_bruteforce_topk", 0.72))
 }

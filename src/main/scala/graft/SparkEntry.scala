@@ -430,6 +430,15 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "emb_norm_profile" -> ((s, dir) =>
       Similarity.normProfile(Tables.embeddings(s, dir))),
+    "emb_pca_project" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Pca.project(e, Pca.fit(e))
+    }),
+    "ann_pca_topk" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Pca.pcaTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
+        pcaDims = 32, rerank = 8)
+    }),
     "split_assign" -> ((s, dir) =>
       DataSplit.assign(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))

@@ -203,6 +203,27 @@ object VectorOps {
     }
     if (nq == 0.0 || nx == 0.0) -2.0 else dot / (math.sqrt(nq) * math.sqrt(nx))
   }
+
+  /** PCA projection: `y_j = components(j) · (v − mean)` — double
+    * accumulation, float output (the projected vectors feed the same
+    * float-array operators as raw embeddings). */
+  def pcaProject(v: ArrayData, mean: Array[Float],
+                 components: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Any](components.length)
+    var j = 0
+    while (j < components.length) {
+      val comp = components(j)
+      val n = math.min(v.numElements(), math.min(comp.length, mean.length))
+      var s = 0.0; var i = 0
+      while (i < n) {
+        s += comp(i).toDouble * (v.getFloat(i).toDouble - mean(i).toDouble)
+        i += 1
+      }
+      out(j) = s.toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object TextChars {

@@ -312,6 +312,33 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** PCA projection of a float vector onto `components` after mean
+  * centering — model state (mean + component matrix) rides along as
+  * codegen reference objects, like [[HyperplaneSignature]]'s planes.
+  */
+case class PcaProject(child: Expression, mean: Array[Float],
+                      components: Array[Array[Float]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(components.nonEmpty, "need at least one component")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pca_project"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.pcaProject(v.asInstanceOf[ArrayData], mean, components)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mean", mean, "float[]")
+    val comps = ctx.addReferenceObj("components", components, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorOps.pcaProject($v, $m, $comps)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encode — per-subspace L2-nearest codebook
   * index; the codebooks ride along as a codegen reference object. */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-three") {
+  test("rows-only queries are the documented twenty-five") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -51,7 +51,10 @@ class ContractSpec extends AnyFunSuite {
       "dedup_embedding_groups_lsh", "etl_dq_profile_approx",
       "events_user_lifespan_approx", "ann_index_ivf_probe",
       "ann_index_ivfpq_probe", "ann_index_ivf_append_probe",
-      "ann_index_ivfpq_append_probe"),
+      "ann_index_ivfpq_append_probe",
+      // PCA: eigen state is driver-trained, not SQL-expressible —
+      // PcaSpec invariants + the recall gate carry correctness
+      "emb_pca_project", "ann_pca_topk"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
