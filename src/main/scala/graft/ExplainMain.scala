@@ -35,7 +35,11 @@ object ExplainMain {
       "dedup_embedding_groups", "stream_scd2",
       "dedup_embedding_groups_lsh", "mm_pooled_topk",
       "ann_index_ivf_probe", "ann_index_ivfpq_probe",
-      "etl_dq_profile_approx", "events_user_lifespan_approx")
+      "etl_dq_profile_approx", "events_user_lifespan_approx",
+      "q_rolling_revenue", "q_copurchase_pagerank",
+      "events_deseasonalized_anomaly", "events_bot_flag",
+      "docs_interleave_order", "emb_pca_project", "ann_pca_topk",
+      "etl_backfill_plan", "stream_bot_flag")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

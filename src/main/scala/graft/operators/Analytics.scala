@@ -1403,13 +1403,16 @@ object Analytics {
       .unionByName(undirected.select(col("part_b").as("src"),
         col("part_a").as("dst"), col("n_orders_together").as("w")))
       .localCheckpoint(true) // deg + frac both consume it
+    // deg doubles as the node relation: one row per src by
+    // construction — no extra distinct over the edge list
     val deg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+      .localCheckpoint(true) // node seed + count + frac join share it
+    val n = deg.count()
     val frac = edges.join(deg, "src")
       .select(col("src"), col("dst"),
         (col("w").cast("double") / col("wdeg").cast("double")).as("frac"))
       .localCheckpoint(true) // re-joined every iteration
-    val n = frac.select("src").distinct().count()
-    var pr = frac.select(col("src").as("id")).distinct()
+    var pr = deg.select(col("src").as("id"))
       .withColumn("pr", lit(1.0) / n.toDouble)
     for (_ <- 1 to iters) {
       pr = frac.join(pr, col("src") === col("id"))
