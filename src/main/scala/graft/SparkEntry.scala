@@ -205,6 +205,9 @@ object SparkEntry {
       Analytics.rollingRevenue(Tables.lineitem(s, dir))),
     "q_copurchase_pagerank" -> ((s, dir) =>
       Analytics.copurchasePagerank(Tables.lineitem(s, dir))),
+    "q_supplier_reliability" -> ((s, dir) =>
+      Analytics.supplierReliability(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.supplier(s, dir))),
     "q_semi_anti" -> ((s, dir) =>
       Analytics.customerOrderPresence(Tables.customer(s, dir), Tables.orders(s, dir))),
     "q_rollup_revenue" -> ((s, dir) =>
@@ -249,6 +252,8 @@ object SparkEntry {
       EventOps.burstFlags(Tables.events(s, dir))),
     "events_deseasonalized_anomaly" -> ((s, dir) =>
       EventOps.deseasonalizedAnomaly(Tables.events(s, dir))),
+    "q_events_funnel_windowed" -> ((s, dir) =>
+      EventOps.funnelWindowed(Tables.events(s, dir))),
     "events_session_entry_exit" -> ((s, dir) =>
       EventOps.sessionEntryExit(Tables.events(s, dir))),
     "q_events_unpivot" -> ((s, dir) =>
@@ -454,6 +459,8 @@ object SparkEntry {
       DataSplit.shuffleShards(Tables.documents(s, dir), nShards = 4)),
     "docs_interleave_order" -> ((s, dir) =>
       DataSplit.interleaveOrder(Tables.documents(s, dir))),
+    "docs_ngram_diversity" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(Tables.documents(s, dir))),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "docs_contamination_by_source" -> ((s, dir) =>
@@ -1122,6 +1129,27 @@ object SparkEntry {
         |FROM d WINDOW w AS (ORDER BY day
         | RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
         .stripMargin.replace("\n", " "),
+    "q_supplier_reliability" ->
+      // the Wilson bound is a fixed closed form over the exact
+      // (n_lines, n_late) integers — written with the identical
+      // sub-expression shapes as the Spark side, so no rounding
+      """WITH st AS (SELECT l_suppkey, count(*) AS n_lines,
+        | CAST(sum(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 90 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+        |SELECT s_suppkey, s_name, n_lines, n_late,
+        | CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE) AS late_rate,
+        | ((CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |    + 1.96 * 1.96 / (2.0 * CAST(n_lines AS DOUBLE)))
+        |  - 1.96 * sqrt((CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE)
+        |     * (1.0 - CAST(n_late AS DOUBLE) / CAST(n_lines AS DOUBLE))
+        |     + 1.96 * 1.96 / (4.0 * CAST(n_lines AS DOUBLE)))
+        |    / CAST(n_lines AS DOUBLE)))
+        | / (1.0 + 1.96 * 1.96 / CAST(n_lines AS DOUBLE))
+        |  AS late_rate_wilson_lb
+        |FROM st JOIN supplier ON l_suppkey = s_suppkey"""
+        .stripMargin.replace("\n", " "),
     "q_copurchase_pagerank" ->
       // the three power iterations unrolled as CTEs; every engine-
       // crossing expression is written identically (frac, teleport,
@@ -1178,6 +1206,21 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(ts) AS session_start,
         | max(ts) AS session_end, count(*) AS num_events, sum(value) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+    "q_events_funnel_windowed" ->
+      """WITH s AS (SELECT user_id, min(ts) AS sts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts
+        |  FROM events e JOIN s ON s.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s.sts
+        |   AND e.ts <= s.sts + INTERVAL 60 MINUTE GROUP BY 1),
+        |p AS (SELECT e.user_id
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.cts
+        |   AND e.ts <= c.cts + INTERVAL 60 MINUTE GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s) AS n_signup,
+        | (SELECT count(*) FROM c) AS n_click_within,
+        | (SELECT count(*) FROM p) AS n_purchase_within"""
+        .stripMargin.replace("\n", " "),
     "events_deseasonalized_anomaly" ->
       // LEAVE-ONE-OUT slot stats from exact integer sums; mean/
       // variance/z are the identical fixed expression in both
@@ -2502,6 +2545,23 @@ object SparkEntry {
         |        < 'f3333333' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin.replace("\n", " "),
+    "docs_ngram_diversity" ->
+      // per-doc-distinct grams (the token_ngrams kernel's SQL
+      // spelling twin); diversity = one division of two exact longs
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |j AS (SELECT d.source, g.doc_id, g.gram
+        |  FROM g JOIN documents d USING (doc_id))
+        |SELECT source, count(DISTINCT doc_id) AS n_docs,
+        | count(*) AS total_grams, count(DISTINCT gram) AS vocab,
+        | CAST(count(DISTINCT gram) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS diversity
+        |FROM j GROUP BY 1""".stripMargin.replace("\n", " "),
     "docs_interleave_order" ->
       // strict round-robin across sources: doc i of source s lands
       // at (i-1)·n_sources + src_idx — all integer-exact

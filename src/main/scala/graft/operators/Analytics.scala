@@ -1377,6 +1377,42 @@ object Analytics {
       .select("p_partkey", "p_retailprice", "p_size")
   }
 
+  /** Supplier reliability under uncertainty — late-shipment rate per
+    * supplier with a WILSON lower confidence bound, the ranking a
+    * procurement planner actually sorts by: a raw rate ranks a
+    * 1-for-1 supplier above a 95-of-100 one; the Wilson bound
+    * penalizes thin evidence. One fact-side join (orders broadcast
+    * or shuffled on the key — Catalyst's call), one hash aggregate
+    * to (n, k) per supplier, then the bound is a FIXED closed-form
+    * expression over those two exact integers — identical in any
+    * engine, no rounding needed (the lateness test itself is integer
+    * `datediff`).
+    */
+  def supplierReliability(lineitem: DataFrame, orders: DataFrame,
+                          supplier: DataFrame, lateDays: Int = 90,
+                          z: Double = 1.96): DataFrame = {
+    val z2 = z * z
+    val stats = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"),
+        when(datediff(to_date(col("l_shipdate")),
+          to_date(col("o_orderdate"))) > lateDays, 1L).otherwise(0L).as("late"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"), sum("late").as("n_late"))
+    val nD = col("n_lines").cast("double")
+    val p = col("n_late").cast("double") / nD
+    val center = p + lit(z2) / (lit(2.0) * nD)
+    val radius = lit(z) *
+      sqrt((p * (lit(1.0) - p) + lit(z2) / (lit(4.0) * nD)) / nD)
+    val denom = lit(1.0) + lit(z2) / nD
+    stats
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"), col("n_late"),
+        p.as("late_rate"),
+        ((center - radius) / denom).as("late_rate_wilson_lb"))
+  }
+
   /** Weighted PageRank over the co-purchase graph — "which products
     * sit at the center of the catalog": nodes are parts, edges the
     * [[basketAffinity]] pair counts (giant-order guard + support

@@ -506,6 +506,33 @@ object EventOps {
       .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_after")))
   }
 
+  /** Time-bounded conversion funnel — [[funnel]] with a conversion
+    * WINDOW: a click only counts within `windowMinutes` of the
+    * signup, a purchase within `windowMinutes` of that click. The
+    * unbounded funnel answers "did they ever convert"; campaign and
+    * UX analysis needs "did they convert promptly", and at 100 TB
+    * the bound also caps how much history any user comparison can
+    * reach. Same three-aggregate min-chain shape (each stage one
+    * shuffle on user_id), native timestamp + interval comparison at
+    * full µs precision.
+    */
+  def funnelWindowed(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val win = make_dt_interval(lit(0), lit(0), lit(windowMinutes), lit(0))
+    val signup = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val click = events.filter(col("event_type") === "click")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("signup_ts") && col("ts") <= col("signup_ts") + win)
+      .groupBy("user_id").agg(min("ts").as("click_ts"))
+    val purchase = events.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") > col("click_ts") && col("ts") <= col("click_ts") + win)
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_within")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_within")))
+  }
+
   /** Last-touch attribution: each purchase is attributed to the
     * user's most recent click no older than `windowHours` before it;
     * per purchase day, how many purchases were click-attributed vs

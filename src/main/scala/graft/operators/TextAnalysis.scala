@@ -688,4 +688,30 @@ object TextAnalysis {
         sum("n_tokens").as("total_tokens"),
         min("n_tokens").as("min_tokens"),
         max("n_tokens").as("max_tokens"))
+
+  /** Per-source n-gram diversity — the corpus-variety diagnostic a
+    * data-mixture designer reads next to the dup rate: a source
+    * whose gram vocabulary is tiny relative to its gram volume is
+    * template/boilerplate text even when no two documents are
+    * near-dups (within-doc repetition is [[repetitionProfile]]'s
+    * job; this catches CROSS-doc sameness below the dedup
+    * threshold). Grams are per-doc distinct via the fused
+    * [[graft.functions.gf.tokenNgrams]] kernel (SQL-spelling parity
+    * twin spec-held), so `total_grams` counts each doc's vocabulary
+    * contribution once. `diversity` is one division of two exact
+    * longs. Scale note: the per-source distinct-gram count is the
+    * expensive half at 100 TB — the documented swap is
+    * `approx_count_distinct`, the `etl_dq_profile_approx` pattern.
+    */
+  def ngramDiversity(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("source"), col("doc_id"),
+        explode(graft.functions.gf.tokenNgrams(col("text"), n)).as("gram"))
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_grams"),
+        countDistinct(col("gram")).as("vocab"),
+        (countDistinct(col("gram")).cast("double") /
+          count(lit(1)).cast("double")).as("diversity"))
 }

@@ -499,6 +499,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(disc.getDouble(1) == 50.0 && disc.getDouble(2) == 50.0)
   }
 
+  test("supplierReliability: Wilson bound flips the thin-evidence ranking") {
+    // supplier 1: one line, late (raw rate 1.0). supplier 2: 100
+    // lines, 95 late (raw 0.95). Raw ranks s1 worse; the lower
+    // bound must rank s2 worse — evidence beats a single bad sample.
+    val orders = Seq((1L, "1995-01-01")).toDF("o_orderkey", "d")
+      .withColumn("o_orderdate", $"d".cast("timestamp")).drop("d")
+    def line(supp: Long, late: Boolean, i: Int) =
+      (1L, supp, if (late) "1995-06-01" else "1995-01-15", i)
+    val li = (Seq(line(1L, late = true, 0)) ++
+      (0 until 95).map(i => line(2L, late = true, i)) ++
+      (0 until 5).map(i => line(2L, late = false, 100 + i)))
+      .toDF("l_orderkey", "l_suppkey", "d", "i")
+      .withColumn("l_shipdate", $"d".cast("timestamp")).drop("d", "i")
+    val supp = Seq((1L, "one_bad"), (2L, "consistently_bad"))
+      .toDF("s_suppkey", "s_name")
+    val got = Analytics.supplierReliability(li, orders, supp).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    val (rate1, lb1) = got(1L); val (rate2, lb2) = got(2L)
+    assert(rate1 == 1.0 && rate2 == 0.95, s"raw rates: $got")
+    assert(rate1 > rate2 && lb1 < lb2, s"wilson must flip the order: $got")
+    // hand-computed closed form for (n=1, k=1), z=1.96
+    val z = 1.96; val z2 = z * z
+    val expect1 = ((1.0 + z2 / 2.0) - z * math.sqrt((0.0 + z2 / 4.0) / 1.0)) /
+      (1.0 + z2)
+    assert(math.abs(lb1 - expect1) < 1e-12, s"lb1 $lb1 vs $expect1")
+    assert(got.values.forall { case (p, lb) => lb >= 0.0 && lb <= p },
+      s"bound must sit in [0, p]: $got")
+  }
+
   test("copurchasePagerank: mass conserved, hub ranks highest, partition-invariant") {
     // star: part 1 co-purchased with 2, 3, 4 (each pair in two
     // orders to clear minOrders); no leaf-leaf edges

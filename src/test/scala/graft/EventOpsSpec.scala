@@ -423,6 +423,31 @@ class EventOpsSpec extends SparkSpec {
       ("error", "error") -> ((1L, 1L))), s"entry/exit matrix: $got")
   }
 
+  test("funnelWindowed: only prompt conversions count") {
+    val e = events(
+      // user 1: signup → click 10 min later → purchase 10 min after
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (2L, "2024-01-01 10:10:00", 1L, "click"),
+      (3L, "2024-01-01 10:20:00", 1L, "purchase"),
+      // user 2: click 2 h after signup — outside the 60-min window,
+      // so the later purchase can never count either
+      (4L, "2024-01-01 10:00:00", 2L, "signup"),
+      (5L, "2024-01-01 12:00:00", 2L, "click"),
+      (6L, "2024-01-01 12:05:00", 2L, "purchase"),
+      // user 3: prompt click, purchase 2 h after the click — click
+      // stage counts, purchase stage does not
+      (7L, "2024-01-01 10:00:00", 3L, "signup"),
+      (8L, "2024-01-01 10:05:00", 3L, "click"),
+      (9L, "2024-01-01 12:30:00", 3L, "purchase"))
+    val r = EventOps.funnelWindowed(e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 2L, 1L)),
+      s"windowed funnel counts: $r")
+    // the unbounded funnel sees all three users convert fully
+    val u = EventOps.funnel(e).collect().head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) == ((3L, 3L, 3L)),
+      s"unbounded funnel: $u")
+  }
+
   test("deseasonalizedAnomaly: leave-one-out catches the outlier week, peers stay") {
     // the same Monday-10:00 slot across four weeks with counts
     // 2, 2, 4, 20 — week 4 is the outage-spike; leave-one-out for it:

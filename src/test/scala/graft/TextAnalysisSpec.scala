@@ -357,4 +357,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c.getLong(2) == 1L && c.getLong(3) == 2L,
       s"case/tail variants share one prefix: $c")
   }
+
+  test("ngramDiversity: template source scores low, unique source scores 1") {
+    val docs = Seq(
+      // template: two identical 4-token docs → each contributes 2
+      // distinct grams, vocab stays 2 → diversity 2/4 = 0.5
+      (1L, "the same boiler plate", "template"),
+      (2L, "the same boiler plate", "template"),
+      // unique: disjoint texts → vocab == total → diversity 1.0
+      (3L, "one two three four", "unique"),
+      (4L, "five six seven eight", "unique"),
+      // too short for a 3-gram → contributes nothing, source absent
+      (5L, "tiny doc", "empty"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.ngramDiversity(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("template") == ((2L, 4L, 2L, 0.5)), s"template: $got")
+    assert(got("unique") == ((2L, 4L, 4L, 1.0)), s"unique: $got")
+    assert(!got.contains("empty"), s"gramless source must be absent: $got")
+  }
 }
