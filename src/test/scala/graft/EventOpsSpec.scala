@@ -446,6 +446,23 @@ class EventOpsSpec extends SparkSpec {
     val u = EventOps.funnel(e).collect().head
     assert((u.getLong(0), u.getLong(1), u.getLong(2)) == ((3L, 3L, 3L)),
       s"unbounded funnel: $u")
+    // degenerate-window property: a window wider than the corpus
+    // span makes the windowed form collapse to the unbounded one
+    val wide = EventOps.funnelWindowed(e, windowMinutes = 100000).collect().head
+    assert((wide.getLong(0), wide.getLong(1), wide.getLong(2)) ==
+      ((u.getLong(0), u.getLong(1), u.getLong(2))),
+      s"huge window must equal the unbounded funnel: $wide vs $u")
+  }
+
+  test("burstFlags is partition-invariant") {
+    val e = events((0 until 40).map(i =>
+      (i.toLong, f"2024-01-01 10:${i / 30}%02d:${(i * 7) % 60}%02d",
+        (i % 3).toLong, "click")): _*)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventOps.burstFlags(df, burstEvents = 5, maxSpanSeconds = 120L)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)), r.getBoolean(3))).toSet
+    assert(run(e) == run(e.repartition(7)), "partition-dependent burst flags")
   }
 
   test("deseasonalizedAnomaly: leave-one-out catches the outlier week, peers stay") {

@@ -283,4 +283,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
+
+  test("interleaveOrder windows stay banded — no corpus-wide single partition") {
+    // the per-source rank must come from the banded two-phase prefix,
+    // never a window over (source) alone: that would funnel each
+    // source's entire corpus through one task
+    val p = plan(graft.operators.DataSplit.interleaveOrder(
+      Tables.documents(spark, dir)))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interleave must stay equi-join only:\n$p")
+    val rowNumberSpecs = "row_number.*windowspecdefinition\\(source[^,]*, band".r
+    assert(rowNumberSpecs.findFirstIn(p).isDefined,
+      s"corpus row_number must partition by (source, band):\n$p")
+  }
+
+  test("supplierReliability ships the dim broadcast, one fact aggregate") {
+    val p = plan(Analytics.supplierReliability(Tables.lineitem(spark, dir),
+      Tables.orders(spark, dir), Tables.supplier(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"(n, k) must pre-aggregate map-side:\n$p")
+  }
+
+  test("deseasonalizedAnomaly broadcasts the 168-row profile onto the series") {
+    val p = plan(graft.operators.EventOps.deseasonalizedAnomaly(
+      Tables.events(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"slot profile must broadcast, not shuffle the hour series:\n$p")
+  }
 }
