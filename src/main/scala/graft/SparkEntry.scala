@@ -754,6 +754,11 @@ object SparkEntry {
       Dedup.incrementalNearDupPairs(
         d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
     }),
+    "docs_curate_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Curation.curateIncremental(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
     "q_top_supplier" -> ((s, dir) =>
       Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "q_small_qty_revenue" -> ((s, dir) =>
@@ -820,6 +825,10 @@ object SparkEntry {
       graft.streaming.EventStream.latestUserState(Tables.events(s, dir))),
     "stream_bot_flag" -> ((s, dir) =>
       graft.streaming.EventStream.botState(Tables.events(s, dir))),
+    "stream_deseasonalized" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      graft.streaming.EventStream.deseasonalizedGate(e, EventOps.slotProfile(e))
+    }),
     // the shared batch/stream CDC path, live rows only — shares
     // etl_cdc_apply's semantics (and an equivalent oracle)
     "stream_cdc_apply" -> ((s, dir) =>
@@ -1248,6 +1257,36 @@ object SparkEntry {
         |SELECT hb AS hour_bucket, n_events, dow, hour_of_day,
         | m AS profile_mean, (n_events - m) / sqrt(v) AS z
         |FROM j WHERE v > 0 AND abs((n_events - m) / sqrt(v)) > 3.0"""
+        .stripMargin.replace("\n", " "),
+    "stream_deseasonalized" ->
+      // batch degenerate of the streaming gate: observed (unspined)
+      // hours scored PLAIN (not leave-one-out) against the
+      // spine-filled slot profile — the profile is external to the
+      // scorer, so no self-exclusion; 1.5σ because the batch run
+      // trains and scores on the same log (see the gate's scaladoc)
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hb, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |   AS hb FROM b),
+        |f AS (SELECT spine.hb, coalesce(h.n, 0) AS n,
+        |  CAST(dayofweek(spine.hb) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(spine.hb) AS BIGINT) AS hour_of_day
+        | FROM spine LEFT JOIN h USING (hb)),
+        |p AS (SELECT dow, hour_of_day, count(*) AS cnt,
+        |  CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+        | FROM f GROUP BY 1, 2),
+        |o AS (SELECT hb, n, CAST(dayofweek(hb) + 1 AS BIGINT) AS dow,
+        |  CAST(hour(hb) AS BIGINT) AS hour_of_day FROM h),
+        |j AS (SELECT o.hb, CAST(o.n AS BIGINT) AS n_events, o.dow,
+        |  o.hour_of_day,
+        |  CAST(s1 AS DOUBLE) / CAST(cnt AS DOUBLE) AS m,
+        |  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+        |    / CAST(cnt AS DOUBLE)) / CAST(cnt AS DOUBLE) AS v
+        | FROM o JOIN p USING (dow, hour_of_day))
+        |SELECT hb AS hour_bucket, n_events, dow, hour_of_day,
+        | m AS profile_mean, (n_events - m) / sqrt(v) AS z
+        |FROM j WHERE v > 0 AND abs((n_events - m) / sqrt(v)) > 1.5"""
         .stripMargin.replace("\n", " "),
     "events_bot_flag" ->
       // tightest 20-event span per user, exact integer microseconds
@@ -3244,6 +3283,66 @@ object SparkEntry {
         |  JOIN g gb ON gb.doc_id = p.corpus_id)
         |SELECT new_id, corpus_id, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
+        .stripMargin.replace("\n", " "),
+    "docs_curate_incremental" ->
+      // the daily-ingest curation gate, every stage deterministic:
+      // quality on the delta only, batch keep-min, exact-vs-history
+      // fingerprints, near-dup-vs-history (df over gated-delta ∪
+      // history, the incrementalNearDupPairs scope), benchmark slice
+      // + decontamination vs the static benchmark
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |q AS (SELECT doc_id FROM (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t WHERE doc_id % 10 = 0) s
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        |bx AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |hist AS (SELECT DISTINCT
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        | FROM documents WHERE doc_id % 10 <> 0),
+        |fresh AS (SELECT doc_id FROM documents b
+        | WHERE doc_id IN (SELECT doc_id FROM bx)
+        |  AND NOT EXISTS (SELECT 1 FROM hist
+        |   WHERE hist.norm = trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))),
+        |tl AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |gl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM tl
+        | WHERE doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM q)),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
+        |dfr AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS new_id, c.doc_id AS corpus_id
+        |  FROM inv a JOIN dfr ON dfr.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+        |   AND dfr.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |nd AS (SELECT DISTINCT p.new_id AS doc_id FROM p
+        | JOIN gl ga ON ga.doc_id = p.new_id JOIN gl gb ON gb.doc_id = p.corpus_id
+        | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |  / (len(ga.grams) + len(gb.grams)
+        |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 0 AND doc_id % 97 <> 0) c
+        |  JOIN bench USING (gram))
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM fresh)
+        | AND d.doc_id % 97 <> 0
+        | AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+        | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
     "q_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,

@@ -50,6 +50,54 @@ object Curation {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** INCREMENTAL curation — the daily-ingest twin of [[curate]]: only
+    * the new batch is scored, gated, and deduplicated; history is
+    * consulted, never re-curated. The gates, in order: per-doc
+    * quality/token bounds (pure per-document — scoring the delta
+    * alone is exact, not an approximation), batch-internal exact
+    * dedup (keep-min within the delta), exact-vs-history
+    * ([[Dedup.incrementalExact]] — history reduces to distinct
+    * fingerprints; production reads the [[DedupStore]] instead of
+    * text), near-dup-vs-history ([[Dedup.incrementalNearDupPairs]] —
+    * new×corpus candidates only, old×old pairs never form), benchmark
+    * slice exclusion, and decontamination against the STATIC
+    * benchmark (history text is touched only for its benchmark
+    * slice — the gram side of history never rescans). Every gate is
+    * deterministic, so the whole composition is oracle-checked; at
+    * 100 TB the nightly cost is O(delta) + fingerprint-sized history
+    * reads, vs [[curateFull]]'s O(corpus) full rebuild.
+    */
+  def curateIncremental(newDocs: DataFrame, corpus: DataFrame,
+                        minTokens: Long = 20L, maxTokens: Long = 100000L,
+                        minQuality: Double = 0.2, benchMod: Int = 97,
+                        tau: Double = 0.5): DataFrame = {
+    val quality = scoreDocs(newDocs)
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality)
+      .select("doc_id")
+    val gated = newDocs.join(quality, Seq("doc_id"), "left_semi")
+    // exact: within-batch keep-min, then anti-join history fingerprints
+    val batchKeep = Dedup.exact(gated).select("doc_id")
+    val fresh = Dedup.incrementalExact(
+      gated.join(batchKeep, Seq("doc_id"), "left_semi"), corpus)
+      .select("doc_id")
+    // near-dup drop list: quality-gated delta × history only
+    val nearDup = Dedup.incrementalNearDupPairs(gated, corpus, tau = tau)
+      .select(col("new_id").as("doc_id")).distinct()
+    // decontamination vs the static benchmark: history contributes
+    // ONLY its benchmark slice (tiny) — never a full text rescan
+    val contaminated = TextAnalysis.decontaminate(
+      newDocs.unionByName(corpus.filter(col("doc_id") % benchMod === 0)),
+      n = 3, benchMod = benchMod)
+      .select("doc_id")
+    gated
+      .join(fresh, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % benchMod =!= 0)
+      .join(nearDup, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Per-source document cap — the "no domain dominates the corpus"
     * curation gate: keep at most `cap` docs per source, ranked by the
     * shared quality score (desc; ties → doc_id asc). The rank engine

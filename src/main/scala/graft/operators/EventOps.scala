@@ -894,23 +894,8 @@ object EventOps {
     * back onto the hour series.
     */
   def deseasonalizedAnomaly(events: DataFrame, sigmas: Double = 3.0): DataFrame = {
-    val hourly = events
-      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // bounds agg + spine join share it
-    val bounds = hourly.agg(
-      min("hour_bucket").as("lo"), max("hour_bucket").as("hi"))
-    val spine = bounds.select(explode(
-      sequence(col("lo"), col("hi"), expr("interval 1 hour")))
-      .as("hour_bucket"))
-    val slotted = spine.join(hourly, Seq("hour_bucket"), "left")
-      .select(col("hour_bucket"), coalesce(col("n"), lit(0L)).as("n"),
-        dayofweek(col("hour_bucket")).cast("long").as("dow"),
-        hour(col("hour_bucket")).cast("long").as("hour_of_day"))
-      .localCheckpoint(true) // profile agg + residual join share it
-    val profile = slotted.groupBy("dow", "hour_of_day")
-      .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
-        sum(col("n") * col("n")).as("s2"))
+    val slotted = slottedHours(events)
+    val profile = slotProfileOf(slotted)
     val rest = (col("cnt") - lit(1L)).cast("double")
     val m = (col("s1") - col("n")).cast("double") / rest
     val v = ((col("s2") - col("n") * col("n")).cast("double") -
@@ -925,6 +910,41 @@ object EventOps {
       .filter(col("variance") > 0.0 && abs(col("z")) > sigmas)
       .drop("variance")
   }
+
+  /** The spine-filled hourly series with (dow, hour-of-day) slot
+    * keys — shared by [[deseasonalizedAnomaly]] (profile + residual
+    * join) and [[slotProfile]]. Pinned: both consumers would
+    * otherwise re-aggregate the event log. */
+  private def slottedHours(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // bounds agg + spine join share it
+    val bounds = hourly.agg(
+      min("hour_bucket").as("lo"), max("hour_bucket").as("hi"))
+    val spine = bounds.select(explode(
+      sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+      .as("hour_bucket"))
+    spine.join(hourly, Seq("hour_bucket"), "left")
+      .select(col("hour_bucket"), coalesce(col("n"), lit(0L)).as("n"),
+        dayofweek(col("hour_bucket")).cast("long").as("dow"),
+        hour(col("hour_bucket")).cast("long").as("hour_of_day"))
+      .localCheckpoint(true) // profile agg + residual join share it
+  }
+
+  private def slotProfileOf(slotted: DataFrame): DataFrame =
+    slotted.groupBy("dow", "hour_of_day")
+      .agg(count(lit(1)).as("cnt"), sum("n").as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+
+  /** The exported (dow × hour-of-day) slot statistics — the MODEL a
+    * streaming scorer ([[graft.streaming.EventStream
+    * .deseasonalizedGate]]) broadcasts against live hourly counts:
+    * (cnt, Σn, Σn²) per slot over the spine-filled series, 168 rows,
+    * exact integers. Train on yesterday's log, score today's stream.
+    */
+  def slotProfile(events: DataFrame): DataFrame =
+    slotProfileOf(slottedHours(events))
 
   /** Burst (bot/abuse) detection — the training-data-pipeline intake
     * gate that flags automated traffic before events feed any

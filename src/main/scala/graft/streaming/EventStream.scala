@@ -570,6 +570,45 @@ object EventStream extends Serializable {
       .toDF()
   }
 
+  /** Streaming volume-anomaly gate against a STATIC slot profile —
+    * the production monitoring shape: [[graft.operators.EventOps
+    * .slotProfile]] trains (dow × hour-of-day) statistics on
+    * yesterday's log, this scores today's stream against them. The
+    * stream side is a watermarked tumbling-hour count (bounded
+    * state); the 168-row profile BROADCASTS, so micro-batches never
+    * shuffle for the join, and mean/variance/z are the same fixed
+    * exact-integer expressions as the batch operator. Two documented
+    * deltas vs [[graft.operators.EventOps.deseasonalizedAnomaly]]:
+    * a stream cannot emit absent hours, so zero-event hours are not
+    * scored (the profile still counts them); and the profile is
+    * EXTERNAL — when the batch degenerate scores the same log the
+    * profile was trained on, the scored hour sits inside its own
+    * slot statistics and |z| is bounded by √(cnt−1) (the
+    * self-masking effect the batch operator's leave-one-out design
+    * removes), which is why the driver key gates at 1.5σ while a
+    * production deploy with a disjoint profile uses 3σ.
+    */
+  def deseasonalizedGate(events: DataFrame, profile: DataFrame,
+                         sigmas: Double = 1.5): DataFrame = {
+    val slotted = withWatermarkIfStreaming(events, "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_bucket"), col("n"))
+      .withColumn("dow", dayofweek(col("hour_bucket")).cast("long"))
+      .withColumn("hour_of_day", hour(col("hour_bucket")).cast("long"))
+    val m = col("s1").cast("double") / col("cnt").cast("double")
+    val v = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") /
+        col("cnt").cast("double")) / col("cnt").cast("double")
+    slotted.join(broadcast(profile), Seq("dow", "hour_of_day"))
+      .select(col("hour_bucket"), col("n").as("n_events"),
+        col("dow"), col("hour_of_day"),
+        m.as("profile_mean"), v.as("variance"),
+        ((col("n").cast("double") - m) / sqrt(v)).as("z"))
+      .filter(col("variance") > 0.0 && abs(col("z")) > sigmas)
+      .drop("variance")
+  }
+
   case class BotEv(event_id: Long, ts_us: Long, user_id: Long)
   case class BotState(tail: List[Long], last_us: Long, last_id: Long,
                       n_events: Long, min_span_us: Option[Long])

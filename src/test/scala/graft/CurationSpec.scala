@@ -288,4 +288,33 @@ class CurationSpec extends SparkSpec {
       0L -> (2L, 2L, 1.0),
       9L -> (1L, 0L, 0.0)), s"profile: $out")
   }
+
+  test("curateIncremental gates the delta against history, never rescores it") {
+    def doc(id: Long, text: String) = (id, text, "en", "src", text.length.toLong)
+    val history = Seq(
+      doc(100L, "alpha beta gamma delta epsilon zeta"),
+      doc(101L, "totally different historic content words here"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta = Seq(
+      // near-dup of history 100: shares 3 rare grams, jaccard 3/5
+      doc(10L, "alpha beta gamma delta epsilon eta"),
+      // exact dup of history 101
+      doc(11L, "totally different historic content words here"),
+      // batch-internal dup pair: min id 12 survives, 13 dies
+      doc(12L, "fresh unique sentence one two three"),
+      doc(13L, "fresh unique sentence one two three"),
+      // quality kill: below minTokens
+      doc(14L, "x"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Curation.curateIncremental(delta, history,
+      minTokens = 2L, minQuality = 0.0).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L),
+      s"only the fresh unique batch winner survives: $kept")
+    // the near-dup threshold is live: loosening tau above the crafted
+    // pair's jaccard (0.6) lets doc 10 back in
+    val loose = Curation.curateIncremental(delta, history,
+      minTokens = 2L, minQuality = 0.0, tau = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose == Set(10L, 12L), s"tau gate must be the dropper: $loose")
+  }
 }

@@ -939,6 +939,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deseasonalizedGate scores streamed hours against the static profile") {
+    implicit val sqlCtx = spark.sqlContext
+    // history: the Monday-10:00 slot across four weeks with counts
+    // 1, 2, 3, 2 → m = 2, v = 0.5; every other slot is all-zero in
+    // the spine → v = 0 → never scored
+    val hist = Seq(
+      (1L, LocalDateTime.of(2024, 1, 1, 10, 30, 0)),
+      (2L, LocalDateTime.of(2024, 1, 8, 10, 10, 0)),
+      (3L, LocalDateTime.of(2024, 1, 8, 10, 40, 0)),
+      (4L, LocalDateTime.of(2024, 1, 15, 10, 5, 0)),
+      (5L, LocalDateTime.of(2024, 1, 15, 10, 25, 0)),
+      (6L, LocalDateTime.of(2024, 1, 15, 10, 45, 0)),
+      (7L, LocalDateTime.of(2024, 1, 22, 10, 15, 0)),
+      (8L, LocalDateTime.of(2024, 1, 22, 10, 35, 0)))
+      .map { case (id, t) => Event(id, t, 1L, "click", 1.0) }
+      .toDF()
+    val profile = graft.operators.EventOps.slotProfile(hist)
+    val mem = MemoryStream[Event]
+    val q = EventStream.deseasonalizedGate(mem.toDF(), profile)
+      .writeStream.format("memory").queryName("deseason_gate")
+      .outputMode("append").start()
+    try {
+      // next Monday 10:00 spikes to 10 events; the 14:00 straggler
+      // advances the watermark past the window end so it emits
+      val spike = (0 until 10).map(i => Event(100L + i,
+        LocalDateTime.of(2024, 1, 29, 10, i, 0), 1L, "click", 1.0))
+      mem.addData(spike: _*)
+      q.processAllAvailable()
+      mem.addData(Event(200L, LocalDateTime.of(2024, 1, 29, 14, 0, 0),
+        1L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("deseason_gate").collect()
+      assert(rows.length == 1, s"exactly the spike hour: ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getLong(1) == 10L && r.getDouble(4) == 2.0, s"spike row: $r")
+      assert(math.abs(r.getDouble(5) - 8.0 / math.sqrt(0.5)) < 1e-9,
+        s"z = (10-2)/sqrt(0.5): $r")
+    } finally q.stop()
+  }
+
   test("botState disorder: a straggler at or before the cursor is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
