@@ -684,6 +684,11 @@ object SparkEntry {
       Multimodal.typeSummary(Tables.documents(s, dir))),
     "mm_blob_policy" -> ((s, dir) =>
       Multimodal.blobPolicy(Tables.documents(s, dir))),
+    "mm_blob_dedup_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Multimodal.incrementalBlobPairs(
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+    }),
     "sample_uniform_k_agg" -> ((s, dir) =>
       Sampling.uniformKPerStratumAgg(Tables.documents(s, dir), "doc_id", "source", k = 5)
         .select("source", "sample_rank", "doc_id")),
@@ -1766,6 +1771,25 @@ object SparkEntry {
         | round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS chunk_jaccard
         |FROM sh JOIN sz sa ON sa.doc_id = sh.id_a
         | JOIN sz sb ON sb.doc_id = sh.id_b
+        |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.3"""
+        .stripMargin.replace("\n", " "),
+    "mm_blob_dedup_incremental" ->
+      // new×history pairs only; chunk df capped over the union
+      """WITH f AS (SELECT doc_id, md5(substr(text, i * 128 + 1, 64)) AS fmd5
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0,
+        |   greatest((length(text) - 1) // 128, 0))) AS i) g),
+        |pd AS (SELECT DISTINCT doc_id, fmd5 FROM f),
+        |sz AS (SELECT doc_id, count(*) AS n FROM pd GROUP BY 1),
+        |d AS (SELECT fmd5, count(*) AS df FROM pd GROUP BY 1),
+        |sh AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |  count(*) AS n_shared
+        |  FROM pd a JOIN d USING (fmd5) JOIN pd b USING (fmd5)
+        |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |   AND d.df BETWEEN 2 AND 64 GROUP BY 1, 2)
+        |SELECT new_id, corpus_id, n_shared,
+        | round(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS chunk_jaccard
+        |FROM sh JOIN sz sa ON sa.doc_id = sh.new_id
+        | JOIN sz sb ON sb.doc_id = sh.corpus_id
         |WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.3"""
         .stripMargin.replace("\n", " "),
     "mm_dedup_groups" ->

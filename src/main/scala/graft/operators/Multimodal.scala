@@ -123,6 +123,48 @@ object Multimodal {
       .select("id_a", "id_b", "n_shared", "chunk_jaccard")
   }
 
+  /** INCREMENTAL blob near-dup — the daily-ingest shape for binary
+    * corpora, completing the incremental family across modalities
+    * (text: [[Dedup.incrementalNearDupPairs]]; vectors:
+    * [[AnnIndex.appendIvf]]): only new×history candidates form —
+    * history is never re-paired with itself, which at 100 TB is the
+    * difference between O(delta) and re-verifying yesterday's
+    * corpus nightly. Same tagged-id trick as the text twin (is_new
+    * rides the posting id's low bit, so old×old combinations die
+    * map-side inside the df-capped bucket enumeration before any
+    * shuffle); chunk df is capped over the union so boilerplate
+    * shared between batch and history still drops out. In
+    * production the history side reads a persisted chunk-hash
+    * store ([[DedupStore]] economics) instead of re-framing blobs.
+    */
+  def incrementalBlobPairs(newDocs: DataFrame, corpus: DataFrame,
+                           frameSize: Int = 64, stride: Int = 128,
+                           tau: Double = 0.3, maxDf: Int = 64): DataFrame = {
+    val tagged = newDocs.select((col("doc_id") * 2 + 1).as("doc_id"), col("text"))
+      .unionByName(corpus.select((col("doc_id") * 2).as("doc_id"), col("text")))
+    val perDoc = frameSample(tagged, frameSize, stride)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+      .localCheckpoint(true) // sizes + postings share it
+    val sizes = perDoc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = perDoc.groupBy("frame_md5")
+      .agg(graft.functions.BoundedCollectSetAgg
+        .boundedCollectSet(col("doc_id"), maxDf + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") % 2 === 1 && col("id_b") % 2 === 0)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("chunk_jaccard",
+        round(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .filter(col("chunk_jaccard") >= tau)
+      .select(expr("id_a div 2").as("new_id"), expr("id_b div 2").as("corpus_id"),
+        col("n_shared"), col("chunk_jaccard"))
+  }
+
   /** Connected components over the blob near-dup pair relation —
     * the multimodal member of the groups family ([[Dedup.dedupGroups]]
     * for text pairs, [[Dedup.embeddingGroups]] for embeddings):

@@ -117,6 +117,23 @@ class MultimodalSpec extends SparkSpec {
     assert(groups(3L) == ((3L, true)), s"isolated blob survives: $groups")
   }
 
+  test("incrementalBlobPairs: only new-by-history pairs form") {
+    // history 1, 2 are identical (old×old near-dups); new 10, 11 are
+    // identical too (new×new) — NEITHER pair may emit, only the four
+    // new×history combinations
+    val history = Seq((1L, "aaaabbbbcccc"), (2L, "aaaabbbbcccc"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, "aaaabbbbdddd"), (11L, "aaaabbbbdddd"),
+      (12L, "eeeeffffgggg")) // unique new blob: no pairs
+      .toDF("doc_id", "text")
+    val got = Multimodal.incrementalBlobPairs(delta, history,
+      frameSize = 4, stride = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == Set(
+      (10L, 1L, 0.5), (10L, 2L, 0.5), (11L, 1L, 0.5), (11L, 2L, 0.5)),
+      s"new-by-history pairs only: $got")
+  }
+
   test("blobPolicy: rare formats drop, byte-dominant formats cap, rest keep") {
     // magic2 sniffs the first TWO bytes: "aa.." (3 blobs, dominant
     // bytes), "bb.." (3 small blobs), "cc" (1 blob → rare)
