@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, DeflateRatio, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, WinnowMd5Fingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so plain `spark.sql` users get them
@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+    ext.injectFunction((
+      FunctionIdentifier("deflate_ratio"),
+      info("deflate_ratio",
+        "deflate_ratio(text) - compressed/raw byte ratio (low = repetitive text)"),
+      (args: Seq[Expression]) => DeflateRatio(args(0))))
 
     ext.injectFunction((
       FunctionIdentifier("graft_hash64"),

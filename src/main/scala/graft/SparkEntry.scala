@@ -246,6 +246,8 @@ object SparkEntry {
     "q_events_json" -> ((s, dir) => EventOps.jsonPropStats(Tables.events(s, dir))),
     "q_events_retention" -> ((s, dir) =>
       EventOps.hourlyRetention(Tables.events(s, dir))),
+    "events_cohort_retention" -> ((s, dir) =>
+      EventOps.cohortRetention(Tables.events(s, dir))),
     "q_session_window" -> ((s, dir) =>
       EventOps.sessionWindows(Tables.events(s, dir))),
     "events_bot_flag" -> ((s, dir) =>
@@ -461,6 +463,8 @@ object SparkEntry {
       DataSplit.interleaveOrder(Tables.documents(s, dir))),
     "docs_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables.documents(s, dir))),
+    "text_compression_signal" -> ((s, dir) =>
+      TextAnalysis.compressionSignal(Tables.documents(s, dir))),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     "docs_contamination_by_source" -> ((s, dir) =>
@@ -1293,6 +1297,22 @@ object SparkEntry {
         | m AS profile_mean, (n_events - m) / sqrt(v) AS z
         |FROM j WHERE v > 0 AND abs((n_events - m) / sqrt(v)) > 1.5"""
         .stripMargin.replace("\n", " "),
+    "events_cohort_retention" ->
+      // offsets exact: both dates are week starts, day gap always a
+      // multiple of seven; retention = one division of exact longs
+      """WITH w AS (SELECT DISTINCT user_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT)
+        |   AS week_offset,
+        |  count(DISTINCT w.user_id) AS n_active
+        | FROM w JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+        | CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |  AS retention
+        |FROM a JOIN s USING (cohort_week)""".stripMargin.replace("\n", " "),
     "events_bot_flag" ->
       // tightest 20-event span per user, exact integer microseconds
       """WITH g AS (SELECT user_id, epoch_us(ts) AS us,

@@ -86,6 +86,15 @@ object SweepMain {
         nlist = 16, nprobe = 4, m = m, nCodes = nCodes)))
       println(f"| IVF-PQ residual | 4 | $m | $nCodes | $r%.3f |")
     }
+    // PCA axis: projected-space cosine pre-pass — pcaDims sets the
+    // scan-byte fraction (pcaDims/64), rerank the exact re-score depth
+    println("| index | pcaDims | rerank | recall@10 |")
+    println("| --- | --- | --- | --- |")
+    for (pcaDims <- Seq(16, 32, 48); rerank <- Seq(4, 8)) {
+      val r = recall(sets(graft.operators.Pca.pcaTopK(emb, queries, 10,
+        pcaDims = pcaDims, rerank = rerank)))
+      println(f"| PCA pre-pass | $pcaDims | $rerank | $r%.3f |")
+    }
     // cell-balance axis: does k-means training buy a flatter index
     // than the deterministic hash pick? (max balance = worst probe
     // concentration; nonempty = cells actually carrying vectors)

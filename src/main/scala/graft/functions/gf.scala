@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -104,6 +104,10 @@ object gf {
     * `array<float>` column. */
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     c(NearestCentroids(e(vec), centroids, nprobe))
+
+  /** Deflate compression ratio (compressed ÷ raw bytes) of a string
+    * column — the low-entropy/template-text signal. */
+  def deflateRatio(s: Column): Column = c(DeflateRatio(e(s)))
 
   /** PCA projection (mean-center then multiply by the component
     * matrix) of an `array<float>` column. */

@@ -228,6 +228,25 @@ object VectorOps {
 
 object TextChars {
 
+  /** Deflate compression ratio (compressed ÷ raw bytes, zlib level
+    * 6, raw stream): the classic low-entropy text signal —
+    * templated/repetitive text compresses far below natural prose.
+    * Deterministic for a fixed JDK zlib; no cross-engine oracle
+    * (DuckDB has no deflate), so consumers are rows-only + spec. */
+  def deflateRatio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total.toDouble / bytes.length
+  }
+
   /** All consecutive 3-char windows of a string (char-indexed, so
     * multibyte-safe and identical to SQL substr semantics). One byte
     * pass recording char-start offsets, then O(1) slices — both

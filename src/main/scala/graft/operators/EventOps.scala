@@ -657,6 +657,36 @@ object EventOps {
         round(sum(when(col("lifespan_days") === 0, 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 6).as("single_day_frac"))
 
+  /** Weekly cohort retention matrix — THE product-analytics
+    * artifact: users cohorted by first-activity week, each
+    * (cohort_week, week_offset) cell carrying how many of the
+    * cohort were active that many weeks later. Complements
+    * [[hourlyRetention]] (adjacent-period continuation) and the
+    * revenue-side cohort LTV with the canonical triangular
+    * user-retention view. The distinct (user, week) relation is
+    * built once and pinned (cohort assignment + activity both
+    * consume it); cohort sizes are O(weeks) rows, broadcast; the
+    * retention rate is one division of two exact longs. Offsets are
+    * exact — both dates are week starts, so the day gap is always a
+    * multiple of seven.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekly = events.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+      .localCheckpoint(true) // cohort assignment + activity share it
+    val cohort = weekly.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    weekly.join(cohort, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
   /** Hour-over-hour retention: per hour, how many of its active
     * users are active again in the following hour. Two-column
     * distinct + a self-equi-join on (user, hour+1) — both sides

@@ -689,6 +689,23 @@ object TextAnalysis {
         min("n_tokens").as("min_tokens"),
         max("n_tokens").as("max_tokens"))
 
+  /** Compressibility quality signal — the Gopher/RefinedWeb-style
+    * low-entropy filter: per doc, the deflate compressed÷raw byte
+    * ratio (codegen'd [[graft.functions.gf.deflateRatio]] kernel;
+    * registered in SQL as `deflate_ratio`). Templated/repetitive
+    * text compresses far below natural prose, catching machine-
+    * generated boilerplate the token-level heuristics miss. Pure
+    * per-row map — no shuffle at any scale; zlib has no DuckDB
+    * twin, so the driver key is rows-only with the invariants
+    * (repetition ⇒ lower ratio, determinism, flag threshold)
+    * spec-held.
+    */
+  def compressionSignal(docs: DataFrame, flagBelow: Double = 0.35): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("n_chars_text"),
+      graft.functions.gf.deflateRatio(col("text")).as("deflate_ratio"))
+      .withColumn("is_low_entropy", col("deflate_ratio") < flagBelow)
+
   /** Per-source n-gram diversity — the corpus-variety diagnostic a
     * data-mixture designer reads next to the dup rate: a source
     * whose gram vocabulary is tiny relative to its gram volume is

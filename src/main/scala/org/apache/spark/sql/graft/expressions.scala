@@ -312,6 +312,26 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Deflate compression ratio of a string — the low-entropy text
+  * signal (templated text compresses far below prose). */
+case class DeflateRatio(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextChars.deflateRatio(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.TextChars.deflateRatio($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** PCA projection of a float vector onto `components` after mean
   * centering — model state (mean + component matrix) rides along as
   * codegen reference objects, like [[HyperplaneSignature]]'s planes.

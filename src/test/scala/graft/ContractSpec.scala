@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-five") {
+  test("rows-only queries are the documented twenty-six") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -54,7 +54,9 @@ class ContractSpec extends AnyFunSuite {
       "ann_index_ivfpq_append_probe",
       // PCA: eigen state is driver-trained, not SQL-expressible —
       // PcaSpec invariants + the recall gate carry correctness
-      "emb_pca_project", "ann_pca_topk"),
+      "emb_pca_project", "ann_pca_topk",
+      // zlib has no DuckDB twin; invariants spec-held
+      "text_compression_signal"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

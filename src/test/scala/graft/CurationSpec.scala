@@ -317,4 +317,17 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(loose == Set(10L, 12L), s"tau gate must be the dropper: $loose")
   }
+
+  test("curateIncremental with empty history degenerates to curate") {
+    // day-zero bootstrap: with nothing in history, every history-
+    // facing gate is vacuous and the incremental pass must equal the
+    // batch curation of the same delta, doc for doc
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.getLong(0)).toSet
+    val full = ids(Curation.curate(docs))
+    val incr = ids(Curation.curateIncremental(docs, docs.filter(lit(false))))
+    assert(full == incr, s"day-zero mismatch: ${(full -- incr, incr -- full)}")
+    assert(full.nonEmpty, "vacuously-equal empty results prove nothing")
+  }
 }

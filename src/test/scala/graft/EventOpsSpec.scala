@@ -423,6 +423,29 @@ class EventOpsSpec extends SparkSpec {
       ("error", "error") -> ((1L, 1L))), s"entry/exit matrix: $got")
   }
 
+  test("cohortRetention: triangular matrix with exact rates") {
+    // 2024-01-01 is a Monday. Cohort A (users 1, 2) starts week 1;
+    // user 1 returns in weeks 2 and 3, user 2 only in week 3.
+    // Cohort B (user 3) starts week 2 and returns in week 3.
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-02 10:00:00", 2L, "click"),
+      (3L, "2024-01-08 10:00:00", 1L, "click"),
+      (4L, "2024-01-15 10:00:00", 1L, "click"),
+      (5L, "2024-01-16 10:00:00", 2L, "click"),
+      (6L, "2024-01-10 10:00:00", 3L, "click"),
+      (7L, "2024-01-17 10:00:00", 3L, "click"))
+    val got = EventOps.cohortRetention(e).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1.0)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 0.5)),
+      ("2024-01-01", 2L) -> ((2L, 2L, 1.0)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 1.0)),
+      ("2024-01-08", 1L) -> ((1L, 1L, 1.0))), s"retention matrix: $got")
+  }
+
   test("funnelWindowed: only prompt conversions count") {
     val e = events(
       // user 1: signup → click 10 min later → purchase 10 min after
