@@ -838,6 +838,8 @@ object SparkEntry {
       val e = Tables.events(s, dir)
       graft.streaming.EventStream.deseasonalizedGate(e, EventOps.slotProfile(e))
     }),
+    "stream_sample_uniform" -> ((s, dir) =>
+      graft.streaming.DocStream.sampleState(Tables.documents(s, dir))),
     // the shared batch/stream CDC path, live rows only — shares
     // etl_cdc_apply's semantics (and an equivalent oracle)
     "stream_cdc_apply" -> ((s, dir) =>
@@ -963,7 +965,9 @@ object SparkEntry {
       // single-batch first-seen min-fold == the first-seen join
       ("stream_new_vs_returning" -> m("q_new_vs_returning")) +
       // ts-ordered O(w)-tail span fold == the lag(w-1) window form
-      ("stream_bot_flag" -> m("events_bot_flag"))
+      ("stream_bot_flag" -> m("events_bot_flag")) +
+      // single-batch k-smallest-key fold == the rank-window sample
+      ("stream_sample_uniform" -> m("sample_uniform_k"))
   }
 
   private def base: Map[String, String] = Map(

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
 
 import graft.operators.TextAnalysis
 
@@ -46,5 +47,48 @@ object DocStream {
         graft.functions.gf.tokenNgrams(col("text"), n).as("grams"))
       .filter(!arrays_overlap(col("grams"), typedlit(benchGrams)))
       .select("doc_id", "n_tokens", "quality_score")
+  }
+
+  case class SampEv(doc_id: Long, source: String, skey: String)
+  case class SampState(keep: List[(String, Long)])
+  case class SampleRow(source: String, sample_rank: Long, doc_id: Long)
+
+  /** Streaming deterministic k-per-stratum sample — the continuous
+    * twin of [[graft.operators.Sampling.uniformKPerStratum]]: per
+    * source, the running k smallest salted-md5 keys (hash order ≈
+    * uniform random order, fully deterministic and replayable).
+    * State is O(k) per stratum — exactly the current sample — and a
+    * new doc either displaces the current maximum or touches
+    * nothing, so the sample is ALWAYS valid mid-stream (the
+    * bounded-state reservoir property; a true random reservoir
+    * would need a seeded RNG whose replay semantics break on
+    * micro-batch retries — the hash rank is retry-idempotent by
+    * construction). Duplicate arrivals collapse via the (key, id)
+    * set semantics. Batch run folds the whole corpus in one group
+    * pass, making it row-identical to the window/aggregate forms —
+    * it shares `sample_uniform_k`'s oracle.
+    */
+  def sampleState(docs: DataFrame, k: Int = 5, salt: String = "s42"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(source: String, it: Iterator[SampEv],
+           st: GroupState[SampState]): Iterator[SampleRow] = {
+      val merged = (st.getOption.map(_.keep).getOrElse(Nil) ++
+        it.map(e => (e.skey, e.doc_id)))
+        .distinct.sorted.take(k)
+      st.update(SampState(merged))
+      merged.iterator.zipWithIndex.map { case ((_, id), i) =>
+        SampleRow(source, i + 1L, id)
+      }
+    }
+
+    docs.select(col("doc_id"), col("source"),
+        graft.operators.Sampling.sampleKey(col("doc_id"), salt).as("skey"))
+      .as[SampEv]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
   }
 }

@@ -979,6 +979,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sampleState: bounded reservoir converges to the batch sample") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStream
+    val allDocs = (1L to 40L).map(id =>
+      StreamingSpec.SrcDoc(id, if (id % 2 == 0) "even" else "odd"))
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val q = DocStream.sampleState(mem.toDF(), k = 3)
+      .writeStream.format("memory").queryName("sample_state")
+      .outputMode("update").start()
+    try {
+      mem.addData(allDocs.take(10): _*)
+      q.processAllAvailable()
+      // mid-stream the sample is already a valid k-sample of what
+      // arrived: the batch operator over the same prefix agrees
+      def current(): Set[(String, Long, Long)] = {
+        // update mode re-emits; latest emission per (source, rank) wins
+        val rows = spark.table("sample_state").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        rows.zipWithIndex.groupBy { case ((s, rank, _), _) => (s, rank) }
+          .map { case (_, vs) => vs.maxBy(_._2)._1 }.toSet
+      }
+      val prefixBatch = graft.operators.Sampling.uniformKPerStratum(
+        allDocs.take(10).toDF(), "doc_id", "source", k = 3)
+        .select("source", "sample_rank", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(current() == prefixBatch, s"mid-stream sample invalid: ${current()}")
+      // the rest arrives (plus a duplicate — set semantics absorb it)
+      mem.addData(allDocs.drop(10) :+ allDocs.head: _*)
+      q.processAllAvailable()
+      val fullBatch = graft.operators.Sampling.uniformKPerStratum(
+        allDocs.toDF(), "doc_id", "source", k = 3)
+        .select("source", "sample_rank", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(current() == fullBatch, s"final sample diverged: ${current()}")
+    } finally q.stop()
+  }
+
   test("botState disorder: a straggler at or before the cursor is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
@@ -1010,4 +1047,5 @@ class StreamingSpec extends SparkSpec {
 
 object StreamingSpec {
   final case class Doc(doc_id: Long, text: String)
+  final case class SrcDoc(doc_id: Long, source: String)
 }
