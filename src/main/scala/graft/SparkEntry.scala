@@ -205,6 +205,12 @@ object SparkEntry {
       Analytics.rollingRevenue(Tables.lineitem(s, dir))),
     "q_copurchase_pagerank" -> ((s, dir) =>
       Analytics.copurchasePagerank(Tables.lineitem(s, dir))),
+    "q_purchase_streaks" -> ((s, dir) =>
+      Analytics.purchaseStreaks(Tables.orders(s, dir))),
+    "events_rolling_active_users" -> ((s, dir) =>
+      Analytics.rollingActiveUsers(Tables.events(s, dir))),
+    "q_revenue_changepoint" -> ((s, dir) =>
+      Analytics.revenueChangepoint(Tables.lineitem(s, dir))),
     "q_supplier_reliability" -> ((s, dir) =>
       Analytics.supplierReliability(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.supplier(s, dir))),
@@ -784,6 +790,24 @@ object SparkEntry {
     "etl_dq_profile_approx" -> ((s, dir) =>
       operators.RetailEtl.dqProfileApprox(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
+    "etl_fd_violations" -> ((s, dir) =>
+      operators.RetailEtl.fdAudit(Tables.lineitem(s, dir), Seq(
+        // the composite PK determines everything (holds); a part is
+        // multi-sourced and an order multi-line, so the other two are
+        // the documented BROKEN claims the audit exists to expose
+        ("pk_determines_part", Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        ("part_determines_supplier", Seq("l_partkey"), "l_suppkey"),
+        ("order_determines_linestatus", Seq("l_orderkey"), "l_linestatus")))),
+    "etl_referential_integrity" -> ((s, dir) =>
+      operators.RetailEtl.riAudit(Seq(
+        ("lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        ("lineitem_part", Tables.lineitem(s, dir), "l_partkey",
+          Tables.part(s, dir), "p_partkey"),
+        ("orders_customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        ("customer_nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey")))),
     "etl_dq_drift" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       operators.RetailEtl.dqDrift(
@@ -1151,6 +1175,59 @@ object SparkEntry {
         |FROM d WINDOW w AS (ORDER BY day
         | RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)"""
         .stripMargin.replace("\n", " "),
+    "q_purchase_streaks" ->
+      // gaps-and-islands: month_index − row_number is constant
+      // within a consecutive-month run on both engines
+      """WITH months AS (SELECT DISTINCT o_custkey,
+        |  year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS m
+        | FROM orders),
+        |runs AS (SELECT o_custkey,
+        |  m - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        | FROM months),
+        |islands AS (SELECT o_custkey, grp, count(*) AS len
+        | FROM runs GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(sum(len) AS BIGINT) AS n_active_months,
+        | count(*) AS n_streaks, max(len) AS longest_streak
+        |FROM islands GROUP BY 1""".stripMargin.replace("\n", " "),
+    "events_rolling_active_users" ->
+      // exact sliding COUNT DISTINCT via bounded fan-out of the
+      // deduplicated user-day relation to its 7 target days; the
+      // day-0 marker yields DAU from the same collapse
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        | FROM events),
+        |days AS (SELECT DISTINCT day AS target_day FROM ud),
+        |fan AS (SELECT ud.user_id, d.target_day,
+        |  CASE WHEN ud.day = d.target_day THEN 1 ELSE 0 END AS is_today
+        | FROM ud JOIN days d
+        |  ON d.target_day BETWEEN ud.day AND ud.day + 6),
+        |g AS (SELECT target_day, user_id, max(is_today) AS active_today
+        | FROM fan GROUP BY 1, 2)
+        |SELECT target_day AS day, count(*) AS wau,
+        | CAST(sum(active_today) AS BIGINT) AS dau,
+        | round(CAST(sum(active_today) AS BIGINT) * 1.0 / count(*), 6)
+        |  AS stickiness
+        |FROM g GROUP BY 1""".stripMargin.replace("\n", " "),
+    "q_revenue_changepoint" ->
+      // cusum kept in the scaled integer form prefix·nd − rn·total
+      // (int128 / decimal(38,0)) so the peak compare is exact; both
+      // engines convert the SAME integer to double at the end
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        | sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS c
+        | FROM lineitem GROUP BY 1),
+        |s AS (SELECT day, c,
+        |  sum(c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |   AND CURRENT ROW) AS prefix,
+        |  row_number() OVER (ORDER BY day) AS rn,
+        |  sum(c) OVER () AS total, count(*) OVER () AS nd FROM daily),
+        |cu AS (SELECT day, c, nd,
+        |  prefix * nd - rn * total AS cusum_scaled FROM s),
+        |pk AS (SELECT *, max(abs(cusum_scaled)) OVER () AS peak FROM cu)
+        |SELECT day, CAST(c AS DOUBLE) / 10000.0 AS day_revenue,
+        | CAST(cusum_scaled AS DOUBLE)
+        |  / (CAST(nd AS DOUBLE) * 10000.0) AS cusum,
+        | abs(cusum_scaled) = peak AS is_changepoint
+        |FROM pk""".stripMargin.replace("\n", " "),
     "q_supplier_reliability" ->
       // the Wilson bound is a fixed closed form over the exact
       // (n_lines, n_late) integers — written with the identical
@@ -3533,6 +3610,45 @@ object SparkEntry {
         |   AS BIGINT),
         |  count(DISTINCT l_quantity) FROM lineitem) p"""
         .stripMargin.replace("\n", " "),
+    "etl_fd_violations" -> {
+      def fd(name: String, det: String, dep: String): String =
+        s"SELECT '$name' AS fd, count(*) AS n_keys, " +
+          "CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_violating_keys, " +
+          "round(CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "* 1.0 / count(*), 6) AS violation_frac, " +
+          "max(variants) AS max_variants, " +
+          "CAST(sum(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 " +
+          s"AS holds FROM (SELECT count(DISTINCT $dep) AS variants " +
+          s"FROM lineitem GROUP BY $det) g"
+      fd("pk_determines_part", "l_orderkey, l_linenumber", "l_partkey") +
+        " UNION ALL " +
+        fd("part_determines_supplier", "l_partkey", "l_suppkey") +
+        " UNION ALL " +
+        fd("order_determines_linestatus", "l_orderkey", "l_linestatus")
+    },
+    "etl_referential_integrity" -> {
+      def rel(name: String, child: String, fk: String,
+              parent: String, pk: String): String =
+        s"""(WITH ck AS (SELECT $fk AS k, count(*) AS n FROM $child
+           | WHERE $fk IS NOT NULL GROUP BY 1),
+           |orph AS (SELECT coalesce(CAST(sum(n) AS BIGINT), 0)
+           |  AS n_orphan_rows, count(*) AS n_orphan_keys
+           | FROM ck WHERE k NOT IN (SELECT $pk FROM $parent)),
+           |tot AS (SELECT count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS n_null_fk FROM $child)
+           |SELECT '$name' AS relationship, tot.n_rows, tot.n_null_fk,
+           | orph.n_orphan_rows, orph.n_orphan_keys,
+           | orph.n_orphan_rows = 0 AS intact FROM tot, orph)"""
+          .stripMargin.replace("\n", " ")
+      Seq(
+        rel("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+        rel("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+        .mkString(" UNION ALL ")
+    },
     "etl_dq_drift" -> {
       def prof(year: Int): String =
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity").map(c =>

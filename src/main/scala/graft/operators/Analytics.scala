@@ -1491,4 +1491,120 @@ object Analytics {
       sum("n").over(w).as("lines_window"),
       count(lit(1)).over(w).as("active_days"))
   }
+
+  /** Purchase streaks — gaps-and-islands over each customer's active
+    * order months: consecutive-month runs collapse via the classic
+    * `month_index − row_number` group key (a run of consecutive
+    * months shares one difference), then per customer the active
+    * month count, number of distinct streaks, and longest streak.
+    * The engagement-consistency feature a raw frequency count can't
+    * see (12 orders in one month ≠ one order a month for a year).
+    * Scale: orders collapse to distinct (customer, month) first —
+    * O(customers × months) — and both windows partition BY CUSTOMER
+    * (bounded partitions), then two hash aggregates. No self-join,
+    * no spine.
+    */
+  def purchaseStreaks(orders: DataFrame): DataFrame = {
+    val months = orders
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 +
+          (month(col("o_orderdate")) - 1)).cast("long").as("m"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("m")
+    months
+      .withColumn("grp", col("m") - row_number().over(w))
+      .groupBy("o_custkey", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("o_custkey")
+      .agg(
+        sum("len").as("n_active_months"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+  }
+
+  /** Daily + trailing-window distinct actives (DAU / WAU /
+    * stickiness) — the hard sliding op done the scale-safe way:
+    * exact sliding COUNT DISTINCT cannot ride a window frame
+    * (distinct state isn't subtractable), so each distinct
+    * (user, day) row fans out to the `days` target days it makes
+    * active — a BOUNDED ×days replication of the deduplicated
+    * user-day relation, not of the raw events — and two ordinary
+    * hash aggregates do the rest ((target_day, user) collapse
+    * carrying a day-0 marker, then day grain). Target days are
+    * semi-joined to days actually present so the series matches the
+    * observed calendar. Everything is partial-agg friendly; no
+    * global window, no state. At 100 TB swap the exact inner
+    * collapse for per-day HLL sketches merged across the window
+    * ([[EventOps.sketchReach]]'s pattern) — same fan-out shape.
+    */
+  def rollingActiveUsers(events: DataFrame, days: Int = 7): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true) // fan-out + present-days spine share it
+    val present = userDays.select(col("day").as("target_day")).distinct()
+    userDays
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(days - 1))).as("i"))
+      .select(col("user_id"), col("day"),
+        date_add(col("day"), col("i")).as("target_day"),
+        when(col("i") === 0, 1L).otherwise(0L).as("is_today"))
+      .join(present, Seq("target_day"), "left_semi")
+      .groupBy("target_day", "user_id")
+      .agg(max("is_today").as("active_today"))
+      .groupBy(col("target_day").as("day"))
+      .agg(
+        count(lit(1)).as("wau"),
+        sum("active_today").as("dau"))
+      .withColumn("stickiness", round(col("dau") / col("wau"), 6))
+  }
+
+  /** CUSUM mean-shift changepoint over the daily revenue series —
+    * the level-shift detector for a KPI feed (did revenue move
+    * regime on some day, and which day): cumulative sum of
+    * deviations from the global mean peaks exactly at the shift
+    * point. All series arithmetic is EXACT integer — revenue in
+    * cents × integer discount-percent ([[rollingRevenue]]'s trick),
+    * and the cusum is kept in the scaled form
+    * `prefix·n_days − rank·total` (decimal — ~1e18 at sf0.1, past
+    * long range at sf1) so peak detection compares integers, not
+    * accumulated floats; the reported dollar cusum divides once at
+    * the end, both engines converting the SAME exact integer.
+    * Scale: one shuffle collapses the fact table to day grain; the
+    * partition-less ordered windows then run over the
+    * calendar-bounded day relation (thousands of rows — the
+    * [[orderBacklog]] correct-by-construction case).
+    */
+  def revenueChangepoint(lineitem: DataFrame): DataFrame = {
+    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(centsX).as("c"))
+    val ordered = Window.orderBy("day")
+    val all = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scaled = daily
+      .withColumn("prefix", sum("c").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(ordered).cast("long"))
+      .withColumn("total", sum("c").over(all))
+      .withColumn("nd", count(lit(1)).over(all))
+      .withColumn("cusum_scaled",
+        col("prefix").cast("decimal(38,0)") * col("nd") -
+          col("rn").cast("decimal(38,0)") * col("total"))
+    scaled
+      .withColumn("peak", max(abs(col("cusum_scaled"))).over(all))
+      .select(
+        col("day"),
+        (col("c").cast("double") / 10000.0).as("day_revenue"),
+        // UNROUNDED on purpose: both engines divide the SAME exact
+        // integers (identical IEEE operands → identical quotient),
+        // so the raw double is bit-equal cross-engine — a round(6)
+        // here would REINTRODUCE divergence via the engines'
+        // different decimal-rounding implementations
+        (col("cusum_scaled").cast("double") /
+          (col("nd").cast("double") * 10000.0)).as("cusum"),
+        (abs(col("cusum_scaled")) === col("peak")).as("is_changepoint"))
+  }
 }

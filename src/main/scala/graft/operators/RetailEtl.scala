@@ -302,6 +302,79 @@ object RetailEtl {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Functional-dependency audit — the schema-contract check a
+    * pipeline runs on a feed whose documentation CLAIMS "column Y is
+    * determined by key X" (a denormalized attribute, a business
+    * rule): for each declared FD `determinant → dependent`, how many
+    * determinant keys exist, how many carry MORE than one distinct
+    * dependent value (violations), and the worst fan-out. A holding
+    * FD licenses downstream `max_by`-style any-value picks and
+    * dimension extraction; a broken one means the "attribute" is
+    * really a relationship. Each FD costs one hash aggregate on its
+    * determinant (partial-agg friendly) collapsed to a single row —
+    * the union output is O(#FDs) rows regardless of table size, and
+    * no FD's aggregate state exceeds its key cardinality.
+    */
+  def fdAudit(df: DataFrame,
+              fds: Seq[(String, Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "fdAudit needs at least one declared FD")
+    fds.map { case (name, det, dep) =>
+      df.groupBy(det.map(col): _*)
+        .agg(countDistinct(col(dep)).as("variants"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("variants") > 1, 1L).otherwise(0L))
+            .as("n_violating_keys"),
+          max(col("variants")).as("max_variants"))
+        .select(
+          lit(name).as("fd"),
+          col("n_keys"),
+          col("n_violating_keys"),
+          round(col("n_violating_keys") / col("n_keys"), 6)
+            .as("violation_frac"),
+          col("max_variants"),
+          (col("n_violating_keys") === 0L).as("holds"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Referential-integrity audit — the orphan-foreign-key check run
+    * before trusting any star-join: for each declared relationship
+    * `child.fk → parent.pk`, the child row count, the number of
+    * child ROWS whose key has no parent, and the number of distinct
+    * orphan KEYS. Implementation never moves child payloads: the
+    * child collapses to (key → row count) with one hash aggregate,
+    * and the orphan set is a LEFT-ANTI join of that key relation
+    * against the parent's projected key column — both sides shuffle
+    * only keys, and the anti join is AQE-broadcastable whenever the
+    * parent key set fits. Output is O(#relationships) rows. A
+    * nonzero orphan count is exactly the population an inner
+    * enrichment join silently drops ([[tableDiff]] tells you WHAT
+    * changed; this tells you what a join would LOSE).
+    */
+  def riAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(relations.nonEmpty, "riAudit needs at least one relationship")
+    relations.map { case (name, child, fk, parent, pk) =>
+      val childKeys = child.filter(col(fk).isNotNull)
+        .groupBy(col(fk).as("k")).agg(count(lit(1)).as("n"))
+      val orphans = childKeys.join(
+        parent.select(col(pk).as("k")), Seq("k"), "left_anti")
+      val totals = child.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      orphans
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n_orphan_rows"),
+          count(lit(1)).as("n_orphan_keys"))
+        .crossJoin(broadcast(totals))
+        .select(
+          lit(name).as("relationship"),
+          col("n_rows"),
+          col("n_null_fk"),
+          col("n_orphan_rows"),
+          col("n_orphan_keys"),
+          (col("n_orphan_rows") === 0L).as("intact"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Backfill plan — the ingest-completeness audit an orchestrator
     * runs before declaring a date range loaded: every calendar day
     * between the corpus bounds with its row count and a gap flag

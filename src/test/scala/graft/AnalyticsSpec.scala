@@ -548,4 +548,68 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again == pr, "partition-dependent pagerank")
   }
+
+  test("purchaseStreaks: consecutive months merge, gaps split, year boundary spans") {
+    val orders = Seq(
+      // cust 1: 1995-11, 1995-12, 1996-01 (one streak across the
+      // year boundary), 1996-04 (isolated) — two orders in 1995-12
+      // must not double-count the month
+      (1L, "1995-11-15"), (1L, "1995-12-01"), (1L, "1995-12-20"),
+      (1L, "1996-01-05"), (1L, "1996-04-01"),
+      // cust 2: single month
+      (2L, "1995-06-10"))
+      .toDF("o_custkey", "d")
+      .select(col("o_custkey"), col("d").cast("date").as("o_orderdate"))
+    val got = Analytics.purchaseStreaks(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 3L)), s"cust 1: ${got(1L)}")
+    assert(got(2L) == ((1L, 1L, 1L)), s"cust 2: ${got(2L)}")
+  }
+
+  test("rollingActiveUsers: WAU windows over trailing days, DAU exact, dedup within day") {
+    val events = Seq(
+      // day 1: users a, b (a twice — dedup); day 2: a; day 9: c
+      ("a", "1995-01-01 01:00:00"), ("a", "1995-01-01 02:00:00"),
+      ("b", "1995-01-01 03:00:00"),
+      ("a", "1995-01-02 01:00:00"),
+      ("c", "1995-01-09 01:00:00"))
+      .toDF("user_id", "t")
+      .select(col("user_id"), col("t").cast("timestamp").as("ts"))
+    val got = Analytics.rollingActiveUsers(events).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // only days present in the data appear
+    assert(got.keySet == Set("1995-01-01", "1995-01-02", "1995-01-09"))
+    assert(got("1995-01-01") == ((2L, 2L, 1.0)), s"d1: ${got("1995-01-01")}")
+    // day 2: a active today; window holds {a, b}
+    assert(got("1995-01-02") == ((2L, 1L, 0.5)), s"d2: ${got("1995-01-02")}")
+    // day 9's window is [Jan 3, Jan 9]: all of a and b's activity
+    // fell out — only c remains
+    assert(got("1995-01-09") == ((1L, 1L, 1.0)), s"d9: ${got("1995-01-09")}")
+  }
+
+  test("revenueChangepoint: cusum peaks at the level shift, exact peak tie set") {
+    // 10 days at ~100.00/day then 10 days at ~300.00/day: |cusum|
+    // maxes exactly at the last low day
+    val rows = (1 to 20).map { i =>
+      val day = f"1995-01-$i%02d"
+      val price = if (i <= 10) 100.0 else 300.0
+      (1L, price, 0.0, day)
+    }
+    val li = rows.toDF("l_orderkey", "l_extendedprice", "l_discount", "d")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("d").cast("date").as("l_shipdate"))
+    val got = Analytics.revenueChangepoint(li).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getDouble(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.size == 20)
+    val peaks = got.filter(_._2._3).keys.toSeq
+    assert(peaks == Seq("1995-01-10"), s"peak at the shift, got $peaks")
+    // cusum at the peak: 10 days × (100 − 200) = −1000.00
+    assert(math.abs(got("1995-01-10")._2 + 1000.0) < 1e-6,
+      s"cusum: ${got("1995-01-10")}")
+    // series sums to zero at the last day (deviations from the mean)
+    assert(math.abs(got("1995-01-20")._2) < 1e-6)
+  }
 }

@@ -336,4 +336,49 @@ class RetailEtlSpec extends SparkSpec {
       "1995-01-04" -> ((0L, true)),
       "1995-01-05" -> ((1L, false))), s"backfill plan: $got")
   }
+
+  test("fdAudit: holding FD reports zero violations, broken FD the worst fan-out") {
+    val df = Seq(
+      (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"),   // order 1: shipmode const
+      (2L, 1L, 10L, "B"), (2L, 2L, 30L, "C"),   // order 2: two shipmodes
+      (3L, 1L, 20L, "B"))
+      .toDF("ord", "line", "pk", "mode")
+    val out = RetailEtl.fdAudit(df, Seq(
+      ("pk_holds", Seq("ord", "line"), "pk"),
+      ("ord_to_mode", Seq("ord"), "mode"))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))).toMap
+    // 5 distinct (ord, line) keys, each with exactly one pk
+    assert(out("pk_holds") == ((5L, 0L, 1L, true)), s"pk: $out")
+    // 3 orders; order 2 carries 2 modes — one violator, fan-out 2
+    assert(out("ord_to_mode") == ((3L, 1L, 2L, false)), s"mode: $out")
+  }
+
+  test("riAudit: orphan rows/keys counted, null FKs excluded from orphans") {
+    val child = Seq(
+      (Some(1L), "a"), (Some(1L), "b"),  // parented, 2 rows
+      (Some(9L), "c"), (Some(9L), "d"), (Some(8L), "e"), // orphans
+      (None, "f"))                       // null FK: not an orphan
+      .toDF("fk", "payload")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = RetailEtl.riAudit(
+      Seq(("c2p", child, "fk", parent, "pk"))).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "c2p")
+    assert(row.getLong(1) == 6L, "n_rows")
+    assert(row.getLong(2) == 1L, "n_null_fk")
+    assert(row.getLong(3) == 3L, "n_orphan_rows: 9,9,8")
+    assert(row.getLong(4) == 2L, "n_orphan_keys: {9,8}")
+    assert(!row.getBoolean(5), "intact must be false")
+  }
+
+  test("riAudit: fully-parented relationship reports intact with zero orphans") {
+    val child = Seq((1L, "a"), (2L, "b")).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = RetailEtl.riAudit(
+      Seq(("ok", child, "fk", parent, "pk"))).collect().head
+    assert((row.getLong(3), row.getLong(4), row.getBoolean(5)) ==
+      ((0L, 0L, true)), s"intact audit: $row")
+  }
 }
