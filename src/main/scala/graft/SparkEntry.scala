@@ -316,6 +316,21 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.rangeSearch(e, e.filter(col("vec_id") % 100 === 0), tau = 0.2)
     }),
+    "emb_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(Tables.embeddings(s, dir))),
+    // MMR re-rank over the exact pool — deterministic but the greedy
+    // argmax chain is not SQL-expressible (rows-only; SimilaritySpec
+    // pins first-pick, diversity preference and determinism)
+    "ann_mmr_diverse" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.mmrDiverseTopK(e, e.filter(col("vec_id") % 100 === 0))
+    }),
+    // LSH tuning diagnostic over the shared shingle trunk — minhash
+    // signatures have no SQL analog (rows-only; DedupSpec pins the
+    // histogram identities and the collapse/too-fine readouts)
+    "dedup_lsh_band_stats" -> ((s, dir) =>
+      Dedup.lshBandStats(Tables.documents(s, dir),
+        shingles = Some(sharedShingleSets(s, dir)))),
     "text_quality_filter" -> ((s, dir) =>
       TextAnalysis.qualityFilter(Tables.documents(s, dir))),
     // §2.C dedup
@@ -2008,6 +2023,18 @@ object SparkEntry {
       """SELECT label, CAST(i AS INT) AS pos, avg(embedding[i + 1]) AS avg_val
         |FROM embeddings, range(64) t(i)
         |GROUP BY label, i""".stripMargin.replace("\n", " "),
+    "emb_dim_stats" ->
+      // parallel unnest pairs each element with its 1-based ordinal;
+      // mean/var cross row order → rounded 1e-6, min/max exact
+      """WITH ex AS (SELECT unnest(embedding) AS v,
+        | unnest(generate_series(1, len(embedding))) AS dim
+        |FROM embeddings)
+        |SELECT dim, count(*) AS n,
+        | round(avg(CAST(v AS DOUBLE)), 6) AS mean_v,
+        | round(var_samp(CAST(v AS DOUBLE)), 6) AS var_v,
+        | min(CAST(v AS DOUBLE)) AS min_v,
+        | max(CAST(v AS DOUBLE)) AS max_v
+        |FROM ex GROUP BY 1""".stripMargin.replace("\n", " "),
     "emb_norm_profile" ->
       // the norm replays Spark's pinned left fold bit-for-bit:
       // list_prepend(0.0) = the explicit fold init, per-element

@@ -110,16 +110,48 @@ object Dedup {
   /** Candidate pairs from LSH banding over a signature array column:
     * rows sharing any band hash meet in one shuffle bucket.
     */
-  private def bandedPairs(sigs: DataFrame, idCol: String, sigCol: String,
-                          bands: Int, maxBucket: Int): DataFrame = {
+  private def bandedKeys(sigs: DataFrame, idCol: String, sigCol: String,
+                         bands: Int): DataFrame = {
     val rowsPerBand = ceil(size(col(sigCol)) / lit(bands)).cast("int")
-    val banded = sigs.select(
+    sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(b, slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    candidatePairs(banded, Seq("band", "band_hash"), idCol, maxBucket)
+  }
+
+  private def bandedPairs(sigs: DataFrame, idCol: String, sigCol: String,
+                          bands: Int, maxBucket: Int): DataFrame =
+    candidatePairs(bandedKeys(sigs, idCol, sigCol, bands),
+      Seq("band", "band_hash"), idCol, maxBucket)
+
+  /** LSH band-occupancy diagnostic — the tuning readout that decides
+    * whether a (numPerms, bands) choice is even sane BEFORE paying
+    * for a full near-dup run: per band, the bucket-size histogram of
+    * the banded signature keys and the candidate-pair volume each
+    * size class implies (`n_buckets · size·(size−1)/2`). A fat tail
+    * here means the band hash is collapsing (too few rows per band,
+    * or degenerate shingles) and the candidate join will blow past
+    * `maxBucket` caps; all-singleton bands mean the banding is too
+    * fine to recall anything. Costs two hash aggregates over the
+    * banded keys — the cheap PREFIX of the dedup pipeline, nothing
+    * pairwise is materialized. Output is O(bands · distinct sizes).
+    */
+  def lshBandStats(docs: DataFrame, shingleSize: Int = 3,
+                   numPerms: Int = 64, bands: Int = 16, seed: Long = 42L,
+                   shingles: Option[DataFrame] = None): DataFrame = {
+    val sets = shingles.getOrElse(shingleSets(docs, shingleSize))
+    val sigs = sets.select(col("doc_id"),
+      gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
+    bandedKeys(sigs, "doc_id", "sig", bands)
+      .groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy("band", "bucket_size")
+      .agg(count(lit(1)).as("n_buckets"))
+      .withColumn("implied_pairs",
+        (col("bucket_size") * (col("bucket_size") - lit(1L)) / lit(2))
+          .cast("long") * col("n_buckets"))
   }
 
   /** MinHash + LSH near-dup pairs with exact-Jaccard verification:

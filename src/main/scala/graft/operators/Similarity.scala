@@ -705,6 +705,94 @@ object Similarity {
     * scan, one tiny aggregate; per-row work is O(dim). A diagnostic,
     * so the interpreted HOF lambda is acceptable off the hot path.
     */
+  /** Per-dimension distribution profile — the OTHER embedding QA
+    * axis ([[normProfile]] checks rows; this checks columns): count,
+    * mean, sample variance and range of every coordinate across the
+    * corpus. A dead dimension (variance ≈ 0) is wasted index bytes
+    * and a candidate for [[Pca]] truncation; a runaway mean signals
+    * an uncentered encoder batch, which silently degrades PQ
+    * codebooks trained on the assumption of centered residuals.
+    * One posexplode (bounded ×dim fan-out of a vectors-only
+    * projection) into one hash aggregate keyed on the ≤dim distinct
+    * dimension ids — fully partial-agg friendly, nothing driver-side.
+    * Mean/variance cross row order, so they are rounded at 1e-6
+    * (summation error ~1e-13 — the [[normProfile]] argument);
+    * min/max over per-element double casts are exact.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        col("col").cast("double").as("v"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("v"), 6).as("mean_v"),
+        round(var_samp("v"), 6).as("var_v"),
+        min("v").as("min_v"),
+        max("v").as("max_v"))
+
+  /** Maximal-marginal-relevance diverse top-k — re-rank a relevance
+    * pool so the result covers the query's neighborhood instead of
+    * returning `k` near-copies (the retrieval-for-RAG/labeling
+    * shape): greedily pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`.
+    * MMR is inherently sequential in `k`, so the distribution axis
+    * is QUERIES, not candidates: the exact [[bruteForceTopK]] pool
+    * (`poolSize` per query) joins its vectors and a typed
+    * `flatMapGroups` runs the greedy loop per query with BOUNDED
+    * state (poolSize · dim floats — never the corpus). Ties break by
+    * (score, neighbor_id) and the pool order is pinned, so output is
+    * deterministic. At 100 TB the pool build dominates and scales
+    * exactly like the underlying top-k tier; swapping the pool
+    * source for an IVF/PQ tier keeps the re-rank unchanged.
+    */
+  def mmrDiverseTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+                     poolSize: Int = 50, lambda: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(corpus, queries, poolSize)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("n_emb"))
+      .as[(Long, Long, Double, Array[Float])]
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    pool.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // pinned candidate order: relevance desc, id asc
+        val cands = it.toArray.sortBy(c => (-c._3, c._2))
+        val selected = Array.newBuilder[(Long, Int, Long, Double, Double)]
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val live = scala.collection.mutable.BitSet(cands.indices: _*)
+        var rank = 1
+        while (rank <= math.min(k, cands.length)) {
+          var bestIdx = -1; var bestScore = Double.NegativeInfinity
+          live.foreach { i =>
+            val maxSim =
+              if (chosen.isEmpty) 0.0
+              else chosen.iterator.map(j => cos(cands(i)._4, cands(j)._4)).max
+            val score = lambda * cands(i)._3 - (1.0 - lambda) * maxSim
+            // strict > keeps the first (highest-rel, lowest-id) on ties
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          selected += ((qid, rank, cands(bestIdx)._2, cands(bestIdx)._3,
+            bestScore))
+          chosen += bestIdx; live -= bestIdx; rank += 1
+        }
+        selected.result().iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "relevance", "mmr_score")
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
   def normProfile(embeddings: DataFrame): DataFrame = {
     val norm = sqrt(aggregate(col("embedding"), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))

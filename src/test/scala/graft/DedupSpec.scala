@@ -398,4 +398,28 @@ class DedupSpec extends SparkSpec {
       2L -> (2L, 1L, 0.5),
       3L -> (2L, 0L, 0.0)), s"got $out")
   }
+
+  test("lshBandStats: histogram identities hold and duplicates co-bucket") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"), // dup of 1
+      (3L, "completely different text with no shared shingles here at all"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.lshBandStats(docs, bands = 16).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // identity 1: every band accounts for all 3 docs
+    val perBand = rows.groupBy(_._1)
+      .map { case (b, rs) => b -> rs.map(t => t._2 * t._3).sum }
+    assert(perBand.size == 16 && perBand.values.forall(_ == 3L),
+      s"each band must place all docs: $perBand")
+    // identity 2: implied_pairs = n_buckets · C(size, 2)
+    rows.foreach { case (_, size, nb, pairs) =>
+      assert(pairs == nb * size * (size - 1) / 2, s"pair identity: $rows")
+    }
+    // exact duplicates share every band hash → all 16 bands have a
+    // size-2 bucket, and no bucket exceeds 2 (doc 3 shares nothing)
+    val size2Bands = rows.filter(_._2 == 2L).map(_._1).distinct
+    assert(size2Bands.length == 16, s"dup must co-bucket in every band: $rows")
+    assert(rows.forall(_._2 <= 2L), s"no 3-bucket expected: $rows")
+  }
 }

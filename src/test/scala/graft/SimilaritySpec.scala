@@ -326,4 +326,56 @@ class SimilaritySpec extends SparkSpec {
     assert(l1.getLong(1) == 1L && l1.getInt(2) == 3 &&
       l1.getDouble(4) == 1.0 && l1.getLong(7) == 0L, s"label 1: $l1")
   }
+
+  test("dimStats: per-dimension mean/var/range on crafted coordinates") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 5.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(5.0f, 5.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimStats(vecs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    // dim 1: {1,3,5} → mean 3, var_samp 4, range [1,5]
+    assert(got(1L) == ((3L, 3.0, 4.0, 1.0, 5.0)), s"dim 1: ${got(1L)}")
+    // dim 2: constant 5 → the dead-dimension readout var = 0
+    assert(got(2L) == ((3L, 5.0, 0.0, 5.0, 5.0)), s"dim 2: ${got(2L)}")
+  }
+
+  test("mmrDiverse: first pick is the top-relevance hit, second prefers the diverse cand") {
+    // query q along +x. Candidates: a above the axis (rel .95),
+    // b = a's near-twin (rel .94, sim(a,b) ≈ 1), c = a's MIRROR
+    // below the axis (same rel .94 but sim(a,c) ≈ .79). Pure top-2
+    // = {a, b}; MMR at λ=0.5 must pick c second: equal relevance,
+    // but b's similarity-to-selected ≈ 1 crushes its margin.
+    val q = Seq((100L, Array(1.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (1L, Array(0.95f, 0.312f, 0.0f), 0),   // a: rel ~.95
+      (2L, Array(0.94f, 0.341f, 0.0f), 0),   // b: a's near-twin
+      (3L, Array(0.94f, -0.341f, 0.0f), 0))  // c: mirrored, diverse
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.mmrDiverseTopK(corpus, q, k = 2, poolSize = 3)
+      .collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(1L) == 1L, s"rank 1 must be the top-relevance hit: $got")
+    assert(got(2L) == 3L, s"rank 2 must be the diverse candidate: $got")
+    // determinism: a repartitioned input yields the identical ranking
+    val again = Similarity.mmrDiverseTopK(corpus.repartition(5), q,
+      k = 2, poolSize = 3).collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(again == got, "partition-dependent MMR")
+  }
+
+  test("mmrDiverse: lambda=1 degenerates to exact top-k order") {
+    val vecs = (1 to 8).map(i =>
+      (i.toLong, Array(1.0f, i * 0.1f, (9 - i) * 0.05f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val q = vecs.filter(col("vec_id") === 1L)
+    val mmr = Similarity.mmrDiverseTopK(vecs, q, k = 5, poolSize = 8,
+      lambda = 1.0).collect()
+      .sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+    val exact = Similarity.bruteForceTopK(vecs, q, k = 5).collect()
+      .map(_.getLong(1)).toSeq
+    assert(mmr == exact, s"λ=1 must reproduce the relevance order: $mmr vs $exact")
+  }
 }
