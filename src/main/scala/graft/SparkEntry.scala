@@ -879,6 +879,10 @@ object SparkEntry {
     }),
     "stream_sample_uniform" -> ((s, dir) =>
       graft.streaming.DocStream.sampleState(Tables.documents(s, dir))),
+    // batch fold of the O(1)-state admission quota — reproduces the
+    // row_number window form (own oracle below)
+    "stream_source_cap" -> ((s, dir) =>
+      graft.streaming.DocStream.capState(Tables.documents(s, dir))),
     // the shared batch/stream CDC path, live rows only — shares
     // etl_cdc_apply's semantics (and an equivalent oracle)
     "stream_cdc_apply" -> ((s, dir) =>
@@ -1006,7 +1010,15 @@ object SparkEntry {
       // ts-ordered O(w)-tail span fold == the lag(w-1) window form
       ("stream_bot_flag" -> m("events_bot_flag")) +
       // single-batch k-smallest-key fold == the rank-window sample
-      ("stream_sample_uniform" -> m("sample_uniform_k"))
+      ("stream_sample_uniform" -> m("sample_uniform_k")) +
+      // single-batch doc_id-ordered quota fold == the row_number cap
+      ("stream_source_cap" ->
+        """SELECT source, admit_rank, doc_id FROM (
+          | SELECT source, doc_id,
+          |  CAST(row_number() OVER (PARTITION BY source
+          |    ORDER BY doc_id) AS BIGINT) AS admit_rank
+          | FROM documents) r
+          |WHERE admit_rank <= 10""".stripMargin.replace("\n", " "))
   }
 
   private def base: Map[String, String] = Map(

@@ -1016,6 +1016,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("capState: quota spans batches, straggler dropped after fill, batch ≡ window") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocStream
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val q = DocStream.capState(mem.toDF(), cap = 3L)
+      .writeStream.format("memory").queryName("cap_state")
+      .outputMode("append").start()
+    try {
+      // batch 1: two 'a' docs admitted (ranks 1, 2), one 'b'
+      mem.addData(StreamingSpec.SrcDoc(10L, "a"), StreamingSpec.SrcDoc(5L, "a"),
+        StreamingSpec.SrcDoc(7L, "b"))
+      q.processAllAvailable()
+      // batch 2: 'a' fills its third slot with id 20; id 30 is over
+      // quota; the straggler id 1 (smaller than every admitted id)
+      // arrives after the fill and must be DROPPED, not reshuffled in
+      mem.addData(StreamingSpec.SrcDoc(20L, "a"), StreamingSpec.SrcDoc(30L, "a"))
+      q.processAllAvailable()
+      mem.addData(StreamingSpec.SrcDoc(1L, "a"), StreamingSpec.SrcDoc(2L, "b"))
+      q.processAllAvailable()
+      val got = spark.table("cap_state").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set(
+        ("a", 1L, 5L), ("a", 2L, 10L), ("a", 3L, 20L),
+        ("b", 1L, 7L), ("b", 2L, 2L)), s"admissions: $got")
+    } finally q.stop()
+    // batch fold over an in-order corpus reproduces the window form
+    val docs = (1L to 25L).map(id =>
+      StreamingSpec.SrcDoc(id, if (id % 2 == 0) "even" else "odd")).toDF()
+    val fold = DocStream.capState(docs, cap = 4L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val win = docs.withColumn("admit_rank", row_number().over(
+        Window.partitionBy("source").orderBy("doc_id")).cast("long"))
+      .filter(col("admit_rank") <= 4)
+      .select("source", "admit_rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fold == win, s"batch fold diverged from the window form: $fold")
+  }
+
   test("botState disorder: a straggler at or before the cursor is dropped") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
