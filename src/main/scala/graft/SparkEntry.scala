@@ -211,6 +211,10 @@ object SparkEntry {
       Analytics.rollingActiveUsers(Tables.events(s, dir))),
     "q_revenue_changepoint" -> ((s, dir) =>
       Analytics.revenueChangepoint(Tables.lineitem(s, dir))),
+    // the sketch twin: HLL cardinalities have no SQL oracle
+    // (rows-only; ApproxSpec bounds WAU/DAU error ≤5% vs the exact key)
+    "events_rolling_active_approx" -> ((s, dir) =>
+      Analytics.rollingActiveUsersApprox(Tables.events(s, dir))),
     "q_supplier_reliability" -> ((s, dir) =>
       Analytics.supplierReliability(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.supplier(s, dir))),
@@ -474,6 +478,12 @@ object SparkEntry {
     "split_kfold" -> ((s, dir) =>
       DataSplit.kfold(Tables.documents(s, dir))
         .select("doc_id", "source", "fold")),
+    // 0.8/0.1/0.1: the cumulative cuts 0.8 and 0.9 are IEEE-exact
+    // (0.8+0.1 == 0.9 bit-for-bit), so the Scala scanLeft sums equal
+    // the oracle's literals and floor(cut·n) can never straddle
+    "split_stratified" -> ((s, dir) =>
+      DataSplit.stratifiedSplit(Tables.documents(s, dir), "doc_id", "source",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     "split_assign_md5" -> ((s, dir) =>
       DataSplit.assignPortable(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
@@ -2740,6 +2750,20 @@ object SparkEntry {
         |        < 'cccccccc' THEN 3
         |      ELSE 4 END::BIGINT AS fold
         |FROM documents""".stripMargin.replace("\n", " "),
+    "split_stratified" ->
+      // same portable md5 rank; quota cuts floor(cum·n) with the
+      // IEEE-exact cumulative literals 0.8 / 0.9
+      """WITH r AS (SELECT doc_id, source,
+        | CAST(row_number() OVER (PARTITION BY source
+        |   ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':strat42'), 1, 8),
+        |    doc_id) AS BIGINT) AS rk,
+        | count(*) OVER (PARTITION BY source) AS n
+        |FROM documents)
+        |SELECT doc_id, source,
+        | CASE WHEN rk <= floor(0.8 * n) THEN 'train'
+        |      WHEN rk <= floor(0.9 * n) THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM r""".stripMargin.replace("\n", " "),
     "split_assign_md5" ->
       """SELECT doc_id,
         | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)

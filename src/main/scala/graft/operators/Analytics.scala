@@ -1559,6 +1559,37 @@ object Analytics {
       .withColumn("stickiness", round(col("dau") / col("wau"), 6))
   }
 
+  /** [[rollingActiveUsers]]'s 100 TB twin as a FIRST-CLASS key, not
+    * a comment: the same bounded ×days fan-out of the deduplicated
+    * user-day relation, but the exact (target_day, user) collapse —
+    * whose shuffle carries every user-day pair — is replaced by
+    * per-day HLL sketches (`approx_count_distinct`, rsd ~2%) built
+    * directly from the fan-out's map-side partials: ONE aggregate
+    * with two fixed-size sketch states per day, nothing user-grained
+    * ever shuffles. Same output shape (day, wau, dau); ApproxSpec
+    * bounds the error against the exact key. The day-0 marker
+    * becomes a null-gated second sketch (nulls don't enter HLL).
+    */
+  def rollingActiveUsersApprox(events: DataFrame, days: Int = 7,
+                               rsd: Double = 0.02): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    val present = userDays.select(col("day").as("target_day")).distinct()
+    userDays
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(days - 1))).as("i"))
+      .select(col("user_id"),
+        date_add(col("day"), col("i")).as("target_day"), col("i"))
+      .join(present, Seq("target_day"), "left_semi")
+      .groupBy(col("target_day").as("day"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("wau_approx"),
+        approx_count_distinct(
+          when(col("i") === 0, col("user_id")), rsd).as("dau_approx"))
+  }
+
   /** CUSUM mean-shift changepoint over the daily revenue series —
     * the level-shift detector for a KPI feed (did revenue move
     * regime on some day, and which day): cumulative sum of

@@ -65,6 +65,47 @@ object DataSplit {
     df.withColumn("split", label)
   }
 
+  /** Stratified split — EXACT per-stratum proportions, where
+    * [[assign]]/[[assignPortable]] are only proportional in
+    * expectation: a hash split of a 300-doc source at 90/5/5 can
+    * hand val 4 docs or 8, and for small strata (a rare language, a
+    * curated source) that variance is the difference between "has a
+    * validation set" and not. Docs rank within their stratum by the
+    * portable salted-md5 key (pseudo-random, replayable in any
+    * engine) and the cumulative-weight cuts apply to the RANK:
+    * split i gets `floor(cum_i·n) − floor(cum_{i−1}·n)` docs of an
+    * n-doc stratum — exact to ±1 doc, deterministic. Cost: one hash
+    * aggregate for stratum sizes (broadcast back) and one
+    * rank window partitioned BY STRATUM — the partition-bounded
+    * window class, no global sort. The md5 rank is uncorrelated
+    * with any data column, so each split is itself an unbiased
+    * sample of its stratum.
+    */
+  def stratifiedSplit(df: DataFrame, idCol: String, strataCol: String,
+                      weights: Seq[(String, Double)],
+                      salt: String = "strat42"): DataFrame = {
+    require(weights.nonEmpty, "need at least one split")
+    require(weights.forall(_._2 >= 0), s"weights must be non-negative: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1, got ${weights.map(_._2).sum}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(Sampling.sampleKey(col(idCol), salt), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(strataCol)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, wt)) => acc + wt }.tail
+    // the last cut is exactly 1.0 → floor(n) = n catches every rank
+    val label = weights.zip(cuts).foldRight(lit(weights.last._1)) {
+      case (((name, _), cut), fallback) =>
+        when(col("rk") <= floor(lit(cut) * col("n_stratum")), name)
+          .otherwise(fallback)
+    }
+    df.select(col(idCol), col(strataCol))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .withColumn("split", label)
+      .select(col(idCol), col(strataCol), col("split"))
+  }
+
   /** Deterministic training-order shuffle + sharding: every doc gets
     * a portable md5 shuffle key (salted — a new salt IS the next
     * epoch's reshuffle), a shard from equal hex-range cuts of that

@@ -168,4 +168,22 @@ class ApproxSpec extends SparkSpec {
         s"($a,$b): approx $got vs exact $exact (tol $tolerance)")
     }
   }
+
+  test("rollingActiveUsersApprox: per-day HLL within 5% of the exact WAU/DAU") {
+    import graft.operators.Analytics
+    def byDay(df: org.apache.spark.sql.DataFrame, wc: String, dc: String) =
+      df.collect().map(r => r.getDate(0).toString ->
+        (r.getAs[Long](wc), r.getAs[Long](dc))).toMap
+    val exact = byDay(Analytics.rollingActiveUsers(events), "wau", "dau")
+    val approx = byDay(Analytics.rollingActiveUsersApprox(events),
+      "wau_approx", "dau_approx")
+    assert(approx.keySet == exact.keySet, "day sets must agree")
+    exact.foreach { case (d, (wau, dau)) =>
+      val (aw, ad) = approx(d)
+      assert(math.abs(aw - wau) <= math.max(2L, (wau * 0.05).toLong),
+        s"$d wau: $aw vs $wau")
+      assert(math.abs(ad - dau) <= math.max(2L, (dau * 0.05).toLong),
+        s"$d dau: $ad vs $dau")
+    }
+  }
 }

@@ -145,4 +145,32 @@ class DataSplitSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got.map(x => x._1 -> x._4).toMap == wide, "bandWidth changed the order")
   }
+
+  test("stratifiedSplit: exact per-stratum quotas, hash split only approximate") {
+    val docs = ((1L to 200L).map(id => (id, "big")) ++
+      (201L to 220L).map(id => (id, "small"))).toDF("doc_id", "source")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = DataSplit.stratifiedSplit(docs, "doc_id", "source", weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 220, "every doc assigned exactly once")
+    val counts = got.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+    // exact quotas: floor-of-cumulative arithmetic, ±0 here
+    assert(counts(("big", "train")) == 160 && counts(("big", "val")) == 20 &&
+      counts(("big", "test")) == 20, s"big quotas: $counts")
+    assert(counts(("small", "train")) == 16 && counts(("small", "val")) == 2 &&
+      counts(("small", "test")) == 2, s"small quotas: $counts")
+    // determinism + membership is a pure function of (id, salt):
+    // repartitioned input produces the identical assignment
+    val again = DataSplit.stratifiedSplit(docs.repartition(7), "doc_id",
+      "source", weights).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(again.toSet == got.toSet, "partition-dependent stratified split")
+    // a different salt reshuffles membership but not the quotas
+    val resalted = DataSplit.stratifiedSplit(docs, "doc_id", "source",
+      weights, salt = "other").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(resalted.toSet != got.toSet, "salt must drive membership")
+    assert(resalted.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
+      == counts, "quotas must be salt-invariant")
+  }
 }
