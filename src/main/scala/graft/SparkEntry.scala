@@ -207,6 +207,8 @@ object SparkEntry {
       Analytics.copurchasePagerank(Tables.lineitem(s, dir))),
     "q_purchase_streaks" -> ((s, dir) =>
       Analytics.purchaseStreaks(Tables.orders(s, dir))),
+    "q_decile_lift" -> ((s, dir) =>
+      Analytics.decileLift(Tables.orders(s, dir))),
     "events_rolling_active_users" -> ((s, dir) =>
       Analytics.rollingActiveUsers(Tables.events(s, dir))),
     "q_revenue_changepoint" -> ((s, dir) =>
@@ -322,6 +324,14 @@ object SparkEntry {
     }),
     "emb_dim_stats" -> ((s, dir) =>
       Similarity.dimStats(Tables.embeddings(s, dir))),
+    // two snapshot halves (the ann_index_*_append split) stand in
+    // for yesterday's corpus vs today's delta
+    "emb_centroid_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0))
+    }),
     // MMR re-rank over the exact pool — deterministic but the greedy
     // argmax chain is not SQL-expressible (rows-only; SimilaritySpec
     // pins first-pick, diversity preference and determinism)
@@ -815,6 +825,17 @@ object SparkEntry {
     "etl_dq_profile_approx" -> ((s, dir) =>
       operators.RetailEtl.dqProfileApprox(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
+    "etl_check_constraints" -> ((s, dir) =>
+      operators.RetailEtl.checkConstraints(Tables.lineitem(s, dir), Seq(
+        ("qty_in_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        ("qty_le_30", col("l_quantity") <= 30), // deliberately failing
+        ("discount_in_range",
+          col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+        ("price_positive", col("l_extendedprice") > 0),
+        ("returnflag_enum", col("l_returnflag").isin("A", "N", "R")),
+        ("ship_in_horizon",
+          col("l_shipdate") >= lit("1992-01-01") &&
+            col("l_shipdate") < lit("1999-01-01"))))),
     "etl_fd_violations" -> ((s, dir) =>
       operators.RetailEtl.fdAudit(Tables.lineitem(s, dir), Seq(
         // the composite PK determines everything (holds); a part is
@@ -1265,6 +1286,25 @@ object SparkEntry {
         |  / (CAST(nd AS DOUBLE) * 10000.0) AS cusum,
         | abs(cusum_scaled) = peak AS is_changepoint
         |FROM pk""".stripMargin.replace("\n", " "),
+    "q_decile_lift" ->
+      // plain ntile here; the Spark side reproduces ANSI ntile
+      // arithmetically over its banded exact rank
+      """WITH spend AS (SELECT o_custkey,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+        | FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, c,
+        |  ntile(10) OVER (ORDER BY c DESC, o_custkey) AS decile
+        | FROM spend),
+        |g AS (SELECT decile, count(*) AS n_customers,
+        |  CAST(sum(c) AS BIGINT) AS dc FROM d GROUP BY 1)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+        | CAST(dc AS DOUBLE) / 100.0 AS revenue,
+        | round(dc * 1.0 / CAST(sum(dc) OVER () AS BIGINT), 6)
+        |  AS revenue_share,
+        | round(CAST(sum(dc) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   * 1.0 / CAST(sum(dc) OVER () AS BIGINT), 6) AS cum_share
+        |FROM g""".stripMargin.replace("\n", " "),
     "q_supplier_reliability" ->
       // the Wilson bound is a fixed closed form over the exact
       // (n_lines, n_late) integers — written with the identical
@@ -2057,6 +2097,26 @@ object SparkEntry {
         | min(CAST(v AS DOUBLE)) AS min_v,
         | max(CAST(v AS DOUBLE)) AS max_v
         |FROM ex GROUP BY 1""".stripMargin.replace("\n", " "),
+    "emb_centroid_drift" ->
+      // per-(label, dim) means at ≤ labels·dim grain, drift reduced
+      // on the aggregates; cosine/norms rounded (summation-order
+      // class, abs error ~1e-13 — ORACLE_NOTES)
+      """WITH ex AS (SELECT label, vec_id, unnest(embedding) AS v,
+        |  unnest(generate_series(1, len(embedding))) AS dim
+        | FROM embeddings),
+        |ca AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m,
+        |  count(*) AS n FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |cb AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m,
+        |  count(*) AS n FROM ex WHERE vec_id % 2 <> 0 GROUP BY 1, 2),
+        |j AS (SELECT ca.label AS label, max(ca.n) AS n_a, max(cb.n) AS n_b,
+        |  sum(ca.m * cb.m) AS dot, sum(ca.m * ca.m) AS na2,
+        |  sum(cb.m * cb.m) AS nb2
+        | FROM ca JOIN cb ON ca.label = cb.label AND ca.dim = cb.dim
+        | GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        | round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS centroid_cosine,
+        | round(sqrt(na2), 6) AS norm_a, round(sqrt(nb2), 6) AS norm_b
+        |FROM j""".stripMargin.replace("\n", " "),
     "emb_norm_profile" ->
       // the norm replays Spark's pinned left fold bit-for-bit:
       // list_prepend(0.0) = the explicit fold init, per-element
@@ -3673,6 +3733,27 @@ object SparkEntry {
         |   AS BIGINT),
         |  count(DISTINCT l_quantity) FROM lineitem) p"""
         .stripMargin.replace("\n", " "),
+    "etl_check_constraints" -> {
+      // CASE … THEN 0 ELSE 1 sends NULL predicates to ELSE —
+      // matching the Spark side's coalesce(pred, false)
+      val rules = Seq(
+        "qty_in_range" -> "l_quantity >= 1 AND l_quantity <= 50",
+        "qty_le_30" -> "l_quantity <= 30",
+        "discount_in_range" -> "l_discount >= 0.0 AND l_discount <= 0.1",
+        "price_positive" -> "l_extendedprice > 0",
+        "returnflag_enum" -> "l_returnflag IN ('A', 'N', 'R')",
+        "ship_in_horizon" ->
+          "l_shipdate >= '1992-01-01' AND l_shipdate < '1999-01-01'")
+      val agg = "SELECT count(*) AS n_rows, " + rules.zipWithIndex.map {
+        case ((_, p), i) =>
+          s"CAST(sum(CASE WHEN $p THEN 0 ELSE 1 END) AS BIGINT) AS v$i"
+      }.mkString(", ") + " FROM lineitem"
+      s"WITH a AS ($agg) " + rules.zipWithIndex.map { case ((n, _), i) =>
+        s"SELECT '$n' AS rule, n_rows, v$i AS n_violations, " +
+          s"round(v$i * 1.0 / n_rows, 6) AS violation_frac, " +
+          s"v$i = 0 AS passes FROM a"
+      }.mkString(" UNION ALL ")
+    },
     "etl_fd_violations" -> {
       def fd(name: String, det: String, dep: String): String =
         s"SELECT '$name' AS fd, count(*) AS n_keys, " +

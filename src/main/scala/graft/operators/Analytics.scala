@@ -1559,6 +1559,71 @@ object Analytics {
       .withColumn("stickiness", round(col("dau") / col("wau"), 6))
   }
 
+  /** Customer decile lift/gains table — "the top 10% of customers
+    * carry X% of revenue", the targeting readout behind every
+    * campaign-sizing decision (and the per-decile generalization of
+    * [[paretoRevenue]]'s 80/20 point): customers rank by exact spend
+    * (cents) into `ntile(10)` deciles — ANSI ntile semantics on a
+    * (spend desc, custkey) total order, so bucket boundaries replay
+    * cross-engine — then per decile count, revenue, share and
+    * cumulative share. Bucket assignment needs the GLOBAL spend
+    * rank, but no global sort runs: customers band into
+    * quarter-octave spend buckets,
+    * band counts collect (O(bands) scalars — the [[paretoRevenue]]
+    * two-phase idiom), and `band_offset + within-band row_number`
+    * IS the exact global rank with every window partitioned by
+    * band. The ANSI ntile formula (first n%10 buckets take the
+    * extra row) then maps rank → decile arithmetically, replaying
+    * the oracle's `ntile(10)` bit-for-bit. Spend is exact cents;
+    * shares divide exact integers, rounded once.
+    */
+  def decileLift(orders: DataFrame, buckets: Int = 10): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val spend = orders
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .localCheckpoint(true) // band totals + ranking both consume it
+    val banded = spend.withColumn("band",
+      (-floor(log2(greatest(col("c").cast("double"), lit(1.0))) * 4))
+        .cast("long"))
+    // descending-spend global order = ascending band order (bigger
+    // spend → more-negative band), rank offsets from band counts
+    val counts = banded.groupBy("band").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = counts.map(_._2).sum
+    var acc = 0L
+    val offsets = counts.map { case (b, cHere) =>
+      val off = (b, acc); acc += cHere; off }
+    val offsetsDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("band", "rank_offset")
+    val q = n / buckets; val r = n % buckets
+    val wBand = Window.partitionBy("band")
+      .orderBy(col("c").desc, col("o_custkey").asc)
+    val rank = col("rank_offset") + row_number().over(wBand)
+    // ANSI ntile: buckets 1..r hold q+1 rows, the rest q
+    val decile =
+      if (q == 0L) rank
+      else when(rank <= lit(r * (q + 1)), ceil(rank / lit((q + 1).toDouble)))
+        .otherwise(lit(r) + ceil((rank - lit(r * (q + 1))) / lit(q.toDouble)))
+    val byDecile = banded.join(broadcast(offsetsDf), Seq("band"))
+      .withColumn("decile", decile.cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("c").as("dc"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDecile
+      .withColumn("total", sum("dc").over(all))
+      .withColumn("cum", sum("dc").over(w))
+      .select(
+        col("decile"), col("n_customers"),
+        (col("dc").cast("double") / 100.0).as("revenue"),
+        round(col("dc") / col("total"), 6).as("revenue_share"),
+        round(col("cum") / col("total"), 6).as("cum_share"))
+  }
+
   /** [[rollingActiveUsers]]'s 100 TB twin as a FIRST-CLASS key, not
     * a comment: the same bounded ×days fan-out of the deduplicated
     * user-day relation, but the exact (target_day, user) collapse —

@@ -302,6 +302,36 @@ object RetailEtl {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Declarative constraint check — the dbt-test/CHECK-constraint
+    * primitive: evaluate a set of named row predicates (range,
+    * enum membership, pattern, cross-column) in ONE scan and report
+    * per rule the row count, violation count/fraction and a pass
+    * flag. All rules fold into a single wide aggregate
+    * (`sum(when(!rule, 1))` per rule) unpivoted with `stack` — the
+    * [[dqProfile]] shape — so adding a rule costs one counter, not
+    * one pass; null predicate results count as VIOLATIONS (a rule
+    * that cannot evaluate has failed, the SQL-CHECK-vs-audit
+    * distinction). Output is O(#rules) rows at any table size.
+    */
+  def checkConstraints(df: DataFrame,
+                       rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "checkConstraints needs at least one rule")
+    rules.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"rule name must be a plain identifier, got '$n'") }
+    val aggs = count(lit(1)).as("n_rows") +: rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L))
+        .as(s"${name}__viol") }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${rules.size}, " + rules.map { case (name, _) =>
+          s"'$name', n_rows, `${name}__viol`" }.mkString(", ") +
+          ") as (rule, n_rows, n_violations)"))
+      .withColumn("violation_frac",
+        round(col("n_violations") / col("n_rows"), 6))
+      .withColumn("passes", col("n_violations") === 0L)
+  }
+
   /** Functional-dependency audit — the schema-contract check a
     * pipeline runs on a feed whose documentation CLAIMS "column Y is
     * determined by key X" (a denormalized attribute, a business

@@ -732,6 +732,43 @@ object Similarity {
         min("v").as("min_v"),
         max("v").as("max_v"))
 
+  /** Centroid drift between two corpus snapshots — the encoder-
+    * version/distribution-shift monitor for an embedding feed: per
+    * label, the cosine between the two snapshots' MEAN vectors and
+    * both centroid norms. A centroid cosine sagging below ~0.99
+    * across a model redeploy means the new vectors live in a
+    * different region and every persisted index ([[AnnIndex]]) and
+    * PQ codebook trained on the old geometry is quietly stale —
+    * this is the rebuild trigger that catches what
+    * [[graft.operators.AnnIndex]]'s cell-balance check cannot (a
+    * uniform shift rebalances nothing). Cost: each side is one
+    * bounded posexplode into a (label, dim)-grain mean (≤ labels·dim
+    * rows), the join runs at that same tiny grain, and the final
+    * per-label reduce is O(dim) per label. Vectors never pairwise
+    * join — drift is measured on the aggregates.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def cent(df: DataFrame, sfx: String) = df
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(avg(col("col").cast("double")).as(s"m_$sfx"),
+        count(lit(1)).as(s"n_$sfx"))
+    cent(a, "a").join(cent(b, "b"), Seq("label", "dim"))
+      .groupBy("label")
+      .agg(
+        max(s"n_a").as("n_a"),
+        max(s"n_b").as("n_b"),
+        sum(col("m_a") * col("m_b")).as("dot"),
+        sum(col("m_a") * col("m_a")).as("na2"),
+        sum(col("m_b") * col("m_b")).as("nb2"))
+      .select(
+        col("label"), col("n_a"), col("n_b"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+          .as("centroid_cosine"),
+        round(sqrt(col("na2")), 6).as("norm_a"),
+        round(sqrt(col("nb2")), 6).as("norm_b"))
+  }
+
   /** Maximal-marginal-relevance diverse top-k — re-rank a relevance
     * pool so the result covers the query's neighborhood instead of
     * returning `k` near-copies (the retrieval-for-RAG/labeling

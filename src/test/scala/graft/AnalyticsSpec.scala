@@ -589,6 +589,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("1995-01-09") == ((1L, 1L, 1.0)), s"d9: ${got("1995-01-09")}")
   }
 
+  test("decileLift: banded rank reproduces ANSI ntile on a non-divisible count") {
+    // 23 customers with distinct spends: ntile(10) puts 3 rows in
+    // buckets 1..3 and 2 in 4..10
+    val orders = (1 to 23).map(i => (i.toLong, i * 100.0))
+      .toDF("o_custkey", "o_totalprice")
+    val got = Analytics.decileLift(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(got.keySet == (1L to 10L).toSet, s"all deciles: $got")
+    assert((1L to 3L).forall(got(_)._1 == 3L) &&
+      (4L to 10L).forall(got(_)._1 == 2L), s"ANSI ntile fill: $got")
+    // parity with Spark's own ntile over the same total order
+    val viaNtile = orders
+      .withColumn("decile", ntile(10).over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("o_totalprice").desc, col("o_custkey"))).cast("long"))
+      .groupBy("decile").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap == viaNtile, "ntile parity")
+    // gains curve: cum_share strictly increasing, ends at 1
+    val cum = got.toSeq.sortBy(_._1).map(_._2._2)
+    assert(cum.zip(cum.drop(1)).forall { case (a, b) => b > a }, s"cum: $cum")
+    assert(math.abs(cum.last - 1.0) < 1e-9, s"last cum share: ${cum.last}")
+  }
+
   test("revenueChangepoint: cusum peaks at the level shift, exact peak tie set") {
     // 10 days at ~100.00/day then 10 days at ~300.00/day: |cusum|
     // maxes exactly at the last low day

@@ -337,6 +337,24 @@ class RetailEtlSpec extends SparkSpec {
       "1995-01-05" -> ((1L, false))), s"backfill plan: $got")
   }
 
+  test("checkConstraints: one pass, null predicates count as violations") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Some(5L), "A"), (Some(60L), "A"),   // 60 breaks qty_max
+      (None, "B"),                          // null qty → violation
+      (Some(10L), "X"))                     // X breaks the enum
+      .toDF("qty", "flag")
+    val out = RetailEtl.checkConstraints(df, Seq(
+      ("qty_max", col("qty") <= 50L),
+      ("flag_enum", col("flag").isin("A", "B")))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // qty_max: 60 fails, NULL fails (a rule that can't evaluate has
+    // failed) → 2 violations
+    assert(out("qty_max") == ((4L, 2L, false)), s"qty_max: $out")
+    assert(out("flag_enum") == ((4L, 1L, false)), s"flag_enum: $out")
+  }
+
   test("fdAudit: holding FD reports zero violations, broken FD the worst fan-out") {
     val df = Seq(
       (1L, 1L, 10L, "A"), (1L, 2L, 20L, "A"),   // order 1: shipmode const

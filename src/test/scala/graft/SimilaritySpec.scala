@@ -366,6 +366,24 @@ class SimilaritySpec extends SparkSpec {
     assert(again == got, "partition-dependent MMR")
   }
 
+  test("centroidDrift: identical snapshots cosine 1, mirrored snapshots cosine -1") {
+    val a = Seq(
+      (1L, Array(1.0f, 2.0f), 0), (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(0.0f, 2.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val same = Similarity.centroidDrift(a, a).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(same(0) == ((2L, 2L, 1.0)) && same(1) == ((1L, 1L, 1.0)),
+      s"identical snapshots must not drift: $same")
+    import org.apache.spark.sql.functions.transform
+    val mirrored = a.withColumn("embedding",
+      transform(col("embedding"), x => -x))
+    val flip = Similarity.centroidDrift(a, mirrored).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(flip(0) == -1.0 && flip(1) == -1.0, s"mirror must read -1: $flip")
+  }
+
   test("mmrDiverse: lambda=1 degenerates to exact top-k order") {
     val vecs = (1 to 8).map(i =>
       (i.toLong, Array(1.0f, i * 0.1f, (9 - i) * 0.05f), 0))
