@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-six") {
+  test("rows-only queries are the documented twenty-nine") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -56,7 +56,13 @@ class ContractSpec extends AnyFunSuite {
       // PcaSpec invariants + the recall gate carry correctness
       "emb_pca_project", "ann_pca_topk",
       // zlib has no DuckDB twin; invariants spec-held
-      "text_compression_signal"),
+      "text_compression_signal",
+      // r9 final batch: minhash banding has no SQL analog (DedupSpec
+      // histogram identities), the MMR greedy chain is not
+      // SQL-expressible (SimilaritySpec), HLL day sketches are
+      // error-bounded vs the exact key (ApproxSpec)
+      "dedup_lsh_band_stats", "ann_mmr_diverse",
+      "events_rolling_active_approx"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
