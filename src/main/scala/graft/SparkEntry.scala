@@ -896,6 +896,16 @@ object SparkEntry {
       EventOps.userLifespanApprox(Tables.events(s, dir))),
     "text_zipf_spectrum" -> ((s, dir) =>
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
+    "text_source_divergence" -> ((s, dir) =>
+      TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
+    "events_value_psi" -> ((s, dir) =>
+      EventOps.valuePsi(Tables.events(s, dir))),
+    // batch fold of the live DQ monitor — rows-only (HLL sketches
+    // have no SQL oracle; ApproxSpec bounds error vs the exact
+    // profile, StreamingSpec holds cross-batch accumulation)
+    "stream_dq_profile" -> ((s, dir) =>
+      graft.streaming.EventStream.dqProfileState(Tables.events(s, dir),
+        Seq("user_id", "event_type", "value"))),
     "text_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
     "q_concurrent_sessions" -> ((s, dir) =>
@@ -3931,6 +3941,58 @@ object SparkEntry {
         | count(*) AS n_active
         |FROM daily JOIN f USING (user_id) GROUP BY 1"""
         .stripMargin.replace("\n", " "),
+    "text_source_divergence" ->
+      // absent-term complement folded into the ½·(1 − coverage)
+      // closed form — no corpus-sized anti join; log-sums rounded
+      """WITH st AS (SELECT source, token, count(*) AS c_st FROM (
+        | SELECT source, unnest(list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token
+        | FROM documents) x GROUP BY 1, 2),
+        |tot AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t
+        | FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s
+        | FROM st GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_st) AS BIGINT) AS n FROM st),
+        |j AS (SELECT st.source AS source, ns.n_s AS n_s,
+        |  c_st * 1.0 / ns.n_s AS ps, c_t * 1.0 / nn.n AS pc
+        | FROM st JOIN tot USING (token)
+        |  JOIN ns ON st.source = ns.source, nn),
+        |g AS (SELECT source, max(n_s) AS n_tokens, count(*) AS vocab,
+        |  sum(0.5 * ps * log2(2.0 * ps / (ps + pc))
+        |   + 0.5 * pc * log2(2.0 * pc / (ps + pc))) AS core,
+        |  sum(pc) AS cov FROM j GROUP BY 1)
+        |SELECT source, n_tokens, vocab,
+        | round(core + 0.5 * (1.0 - cov), 6) AS js_divergence,
+        | round(cov, 6) AS corpus_coverage FROM g"""
+        .stripMargin.replace("\n", " "),
+    "events_value_psi" -> {
+      val probs = (1 to 9).map(_ / 10.0)
+      val bucketExpr = probs.indices.map(i =>
+        s"CASE WHEN value > cs[${i + 1}] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT value, CAST(ts AS DATE) AS day FROM events),
+         |m AS (SELECT min(day) + CAST(floor(
+         |  date_diff('day', min(day), max(day)) / 2) AS INTEGER) AS mid
+         | FROM e),
+         |t AS (SELECT value, day <= m.mid AS is_a FROM e, m),
+         |c AS (SELECT quantile_cont(value,
+         |  [${probs.mkString(", ")}]) AS cs FROM t WHERE is_a),
+         |b AS (SELECT CAST($bucketExpr AS BIGINT) AS bucket, is_a
+         | FROM t, c),
+         |g AS (SELECT bucket,
+         |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         | FROM b GROUP BY 1),
+         |p AS (SELECT bucket, n_a, n_b,
+         |  (n_a + 0.5) / (CAST(sum(n_a) OVER () AS BIGINT) + 5.0) AS p_a,
+         |  (n_b + 0.5) / (CAST(sum(n_b) OVER () AS BIGINT) + 5.0) AS p_b
+         | FROM g),
+         |q AS (SELECT *, (p_b - p_a) * ln(p_b / p_a) AS psi FROM p)
+         |SELECT bucket, n_a, n_b, round(p_a, 6) AS p_a,
+         | round(p_b, 6) AS p_b, round(psi, 6) AS psi_term,
+         | round(sum(psi) OVER (), 6) AS psi_total FROM q"""
+        .stripMargin.replace("\n", " ")
+    },
     "text_zipf_spectrum" ->
       """WITH tok AS (SELECT unnest(list_filter(
         |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS token

@@ -1020,4 +1020,58 @@ object EventOps {
       .groupBy("entry_type", "exit_type")
       .agg(count(lit(1)).as("n_sessions"),
         sum("n").as("total_events"))
+
+  /** Population-stability index of the event `value` distribution
+    * between the corpus's first and second half (by day) — the
+    * standard model-monitoring drift score: decile cut-points come
+    * from the BASELINE half (exact interpolated percentiles, 9
+    * scalars collected — the [[Analytics.rfmSegments]] pattern, so
+    * the bucketing replays with no percentile state), both halves
+    * bucket by broadcast comparisons, and
+    * `PSI = Σ (p_b − p_a)·ln(p_b/p_a)` runs over the ≤ bucket-count
+    * relation. Probabilities are Laplace-smoothed
+    * (`(c + ½)/(n + ½·buckets)`) so an empty bucket on one side —
+    * where raw PSI is undefined — degrades gracefully instead of
+    * emitting ±∞; the smoothing is part of the contract and the
+    * oracle replays it. Conventional read: < 0.1 stable, 0.1–0.25
+    * drifting, > 0.25 shifted. One fact scan after the split tag,
+    * one percentile pass over the baseline, two tiny aggregates.
+    */
+  def valuePsi(events: DataFrame): DataFrame = {
+    val probs = (1 to 9).map(_ / 10.0)
+    val tagged = events
+      .select(col("value"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(events
+        .agg(date_add(min(to_date(col("ts"))),
+          floor(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) / 2)
+            .cast("int")).as("mid"))))
+      .withColumn("is_a", col("day") <= col("mid"))
+      .localCheckpoint(true) // percentile pass + bucketing share it
+    val cuts = tagged.filter(col("is_a"))
+      .agg(expr(s"percentile(value, array(${probs.mkString(", ")}))").as("cs"))
+      .head().getSeq[Double](0)
+    val bucket = cuts.map(c => when(col("value") > c, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val nBuckets = cuts.length + 1
+    val counts = tagged
+      .groupBy(bucket.as("bucket"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+    val all = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pa = (col("n_a") + lit(0.5)) /
+      (sum("n_a").over(all) + lit(0.5 * nBuckets))
+    val pb = (col("n_b") + lit(0.5)) /
+      (sum("n_b").over(all) + lit(0.5 * nBuckets))
+    counts
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("psi_term", (col("p_b") - col("p_a")) *
+        log(col("p_b") / col("p_a")))
+      .withColumn("psi_total", sum("psi_term").over(all))
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("psi_total"), 6).as("psi_total"))
+  }
 }

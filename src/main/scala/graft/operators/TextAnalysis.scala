@@ -659,6 +659,51 @@ object TextAnalysis {
       .groupBy("occurrences")
       .agg(count(lit(1)).as("n_tokens"))
 
+  /** Per-source Jensen–Shannon divergence against the corpus unigram
+    * distribution — the text analog of embedding centroid drift: a
+    * source whose token distribution diverges is boilerplate, a
+    * different language, or template spam, and JS (unlike KL) is
+    * bounded [0, 1 bit] and defined when a term is missing on either
+    * side. Closed form that never materializes the corpus-sized
+    * "terms NOT in this source" complement: terms absent from a
+    * source contribute exactly `0.5·p_c` to its divergence, so
+    * JS_s = Σ_{t∈s} [½·p_s·log2(2p_s/(p_s+p_c)) +
+    * ½·p_c·log2(2p_c/(p_s+p_c))] + ½·(1 − Σ_{t∈s} p_c). Cost: one
+    * (source, term) count (the TF-IDF shuffle), term totals derived
+    * FROM it by re-aggregation (the corpus is scanned once), the
+    * join at (source, term) grain, one per-source reduce. Output is
+    * O(sources) rows; log-sums cross row order → rounded 1e-6.
+    */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(canonical(col("text")))).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true) // term totals + source totals + join share it
+    val tot = st.groupBy("token").agg(sum("c_st").as("c_t"))
+    val nSource = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val nAll = st.agg(sum("c_st").as("n"))
+    val ps = col("c_st") / col("n_s")
+    val pc = col("c_t") / col("n")
+    st.join(tot, "token")
+      .join(nSource, "source")
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_s"), pc.as("pc"),
+        (lit(0.5) * ps * log2(lit(2.0) * ps / (ps + pc)) +
+          lit(0.5) * pc * log2(lit(2.0) * pc / (ps + pc))).as("contrib"))
+      .groupBy("source")
+      .agg(
+        max("n_s").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum("contrib").as("core"),
+        sum("pc").as("cov"))
+      .select(
+        col("source"), col("n_tokens"), col("vocab"),
+        round(col("core") + lit(0.5) * (lit(1.0) - col("cov")), 6)
+          .as("js_divergence"),
+        round(col("cov"), 6).as("corpus_coverage"))
+  }
+
   /** Per-document Shannon entropy over whitespace tokens (bits/token)
     * — low entropy flags repetitive/templated documents that length
     * and punctuation heuristics miss. One explode + one two-key

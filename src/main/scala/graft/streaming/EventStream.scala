@@ -755,4 +755,37 @@ object EventStream extends Serializable {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn)
       .toDF()
   }
+
+  /** Live data-quality profile — the always-on spelling of
+    * [[graft.operators.RetailEtl.dqProfileApprox]]: per monitored
+    * column, running row count, null count/fraction and HLL distinct
+    * cardinality, maintained as ONE streaming aggregate keyed on
+    * column name. Rows unpivot with `stack` before the aggregate, so
+    * adding a column adds one state row (count + sum + fixed-size
+    * HLL sketch — state is O(cols), never data-sized); update mode
+    * re-emits the refreshed profile each trigger, which is exactly
+    * what a feed monitor polls. Values stringify for a uniform
+    * sketch domain — cardinality semantics match the batch profile
+    * (distinct VALUES, not distinct bytes). Batch fold of the whole
+    * corpus is the driver key (rows-only; ApproxSpec bounds the HLL
+    * error vs the exact profile, StreamingSpec holds cross-batch
+    * accumulation).
+    */
+  def dqProfileState(events: DataFrame, cols: Seq[String],
+                     rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "dqProfileState needs at least one column")
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name must be a plain identifier, got '$c'"))
+    events
+      .select(expr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+          ") as (col_name, v)"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        approx_count_distinct(col("v"), rsd).as("n_distinct"))
+      .withColumn("null_frac", round(col("n_nulls") / col("n_rows"), 6))
+  }
 }

@@ -169,6 +169,25 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("stream_dq_profile batch fold: HLL within 5% of exact per-column distincts") {
+    val cols = Seq("user_id", "event_type", "value")
+    val got = graft.streaming.EventStream.dqProfileState(events, cols)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == cols.toSet)
+    cols.foreach { c =>
+      val exact = events.agg(
+        count(lit(1)), sum(when(col(c).isNull, 1L).otherwise(0L)),
+        countDistinct(col(c))).head()
+      val (n, nulls, dist) = got(c)
+      assert(n == exact.getLong(0), s"$c rows")
+      assert(nulls == exact.getLong(1), s"$c nulls")
+      assert(math.abs(dist - exact.getLong(2)) <=
+        math.max(2L, (exact.getLong(2) * 0.05).toLong),
+        s"$c distinct: $dist vs ${exact.getLong(2)}")
+    }
+  }
+
   test("rollingActiveUsersApprox: per-day HLL within 5% of the exact WAU/DAU") {
     import graft.operators.Analytics
     def byDay(df: org.apache.spark.sql.DataFrame, wc: String, dc: String) =

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-nine") {
+  test("rows-only queries are the documented thirty") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -62,7 +62,10 @@ class ContractSpec extends AnyFunSuite {
       // SQL-expressible (SimilaritySpec), HLL day sketches are
       // error-bounded vs the exact key (ApproxSpec)
       "dedup_lsh_band_stats", "ann_mmr_diverse",
-      "events_rolling_active_approx"),
+      "events_rolling_active_approx",
+      // live DQ monitor: HLL state per column (ApproxSpec bounds,
+      // StreamingSpec cross-batch accumulation)
+      "stream_dq_profile"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

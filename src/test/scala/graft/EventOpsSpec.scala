@@ -519,4 +519,29 @@ class EventOpsSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(2) == 0L && r.getBoolean(3), s"tie span: $r")
   }
+
+  test("valuePsi: stationary halves read ~0, a level shift clears the 0.25 alarm") {
+    def half(dayOff: Int, vs: Seq[Double]): Seq[(Long, String, Long, String, Double)] =
+      vs.zipWithIndex.map { case (v, i) =>
+        (dayOff * 1000L + i, f"2024-01-${dayOff + 1}%02d 10:00:00", 1L, "e", v) }
+    def df(rows: Seq[(Long, String, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+    val base = (1 to 200).map(_ % 50 * 1.0)
+    // days 1-2 = baseline, days 3-4 = comparison (mid = day 2)
+    val stationary = df(half(0, base) ++ half(1, base) ++
+      half(2, base) ++ half(3, base))
+    val stable = EventOps.valuePsi(stationary).collect()
+    val psiStable = stable.head.getDouble(6)
+    assert(stable.map(_.getDouble(6)).distinct.length == 1,
+      "psi_total must be constant across bucket rows")
+    assert(math.abs(psiStable) < 0.01, s"stationary psi: $psiStable")
+    assert(stable.map(_.getLong(1)).sum == 400L &&
+      stable.map(_.getLong(2)).sum == 400L, "halves must partition rows")
+    // second half shifted +200: mass leaves every baseline decile
+    val shifted = df(half(0, base) ++ half(1, base) ++
+      half(2, base.map(_ + 200)) ++ half(3, base.map(_ + 200)))
+    val psiShift = EventOps.valuePsi(shifted).collect().head.getDouble(6)
+    assert(psiShift > 0.25, s"shifted psi must alarm: $psiShift")
+  }
 }

@@ -1016,6 +1016,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dqProfileState: counters accumulate across batches, nulls counted") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Option[Double])]
+    val q = EventStream.dqProfileState(
+        mem.toDF().toDF("event_id", "event_type", "value"),
+        Seq("event_type", "value"))
+      .writeStream.format("memory").queryName("dq_live")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "click", Some(1.0)), (2L, "view", Some(2.0)))
+      q.processAllAvailable()
+      mem.addData((3L, "click", None), (4L, "buy", Some(1.0)))
+      q.processAllAvailable()
+      // update mode re-emits; the latest emission per column wins
+      val rows = spark.table("dq_live").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, vs) => vs.maxBy(t => (t._1._2, t._2))._1 }
+        .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      assert(latest("event_type") == ((4L, 0L, 3L)),
+        s"type profile after two batches: $latest")
+      // value: 4 rows, 1 null, 2 distinct non-null values (1.0, 2.0)
+      assert(latest("value") == ((4L, 1L, 2L)), s"value profile: $latest")
+    } finally q.stop()
+  }
+
   test("capState: quota spans batches, straggler dropped after fill, batch ≡ window") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocStream

@@ -395,4 +395,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("unique") == ((2L, 4L, 4L, 1.0)), s"unique: $got")
     assert(!got.contains("empty"), s"gramless source must be absent: $got")
   }
+
+  test("sourceDivergence: corpus-identical sources read 0, alien vocab reads high") {
+    import org.apache.spark.sql.functions.col
+    // a and b share one token distribution → each equals the corpus
+    val same = Seq(
+      (1L, "x y z", "a"), (2L, "x y z", "b"))
+      .toDF("doc_id", "text", "source")
+    val zero = graft.operators.TextAnalysis.sourceDivergence(same).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(zero("a") == ((0.0, 1.0)) && zero("b") == ((0.0, 1.0)),
+      s"identical distributions must not diverge: $zero")
+    // c's vocabulary is disjoint from d's: JS must be symmetric,
+    // bounded by 1 bit, and far above the identical case
+    val alien = Seq(
+      (1L, "x x y y", "c"), (2L, "p p q q", "d"))
+      .toDF("doc_id", "text", "source")
+    val far = graft.operators.TextAnalysis.sourceDivergence(alien).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(far("c") == far("d"), s"symmetric halves: $far")
+    assert(far("c") > 0.25 && far("c") <= 1.0, s"disjoint vocab: $far")
+  }
 }
