@@ -39,7 +39,16 @@ object ExplainMain {
       "q_rolling_revenue", "q_copurchase_pagerank",
       "events_deseasonalized_anomaly", "events_bot_flag",
       "docs_interleave_order", "emb_pca_project", "ann_pca_topk",
-      "etl_backfill_plan", "stream_bot_flag")
+      "etl_backfill_plan", "stream_bot_flag",
+      // r9 final batch
+      "etl_fd_violations", "etl_referential_integrity",
+      "etl_check_constraints", "etl_benford_check",
+      "events_rolling_active_users", "events_rolling_active_approx",
+      "q_revenue_changepoint", "q_purchase_streaks", "q_decile_lift",
+      "split_stratified", "emb_dim_stats", "emb_centroid_drift",
+      "dedup_lsh_band_stats", "text_source_divergence",
+      "events_value_psi", "events_markov_stationary",
+      "stream_source_cap", "stream_dq_profile")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

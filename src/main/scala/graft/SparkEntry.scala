@@ -900,6 +900,10 @@ object SparkEntry {
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     "events_value_psi" -> ((s, dir) =>
       EventOps.valuePsi(Tables.events(s, dir))),
+    "events_markov_stationary" -> ((s, dir) =>
+      EventOps.markovStationary(Tables.events(s, dir))),
+    "etl_benford_check" -> ((s, dir) =>
+      operators.RetailEtl.benfordCheck(Tables.orders(s, dir), "o_totalprice")),
     // batch fold of the live DQ monitor — rows-only (HLL sketches
     // have no SQL oracle; ApproxSpec bounds error vs the exact
     // profile, StreamingSpec holds cross-batch accumulation)
@@ -3964,6 +3968,45 @@ object SparkEntry {
         |SELECT source, n_tokens, vocab,
         | round(core + 0.5 * (1.0 - cov), 6) AS js_divergence,
         | round(cov, 6) AS corpus_coverage FROM g"""
+        .stripMargin.replace("\n", " "),
+    "events_markov_stationary" -> {
+      // the power iterations unrolled as CTEs (the pagerank oracle
+      // pattern); identical frac/seed expressions, rounded 1e-9
+      val steps = 6
+      val body = (1 to steps).map(i =>
+        s"s$i AS (SELECT f.next_type AS state, sum(s${i - 1}.p * f.frac) AS p " +
+          s"FROM frac f JOIN s${i - 1} ON f.prev_type = s${i - 1}.state " +
+          "GROUP BY 1)").mkString(", ")
+      """WITH tr AS (SELECT prev_type, next_type, count(*) AS n FROM (
+        | SELECT user_id, event_type AS next_type,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type
+        | FROM events) x WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |deg AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS d
+        | FROM tr GROUP BY 1),
+        |frac AS (SELECT tr.prev_type AS prev_type, tr.next_type AS next_type,
+        |  CAST(tr.n AS DOUBLE) / CAST(deg.d AS DOUBLE) AS frac
+        | FROM tr JOIN deg ON tr.prev_type = deg.prev_type),
+        |s0 AS (SELECT prev_type AS state,
+        |  1.0 / (SELECT count(*) FROM deg) AS p FROM deg),
+        |""".stripMargin.replace("\n", " ") + body +
+        s" SELECT state, round(p, 9) AS p_stationary FROM s$steps"
+    },
+    "etl_benford_check" ->
+      // leading digit from the STRING rendering of exact cents —
+      // no float log10 boundary hazards; χ² over the 9-row relation
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |   AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        | FROM orders WHERE o_totalprice > 0
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS total,
+        |  log10(1.0 + 1.0 / digit) AS e FROM g),
+        |c AS (SELECT digit, n, n * 1.0 / total AS share, e,
+        |  pow(n - total * e, 2) / (total * e) AS chi2_term FROM t)
+        |SELECT digit, n, round(share, 6) AS share,
+        | round(e, 6) AS benford_p, round(chi2_term, 6) AS chi2_term,
+        | round(sum(chi2_term) OVER (), 6) AS chi2_total FROM c"""
         .stripMargin.replace("\n", " "),
     "events_value_psi" -> {
       val probs = (1 to 9).map(_ / 10.0)

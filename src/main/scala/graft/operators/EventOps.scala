@@ -1021,6 +1021,48 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"),
         sum("n").as("total_events"))
 
+  /** k-step forward distribution of the event-type Markov chain —
+    * where user behavior CONVERGES: starting uniform over the
+    * observed prev-states, push the distribution through the
+    * row-normalized transition matrix `steps` times (the
+    * [[Analytics.copurchasePagerank]] power-iteration shape on the
+    * [[eventTransitions]] edge relation). For an ergodic chain this
+    * approximates the stationary distribution — the long-run share
+    * of each event type, the "where does a session settle" readout;
+    * states with no outgoing transitions shed mass (sub-stochastic
+    * readout, deliberate and documented — a terminal state's inflow
+    * is visible in the step before it drains). Every relation here
+    * is ≤ |event types|² rows after one windowed pass over the fact
+    * table, so iterations are latency, not data volume; only the
+    * state-count scalar reaches the driver.
+    */
+  def markovStationary(events: DataFrame, steps: Int = 6): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val edges = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // deg + frac share it
+    val deg = edges.groupBy("prev_type").agg(sum("n").as("d"))
+      .localCheckpoint(true) // state seed + count + frac join share it
+    val nStates = deg.count()
+    val frac = edges.join(deg, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        (col("n").cast("double") / col("d").cast("double")).as("frac"))
+      .localCheckpoint(true) // re-joined every iteration
+    var pi = deg.select(col("prev_type").as("state"))
+      .withColumn("p", lit(1.0) / nStates.toDouble)
+    for (_ <- 1 to steps) {
+      pi = frac.join(pi, col("prev_type") === col("state"))
+        .groupBy(col("next_type"))
+        .agg(sum(col("p") * col("frac")).as("s"))
+        .select(col("next_type").as("state"), col("s").as("p"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), round(col("p"), 9).as("p_stationary"))
+  }
+
   /** Population-stability index of the event `value` distribution
     * between the corpus's first and second half (by day) — the
     * standard model-monitoring drift score: decile cut-points come

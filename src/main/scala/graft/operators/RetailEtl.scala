@@ -302,6 +302,41 @@ object RetailEtl {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Benford first-digit audit — the fraud/synthetic-data forensic:
+    * organically-grown monetary amounts follow
+    * `P(d) = log10(1 + 1/d)`; fabricated or truncated feeds don't.
+    * Per leading digit: count, observed share, Benford expectation,
+    * the χ² contribution, and the total χ² (window over the 9-row
+    * relation). The digit comes from the STRING rendering of the
+    * exact cents integer — never from float log10 arithmetic, whose
+    * boundary cases (`log10(1000)` landing an ulp under 3) would
+    * misclassify power-of-ten amounts differently per engine.
+    * One scan, one 9-key aggregate.
+    */
+  def benfordCheck(df: DataFrame, amountCol: String): DataFrame = {
+    val cents = round(col(amountCol) * 100, 0).cast("long")
+    val all = org.apache.spark.sql.expressions.Window
+      .orderBy("digit")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val expected = log10(lit(1.0) + lit(1.0) / col("digit"))
+    df.filter(col(amountCol) > 0 && cents > 0) // sub-cent amounts have no digit
+      .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(all))
+      .withColumn("share", col("n") / col("total"))
+      .withColumn("chi2_term",
+        pow(col("n") - col("total") * expected, 2) /
+          (col("total") * expected))
+      .select(
+        col("digit"), col("n"),
+        round(col("share"), 6).as("share"),
+        round(expected, 6).as("benford_p"),
+        round(col("chi2_term"), 6).as("chi2_term"),
+        round(sum("chi2_term").over(all), 6).as("chi2_total"))
+  }
+
   /** Declarative constraint check — the dbt-test/CHECK-constraint
     * primitive: evaluate a set of named row predicates (range,
     * enum membership, pattern, cross-column) in ONE scan and report

@@ -520,6 +520,27 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.getBoolean(3), s"tie span: $r")
   }
 
+  test("markovStationary: two-state chain converges toward the analytic fixed point") {
+    // sequence A B B A B realizes counts A→B:2, B→B:1, B→A:1, i.e.
+    // P(A→B)=1, P(B→A)=P(B→B)=0.5 — stationary point (1/3, 2/3)
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 10:00:01", 1L, "B"),
+      (3L, "2024-01-01 10:00:02", 1L, "B"),
+      (4L, "2024-01-01 10:00:03", 1L, "A"),
+      (5L, "2024-01-01 10:00:04", 1L, "B"))
+    val got = EventOps.markovStationary(e, steps = 40).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // chain is stochastic (no terminal state): mass conserved
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass: $got")
+    assert(math.abs(got("A") - 1.0 / 3) < 1e-3 &&
+      math.abs(got("B") - 2.0 / 3) < 1e-3, s"fixed point: $got")
+    // partition invariance (windowed trunk + joins, no order leaks)
+    val again = EventOps.markovStationary(e.repartition(7), steps = 40)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again == got, "partition-dependent stationary distribution")
+  }
+
   test("valuePsi: stationary halves read ~0, a level shift clears the 0.25 alarm") {
     def half(dayOff: Int, vs: Seq[Double]): Seq[(Long, String, Long, String, Double)] =
       vs.zipWithIndex.map { case (v, i) =>

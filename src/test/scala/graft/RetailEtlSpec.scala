@@ -337,6 +337,23 @@ class RetailEtlSpec extends SparkSpec {
       "1995-01-05" -> ((1L, false))), s"backfill plan: $got")
   }
 
+  test("benfordCheck: string-derived digits, chi2 identities, boundary amounts") {
+    import org.apache.spark.sql.functions.col
+    // 1000.00 → cents 100000 → digit 1 (the float-log10 hazard case);
+    // 9.99 → digit 9; 0.004 → cents 0, excluded; -5 excluded
+    val df = Seq(1000.0, 9.99, 150.0, 12.0, 0.004, -5.0)
+      .toDF("amount")
+    val rows = RetailEtl.benfordCheck(df, "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(5)))
+    val byDigit = rows.map(t => t._1 -> t._2).toMap
+    assert(byDigit == Map(1L -> 3L, 9L -> 1L), s"digits: $byDigit")
+    // Benford expectation for digit 1 is log10(2)
+    val b1 = rows.find(_._1 == 1L).get._3
+    assert(math.abs(b1 - math.log10(2.0)) < 1e-6, s"benford_p(1): $b1")
+    // chi2_total identical on every row
+    assert(rows.map(_._4).distinct.length == 1, s"chi2_total rows: $rows")
+  }
+
   test("checkConstraints: one pass, null predicates count as violations") {
     import org.apache.spark.sql.functions.col
     val df = Seq(
