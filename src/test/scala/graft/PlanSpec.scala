@@ -311,4 +311,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"slot profile must broadcast, not shuffle the hour series:\n$p")
   }
+
+  test("rollingActiveUsers: partial aggs before both exchanges, semi join broadcasts") {
+    val p = plan(Analytics.rollingActiveUsers(Tables.events(spark, dir)))
+    assert(p.contains("partial_max"),
+      s"(day, user) collapse must pre-aggregate map-side:\n$p")
+    assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+      s"present-days spine must broadcast into the semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"nothing here needs a sort join:\n$p")
+  }
+
+  test("decileLift ranks within spend bands, never one partition for the rank") {
+    val p = plan(Analytics.decileLift(Tables.orders(spark, dir)))
+    val rankSpec = "row_number.*windowspecdefinition\\(band".r
+    assert(rankSpec.findFirstIn(p).isDefined,
+      s"customer rank must partition by spend band:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"band offsets must broadcast onto the spend relation:\n$p")
+  }
+
+  test("riAudit anti joins on keys only — child payloads never shuffle") {
+    val p = plan(RetailEtl.riAudit(Seq(("li_orders",
+      Tables.lineitem(spark, dir), "l_orderkey",
+      Tables.orders(spark, dir), "o_orderkey"))))
+    assert("BroadcastHashJoin.*LeftAnti".r.findFirstIn(p).isDefined ||
+      p.contains("LeftAnti"), s"orphan set must be a LEFT-ANTI join:\n$p")
+    // the child scan must read only the FK column
+    assert("ReadSchema: struct<l_orderkey:bigint>".r.findFirstIn(p).isDefined,
+      s"child scan must prune to the key column:\n$p")
+  }
+
+  test("checkConstraints is one scan — a single aggregate, no join, no reshuffle") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(RetailEtl.checkConstraints(Tables.lineitem(spark, dir),
+      Seq(("q", col("l_quantity") > 0), ("d", col("l_discount") <= 0.1))))
+    assert(!p.contains("Join"), s"rules must fold into one pass:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"exactly one scan expected:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"rule counters must pre-aggregate map-side:\n$p")
+  }
+
+  test("sourceDivergence derives term totals from the (source, term) relation — one corpus tokenize") {
+    val p = plan(graft.operators.TextAnalysis.sourceDivergence(
+      Tables.documents(spark, dir)))
+    // the corpus text is tokenized exactly once: the only parquet
+    // scans of documents feed the checkpointed (source, term) count
+    assert("Scan parquet".r.findAllIn(p).length == 0 ||
+      !p.contains("explode"), // post-checkpoint plan: no re-explode
+      s"term totals must re-aggregate the counted relation:\n$p")
+  }
 }
