@@ -904,6 +904,10 @@ object SparkEntry {
       EventOps.markovStationary(Tables.events(s, dir))),
     "etl_benford_check" -> ((s, dir) =>
       operators.RetailEtl.benfordCheck(Tables.orders(s, dir), "o_totalprice")),
+    "q_seasonality_strength" -> ((s, dir) =>
+      Analytics.seasonalityStrength(Tables.lineitem(s, dir))),
+    "mm_dedup_by_type" -> ((s, dir) =>
+      Multimodal.dedupByType(Tables.documents(s, dir))),
     // batch fold of the live DQ monitor — rows-only (HLL sketches
     // have no SQL oracle; ApproxSpec bounds error vs the exact
     // profile, StreamingSpec holds cross-batch accumulation)
@@ -3992,6 +3996,45 @@ object SparkEntry {
         |""".stripMargin.replace("\n", " ") + body +
         s" SELECT state, round(p, 9) AS p_stationary FROM s$steps"
     },
+    "q_seasonality_strength" ->
+      // ANOVA sum identities on exact integers (S, Q, per-group
+      // S_g/n_g); dow LABELS differ across engines (Spark 1–7,
+      // DuckDB 0–6) but only the grouping partition matters
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT)
+        |  AS x
+        | FROM lineitem GROUP BY 1),
+        |g AS (SELECT dayofweek(day) AS dow, count(*) AS n_g,
+        |  sum(x) AS s_g, sum(x * x) AS q_g FROM daily GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(s_g) AS s,
+        |  sum(q_g) AS q,
+        |  sum(CAST(s_g * s_g AS DOUBLE) / CAST(n_g AS DOUBLE)) AS b
+        | FROM g)
+        |SELECT n AS n_days,
+        | round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0, 2)
+        |  AS avg_daily_revenue,
+        | CASE WHEN CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+        |    * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) = 0.0 THEN NULL
+        |  ELSE round((b - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |     / CAST(n AS DOUBLE))
+        |   / (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |     / CAST(n AS DOUBLE)), 6) END AS seasonality_r2
+        |FROM t""".stripMargin.replace("\n", " "),
+    "mm_dedup_by_type" ->
+      // payloads never aggregate: the inner (type, sha) collapse
+      // carries hashes + byte counts; a sha group's representative
+      // size is max(len) (identical payloads, identical length)
+      """WITH b AS (SELECT hex(substr(text, 1, 2)) AS magic2,
+        |  sha256(text) AS sha, length(text) AS len FROM documents),
+        |g AS (SELECT magic2, sha, count(*) AS n, max(len) AS len1,
+        |  CAST(sum(len) AS BIGINT) AS bytes FROM b GROUP BY 1, 2)
+        |SELECT magic2, CAST(sum(n) AS BIGINT) AS n_blobs,
+        | count(*) AS n_distinct,
+        | round(1.0 - count(*) * 1.0 / CAST(sum(n) AS BIGINT), 6)
+        |  AS dup_ratio,
+        | CAST(sum(bytes) - sum(len1) AS BIGINT) AS reclaimable_bytes
+        |FROM g GROUP BY 1""".stripMargin.replace("\n", " "),
     "etl_benford_check" ->
       // leading digit from the STRING rendering of exact cents —
       // no float log10 boundary hazards; χ² over the 9-row relation

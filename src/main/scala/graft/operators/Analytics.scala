@@ -1559,6 +1559,51 @@ object Analytics {
       .withColumn("stickiness", round(col("dau") / col("wau"), 6))
   }
 
+  /** Day-of-week seasonality strength — the one-way ANOVA R² of the
+    * daily revenue series against its weekday: what fraction of
+    * daily variance the weekly cycle explains (the readout that says
+    * whether [[EventOps.deseasonalizedAnomaly]]-style slot profiles
+    * are worth maintaining for a KPI). Everything up to the final
+    * division is EXACT integer on the ANOVA sum identities —
+    * `SSB = Σ_g S_g²/n_g − S²/n`, `SST = Q − S²/n` with S (cents),
+    * Q (= Σx², decimal — ~1e26 at sf1) and per-group (S_g, n_g)
+    * exact; only the ≤7 per-group quotient terms and the final ratio
+    * are floats, rounded once. Plan: fact → day grain (one shuffle)
+    * → 7-row weekday grain → single row.
+    */
+  def seasonalityStrength(lineitem: DataFrame): DataFrame = {
+    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(centsX).as("x"))
+      .select(dayofweek(col("day")).cast("long").as("dow"),
+        col("x").cast("decimal(38,0)").as("x"))
+    val byDow = daily.groupBy("dow").agg(
+      count(lit(1)).as("n_g"),
+      sum("x").as("s_g"),
+      sum(col("x") * col("x")).as("q_g"))
+    byDow.agg(
+      sum("n_g").as("n"),
+      sum("s_g").as("s"),
+      sum("q_g").as("q"),
+      sum((col("s_g") * col("s_g")).cast("double") /
+        col("n_g").cast("double")).as("b"))
+      .select(
+        col("n").as("n_days"),
+        round((col("s").cast("double") / col("n").cast("double")) / 10000.0, 2)
+          .as("avg_daily_revenue"),
+        {
+          val sst = col("q").cast("double") - col("s").cast("double") *
+            col("s").cast("double") / col("n").cast("double")
+          val ssb = col("b") - col("s").cast("double") *
+            col("s").cast("double") / col("n").cast("double")
+          // a flat series has no variance to explain: null, not NaN
+          when(sst === 0.0, lit(null).cast("double"))
+            .otherwise(round(ssb / sst, 6)).as("seasonality_r2")
+        })
+  }
+
   /** Customer decile lift/gains table — "the top 10% of customers
     * carry X% of revenue", the targeting readout behind every
     * campaign-sizing decision (and the per-decile generalization of

@@ -53,6 +53,31 @@ object Multimodal {
         min("n_bytes").as("min_bytes"),
         max("n_bytes").as("max_bytes"))
 
+  /** Duplication profile by sniffed type — which FORMAT carries the
+    * copy weight (crawled image corpora and scraped PDFs duplicate
+    * at wildly different rates, and dedup budget should follow the
+    * waste): per magic2 type, blob count, distinct-payload count
+    * (sha-256 identity), the duplicate ratio, and the bytes a
+    * per-type exact dedup would reclaim. Two hash aggregates — the
+    * inner one on (type, sha) carries only hashes and byte counts,
+    * never payloads (identical payloads have identical length, so
+    * one representative's size is `max(len)` within the sha group).
+    */
+  def dedupByType(docs: DataFrame): DataFrame =
+    asBlobs(docs)
+      .select(hex(substring(col("payload"), 1, 2)).as("magic2"),
+        sha2(col("payload"), 256).as("sha"),
+        col("meta.n_bytes").as("len"))
+      .groupBy("magic2", "sha")
+      .agg(count(lit(1)).as("n"), max("len").as("len1"),
+        sum("len").as("bytes"))
+      .groupBy("magic2")
+      .agg(
+        sum("n").as("n_blobs"),
+        count(lit(1)).as("n_distinct"),
+        round(lit(1.0) - count(lit(1)) / sum("n"), 6).as("dup_ratio"),
+        (sum("bytes") - sum("len1")).as("reclaimable_bytes"))
+
   /** Frame/chunk sampling: cut each payload into `frameSize`-byte
     * frames every `stride` bytes (video frame-sample / audio window
     * shape). Pure explode+substring — codegen'd, no UDF, and the

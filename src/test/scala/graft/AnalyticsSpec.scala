@@ -589,6 +589,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("1995-01-09") == ((1L, 1L, 1.0)), s"d9: ${got("1995-01-09")}")
   }
 
+  test("seasonalityStrength: pure weekly cycle reads 1, flat series reads null") {
+    def series(rev: Int => Double) = (0 until 28).map { i =>
+      (1L, rev(i), 0.0, java.sql.Date.valueOf(
+        java.time.LocalDate.of(1995, 1, 2).plusDays(i.toLong)))
+    }.toDF("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    // revenue a pure function of weekday → ALL variance is between
+    val cyclic = Analytics.seasonalityStrength(
+      series(i => 100.0 + (i % 7) * 10.0)).collect().head
+    assert(cyclic.getLong(0) == 28L, s"days: $cyclic")
+    assert(cyclic.getDouble(2) == 1.0, s"pure cycle r2: $cyclic")
+    // flat series: no variance to explain → null, never NaN
+    val flat = Analytics.seasonalityStrength(series(_ => 100.0)).collect().head
+    assert(flat.isNullAt(2), s"flat series must be null: $flat")
+    // aperiodic trend: weekday explains little
+    val trend = Analytics.seasonalityStrength(
+      series(i => 100.0 + i * 13.0)).collect().head
+    assert(trend.getDouble(2) < 0.15, s"trend must not read seasonal: $trend")
+  }
+
   test("decileLift: banded rank reproduces ANSI ntile on a non-divisible count") {
     // 23 customers with distinct spends: ntile(10) puts 3 rows in
     // buckets 1..3 and 2 in 4..10

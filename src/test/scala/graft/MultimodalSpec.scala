@@ -153,4 +153,20 @@ class MultimodalSpec extends SparkSpec {
     val shares = Multimodal.blobPolicy(d).collect().map(_.getDouble(3))
     assert(math.abs(shares.sum - 1.0) < 1e-12, s"share sum: ${shares.sum}")
   }
+
+  test("dedupByType: dup ratio and reclaimable bytes per magic type") {
+    val docs = Seq(
+      (1L, "AAxxxx"), (2L, "AAxxxx"), (3L, "AAxxxx"), // type 'AA': 3 copies
+      (4L, "AAyy"),                                    // type 'AA': unique
+      (5L, "BBzz"), (6L, "BBzz"))                      // type 'BB': 2 copies
+      .toDF("doc_id", "text")
+    val got = Multimodal.dedupByType(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val aa = got("4141") // hex of "AA"
+    assert(aa == ((4L, 2L, 0.5, 12L)),
+      s"AA: two extra 6-byte copies reclaim 12: $aa")
+    val bb = got("4242")
+    assert(bb == ((2L, 1L, 0.5, 4L)), s"BB: one extra 4-byte copy: $bb")
+  }
 }
