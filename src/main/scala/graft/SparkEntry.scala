@@ -452,7 +452,7 @@ object SparkEntry {
     "ann_index_ivfpq_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._2,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 8)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 16)
     }),
     // probe of the INCREMENTALLY-maintained index (built on half the
     // corpus, other half appended against stored centroids — no
@@ -466,7 +466,7 @@ object SparkEntry {
     "ann_index_ivfpq_append_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 8)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 16)
     }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -686,20 +686,20 @@ object SparkEntry {
       RetailEtl.quarantine(RetailEtl.combine(onlineSales(s, dir), storeSales(s, dir)))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // nCodes=32 + rerank=8 (the r9 retune, measured 0.645 recall,
-      // up from 0.46): both dials leave SCAN bytes untouched — codes
-      // stay m per vector; nCodes only widens the broadcast codebook
-      // and rerank the |queries|·k·rerank exact-rescore set
+      // nCodes=32 + rerank=16 (the late-r9 retune, measured 0.720
+      // recall, up from 0.46 via 0.645): both dials leave SCAN bytes
+      // untouched — codes stay m per vector; nCodes only widens the
+      // broadcast codebook and rerank the k·rerank exact-rescore set
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        nprobe = 8, m = 16, nCodes = 32, rerank = 8)
+        nprobe = 8, m = 16, nCodes = 32, rerank = 16)
     }),
     "ann_ivfpq_res_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // one refinement round: the index is train-once/probe-forever,
-      // but the bench bills training per run. Same r9 retune as the
-      // plain tier (measured 0.740, up from 0.59).
+      // but the bench bills training per run. Same late-r9 retune as
+      // the plain tier (measured 0.780, up from 0.59 via 0.740).
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 10, nprobe = 8, m = 16, nCodes = 32, rerank = 8,
+        k = 10, nprobe = 8, m = 16, nCodes = 32, rerank = 16,
         kmeansIters = 1)
     }),
     "q_status_priority" -> ((s, dir) =>
