@@ -902,6 +902,16 @@ object SparkEntry {
       EventOps.valuePsi(Tables.events(s, dir))),
     "events_markov_stationary" -> ((s, dir) =>
       EventOps.markovStationary(Tables.events(s, dir))),
+    "events_activity_powerlaw" -> ((s, dir) =>
+      EventOps.activityPowerlaw(Tables.events(s, dir))),
+    "split_temporal_leakage" -> ((s, dir) =>
+      DataSplit.temporalSplitAudit(Tables.events(s, dir), "ts", "user_id",
+        "2024-01-21 00:00:00")),
+    // batch fold of the sliding-window HLL actives — rows-only
+    // (sketches have no SQL oracle; ApproxSpec ties each window to
+    // the exact rolling-actives key, StreamingSpec drives the stream)
+    "stream_sliding_actives" -> ((s, dir) =>
+      graft.streaming.EventStream.slidingActives(Tables.events(s, dir))),
     "etl_benford_check" -> ((s, dir) =>
       operators.RetailEtl.benfordCheck(Tables.orders(s, dir), "o_totalprice")),
     "q_seasonality_strength" -> ((s, dir) =>
@@ -4051,6 +4061,40 @@ object SparkEntry {
         | round(e, 6) AS benford_p, round(chi2_term, 6) AS chi2_term,
         | round(sum(chi2_term) OVER (), 6) AS chi2_total FROM c"""
         .stripMargin.replace("\n", " "),
+    "events_activity_powerlaw" ->
+      // Clauset–Shalizi–Newman continuous-approx MLE at xmin=2
+      """WITH pu AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |a AS (SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN x >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+        |  sum(CASE WHEN x >= 2 THEN ln(x * 1.0 / 1.5) ELSE 0.0 END)
+        |   AS logsum,
+        |  max(x) AS max_events FROM pu)
+        |SELECT n_users, n_tail, max_events,
+        | round(n_tail * 1.0 / n_users, 6) AS tail_frac,
+        | CASE WHEN logsum = 0.0 THEN NULL
+        |  ELSE round(1.0 + n_tail / logsum, 6) END AS alpha
+        |FROM a""".stripMargin.replace("\n", " "),
+    "split_temporal_leakage" -> {
+      def sideRow(s: String, n: String): String =
+        s"SELECT '$s' AS split, " +
+          s"CAST(coalesce(sum($n), 0) AS BIGINT) AS n_rows, " +
+          s"CAST(sum(CASE WHEN $n > 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+          "AS n_entities, " +
+          s"CAST(sum(CASE WHEN $n > 0 AND leaky THEN 1 ELSE 0 END) " +
+          "AS BIGINT) AS n_leaky_entities, " +
+          s"round(CAST(sum(CASE WHEN $n > 0 AND leaky THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) * 1.0 / CAST(sum(CASE WHEN $n > 0 THEN 1 ELSE 0 END) " +
+          "AS BIGINT), 6) AS leaky_frac FROM l"
+      """WITH pe AS (SELECT user_id,
+        | CAST(sum(CASE WHEN ts <= TIMESTAMP '2024-01-21 00:00:00'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        | CAST(sum(CASE WHEN ts <= TIMESTAMP '2024-01-21 00:00:00'
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS n_test
+        |FROM events GROUP BY 1),
+        |l AS (SELECT *, n_train > 0 AND n_test > 0 AS leaky FROM pe)
+        |""".stripMargin.replace("\n", " ") +
+        sideRow("train", "n_train") + " UNION ALL " + sideRow("test", "n_test")
+    },
     "events_value_psi" -> {
       val probs = (1 to 9).map(_ / 10.0)
       val bucketExpr = probs.indices.map(i =>

@@ -106,6 +106,49 @@ object DataSplit {
       .select(col(idCol), col(strataCol), col("split"))
   }
 
+  /** Temporal split with a LEAKAGE audit — the time-series ML split
+    * done honestly: rows at or before the cutoff train, rows after
+    * test, and the audit counts the ENTITIES (users) that appear on
+    * BOTH sides — exactly the population through which a model
+    * memorizes the future (user-level leakage survives a clean
+    * row-level time split, which is why random row splits on
+    * temporal data overfit silently). Output is one row per side:
+    * rows, distinct entities, leaky entities (on both sides), and
+    * the leaky-entity fraction. The audit is one entity-grain
+    * aggregate (min/max event time per entity — partial-agg
+    * friendly) joined back at entity grain; no row ever crosses
+    * with another row.
+    */
+  def temporalSplitAudit(events: DataFrame, tsCol: String,
+                         entityCol: String,
+                         cutoff: String): DataFrame = {
+    // cast the literal to the column's own type: events carry
+    // timestamp_ntz, and an ltz literal would not compare
+    val side = when(col(tsCol) <=
+      lit(cutoff).cast(events.schema(tsCol).dataType), "train")
+      .otherwise("test")
+    val perEntity = events
+      .groupBy(col(entityCol).as("e"))
+      .agg(
+        sum(when(side === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(side === "test", 1L).otherwise(0L)).as("n_test"))
+      .withColumn("leaky", col("n_train") > 0 && col("n_test") > 0)
+      .localCheckpoint(true) // both side aggregates consume it
+    Seq("train", "test").map { s =>
+      val present = col(s"n_$s") > 0
+      perEntity.agg(
+        coalesce(sum(s"n_$s"), lit(0L)).as("n_rows"),
+        sum(when(present, 1L).otherwise(0L)).as("n_entities"),
+        sum(when(present && col("leaky"), 1L).otherwise(0L))
+          .as("n_leaky_entities"))
+        .select(
+          lit(s).as("split"),
+          col("n_rows"), col("n_entities"), col("n_leaky_entities"),
+          round(col("n_leaky_entities") / col("n_entities"), 6)
+            .as("leaky_frac"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic training-order shuffle + sharding: every doc gets
     * a portable md5 shuffle key (salted — a new salt IS the next
     * epoch's reshuffle), a shard from equal hex-range cuts of that

@@ -1021,6 +1021,36 @@ object EventOps {
       .agg(count(lit(1)).as("n_sessions"),
         sum("n").as("total_events"))
 
+  /** Power-law fit of the per-user activity distribution — the
+    * discrete MLE `α = 1 + n / Σ ln(x_i / (xmin − ½))` (Clauset-
+    * Shalizi-Newman continuous approximation) over users with
+    * ≥ xmin events, plus the tail mass the fit implies. Heavy-tail
+    * activity is why this engine salts keys and caps buckets: α
+    * near 2 means the hottest user is a constant fraction of the
+    * corpus at ANY scale (skew never averages out), α ≥ 3 means
+    * uniform partitioning is fine. Two hash aggregates (user grain,
+    * then one row); the log-sum is the only float accumulation,
+    * rounded once.
+    */
+  def activityPowerlaw(events: DataFrame, xmin: Long = 2L): DataFrame = {
+    require(xmin >= 1L, s"xmin must be >= 1, got $xmin")
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+    perUser
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("x") >= xmin, 1L).otherwise(0L)).as("n_tail"),
+        sum(when(col("x") >= xmin,
+          log(col("x").cast("double") / (xmin - 0.5))).otherwise(0.0))
+          .as("logsum"),
+        max("x").as("max_events"))
+      .select(
+        col("n_users"), col("n_tail"), col("max_events"),
+        round(col("n_tail") / col("n_users"), 6).as("tail_frac"),
+        when(col("logsum") === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) + col("n_tail") / col("logsum"), 6))
+          .as("alpha"))
+  }
+
   /** k-step forward distribution of the event-type Markov chain —
     * where user behavior CONVERGES: starting uniform over the
     * observed prev-states, push the distribution through the

@@ -34,6 +34,32 @@ object EventStream extends Serializable {
         col("window.start").as("window_start"),
         col("event_type"), col("num_events"), col("total_value"))
 
+  /** Sliding-window distinct actives — the §2.G spelling of the
+    * trailing-WAU series: `window(ts, 7d, 1d)` assigns each event to
+    * the 7 epoch-aligned windows it keeps the user active for (the
+    * engine-native form of the rolling-actives fan-out) and an HLL
+    * sketch per window counts distinct users with FIXED state —
+    * exact sliding distinct is impossible in a stream (the state
+    * would be every user seen per window), so the approx form IS
+    * the streaming contract, not a downgrade. State: one sketch ×
+    * (windowDays/slideDays + 1) open windows; the watermark closes
+    * windows and evicts. Batch fold over the corpus gives the full
+    * window series (rows-only; ApproxSpec ties it to the exact
+    * [[graft.operators.Analytics.rollingActiveUsers]] by aligning
+    * `window_end − 1 day` to that key's `day`).
+    */
+  def slidingActives(events: DataFrame, windowDays: Int = 7,
+                     slideDays: Int = 1, rsd: Double = 0.02,
+                     watermark: String = "1 day"): DataFrame =
+    withWatermarkIfStreaming(events, watermark)
+      .groupBy(window(col("ts"), s"$windowDays days", s"$slideDays days"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("active_users"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("active_users"), col("n_events"))
+
   /** Stream-static enrichment: the event stream joined against a
     * slowly-changing dimension (customer segment), aggregated per
     * (segment, event_type). The static side broadcasts, so the

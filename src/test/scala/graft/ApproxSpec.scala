@@ -188,6 +188,24 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("slidingActives: each 7d window within 5% of the exact trailing WAU") {
+    import graft.operators.Analytics
+    val exact = Analytics.rollingActiveUsers(events).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // align window_end − 1 day to the exact key's `day`
+    val windows = graft.streaming.EventStream.slidingActives(events)
+      .select(date_sub(col("window_end").cast("date"), 1).as("day"),
+        col("active_users"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val shared = exact.keySet intersect windows.keySet
+    assert(shared.size >= 20, s"window/day alignment broke: ${windows.keySet}")
+    shared.foreach { d =>
+      val (e, a) = (exact(d), windows(d))
+      assert(math.abs(a - e) <= math.max(2L, (e * 0.05).toLong),
+        s"$d: sliding $a vs exact $e")
+    }
+  }
+
   test("rollingActiveUsersApprox: per-day HLL within 5% of the exact WAU/DAU") {
     import graft.operators.Analytics
     def byDay(df: org.apache.spark.sql.DataFrame, wc: String, dc: String) =

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented thirty") {
+  test("rows-only queries are the documented thirty-one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -65,7 +65,10 @@ class ContractSpec extends AnyFunSuite {
       "events_rolling_active_approx",
       // live DQ monitor: HLL state per column (ApproxSpec bounds,
       // StreamingSpec cross-batch accumulation)
-      "stream_dq_profile"),
+      "stream_dq_profile",
+      // sliding-window HLL actives: ApproxSpec ties each window to
+      // the exact rolling-actives key; StreamingSpec drives updates
+      "stream_sliding_actives"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.DataSplit
+import org.apache.spark.sql.functions.col
 
 /** Hash-split specs: determinism, disjoint-complete partitioning,
   * proportion accuracy.
@@ -144,6 +145,24 @@ class DataSplitSpec extends SparkSpec {
     val wide = DataSplit.interleaveOrder(docs, bandWidth = 1000000L).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got.map(x => x._1 -> x._4).toMap == wide, "bandWidth changed the order")
+  }
+
+  test("temporalSplitAudit: spanning entities flagged leaky on both sides") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", "a"), // a: only before
+      (2L, "2024-01-02 10:00:00", "a"),
+      (3L, "2024-01-03 10:00:00", "b"), // b: spans the cutoff → leaky
+      (4L, "2024-01-20 10:00:00", "b"),
+      (5L, "2024-01-21 10:00:00", "c")) // c: only after
+      .toDF("event_id", "t", "user_id")
+      .select(col("event_id"), col("t").cast("timestamp").as("ts"),
+        col("user_id"))
+    val got = DataSplit.temporalSplitAudit(events, "ts", "user_id",
+      "2024-01-10 00:00:00").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("train") == ((3L, 2L, 1L, 0.5)), s"train: $got")
+    assert(got("test") == ((2L, 2L, 1L, 0.5)), s"test: $got")
   }
 
   test("stratifiedSplit: exact per-stratum quotas, hash split only approximate") {

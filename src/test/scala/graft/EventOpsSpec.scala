@@ -541,6 +541,23 @@ class EventOpsSpec extends SparkSpec {
     assert(again == got, "partition-dependent stationary distribution")
   }
 
+  test("activityPowerlaw: MLE matches the closed form; all-light users read null") {
+    // users with 1, 2, 4, 8 events (xmin=2 → tail {2, 4, 8})
+    val rows = Seq(1L -> 1, 2L -> 2, 3L -> 4, 4L -> 8).flatMap {
+      case (u, n) => (1 to n).map(i =>
+        (u * 100 + i, "2024-01-01 10:00:00", u, "click")) }
+    val r = EventOps.activityPowerlaw(events(rows: _*)).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 8L,
+      s"censors: $r")
+    val want = 1.0 + 3.0 / (math.log(2 / 1.5) + math.log(4 / 1.5) +
+      math.log(8 / 1.5))
+    assert(math.abs(r.getDouble(4) - want) < 1e-6, s"alpha: $r vs $want")
+    // every user below xmin: no tail, alpha undefined → null not NaN
+    val light = EventOps.activityPowerlaw(
+      events((1L, "2024-01-01 10:00:00", 1L, "click"))).collect().head
+    assert(light.isNullAt(4), s"no-tail alpha must be null: $light")
+  }
+
   test("valuePsi: stationary halves read ~0, a level shift clears the 0.25 alarm") {
     def half(dayOff: Int, vs: Seq[Double]): Seq[(Long, String, Long, String, Double)] =
       vs.zipWithIndex.map { case (v, i) =>

@@ -1016,6 +1016,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingActives: a user reaches every window covering its day, refined across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.slidingActives(mem.toDF(), windowDays = 3,
+        slideDays = 1)
+      .writeStream.format("memory").queryName("sliding_actives")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1L, ts(0, 0), 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2L, ts(0, 30), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // update mode re-emits; latest emission per window wins
+      val rows = spark.table("sliding_actives").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(2)))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (w, vs) => w -> vs.maxBy(_._2)._1._2 }
+      // day-grain slide over a 3-day window: both events fall on one
+      // day → exactly 3 windows, each now counting BOTH users
+      assert(latest.size == 3, s"3 covering windows expected: $latest")
+      assert(latest.values.forall(_ == 2L),
+        s"second batch must refine every window to 2: $latest")
+    } finally q.stop()
+  }
+
   test("dqProfileState: counters accumulate across batches, nulls counted") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, Option[Double])]
