@@ -755,6 +755,8 @@ object SparkEntry {
       Dedup.nearDupSuppress(Tables.documents(s, dir),
         pairs = Some(sharedBlockedPairs(s, dir)))),
     "dedup_ngram_blocked" -> ((s, dir) => sharedBlockedPairs(s, dir)),
+    "dedup_threshold_histogram" -> ((s, dir) =>
+      Dedup.thresholdHistogram(sharedTrunk(s, dir))),
     "docs_novelty" -> ((s, dir) =>
       Dedup.noveltyProfile(Tables.documents(s, dir))),
     "docs_boilerplate_prefix" -> ((s, dir) =>
@@ -3333,6 +3335,35 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM j WHERE CAST(inter AS DOUBLE) / uni >= 0.5"""
         .stripMargin.replace("\n", " "),
+    "dedup_threshold_histogram" ->
+      // same blocking as dedup_ngram_blocked but UNFILTERED verify;
+      // bucket = (10·inter) // union in exact integers
+      """WITH t AS (SELECT doc_id, list_filter(
+        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |d AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN d ON d.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND d.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT CAST(10 * len(list_intersect(ga.grams, gb.grams))
+        |   AS BIGINT) AS i10,
+        |  CAST(greatest(len(ga.grams) + len(gb.grams)
+        |   - len(list_intersect(ga.grams, gb.grams)), 1) AS BIGINT) AS u
+        | FROM p JOIN g ga ON ga.doc_id = p.id_a
+        |  JOIN g gb ON gb.doc_id = p.id_b),
+        |h AS (SELECT i10 // u AS bucket, count(*) AS n_pairs
+        | FROM j GROUP BY 1)
+        |SELECT bucket, n_pairs,
+        | CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS pairs_at_or_above
+        |FROM h""".stripMargin.replace("\n", " "),
     "dedup_source_matrix" ->
       (blockedPairsCte +
         """SELECT least(da.source, db.source) AS source_x,

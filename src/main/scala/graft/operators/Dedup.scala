@@ -519,6 +519,35 @@ object Dedup {
                             tau: Double = 0.5): DataFrame =
     verifiedJaccard(trunk.candidates, trunk.sets, tau)
 
+  /** Threshold-tuning histogram over the VERIFIED candidate pairs —
+    * what each τ would actually merge, read before committing a
+    * dedup threshold: per Jaccard decile bucket, the pair count and
+    * the cumulative pairs a threshold at that bucket's floor would
+    * merge. The bucket is exact integer arithmetic
+    * (`(10·inter) div union` — never floor of a float product,
+    * whose representation error can land 7/10 in bucket 6), so the
+    * histogram replays bit-for-bit. Costs ONE verify pass over the
+    * trunk's candidates (the same join every near-dup query pays)
+    * plus an 11-row aggregate; with the shared trunk cached the
+    * marginal cost is the tiny aggregate.
+    */
+  def thresholdHistogram(trunk: BlockingTrunk): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    joinPairPayload(trunk.candidates, trunk.sets, "doc_id", "shingles")
+      .select(
+        (size(array_intersect(col("shingles_a"), col("shingles_b")))
+          .cast("long") * 10).as("i10"),
+        greatest(size(array_union(col("shingles_a"), col("shingles_b"))),
+          lit(1)).cast("long").as("u"))
+      .select(expr("i10 div u").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("pairs_at_or_above", sum("n_pairs").over(w))
+  }
+
   /** Quality-aware near-dup SUPPRESSION: every document beaten in any
     * [[blockedJaccardPairs]] pair drops — beaten means the partner
     * has the higher quality score (ties → the lower doc_id

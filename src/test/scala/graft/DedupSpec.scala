@@ -399,6 +399,28 @@ class DedupSpec extends SparkSpec {
       3L -> (2L, 0L, 0.0)), s"got $out")
   }
 
+  test("thresholdHistogram: integer buckets, descending cumulative identity") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // grams {ab c, b c d, c d e, d e f}
+      (2L, "a b c d e f"),        // identical → jaccard 1 → bucket 10
+      (3L, "a b c d x y"),        // shares {a b c, b c d} of union 6 → 3/10?
+      (4L, "zz qq ww ee rr tt"))  // no shared grams → not a candidate
+      .toDF("doc_id", "text")
+    val trunk = Dedup.blockingTrunk(docs, n = 3, maxDf = 64, minShared = 1)
+    val rows = Dedup.thresholdHistogram(trunk).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical pair lands in bucket 10 exactly (integer arithmetic)
+    assert(rows.exists(_._1 == 10L), s"identical pair must hit bucket 10: ${rows.toSeq}")
+    // cumulative is the suffix sum in descending-bucket order
+    val sorted = rows.sortBy(-_._1)
+    val suffix = sorted.map(_._2).scanLeft(0L)(_ + _).tail
+    assert(sorted.map(_._3).toSeq == suffix.toSeq,
+      s"pairs_at_or_above must be the suffix sum: ${rows.toSeq}")
+    // doc 4 shares nothing: it contributes to no pair
+    val totalPairs = rows.map(_._2).sum
+    assert(totalPairs == 3L, s"pairs among {1,2,3} only: ${rows.toSeq}")
+  }
+
   test("lshBandStats: histogram identities hold and duplicates co-bucket") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),
