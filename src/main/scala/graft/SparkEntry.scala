@@ -684,6 +684,8 @@ object SparkEntry {
       Analytics.heavySuppliers(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "etl_quarantine" -> ((s, dir) =>
       RetailEtl.quarantine(RetailEtl.combine(onlineSales(s, dir), storeSales(s, dir)))),
+    "etl_run_report" -> ((s, dir) =>
+      RetailEtl.runReport(onlineSales(s, dir), storeSales(s, dir))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // nCodes=32 + rerank=16 (the late-r9 retune, measured 0.720
@@ -1008,6 +1010,19 @@ object SparkEntry {
        |   AND sale_date IS NOT NULL AND quantity > 0 AND sale_amount > 0""".stripMargin
       .replace("\n", " ")
 
+  private val runReportSql: String =
+    s"""WITH c AS ($cleanSalesSql),
+       |ca AS (SELECT count(*) AS n_clean, min(sale_date) AS lo,
+       |  max(sale_date) AS hi, count(DISTINCT sale_date) AS nd FROM c),
+       |ta AS (SELECT count(*) AS n_total FROM (${salesSql("")}) u)
+       |SELECT n_clean, n_total - n_clean AS n_quarantined,
+       | round((n_total - n_clean) * 1.0 / n_total, 6) AS quarantine_frac,
+       | CAST(date_diff('day', lo, hi) + 1 - nd AS BIGINT) AS n_gap_days,
+       | n_clean > 0
+       |  AND round((n_total - n_clean) * 1.0 / n_total, 6) <= 0.05
+       |  AND date_diff('day', lo, hi) + 1 - nd = 0 AS ok
+       |FROM ca, ta""".stripMargin.replace("\n", " ")
+
   private val summarySql: String =
     s"""SELECT product_id, sum(quantity) AS total_quantity,
        | sum(sale_amount) AS total_sale_amount
@@ -1091,6 +1106,7 @@ object SparkEntry {
          | CASE WHEN l_linestatus = 'O' THEN 'online' ELSE 'store' END AS source
          |FROM lineitem""".stripMargin.replace("\n", " ")),
     "etl_clean" -> cleanSalesSql,
+    "etl_run_report" -> runReportSql,
     "etl_sales_summary" -> summarySql,
     "etl_daily_product_summary" ->
       s"""SELECT product_id, sale_date, sum(quantity) AS total_quantity,

@@ -302,6 +302,42 @@ object RetailEtl {
         compare.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
+  /** Load go/no-go report — ONE machine-readable verdict row for a
+    * batch run, the engine's counterpart to the reference DAG's
+    * `email_on_failure` (dags/etl_pipeline.py:23-31): an alert email
+    * says "something broke"; an orchestrator needs WHICH gate and a
+    * boolean it can branch on. Composes the pipeline's own
+    * invariants: clean row count, quarantined count (= input −
+    * clean, the complement identity [[quarantine]]'s spec holds),
+    * the quarantine fraction against a tolerance, and calendar gap
+    * days inside the cleaned range (`span − distinct days`, the
+    * [[backfillPlan]] identity without materializing the spine).
+    * `ok` = quarantine within tolerance AND zero gap days AND
+    * nonempty. Two tiny aggregates over one shared input scan.
+    */
+  def runReport(online: DataFrame, inStore: DataFrame,
+                maxQuarantineFrac: Double = 0.05): DataFrame = {
+    val combined = combine(online, inStore).localCheckpoint(true)
+    val cleanAgg = clean(combined).agg(
+      count(lit(1)).as("n_clean"),
+      min("sale_date").as("lo"),
+      max("sale_date").as("hi"),
+      countDistinct("sale_date").as("nd"))
+    val totalAgg = combined.agg(count(lit(1)).as("n_total"))
+    cleanAgg.crossJoin(broadcast(totalAgg))
+      .select(
+        col("n_clean"),
+        (col("n_total") - col("n_clean")).as("n_quarantined"),
+        round((col("n_total") - col("n_clean")) / col("n_total"), 6)
+          .as("quarantine_frac"),
+        (datediff(col("hi"), col("lo")).cast("long") + 1 - col("nd"))
+          .as("n_gap_days"))
+      .withColumn("ok",
+        col("n_clean") > 0 &&
+          col("quarantine_frac") <= maxQuarantineFrac &&
+          col("n_gap_days") === 0L)
+  }
+
   /** Benford first-digit audit — the fraud/synthetic-data forensic:
     * organically-grown monetary amounts follow
     * `P(d) = log10(1 + 1/d)`; fabricated or truncated feeds don't.

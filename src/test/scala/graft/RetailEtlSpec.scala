@@ -337,6 +337,30 @@ class RetailEtlSpec extends SparkSpec {
       "1995-01-05" -> ((1L, false))), s"backfill plan: $got")
   }
 
+  test("runReport: clean feed passes; dirty-and-gappy feed fails with reasons") {
+    import org.apache.spark.sql.functions.col
+    def sales(rows: Seq[(Long, Long, Option[Long], Double, String)]) =
+      rows.toDF("sale_id", "product_id", "quantity", "sale_amount", "d")
+        .select(col("sale_id"), col("product_id"), col("quantity"),
+          col("sale_amount"), col("d").cast("date").as("sale_date"))
+    val good = sales(Seq(
+      (1L, 1L, Some(1L), 10.0, "1995-01-01"),
+      (2L, 1L, Some(2L), 20.0, "1995-01-02")))
+    val okRow = RetailEtl.runReport(good, good.limit(0)).collect().head
+    assert(okRow.getLong(0) == 2L && okRow.getLong(1) == 0L &&
+      okRow.getLong(3) == 0L && okRow.getBoolean(4), s"clean feed: $okRow")
+    // 1 of 3 rows quarantined (33% > 5%) and a calendar gap on Jan 2
+    val bad = sales(Seq(
+      (1L, 1L, Some(1L), 10.0, "1995-01-01"),
+      (2L, 1L, None, 20.0, "1995-01-01"),      // null qty → quarantined
+      (3L, 1L, Some(1L), 10.0, "1995-01-03"))) // Jan 2 missing
+    val badRow = RetailEtl.runReport(bad, bad.limit(0)).collect().head
+    assert(badRow.getLong(0) == 2L && badRow.getLong(1) == 1L,
+      s"counts: $badRow")
+    assert(badRow.getLong(3) == 1L, s"gap day: $badRow")
+    assert(!badRow.getBoolean(4), s"dirty feed must fail: $badRow")
+  }
+
   test("benfordCheck: string-derived digits, chi2 identities, boundary amounts") {
     import org.apache.spark.sql.functions.col
     // 1000.00 → cents 100000 → digit 1 (the float-log10 hazard case);
