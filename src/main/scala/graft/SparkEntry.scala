@@ -205,6 +205,12 @@ object SparkEntry {
       Analytics.rollingRevenue(Tables.lineitem(s, dir))),
     "q_copurchase_pagerank" -> ((s, dir) =>
       Analytics.copurchasePagerank(Tables.lineitem(s, dir))),
+    "q_copurchase_triangles" -> ((s, dir) =>
+      Analytics.copurchaseTriangles(Tables.lineitem(s, dir))),
+    "q_revenue_autocorr" -> ((s, dir) =>
+      Analytics.revenueAutocorr(Tables.lineitem(s, dir))),
+    "emb_pair_histogram" -> ((s, dir) =>
+      Similarity.pairDistanceHistogram(Tables.embeddings(s, dir))),
     "q_purchase_streaks" -> ((s, dir) =>
       Analytics.purchaseStreaks(Tables.orders(s, dir))),
     "q_decile_lift" -> ((s, dir) =>
@@ -498,6 +504,10 @@ object SparkEntry {
       DataSplit.assignPortable(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split")),
+    "split_group_assign" -> ((s, dir) =>
+      DataSplit.groupAssign(Tables.documents(s, dir), "source",
+        Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+        .select("doc_id", "source", "split")),
     "docs_shuffle_shard" -> ((s, dir) =>
       DataSplit.shuffleShards(Tables.documents(s, dir), nShards = 4)),
     "docs_interleave_order" -> ((s, dir) =>
@@ -686,6 +696,10 @@ object SparkEntry {
       RetailEtl.quarantine(RetailEtl.combine(onlineSales(s, dir), storeSales(s, dir)))),
     "etl_run_report" -> ((s, dir) =>
       RetailEtl.runReport(onlineSales(s, dir), storeSales(s, dir))),
+    "etl_freshness" -> ((s, dir) =>
+      RetailEtl.feedFreshness(Seq(
+        "online" -> onlineSales(s, dir),
+        "in_store" -> storeSales(s, dir)))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // nCodes=32 + rerank=16 (the late-r9 retune, measured 0.720
@@ -900,6 +914,8 @@ object SparkEntry {
       EventOps.userLifespanApprox(Tables.events(s, dir))),
     "text_zipf_spectrum" -> ((s, dir) =>
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir))),
     "text_source_divergence" -> ((s, dir) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     "events_value_psi" -> ((s, dir) =>
@@ -932,6 +948,8 @@ object SparkEntry {
       TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
     "q_concurrent_sessions" -> ((s, dir) =>
       EventOps.sessionConcurrency(Tables.events(s, dir))),
+    "events_session_cooccur" -> ((s, dir) =>
+      EventOps.sessionCooccur(Tables.events(s, dir))),
     "stream_user_state" -> ((s, dir) =>
       graft.streaming.EventStream.latestUserState(Tables.events(s, dir))),
     "stream_bot_flag" -> ((s, dir) =>
@@ -1107,6 +1125,25 @@ object SparkEntry {
          |FROM lineitem""".stripMargin.replace("\n", " ")),
     "etl_clean" -> cleanSalesSql,
     "etl_run_report" -> runReportSql,
+    "etl_freshness" ->
+      // per-feed day-grain collapse → max_by scalars → cross-feed
+      // global max; lag vs the freshest sibling feed, not wall-clock
+      s"""WITH d AS (
+         |  SELECT 'online' AS feed, sale_date AS day, count(*) AS n
+         |   FROM (${salesSql("WHERE l_linestatus = 'O'")}) s GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'in_store' AS feed, sale_date AS day, count(*) AS n
+         |   FROM (${salesSql("WHERE l_linestatus = 'F'")}) s GROUP BY 1, 2),
+         |f AS (SELECT feed, max(day) AS last_day,
+         |  CAST(sum(n) AS BIGINT) AS n_rows,
+         |  max_by(n, day) AS rows_last_day FROM d GROUP BY 1),
+         |g AS (SELECT max(last_day) AS global_day FROM f)
+         |SELECT feed, last_day,
+         | CAST(date_diff('day', last_day, global_day) AS BIGINT)
+         |  AS days_behind,
+         | n_rows, rows_last_day,
+         | date_diff('day', last_day, global_day) > 2 AS stale
+         |FROM f, g""".stripMargin.replace("\n", " "),
     "etl_sales_summary" -> summarySql,
     "etl_daily_product_summary" ->
       s"""SELECT product_id, sale_date, sum(quantity) AS total_quantity,
@@ -1401,6 +1438,70 @@ object SparkEntry {
         | FROM f JOIN p2 p ON p.id = f.src, n GROUP BY f.dst)
         |SELECT id AS part_id, round(pr, 9) AS pagerank FROM p3"""
         .stripMargin.replace("\n", " "),
+    "q_copurchase_triangles" ->
+      // oriented a<b edges generate each triangle a<b<c exactly once
+      // ((a,b)⋈(b,c) closed by (a,c)); wedges from the degree sums,
+      // integer `//` halving (both even by construction); DuckDB
+      // BIGINT sums CAST back from HUGEINT
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM b GROUP BY 1 HAVING count(*) <= 20),
+        |g AS (SELECT b.* FROM b JOIN ok USING (l_orderkey)),
+        |e AS (SELECT x.l_partkey AS a, y.l_partkey AS c
+        |  FROM g x JOIN g y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_partkey < y.l_partkey GROUP BY 1, 2
+        |  HAVING count(*) >= 2),
+        |tri AS (SELECT count(*) AS n_tri FROM e e1
+        |  JOIN e e2 ON e2.a = e1.c
+        |  JOIN e e3 ON e3.a = e1.a AND e3.c = e2.c),
+        |deg AS (SELECT v, count(*) AS d FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT c FROM e) GROUP BY 1)
+        |SELECT count(*) AS n_nodes,
+        | CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+        | (SELECT n_tri FROM tri) AS n_triangles,
+        | CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
+        | CASE WHEN CAST(sum(d * (d - 1)) // 2 AS BIGINT) = 0 THEN NULL
+        |  ELSE round(3.0 * (SELECT n_tri FROM tri)
+        |   / CAST(CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS DOUBLE), 9)
+        | END AS global_clustering
+        |FROM deg""".stripMargin.replace("\n", " "),
+    "q_revenue_autocorr" ->
+      // Pearson r per calendar lag from exact integer sum identities
+      // (HUGEINT — cents² crosses 2^63); identical expression shape
+      // both engines: ints → double casts → one quotient → round
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS day,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT)
+        |  AS x
+        | FROM lineitem GROUP BY 1),
+        |d AS (SELECT date_diff('day', DATE '1970-01-01', day) AS ed, x
+        | FROM daily),
+        |l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 8)),
+        |p AS (SELECT l.lag, a.x AS a, b.x AS b
+        | FROM d a CROSS JOIN l JOIN d b ON b.ed = a.ed + l.lag),
+        |s AS (SELECT lag, count(*) AS n_pairs, sum(a) AS sa, sum(b) AS sb,
+        | sum(a * b) AS sab, sum(a * a) AS saa, sum(b * b) AS sbb
+        | FROM p GROUP BY 1)
+        |SELECT lag, n_pairs,
+        | CASE WHEN CAST(n_pairs * saa - sa * sa AS DOUBLE) <= 0.0
+        |   OR CAST(n_pairs * sbb - sb * sb AS DOUBLE) <= 0.0 THEN NULL
+        |  ELSE round(CAST(n_pairs * sab - sa * sb AS DOUBLE)
+        |   / sqrt(CAST(n_pairs * saa - sa * sa AS DOUBLE)
+        |        * CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 9)
+        | END AS autocorr
+        |FROM s""".stripMargin.replace("\n", " "),
+    "emb_pair_histogram" ->
+      // DOUBLE[] casts → bit-identical cosines (the bruteforce-tier
+      // precedent), so the floor-bin boundary is safe cross-engine
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (SELECT CAST(floor(list_cosine_similarity(a.e, b.e) * 20)
+        |  AS BIGINT) AS bin
+        | FROM s a JOIN s b ON a.vec_id < b.vec_id),
+        |h AS (SELECT bin, count(*) AS n_pairs FROM p GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM h)
+        |SELECT round(CAST(bin AS DOUBLE) / 20, 6) AS bin_lo, n_pairs,
+        | round(CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+        |FROM h, t""".stripMargin.replace("\n", " "),
     "q_percentiles" ->
       """SELECT c_mktsegment,
         | quantile_cont(o_totalprice, 0.5) AS p50,
@@ -1428,6 +1529,35 @@ object SparkEntry {
         |SELECT user_id, session_seq, min(ts) AS session_start,
         | max(ts) AS session_end, count(*) AS num_events, sum(value) AS total_value
         |FROM numbered GROUP BY user_id, session_seq""".stripMargin.replace("\n", " "),
+    "events_session_cooccur" ->
+      // the shared lag+cumsum session CTE, then distinct
+      // session×type sets self-joined (type alphabet bounds the
+      // fan-out); lift = n_together·N / (n_a·n_b) on exact longs
+      """WITH flagged AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, event_type,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        | FROM flagged),
+        |st AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+        |ns AS (SELECT count(*) AS n_sessions FROM
+        |  (SELECT DISTINCT user_id, session_seq FROM st)),
+        |pt AS (SELECT event_type, count(*) AS n FROM st GROUP BY 1),
+        |pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_together
+        | FROM st a JOIN st b ON a.user_id = b.user_id
+        |  AND a.session_seq = b.session_seq AND a.event_type < b.event_type
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT type_a, type_b, n_together, pa.n AS n_a, pb.n AS n_b,
+        | round(CAST(n_together * n_sessions AS DOUBLE)
+        |  / CAST(pa.n * pb.n AS DOUBLE), 6) AS lift
+        |FROM pr JOIN pt pa ON pa.event_type = pr.type_a
+        | JOIN pt pb ON pb.event_type = pr.type_b, ns""".stripMargin
+        .replace("\n", " "),
     "q_events_funnel_windowed" ->
       """WITH s AS (SELECT user_id, min(ts) AS sts FROM events
         |  WHERE event_type = 'signup' GROUP BY 1),
@@ -1600,6 +1730,27 @@ object SparkEntry {
           |  * (0.3 + 0.7 * least(1.0, (stopword_count / greatest(n_tokens, 1)) * 5.0))
           |  AS quality_score
           |FROM s""".stripMargin.replace("\n", " ")),
+    "text_readability" ->
+      // exact counters (whitespace words, [.!?]+ sentence runs,
+      // [aeiouy]+ vowel-group syllables) → one float score each,
+      // identical expression shape both engines, rounded once
+      (toksCte +
+        """, c AS (SELECT doc_id,
+          | greatest(CAST(len(toks) AS BIGINT), 1) AS n_words,
+          | greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+          |   AS BIGINT), 1) AS n_sentences,
+          | CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+          |   AS BIGINT) AS n_syllables
+          | FROM t)
+          |SELECT doc_id, n_words, n_sentences, n_syllables,
+          | round(206.835
+          |  - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |  - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+          |  6) AS flesch_ease,
+          | round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          |  + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+          |  - 15.59, 6) AS fk_grade
+          |FROM c""".stripMargin.replace("\n", " ")),
     "text_token_count" ->
       (toksCte +
         """ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
@@ -2876,6 +3027,16 @@ object SparkEntry {
         |        < 'e6666666' THEN 'train'
         |      WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
         |        < 'f3333333' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents""".stripMargin.replace("\n", " "),
+    "split_group_assign" ->
+      // md5 of the GROUP value: every doc of a source shares the
+      // split; 0.6/0.2/0.2 cuts = floor(w·16^8) hex thresholds
+      """SELECT doc_id, source,
+        | CASE WHEN substring(md5(source || ':gsplit42'), 1, 8)
+        |        < '99999999' THEN 'train'
+        |      WHEN substring(md5(source || ':gsplit42'), 1, 8)
+        |        < 'cccccccc' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin.replace("\n", " "),
     "docs_ngram_diversity" ->

@@ -1461,6 +1461,109 @@ object Analytics {
     pr.select(col("id").as("part_id"), round(col("pr"), 9).as("pagerank"))
   }
 
+  /** Triangle census of the co-purchase graph — triangle count,
+    * wedge count and the global clustering coefficient
+    * (3·triangles / wedges): how "cliquey" the catalog is, the
+    * one-number gauge of whether [[copurchasePagerank]] runs on a
+    * hub-and-spoke graph or on dense communities (clustering ≈ 0
+    * means pair counts are independent purchases; high clustering
+    * means basket themes, which is what a recommender can exploit).
+    * Triangle counting is the canonical "quadratic unless oriented"
+    * graph op, done the distributed way: edges keep their
+    * `part_a < part_b` orientation from [[basketAffinity]]'s pair
+    * engine, so each triangle a<b<c is generated EXACTLY once by
+    * joining (a,b)⋈(b,c) on the shared middle node and closing with
+    * a left-semi probe on (a,c) — two equi-join shuffles on node
+    * ids, no direction blow-up, no per-node adjacency list held in
+    * memory. Wedges come from the degree aggregate
+    * (Σ d·(d−1)/2, exact integers). All counts are exact longs; the
+    * single float quotient is rounded once. Scale: the giant-order
+    * guard bounds the edge list linearly in orders, the oriented
+    * join bounds wedge fan-out by the oriented out-degree, and the
+    * output is ONE row.
+    */
+  def copurchaseTriangles(lineitem: DataFrame, minOrders: Long = 2,
+                          maxParts: Int = 20): DataFrame = {
+    val edges = guardedPairs(guardedBaskets(lineitem, maxParts, pin = false),
+        minOrders)
+      .select(col("part_a").as("a"), col("part_b").as("b"))
+      .localCheckpoint(true) // wedge join (twice), closure probe, degrees
+    val paths = edges
+      .join(edges.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val nTriangles = paths
+      .join(edges.select(col("a"), col("b").as("c")), Seq("a", "c"),
+        "left_semi")
+      .count()
+    val deg = edges.select(col("a").as("v"))
+      .unionByName(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // `div` keeps the halving in exact integer arithmetic (both
+    // quantities are even by construction; `/` would detour through
+    // double and lose exactness past 2^53)
+    deg.agg(
+        count(lit(1)).as("n_nodes"),
+        expr("sum(d) div 2").as("n_edges"),
+        expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+      .select(col("n_nodes"), col("n_edges"),
+        lit(nTriangles).as("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(3.0) * nTriangles.toDouble /
+            col("n_wedges").cast("double"), 9)).as("global_clustering"))
+  }
+
+  /** Lag-k autocorrelation of the daily revenue series (k = 1..
+    * maxLag) — the memory profile behind every forecasting choice:
+    * a high lag-7 with low lag-1 says "weekly cycle, use
+    * [[seasonalityStrength]]-style slot profiles"; a slow geometric
+    * decay says "momentum, use exponential smoothing"
+    * ([[forecastRevenue]]); all-near-zero says the daily series is
+    * noise and only aggregates forecast. Lags are CALENDAR lags
+    * (pairs join on `epoch_day + k`, so a calendar gap drops the
+    * pair instead of silently comparing non-adjacent days —
+    * `n_pairs` exposes coverage). Per lag the Pearson r comes from
+    * the exact integer sum identities (n, Σa, Σb, Σab, Σa², Σb² in
+    * decimal(38,0) — cents² crosses 2^63) with ONE float quotient,
+    * rounded once. Scale: the fact table collapses to day grain
+    * (one shuffle, O(days) rows); the ×maxLag fan-out and the
+    * self-join run on the day-grain relation, so everything after
+    * the first aggregate is calendar-bounded.
+    */
+  def revenueAutocorr(lineitem: DataFrame, maxLag: Int = 7): DataFrame = {
+    val spark = lineitem.sparkSession
+    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val daily = lineitem
+      .groupBy(to_date(col("l_shipdate")).as("day"))
+      .agg(sum(centsX).as("x"))
+      .select(datediff(col("day"), lit("1970-01-01")).cast("long").as("ed"),
+        col("x").cast("decimal(38,0)").as("x"))
+      .localCheckpoint(true) // both sides of the lag join
+    val lags = broadcast(spark.range(1, maxLag + 1L).select(col("id").as("lag")))
+    val sums = daily.select(col("ed"), col("x").as("a"))
+      .crossJoin(lags) // O(days·maxLag) rows — day grain, not fact grain
+      .join(daily.select(col("ed").as("ed_b"), col("x").as("b")),
+        col("ed_b") === col("ed") + col("lag"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("a").as("sa"), sum("b").as("sb"),
+        sum(col("a") * col("b")).as("sab"),
+        sum(col("a") * col("a")).as("saa"),
+        sum(col("b") * col("b")).as("sbb"))
+    val n = col("n_pairs").cast("decimal(38,0)")
+    val varA = (n * col("saa") - col("sa") * col("sa")).cast("double")
+    val varB = (n * col("sbb") - col("sb") * col("sb")).cast("double")
+    sums.select(
+        col("lag"), col("n_pairs"),
+        // a constant-revenue stretch has no variance to correlate:
+        // null, not NaN/div-by-zero
+        when(varA <= 0.0 || varB <= 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (n * col("sab") - col("sa") * col("sb")).cast("double") /
+              sqrt(varA * varB), 9)).as("autocorr"))
+      .orderBy("lag")
+  }
+
   /** Rolling `days`-day revenue series — the trailing-window KPI
     * (7-day revenue, line volume, active-day coverage per day). The
     * frame is a RANGE frame over epoch-day, not a ROWS frame: a gap

@@ -65,6 +65,28 @@ object DataSplit {
     df.withColumn("split", label)
   }
 
+  /** Group-level split: every row of a GROUP (a source, a domain, a
+    * crawl) lands in the same split, assigned by the portable
+    * salted-md5 key of the group value — the leakage-proof split for
+    * training data, where [[assignPortable]]'s per-doc hash would
+    * happily put two near-duplicate docs from the same source on
+    * opposite sides of the train/test fence (the classic eval
+    * contamination [[temporalSplitAudit]] measures on the time
+    * axis, here closed on the provenance axis). Weights apply to
+    * GROUPS, not rows — a heavy group drags its whole mass with it,
+    * which is the point; pair with [[stratifiedSplit]] when
+    * row-exact proportions matter more than group integrity.
+    * Scale: the assignment computes on the distinct group relation
+    * (O(groups)) and broadcast-joins back — rows never shuffle.
+    */
+  def groupAssign(df: DataFrame, groupCol: String,
+                  weights: Seq[(String, Double)],
+                  salt: String = "gsplit42"): DataFrame = {
+    val groups = assignPortable(df.select(col(groupCol)).distinct(),
+      groupCol, weights, salt)
+    df.join(broadcast(groups), Seq(groupCol))
+  }
+
   /** Stratified split — EXACT per-stratum proportions, where
     * [[assign]]/[[assignPortable]] are only proportional in
     * expectation: a hash split of a 300-doc source at 90/5/5 can

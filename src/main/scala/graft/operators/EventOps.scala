@@ -228,6 +228,46 @@ object EventOps {
         count(lit(1)).as("num_events"),
         sum("value").as("total_value"))
 
+  /** Within-session event-type co-occurrence lift — the behavioral
+    * twin of [[Analytics.basketAffinity]]: which event types show up
+    * in the SAME session more often than their solo frequencies
+    * predict (`lift = n_together·N / (n_a·n_b)` over exact session
+    * counts). Lift > 1 pairs are the flow edges a product funnel is
+    * built from; lift < 1 pairs are segregated usage modes. Sessions
+    * come from the shared [[assignSessions]] core (one user_id
+    * shuffle); the session×type relation is DISTINCT before the
+    * self-join, so pair fan-out is bounded by types²/2 per session —
+    * the event-type alphabet plays the role of the basket guard, no
+    * separate cap needed. Per-type counts broadcast onto the pair
+    * frame; only the session-count scalar reaches the driver. One
+    * float quotient, rounded once.
+    */
+  def sessionCooccur(events: DataFrame, gapMinutes: Int = 30,
+                     minSessions: Long = 2): DataFrame = {
+    val st = assignSessions(events, gapMinutes)
+      .select(col("user_id"), col("session_seq"), col("event_type"))
+      .distinct()
+      .localCheckpoint(true) // self-join sides + per-type counts + N
+    val nSessions = st.select("user_id", "session_seq").distinct().count()
+    val perType = st.groupBy("event_type").agg(count(lit(1)).as("n"))
+    st.select(col("user_id"), col("session_seq"),
+        col("event_type").as("type_a"))
+      .join(st.select(col("user_id"), col("session_seq"),
+        col("event_type").as("type_b")), Seq("user_id", "session_seq"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_together"))
+      .filter(col("n_together") >= minSessions)
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_together"),
+        col("n_a"), col("n_b"),
+        round((col("n_together") * lit(nSessions)).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+  }
+
   /** Session aggregation via Spark's built-in `session_window`
     * (gap-based, window end = last event + gap). Same shuffle shape
     * as [[sessionize]] but expressed declaratively — Catalyst plans

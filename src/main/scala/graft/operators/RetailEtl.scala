@@ -500,4 +500,39 @@ object RetailEtl {
         coalesce(col("n_rows"), lit(0L)).as("n_rows"),
         col("n_rows").isNull.as("is_gap"))
   }
+
+  /** Per-feed freshness monitor — for each named source feed: last
+    * loaded day, days behind the freshest feed, total rows, rows on
+    * the last day, and a stale flag. The "one upstream stopped
+    * sending" alarm that [[backfillPlan]]'s single-feed gap scan
+    * cannot raise (a feed that dies entirely leaves no mid-series
+    * gap — it just stops, and only a CROSS-feed comparison notices).
+    * Lag is measured against the freshest sibling feed, not
+    * wall-clock, so the check is replayable on historical data.
+    * Scale: each feed collapses to day grain (one shuffle, O(days)
+    * rows), per-feed scalars come off that via `max_by`, and the
+    * global-max comparison joins an O(feeds) relation against a
+    * 1-row aggregate — nothing fact-sized crosses the wire twice.
+    */
+  def feedFreshness(feeds: Seq[(String, DataFrame)],
+                    staleDays: Int = 2): DataFrame = {
+    val perFeed = feeds.map { case (name, df) =>
+      df.groupBy(col("sale_date").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          max("day").as("last_day"),
+          sum("n").as("n_rows"),
+          expr("max_by(n, day)").as("rows_last_day"))
+        .select(lit(name).as("feed"), col("last_day"), col("n_rows"),
+          col("rows_last_day"))
+    }.reduce(_ unionByName _)
+    val global = perFeed.agg(max("last_day").as("global_day"))
+    perFeed.crossJoin(broadcast(global)) // 1-row scalar frame
+      .select(col("feed"), col("last_day"),
+        datediff(col("global_day"), col("last_day")).cast("long")
+          .as("days_behind"),
+        col("n_rows"), col("rows_last_day"),
+        (datediff(col("global_day"), col("last_day")) > staleDays)
+          .as("stale"))
+  }
 }

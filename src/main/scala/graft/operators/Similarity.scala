@@ -845,4 +845,40 @@ object Similarity {
         round(avg("nrm"), 6).as("avg_norm"),
         sum(when(col("nrm") === 0.0d, 1L).otherwise(0L)).as("n_zero"))
   }
+
+  /** Pairwise-cosine histogram over a deterministic corpus sample —
+    * the embedding-geometry gauge that PREDICTS how every
+    * approximate tier will behave before an index is built: mass
+    * piled near 0 means near-isotropic vectors (the measured reason
+    * this testdata's PCA/IVF recall is hard — docs/ANN_SWEEP.md), a
+    * multimodal histogram means real cluster structure (IVF will
+    * shine), a heavy right tail near 1 predicts the SemDeDup
+    * threshold's yield. Sample is the deterministic `vec_id %
+    * sampleMod` slice; within it the all-pairs cosine runs as a
+    * broadcast cross join — quadratic IN THE SAMPLE only, so at
+    * scale `sampleMod` is chosen to keep the sample O(1k) (the
+    * [[Similarity]] trainSample posture: diagnostics run on capped
+    * samples, never the corpus). Bins are `floor(cos·bins)`: both
+    * engines compute bit-identical doubles (same in-order kernel),
+    * so the boundary is safe; counts exact, one share quotient
+    * rounded once.
+    */
+  def pairDistanceHistogram(embeddings: DataFrame, sampleMod: Int = 10,
+                            bins: Int = 20): DataFrame = {
+    val s = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    val hist = s.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+      .crossJoin(broadcast(
+        s.select(col("vec_id").as("id_b"), col("embedding").as("eb"))))
+      .filter(col("id_a") < col("id_b"))
+      .select(floor(gf.cosineSim(col("ea"), col("eb")) * bins)
+        .cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    hist.crossJoin(broadcast(hist.agg(sum("n_pairs").as("total"))))
+      .select(
+        round(col("bin").cast("double") / bins, 6).as("bin_lo"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
 }

@@ -654,4 +654,48 @@ class AnalyticsSpec extends SparkSpec {
     // series sums to zero at the last day (deviations from the mean)
     assert(math.abs(got("1995-01-20")._2) < 1e-6)
   }
+
+  test("copurchaseTriangles: oriented closure counts once, guard drops giants") {
+    // orders 10,11 = {1,2,3} (triangle, each edge ×2); 12,13 = {1,4}
+    // (pendant edge — wedge at 1, no closure); order 99 has 25
+    // distinct parts → giant-order guard must exclude it entirely
+    val rows =
+      (for (o <- Seq(10L, 11L); p <- Seq(1L, 2L, 3L)) yield (o, p)) ++
+      (for (o <- Seq(12L, 13L); p <- Seq(1L, 4L)) yield (o, p)) ++
+      (for (o <- Seq(99L, 98L); p <- 100L until 125L) yield (o, p))
+    val li = rows.toDF("l_orderkey", "l_partkey")
+    val r = Analytics.copurchaseTriangles(li).collect().head
+    // graph: edges (1,2)(1,3)(2,3)(1,4); degrees 3,2,2,1 →
+    // wedges 3+1+1+0 = 5; one triangle; clustering 3·1/5
+    assert(r.getLong(0) == 4L, s"nodes: $r")
+    assert(r.getLong(1) == 4L, s"edges: $r")
+    assert(r.getLong(2) == 1L, s"triangles: $r")
+    assert(r.getLong(3) == 5L, s"wedges: $r")
+    assert(r.getDouble(4) == 0.6, s"clustering: $r")
+  }
+
+  test("revenueAutocorr: alternating series reads -1/+1, flat reads null") {
+    def series(rev: Int => Double, days: Seq[Int]) = days.map { i =>
+      (1L, rev(i), 0.0, f"1995-01-$i%02d")
+    }.toDF("l_orderkey", "l_extendedprice", "l_discount", "d")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        col("d").cast("date").as("l_shipdate"))
+    val alt = Analytics.revenueAutocorr(
+      series(i => if (i % 2 == 0) 100.0 else 200.0, 1 to 10), maxLag = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(alt(1L) == ((9L, -1.0)), s"lag1: $alt")
+    assert(alt(2L) == ((8L, 1.0)), s"lag2: $alt")
+    // a calendar gap DROPS the pair (never compares non-adjacent
+    // days): removing day 5 costs each lag its two straddling pairs
+    val gapped = Analytics.revenueAutocorr(
+      series(i => if (i % 2 == 0) 100.0 else 200.0,
+        (1 to 10).filterNot(_ == 5)), maxLag = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gapped(1L) == 7L && gapped(2L) == 6L, s"gapped pairs: $gapped")
+    // constant series: zero variance → null, never NaN
+    val flat = Analytics.revenueAutocorr(series(_ => 100.0, 1 to 10),
+      maxLag = 1).collect().head
+    assert(flat.isNullAt(2), s"flat must be null: $flat")
+  }
 }

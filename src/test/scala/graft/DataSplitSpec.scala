@@ -192,4 +192,29 @@ class DataSplitSpec extends SparkSpec {
     assert(resalted.groupBy(x => (x._2, x._3)).view.mapValues(_.length).toMap
       == counts, "quotas must be salt-invariant")
   }
+
+  test("groupAssign: a group never straddles splits, salt drives placement") {
+    val docs = (1L to 60L).map(i => (i, s"src${i % 6}"))
+      .toDF("doc_id", "source")
+    val weights = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val got = DataSplit.groupAssign(docs, "source", weights).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")))
+    // the leakage guarantee: one split per group, every row covered
+    val bySource = got.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(got.length == 60 && bySource.values.forall(_.length == 1),
+      s"groups must not straddle: $bySource")
+    // placement is a pure function of (group, salt): rows of the
+    // same group agree under repartition, and a new salt can move
+    // whole groups (6 groups → astronomically unlikely to be a
+    // fixed point AND still satisfy the one-split invariant)
+    val again = DataSplit.groupAssign(docs.repartition(7), "source", weights)
+      .collect().map(r =>
+        (r.getAs[String]("source"), r.getAs[String]("split"))).toSet
+    assert(again == got.toSet, "partition-dependent group assignment")
+    val resalted = DataSplit.groupAssign(docs, "source", weights,
+      salt = "other").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("split")))
+    assert(resalted.groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+      .toMap.values.forall(_.length == 1), "resalted groups must hold")
+  }
 }

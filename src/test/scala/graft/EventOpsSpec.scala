@@ -582,4 +582,25 @@ class EventOpsSpec extends SparkSpec {
     val psiShift = EventOps.valuePsi(shifted).collect().head.getDouble(6)
     assert(psiShift > 0.25, s"shifted psi must alarm: $psiShift")
   }
+
+  test("sessionCooccur: lift from distinct session sets, minSessions prunes") {
+    val e = events(
+      // user 1, session 1: A+B; session 2 (>30 min later): A+B again
+      // — B twice in session 2 must not double-count the session
+      (1L, "2024-01-01 10:00:00", 1L, "A"),
+      (2L, "2024-01-01 10:10:00", 1L, "B"),
+      (3L, "2024-01-01 12:00:00", 1L, "A"),
+      (4L, "2024-01-01 12:10:00", 1L, "B"),
+      (5L, "2024-01-01 12:11:00", 1L, "B"),
+      // user 2, one session: A+C — together only once → pruned
+      (6L, "2024-01-01 10:00:00", 2L, "A"),
+      (7L, "2024-01-01 10:05:00", 2L, "C"))
+    val got = EventOps.sessionCooccur(e).collect()
+    assert(got.length == 1, s"only (A,B) survives minSessions: ${got.toSeq}")
+    val r = got.head
+    // N=3 sessions, n_A=3, n_B=2, together=2 → lift = 2·3/(3·2) = 1
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getDouble(5)) == (("A", "B", 2L, 3L, 2L, 1.0)),
+      s"cooccur row: $r")
+  }
 }

@@ -440,4 +440,27 @@ class RetailEtlSpec extends SparkSpec {
     assert((row.getLong(3), row.getLong(4), row.getBoolean(5)) ==
       ((0L, 0L, true)), s"intact audit: $row")
   }
+
+  test("feedFreshness: lag vs the freshest sibling, stale past the threshold") {
+    import org.apache.spark.sql.functions.col
+    def feed(days: (String, Int)*) = days.flatMap { case (d, n) =>
+      Seq.fill(n)(d)
+    }.toDF("d").select(col("d").cast("date").as("sale_date"))
+    val fresh = feed("2024-01-09" -> 2, "2024-01-10" -> 3)
+    val lagging = feed("2024-01-05" -> 4, "2024-01-07" -> 1)
+    val got = RetailEtl.feedFreshness(
+      Seq("a" -> fresh, "b" -> lagging)).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDate(1).toString, r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    // feed a IS the freshest: 0 behind, 3 rows on its last day
+    assert(got("a") == (("2024-01-10", 0L, 5L, 3L, false)), s"a: $got")
+    // feed b: 3 days behind a → stale at the default 2-day threshold
+    assert(got("b") == (("2024-01-07", 3L, 5L, 1L, true)), s"b: $got")
+    // a dead feed leaves NO gap a single-feed scan could see — only
+    // the cross-feed comparison flags it; equal-freshness twin sanity
+    val twin = RetailEtl.feedFreshness(
+      Seq("a" -> fresh, "b" -> fresh)).collect()
+    assert(twin.forall(!_.getBoolean(5)), "equal feeds must not read stale")
+  }
 }

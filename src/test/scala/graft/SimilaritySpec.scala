@@ -396,4 +396,22 @@ class SimilaritySpec extends SparkSpec {
       .map(_.getLong(1)).toSeq
     assert(mmr == exact, s"λ=1 must reproduce the relevance order: $mmr vs $exact")
   }
+
+  test("pairDistanceHistogram: sample slice, oriented pairs, exact shares") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (10L, Array(0.0f, 1.0f)),
+      (20L, Array(1.0f, 0.0f)), (30L, Array(-1.0f, 0.0f)),
+      (7L, Array(1.0f, 1.0f))) // not % 10 — must be excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pairDistanceHistogram(vecs).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // 4 sampled vectors → 6 pairs: three orthogonal (bin 0.0), one
+    // identical (cos 1 → bin_lo 1.0), two opposite (cos −1 → −1.0)
+    assert(got == Map(
+      0.0 -> ((3L, 0.5)), 1.0 -> ((1L, round6(1.0 / 6))),
+      -1.0 -> ((2L, round6(2.0 / 6)))), s"histogram: $got")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -416,4 +416,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(far("c") == far("d"), s"symmetric halves: $far")
     assert(far("c") > 0.25 && far("c") <= 1.0, s"disjoint vocab: $far")
   }
+
+  test("readability: exact counters and Flesch scores, empty-doc guards") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"),
+      (2L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    // 6 words, 2 sentence runs, 6 vowel groups →
+    // flesch = 206.835 − 1.015·3 − 84.6·1 = 119.19; fk = −2.62
+    val (w, s, sy, fe, fk) = got(1L)
+    assert((w, s, sy) == ((6L, 2L, 6L)), s"counters: ${got(1L)}")
+    assert(math.abs(fe - 119.19) < 1e-9 && math.abs(fk + 2.62) < 1e-9,
+      s"scores: ${got(1L)}")
+    // empty doc: both divisors guard to 1, syllables 0 — finite score
+    assert(got(2L) == ((1L, 1L, 0L, 205.82, -15.2)), s"empty: ${got(2L)}")
+  }
 }
