@@ -213,6 +213,8 @@ object SparkEntry {
       Similarity.pairDistanceHistogram(Tables.embeddings(s, dir))),
     "q_purchase_streaks" -> ((s, dir) =>
       Analytics.purchaseStreaks(Tables.orders(s, dir))),
+    "q_survival_curve" -> ((s, dir) =>
+      Analytics.survivalCurve(Tables.orders(s, dir))),
     "q_decile_lift" -> ((s, dir) =>
       Analytics.decileLift(Tables.orders(s, dir))),
     "events_rolling_active_users" -> ((s, dir) =>
@@ -944,6 +946,10 @@ object SparkEntry {
     "stream_dq_profile" -> ((s, dir) =>
       graft.streaming.EventStream.dqProfileState(Tables.events(s, dir),
         Seq("user_id", "event_type", "value"))),
+    // batch fold of the O(feeds)-state live freshness monitor —
+    // aggregate + poll-side sibling comparison (own oracle below)
+    "stream_freshness" -> ((s, dir) =>
+      graft.streaming.EventStream.feedFreshnessState(Tables.events(s, dir))),
     "text_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, dir))),
     "q_concurrent_sessions" -> ((s, dir) =>
@@ -1489,6 +1495,42 @@ object SparkEntry {
         |        * CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 9)
         | END AS autocorr
         |FROM s""".stripMargin.replace("\n", " "),
+    "stream_freshness" ->
+      // per-feed last-seen day + count, lag vs the freshest sibling
+      """WITH f AS (SELECT event_type AS feed, CAST(max(ts) AS DATE)
+        |  AS last_day, count(*) AS n_rows FROM events GROUP BY 1),
+        |g AS (SELECT max(last_day) AS global_day FROM f)
+        |SELECT feed, last_day,
+        | CAST(date_diff('day', last_day, global_day) AS BIGINT)
+        |  AS days_behind,
+        | n_rows, date_diff('day', last_day, global_day) > 2 AS stale
+        |FROM f, g""".stripMargin.replace("\n", " "),
+    "q_survival_curve" ->
+      // KM product via DuckDB's windowed product() in ascending-t
+      // order — the same multiply order as the Spark-side fold;
+      // censoring reduces n_risk, never the product
+      """WITH per AS (SELECT o_custkey,
+        |  min(CAST(o_orderdate AS DATE)) AS f,
+        |  max(CAST(o_orderdate AS DATE)) AS l
+        | FROM orders GROUP BY 1),
+        |e AS (SELECT max(l) AS end_day FROM per),
+        |g AS (SELECT date_diff('day', f, l) AS t,
+        |  CAST(sum(CASE WHEN date_diff('day', l, end_day) > 90
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |  CAST(sum(CASE WHEN date_diff('day', l, end_day) > 90
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS c
+        | FROM per, e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM g),
+        |r AS (SELECT t, d, c,
+        |  n - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS n_risk
+        | FROM g, tot)
+        |SELECT t AS t_days, n_risk, d AS n_events, c AS n_censored,
+        | round(product(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |   OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW), 9) AS survival
+        |FROM r""".stripMargin.replace("\n", " "),
     "emb_pair_histogram" ->
       // DOUBLE[] casts → bit-identical cosines (the bruteforce-tier
       // precedent), so the floor-bin boundary is safe cross-engine

@@ -1511,6 +1511,61 @@ object Analytics {
             col("n_wedges").cast("double"), 9)).as("global_clustering"))
   }
 
+  /** Kaplan–Meier customer survival curve — the censoring-aware
+    * answer to "how long does a customer stay", where a naive
+    * average lifetime is biased DOWN by every customer who is still
+    * active (their lifetime isn't over; treating it as ended is the
+    * textbook error KM exists to fix). Lifetime = days between a
+    * customer's first and last order; a customer whose last order is
+    * more than `churnDays` before the observation end is an EVENT
+    * (churned at t), anyone else is CENSORED at t (still alive —
+    * they reduce the at-risk pool for later t but never the survival
+    * product). Per distinct lifetime t: n_risk (suffix count),
+    * events, censored, and `S(t) = Π_{s≤t} (1 − d/n_risk)`. The
+    * whole curve lives on the O(distinct lifetimes) grid — bounded
+    * by the calendar span — so the ordered suffix window and the
+    * driver-side product fold both run on a provably small relation
+    * (the [[decileLift]] collect class); the oracle's windowed
+    * `product()` multiplies in the same ascending-t order. Scale:
+    * one customer-grain aggregate (single shuffle of key+two dates),
+    * everything after is calendar-bounded.
+    */
+  def survivalCurve(orders: DataFrame, churnDays: Int = 90): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val per = orders.groupBy("o_custkey").agg(
+      min(to_date(col("o_orderdate"))).as("first_day"),
+      max(to_date(col("o_orderdate"))).as("last_day"))
+    val endRow = per.agg(max("last_day").as("end_day"))
+    val grid = per.crossJoin(broadcast(endRow)) // 1-row scalar frame
+      .select(
+        datediff(col("last_day"), col("first_day")).cast("long").as("t"),
+        (datediff(col("end_day"), col("last_day")) > churnDays).as("event"))
+      .groupBy("t")
+      .agg(
+        sum(when(col("event"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("event"), 0L).otherwise(1L)).as("c"))
+    val wPrev = Window.orderBy("t") // calendar-bounded relation
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = grid
+      .crossJoin(broadcast(grid.agg(sum(col("d") + col("c")).as("n"))))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .select("t", "n_risk", "d", "c")
+    // O(lifetimes) rows: fold the product in ascending-t order (the
+    // oracle's windowed product() multiplies in the same order)
+    val rows = risk.orderBy("t")
+      .as[(Long, Long, Long, Long)].collect()
+    var s = 1.0
+    val curve = rows.map { case (t, n, d, c) =>
+      s *= (1.0 - d.toDouble / n.toDouble)
+      (t, n, d, c, s)
+    }
+    curve.toSeq.toDF("t_days", "n_risk", "n_events", "n_censored", "surv")
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+        col("n_censored"), round(col("surv"), 9).as("survival"))
+  }
+
   /** Lag-k autocorrelation of the daily revenue series (k = 1..
     * maxLag) — the memory profile behind every forecasting choice:
     * a high lag-7 with low lag-1 says "weekly cycle, use

@@ -797,6 +797,38 @@ object EventStream extends Serializable {
     * error vs the exact profile, StreamingSpec holds cross-batch
     * accumulation).
     */
+  /** The streaming half of the feed-freshness monitor
+    * ([[graft.operators.RetailEtl.feedFreshness]]'s always-on
+    * spelling, feeds keyed by event_type): ONE streaming aggregate
+    * maintains per feed its last-seen day and running row count —
+    * state is O(feeds) (a date + a counter per feed), update mode
+    * re-emits refreshed rows, which is what the monitor polls.
+    */
+  def feedLastSeen(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type").as("feed"))
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("n_rows"))
+
+  /** Batch fold of the live freshness monitor: [[feedLastSeen]]'s
+    * aggregate plus the poll-side cross-feed comparison (days behind
+    * the freshest sibling + stale flag). The comparison joins the
+    * O(feeds) emission against its own 1-row max — in production it
+    * runs per trigger on the polled output (a streaming aggregate
+    * can't self-join its result mid-query), which is exactly the
+    * shape here since the input relation IS the emitted table.
+    */
+  def feedFreshnessState(events: DataFrame, staleDays: Int = 2): DataFrame = {
+    val agg = feedLastSeen(events)
+    agg.crossJoin(broadcast(agg.agg(max("last_day").as("global_day"))))
+      .select(col("feed"), col("last_day"),
+        datediff(col("global_day"), col("last_day")).cast("long")
+          .as("days_behind"),
+        col("n_rows"),
+        (datediff(col("global_day"), col("last_day")) > staleDays)
+          .as("stale"))
+  }
+
   def dqProfileState(events: DataFrame, cols: Seq[String],
                      rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "dqProfileState needs at least one column")

@@ -655,6 +655,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got("1995-01-20")._2) < 1e-6)
   }
 
+  test("survivalCurve: censoring shrinks the risk pool, never the product") {
+    val orders = Seq(
+      (1L, "2023-01-01"),                      // t=0, long-gone → event
+      (2L, "2023-01-01"), (2L, "2023-01-11"),  // t=10, event
+      (3L, "2024-01-01"), (3L, "2024-01-11"),  // t=10, 81d from end → censored
+      (4L, "2023-06-01"), (4L, "2024-04-01"))  // t=305, defines end → censored
+      .toDF("o_custkey", "d")
+      .select(col("o_custkey"), col("d").cast("date").as("o_orderdate"))
+    val got = Analytics.survivalCurve(orders).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(0L, 10L, 305L), s"grid: $got")
+    assert(got(0L) == ((4L, 1L, 0L, 0.75)), s"t=0: ${got(0L)}")
+    // t=10 holds one event AND one censor: S drops by (1−1/3) only —
+    // the censored customer leaves the pool without killing survival
+    assert(got(10L) == ((3L, 1L, 1L, 0.5)), s"t=10: ${got(10L)}")
+    assert(got(305L) == ((1L, 0L, 1L, 0.5)), s"t=305: ${got(305L)}")
+  }
+
   test("copurchaseTriangles: oriented closure counts once, guard drops giants") {
     // orders 10,11 = {1,2,3} (triangle, each edge ×2); 12,13 = {1,4}
     // (pendant edge — wedge at 1, no closure); order 99 has 25

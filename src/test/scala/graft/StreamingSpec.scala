@@ -1067,6 +1067,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("feedLastSeen: per-feed watermark accumulates; dead feed flags on poll") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val src = mem.toDF().toDF("event_id", "t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val q = EventStream.feedLastSeen(src)
+      .writeStream.format("memory").queryName("feed_seen")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "2024-01-01 10:00:00", "click"),
+        (2L, "2024-01-01 11:00:00", "buy"))
+      q.processAllAvailable()
+      // batch 2: only click advances — buy's state must persist
+      mem.addData((3L, "2024-01-05 09:00:00", "click"))
+      q.processAllAvailable()
+      val rows = spark.table("feed_seen").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (_, vs) => vs.maxBy(_._2)._1 }
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(latest("click") == (("2024-01-05", 2L)), s"click: $latest")
+      assert(latest("buy") == (("2024-01-01", 1L)), s"buy: $latest")
+    } finally q.stop()
+    // the poll-side comparison over the same data: buy is 4 days
+    // behind click → stale at the 2-day default, click is fresh
+    import spark.implicits._
+    val batch = Seq((1L, "2024-01-01 10:00:00", "click"),
+      (2L, "2024-01-01 11:00:00", "buy"), (3L, "2024-01-05 09:00:00", "click"))
+      .toDF("event_id", "t", "event_type")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val cmp = EventStream.feedFreshnessState(batch).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(4)))).toMap
+    assert(cmp("click") == ((0L, false)) && cmp("buy") == ((4L, true)),
+      s"poll comparison: $cmp")
+  }
+
   test("capState: quota spans batches, straggler dropped after fill, batch ≡ window") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.DocStream
