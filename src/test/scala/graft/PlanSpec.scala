@@ -352,6 +352,35 @@ class PlanSpec extends SparkSpec {
       s"rule counters must pre-aggregate map-side:\n$p")
   }
 
+  test("copurchaseTriangles closes triangles with equi-joins, never a nested loop") {
+    val p = plan(Analytics.copurchaseTriangles(Tables.lineitem(spark, dir)))
+    // the oriented a<b edge list makes both the wedge join and the
+    // closure probe hash-joinable; a BNLJ here is the O(n²) failure
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"triangle census must stay equi-join only:\n$p")
+  }
+
+  test("groupAssign broadcasts the O(groups) assignment — rows never shuffle") {
+    val p = plan(graft.operators.DataSplit.groupAssign(
+      Tables.documents(spark, dir), "source",
+      Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"group assignment must broadcast-join back:\n$p")
+    // only the distinct-groups relation may exchange; the doc rows
+    // flow scan → broadcast-probe → project
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"doc rows must not shuffle:\n$p")
+  }
+
+  test("revenueAutocorr: day-grain collapse happens before the lag fan-out") {
+    val p = plan(Analytics.revenueAutocorr(Tables.lineitem(spark, dir)))
+    // post-checkpoint plan: the lag join consumes the pinned day
+    // relation — the fact table is not re-scanned per lag
+    assert("Scan parquet".r.findAllIn(p).length == 0,
+      s"lag join must run on the checkpointed day grain:\n$p")
+  }
+
   test("sourceDivergence derives term totals from the (source, term) relation — one corpus tokenize") {
     val p = plan(graft.operators.TextAnalysis.sourceDivergence(
       Tables.documents(spark, dir)))
