@@ -207,6 +207,8 @@ object SparkEntry {
       Analytics.copurchasePagerank(Tables.lineitem(s, dir))),
     "q_copurchase_triangles" -> ((s, dir) =>
       Analytics.copurchaseTriangles(Tables.lineitem(s, dir))),
+    "q_basket_chi2" -> ((s, dir) =>
+      Analytics.basketChi2(Tables.lineitem(s, dir))),
     "q_revenue_autocorr" -> ((s, dir) =>
       Analytics.revenueAutocorr(Tables.lineitem(s, dir))),
     "emb_pair_histogram" -> ((s, dir) =>
@@ -702,6 +704,11 @@ object SparkEntry {
       RetailEtl.feedFreshness(Seq(
         "online" -> onlineSales(s, dir),
         "in_store" -> storeSales(s, dir)))),
+    "etl_grain_check" -> ((s, dir) =>
+      RetailEtl.grainCheck(
+        RetailEtl.salesFromLineitem(Tables.lineitem(s, dir)),
+        Seq("sale_id" -> Seq("sale_id"),
+          "product_day" -> Seq("product_id", "sale_date")))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // nCodes=32 + rerank=16 (the late-r9 retune, measured 0.720
@@ -1131,6 +1138,29 @@ object SparkEntry {
          |FROM lineitem""".stripMargin.replace("\n", " ")),
     "etl_clean" -> cleanSalesSql,
     "etl_run_report" -> runReportSql,
+    "etl_grain_check" ->
+      // one hash aggregate per grain claim, collapsed to one row
+      s"""WITH s AS (${salesSql("")}),
+         |g1 AS (SELECT sale_id, count(*) AS m FROM s GROUP BY 1),
+         |r1 AS (SELECT 'sale_id' AS grain,
+         |  CAST(sum(m) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dup_keys,
+         |  CAST(sum(CASE WHEN m > 1 THEN m - 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dup_rows,
+         |  max(m) AS max_multiplicity FROM g1),
+         |g2 AS (SELECT product_id, sale_date, count(*) AS m FROM s
+         |  GROUP BY 1, 2),
+         |r2 AS (SELECT 'product_day' AS grain,
+         |  CAST(sum(m) AS BIGINT) AS n_rows, count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dup_keys,
+         |  CAST(sum(CASE WHEN m > 1 THEN m - 1 ELSE 0 END) AS BIGINT)
+         |   AS n_dup_rows,
+         |  max(m) AS max_multiplicity FROM g2)
+         |SELECT *, n_dup_keys = 0 AS grain_ok FROM r1
+         |UNION ALL SELECT *, n_dup_keys = 0 AS grain_ok FROM r2""".stripMargin
+        .replace("\n", " "),
     "etl_freshness" ->
       // per-feed day-grain collapse → max_by scalars → cross-feed
       // global max; lag vs the freshest sibling feed, not wall-clock
@@ -1470,6 +1500,38 @@ object SparkEntry {
         |   / CAST(CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS DOUBLE), 9)
         | END AS global_clustering
         |FROM deg""".stripMargin.replace("\n", " "),
+    "q_basket_chi2" ->
+      // 2×2 contingency per guarded pair; delta exact in BIGINT,
+      // then ONE float expression in the same multiply order
+      """WITH bb AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (SELECT l_orderkey FROM bb GROUP BY 1 HAVING count(*) <= 20),
+        |g AS (SELECT bb.* FROM bb JOIN ok USING (l_orderkey)),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM g),
+        |po AS (SELECT l_partkey, count(*) AS n_orders_part FROM g GROUP BY 1),
+        |pr AS (SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+        |  count(*) AS n_together
+        | FROM g x JOIN g y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_partkey < y.l_partkey GROUP BY 1, 2
+        | HAVING count(*) >= 2),
+        |j AS (SELECT part_a, part_b, n_together,
+        |  pa.n_orders_part AS n_a, pb.n_orders_part AS n_b, n_orders
+        | FROM pr JOIN po pa ON pa.l_partkey = pr.part_a
+        |  JOIN po pb ON pb.l_partkey = pr.part_b, n)
+        |SELECT part_a, part_b, n_together, n_a, n_b,
+        | CASE WHEN CAST(n_a AS DOUBLE) * CAST((n_orders - n_a - n_b
+        |     + n_together) + n_b - n_together AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) * CAST(n_orders - n_b AS DOUBLE) = 0.0
+        |  THEN NULL
+        |  ELSE round(CAST(n_orders AS DOUBLE)
+        |   * CAST(n_together * (n_orders - n_a - n_b + n_together)
+        |      - (n_a - n_together) * (n_b - n_together) AS DOUBLE)
+        |   * CAST(n_together * (n_orders - n_a - n_b + n_together)
+        |      - (n_a - n_together) * (n_b - n_together) AS DOUBLE)
+        |   / (CAST(n_a AS DOUBLE) * CAST(n_orders - n_a AS DOUBLE)
+        |    * CAST(n_b AS DOUBLE) * CAST(n_orders - n_b AS DOUBLE)), 6)
+        | END AS chi2,
+        | n_together * n_orders > n_a * n_b AS positive
+        |FROM j""".stripMargin.replace("\n", " "),
     "q_revenue_autocorr" ->
       // Pearson r per calendar lag from exact integer sum identities
       // (HUGEINT — cents² crosses 2^63); identical expression shape

@@ -1461,6 +1461,48 @@ object Analytics {
     pr.select(col("id").as("part_id"), round(col("pr"), 9).as("pagerank"))
   }
 
+  /** Chi-square association test over the co-purchase pairs — the
+    * statistical-significance layer [[basketRules]]'s lift alone
+    * lacks: lift 3.0 on 2 co-orders is noise, lift 1.3 on 10k
+    * co-orders is real signal, and the χ² statistic (one degree of
+    * freedom, 2×2 contingency per pair: together / only-a / only-b /
+    * neither) is the standard way to rank them on the same scale.
+    * The contingency cells come from the shared guarded-pair engine
+    * plus per-part order counts (the [[basketRules]] join shape);
+    * `delta = a·d − b·c` is computed in exact longs (products ≤ N²;
+    * exact for N < 3·10⁹ orders — document a decimal swap beyond),
+    * then ONE float expression — delta²·N over the four margin
+    * products, multiplied in a fixed order both engines replay —
+    * rounded once. `positive` disambiguates the direction χ²
+    * deliberately ignores.
+    */
+  def basketChi2(lineitem: DataFrame, minOrders: Long = 2,
+                 maxParts: Int = 20): DataFrame = {
+    val guarded = guardedBaskets(lineitem, maxParts, pin = true)
+    val nOrders = guarded.select("l_orderkey").distinct().count()
+    val partOrders = guarded.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_orders_part"))
+    val a = col("n_together")
+    val b = col("n_a") - col("n_together")
+    val c = col("n_b") - col("n_together")
+    val d = lit(nOrders) - col("n_a") - col("n_b") + col("n_together")
+    val delta = (a * d - b * c).cast("double")
+    val denom = (a + b).cast("double") * (c + d).cast("double") *
+      (a + c).cast("double") * (b + d).cast("double")
+    guardedPairs(guarded, minOrders)
+      .withColumnRenamed("n_orders_together", "n_together")
+      .join(partOrders.select(col("l_partkey").as("part_a"),
+        col("n_orders_part").as("n_a")), Seq("part_a"))
+      .join(partOrders.select(col("l_partkey").as("part_b"),
+        col("n_orders_part").as("n_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_together"),
+        col("n_a"), col("n_b"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(round(lit(nOrders.toDouble) * delta * delta / denom, 6))
+          .as("chi2"),
+        (a * lit(nOrders) > col("n_a") * col("n_b")).as("positive"))
+  }
+
   /** Triangle census of the co-purchase graph — triangle count,
     * wedge count and the global clustering coefficient
     * (3·triangles / wedges): how "cliquey" the catalog is, the

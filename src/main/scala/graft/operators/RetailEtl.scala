@@ -501,6 +501,37 @@ object RetailEtl {
         col("n_rows").isNull.as("is_gap"))
   }
 
+  /** Grain check — for each declared grain claim ("this table is
+    * one row per X"): total rows, distinct keys, duplicated keys,
+    * surplus rows and worst multiplicity, with a branchable
+    * `grain_ok`. The FIRST question against any new feed (a fact
+    * table that is secretly order-grain when the pipeline assumes
+    * line-grain double-counts every aggregate downstream), and the
+    * complement of [[fdAudit]]: FD audits say which columns
+    * DETERMINE others, grain claims say which columns are THE KEY.
+    * One hash aggregate per claim collapsed to a single row —
+    * partial-agg friendly, output O(#claims); adding a claim adds
+    * one aggregate over the shared scan, nothing else.
+    */
+  def grainCheck(df: DataFrame,
+                 claims: Seq[(String, Seq[String])]): DataFrame = {
+    require(claims.nonEmpty, "need at least one grain claim")
+    claims.map { case (name, keys) =>
+      df.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("m"))
+        .agg(
+          sum("m").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum(when(col("m") > 1, 1L).otherwise(0L)).as("n_dup_keys"),
+          sum(when(col("m") > 1, col("m") - 1).otherwise(0L))
+            .as("n_dup_rows"),
+          max("m").as("max_multiplicity"))
+        .select(lit(name).as("grain"), col("n_rows"), col("n_keys"),
+          col("n_dup_keys"), col("n_dup_rows"), col("max_multiplicity"),
+          (col("n_dup_keys") === 0).as("grain_ok"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-feed freshness monitor — for each named source feed: last
     * loaded day, days behind the freshest feed, total rows, rows on
     * the last day, and a stale flag. The "one upstream stopped

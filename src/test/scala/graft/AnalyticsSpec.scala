@@ -674,6 +674,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(got(305L) == ((1L, 0L, 1L, 0.5)), s"t=305: ${got(305L)}")
   }
 
+  test("basketChi2: exact contingency, degenerate margin reads null") {
+    val rows = Seq(
+      10L -> Seq(1L, 2L, 5L, 6L), 11L -> Seq(1L, 2L, 5L, 6L),
+      12L -> Seq(1L, 5L, 6L), 13L -> Seq(2L, 5L, 6L))
+      .flatMap { case (o, ps) => ps.map(p => (o, p)) }
+    val got = Analytics.basketChi2(rows.toDF("l_orderkey", "l_partkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getBoolean(6)))).toMap
+    // (1,2): a=2 n_a=3 n_b=3 d=0 → χ² = 4·(0−1)²/(3·1·3·1) = 4/9;
+    // observed 2 < expected 9/4 → negative association
+    val (n12, chi12, pos12) = got((1L, 2L))
+    assert(n12 == 2L && pos12 == false, s"(1,2): ${got((1L, 2L))}")
+    assert(math.abs(chi12.get - 0.444444) < 1e-9, s"chi2: $chi12")
+    // (5,6) sit in EVERY order: zero-variance margin → null, not NaN
+    assert(got((5L, 6L))._2.isEmpty, s"degenerate: ${got((5L, 6L))}")
+  }
+
   test("copurchaseTriangles: oriented closure counts once, guard drops giants") {
     // orders 10,11 = {1,2,3} (triangle, each edge ×2); 12,13 = {1,4}
     // (pendant edge — wedge at 1, no closure); order 99 has 25

@@ -441,6 +441,21 @@ class RetailEtlSpec extends SparkSpec {
       ((0L, 0L, true)), s"intact audit: $row")
   }
 
+  test("grainCheck: duplicate keys counted, finer grain passes") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"))
+      .toDF("id", "payload")
+    val got = RetailEtl.grainCheck(df,
+      Seq("id" -> Seq("id"), "id_payload" -> Seq("id", "payload")))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    // id grain is violated: key 1 holds two rows (one surplus)
+    assert(got("id") == ((3L, 2L, 1L, 1L, 2L, false)), s"id: $got")
+    // the full (id, payload) grain holds
+    assert(got("id_payload") == ((3L, 3L, 0L, 0L, 1L, true)), s"fine: $got")
+  }
+
   test("feedFreshness: lag vs the freshest sibling, stale past the threshold") {
     import org.apache.spark.sql.functions.col
     def feed(days: (String, Int)*) = days.flatMap { case (d, n) =>
