@@ -534,6 +534,8 @@ object SparkEntry {
       operators.Curation.curateCapped(Tables.documents(s, dir), cap = 10)),
     "docs_curate_full" -> ((s, dir) =>
       operators.Curation.curateFull(Tables.documents(s, dir))),
+    "docs_curate_funnel" -> ((s, dir) =>
+      operators.Curation.curateFunnel(Tables.documents(s, dir))),
     "docs_token_budget" -> ((s, dir) =>
       // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
       operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),
@@ -927,6 +929,8 @@ object SparkEntry {
       TextAnalysis.readability(Tables.documents(s, dir))),
     "text_source_divergence" -> ((s, dir) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
+    "events_type_psi" -> ((s, dir) =>
+      EventOps.typePsi(Tables.events(s, dir))),
     "events_value_psi" -> ((s, dir) =>
       EventOps.valuePsi(Tables.events(s, dir))),
     "events_markov_stationary" -> ((s, dir) =>
@@ -1127,6 +1131,69 @@ object SparkEntry {
           | FROM documents) r
           |WHERE admit_rank <= 10""".stripMargin.replace("\n", " "))
   }
+
+  /** Shared CTE chain of the full curation pipeline (through the
+    * source-cap stage) — consumed by both the docs_curate_full
+    * result oracle and the docs_curate_funnel per-stage counts. */
+  private val curateFullCtes: String =
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  least(1.0, len(toks) / 128.0)
+        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+        |   AS quality_score FROM t),
+        |q AS (SELECT doc_id FROM sc
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |  THEN list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' '))
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |cont AS (SELECT DISTINCT c.doc_id FROM
+        |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
+        |  JOIN bench USING (gram)),
+        |cur AS (SELECT d.doc_id, d.source FROM documents d
+        | WHERE d.doc_id IN (SELECT doc_id FROM dd)
+        |  AND d.doc_id % 97 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |tl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |   i -> array_to_string(toks[i:i+2], ' ')))
+        |  ELSE CAST([] AS VARCHAR[]) END AS grams
+        | FROM (SELECT doc_id, list_filter(
+        |   regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)) lt),
+        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM tl),
+        |idf AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM inv a JOIN idf ON idf.gram = a.gram JOIN inv c ON c.gram = a.gram
+        |  WHERE a.doc_id < c.doc_id AND idf.df BETWEEN 2 AND 64
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |j AS (SELECT p.id_a, p.id_b FROM p
+        | JOIN tl ga ON ga.doc_id = p.id_a JOIN tl gb ON gb.doc_id = p.id_b
+        | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+        |  / (len(ga.grams) + len(gb.grams)
+        |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+        |losers AS (SELECT DISTINCT
+        |  CASE WHEN qa.quality_score < qb.quality_score THEN j.id_a
+        |       WHEN qb.quality_score < qa.quality_score THEN j.id_b
+        |       ELSE greatest(j.id_a, j.id_b) END AS doc_id
+        | FROM j JOIN sc qa ON qa.doc_id = j.id_a
+        |  JOIN sc qb ON qb.doc_id = j.id_b),
+        |sup AS (SELECT cur.doc_id, cur.source FROM cur
+        | WHERE cur.doc_id NOT IN (SELECT doc_id FROM losers)),
+        |capped AS (SELECT doc_id, source FROM (
+        | SELECT sup.doc_id, sup.source,
+        |  row_number() OVER (PARTITION BY sup.source
+        |    ORDER BY sc.quality_score DESC, sup.doc_id) AS rk
+        | FROM sup JOIN sc ON sc.doc_id = sup.doc_id) r WHERE rk <= 10)"""
+      .stripMargin.replace("\n", " ")
 
   private def base: Map[String, String] = Map(
     "etl_extract_typed" -> salesSql("WHERE l_linestatus = 'F'"),
@@ -2680,70 +2747,36 @@ object SparkEntry {
       // exclusion → decontamination → near-dup suppression (pairs and
       // gram df scoped to curated survivors) → source cap(10) →
       // token budget(5000, fill-then-stop)
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        | FROM documents),
-        |sc AS (SELECT doc_id,
-        |  CAST(len(toks) AS BIGINT) AS n_tokens,
-        |  least(1.0, len(toks) / 128.0)
-        |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
-        |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
-        |   AS quality_score FROM t),
-        |q AS (SELECT doc_id FROM sc
-        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
-        |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
-        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
-        |  THEN list_transform(range(1, len(toks) - 1),
-        |   i -> array_to_string(toks[i:i+2], ' '))
-        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-        |cont AS (SELECT DISTINCT c.doc_id FROM
-        |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
-        |  JOIN bench USING (gram)),
-        |cur AS (SELECT d.doc_id, d.source FROM documents d
-        | WHERE d.doc_id IN (SELECT doc_id FROM dd)
-        |  AND d.doc_id % 97 <> 0
-        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
-        |tl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-        |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |   i -> array_to_string(toks[i:i+2], ' ')))
-        |  ELSE CAST([] AS VARCHAR[]) END AS grams
-        | FROM (SELECT doc_id, list_filter(
-        |   regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)) lt),
-        |inv AS (SELECT doc_id, unnest(grams) AS gram FROM tl),
-        |idf AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
-        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
-        |  FROM inv a JOIN idf ON idf.gram = a.gram JOIN inv c ON c.gram = a.gram
-        |  WHERE a.doc_id < c.doc_id AND idf.df BETWEEN 2 AND 64
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |j AS (SELECT p.id_a, p.id_b FROM p
-        | JOIN tl ga ON ga.doc_id = p.id_a JOIN tl gb ON gb.doc_id = p.id_b
-        | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
-        |  / (len(ga.grams) + len(gb.grams)
-        |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
-        |losers AS (SELECT DISTINCT
-        |  CASE WHEN qa.quality_score < qb.quality_score THEN j.id_a
-        |       WHEN qb.quality_score < qa.quality_score THEN j.id_b
-        |       ELSE greatest(j.id_a, j.id_b) END AS doc_id
-        | FROM j JOIN sc qa ON qa.doc_id = j.id_a
-        |  JOIN sc qb ON qb.doc_id = j.id_b),
-        |sup AS (SELECT cur.doc_id, cur.source FROM cur
-        | WHERE cur.doc_id NOT IN (SELECT doc_id FROM losers)),
-        |capped AS (SELECT doc_id, source FROM (
-        | SELECT sup.doc_id, sup.source,
-        |  row_number() OVER (PARTITION BY sup.source
-        |    ORDER BY sc.quality_score DESC, sup.doc_id) AS rk
-        | FROM sup JOIN sc ON sc.doc_id = sup.doc_id) r WHERE rk <= 10)
-        |SELECT doc_id, source, n_tokens, quality_score FROM (
-        | SELECT capped.doc_id, capped.source, sc.n_tokens, sc.quality_score,
-        |  COALESCE(sum(sc.n_tokens) OVER (
-        |    ORDER BY sc.quality_score DESC, capped.doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
-        | FROM capped JOIN sc ON sc.doc_id = capped.doc_id) f
-        |WHERE cum_excl < 5000""".stripMargin.replace("\n", " "),
+      (curateFullCtes +
+        """ SELECT doc_id, source, n_tokens, quality_score FROM (
+          | SELECT capped.doc_id, capped.source, sc.n_tokens, sc.quality_score,
+          |  COALESCE(sum(sc.n_tokens) OVER (
+          |    ORDER BY sc.quality_score DESC, capped.doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          | FROM capped JOIN sc ON sc.doc_id = capped.doc_id) f
+          |WHERE cum_excl < 5000""".stripMargin.replace("\n", " ")),
+    "docs_curate_funnel" ->
+      // same CTE chain, counted per stage; n_dropped via lag
+      (curateFullCtes +
+        """, fin AS (SELECT doc_id FROM (
+          | SELECT capped.doc_id,
+          |  COALESCE(sum(sc.n_tokens) OVER (
+          |    ORDER BY sc.quality_score DESC, capped.doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+          | FROM capped JOIN sc ON sc.doc_id = capped.doc_id) f
+          | WHERE cum_excl < 5000),
+          |counts AS (
+          | SELECT 0 AS i, 'input' AS stage,
+          |  (SELECT count(*) FROM documents) AS n
+          | UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q)
+          | UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM dd)
+          | UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM cur)
+          | UNION ALL SELECT 4, 'near_dup', (SELECT count(*) FROM sup)
+          | UNION ALL SELECT 5, 'source_cap', (SELECT count(*) FROM capped)
+          | UNION ALL SELECT 6, 'token_budget', (SELECT count(*) FROM fin))
+          |SELECT CAST(i AS BIGINT) AS stage_idx, stage, n AS n_docs,
+          | lag(n) OVER (ORDER BY i) - n AS n_dropped
+          |FROM counts""".stripMargin.replace("\n", " ")),
     "docs_token_budget" ->
       // quality-order prefix under a global token budget; the doc
       // that crosses the line is kept (exclusive-cum < budget)
@@ -4407,6 +4440,30 @@ object SparkEntry {
         |""".stripMargin.replace("\n", " ") +
         sideRow("train", "n_train") + " UNION ALL " + sideRow("test", "n_test")
     },
+    "events_type_psi" ->
+      // categorical drift: the types ARE the buckets; Laplace term
+      // count is data-dependent (count(*) OVER ()), same half split
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+        |m AS (SELECT min(day) + CAST(floor(
+        |  date_diff('day', min(day), max(day)) / 2) AS INTEGER) AS mid
+        | FROM e),
+        |g AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN day <= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_a,
+        |  CAST(sum(CASE WHEN day <= m.mid THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_b
+        | FROM e, m GROUP BY 1),
+        |p AS (SELECT event_type, n_a, n_b,
+        |  (n_a + 0.5) / (CAST(sum(n_a) OVER () AS BIGINT)
+        |    + 0.5 * count(*) OVER ()) AS p_a,
+        |  (n_b + 0.5) / (CAST(sum(n_b) OVER () AS BIGINT)
+        |    + 0.5 * count(*) OVER ()) AS p_b
+        | FROM g),
+        |q AS (SELECT *, (p_b - p_a) * ln(p_b / p_a) AS psi FROM p)
+        |SELECT event_type, n_a, n_b, round(p_a, 6) AS p_a,
+        | round(p_b, 6) AS p_b, round(psi, 6) AS psi_term,
+        | round(sum(psi) OVER (), 6) AS psi_total FROM q"""
+        .stripMargin.replace("\n", " "),
     "events_value_psi" -> {
       val probs = (1 to 9).map(_ / 10.0)
       val bucketExpr = probs.indices.map(i =>

@@ -173,6 +173,59 @@ object Curation {
       .select("doc_id", "source", "n_tokens", "quality_score")
   }
 
+  /** Per-gate funnel of [[curateFull]] — the "which gate ate my
+    * corpus" readout: docs surviving after each stage (quality →
+    * exact dedup → benchmark exclusion + decontamination → near-dup
+    * suppression → source cap → token budget) with the per-stage
+    * drop count. An end-count alone can't distinguish "quality gate
+    * too harsh" from "one source got capped to dust", and re-running
+    * the pipeline N times with gates toggled costs N corpus scans —
+    * this emits the whole diagnosis in one composition (same shared
+    * tokenization scan, each stage pinned so its count and its
+    * successor reuse the work). Output is O(#stages) driver-built
+    * rows; every count is exact and the stage set mirrors the
+    * oracle's CTE chain one-for-one.
+    */
+  def curateFunnel(docs: DataFrame, cap: Int = 10, tokenBudget: Long = 5000L,
+                   minTokens: Long = 20L, maxTokens: Long = 100000L,
+                   minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def restrict(ids: DataFrame): DataFrame =
+      docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
+    val scored = Some(scoreDocs(docs).localCheckpoint(true))
+    val quality = scored.get
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality)
+      .select("doc_id")
+    val kept = restrict(quality).localCheckpoint(true)
+    val deduped = Dedup.exact(kept).select("doc_id").localCheckpoint(true)
+    val contaminated = TextAnalysis
+      .decontaminate(docs, n = 3, benchMod = benchMod).select("doc_id")
+    val curated = kept
+      .join(deduped, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val suppressed = restrict(Dedup.nearDupSuppress(curated, scored = scored))
+      .localCheckpoint(true)
+    val capped = restrict(sourceCap(suppressed, cap, scored))
+      .localCheckpoint(true)
+    val budgeted = selectToBudget(capped, tokenBudget, scored)
+    val counts = Seq(
+      "input" -> docs.count(),
+      "quality" -> quality.count(),
+      "exact_dedup" -> deduped.count(),
+      "decontam" -> curated.count(),
+      "near_dup" -> suppressed.count(),
+      "source_cap" -> capped.count(),
+      "token_budget" -> budgeted.count())
+    counts.zipWithIndex.map { case ((stage, n), i) =>
+      (i.toLong, stage, n,
+        if (i == 0) None else Some(counts(i - 1)._2 - n))
+    }.toDF("stage_idx", "stage", "n_docs", "n_dropped")
+  }
+
   /** Curation composed with MIXTURE rebalancing: [[curate]]'s
     * survivors re-sampled to target source proportions
     * ([[Sampling.sampleToMixture]]) — the step between "what is

@@ -1186,4 +1186,44 @@ object EventOps {
         round(col("psi_term"), 6).as("psi_term"),
         round(col("psi_total"), 6).as("psi_total"))
   }
+
+  /** Categorical PSI over the event-type mix — [[valuePsi]]'s
+    * sibling for the OTHER drift axis: the VALUE distribution can be
+    * rock-stable while the type mix shifts under it (a new event
+    * type ships, an old one dies, a client update reroutes traffic),
+    * and categorical drift needs no cut-points — the types ARE the
+    * buckets. Same half-split convention (calendar midpoint), same
+    * Laplace smoothing — which here is doing real work: a type
+    * absent from one half (the "new type appeared" / "type died"
+    * alarm this monitor exists for) degrades to a large finite term
+    * instead of ±∞. One fact scan into an O(types) relation; the
+    * windows run over that bounded relation only.
+    */
+  def typePsi(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .crossJoin(broadcast(events
+        .agg(date_add(min(to_date(col("ts"))),
+          floor(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) / 2)
+            .cast("int")).as("mid"))))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("day") <= col("mid"), 0L).otherwise(1L)).as("n_b"))
+    val all = Window.orderBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pa = (col("n_a") + lit(0.5)) /
+      (sum("n_a").over(all) + lit(0.5) * count(lit(1)).over(all))
+    val pb = (col("n_b") + lit(0.5)) /
+      (sum("n_b").over(all) + lit(0.5) * count(lit(1)).over(all))
+    counts
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("psi_term", (col("p_b") - col("p_a")) *
+        log(col("p_b") / col("p_a")))
+      .withColumn("psi_total", sum("psi_term").over(all))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("psi_total"), 6).as("psi_total"))
+  }
 }

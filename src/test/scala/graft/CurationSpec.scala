@@ -108,6 +108,28 @@ class CurationSpec extends SparkSpec {
       s"kept $total tokens for budget $budget")
   }
 
+  test("curateFunnel: stage counts tie to the pipeline, drops reconcile") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = Curation.curateFunnel(docs, cap = 5, tokenBudget = 2000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq == Seq("input", "quality", "exact_dedup",
+      "decontam", "near_dup", "source_cap", "token_budget"), s"stages: ${rows.toSeq}")
+    // monotone narrowing, and each drop reconciles with its neighbor
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3, s"stage must narrow: $prev -> $cur")
+      assert(cur._4.contains(prev._3 - cur._3), s"drop mismatch: $prev -> $cur")
+    }
+    assert(rows.head._4.isEmpty, "input row carries no drop")
+    assert(rows.head._3 == docs.count(), "input count is the corpus")
+    // endpoints tie to the real pipeline
+    val end = Curation.curateFull(docs, cap = 5, tokenBudget = 2000L).count()
+    assert(rows.last._3 == end, s"funnel end ${rows.last._3} != pipeline $end")
+  }
+
   test("token budget: banded prefix sum equals the global window, budget holds") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

@@ -583,6 +583,27 @@ class EventOpsSpec extends SparkSpec {
     assert(psiShift > 0.25, s"shifted psi must alarm: $psiShift")
   }
 
+  test("typePsi: stable mix reads ~0, a dying/appearing type alarms finitely") {
+    // halves split at the calendar midpoint (Jan 2 of Jan 1..4):
+    // X lives in both halves, Z dies after A, W appears in B
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "X"), (2L, "2024-01-02 10:00:00", 1L, "X"),
+      (3L, "2024-01-03 10:00:00", 1L, "X"), (4L, "2024-01-04 10:00:00", 1L, "X"),
+      (5L, "2024-01-01 11:00:00", 1L, "Z"), (6L, "2024-01-02 11:00:00", 1L, "Z"),
+      (7L, "2024-01-03 11:00:00", 1L, "W"), (8L, "2024-01-04 11:00:00", 1L, "W"))
+    val got = EventOps.typePsi(e).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    // Laplace smoothing keeps the absent-half terms FINITE — this is
+    // the alarm the monitor exists for, not a division blow-up
+    assert(got.values.forall(v => !v._1.isNaN && !v._1.isInfinite),
+      s"terms must be finite: $got")
+    assert(got("X")._1 == 0.0, s"stable type must not contribute: $got")
+    assert(got("Z")._1 > 0.4 && got("W")._1 > 0.4, s"drift terms: $got")
+    assert(got("X")._2 > 1.0, s"total must alarm: $got")
+    // the two symmetric movers contribute identically
+    assert(got("Z")._1 == got("W")._1, s"symmetry: $got")
+  }
+
   test("sessionCooccur: lift from distinct session sets, minSessions prunes") {
     val e = events(
       // user 1, session 1: A+B; session 2 (>30 min later): A+B again
