@@ -217,6 +217,8 @@ object SparkEntry {
       Analytics.purchaseStreaks(Tables.orders(s, dir))),
     "q_survival_curve" -> ((s, dir) =>
       Analytics.survivalCurve(Tables.orders(s, dir))),
+    "q_holt_forecast" -> ((s, dir) =>
+      Analytics.holtForecast(Tables.lineitem(s, dir))),
     "q_decile_lift" -> ((s, dir) =>
       Analytics.decileLift(Tables.orders(s, dir))),
     "events_rolling_active_users" -> ((s, dir) =>
@@ -931,6 +933,8 @@ object SparkEntry {
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     "events_type_psi" -> ((s, dir) =>
       EventOps.typePsi(Tables.events(s, dir))),
+    "events_disorder_profile" -> ((s, dir) =>
+      EventOps.disorderProfile(Tables.events(s, dir))),
     "events_value_psi" -> ((s, dir) =>
       EventOps.valuePsi(Tables.events(s, dir))),
     "events_markov_stationary" -> ((s, dir) =>
@@ -1624,6 +1628,31 @@ object SparkEntry {
         |        * CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 9)
         | END AS autocorr
         |FROM s""".stripMargin.replace("\n", " "),
+    "q_holt_forecast" ->
+      // the identical recursion as a recursive CTE; (1 - 0.3) left
+      // unevaluated — the literal 0.7 is a DIFFERENT double
+      """WITH RECURSIVE m AS (SELECT
+        |  date_trunc('month', CAST(l_shipdate AS DATE)) AS mth,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT)
+        |   AS c
+        | FROM lineitem GROUP BY 1),
+        |s AS (SELECT mth, CAST(c AS DOUBLE) / 10000.0 AS x,
+        |  row_number() OVER (ORDER BY mth) AS i FROM m),
+        |r AS (
+        | SELECT i, mth, x, x AS lvl, CAST(0.0 AS DOUBLE) AS tr,
+        |  CAST(NULL AS DOUBLE) AS fitted FROM s WHERE i = 1
+        | UNION ALL
+        | SELECT s.i, s.mth, s.x,
+        |  0.3 * s.x + (1 - 0.3) * (r.lvl + r.tr),
+        |  0.1 * ((0.3 * s.x + (1 - 0.3) * (r.lvl + r.tr)) - r.lvl)
+        |   + (1 - 0.1) * r.tr,
+        |  r.lvl + r.tr
+        | FROM r JOIN s ON s.i = r.i + 1)
+        |SELECT mth AS month, round(x, 6) AS revenue,
+        | round(lvl, 6) AS level, round(tr, 6) AS trend,
+        | round(fitted, 6) AS fitted
+        |FROM r""".stripMargin.replace("\n", " "),
     "stream_freshness" ->
       // per-feed last-seen day + count, lag vs the freshest sibling
       """WITH f AS (SELECT event_type AS feed, CAST(max(ts) AS DATE)
@@ -4440,6 +4469,32 @@ object SparkEntry {
         |""".stripMargin.replace("\n", " ") +
         sideRow("train", "n_train") + " UNION ALL " + sideRow("test", "n_test")
     },
+    "events_disorder_profile" ->
+      // per-user running-max lateness in exact µs, ingest order =
+      // event_id; O(buckets) histogram with one share quotient
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS us
+        | FROM events),
+        |l AS (SELECT max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us
+        |  AS late_us FROM t),
+        |b AS (SELECT late_us,
+        |  CASE WHEN late_us = 0 THEN 0 WHEN late_us < 60000000 THEN 1
+        |       WHEN late_us < 600000000 THEN 2
+        |       WHEN late_us < 3600000000 THEN 3 ELSE 4 END AS bucket_idx,
+        |  CASE WHEN late_us = 0 THEN 'in_order'
+        |       WHEN late_us < 60000000 THEN 'lt_1m'
+        |       WHEN late_us < 600000000 THEN 'lt_10m'
+        |       WHEN late_us < 3600000000 THEN 'lt_1h'
+        |       ELSE 'ge_1h' END AS bucket
+        | FROM l),
+        |h AS (SELECT CAST(bucket_idx AS BIGINT) AS bucket_idx, bucket,
+        |  count(*) AS n_events, max(late_us) AS max_late_us
+        | FROM b GROUP BY 1, 2),
+        |tt AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM h)
+        |SELECT bucket_idx, bucket, n_events,
+        | round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        | max_late_us
+        |FROM h, tt""".stripMargin.replace("\n", " "),
     "events_type_psi" ->
       // categorical drift: the types ARE the buckets; Laplace term
       // count is data-dependent (count(*) OVER ()), same half split

@@ -1553,6 +1553,53 @@ object Analytics {
             col("n_wedges").cast("double"), 9)).as("global_clustering"))
   }
 
+  /** Holt linear (double-exponential) smoothing over the monthly
+    * revenue series — level + trend state per month and the
+    * one-step-ahead `fitted` forecast, the actual forecasting
+    * primitive this library's Q6-style `forecastRevenue` (a revenue
+    * WHAT-IF, not a predictor) does not provide. The recursion
+    * `l_t = αx_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}` is inherently sequential
+    * — but sequential in MONTHS, not rows: the fact table collapses
+    * to the O(months) calendar-bounded series (one shuffle), which
+    * then folds driver-side (the [[decileLift]] collect class); the
+    * oracle replays the identical recursion as a `WITH RECURSIVE`
+    * CTE, every float expression spelled the same (including
+    * `(1 − α)` left as an expression — the literal 0.7 is NOT the
+    * double `1 − 0.3`). Init: l₁ = x₁, b₁ = 0. Revenue is exact
+    * cents until the single division; outputs rounded once.
+    */
+  def holtForecast(lineitem: DataFrame, alpha: Double = 0.3,
+                   beta: Double = 0.1): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val monthly = lineitem
+      .groupBy(date_trunc("month", to_date(col("l_shipdate"))).cast("date")
+        .as("mth"))
+      .agg(sum(centsX).as("c"))
+      .orderBy("mth")
+      .as[(java.sql.Date, Long)].collect() // O(months), calendar-bounded
+    var lvl = 0.0
+    var tr = 0.0
+    val rows = monthly.zipWithIndex.map { case ((m, c), i) =>
+      val x = c.toDouble / 10000.0
+      val fitted = if (i == 0) None else Some(lvl + tr)
+      if (i == 0) { lvl = x; tr = 0.0 }
+      else {
+        val l2 = alpha * x + (1 - alpha) * (lvl + tr)
+        tr = beta * (l2 - lvl) + (1 - beta) * tr
+        lvl = l2
+      }
+      (m, x, lvl, tr, fitted)
+    }
+    rows.toSeq.toDF("month", "revenue", "level", "trend", "fitted")
+      .select(col("month"), round(col("revenue"), 6).as("revenue"),
+        round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+        round(col("fitted"), 6).as("fitted"))
+  }
+
   /** Kaplan–Meier customer survival curve — the censoring-aware
     * answer to "how long does a customer stay", where a naive
     * average lifetime is biased DOWN by every customer who is still

@@ -1187,6 +1187,47 @@ object EventOps {
         round(col("psi_total"), 6).as("psi_total"))
   }
 
+  /** Out-of-order (disorder) profile of the event feed — the
+    * watermark-sizing diagnostic every stateful streaming op in this
+    * library depends on: per user (the key the stateful ops group
+    * by), an event's LATENESS is how far its timestamp sits behind
+    * the running max already seen in ingest order (`event_id` is the
+    * ingest sequence), and the bucketed histogram of that lateness
+    * IS the answer to "how big must the watermark be" / "how many
+    * rows would the documented cursor-drop contract actually drop".
+    * A feed that reads 99.9% `in_order` can run a tight watermark;
+    * mass in `ge_1h` means the disorder contract is load-bearing.
+    * Exact µs arithmetic end to end (`unix_micros`, the
+    * [[botFlag]] precedent); one user_id shuffle for the window,
+    * then an O(buckets) aggregate. Share divides exact longs,
+    * rounded once.
+    */
+  def disorderProfile(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateUs = max(unix_micros(col("ts").cast("timestamp"))).over(w) -
+      unix_micros(col("ts").cast("timestamp"))
+    val bucketIdx = when(lateUs === 0L, 0L)
+      .when(lateUs < 60L * 1000000, 1L)
+      .when(lateUs < 600L * 1000000, 2L)
+      .when(lateUs < 3600L * 1000000, 3L)
+      .otherwise(4L)
+    val labels = Seq("in_order", "lt_1m", "lt_10m", "lt_1h", "ge_1h")
+    val label = labels.zipWithIndex.foldRight(lit(labels.last)) {
+      case ((name, i), fb) => when(bucketIdx === i.toLong, name).otherwise(fb)
+    }
+    val hist = events
+      .select(bucketIdx.as("bucket_idx"), label.as("bucket"),
+        lateUs.as("late_us"))
+      .groupBy("bucket_idx", "bucket")
+      .agg(count(lit(1)).as("n_events"), max("late_us").as("max_late_us"))
+    hist.crossJoin(broadcast(hist.agg(sum("n_events").as("total"))))
+      .select(col("bucket_idx"), col("bucket"), col("n_events"),
+        round(col("n_events").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        col("max_late_us"))
+  }
+
   /** Categorical PSI over the event-type mix — [[valuePsi]]'s
     * sibling for the OTHER drift axis: the VALUE distribution can be
     * rock-stable while the type mix shifts under it (a new event

@@ -655,6 +655,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got("1995-01-20")._2) < 1e-6)
   }
 
+  test("holtForecast: level/trend recursion and one-step fitted values") {
+    val li = Seq(
+      ("1995-01-15", 100.0), ("1995-02-15", 200.0), ("1995-03-15", 300.0))
+      .toDF("d", "l_extendedprice")
+      .select(col("l_extendedprice"), lit(0.0).as("l_discount"),
+        col("d").cast("date").as("l_shipdate"))
+    val got = Analytics.holtForecast(li).collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    // m1 initializes: l=x, b=0, no fitted
+    val m1 = got("1995-01-01")
+    assert(m1._1 == 100.0 && m1._2 == 100.0 && m1._3 == 0.0 &&
+      m1._4.isEmpty, s"init: $m1")
+    // m2: fitted=100; l=0.3·200+0.7·100=130; b=0.1·30=3
+    val m2 = got("1995-02-01")
+    assert(close(m2._2, 130.0) && close(m2._3, 3.0) &&
+      m2._4.exists(close(_, 100.0)), s"m2: $m2")
+    // m3: fitted=133; l=0.3·300+0.7·133=183.1; b=0.1·53.1+0.9·3=8.01
+    val m3 = got("1995-03-01")
+    assert(close(m3._2, 183.1) && close(m3._3, 8.01) &&
+      m3._4.exists(close(_, 133.0)), s"m3: $m3")
+  }
+
   test("survivalCurve: censoring shrinks the risk pool, never the product") {
     val orders = Seq(
       (1L, "2023-01-01"),                      // t=0, long-gone → event

@@ -583,6 +583,25 @@ class EventOpsSpec extends SparkSpec {
     assert(psiShift > 0.25, s"shifted psi must alarm: $psiShift")
   }
 
+  test("disorderProfile: lateness vs per-user running max, all buckets hit") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a"), // in order
+      (2L, "2024-01-01 11:00:00", 1L, "a"), // in order (new max)
+      (3L, "2024-01-01 10:59:30", 1L, "a"), // 30 s      → lt_1m
+      (4L, "2024-01-01 10:55:00", 1L, "a"), // 5 min     → lt_10m
+      (5L, "2024-01-01 10:10:00", 1L, "a"), // 50 min    → lt_1h
+      (6L, "2023-12-31 11:00:00", 1L, "a"), // a day     → ge_1h
+      (7L, "2024-01-01 09:00:00", 2L, "a")) // other user: in order
+    val got = EventOps.disorderProfile(e).collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getDouble(3),
+        r.getLong(4)))).toMap
+    assert(got("in_order") == ((3L, 0.428571, 0L)), s"in_order: $got")
+    assert(got("lt_1m") == ((1L, 0.142857, 30L * 1000000)), s"lt_1m: $got")
+    assert(got("lt_10m")._3 == 300L * 1000000 &&
+      got("lt_1h")._3 == 50L * 60 * 1000000, s"mid buckets: $got")
+    assert(got("ge_1h")._3 == 24L * 3600 * 1000000, s"ge_1h: $got")
+  }
+
   test("typePsi: stable mix reads ~0, a dying/appearing type alarms finitely") {
     // halves split at the calendar midpoint (Jan 2 of Jan 1..4):
     // X lives in both halves, Z dies after A, W appears in B
