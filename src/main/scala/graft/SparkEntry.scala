@@ -935,6 +935,8 @@ object SparkEntry {
       EventOps.typePsi(Tables.events(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
+    "events_audience_overlap_exact" -> ((s, dir) =>
+      EventOps.audienceOverlapExact(Tables.events(s, dir))),
     "events_value_psi" -> ((s, dir) =>
       EventOps.valuePsi(Tables.events(s, dir))),
     "events_markov_stationary" -> ((s, dir) =>
@@ -4469,6 +4471,23 @@ object SparkEntry {
         |""".stripMargin.replace("\n", " ") +
         sideRow("train", "n_train") + " UNION ALL " + sideRow("test", "n_test")
     },
+    "events_audience_overlap_exact" ->
+      // distinct (type,user) self-join, every pair emits (zero
+      // overlap included); Jaccard = one quotient of exact longs
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS ov
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type GROUP BY 1, 2)
+        |SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+        | pa.n AS users_a, pb.n AS users_b,
+        | coalesce(iv.ov, 0) AS overlap,
+        | round(CAST(coalesce(iv.ov, 0) AS DOUBLE)
+        |  / CAST(pa.n + pb.n - coalesce(iv.ov, 0) AS DOUBLE), 6) AS jaccard
+        |FROM pt pa JOIN pt pb ON pa.event_type < pb.event_type
+        | LEFT JOIN iv ON iv.type_a = pa.event_type
+        |  AND iv.type_b = pb.event_type""".stripMargin.replace("\n", " "),
     "events_disorder_profile" ->
       // per-user running-max lateness in exact µs, ingest order =
       // event_id; O(buckets) histogram with one share quotient

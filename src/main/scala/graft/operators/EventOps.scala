@@ -125,6 +125,41 @@ object EventOps {
           (col("users_a") + col("users_b") - col("approx_overlap")), 6))
   }
 
+  /** EXACT audience overlap — the oracle-checked anchor tier for
+    * [[approxAudienceOverlap]] (the same relationship every
+    * approximate tier here has to an exact twin): distinct
+    * (type, user) rows self-join on the user — fan-out bounded by
+    * the type alphabet per user, like [[sessionCooccur]] — and every
+    * type pair emits (zero-overlap pairs included, from the
+    * broadcast types² frame; the sketch tier also emits them). At
+    * 100 TB the sketch tier is the default — this is the audit pass
+    * run on samples/slices to calibrate it. One shuffle for the
+    * user-level join, pair counts at types² grain, one Jaccard
+    * quotient rounded once.
+    */
+  def audienceOverlapExact(events: DataFrame): DataFrame = {
+    val ut = events.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true) // per-type counts + intersection join
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("ov"))
+    broadcast(perType.select(col("event_type").as("type_a"),
+        col("n").as("users_a")))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n").as("users_b"))), col("type_a") < col("type_b"))
+      .join(inter, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        coalesce(col("ov"), lit(0L)).as("overlap"))
+      .withColumn("jaccard",
+        round(col("overlap").cast("double") /
+          (col("users_a") + col("users_b") - col("overlap")).cast("double"),
+          6))
+  }
+
   /** The incremental sketch STORE: one HLL sketch per (day, type),
     * built in a single pass and meant to be persisted (parquet
     * binary column). This is the layout that makes distinct-count

@@ -147,25 +147,24 @@ class ApproxSpec extends SparkSpec {
       s"day range should prune partitions on the reloaded store:\n$p")
   }
 
-  test("audience overlap within compounded HLL error of exact") {
+  test("audience overlap within compounded HLL error of the exact anchor") {
     val approx = EventOps.approxAudienceOverlap(events).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
-    assert(approx.nonEmpty)
-    approx.foreach { case ((a, b), got) =>
-      val exact = events
-        .filter(col("event_type") === a).select("user_id").distinct()
-        .intersect(
-          events.filter(col("event_type") === b).select("user_id").distinct())
-        .count()
+    // the oracle-checked exact tier IS the calibration reference
+    val exact = EventOps.audienceOverlapExact(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet,
+      s"tiers must emit the same pair set: ${approx.keySet} vs ${exact.keySet}")
+    approx.foreach { case (pair, got) =>
+      val (ua, ub, ov) = exact(pair)
       // three 2%-rsd sketches compound through inclusion–exclusion:
       // |A|+|B|−|A∪B| error is bounded by the sum of the absolute
       // errors, each ~2% of a set that can be much larger than A∩B
-      val union = events
-        .filter(col("event_type") === a || col("event_type") === b)
-        .select("user_id").distinct().count()
+      val union = ua + ub - ov
       val tolerance = math.max(3L, (3 * 0.02 * 3 * union).toLong)
-      assert(math.abs(got - exact) <= tolerance,
-        s"($a,$b): approx $got vs exact $exact (tol $tolerance)")
+      assert(math.abs(got - ov) <= tolerance,
+        s"$pair: approx $got vs exact $ov (tol $tolerance)")
     }
   }
 
