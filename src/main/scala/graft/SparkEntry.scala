@@ -929,6 +929,8 @@ object SparkEntry {
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(Tables.documents(s, dir))),
+    "text_tokenizer_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables.documents(s, dir))),
     "text_source_divergence" -> ((s, dir) =>
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     "events_type_psi" -> ((s, dir) =>
@@ -957,6 +959,8 @@ object SparkEntry {
       Analytics.seasonalityStrength(Tables.lineitem(s, dir))),
     "mm_dedup_by_type" -> ((s, dir) =>
       Multimodal.dedupByType(Tables.documents(s, dir))),
+    "mm_format_psi" -> ((s, dir) =>
+      Multimodal.formatPsi(Tables.documents(s, dir))),
     // batch fold of the live DQ monitor — rows-only (HLL sketches
     // have no SQL oracle; ApproxSpec bounds error vs the exact
     // profile, StreamingSpec holds cross-batch accumulation)
@@ -1958,6 +1962,22 @@ object SparkEntry {
         """ SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
           | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
           |FROM t""".stripMargin.replace("\n", " ")),
+    "text_tokenizer_fertility" ->
+      // ratio of exact SUMS (mean-of-ratios would let short docs
+      // dominate); the bpe regex is the token_count twin
+      """WITH c AS (SELECT source, lang,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+        |   x -> x <> '')) AS BIGINT) AS ws,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+        |  AS bpe
+        | FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        | CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        | round(CAST(sum(bpe) AS BIGINT)
+        |  / CAST(greatest(CAST(sum(ws) AS BIGINT), 1) AS DOUBLE), 6)
+        |  AS fertility
+        |FROM c GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "text_lang_id" ->
       (toksCte +
         """, h AS (SELECT doc_id,
@@ -4471,6 +4491,30 @@ object SparkEntry {
         |""".stripMargin.replace("\n", " ") +
         sideRow("train", "n_train") + " UNION ALL " + sideRow("test", "n_test")
     },
+    "mm_format_psi" ->
+      // categorical PSI over sniffed formats, halves at the doc_id
+      // midpoint; Laplace term count is the format universe
+      """WITH b AS (SELECT doc_id, hex(substr(text, 1, 2)) AS magic2
+        | FROM documents),
+        |m AS (SELECT CAST(floor((min(doc_id) + max(doc_id)) / 2) AS BIGINT)
+        |  AS mid FROM documents),
+        |g AS (SELECT magic2,
+        |  CAST(sum(CASE WHEN doc_id <= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_a,
+        |  CAST(sum(CASE WHEN doc_id <= m.mid THEN 0 ELSE 1 END) AS BIGINT)
+        |   AS n_b
+        | FROM b, m GROUP BY 1),
+        |p AS (SELECT magic2, n_a, n_b,
+        |  (n_a + 0.5) / (CAST(sum(n_a) OVER () AS BIGINT)
+        |    + 0.5 * count(*) OVER ()) AS p_a,
+        |  (n_b + 0.5) / (CAST(sum(n_b) OVER () AS BIGINT)
+        |    + 0.5 * count(*) OVER ()) AS p_b
+        | FROM g),
+        |q AS (SELECT *, (p_b - p_a) * ln(p_b / p_a) AS psi FROM p)
+        |SELECT magic2, n_a, n_b, round(p_a, 6) AS p_a,
+        | round(p_b, 6) AS p_b, round(psi, 6) AS psi_term,
+        | round(sum(psi) OVER (), 6) AS psi_total FROM q"""
+        .stripMargin.replace("\n", " "),
     "events_audience_overlap_exact" ->
       // distinct (type,user) self-join, every pair emits (zero
       // overlap included); Jaccard = one quotient of exact longs

@@ -287,4 +287,43 @@ object Multimodal {
           .otherwise("keep"))
       .select("magic2", "n_blobs", "total_bytes", "byte_share", "action")
   }
+
+  /** Format-mix drift between corpus halves — the multimodal
+    * spelling of `events_type_psi`: categorical PSI over the sniffed
+    * magic2 formats, halves split at the doc_id midpoint (ingest
+    * order — documents carry no timestamp). The "crawl composition
+    * is shifting" alarm for a binary corpus: a format appearing or
+    * dying between halves produces a large FINITE term (Laplace
+    * smoothing over the format universe), and the decoder-fleet
+    * sizing that [[blobPolicy]] froze yesterday stops matching the
+    * feed. One payload scan into an O(formats) relation; the windows
+    * run over that bounded relation only.
+    */
+  def formatPsi(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = asBlobs(docs)
+      .select(hex(substring(col("payload"), 1, 2)).as("magic2"),
+        col("doc_id"))
+      .crossJoin(broadcast(docs.agg(
+        floor((min("doc_id") + max("doc_id")) / 2).cast("long").as("mid"))))
+      .groupBy("magic2")
+      .agg(
+        sum(when(col("doc_id") <= col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("doc_id") <= col("mid"), 0L).otherwise(1L)).as("n_b"))
+    val all = Window.orderBy("magic2")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pa = (col("n_a") + lit(0.5)) /
+      (sum("n_a").over(all) + lit(0.5) * count(lit(1)).over(all))
+    val pb = (col("n_b") + lit(0.5)) /
+      (sum("n_b").over(all) + lit(0.5) * count(lit(1)).over(all))
+    counts
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("psi_term", (col("p_b") - col("p_a")) *
+        log(col("p_b") / col("p_a")))
+      .withColumn("psi_total", sum("psi_term").over(all))
+      .select(col("magic2"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("psi_total"), 6).as("psi_total"))
+  }
 }

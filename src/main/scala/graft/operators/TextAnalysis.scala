@@ -777,6 +777,31 @@ object TextAnalysis {
         (countDistinct(col("gram")).cast("double") /
           count(lit(1)).cast("double")).as("diversity"))
 
+  /** Tokenizer fertility per (source, lang) — subword tokens per
+    * whitespace word (the BPE-proxy [[bpeTokenCount]] over the
+    * shared [[tokens]] count): the LLM-budget exchange rate that
+    * decides what a "1T-token mix" actually contains, since the same
+    * document budget buys very different token counts across
+    * languages and sources (code and non-Latin scripts fragment
+    * harder). Fertility is the ratio of two exact SUMS (not the mean
+    * of ratios — short docs would dominate), one quotient rounded
+    * once. Pure per-row counters into one hash aggregate; no
+    * shuffle beyond the group-by.
+    */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        bpeTokenCount(col("text")).as("bpe"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") /
+          greatest(col("ws_tokens"), lit(1L)).cast("double"), 6))
+
   /** Per-document readability: word / sentence / syllable counts and
     * the Flesch reading-ease + Flesch–Kincaid grade scores — the
     * classic audience-level signal a curation mix balances on (an

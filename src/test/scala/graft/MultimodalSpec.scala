@@ -169,4 +169,28 @@ class MultimodalSpec extends SparkSpec {
     val bb = got("4242")
     assert(bb == ((2L, 1L, 0.5, 4L)), s"BB: one extra 4-byte copy: $bb")
   }
+
+  test("formatPsi: stable mix reads ~0, a format swap between halves alarms") {
+    // ids 1..4 are half A (mid = (1+8)/2 = 4), 5..8 half B
+    val stable = Seq(
+      (1L, "AAx"), (2L, "BBx"), (3L, "AAy"), (4L, "BBy"),
+      (5L, "AAz"), (6L, "BBz"), (7L, "AAw"), (8L, "BBw"))
+      .toDF("doc_id", "text")
+    val calm = Multimodal.formatPsi(stable).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    assert(calm.keySet == Set("4141", "4242"), s"formats: $calm")
+    assert(calm.values.forall(v => math.abs(v._1) < 0.01),
+      s"stable mix must not alarm: $calm")
+    // half A all AA, half B all BB: both terms large and FINITE
+    val swap = Seq(
+      (1L, "AAx"), (2L, "AAy"), (3L, "AAz"), (4L, "AAw"),
+      (5L, "BBx"), (6L, "BBy"), (7L, "BBz"), (8L, "BBw"))
+      .toDF("doc_id", "text")
+    val hot = Multimodal.formatPsi(swap).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(5), r.getDouble(6)))).toMap
+    assert(hot.values.forall(v => !v._1.isInfinite && !v._1.isNaN),
+      s"smoothing must keep terms finite: $hot")
+    assert(hot("4141")._2 > 1.0, s"swap must alarm: $hot")
+    assert(hot("4141")._1 == hot("4242")._1, s"symmetric swap: $hot")
+  }
 }

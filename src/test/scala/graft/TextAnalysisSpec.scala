@@ -417,6 +417,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(far("c") > 0.25 && far("c") <= 1.0, s"disjoint vocab: $far")
   }
 
+  test("tokenizerFertility: ratio of sums, punctuation fragments, empty guard") {
+    val docs = Seq(
+      (1L, "ab cd", "en", "s"),        // 2 ws, 2 bpe
+      (2L, "a-b c!", "en", "s"),       // 2 ws, 5 bpe (a,-,b,c,!)
+      (3L, "", "fr", "s"))             // 0 ws, 0 bpe → guard
+      .toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.TextAnalysis.tokenizerFertility(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // ratio of SUMS: (2+5)/(2+2) — the per-doc mean would read 1.75?
+    // no: (2/2 + 5/2)/2 = 1.75 too here, but sums weight by length
+    assert(got(("s", "en")) == ((2L, 4L, 7L, 1.75)), s"en: $got")
+    assert(got(("s", "fr")) == ((1L, 0L, 0L, 0.0)), s"empty guard: $got")
+  }
+
   test("readability: exact counters and Flesch scores, empty-doc guards") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"),
