@@ -514,6 +514,10 @@ object SparkEntry {
       DataSplit.groupAssign(Tables.documents(s, dir), "source",
         Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
         .select("doc_id", "source", "split")),
+    "split_leakage_pairs" -> ((s, dir) =>
+      DataSplit.splitLeakage(Tables.documents(s, dir),
+        sharedBlockedPairs(s, dir),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))),
     "docs_shuffle_shard" -> ((s, dir) =>
       DataSplit.shuffleShards(Tables.documents(s, dir), nShards = 4)),
     "docs_interleave_order" -> ((s, dir) =>
@@ -3217,6 +3221,27 @@ object SparkEntry {
         |        < 'f3333333' THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents""".stripMargin.replace("\n", " "),
+    "split_leakage_pairs" ->
+      // verified blocked pairs labeled by the md5 split; least/
+      // greatest normalizes the edge, O(splits²) output
+      (blockedPairsCte +
+        """, asg AS (SELECT doc_id,
+          | CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
+          |        < 'e6666666' THEN 'train'
+          |      WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split42'), 1, 8)
+          |        < 'f3333333' THEN 'val'
+          |      ELSE 'test' END AS split
+          | FROM documents),
+          |lab AS (SELECT least(a.split, b.split) AS sa,
+          |  greatest(a.split, b.split) AS sb
+          | FROM m JOIN asg a ON a.doc_id = m.id_a
+          |  JOIN asg b ON b.doc_id = m.id_b),
+          |lg AS (SELECT sa, sb, count(*) AS n_pairs FROM lab GROUP BY 1, 2),
+          |lt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM lg)
+          |SELECT sa AS split_a, sb AS split_b, n_pairs,
+          | sa <> sb AS cross_split,
+          | round(CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+          |FROM lg, lt""".stripMargin.replace("\n", " ")),
     "split_group_assign" ->
       // md5 of the GROUP value: every doc of a source shares the
       // split; 0.6/0.2/0.2 cuts = floor(w·16^8) hex thresholds

@@ -87,6 +87,39 @@ object DataSplit {
     df.join(broadcast(groups), Seq(groupCol))
   }
 
+  /** Cross-split near-dup leakage audit — the measurement that
+    * motivates [[groupAssign]]: after a per-doc hash split, how many
+    * verified near-duplicate pairs STRADDLE the train/test fence?
+    * Every straddling pair is a leaked eval answer (the test doc's
+    * near-twin was trained on), and this emits the count per split
+    * pair — within-split pairs included as the baseline mass, so
+    * `share` says what fraction of the corpus's duplication sits on
+    * each edge. `pairs` is any verified (id_a, id_b) relation — the
+    * deterministic blocked-Jaccard source in the driver key, so the
+    * whole audit is oracle-checked end to end. Pair labels join on
+    * ids only (payloads never move); output is O(splits²).
+    */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame,
+                   weights: Seq[(String, Double)],
+                   salt: String = "split42"): DataFrame = {
+    val assign = assignPortable(docs.select(col("doc_id")), "doc_id",
+      weights, salt)
+    val byPair = pairs
+      .join(assign.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(assign.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .select(least(col("split_a"), col("split_b")).as("sa"),
+        greatest(col("split_a"), col("split_b")).as("sb"))
+      .groupBy("sa", "sb")
+      .agg(count(lit(1)).as("n_pairs"))
+    byPair.crossJoin(broadcast(byPair.agg(sum("n_pairs").as("total"))))
+      .select(col("sa").as("split_a"), col("sb").as("split_b"),
+        col("n_pairs"), (col("sa") =!= col("sb")).as("cross_split"),
+        round(col("n_pairs").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
+
   /** Stratified split — EXACT per-stratum proportions, where
     * [[assign]]/[[assignPortable]] are only proportional in
     * expectation: a hash split of a 300-doc source at 90/5/5 can

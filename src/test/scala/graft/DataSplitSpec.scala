@@ -193,6 +193,32 @@ class DataSplitSpec extends SparkSpec {
       == counts, "quotas must be salt-invariant")
   }
 
+  test("splitLeakage: straddling pairs counted per edge, shares total 1") {
+    val docs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = (1L to 39L).map(i => (i, i + 1))
+      .toDF("id_a", "id_b") // a chain: 39 verified near-dup pairs
+    val weights = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = DataSplit.splitLeakage(docs, pairs, weights).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getDouble(4)))).toMap
+    assert(got.values.map(_._1).sum == 39L, s"all pairs counted: $got")
+    // edge normalization + cross flag consistency
+    got.foreach { case ((a, b), (_, cross, _)) =>
+      assert(a <= b, s"edge must be normalized: ($a,$b)")
+      assert(cross == (a != b), s"cross flag: ($a,$b,$cross)")
+    }
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-4,
+      s"shares must total 1: $got")
+    // the audit ties to the assignment it claims to audit: recompute
+    // the straddle count from assignPortable directly
+    val assign = DataSplit.assignPortable(docs, "doc_id", weights)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val crossTrue = (1L to 39L).count(i => assign(i) != assign(i + 1)).toLong
+    val crossGot = got.filter(_._2._2).values.map(_._1).sum
+    assert(crossGot == crossTrue, s"cross pairs: $crossGot vs $crossTrue")
+    assert(crossTrue > 0, "a per-doc hash split of a dup chain must leak")
+  }
+
   test("groupAssign: a group never straddles splits, salt drives placement") {
     val docs = (1L to 60L).map(i => (i, s"src${i % 6}"))
       .toDF("doc_id", "source")
