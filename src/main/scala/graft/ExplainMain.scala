@@ -48,7 +48,15 @@ object ExplainMain {
       "split_stratified", "emb_dim_stats", "emb_centroid_drift",
       "dedup_lsh_band_stats", "text_source_divergence",
       "events_value_psi", "events_markov_stationary",
-      "stream_source_cap", "stream_dq_profile")
+      "stream_source_cap", "stream_dq_profile",
+      // r9 third-continuation batch
+      "q_copurchase_triangles", "q_revenue_autocorr", "q_basket_chi2",
+      "q_survival_curve", "q_holt_forecast", "etl_freshness",
+      "etl_grain_check", "events_session_cooccur", "events_type_psi",
+      "events_disorder_profile", "events_audience_overlap_exact",
+      "text_readability", "text_tokenizer_fertility",
+      "split_group_assign", "split_leakage_pairs", "emb_pair_histogram",
+      "mm_format_psi", "docs_curate_funnel", "stream_freshness")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -1431,9 +1431,15 @@ object Analytics {
     */
   def copurchasePagerank(lineitem: DataFrame, iters: Int = 3,
                          damping: Double = 0.85, minOrders: Long = 2,
-                         maxParts: Int = 20): DataFrame = {
-    val undirected = guardedPairs(
-      guardedBaskets(lineitem, maxParts, pin = true), minOrders)
+                         maxParts: Int = 20,
+                         pairs: Option[DataFrame] = None): DataFrame = {
+    // `pairs` (a cached [[basketAffinity]] relation) lets the driver
+    // share ONE pair-engine build across the whole basket family —
+    // affinity, rules, pagerank, triangles, chi2 all ride the same
+    // guarded pair counts, and at 100 TB building it once is the
+    // difference between one shuffle of the fact and five
+    val undirected = pairs.getOrElse(guardedPairs(
+      guardedBaskets(lineitem, maxParts, pin = true), minOrders))
     val edges = undirected.select(col("part_a").as("src"),
         col("part_b").as("dst"), col("n_orders_together").as("w"))
       .unionByName(undirected.select(col("part_b").as("src"),
@@ -1525,9 +1531,10 @@ object Analytics {
     * output is ONE row.
     */
   def copurchaseTriangles(lineitem: DataFrame, minOrders: Long = 2,
-                          maxParts: Int = 20): DataFrame = {
-    val edges = guardedPairs(guardedBaskets(lineitem, maxParts, pin = false),
-        minOrders)
+                          maxParts: Int = 20,
+                          pairs: Option[DataFrame] = None): DataFrame = {
+    val edges = pairs.getOrElse(guardedPairs(
+        guardedBaskets(lineitem, maxParts, pin = false), minOrders))
       .select(col("part_a").as("a"), col("part_b").as("b"))
       .localCheckpoint(true) // wedge join (twice), closure probe, degrees
     val paths = edges
