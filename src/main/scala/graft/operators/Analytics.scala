@@ -409,6 +409,16 @@ object Analytics {
                      maxParts: Int = 20): DataFrame =
     guardedPairs(guardedBaskets(lineitem, maxParts, pin = false), minOrders)
 
+  /** The pinned guarded (order, part) basket relation at the family
+    * defaults — built once by the driver's shared cache and passed
+    * into [[basketRules]]/[[basketChi2]] via their `baskets`
+    * override (the pair relation alone is not enough for them: both
+    * also need per-part order counts and the guarded order total
+    * from the SAME trunk). */
+  def guardedBasketsShared(lineitem: DataFrame,
+                           maxParts: Int = 20): DataFrame =
+    guardedBaskets(lineitem, maxParts, pin = false)
+
   /** Association rules over [[basketAffinity]]'s pairs: directed
     * confidence(a→b) = together/orders(a) and lift =
     * confidence / P(b) — the ranking a recommender actually uses.
@@ -418,8 +428,10 @@ object Analytics {
     * self-join).
     */
   def basketRules(lineitem: DataFrame, minOrders: Long = 2,
-                  maxParts: Int = 20): DataFrame = {
-    val guarded = guardedBaskets(lineitem, maxParts, pin = true)
+                  maxParts: Int = 20,
+                  baskets: Option[DataFrame] = None): DataFrame = {
+    val guarded = baskets.getOrElse(
+      guardedBaskets(lineitem, maxParts, pin = true))
     val nOrders = guarded.select("l_orderkey").distinct().count()
     val partOrders = guarded.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_orders_part"))
@@ -1483,8 +1495,10 @@ object Analytics {
     * deliberately ignores.
     */
   def basketChi2(lineitem: DataFrame, minOrders: Long = 2,
-                 maxParts: Int = 20): DataFrame = {
-    val guarded = guardedBaskets(lineitem, maxParts, pin = true)
+                 maxParts: Int = 20,
+                 baskets: Option[DataFrame] = None): DataFrame = {
+    val guarded = baskets.getOrElse(
+      guardedBaskets(lineitem, maxParts, pin = true))
     val nOrders = guarded.select("l_orderkey").distinct().count()
     val partOrders = guarded.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_orders_part"))
