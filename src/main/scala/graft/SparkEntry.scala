@@ -461,6 +461,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.rerankTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    // hybrid dense+lexical retrieval with reciprocal-rank fusion:
+    // exact-cosine dense list × rare-token lexical list, combined on
+    // ranks only (1/(60+rank) each). Deterministic end to end, so the
+    // whole hybrid stack hash-checks against the DuckDB replay.
+    "ann_rrf_hybrid" -> ((s, dir) =>
+      Similarity.hybridRrfTopK(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
     // approximate-tier parameters are set from the measured sweep
     // (docs/ANN_SWEEP.md, post-r8 corrected recall metric): each pair
     // below is a measured recall@10 point at sf0.1, trended per round
@@ -2348,6 +2355,47 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_rrf_hybrid" ->
+      // both retrievers replayed in full: dense ranks from the same
+      // DOUBLE[] cosine as ann_bruteforce_topk; lexical ranks from
+      // the df-capped (2..64) distinct-token postings join; fusion is
+      // CAST(1.0 AS DOUBLE)/(60+rank) per list, summed as a pair add
+      // (commutative, order-free) — rank ties break by neighbor id in
+      // every window on both engines
+      """WITH t AS (SELECT doc_id, unnest(list_distinct(
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS tok
+        | FROM documents),
+        |r AS (SELECT tok FROM t GROUP BY tok
+        |  HAVING count(*) BETWEEN 2 AND 64),
+        |p AS (SELECT t.doc_id, t.tok FROM t JOIN r ON t.tok = r.tok),
+        |lexall AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |  count(*) AS shared
+        | FROM p q JOIN p c ON c.tok = q.tok AND c.doc_id != q.doc_id
+        | WHERE q.doc_id % 100 = 0 GROUP BY 1, 2),
+        |lex AS (SELECT query_id, neighbor_id, rank_l FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY shared DESC, neighbor_id)
+        |    AS rank_l FROM lexall) x WHERE rank_l <= 20),
+        |den AS (SELECT query_id, neighbor_id, rank_d FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+        |    AS rank_d FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])) AS cosine
+        |   FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |   WHERE q.vec_id % 100 = 0) s) x WHERE rank_d <= 20),
+        |fused AS (SELECT coalesce(d.query_id, l.query_id) AS query_id,
+        |  coalesce(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + d.rank_d), CAST(0 AS DOUBLE))
+        |   + coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank_l), CAST(0 AS DOUBLE))
+        |   AS rrf_score
+        | FROM den d FULL OUTER JOIN lex l
+        |  ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id)
+        |SELECT query_id, neighbor_id, rrf_score FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id
+        |   ORDER BY rrf_score DESC, neighbor_id) AS rn FROM fused) f
+        |WHERE rn <= 10""".stripMargin.replace("\n", " "),
     "ann_sq_topk" ->
       // the dequantized reconstruction replays exactly: double grid
       // arithmetic (1-based lambda index j ↔ Spark's 0-based i+1),

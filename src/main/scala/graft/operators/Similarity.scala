@@ -863,6 +863,88 @@ object Similarity {
     * so the boundary is safe; counts exact, one share quotient
     * rounded once.
     */
+  /** Reciprocal-rank fusion of ranked candidate lists — the standard
+    * way to combine a dense (embedding) retriever with a lexical one
+    * without score calibration: each list contributes
+    * `1/(rrfK + rank)` per candidate and the contributions sum, so
+    * only RANKS matter and the two retrievers' incomparable score
+    * scales never meet. A candidate placed mid-list by BOTH
+    * retrievers outranks one that only a single retriever liked
+    * (2/(rrfK+2) > 1/(rrfK+1) for the standard rrfK=60) — the
+    * consensus property that makes hybrid search robust.
+    *
+    * Each input list carries `(query_id, neighbor_id, rank)` with
+    * rank 1-based within query. The fusion itself is cheap at any
+    * corpus size: inputs are already per-query top-k relations
+    * (O(|queries|·k) rows), so the groupBy rides on tiny data no
+    * matter how large the corpus the retrievers scanned. Determinism:
+    * with two lists the summed contribution is a commutative pair
+    * add (IEEE + is commutative, order-free for n=2); ties in the
+    * fused score break by neighbor id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contribs = lists.map(_.select(col("query_id"), col("neighbor_id"),
+      (lit(1.0) / (lit(rrfK) + col("rank"))).as("contrib")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("contrib").as("rrf_score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Hybrid dense + lexical retrieval, RRF-fused ([[rrfFuse]]).
+    *
+    * Dense list: exact cosine top-`kList` ([[bruteForceTopK]] — the
+    * anchor tier; at scale the dense list would come from any of the
+    * approximate tiers, and the fusion is agnostic to the source
+    * since only ranks cross the boundary). Lexical list: rare-token
+    * blocking — distinct whitespace tokens, document frequency
+    * capped at `maxDf` (the [[graft.operators.Dedup]] posting-list
+    * posture: a token every doc shares is evidence of nothing and
+    * would square the join), candidates meet in a token equi-join,
+    * scored by shared-rare-token count. Cost is bounded by
+    * df_q·df ≤ maxDf² per token — linear in corpus size, never
+    * all-pairs, and the fusion input is O(|queries|·kList) rows.
+    *
+    * Queries are the `vec_id % queryMod = 0` slice; `documents` and
+    * `embeddings` share the id space, so the same slice drives both
+    * retrievers. Fully deterministic end to end (exact cosine ranks,
+    * exact token counts, id tie-breaks), so the whole hybrid stack is
+    * DuckDB-oracle-checkable — rare for a retrieval pipeline.
+    */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame,
+                    queryMod: Int = 100, k: Int = 10, kList: Int = 20,
+                    maxDf: Int = 64, rrfK: Int = 60): DataFrame = {
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val dense = bruteForceTopK(embeddings,
+        embeddings.filter(col("vec_id") % queryMod === 0), kList)
+      .withColumn("rank", row_number().over(wRank))
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+    val rare = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+    val posts = toks.join(rare.select("tok"), Seq("tok"))
+    val lexScored = posts.filter(col("doc_id") % queryMod === 0)
+      .select(col("tok"), col("doc_id").as("query_id"))
+      .join(posts, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id").as("neighbor_id"))
+      .agg(count(lit(1)).as("shared"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("shared").desc, col("neighbor_id"))
+    val lex = lexScored.withColumn("rank", row_number().over(wLex))
+      .filter(col("rank") <= kList)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+
+    rrfFuse(Seq(dense, lex), k, rrfK)
+  }
+
   def pairDistanceHistogram(embeddings: DataFrame, sampleMod: Int = 10,
                             bins: Int = 20): DataFrame = {
     val s = embeddings.filter(col("vec_id") % sampleMod === 0)

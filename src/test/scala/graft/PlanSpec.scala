@@ -284,6 +284,23 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
 
+  test("hybrid RRF lexical stage is a token equi-join — never all-pairs") {
+    // the lexical retriever must meet candidates in the df-capped
+    // posting join; a nested-loop/cartesian anywhere means the text
+    // side silently became O(n²) (the dense side's one crossJoin is
+    // the broadcast-queries anchor, same as ann_bruteforce_topk)
+    val p = plan(graft.operators.Similarity.hybridRrfTopK(
+      Tables.documents(spark, dir), Tables.embeddings(spark, dir)))
+    assert(!p.contains("CartesianProduct"),
+      s"hybrid RRF must not cartesian anywhere:\n$p")
+    // exactly the dense anchor's broadcast appears; count the nested
+    // loops to pin that the lexical side contributes none
+    val nLoops = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nLoops <= 1, s"only the dense query-broadcast may nest-loop ($nLoops):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected posting equi-joins:\n$p")
+  }
+
   test("interleaveOrder windows stay banded — no corpus-wide single partition") {
     // the per-source rank must come from the banded two-phase prefix,
     // never a window over (source) alone: that would funnel each

@@ -414,4 +414,40 @@ class SimilaritySpec extends SparkSpec {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rrfFuse: consensus outranks a single-list favourite") {
+    // candidate 30 sits at rank 2 in BOTH lists (2/62 ≈ 0.0323);
+    // candidates 10 and 20 are each rank 1 in exactly one list
+    // (1/61 ≈ 0.0164) — RRF must put the consensus candidate first
+    val a = Seq((0L, 10L, 1), (0L, 30L, 2), (0L, 40L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq((0L, 20L, 1), (0L, 30L, 2), (0L, 50L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(a, b), k = 10).collect()
+      .sortBy(r => -r.getDouble(2)).map(_.getLong(1)).toSeq
+    assert(fused.head == 30L, s"consensus candidate must lead: $fused")
+    // equal-score singles (rank-1-in-one-list each) break by id
+    assert(fused.slice(1, 3) == Seq(10L, 20L), s"id tie-break: $fused")
+    // score arithmetic replays exactly: 2/(60+2) for the consensus row
+    val s30 = Similarity.rrfFuse(Seq(a, b), k = 10).collect()
+      .find(_.getLong(1) == 30L).get.getDouble(2)
+    assert(s30 == 1.0 / 62 + 1.0 / 62)
+  }
+
+  test("hybridRrfTopK: k rows per query, dense-only and lexical ranks fuse") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Similarity.hybridRrfTopK(docs, emb)
+    val byQ = got.collect().groupBy(_.getLong(0))
+    val nq = emb.filter($"vec_id" % 100 === 0).count()
+    assert(byQ.size == nq, s"every query present: ${byQ.size} vs $nq")
+    assert(byQ.values.forall(_.length == 10), "exactly k=10 fused rows per query")
+    // fused scores are sums of 1/(60+r) terms with r in 1..20 — every
+    // score must be inside the achievable envelope (one term min, two max)
+    val scores = got.collect().map(_.getDouble(2))
+    assert(scores.forall(s => s >= 1.0 / 80 - 1e-12 && s <= 2.0 / 61 + 1e-12),
+      "scores within the single/double-contribution envelope")
+    // determinism: a second build is row-identical
+    val again = Similarity.hybridRrfTopK(docs, emb)
+    assert(got.collect().toSet == again.collect().toSet)
+  }
 }
