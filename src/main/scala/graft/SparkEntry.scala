@@ -237,6 +237,8 @@ object SparkEntry {
       Analytics.revenueAutocorr(Tables.lineitem(s, dir))),
     "emb_pair_histogram" -> ((s, dir) =>
       Similarity.pairDistanceHistogram(Tables.embeddings(s, dir))),
+    "emb_hubness" -> ((s, dir) =>
+      Similarity.hubness(Tables.embeddings(s, dir))),
     "q_purchase_streaks" -> ((s, dir) =>
       Analytics.purchaseStreaks(Tables.orders(s, dir))),
     "q_survival_curve" -> ((s, dir) =>
@@ -1745,6 +1747,27 @@ object SparkEntry {
         |SELECT round(CAST(bin AS DOUBLE) / 20, 6) AS bin_lo, n_pairs,
         | round(CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
         |FROM h, t""".stripMargin.replace("\n", " "),
+    "emb_hubness" ->
+      // same DOUBLE[] cosine + id tie-break as the bruteforce tier;
+      // in-degree/reciprocity counted over the exact top-10 graph of
+      // the % 5 sample, zeros kept via the left joins
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE vec_id % 5 = 0),
+        |tk AS (SELECT query_id, neighbor_id FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |   list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rn
+        | FROM s q JOIN s c ON c.vec_id != q.vec_id) x WHERE rn <= 10),
+        |ind AS (SELECT neighbor_id AS vec_id,
+        |  CAST(count(*) AS BIGINT) AS in_degree FROM tk GROUP BY 1),
+        |rec AS (SELECT a.query_id AS vec_id,
+        |  CAST(count(*) AS BIGINT) AS reciprocal
+        | FROM tk a JOIN tk b ON a.query_id = b.neighbor_id
+        |  AND a.neighbor_id = b.query_id GROUP BY 1)
+        |SELECT s.vec_id, coalesce(ind.in_degree, 0) AS in_degree,
+        | coalesce(rec.reciprocal, 0) AS reciprocal
+        |FROM s LEFT JOIN ind ON s.vec_id = ind.vec_id
+        |LEFT JOIN rec ON s.vec_id = rec.vec_id""".stripMargin.replace("\n", " "),
     "q_percentiles" ->
       """SELECT c_mktsegment,
         | quantile_cont(o_totalprice, 0.5) AS p50,

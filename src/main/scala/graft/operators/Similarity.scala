@@ -945,6 +945,44 @@ object Similarity {
     rrfFuse(Seq(dense, lex), k, rrfK)
   }
 
+  /** Hubness diagnostic over the exact kNN graph of a sampled slice
+    * — the classic high-dimensional failure mode where a few "hub"
+    * vectors appear in everyone's top-k while antihubs are never
+    * retrieved, silently skewing every downstream ANN consumer
+    * (SemDeDup groups, kNN labels, rerank pools). Per sampled
+    * vector: `in_degree` (how many other sample members list it in
+    * their top-k; k·|sample| total mass, so a flat corpus sits near
+    * k) and `reciprocal` (how many of its own top-k list it back —
+    * low reciprocity is the hubness smell even before the degree
+    * tail grows).
+    *
+    * Runs on the `vec_id % sampleMod` slice, the
+    * [[trainSample]]/[[pairDistanceHistogram]] posture: the
+    * diagnostic needs a distribution, not the corpus, so cost is
+    * capped at |sample|² cosines regardless of corpus size. Exact
+    * ranks + id tie-breaks → fully deterministic, oracle-checkable.
+    */
+  def hubness(embeddings: DataFrame, sampleMod: Int = 5, k: Int = 10): DataFrame = {
+    val s = embeddings.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+    val topk = bruteForceTopK(s, s, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val inDeg = topk.groupBy(col("neighbor_id").as("vec_id"))
+      .agg(count(lit(1)).as("in_degree"))
+    val recip = topk.as("a")
+      .join(topk.as("b"),
+        col("a.query_id") === col("b.neighbor_id") &&
+          col("a.neighbor_id") === col("b.query_id"))
+      .select(col("a.query_id").as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("reciprocal"))
+    s.select("vec_id")
+      .join(inDeg, Seq("vec_id"), "left")
+      .join(recip, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        coalesce(col("reciprocal"), lit(0L)).as("reciprocal"))
+  }
+
   def pairDistanceHistogram(embeddings: DataFrame, sampleMod: Int = 10,
                             bins: Int = 20): DataFrame = {
     val s = embeddings.filter(col("vec_id") % sampleMod === 0)

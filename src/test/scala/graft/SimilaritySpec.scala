@@ -415,6 +415,26 @@ class SimilaritySpec extends SparkSpec {
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("hubness: planted hub dominates in-degree; mass and reciprocity exact") {
+    def at(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    // two tight pairs (0°/10° and 180°/190°) plus a 90° vector that is
+    // everyone's second-best — the planted hub; id 3 is off-sample
+    val vecs = Seq(
+      (0L, at(0)), (5L, at(10)), (10L, at(180)), (15L, at(190)),
+      (20L, at(90)), (3L, at(45)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hubness(vecs, sampleMod = 5, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L)), 5L -> ((2L, 2L)), 10L -> ((1L, 1L)),
+      15L -> ((1L, 1L)), 20L -> ((4L, 2L))), s"hub graph: $got")
+    // invariants: in-degree mass is k·n; reciprocity is symmetric so
+    // its total is even
+    assert(got.values.map(_._1).sum == 2L * 5)
+    assert(got.values.map(_._2).sum % 2 == 0)
+  }
+
   test("rrfFuse: consensus outranks a single-list favourite") {
     // candidate 30 sits at rank 2 in BOTH lists (2/62 ≈ 0.0323);
     // candidates 10 and 20 are each rank 1 in exactly one list
