@@ -56,7 +56,9 @@ object ExplainMain {
       "events_disorder_profile", "events_audience_overlap_exact",
       "text_readability", "text_tokenizer_fertility",
       "split_group_assign", "split_leakage_pairs", "emb_pair_histogram",
-      "mm_format_psi", "docs_curate_funnel", "stream_freshness")
+      "mm_format_psi", "docs_curate_funnel", "stream_freshness",
+      // r9 fourth-continuation batch
+      "ann_rrf_hybrid", "emb_hubness")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
