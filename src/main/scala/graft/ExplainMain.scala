@@ -58,7 +58,7 @@ object ExplainMain {
       "split_group_assign", "split_leakage_pairs", "emb_pair_histogram",
       "mm_format_psi", "docs_curate_funnel", "stream_freshness",
       // r9 fourth-continuation batch
-      "ann_rrf_hybrid", "emb_hubness")
+      "ann_rrf_hybrid", "emb_hubness", "events_ab_ttest")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -974,6 +974,8 @@ object SparkEntry {
       TextAnalysis.sourceDivergence(Tables.documents(s, dir))),
     "events_type_psi" -> ((s, dir) =>
       EventOps.typePsi(Tables.events(s, dir))),
+    "events_ab_ttest" -> ((s, dir) =>
+      EventOps.abTest(Tables.events(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -4680,6 +4682,36 @@ object SparkEntry {
         | round(CAST(n_events AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
         | max_late_us
         |FROM h, tt""".stripMargin.replace("\n", " "),
+    "events_ab_ttest" ->
+      // identical op tree to the Spark side: same md5 coin, same
+      // (1, value, value²) conditional sums, same closed-form Welch
+      // expressions — only summation order can differ (last-ulp, the
+      // q_events_anomaly class); moments ship unrounded
+      """WITH g AS (SELECT event_type,
+        | substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+        |   < '80000000' AS is_a,
+        | value FROM events),
+        |a AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS s_a,
+        |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS s_b,
+        |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+        |   AS q_a,
+        |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+        |   AS q_b
+        | FROM g GROUP BY 1 HAVING n_a > 1 AND n_b > 1),
+        |w AS (SELECT event_type, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
+        |  s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+        |  ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS se_a,
+        |  ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS se_b
+        | FROM a)
+        |SELECT event_type, n_a, n_b, share_a, mean_a, mean_b,
+        | (mean_a - mean_b) / sqrt(se_a + se_b) AS welch_t,
+        | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
+        |   + se_b * se_b / (n_b - 1)) AS welch_df
+        |FROM w""".stripMargin.replace("\n", " "),
     "events_type_psi" ->
       // categorical drift: the types ARE the buckets; Laplace term
       // count is data-dependent (count(*) OVER ()), same half split

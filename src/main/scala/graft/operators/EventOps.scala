@@ -1275,6 +1275,54 @@ object EventOps {
     * instead of ±∞. One fact scan into an O(types) relation; the
     * windows run over that bounded relation only.
     */
+  /** A/B experiment readout: Welch's unequal-variance t-test of
+    * `value` between two user cohorts, per event type. Assignment is
+    * the portable salted-md5 coin ([[DataSplit.assignPortable]]'s
+    * key): deterministic per user (a user is never split across
+    * arms), uniform by md5 avalanche, uncorrelated with any data
+    * column, and replayable bit-for-bit in any engine — so the whole
+    * readout, assignment included, is oracle-checkable.
+    *
+    * One pass: conditional sums of (1, value, value²) per arm in a
+    * single hash aggregate (partial map-side combine; no pivot join,
+    * no second scan), then closed-form Welch t and
+    * Welch–Satterthwaite df from the six sufficient statistics.
+    * `share_a` doubles as the sample-ratio-mismatch gauge — an
+    * assignment bug shows up as share_a drifting off 0.5 long before
+    * any treatment effect is real. Moments ship UNROUNDED (raw float
+    * sums — the q_events_anomaly exactness class, see
+    * docs/ORACLE_NOTES.md). Scale: the aggregate carries O(types)
+    * groups of 6 doubles; nothing else leaves the map side.
+    */
+  def abTest(events: DataFrame, salt: String = "ab42"): DataFrame = {
+    val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
+    val va = when(col("is_a"), col("value")).otherwise(lit(0.0))
+    val vb = when(!col("is_a"), col("value")).otherwise(lit(0.0))
+    val meanA = col("s_a") / col("n_a")
+    val meanB = col("s_b") / col("n_b")
+    val varA = (col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
+      (col("n_a") - lit(1))
+    val varB = (col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
+      (col("n_b") - lit(1))
+    val seA = varA / col("n_a")
+    val seB = varB / col("n_b")
+    val se2 = seA + seB
+    events.select(col("event_type"), isA.as("is_a"), col("value"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(va).as("s_a"), sum(vb).as("s_b"),
+        sum(va * col("value")).as("q_a"), sum(vb * col("value")).as("q_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / (col("n_a") + col("n_b"))).as("share_a"),
+        meanA.as("mean_a"), meanB.as("mean_b"),
+        ((meanA - meanB) / sqrt(se2)).as("welch_t"),
+        (se2 * se2 / (seA * seA / (col("n_a") - lit(1)) +
+          seB * seB / (col("n_b") - lit(1)))).as("welch_df"))
+  }
+
   def typePsi(events: DataFrame): DataFrame = {
     val counts = events
       .select(col("event_type"), to_date(col("ts")).as("day"))

@@ -643,4 +643,38 @@ class EventOpsSpec extends SparkSpec {
       r.getLong(4), r.getDouble(5)) == (("A", "B", 2L, 3L, 2L, 1.0)),
       s"cooccur row: $r")
   }
+
+  test("abTest: planted lift drives Welch t, moments match a reference replay") {
+    // replicate the portable md5 coin driver-side to plant a real
+    // effect: arm-a users get value 10+u%3, arm-b users 5+u%3
+    def isA(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:ab42".getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString < "80000000"
+    }
+    val users = (1L to 60L)
+    val rows = users.map(u =>
+      (u, "2024-01-01 10:00:00", u, "exp",
+        (if (isA(u)) 10.0 else 5.0) + (u % 3).toDouble))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = EventOps.abTest(e).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (nA, nB) = (row.getLong(1), row.getLong(2))
+    assert(nA == users.count(isA) && nB == users.size - nA, s"coin split: $row")
+    // reference means via the same coin
+    val refA = rows.filter(t => isA(t._3)).map(_._5)
+    val refB = rows.filterNot(t => isA(t._3)).map(_._5)
+    assert(math.abs(row.getDouble(4) - refA.sum / refA.size) < 1e-9)
+    assert(math.abs(row.getDouble(5) - refB.sum / refB.size) < 1e-9)
+    // planted +5 shift with sub-1 variances: t must be large positive,
+    // and Welch df bounded by min(n)-1 below, n_a+n_b-2 above
+    assert(row.getDouble(6) > 10, s"planted lift must be significant: $row")
+    val df = row.getDouble(7)
+    assert(df >= math.min(nA, nB) - 1 - 1e-9 && df <= nA + nB - 2 + 1e-9,
+      s"Welch df bounds: $df")
+    // share_a is the SRM gauge: exact ratio of the coin counts
+    assert(row.getDouble(3) == nA.toDouble / (nA + nB))
+  }
 }
