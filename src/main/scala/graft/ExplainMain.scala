@@ -58,7 +58,8 @@ object ExplainMain {
       "split_group_assign", "split_leakage_pairs", "emb_pair_histogram",
       "mm_format_psi", "docs_curate_funnel", "stream_freshness",
       // r9 fourth-continuation batch
-      "ann_rrf_hybrid", "emb_hubness", "events_ab_ttest")
+      "ann_rrf_hybrid", "emb_hubness", "events_ab_ttest",
+      "events_ab_sequential")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

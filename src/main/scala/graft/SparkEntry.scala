@@ -976,6 +976,8 @@ object SparkEntry {
       EventOps.typePsi(Tables.events(s, dir))),
     "events_ab_ttest" -> ((s, dir) =>
       EventOps.abTest(Tables.events(s, dir))),
+    "events_ab_sequential" -> ((s, dir) =>
+      EventOps.abTestSequential(Tables.events(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -4708,6 +4710,44 @@ object SparkEntry {
         |  ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS se_b
         | FROM a)
         |SELECT event_type, n_a, n_b, share_a, mean_a, mean_b,
+        | (mean_a - mean_b) / sqrt(se_a + se_b) AS welch_t,
+        | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
+        |   + se_b * se_b / (n_b - 1)) AS welch_df
+        |FROM w""".stripMargin.replace("\n", " "),
+    "events_ab_sequential" ->
+      // same coin + expression tree as events_ab_ttest, cumulated by
+      // day: daily partials of the six sufficient statistics, then a
+      // per-type ROWS UNBOUNDED PRECEDING fold in day order — both
+      // engines sum the partials in the same order, so only
+      // within-day order can differ (same last-ulp class)
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        | substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+        |   < '80000000' AS is_a,
+        | value FROM events),
+        |d AS (SELECT event_type, day,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS d_na,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS d_nb,
+        |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS d_sa,
+        |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS d_sb,
+        |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+        |   AS d_qa,
+        |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+        |   AS d_qb
+        | FROM g GROUP BY 1, 2),
+        |c AS (SELECT event_type, day,
+        |  CAST(sum(d_na) OVER cw AS BIGINT) AS n_a,
+        |  CAST(sum(d_nb) OVER cw AS BIGINT) AS n_b,
+        |  sum(d_sa) OVER cw AS s_a, sum(d_sb) OVER cw AS s_b,
+        |  sum(d_qa) OVER cw AS q_a, sum(d_qb) OVER cw AS q_b
+        | FROM d WINDOW cw AS (PARTITION BY event_type ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w AS (SELECT event_type, day, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
+        |  s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+        |  ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS se_a,
+        |  ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS se_b
+        | FROM c WHERE n_a > 1 AND n_b > 1)
+        |SELECT event_type, day, n_a, n_b, share_a, mean_a, mean_b,
         | (mean_a - mean_b) / sqrt(se_a + se_b) AS welch_t,
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df

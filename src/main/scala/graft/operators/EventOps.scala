@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1298,6 +1298,23 @@ object EventOps {
     val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
     val va = when(col("is_a"), col("value")).otherwise(lit(0.0))
     val vb = when(!col("is_a"), col("value")).otherwise(lit(0.0))
+    welchReadout(
+      events.select(col("event_type"), isA.as("is_a"), col("value"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(va).as("s_a"), sum(vb).as("s_b"),
+          sum(va * col("value")).as("q_a"), sum(vb * col("value")).as("q_b")),
+      keyCols = Seq(col("event_type")))
+  }
+
+  /** Closed-form Welch t / Welch–Satterthwaite df over the six
+    * sufficient statistics (n, Σv, Σv²) per arm — shared by the
+    * end-of-experiment readout ([[abTest]]) and the sequential curve
+    * ([[abTestSequential]]), so both driver keys and both oracles
+    * carry the identical expression tree. */
+  private def welchReadout(stats: DataFrame, keyCols: Seq[Column]): DataFrame = {
     val meanA = col("s_a") / col("n_a")
     val meanB = col("s_b") / col("n_b")
     val varA = (col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
@@ -1307,20 +1324,51 @@ object EventOps {
     val seA = varA / col("n_a")
     val seB = varB / col("n_b")
     val se2 = seA + seB
-    events.select(col("event_type"), isA.as("is_a"), col("value"))
-      .groupBy("event_type")
-      .agg(
-        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
-        sum(va).as("s_a"), sum(vb).as("s_b"),
-        sum(va * col("value")).as("q_a"), sum(vb * col("value")).as("q_b"))
+    stats
       .filter(col("n_a") > 1 && col("n_b") > 1)
-      .select(col("event_type"), col("n_a"), col("n_b"),
+      .select(keyCols ++ Seq(col("n_a"), col("n_b"),
         (col("n_a").cast("double") / (col("n_a") + col("n_b"))).as("share_a"),
         meanA.as("mean_a"), meanB.as("mean_b"),
         ((meanA - meanB) / sqrt(se2)).as("welch_t"),
         (se2 * se2 / (seA * seA / (col("n_a") - lit(1)) +
-          seB * seB / (col("n_b") - lit(1)))).as("welch_df"))
+          seB * seB / (col("n_b") - lit(1)))).as("welch_df")): _*)
+  }
+
+  /** Sequential (cumulative-by-day) spelling of [[abTest]] — the
+    * peeking curve an experimentation platform actually monitors:
+    * for each (event_type, day), the Welch readout AS OF that day.
+    * Two-level aggregation keeps it scale-safe: events collapse to
+    * O(types·days) daily partials of the six sufficient statistics
+    * (map-side combine does the heavy lifting), then a cumulative
+    * window PER TYPE ordered by day folds the partials — the window
+    * rides on the tiny partial relation, never the fact table, and
+    * each type's days are one modest partition. The same shape is
+    * the streaming plan: the daily partials are exactly the state a
+    * watermarked `groupBy(type, window(day))` maintains, and the
+    * cumulative fold is the consumer-side readout. Assignment coin,
+    * expression tree, and exactness class are [[abTest]]'s.
+    */
+  def abTestSequential(events: DataFrame, salt: String = "ab42"): DataFrame = {
+    val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
+    val va = when(col("is_a"), col("value")).otherwise(lit(0.0))
+    val vb = when(!col("is_a"), col("value")).otherwise(lit(0.0))
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        isA.as("is_a"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("d_na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("d_nb"),
+        sum(va).as("d_sa"), sum(vb).as("d_sb"),
+        sum(va * col("value")).as("d_qa"), sum(vb * col("value")).as("d_qb"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    welchReadout(
+      daily.select(col("event_type"), col("day"),
+        sum("d_na").over(w).as("n_a"), sum("d_nb").over(w).as("n_b"),
+        sum("d_sa").over(w).as("s_a"), sum("d_sb").over(w).as("s_b"),
+        sum("d_qa").over(w).as("q_a"), sum("d_qb").over(w).as("q_b")),
+      keyCols = Seq(col("event_type"), col("day")))
   }
 
   def typePsi(events: DataFrame): DataFrame = {

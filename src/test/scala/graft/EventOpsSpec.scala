@@ -677,4 +677,27 @@ class EventOpsSpec extends SparkSpec {
     // share_a is the SRM gauge: exact ratio of the coin counts
     assert(row.getDouble(3) == nA.toDouble / (nA + nB))
   }
+
+  test("abTestSequential: curve ends at the batch readout, n monotone") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val end = EventOps.abTest(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val curve = EventOps.abTestSequential(e).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.sortBy(_.getDate(1).getTime))
+    assert(curve.keySet == end.keySet, "same significant types")
+    curve.foreach { case (tpe, rows) =>
+      // counts accumulate monotonically along the curve
+      val ns = rows.map(r => (r.getLong(2), r.getLong(3))).toSeq
+      assert(ns == ns.sorted, s"$tpe: cumulative n must be monotone")
+      // the last cumulative point IS the end-of-experiment readout
+      // (same sufficient statistics, summed in a different order)
+      val (last, ref) = (rows.last, end(tpe))
+      assert(last.getLong(2) == ref.getLong(1) && last.getLong(3) == ref.getLong(2))
+      Seq(4 -> 3, 5 -> 4, 6 -> 5, 7 -> 6, 8 -> 7).foreach { case (ci, ri) =>
+        val (a, b) = (last.getDouble(ci), ref.getDouble(ri))
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"$tpe col $ci: $a vs $b")
+      }
+    }
+  }
 }
