@@ -59,7 +59,7 @@ object ExplainMain {
       "mm_format_psi", "docs_curate_funnel", "stream_freshness",
       // r9 fourth-continuation batch
       "ann_rrf_hybrid", "emb_hubness", "events_ab_ttest",
-      "events_ab_sequential")
+      "events_ab_sequential", "events_ab_cuped")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

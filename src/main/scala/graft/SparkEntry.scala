@@ -978,6 +978,8 @@ object SparkEntry {
       EventOps.abTest(Tables.events(s, dir))),
     "events_ab_sequential" -> ((s, dir) =>
       EventOps.abTestSequential(Tables.events(s, dir))),
+    "events_ab_cuped" -> ((s, dir) =>
+      EventOps.abTestCuped(Tables.events(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -4714,6 +4716,67 @@ object SparkEntry {
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
         |FROM w""".stripMargin.replace("\n", " "),
+    "events_ab_cuped" ->
+      // same coin; per-user (pre, post) means at the typePsi calendar
+      // midpoint, pooled moments in one conditional aggregate, then
+      // the same closed-form scalar tree (theta = cov/var_pre,
+      // var_reduction = rho^2) — unrounded, abTest exactness class
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |m AS (SELECT min(day) + CAST(floor(
+        |  date_diff('day', min(day), max(day)) / 2) AS INTEGER) AS mid
+        | FROM e),
+        |u AS (SELECT user_id,
+        |  substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+        |    < '80000000' AS is_a,
+        |  CAST(sum(CASE WHEN day <= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS pre_n,
+        |  sum(CASE WHEN day <= m.mid THEN value ELSE CAST(0 AS DOUBLE) END)
+        |   AS pre_s,
+        |  CAST(sum(CASE WHEN day > m.mid THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS post_n,
+        |  sum(CASE WHEN day > m.mid THEN value ELSE CAST(0 AS DOUBLE) END)
+        |   AS post_s
+        | FROM e, m GROUP BY 1, 2 HAVING pre_n > 0 AND post_n > 0),
+        |p AS (SELECT is_a, pre_s / pre_n AS pre, post_s / post_n AS post
+        | FROM u),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  sum(CASE WHEN is_a THEN pre ELSE CAST(0 AS DOUBLE) END) AS spre_a,
+        |  sum(CASE WHEN NOT is_a THEN pre ELSE CAST(0 AS DOUBLE) END) AS spre_b,
+        |  sum(CASE WHEN is_a THEN post ELSE CAST(0 AS DOUBLE) END) AS spost_a,
+        |  sum(CASE WHEN NOT is_a THEN post ELSE CAST(0 AS DOUBLE) END) AS spost_b,
+        |  sum(CASE WHEN is_a THEN pre ELSE CAST(0 AS DOUBLE) END * pre)
+        |   AS qpre_a,
+        |  sum(CASE WHEN NOT is_a THEN pre ELSE CAST(0 AS DOUBLE) END * pre)
+        |   AS qpre_b,
+        |  sum(CASE WHEN is_a THEN post ELSE CAST(0 AS DOUBLE) END * post)
+        |   AS qpost_a,
+        |  sum(CASE WHEN NOT is_a THEN post ELSE CAST(0 AS DOUBLE) END * post)
+        |   AS qpost_b,
+        |  sum(CASE WHEN is_a THEN pre ELSE CAST(0 AS DOUBLE) END * post)
+        |   AS cpp_a,
+        |  sum(CASE WHEN NOT is_a THEN pre ELSE CAST(0 AS DOUBLE) END * post)
+        |   AS cpp_b
+        | FROM p HAVING n_a > 1 AND n_b > 1),
+        |s AS (SELECT *, n_a + n_b AS n,
+        |  (spre_a + spre_b) / (n_a + n_b) AS mean_pre,
+        |  ((cpp_a + cpp_b) - (spre_a + spre_b) * (spost_a + spost_b)
+        |    / (n_a + n_b)) / (n_a + n_b - 1) AS cov_pp,
+        |  ((qpre_a + qpre_b) - (spre_a + spre_b) * (spre_a + spre_b)
+        |    / (n_a + n_b)) / (n_a + n_b - 1) AS var_pre,
+        |  ((qpost_a + qpost_b) - (spost_a + spost_b) * (spost_a + spost_b)
+        |    / (n_a + n_b)) / (n_a + n_b - 1) AS var_post
+        | FROM a)
+        |SELECT n_a, n_b,
+        | spost_a / n_a AS mean_post_a, spost_b / n_b AS mean_post_b,
+        | spost_a / n_a - (cov_pp / var_pre) * (spre_a / n_a - mean_pre)
+        |  AS cuped_mean_a,
+        | spost_b / n_b - (cov_pp / var_pre) * (spre_b / n_b - mean_pre)
+        |  AS cuped_mean_b,
+        | cov_pp / var_pre AS theta,
+        | cov_pp * cov_pp / (var_pre * var_post) AS var_reduction
+        |FROM s""".stripMargin.replace("\n", " "),
     "events_ab_sequential" ->
       // same coin + expression tree as events_ab_ttest, cumulated by
       // day: daily partials of the six sufficient statistics, then a

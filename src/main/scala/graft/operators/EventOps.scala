@@ -1371,6 +1371,90 @@ object EventOps {
       keyCols = Seq(col("event_type"), col("day")))
   }
 
+  /** CUPED variance reduction for the A/B readout ([[abTest]]'s
+    * third member): each user's PRE-period mean value (calendar
+    * first half, the [[typePsi]] midpoint) is the covariate for
+    * their experiment-period mean (second half), θ =
+    * cov(pre, post)/var(pre) is fit on the POOLED users (standard
+    * practice — the coin makes arm ⟂ pre, so pooling is unbiased),
+    * and each arm's mean is adjusted by θ·(arm pre-mean − global
+    * pre-mean). `var_reduction` is the closed form ρ² =
+    * cov²/(var_pre·var_post) — the fraction of metric variance the
+    * covariate removes (a perfect covariate collapses both arms'
+    * CUPED means to the global post mean; spec-held).
+    *
+    * Plan: one fact scan into an O(users) relation of per-user
+    * (pre, post) moments, then ONE global conditional aggregate into
+    * a single row of sufficient statistics — every closed form is a
+    * scalar projection of that row; nothing but the user relation
+    * ever shuffles, and θ never requires a second pass. Only users
+    * observed in BOTH halves count (the paired-covariate contract).
+    * Exactness class is [[abTest]]'s (raw float sums, unrounded).
+    */
+  def abTestCuped(events: DataFrame, salt: String = "ab42"): DataFrame = {
+    val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
+    val users = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .crossJoin(broadcast(events
+        .agg(date_add(min(to_date(col("ts"))),
+          floor(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) / 2)
+            .cast("int")).as("mid"))))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("pre_n"),
+        sum(when(col("day") <= col("mid"), col("value")).otherwise(lit(0.0)))
+          .as("pre_s"),
+        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("post_n"),
+        sum(when(col("day") > col("mid"), col("value")).otherwise(lit(0.0)))
+          .as("post_s"))
+      .filter(col("pre_n") > 0 && col("post_n") > 0)
+      .select(isA.as("is_a"),
+        (col("pre_s") / col("pre_n")).as("pre"),
+        (col("post_s") / col("post_n")).as("post"))
+    val n = col("n_a") + col("n_b")
+    val meanPre = (col("spre_a") + col("spre_b")) / n
+    val covPP = ((col("cpp_a") + col("cpp_b")) -
+      (col("spre_a") + col("spre_b")) * (col("spost_a") + col("spost_b")) / n) /
+      (n - lit(1))
+    val varPre = ((col("qpre_a") + col("qpre_b")) -
+      (col("spre_a") + col("spre_b")) * (col("spre_a") + col("spre_b")) / n) /
+      (n - lit(1))
+    val varPost = ((col("qpost_a") + col("qpost_b")) -
+      (col("spost_a") + col("spost_b")) * (col("spost_a") + col("spost_b")) / n) /
+      (n - lit(1))
+    val theta = covPP / varPre
+    users
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a"), col("pre")).otherwise(lit(0.0))).as("spre_a"),
+        sum(when(!col("is_a"), col("pre")).otherwise(lit(0.0))).as("spre_b"),
+        sum(when(col("is_a"), col("post")).otherwise(lit(0.0))).as("spost_a"),
+        sum(when(!col("is_a"), col("post")).otherwise(lit(0.0))).as("spost_b"),
+        sum(when(col("is_a"), col("pre") * col("pre")).otherwise(lit(0.0)))
+          .as("qpre_a"),
+        sum(when(!col("is_a"), col("pre") * col("pre")).otherwise(lit(0.0)))
+          .as("qpre_b"),
+        sum(when(col("is_a"), col("post") * col("post")).otherwise(lit(0.0)))
+          .as("qpost_a"),
+        sum(when(!col("is_a"), col("post") * col("post")).otherwise(lit(0.0)))
+          .as("qpost_b"),
+        sum(when(col("is_a"), col("pre") * col("post")).otherwise(lit(0.0)))
+          .as("cpp_a"),
+        sum(when(!col("is_a"), col("pre") * col("post")).otherwise(lit(0.0)))
+          .as("cpp_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("n_a"), col("n_b"),
+        (col("spost_a") / col("n_a")).as("mean_post_a"),
+        (col("spost_b") / col("n_b")).as("mean_post_b"),
+        (col("spost_a") / col("n_a") -
+          theta * (col("spre_a") / col("n_a") - meanPre)).as("cuped_mean_a"),
+        (col("spost_b") / col("n_b") -
+          theta * (col("spre_b") / col("n_b") - meanPre)).as("cuped_mean_b"),
+        theta.as("theta"),
+        (covPP * covPP / (varPre * varPost)).as("var_reduction"))
+  }
+
   def typePsi(events: DataFrame): DataFrame = {
     val counts = events
       .select(col("event_type"), to_date(col("ts")).as("day"))

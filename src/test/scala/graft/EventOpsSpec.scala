@@ -678,6 +678,31 @@ class EventOpsSpec extends SparkSpec {
     assert(row.getDouble(3) == nA.toDouble / (nA + nB))
   }
 
+  test("abTestCuped: perfect covariate gives theta=2, full variance kill") {
+    // every user appears in both halves with post = 2·pre exactly:
+    // theta must be exactly 2 (integer-double sums, rounding commutes
+    // with ×2), var_reduction exactly 1, and both arms' CUPED means
+    // collapse to the global post mean — zero residual arm difference
+    val rows = (1L to 30L).flatMap { u =>
+      val pre = (u % 7 + 1).toDouble
+      Seq((u, "2024-01-01 10:00:00", u, "exp", pre),
+        (u + 100L, "2024-01-10 10:00:00", u, "exp", 2.0 * pre))
+    }
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = EventOps.abTestCuped(e).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getDouble(6) == 2.0, s"theta: $row")
+    assert(row.getDouble(7) == 1.0, s"var_reduction: $row")
+    val posts = rows.filter(_._2.startsWith("2024-01-10")).map(_._5)
+    val globalPost = posts.sum / posts.size
+    assert(math.abs(row.getDouble(4) - globalPost) < 1e-12, s"cuped_a: $row")
+    assert(math.abs(row.getDouble(5) - globalPost) < 1e-12, s"cuped_b: $row")
+    // user counts split by the coin over all 30 users
+    assert(row.getLong(0) + row.getLong(1) == 30L)
+  }
+
   test("abTestSequential: curve ends at the batch readout, n monotone") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val end = EventOps.abTest(e).collect()
