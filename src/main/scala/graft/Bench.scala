@@ -135,9 +135,13 @@ object Bench {
     // last 2000 chars of stdout — a 200+-entry map is ~7KB and can
     // never ride the contract line); the contract line carries the
     // headline subset + recall and stays well under 2KB.
+    // prime_detail: per-artifact build timings (ann_* entries nest
+    // inside ann_indexes — see SparkEntry.primeDetail), so a prime
+    // regression is attributable to one artifact, not the whole lump
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":${jsonOf(
         results + ("shared_prime" -> primeSec))},"recall":$recallJson,""" +
+      s""""prime_detail":${jsonOf(SparkEntry.primeDetail.toMap)},""" +
       s""""sf":"$sfDir"}"""
     // best-effort: an unwritable detail path (read-only target/, bad
     // SPARK_GRAFT_BENCH_OUT) must not kill the run after all timing

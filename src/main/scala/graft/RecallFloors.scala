@@ -19,7 +19,10 @@ package graft
 object RecallFloors {
   /** approx driver key -> (exact anchor driver key, recall floor). */
   val tiers: Seq[(String, String, Double)] = Seq(
-    ("ann_lsh_topk", "ann_bruteforce_topk", 0.53),
+    // r10: margin-ordered multiprobe (16 tables × 8 planes × 4
+    // probes — unchanged 0.25 candidate budget) lifted the measured
+    // sf0.1 point 0.575 → 0.710
+    ("ann_lsh_topk", "ann_bruteforce_topk", 0.65),
     ("ann_ivf_topk", "ann_bruteforce_topk", 0.70),
     ("ann_pq_topk", "ann_bruteforce_topk", 0.78),
     // late-r9 retune to rerank=16 (docs/ANN_SWEEP.md rerank axis):

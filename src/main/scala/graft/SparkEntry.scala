@@ -114,19 +114,41 @@ object SparkEntry {
         java.nio.file.Paths.get("target", "ann-index",
           java.lang.Integer.toHexString(dir.hashCode))).toString
       val emb = Tables.embeddings(s, dir)
-      AnnIndex.buildIvf(emb, s"$base/ivf")
-      AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32)
+      primeTimed("ann_ivf_build")(AnnIndex.buildIvf(emb, s"$base/ivf"))
+      primeTimed("ann_ivfpq_build")(
+        AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32))
       // the incremental twins: built on the even half ("yesterday"),
       // the odd half appended against the STORED centroids (and, for
       // IVF-PQ, STORED codebooks) — no retrain, no history rewrite
       // (the daily-ingest shape)
-      AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
-      AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
-      AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
-        s"$base/ivfpq_incr", m = 16, nCodes = 32)
-      AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
+      primeTimed("ann_ivf_incr") {
+        AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
+        AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
+      }
+      primeTimed("ann_ivfpq_incr") {
+        AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
+          s"$base/ivfpq_incr", m = 16, nCodes = 32)
+        AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
+      }
       (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr", s"$base/ivfpq_incr")
     })
+
+  /** Per-artifact build timings of the LAST [[primeSharedCaches]]
+    * run. The prime line item used to be one opaque number (4 index
+    * builds + the basket pair engine + the blocking trunk), so a
+    * build-cost regression couldn't be attributed round-over-round —
+    * Bench dumps this map as `prime_detail` in its detail file.
+    * Timings nest (the ann_* entries sum into ann_indexes), so
+    * `shared_prime` = blocked_pairs + basket_trunk + basket_pairs +
+    * ann_indexes, NOT the sum of all entries. */
+  val primeDetail: scala.collection.mutable.LinkedHashMap[String, Double] =
+    scala.collection.mutable.LinkedHashMap.empty
+  private def primeTimed[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    primeDetail(name) = (System.nanoTime() - t0) / 1e9
+    r
+  }
 
   /** Force-build every shared cache for (session, dir). Bench calls
     * this ONCE and reports the time as its own line item — otherwise
@@ -155,10 +177,11 @@ object SparkEntry {
         .localCheckpoint(true))
 
   def primeSharedCaches(s: SparkSession, dir: String): Unit = {
-    sharedBlockedPairs(s, dir)
-    sharedBasketTrunk(s, dir)
-    sharedBasketPairs(s, dir)
-    annIndexPaths(s, dir)
+    primeDetail.clear()
+    primeTimed("blocked_pairs")(sharedBlockedPairs(s, dir))
+    primeTimed("basket_trunk")(sharedBasketTrunk(s, dir))
+    primeTimed("basket_pairs")(sharedBasketPairs(s, dir))
+    primeTimed("ann_indexes")(annIndexPaths(s, dir))
     ()
   }
 
@@ -370,9 +393,10 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 =!= 0))
     }),
-    // MMR re-rank over the exact pool — deterministic but the greedy
-    // argmax chain is not SQL-expressible (rows-only; SimilaritySpec
-    // pins first-pick, diversity preference and determinism)
+    // MMR re-rank over the exact pool — fully deterministic at fixed
+    // k=10, so the oracle unrolls the 10 greedy argmax steps as CTEs;
+    // SimilaritySpec additionally pins first-pick, diversity
+    // preference and determinism
     "ann_mmr_diverse" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Similarity.mmrDiverseTopK(e, e.filter(col("vec_id") % 100 === 0))
@@ -476,8 +500,16 @@ object SparkEntry {
     // via the bench contract line's recall map
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // r10 retune: 16×8 with 4 margin-ordered probes/table — SAME
+      // candidate budget as the old 16×6 exact-bucket point
+      // (16·4/2^8 = 16/2^6 = 0.25 of corpus) but measured 0.710 vs
+      // 0.575 at sf0.1 (docs/ANN_SWEEP.md multiprobe axis): adjacent
+      // low-margin buckets hold the neighbors a wider bucket would
+      // only dilute, and the narrower-bucket advantage GROWS with
+      // corpus density (sf0.01 → sf0.1 it went 0.680 → 0.710 while
+      // the 16×7×2 point fell 0.700 → 0.635)
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        tables = 16, planesPerTable = 6)
+        tables = 16, planesPerTable = 8, multiprobe = 4)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -517,9 +549,15 @@ object SparkEntry {
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     "emb_norm_profile" -> ((s, dir) =>
       Similarity.normProfile(Tables.embeddings(s, dir))),
+    // scalar (vec_id, dim, value) shape — the raw array<float> column
+    // is not sortable by the harness rows-check; 1e-6 rounding pins
+    // the float→double widening to a stable grid
     "emb_pca_project" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       Pca.project(e, Pca.fit(e))
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "value")))
+        .select(col("vec_id"), col("dim"),
+          round(col("value").cast("double"), 6).as("value"))
     }),
     "ann_pca_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -980,6 +1018,8 @@ object SparkEntry {
       EventOps.abTestSequential(Tables.events(s, dir))),
     "events_ab_cuped" -> ((s, dir) =>
       EventOps.abTestCuped(Tables.events(s, dir))),
+    "events_ab_mannwhitney" -> ((s, dir) =>
+      EventOps.abTestMannWhitney(Tables.events(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -2384,6 +2424,68 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_mmr_diverse" -> {
+      // greedy MMR unrolled: k=10 fixed, so the 10 argmax steps chain
+      // as CTEs (the q_copurchase_pagerank unrolling pattern). Pool =
+      // the exact DOUBLE[] cosine top-50; sim = pairwise cosines
+      // among pool members; step s picks argmax 0.5·rel − 0.5·max
+      // sim-to-selected with the Scala tie order (score DESC,
+      // relevance DESC, neighbor_id ASC — the pinned candidate order
+      // + strict > in mmrDiverseTopK)
+      // every CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+      // and the sel chain references each predecessor 3× (join,
+      // NOT EXISTS, next sel) — unmaterialized that expands 3^k ways
+      val steps = (2 to 10).map { s =>
+        val prev = s - 1
+        val sel =
+          if (s < 10)
+            s""",sel$s AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel$prev
+               | UNION ALL SELECT query_id, neighbor_id FROM p$s)"""
+          else ""
+        s"""p$s AS MATERIALIZED (SELECT query_id, neighbor_id, relevance, sc AS mmr_score
+           | FROM (
+           |  SELECT c.query_id, c.neighbor_id, c.relevance,
+           |   0.5 * c.relevance - 0.5 * max(v.s) AS sc
+           |  FROM pool c
+           |  JOIN sim v ON v.query_id = c.query_id
+           |   AND v.id_a = c.neighbor_id
+           |  JOIN sel$prev sv ON sv.query_id = v.query_id
+           |   AND sv.neighbor_id = v.id_b
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$prev sx
+           |   WHERE sx.query_id = c.query_id
+           |    AND sx.neighbor_id = c.neighbor_id)
+           |  GROUP BY 1, 2, 3) x
+           | QUALIFY row_number() OVER (PARTITION BY query_id
+           |  ORDER BY sc DESC, relevance DESC, neighbor_id) = 1)$sel"""
+      }.mkString(",")
+      val unions = (1 to 10).map(s =>
+        s"SELECT query_id, CAST($s AS BIGINT) AS rank, neighbor_id," +
+          s" relevance, mmr_score FROM p$s").mkString(" UNION ALL ")
+      s"""WITH pool AS MATERIALIZED (SELECT query_id, neighbor_id, cosine AS relevance
+         | FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |   list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |     CAST(c.embedding AS DOUBLE[])) AS cosine
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id % 100 = 0) s
+         | QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= 50),
+         |sim AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS id_a,
+         |  b.neighbor_id AS id_b,
+         |  list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |    CAST(eb.embedding AS DOUBLE[])) AS s
+         | FROM pool a JOIN pool b ON b.query_id = a.query_id
+         |  AND b.neighbor_id != a.neighbor_id
+         | JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+         | JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+         |p1 AS MATERIALIZED (SELECT query_id, neighbor_id, relevance,
+         |  0.5 * relevance AS mmr_score FROM pool
+         | QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY relevance DESC, neighbor_id) = 1),
+         |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM p1),
+         |$steps
+         |$unions""".stripMargin.replace("\n", " ")
+    },
     "ann_rrf_hybrid" ->
       // both retrievers replayed in full: dense ranks from the same
       // DOUBLE[] cosine as ann_bruteforce_topk; lexical ranks from
@@ -4708,20 +4810,54 @@ object SparkEntry {
         |w AS (SELECT event_type, n_a, n_b,
         |  CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
         |  s_a / n_a AS mean_a, s_b / n_b AS mean_b,
-        |  ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS se_a,
-        |  ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS se_b
+        |  greatest((q_a - s_a * s_a / n_a) / (n_a - 1), 0) / n_a AS se_a,
+        |  greatest((q_b - s_b * s_b / n_b) / (n_b - 1), 0) / n_b AS se_b
         | FROM a)
         |SELECT event_type, n_a, n_b, share_a, mean_a, mean_b,
         | (mean_a - mean_b) / sqrt(se_a + se_b) AS welch_t,
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
-        |FROM w""".stripMargin.replace("\n", " "),
+        |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
+    "events_ab_mannwhitney" ->
+      // rank-sum robustness twin of events_ab_ttest: same md5 coin,
+      // midrank ties via the cumulative-count window over the
+      // (type, value) tie groups; midranks are exact half-integers →
+      // order-independent sums, bit-reproducible (unlike the Welch
+      // raw-float class); tie term t³−t in doubles on both engines
+      """WITH g AS (SELECT event_type, value,
+        | CAST(count(*) AS BIGINT) AS t,
+        | CAST(sum(CASE WHEN
+        |   substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+        |     < '80000000' THEN 1 ELSE 0 END) AS BIGINT) AS t_a
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT event_type, t, t_a,
+        |  coalesce(CAST(sum(t) OVER (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   + (t + 1) / 2.0 AS midrank
+        | FROM g),
+        |a AS (SELECT event_type,
+        |  CAST(sum(t_a) AS BIGINT) AS n_a,
+        |  CAST(sum(t - t_a) AS BIGINT) AS n_b,
+        |  sum(midrank * t_a) AS r_a,
+        |  sum(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        |    - CAST(t AS DOUBLE)) AS ties
+        | FROM r GROUP BY 1),
+        |s AS (SELECT event_type, n_a, n_b, r_a,
+        |  r_a - CAST(n_a AS DOUBLE) * (n_a + 1.0) / 2.0 AS u_a,
+        |  CAST(n_a AS DOUBLE) * n_b / 12.0 * ((n_a + n_b + 1.0)
+        |    - ties / (CAST(n_a + n_b AS DOUBLE)
+        |      * (n_a + n_b - 1.0))) AS var_u
+        | FROM a WHERE n_a > 0 AND n_b > 0)
+        |SELECT event_type, n_a, n_b, r_a AS rank_sum_a, u_a,
+        | (u_a - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(var_u) AS z_u
+        |FROM s WHERE var_u > 0""".stripMargin.replace("\n", " "),
     "events_ab_cuped" ->
       // same coin; per-user (pre, post) means at the typePsi calendar
       // midpoint, pooled moments in one conditional aggregate, then
       // the same closed-form scalar tree (theta = cov/var_pre,
       // var_reduction = rho^2) — unrounded, abTest exactness class
-      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+        | FROM events WHERE ts IS NOT NULL),
         |m AS (SELECT min(day) + CAST(floor(
         |  date_diff('day', min(day), max(day)) / 2) AS INTEGER) AS mid
         | FROM e),
@@ -4776,7 +4912,8 @@ object SparkEntry {
         |  AS cuped_mean_b,
         | cov_pp / var_pre AS theta,
         | cov_pp * cov_pp / (var_pre * var_post) AS var_reduction
-        |FROM s""".stripMargin.replace("\n", " "),
+        |FROM s WHERE var_pre > 0 AND var_post > 0"""
+        .stripMargin.replace("\n", " "),
     "events_ab_sequential" ->
       // same coin + expression tree as events_ab_ttest, cumulated by
       // day: daily partials of the six sufficient statistics, then a
@@ -4786,7 +4923,7 @@ object SparkEntry {
       """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
         | substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
         |   < '80000000' AS is_a,
-        | value FROM events),
+        | value FROM events WHERE ts IS NOT NULL),
         |d AS (SELECT event_type, day,
         |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS d_na,
         |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS d_nb,
@@ -4807,14 +4944,14 @@ object SparkEntry {
         |w AS (SELECT event_type, day, n_a, n_b,
         |  CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
         |  s_a / n_a AS mean_a, s_b / n_b AS mean_b,
-        |  ((q_a - s_a * s_a / n_a) / (n_a - 1)) / n_a AS se_a,
-        |  ((q_b - s_b * s_b / n_b) / (n_b - 1)) / n_b AS se_b
+        |  greatest((q_a - s_a * s_a / n_a) / (n_a - 1), 0) / n_a AS se_a,
+        |  greatest((q_b - s_b * s_b / n_b) / (n_b - 1), 0) / n_b AS se_b
         | FROM c WHERE n_a > 1 AND n_b > 1)
         |SELECT event_type, day, n_a, n_b, share_a, mean_a, mean_b,
         | (mean_a - mean_b) / sqrt(se_a + se_b) AS welch_t,
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
-        |FROM w""".stripMargin.replace("\n", " "),
+        |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
     "events_type_psi" ->
       // categorical drift: the types ARE the buckets; Laplace term
       // count is data-dependent (count(*) OVER ()), same half split

@@ -27,6 +27,25 @@ object SweepMain {
     def recall(m: Map[Long, Set[Long]]): Double =
       exact.keys.toSeq.map(q => (m.getOrElse(q, Set.empty[Long])
         .intersect(exact(q)).size / 10.0)).sum / exact.size
+    // multiprobe axis at FIXED candidate budget: expected candidate
+    // fraction ≈ tables·probes/2^planes — all 0.250 rows spend what
+    // the r9 driver point (16×6×1) spends; margin-ordered adjacent
+    // buckets vs independent tables is the only variable.
+    // SPARK_GRAFT_SWEEP=multiprobe runs ONLY this axis (the full
+    // sweep re-trains every tier — minutes)
+    println("| LSH tables | planes | probes | budget | recall@10 |")
+    println("| --- | --- | --- | --- | --- |")
+    for ((tables, planes, probes) <- Seq(
+      (16, 6, 1), (8, 6, 2), (4, 6, 4), (16, 7, 2), (8, 7, 4),
+      (4, 7, 8), (8, 8, 8), (16, 8, 4), (8, 7, 2), (16, 8, 2))) {
+      val r = recall(sets(Similarity.lshTopK(emb, queries, 10,
+        tables = tables, planesPerTable = planes, multiprobe = probes)))
+      val budget = tables.toDouble * probes / (1 << planes)
+      println(f"| $tables | $planes | $probes | $budget%.3f | $r%.3f |")
+    }
+    if (sys.env.get("SPARK_GRAFT_SWEEP").contains("multiprobe")) {
+      spark.stop(); return
+    }
     println("| index | nlist | nprobe | m | recall@10 |")
     println("| --- | --- | --- | --- | --- |")
     for (nlist <- Seq(16, 64); nprobe <- Seq(2, 4, 8)) {

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -79,6 +79,13 @@ object gf {
   /** Random-hyperplane LSH signature (long) of an `array<float>` column. */
   def hyperplaneSig(vec: Column, planes: Array[Array[Float]]): Column =
     c(HyperplaneSignature(e(vec), planes))
+
+  /** Margin-ordered multiprobe LSH bucket list (`array<long>`) of an
+    * `array<float>` column: exact signature + probes−1 single-bit
+    * flips by ascending plane margin. */
+  def multiprobeSigs(vec: Column, planes: Array[Array[Float]],
+                     probes: Int): Column =
+    c(MultiprobeSignatures(e(vec), planes, probes))
 
   /** PQ codes of a vector under per-subspace codebooks. */
   def pqEncode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column =

@@ -56,6 +56,38 @@ object VectorOps {
     bits
   }
 
+  /** Margin-ordered multiprobe LSH bucket list (Lv et al., VLDB'07):
+    * entry 0 is the exact signature; entries 1..probes-1 each flip
+    * ONE bit, in order of increasing |projection| of the flipped
+    * plane (the smallest margin is the sign most likely to differ
+    * for a true near neighbor). Ties break by plane index. Probing
+    * the q most-plausible buckets of ONE table beats q independent
+    * tables at the same candidate budget — near neighbors
+    * concentrate in adjacent buckets, random tables don't.
+    */
+  def multiprobeSigs(v: ArrayData, planes: Array[Array[Float]],
+                     probes: Int): ArrayData = {
+    val nP = planes.length
+    val proj = new Array[Double](nP)
+    var bits = 0L
+    var p = 0
+    while (p < nP) {
+      val plane = planes(p)
+      val n = math.min(v.numElements(), plane.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * plane(i); i += 1 }
+      proj(p) = s
+      if (s > 0) bits |= (1L << p)
+      p += 1
+    }
+    val order = Array.range(0, nP).sortBy(i => (math.abs(proj(i)), i))
+    val out = new Array[Any](math.min(math.max(probes, 1), nP + 1))
+    out(0) = bits
+    var j = 1
+    while (j < out.length) { out(j) = bits ^ (1L << order(j - 1)); j += 1 }
+    new GenericArrayData(out)
+  }
+
   /** IVF probe list: indices of the `nprobe` centroids nearest (by
     * cosine) to `v`, most similar first, ties broken by index.
     */

@@ -212,14 +212,30 @@ object Curation {
     val capped = restrict(sourceCap(suppressed, cap, scored))
       .localCheckpoint(true)
     val budgeted = selectToBudget(capped, tokenBudget, scored)
-    val counts = Seq(
-      "input" -> docs.count(),
-      "quality" -> quality.count(),
-      "exact_dedup" -> deduped.count(),
-      "decontam" -> curated.count(),
-      "near_dup" -> suppressed.count(),
-      "source_cap" -> capped.count(),
-      "token_budget" -> budgeted.count())
+    // the stage id-sets are a strict chain (each ⊆ its predecessor),
+    // so every doc's deepest-surviving stage is recoverable from
+    // membership flags — ONE left-join spine + ONE aggregate action
+    // replaces the seven per-stage count() jobs (each stage relation
+    // is already pinned above, so the spine joins checkpointed ids,
+    // never re-runs a gate)
+    val stageIds = Seq(
+      "quality" -> quality, "exact_dedup" -> deduped,
+      "decontam" -> curated.select("doc_id"),
+      "near_dup" -> suppressed.select("doc_id"),
+      "source_cap" -> capped.select("doc_id"),
+      "token_budget" -> budgeted.select("doc_id"))
+    val spine = stageIds.foldLeft(docs.select("doc_id")) {
+      case (acc, (name, ids)) =>
+        acc.join(ids.select(col("doc_id"), lit(1L).as(s"f_$name")),
+          Seq("doc_id"), "left")
+    }
+    val row = spine.agg(
+      count(lit(1)).as("input"),
+      stageIds.map { case (name, _) =>
+        sum(coalesce(col(s"f_$name"), lit(0L))).as(name)
+      }: _*).head()
+    val counts = ("input" -> row.getAs[Long]("input")) +:
+      stageIds.map { case (name, _) => name -> row.getAs[Long](name) }
     counts.zipWithIndex.map { case ((stage, n), i) =>
       (i.toLong, stage, n,
         if (i == 0) None else Some(counts(i - 1)._2 - n))

@@ -1317,15 +1317,20 @@ object EventOps {
   private def welchReadout(stats: DataFrame, keyCols: Seq[Column]): DataFrame = {
     val meanA = col("s_a") / col("n_a")
     val meanB = col("s_b") / col("n_b")
-    val varA = (col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
-      (col("n_a") - lit(1))
-    val varB = (col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
-      (col("n_b") - lit(1))
+    // clamp at 0: Σv² − (Σv)²/n can go a last-ulp negative under
+    // cancellation with near-constant data, and Spark's sqrt(neg)
+    // yields NaN while DuckDB's raises — the clamp (mirrored in the
+    // oracle) keeps both engines on the same branch
+    val varA = greatest((col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
+      (col("n_a") - lit(1)), lit(0.0))
+    val varB = greatest((col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
+      (col("n_b") - lit(1)), lit(0.0))
     val seA = varA / col("n_a")
     val seB = varB / col("n_b")
     val se2 = seA + seB
     stats
-      .filter(col("n_a") > 1 && col("n_b") > 1)
+      // se2 > 0 drops zero-variance arms (welch_t would divide by 0)
+      .filter(col("n_a") > 1 && col("n_b") > 1 && se2 > 0)
       .select(keyCols ++ Seq(col("n_a"), col("n_b"),
         (col("n_a").cast("double") / (col("n_a") + col("n_b"))).as("share_a"),
         meanA.as("mean_a"), meanB.as("mean_b"),
@@ -1352,7 +1357,11 @@ object EventOps {
     val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
     val va = when(col("is_a"), col("value")).otherwise(lit(0.0))
     val vb = when(!col("is_a"), col("value")).otherwise(lit(0.0))
+    // null ts → null day, which Spark's window sorts NULLS FIRST but
+    // DuckDB NULLS LAST — drop before the cumulative fold so both
+    // engines see identical day sequences
     val daily = events
+      .filter(col("ts").isNotNull)
       .select(col("event_type"), to_date(col("ts")).as("day"),
         isA.as("is_a"), col("value"))
       .groupBy("event_type", "day")
@@ -1369,6 +1378,62 @@ object EventOps {
         sum("d_sa").over(w).as("s_a"), sum("d_sb").over(w).as("s_b"),
         sum("d_qa").over(w).as("q_a"), sum("d_qb").over(w).as("q_b")),
       keyCols = Seq(col("event_type"), col("day")))
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) readout — the A/B family's
+    * distribution-free robustness check beside [[abTest]]'s Welch t:
+    * ranks are immune to the heavy tails and outliers that dominate
+    * a mean-scale comparison on revenue-like metrics. Same portable
+    * md5 coin, so the whole readout is replayable in any engine.
+    *
+    * Midrank treatment of ties with the standard tie-corrected
+    * normal approximation: z = (U_a − n_a·n_b/2) / sqrt(var_U),
+    * var_U = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N·(N−1))).
+    *
+    * Plan: facts collapse to O(types · distinct values) of
+    * (tie-count, arm-A count) partials — map-side combine does the
+    * heavy lifting; the rank window runs over THAT relation,
+    * partitioned by type (ranking fundamentally needs a per-type
+    * sort, but of value-groups, never raw events). Midranks are
+    * exact half-integers and the counts exact longs, so every sum is
+    * IEEE-exact below 2^52 — unlike the Welch keys this readout is
+    * order-INdependent, bit-reproducible across engines. The tie
+    * term t³−t is computed in doubles on both engines (t³ would
+    * overflow int64 once a single (type, value) bucket passes ~2M
+    * rows at 100 TB; the term is divided by N(N−1) anyway).
+    */
+  def abTestMannWhitney(events: DataFrame, salt: String = "ab42"): DataFrame = {
+    val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
+    val grouped = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"), isA.as("is_a"))
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("t_a"))
+    val byVal = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grouped
+      .withColumn("midrank",
+        coalesce(sum("t").over(byVal), lit(0L)) +
+          (col("t") + lit(1)) / lit(2.0))
+    val nA = col("n_a").cast("double")
+    val nB = col("n_b").cast("double")
+    val nT = nA + nB
+    val uA = col("r_a") - nA * (nA + lit(1.0)) / lit(2.0)
+    val varU = nA * nB / lit(12.0) *
+      ((nT + lit(1.0)) - col("ties") / (nT * (nT - lit(1.0))))
+    ranked
+      .groupBy("event_type")
+      .agg(
+        sum("t_a").as("n_a"),
+        sum(col("t") - col("t_a")).as("n_b"),
+        sum(col("midrank") * col("t_a")).as("r_a"),
+        sum(col("t").cast("double") * col("t").cast("double") *
+          col("t").cast("double") - col("t").cast("double")).as("ties"))
+      .filter(col("n_a") > 0 && col("n_b") > 0 && varU > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("r_a").as("rank_sum_a"), uA.as("u_a"),
+        ((uA - nA * nB / lit(2.0)) / sqrt(varU)).as("z_u"))
   }
 
   /** CUPED variance reduction for the A/B readout ([[abTest]]'s
@@ -1393,9 +1458,11 @@ object EventOps {
     */
   def abTestCuped(events: DataFrame, salt: String = "ab42"): DataFrame = {
     val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
-    val users = events
+    // null ts has no calendar half — drop before the midpoint split
+    val evts = events.filter(col("ts").isNotNull)
+    val users = evts
       .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
-      .crossJoin(broadcast(events
+      .crossJoin(broadcast(evts
         .agg(date_add(min(to_date(col("ts"))),
           floor(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) / 2)
             .cast("int")).as("mid"))))
@@ -1443,7 +1510,11 @@ object EventOps {
           .as("cpp_a"),
         sum(when(!col("is_a"), col("pre") * col("post")).otherwise(lit(0.0)))
           .as("cpp_b"))
-      .filter(col("n_a") > 1 && col("n_b") > 1)
+      // var_pre > 0 guards theta's division; var_post > 0 guards
+      // var_reduction — a constant pre or post metric has no CUPED
+      // readout (mirrored in the oracle)
+      .filter(col("n_a") > 1 && col("n_b") > 1 &&
+        varPre > 0 && varPost > 0)
       .select(col("n_a"), col("n_b"),
         (col("spost_a") / col("n_a")).as("mean_post_a"),
         (col("spost_b") / col("n_b")).as("mean_post_b"),

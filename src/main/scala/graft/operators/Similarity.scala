@@ -155,14 +155,22 @@ object Similarity {
   /** Multi-table hyperplane-LSH ANN: candidates = corpus vectors
     * sharing a bucket with the query in any table; exact cosine
     * ranks candidates. Recall grows with `tables`, cost with bucket
-    * sizes (2^planesPerTable buckets per table).
+    * sizes (2^planesPerTable buckets per table). `multiprobe` > 1
+    * additionally probes the multiprobe−1 adjacent buckets whose
+    * single differing plane has the smallest |margin| (Lv et al.'s
+    * order) — QUERY-side only, so the corpus index is untouched and
+    * the candidate budget scales as tables·multiprobe/2^planes. At a
+    * fixed budget, probing plausible adjacent buckets of
+    * fewer/narrower tables dominates adding independent tables
+    * (measured: docs/ANN_SWEEP.md multiprobe axis).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
               tables: Int = 8, planesPerTable: Int = 8, dim: Int = 64,
-              seed: Long = 23L): DataFrame = {
+              seed: Long = 23L, multiprobe: Int = 1): DataFrame = {
+    val planes = (0 until tables)
+      .map(t => gf.randomPlanes(planesPerTable, dim, seed + t))
     val sigCols = (0 until tables).map { t =>
-      gf.hyperplaneSig(col("embedding"), gf.randomPlanes(planesPerTable, dim, seed + t))
-        .as(s"sig_$t")
+      gf.hyperplaneSig(col("embedding"), planes(t)).as(s"sig_$t")
     }
     def bucketize(df: DataFrame, idName: String) =
       df.select(col("vec_id").as(idName) +: col("embedding").as(s"emb_$idName") +: sigCols: _*)
@@ -170,8 +178,20 @@ object Similarity {
           posexplode(array((0 until tables).map(t => col(s"sig_$t")): _*)))
         .select(col(idName), col(s"emb_$idName"),
           col("pos").as("table"), col("col").as("sig"))
+    // query side carries the probe LIST per table — the flatten is
+    // |queries|·tables·multiprobe rows, query-bounded, never corpus
+    val probeCols = (0 until tables).map { t =>
+      gf.multiprobeSigs(col("embedding"), planes(t), multiprobe).as(s"sigs_$t")
+    }
+    val querySide = queries
+      .select(col("vec_id").as("query_id") +:
+        col("embedding").as("emb_query_id") +: probeCols: _*)
+      .select(col("query_id"), col("emb_query_id"),
+        posexplode(array((0 until tables).map(t => col(s"sigs_$t")): _*)))
+      .select(col("query_id"), col("emb_query_id"),
+        col("pos").as("table"), explode(col("col")).as("sig"))
     val cands = bucketize(corpus, "neighbor_id")
-      .join(bucketize(queries, "query_id"), Seq("table", "sig"))
+      .join(querySide, Seq("table", "sig"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         col("emb_query_id"), col("emb_neighbor_id"))

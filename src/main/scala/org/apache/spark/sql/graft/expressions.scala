@@ -312,6 +312,33 @@ case class HyperplaneSignature(child: Expression, planes: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/** Margin-ordered multiprobe LSH bucket list: the exact signature
+  * plus `probes−1` single-bit flips ordered by plane margin. Same
+  * codegen-reference plane matrix as [[HyperplaneSignature]]. */
+case class MultiprobeSignatures(child: Expression, planes: Array[Array[Float]],
+                                probes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.nonEmpty && planes.length <= 64, "need 1..64 hyperplanes")
+  require(probes >= 1, "need at least the exact bucket")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multiprobe_sigs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.multiprobeSigs(v.asInstanceOf[ArrayData], planes, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorOps.multiprobeSigs($v, $ref, $probes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Deflate compression ratio of a string — the low-entropy text
   * signal (templated text compresses far below prose). */
 case class DeflateRatio(child: Expression)

@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented thirty-one") {
+  test("rows-only queries are the documented thirty") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
@@ -58,10 +58,10 @@ class ContractSpec extends AnyFunSuite {
       // zlib has no DuckDB twin; invariants spec-held
       "text_compression_signal",
       // r9 final batch: minhash banding has no SQL analog (DedupSpec
-      // histogram identities), the MMR greedy chain is not
-      // SQL-expressible (SimilaritySpec), HLL day sketches are
-      // error-bounded vs the exact key (ApproxSpec)
-      "dedup_lsh_band_stats", "ann_mmr_diverse",
+      // histogram identities), HLL day sketches are error-bounded vs
+      // the exact key (ApproxSpec); ann_mmr_diverse graduated to an
+      // unrolled-CTE oracle in r10
+      "dedup_lsh_band_stats",
       "events_rolling_active_approx",
       // live DQ monitor: HLL state per column (ApproxSpec bounds,
       // StreamingSpec cross-batch accumulation)

@@ -703,6 +703,59 @@ class EventOpsSpec extends SparkSpec {
     assert(row.getLong(0) + row.getLong(1) == 30L)
   }
 
+  test("abTestMannWhitney: U and z match a driver-side midrank replay") {
+    def isA(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:ab42".getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString < "80000000"
+    }
+    // planted shift with deliberate ties (u % 5 collides across arms)
+    val users = (1L to 60L)
+    val rows = users.map(u =>
+      (u, "2024-01-01 10:00:00", u, "exp",
+        (if (isA(u)) 3.0 else 0.0) + (u % 5).toDouble))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = EventOps.abTestMannWhitney(e).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // reference replay: midranks over the pooled sample
+    val vals = rows.map(t => (t._5, isA(t._3)))
+    val byVal = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L
+    var rA = 0.0; var ties = 0.0
+    byVal.foreach { case (_, g) =>
+      val t = g.size.toLong
+      val midrank = cum + (t + 1) / 2.0
+      rA += midrank * g.count(_._2)
+      ties += t.toDouble * t * t - t
+      cum += t
+    }
+    val nA = vals.count(_._2).toLong
+    val nB = vals.size - nA
+    val u = rA - nA * (nA + 1.0) / 2.0
+    val n = (nA + nB).toDouble
+    val varU = nA.toDouble * nB / 12.0 * ((n + 1.0) - ties / (n * (n - 1.0)))
+    val z = (u - nA.toDouble * nB / 2.0) / math.sqrt(varU)
+    assert((row.getLong(1), row.getLong(2)) == ((nA, nB)), s"arm counts: $row")
+    assert(row.getDouble(3) == rA, s"rank_sum_a: $row vs $rA")
+    assert(row.getDouble(4) == u, s"u_a: $row vs $u")
+    assert(math.abs(row.getDouble(5) - z) < 1e-12, s"z_u: $row vs $z")
+    // planted +3 shift dominates the within-arm spread → z large
+    assert(row.getDouble(5) > 3, s"planted shift must be significant: $row")
+    // rank-sum identity: R_a + R_b = N(N+1)/2 ⇒ R_a bounded by it
+    assert(rA < n * (n + 1.0) / 2.0)
+  }
+
+  test("abTestMannWhitney: constant metric has no readout (var_u = 0)") {
+    val rows = (1L to 40L).map(u => (u, "2024-01-01 10:00:00", u, "exp", 7.0))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // all 40 values tie in one group: ties term kills var_u exactly —
+    // the guard must drop the row, not emit z = 0/0
+    assert(EventOps.abTestMannWhitney(e).collect().isEmpty)
+  }
+
   test("abTestSequential: curve ends at the batch readout, n monotone") {
     val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val end = EventOps.abTest(e).collect()

@@ -120,6 +120,32 @@ class FunctionsSpec extends SparkSpec {
     assert((out(0) & 0xffffL) == (~out(2) & 0xffffL))
   }
 
+  test("multiprobeSigs: exact bucket first, flips ordered by margin, distinct") {
+    val planes = gf.randomPlanes(8, 4, seed = 1L)
+    val v = Seq(1f, 2f, 3f, 4f)
+    val base = Seq(v).toDF("v").select(gf.hyperplaneSig($"v", planes))
+      .as[Long].head()
+    val probes = Seq(v).toDF("v").select(gf.multiprobeSigs($"v", planes, 4))
+      .as[Seq[Long]].head()
+    assert(probes.length == 4)
+    assert(probes.head == base, "entry 0 must be the exact signature")
+    // every later entry flips exactly ONE bit of the base signature
+    probes.tail.foreach(p =>
+      assert(java.lang.Long.bitCount(p ^ base) == 1, f"probe $p%x vs $base%x"))
+    assert(probes.distinct == probes, "probes must be distinct buckets")
+    // margin order: flipped planes in ascending |v·plane|
+    val margins = planes.map(pl =>
+      math.abs(pl.zip(v).map { case (a, b) => a.toDouble * b }.sum))
+    val flipped = probes.tail.map(p =>
+      java.lang.Long.numberOfTrailingZeros(p ^ base))
+    assert(flipped == flipped.sortBy(margins(_)),
+      s"flip order $flipped not by margin ${margins.toSeq}")
+    // probes=1 degrades to the plain signature
+    val one = Seq(v).toDF("v").select(gf.multiprobeSigs($"v", planes, 1))
+      .as[Seq[Long]].head()
+    assert(one == Seq(base))
+  }
+
   test("nearestCentroids orders probes by similarity") {
     val centroids = Array(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f))
     val out = Seq(Seq(0.9f, 0.1f)).toDF("v")

@@ -91,6 +91,24 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean LSH recall $mean too low")
   }
 
+  test("LSH multiprobe lifts recall at the same table layout") {
+    def meanRecall(mp: Int): Double = {
+      val got = topkSets(Similarity.lshTopK(emb, queries, k = 10,
+        tables = 16, planesPerTable = 7, multiprobe = mp))
+      exact.keys.toSeq
+        .map(q => (got.getOrElse(q, Set.empty) intersect exact(q)).size / 10.0)
+        .sum / exact.size
+    }
+    val (one, two) = (meanRecall(1), meanRecall(2))
+    // the second margin-ordered bucket only ADDS candidates, so
+    // recall is monotone in probes — require a strict, non-trivial
+    // lift. (No absolute floor here: this fixture is the sf0.001
+    // 200-vector corpus, where 2^7 buckets splinter ~1.6 vectors
+    // each — AnnRecallGateSpec holds the 0.64 floor at sf0.1, the
+    // corpus the floor is calibrated for.)
+    assert(two >= one + 0.05, s"multiprobe 2 ($two) must lift over 1 ($one)")
+  }
+
   test("IVF ANN achieves reasonable recall vs exact and beats nprobe=1") {
     val ivf4 = topkSets(Similarity.ivfTopK(emb, queries, k = 10, nlist = 8, nprobe = 4))
     val recalls = exact.keys.toSeq.map { q =>
