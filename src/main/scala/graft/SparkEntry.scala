@@ -673,6 +673,14 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.nation(s, dir))),
     // §2.F multimodal
     "mm_blob_stats" -> ((s, dir) => Multimodal.blobStats(Tables.documents(s, dir))),
+    // REAL codec path, hash-checked end to end: synthesized PNGs
+    // (pixels from the replayable FNV-1a recipe) are encoded by the
+    // JDK's PNG writer and decoded by its reader; integer channel
+    // sums survive the lossless round trip bit-for-bit, so the
+    // oracle needs only the pixel recipe, never a codec
+    "mm_decode_png" -> ((s, dir) =>
+      Multimodal.decodeImageStats(
+        Multimodal.synthPngCorpus(Tables.documents(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -2765,6 +2773,28 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256, hex(substr(text, 1, 4)) AS magic_hex
         |FROM documents""".stripMargin.replace("\n", " "),
+    "mm_decode_png" ->
+      // replay of the synthesized PIXELS, never the codec: pixel i's
+      // channels are shifted windows of FNV-1a("doc_id:i") (the
+      // mm_pooled_topk HUGEINT fold over the ASCII bytes), and PNG's
+      // losslessness means the Spark side's real encode→decode round
+      // trip must return exactly these integers
+      """WITH px AS (SELECT doc_id,
+        | list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |   list_transform(range(1, length(s) + 1),
+        |     j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |   (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |     CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616) AS h
+        | FROM (SELECT doc_id,
+        |   CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, 63))
+        |   AS i) g) t)
+        |SELECT doc_id, CAST(8 AS INTEGER) AS width,
+        | CAST(8 AS INTEGER) AS height,
+        | CAST(sum((h // 256) % 256) AS BIGINT) AS sum_r,
+        | CAST(sum((h // 65536) % 256) AS BIGINT) AS sum_g,
+        | CAST(sum((h // 16777216) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1""".stripMargin.replace("\n", " "),
     "mm_type_summary" ->
       """SELECT hex(substr(text, 1, 2)) AS magic2, count(*) AS n_blobs,
         | CAST(sum(length(text)) AS BIGINT) AS total_bytes,

@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * video payloads as opaque `binary` columns with typed metadata,
   * processed per-partition without ever collecting to the driver.
   *
-  * The decode step is STUBBED (no image/audio codecs in this
-  * environment): [[decodeStub]] derives deterministic fake
-  * image properties from the bytes. The Spark-side plumbing —
-  * binary schema, frame explode, typed Dataset batching — is real;
-  * swap `decodeStub` for a JNI/codec call in production.
+  * Decode (r10): raster formats the JDK ships readers for
+  * (PNG/JPEG/GIF/BMP) are REALLY decoded via `javax.imageio`
+  * ([[decodeFrame]], [[decodeImageStats]]) — true pixels, true
+  * dimensions, Rec.601 luma. Formats with no JDK codec
+  * (audio/video/webp/…) fall back to [[decodeStub]]'s deterministic
+  * fake so the pipeline shape stays total; swap the stub for a
+  * JNI/codec call in production.
   *
-  * Payloads here are derived from `documents.text` (the testdata has
-  * no binary table); every byte-level op works unchanged on real
-  * media bytes.
+  * Text-derived payloads stand in for media bytes in most keys (the
+  * testdata has no binary table); [[synthPngCorpus]] additionally
+  * synthesizes REAL PNG blobs with oracle-replayable pixels so the
+  * genuine codec path is hash-checked end to end.
   */
 object Multimodal {
 
@@ -209,7 +212,8 @@ object Multimodal {
                           width: Int, height: Int, mean_luma: Double)
 
   /** Deterministic fake decode: "image" properties derived from the
-    * bytes. Replace with a real codec in production — the signature
+    * bytes. The fallback for formats the JDK cannot decode — see
+    * [[decodeFrame]] for the real-codec router. The signature
     * (bytes in, typed struct out) is the contract.
     */
   def decodeStub(f: Frame): DecodedFrame = {
@@ -222,23 +226,161 @@ object Multimodal {
       mean_luma = if (f.bytes.isEmpty) 0.0 else s.toDouble / f.bytes.length)
   }
 
+  /** True when the leading bytes carry a raster magic the JDK's
+    * built-in ImageIO readers decode: PNG, JPEG, GIF, BMP. */
+  def isImageMagic(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      ((b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M'))
+
+  /** REAL decode for raster payloads via `javax.imageio` (the JDK
+    * ships PNG/JPEG/GIF/BMP readers — no external codec needed):
+    * true width/height and the Rec.601 mean luma over the actual
+    * pixels. Unknown formats and corrupt payloads fall back to
+    * [[decodeStub]] — the router never throws, because one bad blob
+    * must not kill a 100 TB decode pass (the quarantine pattern:
+    * stub output is still a row, attributable downstream).
+    */
+  def decodeFrame(f: Frame): DecodedFrame =
+    if (!isImageMagic(f.bytes)) decodeStub(f)
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(f.bytes))
+      if (img == null) decodeStub(f)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var s = 0.0; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        DecodedFrame(f.doc_id, f.frame_idx, w, h, s / (w.toLong * h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => decodeStub(f) }
+
   /** Typed decode pass over sampled frames: the batch shape
     * (Dataset[Frame] → mapPartitions → Dataset[DecodedFrame]) is how
     * a real codec would be driven — per-partition, streaming,
-    * driver never touches payload bytes.
+    * driver never touches payload bytes. Blobs whose magic is a
+    * raster image (PNG/JPEG/GIF/BMP) pass WHOLE — slicing an encoded
+    * image into byte windows would hand the codec garbage — and are
+    * really decoded by [[decodeFrame]]'s ImageIO path; everything
+    * else is stride-sliced and stub-decoded as before (so text-blob
+    * corpora keep their bit-exact oracles).
     */
-  def decodeFrames(docs: DataFrame, frameSize: Int = 64, stride: Int = 128): Dataset[DecodedFrame] = {
-    val spark = docs.sparkSession
+  def decodeFrames(docs: DataFrame, frameSize: Int = 64, stride: Int = 128): Dataset[DecodedFrame] =
+    decodeFramesOfBlobs(asBlobs(docs), frameSize, stride)
+
+  /** [[decodeFrames]] over an ALREADY-binary (doc_id, payload)
+    * relation — the production entry point for real media corpora
+    * (the text adapter's `cast("binary")` is UTF-8 and cannot carry
+    * arbitrary bytes).
+    */
+  def decodeFramesOfBlobs(blobs: DataFrame, frameSize: Int = 64,
+                          stride: Int = 128): Dataset[DecodedFrame] = {
+    val spark = blobs.sparkSession
     import spark.implicits._
-    asBlobs(docs)
+    // Spark-side sniff mirrors isImageMagic (so the explode prunes
+    // before bytes move); the typed router re-checks per frame
+    val isImg = hex(substring(col("payload"), 1, 4)) === "89504E47" ||
+      hex(substring(col("payload"), 1, 3)) === "FFD8FF" ||
+      hex(substring(col("payload"), 1, 4)) === "47494638" ||
+      hex(substring(col("payload"), 1, 2)) === "424D"
+    val sliced = blobs.filter(!isImg)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0),
-          greatest(((col("meta.n_bytes") - 1) / stride).cast("int"), lit(0))))
+          greatest(((length(col("payload")) - 1) / stride).cast("int"), lit(0))))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         expr(s"substring(payload, frame_idx * $stride + 1, $frameSize)").as("bytes"))
+    val whole = blobs.filter(isImg)
+      .select(col("doc_id"), lit(0L).as("frame_idx"),
+        col("payload").as("bytes"))
+    sliced.unionByName(whole)
       .as[Frame]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decodeFrame))
+  }
+
+  private def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+    h
+  }
+
+  case class PngBlob(doc_id: Long, payload: Array[Byte])
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                          sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic `side`×`side` RGB PNG per document: pixel i's
+    * channels read shifted windows of FNV-1a("doc_id:i") — the same
+    * public fold the stub uses, so an oracle can replay the PIXELS
+    * without any codec — and a REAL ImageIO PNG encoder writes the
+    * bytes. The per-row work is O(side²) with no shuffle; payloads
+    * are born on executors and never visit the driver.
+    */
+  def synthPngCorpus(docs: DataFrame, side: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val img = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < side * side) {
+        val h = fnv1a(s"$d:$i")
+        val r = ((h >>> 8) & 0xff).toInt
+        val g = ((h >>> 16) & 0xff).toInt
+        val b = ((h >>> 24) & 0xff).toInt
+        img.setRGB(i % side, i / side, (r << 16) | (g << 8) | b)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      PngBlob(d, bos.toByteArray)
+    }.toDF()
+  }
+
+  /** REAL-decode audit over an image corpus: whole-blob ImageIO
+    * decode, integer per-channel sums. Integer sums are exact and
+    * order-independent, and PNG is lossless — so over a
+    * [[synthPngCorpus]] input the encode→decode round trip cancels
+    * and the output is bit-for-bit oracle-checkable from the pixel
+    * recipe alone, proving the REAL codec path end to end (a decoder
+    * that flipped channels, dropped a row, or gamma-adjusted would
+    * hash-mismatch). Throws on an undecodable payload: this is the
+    * audit tier, where silence would hide a broken codec — the
+    * never-throw production router is [[decodeFrame]].
+    */
+  def decodeImageStats(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable payload for doc $d")
+        val w = img.getWidth; val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(d, w, h, sr, sg, sb)
+      }.toDF()
   }
 
   /** Per-document pooled feature embedding: decode frames, mean-pool

@@ -193,4 +193,82 @@ class MultimodalSpec extends SparkSpec {
     assert(hot("4141")._2 > 1.0, s"swap must alarm: $hot")
     assert(hot("4141")._1 == hot("4242")._1, s"symmetric swap: $hot")
   }
+
+  // ---- real ImageIO decode path (r10) --------------------------------
+
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length; val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeFrame: golden 2x2 PNG decodes to exact dims and Rec.601 luma") {
+    // white, black / pure red, pure green
+    val bytes = pngBytes(Array(
+      Array(0xFFFFFF, 0x000000),
+      Array(0xFF0000, 0x00FF00)))
+    assert(Multimodal.isImageMagic(bytes), "PNG magic must be sniffed")
+    val d = Multimodal.decodeFrame(Multimodal.Frame(7L, 0L, bytes))
+    assert((d.width, d.height) == ((2, 2)), s"dims: $d")
+    // luma: white 255, black 0, red .299·255, green .587·255
+    val want = (255.0 * (1.0 + 0.299 + 0.587)) / 4.0
+    assert(math.abs(d.mean_luma - want) < 1e-9, s"luma ${d.mean_luma} vs $want")
+  }
+
+  test("decodeFrame: non-image and corrupt payloads fall back to the stub") {
+    val text = Multimodal.Frame(1L, 0L, "plain old text".getBytes("UTF-8"))
+    assert(Multimodal.decodeFrame(text) == Multimodal.decodeStub(text),
+      "text bytes must take the stub path unchanged")
+    // valid PNG magic, garbage body: the router must not throw
+    val corrupt = Multimodal.Frame(2L, 0L,
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 42, 42, 42))
+    assert(Multimodal.decodeFrame(corrupt) == Multimodal.decodeStub(corrupt),
+      "corrupt image must quarantine to the stub, not kill the pass")
+  }
+
+  test("decodeFrames router: PNG blobs pass whole and decode for real") {
+    // a 3x5 PNG larger than one stride would slice — must stay whole.
+    // Binary payloads enter via decodeFramesOfBlobs: the text
+    // adapter's cast("binary") is UTF-8 and cannot carry image bytes.
+    val png = pngBytes(Array.fill(5)(Array.fill(3)(0x808080)))
+    val mixed = Seq(
+      (10L, png),
+      (11L, Array.fill(200)('t'.toByte))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeFramesOfBlobs(mixed, frameSize = 64, stride = 128)
+      .collect().groupBy(_.doc_id)
+    val img = out(10L)
+    assert(img.length == 1, s"image blob must be ONE whole frame: ${img.toSeq}")
+    assert((img.head.width, img.head.height) == ((3, 5)),
+      s"real decoded dims: ${img.head}")
+    assert(math.abs(img.head.mean_luma - 128.0) < 0.5,
+      s"gray 0x80 luma ~128: ${img.head}")
+    // the text doc still slices into stride frames on the stub path
+    assert(out(11L).length == 2, s"text doc frames: ${out(11L).toSeq}")
+  }
+
+  test("synthPngCorpus -> decodeImageStats round trip matches the pixel recipe") {
+    val docs = Seq((3L, "a"), (4L, "b")).toDF("doc_id", "text")
+    val got = Multimodal.decodeImageStats(Multimodal.synthPngCorpus(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    Seq(3L, 4L).foreach { d =>
+      val hs = (0 until 64).map(i => fnv(s"$d:$i"))
+      val want = (8, 8,
+        hs.map(h => (h >>> 8) & 0xff).sum,
+        hs.map(h => (h >>> 16) & 0xff).sum,
+        hs.map(h => (h >>> 24) & 0xff).sum)
+      assert(got(d) == want, s"doc $d: ${got(d)} vs $want — the real " +
+        "PNG encode->decode round trip must be lossless")
+    }
+  }
 }
