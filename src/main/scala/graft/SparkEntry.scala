@@ -1028,6 +1028,35 @@ object SparkEntry {
       EventOps.abTestCuped(Tables.events(s, dir))),
     "events_ab_mannwhitney" -> ((s, dir) =>
       EventOps.abTestMannWhitney(Tables.events(s, dir))),
+    // streaming A/B monitor, batch-folded: watermarked daily partials
+    // of the six sufficient statistics → the SHARED welchReadout
+    // closed form; StreamingSpec drives the partial store through
+    // MemoryStream micro-batches
+    "stream_ab_readout" -> ((s, dir) =>
+      graft.streaming.EventStream.abReadout(Tables.events(s, dir))),
+    // z-order layout plan: per file-bucket pruning-stat manifest
+    // from the fixed-prefix interleaved key — bucket assignment is a
+    // pure projection (no range sampling, no global sort). Dims are
+    // range-scaled into the full 16-bit grid via exact integer
+    // division (an unscaled dim leaves the key prefix constant and
+    // every row lands in one bucket); the max() pair is a one-row
+    // broadcast, same pattern as the calendar midpoints
+    "lake_zorder_plan" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val stats = o.agg(
+        max(col("o_custkey")).as("max_c"),
+        max(datediff(col("o_orderdate"), lit("1992-01-01"))).cast("long")
+          .as("max_d"))
+      graft.sources.Lake.zorderPlan(
+        o.crossJoin(broadcast(stats)).select(
+          expr("(o_custkey * 65536) div (max_c + 1)").as("cust16"),
+          expr(s"(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            s" * 65536) div (max_d + 1)").as("day16")),
+        Seq("cust16", "day16"))
+    }),
+    // BM25 lexical retrieval over the df-capped postings trunk
+    "text_bm25_topk" -> ((s, dir) =>
+      Similarity.bm25TopK(Tables.documents(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -4881,6 +4910,109 @@ object SparkEntry {
         |SELECT event_type, n_a, n_b, r_a AS rank_sum_a, u_a,
         | (u_a - CAST(n_a AS DOUBLE) * n_b / 2.0) / sqrt(var_u) AS z_u
         |FROM s WHERE var_u > 0""".stripMargin.replace("\n", " "),
+    "stream_ab_readout" ->
+      // mirrors the streaming two-level plan: daily partials of the
+      // six sufficient statistics, THEN the per-type total, THEN the
+      // shared Welch closed form — so both engines sum the same
+      // partials in the same nesting (only within-day order floats,
+      // the events_ab_sequential last-ulp class)
+      """WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        | substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+        |   < '80000000' AS is_a,
+        | value FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT event_type, day,
+        |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS d_na,
+        |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS d_nb,
+        |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS d_sa,
+        |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS d_sb,
+        |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+        |   AS d_qa,
+        |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+        |   AS d_qb
+        | FROM g GROUP BY 1, 2),
+        |a AS (SELECT event_type,
+        |  CAST(sum(d_na) AS BIGINT) AS n_a, CAST(sum(d_nb) AS BIGINT) AS n_b,
+        |  sum(d_sa) AS s_a, sum(d_sb) AS s_b,
+        |  sum(d_qa) AS q_a, sum(d_qb) AS q_b
+        | FROM d GROUP BY 1 HAVING sum(d_na) > 1 AND sum(d_nb) > 1),
+        |w AS (SELECT event_type, n_a, n_b,
+        |  CAST(n_a AS DOUBLE) / (n_a + n_b) AS share_a,
+        |  s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+        |  greatest((q_a - s_a * s_a / n_a) / (n_a - 1), 0) / n_a AS se_a,
+        |  greatest((q_b - s_b * s_b / n_b) / (n_b - 1), 0) / n_b AS se_b
+        | FROM a)
+        |SELECT event_type, n_a, n_b, share_a, mean_a, mean_b,
+        | (mean_a - mean_b) / sqrt(se_a + se_b) AS welch_t,
+        | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
+        |   + se_b * se_b / (n_b - 1)) AS welch_df
+        |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
+    "lake_zorder_plan" -> {
+      // the 2×16-bit Morton interleave unrolled term-by-term (dim 0
+      // at even bit positions, dim 1 at odd — zorderValue's layout),
+      // bucket = top 6 bits of the 32-bit key; pure integer math,
+      // bit-exact
+      val terms = (0 until 16).flatMap { bit =>
+        Seq(s"((x // ${1L << bit}) % 2) * ${1L << (2 * bit)}",
+          s"((y // ${1L << bit}) % 2) * ${1L << (2 * bit + 1)}")
+      }.mkString(" + ")
+      s"""WITH mm AS (SELECT max(o_custkey) AS max_c,
+         |  max(CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+         |    AS BIGINT)) AS max_d FROM orders),
+         |q AS (SELECT
+         |  least(greatest((o_custkey * 65536) // (mm.max_c + 1), 0),
+         |    65535) AS x,
+         |  least(greatest((CAST(date_diff('day', DATE '1992-01-01',
+         |    o_orderdate) AS BIGINT) * 65536) // (mm.max_d + 1), 0),
+         |    65535) AS y
+         | FROM orders, mm),
+         |z AS (SELECT x, y, ($terms) // ${1L << 26} AS file_bucket FROM q)
+         |SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(min(x) AS BIGINT) AS min_cust16,
+         | CAST(max(x) AS BIGINT) AS max_cust16,
+         | CAST(min(y) AS BIGINT) AS min_day16,
+         | CAST(max(y) AS BIGINT) AS max_day16
+         |FROM z GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
+    "text_bm25_topk" ->
+      // same tokenization + df-capped postings trunk as the RRF
+      // lexical side; the score folds term contributions in TOKEN
+      // order via list_reduce over the sorted struct list (matching
+      // Spark's array_sort → aggregate), so exact-duplicate docs
+      // score bit-identically and tie by neighbor_id the same way in
+      // both engines
+      """WITH t AS (SELECT doc_id, unnest(
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |  AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        | FROM t GROUP BY 1),
+        |cs AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+        | GROUP BY 1 HAVING count(*) >= 2
+        |  AND count(*) <= (SELECT floor(0.9 * n_docs) FROM cs)),
+        |p AS (SELECT tf.doc_id, tf.tok, tf.tf, dfr.df
+        | FROM tf JOIN dfr USING (tok)),
+        |terms AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+        |  c.tok,
+        |  ln((cs.n_docs - c.df + 0.5) / (c.df + 0.5) + 1.0) *
+        |   ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl)))
+        |   AS term
+        | FROM p q JOIN p c ON c.tok = q.tok AND c.doc_id != q.doc_id
+        | JOIN dl ON dl.doc_id = c.doc_id, cs
+        | WHERE q.doc_id % 100 = 0),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list({'tok': tok, 'term': term})),
+        |      x -> struct_extract(x, 'term'))),
+        |    (acc, v) -> acc + v) AS bm25
+        | FROM terms GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, bm25 FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY bm25 DESC, neighbor_id) <= 10"""
+        .stripMargin.replace("\n", " "),
     "events_ab_cuped" ->
       // same coin; per-user (pre, post) means at the typePsi calendar
       // midpoint, pooled moments in one conditional aggregate, then

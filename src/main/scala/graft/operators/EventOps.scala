@@ -1313,8 +1313,11 @@ object EventOps {
     * sufficient statistics (n, Σv, Σv²) per arm — shared by the
     * end-of-experiment readout ([[abTest]]) and the sequential curve
     * ([[abTestSequential]]), so both driver keys and both oracles
-    * carry the identical expression tree. */
-  private def welchReadout(stats: DataFrame, keyCols: Seq[Column]): DataFrame = {
+    * carry the identical expression tree. Shared with the streaming
+    * monitor ([[graft.streaming.EventStream.abReadoutFromPartials]]):
+    * the readout math must be ONE definition wherever the sufficient
+    * statistics come from. */
+  private[graft] def welchReadout(stats: DataFrame, keyCols: Seq[Column]): DataFrame = {
     val meanA = col("s_a") / col("n_a")
     val meanB = col("s_b") / col("n_b")
     // clamp at 0: Σv² − (Σv)²/n can go a last-ulp negative under

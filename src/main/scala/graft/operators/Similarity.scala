@@ -965,6 +965,73 @@ object Similarity {
     rrfFuse(Seq(dense, lex), k, rrfK)
   }
 
+  /** BM25 lexical top-k — the classic probabilistic ranking function
+    * (Robertson–Spärck Jones), the retrieval-quality upgrade over
+    * [[hybridRrfTopK]]'s raw shared-token count: per shared term,
+    * idf = ln(1 + (N − df + ½)/(df + ½)) weighs rarity and the
+    * (k1, b) saturation normalizes term frequency by document length.
+    * Candidate generation is a hash-partitioned token equi-join over
+    * postings pruned by a STOPWORD-FRACTION cap: tokens in more than
+    * `maxDfFrac` of documents are dropped (df = 1 hapaxes too — a
+    * token in one document can never be shared). A fractional cap,
+    * not the dedup family's absolute one, because retrieval must
+    * keep the informative mid-frequency band at any corpus size;
+    * on a Zipf vocabulary the cap bounds the posting-join fan-out to
+    * maxDfFrac·N per token, and lowering it is the production lever
+    * (block-max/WAND skipping is the next tier when common terms
+    * must still score).
+    *
+    * The per-pair score folds its term contributions in TOKEN order
+    * (array_sort → sequential `aggregate`), not hash-aggregate
+    * order: exact-duplicate documents then score bit-identically
+    * within each engine, so their rank tie breaks by neighbor_id the
+    * same way everywhere — a plain float `sum` would let partition
+    * order split dup ties across engines.
+    */
+  def bm25TopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
+               maxDfFrac: Double = 0.9, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // N and avgdl: one-row aggregates broadcast into the term scan
+    val corpusStats = broadcast(
+      dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl")))
+    val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(corpusStats)
+      .filter(col("df") >= 2 &&
+        col("df") <= floor(lit(maxDfFrac) * col("n_docs")))
+      .select("tok", "df")
+    val posts = tf.join(dfRel, Seq("tok"))
+    val idf = log(
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
+        lit(1.0))
+    val sat = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val terms = posts.filter(col("doc_id") % queryMod === 0)
+      .select(col("tok"), col("doc_id").as("query_id"))
+      .join(posts, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(corpusStats)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("tok"),
+        (idf * sat).as("term"))
+    val scored = terms
+      .groupBy("query_id", "neighbor_id")
+      .agg(aggregate(
+        transform(
+          array_sort(collect_list(struct(col("tok"), col("term")))),
+          s => s.getField("term")),
+        lit(0.0), (acc, x) => acc + x).as("bm25"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bm25"))
+  }
+
   /** Hubness diagnostic over the exact kNN graph of a sampled slice
     * — the classic high-dimensional failure mode where a few "hub"
     * vectors appear in everyone's top-k while antihubs are never

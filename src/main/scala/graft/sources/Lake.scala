@@ -47,6 +47,34 @@ object Lake {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Z-order layout PLAN over a fact table: per fixed-prefix file
+    * bucket (the top `bucketBits` bits of the interleaved key), row
+    * count and per-dimension min/max — the pruning-stat manifest a
+    * z-ordered writer would ship, as a queryable relation. The
+    * planning pass needs NO global sort: the z-key's fixed prefix IS
+    * the range split (unlike `repartitionByRange`, which samples),
+    * so bucket assignment is a pure codegen'd projection and the
+    * manifest one tiny aggregate — the same plan at 100 TB. Input
+    * dims must already be quantized to [0, 2^bitsPerDim); min/max
+    * here are the stats a reader's pruning would consult, and their
+    * per-bucket TIGHTNESS (span ≪ global range on every dim at
+    * once) is exactly what z-ordering buys over a single-column
+    * sort.
+    */
+  def zorderPlan(df: DataFrame, dimNames: Seq[String],
+                 bitsPerDim: Int = 16, bucketBits: Int = 6): DataFrame = {
+    val width = bitsPerDim * dimNames.size
+    require(bucketBits >= 1 && bucketBits <= width,
+      s"bucketBits $bucketBits outside 1..$width")
+    df.withColumn("file_bucket",
+        shiftright(zorderValue(dimNames.map(col), bitsPerDim),
+          width - bucketBits))
+      .groupBy("file_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        dimNames.flatMap(n =>
+          Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n"))): _*)
+  }
+
   /** Write parquet range-partitioned + sorted by the z-order key of
     * `dims`: each output file covers a tight hyper-rectangle of the
     * clustered dimensions, so min/max stats prune on any of them.

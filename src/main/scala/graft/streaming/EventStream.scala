@@ -60,6 +60,60 @@ object EventStream extends Serializable {
         col("window.end").as("window_end"),
         col("active_users"), col("n_events"))
 
+  /** Watermarked daily partials of the A/B sufficient statistics —
+    * the streaming STATE of the experimentation monitor. This is
+    * exactly the two-level plan
+    * [[graft.operators.EventOps.abTestSequential]] documents as its
+    * streaming shape: events collapse to one row per (event_type,
+    * day window) carrying the six conditional sums (n, Σv, Σv²) per
+    * arm; the watermark closes a day and evicts its state, update
+    * mode re-emits a day's row as late events land inside the
+    * watermark. State is O(types · open days) — bounded, never the
+    * fact stream. Arm assignment is the same portable md5 coin, so
+    * the stream and the batch oracle agree bit-for-bit on WHO is in
+    * which arm.
+    */
+  def abDailyPartials(events: DataFrame, salt: String = "ab42",
+                      watermark: String = "1 day"): DataFrame = {
+    val isA = graft.operators.Sampling
+      .sampleKey(col("user_id"), salt) < lit("80000000")
+    val va = when(col("is_a"), col("value")).otherwise(lit(0.0))
+    val vb = when(!col("is_a"), col("value")).otherwise(lit(0.0))
+    withWatermarkIfStreaming(events, watermark)
+      .filter(col("ts").isNotNull)
+      .select(col("ts"), col("event_type"), isA.as("is_a"), col("value"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("d_na"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("d_nb"),
+        sum(va).as("d_sa"), sum(vb).as("d_sb"),
+        sum(va * col("value")).as("d_qa"), sum(vb * col("value")).as("d_qb"))
+      .select(col("window.start").cast("date").as("day"),
+        col("event_type"),
+        col("d_na"), col("d_nb"), col("d_sa"), col("d_sb"),
+        col("d_qa"), col("d_qb"))
+  }
+
+  /** Consumer-side readout over the partial store: fold the daily
+    * sufficient statistics per type and apply the SHARED Welch
+    * closed form ([[graft.operators.EventOps.welchReadout]] — one
+    * definition of the math for batch, sequential, and streaming).
+    * The fold is O(types · days); the readout can run at any cadence
+    * against the partials sink without touching an event.
+    */
+  def abReadoutFromPartials(partials: DataFrame): DataFrame =
+    graft.operators.EventOps.welchReadout(
+      partials.groupBy("event_type")
+        .agg(sum("d_na").as("n_a"), sum("d_nb").as("n_b"),
+          sum("d_sa").as("s_a"), sum("d_sb").as("s_b"),
+          sum("d_qa").as("q_a"), sum("d_qb").as("q_b")),
+      keyCols = Seq(col("event_type")))
+
+  /** Batch fold of the full monitor: partials → readout, the driver
+    * key / oracle twin of the streaming deployment. */
+  def abReadout(events: DataFrame, salt: String = "ab42"): DataFrame =
+    abReadoutFromPartials(abDailyPartials(events, salt))
+
   /** Stream-static enrichment: the event stream joined against a
     * slowly-changing dimension (customer segment), aggregated per
     * (segment, event_type). The static side broadcasts, so the

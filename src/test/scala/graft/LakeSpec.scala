@@ -136,4 +136,29 @@ class LakeSpec extends SparkSpec {
     assert(zX < 1023 * 0.7, s"x must stay clustered too, range $zX")
     assert(spark.read.parquet(s"$dir/byz").count() == 4096)
   }
+
+  test("zorderPlan: buckets partition rows, stats tight on both dims") {
+    val data = (0 until 4096)
+      .map(i => ((i * 2654435761L) % 1024, i.toLong % 1024))
+      .toDF("x", "y")
+    val plan = Lake.zorderPlan(data, Seq("x", "y"), bitsPerDim = 10,
+      bucketBits = 4).collect()
+    assert(plan.map(_.getAs[Long]("n_rows")).sum == 4096L,
+      "buckets must partition the input")
+    assert(plan.length == 16, s"4 prefix bits → 16 buckets: ${plan.length}")
+    // the fixed-prefix bucket = 2 leading bits of EACH dim → every
+    // bucket's span on each dim is a quarter of the 1024 grid
+    plan.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 255,
+        s"x span loose in bucket $r")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 255,
+        s"y span loose in bucket $r")
+    }
+    // assignment is a pure projection: no exchange anywhere before
+    // the final aggregate's own shuffle
+    val planStr = Lake.zorderPlan(data, Seq("x", "y"), bitsPerDim = 10,
+      bucketBits = 4).queryExecution.executedPlan.toString
+    assert(planStr.split("Exchange").length <= 2,
+      s"one aggregate exchange only:\n$planStr")
+  }
 }

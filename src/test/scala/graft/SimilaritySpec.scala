@@ -91,6 +91,32 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean LSH recall $mean too low")
   }
 
+  test("bm25TopK: tf drives rank, stopwords pruned, dup docs tie by id") {
+    val docs = Seq(
+      (0L, "zebra the the"), // the query (doc_id % 100 == 0)
+      (1L, "zebra zebra the pad"),
+      (2L, "zebra the pad pad"),
+      (3L, "the pad pad pad"), // shares only the stopword → no row
+      (4L, "zebra zebra the pad")) // exact dup of doc 1
+      .toDF("doc_id", "text")
+    val got = Similarity.bm25TopK(docs, queryMod = 100, k = 10,
+      maxDfFrac = 0.9)
+      .collect().sortBy(r => -r.getDouble(2) -> r.getLong(1))
+    // 'the' (df 5 of 5 > 0.9·5) is a stopword; 'zebra' df 4 reaches
+    // docs 1, 2, 4 — doc 3 never becomes a candidate
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 4L, 2L),
+      s"rank order: ${got.toSeq}")
+    // exact duplicates score BIT-identically (token-ordered fold)
+    assert(got(0).getDouble(2) == got(1).getDouble(2),
+      s"dup docs must tie exactly: ${got.toSeq}")
+    // hand replay of doc 1's score: one shared term, tf=2, dl=4,
+    // avgdl=19/5, N=5, df(zebra)=4
+    val idf = math.log((5.0 - 4 + 0.5) / (4 + 0.5) + 1.0)
+    val sat = (2L * 2.2) / (2L + 1.2 * (0.25 + 0.75 * 4L / (19.0 / 5)))
+    assert(math.abs(got(0).getDouble(2) - idf * sat) < 1e-12,
+      s"score ${got(0).getDouble(2)} vs ${idf * sat}")
+  }
+
   test("LSH multiprobe lifts recall at the same table layout") {
     def meanRecall(mp: Int): Double = {
       val got = topkSets(Similarity.lshTopK(emb, queries, k = 10,

@@ -85,6 +85,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("abDailyPartials over MemoryStream: state merges, readout = batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.abDailyPartials(mem.toDF())
+      .writeStream.format("memory").queryName("ab_partials_test")
+      .outputMode("complete").start()
+    // 40 users, one event each, split across two days
+    val evts = (1L to 40L).map(u => Event(u, ts(if (u % 2 == 0) 1 else 13, 0),
+      u, "exp", u.toDouble))
+    try {
+      mem.addData(evts.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(evts.drop(20): _*) // second batch merges into day state
+      q.processAllAvailable()
+      val partials = spark.table("ab_partials_test")
+      // one day (all ts on 2024-01-01), both batches merged
+      assert(partials.count() == 1, s"one (day, type) row")
+      val r = partials.head()
+      assert(r.getAs[Long]("d_na") + r.getAs[Long]("d_nb") == 40L,
+        s"all events counted: $r")
+      // the streamed partial store folds to the SAME readout as the
+      // batch operator over the same events (shared welchReadout)
+      val streamed = EventStream.abReadoutFromPartials(partials).collect()
+      val batch = EventStream.abReadout(evts.toDF()).collect()
+      assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+        s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("abReadout two-level fold matches the one-pass abTest math") {
+    val e = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val direct = graft.operators.EventOps.abTest(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val folded = EventStream.abReadout(e).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(folded.keySet == direct.keySet)
+    folded.foreach { case (tpe, f) =>
+      val d = direct(tpe)
+      assert(f.getLong(1) == d.getLong(1) && f.getLong(2) == d.getLong(2))
+      (3 to 7).foreach { i =>
+        val (a, b) = (f.getDouble(i), d.getDouble(i))
+        // identical sufficient statistics summed day-first vs direct:
+        // only float association differs
+        assert(math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b)),
+          s"$tpe col $i: $a vs $b")
+      }
+    }
+  }
+
   test("batch twin of hourlyWindow equals streaming result") {
     val batch = EventStream.hourlyWindow(sampleEvents.toDF())
       .collect()
