@@ -362,6 +362,9 @@ object SparkEntry {
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
+    // data-driven Markov attribution beside the rule-based key
+    "events_attribution_markov" -> ((s, dir) =>
+      EventOps.markovAttribution(Tables.events(s, dir))),
     "events_attribution" -> ((s, dir) =>
       EventOps.lastTouchAttribution(Tables.events(s, dir))),
     "text_pii_scrub" -> ((s, dir) => TextAnalysis.piiScrub(Tables.documents(s, dir))),
@@ -547,6 +550,10 @@ object SparkEntry {
     }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
+    // spherical k-means assignment, training loop unrolled in the
+    // oracle (deterministic min-id init; float-snapped centroids)
+    "emb_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(Tables.embeddings(s, dir))),
     "emb_norm_profile" -> ((s, dir) =>
       Similarity.normProfile(Tables.embeddings(s, dir))),
     // scalar (vec_id, dim, value) shape — the raw array<float> column
@@ -2522,6 +2529,44 @@ object SparkEntry {
          |sel1 AS MATERIALIZED (SELECT query_id, neighbor_id FROM p1),
          |$steps
          |$unions""".stripMargin.replace("\n", " ")
+    },
+    "emb_kmeans_assign" -> {
+      // two Lloyd iterations unrolled (the MMR/pagerank CTE pattern
+      // on VECTOR state): assignment = per-vector cosine argmax over
+      // the centroid table (tie: cell asc, the kernel's order);
+      // update = per-(cell, dim) mean FLOAT-narrowed (summation-order
+      // ulps snap away, so both engines train on identical state);
+      // an empty cell keeps its previous centroid
+      def assign(src: String, cents: String) =
+        s"""(SELECT vec_id, cell FROM (
+           | SELECT e.vec_id, c.cell, row_number() OVER (
+           |   PARTITION BY e.vec_id ORDER BY
+           |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           |      CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+           | FROM $src e, $cents c) x WHERE rn = 1)"""
+      def update(assigned: String, prev: String) =
+        s"""(SELECT p.cell,
+           |  coalesce(m.emb, CAST(p.embedding AS FLOAT[])) AS embedding
+           | FROM $prev p LEFT JOIN (
+           |  SELECT a.cell, list(v ORDER BY i) AS emb FROM (
+           |   SELECT a.cell, g.i,
+           |    CAST(avg(CAST(e.embedding[g.i] AS DOUBLE)) AS FLOAT) AS v
+           |   FROM $assigned a JOIN embeddings e USING (vec_id),
+           |    LATERAL (SELECT unnest(generate_series(1,
+           |      len(e.embedding))) AS i) g
+           |   GROUP BY 1, 2) a GROUP BY 1) m USING (cell))"""
+      s"""WITH c0 AS MATERIALIZED (
+         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         |  embedding
+         | FROM (SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY vec_id LIMIT 8) s),
+         |a0 AS MATERIALIZED ${assign("embeddings", "c0")},
+         |c1 AS MATERIALIZED ${update("a0", "c0")},
+         |a1 AS MATERIALIZED ${assign("embeddings", "c1")},
+         |c2 AS MATERIALIZED ${update("a1", "c1")}
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+         |FROM ${assign("embeddings", "c2")} f"""
+        .stripMargin.replace("\n", " ")
     },
     "ann_rrf_hybrid" ->
       // both retrievers replayed in full: dense ranks from the same
@@ -4877,6 +4922,64 @@ object SparkEntry {
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
         |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
+    "events_attribution_markov" -> {
+      // the 12 clamped value-iteration rounds unrolled as CTEs over
+      // the (removal × state) grid — same truncation point as the
+      // Scala fold, so only float summation order differs (driver
+      // tolerance class); journey truncation, START/NULL edges and
+      // the transition probabilities replay the Spark windows 1:1
+      val iterCtes = (1 to 12).map { k =>
+        val prev = if (k == 1) "v0" else s"v${k - 1}"
+        s"""v$k AS MATERIALIZED (SELECT g.rm, g.s,
+           | CASE WHEN g.s = 'CONV' THEN 1.0 WHEN g.s = 'NULL' THEN 0.0
+           |  WHEN g.s = g.rm THEN 0.0 ELSE coalesce(g.acc, 0.0) END AS v
+           | FROM (SELECT b.rm, b.s, sum(pr.p * pv.v) AS acc
+           |  FROM (SELECT rm, s FROM v0) b
+           |  LEFT JOIN probs pr ON pr.f = b.s
+           |  LEFT JOIN $prev pv ON pv.rm = b.rm AND pv.s = pr.t
+           |  GROUP BY 1, 2) g)"""
+      }.mkString(",")
+      s"""WITH st AS (SELECT user_id, ts, event_id,
+         |  CASE WHEN event_type = 'purchase' THEN 'CONV'
+         |   ELSE event_type END AS state
+         | FROM events WHERE ts IS NOT NULL),
+         |kept AS MATERIALIZED (SELECT user_id, ts, event_id, state FROM (
+         |  SELECT *, count(CASE WHEN state = 'CONV' THEN 1 END) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc
+         |  FROM st) x WHERE coalesce(pc, 0) = 0),
+         |pairs AS (SELECT coalesce(lag(state) OVER (
+         |   PARTITION BY user_id ORDER BY ts, event_id), 'START') AS f,
+         |  state AS t FROM kept
+         | UNION ALL
+         | SELECT state AS f, 'NULL' AS t FROM (
+         |  SELECT state, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rrn FROM kept) e
+         | WHERE rrn = 1 AND state != 'CONV'),
+         |probs AS MATERIALIZED (SELECT f, t,
+         |  CAST(count(*) AS DOUBLE) /
+         |   CAST(sum(count(*)) OVER (PARTITION BY f) AS DOUBLE) AS p
+         | FROM pairs GROUP BY 1, 2),
+         |chans AS (SELECT DISTINCT f AS ch FROM probs
+         | WHERE f NOT IN ('START', 'CONV', 'NULL')),
+         |rms AS (SELECT ch FROM chans UNION ALL SELECT '__all__'),
+         |sts AS (SELECT DISTINCT s FROM (
+         | SELECT f AS s FROM probs UNION SELECT t FROM probs
+         | UNION SELECT 'CONV' UNION SELECT 'NULL') u),
+         |v0 AS MATERIALIZED (SELECT rm.ch AS rm, s.s,
+         |  CASE WHEN s.s = 'CONV' THEN 1.0 ELSE 0.0 END AS v
+         | FROM rms rm, sts s),
+         |$iterCtes,
+         |fin AS (SELECT v.rm AS channel, v.v AS p_removed,
+         |  (SELECT b.v FROM v12 b
+         |   WHERE b.rm = '__all__' AND b.s = 'START') AS p_conv
+         | FROM v12 v WHERE v.s = 'START' AND v.rm != '__all__')
+         |SELECT channel, p_conv, p_removed,
+         | 1.0 - p_removed / p_conv AS removal_effect,
+         | (1.0 - p_removed / p_conv) /
+         |  sum(1.0 - p_removed / p_conv) OVER () AS share
+         |FROM fin WHERE p_conv > 0""".stripMargin.replace("\n", " ")
+    },
     "events_ab_mannwhitney" ->
       // rank-sum robustness twin of events_ab_ttest: same md5 coin,
       // midrank ties via the cumulative-count window over the

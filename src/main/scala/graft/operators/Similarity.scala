@@ -295,6 +295,46 @@ object Similarity {
     cents
   }
 
+  /** K-means cluster ASSIGNMENT as a first-class operator (spherical
+    * k-means: cosine-argmax assignment, per-cell mean update — the
+    * natural metric for embedding corpora, and cosine's scale
+    * invariance means the mean needs no re-normalization). Init is
+    * the k smallest vec_ids: deterministic and SQL-replayable, so
+    * the driver key's oracle unrolls the WHOLE training loop as
+    * chained CTEs (the pagerank/MMR unrolling pattern, applied to
+    * vector state); production callers swap in [[trainCentroids]]'
+    * hash-thinned init without touching the loop. Each iteration is
+    * ONE broadcast of k·dim floats out, ONE codegen'd argmax pass,
+    * ONE per-(cell, dim) scalar aggregate back — vectors never
+    * shuffle, and the driver holds k·dim floats, never vectors.
+    * Updated centroids are FLOAT-narrowed (the mm_pooled_topk grid
+    * snap): the engines' summation-order ulps on the per-dim means
+    * collapse, so the unrolled oracle trains on bit-identical state.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    var cents: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .sort("vec_id").limit(k)
+      .collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    for (_ <- 0 until iters) {
+      val byCell = corpus
+        .select(gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"),
+          posexplode(col("embedding")))
+        .groupBy("cell", "pos")
+        .agg(avg("col").as("v"))
+        .collect()
+        .groupBy(_.getInt(0))
+      cents = cents.indices.map(c =>
+        byCell.get(c)
+          .map(_.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+          .getOrElse(cents(c))) // empty cell keeps its centroid
+        .toArray
+    }
+    corpus.select(col("vec_id"),
+      gf.nearestCentroids(col("embedding"), cents, 1)(0).cast("long").as("cell"))
+  }
+
   /** IVF search with k-means-trained centroids (trained on a
     * bounded sample by default — see [[trainSample]]). */
   def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, k: Int = 10,

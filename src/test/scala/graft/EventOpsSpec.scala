@@ -703,6 +703,46 @@ class EventOpsSpec extends SparkSpec {
     assert(row.getLong(0) + row.getLong(1) == 30L)
   }
 
+  test("markovAttribution: sole-path channels carry all credit, bystander none") {
+    // users 1,2: A → B → purchase; user 3: C → (no conversion).
+    // Removing A or B kills every conversion (effect 1); C touches
+    // only the null path (effect 0). p_conv = 2/3 of START mass.
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "B", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 1.0),
+      (4L, "2024-01-01 11:00:00", 2L, "A", 0.0),
+      (5L, "2024-01-01 11:01:00", 2L, "B", 0.0),
+      (6L, "2024-01-01 11:02:00", 2L, "purchase", 1.0),
+      (7L, "2024-01-01 12:00:00", 3L, "C", 0.0))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = EventOps.markovAttribution(e).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == Set("A", "B", "C"))
+    got.values.foreach { case (pAll, _, _, _) =>
+      assert(math.abs(pAll - 2.0 / 3) < 1e-12, s"base conversion: $got") }
+    assert(math.abs(got("A")._3 - 1.0) < 1e-12, s"A removal effect: $got")
+    assert(math.abs(got("B")._3 - 1.0) < 1e-12, s"B removal effect: $got")
+    assert(math.abs(got("C")._3) < 1e-12, s"C is a bystander: $got")
+    assert(math.abs(got("A")._4 - 0.5) < 1e-12 &&
+      math.abs(got("B")._4 - 0.5) < 1e-12, s"credit splits A/B: $got")
+  }
+
+  test("markovAttribution: events after the first conversion are ignored") {
+    // user converts then wanders: post-conversion D must not appear
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "A", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "purchase", 1.0),
+      (3L, "2024-01-01 10:02:00", 1L, "D", 0.0))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = EventOps.markovAttribution(e).collect().map(_.getString(0)).toSet
+    assert(got == Set("A"), s"post-conversion states must vanish: $got")
+  }
+
   test("abTestMannWhitney: U and z match a driver-side midrank replay") {
     def isA(u: Long): Boolean = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -91,6 +91,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean LSH recall $mean too low")
   }
 
+  test("kmeansAssign: planted clusters separate; assignment total and stable") {
+    // two tight clusters on opposite axes + the min-id init seeds
+    // (vec 0 in cluster A, vec 1 in cluster B) — k=2 must recover them
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val rows = (0L until 40L).map(i =>
+      (i, jitter(if (i % 2 == 0) a else b)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40, "every vector assigned")
+    // perfect separation: evens together, odds together, different cells
+    val evens = (0L until 40L by 2).map(got).toSet
+    val odds = (1L until 40L by 2).map(got).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds,
+      s"clusters must separate: evens $evens odds $odds")
+    // determinism: a second run reproduces the assignment exactly
+    val again = Similarity.kmeansAssign(df, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("bm25TopK: tf drives rank, stopwords pruned, dup docs tie by id") {
     val docs = Seq(
       (0L, "zebra the the"), // the query (doc_id % 100 == 0)
