@@ -1035,6 +1035,13 @@ object SparkEntry {
       EventOps.abTestCuped(Tables.events(s, dir))),
     "events_ab_mannwhitney" -> ((s, dir) =>
       EventOps.abTestMannWhitney(Tables.events(s, dir))),
+    "events_ab_mde" -> ((s, dir) =>
+      EventOps.abTestMde(Tables.events(s, dir))),
+    // label-consistency audit: every vector's cosine to its own
+    // label centroid (no threshold filter — float-boundary row sets
+    // are engine-unstable; the cut belongs to the consumer)
+    "emb_label_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(Tables.embeddings(s, dir))),
     // streaming A/B monitor, batch-folded: watermarked daily partials
     // of the six sufficient statistics → the SHARED welchReadout
     // closed form; StreamingSpec drives the partial store through
@@ -4922,6 +4929,52 @@ object SparkEntry {
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
         |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
+    "events_ab_mde" -> {
+      // same six sufficient statistics + clamps as events_ab_ttest;
+      // the z-quantile sum is ONE pre-added double literal on both
+      // engines (adding two literals engine-side could differ in
+      // constant-folding order)
+      val z = (1.959963984540054 + 0.8416212335729143).toString
+      s"""WITH g AS (SELECT event_type,
+         | substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+         |   < '80000000' AS is_a,
+         | value FROM events),
+         |a AS (SELECT event_type,
+         |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS s_a,
+         |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END) AS s_b,
+         |  sum(CASE WHEN is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+         |   AS q_a,
+         |  sum(CASE WHEN NOT is_a THEN value ELSE CAST(0 AS DOUBLE) END * value)
+         |   AS q_b
+         | FROM g GROUP BY 1 HAVING n_a > 1 AND n_b > 1),
+         |w AS (SELECT event_type, n_a, n_b, s_b,
+         |  greatest((q_a - s_a * s_a / n_a) / (n_a - 1), 0) / n_a
+         |   + greatest((q_b - s_b * s_b / n_b) / (n_b - 1), 0) / n_b AS se2
+         | FROM a)
+         |SELECT event_type, n_a, n_b,
+         | $z * sqrt(se2) AS mde_abs,
+         | ($z * sqrt(se2)) / (s_b / n_b) AS mde_rel
+         |FROM w WHERE se2 > 0 AND s_b != 0""".stripMargin.replace("\n", " ")
+    },
+    "emb_label_outliers" ->
+      // centroid = the q_embedding_centroids avg replay; cosine from
+      // three scalar sums over the same (label, pos) join — values
+      // ride the driver tolerance, the row set is every vector
+      """WITH c AS (SELECT label, i, avg(embedding[i + 1]) AS av
+        | FROM embeddings, range(64) t(i) GROUP BY 1, 2),
+        |v AS (SELECT vec_id, label,
+        |  CAST(embedding[i + 1] AS DOUBLE) AS x, i
+        | FROM embeddings, range(64) t(i)),
+        |j AS (SELECT v.vec_id, v.label,
+        |  sum(v.x * c.av) AS dot, sum(v.x * v.x) AS n2,
+        |  sum(c.av * c.av) AS c2
+        | FROM v JOIN c ON c.label = v.label AND c.i = v.i
+        | GROUP BY 1, 2)
+        |SELECT vec_id, label,
+        | dot / (sqrt(n2) * sqrt(c2)) AS centroid_cosine
+        |FROM j""".stripMargin.replace("\n", " "),
     "events_attribution_markov" -> {
       // the 12 clamped value-iteration rounds unrolled as CTEs over
       // the (removal × state) grid — same truncation point as the

@@ -1383,6 +1383,42 @@ object EventOps {
       keyCols = Seq(col("event_type"), col("day")))
   }
 
+  /** Minimum-detectable-effect readout — the experiment-SIZING
+    * member of the A/B family: given the observed per-arm variances
+    * and counts, the smallest true mean shift the running experiment
+    * could declare at α=0.05 (two-sided) with 80% power:
+    * MDE = (z₀.₉₇₅ + z₀.₈) · √(s²ₐ/nₐ + s²ᵦ/nᵦ). The platform
+    * answer to "why is my experiment still grey" — if the observed
+    * lift sits under the MDE, the test is underpowered, not null.
+    * Same one-pass sufficient statistics, coin, and clamps as
+    * [[abTest]]; the z quantiles are fixed literals on both engines.
+    */
+  def abTestMde(events: DataFrame, salt: String = "ab42"): DataFrame = {
+    val zAlpha = 1.959963984540054 // Φ⁻¹(0.975)
+    val zBeta = 0.8416212335729143 // Φ⁻¹(0.80)
+    val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
+    val va = when(col("is_a"), col("value")).otherwise(lit(0.0))
+    val vb = when(!col("is_a"), col("value")).otherwise(lit(0.0))
+    val varA = greatest((col("q_a") - col("s_a") * col("s_a") / col("n_a")) /
+      (col("n_a") - lit(1)), lit(0.0))
+    val varB = greatest((col("q_b") - col("s_b") * col("s_b") / col("n_b")) /
+      (col("n_b") - lit(1)), lit(0.0))
+    val se2 = varA / col("n_a") + varB / col("n_b")
+    val mde = lit(zAlpha + zBeta) * sqrt(se2)
+    events.select(col("event_type"), isA.as("is_a"), col("value"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(va).as("s_a"), sum(vb).as("s_b"),
+        sum(va * col("value")).as("q_a"), sum(vb * col("value")).as("q_b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1 && se2 > 0 &&
+        col("s_b") =!= 0.0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        mde.as("mde_abs"),
+        (mde / (col("s_b") / col("n_b"))).as("mde_rel"))
+  }
+
   /** Markov (removal-effect) attribution — the data-driven member of
     * the attribution family (beside the rule-based window key): user
     * journeys become a first-order Markov chain over states

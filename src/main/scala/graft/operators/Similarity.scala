@@ -212,6 +212,35 @@ object Similarity {
       .groupBy("label", "pos")
       .agg(avg("col").as("avg_val"))
 
+  /** Label-consistency audit: each vector's cosine to its OWN
+    * label's centroid — the mislabeled-embedding detector (a vector
+    * far from its label's center is a labeling error, an outlier,
+    * or a label whose cluster assumption is broken; the bottom tail
+    * per label is the re-review queue). Centroids come from ONE
+    * posexplode aggregate ([[labelCentroids]] — O(labels·dim)
+    * scalars, no vector heap objects) and the per-vector cosine is
+    * a second scalar aggregate over the SAME exploded shape joined
+    * on (label, pos) — the centroid relation is broadcast-sized, so
+    * the join adds no shuffle of the corpus. Emits every vector
+    * (values compare under driver tolerance; no threshold filter —
+    * cut policy belongs to the consumer, and a float-boundary row
+    * set would be engine-unstable).
+    */
+  def labelOutliers(embeddings: DataFrame): DataFrame = {
+    val cents = broadcast(labelCentroids(embeddings))
+    embeddings
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .join(cents, Seq("label", "pos"))
+      .groupBy("vec_id", "label")
+      .agg(
+        sum(col("col").cast("double") * col("avg_val")).as("dot"),
+        sum(col("col").cast("double") * col("col").cast("double")).as("n2"),
+        sum(col("avg_val") * col("avg_val")).as("c2"))
+      .select(col("vec_id"), col("label"),
+        (col("dot") / (sqrt(col("n2")) * sqrt(col("c2"))))
+          .as("centroid_cosine"))
+  }
+
   def assembleCentroids(flat: DataFrame): DataFrame =
     flat.groupBy("label")
       .agg(transform(

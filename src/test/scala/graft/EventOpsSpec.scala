@@ -703,6 +703,37 @@ class EventOpsSpec extends SparkSpec {
     assert(row.getLong(0) + row.getLong(1) == 30L)
   }
 
+  test("abTestMde: matches the closed form, shrinks with sample size") {
+    def isA(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:ab42".getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString < "80000000"
+    }
+    def mk(users: Range) = users.map(u =>
+      (u.toLong, "2024-01-01 10:00:00", u.toLong, "exp", (u % 7).toDouble))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val small = EventOps.abTestMde(mk(1 to 60)).head()
+    // reference replay
+    val vals = (1 to 60).map(u => ((u % 7).toDouble, isA(u.toLong)))
+    def stats(arm: Boolean) = {
+      val v = vals.filter(_._2 == arm).map(_._1)
+      val mean = v.sum / v.size
+      (v.size, v.map(x => (x - mean) * (x - mean)).sum / (v.size - 1), v.sum)
+    }
+    val ((nA, varA, _), (nB, varB, sB)) = (stats(true), stats(false))
+    val want = (1.959963984540054 + 0.8416212335729143) *
+      math.sqrt(varA / nA + varB / nB)
+    assert(small.getLong(1) == nA && small.getLong(2) == nB)
+    assert(math.abs(small.getDouble(3) - want) < 1e-9,
+      s"mde_abs ${small.getDouble(3)} vs $want")
+    assert(math.abs(small.getDouble(4) - want / (sB / nB)) < 1e-9)
+    // 4x the users (same value distribution) ≈ halves the MDE
+    val big = EventOps.abTestMde(mk(1 to 240)).head()
+    assert(big.getDouble(3) < small.getDouble(3) * 0.65,
+      s"MDE must shrink ~1/sqrt(n): ${big.getDouble(3)} vs ${small.getDouble(3)}")
+  }
+
   test("markovAttribution: sole-path channels carry all credit, bystander none") {
     // users 1,2: A → B → purchase; user 3: C → (no conversion).
     // Removing A or B kills every conversion (effect 1); C touches

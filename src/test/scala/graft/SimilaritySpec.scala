@@ -91,6 +91,25 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.5, s"mean LSH recall $mean too low")
   }
 
+  test("labelOutliers: planted stray scores far below its label peers") {
+    // label 0: vectors near +x, plus ONE stray pointing at -x;
+    // label 1: tight around +y (control)
+    val rows =
+      (0L until 10L).map(i => (i, 0L, Seq(1f, 0.01f * i, 0f, 0f))) ++
+        Seq((10L, 0L, Seq(-1f, 0f, 0f, 0f))) ++
+        (11L until 20L).map(i => (i, 1L, Seq(0f, 1f, 0.01f * i, 0f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = Similarity.labelOutliers(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 20, "every vector scored")
+    val strays = got(10L)
+    (0L until 10L).foreach(i =>
+      assert(got(i) > 0.9, s"inlier $i: ${got(i)}"))
+    assert(strays < 0.0, s"the planted stray must fall below 0: $strays")
+    (11L until 20L).foreach(i =>
+      assert(got(i) > 0.95, s"control label inlier $i: ${got(i)}"))
+  }
+
   test("kmeansAssign: planted clusters separate; assignment total and stable") {
     // two tight clusters on opposite axes + the min-id init seeds
     // (vec 0 in cluster A, vec 1 in cluster B) — k=2 must recover them
