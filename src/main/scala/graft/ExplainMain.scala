@@ -59,7 +59,12 @@ object ExplainMain {
       "mm_format_psi", "docs_curate_funnel", "stream_freshness",
       // r9 fourth-continuation batch
       "ann_rrf_hybrid", "emb_hubness", "events_ab_ttest",
-      "events_ab_sequential", "events_ab_cuped")
+      "events_ab_sequential", "events_ab_cuped",
+      // r10 batch
+      "events_ab_mannwhitney", "events_ab_mde", "stream_ab_readout",
+      "events_attribution_markov", "text_bm25_topk", "lake_zorder_plan",
+      "emb_kmeans_assign", "emb_label_outliers", "ann_mmr_diverse",
+      "ann_lsh_topk", "mm_decode_png")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -5151,20 +5151,26 @@ object SparkEntry {
         |  AND count(*) <= (SELECT floor(0.9 * n_docs) FROM cs)),
         |p AS (SELECT tf.doc_id, tf.tok, tf.tf, dfr.df
         | FROM tf JOIN dfr USING (tok)),
-        |terms AS (SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
-        |  c.tok,
+        |terms AS MATERIALIZED (SELECT q.doc_id AS query_id,
+        |  c.doc_id AS neighbor_id, c.tok,
         |  ln((cs.n_docs - c.df + 0.5) / (c.df + 0.5) + 1.0) *
         |   ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl)))
         |   AS term
         | FROM p q JOIN p c ON c.tok = q.tok AND c.doc_id != q.doc_id
         | JOIN dl ON dl.doc_id = c.doc_id, cs
         | WHERE q.doc_id % 100 = 0),
+        |apx AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sum(term) DESC, neighbor_id)
+        |    AS rn
+        |  FROM terms GROUP BY 1, 2) a WHERE rn <= 50),
         |s AS (SELECT query_id, neighbor_id,
         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(list_sort(list({'tok': tok, 'term': term})),
         |      x -> struct_extract(x, 'term'))),
         |    (acc, v) -> acc + v) AS bm25
-        | FROM terms GROUP BY 1, 2)
+        | FROM terms JOIN apx USING (query_id, neighbor_id)
+        | GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, bm25 FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY bm25 DESC, neighbor_id) <= 10"""

@@ -198,8 +198,12 @@ object Curation {
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("quality_score") >= minQuality)
       .select("doc_id")
-    val kept = restrict(quality).localCheckpoint(true)
-    val deduped = Dedup.exact(kept).select("doc_id").localCheckpoint(true)
+    // kept/deduped are cheap subtrees (semi-join + one hash agg over
+    // the pinned scored relation) consumed twice each — recomputing
+    // them costs less than a checkpoint job's fixed overhead; only
+    // the stages the EXPENSIVE near-dup gate rescans stay pinned
+    val kept = restrict(quality)
+    val deduped = Dedup.exact(kept).select("doc_id")
     val contaminated = TextAnalysis
       .decontaminate(docs, n = 3, benchMod = benchMod).select("doc_id")
     val curated = kept

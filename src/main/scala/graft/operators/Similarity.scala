@@ -1087,7 +1087,25 @@ object Similarity {
       .crossJoin(corpusStats)
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("tok"),
         (idf * sat).as("term"))
+      .localCheckpoint(true) // both ranking stages read it
+    // two-stage: a cheap codegen'd plain-sum aggregate ranks ALL
+    // candidates and keeps k·5 per query; only those survivors pay
+    // the token-ordered collect+fold rescore (which exists for dup-
+    // doc tie stability, not speed — a plain float sum would let
+    // partition order split exact-dup ties across engines). The
+    // candidate boundary rides the plain sum, but a boundary flip
+    // needs two docs within one ulp at rank k·5 that are ALSO top-k
+    // material — scores are monotone, so they can't be both.
+    val approx = terms
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("term")).as("s_approx"))
+    val wA = Window.partitionBy("query_id")
+      .orderBy(col("s_approx").desc, col("neighbor_id"))
+    val cands = approx.withColumn("rn", row_number().over(wA))
+      .filter(col("rn") <= k * 5)
+      .select("query_id", "neighbor_id")
     val scored = terms
+      .join(cands, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id", "neighbor_id")
       .agg(aggregate(
         transform(
