@@ -1037,6 +1037,14 @@ object SparkEntry {
       EventOps.abTestMannWhitney(Tables.events(s, dir))),
     "events_ab_mde" -> ((s, dir) =>
       EventOps.abTestMde(Tables.events(s, dir))),
+    "events_ab_srm" -> ((s, dir) =>
+      EventOps.abSrmCheck(Tables.events(s, dir))),
+    // AQP: Horvitz–Thompson sum estimate from the 10% hash sample,
+    // exact answer + realized error beside it (the self-audit form)
+    "q_revenue_sample_estimate" -> ((s, dir) =>
+      Sampling.sampleEstimate(Tables.lineitem(s, dir), "l_orderkey",
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "l_returnflag")),
     // label-consistency audit: every vector's cosine to its own
     // label centroid (no threshold filter — float-boundary row sets
     // are engine-unstable; the cut belongs to the consumer)
@@ -4975,6 +4983,50 @@ object SparkEntry {
         |SELECT vec_id, label,
         | dot / (sqrt(n2) * sqrt(c2)) AS centroid_cosine
         |FROM j""".stripMargin.replace("\n", " "),
+    "events_ab_srm" ->
+      // distinct USERS per arm (the randomization unit), chi-square
+      // GOF vs 50/50, flag at the fixed χ²₁(0.95) literal — exact
+      // integer inputs make the flag deterministic on both engines
+      """WITH g AS (SELECT event_type, user_id,
+        | substring(md5(CAST(user_id AS VARCHAR) || ':ab42'), 1, 8)
+        |   < '80000000' AS is_a
+        | FROM events),
+        |a AS (SELECT event_type,
+        |  CAST(count(DISTINCT CASE WHEN is_a THEN user_id END) AS BIGINT)
+        |   AS n_a,
+        |  CAST(count(DISTINCT CASE WHEN NOT is_a THEN user_id END) AS BIGINT)
+        |   AS n_b
+        | FROM g GROUP BY 1 HAVING n_a + n_b > 0),
+        |c AS (SELECT event_type, n_a, n_b,
+        |  (n_a - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |   * (n_a - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |   / (CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |  + (n_b - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |   * (n_b - CAST(n_a + n_b AS DOUBLE) / 2.0)
+        |   / (CAST(n_a + n_b AS DOUBLE) / 2.0) AS chi2
+        | FROM a)
+        |SELECT event_type, n_a, n_b, chi2,
+        | chi2 > 3.841458820694124 AS srm_flag
+        |FROM c""".stripMargin.replace("\n", " "),
+    "q_revenue_sample_estimate" -> {
+      val thr = operators.Sampling.hexThreshold(0.1)
+      s"""WITH f AS (SELECT l_returnflag,
+         |  l_extendedprice * (1.0 - l_discount) AS rev,
+         |  substring(md5(CAST(l_orderkey AS VARCHAR) || ':aqp42'), 1, 8)
+         |   AS k
+         | FROM lineitem),
+         |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+         |  sum(rev) AS exact_value,
+         |  sum(CASE WHEN k < '$thr' THEN rev END) AS s_rev,
+         |  CAST(sum(CASE WHEN k < '$thr' THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_sampled
+         | FROM f GROUP BY 1)
+         |SELECT l_returnflag, n_rows, n_sampled,
+         | coalesce(s_rev, 0.0) / 0.1 AS est_value, exact_value,
+         | abs(coalesce(s_rev, 0.0) / 0.1 - exact_value) / exact_value
+         |  AS rel_err
+         |FROM a""".stripMargin.replace("\n", " ")
+    },
     "events_attribution_markov" -> {
       // the 12 clamped value-iteration rounds unrolled as CTEs over
       // the (removal × state) grid — same truncation point as the

@@ -1383,6 +1383,35 @@ object EventOps {
       keyCols = Seq(col("event_type"), col("day")))
   }
 
+  /** Sample-ratio-mismatch guard — the A/B family's VALIDITY check:
+    * a chi-square goodness-of-fit of the observed per-arm USER
+    * counts against the designed 50/50 split, flagged at the χ²₁
+    * 95% cut. SRM is the assignment-bug detector (biased bucketing,
+    * bot filtering one arm, redirect loss): a significant mismatch
+    * invalidates every downstream readout, which is why this runs
+    * before any of them. Users, not events, are the randomization
+    * unit — the coin is per-user, so the distinct count per arm is
+    * what the design fixed. One distinct-aggregate per type; the
+    * chi-square is a pure projection of two exact integers, so the
+    * flag is deterministic on both engines.
+    */
+  def abSrmCheck(events: DataFrame, salt: String = "ab42"): DataFrame = {
+    val isA = Sampling.sampleKey(col("user_id"), salt) < lit("80000000")
+    val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0)
+    val chi2 = (col("n_a") - e) * (col("n_a") - e) / e +
+      (col("n_b") - e) * (col("n_b") - e) / e
+    events.select(col("event_type"), isA.as("is_a"), col("user_id"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct(when(col("is_a"), col("user_id"))).as("n_a"),
+        countDistinct(when(!col("is_a"), col("user_id"))).as("n_b"))
+      .filter(col("n_a") + col("n_b") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        chi2.as("chi2"),
+        // χ²₁(0.95): fixed literal on both engines
+        (chi2 > lit(3.841458820694124)).as("srm_flag"))
+  }
+
   /** Minimum-detectable-effect readout — the experiment-SIZING
     * member of the A/B family: given the observed per-arm variances
     * and counts, the smallest true mean shift the running experiment

@@ -45,6 +45,36 @@ object Sampling {
     if (rate >= 1.0) df
     else df.filter(sampleKey(col(idCol), salt) < lit(hexThreshold(rate)))
 
+  /** Approximate-query-processing estimator: a grouped SUM estimated
+    * from the `rate` hash sample with Horvitz–Thompson expansion
+    * (est = sample-sum / rate), emitted BESIDE the exact answer and
+    * the realized relative error — the self-audit form. At 100 TB
+    * the exact column is what you drop: the sampled scan reads
+    * `rate` of the rows (with the md5 filter pushed to the scan) and
+    * the estimate is the product; here both ride one pass so the
+    * error column is an oracle-checked fact, not a promise. The
+    * hash coin (not `DataFrame.sample`) makes the estimate stable
+    * under retries/partitioning and bit-replayable cross-engine.
+    */
+  def sampleEstimate(df: DataFrame, idCol: String, valueExpr: Column,
+                     groupCol: String, rate: Double = 0.1,
+                     salt: String = "aqp42"): DataFrame = {
+    val thr = hexThreshold(rate)
+    val flagged = df.select(col(groupCol), valueExpr.as("rev"),
+      sampleKey(col(idCol), salt).as("k"))
+    flagged.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("rev").as("exact_value"),
+        sum(when(col("k") < lit(thr), col("rev"))).as("s_rev"),
+        sum(when(col("k") < lit(thr), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col(groupCol), col("n_rows"), col("n_sampled"),
+        (coalesce(col("s_rev"), lit(0.0)) / lit(rate)).as("est_value"),
+        col("exact_value"),
+        (abs(coalesce(col("s_rev"), lit(0.0)) / lit(rate) -
+          col("exact_value")) / col("exact_value")).as("rel_err"))
+  }
+
   /** Threshold literal for a stratum: rate 1.0 maps to "g", which is
     * greater than every lowercase-hex key, so a full-keep stratum
     * keeps the 2^-32 tail ("ffffffff" keys) a strict `< "ffffffff"`

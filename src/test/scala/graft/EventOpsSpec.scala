@@ -703,6 +703,33 @@ class EventOpsSpec extends SparkSpec {
     assert(row.getLong(0) + row.getLong(1) == 30L)
   }
 
+  test("abSrmCheck: balanced coin consistent, planted imbalance flags") {
+    def isA(u: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u:ab42".getBytes("UTF-8"))
+      d.take(4).map(b => f"$b%02x").mkString < "80000000"
+    }
+    def mk(users: Seq[Long]) = users.zipWithIndex.map { case (u, i) =>
+      (i.toLong, "2024-01-01 10:00:00", u, "exp", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // natural coin over 1..200: chi2 must equal the driver replay
+    val all = (1L to 200L)
+    val r = EventOps.abSrmCheck(mk(all)).head()
+    val (nA, nB) = (all.count(isA).toLong, all.count(!isA(_)).toLong)
+    assert((r.getLong(1), r.getLong(2)) == ((nA, nB)), s"arm counts: $r")
+    val e = (nA + nB) / 2.0
+    val chi2 = (nA - e) * (nA - e) / e + (nB - e) * (nB - e) / e
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-12)
+    assert(r.getBoolean(4) == (chi2 > 3.841458820694124))
+    // planted SRM: drop almost all of arm B (the "bots filtered one
+    // arm" bug) — must flag loudly
+    val biased = all.filter(isA) ++ all.filterNot(isA).take(5)
+    val b = EventOps.abSrmCheck(mk(biased)).head()
+    assert(b.getBoolean(4), s"planted mismatch must flag: $b")
+    assert(b.getDouble(3) > 50, s"chi2 magnitude: $b")
+  }
+
   test("abTestMde: matches the closed form, shrinks with sample size") {
     def isA(u: Long): Boolean = {
       val d = java.security.MessageDigest.getInstance("MD5")

@@ -194,4 +194,25 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("sampleEstimate: HT expansion exact on unit values, error honest") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = (1L to 1000L).map(i => (i, "g", 1.0))
+      .toDF("id", "grp", "v")
+    val r = Sampling.sampleEstimate(rows, "id", col("v") * lit(1.0), "grp",
+      rate = 0.1).head()
+    val (nRows, nSampled) = (r.getLong(1), r.getLong(2))
+    assert(nRows == 1000L)
+    // md5-uniform 10% of 1000 ids: a generous band, deterministic value
+    assert(nSampled > 60 && nSampled < 140, s"sampled count: $nSampled")
+    // unit values make the estimator algebra exact: est = n_sampled/rate
+    assert(r.getDouble(3) == nSampled / 0.1, s"est: $r")
+    assert(r.getDouble(4) == 1000.0)
+    assert(math.abs(r.getDouble(5) -
+      math.abs(nSampled / 0.1 - 1000.0) / 1000.0) < 1e-12)
+    // determinism under repartitioning (the hash coin, not sample())
+    val again = Sampling.sampleEstimate(rows.repartition(7), "id",
+      col("v") * lit(1.0), "grp", rate = 0.1).head()
+    assert(again.getLong(2) == nSampled && again.getDouble(3) == r.getDouble(3))
+  }
 }
