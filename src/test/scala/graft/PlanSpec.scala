@@ -407,4 +407,74 @@ class PlanSpec extends SparkSpec {
       !p.contains("explode"), // post-checkpoint plan: no re-explode
       s"term totals must re-aggregate the counted relation:\n$p")
   }
+
+  // ---- r10 operators -------------------------------------------------
+
+  test("kmeansAssign output plan: codegen'd argmax projection, no vector shuffle") {
+    val p = plan(graft.operators.Similarity.kmeansAssign(
+      Tables.embeddings(spark, dir), k = 4, iters = 1))
+    // the assignment is scan → project(nearest_centroids) — the
+    // centroid table rides as a codegen reference object, so the
+    // final pass has NO join and NO exchange at all
+    assert(p.contains("nearest_centroids"), s"expected native argmax:\n$p")
+    assert(!p.contains("Exchange"), s"assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no centroid lookup join:\n$p")
+  }
+
+  test("labelOutliers broadcasts the centroid relation; one corpus aggregate") {
+    val p = plan(graft.operators.Similarity.labelOutliers(
+      Tables.embeddings(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$p")
+    // exchanges: centroid aggregate + the per-vector aggregate —
+    // never a shuffle of the corpus for the join itself
+    assert(!p.contains("SortMergeJoin"), s"no sort-merge of vectors:\n$p")
+  }
+
+  test("markovAttribution fact pass: per-user windows, transition agg partials") {
+    val e = Tables.events(spark, dir)
+    val p = plan(graft.operators.EventOps.markovAttribution(e))
+    // the RESULT is a driver-built O(channels) relation — the plan
+    // of the returned frame must be a LocalTableScan (all heavy work
+    // happened in the one windowed pass that produced the counts)
+    assert(p.contains("LocalTableScan"), s"driver-built readout:\n$p")
+  }
+
+  test("abSrmCheck: one distinct-aggregate pass, no window, no join") {
+    val p = plan(graft.operators.EventOps.abSrmCheck(
+      Tables.events(spark, dir)))
+    assert(!p.contains("Window"), s"no window needed:\n$p")
+    assert(!p.contains("Join"), s"no join needed:\n$p")
+    assert(p.contains("partial_count"),
+      s"distinct count must run map-side partials:\n$p")
+  }
+
+  test("sampleEstimate: single pass — exact and sampled sums share one aggregate") {
+    val p = plan(graft.operators.Sampling.sampleEstimate(
+      Tables.lineitem(spark, dir), "l_orderkey",
+      org.apache.spark.sql.functions.col("l_extendedprice"),
+      "l_returnflag"))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one scan for both estimator and audit:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"one aggregate exchange:\n$p")
+  }
+
+  test("bm25 candidate stage is a hash aggregate, postings join is equi") {
+    val p = plan(graft.operators.Similarity.bm25TopK(
+      Tables.documents(spark, dir)))
+    // final rescore ranks k·5 candidates; the heavy lifting upstream
+    // is checkpointed — the visible plan must not cross join
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs anywhere:\n$p")
+  }
+
+  test("stream abDailyPartials: windowed partial aggregation, O(types·days) state") {
+    val p = plan(graft.streaming.EventStream.abDailyPartials(
+      Tables.events(spark, dir)))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"map-side partials expected:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"one shuffle on (window, type):\n$p")
+  }
 }
