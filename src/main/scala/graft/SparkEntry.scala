@@ -1249,6 +1249,102 @@ object SparkEntry {
       |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5) """
       .stripMargin.replace("\n", " ")
 
+  // ---- minhash oracle machinery (r10) --------------------------------
+  // The fused FNV shingle kernel + the 64 seeded minhash permutations
+  // replayed in SQL: token FNV-1a over ASCII-lowercased whitespace
+  // tokens, the two-step xor-multiply shingle combine decomposed into
+  // HUGEINT arithmetic (mod-2^64 wraparound, 32-bit xors via hi/lo
+  // split), and the permutation constants a_p = splitmix64(seed+2p)|1,
+  // b_p = splitmix64(seed+2p+1) embedded as literals from the SAME
+  // splitmix the kernel uses. a·x mod 2^64 is decomposed as
+  // (a_lo·x + ((a_hi·x) mod 2^32)·2^32) mod 2^64 so no intermediate
+  // exceeds HUGEINT range. Bands carry the raw signature SLICE as the
+  // bucket key (Dedup.bandedKeys, r10) — slice equality is exactly
+  // bucket equality, no engine hash involved.
+  private def minhashPermValues(numPerms: Int, seed: Long): String =
+    (0 until numPerms).map { p =>
+      val a = graft.functions.TextHashes.splitmix64(seed + 2L * p) | 1L
+      val b = graft.functions.TextHashes.splitmix64(seed + 2L * p + 1L)
+      def u(x: Long) = java.lang.Long.toUnsignedString(x)
+      s"($p, ${u(a >>> 32)}::HUGEINT, ${u(a & 0xffffffffL)}::HUGEINT, " +
+        s"${u(b)}::HUGEINT)"
+    }.mkString(", ")
+
+  /** Shared CTE prefix: documents → token hashes → distinct shingle
+    * hashes (`sh`) → per-perm minhash (`mh`) → banded signature
+    * slices (`sig`). Consumers append their own tail. */
+  private def minhashSigCtes: String =
+    s"""tok AS MATERIALIZED (
+       | SELECT doc_id, i AS pos,
+       |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |   list_transform(range(1, length(t) + 1),
+       |    j -> CAST(ord(substr(t, j, 1)) AS HUGEINT))),
+       |   (h, c) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+       |    CAST(c AS BIGINT))) * 1099511628211 % 18446744073709551616)
+       |   AS th
+       | FROM (SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents) d,
+       |  LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g,
+       |  LATERAL (SELECT toks[i] AS t) u),
+       |sh AS MATERIALIZED (
+       | SELECT DISTINCT doc_id,
+       |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    ths),
+       |   (s, th) ->
+       |    ((((s - (s % 256)) + xor(CAST(s % 256 AS BIGINT),
+       |       CAST(th % 256 AS BIGINT)))
+       |      * 1099511628211 % 18446744073709551616)
+       |      // 4294967296 * 4294967296
+       |     + xor(CAST((((s - (s % 256)) + xor(CAST(s % 256 AS BIGINT),
+       |        CAST(th % 256 AS BIGINT)))
+       |       * 1099511628211 % 18446744073709551616) % 4294967296
+       |        AS BIGINT),
+       |      CAST(th // 4294967296 AS BIGINT)))
+       |    * 1099511628211 % 18446744073709551616) AS shv
+       | FROM (SELECT a.doc_id, list_value(c.th, b.th, a.th) AS ths
+       |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos - 1
+       |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos - 2) w),
+       |pm AS (SELECT * FROM (VALUES ${minhashPermValues(64, 42L)})
+       | AS t(p, a_hi, a_lo, b)),
+       |mh AS MATERIALIZED (
+       | SELECT doc_id, p,
+       |  min((a_lo * shv + ((a_hi * shv) % 4294967296) * 4294967296 + b)
+       |   % 18446744073709551616) AS mv
+       | FROM sh, pm GROUP BY 1, 2),
+       |sig AS MATERIALIZED (
+       | SELECT doc_id, p // 4 AS band, list(mv ORDER BY p) AS band_key
+       | FROM mh GROUP BY doc_id, p // 4)""".stripMargin
+
+  /** [[minhashSigCtes]] extended through candidate generation and
+    * exact-Jaccard verification: `verified` = (id_a, id_b, jaccard)
+    * at τ = 0.4, bucket-capped at 64 — the Dedup.minhashPairs
+    * relation. */
+  private def minhashVerifiedCtes: String =
+    s"""$minhashSigCtes,
+       |bucket AS (SELECT band, band_key,
+       |  list_sort(list(DISTINCT doc_id)) AS ids
+       | FROM sig GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 1),
+       |pairs AS (SELECT DISTINCT a.ida AS id_a, b.idb AS id_b
+       | FROM (SELECT list_slice(ids, 1, 64) AS ids FROM bucket) c,
+       |  LATERAL (SELECT unnest(c.ids) AS ida) a,
+       |  LATERAL (SELECT unnest(c.ids) AS idb) b
+       | WHERE a.ida < b.idb),
+       |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_shared
+       | FROM pairs p
+       | JOIN sh x ON x.doc_id = p.id_a
+       | JOIN sh y ON y.doc_id = p.id_b AND y.shv = x.shv
+       | GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |verified AS (SELECT i.id_a, i.id_b,
+       |  CAST(i.n_shared AS DOUBLE)
+       |   / greatest(sa.n + sb.n - i.n_shared, 1) AS jaccard
+       | FROM inter i
+       | JOIN sizes sa ON sa.doc_id = i.id_a
+       | JOIN sizes sb ON sb.doc_id = i.id_b
+       | WHERE CAST(i.n_shared AS DOUBLE)
+       |   / greatest(sa.n + sb.n - i.n_shared, 1) >= 0.4)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val m = base
     // result-parity keys: same semantics, different physical strategy
@@ -2444,6 +2540,50 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents) n
         |GROUP BY norm""".stripMargin.replace("\n", " "),
+    "dedup_minhash_lsh" ->
+      // the WHOLE minhash+LSH pipeline replayed bit-for-bit (r10):
+      // fused FNV shingles, 64 embedded permutations, slice-keyed
+      // banding, capped buckets, exact-Jaccard verification, pair
+      // summary — see minhashSigCtes for the arithmetic decomposition
+      (s"""WITH $minhashVerifiedCtes,
+          |sides AS (
+          | SELECT id_a AS doc_id, jaccard AS score, false AS is_junior
+          |  FROM verified
+          | UNION ALL SELECT id_b, jaccard, true FROM verified),
+          |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+          |  max(score) AS max_score, bool_or(is_junior) AS dominated
+          | FROM sides GROUP BY 1)
+          |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+          | coalesce(p.max_score, 0.0) AS max_score,
+          | coalesce(NOT p.dominated, true) AS keep
+          |FROM documents d LEFT JOIN perdoc p USING (doc_id)""")
+        .stripMargin.replace("\n", " "),
+    "dedup_lsh_band_stats" ->
+      // the cheap PREFIX of the same pipeline: per-band bucket-size
+      // histogram over the banded signature keys
+      (s"""WITH $minhashSigCtes,
+          |bs AS (SELECT band, band_key, CAST(count(*) AS BIGINT)
+          |  AS bucket_size FROM sig GROUP BY 1, 2)
+          |SELECT CAST(band AS INT) AS band, bucket_size,
+          | CAST(count(*) AS BIGINT) AS n_buckets,
+          | CAST(bucket_size * (bucket_size - 1) // 2 AS BIGINT)
+          |  * count(*) AS implied_pairs
+          |FROM bs GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "dedup_groups" ->
+      // transitive closure over the REPLAYED minhash pair relation —
+      // the same recursive-reachability tail as dedup_groups_blocked,
+      // fed by minhashVerifiedCtes instead of the blocked trunk
+      (s"""WITH RECURSIVE $minhashVerifiedCtes,
+          |e AS (SELECT id_a AS src, id_b AS dst FROM verified
+          | UNION ALL SELECT id_b AS src, id_a AS dst FROM verified),
+          |reach AS (SELECT doc_id, doc_id AS r FROM documents
+          | UNION
+          | SELECT reach.doc_id, e.dst AS r
+          | FROM reach JOIN e ON e.src = reach.r),
+          |lab AS (SELECT doc_id, min(r) AS group_id
+          | FROM reach GROUP BY doc_id)
+          |SELECT doc_id, group_id, doc_id = group_id AS keep
+          |FROM lab""").stripMargin.replace("\n", " "),
     "dedup_exact_report" ->
       """SELECT md5(norm) AS group_md5, count(*) AS n_copies,
         | min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

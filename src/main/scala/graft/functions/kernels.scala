@@ -665,7 +665,10 @@ object TextHashes {
     new GenericArrayData(out.toArray)
   }
 
-  private def splitmix64(x0: Long): Long = {
+  // public (r10): the minhash oracle embeds the permutation
+  // constants a_p = splitmix64(seed+2p)|1, b_p = splitmix64(seed+2p+1)
+  // as SQL literals — one definition of the mix, two consumers
+  def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9e3779b97f4a7c15L
     x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
     x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL

@@ -112,19 +112,25 @@ object Dedup {
     */
   private def bandedKeys(sigs: DataFrame, idCol: String, sigCol: String,
                          bands: Int): DataFrame = {
+    // the band key is the signature SLICE itself, not a hash of it
+    // (r10): bucket membership is slice EQUALITY either way, but the
+    // raw slice removes murmur from the semantics — no cross-bucket
+    // hash collisions, and the banding becomes SQL-replayable (the
+    // minhash oracle). Cost: the exchange carries rows-per-band
+    // longs instead of one int per key — noise next to the payload.
     val rowsPerBand = ceil(size(col(sigCol)) / lit(bands)).cast("int")
     sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(b, slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))))
+        b => slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_key")
   }
 
   private def bandedPairs(sigs: DataFrame, idCol: String, sigCol: String,
                           bands: Int, maxBucket: Int): DataFrame =
     candidatePairs(bandedKeys(sigs, idCol, sigCol, bands),
-      Seq("band", "band_hash"), idCol, maxBucket)
+      Seq("band", "band_key"), idCol, maxBucket)
 
   /** LSH band-occupancy diagnostic — the tuning readout that decides
     * whether a (numPerms, bands) choice is even sane BEFORE paying
@@ -145,7 +151,7 @@ object Dedup {
     val sigs = sets.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     bandedKeys(sigs, "doc_id", "sig", bands)
-      .groupBy("band", "band_hash")
+      .groupBy("band", "band_key")
       .agg(count(lit(1)).as("bucket_size"))
       .groupBy("band", "bucket_size")
       .agg(count(lit(1)).as("n_buckets"))

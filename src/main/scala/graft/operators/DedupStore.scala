@@ -95,16 +95,16 @@ object DedupStore {
       .select("doc_id", "lang", "source", "n_chars")
 
   /** LSH band keys from a signature column — the same banding as
-    * [[Dedup]]'s in-memory minhash path (hash of each signature
-    * slice), exposed for store-side joins. */
+    * [[Dedup]]'s in-memory minhash path (the raw signature slice,
+    * r10 — see Dedup.bandedKeys), exposed for store-side joins. */
   private def bandKeys(sigs: DataFrame, bands: Int): DataFrame = {
     val rowsPerBand = ceil(size(col("sig")) / lit(bands)).cast("int")
     sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(b, slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))))
+        b => slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))))
       .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+      .withColumnRenamed("col", "band_key")
   }
 
   /** Incremental NEAR-dup pairs, new batch × stored corpus, with the
@@ -136,7 +136,7 @@ object DedupStore {
     val storeKeys = bandKeys(store.select("doc_id", "sig"), bands)
       .withColumnRenamed("doc_id", "id_corpus")
     val candidates = newKeys
-      .join(storeKeys, Seq("band", "band_hash"))
+      .join(storeKeys, Seq("band", "band_key"))
       .select("id_new", "id_corpus")
       .distinct()
       // deterministic cap per new doc: verification work per batch

@@ -36,11 +36,13 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented thirty") {
+  test("rows-only queries are the documented twenty-seven") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-      "dedup_embedding", "dedup_groups", "ann_lsh_topk", "ann_ivf_topk",
+      // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
+      // full oracles (embedded-permutation HUGEINT replay)
+      "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
       "ann_ivf_filtered_topk", "ann_ivf_cell_stats", "split_assign",
       "events_approx_stats", "events_audience_overlap", "events_sketch_reach",
@@ -57,11 +59,9 @@ class ContractSpec extends AnyFunSuite {
       "emb_pca_project", "ann_pca_topk",
       // zlib has no DuckDB twin; invariants spec-held
       "text_compression_signal",
-      // r9 final batch: minhash banding has no SQL analog (DedupSpec
-      // histogram identities), HLL day sketches are error-bounded vs
-      // the exact key (ApproxSpec); ann_mmr_diverse graduated to an
-      // unrolled-CTE oracle in r10
-      "dedup_lsh_band_stats",
+      // HLL day sketches are error-bounded vs the exact key
+      // (ApproxSpec); ann_mmr_diverse graduated to an unrolled-CTE
+      // oracle in r10
       "events_rolling_active_approx",
       // live DQ monitor: HLL state per column (ApproxSpec bounds,
       // StreamingSpec cross-batch accumulation)
