@@ -1345,6 +1345,129 @@ object SparkEntry {
        | WHERE CAST(i.n_shared AS DOUBLE)
        |   / greatest(sa.n + sb.n - i.n_shared, 1) >= 0.4)""".stripMargin
 
+  /** SimHash oracle (r10): the same FNV token hashes, per-bit votes
+    * folded as integer sums, 16-bit band slices, Hamming via
+    * hi/lo-split `bit_count` — all exact integer math. */
+  private def simhashOracle: String =
+    s"""WITH tok AS MATERIALIZED (
+       | SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |   list_transform(range(1, length(t) + 1),
+       |    j -> CAST(ord(substr(t, j, 1)) AS HUGEINT))),
+       |   (h, c) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+       |    CAST(c AS BIGINT))) * 1099511628211 % 18446744073709551616)
+       |   AS th
+       | FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+       |    x -> x <> '') AS toks FROM documents) d,
+       |  LATERAL (SELECT unnest(toks) AS t) u),
+       |bits AS (SELECT doc_id, i,
+       |  CAST(sum(CASE WHEN (th // (CAST(1 AS HUGEINT) << i)) % 2 = 1
+       |   THEN 1 ELSE 0 END) AS BIGINT) AS ones,
+       |  count(*) AS n
+       | FROM tok, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g
+       | GROUP BY 1, 2),
+       |sig AS MATERIALIZED (SELECT doc_id,
+       |  sum(CASE WHEN 2 * ones > n THEN CAST(1 AS HUGEINT) << i
+       |   ELSE CAST(0 AS HUGEINT) END) AS sig
+       | FROM bits GROUP BY 1),
+       |banded AS (SELECT doc_id, b AS band,
+       |  (sig // (CAST(1 AS HUGEINT) << (16 * b))) % 65536 AS band_bits
+       | FROM sig, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+       |bucket AS (SELECT band, band_bits,
+       |  list_sort(list(DISTINCT doc_id)) AS ids
+       | FROM banded GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 1),
+       |prs AS (SELECT DISTINCT a.ida AS id_a, b.idb AS id_b
+       | FROM (SELECT list_slice(ids, 1, 64) AS ids FROM bucket) c,
+       |  LATERAL (SELECT unnest(c.ids) AS ida) a,
+       |  LATERAL (SELECT unnest(c.ids) AS idb) b
+       | WHERE a.ida < b.idb),
+       |ham AS (SELECT p.id_a, p.id_b,
+       |  bit_count(xor(CAST(sa.sig % 4294967296 AS BIGINT),
+       |    CAST(sb.sig % 4294967296 AS BIGINT)))
+       |  + bit_count(xor(CAST(sa.sig // 4294967296 AS BIGINT),
+       |    CAST(sb.sig // 4294967296 AS BIGINT))) AS hamming
+       | FROM prs p JOIN sig sa ON sa.doc_id = p.id_a
+       | JOIN sig sb ON sb.doc_id = p.id_b),
+       |verified AS (SELECT id_a, id_b, 64 - hamming AS sim FROM ham
+       | WHERE hamming <= 12),
+       |sides AS (SELECT id_a AS doc_id, CAST(sim AS DOUBLE) AS score,
+       |  false AS is_junior FROM verified
+       | UNION ALL SELECT id_b, CAST(sim AS DOUBLE), true FROM verified),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+       |  max(score) AS max_score, bool_or(is_junior) AS dominated
+       | FROM sides GROUP BY 1)
+       |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+       | coalesce(p.max_score, 0.0) AS max_score,
+       | coalesce(NOT p.dominated, true) AS keep
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Char-n-gram Jaccard oracle (r10): the rolling polynomial gram
+    * hash has a CLOSED FORM (Σ byteⱼ·B^(n−1−j) mod 2⁶⁴ — no
+    * recurrence needed in SQL; B-powers embedded as literals), then
+    * the same minhash machinery at seed 7 / 8 bands / τ 0.7. */
+  private def ngramJaccardOracle: String = {
+    val n = 5
+    val bpow = {
+      var arr = Vector(BigInt(1))
+      val B = BigInt("1099511628211")
+      val M = BigInt(1) << 64
+      for (_ <- 1 until n) arr = arr :+ (arr.last * B % M)
+      arr
+    }
+    val term = (0 until n).map(j =>
+      s"CAST(ord(substr(c, p + $j, 1)) AS HUGEINT) * ${bpow(n - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH canon AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+       | FROM documents),
+       |sh AS MATERIALIZED (
+       | SELECT DISTINCT doc_id, ($term) % 18446744073709551616 AS shv
+       | FROM canon, LATERAL (SELECT unnest(generate_series(1,
+       |   length(c) - ${n - 1})) AS p) g
+       | WHERE length(c) >= $n),
+       |pm AS (SELECT * FROM (VALUES ${minhashPermValues(64, 7L)})
+       | AS t(p, a_hi, a_lo, b)),
+       |mh AS MATERIALIZED (SELECT doc_id, p,
+       |  min((a_lo * shv + ((a_hi * shv) % 4294967296) * 4294967296 + b)
+       |   % 18446744073709551616) AS mv
+       | FROM sh, pm GROUP BY 1, 2),
+       |sig AS MATERIALIZED (
+       | SELECT doc_id, p // 8 AS band, list(mv ORDER BY p) AS band_key
+       | FROM mh GROUP BY doc_id, p // 8),
+       |bucket AS (SELECT band, band_key,
+       |  list_sort(list(DISTINCT doc_id)) AS ids
+       | FROM sig GROUP BY 1, 2 HAVING count(DISTINCT doc_id) > 1),
+       |prs AS (SELECT DISTINCT a.ida AS id_a, b.idb AS id_b
+       | FROM (SELECT list_slice(ids, 1, 64) AS ids FROM bucket) c,
+       |  LATERAL (SELECT unnest(c.ids) AS ida) a,
+       |  LATERAL (SELECT unnest(c.ids) AS idb) b
+       | WHERE a.ida < b.idb),
+       |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_shared
+       | FROM prs p JOIN sh x ON x.doc_id = p.id_a
+       | JOIN sh y ON y.doc_id = p.id_b AND y.shv = x.shv GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS nn FROM sh GROUP BY 1),
+       |verified AS (SELECT i.id_a, i.id_b,
+       |  CAST(i.n_shared AS DOUBLE)
+       |   / greatest(sa.nn + sb.nn - i.n_shared, 1) AS jaccard
+       | FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+       | JOIN sizes sb ON sb.doc_id = i.id_b
+       | WHERE CAST(i.n_shared AS DOUBLE)
+       |  / greatest(sa.nn + sb.nn - i.n_shared, 1) >= 0.7),
+       |sides AS (SELECT id_a AS doc_id, jaccard AS score,
+       |  false AS is_junior FROM verified
+       | UNION ALL SELECT id_b, jaccard, true FROM verified),
+       |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+       |  max(score) AS max_score, bool_or(is_junior) AS dominated
+       | FROM sides GROUP BY 1)
+       |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+       | coalesce(p.max_score, 0.0) AS max_score,
+       | coalesce(NOT p.dominated, true) AS keep
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+      .stripMargin.replace("\n", " ")
+  }
+
   def oracleSql: Map[String, String] = {
     val m = base
     // result-parity keys: same semantics, different physical strategy
@@ -2569,6 +2692,8 @@ object SparkEntry {
           | CAST(bucket_size * (bucket_size - 1) // 2 AS BIGINT)
           |  * count(*) AS implied_pairs
           |FROM bs GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_groups" ->
       // transitive closure over the REPLAYED minhash pair relation —
       // the same recursive-reachability tail as dedup_groups_blocked,

@@ -36,12 +36,12 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-seven") {
+  test("rows-only queries are the documented twenty-five") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
       // full oracles (embedded-permutation HUGEINT replay)
-      "dedup_simhash", "dedup_ngram_jaccard",
+      // r10 second batch: simhash + char-n-gram jaccard replay too
       "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
       "ann_ivf_filtered_topk", "ann_ivf_cell_stats", "split_assign",
