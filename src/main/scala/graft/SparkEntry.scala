@@ -1468,6 +1468,55 @@ object SparkEntry {
       .stripMargin.replace("\n", " ")
   }
 
+  // ---- hyperplane-LSH oracle machinery (r10) -------------------------
+  // The "randomized" tiers are seed-deterministic: the plane matrices
+  // come from gf.randomPlanes(seed), so the oracle embeds them as
+  // DOUBLE[] literals (each float widened to its EXACT double — the
+  // same widening the kernel's accumulate does) and replays signature
+  // bits as dot-product signs. The only cross-engine freedom left is
+  // dot-product summation order at a sign boundary (|proj| within one
+  // ulp of 0 — measure-zero for continuous data).
+  private def hyperplaneValues(tables: Int, planes: Int, dim: Int,
+                               seed: Long): String =
+    (0 until tables).flatMap { t =>
+      val pl = graft.functions.gf.randomPlanes(planes, dim, seed + t)
+      (0 until planes).map { p =>
+        val ws = pl(p).map(_.toDouble.toString).mkString(", ")
+        s"($t, $p, [$ws]::DOUBLE[])"
+      }
+    }.mkString(", ")
+
+  /** Signature CTE over `embeddings` for a plane set: one row per
+    * (vec_id, tbl) with the packed sign-bit signature. */
+  private def hyperplaneSigCte(tables: Int, planes: Int,
+                               seed: Long): String =
+    s"""pl AS (SELECT * FROM (VALUES
+       | ${hyperplaneValues(tables, planes, 64, seed)}) t(tbl, p, w)),
+       |hsig AS MATERIALIZED (SELECT e.vec_id, pl.tbl,
+       |  CAST(sum(CASE WHEN list_inner_product(
+       |    CAST(e.embedding AS DOUBLE[]), pl.w) > 0
+       |   THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS BIGINT) AS sig
+       | FROM embeddings e, pl GROUP BY 1, 2)""".stripMargin
+
+  /** Candidate/verified-pair tail shared by the embedding dedup
+    * oracles: bucket by (tbl, sig), cap 64, exact-cosine verify. */
+  private def hyperplanePairsCte(tau: Double): String =
+    s"""bucket AS (SELECT tbl, sig, list_sort(list(DISTINCT vec_id)) AS ids
+       | FROM hsig GROUP BY 1, 2 HAVING count(DISTINCT vec_id) > 1),
+       |prs AS (SELECT DISTINCT a.ida AS id_a, b.idb AS id_b
+       | FROM (SELECT list_slice(ids, 1, 64) AS ids FROM bucket) c,
+       |  LATERAL (SELECT unnest(c.ids) AS ida) a,
+       |  LATERAL (SELECT unnest(c.ids) AS idb) b
+       | WHERE a.ida < b.idb),
+       |verified AS (SELECT p.id_a, p.id_b,
+       |  list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |    CAST(eb.embedding AS DOUBLE[])) AS cosine
+       | FROM prs p
+       | JOIN embeddings ea ON ea.vec_id = p.id_a
+       | JOIN embeddings eb ON eb.vec_id = p.id_b
+       | WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+       |   CAST(eb.embedding AS DOUBLE[])) >= $tau)""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val m = base
     // result-parity keys: same semantics, different physical strategy
@@ -2694,6 +2743,76 @@ object SparkEntry {
           |FROM bs GROUP BY 1, 2""").stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_embedding" ->
+      // the hyperplane-LSH embedding near-dup tier, planes embedded
+      // (8 tables × 8 planes, seed 11), cosine verify at τ=0.9,
+      // the standard pair-summary tail
+      (s"""WITH ${hyperplaneSigCte(8, 8, 11L)},
+          |${hyperplanePairsCte(0.9)},
+          |sides AS (SELECT id_a AS doc_id, cosine AS score,
+          |  false AS is_junior FROM verified
+          | UNION ALL SELECT id_b, cosine, true FROM verified),
+          |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+          |  max(score) AS max_score, bool_or(is_junior) AS dominated
+          | FROM sides GROUP BY 1)
+          |SELECT e.vec_id AS doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+          | coalesce(p.max_score, 0.0) AS max_score,
+          | coalesce(NOT p.dominated, true) AS keep
+          |FROM embeddings e LEFT JOIN perdoc p ON p.doc_id = e.vec_id""")
+        .stripMargin.replace("\n", " "),
+    "dedup_embedding_groups_lsh" ->
+      // the production SemDeDup path: closure over the REPLAYED
+      // LSH-fed pair relation (same recursive tail as the exact
+      // anchor, fed by banded candidates instead of all pairs)
+      (s"""WITH RECURSIVE ${hyperplaneSigCte(8, 8, 11L)},
+          |${hyperplanePairsCte(0.9)},
+          |e2 AS (SELECT id_a AS src, id_b AS dst FROM verified
+          | UNION ALL SELECT id_b AS src, id_a AS dst FROM verified),
+          |reach AS (SELECT vec_id, vec_id AS r FROM embeddings
+          | UNION
+          | SELECT reach.vec_id, e2.dst AS r
+          | FROM reach JOIN e2 ON e2.src = reach.r),
+          |lab AS (SELECT vec_id, min(r) AS group_id
+          | FROM reach GROUP BY vec_id)
+          |SELECT vec_id, group_id, vec_id = group_id AS keep
+          |FROM lab""").stripMargin.replace("\n", " "),
+    "ann_lsh_topk" ->
+      // the multiprobe LSH tier replayed: 16×8-plane signatures for
+      // the corpus; per (query, table) the exact bucket + the 3
+      // lowest-|projection| single-bit flips (the kernel's margin
+      // order, ties by plane index); candidates meet on (tbl, sig),
+      // exact cosine ranks the top-10
+      (s"""WITH ${hyperplaneSigCte(16, 8, 23L)},
+          |proj AS MATERIALIZED (SELECT e.vec_id, pl.tbl, pl.p,
+          |  list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS s
+          | FROM embeddings e, pl WHERE e.vec_id % 100 = 0),
+          |qbase AS (SELECT vec_id, tbl, sig FROM hsig
+          | WHERE vec_id % 100 = 0),
+          |flips AS (SELECT vec_id, tbl, p, row_number() OVER (
+          |  PARTITION BY vec_id, tbl ORDER BY abs(s), p) AS rk
+          | FROM proj),
+          |probes AS (
+          | SELECT vec_id, tbl, sig FROM qbase
+          | UNION ALL
+          | SELECT q.vec_id, q.tbl, xor(q.sig,
+          |   CAST(CAST(1 AS BIGINT) << f.p AS BIGINT)) AS sig
+          | FROM qbase q JOIN flips f
+          |  ON f.vec_id = q.vec_id AND f.tbl = q.tbl AND f.rk <= 3),
+          |cands AS (SELECT DISTINCT p.vec_id AS query_id,
+          |  h.vec_id AS neighbor_id
+          | FROM probes p JOIN hsig h
+          |  ON h.tbl = p.tbl AND h.sig = p.sig
+          | WHERE h.vec_id != p.vec_id),
+          |scored AS (SELECT c.query_id, c.neighbor_id,
+          |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |    CAST(n.embedding AS DOUBLE[])) AS cosine
+          | FROM cands c
+          | JOIN embeddings q ON q.vec_id = c.query_id
+          | JOIN embeddings n ON n.vec_id = c.neighbor_id)
+          |SELECT query_id, neighbor_id, cosine FROM scored
+          |QUALIFY row_number() OVER (PARTITION BY query_id
+          | ORDER BY cosine DESC, neighbor_id) <= 10""")
+        .stripMargin.replace("\n", " "),
     "dedup_groups" ->
       // transitive closure over the REPLAYED minhash pair relation —
       // the same recursive-reachability tail as dedup_groups_blocked,

@@ -36,13 +36,13 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-five") {
+  test("rows-only queries are the documented twenty-two") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
       // full oracles (embedded-permutation HUGEINT replay)
       // r10 second batch: simhash + char-n-gram jaccard replay too
-      "dedup_embedding", "ann_lsh_topk", "ann_ivf_topk",
+      "ann_ivf_topk",
       "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
       "ann_ivf_filtered_topk", "ann_ivf_cell_stats", "split_assign",
       "events_approx_stats", "events_audience_overlap", "events_sketch_reach",
@@ -50,7 +50,7 @@ class ContractSpec extends AnyFunSuite {
       // LSH SemDeDup closure (DedupRecallSpec), the two approx twins
       // (ApproxSpec error bounds), the persisted-index probes
       // (AnnIndexSpec parity + AnnRecallGateSpec floors)
-      "dedup_embedding_groups_lsh", "etl_dq_profile_approx",
+      "etl_dq_profile_approx",
       "events_user_lifespan_approx", "ann_index_ivf_probe",
       "ann_index_ivfpq_probe", "ann_index_ivf_append_probe",
       "ann_index_ivfpq_append_probe",
