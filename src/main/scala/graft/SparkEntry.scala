@@ -1517,6 +1517,328 @@ object SparkEntry {
        | WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
        |   CAST(eb.embedding AS DOUBLE[])) >= $tau)""".stripMargin
 
+  // ---- xxhash64 oracle machinery (r10) -------------------------------
+  // Spark's xxhash64-of-long is xxHash64's one-round path with fixed
+  // prime multipliers — every step (constant multiply mod 2⁶⁴, rotate,
+  // 64-bit xor, shift) decomposes into HUGEINT-safe arithmetic exactly
+  // like the minhash permutations. The generator emits a LATERAL step
+  // chain so each intermediate is computed once. Multi-argument
+  // xxhash64(c1, c2) folds left: h = hashLong(c2, hashLong(c1, 42)).
+  private object Xx64Sql {
+    private val M = "18446744073709551616"
+    private def two(k: Int): BigInt = BigInt(1) << k
+    private val P1 = BigInt("9E3779B185EBCA87", 16)
+    private val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    private val P3 = BigInt("165667B19E3779F9", 16)
+    private val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    private val P5 = BigInt("27D4EB2F165667C5", 16)
+    private def mulc(x: String, c: BigInt): String = {
+      val lo = c & 0xffffffffL
+      val hi = c >> 32
+      s"((CAST($lo AS HUGEINT) * ($x) + ((CAST($hi AS HUGEINT) * ($x))" +
+        s" % 4294967296) * 4294967296) % $M)"
+    }
+    private def xor64(a: String, b: String): String =
+      s"(CAST(xor(CAST(($a) // 4294967296 AS BIGINT), " +
+        s"CAST(($b) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296" +
+        s" + xor(CAST(($a) % 4294967296 AS BIGINT), " +
+        s"CAST(($b) % 4294967296 AS BIGINT)))"
+    private def rotl(x: String, r: Int): String =
+      s"((($x) % ${two(64 - r)}) * CAST(${two(r)} AS HUGEINT)" +
+        s" + ($x) // ${two(64 - r)})"
+    private def shr(x: String, k: Int): String = s"(($x) // ${two(k)})"
+
+    /** LATERAL fragments computing xxhash64 of a long expr with a
+      * seed expr; returns (joined fragments, final unsigned ref). */
+    def hashLong(pfx: String, input: String, seed: String): (String, String) = {
+      def ref(i: Int) = s"${pfx}t$i.${pfx}$i"
+      val exprs = Seq(
+        mulc(input, P2),                                   // 0: k1·P2
+        rotl(ref(0), 31),                                  // 1
+        mulc(ref(1), P1),                                  // 2: k1 done
+        s"((($seed) + ${P5 + 8}) % $M)",                   // 3: h0
+        xor64(ref(3), ref(2)),                             // 4
+        s"((${mulc(rotl(ref(4), 27), P1)} + $P4) % $M)",   // 5
+        xor64(ref(5), shr(ref(5), 33)),                    // 6
+        mulc(ref(6), P2),                                  // 7
+        xor64(ref(7), shr(ref(7), 29)),                    // 8
+        mulc(ref(8), P3),                                  // 9
+        xor64(ref(9), shr(ref(9), 32)))                    // 10: final
+      val frags = exprs.zipWithIndex.map { case (e, i) =>
+        s"LATERAL (SELECT $e AS ${pfx}$i) ${pfx}t$i"
+      }.mkString(", ")
+      (frags, ref(10))
+    }
+
+    /** xxhash64 of an INT expr (4-byte path — an INT literal child
+      * like `lit(1)` takes this branch, not hashLong). */
+    def hashInt(pfx: String, input: String, seed: String): (String, String) = {
+      def ref(i: Int) = s"${pfx}t$i.${pfx}$i"
+      val exprs = Seq(
+        s"((($seed) + ${P5 + 4}) % $M)",                   // 0: h0
+        mulc(s"(($input) % 4294967296)", P1),              // 1: k1
+        xor64(ref(0), ref(1)),                             // 2
+        s"((${mulc(rotl(ref(2), 23), P2)} + $P3) % $M)",   // 3
+        xor64(ref(3), shr(ref(3), 33)),                    // 4
+        mulc(ref(4), P2),                                  // 5
+        xor64(ref(5), shr(ref(5), 29)),                    // 6
+        mulc(ref(6), P3),                                  // 7
+        xor64(ref(7), shr(ref(7), 32)))                    // 8: final
+      val frags = exprs.zipWithIndex.map { case (e, i) =>
+        s"LATERAL (SELECT $e AS ${pfx}$i) ${pfx}t$i"
+      }.mkString(", ")
+      (frags, ref(8))
+    }
+
+    /** Interpret an unsigned [0,2⁶⁴) ref as Spark's SIGNED long. */
+    def signed(h: String): String =
+      s"(CASE WHEN ($h) >= 9223372036854775808 " +
+        s"THEN ($h) - $M ELSE ($h) END)"
+  }
+
+  /** IVF centroid-pick replay (r10): Similarity.pickCentroids over
+    * `embeddings` rows matching `srcWhere` — hash-thin by
+    * pmod(xxhash64(vec_id), step), order by (xxhash64(vec_id, 1)
+    * SIGNED, vec_id), take nlist. Emits CTEs ending in
+    * `cents(cell, embedding)`. */
+  private def ivfCentsCtes(srcWhere: String, pick: Int = 16,
+                           pfx: String = ""): String = {
+    val (f1, h1) = Xx64Sql.hashLong(s"${pfx}xa",
+      s"CAST(${pfx}src.vec_id AS HUGEINT)", "42")
+    val (f2, h2) = Xx64Sql.hashInt(s"${pfx}xb", "1", h1)
+    s"""${pfx}src AS (SELECT vec_id, embedding FROM embeddings $srcWhere),
+       |${pfx}cnt AS (SELECT greatest((count(*) // $pick) // 4, 1) AS step
+       | FROM ${pfx}src),
+       |${pfx}hx AS MATERIALIZED (SELECT ${pfx}src.vec_id,
+       |  ${Xx64Sql.signed(h1)} AS hs, ${Xx64Sql.signed(h2)} AS ho
+       | FROM ${pfx}src, $f1, $f2),
+       |${pfx}thin AS (SELECT s.vec_id, s.embedding, h.ho
+       | FROM ${pfx}src s JOIN ${pfx}hx h USING (vec_id), ${pfx}cnt
+       | WHERE ((h.hs % ${pfx}cnt.step) + ${pfx}cnt.step)
+       |   % ${pfx}cnt.step = 0),
+       |${pfx}cents AS MATERIALIZED (SELECT row_number() OVER
+       |  (ORDER BY ho, vec_id) - 1 AS cell, embedding
+       | FROM (SELECT ho, vec_id, embedding FROM ${pfx}thin
+       |  ORDER BY ho, vec_id LIMIT $pick) s)""".stripMargin
+  }
+
+  /** PQ tail over a pick of `nCodes` sample vectors (`cents` CTE,
+    * cells 0..nCodes−1): codebook entries are 4-dim slices of the
+    * picked embeddings (m=16 subspaces), encode = per-subspace L2
+    * argmin (first-wins ties, the kernel's strict <), recon = the
+    * concatenated entry lists, approx score = cosine against the
+    * reconstruction. `useIvf` adds the cell probe prune (cells =
+    * first 16 of the pick); `budget` = k·rerank. */
+  private def pqTail(useIvf: Boolean, budget: Int): String = {
+    val d2 = (1 to 4).map(i =>
+      s"(CAST(e.embedding[cb.sub * 4 + $i] AS DOUBLE) - cb.entry[$i])" +
+        s" * (CAST(e.embedding[cb.sub * 4 + $i] AS DOUBLE) - cb.entry[$i])")
+      .mkString(" + ")
+    val ivfCtes =
+      if (!useIvf) ""
+      else s"""icents AS (SELECT cell, embedding FROM cents WHERE cell < 16),
+              |assigned AS MATERIALIZED (SELECT vec_id, cell FROM (
+              | SELECT e.vec_id, c.cell, row_number() OVER (
+              |   PARTITION BY e.vec_id ORDER BY
+              |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+              |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+              | FROM embeddings e, icents c) x WHERE rn = 1),
+              |probes AS (SELECT vec_id AS query_id, cell FROM (
+              | SELECT e.vec_id, c.cell, row_number() OVER (
+              |   PARTITION BY e.vec_id ORDER BY
+              |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+              |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+              | FROM embeddings e, icents c WHERE e.vec_id % 100 = 0) x
+              | WHERE rn <= 8),
+              |""".stripMargin
+    val candSrc =
+      if (useIvf)
+        """FROM probes p JOIN assigned a ON a.cell = p.cell
+          | JOIN recon r ON r.vec_id = a.vec_id
+          | JOIN embeddings q ON q.vec_id = p.query_id
+          | WHERE a.vec_id != p.query_id""".stripMargin
+      else
+        """FROM embeddings q, recon r
+          | WHERE q.vec_id % 100 = 0 AND r.vec_id != q.vec_id""".stripMargin
+    val candSel =
+      if (useIvf) "p.query_id, a.vec_id AS neighbor_id"
+      else "q.vec_id AS query_id, r.vec_id AS neighbor_id"
+    val partKey = if (useIvf) "p.query_id" else "q.vec_id"
+    val ordId = if (useIvf) "a.vec_id" else "r.vec_id"
+    s"""cb AS MATERIALIZED (SELECT c32.cell AS code, g.j AS sub,
+       |  list_transform(range(1, 5),
+       |   i -> CAST(c32.embedding[g.j * 4 + i] AS DOUBLE)) AS entry
+       | FROM cents c32, LATERAL (SELECT unnest(range(0, 16)) AS j) g),
+       |enc AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+       | SELECT e.vec_id, cb.sub, cb.code, row_number() OVER (
+       |   PARTITION BY e.vec_id, cb.sub ORDER BY $d2, cb.code) AS rn
+       | FROM embeddings e, cb) x WHERE rn = 1),
+       |recon AS MATERIALIZED (SELECT enc.vec_id,
+       |  flatten(list(cb.entry ORDER BY enc.sub)) AS x
+       | FROM enc JOIN cb ON cb.sub = enc.sub AND cb.code = enc.code
+       | GROUP BY 1),
+       |$ivfCtes
+       |apx AS (SELECT query_id, neighbor_id FROM (
+       | SELECT $candSel, row_number() OVER (PARTITION BY $partKey
+       |   ORDER BY list_cosine_similarity(
+       |     CAST(q.embedding AS DOUBLE[]), r.x) DESC, $ordId) AS rn
+       | $candSrc) s WHERE rn <= $budget)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       | SELECT a.query_id, a.neighbor_id,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(n.embedding AS DOUBLE[])) AS cosine
+       | FROM apx a
+       | JOIN embeddings q ON q.vec_id = a.query_id
+       | JOIN embeddings n ON n.vec_id = a.neighbor_id) s
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       | ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin
+  }
+
+  /** Residual IVF-PQ oracle (r10): the full trained pipeline —
+    * pick16 init → ONE Lloyd iteration (float-snapped means, the
+    * kmeans-oracle pattern) → residual codebook init from the pick32
+    * sample → ONE per-subspace refinement iteration → residual
+    * encode → probe/score/rerank. Float subtractions replay as
+    * double-subtract-then-round (IEEE-identical for float operands).
+    */
+  private def ivfPqResidualOracle: String = {
+    // d2 for residual encode: ((v−cent) as FLOAT widened) − entry_d
+    def d2(cb: String) = (1 to 4).map { i =>
+      val diff = s"(CAST(CAST(e.embedding[$cb.sub * 4 + $i] AS DOUBLE)" +
+        s" - CAST(c1e.emb[$cb.sub * 4 + $i] AS DOUBLE) AS FLOAT)" +
+        s" - $cb.entry[$i])"
+      s"$diff * $diff"
+    }.mkString(" + ")
+    s"""WITH ${ivfCentsCtes("", pick = 16)},
+       |a0 AS MATERIALIZED (SELECT vec_id, cell FROM (
+       | SELECT e.vec_id, c.cell, row_number() OVER (
+       |   PARTITION BY e.vec_id ORDER BY
+       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+       | FROM embeddings e, cents c) x WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT c.cell,
+       |  coalesce(mm.emb, CAST(c.embedding AS FLOAT[])) AS emb
+       | FROM cents c LEFT JOIN (
+       |  SELECT a.cell, list(v ORDER BY i) AS emb FROM (
+       |   SELECT a0.cell, g.i,
+       |    CAST(avg(CAST(e.embedding[g.i] AS DOUBLE)) AS FLOAT) AS v
+       |   FROM a0 JOIN embeddings e USING (vec_id),
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      len(e.embedding))) AS i) g
+       |   GROUP BY 1, 2) a GROUP BY 1) mm USING (cell)),
+       |${ivfCentsCtes("", pick = 32, pfx = "s_")},
+       |s32 AS MATERIALIZED (SELECT s.cell AS code, s.embedding,
+       |  a.cell
+       | FROM s_cents s, LATERAL (SELECT c1.cell FROM c1 ORDER BY
+       |   list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+       |     CAST(c1.emb AS DOUBLE[])) DESC, c1.cell LIMIT 1) a),
+       |cb0 AS MATERIALIZED (SELECT s32.code, g.j AS sub,
+       |  list_transform(range(1, 5), i ->
+       |   CAST(CAST(s32.embedding[g.j * 4 + i] AS DOUBLE)
+       |    - CAST(c1e.emb[g.j * 4 + i] AS DOUBLE) AS FLOAT)) AS entry
+       | FROM s32 JOIN c1 c1e ON c1e.cell = s32.cell,
+       |  LATERAL (SELECT unnest(range(0, 16)) AS j) g),
+       |a1 AS MATERIALIZED (SELECT vec_id, cell FROM (
+       | SELECT e.vec_id, c.cell, row_number() OVER (
+       |   PARTITION BY e.vec_id ORDER BY
+       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(c.emb AS DOUBLE[])) DESC, c.cell) AS rn
+       | FROM embeddings e, c1 c) x WHERE rn = 1),
+       |enc0 AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+       | SELECT e.vec_id, cb0.sub, cb0.code, row_number() OVER (
+       |   PARTITION BY e.vec_id, cb0.sub
+       |   ORDER BY ${d2("cb0")}, cb0.code) AS rn
+       | FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+       | JOIN c1 c1e ON c1e.cell = a1.cell, cb0) x WHERE rn = 1),
+       |rv AS (SELECT enc0.sub, enc0.code, g.sp,
+       |  avg(CAST(CAST(CAST(
+       |   e.embedding[enc0.sub * 4 + g.sp] AS DOUBLE)
+       |   - CAST(c1e.emb[enc0.sub * 4 + g.sp] AS DOUBLE) AS FLOAT)
+       |   AS DOUBLE)) AS mean_v
+       | FROM enc0 JOIN embeddings e USING (vec_id)
+       | JOIN a1 ON a1.vec_id = enc0.vec_id
+       | JOIN c1 c1e ON c1e.cell = a1.cell,
+       |  LATERAL (SELECT unnest(generate_series(1, 4)) AS sp) g
+       | GROUP BY 1, 2, 3),
+       |cb1 AS MATERIALIZED (SELECT code, sub,
+       |  list(v ORDER BY i) AS entry FROM (
+       |  SELECT cb0.code, cb0.sub, g.i,
+       |   coalesce(CAST(rv.mean_v AS FLOAT), cb0.entry[g.i]) AS v
+       |  FROM cb0 CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) g
+       |  LEFT JOIN rv ON rv.sub = cb0.sub AND rv.code = cb0.code
+       |   AND rv.sp = g.i) z
+       | GROUP BY 1, 2),
+       |enc1 AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+       | SELECT e.vec_id, cb1.sub, cb1.code, row_number() OVER (
+       |   PARTITION BY e.vec_id, cb1.sub
+       |   ORDER BY ${d2("cb1")}, cb1.code) AS rn
+       | FROM embeddings e JOIN a1 ON a1.vec_id = e.vec_id
+       | JOIN c1 c1e ON c1e.cell = a1.cell, cb1) x WHERE rn = 1),
+       |recon AS MATERIALIZED (SELECT enc1.vec_id,
+       |  flatten(list(list_transform(range(1, 5), i ->
+       |    CAST(c1e.emb[enc1.sub * 4 + i] AS DOUBLE)
+       |     + CAST(cb1.entry[i] AS DOUBLE)) ORDER BY enc1.sub)) AS x
+       | FROM enc1 JOIN cb1 ON cb1.sub = enc1.sub AND cb1.code = enc1.code
+       | JOIN a1 ON a1.vec_id = enc1.vec_id
+       | JOIN c1 c1e ON c1e.cell = a1.cell
+       | GROUP BY 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       | SELECT e.vec_id, c.cell, row_number() OVER (
+       |   PARTITION BY e.vec_id ORDER BY
+       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(c.emb AS DOUBLE[])) DESC, c.cell) AS rn
+       | FROM embeddings e, c1 c WHERE e.vec_id % 100 = 0) x
+       | WHERE rn <= 8),
+       |apx AS (SELECT query_id, neighbor_id FROM (
+       | SELECT p.query_id, a.vec_id AS neighbor_id, row_number() OVER (
+       |   PARTITION BY p.query_id ORDER BY list_cosine_similarity(
+       |     CAST(q.embedding AS DOUBLE[]), r.x) DESC, a.vec_id) AS rn
+       | FROM probes p JOIN a1 a ON a.cell = p.cell
+       | JOIN recon r ON r.vec_id = a.vec_id
+       | JOIN embeddings q ON q.vec_id = p.query_id
+       | WHERE a.vec_id != p.query_id) s WHERE rn <= 160)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       | SELECT a.query_id, a.neighbor_id,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(n.embedding AS DOUBLE[])) AS cosine
+       | FROM apx a
+       | JOIN embeddings q ON q.vec_id = a.query_id
+       | JOIN embeddings n ON n.vec_id = a.neighbor_id) s
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       | ORDER BY cosine DESC, neighbor_id) <= 10"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** Argmax cell assignment + nprobe-8 probe + exact-cosine top-10
+    * tail over `cents`; `assignWhere` filters the ASSIGNED corpus
+    * (the shared-index filtered tier). */
+  private def ivfProbeTail(assignWhere: String = ""): String =
+    s"""assigned AS MATERIALIZED (SELECT vec_id, cell FROM (
+       | SELECT e.vec_id, c.cell, row_number() OVER (
+       |   PARTITION BY e.vec_id ORDER BY
+       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+       | FROM embeddings e, cents c $assignWhere) x WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, cell FROM (
+       | SELECT e.vec_id, c.cell, row_number() OVER (
+       |   PARTITION BY e.vec_id ORDER BY
+       |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+       |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+       | FROM embeddings e, cents c WHERE e.vec_id % 100 = 0) x
+       | WHERE rn <= 8),
+       |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       | FROM probes p JOIN assigned a ON a.cell = p.cell
+       | WHERE a.vec_id != p.query_id)
+       |SELECT query_id, neighbor_id, cosine FROM (
+       | SELECT c.query_id, c.neighbor_id,
+       |  list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(n.embedding AS DOUBLE[])) AS cosine
+       | FROM cand c
+       | JOIN embeddings q ON q.vec_id = c.query_id
+       | JOIN embeddings n ON n.vec_id = c.neighbor_id) s
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       | ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = {
     val m = base
     // result-parity keys: same semantics, different physical strategy
@@ -1528,6 +1850,11 @@ object SparkEntry {
       // Bloom pruning changes the physical plan, never the result
       ("q3_bloom_pruned" -> m("q3_top_unshipped")) +
       ("q_topn_per_group_agg" -> m("q_topn_per_group")) +
+      // the persisted-index probes are the partition-pruned physical
+      // form of the in-memory tiers (AnnIndexSpec parity; identical
+      // model state — same pick, same budgets)
+      ("ann_index_ivf_probe" -> m("ann_ivf_topk")) +
+      ("ann_index_ivfpq_probe" -> m("ann_ivfpq_topk")) +
       // exact (no evictions) while distinct keys per partition <= k
       ("events_heavy_hitters_mg" -> m("events_heavy_hitters")) +
       // associative partial-merge == full recompute
@@ -2743,6 +3070,89 @@ object SparkEntry {
           |FROM bs GROUP BY 1, 2""").stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "split_assign" -> {
+      // the xxhash64 fast-path split replayed (r10): h = xx64(42,
+      // xx64(doc_id, 42)), u = (h >>> 11)/2⁵³, cuts embedded as the
+      // exact cumulative-weight doubles the Scala scanLeft produces
+      val (f1, h1) = Xx64Sql.hashLong("a", "CAST(doc_id AS HUGEINT)", "42")
+      val (f2, h2) = Xx64Sql.hashLong("b", "42", h1)
+      val cuts = Seq(0.9, 0.05, 0.05).scanLeft(0.0)(_ + _).tail
+      s"""SELECT doc_id,
+         | CASE WHEN u < ${cuts(0)} THEN 'train'
+         |  WHEN u < ${cuts(1)} THEN 'val' ELSE 'test' END AS split
+         |FROM documents, $f1, $f2,
+         | LATERAL (SELECT CAST(($h2) // 2048 AS DOUBLE)
+         |   / 9007199254740992.0 AS u) uu""".stripMargin.replace("\n", " ")
+    },
+    "ann_ivfpq_res_topk" ->
+      // the RESIDUAL trained tier (r10): one Lloyd round on the
+      // cells, one per-subspace refinement round on the residual
+      // codebooks, residual encode/score — the whole trained model
+      // unrolled (at the driver SFs the hash-thinned train sample
+      // IS the corpus: n/4096 ≤ 1)
+      ivfPqResidualOracle,
+    "ann_pq_topk" ->
+      // the PQ tier replayed (r10): 32-entry codebooks = 4-dim
+      // slices of the xxhash64-picked sample, per-subspace L2-argmin
+      // encode, cosine against the reconstruction, k·8 budget, exact
+      // rerank
+      (s"""WITH ${ivfCentsCtes("", pick = 32)},
+          |${pqTail(useIvf = false, budget = 80)}""")
+        .stripMargin.replace("\n", " "),
+    "ann_ivfpq_topk" ->
+      // the composed FAISS-style tier: cells = first 16 of the SAME
+      // 32-vector pick (one sampling pass feeds both structures),
+      // probe prune then code-space scoring, k·16 budget
+      (s"""WITH ${ivfCentsCtes("", pick = 32)},
+          |${pqTail(useIvf = true, budget = 160)}""")
+        .stripMargin.replace("\n", " "),
+    "ann_index_ivfpq_append_probe" ->
+      // incremental IVF-PQ: model state (cells + codebooks) from the
+      // even half's pick, the full corpus encoded against it
+      (s"""WITH ${ivfCentsCtes("WHERE vec_id % 2 = 0", pick = 32)},
+          |${pqTail(useIvf = true, budget = 160)}""")
+        .stripMargin.replace("\n", " "),
+    "ann_ivf_topk" ->
+      // the IVF tier replayed end to end (r10): the xxhash64
+      // centroid pick, argmax cell assignment, 8-cell probes, exact
+      // cosine top-10 — "deterministic but not SQL-expressible" no
+      // longer holds once xxhash64 itself is decomposed
+      (s"""WITH ${ivfCentsCtes("")},
+          |${ivfProbeTail()}""").stripMargin.replace("\n", " "),
+    "ann_ivf_filtered_topk" ->
+      // shared index, filtered candidates: same centroids and
+      // probes, the predicate drops ineligible vectors at
+      // assignment time (one index serves every predicate)
+      (s"""WITH ${ivfCentsCtes("")},
+          |${ivfProbeTail("WHERE e.label % 3 = 0")}""")
+        .stripMargin.replace("\n", " "),
+    "ann_index_ivf_append_probe" ->
+      // the incrementally-maintained index: centroids picked from
+      // the even half ("yesterday's" build), the odd half appended
+      // against those STORED centroids — assignment of the FULL
+      // corpus to the half-corpus centroid pick (AnnIndexSpec's
+      // append ≡ union-at-fixed-centroids identity)
+      (s"""WITH ${ivfCentsCtes("WHERE vec_id % 2 = 0")},
+          |${ivfProbeTail()}""").stripMargin.replace("\n", " "),
+    "ann_ivf_cell_stats" ->
+      // the cell-balance diagnostic over the same replayed pick
+      (s"""WITH ${ivfCentsCtes("")},
+          |assigned AS (SELECT vec_id, cell FROM (
+          | SELECT e.vec_id, c.cell, row_number() OVER (
+          |   PARTITION BY e.vec_id ORDER BY
+          |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+          | FROM embeddings e, cents c) x WHERE rn = 1),
+          |filled AS (SELECT s.cell,
+          |  CAST(coalesce(n.n_vecs, 0) AS BIGINT) AS n_vecs
+          | FROM (SELECT unnest(generate_series(0, 15)) AS cell) s
+          | LEFT JOIN (SELECT cell, count(*) AS n_vecs FROM assigned
+          |  GROUP BY 1) n USING (cell)),
+          |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM filled)
+          |SELECT CAST(cell AS INT) AS cell, n_vecs,
+          | round(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+          | round(CAST(n_vecs AS DOUBLE) * 16.0 / total, 6) AS balance
+          |FROM filled, tt""").stripMargin.replace("\n", " "),
     "dedup_embedding" ->
       // the hyperplane-LSH embedding near-dup tier, planes embedded
       // (8 tables × 8 planes, seed 11), cosine verify at τ=0.9,

@@ -36,24 +36,23 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented twenty-two") {
+  test("rows-only queries are the documented eleven") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
       // full oracles (embedded-permutation HUGEINT replay)
       // r10 second batch: simhash + char-n-gram jaccard replay too
-      "ann_ivf_topk",
-      "ann_pq_topk", "ann_ivfpq_topk", "ann_ivfpq_res_topk",
-      "ann_ivf_filtered_topk", "ann_ivf_cell_stats", "split_assign",
+      // r10 third batch: the xxhash64 decomposition graduated the
+      // whole IVF pick/probe family and the xxhash64 split twin
+
       "events_approx_stats", "events_audience_overlap", "events_sketch_reach",
       // r9 additions, each spec-bounded against an exact anchor:
       // LSH SemDeDup closure (DedupRecallSpec), the two approx twins
       // (ApproxSpec error bounds), the persisted-index probes
       // (AnnIndexSpec parity + AnnRecallGateSpec floors)
       "etl_dq_profile_approx",
-      "events_user_lifespan_approx", "ann_index_ivf_probe",
-      "ann_index_ivfpq_probe", "ann_index_ivf_append_probe",
-      "ann_index_ivfpq_append_probe",
+      "events_user_lifespan_approx",
+
       // PCA: eigen state is driver-trained, not SQL-expressible —
       // PcaSpec invariants + the recall gate carry correctness
       "emb_pca_project", "ann_pca_topk",
