@@ -1059,11 +1059,16 @@ object Similarity {
     */
   def bm25TopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
                maxDfFrac: Double = 0.9, k1: Double = 1.2,
-               b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+               b: Double = 0.75, tfPostings: Option[DataFrame] = None): DataFrame = {
+    // a precomputed (doc_id, tok, tf) relation can be threaded in —
+    // the tokenize+count trunk is the expensive prefix, and a
+    // pipeline running several lexical operators should pay it once
+    val tf = tfPostings.getOrElse(
+      docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    // doc length = Σ tf (identical to counting the exploded rows)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // N and avgdl: one-row aggregates broadcast into the term scan
     val corpusStats = broadcast(
       dl.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -1079,24 +1084,26 @@ object Similarity {
         lit(1.0))
     val sat = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val terms = posts.filter(col("doc_id") % queryMod === 0)
+    val qPosts = posts.filter(col("doc_id") % queryMod === 0)
       .select(col("tok"), col("doc_id").as("query_id"))
-      .join(posts, Seq("tok"))
-      .filter(col("doc_id") =!= col("query_id"))
-      .join(dl, Seq("doc_id"))
-      .crossJoin(corpusStats)
-      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("tok"),
-        (idf * sat).as("term"))
-      .localCheckpoint(true) // both ranking stages read it
-    // two-stage: a cheap codegen'd plain-sum aggregate ranks ALL
-    // candidates and keeps k·5 per query; only those survivors pay
-    // the token-ordered collect+fold rescore (which exists for dup-
-    // doc tie stability, not speed — a plain float sum would let
-    // partition order split exact-dup ties across engines). The
-    // candidate boundary rides the plain sum, but a boundary flip
-    // needs two docs within one ulp at rank k·5 that are ALSO top-k
-    // material — scores are monotone, so they can't be both.
-    val approx = terms
+    def termsOver(corpusPosts: DataFrame): DataFrame =
+      qPosts.join(corpusPosts, Seq("tok"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(corpusStats)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("tok"), (idf * sat).as("term"))
+    // two-stage: a cheap codegen'd plain-sum aggregate streams the
+    // FULL term fan-out once (hash agg, nothing materialized) and
+    // keeps k·5 candidates per query; stage 2 then REBUILDS terms
+    // from candidate-bounded postings only (|cand docs| rows, not
+    // the corpus) and pays the token-ordered collect+fold rescore —
+    // which exists for dup-doc tie stability, not speed: a plain
+    // float sum would let partition order split exact-dup ties
+    // across engines. A candidate-boundary flip needs two docs
+    // within one ulp at rank k·5 that are ALSO top-k material —
+    // scores are monotone, so they can't be both.
+    val approx = termsOver(posts)
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("term")).as("s_approx"))
     val wA = Window.partitionBy("query_id")
@@ -1104,7 +1111,11 @@ object Similarity {
     val cands = approx.withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= k * 5)
       .select("query_id", "neighbor_id")
-    val scored = terms
+      .localCheckpoint(true) // O(queries·k) rows, read twice below
+    val posts2 = posts.join(
+      cands.select(col("neighbor_id").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_semi")
+    val scored = termsOver(posts2)
       .join(cands, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id", "neighbor_id")
       .agg(aggregate(
