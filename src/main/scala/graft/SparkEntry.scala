@@ -5828,11 +5828,15 @@ object SparkEntry {
          |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
          |  sum(rev) AS exact_value,
          |  sum(CASE WHEN k < '$thr' THEN rev END) AS s_rev,
+         |  sum(CASE WHEN k < '$thr' THEN rev * rev END) AS q_rev,
          |  CAST(sum(CASE WHEN k < '$thr' THEN 1 ELSE 0 END) AS BIGINT)
          |   AS n_sampled
          | FROM f GROUP BY 1)
          |SELECT l_returnflag, n_rows, n_sampled,
-         | coalesce(s_rev, 0.0) / 0.1 AS est_value, exact_value,
+         | coalesce(s_rev, 0.0) / 0.1 AS est_value,
+         | 1.959963984540054 * sqrt(coalesce(q_rev, 0.0)
+         |   * ${(1.0 - 0.1) / (0.1 * 0.1)}) AS ci95_halfwidth,
+         | exact_value,
          | abs(coalesce(s_rev, 0.0) / 0.1 - exact_value) / exact_value
          |  AS rel_err
          |FROM a""".stripMargin.replace("\n", " ")

@@ -62,14 +62,24 @@ object Sampling {
     val thr = hexThreshold(rate)
     val flagged = df.select(col(groupCol), valueExpr.as("rev"),
       sampleKey(col(idCol), salt).as("k"))
+    // 95% half-width of the HT total under Bernoulli(rate) sampling:
+    // Var(est) = Σᵢ vᵢ²·(1−rate)/rate over ALL rows; estimated from
+    // the sample by Σ_{i∈S} vᵢ²·(1−rate)/rate² (each sampled v²/rate
+    // estimates the population Σv²). Inclusion coins are independent
+    // per row, so (1−rate) is the whole correction.
+    val varEst = coalesce(col("q_rev"), lit(0.0)) *
+      lit((1.0 - rate) / (rate * rate))
     flagged.groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_rows"),
         sum("rev").as("exact_value"),
         sum(when(col("k") < lit(thr), col("rev"))).as("s_rev"),
+        sum(when(col("k") < lit(thr), col("rev") * col("rev")))
+          .as("q_rev"),
         sum(when(col("k") < lit(thr), 1L).otherwise(0L)).as("n_sampled"))
       .select(col(groupCol), col("n_rows"), col("n_sampled"),
         (coalesce(col("s_rev"), lit(0.0)) / lit(rate)).as("est_value"),
+        (lit(1.959963984540054) * sqrt(varEst)).as("ci95_halfwidth"),
         col("exact_value"),
         (abs(coalesce(col("s_rev"), lit(0.0)) / lit(rate) -
           col("exact_value")) / col("exact_value")).as("rel_err"))

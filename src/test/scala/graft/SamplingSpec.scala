@@ -207,8 +207,14 @@ class SamplingSpec extends SparkSpec {
     assert(nSampled > 60 && nSampled < 140, s"sampled count: $nSampled")
     // unit values make the estimator algebra exact: est = n_sampled/rate
     assert(r.getDouble(3) == nSampled / 0.1, s"est: $r")
-    assert(r.getDouble(4) == 1000.0)
-    assert(math.abs(r.getDouble(5) -
+    // CI: q_s = n_sampled on unit values → 1.96·√(n·(1−r)/r²); the
+    // realized error must sit inside it (coin is near-uniform)
+    val ci = 1.959963984540054 * math.sqrt(nSampled * (0.9 / 0.01))
+    assert(math.abs(r.getDouble(4) - ci) < 1e-9, s"ci: $r vs $ci")
+    assert(math.abs(r.getDouble(3) - 1000.0) < ci,
+      s"realized error outside the 95% band: $r")
+    assert(r.getDouble(5) == 1000.0)
+    assert(math.abs(r.getDouble(6) -
       math.abs(nSampled / 0.1 - 1000.0) / 1000.0) < 1e-12)
     // determinism under repartitioning (the hash coin, not sample())
     val again = Sampling.sampleEstimate(rows.repartition(7), "id",
