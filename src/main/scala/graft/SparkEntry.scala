@@ -1616,7 +1616,10 @@ object SparkEntry {
     * `embeddings` rows matching `srcWhere` — hash-thin by
     * pmod(xxhash64(vec_id), step), order by (xxhash64(vec_id, 1)
     * SIGNED, vec_id), take nlist. Emits CTEs ending in
-    * `cents(cell, embedding)`. */
+    * `cents(cell, embedding)`. Does NOT replay the tiny-corpus
+    * fallback (thinned < nlist → re-pick over the full corpus):
+    * at every driver SF the thinned set is ≥ 4× the pick, and the
+    * fallback only fires below ~4·pick vectors total. */
   private def ivfCentsCtes(srcWhere: String, pick: Int = 16,
                            pfx: String = ""): String = {
     val (f1, h1) = Xx64Sql.hashLong(s"${pfx}xa",
