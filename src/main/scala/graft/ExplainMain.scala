@@ -64,7 +64,8 @@ object ExplainMain {
       "events_ab_mannwhitney", "events_ab_mde", "stream_ab_readout",
       "events_attribution_markov", "text_bm25_topk", "lake_zorder_plan",
       "emb_kmeans_assign", "emb_label_outliers", "ann_mmr_diverse",
-      "ann_lsh_topk", "mm_decode_png")
+      "ann_lsh_topk", "mm_decode_png",
+      "events_ab_srm", "q_revenue_sample_estimate")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
