@@ -431,6 +431,10 @@ object SparkEntry {
     "dedup_exact_report" -> ((s, dir) => Dedup.exactReport(Tables.documents(s, dir))),
     "dedup_token_inflation" -> ((s, dir) =>
       Dedup.tokenInflation(Tables.documents(s, dir))),
+    // streaming near-exact gate, batch-folded (min-id per signature;
+    // the deployment form is dropDuplicates("sig") under a watermark)
+    "stream_sig_dedup" -> ((s, dir) =>
+      Dedup.signatureDedup(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashSummary(Tables.documents(s, dir), tau = 0.4,
         shingles = Some(sharedShingleSets(s, dir)))),
@@ -3087,6 +3091,14 @@ object SparkEntry {
           | CAST(bucket_size * (bucket_size - 1) // 2 AS BIGINT)
           |  * count(*) AS implied_pairs
           |FROM bs GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "stream_sig_dedup" ->
+      // full-signature grouping over the replayed minhash state
+      (s"""WITH $minhashSigCtes,
+          |fullsig AS (SELECT doc_id, list(mv ORDER BY p) AS sig
+          | FROM mh GROUP BY doc_id)
+          |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT)
+          |  AS n_copies
+          |FROM fullsig GROUP BY sig""").stripMargin.replace("\n", " "),
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "split_assign" -> {

@@ -303,6 +303,41 @@ object Dedup {
     pairSummary(docs, minhashPairs(docs, shingleSize, numPerms, bands, tau,
       seed, shingles = shingles), "jaccard")
 
+  /** Near-exact dedup on the FULL minhash signature: documents whose
+    * 64 permuted minima ALL collide have (w.h.p.) near-identical
+    * shingle sets — a much tighter test than any single band, tuned
+    * for the "same doc, trivial perturbation" tier between exact
+    * dedup and banded LSH. The batch form keeps the min-id survivor
+    * per signature with its copy count; the STREAMING twin is
+    * `docs.withColumn("sig", …).dropDuplicates("sig")` under a
+    * watermark (state = one row per distinct signature — fingerprint
+    * bytes, never text), which keeps the first ARRIVAL instead of
+    * the min id: the deterministic batch fold here is the oracle
+    * form, the arrival-order stream is the deployment form
+    * (StreamingSpec pins that both drop the same duplicates).
+    */
+  def signatureDedup(docs: DataFrame, shingleSize: Int = 3,
+                     numPerms: Int = 64, seed: Long = 42L): DataFrame =
+    docs.select(col("doc_id"),
+      gf.minhashSignature(
+        array_distinct(gf.tokenShingleHashes(col("text"), shingleSize)),
+        numPerms, seed).as("sig"))
+      .groupBy("sig")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** The streaming form of [[signatureDedup]]: first arrival per
+    * signature survives. Works identically on a batch frame (where
+    * "first" is partition order — use the batch fold when
+    * determinism matters). */
+  def signatureDedupStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      gf.minhashSignature(
+        array_distinct(gf.tokenShingleHashes(col("text"), 3)), 64, 42L)
+        .as("sig"))
+      .dropDuplicates("sig")
+      .select("doc_id")
+
   /** SimHash near-dup pairs: 64-bit signatures, banded into
     * `bands` bit-groups for candidates, verified with exact Hamming
     * distance ≤ maxHamming.

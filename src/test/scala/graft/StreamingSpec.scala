@@ -85,6 +85,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("signature dedup: streamed first-arrival drops the same dupes as batch min-id") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = graft.operators.Dedup.signatureDedup(docs).collect()
+    val batchKept = batch.map(_.getLong(0)).toSet
+    val nSigs = batch.length
+    assert(nSigs < docs.count(), "sf0.001 plants signature-identical copies")
+
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = graft.operators.Dedup.signatureDedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("sig_dedup_test")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect()
+        .map(r => StreamingSpec.Doc(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id)
+      // feed in id order across two micro-batches: first-arrival ==
+      // min-id, so the survivor SETS must agree exactly
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sig_dedup_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept,
+        s"stream (id-ordered) must keep the min-id survivors: " +
+          s"${streamed.size} vs ${batchKept.size}")
+    } finally q.stop()
+  }
+
   test("abDailyPartials over MemoryStream: state merges, readout = batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
