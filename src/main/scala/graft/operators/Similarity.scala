@@ -1039,27 +1039,69 @@ object Similarity {
     * [[hybridRrfTopK]]'s raw shared-token count: per shared term,
     * idf = ln(1 + (N − df + ½)/(df + ½)) weighs rarity and the
     * (k1, b) saturation normalizes term frequency by document length.
-    * Candidate generation is a hash-partitioned token equi-join over
-    * postings pruned by a STOPWORD-FRACTION cap: tokens in more than
+    * Scale posture — CHAMPION LISTS (impact-ordered truncated
+    * postings, the classic IR index trick). SCORING keeps the full
+    * vocabulary up to a STOPWORD-FRACTION cap: tokens in more than
     * `maxDfFrac` of documents are dropped (df = 1 hapaxes too — a
-    * token in one document can never be shared). A fractional cap,
-    * not the dedup family's absolute one, because retrieval must
-    * keep the informative mid-frequency band at any corpus size;
-    * on a Zipf vocabulary the cap bounds the posting-join fan-out to
-    * maxDfFrac·N per token, and lowering it is the production lever
-    * (block-max/WAND skipping is the next tier when common terms
-    * must still score).
+    * token in one document can never be shared); retrieval quality
+    * needs every surviving term to contribute to the final score.
+    * CANDIDATE GENERATION (stage 1) instead joins the query tokens
+    * against each token's CHAMPION LIST — ~`championR` docs chosen
+    * by (tf DESC, doc_id), the frequency-ordered proxy for impact
+    * order — so per-token fan-out in the stage-1 equi-join is
+    * bounded by a CONSTANT instead of maxDfFrac·N: stage-1 work is
+    * O(|query postings| · championR) regardless of corpus size, and
+    * no hot token can concentrate 0.9·N postings on one shuffle
+    * partition. An absolute mid-band df window (the dedup-family
+    * cap) is NOT used here because it silently empties on small-
+    * vocabulary corpora where every token is stopword-class — the
+    * champion list degrades gracefully instead (every token always
+    * contributes ~min(df, championR) candidates). Ranking champions
+    * by integer tf with doc_id tie-break (rather than the float
+    * impact itself) makes list membership a DISCRETE, bit-stable
+    * set — no cross-engine ulp noise can flip who is in the index.
+    * The champion build is STRATIFIED for skew-proofness: ceil(R/32)
+    * champions per (tok, doc_id % 32) stratum, one window whose
+    * partitions each hold at most a 1/32 slice of a hot token's
+    * posting list — strata are selected independently, so the list
+    * is also hash-diverse across the corpus rather than biased to
+    * one region of the tf distribution's head. Block-max/WAND early
+    * termination is the next tier if exhaustive common-token
+    * scoring must also be rank-safe.
     *
-    * The per-pair score folds its term contributions in TOKEN order
+    * Per-pair scores fold their term contributions in TOKEN order
     * (array_sort → sequential `aggregate`), not hash-aggregate
-    * order: exact-duplicate documents then score bit-identically
-    * within each engine, so their rank tie breaks by neighbor_id the
-    * same way everywhere — a plain float `sum` would let partition
-    * order split dup ties across engines.
+    * order — in BOTH stages: exact-duplicate documents then score
+    * bit-identically within each engine, so their rank tie breaks by
+    * neighbor_id the same way everywhere. The stage-1 cut at rank
+    * k·5 additionally orders by the 1e-6-rounded fold (then
+    * neighbor_id), so the candidate SET — a discrete output — can't
+    * be split across engines by last-ulp ln() noise either; a flip
+    * now needs two fold sums straddling a 1e-6 grid edge within one
+    * ulp. The fold is affordable in stage 1 precisely because
+    * champion lists bound the rows it runs over.
     */
-  def bm25TopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
-               maxDfFrac: Double = 0.9, k1: Double = 1.2,
-               b: Double = 0.75, tfPostings: Option[DataFrame] = None): DataFrame = {
+  /** The scored BM25 postings index: `(doc_id, tok, tf, term)` with
+    * `term` the full idf·saturation contribution of `tok` in
+    * `doc_id`, band-filtered to 2 ≤ df ≤ maxDfFrac·N. This is the
+    * persisted-index half of [[bm25TopK]] — an IR system scores its
+    * postings at INDEX time, not per query, so a pipeline running
+    * bm25 repeatedly should build this once (checkpoint/bucket it)
+    * and thread it in via `scoredPostings`. Build posture: dl rides
+    * the postings as a window sum over doc_id (per-doc partitions
+    * are bounded by document length — skew-proof — and it removes a
+    * per-stage dl join downstream); df stays a groupBy (map-side
+    * partial combine — a hot token never concentrates its posting
+    * list the way a tok-window would); N and avgdl come straight
+    * off the tf relation (avgdl = Σtf / N, identical to the mean of
+    * per-doc lengths but without a per-doc aggregate on the
+    * critical path) as one broadcast row — and the integer sum /
+    * single division is bit-stable cross-engine, unlike an iterated
+    * float mean.
+    */
+  def bm25Postings(docs: DataFrame, maxDfFrac: Double = 0.9,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   tfPostings: Option[DataFrame] = None): DataFrame = {
     // a precomputed (doc_id, tok, tf) relation can be threaded in —
     // the tokenize+count trunk is the expensive prefix, and a
     // pipeline running several lexical operators should pay it once
@@ -1067,62 +1109,106 @@ object Similarity {
       docs.select(col("doc_id"),
         explode(TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
-    // doc length = Σ tf (identical to counting the exploded rows)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // N and avgdl: one-row aggregates broadcast into the term scan
-    val corpusStats = broadcast(
-      dl.agg(count(lit(1)).cast("double").as("n_docs"),
-        avg(col("dl")).as("avgdl")))
+    val corpusStats = broadcast(tf.agg(
+        countDistinct(col("doc_id")).cast("double").as("n_docs"),
+        sum("tf").as("tot_toks"))
+      .select(col("n_docs"), (col("tot_toks") / col("n_docs")).as("avgdl")))
     val dfRel = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(corpusStats)
       .filter(col("df") >= 2 &&
         col("df") <= floor(lit(maxDfFrac) * col("n_docs")))
       .select("tok", "df")
-    val posts = tf.join(dfRel, Seq("tok"))
     val idf = log(
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) +
         lit(1.0))
     val sat = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    // postings carry everything the term expression needs — term is
+    // a pure per-row projection from here on, so neither query
+    // stage pays a dl join or a corpus-stats crossJoin again
+    tf.withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+      .join(dfRel, Seq("tok"))
+      .crossJoin(corpusStats)
+      .withColumn("term", idf * sat)
+      .select("doc_id", "tok", "tf", "term")
+  }
+
+  def bm25TopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
+               maxDfFrac: Double = 0.9, k1: Double = 1.2,
+               b: Double = 0.75, tfPostings: Option[DataFrame] = None,
+               championR: Int = 64,
+               scoredPostings: Option[DataFrame] = None): DataFrame = {
+    val posts = scoredPostings.getOrElse(
+      bm25Postings(docs, maxDfFrac, k1, b, tfPostings))
     val qPosts = posts.filter(col("doc_id") % queryMod === 0)
       .select(col("tok"), col("doc_id").as("query_id"))
     def termsOver(corpusPosts: DataFrame): DataFrame =
       qPosts.join(corpusPosts, Seq("tok"))
         .filter(col("doc_id") =!= col("query_id"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(corpusStats)
         .select(col("query_id"), col("doc_id").as("neighbor_id"),
-          col("tok"), (idf * sat).as("term"))
-    // two-stage: a cheap codegen'd plain-sum aggregate streams the
-    // FULL term fan-out once (hash agg, nothing materialized) and
-    // keeps k·5 candidates per query; stage 2 then REBUILDS terms
+          col("tok"), col("term"))
+    // two-stage: stage 1 generates candidates from each token's
+    // STRATIFIED CHAMPION LIST — ceil(championR/32) postings per
+    // (tok, doc_id % 32) stratum by (tf DESC, doc_id), one window
+    // whose partitions each hold at most a 1/32 slice of a hot
+    // token's posting list — so per-token fan-out is a constant at
+    // any corpus size and the build itself is skew-proof. Stage 2
+    // then REBUILDS terms over the FULL fractional-cap vocabulary
     // from candidate-bounded postings only (|cand docs| rows, not
-    // the corpus) and pays the token-ordered collect+fold rescore —
-    // which exists for dup-doc tie stability, not speed: a plain
-    // float sum would let partition order split exact-dup ties
-    // across engines. A candidate-boundary flip needs two docs
-    // within one ulp at rank k·5 that are ALSO top-k material —
-    // scores are monotone, so they can't be both.
-    val approx = termsOver(posts)
+    // the corpus), so final scores keep every term stage 1's
+    // truncated lists ignored. Both stages fold terms in token
+    // order — stage 2 for dup-doc tie stability, stage 1 (with a
+    // 1e-6 rounding at the cut) so the candidate set can't be
+    // flipped by partition-order or last-ulp float noise.
+    // STRATIFIED champion lists: ceil(R/32) champions per
+    // (tok, doc_id % 32) stratum. One window, one shuffle, and no
+    // partition ever holds more than a 1/32 slice of a hot token's
+    // posting list — each stratum's top is an independent integer-
+    // ranked (tf DESC, doc_id) selection, so membership stays a
+    // discrete bit-stable set and the strata double as hash-diverse
+    // coverage of the posting list
+    val perStratum = math.max(1, (championR + 31) / 32)
+    val wSalt = Window.partitionBy("tok", "salt")
+      .orderBy(col("tf").desc, col("doc_id"))
+    val champions = posts
+      .withColumn("salt", pmod(col("doc_id"), lit(32)))
+      .withColumn("rs", row_number().over(wSalt))
+      .filter(col("rs") <= perStratum).drop("rs", "salt")
+    val tokenOrderedSum = aggregate(
+      transform(
+        array_sort(collect_list(struct(col("tok"), col("term")))),
+        s => s.getField("term")),
+      lit(0.0), (acc, x) => acc + x)
+    // repartition by query_id alone: hash(query_id) satisfies the
+    // pair-grain clustering below AND the rank window after it, so
+    // the agg → window chain rides ONE exchange (collect_list has
+    // no useful map-side partial to lose). Per-query volume is
+    // bounded (toks-per-query · champions), so the key is balanced.
+    val approx = termsOver(champions)
+      .repartition(col("query_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("term")).as("s_approx"))
+      .agg(tokenOrderedSum.as("s_approx"))
     val wA = Window.partitionBy("query_id")
-      .orderBy(col("s_approx").desc, col("neighbor_id"))
+      .orderBy(round(col("s_approx"), 6).desc, col("neighbor_id"))
+    // no checkpoint: the pair-bounded stage 2 reads cands exactly
+    // once, so the whole query is a single job — one fewer action,
+    // and AQE can coalesce the tiny shuffles across both stages
     val cands = approx.withColumn("rn", row_number().over(wA))
       .filter(col("rn") <= k * 5)
       .select("query_id", "neighbor_id")
-      .localCheckpoint(true) // O(queries·k) rows, read twice below
-    val posts2 = posts.join(
-      cands.select(col("neighbor_id").as("doc_id")).distinct(),
-      Seq("doc_id"), "left_semi")
-    val scored = termsOver(posts2)
-      .join(cands, Seq("query_id", "neighbor_id"), "left_semi")
+    // stage-2 term rebuild is PAIR-bounded, never corpus-bounded:
+    // expand each candidate pair by the query's tokens
+    // (O(|cands| · tokens-per-query) rows), then an equi-join on
+    // (neighbor_id, tok) picks out exactly the shared tokens in the
+    // fractional-cap band — the same term set termsOver would build,
+    // without materializing a corpus-wide posting fan-out first
+    val scored = cands
+      .join(qPosts, Seq("query_id"))
+      .join(posts.select(col("doc_id").as("neighbor_id"), col("tok"),
+        col("term")), Seq("neighbor_id", "tok"))
+      .repartition(col("query_id")) // same one-exchange agg → window ride
       .groupBy("query_id", "neighbor_id")
-      .agg(aggregate(
-        transform(
-          array_sort(collect_list(struct(col("tok"), col("term")))),
-          s => s.getField("term")),
-        lit(0.0), (acc, x) => acc + x).as("bm25"))
+      .agg(tokenOrderedSum.as("bm25"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("bm25").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

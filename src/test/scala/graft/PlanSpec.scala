@@ -460,13 +460,22 @@ class PlanSpec extends SparkSpec {
       s"one aggregate exchange:\n$p")
   }
 
-  test("bm25 candidate stage is a hash aggregate, postings join is equi") {
+  test("bm25 stage-1 fan-out is champion-bounded — never 0.9·N per token") {
     val p = plan(graft.operators.Similarity.bm25TopK(
       Tables.documents(spark, dir)))
-    // final rescore ranks k·5 candidates; the heavy lifting upstream
-    // is checkpointed — the visible plan must not cross join
+    // the r10 scale-killer: candidate generation joining full
+    // fractional-cap postings fans each hot token out to 0.9·N rows.
+    // The plan must carry the stratified champion index instead — a
+    // row_number window partitioned by (tok, salt) whose rank filter
+    // bounds per-token candidates to a CONSTANT before any
+    // query-side join sees the postings
+    val champWindow = "row_number.*windowspecdefinition\\(tok[^,]*, salt".r
+    assert(champWindow.findFirstIn(p).isDefined,
+      s"stage-1 must read (tok, salt)-stratified champion lists:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"no all-pairs anywhere:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"expected posting equi-joins:\n$p")
   }
 
   test("stream abDailyPartials: windowed partial aggregation, O(types·days) state") {

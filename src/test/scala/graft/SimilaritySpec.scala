@@ -160,6 +160,29 @@ class SimilaritySpec extends SparkSpec {
       s"score ${got(0).getDouble(2)} vs ${idf * sat}")
   }
 
+  test("bm25TopK: threaded tf/scored-postings trunks equal the self-built path") {
+    // the shared-trunk contract (tf_postings + bm25_index billed to
+    // prime): threading a precomputed trunk must be a pure billing
+    // change, never a semantic fork — row-for-row identical results
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val self = rows(Similarity.bm25TopK(docs, queryMod = 10))
+    val tfTrunk = docs
+      .select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val viaTf = rows(Similarity.bm25TopK(docs, queryMod = 10,
+      tfPostings = Some(tfTrunk)))
+    val viaScored = rows(Similarity.bm25TopK(docs, queryMod = 10,
+      scoredPostings = Some(
+        Similarity.bm25Postings(docs, tfPostings = Some(tfTrunk)))))
+    assert(self.nonEmpty, "fixture must produce rows")
+    assert(viaTf == self, "tf-threaded path must equal self-built")
+    assert(viaScored == self, "scored-index path must equal self-built")
+  }
+
   test("LSH multiprobe lifts recall at the same table layout") {
     def meanRecall(mp: Int): Double = {
       val got = topkSets(Similarity.lshTopK(emb, queries, k = 10,
