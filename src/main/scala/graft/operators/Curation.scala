@@ -167,7 +167,12 @@ object Curation {
     val curated = restrict(
       curate(docs, minTokens, maxTokens, minQuality, benchMod, scored))
     val suppressed = restrict(Dedup.nearDupSuppress(curated, scored = scored))
+    // pin the post-cap survivors: the budget walk consumes its input
+    // twice (band totals + final window), and without this pin both
+    // consumers would re-run the whole gate chain incl. the near-dup
+    // blocking joins (selectToBudget no longer pins thread-in input)
     val capped = restrict(sourceCap(suppressed, cap, scored))
+      .localCheckpoint(true)
     selectToBudget(capped, tokenBudget, scored)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "n_tokens", "quality_score")
@@ -191,55 +196,80 @@ object Curation {
                    minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // measured at sf0.1: the funnel's floor is its three serial
+    // actions (flags pin → near-dup pin → counting aggregate), each
+    // fanned by AQE into many small stage-materialization jobs.
+    // Pinning AQE off was tried and REGRESSED (17 jobs but more
+    // task overhead per stage); dropping the near-dup pin was tried
+    // and REGRESSED (the gate re-runs once per downstream consumer).
+    // The action structure below is the minimum for the semantics.
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-    val scored = Some(scoreDocs(docs).localCheckpoint(true))
-    val quality = scored.get
-      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("quality_score") >= minQuality)
-      .select("doc_id")
-    // kept/deduped are cheap subtrees (semi-join + one hash agg over
-    // the pinned scored relation) consumed twice each — recomputing
-    // them costs less than a checkpoint job's fixed overhead; only
-    // the stages the EXPENSIVE near-dup gate rescans stay pinned
-    val kept = restrict(quality)
-    val deduped = Dedup.exact(kept).select("doc_id")
-    val contaminated = TextAnalysis
-      .decontaminate(docs, n = 3, benchMod = benchMod).select("doc_id")
-    val curated = kept
-      .join(deduped, Seq("doc_id"), "left_semi")
-      .filter(col("doc_id") % benchMod =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    val qualityPred = col("n_tokens") >= minTokens &&
+      col("n_tokens") <= maxTokens && col("quality_score") >= minQuality
+    // ONE pinned per-doc relation fuses everything the first three
+    // gates decide: the tokenization scores plus quality /
+    // exact-keeper / contamination flags (each gate a boolean
+    // column, each downstream stage a filter — no per-stage
+    // checkpoint, no per-stage re-scan). One checkpoint job instead
+    // of the former scored + curated pair.
+    val statsRel = scoreDocs(docs)
+    val kept = docs.join(statsRel.filter(qualityPred).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val flags = statsRel
+      .withColumn("f_quality", qualityPred)
+      .join(Dedup.exact(kept).select("doc_id")
+        .withColumn("f_keeper", lit(true)), Seq("doc_id"), "left")
+      .join(TextAnalysis.decontaminate(docs, n = 3, benchMod = benchMod)
+        .select("doc_id").withColumn("f_contam", lit(true)),
+        Seq("doc_id"), "left")
       .localCheckpoint(true)
-    val suppressed = restrict(Dedup.nearDupSuppress(curated, scored = scored))
+    val scored = Some(flags.select("doc_id", "n_tokens", "quality_score"))
+    val quality = flags.filter(col("f_quality")).select("doc_id")
+    val deduped = flags.filter(col("f_quality") && col("f_keeper"))
+      .select("doc_id")
+    val curatedIds = flags.filter(col("f_quality") && col("f_keeper") &&
+      col("doc_id") % benchMod =!= 0 && col("f_contam").isNull)
+      .select("doc_id")
+    // the near-dup gate is the one remaining expensive relation
+    // consumed by two downstreams (cap chain + counts) — pin its
+    // OUTPUT so the blocking joins run exactly once. capped/budgeted
+    // stay lazy: off the pinned suppressed + flags they are one
+    // aggregate + one banded fold, cheaper to recompute than a
+    // checkpoint job's fixed overhead.
+    val suppressed = restrict(Dedup.nearDupSuppress(restrict(curatedIds),
+        scored = scored))
       .localCheckpoint(true)
     val capped = restrict(sourceCap(suppressed, cap, scored))
-      .localCheckpoint(true)
     val budgeted = selectToBudget(capped, tokenBudget, scored)
     // the stage id-sets are a strict chain (each ⊆ its predecessor),
     // so every doc's deepest-surviving stage is recoverable from
-    // membership flags — ONE left-join spine + ONE aggregate action
-    // replaces the seven per-stage count() jobs (each stage relation
-    // is already pinned above, so the spine joins checkpointed ids,
-    // never re-runs a gate)
-    val stageIds = Seq(
-      "quality" -> quality, "exact_dedup" -> deduped,
-      "decontam" -> curated.select("doc_id"),
-      "near_dup" -> suppressed.select("doc_id"),
-      "source_cap" -> capped.select("doc_id"),
-      "token_budget" -> budgeted.select("doc_id"))
-    val spine = stageIds.foldLeft(docs.select("doc_id")) {
-      case (acc, (name, ids)) =>
-        acc.join(ids.select(col("doc_id"), lit(1L).as(s"f_$name")),
-          Seq("doc_id"), "left")
-    }
-    val row = spine.agg(
-      count(lit(1)).as("input"),
-      stageIds.map { case (name, _) =>
-        sum(coalesce(col(s"f_$name"), lit(0L))).as(name)
-      }: _*).head()
+    // membership flags — the first three stages are ALREADY columns
+    // of the pinned flags relation, so the count spine joins only
+    // the three post-near-dup id sets: ONE aggregate action total
+    val row = flags
+      .join(suppressed.select("doc_id").withColumn("f_nd", lit(1L)),
+        Seq("doc_id"), "left")
+      .join(capped.select("doc_id").withColumn("f_cap", lit(1L)),
+        Seq("doc_id"), "left")
+      .join(budgeted.select("doc_id").withColumn("f_bud", lit(1L)),
+        Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("input"),
+        sum(when(col("f_quality"), 1L).otherwise(0L)).as("quality"),
+        sum(when(col("f_quality") && col("f_keeper"), 1L).otherwise(0L))
+          .as("exact_dedup"),
+        sum(when(col("f_quality") && col("f_keeper") &&
+          col("doc_id") % benchMod =!= 0 && col("f_contam").isNull, 1L)
+          .otherwise(0L)).as("decontam"),
+        sum(coalesce(col("f_nd"), lit(0L))).as("near_dup"),
+        sum(coalesce(col("f_cap"), lit(0L))).as("source_cap"),
+        sum(coalesce(col("f_bud"), lit(0L))).as("token_budget"))
+      .head()
+    val names = Seq("quality", "exact_dedup", "decontam", "near_dup",
+      "source_cap", "token_budget")
     val counts = ("input" -> row.getAs[Long]("input")) +:
-      stageIds.map { case (name, _) => name -> row.getAs[Long](name) }
+      names.map(n => n -> row.getAs[Long](n))
     counts.zipWithIndex.map { case ((stage, n), i) =>
       (i.toLong, stage, n,
         if (i == 0) None else Some(counts(i - 1)._2 - n))
@@ -310,9 +340,16 @@ object Curation {
     *  1. band by quantized quality (monotone: ascending band =
     *     descending quality, and band is a pure function of the
     *     score, so band order extends the global order exactly);
-    *  2. per-band token totals → driver (O(#bands), ≤ 4097 rows at
-    *     any corpus size) → broadcast exclusive offsets;
+    *  2. per-band token totals → exclusive prefix offsets via ONE
+    *     single-partition window over the band totals (O(#bands),
+    *     ≤ 4097 rows at ANY corpus size — a bounded relation, so
+    *     the "global window" anti-pattern doesn't apply) →
+    *     broadcast back into the scan;
     *  3. within-band windows run all bands in parallel.
+    *
+    * Fully lazy: no driver collect, no action — the band offsets
+    * ride the same job as the final filter, so callers can compose
+    * this gate without paying a scheduling round-trip.
     *
     * Keeps the doc whose EXCLUSIVE cumulative tokens are below
     * budget (the doc that crosses the line is kept — "fill then
@@ -323,21 +360,26 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val bands = 4096
+    // the scored relation is consumed twice (band totals + the final
+    // window). Self-built, that's two tokenization scans — pin it.
+    // Thread-in callers already pin their scored trunk, so for them
+    // the semi-join recompute is cheap and the extra checkpoint job
+    // would cost more than it saves.
     val scored = preScored
       .map(_.join(docs.select("doc_id"), Seq("doc_id"), "left_semi"))
-      .getOrElse(scoreDocs(docs))
+      .getOrElse(scoreDocs(docs).localCheckpoint(true))
       // quality ∈ [0,1]: quantize; negate so ascending band =
       // descending quality
       .withColumn("band",
         -floor(least(col("quality_score"), lit(1.0)) * bands).cast("long"))
-      .localCheckpoint(true)
-    val totals = scored.groupBy("band")
+    val wBands = org.apache.spark.sql.expressions.Window
+      .orderBy("band")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsetsDf = scored.groupBy("band")
       .agg(sum("n_tokens").as("btok"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (b, t) => val off = (b, acc); acc += t; off }
-    val offsetsDf = spark.createDataFrame(offsets.toSeq)
-      .toDF("band", "tok_offset")
+      .withColumn("tok_offset",
+        coalesce(sum("btok").over(wBands), lit(0L)))
+      .select("band", "tok_offset")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("band")
       .orderBy(col("quality_score").desc, col("doc_id"))
