@@ -719,6 +719,14 @@ object SparkEntry {
     "mm_decode_png" -> ((s, dir) =>
       Multimodal.decodeImageStats(
         Multimodal.synthPngCorpus(Tables.documents(s, dir)))),
+    // REAL audio decode proof, the WAV twin: synthesized 16-bit PCM
+    // (samples from the same replayable FNV-1a recipe) written by
+    // the JDK's WAV encoder and read back by javax.sound.sampled;
+    // integer sample sums survive the lossless round trip
+    // bit-for-bit, so the oracle needs only the sample recipe
+    "mm_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeAudioStats(
+        Multimodal.synthWavCorpus(Tables.documents(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -3724,6 +3732,33 @@ object SparkEntry {
         | CAST(sum((h // 65536) % 256) AS BIGINT) AS sum_g,
         | CAST(sum((h // 16777216) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1""".stripMargin.replace("\n", " "),
+    "mm_decode_wav" ->
+      // replay of the synthesized SAMPLES, never the codec: sample i
+      // is the sign-extended low-16 window of FNV-1a("doc_id:i")
+      // (same HUGEINT fold as mm_decode_png), and PCM WAV's
+      // losslessness means the Spark side's real encode→decode round
+      // trip must return exactly these integers
+      """WITH sm AS (SELECT doc_id,
+        | list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |   list_transform(range(1, length(s) + 1),
+        |     j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |   (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |     CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616) AS h
+        | FROM (SELECT doc_id,
+        |   CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, 63))
+        |   AS i) g) t),
+        |v AS (SELECT doc_id,
+        |  CASE WHEN (h // 256) % 65536 >= 32768
+        |   THEN (h // 256) % 65536 - 65536
+        |   ELSE (h // 256) % 65536 END AS smp
+        | FROM sm)
+        |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(smp) AS BIGINT) AS sum_samples,
+        | CAST(sum(abs(smp)) AS BIGINT) AS sum_abs
+        |FROM v GROUP BY 1""".stripMargin.replace("\n", " "),
     "mm_type_summary" ->
       """SELECT hex(substr(text, 1, 2)) AS magic2, count(*) AS n_blobs,
         | CAST(sum(length(text)) AS BIGINT) AS total_bytes,
@@ -5821,7 +5856,9 @@ object SparkEntry {
         | FROM v JOIN c ON c.label = v.label AND c.i = v.i
         | GROUP BY 1, 2)
         |SELECT vec_id, label,
-        | dot / (sqrt(n2) * sqrt(c2)) AS centroid_cosine
+        | CASE WHEN n2 > 0.0 AND c2 > 0.0
+        |  THEN dot / (sqrt(n2) * sqrt(c2)) ELSE 0.0
+        | END AS centroid_cosine
         |FROM j""".stripMargin.replace("\n", " "),
     "events_ab_srm" ->
       // distinct USERS per arm (the randomization unit), chi-square
@@ -5866,9 +5903,11 @@ object SparkEntry {
          | coalesce(s_rev, 0.0) / 0.1 AS est_value,
          | 1.959963984540054 * sqrt(coalesce(q_rev, 0.0)
          |   * ${(1.0 - 0.1) / (0.1 * 0.1)}) AS ci95_halfwidth,
+         | n_sampled >= 30 AS ci_nominal,
          | exact_value,
-         | abs(coalesce(s_rev, 0.0) / 0.1 - exact_value) / exact_value
-         |  AS rel_err
+         | CASE WHEN exact_value != 0.0 THEN
+         |  abs(coalesce(s_rev, 0.0) / 0.1 - exact_value) / exact_value
+         | END AS rel_err
          |FROM a""".stripMargin.replace("\n", " ")
     },
     "events_attribution_markov" -> {
@@ -5925,8 +5964,9 @@ object SparkEntry {
          | FROM v12 v WHERE v.s = 'START' AND v.rm != '__all__')
          |SELECT channel, p_conv, p_removed,
          | 1.0 - p_removed / p_conv AS removal_effect,
-         | (1.0 - p_removed / p_conv) /
-         |  sum(1.0 - p_removed / p_conv) OVER () AS share
+         | CASE WHEN sum(1.0 - p_removed / p_conv) OVER () = 0.0 THEN 0.0
+         |  ELSE (1.0 - p_removed / p_conv) /
+         |   sum(1.0 - p_removed / p_conv) OVER () END AS share
          |FROM fin WHERE p_conv > 0""".stripMargin.replace("\n", " ")
     },
     "events_ab_mannwhitney" ->

@@ -316,12 +316,20 @@ object Dedup {
     * form, the arrival-order stream is the deployment form
     * (StreamingSpec pins that both drop the same duplicates).
     */
+  /** The full-signature column both [[signatureDedup]] forms key
+    * on — ONE expression builder, so the batch fold and the
+    * streaming dropDuplicates can never silently diverge on
+    * (shingleSize, numPerms, seed). */
+  private def signatureCol(shingleSize: Int, numPerms: Int,
+                           seed: Long): org.apache.spark.sql.Column =
+    gf.minhashSignature(
+      array_distinct(gf.tokenShingleHashes(col("text"), shingleSize)),
+      numPerms, seed)
+
   def signatureDedup(docs: DataFrame, shingleSize: Int = 3,
                      numPerms: Int = 64, seed: Long = 42L): DataFrame =
     docs.select(col("doc_id"),
-      gf.minhashSignature(
-        array_distinct(gf.tokenShingleHashes(col("text"), shingleSize)),
-        numPerms, seed).as("sig"))
+      signatureCol(shingleSize, numPerms, seed).as("sig"))
       .groupBy("sig")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
@@ -329,12 +337,12 @@ object Dedup {
   /** The streaming form of [[signatureDedup]]: first arrival per
     * signature survives. Works identically on a batch frame (where
     * "first" is partition order — use the batch fold when
-    * determinism matters). */
-  def signatureDedupStream(docs: DataFrame): DataFrame =
+    * determinism matters). Same knobs, same defaults, same shared
+    * signature expression as the batch twin. */
+  def signatureDedupStream(docs: DataFrame, shingleSize: Int = 3,
+                           numPerms: Int = 64, seed: Long = 42L): DataFrame =
     docs.select(col("doc_id"), col("text"),
-      gf.minhashSignature(
-        array_distinct(gf.tokenShingleHashes(col("text"), 3)), 64, 42L)
-        .as("sig"))
+      signatureCol(shingleSize, numPerms, seed).as("sig"))
       .dropDuplicates("sig")
       .select("doc_id")
 

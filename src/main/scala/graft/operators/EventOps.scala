@@ -1519,7 +1519,14 @@ object EventOps {
     if (pAll <= 0.0) Seq.empty[(String, Double, Double, Double, Double)]
       .toDF("channel", "p_conv", "p_removed", "removal_effect", "share")
     else effects.map { case (c, p) =>
-      (c, pAll, p, 1.0 - p / pAll, (1.0 - p / pAll) / totalEffect)
+      // share guard: when every conversion path bypasses all
+      // channels (START→CONV directly), every removal effect — and
+      // their sum — is 0, and 0/0 would emit NaN rows whose
+      // comparison semantics differ across engines. Attribution of
+      // nothing is 0, not NaN.
+      val eff = 1.0 - p / pAll
+      (c, pAll, p, eff,
+        if (totalEffect == 0.0) 0.0 else eff / totalEffect)
     }.toDF("channel", "p_conv", "p_removed", "removal_effect", "share")
   }
 

@@ -468,4 +468,91 @@ object Multimodal {
         round(col("psi_term"), 6).as("psi_term"),
         round(col("psi_total"), 6).as("psi_total"))
   }
+
+  case class WavBlob(doc_id: Long, payload: Array[Byte])
+  case class DecodedAudio(doc_id: Long, sample_rate: Int, channels: Int,
+                          n_samples: Long, sum_samples: Long, sum_abs: Long)
+
+  /** Deterministic mono 16-bit PCM WAV per document: sample i is the
+    * sign-extended low-16 window of FNV-1a("doc_id:i") — the same
+    * public fold [[synthPngCorpus]] reads for pixels, so an oracle
+    * can replay the SAMPLES without any codec — and the JDK's real
+    * WAV writer (`javax.sound.sampled.AudioSystem.write`) produces
+    * the container bytes. O(nSamples) per row, no shuffle; payloads
+    * are born on executors and never visit the driver.
+    */
+  def synthWavCorpus(docs: DataFrame, nSamples: Int = 64,
+                     sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val h = fnv1a(s"$d:$i")
+        // low 16 bits of the shifted window, sign-extended to int16
+        val v = (((h >>> 8) & 0xffffL).toInt << 16) >> 16
+        pcm(2 * i) = (v & 0xff).toByte // PCM WAV is little-endian
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavBlob(d, bos.toByteArray)
+    }.toDF()
+  }
+
+  /** True when the leading bytes carry the RIFF/WAVE container magic
+    * the JDK's `javax.sound.sampled` reader decodes. */
+  def isWavMagic(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL-decode audit over a WAV corpus, the audio twin of
+    * [[decodeImageStats]]: parse the container with the JDK's
+    * `javax.sound.sampled` reader (no external codec), reconstruct
+    * the signed 16-bit samples with the format's own endianness, and
+    * emit exact integer aggregates (Σ sample, Σ |sample|). PCM is
+    * lossless, so over a [[synthWavCorpus]] input the encode→decode
+    * round trip cancels and the output is bit-for-bit
+    * oracle-checkable from the sample recipe alone — a decoder that
+    * swapped endianness, dropped a frame, or mis-signed a sample
+    * would hash-mismatch. Throws on undecodable/non-16-bit payloads:
+    * audit tier, same contract as [[decodeImageStats]]; the
+    * never-throw production router remains [[decodeFrame]] (which
+    * stubs formats outside its codec set).
+    */
+  def decodeAudioStats(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"doc $d: expected signed 16-bit PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        var i = 0; var n = 0L; var sum = 0L; var sabs = 0L
+        while (i + 1 < data.length) {
+          val lo = data(if (le) i else i + 1) & 0xff
+          val hi = data(if (le) i + 1 else i).toInt // sign-extends
+          val v = (hi << 8) | lo
+          n += 1; sum += v; sabs += math.abs(v)
+          i += 2
+        }
+        DecodedAudio(d, fmt.getSampleRate.toInt, fmt.getChannels,
+          n / fmt.getChannels, sum, sabs)
+      }.toDF()
+  }
 }

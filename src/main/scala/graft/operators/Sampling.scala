@@ -80,9 +80,19 @@ object Sampling {
       .select(col(groupCol), col("n_rows"), col("n_sampled"),
         (coalesce(col("s_rev"), lit(0.0)) / lit(rate)).as("est_value"),
         (lit(1.959963984540054) * sqrt(varEst)).as("ci95_halfwidth"),
+        // the normal-theory half-width is NOMINAL only when enough
+        // sampled rows back the variance estimate (CLT regime); a
+        // group with < 30 sampled rows still gets a number, but the
+        // consumer must treat it as indicative — the flag makes that
+        // one boolean instead of a footnote
+        (col("n_sampled") >= lit(30L)).as("ci_nominal"),
         col("exact_value"),
-        (abs(coalesce(col("s_rev"), lit(0.0)) / lit(rate) -
-          col("exact_value")) / col("exact_value")).as("rel_err"))
+        // guarded: a group whose exact sum is 0 has no meaningful
+        // relative error (Spark NULL, DuckDB would inf/NaN — the
+        // nullif mirrors the guard cross-engine)
+        when(col("exact_value") =!= lit(0.0),
+          abs(coalesce(col("s_rev"), lit(0.0)) / lit(rate) -
+            col("exact_value")) / col("exact_value")).as("rel_err"))
   }
 
   /** Threshold literal for a stratum: rate 1.0 maps to "g", which is

@@ -237,7 +237,12 @@ object Similarity {
         sum(col("col").cast("double") * col("col").cast("double")).as("n2"),
         sum(col("avg_val") * col("avg_val")).as("c2"))
       .select(col("vec_id"), col("label"),
-        (col("dot") / (sqrt(col("n2")) * sqrt(col("c2"))))
+        // zero-norm guard, same convention as every other cosine in
+        // this file (VectorOps.cosine, mmr): an all-zero embedding
+        // or a degenerate centroid reads as 0.0, never NULL/NaN
+        when(col("n2") > lit(0.0) && col("c2") > lit(0.0),
+          col("dot") / (sqrt(col("n2")) * sqrt(col("c2"))))
+          .otherwise(lit(0.0))
           .as("centroid_cosine"))
   }
 

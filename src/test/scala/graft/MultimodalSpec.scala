@@ -271,4 +271,36 @@ class MultimodalSpec extends SparkSpec {
         "PNG encode->decode round trip must be lossless")
     }
   }
+
+  test("synthWavCorpus -> decodeAudioStats round trip matches the sample recipe") {
+    val docs = Seq((3L, "a"), (4L, "b")).toDF("doc_id", "text")
+    val blobs = Multimodal.synthWavCorpus(docs)
+    // the payloads are genuine RIFF/WAVE containers
+    val magics = blobs.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    magics.values.foreach(b =>
+      assert(Multimodal.isWavMagic(b), "payload must carry RIFF/WAVE magic"))
+    val got = Multimodal.decodeAudioStats(blobs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    Seq(3L, 4L).foreach { d =>
+      val vs = (0 until 64).map { i =>
+        ((((fnv(s"$d:$i") >>> 8) & 0xffffL).toInt << 16) >> 16)
+      }
+      val want = (8000, 1, 64L, vs.map(_.toLong).sum,
+        vs.map(v => math.abs(v).toLong).sum)
+      assert(got(d) == want, s"doc $d: ${got(d)} vs $want — the real " +
+        "WAV encode->decode round trip must be lossless")
+    }
+    // signedness sanity: the recipe produces both polarities, so a
+    // decoder that zero-extended the high byte could not pass
+    val anyNeg = Seq(3L, 4L).exists(d => got(d)._4 != got(d)._5)
+    assert(anyNeg, "fixture must exercise negative samples")
+  }
 }

@@ -93,6 +93,25 @@ class R10PropertySpec extends SparkSpec {
     }
   }
 
+  test("sampleEstimate: small-group CI flag and zero-sum rel_err guard") {
+    // crafted skew: one big group (CLT regime), one 5-row group
+    // whose half-width is NOT nominal, one group summing to exactly
+    // zero (rel_err has no meaning — must be NULL, not inf/NaN)
+    val rows = (1L to 400L).map(i => (i, "big", 1.0)) ++
+      (401L to 405L).map(i => (i, "tiny", 2.0)) ++
+      Seq((406L, "zero", 3.0), (407L, "zero", -3.0))
+    val got = Sampling.sampleEstimate(rows.toDF("id", "grp", "v"),
+        "id", col("v"), "grp", rate = 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("big").getBoolean(5), s"big group CI must be nominal: $got")
+    assert(!got("tiny").getBoolean(5),
+      s"5-row group CI must be flagged non-nominal: $got")
+    assert(!got("zero").getBoolean(5) || got("zero").getLong(2) >= 30)
+    assert(got("zero").isNullAt(7),
+      s"zero-sum group rel_err must be NULL: ${got("zero")}")
+    assert(!got("big").isNullAt(7), "nonzero group keeps its rel_err")
+  }
+
   test("kmeansAssign: every vector lands on its argmax-cosine centroid") {
     // optimality of the final assignment against a driver replay of
     // the final centroids (recomputed from the second-to-last

@@ -115,6 +115,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("signature dedup: non-default knobs thread identically to both twins") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // shared signature expression: the SAME (shingleSize, numPerms,
+    // seed) must reach both forms, or batch/stream equivalence holds
+    // only at the defaults
+    val batchKept = graft.operators.Dedup
+      .signatureDedup(docs, shingleSize = 2, numPerms = 16, seed = 7L)
+      .collect().map(_.getLong(0)).toSet
+    val defaultKept = graft.operators.Dedup.signatureDedup(docs)
+      .collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = graft.operators.Dedup
+      .signatureDedupStream(mem.toDF(), shingleSize = 2, numPerms = 16,
+        seed = 7L)
+      .writeStream.format("memory").queryName("sig_dedup_knobs_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.collect()
+        .map(r => StreamingSpec.Doc(r.getLong(0), r.getString(1)))
+        .sortBy(_.doc_id): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sig_dedup_knobs_test")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept,
+        "non-default knobs must produce the batch twin's survivor set")
+      // the knobs actually changed the signature space (2-shingles at
+      // 16 perms collapse more docs than the default 3/64)
+      assert(batchKept != defaultKept,
+        "fixture must distinguish the knob settings")
+    } finally q.stop()
+  }
+
   test("abDailyPartials over MemoryStream: state merges, readout = batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
