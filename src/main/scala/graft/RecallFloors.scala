@@ -42,11 +42,13 @@ object RecallFloors {
     ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.70),
     // the incremental PQ index encodes the appended half with the
     // BASE half's codebooks — measured 0.665 at rerank=16, a real
-    // ~0.055 quantization-staleness gap vs the full build's 0.720;
-    // that gap is the rebuild trigger the recall gate exists to
-    // surface, so the floor sits under the stale point, not the
-    // fresh one
-    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.63),
+    // r11: the append path now probes 12 of 16 cells (vs the fresh
+    // build's 8) — the sweep showed its 0.665 plateau was CELL miss
+    // (stale centroid assignment of the appended half), not rank
+    // miss: rerank 16→64 moved nothing while nprobe 8→12 lifted
+    // 0.665→0.860. Probe escalation is the operational dial between
+    // rebuilds; the floor sits under the escalated point
+    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.80),
     // PCA-compressed first pass (64 → 32 dims, rerank 8) + exact
     // rerank: measured 0.775. The 16-dim point measured 0.305 — the
     // testdata embeddings are near-isotropic, so the spectrum gives

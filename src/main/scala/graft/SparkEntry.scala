@@ -574,10 +574,17 @@ object SparkEntry {
       AnnIndex.probeIvf(s, annIndexPaths(s, dir)._3,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8)
     }),
+    // the append path probes WIDER than the fresh build (12 vs 8 of
+    // 16 cells): append encodes deltas against STORED centroids, so
+    // a query's true cell is more often outside the top-8 — the r11
+    // sweep (docs/ANN_SWEEP.md) shows rerank saturated at 16 (cell
+    // miss, not rank miss) while nprobe 8→12 lifts 0.665→0.860.
+    // Probe escalation with index age is the standard operational
+    // compensation between rebuilds.
     "ann_index_ivfpq_append_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 16)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12, rerank = 16)
     }),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -750,6 +757,12 @@ object SparkEntry {
     "events_sketch_reach" -> ((s, dir) =>
       EventOps.reachFromSketches(
         EventOps.dailyAudienceSketches(Tables.events(s, dir)),
+        "2024-01-05", "2024-01-15")),
+    // the ORACLED calibration claim over the same sketch-store route:
+    // exact anchor + each engine's own-sketch-within-5% boolean —
+    // bit-comparable where the raw estimate can never be
+    "events_sketch_calibration" -> ((s, dir) =>
+      EventOps.sketchCalibration(Tables.events(s, dir),
         "2024-01-05", "2024-01-15")),
     // §2.G streaming (batch twins of the streaming transforms)
     "stream_events_hourly" -> ((s, dir) =>
@@ -1675,7 +1688,8 @@ object SparkEntry {
     * concatenated entry lists, approx score = cosine against the
     * reconstruction. `useIvf` adds the cell probe prune (cells =
     * first 16 of the pick); `budget` = k·rerank. */
-  private def pqTail(useIvf: Boolean, budget: Int): String = {
+  private def pqTail(useIvf: Boolean, budget: Int,
+                     nprobe: Int = 8): String = {
     val d2 = (1 to 4).map(i =>
       s"(CAST(e.embedding[cb.sub * 4 + $i] AS DOUBLE) - cb.entry[$i])" +
         s" * (CAST(e.embedding[cb.sub * 4 + $i] AS DOUBLE) - cb.entry[$i])")
@@ -1695,7 +1709,7 @@ object SparkEntry {
               |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
               |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
               | FROM embeddings e, icents c WHERE e.vec_id % 100 = 0) x
-              | WHERE rn <= 8),
+              | WHERE rn <= $nprobe),
               |""".stripMargin
     val candSrc =
       if (useIvf)
@@ -3162,9 +3176,11 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
     "ann_index_ivfpq_append_probe" ->
       // incremental IVF-PQ: model state (cells + codebooks) from the
-      // even half's pick, the full corpus encoded against it
+      // even half's pick, the full corpus encoded against it; probes
+      // 12 of 16 cells — the append path's staleness-compensation
+      // dial (see the queries entry)
       (s"""WITH ${ivfCentsCtes("WHERE vec_id % 2 = 0", pick = 32)},
-          |${pqTail(useIvf = true, budget = 160)}""")
+          |${pqTail(useIvf = true, budget = 160, nprobe = 12)}""")
         .stripMargin.replace("\n", " "),
     "ann_ivf_topk" ->
       // the IVF tier replayed end to end (r10): the xxhash64
@@ -5860,6 +5876,21 @@ object SparkEntry {
         |  THEN dot / (sqrt(n2) * sqrt(c2)) ELSE 0.0
         | END AS centroid_cosine
         |FROM j""".stripMargin.replace("\n", " "),
+    "events_sketch_calibration" ->
+      // the calibration CLAIM is engine-agnostic even though the raw
+      // sketch estimate is not: DuckDB checks ITS approx_count_distinct
+      // against the same exact anchor Spark checks its HLL++ store
+      // against — the boolean and the exact columns hash-match, and a
+      // decalibrated sketch on either side fails the row
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |   / count(DISTINCT user_id) - 1.0) <= 0.05 AS est_within_tol
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
+        | AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
     "events_ab_srm" ->
       // distinct USERS per arm (the randomization unit), chi-square
       // GOF vs 50/50, flag at the fixed χ²₁(0.95) literal — exact

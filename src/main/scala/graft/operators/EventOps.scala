@@ -223,6 +223,39 @@ object EventOps {
           .as("approx_users"),
         sum("n_events").as("n_events"))
 
+  /** Sketch CALIBRATION audit — the oracled bridge into the
+    * rows-only sketch family: per type over `[lo, hi)`, the exact
+    * distinct-user anchor plus a boolean claim that the engine's OWN
+    * sketch estimate (the [[dailyAudienceSketches]] →
+    * [[reachFromSketches]] store route, the same path
+    * `events_sketch_reach` serves) lands within `tol` of it. The
+    * raw estimate itself can never hash-match across engines
+    * (sketch internals are implementation-specific — see
+    * docs/ORACLE_NOTES.md), but the calibration CLAIM is
+    * engine-agnostic: each engine checks its own sketch against the
+    * SAME exact anchor, so the row is bit-comparable, and the oracle
+    * fails exactly when one engine's sketch drifts out of bound —
+    * a real gate on approximation quality, not a weaker rows-only
+    * count. Margin: HLL++ at lgConfigK=12 has rsd ≈ 1.6% (and is
+    * EXACT in sparse mode at small cardinalities), so tol=0.05 is
+    * ≈ 3σ.
+    */
+  def sketchCalibration(events: DataFrame, lo: String, hi: String,
+                        tol: Double = 0.05): DataFrame = {
+    val approx = reachFromSketches(dailyAudienceSketches(events), lo, hi)
+      .select(col("event_type"), col("approx_users"))
+    events
+      .filter(to_date(col("ts")) >= lit(lo) && to_date(col("ts")) < lit(hi))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .join(approx, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users").cast("double") /
+          col("exact_users").cast("double") - lit(1.0)) <= lit(tol))
+          .as("est_within_tol"))
+  }
+
   /** Exact distinct-user variant (shuffles user ids; the approx one
     * above is the 100 TB default). */
   def hourlyDistinctUsers(events: DataFrame): DataFrame =

@@ -107,6 +107,30 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("sketchCalibration: claim true at 5% tol, flips under an impossible tol") {
+    val (lo, hi) = ("2024-01-05", "2024-01-15")
+    val got = EventOps.sketchCalibration(events, lo, hi).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got.nonEmpty)
+    // the oracled claim: every type's own-sketch estimate within 5%
+    got.foreach { case (t, (exactUsers, ok)) =>
+      assert(exactUsers > 0, s"$t: exact anchor must be positive")
+      assert(ok, s"$t: sketch must be within 5% of exact=$exactUsers")
+    }
+    // non-vacuity: an impossibly tight bound must flip at least one
+    // group UNLESS the sketch is exactly right everywhere (HLL++
+    // sparse mode IS exact at tiny cardinalities) — in that case
+    // tighten the check to estimates literally equalling exact
+    val strict = EventOps.sketchCalibration(events, lo, hi, tol = 0.0)
+      .collect().map(r => r.getBoolean(3))
+    val est = EventOps.reachFromSketches(
+        EventOps.dailyAudienceSketches(events), lo, hi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allExact = got.forall { case (t, (ex, _)) => est(t) == ex }
+    assert(strict.forall(identity) == allExact,
+      "tol=0 must agree exactly with estimate==exact per group")
+  }
+
   test("sketch compaction is lossless: month rows answer like day rows") {
     val daily = EventOps.dailyAudienceSketches(events)
     val monthly = EventOps.compactSketches(daily)
