@@ -65,7 +65,10 @@ object ExplainMain {
       "events_attribution_markov", "text_bm25_topk", "lake_zorder_plan",
       "emb_kmeans_assign", "emb_label_outliers", "ann_mmr_diverse",
       "ann_lsh_topk", "mm_decode_png",
-      "events_ab_srm", "q_revenue_sample_estimate")
+      "events_ab_srm", "q_revenue_sample_estimate",
+      // r11 batch
+      "mm_decode_wav", "events_sketch_calibration",
+      "ann_index_ivfpq_append_probe")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
