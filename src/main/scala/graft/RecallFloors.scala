@@ -53,5 +53,11 @@ object RecallFloors {
     // rerank: measured 0.775. The 16-dim point measured 0.305 — the
     // testdata embeddings are near-isotropic, so the spectrum gives
     // PCA little to keep; 32 dims is the honest byte/recall point
-    ("ann_pca_topk", "ann_bruteforce_topk", 0.72))
+    ("ann_pca_topk", "ann_bruteforce_topk", 0.72),
+    // r11: prefix-truncation (Matryoshka) tier at 32 dims/rerank 8 —
+    // measured 0.670 on the isotropic testdata (prefix ≈ kept-
+    // fraction recall, the PCA observation without the rotation; a
+    // matryoshka-trained encoder would concentrate signal in the
+    // prefix and lift this substantially)
+    ("ann_matryoshka_topk", "ann_bruteforce_topk", 0.62))
 }

@@ -490,6 +490,10 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.sqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
+    // prefix-truncation two-stage ANN (half the stage-1 scan bytes,
+    // ZERO model state) — the Matryoshka serving trick, exact-rerank
+    "ann_matryoshka_topk" -> ((s, dir) =>
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir))),
     // rows-only (randomized-index family): recall spec anchors it to
     // ann_filtered_topk's exact result
     "ann_ivf_filtered_topk" -> ((s, dir) => {
@@ -733,6 +737,12 @@ object SparkEntry {
     // bit-for-bit, so the oracle needs only the sample recipe
     "mm_decode_wav" -> ((s, dir) =>
       Multimodal.decodeAudioStats(
+        Multimodal.synthWavCorpus(Tables.documents(s, dir)))),
+    // feature extraction over the REALLY-decoded samples: RMS / peak
+    // / zero-crossings, all exact-integer-derived (one sqrt), so the
+    // whole row replays bit-for-bit through the codec round trip
+    "mm_audio_features" -> ((s, dir) =>
+      Multimodal.audioFeatures(
         Multimodal.synthWavCorpus(Tables.documents(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
@@ -3347,6 +3357,29 @@ object SparkEntry {
         | WHERE q.vec_id % 100 = 0) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "ann_matryoshka_topk" ->
+      // stage 1 on the 32-dim PREFIX slice (1-based inclusive list
+      // slice replays Spark's slice(emb, 1, 32)), exact full-dim
+      // rerank of the k·8 candidates — the bruteforce exactness
+      // argument at both stages
+      """WITH q AS (SELECT vec_id AS query_id, embedding
+        | FROM embeddings WHERE vec_id % 100 = 0),
+        |apx AS (SELECT query_id, neighbor_id FROM (
+        | SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (
+        |   PARTITION BY q.query_id ORDER BY list_cosine_similarity(
+        |     CAST(e.embedding[1:32] AS DOUBLE[]),
+        |     CAST(q.embedding[1:32] AS DOUBLE[])) DESC, e.vec_id) AS rn
+        | FROM embeddings e, q WHERE e.vec_id != q.query_id) x
+        | WHERE rn <= 80)
+        |SELECT query_id, neighbor_id, cosine FROM (
+        | SELECT a.query_id, a.neighbor_id,
+        |  list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+        |    CAST(n.embedding AS DOUBLE[])) AS cosine
+        | FROM apx a
+        | JOIN embeddings qq ON qq.vec_id = a.query_id
+        | JOIN embeddings n ON n.vec_id = a.neighbor_id) s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
     "ann_mmr_diverse" -> {
       // greedy MMR unrolled: k=10 fixed, so the 10 argmax steps chain
       // as CTEs (the q_copurchase_pagerank unrolling pattern). Pool =
@@ -3775,6 +3808,36 @@ object SparkEntry {
         | CAST(sum(smp) AS BIGINT) AS sum_samples,
         | CAST(sum(abs(smp)) AS BIGINT) AS sum_abs
         |FROM v GROUP BY 1""".stripMargin.replace("\n", " "),
+    "mm_audio_features" ->
+      // same sample replay as mm_decode_wav, with per-sample index
+      // kept for the lag-based zero-crossing count; Σv² is an exact
+      // long and rms one sqrt of one exact division, so even the
+      // float column is bit-stable
+      """WITH sm AS (SELECT doc_id, i,
+        | list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |   list_transform(range(1, length(s) + 1),
+        |     j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |   (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |     CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616) AS h
+        | FROM (SELECT doc_id, i,
+        |   CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, 63))
+        |   AS i) g) t),
+        |v AS (SELECT doc_id, i,
+        |  CAST(CASE WHEN (h // 256) % 65536 >= 32768
+        |   THEN (h // 256) % 65536 - 65536
+        |   ELSE (h // 256) % 65536 END AS BIGINT) AS smp
+        | FROM sm),
+        |f AS (SELECT doc_id, smp,
+        |  lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        | FROM v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        | sqrt(CAST(sum(smp * smp) AS DOUBLE) / count(*)) AS rms,
+        | CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+        | CAST(sum(CASE WHEN prev IS NOT NULL
+        |   AND ((smp >= 0) != (prev >= 0)) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS zero_crossings
+        |FROM f GROUP BY 1""".stripMargin.replace("\n", " "),
     "mm_type_summary" ->
       """SELECT hex(substr(text, 1, 2)) AS magic2, count(*) AS n_blobs,
         | CAST(sum(length(text)) AS BIGINT) AS total_bytes,

@@ -514,6 +514,57 @@ object Multimodal {
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
 
+  case class AudioFeatures(doc_id: Long, n_samples: Long, rms: Double,
+                           peak_abs: Long, zero_crossings: Long)
+
+  /** Feature extraction over REALLY-decoded audio — the step after
+    * [[decodeAudioStats]] proves the codec: per document, the
+    * classic cheap audio descriptors computed from the actual PCM
+    * samples (not the container bytes): RMS energy, peak amplitude,
+    * and zero-crossing count (the crude voiced/unvoiced + noisiness
+    * signal). All three derive from exact integer arithmetic —
+    * Σv² of 16-bit samples is an exact long, the crossing count and
+    * peak are integers, and rms is ONE sqrt of one exact-integer
+    * division — so the whole row replays bit-for-bit from the
+    * synthesis recipe, codec round trip included. Zero-crossing
+    * convention: a crossing is a sign-bit change between consecutive
+    * samples with v ≥ 0 counted as positive (deterministic at
+    * exactly-zero samples). Same mapPartitions batch shape as the
+    * other decoders; per-row cost O(n_samples).
+    */
+  def audioFeatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"doc $d: expected signed 16-bit PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        var i = 0; var n = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L
+        var prevNonNeg = true; var first = true
+        while (i + 1 < data.length) {
+          val lo = data(if (le) i else i + 1) & 0xff
+          val hi = data(if (le) i + 1 else i).toInt
+          val v = (hi << 8) | lo
+          n += 1; sumSq += v.toLong * v
+          if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+          val nonNeg = v >= 0
+          if (!first && nonNeg != prevNonNeg) zc += 1
+          prevNonNeg = nonNeg; first = false
+          i += 2
+        }
+        AudioFeatures(d, n,
+          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n), peak, zc)
+      }.toDF()
+  }
+
   /** REAL-decode audit over a WAV corpus, the audio twin of
     * [[decodeImageStats]]: parse the container with the JDK's
     * `javax.sound.sampled` reader (no external codec), reconstruct

@@ -1221,6 +1221,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bm25"))
   }
 
+  /** Two-stage ANN over PREFIX-truncated embeddings — the
+    * "Matryoshka representation" serving trick: embeddings trained
+    * with nested-prefix objectives rank usefully at any prefix
+    * length, so stage 1 scores cosine on the first `prefixDims`
+    * dimensions only (a prefixDims/dim scan-bandwidth cut, the same
+    * lever as SQ/PQ/PCA but with ZERO model state — no training, no
+    * codebooks, no rotation to persist or version) and the top
+    * k·rerank candidates re-score exactly on the full vectors.
+    * Same broadcast-queries × corpus stream as [[bruteForceTopK]];
+    * the rerank join touches candidate ids only. Fully deterministic
+    * (exact arithmetic + id tie-breaks), so unlike LSH/IVF this
+    * approximate tier is oracle-checkable end to end. Sits beside
+    * [[graft.operators.Pca.pcaTopK]]: PCA adapts to the spectrum
+    * but carries a trained model; matryoshka is the operationally
+    * free variant when the encoder was trained for it.
+    */
+  def matryoshkaTopK(embeddings: DataFrame, queryMod: Int = 100,
+                     k: Int = 10, prefixDims: Int = 32,
+                     rerank: Int = 8): DataFrame = {
+    val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
+      col("embedding"))
+    val queries = embeddings.filter(col("vec_id") % queryMod === 0)
+    val pq = broadcast(queries.select(col("vec_id").as("query_id"),
+      slice(col("embedding"), 1, prefixDims).as("pq_emb")))
+    val approx = topKPerQuery(
+      corpus.withColumn("p_emb", slice(col("embedding"), 1, prefixDims))
+        .crossJoin(pq)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          gf.cosineSim(col("pq_emb"), col("p_emb")).as("cosine")),
+      k * rerank)
+    val exact = broadcast(approx.select("query_id", "neighbor_id"))
+      .join(corpus.select(col("neighbor_id"),
+        col("embedding").as("n_emb")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine"))
+    topKPerQuery(exact, k)
+  }
+
   /** Hubness diagnostic over the exact kNN graph of a sampled slice
     * — the classic high-dimensional failure mode where a few "hub"
     * vectors appear in everyone's top-k while antihubs are never

@@ -303,4 +303,32 @@ class MultimodalSpec extends SparkSpec {
     val anyNeg = Seq(3L, 4L).exists(d => got(d)._4 != got(d)._5)
     assert(anyNeg, "fixture must exercise negative samples")
   }
+
+  test("audioFeatures: rms/peak/zero-crossings replay the decoded samples") {
+    val docs = Seq((3L, "a"), (4L, "b")).toDF("doc_id", "text")
+    val got = Multimodal.audioFeatures(Multimodal.synthWavCorpus(docs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
+      h
+    }
+    Seq(3L, 4L).foreach { d =>
+      val vs = (0 until 64).map { i =>
+        ((((fnv(s"$d:$i") >>> 8) & 0xffffL).toInt << 16) >> 16)
+      }
+      val sumSq = vs.map(v => v.toLong * v).sum
+      val zc = vs.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      val want = (64L, math.sqrt(sumSq.toDouble / 64),
+        vs.map(v => math.abs(v).toLong).max, zc.toLong)
+      assert(got(d) == want, s"doc $d: ${got(d)} vs $want")
+    }
+    // non-vacuity ACROSS the fixture: the FNV sample windows are
+    // strongly correlated in i (doc 3 never changes sign; doc 4
+    // does), so at least one doc must exercise the crossing counter
+    assert(Seq(3L, 4L).map(d => got(d)._4).sum > 0,
+      "fixture must exercise the zero-crossing path")
+  }
 }
