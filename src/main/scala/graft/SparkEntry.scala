@@ -1145,6 +1145,13 @@ object SparkEntry {
       Similarity.bm25TopK(Tables.documents(s, dir),
         tfPostings = Some(sharedTfPostings(s, dir)),
         scoredPostings = Some(sharedBm25Postings(s, dir)))),
+    // the rank-SAFE exhaustive tier: MaxScore pruning (champion θ +
+    // per-token upper bounds) returns the TRUE exhaustive top-k —
+    // the oracle scores every pair, the plan never fans out
+    "text_bm25_maxscore" -> ((s, dir) =>
+      Similarity.bm25MaxScoreTopK(Tables.documents(s, dir),
+        tfPostings = Some(sharedTfPostings(s, dir)),
+        scoredPostings = Some(sharedBm25Postings(s, dir)))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -6221,6 +6228,44 @@ object SparkEntry {
         |    (acc, v) -> acc + v) AS bm25
         | FROM terms JOIN apx USING (query_id, neighbor_id)
         | GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, bm25 FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id
+        |  ORDER BY bm25 DESC, neighbor_id) <= 10"""
+        .stripMargin.replace("\n", " "),
+    "text_bm25_maxscore" ->
+      // the EXHAUSTIVE exact ranking, no candidate rule at all: the
+      // Spark side's MaxScore pruning is provably lossless, so its
+      // output must equal the brute-force fold over every sharing
+      // pair — the strongest possible oracle for a pruned plan
+      """WITH t AS (SELECT doc_id, unnest(
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+        |  AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        | FROM t GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        | FROM t GROUP BY 1),
+        |cs AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+        |  CAST(sum(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+        | FROM tf),
+        |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf
+        | GROUP BY 1 HAVING count(*) >= 2
+        |  AND count(*) <= (SELECT floor(0.9 * n_docs) FROM cs)),
+        |p AS (SELECT tf.doc_id, tf.tok, tf.tf, dfr.df
+        | FROM tf JOIN dfr USING (tok)),
+        |terms AS (SELECT q.doc_id AS query_id,
+        |  c.doc_id AS neighbor_id, c.tok,
+        |  ln((cs.n_docs - c.df + 0.5) / (c.df + 0.5) + 1.0) *
+        |   ((c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 * dl.dl / cs.avgdl)))
+        |   AS term
+        | FROM p q JOIN p c ON c.tok = q.tok AND c.doc_id != q.doc_id
+        | JOIN dl ON dl.doc_id = c.doc_id, cs
+        | WHERE q.doc_id % 100 = 0),
+        |s AS (SELECT query_id, neighbor_id,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(list_sort(list({'tok': tok, 'term': term})),
+        |      x -> struct_extract(x, 'term'))),
+        |    (acc, v) -> acc + v) AS bm25
+        | FROM terms GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, bm25 FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY bm25 DESC, neighbor_id) <= 10"""

@@ -1138,6 +1138,17 @@ object Similarity {
       .select("doc_id", "tok", "tf", "term")
   }
 
+  /** The shared per-pair score fold: term contributions in TOKEN
+    * order (array_sort → sequential aggregate), never hash-aggregate
+    * order — exact-duplicate documents score bit-identically within
+    * an engine, so rank ties break by neighbor_id the same way
+    * everywhere. */
+  private def bm25TokenOrderedSum: Column = aggregate(
+    transform(
+      array_sort(collect_list(struct(col("tok"), col("term")))),
+      s => s.getField("term")),
+    lit(0.0), (acc, x) => acc + x)
+
   def bm25TopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
                maxDfFrac: Double = 0.9, k1: Double = 1.2,
                b: Double = 0.75, tfPostings: Option[DataFrame] = None,
@@ -1179,11 +1190,7 @@ object Similarity {
       .withColumn("salt", pmod(col("doc_id"), lit(32)))
       .withColumn("rs", row_number().over(wSalt))
       .filter(col("rs") <= perStratum).drop("rs", "salt")
-    val tokenOrderedSum = aggregate(
-      transform(
-        array_sort(collect_list(struct(col("tok"), col("term")))),
-        s => s.getField("term")),
-      lit(0.0), (acc, x) => acc + x)
+    val tokenOrderedSum = bm25TokenOrderedSum
     // repartition by query_id alone: hash(query_id) satisfies the
     // pair-grain clustering below AND the rank window after it, so
     // the agg → window chain rides ONE exchange (collect_list has
@@ -1214,6 +1221,155 @@ object Similarity {
       .repartition(col("query_id")) // same one-exchange agg → window ride
       .groupBy("query_id", "neighbor_id")
       .agg(tokenOrderedSum.as("bm25"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bm25"))
+  }
+
+  /** RANK-SAFE exhaustive BM25 top-k via MaxScore pruning — the
+    * "common terms must still score, exactly" tier above
+    * [[bm25TopK]]'s approximate champion lists. The returned rows
+    * are the TRUE exhaustive BM25 top-k (the oracle scores every
+    * pair), but the plan never materializes the full posting
+    * fan-out. The pruning argument:
+    *
+    *  1. a cheap approximate pass ([[bm25TopK]], champion lists)
+    *     yields θ = its k-th score per query — a LOWER bound on the
+    *     true k-th score (its candidates are a subset);
+    *  2. ub(t) = max over the corpus of t's term contribution is an
+    *     UPPER bound on what t can add to any score (one map-side
+    *     max aggregate, skew-proof);
+    *  3. sort the query's tokens by ascending ub: the longest prefix
+    *     whose ub-sum stays BELOW θ is "non-essential" — a document
+    *     sharing ONLY those tokens scores ≤ that sum < θ ≤ true
+    *     k-th, so it cannot enter the top-k even on an id tie-break
+    *     (strict inequality). Every true top-k document therefore
+    *     shares at least one ESSENTIAL token, and the candidate join
+    *     runs over essential postings only.
+    *
+    * The essential set is data-adaptive: high-θ queries (good
+    * champion hits) prune aggressively; a query with < k champion
+    * candidates gets θ = −∞ and degrades to the exhaustive join —
+    * correctness never depends on the pruning quality, only cost
+    * does. Cross-engine ulp noise in θ or ub can only move the
+    * essential BOUNDARY, i.e. trade candidates between two sets that
+    * both contain the true top-k — the output is invariant.
+    */
+  def bm25MaxScoreTopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
+                       maxDfFrac: Double = 0.9, k1: Double = 1.2,
+                       b: Double = 0.75,
+                       tfPostings: Option[DataFrame] = None,
+                       championR: Int = 64,
+                       scoredPostings: Option[DataFrame] = None,
+                       // test hook: pin the plan branch (None = the
+                       // volume estimate decides). Both branches
+                       // return the identical exhaustive ranking.
+                       forcePruned: Option[Boolean] = None): DataFrame = {
+    val posts = scoredPostings.getOrElse(
+      bm25Postings(docs, maxDfFrac, k1, b, tfPostings))
+    val qPosts = posts.filter(col("doc_id") % queryMod === 0)
+      .select(col("tok"), col("doc_id").as("query_id"))
+    val pass1 = bm25TopK(docs, queryMod, k, maxDfFrac, k1, b, tfPostings,
+      championR, Some(posts))
+    // θ: the approximate pass's k-th score; −∞ when it found < k
+    // candidates (the safe degenerate: every token essential).
+    // Pinned: θ feeds both the plan-choice estimate and the
+    // essential filter — one champion pass, not two.
+    val theta = pass1.groupBy("query_id")
+      .agg(min("bm25").as("kth"), count(lit(1)).as("n1"))
+      .select(col("query_id"),
+        when(col("n1") >= k, col("kth"))
+          .otherwise(lit(Double.NegativeInfinity)).as("theta"))
+      .localCheckpoint(true)
+    val ub = posts.groupBy("tok").agg(max("term").as("ub"))
+    val dfRel = posts.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("ub").asc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // essential ⇔ the ascending-ub running total REACHES θ at this
+    // token (everything strictly before the crossing is provably
+    // unable to lift any doc to θ on its own)
+    val qTok = qPosts
+      .join(ub, Seq("tok")).join(dfRel, Seq("tok"))
+      .join(broadcast(theta), Seq("query_id"))
+      .withColumn("cum", sum("ub").over(wq))
+    // ADAPTIVE plan choice: the pruned branch pays (a) the essential
+    // posting scan and (b) the candidate-pair re-expansion by the
+    // query's FULL token list — so its cost estimate is
+    // Σ_q [Σ_ess df + min(Σ_ess df, N)·|toks_q|], against the
+    // direct exhaustive fan-out Σ_q Σ_all df. On a Zipf vocabulary
+    // essential tokens are rare and the estimate collapses; on an
+    // all-common-terms corpus (this testdata: every df ≈ 0.8·N) the
+    // candidate set is ~every doc and re-expansion would cost MORE
+    // than one direct pass — take the cheaper plan. Either branch
+    // produces the identical exhaustive ranking; only cost differs.
+    val nDocs = posts.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val usePruned = forcePruned.getOrElse {
+      val vols = qTok.groupBy("query_id").agg(
+          sum("df").as("v_all"),
+          sum(when(col("cum") >= col("theta"), col("df")).otherwise(0L))
+            .as("v_ess"),
+          count(lit(1)).as("n_toks"))
+        .crossJoin(broadcast(nDocs))
+        .agg(
+          sum("v_all").as("v_direct"),
+          sum(col("v_ess") +
+            least(col("v_ess"), col("n_docs")) * col("n_toks"))
+            .as("v_pruned")).head()
+      vols.getAs[Long]("v_pruned") <= vols.getAs[Long]("v_direct")
+    }
+    // a codegen'd plain float sum ranks the candidates first, and
+    // only pairs within a safety margin of the plain k-th get the
+    // token-ordered rescore. The margin (1e-6 + 1e-9·|kth|) exceeds
+    // float-reassociation error on any realistic term count by ~6
+    // orders of magnitude, so no pair whose ordered score could
+    // reach the top-k is cut; the fold then re-establishes
+    // bit-stable dup-doc ties for the survivors
+    val corpusSide = posts.select(col("doc_id").as("neighbor_id"),
+      col("tok"), col("term"))
+    val termRows = (if (usePruned) {
+      val cands = qTok.filter(col("cum") >= col("theta"))
+        .select("query_id", "tok")
+        .join(posts.select(col("doc_id"), col("tok")), Seq("tok"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("neighbor_id"))
+        .distinct()
+      cands.join(qPosts, Seq("query_id"))
+        .join(corpusSide, Seq("neighbor_id", "tok"))
+    } else {
+      qPosts.join(corpusSide, Seq("tok"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), col("tok"), col("term"))
+    })
+    // NO pre-repartition here: sum() has a real map-side combine, so
+    // the shuffle moves O(pairs) partial states, never the O(pairs ·
+    // toks) term rows — the opposite trade from the fold aggregates,
+    // whose collect_list partials are as big as their input
+    val plain = termRows.groupBy("query_id", "neighbor_id")
+      .agg(sum("term").as("s_plain"))
+    val wP = Window.partitionBy("query_id")
+      .orderBy(col("s_plain").desc, col("neighbor_id"))
+    val ranked = plain.withColumn("rn", row_number().over(wP))
+    val kthPlain = ranked.filter(col("rn") === k)
+      .select(col("query_id"), col("s_plain").as("kth_plain"))
+    val survivors = ranked
+      .join(broadcast(kthPlain), Seq("query_id"), "left")
+      .filter(col("kth_plain").isNull ||
+        col("s_plain") >= col("kth_plain") -
+          (lit(1e-6) + abs(col("kth_plain")) * lit(1e-9)))
+      .select("query_id", "neighbor_id")
+    // survivor rescore rebuilds its terms PAIR-bounded (the bm25TopK
+    // stage-2 shape) — O(survivors · tokens-per-query) rows, never a
+    // second pass over the candidate term relation
+    val scored = survivors
+      .join(qPosts, Seq("query_id"))
+      .join(posts.select(col("doc_id").as("neighbor_id"), col("tok"),
+        col("term")), Seq("neighbor_id", "tok"))
+      .repartition(col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(bm25TokenOrderedSum.as("bm25"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("bm25").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

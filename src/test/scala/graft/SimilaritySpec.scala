@@ -183,6 +183,59 @@ class SimilaritySpec extends SparkSpec {
     assert(viaScored == self, "scored-index path must equal self-built")
   }
 
+  test("bm25MaxScoreTopK: both plan branches equal the exhaustive reference") {
+    // two corpus shapes: all-common vocabulary (direct branch wins
+    // the cost estimate) and a Zipf-ish one with rare discriminative
+    // tokens (pruned branch wins). BOTH branches are forced on BOTH
+    // shapes — the pruning must be lossless everywhere, the estimate
+    // only picks cost.
+    def reference(rows: Seq[(Long, String)], queryMod: Int,
+                  k: Int): Map[(Long, Long), Double] = {
+      val toks = rows.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val tf = toks.map { case (id, ts) =>
+        id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+      val n = rows.size.toDouble
+      val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+      val df = tf.values.flatMap(_.keys).groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+        .filter { case (_, d) => d >= 2 && d <= math.floor(0.9 * n) }
+      val out = scala.collection.mutable.Map[(Long, Long), Double]()
+      for ((q, _) <- rows if q % queryMod == 0) {
+        val scored = rows.collect { case (d, _) if d != q =>
+          val shared = (tf(q).keySet intersect tf(d).keySet intersect
+            df.keySet).toSeq.sorted
+          val s = shared.foldLeft(0.0) { (acc, t) =>
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            val sat = (tf(d)(t) * 2.2) /
+              (tf(d)(t) + 1.2 * (0.25 + 0.75 * toks(d).size / avgdl))
+            acc + idf * sat
+          }
+          (d, s)
+        }.filter(_._2 > 0.0)
+        scored.sortBy { case (d, s) => (-s, d) }.take(k)
+          .foreach { case (d, s) => out((q, d)) = s }
+      }
+      out.toMap
+    }
+    val common = (0L until 30L).map(i =>
+      (i, s"alpha beta gamma delta w${i % 3}"))
+    val zipf = (0L until 30L).map(i =>
+      (i, s"the the of rare${i % 15} odd${i % 10}"))
+    for (rows <- Seq(common, zipf); branch <- Seq(true, false)) {
+      val want = reference(rows, queryMod = 10, k = 3)
+      val got = Similarity.bm25MaxScoreTopK(rows.toDF("doc_id", "text"),
+          queryMod = 10, k = 3, forcePruned = Some(branch))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got.keySet == want.keySet,
+        s"branch=$branch rows=${rows.head._2}: ${got.keySet} vs ${want.keySet}")
+      got.foreach { case (key, s) =>
+        assert(math.abs(s - want(key)) < 1e-9, s"$key: $s vs ${want(key)}")
+      }
+    }
+  }
+
   test("LSH multiprobe lifts recall at the same table layout") {
     def meanRecall(mp: Int): Double = {
       val got = topkSets(Similarity.lshTopK(emb, queries, k = 10,
