@@ -68,7 +68,9 @@ object ExplainMain {
       "events_ab_srm", "q_revenue_sample_estimate",
       // r11 batch
       "mm_decode_wav", "events_sketch_calibration",
-      "ann_index_ivfpq_append_probe")
+      "ann_index_ivfpq_append_probe", "mm_audio_features",
+      "ann_matryoshka_topk", "text_bm25_maxscore",
+      "dedup_exact_jaccard_pairs")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

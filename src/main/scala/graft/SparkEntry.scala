@@ -451,6 +451,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashSummary(Tables.documents(s, dir), tau = 0.4,
         shingles = Some(sharedShingleSets(s, dir)))),
+    // the LOSSLESS complement to the LSH tiers: prefix-filtered
+    // exact set-similarity join — every pair at J >= tau, candidate
+    // join bounded by rarest-first prefixes, oracled against the
+    // exhaustive definition
+    "dedup_exact_jaccard_pairs" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSummary(Tables.documents(s, dir), maxHamming = 12)),
     "dedup_ngram_jaccard" -> ((s, dir) =>
@@ -1344,9 +1350,9 @@ object SparkEntry {
     }.mkString(", ")
 
   /** Shared CTE prefix: documents → token hashes → distinct shingle
-    * hashes (`sh`) → per-perm minhash (`mh`) → banded signature
-    * slices (`sig`). Consumers append their own tail. */
-  private def minhashSigCtes: String =
+    * hashes (`sh`). The exact-similarity consumers stop here; the
+    * minhash family appends the permutation machinery. */
+  private def shingleCtes: String =
     s"""tok AS MATERIALIZED (
        | SELECT doc_id, i AS pos,
        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
@@ -1377,7 +1383,12 @@ object SparkEntry {
        |    * 1099511628211 % 18446744073709551616) AS shv
        | FROM (SELECT a.doc_id, list_value(c.th, b.th, a.th) AS ths
        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos - 1
-       |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos - 2) w),
+       |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos - 2) w)""".stripMargin
+
+  /** [[shingleCtes]] → per-perm minhash (`mh`) → banded signature
+    * slices (`sig`). Consumers append their own tail. */
+  private def minhashSigCtes: String =
+    s"""$shingleCtes,
        |pm AS (SELECT * FROM (VALUES ${minhashPermValues(64, 42L)})
        | AS t(p, a_hi, a_lo, b)),
        |mh AS MATERIALIZED (
@@ -3133,6 +3144,25 @@ object SparkEntry {
           | coalesce(p.max_score, 0.0) AS max_score,
           | coalesce(NOT p.dominated, true) AS keep
           |FROM documents d LEFT JOIN perdoc p USING (doc_id)""")
+        .stripMargin.replace("\n", " "),
+    "dedup_exact_jaccard_pairs" ->
+      // the EXHAUSTIVE definition, no prefix rule: every sharing
+      // pair's exact shingle Jaccard, thresholded — the Spark side's
+      // prefix filter is provably lossless, so the row sets must
+      // agree; jaccard is one division of exact integers, bit-stable
+      (s"""WITH $shingleCtes,
+          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          | FROM sh GROUP BY 1),
+          |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(count(*) AS BIGINT) AS i
+          | FROM sh a JOIN sh b ON b.shv = a.shv AND b.doc_id > a.doc_id
+          | GROUP BY 1, 2)
+          |SELECT id_a, id_b,
+          | CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+          |FROM pr
+          |JOIN sz sa ON sa.doc_id = pr.id_a
+          |JOIN sz sb ON sb.doc_id = pr.id_b
+          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""")
         .stripMargin.replace("\n", " "),
     "dedup_lsh_band_stats" ->
       // the cheap PREFIX of the same pipeline: per-band bucket-size

@@ -75,6 +75,11 @@ object Dedup {
 
   /** doc_id + distinct k-token shingle hash set — fused single-pass
     * kernel (canonicalize+tokenize+shingle, no regexp). */
+  /** Test access to the shingle-set relation (the losslessness spec
+    * computes its all-pairs reference over the same sets). */
+  private[graft] def shingleSetsForTest(docs: DataFrame, k: Int): DataFrame =
+    shingleSets(docs, k)
+
   private def shingleSets(docs: DataFrame, k: Int): DataFrame =
     docs.select(
       col("doc_id"),
@@ -345,6 +350,50 @@ object Dedup {
       signatureCol(shingleSize, numPerms, seed).as("sig"))
       .dropDuplicates("sig")
       .select("doc_id")
+
+  /** EXACT set-similarity self-join via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate principle) — the lossless complement
+    * to the LSH family: returns EVERY pair with shingle-Jaccard
+    * ≥ τ, not a probabilistic subset, while the candidate join
+    * still never goes all-pairs. The pruning argument, symmetric
+    * prefix form: order all shingles globally by (df ASC, value);
+    * give each doc the prefix of its first |x| − ⌈τ·|x|⌉ + 1
+    * shingles in that order. For any pair with J ≥ τ, let s* be the
+    * EARLIEST shared shingle: every A-shingle before s* is
+    * unshared, so s*'s rank in A is ≤ |A| − |A∩B| + 1, and
+    * J ≥ τ ⇒ |A∩B| ≥ ⌈τ·|A|⌉ ⇒ that rank lands inside A's prefix —
+    * symmetrically for B — so s* sits in BOTH prefixes and the pair
+    * meets in the prefix equi-join. Rarest-first ordering is what
+    * makes prefixes cheap: prefixes prefer low-df shingles, so hot
+    * shingles almost never generate candidates. Cost degenerates to
+    * the output size only when the output itself is quadratic
+    * (everything genuinely similar) — a lossless join can do no
+    * better. Everything is discrete (integer dfs, hash values,
+    * integer prefix lengths), so the candidate rule is bit-stable;
+    * the oracle doesn't even need it — it checks the exhaustive
+    * definition directly.
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
+                         tau: Double = 0.5): DataFrame = {
+    val sets = shingleSets(docs, n)
+    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("shv"))
+    val dfRel = ex.groupBy("shv").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("shv").asc)
+    val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val prefix = ex.join(dfRel, Seq("shv"))
+      .withColumn("rnk", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(wSz))
+      .filter(col("rnk") <=
+        col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
+      .select("doc_id", "shv")
+    val cand = prefix.select(col("doc_id").as("id_a"), col("shv"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("shv")), Seq("shv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    verifiedJaccard(cand, sets, tau)
+  }
 
   /** SimHash near-dup pairs: 64-bit signatures, banded into
     * `bands` bit-groups for candidates, verified with exact Hamming

@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("prefix-filtered exact jaccard is LOSSLESS: equals all-pairs on sf0.001") {
+    // the property that separates this tier from the LSH family:
+    // the prefix candidate rule must find EVERY pair at J >= tau —
+    // reference is the exhaustive all-pairs computation over the
+    // driver corpus (planted near-dups included)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = Dedup.shingleSetsForTest(corpus, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val expected = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size
+      union = sets(a).union(sets(b)).size
+      if union > 0 && inter.toDouble / union >= 0.5
+    } yield (a, b) -> inter.toDouble / union).toMap
+    assert(expected.nonEmpty, "sf0.001 must contain planted near-dups")
+    val got = Dedup.prefixJaccardPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
+  }
+
   test("blocked jaccard never materializes an unbounded posting list") {
     // postings collect through the BOUNDED aggregator (buffer capped
     // at maxDf+1), never a plain collect_set whose buffer grows with
