@@ -386,10 +386,17 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("rnk") <=
         col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
-      .select("doc_id", "shv")
-    val cand = prefix.select(col("doc_id").as("id_a"), col("shv"))
-      .join(prefix.select(col("doc_id").as("id_b"), col("shv")), Seq("shv"))
-      .filter(col("id_a") < col("id_b"))
+      .select("doc_id", "shv", "sz")
+    // LENGTH filter rides the same join (also lossless): J ≥ τ ⇒
+    // |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so
+    // min ≥ τ·max — pairs of very different sizes never verify
+    val cand = prefix.select(col("doc_id").as("id_a"), col("shv"),
+        col("sz").as("sz_a"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("shv"),
+        col("sz").as("sz_b")), Seq("shv"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tau) * col("sz_a") <= col("sz_b") &&
+        lit(tau) * col("sz_b") <= col("sz_a"))
       .select("id_a", "id_b")
       .distinct()
     verifiedJaccard(cand, sets, tau)
