@@ -213,8 +213,10 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - ci) < 1e-9, s"ci: $r vs $ci")
     assert(math.abs(r.getDouble(3) - 1000.0) < ci,
       s"realized error outside the 95% band: $r")
-    assert(r.getDouble(5) == 1000.0)
-    assert(math.abs(r.getDouble(6) -
+    // r11 schema: ci_nominal boolean sits at index 5 before exact/rel_err
+    assert(r.getBoolean(5) == (nSampled >= 30), s"ci_nominal: $r")
+    assert(r.getDouble(6) == 1000.0)
+    assert(math.abs(r.getDouble(7) -
       math.abs(nSampled / 0.1 - 1000.0) / 1000.0) < 1e-12)
     // determinism under repartitioning (the hash coin, not sample())
     val again = Sampling.sampleEstimate(rows.repartition(7), "id",
