@@ -386,17 +386,30 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("rnk") <=
         col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
-      .select("doc_id", "shv", "sz")
-    // LENGTH filter rides the same join (also lossless): J ≥ τ ⇒
-    // |A∩B| ≥ τ·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so
-    // min ≥ τ·max — pairs of very different sizes never verify
+      .select("doc_id", "shv", "rnk", "sz")
+    // Two more lossless cuts ride the same join:
+    //  - LENGTH filter: J ≥ τ ⇒ |A∩B| ≥ τ·max(|A|,|B|) and
+    //    |A∩B| ≤ min(|A|,|B|), so min ≥ τ·max — size-mismatched
+    //    pairs never verify;
+    //  - POSITIONAL filter (PPJoin): J ≥ τ ⇒ |A∩B| ≥
+    //    ⌈τ/(1+τ)·(|A|+|B|)⌉, and for the EARLIEST shared shingle
+    //    (rank i in A, j in B) the whole intersection fits in the
+    //    suffixes, so |A∩B| ≤ 1 + min(|A|−i, |B|−j). A pair is kept
+    //    if ANY matching row passes — the earliest-shared row's
+    //    bound is exact, so a qualifying pair always survives
+    //    through it (later rows may over- or under-estimate; both
+    //    are harmless since distinct() ORs the rows).
+    val overlapMin =
+      ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")))
     val cand = prefix.select(col("doc_id").as("id_a"), col("shv"),
-        col("sz").as("sz_a"))
+        col("rnk").as("rnk_a"), col("sz").as("sz_a"))
       .join(prefix.select(col("doc_id").as("id_b"), col("shv"),
-        col("sz").as("sz_b")), Seq("shv"))
+        col("rnk").as("rnk_b"), col("sz").as("sz_b")), Seq("shv"))
       .filter(col("id_a") < col("id_b") &&
         lit(tau) * col("sz_a") <= col("sz_b") &&
-        lit(tau) * col("sz_b") <= col("sz_a"))
+        lit(tau) * col("sz_b") <= col("sz_a") &&
+        lit(1) + least(col("sz_a") - col("rnk_a"),
+          col("sz_b") - col("rnk_b")) >= overlapMin)
       .select("id_a", "id_b")
       .distinct()
     verifiedJaccard(cand, sets, tau)

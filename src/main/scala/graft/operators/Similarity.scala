@@ -1274,15 +1274,12 @@ object Similarity {
     val pass1 = bm25TopK(docs, queryMod, k, maxDfFrac, k1, b, tfPostings,
       championR, Some(posts))
     // θ: the approximate pass's k-th score; −∞ when it found < k
-    // candidates (the safe degenerate: every token essential).
-    // Pinned: θ feeds both the plan-choice estimate and the
-    // essential filter — one champion pass, not two.
+    // candidates (the safe degenerate: every token essential)
     val theta = pass1.groupBy("query_id")
       .agg(min("bm25").as("kth"), count(lit(1)).as("n1"))
       .select(col("query_id"),
         when(col("n1") >= k, col("kth"))
           .otherwise(lit(Double.NegativeInfinity)).as("theta"))
-      .localCheckpoint(true)
     val ub = posts.groupBy("tok").agg(max("term").as("ub"))
     val dfRel = posts.groupBy("tok").agg(count(lit(1)).as("df"))
     val wq = Window.partitionBy("query_id")
@@ -1290,11 +1287,15 @@ object Similarity {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // essential ⇔ the ascending-ub running total REACHES θ at this
     // token (everything strictly before the crossing is provably
-    // unable to lift any doc to θ on its own)
+    // unable to lift any doc to θ on its own). Pinned: this O(query
+    // postings) relation carries the champion pass, the bound
+    // aggregates and the prefix window — the plan-choice estimate
+    // and the essential filter both read the ONE materialization.
     val qTok = qPosts
       .join(ub, Seq("tok")).join(dfRel, Seq("tok"))
       .join(broadcast(theta), Seq("query_id"))
       .withColumn("cum", sum("ub").over(wq))
+      .localCheckpoint(true)
     // ADAPTIVE plan choice: the pruned branch pays (a) the essential
     // posting scan and (b) the candidate-pair re-expansion by the
     // query's FULL token list — so its cost estimate is
