@@ -1158,6 +1158,10 @@ object SparkEntry {
       Similarity.bm25MaxScoreTopK(Tables.documents(s, dir),
         tfPostings = Some(sharedTfPostings(s, dir)),
         scoredPostings = Some(sharedBm25Postings(s, dir)))),
+    // the tokenizer-building step itself: 6 greedy BPE merges
+    // learned from the corpus, training loop unrolled in the oracle
+    "text_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -6262,6 +6266,48 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY bm25 DESC, neighbor_id) <= 10"""
         .stripMargin.replace("\n", " "),
+    "text_bpe_train" -> {
+      // the Sennrich training loop unrolled: per iteration, weighted
+      // adjacent-pair counts over the VOCABULARY relation, a 1-row
+      // argmax (cnt DESC, pair lexicographic), and the leftmost-
+      // greedy merge fold (list_reduce with the chosen pair's
+      // columns correlated into the lambda — "aaa"+(a,a) → [aa,a]).
+      // Integer counts + string symbols → bit-exact end to end.
+      val iters = (1 to 6).map { i =>
+        val prev = s"s${i - 1}"
+        s"""p$i AS (SELECT struct_extract(pr, 'a') AS a,
+           |  struct_extract(pr, 'b') AS b,
+           |  CAST(sum(n) AS BIGINT) AS cnt
+           | FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+           |    j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr
+           |  FROM $prev WHERE len(syms) >= 2) t GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+           | ORDER BY cnt DESC, a, b LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT word, n,
+           |  CASE WHEN len(syms) < 2 THEN syms ELSE
+           |   list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+           |     list_transform(syms, x -> [x])),
+           |    (acc, xs) -> CASE WHEN len(acc) > 0
+           |      AND acc[-1] = bi.a AND xs[1] = bi.b
+           |     THEN acc[1:len(acc) - 1] || [bi.a || bi.b]
+           |     ELSE acc || xs END)
+           |  END AS syms
+           | FROM $prev, b$i bi)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 6).map(i =>
+        s"""SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym,
+           | b AS right_sym, a || b AS merged, cnt AS pair_count
+           |FROM b$i""".stripMargin).mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+         | FROM (SELECT unnest(list_filter(
+         |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+         |  FROM documents) t GROUP BY 1),
+         |s0 AS MATERIALIZED (SELECT word, n,
+         |  list_transform(range(1, length(word) + 1),
+         |   i -> substr(word, i, 1)) AS syms FROM w),
+         |$iters
+         |$unions""".stripMargin.replace("\n", " ")
+    },
     "text_bm25_maxscore" ->
       // the EXHAUSTIVE exact ranking, no candidate rule at all: the
       // Spark side's MaxScore pruning is provably lossless, so its

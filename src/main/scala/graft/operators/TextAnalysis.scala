@@ -836,4 +836,67 @@ object TextAnalysis {
         + lit(11.8) * (syllables.cast("double") / words.cast("double"))
         - lit(15.59), 6).as("fk_grade"))
   }
+
+  /** Byte-pair-encoding MERGE TRAINING — the tokenizer-building
+    * step itself, not a proxy: learn `merges` greedy merges from the
+    * corpus (most frequent adjacent symbol pair, weighted by word
+    * frequency; ties by (pair) lexicographically) and emit the merge
+    * table. This is the Sennrich et al. subword algorithm that
+    * [[bpeTokenCount]] approximates from the consumer side.
+    *
+    * Plan shape per iteration: adjacent pairs explode from the
+    * VOCABULARY relation (distinct words × their current symbol
+    * split — O(|vocab| · word length) rows, never the corpus; the
+    * corpus is touched exactly once to count words), one weighted
+    * aggregate, a 1-row argmax to the driver, then the merge applies
+    * as a pure leftmost-greedy array fold (same-symbol runs merge
+    * non-overlapping: "aaa" + (a,a) → [aa, a]). The vocabulary
+    * relation is checkpointed between iterations — the kmeans
+    * posture: iterations are sequential scans of a bounded relation,
+    * and the plan never nests one iteration's fold inside the next.
+    * Fully deterministic (integer counts, lexicographic ties), so
+    * the whole training loop is oracle-checkable by unrolling
+    * iterations as CTEs.
+    */
+  def bpeTrain(docs: DataFrame, merges: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    var syms = docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var i = 1
+    var exhausted = false
+    while (i <= merges && !exhausted) {
+      val best = syms.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "j -> struct(syms[j] AS a, syms[j + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((i.toLong, a, b, a + b, cnt))
+        syms = syms.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>),
+             | (acc, x) -> CASE WHEN size(acc) > 0
+             |  AND element_at(acc, -1) = '${esc(a)}' AND x = '${esc(b)}'
+             | THEN concat(slice(acc, 1, size(acc) - 1),
+             |   array('${esc(a + b)}'))
+             | ELSE concat(acc, array(x)) END)""".stripMargin))
+          .localCheckpoint(true)
+      }
+      i += 1
+    }
+    out.toSeq
+      .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
+  }
 }

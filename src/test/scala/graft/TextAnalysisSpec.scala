@@ -450,4 +450,27 @@ class TextAnalysisSpec extends SparkSpec {
     // empty doc: both divisors guard to 1, syllables 0 — finite score
     assert(got(2L) == ((1L, 1L, 0L, 205.82, -15.2)), s"empty: ${got(2L)}")
   }
+
+  test("bpeTrain replays the classic low/lower/lowest merge sequence") {
+    // word counts: low×3, lower×1, lowest×1. Hand-derived merges:
+    //  1: (l,o)=5  — TIE with (o,w)=5, lexicographic rule picks (l,o)
+    //  2: (lo,w)=5   3: (low,e)=2
+    //  4: (lowe,r)=1 — three-way tie at 1, (lowe,r) < (lowe,s) < (s,t)
+    //  5: (lowe,s)=1 (the 'lowes' branch: step 4 consumed 'lower')
+    //  6: (lowes,t)=1
+    val docs = Seq((1L, "low low lower"), (2L, "lowest low"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bpeTrain(docs, merges = 6)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val want = Seq(
+      (1L, "l", "o", "lo", 5L),
+      (2L, "lo", "w", "low", 5L),
+      (3L, "low", "e", "lowe", 2L),
+      (4L, "lowe", "r", "lower", 1L),
+      (5L, "lowe", "s", "lowes", 1L),
+      (6L, "lowes", "t", "lowest", 1L))
+    assert(got.toSeq == want, s"merge table: ${got.toSeq}")
+  }
 }
