@@ -1162,6 +1162,10 @@ object SparkEntry {
     // learned from the corpus, training loop unrolled in the oracle
     "text_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables.documents(s, dir))),
+    // the trained merges applied back: per-word subword split +
+    // chars-vs-tokens fertility of the LEARNED tokenizer
+    "text_bpe_vocab" -> ((s, dir) =>
+      TextAnalysis.bpeVocab(Tables.documents(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -1352,6 +1356,42 @@ object SparkEntry {
       s"($p, ${u(a >>> 32)}::HUGEINT, ${u(a & 0xffffffffL)}::HUGEINT, " +
         s"${u(b)}::HUGEINT)"
     }.mkString(", ")
+
+  /** Shared BPE-training CTE chain: word counts → char split (`s0`)
+    * → 6 unrolled (pair-count, argmax `b{i}`, merge-fold `s{i}`)
+    * iterations. `text_bpe_train` reads the `b*` relations,
+    * `text_bpe_vocab` the final `s6` state. */
+  private def bpeCtes: String = {
+    val iters = (1 to 6).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT struct_extract(pr, 'a') AS a,
+         |  struct_extract(pr, 'b') AS b,
+         |  CAST(sum(n) AS BIGINT) AS cnt
+         | FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+         |    j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr
+         |  FROM $prev WHERE len(syms) >= 2) t GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
+         | ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, n,
+         |  CASE WHEN len(syms) < 2 THEN syms ELSE
+         |   list_reduce(list_prepend(CAST([] AS VARCHAR[]),
+         |     list_transform(syms, x -> [x])),
+         |    (acc, xs) -> CASE WHEN len(acc) > 0
+         |      AND acc[-1] = bi.a AND xs[1] = bi.b
+         |     THEN acc[1:len(acc) - 1] || [bi.a || bi.b]
+         |     ELSE acc || xs END)
+         |  END AS syms
+         | FROM $prev, b$i bi)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
+       | FROM (SELECT unnest(list_filter(
+       |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |  FROM documents) t GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT word, n,
+       |  list_transform(range(1, length(word) + 1),
+       |   i -> substr(word, i, 1)) AS syms FROM w),
+       |$iters""".stripMargin
+  }
 
   /** Shared CTE prefix: documents → token hashes → distinct shingle
     * hashes (`sh`). The exact-similarity consumers stop here; the
@@ -6273,41 +6313,21 @@ object SparkEntry {
       // greedy merge fold (list_reduce with the chosen pair's
       // columns correlated into the lambda — "aaa"+(a,a) → [aa,a]).
       // Integer counts + string symbols → bit-exact end to end.
-      val iters = (1 to 6).map { i =>
-        val prev = s"s${i - 1}"
-        s"""p$i AS (SELECT struct_extract(pr, 'a') AS a,
-           |  struct_extract(pr, 'b') AS b,
-           |  CAST(sum(n) AS BIGINT) AS cnt
-           | FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
-           |    j -> {'a': syms[j], 'b': syms[j + 1]})) AS pr
-           |  FROM $prev WHERE len(syms) >= 2) t GROUP BY 1, 2),
-           |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
-           | ORDER BY cnt DESC, a, b LIMIT 1),
-           |s$i AS MATERIALIZED (SELECT word, n,
-           |  CASE WHEN len(syms) < 2 THEN syms ELSE
-           |   list_reduce(list_prepend(CAST([] AS VARCHAR[]),
-           |     list_transform(syms, x -> [x])),
-           |    (acc, xs) -> CASE WHEN len(acc) > 0
-           |      AND acc[-1] = bi.a AND xs[1] = bi.b
-           |     THEN acc[1:len(acc) - 1] || [bi.a || bi.b]
-           |     ELSE acc || xs END)
-           |  END AS syms
-           | FROM $prev, b$i bi)""".stripMargin
-      }.mkString(",\n")
       val unions = (1 to 6).map(i =>
         s"""SELECT CAST($i AS BIGINT) AS merge_idx, a AS left_sym,
            | b AS right_sym, a || b AS merged, cnt AS pair_count
            |FROM b$i""".stripMargin).mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
-         | FROM (SELECT unnest(list_filter(
-         |    regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-         |  FROM documents) t GROUP BY 1),
-         |s0 AS MATERIALIZED (SELECT word, n,
-         |  list_transform(range(1, length(word) + 1),
-         |   i -> substr(word, i, 1)) AS syms FROM w),
-         |$iters
+      s"""WITH $bpeCtes
          |$unions""".stripMargin.replace("\n", " ")
     },
+    "text_bpe_vocab" ->
+      // the same unrolled chain, final symbol state emitted: the
+      // learned tokenizer's per-word split + fertility
+      s"""WITH $bpeCtes
+         |SELECT word, n, CAST(length(word) AS BIGINT) AS n_chars,
+         | CAST(len(syms) AS BIGINT) AS n_tokens,
+         | list_aggregate(syms, 'string_agg', ' ') AS token_seq
+         |FROM s6""".stripMargin.replace("\n", " "),
     "text_bm25_maxscore" ->
       // the EXHAUSTIVE exact ranking, no candidate rule at all: the
       // Spark side's MaxScore pruning is provably lossless, so its

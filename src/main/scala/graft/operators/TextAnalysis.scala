@@ -861,6 +861,27 @@ object TextAnalysis {
   def bpeTrain(docs: DataFrame, merges: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, merges)._1.toSeq
+      .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  /** The TRAINED vocabulary: [[bpeTrain]]'s merges applied back to
+    * every word — the fertility readout of the learned tokenizer
+    * (chars per word vs BPE tokens per word is the compression the
+    * merge table buys; compare [[tokenizerFertility]]'s fixed-rule
+    * proxy). Same loop, the final symbol state emitted instead of
+    * the merge table; `token_seq` is the words' actual subword
+    * split, joined for a hash-stable scalar column.
+    */
+  def bpeVocab(docs: DataFrame, merges: Int = 6): DataFrame =
+    bpeLoop(docs, merges)._2
+      .select(col("word"), col("n"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(col("syms")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("syms")).as("token_seq"))
+
+  private def bpeLoop(docs: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
     var syms = docs
       .select(explode(tokens(col("text"))).as("word"))
@@ -896,7 +917,6 @@ object TextAnalysis {
       }
       i += 1
     }
-    out.toSeq
-      .toDF("merge_idx", "left_sym", "right_sym", "merged", "pair_count")
+    (out.toSeq, syms)
   }
 }

@@ -472,5 +472,15 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, "lowe", "s", "lowes", 1L),
       (6L, "lowes", "t", "lowest", 1L))
     assert(got.toSeq == want, s"merge table: ${got.toSeq}")
+    // the trained vocabulary at 5 merges (one short of full): 'low'
+    // and 'lower' already collapse to single tokens, 'lowest' still
+    // splits as [lowes, t] — its final merge is iteration 6
+    val vocab = graft.operators.TextAnalysis.bpeVocab(docs, merges = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getString(4))).toMap
+    // at 5 merges, 'lowest' is still [lowes, t]
+    assert(vocab("low") == ((1L, "low")), s"low: ${vocab("low")}")
+    assert(vocab("lower") == ((1L, "lower")), s"lower: ${vocab("lower")}")
+    assert(vocab("lowest") == ((2L, "lowes t")), s"lowest: ${vocab("lowest")}")
   }
 }
