@@ -69,7 +69,7 @@ object ExplainMain {
       // r11 batch
       "mm_decode_wav", "events_sketch_calibration",
       "ann_index_ivfpq_append_probe", "mm_audio_features",
-      "ann_matryoshka_topk", "text_bm25_maxscore", "text_bpe_train",
+      "ann_matryoshka_topk", "text_bm25_maxscore", "text_bpe_train", "text_bpe_vocab",
       "dedup_exact_jaccard_pairs")
     for (name <- names) {
       println(s"\n## $name\n")
