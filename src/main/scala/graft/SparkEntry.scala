@@ -664,10 +664,15 @@ object SparkEntry {
       operators.Curation.manifest(Tables.documents(s, dir))),
     "docs_curate_capped" -> ((s, dir) =>
       operators.Curation.curateCapped(Tables.documents(s, dir), cap = 10)),
+    // both ride the SHARED shingle trunk for their near-dup gate:
+    // shingle sets are per-doc pure, so the primed corpus relation
+    // restricted to survivors is exactly the subset build
     "docs_curate_full" -> ((s, dir) =>
-      operators.Curation.curateFull(Tables.documents(s, dir))),
+      operators.Curation.curateFull(Tables.documents(s, dir),
+        shingles = Some(sharedShingleSets(s, dir)))),
     "docs_curate_funnel" -> ((s, dir) =>
-      operators.Curation.curateFunnel(Tables.documents(s, dir))),
+      operators.Curation.curateFunnel(Tables.documents(s, dir),
+        shingles = Some(sharedShingleSets(s, dir)))),
     "docs_token_budget" -> ((s, dir) =>
       // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
       operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),

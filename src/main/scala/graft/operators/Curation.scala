@@ -157,7 +157,8 @@ object Curation {
     */
   def curateFull(docs: DataFrame, cap: Int = 10, tokenBudget: Long = 5000L,
                  minTokens: Long = 20L, maxTokens: Long = 100000L,
-                 minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+                 minQuality: Double = 0.2, benchMod: Int = 97,
+                 shingles: Option[DataFrame] = None): DataFrame = {
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
     // ONE tokenization scan scores the corpus; four gates (quality,
@@ -166,7 +167,8 @@ object Curation {
     val scored = Some(scoreDocs(docs).localCheckpoint(true))
     val curated = restrict(
       curate(docs, minTokens, maxTokens, minQuality, benchMod, scored))
-    val suppressed = restrict(Dedup.nearDupSuppress(curated, scored = scored))
+    val suppressed = restrict(Dedup.nearDupSuppress(curated,
+      scored = scored, shingles = shingles))
     // pin the post-cap survivors: the budget walk consumes its input
     // twice (band totals + final window), and without this pin both
     // consumers would re-run the whole gate chain incl. the near-dup
@@ -193,7 +195,8 @@ object Curation {
     */
   def curateFunnel(docs: DataFrame, cap: Int = 10, tokenBudget: Long = 5000L,
                    minTokens: Long = 20L, maxTokens: Long = 100000L,
-                   minQuality: Double = 0.2, benchMod: Int = 97): DataFrame = {
+                   minQuality: Double = 0.2, benchMod: Int = 97,
+                   shingles: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // measured at sf0.1: the funnel's floor is its three serial
@@ -238,7 +241,7 @@ object Curation {
     // aggregate + one banded fold, cheaper to recompute than a
     // checkpoint job's fixed overhead.
     val suppressed = restrict(Dedup.nearDupSuppress(restrict(curatedIds),
-        scored = scored))
+        scored = scored, shingles = shingles))
       .localCheckpoint(true)
     val capped = restrict(sourceCap(suppressed, cap, scored))
     val budgeted = selectToBudget(capped, tokenBudget, scored)

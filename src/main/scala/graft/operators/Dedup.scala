@@ -628,9 +628,21 @@ object Dedup {
                    minShared: Int = 3): DataFrame =
     blockedCandidates(sets, maxDf, minShared)
 
+  /** Shingle sets are PER-DOC pure, so a precomputed corpus-wide
+    * relation restricted to `docs`' ids is exactly
+    * `shingleSets(docs, n)` — a caller holding the shared trunk
+    * (e.g. the curation funnel over a survivor subset) threads it in
+    * and skips re-shingling; the df caps still compute over the
+    * restricted set, so results are identical either way. */
   def blockedJaccardPairs(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
-                          maxDf: Int = 64, minShared: Int = 3): DataFrame =
-    blockedJaccardPairsOf(blockingTrunk(docs, n, maxDf, minShared), tau)
+                          maxDf: Int = 64, minShared: Int = 3,
+                          shingles: Option[DataFrame] = None): DataFrame = {
+    val sets = shingles
+      .map(_.join(docs.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .getOrElse(shingleSets(docs, n))
+    blockedJaccardPairsOf(
+      BlockingTrunk(sets, candidatesOf(sets, maxDf, minShared)), tau)
+  }
 
   /** [[blockedJaccardPairs]] over a prebuilt [[BlockingTrunk]]. */
   def blockedJaccardPairsOf(trunk: BlockingTrunk,
@@ -682,15 +694,17 @@ object Dedup {
   def nearDupSuppress(docs: DataFrame, n: Int = 3, tau: Double = 0.5,
                       maxDf: Int = 64, minShared: Int = 3,
                       scored: Option[DataFrame] = None,
-                      pairs: Option[DataFrame] = None): DataFrame = {
+                      pairs: Option[DataFrame] = None,
+                      shingles: Option[DataFrame] = None): DataFrame = {
     // scores are per-doc pure, so a caller composing several gates
     // can thread one precomputed stats relation through all of them
-    // (and likewise a precomputed pair list — blocking is the
-    // expensive half of this operator)
+    // (and likewise a precomputed pair list or shingle relation —
+    // blocking is the expensive half of this operator)
     val q = scored.getOrElse(TextAnalysis.stats(docs))
       .select(col("doc_id"), col("quality_score"))
     val losers = pairs
-      .getOrElse(blockedJaccardPairs(docs, n, tau, maxDf, minShared))
+      .getOrElse(blockedJaccardPairs(docs, n, tau, maxDf, minShared,
+        shingles))
       .join(q.select(col("doc_id").as("id_a"), col("quality_score").as("q_a")),
         Seq("id_a"))
       .join(q.select(col("doc_id").as("id_b"), col("quality_score").as("q_b")),
