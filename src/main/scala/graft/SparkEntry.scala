@@ -1365,7 +1365,12 @@ object SparkEntry {
   /** Shared BPE-training CTE chain: word counts → char split (`s0`)
     * → 6 unrolled (pair-count, argmax `b{i}`, merge-fold `s{i}`)
     * iterations. `text_bpe_train` reads the `b*` relations,
-    * `text_bpe_vocab` the final `s6` state. */
+    * `text_bpe_vocab` the final `s6` state. Each merge-fold rides a
+    * LEFT JOIN ON TRUE against its (0-or-1-row) argmax so an
+    * exhausted pair supply (b$i empty on a degenerate corpus) leaves
+    * the symbol state UNCHANGED instead of cross-join-wiping it —
+    * mirroring the Spark loop's `exhausted` early-stop, which keeps
+    * the final state when no mergeable pair remains. */
   private def bpeCtes: String = {
     val iters = (1 to 6).map { i =>
       val prev = s"s${i - 1}"
@@ -1378,7 +1383,7 @@ object SparkEntry {
          |b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
          | ORDER BY cnt DESC, a, b LIMIT 1),
          |s$i AS MATERIALIZED (SELECT word, n,
-         |  CASE WHEN len(syms) < 2 THEN syms ELSE
+         |  CASE WHEN bi.a IS NULL OR len(syms) < 2 THEN syms ELSE
          |   list_reduce(list_prepend(CAST([] AS VARCHAR[]),
          |     list_transform(syms, x -> [x])),
          |    (acc, xs) -> CASE WHEN len(acc) > 0
@@ -1386,7 +1391,7 @@ object SparkEntry {
          |     THEN acc[1:len(acc) - 1] || [bi.a || bi.b]
          |     ELSE acc || xs END)
          |  END AS syms
-         | FROM $prev, b$i bi)""".stripMargin
+         | FROM $prev LEFT JOIN b$i bi ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS n
        | FROM (SELECT unnest(list_filter(
@@ -3445,16 +3450,19 @@ object SparkEntry {
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
     "ann_matryoshka_topk" ->
       // stage 1 on the 32-dim PREFIX slice (1-based inclusive list
-      // slice replays Spark's slice(emb, 1, 32)), exact full-dim
-      // rerank of the k·8 candidates — the bruteforce exactness
-      // argument at both stages
+      // slice replays Spark's slice(emb, 1, 32)) with the cut ranked
+      // on the 1e-6-ROUNDED prefix cosine (bm25 stage-1 discipline:
+      // the candidate set is discrete, so boundary ties must break by
+      // id identically cross-engine), exact full-dim rerank of the
+      // k·8 candidates — the bruteforce exactness argument at both
+      // stages
       """WITH q AS (SELECT vec_id AS query_id, embedding
         | FROM embeddings WHERE vec_id % 100 = 0),
         |apx AS (SELECT query_id, neighbor_id FROM (
         | SELECT q.query_id, e.vec_id AS neighbor_id, row_number() OVER (
-        |   PARTITION BY q.query_id ORDER BY list_cosine_similarity(
+        |   PARTITION BY q.query_id ORDER BY round(list_cosine_similarity(
         |     CAST(e.embedding[1:32] AS DOUBLE[]),
-        |     CAST(q.embedding[1:32] AS DOUBLE[])) DESC, e.vec_id) AS rn
+        |     CAST(q.embedding[1:32] AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
         | FROM embeddings e, q WHERE e.vec_id != q.query_id) x
         | WHERE rn <= 80)
         |SELECT query_id, neighbor_id, cosine FROM (

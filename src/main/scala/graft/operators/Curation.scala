@@ -228,9 +228,6 @@ object Curation {
         Seq("doc_id"), "left")
       .localCheckpoint(true)
     val scored = Some(flags.select("doc_id", "n_tokens", "quality_score"))
-    val quality = flags.filter(col("f_quality")).select("doc_id")
-    val deduped = flags.filter(col("f_quality") && col("f_keeper"))
-      .select("doc_id")
     val curatedIds = flags.filter(col("f_quality") && col("f_keeper") &&
       col("doc_id") % benchMod =!= 0 && col("f_contam").isNull)
       .select("doc_id")

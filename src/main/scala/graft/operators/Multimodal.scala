@@ -529,8 +529,14 @@ object Multimodal {
     * synthesis recipe, codec round trip included. Zero-crossing
     * convention: a crossing is a sign-bit change between consecutive
     * samples with v ≥ 0 counted as positive (deterministic at
-    * exactly-zero samples). Same mapPartitions batch shape as the
-    * other decoders; per-row cost O(n_samples).
+    * exactly-zero samples). MONO-only by contract (audit tier, same
+    * throw discipline as [[decodeImageStats]]): a linear sample walk
+    * over interleaved stereo would alternate L/R and turn the
+    * zero-crossing count into channel-interleave noise — a stereo
+    * payload throws rather than emitting nonsense (its sibling
+    * [[decodeAudioStats]] stays multi-channel-safe because its
+    * Σ/Σ|·| aggregates are interleave-invariant). Same mapPartitions
+    * batch shape as the other decoders; per-row cost O(n_samples).
     */
   def audioFeatures(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
@@ -543,8 +549,8 @@ object Multimodal {
         val fmt = ais.getFormat
         require(fmt.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16,
-          s"doc $d: expected signed 16-bit PCM, got $fmt")
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"doc $d: expected MONO signed 16-bit PCM, got $fmt")
         val data = ais.readAllBytes()
         val le = !fmt.isBigEndian
         var i = 0; var n = 0L; var sumSq = 0L; var peak = 0L; var zc = 0L

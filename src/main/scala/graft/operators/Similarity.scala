@@ -1402,13 +1402,22 @@ object Similarity {
     val queries = embeddings.filter(col("vec_id") % queryMod === 0)
     val pq = broadcast(queries.select(col("vec_id").as("query_id"),
       slice(col("embedding"), 1, prefixDims).as("pq_emb")))
-    val approx = topKPerQuery(
-      corpus.withColumn("p_emb", slice(col("embedding"), 1, prefixDims))
-        .crossJoin(pq)
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          gf.cosineSim(col("pq_emb"), col("p_emb")).as("cosine")),
-      k * rerank)
+    // stage-1 cut on the 1e-6-ROUNDED prefix cosine (the bm25TopK
+    // stage-1 discipline): the candidate SET is a discrete output,
+    // and a raw-float ordering at the rank k·rerank boundary could
+    // trade a candidate on last-ulp cross-engine noise — rounding
+    // snaps boundary ties to the id tie-break identically in both
+    // engines. The exact rerank below re-scores on raw doubles.
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    val approx = corpus
+      .withColumn("p_emb", slice(col("embedding"), 1, prefixDims))
+      .crossJoin(pq)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("pq_emb"), col("p_emb")).as("cosine"))
+      .withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= k * rerank).drop("rn")
     val exact = broadcast(approx.select("query_id", "neighbor_id"))
       .join(corpus.select(col("neighbor_id"),
         col("embedding").as("n_emb")), Seq("neighbor_id"))

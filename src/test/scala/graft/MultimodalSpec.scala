@@ -331,4 +331,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Seq(3L, 4L).map(d => got(d)._4).sum > 0,
       "fixture must exercise the zero-crossing path")
   }
+
+  test("audioFeatures: a STEREO payload throws instead of interleaving") {
+    // a linear sample walk over interleaved stereo would alternate
+    // L/R and corrupt rms + zero-crossings — the mono contract must
+    // throw (audit tier), never emit channel-interleave noise
+    val pcm = new Array[Byte](64 * 2 * 2) // 64 frames, 2ch, 16-bit
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 64L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val blobs = Seq((7L, bos.toByteArray)).toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      Multimodal.audioFeatures(blobs).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("MONO"),
+      s"stereo input must fail the mono require, got: ${chain(e)}")
+    // the Σ/Σ|·| audit sibling stays multi-channel-safe on the same blob
+    val stats = Multimodal.decodeAudioStats(blobs).collect()
+    assert(stats.head.getInt(2) == 2 && stats.head.getLong(3) == 64L,
+      "decodeAudioStats must decode the stereo container fine")
+  }
 }
