@@ -1156,9 +1156,10 @@ object SparkEntry {
       Similarity.bm25TopK(Tables.documents(s, dir),
         tfPostings = Some(sharedTfPostings(s, dir)),
         scoredPostings = Some(sharedBm25Postings(s, dir)))),
-    // the rank-SAFE exhaustive tier: MaxScore pruning (champion θ +
-    // per-token upper bounds) returns the TRUE exhaustive top-k —
-    // the oracle scores every pair, the plan never fans out
+    // the rank-SAFE exhaustive tier: MaxScore pruning (hash-sample θ
+    // + per-token ub + BLOCK-MAX per-doc_id-range bounds) returns the
+    // TRUE exhaustive top-k — the oracle scores every pair; the plan
+    // prunes where the corpus lets it (spec-proven on Zipf shapes)
     "text_bm25_maxscore" -> ((s, dir) =>
       Similarity.bm25MaxScoreTopK(Tables.documents(s, dir),
         tfPostings = Some(sharedTfPostings(s, dir)),

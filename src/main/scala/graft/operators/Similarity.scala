@@ -1228,41 +1228,185 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("bm25"))
   }
 
-  /** RANK-SAFE exhaustive BM25 top-k via MaxScore pruning — the
-    * "common terms must still score, exactly" tier above
-    * [[bm25TopK]]'s approximate champion lists. The returned rows
-    * are the TRUE exhaustive BM25 top-k (the oracle scores every
-    * pair), but the plan never materializes the full posting
-    * fan-out. The pruning argument:
+  /** The per-query θ for MaxScore pruning, from a HASH-SAMPLE
+    * scoring pass: each query is scored EXACTLY against the docs in
+    * one doc_id residue class (the sample is on DOCS, so every
+    * sampled pair sees the query's full token set), and the sample's
+    * k-th score — the k-th order statistic of a SUBSET — is ≤ the
+    * true exhaustive k-th. A safety margin (1e-6 + 1e-9·|kth|),
+    * ~7 orders above float-reassociation error on any realistic
+    * term count, makes the bound robust to the plain-sum fold, so
+    * `score < θ` strictly implies "cannot enter the top-k even on an
+    * id tie-break". Queries with < k sampled candidates get θ = −∞
+    * (the safe degenerate: nothing prunes). Cost: 1/sampleMod of
+    * the exhaustive fan-out. Returned LAZY — the direct branch only
+    * ever folds it into the one plan-choice action; the pruned
+    * branch checkpoints it before its three readers. */
+  private def bm25SampleTheta(posts: DataFrame, qPosts: DataFrame,
+                              k: Int, sampleMod: Int): DataFrame = {
+    val samplePosts = posts
+      .filter(pmod(col("doc_id"), lit(sampleMod)) === lit(1 % sampleMod))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("neighbor_id"))
+    qPosts.join(samplePosts, Seq("tok"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"), col("term"))
+      .groupBy("query_id", "neighbor_id").agg(sum("term").as("s"))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") === k)
+      .select(col("query_id"),
+        (col("s") - lit(1e-6) - abs(col("s")) * lit(1e-9)).as("theta"))
+  }
+
+  /** Plan-shape readout for [[bm25MaxScoreTopK]] (test/diagnostic
+    * surface): the volume estimate's inputs and the block-max
+    * pruning rates on a given corpus, so a spec can PROVE the pruned
+    * branch engages on a Zipf-shaped vocabulary — essential postings
+    * a small fraction of Σdf, blocks pruned, estimate choosing
+    * pruned — rather than the 100× story resting on the estimator
+    * alone. */
+  private[graft] case class MaxScoreEstimate(
+      vDirect: Long, vPruned: Long, essPostings: Long,
+      blocksTotal: Long, blocksSurviving: Long) {
+    def usePruned: Boolean = vPruned <= vDirect
+  }
+
+  private[graft] def bm25MaxScoreEstimate(
+      docs: DataFrame, queryMod: Int = 100, k: Int = 10,
+      maxDfFrac: Double = 0.9, k1: Double = 1.2, b: Double = 0.75,
+      sampleMod: Int = 50, blockSize: Int = 16): MaxScoreEstimate = {
+    val posts = bm25Postings(docs, maxDfFrac, k1, b)
+    val qPosts = posts.filter(col("doc_id") % queryMod === 0)
+      .select(col("tok"), col("doc_id").as("query_id"))
+    val theta = bm25SampleTheta(posts, qPosts, k, sampleMod)
+      .localCheckpoint(true)
+    val qTok = bm25QTok(posts, qPosts, theta)
+    val nDocs = posts.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val vols = bm25Volumes(qTok, nDocs)
+    val blk = bm25SurvivingBlocks(posts, qPosts, theta, blockSize)
+      .agg(count(lit(1)).as("surv")).head().getAs[Long]("surv")
+    val blkTotal = qPosts.join(
+        posts.select(col("tok"),
+          expr(s"doc_id div $blockSize").as("blk")).distinct(), Seq("tok"))
+      .select("query_id", "blk").distinct().count()
+    val ess = qTok.filter(col("cum") >= col("theta"))
+      .agg(coalesce(sum("df"), lit(0L)).as("e")).head().getAs[Long]("e")
+    MaxScoreEstimate(vols.getAs[Long]("v_direct"),
+      vols.getAs[Long]("v_pruned"), ess, blkTotal, blk)
+  }
+
+  /** Query-token relation carrying everything the bounds need: the
+    * global per-token upper bound `ub`, document frequency `df`, the
+    * query's θ (−∞ when the sample pass found < k candidates) and
+    * the ascending-ub running total `cum`. */
+  private def bm25QTok(posts: DataFrame, qPosts: DataFrame,
+                       theta: DataFrame): DataFrame = {
+    // ub and df ride ONE aggregate over the postings — two separate
+    // groupBys would be two shuffles of the same relation
+    val ubDf = posts.groupBy("tok")
+      .agg(max("term").as("ub"), count(lit(1)).as("df"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("ub").asc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qPosts
+      .join(ubDf, Seq("tok"))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .withColumn("theta",
+        coalesce(col("theta"), lit(Double.NegativeInfinity)))
+      .withColumn("cum", sum("ub").over(wq))
+  }
+
+  /** One-action volume estimate: direct exhaustive fan-out
+    * Σ_q Σ_all df vs the pruned branch's essential scan +
+    * candidate re-expansion Σ_q [Σ_ess df + min(Σ_ess df, N)·|toks|].
+    * (Block-max pruning only SHRINKS the pruned branch further, so
+    * the estimate is conservative toward direct.) */
+  private def bm25Volumes(qTok: DataFrame, nDocs: DataFrame) =
+    qTok.groupBy("query_id").agg(
+        sum("df").as("v_all"),
+        sum(when(col("cum") >= col("theta"), col("df")).otherwise(0L))
+          .as("v_ess"),
+        count(lit(1)).as("n_toks"))
+      .crossJoin(broadcast(nDocs))
+      .agg(
+        sum("v_all").as("v_direct"),
+        sum(col("v_ess") +
+          least(col("v_ess"), col("n_docs")) * col("n_toks"))
+          .as("v_pruned")).head()
+
+  /** BLOCK-MAX surviving blocks: docs are grouped into contiguous
+    * doc_id-range blocks of `blockSize`; `bub(t, B)` = max term
+    * impact of t within block B (one map-side max, skew-proof, ≤ one
+    * row per posting so the relation is postings-bounded). For a doc
+    * d ∈ B, score(q,d) = Σ_{t∈q∩d} term(t,d) ≤ Σ_{t∈q∩B} bub(t,B) =
+    * bound(q,B) — absent (t,B) pairs contribute exactly 0 to both
+    * sides — so bound(q,B) < θ prunes the WHOLE block: no doc in it
+    * can reach the top-k (strict inequality, θ already margin-safe).
+    * This is the Block-Max-WAND refinement of the global ub: per-
+    * block max tf is far below the corpus max for most blocks, so
+    * the bound tightens as blocks shrink (at blockSize=1 it equals
+    * the exact score). Returns the SURVIVING (query_id, blk) pairs;
+    * a candidate pair reached through token t ∈ q∩B always has a
+    * bound row (bound ≥ bub(t,B) > 0), so a semi-join against this
+    * relation is lossless. */
+  private def bm25SurvivingBlocks(posts: DataFrame, qPosts: DataFrame,
+                                  theta: DataFrame,
+                                  blockSize: Int): DataFrame = {
+    // integer `div`, never float division: doc_id can exceed 2^53 at
+    // corpus scale and a double quotient would alias distinct blocks
+    val bub = posts
+      .withColumn("blk", expr(s"doc_id div $blockSize"))
+      .groupBy("tok", "blk").agg(max("term").as("bub"))
+    qPosts.join(bub, Seq("tok"))
+      .groupBy("query_id", "blk").agg(sum("bub").as("bound"))
+      .join(broadcast(theta), Seq("query_id"), "left")
+      .filter(col("theta").isNull || col("bound") >= col("theta"))
+      .select("query_id", "blk")
+  }
+
+  /** RANK-SAFE exhaustive BM25 top-k via MaxScore pruning with
+    * BLOCK-MAX bounds — the "common terms must still score, exactly"
+    * tier above [[bm25TopK]]'s approximate champion lists. The
+    * returned rows are the TRUE exhaustive BM25 top-k (the oracle
+    * scores every pair), but the plan never materializes the full
+    * posting fan-out when the bounds engage. The pruning argument:
     *
-    *  1. a cheap approximate pass ([[bm25TopK]], champion lists)
-    *     yields θ = its k-th score per query — a LOWER bound on the
-    *     true k-th score (its candidates are a subset);
+    *  1. a hash-sample pass ([[bm25SampleTheta]]) yields θ = the
+    *     k-th score over one doc_id residue class — a margin-safe
+    *     LOWER bound on the true k-th score (subset order statistic);
     *  2. ub(t) = max over the corpus of t's term contribution is an
-    *     UPPER bound on what t can add to any score (one map-side
-    *     max aggregate, skew-proof);
-    *  3. sort the query's tokens by ascending ub: the longest prefix
-    *     whose ub-sum stays BELOW θ is "non-essential" — a document
+    *     UPPER bound on what t can add to any score; sort the
+    *     query's tokens by ascending ub: the longest prefix whose
+    *     ub-sum stays BELOW θ is "non-essential" — a document
     *     sharing ONLY those tokens scores ≤ that sum < θ ≤ true
     *     k-th, so it cannot enter the top-k even on an id tie-break
     *     (strict inequality). Every true top-k document therefore
-    *     shares at least one ESSENTIAL token, and the candidate join
-    *     runs over essential postings only.
+    *     shares at least one ESSENTIAL token;
+    *  3. independently, [[bm25SurvivingBlocks]] prunes whole
+    *     doc_id-range blocks whose per-block bound Σ bub(t,B) can't
+    *     reach θ — the Block-Max-WAND bound, far tighter than the
+    *     global ub because most blocks hold no high-tf posting of
+    *     any query token. The candidate join runs over essential
+    *     postings ∩ surviving blocks only.
     *
-    * The essential set is data-adaptive: high-θ queries (good
-    * champion hits) prune aggressively; a query with < k champion
-    * candidates gets θ = −∞ and degrades to the exhaustive join —
-    * correctness never depends on the pruning quality, only cost
-    * does. Cross-engine ulp noise in θ or ub can only move the
-    * essential BOUNDARY, i.e. trade candidates between two sets that
-    * both contain the true top-k — the output is invariant.
+    * Both prunings are data-adaptive and individually lossless, so
+    * their intersection is too: correctness never depends on
+    * pruning quality, only cost does (θ = −∞ degrades to the
+    * exhaustive join). On a Zipf-shaped vocabulary the essential set
+    * collapses to the rare discriminative tokens and most blocks
+    * prune (spec-proven in SimilaritySpec "pruned branch engages");
+    * on a pathological all-common-terms corpus (this testdata:
+    * 31-token vocabulary, every df ≈ 0.8·N, ~23-token queries) NO
+    * per-token bound sum can undercut θ — measured: ≤10% of blocks
+    * prune even at blockSize=4 — and the volume estimate correctly
+    * picks one direct pass instead.
     */
   def bm25MaxScoreTopK(docs: DataFrame, queryMod: Int = 100, k: Int = 10,
                        maxDfFrac: Double = 0.9, k1: Double = 1.2,
                        b: Double = 0.75,
                        tfPostings: Option[DataFrame] = None,
-                       championR: Int = 64,
                        scoredPostings: Option[DataFrame] = None,
+                       sampleMod: Int = 50, blockSize: Int = 16,
                        // test hook: pin the plan branch (None = the
                        // volume estimate decides). Both branches
                        // return the identical exhaustive ranking.
@@ -1271,54 +1415,20 @@ object Similarity {
       bm25Postings(docs, maxDfFrac, k1, b, tfPostings))
     val qPosts = posts.filter(col("doc_id") % queryMod === 0)
       .select(col("tok"), col("doc_id").as("query_id"))
-    val pass1 = bm25TopK(docs, queryMod, k, maxDfFrac, k1, b, tfPostings,
-      championR, Some(posts))
-    // θ: the approximate pass's k-th score; −∞ when it found < k
-    // candidates (the safe degenerate: every token essential)
-    val theta = pass1.groupBy("query_id")
-      .agg(min("bm25").as("kth"), count(lit(1)).as("n1"))
-      .select(col("query_id"),
-        when(col("n1") >= k, col("kth"))
-          .otherwise(lit(Double.NegativeInfinity)).as("theta"))
-    val ub = posts.groupBy("tok").agg(max("term").as("ub"))
-    val dfRel = posts.groupBy("tok").agg(count(lit(1)).as("df"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("ub").asc, col("tok"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // essential ⇔ the ascending-ub running total REACHES θ at this
-    // token (everything strictly before the crossing is provably
-    // unable to lift any doc to θ on its own). Pinned: this O(query
-    // postings) relation carries the champion pass, the bound
-    // aggregates and the prefix window — the plan-choice estimate
-    // and the essential filter both read the ONE materialization.
-    val qTok = qPosts
-      .join(ub, Seq("tok")).join(dfRel, Seq("tok"))
-      .join(broadcast(theta), Seq("query_id"))
-      .withColumn("cum", sum("ub").over(wq))
-      .localCheckpoint(true)
+    val theta = bm25SampleTheta(posts, qPosts, k, sampleMod)
     // ADAPTIVE plan choice: the pruned branch pays (a) the essential
     // posting scan and (b) the candidate-pair re-expansion by the
-    // query's FULL token list — so its cost estimate is
-    // Σ_q [Σ_ess df + min(Σ_ess df, N)·|toks_q|], against the
-    // direct exhaustive fan-out Σ_q Σ_all df. On a Zipf vocabulary
-    // essential tokens are rare and the estimate collapses; on an
-    // all-common-terms corpus (this testdata: every df ≈ 0.8·N) the
-    // candidate set is ~every doc and re-expansion would cost MORE
-    // than one direct pass — take the cheaper plan. Either branch
-    // produces the identical exhaustive ranking; only cost differs.
-    val nDocs = posts.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // query's FULL token list. On a Zipf vocabulary essential tokens
+    // are rare and the estimate collapses; on an all-common-terms
+    // corpus the candidate set is ~every doc and re-expansion would
+    // cost MORE than one direct pass — take the cheaper plan. Either
+    // branch produces the identical exhaustive ranking. The θ sample
+    // and bound subtrees all fold into this ONE action (theta is
+    // lazy), so the direct branch pays a single plan-choice job and
+    // never materializes any pruning state.
     val usePruned = forcePruned.getOrElse {
-      val vols = qTok.groupBy("query_id").agg(
-          sum("df").as("v_all"),
-          sum(when(col("cum") >= col("theta"), col("df")).otherwise(0L))
-            .as("v_ess"),
-          count(lit(1)).as("n_toks"))
-        .crossJoin(broadcast(nDocs))
-        .agg(
-          sum("v_all").as("v_direct"),
-          sum(col("v_ess") +
-            least(col("v_ess"), col("n_docs")) * col("n_toks"))
-            .as("v_pruned")).head()
+      val nDocs = posts.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val vols = bm25Volumes(bm25QTok(posts, qPosts, theta), nDocs)
       vols.getAs[Long]("v_pruned") <= vols.getAs[Long]("v_direct")
     }
     // a codegen'd plain float sum ranks the candidates first, and
@@ -1331,10 +1441,17 @@ object Similarity {
     val corpusSide = posts.select(col("doc_id").as("neighbor_id"),
       col("tok"), col("term"))
     val termRows = (if (usePruned) {
-      val cands = qTok.filter(col("cum") >= col("theta"))
+      // three readers (essential filter, block bounds, candidate
+      // anti-self filter) → pin the tiny O(queries) θ relation once
+      val thetaCk = theta.localCheckpoint(true)
+      val surviving = bm25SurvivingBlocks(posts, qPosts, thetaCk, blockSize)
+      val cands = bm25QTok(posts, qPosts, thetaCk)
+        .filter(col("cum") >= col("theta"))
         .select("query_id", "tok")
-        .join(posts.select(col("doc_id"), col("tok")), Seq("tok"))
+        .join(posts.select(col("doc_id"), col("tok"),
+          expr(s"doc_id div $blockSize").as("blk")), Seq("tok"))
         .filter(col("doc_id") =!= col("query_id"))
+        .join(surviving, Seq("query_id", "blk"), "left_semi")
         .select(col("query_id"), col("doc_id").as("neighbor_id"))
         .distinct()
       cands.join(qPosts, Seq("query_id"))
@@ -1352,22 +1469,28 @@ object Similarity {
       .agg(sum("term").as("s_plain"))
     val wP = Window.partitionBy("query_id")
       .orderBy(col("s_plain").desc, col("neighbor_id"))
-    val ranked = plain.withColumn("rn", row_number().over(wP))
-    val kthPlain = ranked.filter(col("rn") === k)
-      .select(col("query_id"), col("s_plain").as("kth_plain"))
-    val survivors = ranked
-      .join(broadcast(kthPlain), Seq("query_id"), "left")
+    // the plain k-th rides a SECOND window over the same query_id
+    // partitioning (max of the rank-k score, whole-partition frame) —
+    // no broadcast join back onto the ranked relation, no second
+    // materialization of it, zero extra exchange
+    val survivors = plain
+      .withColumn("rn", row_number().over(wP))
+      .withColumn("kth_plain",
+        max(when(col("rn") === k, col("s_plain")))
+          .over(Window.partitionBy("query_id")))
       .filter(col("kth_plain").isNull ||
         col("s_plain") >= col("kth_plain") -
           (lit(1e-6) + abs(col("kth_plain")) * lit(1e-9)))
       .select("query_id", "neighbor_id")
     // survivor rescore rebuilds its terms PAIR-bounded (the bm25TopK
     // stage-2 shape) — O(survivors · tokens-per-query) rows, never a
-    // second pass over the candidate term relation
-    val scored = survivors
-      .join(qPosts, Seq("query_id"))
-      .join(posts.select(col("doc_id").as("neighbor_id"), col("tok"),
-        col("term")), Seq("neighbor_id", "tok"))
+    // second pass over the candidate term relation. The expanded
+    // (survivor × query-token) side is tiny (≈ k·|q|·toks rows) and
+    // BROADCAST, so the postings side never shuffles for the join.
+    val scored = posts
+      .select(col("doc_id").as("neighbor_id"), col("tok"), col("term"))
+      .join(broadcast(survivors.join(qPosts, Seq("query_id"))),
+        Seq("neighbor_id", "tok"))
       .repartition(col("query_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(bm25TokenOrderedSum.as("bm25"))

@@ -236,6 +236,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bm25MaxScoreTopK: pruned branch ENGAGES on a Zipf vocabulary") {
+    // the 100x pruning story must not rest on the volume estimator
+    // alone: on a Zipf-shaped corpus (few broad tokens, a long tail
+    // of rare discriminative ones) the estimate must PICK the pruned
+    // branch, the essential postings must be a small fraction of the
+    // exhaustive fan-out, block-max must prune a majority of blocks,
+    // and the estimator-chosen plan must equal the forced-direct one.
+    // sampleMod COPRIME to the token periods (7 vs 3/40/300) so the
+    // θ sample sees the mid-tier sharers, not just common-token hits
+    val rows = (0L until 600L).map(i =>
+      (i, s"filler common${i % 3} mid${i % 40} rare${i % 300}"))
+    val docs = rows.toDF("doc_id", "text")
+    val est = Similarity.bm25MaxScoreEstimate(docs, queryMod = 100,
+      k = 2, sampleMod = 7, blockSize = 8)
+    assert(est.usePruned,
+      s"estimate must pick pruned: v_pruned=${est.vPruned} " +
+        s"v_direct=${est.vDirect}")
+    assert(est.essPostings * 3 <= est.vDirect,
+      s"essential postings must be a small fraction of the fan-out: " +
+        s"ess=${est.essPostings} direct=${est.vDirect}")
+    assert(est.blocksSurviving * 2 <= est.blocksTotal,
+      s"block-max must prune a majority of blocks: " +
+        s"surviving=${est.blocksSurviving} of ${est.blocksTotal}")
+    def res(force: Option[Boolean]) =
+      Similarity.bm25MaxScoreTopK(docs, queryMod = 100, k = 2,
+          sampleMod = 7, blockSize = 8, forcePruned = force)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val chosen = res(None)
+    assert(chosen.nonEmpty && chosen == res(Some(false)),
+      "estimator-chosen pruned plan must equal the forced-direct ranking")
+  }
+
   test("LSH multiprobe lifts recall at the same table layout") {
     def meanRecall(mp: Int): Double = {
       val got = topkSets(Similarity.lshTopK(emb, queries, k = 10,
