@@ -755,6 +755,15 @@ object SparkEntry {
     "mm_audio_features" -> ((s, dir) =>
       Multimodal.audioFeatures(
         Multimodal.synthWavCorpus(Tables.documents(s, dir)))),
+    // PERCEPTUAL near-dup over DECODED pixels: dHash gradient signs
+    // survive re-encoding, so the planted PNG→BMP copies (identical
+    // pixels, zero shared container bytes) pair HERE while the
+    // chunk-hash tier structurally misses them; banding is lossless
+    // (bands > maxHamming) so the oracle is the exhaustive all-pairs
+    // definition with no candidate rule
+    "mm_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -3876,6 +3885,54 @@ object SparkEntry {
         | CAST(sum((h // 65536) % 256) AS BIGINT) AS sum_g,
         | CAST(sum((h // 16777216) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1""".stripMargin.replace("\n", " "),
+    "mm_phash_pairs" ->
+      // EXHAUSTIVE all-pairs replay (no candidate rule — the banded
+      // plan must be lossless): pixels from the DOUBLE FNV fold
+      // (second pass over the first pass's unsigned-decimal digits —
+      // HUGEINT's VARCHAR cast IS that rendering), with the planted
+      // copies (doc_id % 10 = 1) reading doc_id−1's recipe and
+      // nudging pixel 0's red +1; luma kept as the exact integer
+      // numerator, 56 row-adjacent comparison bits packed to a
+      // BIGINT, Hamming over every pair
+      """WITH fold1 AS (SELECT doc_id, i,
+        |  CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(1, length(s) + 1),
+        |      j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
+        |    AS VARCHAR) AS s2
+        | FROM (SELECT doc_id, i,
+        |   CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
+        |     AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents,
+        |   LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g) t),
+        |px AS (SELECT doc_id, i,
+        | CASE WHEN doc_id % 10 = 1 AND i = 0 THEN (r + 1) % 256
+        |  ELSE r END AS r, g, b
+        |FROM (SELECT doc_id, i,
+        |  CAST((h // 256) % 256 AS BIGINT) AS r,
+        |  CAST((h // 65536) % 256 AS BIGINT) AS g,
+        |  CAST((h // 16777216) % 256 AS BIGINT) AS b
+        | FROM (SELECT doc_id, i,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(1, length(s2) + 1),
+        |      j -> CAST(ord(substr(s2, j, 1)) AS HUGEINT))),
+        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
+        |    AS h
+        |  FROM fold1) u) v),
+        |lum AS (SELECT doc_id, i, 299 * r + 587 * g + 114 * b AS l FROM px),
+        |sig AS MATERIALIZED (SELECT a.doc_id,
+        |  CAST(sum(CASE WHEN b.l > a.l
+        |   THEN (CAST(1 AS BIGINT) << ((a.i // 8) * 7 + (a.i % 8)))
+        |   ELSE 0 END) AS BIGINT) AS dhash
+        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        | WHERE a.i % 8 < 7 GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin
+        .replace("\n", " "),
     "mm_decode_wav" ->
       // replay of the synthesized SAMPLES, never the codec: sample i
       // is the sign-extended low-16 window of FNV-1a("doc_id:i")

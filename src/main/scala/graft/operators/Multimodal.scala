@@ -383,6 +383,134 @@ object Multimodal {
       }.toDF()
   }
 
+  /** [[synthPngCorpus]] with PLANTED RE-ENCODED COPIES — the fixture
+    * the perceptual tier needs and the chunk tier structurally
+    * cannot handle: docs with `doc_id % dupMod == 1` carry the
+    * PIXELS of doc_id−1's recipe (one channel of one pixel nudged
+    * +1, below any perceptual threshold) written by the JDK's BMP
+    * encoder instead of PNG — same image, zero shared container
+    * bytes. Both formats are lossless, so every pixel (original and
+    * copy) replays from the FNV recipe alone and the whole corpus
+    * stays oracle-checkable without a codec. */
+  def synthMixedCorpus(docs: DataFrame, side: Int = 8,
+                       dupMod: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val isCopy = d % dupMod == 1
+      val src = if (isCopy) d - 1 else d
+      val img = new java.awt.image.BufferedImage(
+        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < side * side) {
+        // DOUBLE FNV fold (re-hash the unsigned-decimal rendering of
+        // the first pass): one FNV pass has weak avalanche — gradient
+        // SIGNS of near-id documents stay correlated enough to
+        // produce sub-threshold Hamming collisions — while the ~20
+        // extra multiplies of the second pass fully decorrelate them
+        // (measured: natural min distance 8, mean 28 over 500 docs).
+        // Unsigned string so DuckDB's HUGEINT cast replays it.
+        val h = fnv1a(java.lang.Long.toUnsignedString(fnv1a(s"$src:$i")))
+        val r0 = ((h >>> 8) & 0xff).toInt
+        val r = if (isCopy && i == 0) (r0 + 1) % 256 else r0
+        val g = ((h >>> 16) & 0xff).toInt
+        val b = ((h >>> 24) & 0xff).toInt
+        img.setRGB(i % side, i / side, (r << 16) | (g << 8) | b)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, if (isCopy) "bmp" else "png", bos)
+      PngBlob(d, bos.toByteArray)
+    }.toDF()
+  }
+
+  case class PhashSig(doc_id: Long, dhash: Long)
+
+  /** 56-bit dHash over REALLY-decoded pixels: Rec.601 luma kept as
+    * the exact INTEGER numerator (299r+587g+114b — no division, no
+    * float), one bit per horizontally-adjacent pixel pair
+    * (bit y·7+x = 1 ⇔ luma(x+1,y) > luma(x,y)). Gradient signs are
+    * what survive re-encoding: any lossless container (and mild
+    * lossy noise below the comparison margins) yields the identical
+    * hash, so a PNG and its BMP re-encode collide exactly. Decode
+    * throws on undecodable payloads ([[decodeImageStats]]'s audit
+    * discipline) and requires the corpus-wide `side` so adjacency
+    * is well-defined. */
+  def phashSignatures(blobs: DataFrame, side: Int = 8): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable payload for doc $d")
+        require(img.getWidth == side && img.getHeight == side,
+          s"doc $d: expected ${side}x$side, got ${img.getWidth}x${img.getHeight}")
+        def luma(x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)
+        }
+        var sig = 0L
+        var y = 0
+        while (y < side) {
+          var x = 0
+          while (x < side - 1) {
+            if (luma(x + 1, y) > luma(x, y))
+              sig |= 1L << (y * (side - 1) + x)
+            x += 1
+          }
+          y += 1
+        }
+        PhashSig(d, sig)
+      }.toDF()
+  }
+
+  /** PERCEPTUAL near-dup pairs over decoded pixels — the tier above
+    * [[blobNearDupPairs]]'s chunk hashes, which structurally MISS
+    * re-encoded copies (a PNG re-written as BMP, or at another
+    * compression level, shares zero container bytes; its pixels are
+    * identical). Candidates meet in banded equi-joins over the
+    * 56-bit [[phashSignatures]] dHash — `bands` slices of
+    * 56/bands bits each — then exact Hamming verifies. With
+    * bands > maxHamming the banding is LOSSLESS (pigeonhole: ≤
+    * maxHamming differing bits cannot touch all bands, so every
+    * qualifying pair shares a clean band), which is why the driver
+    * key's oracle is the EXHAUSTIVE all-pairs definition with no
+    * candidate rule. Buckets are uncapped here because dHash values
+    * of non-dup images are near-uniform (no boilerplate-band
+    * analogue); a corpus of visually-flat images would concentrate
+    * buckets, and the production guard is the same `maxBucket` cap
+    * the SimHash tier carries — a documented recall trade, not a
+    * default. */
+  def phashPairs(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
+                 bands: Int = 7): DataFrame = {
+    val totalBits = side * (side - 1)
+    require(totalBits % bands == 0,
+      s"bands must divide $totalBits, got $bands")
+    require(bands > maxHamming,
+      s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
+    val bits = totalBits / bands
+    val mask = (1L << bits) - 1
+    val sigs = phashSignatures(blobs, side)
+    val banded = sigs.select(col("doc_id"), col("dhash"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(dhash, b * $bits) & ${mask}L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    banded.select(col("band"), col("band_bits"),
+        col("doc_id").as("id_a"), col("dhash").as("h_a"))
+      .join(banded.select(col("band"), col("band_bits"),
+        col("doc_id").as("id_b"), col("dhash").as("h_b")),
+        Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Per-document pooled feature embedding: decode frames, mean-pool
     * their (stub) features into one `array<float>` per document —
     * the bridge from binary payloads into the [[Similarity]] ANN /

@@ -332,6 +332,29 @@ class MultimodalSpec extends SparkSpec {
       "fixture must exercise the zero-crossing path")
   }
 
+  test("phashPairs: re-encoded copies pair perceptually; the chunk tier misses them") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val blobs = Multimodal.synthMixedCorpus(docs).cache()
+    // the BMP copies decode to the source's pixels (±1 on one channel)
+    val pairs = Multimodal.phashPairs(blobs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.keySet == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)),
+      s"exactly the planted copy pairs must match: ${pairs.keySet}")
+    assert(pairs.values.forall(_ <= 2),
+      s"a one-channel nudge flips at most the adjacent comparisons: $pairs")
+    // the chunk tier CANNOT see these pairs: PNG original and BMP
+    // copy share zero aligned byte chunks (different containers)
+    val payloads = blobs.filter($"doc_id" < 2L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    def chunks(b: Array[Byte]): Set[Seq[Byte]] =
+      b.grouped(16).map(_.toSeq).toSet
+    assert((chunks(payloads(0L)) intersect chunks(payloads(1L))).isEmpty,
+      "the re-encode must share no container chunks with its source")
+    // and the copies really are different containers: PNG vs BMP magic
+    assert(payloads(0L)(1) == 'P'.toByte && payloads(1L)(0) == 'B'.toByte)
+    blobs.unpersist()
+  }
+
   test("audioFeatures: a STEREO payload throws instead of interleaving") {
     // a linear sample walk over interleaved stereo would alternate
     // L/R and corrupt rms + zero-crossings — the mono contract must
