@@ -386,6 +386,12 @@ object SparkEntry {
         .select("doc_id", "fingerprint_md5")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
+    // the REST of the Gopher suite (dup line/para + top-n-gram mass)
+    // over the deterministically-lined corpus with planted
+    // duplicated paragraphs on doc_id % 5 == 0
+    "text_repetition_profile" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -3150,6 +3156,87 @@ object SparkEntry {
           |  THEN 1.0 - len(list_distinct(bigrams)) / len(bigrams)
           |  ELSE 0.0 END AS dup_bigram_fraction
           |FROM b""".stripMargin.replace("\n", " ")),
+    "text_repetition_profile" ->
+      // replays the lined-corpus synth (a '\n' before every 2nd
+      // token, '\n\n' before every 8th, first paragraph re-appended
+      // on doc_id % 5 = 0), re-tokenizes the LINED text (the planted
+      // copy adds tokens), then computes every Gopher counter from
+      // exact integer counts — single divisions, bit-replayable
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        | FROM documents),
+        |p AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i ->
+        |  CASE WHEN i = 1 THEN toks[i]
+        |   WHEN (i - 1) % 8 = 0 THEN chr(10) || chr(10) || toks[i]
+        |   WHEN (i - 1) % 2 = 0 THEN chr(10) || toks[i]
+        |   ELSE ' ' || toks[i] END) AS pieces FROM t),
+        |txt AS (SELECT doc_id, CASE WHEN len(pieces) = 0 THEN ''
+        |  WHEN doc_id % 5 = 0 THEN
+        |   list_reduce(pieces, (a, b) -> a || b) || chr(10) || chr(10) ||
+        |   list_reduce(pieces[1:least(8, len(pieces))], (a, b) -> a || b)
+        |  ELSE list_reduce(pieces, (a, b) -> a || b) END AS text FROM p),
+        |t2 AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+        |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+        |  list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
+        | FROM txt),
+        |base AS (SELECT doc_id, toks, lines, paras,
+        |  length(array_to_string(toks, ' ')) AS tok_chars,
+        |  len(lines) AS n_lines, len(paras) AS n_paras,
+        |  coalesce(list_sum(list_transform(lines, s ->
+        |   CASE WHEN len(list_filter(lines, x -> x = s)) > 1
+        |    THEN length(s) ELSE 0 END)), 0) AS dup_line_chars,
+        |  coalesce(list_sum(list_transform(lines, s -> length(s))), 0) AS line_chars,
+        |  coalesce(list_sum(list_transform(paras, s ->
+        |   CASE WHEN len(list_filter(paras, x -> x = s)) > 1
+        |    THEN length(s) ELSE 0 END)), 0) AS dup_para_chars,
+        |  coalesce(list_sum(list_transform(paras, s -> length(s))), 0) AS para_chars,
+        |  CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |   ELSE list_transform(range(1, len(toks)),
+        |    i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |   ELSE list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')) END AS g3,
+        |  CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+        |   ELSE list_transform(range(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+3], ' ')) END AS g4
+        | FROM t2),
+        |mx AS (SELECT *,
+        |  list_max(list_transform(list_distinct(g2),
+        |   d -> len(list_filter(g2, x -> x = d)))) AS maxc2,
+        |  list_max(list_transform(list_distinct(g3),
+        |   d -> len(list_filter(g3, x -> x = d)))) AS maxc3,
+        |  list_max(list_transform(list_distinct(g4),
+        |   d -> len(list_filter(g4, x -> x = d)))) AS maxc4
+        | FROM base)
+        |SELECT doc_id,
+        | CAST(n_lines AS BIGINT) AS n_lines,
+        | CAST(n_paras AS BIGINT) AS n_paras,
+        | CASE WHEN n_lines > 0
+        |  THEN 1.0 - len(list_distinct(lines)) / n_lines ELSE 0.0 END
+        |  AS dup_line_fraction,
+        | CASE WHEN n_paras > 0
+        |  THEN 1.0 - len(list_distinct(paras)) / n_paras ELSE 0.0 END
+        |  AS dup_para_fraction,
+        | CASE WHEN line_chars > 0
+        |  THEN CAST(dup_line_chars AS BIGINT) / CAST(line_chars AS BIGINT)
+        |  ELSE 0.0 END AS dup_line_char_fraction,
+        | CASE WHEN para_chars > 0
+        |  THEN CAST(dup_para_chars AS BIGINT) / CAST(para_chars AS BIGINT)
+        |  ELSE 0.0 END AS dup_para_char_fraction,
+        | CASE WHEN tok_chars > 0 AND maxc2 IS NOT NULL
+        |  THEN CAST(maxc2 * length(list_min(list_filter(list_distinct(g2),
+        |   d -> len(list_filter(g2, x -> x = d)) = maxc2))) AS BIGINT) / tok_chars
+        |  ELSE 0.0 END AS top2gram_char_fraction,
+        | CASE WHEN tok_chars > 0 AND maxc3 IS NOT NULL
+        |  THEN CAST(maxc3 * length(list_min(list_filter(list_distinct(g3),
+        |   d -> len(list_filter(g3, x -> x = d)) = maxc3))) AS BIGINT) / tok_chars
+        |  ELSE 0.0 END AS top3gram_char_fraction,
+        | CASE WHEN tok_chars > 0 AND maxc4 IS NOT NULL
+        |  THEN CAST(maxc4 * length(list_min(list_filter(list_distinct(g4),
+        |   d -> len(list_filter(g4, x -> x = d)) = maxc4))) AS BIGINT) / tok_chars
+        |  ELSE 0.0 END AS top4gram_char_fraction
+        |FROM mx""".stripMargin.replace("\n", " "),
     "text_source_stats" ->
       """WITH t2 AS (SELECT source, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

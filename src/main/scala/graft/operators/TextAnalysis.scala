@@ -138,6 +138,96 @@ object TextAnalysis {
           lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"))
           .otherwise(lit(0.0)))
 
+  /** Line/paragraph structure synthesized onto the flat test corpus —
+    * the fixture [[gopherRepetition]] needs: the synthetic documents
+    * carry no newlines, so Gopher's line/paragraph counters would be
+    * degenerate (every doc one line, every fraction zero). This
+    * rebuilds each doc's text with a `\n` before every `lineTok`-th
+    * token and `\n\n` before every `paraTok`-th, and PLANTS a
+    * duplicated paragraph (a verbatim copy of the first paragraph
+    * appended) on docs with `doc_id % dupMod == 0` so the
+    * paragraph-dup counters have deterministic nonzero signal. Pure
+    * per-row string arithmetic, replayed verbatim by the oracle.
+    */
+  def synthLinedCorpus(docs: DataFrame, lineTok: Int = 2, paraTok: Int = 8,
+                       dupMod: Int = 5): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("pieces", expr(
+        s"transform(toks, (t, i) -> CASE WHEN i = 0 THEN t " +
+          s"WHEN i % $paraTok = 0 THEN '\\n\\n' || t " +
+          s"WHEN i % $lineTok = 0 THEN '\\n' || t ELSE ' ' || t END)"))
+      .withColumn("lined", concat_ws("", col("pieces")))
+      .withColumn("text",
+        when(col("doc_id") % dupMod === 0 && size(col("pieces")) > 0,
+          concat(col("lined"), lit("\n\n"),
+            concat_ws("", slice(col("pieces"), 1, paraTok))))
+          .otherwise(col("lined")))
+      .select("doc_id", "text")
+
+  /** The REST of the Gopher repetition suite (Rae et al. 2021,
+    * table A1) beside [[repetition]]'s duplicate-bigram fraction:
+    * duplicate-LINE and duplicate-PARAGRAPH fractions (1 −
+    * distinct/total over `\n` / `\n\n` segments), the CHARACTER mass
+    * trapped in duplicated lines/paragraphs (chars of every segment
+    * whose in-doc count ≥ 2, over total segment chars), and the
+    * top-{2,3,4}-gram mass (occurrences × chars of the single most
+    * frequent token n-gram, over the token-stream chars; ties break
+    * to the lexicographically smallest gram so the readout is
+    * discrete-deterministic). Every fraction is ONE division of
+    * exact integer counters — bit-replayable cross-engine — and the
+    * whole profile is per-row array arithmetic over one tokenize +
+    * two splits: no shuffle, scales with the scan like the sibling.
+    */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    def dupChars(c: String) = expr(
+      s"aggregate($c, 0L, (acc, s) -> acc + " +
+        s"IF(size(filter($c, x -> x = s)) > 1, length(s), 0L))")
+    def totChars(c: String) = expr(
+      s"aggregate($c, 0L, (acc, s) -> acc + length(s))")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num / den).otherwise(lit(0.0))
+    val withGrams = (2 to 4).foldLeft(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+          expr("filter(split(text, '\\n'), x -> x <> '')").as("lines"),
+          expr("filter(split(text, '\\n\\n'), x -> x <> '')").as("paras"))
+        .withColumn("tok_chars", length(concat_ws(" ", col("toks"))).cast("long"))
+    ) { (df, k) =>
+      df.withColumn(s"grams$k", expr(
+          s"CASE WHEN size(toks) < $k THEN array() " +
+            s"ELSE transform(sequence(0, size(toks) - $k), " +
+            s"i -> array_join(slice(toks, i + 1, $k), ' ')) END"))
+        .withColumn(s"maxc$k", expr(
+          s"array_max(transform(array_distinct(grams$k), " +
+            s"g -> size(filter(grams$k, x -> x = g))))"))
+        .withColumn(s"top$k", expr(
+          s"array_min(filter(array_distinct(grams$k), " +
+            s"g -> size(filter(grams$k, x -> x = g)) = maxc$k))"))
+        .withColumn(s"top${k}gram_char_fraction",
+          when(col("tok_chars") > 0 && col(s"maxc$k").isNotNull,
+            (col(s"maxc$k") * length(col(s"top$k"))).cast("long") / col("tok_chars"))
+            .otherwise(lit(0.0)))
+    }
+    withGrams
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_paras", size(col("paras")).cast("long"))
+      .withColumn("dup_line_fraction",
+        when(col("n_lines") > 0,
+          lit(1.0) - size(array_distinct(col("lines"))) / col("n_lines"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_para_fraction",
+        when(col("n_paras") > 0,
+          lit(1.0) - size(array_distinct(col("paras"))) / col("n_paras"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_line_char_fraction",
+        frac(dupChars("lines"), totChars("lines")))
+      .withColumn("dup_para_char_fraction",
+        frac(dupChars("paras"), totChars("paras")))
+      .select("doc_id", "n_lines", "n_paras", "dup_line_fraction",
+        "dup_para_fraction", "dup_line_char_fraction",
+        "dup_para_char_fraction", "top2gram_char_fraction",
+        "top3gram_char_fraction", "top4gram_char_fraction")
+  }
+
   /** Corpus-wide top token bigrams — vocabulary/boilerplate
     * analysis. Explode + count + deterministic top-N (ties broken
     * lexically). The explode stays partition-local; only (bigram,

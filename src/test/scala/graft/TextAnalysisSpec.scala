@@ -6,6 +6,47 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherRepetition: dup line/para fractions + top-n-gram mass, hand-computed") {
+    val docs = Seq(
+      (0L, "x y\nx y\n\nz w"),
+      (1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(0L)
+    // lines: [x y, x y, z w]; paras: [x y\nx y, z w]
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L)
+    assert(math.abs(a.getDouble(3) - (1.0 - 2.0 / 3)) < 1e-15, "dup_line_fraction")
+    assert(a.getDouble(4) == 0.0, "dup_para_fraction")
+    assert(math.abs(a.getDouble(5) - 6.0 / 9) < 1e-15, "dup_line_char_fraction")
+    assert(a.getDouble(6) == 0.0, "dup_para_char_fraction")
+    // toks = x y x y z w -> tok_chars 11; top bigram "x y" (2 hits, 3 chars)
+    assert(math.abs(a.getDouble(7) - 6.0 / 11) < 1e-15, "top2gram mass")
+    // all trigrams unique -> lexicographic min "x y x" (5 chars)
+    assert(math.abs(a.getDouble(8) - 5.0 / 11) < 1e-15, "top3gram tie-break")
+    assert(math.abs(a.getDouble(9) - 7.0 / 11) < 1e-15, "top4gram mass")
+    // empty doc: every counter zero, no NaN/null
+    val b = out(1L)
+    assert(b.getLong(1) == 0L && b.getLong(2) == 0L &&
+      (3 to 9).forall(i => b.getDouble(i) == 0.0))
+  }
+
+  test("synthLinedCorpus plants a duplicated first paragraph on doc_id % 5 == 0") {
+    val ten = (0 to 9).map(i => s"t$i").mkString(" ")
+    val docs = Seq((5L, ten), (1L, ten)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(
+      TextAnalysis.synthLinedCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val planted = out(5L)
+    // 8 lined tokens + re-appended first para: 9 lines (5 distinct),
+    // 3 paras (2 distinct)
+    assert(planted.getLong(1) == 9L && planted.getLong(2) == 3L)
+    assert(math.abs(planted.getDouble(3) - 4.0 / 9) < 1e-15)
+    assert(math.abs(planted.getDouble(4) - 1.0 / 3) < 1e-15)
+    val clean = out(1L)
+    assert(clean.getLong(2) == 2L && clean.getDouble(4) == 0.0 &&
+      clean.getDouble(3) == 0.0)
+  }
+
   test("zipfSpectrum counts tokens per occurrence count, case-folded") {
     val docs = Seq(
       (0L, "a a B"),
