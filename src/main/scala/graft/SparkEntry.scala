@@ -1187,6 +1187,10 @@ object SparkEntry {
     // chars-vs-tokens fertility of the LEARNED tokenizer
     "text_bpe_vocab" -> ((s, dir) =>
       TextAnalysis.bpeVocab(Tables.documents(s, dir))),
+    // the learned tokenizer at CORPUS grain: broadcast the trained
+    // vocabulary, one corpus scan, per-source token budget
+    "text_bpe_apply" -> ((s, dir) =>
+      TextAnalysis.bpeApply(Tables.documents(s, dir))),
     "events_disorder_profile" -> ((s, dir) =>
       EventOps.disorderProfile(Tables.events(s, dir))),
     "events_audience_overlap_exact" -> ((s, dir) =>
@@ -6486,6 +6490,28 @@ object SparkEntry {
          | CAST(len(syms) AS BIGINT) AS n_tokens,
          | list_aggregate(syms, 'string_agg', ' ') AS token_seq
          |FROM s6""".stripMargin.replace("\n", " "),
+    "text_bpe_apply" ->
+      // the unrolled training chain's final state joined back to the
+      // exploded corpus — per-source budget under the LEARNED
+      // tokenizer; char-split fallback for words outside the vocab
+      // (unreachable here: train corpus == apply corpus)
+      s"""WITH $bpeCtes,
+         |cw AS (SELECT source, doc_id, unnest(list_filter(
+         |  regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+         | FROM documents)
+         |SELECT source,
+         | CAST(count(DISTINCT cw.doc_id) AS BIGINT) AS n_docs,
+         | CAST(count(*) AS BIGINT) AS ws_tokens,
+         | CAST(sum(length(cw.word)) AS BIGINT) AS n_chars,
+         | CAST(sum(coalesce(len(s6.syms), length(cw.word))) AS BIGINT)
+         |  AS bpe_tokens,
+         | round(CAST(sum(coalesce(len(s6.syms), length(cw.word))) AS BIGINT)
+         |  / CAST(greatest(count(*), 1) AS DOUBLE), 6) AS fertility,
+         | round(CAST(sum(length(cw.word)) AS BIGINT)
+         |  / CAST(greatest(CAST(sum(coalesce(len(s6.syms),
+         |     length(cw.word))) AS BIGINT), 1) AS DOUBLE), 6) AS compression
+         |FROM cw LEFT JOIN s6 ON s6.word = cw.word
+         |GROUP BY 1""".stripMargin.replace("\n", " "),
     "text_bm25_maxscore" ->
       // the EXHAUSTIVE exact ranking, no candidate rule at all: the
       // Spark side's MaxScore pruning is provably lossless, so its

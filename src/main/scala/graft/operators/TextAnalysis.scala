@@ -970,6 +970,43 @@ object TextAnalysis {
         size(col("syms")).cast("long").as("n_tokens"),
         concat_ws(" ", col("syms")).as("token_seq"))
 
+  /** The trained tokenizer APPLIED at corpus grain — the budget
+    * question itself ("how many tokens is this corpus under the
+    * LEARNED tokenizer"), which [[tokenizerFertility]] only proxies
+    * with a fixed rule and [[bpeVocab]] answers at vocabulary grain.
+    * [[bpeLoop]]'s final state is a bounded word → subword-split
+    * model (O(|vocab|) rows — BPE vocabularies are small by
+    * construction), so application is ONE corpus scan: explode
+    * words, BROADCAST-join the vocabulary, aggregate per source; the
+    * corpus never shuffles on anything but the final source keys.
+    * Words outside the training vocabulary fall back to their
+    * character split (`length(word)` tokens) — the no-merges-apply
+    * identity, unreachable when train and apply corpora coincide but
+    * the right contract for applying a stored tokenizer to new data.
+    * Fertility (subwords per whitespace word) and compression (chars
+    * per subword) are ratios of exact SUMS, each rounded once.
+    */
+  def bpeApply(docs: DataFrame, merges: Int = 6): DataFrame = {
+    val vocab = bpeLoop(docs, merges)._2
+      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+    docs.select(col("source"), col("doc_id"),
+        explode(tokens(col("text"))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("ws_tokens"),
+        sum(length(col("word"))).cast("long").as("n_chars"),
+        sum(coalesce(col("n_sub"), length(col("word")).cast("long")))
+          .as("bpe_tokens"))
+      .withColumn("fertility",
+        round(col("bpe_tokens").cast("double") /
+          greatest(col("ws_tokens"), lit(1L)).cast("double"), 6))
+      .withColumn("compression",
+        round(col("n_chars").cast("double") /
+          greatest(col("bpe_tokens"), lit(1L)).cast("double"), 6))
+  }
+
   private def bpeLoop(docs: DataFrame, merges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")

@@ -524,4 +524,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(vocab("lower") == ((1L, "lower")), s"lower: ${vocab("lower")}")
     assert(vocab("lowest") == ((2L, "lowes t")), s"lowest: ${vocab("lowest")}")
   }
+
+  test("bpeApply: corpus budget under the learned tokenizer, hand-computed") {
+    // same classic corpus, two sources; at 5 merges the per-word
+    // splits are low→1, lower→1, lowest→2 tokens
+    val docs = Seq(
+      (1L, "a", "low low lower"),
+      (2L, "b", "lowest low")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.bpeApply(docs, merges = 5).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // source a: 3 words, 3+3+5=11 chars, 1+1+1=3 bpe tokens
+    assert(out("a") == ((1L, 3L, 11L, 3L, 1.0, 3.666667)), s"a: ${out("a")}")
+    // source b: 2 words, 6+3=9 chars, 2+1=3 bpe tokens
+    assert(out("b") == ((1L, 2L, 9L, 3L, 1.5, 3.0)), s"b: ${out("b")}")
+  }
 }
