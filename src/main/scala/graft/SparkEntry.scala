@@ -462,7 +462,8 @@ object SparkEntry {
     // join bounded by rarest-first prefixes, oracled against the
     // exhaustive definition
     "dedup_exact_jaccard_pairs" -> ((s, dir) =>
-      Dedup.prefixJaccardPairs(Tables.documents(s, dir))),
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir),
+        shingles = Some(sharedShingleSets(s, dir)))),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashSummary(Tables.documents(s, dir), maxHamming = 12)),
     "dedup_ngram_jaccard" -> ((s, dir) =>

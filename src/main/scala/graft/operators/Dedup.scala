@@ -374,31 +374,50 @@ object Dedup {
     * definition directly.
     */
   def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
-                         tau: Double = 0.5): DataFrame = {
-    val sets = shingleSets(docs, n)
-    val ex = sets.select(col("doc_id"), explode(col("shingles")).as("shv"))
+                         tau: Double = 0.5,
+                         shingles: Option[DataFrame] = None): DataFrame = {
+    // per-doc-pure, so the shared pinned trunk substitutes exactly
+    // (see the restriction note on shingleSetsOf)
+    val sets = shingles.getOrElse(shingleSets(docs, n))
+    // sz rides the array (computed before the explode) instead of a
+    // second window over the doc partition
+    val ex = sets.select(col("doc_id"),
+      size(col("shingles")).as("sz"), explode(col("shingles")).as("shv"))
     val dfRel = ex.groupBy("shv").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("shv").asc)
-    val wSz = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // pinned: the df-join + rank window chain feeds BOTH sides of
+    // the candidate self-join — without the pin the whole chain
+    // (explode, df aggregate, join, window) evaluates twice
     val prefix = ex.join(dfRel, Seq("shv"))
       .withColumn("rnk", row_number().over(wDoc))
-      .withColumn("sz", count(lit(1)).over(wSz))
       .filter(col("rnk") <=
         col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
       .select("doc_id", "shv", "rnk", "sz")
+      .localCheckpoint(true)
     // Two more lossless cuts ride the same join:
-    //  - LENGTH filter: J ≥ τ ⇒ |A∩B| ≥ τ·max(|A|,|B|) and
-    //    |A∩B| ≤ min(|A|,|B|), so min ≥ τ·max — size-mismatched
-    //    pairs never verify;
-    //  - POSITIONAL filter (PPJoin): J ≥ τ ⇒ |A∩B| ≥
-    //    ⌈τ/(1+τ)·(|A|+|B|)⌉, and for the EARLIEST shared shingle
-    //    (rank i in A, j in B) the whole intersection fits in the
-    //    suffixes, so |A∩B| ≤ 1 + min(|A|−i, |B|−j). A pair is kept
-    //    if ANY matching row passes — the earliest-shared row's
-    //    bound is exact, so a qualifying pair always survives
-    //    through it (later rows may over- or under-estimate; both
-    //    are harmless since distinct() ORs the rows).
+    //  - LENGTH filter (per row): J ≥ τ ⇒ |A∩B| ≥ τ·max(|A|,|B|)
+    //    and |A∩B| ≤ min(|A|,|B|), so min ≥ τ·max — size-mismatched
+    //    pairs never generate candidate rows at all;
+    //  - SUFFIX filter (PPJoin, at pair grain): J ≥ τ ⇒ |A∩B| ≥
+    //    ⌈τ/(1+τ)·(|A|+|B|)⌉. Aggregate the pair's prefix matches:
+    //    c = COUNT of shingles shared by both prefixes, r̄_A / r̄_B =
+    //    the LAST such match's ranks. Ranks follow one global
+    //    (df, shv) order, so any shared shingle ordered before the
+    //    last match would sit inside both prefixes and be counted in
+    //    c; every uncounted shared shingle therefore ranks after r̄
+    //    on BOTH sides, and |A∩B| ≤ c + min(|A|−r̄_A, |B|−r̄_B) —
+    //    the unmatched-suffix bound. Strictly tighter than the
+    //    classic first-match positional bound 1 + min(|A|−i, |B|−j)
+    //    whenever c ≥ 2 (equal at c = 1), and it replaces the old
+    //    per-row filter + distinct() with ONE aggregate on the same
+    //    (id_a, id_b) exchange, so the verify join sees fewer pairs
+    //    for free. Losslessness: the bound overestimates |A∩B|,
+    //    never under — a qualifying pair cannot be cut. NOTE the
+    //    per-row positional filter must NOT run underneath this
+    //    aggregate: dropping an intermediate matched row would
+    //    shrink c while leaving earlier-ordered shared shingles
+    //    outside the suffix term, invalidating the bound.
     val overlapMin =
       ceil(lit(tau / (1 + tau)) * (col("sz_a") + col("sz_b")))
     val cand = prefix.select(col("doc_id").as("id_a"), col("shv"),
@@ -407,11 +426,14 @@ object Dedup {
         col("rnk").as("rnk_b"), col("sz").as("sz_b")), Seq("shv"))
       .filter(col("id_a") < col("id_b") &&
         lit(tau) * col("sz_a") <= col("sz_b") &&
-        lit(tau) * col("sz_b") <= col("sz_a") &&
-        lit(1) + least(col("sz_a") - col("rnk_a"),
-          col("sz_b") - col("rnk_b")) >= overlapMin)
+        lit(tau) * col("sz_b") <= col("sz_a"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("c"),
+        max(col("rnk_a")).as("mx_a"), max(col("rnk_b")).as("mx_b"),
+        first(col("sz_a")).as("sz_a"), first(col("sz_b")).as("sz_b"))
+      .filter(col("c") + least(col("sz_a") - col("mx_a"),
+        col("sz_b") - col("mx_b")) >= overlapMin)
       .select("id_a", "id_b")
-      .distinct()
     verifiedJaccard(cand, sets, tau)
   }
 
