@@ -76,9 +76,9 @@ object SparkEntry {
   private val setsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
-    setsCache.getOrElseUpdate((s, dir),
+    setsCache.getOrElseUpdate((s, dir), primeTimed("shingle_sets")(
       Dedup.blockingTrunk(Tables.documents(s, dir)).sets
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
   private val candsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   // sets and candidates cache separately: minhash/groups consume only
@@ -87,15 +87,15 @@ object SparkEntry {
   private def sharedTrunk(s: SparkSession, dir: String): Dedup.BlockingTrunk = {
     val sets = sharedShingleSets(s, dir)
     Dedup.BlockingTrunk(sets,
-      candsCache.getOrElseUpdate((s, dir),
-        Dedup.candidatesOf(sets).localCheckpoint(true)))
+      candsCache.getOrElseUpdate((s, dir), primeTimed("blocked_cands")(
+        Dedup.candidatesOf(sets).localCheckpoint(true))))
   }
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedBlockedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    pairsCache.getOrElseUpdate((s, dir), primeTimed("blocked_pairs")(
       Dedup.blockedJaccardPairsOf(sharedTrunk(s, dir))
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
 
   /** Persisted [[AnnIndex]] lake layouts, built ONCE per (session,
     * dir) under target/ann-index (gitignored, overwrite-safe): the
@@ -109,40 +109,52 @@ object SparkEntry {
   private val annIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String, String)]
   private def annIndexPaths(s: SparkSession, dir: String): (String, String, String, String) =
-    annIndexCache.getOrElseUpdate((s, dir), {
+    annIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_indexes") {
       val base = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "ann-index",
           java.lang.Integer.toHexString(dir.hashCode))).toString
       val emb = Tables.embeddings(s, dir)
-      primeTimed("ann_ivf_build")(AnnIndex.buildIvf(emb, s"$base/ivf"))
-      primeTimed("ann_ivfpq_build")(
-        AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32))
-      // the incremental twins: built on the even half ("yesterday"),
-      // the odd half appended against the STORED centroids (and, for
-      // IVF-PQ, STORED codebooks) — no retrain, no history rewrite
-      // (the daily-ingest shape)
-      primeTimed("ann_ivf_incr") {
-        AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
-        AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
-      }
-      primeTimed("ann_ivfpq_incr") {
-        AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
-          s"$base/ivfpq_incr", m = 16, nCodes = 32)
-        AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
-      }
+      // the four builds are independent (distinct output paths,
+      // distinct trainers) and each is a chain of small driver-fold
+      // jobs — stage-latency-bound, not CPU-bound — so they submit
+      // CONCURRENTLY (Spark's scheduler interleaves jobs from
+      // multiple threads; a real cluster runs them as parallel
+      // pipelines). The incremental twins: built on the even half
+      // ("yesterday"), the odd half appended against the STORED
+      // centroids (and, for IVF-PQ, STORED codebooks) — no retrain,
+      // no history rewrite (the daily-ingest shape).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(primeTimed("ann_ivf_build")(
+          AnnIndex.buildIvf(emb, s"$base/ivf"))),
+        Future(primeTimed("ann_ivfpq_build")(
+          AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32))),
+        Future(primeTimed("ann_ivf_incr") {
+          AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
+          AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
+        }),
+        Future(primeTimed("ann_ivfpq_incr") {
+          AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
+            s"$base/ivfpq_incr", m = 16, nCodes = 32)
+          AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
+        }))), Duration.Inf)
       (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr", s"$base/ivfpq_incr")
     })
 
-  /** Per-artifact build timings of the LAST [[primeSharedCaches]]
-    * run. The prime line item used to be one opaque number (4 index
-    * builds + the basket pair engine + the blocking trunk), so a
-    * build-cost regression couldn't be attributed round-over-round —
-    * Bench dumps this map as `prime_detail` in its detail file.
-    * Timings nest (the ann_* entries sum into ann_indexes), so
-    * `shared_prime` = blocked_pairs + basket_trunk + basket_pairs +
-    * ann_indexes, NOT the sum of all entries. */
-  val primeDetail: scala.collection.mutable.LinkedHashMap[String, Double] =
-    scala.collection.mutable.LinkedHashMap.empty
+  /** Per-artifact build timings, recorded INSIDE each shared-cache
+    * getter — whoever triggers a build (the full-run
+    * [[primeSharedCaches]], or a single key under the bench's lazy
+    * subset prime) bills it to its artifact name. Bench dumps this
+    * map as `prime_detail` in its detail file. Timings NEST
+    * (shingle_sets + blocked_cands build inside blocked_pairs,
+    * tf_postings inside bm25_index when the tf trunk isn't built
+    * yet, the ann_* entries inside ann_indexes) and the full-run
+    * chains execute CONCURRENTLY, so `shared_prime` is the wall
+    * clock of the slowest chain, not the sum of entries. */
+  val primeDetail: scala.collection.concurrent.TrieMap[String, Double] =
+    scala.collection.concurrent.TrieMap.empty
   private def primeTimed[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
@@ -166,15 +178,18 @@ object SparkEntry {
   private val basketPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedBasketPairs(s: SparkSession, dir: String): DataFrame =
-    basketPairsCache.getOrElseUpdate((s, dir),
-      operators.Analytics.basketAffinity(Tables.lineitem(s, dir))
-        .localCheckpoint(true))
+    // derived from the PINNED trunk (identical composition to
+    // basketAffinity) — the second guarded-basket pass the old
+    // direct build paid is gone
+    basketPairsCache.getOrElseUpdate((s, dir), primeTimed("basket_pairs")(
+      operators.Analytics.basketAffinityOf(sharedBasketTrunk(s, dir))
+        .localCheckpoint(true)))
   private val basketTrunkCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedBasketTrunk(s: SparkSession, dir: String): DataFrame =
-    basketTrunkCache.getOrElseUpdate((s, dir),
+    basketTrunkCache.getOrElseUpdate((s, dir), primeTimed("basket_trunk")(
       operators.Analytics.guardedBasketsShared(Tables.lineitem(s, dir))
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
 
   // shared lexical trunk: one tokenize+count pass (doc_id, tok, tf)
   // for the BM25 family — at 100 TB this is the postings table a
@@ -182,12 +197,12 @@ object SparkEntry {
   private val tfCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedTfPostings(s: SparkSession, dir: String): DataFrame =
-    tfCache.getOrElseUpdate((s, dir),
+    tfCache.getOrElseUpdate((s, dir), primeTimed("tf_postings")(
       Tables.documents(s, dir)
         .select(col("doc_id"),
           explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
 
   // the SCORED postings index (doc_id, tok, tf, term) on top of the
   // tf trunk — BM25 term weights are an index-time artifact (an IR
@@ -196,20 +211,42 @@ object SparkEntry {
   private val bm25Cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedBm25Postings(s: SparkSession, dir: String): DataFrame =
-    bm25Cache.getOrElseUpdate((s, dir),
+    bm25Cache.getOrElseUpdate((s, dir), primeTimed("bm25_index")(
       operators.Similarity.bm25Postings(Tables.documents(s, dir),
         tfPostings = Some(sharedTfPostings(s, dir)))
-        .localCheckpoint(true))
+        .localCheckpoint(true)))
 
   def primeSharedCaches(s: SparkSession, dir: String): Unit = {
     primeDetail.clear()
-    primeTimed("blocked_pairs")(sharedBlockedPairs(s, dir))
-    primeTimed("basket_trunk")(sharedBasketTrunk(s, dir))
-    primeTimed("basket_pairs")(sharedBasketPairs(s, dir))
-    primeTimed("tf_postings")(sharedTfPostings(s, dir))
-    primeTimed("bm25_index")(sharedBm25Postings(s, dir))
-    primeTimed("ann_indexes")(annIndexPaths(s, dir))
+    // four independent chains (disjoint caches, disjoint inputs
+    // beyond the shared parquet scans) submit concurrently: each is
+    // a sequence of small jobs whose wall cost is stage-scheduling
+    // latency, not CPU — exactly what multi-threaded job submission
+    // overlaps (and what a cluster runs as parallel pipelines).
+    // Billing: each getter times itself, so prime_detail still
+    // attributes cost per artifact; shared_prime = slowest chain.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(sharedBlockedPairs(s, dir)),
+      Future { sharedBasketTrunk(s, dir); sharedBasketPairs(s, dir) },
+      Future(sharedBm25Postings(s, dir)),
+      Future(annIndexPaths(s, dir)))), Duration.Inf)
     ()
+  }
+
+  /** Lazy subset prime (SPARK_GRAFT_ONLY bench runs): CONSTRUCTING a
+    * key's DataFrame eagerly materializes exactly the shared caches
+    * it consumes (the getters checkpoint on first touch), so a
+    * subset run never pays for indexes its keys never read. Build
+    * failures surface in the timed run, not here. */
+  def primeForKeys(s: SparkSession, dir: String,
+                   keys: Iterable[String]): Unit = {
+    primeDetail.clear()
+    keys.foreach(k =>
+      try { queries(k)(s, dir); () }
+      catch { case scala.util.control.NonFatal(_) => () })
   }
 
   /** Incremental maintenance: "history" (pre-cutoff, standing in for

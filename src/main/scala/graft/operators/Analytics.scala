@@ -409,6 +409,13 @@ object Analytics {
                      maxParts: Int = 20): DataFrame =
     guardedPairs(guardedBaskets(lineitem, maxParts, pin = false), minOrders)
 
+  /** [[basketAffinity]] from an already-built (typically pinned)
+    * [[guardedBasketsShared]] relation — the driver's shared cache
+    * builds the trunk once and derives the pair engine from it
+    * instead of paying a second guarded-basket pass. */
+  def basketAffinityOf(baskets: DataFrame, minOrders: Long = 2): DataFrame =
+    guardedPairs(baskets, minOrders)
+
   /** The pinned guarded (order, part) basket relation at the family
     * defaults — built once by the driver's shared cache and passed
     * into [[basketRules]]/[[basketChi2]] via their `baskets`
