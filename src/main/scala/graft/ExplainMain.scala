@@ -70,7 +70,9 @@ object ExplainMain {
       "mm_decode_wav", "events_sketch_calibration",
       "ann_index_ivfpq_append_probe", "mm_audio_features",
       "ann_matryoshka_topk", "text_bm25_maxscore", "text_bpe_train", "text_bpe_vocab",
-      "dedup_exact_jaccard_pairs")
+      "dedup_exact_jaccard_pairs",
+      // r12 batch
+      "mm_phash_pairs", "text_repetition_profile", "text_bpe_apply")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
