@@ -493,7 +493,12 @@ object Multimodal {
       s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
     val bits = totalBits / bands
     val mask = (1L << bits) - 1
-    val sigs = phashSignatures(blobs, side)
+    // pinned: both sides of the banded self-join read the signature
+    // relation — without the pin each side re-runs the DECODE (and,
+    // on the synth fixture, the encode) over every payload. The pin
+    // is two longs per doc; the codec pass it halves is the key's
+    // dominant cost.
+    val sigs = phashSignatures(blobs, side).localCheckpoint(true)
     val banded = sigs.select(col("doc_id"), col("dhash"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
