@@ -429,6 +429,12 @@ object SparkEntry {
     "text_repetition_profile" -> ((s, dir) =>
       TextAnalysis.gopherRepetition(
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+    // the dup-n-gram half of the Gopher table: char coverage of
+    // within-doc duplicated n-grams, n=5..10 — the planted 8-token
+    // paragraph repeat lights n<=8 and leaves 9/10 dark
+    "text_dup_ngram_mass" -> ((s, dir) =>
+      TextAnalysis.dupNgramMass(
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -1366,6 +1372,33 @@ object SparkEntry {
     s"""SELECT product_id, sum(quantity) AS total_quantity,
        | sum(sale_amount) AS total_sale_amount
        |FROM ($cleanSalesSql) c GROUP BY product_id""".stripMargin.replace("\n", " ")
+
+  /** Shared lined-corpus CTE chain (DuckDB dialect): replays the
+    * [[graft.operators.TextAnalysis.synthLinedCorpus]] synth (a
+    * newline before every 2nd token, a blank line before every 8th,
+    * the first paragraph re-appended on doc_id % 5 = 0) and
+    * re-tokenizes the LINED text — the planted copy adds tokens.
+    * Ends in `t2(doc_id, toks, lines, paras)`; consumers needing
+    * only the token stream let the optimizer prune lines/paras. */
+  private val linedCtes: String =
+    """t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      | FROM documents),
+      |p AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i ->
+      |  CASE WHEN i = 1 THEN toks[i]
+      |   WHEN (i - 1) % 8 = 0 THEN chr(10) || chr(10) || toks[i]
+      |   WHEN (i - 1) % 2 = 0 THEN chr(10) || toks[i]
+      |   ELSE ' ' || toks[i] END) AS pieces FROM t),
+      |txt AS (SELECT doc_id, CASE WHEN len(pieces) = 0 THEN ''
+      |  WHEN doc_id % 5 = 0 THEN
+      |   list_reduce(pieces, (a, b) -> a || b) || chr(10) || chr(10) ||
+      |   list_reduce(pieces[1:least(8, len(pieces))], (a, b) -> a || b)
+      |  ELSE list_reduce(pieces, (a, b) -> a || b) END AS text FROM p),
+      |t2 AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+      |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+      |  list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
+      | FROM txt)""".stripMargin.replace("\n", " ")
 
   /** Shared token-array CTE for the text oracles (DuckDB dialect). */
   private val toksCte: String =
@@ -3199,29 +3232,10 @@ object SparkEntry {
           |  ELSE 0.0 END AS dup_bigram_fraction
           |FROM b""".stripMargin.replace("\n", " ")),
     "text_repetition_profile" ->
-      // replays the lined-corpus synth (a '\n' before every 2nd
-      // token, '\n\n' before every 8th, first paragraph re-appended
-      // on doc_id % 5 = 0), re-tokenizes the LINED text (the planted
-      // copy adds tokens), then computes every Gopher counter from
-      // exact integer counts — single divisions, bit-replayable
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        | FROM documents),
-        |p AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i ->
-        |  CASE WHEN i = 1 THEN toks[i]
-        |   WHEN (i - 1) % 8 = 0 THEN chr(10) || chr(10) || toks[i]
-        |   WHEN (i - 1) % 2 = 0 THEN chr(10) || toks[i]
-        |   ELSE ' ' || toks[i] END) AS pieces FROM t),
-        |txt AS (SELECT doc_id, CASE WHEN len(pieces) = 0 THEN ''
-        |  WHEN doc_id % 5 = 0 THEN
-        |   list_reduce(pieces, (a, b) -> a || b) || chr(10) || chr(10) ||
-        |   list_reduce(pieces[1:least(8, len(pieces))], (a, b) -> a || b)
-        |  ELSE list_reduce(pieces, (a, b) -> a || b) END AS text FROM p),
-        |t2 AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
-        |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
-        |  list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
-        | FROM txt),
+      // replays the lined-corpus synth via the shared CTE prefix,
+      // then computes every Gopher counter from exact integer
+      // counts — single divisions, bit-replayable
+      (s"""WITH $linedCtes,
         |base AS (SELECT doc_id, toks, lines, paras,
         |  length(array_to_string(toks, ' ')) AS tok_chars,
         |  len(lines) AS n_lines, len(paras) AS n_paras,
@@ -3278,7 +3292,40 @@ object SparkEntry {
         |  THEN CAST(maxc4 * length(list_min(list_filter(list_distinct(g4),
         |   d -> len(list_filter(g4, x -> x = d)) = maxc4))) AS BIGINT) / tok_chars
         |  ELSE 0.0 END AS top4gram_char_fraction
-        |FROM mx""".stripMargin.replace("\n", " "),
+        |FROM mx""").stripMargin.replace("\n", " "),
+    "text_dup_ngram_mass" -> {
+      // same lined-corpus replay; per n, duplicated gram STARTS are
+      // read off a count-per-gram filter (the textbook quadratic
+      // definition — the Spark side's sorted-run/interval-merge plan
+      // must reproduce it exactly), and coverage marks each token
+      // position lying inside any duplicated occurrence
+      val gs = (5 to 10).map(n =>
+        s"""CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
+           | ELSE list_transform(range(1, len(toks) - $n + 2),
+           |  i -> array_to_string(toks[i:i + $n - 1], ' ')) END AS g$n"""
+          .stripMargin).mkString(", ")
+      val ds = (5 to 10).map(n =>
+        s"""list_transform(list_filter(range(1, len(g$n) + 1),
+           | i -> len(list_filter(g$n, x -> x = g$n[i])) >= 2),
+           | i -> i - 1) AS ds$n""".stripMargin).mkString(", ")
+      val fr = (5 to 10).map(n =>
+        s"""CASE WHEN tok_chars > 0 THEN
+           | CAST(coalesce(list_sum(list_transform(range(1, len(toks) + 1),
+           |  t -> CASE WHEN len(list_filter(ds$n,
+           |    s2 -> s2 <= t - 1 AND t - 1 < s2 + $n)) > 0
+           |   THEN length(toks[t]) ELSE 0 END)), 0) AS BIGINT)
+           |  / CAST(tok_chars AS BIGINT)
+           | ELSE 0.0 END AS dup${n}gram_char_fraction""".stripMargin)
+        .mkString(", ")
+      (s"""WITH $linedCtes,
+         |base AS (SELECT doc_id, toks,
+         |  coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |   AS tok_chars FROM t2),
+         |gq AS (SELECT doc_id, toks, tok_chars, $gs FROM base),
+         |dq AS (SELECT doc_id, toks, tok_chars, $ds FROM gq)
+         |SELECT doc_id, CAST(tok_chars AS BIGINT) AS tok_chars, $fr
+         |FROM dq""").stripMargin.replace("\n", " ")
+    },
     "text_source_stats" ->
       """WITH t2 AS (SELECT source, text,
         |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

@@ -329,7 +329,7 @@ object Multimodal {
   def synthPngCorpus(docs: DataFrame, side: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { d =>
+    Spread.spread(docs.select(col("doc_id"))).as[Long].map { d =>
       val img = new java.awt.image.BufferedImage(
         side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var i = 0
@@ -396,7 +396,7 @@ object Multimodal {
                        dupMod: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].map { d =>
+    Spread.spread(docs.select(col("doc_id"))).as[Long].map { d =>
       val isCopy = d % dupMod == 1
       val src = if (isCopy) d - 1 else d
       val img = new java.awt.image.BufferedImage(
@@ -618,6 +618,10 @@ object Multimodal {
                      sampleRate: Int = 8000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NO input spread here (unlike the image synths): the per-row
+    // PCM work is microseconds, and javax.sound's service-loader
+    // init is paid PER TASK — spreading to 32 tasks measured 3x
+    // slower than the single-split scan
     docs.select(col("doc_id")).as[Long].map { d =>
       val pcm = new Array[Byte](nSamples * 2)
       var i = 0

@@ -47,6 +47,29 @@ class TextAnalysisSpec extends SparkSpec {
       clean.getDouble(3) == 0.0)
   }
 
+  test("dupNgramMass: interval-merged coverage of duplicated n-grams, hand-computed") {
+    val docs = Seq(
+      // "a b c d e" repeats at starts 0 and 5 -> 5-gram coverage
+      // tokens 0..9 of 11; all 6-grams distinct -> zero
+      (0L, "a b c d e a b c d e f"),
+      // fully periodic: every 5-gram duplicated, overlapping
+      // intervals merge to the whole doc -> exactly 1.0
+      (1L, "p q r s t p q r s t p q r s t"),
+      (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.dupNgramMass(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = out(0L)
+    assert(a.getLong(1) == 11L, "tok_chars excludes separators")
+    assert(math.abs(a.getDouble(2) - 10.0 / 11) < 1e-15, "dup5 coverage")
+    assert((3 to 7).forall(i => a.getDouble(i) == 0.0), "6..10 all unique")
+    val b = out(1L)
+    assert(b.getDouble(2) == 1.0, "overlapping dups merge to full coverage")
+    assert(b.getDouble(3) == 1.0 && b.getDouble(4) == 1.0,
+      "periodic doc stays fully covered while n-grams still repeat")
+    val c = out(2L)
+    assert(c.getLong(1) == 0L && (2 to 7).forall(i => c.getDouble(i) == 0.0))
+  }
+
   test("zipfSpectrum counts tokens per occurrence count, case-folded") {
     val docs = Seq(
       (0L, "a a B"),
