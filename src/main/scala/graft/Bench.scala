@@ -32,6 +32,21 @@ object Bench {
         "transform(sequence(0, 3), i -> i * 2) AS t")
       .selectExpr("sum(n)", "max(t[0])").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // deeper JIT warm: one window+join pipeline and one HOF-dense
+    // text pipeline, untimed. The old 17 s sequential prime warmed
+    // these paths as a side effect; the parallel prime finishes in
+    // ~5 s, and without this the first timed keys pay C2
+    // compilation that min-of-two only partially hides.
+    spark.range(200000)
+      .selectExpr("id % 97 AS k", "id AS v", "CAST(id AS DOUBLE) AS d")
+      .selectExpr("k", "v", "sum(d) OVER (PARTITION BY k ORDER BY v) AS r")
+      .groupBy("k").agg(org.apache.spark.sql.functions.max("r"))
+      .write.format("noop").mode("overwrite").save()
+    spark.range(20000)
+      .selectExpr("id", "repeat(concat('w', CAST(id % 31 AS STRING), ' '), 40) AS text")
+      .selectExpr("id", "filter(split(text, '\\\\s+'), x -> x != '') AS toks")
+      .selectExpr("aggregate(array_sort(toks), 0L, (a, x) -> a + length(x)) AS s")
+      .groupBy().sum("s").write.format("noop").mode("overwrite").save()
 
     // min of two runs per query: the host is shared, and a noisy
     // neighbor during a single pass would be indistinguishable from
