@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, DupNgramCoverage, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -37,6 +37,11 @@ object gf {
 
   /** All consecutive 3-char windows of a string (codegen'd). */
   def charTrigrams(text: Column): Column = c(CharTrigrams(e(text)))
+
+  /** `[tok_chars, cov_minN..cov_maxN]` — fused duplicated-n-gram
+    * char coverage (Gopher dup-gram mass), one codegen'd pass. */
+  def dupNgramCoverage(toks: Column, minN: Int, maxN: Int): Column =
+    c(DupNgramCoverage(e(toks), minN, maxN))
 
   /** Fused canonicalize+tokenize+k-shingle of raw text — one byte
     * pass, no regexp (dedup fast path). */

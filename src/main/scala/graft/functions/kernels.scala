@@ -260,6 +260,79 @@ object VectorOps {
 
 object TextChars {
 
+  /** Fused duplicated-n-gram CHARACTER-coverage counters for the
+    * Gopher repetition profile: given a token array, returns
+    * `[tok_chars, cov_minN, …, cov_maxN]` where `cov_n` is the
+    * summed char length (code points, matching SQL `length`) of
+    * token positions lying inside ANY occurrence of a within-doc
+    * duplicated n-gram — position-coverage union, overlaps never
+    * double-count. Identity is EXACT string equality of the
+    * space-joined gram (tokens are whitespace-split, so the join is
+    * injective — no hash-collision class), counted in one HashMap
+    * pass per n; duplicated starts ascend by construction, so one
+    * interval-merge walk charges each covered token exactly once.
+    * Value-identical to the interpreted HOF spelling (sort →
+    * duplicate runs → merge fold) and to the oracle's quadratic
+    * definition, at one JVM pass instead of per-element interpreted
+    * lambda evaluation.
+    */
+  def dupNgramCoverage(arr: ArrayData, minN: Int, maxN: Int): ArrayData = {
+    val t = arr.numElements()
+    val toks = new Array[String](t)
+    val lens = new Array[Long](t)
+    var i = 0
+    var total = 0L
+    while (i < t) {
+      val u = arr.getUTF8String(i)
+      toks(i) = u.toString
+      lens(i) = u.numChars().toLong
+      total += lens(i)
+      i += 1
+    }
+    val out = new Array[Long](maxN - minN + 2)
+    out(0) = total
+    var n = minN
+    while (n <= maxN) {
+      val g = t - n + 1
+      var cov = 0L
+      if (g >= 2) {
+        val counts = new java.util.HashMap[String, Integer](g * 2)
+        val grams = new Array[String](g)
+        var s = 0
+        while (s < g) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          val gram = sb.toString
+          grams(s) = gram
+          val c = counts.get(gram)
+          counts.put(gram, if (c == null) 1 else c + 1)
+          s += 1
+        }
+        var last = -1
+        s = 0
+        while (s < g) {
+          if (counts.get(grams(s)) > 1) {
+            val hi = s + n - 1
+            if (hi > last) {
+              var p = math.max(s, last + 1)
+              while (p <= hi) { cov += lens(p); p += 1 }
+              last = hi
+            }
+          }
+          s += 1
+        }
+      }
+      out(n - minN + 1) = cov
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deflate compression ratio (compressed ÷ raw bytes, zlib level
     * 6, raw stream): the classic low-entropy text signal —
     * templated/repetitive text compresses far below natural prose.

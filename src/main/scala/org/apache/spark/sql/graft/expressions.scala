@@ -120,6 +120,34 @@ case class TokenShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Duplicated-n-gram character-coverage counters over a token
+  * array — `[tok_chars, cov_minN, …, cov_maxN]` in ONE codegen'd
+  * pass (see [[graft.functions.TextChars.dupNgramCoverage]]); the
+  * interpreted sort/fold HOF spelling it replaces evaluated a
+  * lambda per array element per n.
+  */
+case class DupNgramCoverage(child: Expression, minN: Int, maxN: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(1 <= minN && minN <= maxN,
+    s"need 1 <= minN <= maxN, got ($minN, $maxN)")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dup_ngram_coverage"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextChars.dupNgramCoverage(a.asInstanceOf[ArrayData], minN, maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextChars.dupNgramCoverage($a, $minN, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All consecutive 3-char windows of a string — the codegen'd form
   * of `transform(sequence(1, length-2), i -> substring(text, i, 3))`
   * (which runs interpreted per element).

@@ -70,6 +70,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c.getLong(1) == 0L && (2 to 7).forall(i => c.getDouble(i) == 0.0))
   }
 
+  test("dupNgramMass counts code points, not UTF-16 units") {
+    // 𝄞 is an astral char: String.length 2, SQL length 1 — the
+    // kernel must agree with the oracle's length()
+    val docs = Seq((0L, "𝄞 a 𝄞 a 𝄞 a"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.dupNgramMass(docs, minN = 2, maxN = 2).collect()(0)
+    assert(r.getLong(1) == 6L, s"tok_chars must be code points: ${r.getLong(1)}")
+    assert(r.getDouble(2) == 1.0, "fully periodic -> full coverage")
+  }
+
   test("zipfSpectrum counts tokens per occurrence count, case-folded") {
     val docs = Seq(
       (0L, "a a B"),
