@@ -814,6 +814,11 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.phashPairs(
         Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
+    // the keep decision over the perceptual pairs: BMP re-encodes
+    // suppress, PNG originals survive
+    "mm_phash_dedup" -> ((s, dir) =>
+      Multimodal.phashSummary(
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -1372,6 +1377,49 @@ object SparkEntry {
     s"""SELECT product_id, sum(quantity) AS total_quantity,
        | sum(sale_amount) AS total_sale_amount
        |FROM ($cleanSalesSql) c GROUP BY product_id""".stripMargin.replace("\n", " ")
+
+  /** Shared perceptual-hash CTE chain (DuckDB dialect): replays the
+    * mixed PNG/BMP synth's PIXELS from the double-FNV recipe
+    * (HUGEINT folds; the planted copies at doc_id % 10 = 1 read
+    * doc_id-1's recipe with pixel 0's red nudged +1), packs the
+    * 56 row-adjacent luma-gradient comparison bits, and ends in
+    * `sig(doc_id, dhash)`. Both phash oracles append their own
+    * exhaustive tail - no candidate rule anywhere. */
+  private val phashSigCtes: String =
+    """fold1 AS (SELECT doc_id, i,
+        |  CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(1, length(s) + 1),
+        |      j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
+        |    AS VARCHAR) AS s2
+        | FROM (SELECT doc_id, i,
+        |   CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
+        |     AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents,
+        |   LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g) t),
+        |px AS (SELECT doc_id, i,
+        | CASE WHEN doc_id % 10 = 1 AND i = 0 THEN (r + 1) % 256
+        |  ELSE r END AS r, g, b
+        |FROM (SELECT doc_id, i,
+        |  CAST((h // 256) % 256 AS BIGINT) AS r,
+        |  CAST((h // 65536) % 256 AS BIGINT) AS g,
+        |  CAST((h // 16777216) % 256 AS BIGINT) AS b
+        | FROM (SELECT doc_id, i,
+        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(1, length(s2) + 1),
+        |      j -> CAST(ord(substr(s2, j, 1)) AS HUGEINT))),
+        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
+        |    AS h
+        |  FROM fold1) u) v),
+        |lum AS (SELECT doc_id, i, 299 * r + 587 * g + 114 * b AS l FROM px),
+        |sig AS MATERIALIZED (SELECT a.doc_id,
+        |  CAST(sum(CASE WHEN b.l > a.l
+        |   THEN (CAST(1 AS BIGINT) << ((a.i // 8) * 7 + (a.i % 8)))
+        |   ELSE 0 END) AS BIGINT) AS dhash
+        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        | WHERE a.i % 8 < 7 GROUP BY 1)""".stripMargin.replace("\n", " ")
 
   /** Shared lined-corpus CTE chain (DuckDB dialect): replays the
     * [[graft.operators.TextAnalysis.synthLinedCorpus]] synth (a
@@ -4062,52 +4110,33 @@ object SparkEntry {
         | CAST(sum((h // 16777216) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1""".stripMargin.replace("\n", " "),
     "mm_phash_pairs" ->
-      // EXHAUSTIVE all-pairs replay (no candidate rule — the banded
-      // plan must be lossless): pixels from the DOUBLE FNV fold
-      // (second pass over the first pass's unsigned-decimal digits —
-      // HUGEINT's VARCHAR cast IS that rendering), with the planted
-      // copies (doc_id % 10 = 1) reading doc_id−1's recipe and
-      // nudging pixel 0's red +1; luma kept as the exact integer
-      // numerator, 56 row-adjacent comparison bits packed to a
-      // BIGINT, Hamming over every pair
-      """WITH fold1 AS (SELECT doc_id, i,
-        |  CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |    list_transform(range(1, length(s) + 1),
-        |      j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
-        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
-        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
-        |    AS VARCHAR) AS s2
-        | FROM (SELECT doc_id, i,
-        |   CAST(CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END
-        |     AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
-        |  FROM documents,
-        |   LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g) t),
-        |px AS (SELECT doc_id, i,
-        | CASE WHEN doc_id % 10 = 1 AND i = 0 THEN (r + 1) % 256
-        |  ELSE r END AS r, g, b
-        |FROM (SELECT doc_id, i,
-        |  CAST((h // 256) % 256 AS BIGINT) AS r,
-        |  CAST((h // 65536) % 256 AS BIGINT) AS g,
-        |  CAST((h // 16777216) % 256 AS BIGINT) AS b
-        | FROM (SELECT doc_id, i,
-        |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |    list_transform(range(1, length(s2) + 1),
-        |      j -> CAST(ord(substr(s2, j, 1)) AS HUGEINT))),
-        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
-        |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
-        |    AS h
-        |  FROM fold1) u) v),
-        |lum AS (SELECT doc_id, i, 299 * r + 587 * g + 114 * b AS l FROM px),
-        |sig AS MATERIALIZED (SELECT a.doc_id,
-        |  CAST(sum(CASE WHEN b.l > a.l
-        |   THEN (CAST(1 AS BIGINT) << ((a.i // 8) * 7 + (a.i % 8)))
-        |   ELSE 0 END) AS BIGINT) AS dhash
-        | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-        | WHERE a.i % 8 < 7 GROUP BY 1)
+      // EXHAUSTIVE all-pairs tail over the shared signature replay
+      // (no candidate rule - the banded plan must be lossless)
+      (s"""WITH $phashSigCtes
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         | CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""".stripMargin
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""").stripMargin
+        .replace("\n", " "),
+    "mm_phash_dedup" ->
+      // per-blob summary tail: the keep decision over the same
+      // exhaustive pair relation (keep = no smaller-id perceptual
+      // dup), sim = 56 - hamming so bigger is more similar
+      (s"""WITH $phashSigCtes,
+        |verified AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  56 - bit_count(xor(a.dhash, b.dhash)) AS sim
+        | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        | WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+        |sides AS (SELECT id_a AS doc_id, CAST(sim AS DOUBLE) AS score,
+        |  false AS is_junior FROM verified
+        | UNION ALL SELECT id_b, CAST(sim AS DOUBLE), true FROM verified),
+        |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+        |  max(score) AS max_score, bool_or(is_junior) AS dominated
+        | FROM sides GROUP BY 1)
+        |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+        | coalesce(p.max_score, 0.0) AS max_score,
+        | coalesce(NOT p.dominated, true) AS keep
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""").stripMargin
         .replace("\n", " "),
     "mm_decode_wav" ->
       // replay of the synthesized SAMPLES, never the codec: sample i

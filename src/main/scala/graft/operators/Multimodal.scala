@@ -516,6 +516,19 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Per-blob perceptual-dup summary — the keep/suppress decision
+    * over [[phashPairs]], completing the tier into the same shape as
+    * the simhash/minhash summaries: one row per blob, `keep` =
+    * false iff a smaller-id perceptual duplicate exists, score =
+    * 56 − hamming so bigger is more similar. On the planted-copy
+    * corpus exactly the BMP re-encodes (doc_id % 10 == 1) read
+    * keep = false while their PNG originals survive. */
+  def phashSummary(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
+                   bands: Int = 7): DataFrame =
+    Dedup.pairSummary(blobs,
+      phashPairs(blobs, side, maxHamming, bands)
+        .withColumn("sim", lit(56) - col("hamming")), "sim")
+
   /** Per-document pooled feature embedding: decode frames, mean-pool
     * their (stub) features into one `array<float>` per document —
     * the bridge from binary payloads into the [[Similarity]] ANN /

@@ -355,6 +355,20 @@ class MultimodalSpec extends SparkSpec {
     blobs.unpersist()
   }
 
+  test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val out = Multimodal.phashSummary(
+        Multimodal.synthMixedCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val copies = Set(1L, 11L, 21L)
+    copies.foreach(d =>
+      assert(out(d) == ((1L, false)), s"copy $d must suppress: ${out(d)}"))
+    (0L until 30L).filterNot(copies).foreach(d =>
+      assert(out(d)._2, s"non-copy $d must keep"))
+    // the originals of planted copies still count their dup
+    assert(out(0L) == ((1L, true)) && out(10L) == ((1L, true)))
+  }
+
   test("audioFeatures: a STEREO payload throws instead of interleaving") {
     // a linear sample walk over interleaved stereo would alternate
     // L/R and corrupt rms + zero-crossings — the mono contract must
