@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, DupNgramCoverage, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, DupNgramCoverage, TopNgramStats, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -42,6 +42,11 @@ object gf {
     * char coverage (Gopher dup-gram mass), one codegen'd pass. */
   def dupNgramCoverage(toks: Column, minN: Int, maxN: Int): Column =
     c(DupNgramCoverage(e(toks), minN, maxN))
+
+  /** `[maxc_minK, toplen_minK, …]` — fused top-n-gram argmax
+    * (count + code-point length of the byte-order-smallest winner). */
+  def topNgramStats(toks: Column, minK: Int, maxK: Int): Column =
+    c(TopNgramStats(e(toks), minK, maxK))
 
   /** Fused canonicalize+tokenize+k-shingle of raw text — one byte
     * pass, no regexp (dedup fast path). */

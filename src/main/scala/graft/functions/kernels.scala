@@ -333,6 +333,62 @@ object TextChars {
     new GenericArrayData(out)
   }
 
+  /** Fused top-n-gram argmax for the Gopher repetition profile:
+    * per k ∈ [minK, maxK], the max within-doc n-gram count and the
+    * CODE-POINT length of the winning gram, as
+    * `[maxc_minK, toplen_minK, …, maxc_maxK, toplen_maxK]`.
+    * Ties break to the gram smallest in UTF-8 BYTE order — the
+    * ordering both `array_min` (UTF8String) and DuckDB's binary
+    * collation use; JVM `String.compareTo` is UTF-16 code-unit
+    * order and would diverge on astral chars, so tie comparisons go
+    * through [[UTF8String]]. Empty gram sets read [0, 0].
+    */
+  def topNgramStats(arr: ArrayData, minK: Int, maxK: Int): ArrayData = {
+    val t = arr.numElements()
+    val toks = new Array[String](t)
+    var i = 0
+    while (i < t) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Long](2 * (maxK - minK + 1))
+    var k = minK
+    while (k <= maxK) {
+      val g = t - k + 1
+      if (g >= 1) {
+        val counts = new java.util.HashMap[String, Integer](g * 2)
+        var s = 0
+        while (s < g) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(s + j))
+            j += 1
+          }
+          val gram = sb.toString
+          val c = counts.get(gram)
+          counts.put(gram, if (c == null) 1 else c + 1)
+          s += 1
+        }
+        var bestC = 0
+        var bestG: String = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.intValue()
+          if (c > bestC || (c == bestC &&
+              UTF8String.fromString(e.getKey)
+                .compareTo(UTF8String.fromString(bestG)) < 0)) {
+            bestC = c
+            bestG = e.getKey
+          }
+        }
+        out(2 * (k - minK)) = bestC.toLong
+        out(2 * (k - minK) + 1) = bestG.codePointCount(0, bestG.length).toLong
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Deflate compression ratio (compressed ÷ raw bytes, zlib level
     * 6, raw stream): the classic low-entropy text signal —
     * templated/repetitive text compresses far below natural prose.

@@ -201,37 +201,20 @@ object TextAnalysis {
       s"aggregate($c, 0L, (acc, s) -> acc + length(s))")
     def frac(num: Column, den: Column): Column =
       when(den > 0, num / den).otherwise(lit(0.0))
-    val withGrams = (2 to 4).foldLeft(
-      docs.select(col("doc_id"), tokens(col("text")).as("toks"),
-          expr("filter(split(text, '\\n'), x -> x <> '')").as("lines"),
-          expr("filter(split(text, '\\n\\n'), x -> x <> '')").as("paras"))
-        .withColumn("tok_chars", length(concat_ws(" ", col("toks"))).cast("long"))
-    ) { (df, k) =>
-      // ascending sort ⇒ runs appear smallest-gram-first, so the
-      // STRICT `>` update implements the (max count, then
-      // lexicographically smallest) tie-break for free
-      df.withColumn(s"best$k", expr(
-          s"""aggregate(array_sort(CASE WHEN size(toks) < $k THEN array()
-             | ELSE transform(sequence(0, size(toks) - $k),
-             |  i -> array_join(slice(toks, i + 1, $k), ' ')) END),
-             | struct(CAST('' AS STRING) AS prev, 0 AS run,
-             |  0 AS bestn, CAST('' AS STRING) AS bestg),
-             | (a, x) -> CASE WHEN x = a.prev
-             |  THEN IF(a.run + 1 > a.bestn,
-             |   struct(x AS prev, a.run + 1 AS run,
-             |    a.run + 1 AS bestn, x AS bestg),
-             |   struct(x AS prev, a.run + 1 AS run,
-             |    a.bestn AS bestn, a.bestg AS bestg))
-             |  ELSE IF(1 > a.bestn,
-             |   struct(x AS prev, 1 AS run, 1 AS bestn, x AS bestg),
-             |   struct(x AS prev, 1 AS run,
-             |    a.bestn AS bestn, a.bestg AS bestg)) END)""".stripMargin))
-        .withColumn(s"top${k}gram_char_fraction",
-          when(col("tok_chars") > 0 && col(s"best$k.bestn") > 0,
-            (col(s"best$k.bestn") * length(col(s"best$k.bestg"))).cast("long") /
-              col("tok_chars"))
-            .otherwise(lit(0.0)))
-    }
+    // top-{2,3,4}-gram argmax via the fused native kernel (one
+    // codegen'd pass; the interpreted sort/fold spelling evaluated a
+    // lambda per element per k); tie-break and char counting match
+    // array_min / SQL length exactly (byte order, code points)
+    val withGrams = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
+        expr("filter(split(text, '\\n'), x -> x <> '')").as("lines"),
+        expr("filter(split(text, '\\n\\n'), x -> x <> '')").as("paras"))
+      .withColumn("tok_chars", length(concat_ws(" ", col("toks"))).cast("long"))
+      .withColumn("tg", gf.topNgramStats(col("toks"), 2, 4))
+      .withColumns((2 to 4).map(k => s"top${k}gram_char_fraction" ->
+        when(col("tok_chars") > 0 && col("tg")(2 * (k - 2)) > 0,
+          (col("tg")(2 * (k - 2)) * col("tg")(2 * (k - 2) + 1)) /
+            col("tok_chars"))
+          .otherwise(lit(0.0))).toMap)
     withGrams
       .withColumn("n_lines", size(col("lines")).cast("long"))
       .withColumn("n_paras", size(col("paras")).cast("long"))

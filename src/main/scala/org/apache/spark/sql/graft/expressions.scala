@@ -148,6 +148,32 @@ case class DupNgramCoverage(child: Expression, minN: Int, maxN: Int)
     copy(child = newChild)
 }
 
+/** Top-n-gram argmax stats over a token array —
+  * `[maxc_minK, toplen_minK, …]` in one codegen'd pass (see
+  * [[graft.functions.TextChars.topNgramStats]]).
+  */
+case class TopNgramStats(child: Expression, minK: Int, maxK: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(1 <= minK && minK <= maxK,
+    s"need 1 <= minK <= maxK, got ($minK, $maxK)")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_ngram_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextChars.topNgramStats(a.asInstanceOf[ArrayData], minK, maxK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextChars.topNgramStats($a, $minK, $maxK)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All consecutive 3-char windows of a string — the codegen'd form
   * of `transform(sequence(1, length-2), i -> substring(text, i, 3))`
   * (which runs interpreted per element).
