@@ -72,7 +72,8 @@ object ExplainMain {
       "ann_matryoshka_topk", "text_bm25_maxscore", "text_bpe_train", "text_bpe_vocab",
       "dedup_exact_jaccard_pairs",
       // r12 batch
-      "mm_phash_pairs", "text_repetition_profile", "text_bpe_apply")
+      "mm_phash_pairs", "mm_phash_dedup", "text_repetition_profile",
+      "text_bpe_apply", "text_dup_ngram_mass")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

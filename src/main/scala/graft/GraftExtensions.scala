@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, DeflateRatio, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{CharShingleHashes, ChunkMd5s, CosineSimilarity, DeflateRatio, DupNgramCoverage, Hash64, MinHashSignature, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TopNgramStats, WinnowMd5Fingerprints}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions as SQL functions, so plain `spark.sql` users get them
@@ -103,6 +103,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fingerprints(text, n, window) - winnowing fingerprints (windowed-min gram md5s)"),
       (args: Seq[Expression]) => WinnowMd5Fingerprints(args(0),
         intLit(args(1), "gram size"), intLit(args(2), "window"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("dup_ngram_coverage"),
+      info("dup_ngram_coverage",
+        "dup_ngram_coverage(tokens, minN, maxN) - [tok_chars, covered chars of duplicated n-grams per n]"),
+      (args: Seq[Expression]) => DupNgramCoverage(args(0),
+        intLit(args(1), "minN"), intLit(args(2), "maxN"))))
+
+    ext.injectFunction((
+      FunctionIdentifier("top_ngram_stats"),
+      info("top_ngram_stats",
+        "top_ngram_stats(tokens, minK, maxK) - [max count, top-gram char length per k]"),
+      (args: Seq[Expression]) => TopNgramStats(args(0),
+        intLit(args(1), "minK"), intLit(args(2), "maxK"))))
 
     ext.injectFunction((
       FunctionIdentifier("token_dropout"),

@@ -173,6 +173,13 @@ class FunctionsSpec extends SparkSpec {
         "token_dropout('a  b\tc', 7L, '00000000', 's') AS all").head()
     assert(td.getString(0) == "")
     assert(td.getString(1) == "a b c", "whitespace canonicalizes to single spaces")
+    // the r12 repetition kernels: "a b a b" -> dup bigrams cover all
+    // 4 tokens (4 chars); top bigram "a b" count 2, length 3
+    val rk = spark.sql(
+      "SELECT dup_ngram_coverage(array('a','b','a','b'), 2, 2) AS cov, " +
+        "top_ngram_stats(array('a','b','a','b'), 2, 2) AS top").head()
+    assert(rk.getSeq[Long](0) == Seq(4L, 4L))
+    assert(rk.getSeq[Long](1) == Seq(2L, 3L))
   }
 
   test("charTrigrams matches sliding substring semantics, multibyte-safe") {
