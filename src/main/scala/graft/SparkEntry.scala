@@ -435,6 +435,10 @@ object SparkEntry {
     "text_dup_ngram_mass" -> ((s, dir) =>
       TextAnalysis.dupNgramMass(
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+    // the 13 Gopher thresholds applied as a per-source removal gate
+    "docs_gopher_gate" -> ((s, dir) =>
+      TextAnalysis.gopherGate(Tables.documents(s, dir),
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -1420,6 +1424,101 @@ object SparkEntry {
         |   ELSE 0 END) AS BIGINT) AS dhash
         | FROM lum a JOIN lum b ON b.doc_id = a.doc_id AND b.i = a.i + 1
         | WHERE a.i % 8 < 7 GROUP BY 1)""".stripMargin.replace("\n", " ")
+
+  /** Gopher per-doc repetition PROFILE as a composable CTE chain
+    * (appended after [[linedCtes]]): ends in `rep_profile` with
+    * the text_repetition_profile output columns. */
+  private val gopherProfileCtes: String =
+    ("""|rp AS (SELECT doc_id, toks, lines, paras,
+        |  length(array_to_string(toks, ' ')) AS tok_chars,
+        |  len(lines) AS n_lines, len(paras) AS n_paras,
+        |  coalesce(list_sum(list_transform(lines, s ->
+        |   CASE WHEN len(list_filter(lines, x -> x = s)) > 1
+        |    THEN length(s) ELSE 0 END)), 0) AS dup_line_chars,
+        |  coalesce(list_sum(list_transform(lines, s -> length(s))), 0) AS line_chars,
+        |  coalesce(list_sum(list_transform(paras, s ->
+        |   CASE WHEN len(list_filter(paras, x -> x = s)) > 1
+        |    THEN length(s) ELSE 0 END)), 0) AS dup_para_chars,
+        |  coalesce(list_sum(list_transform(paras, s -> length(s))), 0) AS para_chars,
+        |  CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |   ELSE list_transform(range(1, len(toks)),
+        |    i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
+        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |   ELSE list_transform(range(1, len(toks) - 1),
+        |    i -> array_to_string(toks[i:i+2], ' ')) END AS g3,
+        |  CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
+        |   ELSE list_transform(range(1, len(toks) - 2),
+        |    i -> array_to_string(toks[i:i+3], ' ')) END AS g4
+        | FROM t2),
+        |mx AS (SELECT *,
+        |  list_max(list_transform(list_distinct(g2),
+        |   d -> len(list_filter(g2, x -> x = d)))) AS maxc2,
+        |  list_max(list_transform(list_distinct(g3),
+        |   d -> len(list_filter(g3, x -> x = d)))) AS maxc3,
+        |  list_max(list_transform(list_distinct(g4),
+        |   d -> len(list_filter(g4, x -> x = d)))) AS maxc4
+        | FROM rp)
+        |, rep_profile AS (SELECT doc_id,
+        | CAST(n_lines AS BIGINT) AS n_lines,
+        | CAST(n_paras AS BIGINT) AS n_paras,
+        | CASE WHEN n_lines > 0
+        |  THEN 1.0 - len(list_distinct(lines)) / n_lines ELSE 0.0 END
+        |  AS dup_line_fraction,
+        | CASE WHEN n_paras > 0
+        |  THEN 1.0 - len(list_distinct(paras)) / n_paras ELSE 0.0 END
+        |  AS dup_para_fraction,
+        | CASE WHEN line_chars > 0
+        |  THEN CAST(dup_line_chars AS BIGINT) / CAST(line_chars AS BIGINT)
+        |  ELSE 0.0 END AS dup_line_char_fraction,
+        | CASE WHEN para_chars > 0
+        |  THEN CAST(dup_para_chars AS BIGINT) / CAST(para_chars AS BIGINT)
+        |  ELSE 0.0 END AS dup_para_char_fraction,
+        | CASE WHEN tok_chars > 0 AND maxc2 IS NOT NULL
+        |  THEN CAST(maxc2 * length(list_min(list_filter(list_distinct(g2),
+        |   d -> len(list_filter(g2, x -> x = d)) = maxc2))) AS BIGINT) / tok_chars
+        |  ELSE 0.0 END AS top2gram_char_fraction,
+        | CASE WHEN tok_chars > 0 AND maxc3 IS NOT NULL
+        |  THEN CAST(maxc3 * length(list_min(list_filter(list_distinct(g3),
+        |   d -> len(list_filter(g3, x -> x = d)) = maxc3))) AS BIGINT) / tok_chars
+        |  ELSE 0.0 END AS top3gram_char_fraction,
+        | CASE WHEN tok_chars > 0 AND maxc4 IS NOT NULL
+        |  THEN CAST(maxc4 * length(list_min(list_filter(list_distinct(g4),
+        |   d -> len(list_filter(g4, x -> x = d)) = maxc4))) AS BIGINT) / tok_chars
+        |  ELSE 0.0 END AS top4gram_char_fraction
+        |FROM mx)"""
+      ).stripMargin.replace("\n", " ")
+
+  /** Duplicated-n-gram char-coverage (the dup-mass half) as a
+    * composable CTE chain (appended after [[linedCtes]]): ends in
+    * `dng` with the text_dup_ngram_mass output columns. */
+  private val dupMassCtes: String = {
+    val gs = (5 to 10).map(n =>
+        s"""CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
+           | ELSE list_transform(range(1, len(toks) - $n + 2),
+           |  i -> array_to_string(toks[i:i + $n - 1], ' ')) END AS g$n"""
+          .stripMargin).mkString(", ")
+      val ds = (5 to 10).map(n =>
+        s"""list_transform(list_filter(range(1, len(g$n) + 1),
+           | i -> len(list_filter(g$n, x -> x = g$n[i])) >= 2),
+           | i -> i - 1) AS ds$n""".stripMargin).mkString(", ")
+      val fr = (5 to 10).map(n =>
+        s"""CASE WHEN tok_chars > 0 THEN
+           | CAST(coalesce(list_sum(list_transform(range(1, len(toks) + 1),
+           |  t -> CASE WHEN len(list_filter(ds$n,
+           |    s2 -> s2 <= t - 1 AND t - 1 < s2 + $n)) > 0
+           |   THEN length(toks[t]) ELSE 0 END)), 0) AS BIGINT)
+           |  / CAST(tok_chars AS BIGINT)
+           | ELSE 0.0 END AS dup${n}gram_char_fraction""".stripMargin)
+        .mkString(", ")
+    (s"""|mb AS (SELECT doc_id, toks,
+         |  coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |   AS tok_chars FROM t2),
+         |mg AS (SELECT doc_id, toks, tok_chars, $gs FROM mb),
+         |md AS (SELECT doc_id, toks, tok_chars, $ds FROM mg)
+       |, dng AS (SELECT doc_id, CAST(tok_chars AS BIGINT) AS tok_chars, $fr
+         |FROM md)"""
+     ).stripMargin.replace("\n", " ")
+  }
 
   /** Shared lined-corpus CTE chain (DuckDB dialect): replays the
     * [[graft.operators.TextAnalysis.synthLinedCorpus]] synth (a
@@ -3282,97 +3381,48 @@ object SparkEntry {
     "text_repetition_profile" ->
       // replays the lined-corpus synth via the shared CTE prefix,
       // then computes every Gopher counter from exact integer
-      // counts — single divisions, bit-replayable
-      (s"""WITH $linedCtes,
-        |base AS (SELECT doc_id, toks, lines, paras,
-        |  length(array_to_string(toks, ' ')) AS tok_chars,
-        |  len(lines) AS n_lines, len(paras) AS n_paras,
-        |  coalesce(list_sum(list_transform(lines, s ->
-        |   CASE WHEN len(list_filter(lines, x -> x = s)) > 1
-        |    THEN length(s) ELSE 0 END)), 0) AS dup_line_chars,
-        |  coalesce(list_sum(list_transform(lines, s -> length(s))), 0) AS line_chars,
-        |  coalesce(list_sum(list_transform(paras, s ->
-        |   CASE WHEN len(list_filter(paras, x -> x = s)) > 1
-        |    THEN length(s) ELSE 0 END)), 0) AS dup_para_chars,
-        |  coalesce(list_sum(list_transform(paras, s -> length(s))), 0) AS para_chars,
-        |  CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
-        |   ELSE list_transform(range(1, len(toks)),
-        |    i -> array_to_string(toks[i:i+1], ' ')) END AS g2,
-        |  CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |   ELSE list_transform(range(1, len(toks) - 1),
-        |    i -> array_to_string(toks[i:i+2], ' ')) END AS g3,
-        |  CASE WHEN len(toks) < 4 THEN CAST([] AS VARCHAR[])
-        |   ELSE list_transform(range(1, len(toks) - 2),
-        |    i -> array_to_string(toks[i:i+3], ' ')) END AS g4
-        | FROM t2),
-        |mx AS (SELECT *,
-        |  list_max(list_transform(list_distinct(g2),
-        |   d -> len(list_filter(g2, x -> x = d)))) AS maxc2,
-        |  list_max(list_transform(list_distinct(g3),
-        |   d -> len(list_filter(g3, x -> x = d)))) AS maxc3,
-        |  list_max(list_transform(list_distinct(g4),
-        |   d -> len(list_filter(g4, x -> x = d)))) AS maxc4
-        | FROM base)
-        |SELECT doc_id,
-        | CAST(n_lines AS BIGINT) AS n_lines,
-        | CAST(n_paras AS BIGINT) AS n_paras,
-        | CASE WHEN n_lines > 0
-        |  THEN 1.0 - len(list_distinct(lines)) / n_lines ELSE 0.0 END
-        |  AS dup_line_fraction,
-        | CASE WHEN n_paras > 0
-        |  THEN 1.0 - len(list_distinct(paras)) / n_paras ELSE 0.0 END
-        |  AS dup_para_fraction,
-        | CASE WHEN line_chars > 0
-        |  THEN CAST(dup_line_chars AS BIGINT) / CAST(line_chars AS BIGINT)
-        |  ELSE 0.0 END AS dup_line_char_fraction,
-        | CASE WHEN para_chars > 0
-        |  THEN CAST(dup_para_chars AS BIGINT) / CAST(para_chars AS BIGINT)
-        |  ELSE 0.0 END AS dup_para_char_fraction,
-        | CASE WHEN tok_chars > 0 AND maxc2 IS NOT NULL
-        |  THEN CAST(maxc2 * length(list_min(list_filter(list_distinct(g2),
-        |   d -> len(list_filter(g2, x -> x = d)) = maxc2))) AS BIGINT) / tok_chars
-        |  ELSE 0.0 END AS top2gram_char_fraction,
-        | CASE WHEN tok_chars > 0 AND maxc3 IS NOT NULL
-        |  THEN CAST(maxc3 * length(list_min(list_filter(list_distinct(g3),
-        |   d -> len(list_filter(g3, x -> x = d)) = maxc3))) AS BIGINT) / tok_chars
-        |  ELSE 0.0 END AS top3gram_char_fraction,
-        | CASE WHEN tok_chars > 0 AND maxc4 IS NOT NULL
-        |  THEN CAST(maxc4 * length(list_min(list_filter(list_distinct(g4),
-        |   d -> len(list_filter(g4, x -> x = d)) = maxc4))) AS BIGINT) / tok_chars
-        |  ELSE 0.0 END AS top4gram_char_fraction
-        |FROM mx""").stripMargin.replace("\n", " "),
-    "text_dup_ngram_mass" -> {
-      // same lined-corpus replay; per n, duplicated gram STARTS are
-      // read off a count-per-gram filter (the textbook quadratic
-      // definition — the Spark side's sorted-run/interval-merge plan
-      // must reproduce it exactly), and coverage marks each token
-      // position lying inside any duplicated occurrence
-      val gs = (5 to 10).map(n =>
-        s"""CASE WHEN len(toks) < $n THEN CAST([] AS VARCHAR[])
-           | ELSE list_transform(range(1, len(toks) - $n + 2),
-           |  i -> array_to_string(toks[i:i + $n - 1], ' ')) END AS g$n"""
-          .stripMargin).mkString(", ")
-      val ds = (5 to 10).map(n =>
-        s"""list_transform(list_filter(range(1, len(g$n) + 1),
-           | i -> len(list_filter(g$n, x -> x = g$n[i])) >= 2),
-           | i -> i - 1) AS ds$n""".stripMargin).mkString(", ")
-      val fr = (5 to 10).map(n =>
-        s"""CASE WHEN tok_chars > 0 THEN
-           | CAST(coalesce(list_sum(list_transform(range(1, len(toks) + 1),
-           |  t -> CASE WHEN len(list_filter(ds$n,
-           |    s2 -> s2 <= t - 1 AND t - 1 < s2 + $n)) > 0
-           |   THEN length(toks[t]) ELSE 0 END)), 0) AS BIGINT)
-           |  / CAST(tok_chars AS BIGINT)
-           | ELSE 0.0 END AS dup${n}gram_char_fraction""".stripMargin)
-        .mkString(", ")
-      (s"""WITH $linedCtes,
-         |base AS (SELECT doc_id, toks,
-         |  coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-         |   AS tok_chars FROM t2),
-         |gq AS (SELECT doc_id, toks, tok_chars, $gs FROM base),
-         |dq AS (SELECT doc_id, toks, tok_chars, $ds FROM gq)
-         |SELECT doc_id, CAST(tok_chars AS BIGINT) AS tok_chars, $fr
-         |FROM dq""").stripMargin.replace("\n", " ")
+      // counts - single divisions, bit-replayable
+      s"WITH $linedCtes, $gopherProfileCtes SELECT * FROM rep_profile",
+    "text_dup_ngram_mass" ->
+      // same lined-corpus replay; the quadratic textbook
+      // definition the fused kernel must reproduce exactly
+      s"WITH $linedCtes, $dupMassCtes SELECT * FROM dng",
+    "docs_gopher_gate" -> {
+      // both per-doc profile chains joined to sources, then the 13
+      // paper thresholds as CASE counters - every comparison is a
+      // deterministic double (one exact-integer division) against a
+      // shared literal, every output an integer count or one final
+      // division
+      val th = operators.TextAnalysis.GopherGateThresholds.toMap
+      def fam(names: String*): String =
+        names.map(n => s"$n > ${th(n)}").mkString("(", " OR ", ")")
+      val fLine = fam("dup_line_fraction", "dup_line_char_fraction")
+      val fPara = fam("dup_para_fraction", "dup_para_char_fraction")
+      val fTop = fam("top2gram_char_fraction", "top3gram_char_fraction",
+        "top4gram_char_fraction")
+      val fDup = fam((5 to 10).map(n => s"dup${n}gram_char_fraction"): _*)
+      val fAny = s"($fLine OR $fPara OR $fTop OR $fDup)"
+      def cnt(f: String, as: String) =
+        s"CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS $as"
+      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes,
+         |j AS (SELECT d.source, r.dup_line_fraction, r.dup_para_fraction,
+         |  r.dup_line_char_fraction, r.dup_para_char_fraction,
+         |  r.top2gram_char_fraction, r.top3gram_char_fraction,
+         |  r.top4gram_char_fraction, g.dup5gram_char_fraction,
+         |  g.dup6gram_char_fraction, g.dup7gram_char_fraction,
+         |  g.dup8gram_char_fraction, g.dup9gram_char_fraction,
+         |  g.dup10gram_char_fraction
+         | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         | JOIN documents d ON d.doc_id = r.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | ${cnt(fLine, "n_dup_line_gate")},
+         | ${cnt(fPara, "n_dup_para_gate")},
+         | ${cnt(fTop, "n_top_gram_gate")},
+         | ${cnt(fDup, "n_dup_gram_gate")},
+         | ${cnt(fAny, "n_flagged")},
+         | CAST(sum(CASE WHEN $fAny THEN 1 ELSE 0 END) AS BIGINT)
+         |  / CAST(count(*) AS BIGINT) AS flag_share
+         |FROM j GROUP BY 1""").stripMargin.replace("\n", " ")
     },
     "text_source_stats" ->
       """WITH t2 AS (SELECT source, text,

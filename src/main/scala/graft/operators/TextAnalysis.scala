@@ -264,6 +264,59 @@ object TextAnalysis {
             .otherwise(lit(0.0)).as(s"dup${n}gram_char_fraction")): _*)
   }
 
+  /** The Gopher repetition thresholds (Rae et al. 2021, table A1)
+    * as data: metric column → removal threshold. Public paper
+    * constants, shared by the operator and the oracle so they can
+    * never drift. */
+  val GopherGateThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_fraction" -> 0.30, "dup_para_fraction" -> 0.30,
+    "dup_line_char_fraction" -> 0.20, "dup_para_char_fraction" -> 0.20,
+    "top2gram_char_fraction" -> 0.20, "top3gram_char_fraction" -> 0.18,
+    "top4gram_char_fraction" -> 0.16,
+    "dup5gram_char_fraction" -> 0.15, "dup6gram_char_fraction" -> 0.14,
+    "dup7gram_char_fraction" -> 0.13, "dup8gram_char_fraction" -> 0.12,
+    "dup9gram_char_fraction" -> 0.11, "dup10gram_char_fraction" -> 0.10)
+
+  /** The Gopher repetition suite applied as an actual per-source
+    * GATE — the fleet-scale readout the per-doc profiles feed: for
+    * each source, how many documents the paper's 13 repetition
+    * thresholds would REMOVE, grouped by gate family (line dup,
+    * paragraph dup, top-n-gram mass, dup-n-gram mass) plus the
+    * any-gate total and its share. Every threshold comparison is a
+    * double computed as ONE division of exact integers compared to
+    * a shared literal — deterministic cross-engine — so all outputs
+    * are integer counts and one final single division. Plan: the two
+    * per-doc profile scans join on doc_id (narrow; both derive from
+    * one corpus pass each), one hash aggregate on source.
+    */
+  def gopherGate(docs: DataFrame, linedDocs: DataFrame): DataFrame = {
+    def fam(names: String*) =
+      names.map(n => col(n) > lit(GopherGateThresholds.toMap.apply(n)))
+        .reduce(_ || _)
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val prof = gopherRepetition(linedDocs)
+    val mass = dupNgramMass(linedDocs)
+    val flagged = prof.join(mass.drop("tok_chars"), Seq("doc_id"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("f_line",
+        fam("dup_line_fraction", "dup_line_char_fraction"))
+      .withColumn("f_para",
+        fam("dup_para_fraction", "dup_para_char_fraction"))
+      .withColumn("f_top", fam("top2gram_char_fraction",
+        "top3gram_char_fraction", "top4gram_char_fraction"))
+      .withColumn("f_dup", fam((5 to 10).map(n =>
+        s"dup${n}gram_char_fraction"): _*))
+    flagged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("f_line")).as("n_dup_line_gate"),
+        cnt(col("f_para")).as("n_dup_para_gate"),
+        cnt(col("f_top")).as("n_top_gram_gate"),
+        cnt(col("f_dup")).as("n_dup_gram_gate"),
+        cnt(col("f_line") || col("f_para") || col("f_top") || col("f_dup"))
+          .as("n_flagged"))
+      .withColumn("flag_share", col("n_flagged") / col("n_docs"))
+  }
+
   /** Corpus-wide top token bigrams — vocabulary/boilerplate
     * analysis. Explode + count + deterministic top-N (ties broken
     * lexically). The explode stays partition-local; only (bigram,

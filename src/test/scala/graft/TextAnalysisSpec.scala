@@ -70,6 +70,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c.getLong(1) == 0L && (2 to 7).forall(i => c.getDouble(i) == 0.0))
   }
 
+  test("gopherGate: gate families fire exactly where their metrics cross") {
+    val lined = Seq(
+      // para duplicated verbatim -> para + line + dup-gram gates
+      (0L, "a b c d e\na b c d e\n\na b c d e\na b c d e"),
+      // clean doc: all-distinct tokens, long enough that the
+      // singleton top-gram mass (gram chars / doc chars) stays
+      // under every threshold — short docs cross them trivially
+      (1L, ('a' to 'z').map(_.toString).grouped(2)
+        .map(_.mkString(" ")).mkString("\n"))).toDF("doc_id", "text")
+    val docs = Seq((0L, "dirty"), (1L, "clean")).toDF("doc_id", "source")
+    val out = TextAnalysis.gopherGate(docs, lined).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
+          r.getLong(6), r.getDouble(7))).toMap
+    assert(out("dirty") == ((1L, 1L, 1L, 1L, 1L, 1.0)), s"${out("dirty")}")
+    assert(out("clean") == ((1L, 0L, 0L, 0L, 0L, 0.0)), s"${out("clean")}")
+  }
+
   test("dupNgramMass counts code points, not UTF-16 units") {
     // 𝄞 is an astral char: String.length 2, SQL length 1 — the
     // kernel must agree with the oracle's length()
