@@ -73,7 +73,7 @@ object ExplainMain {
       "dedup_exact_jaccard_pairs",
       // r12 batch
       "mm_phash_pairs", "mm_phash_dedup", "text_repetition_profile",
-      "text_bpe_apply", "text_dup_ngram_mass")
+      "text_bpe_apply", "text_dup_ngram_mass", "docs_gopher_gate")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

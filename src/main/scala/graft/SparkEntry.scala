@@ -439,6 +439,9 @@ object SparkEntry {
     "docs_gopher_gate" -> ((s, dir) =>
       TextAnalysis.gopherGate(Tables.documents(s, dir),
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+    "docs_gopher_apply" -> ((s, dir) =>
+      TextAnalysis.gopherGateApply(Tables.documents(s, dir),
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -3387,6 +3390,28 @@ object SparkEntry {
       // same lined-corpus replay; the quadratic textbook
       // definition the fused kernel must reproduce exactly
       s"WITH $linedCtes, $dupMassCtes SELECT * FROM dng",
+    "docs_gopher_apply" -> {
+      // per-doc CASE in fixed family precedence over the same joined
+      // profile relation; keep = no family fired
+      val th = operators.TextAnalysis.GopherGateThresholds.toMap
+      def fam(names: String*): String =
+        names.map(n => s"$n > ${th(n)}").mkString("(", " OR ", ")")
+      val fLine = fam("dup_line_fraction", "dup_line_char_fraction")
+      val fPara = fam("dup_para_fraction", "dup_para_char_fraction")
+      val fTop = fam("top2gram_char_fraction", "top3gram_char_fraction",
+        "top4gram_char_fraction")
+      val fDup = fam((5 to 10).map(n => s"dup${n}gram_char_fraction"): _*)
+      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes,
+         |j AS (SELECT d.doc_id, d.source,
+         |  CASE WHEN $fLine THEN 'line'
+         |   WHEN $fPara THEN 'para'
+         |   WHEN $fTop THEN 'top_gram'
+         |   WHEN $fDup THEN 'dup_gram' END AS gate_family
+         | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         | JOIN documents d ON d.doc_id = r.doc_id)
+         |SELECT doc_id, source, gate_family IS NULL AS keep, gate_family
+         |FROM j""").stripMargin.replace("\n", " ")
+    },
     "docs_gopher_gate" -> {
       // both per-doc profile chains joined to sources, then the 13
       // paper thresholds as CASE counters - every comparison is a

@@ -277,6 +277,31 @@ object TextAnalysis {
     "dup7gram_char_fraction" -> 0.13, "dup8gram_char_fraction" -> 0.12,
     "dup9gram_char_fraction" -> 0.11, "dup10gram_char_fraction" -> 0.10)
 
+  /** Per-document APPLY form of [[gopherGate]] — the decision a
+    * curation pipeline actually consumes: one row per doc with
+    * `keep` and, for dropped docs, the FIRST firing gate family in
+    * fixed precedence (line → para → top-gram → dup-gram; a
+    * deterministic CASE both engines evaluate identically). Same
+    * threshold table, same two profile scans.
+    */
+  def gopherGateApply(docs: DataFrame, linedDocs: DataFrame): DataFrame = {
+    def fam(names: String*) =
+      names.map(n => col(n) > lit(GopherGateThresholds.toMap.apply(n)))
+        .reduce(_ || _)
+    gopherRepetition(linedDocs)
+      .join(dupNgramMass(linedDocs).drop("tok_chars"), Seq("doc_id"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("gate_family",
+        when(fam("dup_line_fraction", "dup_line_char_fraction"), "line")
+          .when(fam("dup_para_fraction", "dup_para_char_fraction"), "para")
+          .when(fam("top2gram_char_fraction", "top3gram_char_fraction",
+            "top4gram_char_fraction"), "top_gram")
+          .when(fam((5 to 10).map(n => s"dup${n}gram_char_fraction"): _*),
+            "dup_gram"))
+      .withColumn("keep", col("gate_family").isNull)
+      .select("doc_id", "source", "keep", "gate_family")
+  }
+
   /** The Gopher repetition suite applied as an actual per-source
     * GATE — the fleet-scale readout the per-doc profiles feed: for
     * each source, how many documents the paper's 13 repetition

@@ -88,6 +88,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("clean") == ((1L, 0L, 0L, 0L, 0L, 0.0)), s"${out("clean")}")
   }
 
+  test("gopherGateApply: family precedence is line > para > top > dup") {
+    val lined = Seq(
+      // duplicated LINES inside one paragraph (line gate fires first)
+      (0L, "a b c d e\na b c d e\na b c d e\nz z z z z"),
+      (1L, ('a' to 'z').map(_.toString).grouped(2)
+        .map(_.mkString(" ")).mkString("\n"))).toDF("doc_id", "text")
+    val docs = Seq((0L, "s"), (1L, "s")).toDF("doc_id", "source")
+    val out = TextAnalysis.gopherGateApply(docs, lined).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    assert(out(0L) == ((false, Some("line"))), s"${out(0L)}")
+    assert(out(1L) == ((true, None)), s"${out(1L)}")
+  }
+
   test("dupNgramMass counts code points, not UTF-16 units") {
     // 𝄞 is an astral char: String.length 2, SQL length 1 — the
     // kernel must agree with the oracle's length()
