@@ -442,6 +442,12 @@ object SparkEntry {
     "docs_gopher_apply" -> ((s, dir) =>
       TextAnalysis.gopherGateApply(Tables.documents(s, dir),
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+    // the same gate at STREAM intake: one row-local projection,
+    // append mode, zero state stores
+    "stream_gopher_gate" -> ((s, dir) =>
+      graft.streaming.DocStream.repetitionGate(
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir),
+          keep = Seq("source")))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -3390,6 +3396,17 @@ object SparkEntry {
       // same lined-corpus replay; the quadratic textbook
       // definition the fused kernel must reproduce exactly
       s"WITH $linedCtes, $dupMassCtes SELECT * FROM dng",
+    "stream_gopher_gate" -> {
+      // survivors of the 13-threshold gate: same chains, NOT(any)
+      val th = operators.TextAnalysis.GopherGateThresholds.toMap
+      val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
+        .mkString("(", " OR ", ")")
+      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes
+         |SELECT r.doc_id, d.source
+         |FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         |JOIN documents d ON d.doc_id = r.doc_id
+         |WHERE NOT $fAny""").stripMargin.replace("\n", " ")
+    },
     "docs_gopher_apply" -> {
       // per-doc CASE in fixed family precedence over the same joined
       // profile relation; keep = no family fired

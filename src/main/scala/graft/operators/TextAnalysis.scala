@@ -150,8 +150,9 @@ object TextAnalysis {
     * per-row string arithmetic, replayed verbatim by the oracle.
     */
   def synthLinedCorpus(docs: DataFrame, lineTok: Int = 2, paraTok: Int = 8,
-                       dupMod: Int = 5): DataFrame =
-    Spread.spread(docs.select(col("doc_id"), tokens(col("text")).as("toks")))
+                       dupMod: Int = 5, keep: Seq[String] = Nil): DataFrame =
+    Spread.spread(docs.select(col("doc_id") +: tokens(col("text")).as("toks")
+        +: keep.map(col): _*))
       .withColumn("pieces", expr(
         s"transform(toks, (t, i) -> CASE WHEN i = 0 THEN t " +
           s"WHEN i % $paraTok = 0 THEN '\\n\\n' || t " +
@@ -162,7 +163,7 @@ object TextAnalysis {
           concat(col("lined"), lit("\n\n"),
             concat_ws("", slice(col("pieces"), 1, paraTok))))
           .otherwise(col("lined")))
-      .select("doc_id", "text")
+      .select((Seq("doc_id", "text") ++ keep).map(col): _*)
 
   /** The REST of the Gopher repetition suite (Rae et al. 2021,
     * table A1) beside [[repetition]]'s duplicate-bigram fraction:
@@ -178,15 +179,16 @@ object TextAnalysis {
     * whole profile is per-row array arithmetic over one tokenize +
     * two splits: no shuffle, scales with the scan like the sibling.
     */
-  def gopherRepetition(docs0: DataFrame): DataFrame = {
-    val docs = Spread.spread(docs0)
-    // every within-doc multiplicity question runs as a SORTED-RUN
-    // fold, O(G log G) per doc, never the naive O(G²)
-    // count-per-distinct-element nest (HOF lambdas evaluate
-    // interpreted, so the quadratic kernel was the measured
-    // bottleneck at bench scale — 8.4 s → sub-second). The oracle
-    // keeps the quadratic textbook definition: both compute the same
-    // discrete (count, gram) answer, which is the point.
+  /** ALL 13 Gopher repetition metrics as ONE row-local projection
+    * over (…, text) — the single definition the batch profile pair,
+    * the gate keys, and the streaming intake gate share, so the
+    * metric expressions can never drift between them. Segment
+    * multiplicity runs as SORTED-RUN folds (O(L log L); the naive
+    * count-per-distinct nest is quadratic in interpreted lambda
+    * evaluation), gram work rides the two fused native kernels.
+    * Adds the metric columns; passes every input column through.
+    */
+  private[graft] def gopherMetricCols(docs: DataFrame): DataFrame = {
     def dupChars(c: String) = expr(
       // runs in the sorted array: entering a run's 2nd element bills
       // BOTH occurrences, each further element bills itself
@@ -201,21 +203,21 @@ object TextAnalysis {
       s"aggregate($c, 0L, (acc, s) -> acc + length(s))")
     def frac(num: Column, den: Column): Column =
       when(den > 0, num / den).otherwise(lit(0.0))
-    // top-{2,3,4}-gram argmax via the fused native kernel (one
-    // codegen'd pass; the interpreted sort/fold spelling evaluated a
-    // lambda per element per k); tie-break and char counting match
-    // array_min / SQL length exactly (byte order, code points)
-    val withGrams = docs.select(col("doc_id"), tokens(col("text")).as("toks"),
-        expr("filter(split(text, '\\n'), x -> x <> '')").as("lines"),
-        expr("filter(split(text, '\\n\\n'), x -> x <> '')").as("paras"))
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("lines", expr("filter(split(text, '\\n'), x -> x <> '')"))
+      .withColumn("paras", expr("filter(split(text, '\\n\\n'), x -> x <> '')"))
       .withColumn("tok_chars", length(concat_ws(" ", col("toks"))).cast("long"))
       .withColumn("tg", gf.topNgramStats(col("toks"), 2, 4))
+      .withColumn("cov", gf.dupNgramCoverage(col("toks"), 5, 10))
       .withColumns((2 to 4).map(k => s"top${k}gram_char_fraction" ->
         when(col("tok_chars") > 0 && col("tg")(2 * (k - 2)) > 0,
           (col("tg")(2 * (k - 2)) * col("tg")(2 * (k - 2) + 1)) /
             col("tok_chars"))
           .otherwise(lit(0.0))).toMap)
-    withGrams
+      .withColumns((5 to 10).map(n => s"dup${n}gram_char_fraction" ->
+        when(col("cov")(0) > 0, col("cov")(n - 5 + 1) / col("cov")(0))
+          .otherwise(lit(0.0))).toMap)
       .withColumn("n_lines", size(col("lines")).cast("long"))
       .withColumn("n_paras", size(col("paras")).cast("long"))
       .withColumn("dup_line_fraction",
@@ -230,11 +232,31 @@ object TextAnalysis {
         frac(dupChars("lines"), totChars("lines")))
       .withColumn("dup_para_char_fraction",
         frac(dupChars("paras"), totChars("paras")))
+  }
+
+  /** The gate-family flag columns (f_line/f_para/f_top/f_dup) over a
+    * [[gopherMetricCols]] projection — the [[GopherGateThresholds]]
+    * applied once, shared by every gate consumer. */
+  private[graft] def gopherFlagCols(df: DataFrame): DataFrame = {
+    def fam(names: String*) =
+      names.map(n => col(n) > lit(GopherGateThresholds.toMap.apply(n)))
+        .reduce(_ || _)
+    df.withColumn("f_line",
+        fam("dup_line_fraction", "dup_line_char_fraction"))
+      .withColumn("f_para",
+        fam("dup_para_fraction", "dup_para_char_fraction"))
+      .withColumn("f_top", fam("top2gram_char_fraction",
+        "top3gram_char_fraction", "top4gram_char_fraction"))
+      .withColumn("f_dup", fam((5 to 10).map(n =>
+        s"dup${n}gram_char_fraction"): _*))
+  }
+
+  def gopherRepetition(docs0: DataFrame): DataFrame =
+    gopherMetricCols(Spread.spread(docs0.select("doc_id", "text")))
       .select("doc_id", "n_lines", "n_paras", "dup_line_fraction",
         "dup_para_fraction", "dup_line_char_fraction",
         "dup_para_char_fraction", "top2gram_char_fraction",
         "top3gram_char_fraction", "top4gram_char_fraction")
-  }
 
   /** The dup-n-gram half of the Gopher repetition table (Rae et al.
     * 2021, A1) beside [[gopherRepetition]]'s top-n-gram mass: for
@@ -282,25 +304,17 @@ object TextAnalysis {
     * `keep` and, for dropped docs, the FIRST firing gate family in
     * fixed precedence (line → para → top-gram → dup-gram; a
     * deterministic CASE both engines evaluate identically). Same
-    * threshold table, same two profile scans.
+    * threshold table, same single-projection metric pass.
     */
-  def gopherGateApply(docs: DataFrame, linedDocs: DataFrame): DataFrame = {
-    def fam(names: String*) =
-      names.map(n => col(n) > lit(GopherGateThresholds.toMap.apply(n)))
-        .reduce(_ || _)
-    gopherRepetition(linedDocs)
-      .join(dupNgramMass(linedDocs).drop("tok_chars"), Seq("doc_id"))
+  def gopherGateApply(docs: DataFrame, linedDocs: DataFrame): DataFrame =
+    gopherFlagCols(gopherMetricCols(
+        Spread.spread(linedDocs.select("doc_id", "text"))))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .withColumn("gate_family",
-        when(fam("dup_line_fraction", "dup_line_char_fraction"), "line")
-          .when(fam("dup_para_fraction", "dup_para_char_fraction"), "para")
-          .when(fam("top2gram_char_fraction", "top3gram_char_fraction",
-            "top4gram_char_fraction"), "top_gram")
-          .when(fam((5 to 10).map(n => s"dup${n}gram_char_fraction"): _*),
-            "dup_gram"))
+        when(col("f_line"), "line").when(col("f_para"), "para")
+          .when(col("f_top"), "top_gram").when(col("f_dup"), "dup_gram"))
       .withColumn("keep", col("gate_family").isNull)
       .select("doc_id", "source", "keep", "gate_family")
-  }
 
   /** The Gopher repetition suite applied as an actual per-source
     * GATE — the fleet-scale readout the per-doc profiles feed: for
@@ -310,27 +324,16 @@ object TextAnalysis {
     * any-gate total and its share. Every threshold comparison is a
     * double computed as ONE division of exact integers compared to
     * a shared literal — deterministic cross-engine — so all outputs
-    * are integer counts and one final single division. Plan: the two
-    * per-doc profile scans join on doc_id (narrow; both derive from
-    * one corpus pass each), one hash aggregate on source.
+    * are integer counts and one final single division. Plan: ONE
+    * row-local metric projection (both fused kernels + the segment
+    * folds — [[gopherMetricCols]], the stream-safe shape) joined to
+    * sources, one hash aggregate.
     */
   def gopherGate(docs: DataFrame, linedDocs: DataFrame): DataFrame = {
-    def fam(names: String*) =
-      names.map(n => col(n) > lit(GopherGateThresholds.toMap.apply(n)))
-        .reduce(_ || _)
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    val prof = gopherRepetition(linedDocs)
-    val mass = dupNgramMass(linedDocs)
-    val flagged = prof.join(mass.drop("tok_chars"), Seq("doc_id"))
+    val flagged = gopherFlagCols(gopherMetricCols(
+        Spread.spread(linedDocs.select("doc_id", "text"))))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .withColumn("f_line",
-        fam("dup_line_fraction", "dup_line_char_fraction"))
-      .withColumn("f_para",
-        fam("dup_para_fraction", "dup_para_char_fraction"))
-      .withColumn("f_top", fam("top2gram_char_fraction",
-        "top3gram_char_fraction", "top4gram_char_fraction"))
-      .withColumn("f_dup", fam((5 to 10).map(n =>
-        s"dup${n}gram_char_fraction"): _*))
     flagged.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         cnt(col("f_line")).as("n_dup_line_gate"),

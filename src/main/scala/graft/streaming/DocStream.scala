@@ -49,6 +49,22 @@ object DocStream {
       .select("doc_id", "n_tokens", "quality_score")
   }
 
+  /** Streaming repetition gate — the 13 Gopher thresholds applied
+    * at ingest: the whole metric computation is ONE row-local
+    * projection ([[TextAnalysis.gopherMetricCols]], two fused
+    * native kernels + segment folds), so the stream query runs in
+    * append mode with ZERO state stores, the same contract as
+    * [[curateGate]]. Emits surviving (doc_id, source); the dropped
+    * docs' family attribution is the batch diagnostics' job
+    * (`docs_gopher_gate` / `docs_gopher_apply`). The batch run is
+    * the oracle twin — same expressions, same thresholds.
+    */
+  def repetitionGate(docs: DataFrame): DataFrame =
+    TextAnalysis.gopherFlagCols(TextAnalysis.gopherMetricCols(docs))
+      .filter(!col("f_line") && !col("f_para") &&
+        !col("f_top") && !col("f_dup"))
+      .select("doc_id", "source")
+
   case class SampEv(doc_id: Long, source: String, skey: String)
   case class SampState(keep: List[(String, Long)])
   case class SampleRow(source: String, sample_rank: Long, doc_id: Long)

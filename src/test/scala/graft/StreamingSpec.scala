@@ -823,6 +823,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("repetitionGate streams append-mode with ZERO state, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val lined = graft.operators.TextAnalysis.synthLinedCorpus(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      keep = Seq("source"))
+    val batchKept = graft.streaming.DocStream.repetitionGate(lined)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batchKept.nonEmpty && batchKept.size < lined.count(),
+      "the gate must keep some docs and drop some (planted repeats)")
+
+    val mem = MemoryStream[StreamingSpec.LinedDoc]
+    val q = graft.streaming.DocStream.repetitionGate(mem.toDF())
+      .writeStream.format("memory").queryName("rep_gate_test")
+      .outputMode("append").start()
+    try {
+      val rows = lined.collect().map(r =>
+        StreamingSpec.LinedDoc(r.getLong(0), r.getString(1), r.getString(2)))
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rep_gate_test").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batchKept,
+        "streaming gate must admit exactly the batch gate's documents")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty,
+        s"gate must be stateless, found state operators: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
   // event set exercising every funnel edge: in-batch disorder, a
   // click at EXACTLY the signup ts (strict inequality must reject),
   // a purchase before its click (rejected), a user who never signs up
@@ -1286,4 +1317,5 @@ class StreamingSpec extends SparkSpec {
 object StreamingSpec {
   final case class Doc(doc_id: Long, text: String)
   final case class SrcDoc(doc_id: Long, source: String)
+  final case class LinedDoc(doc_id: Long, text: String, source: String)
 }
