@@ -1213,6 +1213,14 @@ object SparkEntry {
     // division (an unscaled dim leaves the key prefix constant and
     // every row lands in one bucket); the max() pair is a one-row
     // broadcast, same pattern as the calendar midpoints
+    // compaction planner over a per-source synthetic file manifest
+    // (file grain = doc_id % 37, bytes = exact char mass)
+    "lake_compaction_plan" -> ((s, dir) =>
+      graft.sources.Lake.compactionPlan(
+        Tables.documents(s, dir)
+          .groupBy(col("source").as("part"),
+            (col("doc_id") % 37).as("file_id"))
+          .agg(sum("n_chars").as("bytes")))),
     "lake_zorder_plan" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val stats = o.agg(
@@ -6581,6 +6589,25 @@ object SparkEntry {
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
         |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
+    "lake_compaction_plan" ->
+      // same manifest + the same prefix-sum rule in window SQL;
+      // everything integer, bit-replayable
+      """WITH m AS (SELECT source AS part,
+        |  CAST(doc_id % 37 AS BIGINT) AS file_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes
+        | FROM documents GROUP BY 1, 2),
+        |b AS (SELECT part, file_id, bytes,
+        |  COALESCE(sum(bytes) OVER (PARTITION BY part
+        |    ORDER BY bytes DESC, file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cum_before FROM m)
+        |SELECT part, file_id, bytes,
+        | CAST(cum_before // 4096 AS BIGINT) AS bin,
+        | CAST(sum(bytes) OVER (PARTITION BY part, cum_before // 4096)
+        |  AS BIGINT) AS bin_bytes,
+        | CAST(count(*) OVER (PARTITION BY part, cum_before // 4096)
+        |  AS BIGINT) AS bin_files
+        |FROM b""".stripMargin.replace("\n", " "),
     "lake_zorder_plan" -> {
       // the 2×16-bit Morton interleave unrolled term-by-term (dim 0
       // at even bit positions, dim 1 at odd — zorderValue's layout),

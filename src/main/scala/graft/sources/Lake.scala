@@ -75,6 +75,40 @@ object Lake {
           Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n"))): _*)
   }
 
+  /** Small-file COMPACTION plan over a file manifest — the other
+    * half of lakehouse layout maintenance beside [[zorderPlan]]
+    * (streaming/incremental ingest leaves thousands of small files
+    * per partition; scan cost then tracks file COUNT, not bytes):
+    * given (part, file_id, bytes), assign files to target-size
+    * output groups by the sorted prefix-sum rule — files ordered
+    * bytes DESC then file_id within their partition, and the
+    * cumulative bytes of the PRECEDING files integer-divided by
+    * `targetBytes` is the bin. Deterministic, ONE window pass over
+    * the manifest (file-count-sized, never the data), no driver
+    * state — the same plan at 100 TB, where the manifest is the
+    * table metadata a lakehouse already keeps. Optimal bin packing
+    * is NP-hard; every production compactor ships a greedy rule,
+    * and prefix-sum binning is the one that needs no sequential
+    * state. Oversized files land alone in their own bin. Emits the
+    * executable plan with its per-bin rollup:
+    * (part, file_id, bytes, bin, bin_bytes, bin_files).
+    */
+  def compactionPlan(manifest: DataFrame,
+                     targetBytes: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("part")
+      .orderBy(col("bytes").desc, col("file_id"))
+    val wb = Window.partitionBy("part", "bin")
+    manifest
+      .withColumn("cum_before",
+        coalesce(sum(col("bytes")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div ${targetBytes}L"))
+      .withColumn("bin_bytes", sum("bytes").over(wb))
+      .withColumn("bin_files", count(lit(1)).over(wb))
+      .select("part", "file_id", "bytes", "bin", "bin_bytes", "bin_files")
+  }
+
   /** Write parquet range-partitioned + sorted by the z-order key of
     * `dims`: each output file covers a tight hyper-rectangle of the
     * clustered dimensions, so min/max stats prune on any of them.

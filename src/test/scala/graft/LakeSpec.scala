@@ -94,6 +94,26 @@ class LakeSpec extends SparkSpec {
     assert(out.count() == 1000)
   }
 
+  test("compactionPlan: prefix-sum bins, oversized file isolated, hand-computed") {
+    val manifest = Seq(
+      // part a, target 7: sorted desc [5,4,3,2,1], cum_before
+      // [0,5,9,12,14] -> bins [0,0,1,1,2]
+      ("a", 1L, 5L), ("a", 2L, 4L), ("a", 3L, 3L), ("a", 4L, 2L),
+      ("a", 5L, 1L),
+      // part b: a 20-byte monster sits alone in bin 0; the next file
+      // starts at cum 20 -> bin 2
+      ("b", 1L, 20L), ("b", 2L, 3L))
+      .toDF("part", "file_id", "bytes")
+    val out = Lake.compactionPlan(manifest, targetBytes = 7L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(("a", 1L)) == ((0L, 9L, 2L)) && out(("a", 2L)) == ((0L, 9L, 2L)))
+    assert(out(("a", 3L)) == ((1L, 5L, 2L)) && out(("a", 4L)) == ((1L, 5L, 2L)))
+    assert(out(("a", 5L)) == ((2L, 1L, 1L)))
+    assert(out(("b", 1L)) == ((0L, 20L, 1L)), "oversized file gets its own bin")
+    assert(out(("b", 2L)) == ((2L, 3L, 1L)))
+  }
+
   test("zorderValue interleaves bits like the reference computation") {
     def ref(xs: Seq[Long], bits: Int): Long = {
       var z = 0L
