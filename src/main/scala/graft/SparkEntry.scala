@@ -442,6 +442,10 @@ object SparkEntry {
     "docs_gopher_apply" -> ((s, dir) =>
       TextAnalysis.gopherGateApply(Tables.documents(s, dir),
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+    // what the gate costs the budget: per-source kept docs/tokens
+    "docs_gopher_cost" -> ((s, dir) =>
+      TextAnalysis.gopherGateCost(Tables.documents(s, dir),
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
     // the same gate at STREAM intake: one row-local projection,
     // append mode, zero state stores
     "stream_gopher_gate" -> ((s, dir) =>
@@ -3404,6 +3408,29 @@ object SparkEntry {
       // same lined-corpus replay; the quadratic textbook
       // definition the fused kernel must reproduce exactly
       s"WITH $linedCtes, $dupMassCtes SELECT * FROM dng",
+    "docs_gopher_cost" -> {
+      // survivors chain joined to RAW token counts; all sums exact
+      val th = operators.TextAnalysis.GopherGateThresholds.toMap
+      val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
+        .mkString("(", " OR ", ")")
+      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes,
+         |k AS (SELECT r.doc_id, NOT $fAny AS keep
+         | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id),
+         |tc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+         | FROM t)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(tc.n_toks) AS BIGINT) AS tokens_total,
+         | CAST(sum(CASE WHEN k.keep THEN tc.n_toks ELSE 0 END) AS BIGINT)
+         |  AS tokens_kept,
+         | CASE WHEN sum(tc.n_toks) > 0 THEN
+         |  CAST(sum(CASE WHEN k.keep THEN tc.n_toks ELSE 0 END) AS BIGINT)
+         |   / CAST(sum(tc.n_toks) AS BIGINT)
+         |  ELSE 0.0 END AS token_retention
+         |FROM documents d JOIN k ON k.doc_id = d.doc_id
+         |JOIN tc ON tc.doc_id = d.doc_id
+         |GROUP BY 1""").stripMargin.replace("\n", " ")
+    },
     "stream_gopher_gate" -> {
       // survivors of the 13-threshold gate: same chains, NOT(any)
       val th = operators.TextAnalysis.GopherGateThresholds.toMap

@@ -345,6 +345,28 @@ object TextAnalysis {
       .withColumn("flag_share", col("n_flagged") / col("n_docs"))
   }
 
+  /** Budget COST of the Gopher gate, per source — what the
+    * repetition thresholds charge the training mix: docs and
+    * whitespace tokens of the RAW corpus (the budget currency; the
+    * lined fixture exists only to exercise the gate) split into kept
+    * vs total, with retention as one division of exact sums. The
+    * gate decision joins back to the raw token counts on doc_id —
+    * 8-byte keys, one aggregate.
+    */
+  def gopherGateCost(docs: DataFrame, linedDocs: DataFrame): DataFrame =
+    gopherGateApply(docs, linedDocs).select("doc_id", "source", "keep")
+      .join(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("tokens_kept"))
+      .withColumn("token_retention",
+        when(col("tokens_total") > 0,
+          col("tokens_kept") / col("tokens_total")).otherwise(lit(0.0)))
+
   /** Corpus-wide top token bigrams — vocabulary/boilerplate
     * analysis. Explode + count + deterministic top-N (ties broken
     * lexically). The explode stays partition-local; only (bigram,

@@ -101,6 +101,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) == ((true, None)), s"${out(1L)}")
   }
 
+  test("gopherGateCost charges dropped docs' raw tokens to the source") {
+    val lined = Seq(
+      (0L, "a b c d e\na b c d e\n\na b c d e\na b c d e"),
+      (1L, ('a' to 'z').map(_.toString).grouped(2)
+        .map(_.mkString(" ")).mkString("\n"))).toDF("doc_id", "text")
+    // RAW corpus: doc 0 has 4 raw tokens, doc 1 has 26
+    val docs = Seq((0L, "s", "w x y z"),
+      (1L, "s", ('a' to 'z').map(_.toString).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.gopherGateCost(docs, lined).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((2L, 1L, 30L, 26L)), s"$r")
+    assert(math.abs(r.getDouble(5) - 26.0 / 30) < 1e-15)
+  }
+
   test("dupNgramMass counts code points, not UTF-16 units") {
     // 𝄞 is an astral char: String.length 2, SQL length 1 — the
     // kernel must agree with the oracle's length()
