@@ -836,6 +836,9 @@ object SparkEntry {
     "mm_phash_dedup" -> ((s, dir) =>
       Multimodal.phashSummary(
         Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
+    "mm_phash_groups" -> ((s, dir) =>
+      Multimodal.phashGroups(
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -4245,6 +4248,23 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6""").stripMargin
         .replace("\n", " "),
+    "mm_phash_groups" ->
+      // recursive reachability closure over the exhaustive pair
+      // relation: label = min id reachable through undirected edges
+      (s"""WITH RECURSIVE $phashSigCtes,
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id)
+         |SELECT doc_id, group_id, doc_id = group_id AS keep
+         |FROM lab""").stripMargin.replace("\n", " "),
     "mm_phash_dedup" ->
       // per-blob summary tail: the keep decision over the same
       // exhaustive pair relation (keep = no smaller-id perceptual

@@ -529,6 +529,18 @@ object Multimodal {
       phashPairs(blobs, side, maxHamming, bands)
         .withColumn("sim", lit(56) - col("hamming")), "sim")
 
+  /** Transitive closure of [[phashPairs]] — perceptual duplicate
+    * GROUPS (a re-encode of a re-encode chains to its root):
+    * min-label components via [[Dedup.dedupGroups]]'s adaptive
+    * pointer-doubling propagation, one row per blob with its group
+    * label and the min-id survivor flag. Completes the perceptual
+    * tier's pairs → summary → groups parity with the text dedup
+    * family. */
+  def phashGroups(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
+                  bands: Int = 7): DataFrame =
+    Dedup.dedupGroups(blobs.select("doc_id"),
+      phashPairs(blobs, side, maxHamming, bands))
+
   /** Per-document pooled feature embedding: decode frames, mean-pool
     * their (stub) features into one `array<float>` per document —
     * the bridge from binary payloads into the [[Similarity]] ANN /

@@ -369,6 +369,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L) == ((1L, true)) && out(10L) == ((1L, true)))
   }
 
+  test("phashGroups: planted copies land in their originals' groups") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val out = Multimodal.phashGroups(
+        Multimodal.synthMixedCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (copy, orig) =>
+      assert(out(copy) == ((orig, false)), s"copy $copy: ${out(copy)}")
+      assert(out(orig) == ((orig, true)), s"orig $orig: ${out(orig)}")
+    }
+    assert(out.count(!_._2._2) == 3, "exactly the three copies suppress")
+  }
+
   test("audioFeatures: a STEREO payload throws instead of interleaving") {
     // a linear sample walk over interleaved stereo would alternate
     // L/R and corrupt rms + zero-crossings — the mono contract must
