@@ -79,6 +79,17 @@ object SparkEntry {
     setsCache.getOrElseUpdate((s, dir), primeTimed("shingle_sets")(
       Dedup.blockingTrunk(Tables.documents(s, dir)).sets
         .localCheckpoint(true)))
+  // perceptual-hash signature store: the decode runs ONCE per
+  // (session, dir) — production persists these per corpus snapshot;
+  // all three phash keys read the store instead of re-decoding
+  private val phashSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedPhashSigs(s: SparkSession, dir: String): DataFrame =
+    phashSigCache.getOrElseUpdate((s, dir), primeTimed("phash_sigs")(
+      operators.Multimodal.phashSignatures(
+        operators.Multimodal.synthMixedCorpus(Tables.documents(s, dir)))
+        .localCheckpoint(true)))
+
   private val candsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   // sets and candidates cache separately: minhash/groups consume only
@@ -230,6 +241,7 @@ object SparkEntry {
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(Future.sequence(Seq(
       Future(sharedBlockedPairs(s, dir)),
+      Future(sharedPhashSigs(s, dir)),
       Future { sharedBasketTrunk(s, dir); sharedBasketPairs(s, dir) },
       Future(sharedBm25Postings(s, dir)),
       Future(annIndexPaths(s, dir)))), Duration.Inf)
@@ -830,15 +842,18 @@ object SparkEntry {
     // definition with no candidate rule
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.phashPairs(
-        Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedPhashSigs(s, dir)))),
     // the keep decision over the perceptual pairs: BMP re-encodes
     // suppress, PNG originals survive
     "mm_phash_dedup" -> ((s, dir) =>
       Multimodal.phashSummary(
-        Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedPhashSigs(s, dir)))),
     "mm_phash_groups" -> ((s, dir) =>
       Multimodal.phashGroups(
-        Multimodal.synthMixedCorpus(Tables.documents(s, dir)))),
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedPhashSigs(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),

@@ -485,7 +485,8 @@ object Multimodal {
     * the SimHash tier carries — a documented recall trade, not a
     * default. */
   def phashPairs(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
-                 bands: Int = 7): DataFrame = {
+                 bands: Int = 7,
+                 sigs: Option[DataFrame] = None): DataFrame = {
     val totalBits = side * (side - 1)
     require(totalBits % bands == 0,
       s"bands must divide $totalBits, got $bands")
@@ -497,9 +498,11 @@ object Multimodal {
     // relation — without the pin each side re-runs the DECODE (and,
     // on the synth fixture, the encode) over every payload. The pin
     // is two longs per doc; the codec pass it halves is the key's
-    // dominant cost.
-    val sigs = phashSignatures(blobs, side).localCheckpoint(true)
-    val banded = sigs.select(col("doc_id"), col("dhash"),
+    // dominant cost. A caller holding a persisted signature store
+    // (the production shape — perceptual hashes are written once per
+    // corpus snapshot) threads it in and skips the decode entirely.
+    val sg = sigs.getOrElse(phashSignatures(blobs, side).localCheckpoint(true))
+    val banded = sg.select(col("doc_id"), col("dhash"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> shiftright(dhash, b * $bits) & ${mask}L)")))
@@ -524,9 +527,11 @@ object Multimodal {
     * corpus exactly the BMP re-encodes (doc_id % 10 == 1) read
     * keep = false while their PNG originals survive. */
   def phashSummary(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
-                   bands: Int = 7): DataFrame =
-    Dedup.pairSummary(blobs,
-      phashPairs(blobs, side, maxHamming, bands)
+                   bands: Int = 7,
+                   sigs: Option[DataFrame] = None): DataFrame =
+    Dedup.pairSummary(
+      sigs.map(_.select("doc_id")).getOrElse(blobs),
+      phashPairs(blobs, side, maxHamming, bands, sigs)
         .withColumn("sim", lit(56) - col("hamming")), "sim")
 
   /** Transitive closure of [[phashPairs]] — perceptual duplicate
@@ -537,9 +542,11 @@ object Multimodal {
     * tier's pairs → summary → groups parity with the text dedup
     * family. */
   def phashGroups(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
-                  bands: Int = 7): DataFrame =
-    Dedup.dedupGroups(blobs.select("doc_id"),
-      phashPairs(blobs, side, maxHamming, bands))
+                  bands: Int = 7,
+                  sigs: Option[DataFrame] = None): DataFrame =
+    Dedup.dedupGroups(
+      sigs.map(_.select("doc_id")).getOrElse(blobs.select("doc_id")),
+      phashPairs(blobs, side, maxHamming, bands, sigs))
 
   /** Per-document pooled feature embedding: decode frames, mean-pool
     * their (stub) features into one `array<float>` per document —

@@ -203,13 +203,34 @@ object TextAnalysis {
       s"aggregate($c, 0L, (acc, s) -> acc + length(s))")
     def frac(num: Column, den: Column): Column =
       when(den > 0, num / den).otherwise(lit(0.0))
-    docs
+    // TWO stacked projections, deliberately: the first materializes
+    // every NON-CHEAP base (token/segment arrays, both fused
+    // kernels, the sorted-run fold sums) exactly once per row; the
+    // second derives the fraction columns from those bases. The
+    // bases are multi-referenced non-cheap aliases, which is
+    // precisely the shape CollapseProject refuses to inline — so a
+    // downstream consumer that folds all 13 metrics into ONE
+    // predicate (the streaming gate) cannot trigger a re-expansion
+    // of the kernels per reference (measured: the collapsed
+    // single-tree spelling re-evaluated the coverage kernel 7x and
+    // the splits ~15x, 0.9 s -> 5.6 s).
+    val bases = docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("lines", expr("filter(split(text, '\\n'), x -> x <> '')"))
       .withColumn("paras", expr("filter(split(text, '\\n\\n'), x -> x <> '')"))
-      .withColumn("tok_chars", length(concat_ws(" ", col("toks"))).cast("long"))
-      .withColumn("tg", gf.topNgramStats(col("toks"), 2, 4))
-      .withColumn("cov", gf.dupNgramCoverage(col("toks"), 5, 10))
+      .select(col("*"),
+        length(concat_ws(" ", col("toks"))).cast("long").as("tok_chars"),
+        gf.topNgramStats(col("toks"), 2, 4).as("tg"),
+        gf.dupNgramCoverage(col("toks"), 5, 10).as("cov"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("paras")).cast("long").as("n_paras"),
+        size(array_distinct(col("lines"))).as("n_dist_lines"),
+        size(array_distinct(col("paras"))).as("n_dist_paras"),
+        dupChars("lines").as("dup_line_chars"),
+        totChars("lines").as("line_chars"),
+        dupChars("paras").as("dup_para_chars"),
+        totChars("paras").as("para_chars"))
+    bases
       .withColumns((2 to 4).map(k => s"top${k}gram_char_fraction" ->
         when(col("tok_chars") > 0 && col("tg")(2 * (k - 2)) > 0,
           (col("tg")(2 * (k - 2)) * col("tg")(2 * (k - 2) + 1)) /
@@ -218,20 +239,18 @@ object TextAnalysis {
       .withColumns((5 to 10).map(n => s"dup${n}gram_char_fraction" ->
         when(col("cov")(0) > 0, col("cov")(n - 5 + 1) / col("cov")(0))
           .otherwise(lit(0.0))).toMap)
-      .withColumn("n_lines", size(col("lines")).cast("long"))
-      .withColumn("n_paras", size(col("paras")).cast("long"))
       .withColumn("dup_line_fraction",
         when(col("n_lines") > 0,
-          lit(1.0) - size(array_distinct(col("lines"))) / col("n_lines"))
+          lit(1.0) - col("n_dist_lines") / col("n_lines"))
           .otherwise(lit(0.0)))
       .withColumn("dup_para_fraction",
         when(col("n_paras") > 0,
-          lit(1.0) - size(array_distinct(col("paras"))) / col("n_paras"))
+          lit(1.0) - col("n_dist_paras") / col("n_paras"))
           .otherwise(lit(0.0)))
       .withColumn("dup_line_char_fraction",
-        frac(dupChars("lines"), totChars("lines")))
+        frac(col("dup_line_chars"), col("line_chars")))
       .withColumn("dup_para_char_fraction",
-        frac(dupChars("paras"), totChars("paras")))
+        frac(col("dup_para_chars"), col("para_chars")))
   }
 
   /** The gate-family flag columns (f_line/f_para/f_top/f_dup) over a
