@@ -75,7 +75,8 @@ object ExplainMain {
       "mm_phash_pairs", "mm_phash_dedup", "text_repetition_profile",
       "text_bpe_apply", "text_dup_ngram_mass", "docs_gopher_gate",
       "docs_gopher_apply", "docs_gopher_cost", "stream_gopher_gate",
-      "mm_phash_dedup", "mm_phash_groups", "lake_compaction_plan")
+      "mm_phash_dedup", "mm_phash_groups", "lake_compaction_plan",
+      "docs_dup_ngram_corpus")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

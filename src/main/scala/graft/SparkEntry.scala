@@ -464,6 +464,10 @@ object SparkEntry {
       graft.streaming.DocStream.repetitionGate(
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir),
           keep = Seq("source")))),
+    // corpus-grain dup n-grams: char coverage of n-grams occurring
+    // in >= 2 distinct docs, rolled up per source (n=8)
+    "docs_dup_ngram_corpus" -> ((s, dir) =>
+      TextAnalysis.dupNgramCorpus(Tables.documents(s, dir))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -3426,6 +3430,39 @@ object SparkEntry {
       // same lined-corpus replay; the quadratic textbook
       // definition the fused kernel must reproduce exactly
       s"WITH $linedCtes, $dupMassCtes SELECT * FROM dng",
+    "docs_dup_ngram_corpus" ->
+      // cross-doc dup 8-grams over the RAW documents table: the
+      // textbook definition (distinct-doc count >= 2, position
+      // coverage union, exact integer counters, one division)
+      (toksCte +
+        """, tc AS (SELECT doc_id,
+          |  CAST(list_sum(list_transform(toks, x -> length(x)))
+          |   AS BIGINT) AS tok_chars FROM t),
+          |g AS (SELECT t.doc_id, u.i - 1 AS start,
+          |  array_to_string(t.toks[u.i:u.i + 7], ' ') AS ng
+          | FROM t, LATERAL (SELECT unnest(generate_series(1,
+          |   len(t.toks) - 7)) AS i) u
+          | WHERE len(t.toks) >= 8),
+          |d AS (SELECT ng FROM g GROUP BY ng
+          |  HAVING count(DISTINCT doc_id) >= 2),
+          |cpos AS (SELECT DISTINCT g.doc_id, u.p
+          | FROM g JOIN d USING (ng),
+          |  LATERAL (SELECT unnest(range(g.start, g.start + 8)) AS p) u),
+          |cc AS (SELECT c.doc_id,
+          |  CAST(sum(length(t.toks[c.p + 1])) AS BIGINT) AS dup_chars
+          | FROM cpos c JOIN t USING (doc_id) GROUP BY c.doc_id)
+          |SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+          | CAST(sum(CASE WHEN coalesce(cc.dup_chars, 0) > 0 THEN 1
+          |   ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
+          | CAST(sum(tc.tok_chars) AS BIGINT) AS tok_chars,
+          | CAST(sum(coalesce(cc.dup_chars, 0)) AS BIGINT) AS dup_chars,
+          | CASE WHEN sum(tc.tok_chars) > 0 THEN
+          |  CAST(sum(coalesce(cc.dup_chars, 0)) AS BIGINT)
+          |   / CAST(sum(tc.tok_chars) AS BIGINT)
+          |  ELSE 0.0 END AS dup_char_fraction
+          |FROM documents dd JOIN tc USING (doc_id)
+          |LEFT JOIN cc USING (doc_id)
+          |GROUP BY 1""".stripMargin.replace("\n", " ")),
     "docs_gopher_cost" -> {
       // survivors chain joined to RAW token counts; all sums exact
       val th = operators.TextAnalysis.GopherGateThresholds.toMap

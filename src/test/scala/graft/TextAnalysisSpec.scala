@@ -70,6 +70,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(c.getLong(1) == 0L && (2 to 7).forall(i => c.getDouble(i) == 0.0))
   }
 
+  test("dupNgramCorpus: cross-doc 8-grams only, within-doc repeats don't count") {
+    val docs = Seq(
+      // "a b c d e f g h" shared by docs 0 and 1 -> corpus-duplicated
+      (0L, "s1", "a b c d e f g h x"),
+      (1L, "s1", "z a b c d e f g h"),
+      // too short for any 8-gram
+      (2L, "s2", "p q r"),
+      // 8-gram repeated WITHIN one doc only -> 1 distinct doc, ignored
+      (3L, "s2", "m n o p q r s t m n o p q r s t"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupNgramCorpus(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    // s1: both docs covered on the shared gram's 8 positions
+    assert(out("s1") == ((2L, 2L, 18L, 16L, 16.0 / 18)), s"${out("s1")}")
+    // s2: the within-doc repeat contributes nothing
+    assert(out("s2") == ((2L, 0L, 19L, 0L, 0.0)), s"${out("s2")}")
+  }
+
   test("gopherGate: gate families fire exactly where their metrics cross") {
     val lined = Seq(
       // para duplicated verbatim -> para + line + dup-gram gates
