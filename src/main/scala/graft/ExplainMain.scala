@@ -76,7 +76,8 @@ object ExplainMain {
       "text_bpe_apply", "text_dup_ngram_mass", "docs_gopher_gate",
       "docs_gopher_apply", "docs_gopher_cost", "stream_gopher_gate",
       "mm_phash_dedup", "mm_phash_groups", "lake_compaction_plan",
-      "docs_dup_ngram_corpus")
+      "docs_dup_ngram_corpus", "docs_dup_line_removal",
+      "mm_phash_incremental", "lake_file_skipping")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -468,6 +468,12 @@ object SparkEntry {
     // in >= 2 distinct docs, rolled up per source (n=8)
     "docs_dup_ngram_corpus" -> ((s, dir) =>
       TextAnalysis.dupNgramCorpus(Tables.documents(s, dir))),
+    // C4 cross-document line dedup: keep the first occurrence of
+    // every identical line corpus-wide, bill the rest per source
+    "docs_dup_line_removal" -> ((s, dir) =>
+      TextAnalysis.dupLineRemoval(
+        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir),
+          keep = Seq("source")))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(Tables.documents(s, dir))),
     "q_events_funnel" -> ((s, dir) => EventOps.funnel(Tables.events(s, dir))),
@@ -858,6 +864,18 @@ object SparkEntry {
       Multimodal.phashGroups(
         Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedPhashSigs(s, dir)))),
+    // nightly-ingest perceptual dedup: new batch (doc_id % 5 == 1 —
+    // half planted BMP re-encodes that must match, half originals
+    // that must not) probes the signature STORE of the rest; both
+    // sides thread the pinned store, so history pays zero codec work
+    "mm_phash_incremental" -> ((s, dir) => {
+      val sigs = sharedPhashSigs(s, dir)
+      Multimodal.phashIncremental(
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir))
+          .filter(col("doc_id") % 5 === 1),
+        storeSigs = sigs.filter(col("doc_id") % 5 =!= 1),
+        newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
+    }),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -1254,6 +1272,22 @@ object SparkEntry {
         max(datediff(col("o_orderdate"), lit("1992-01-01"))).cast("long")
           .as("max_d"))
       graft.sources.Lake.zorderPlan(
+        o.crossJoin(broadcast(stats)).select(
+          expr("(o_custkey * 65536) div (max_c + 1)").as("cust16"),
+          expr(s"(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            s" * 65536) div (max_d + 1)").as("day16")),
+        Seq("cust16", "day16"))
+    }),
+    // the skip-rate readout BEHIND the z-order plan: same quantized
+    // dims, same file count — z-order skips on the non-leading dim,
+    // the single-sort layout cannot
+    "lake_file_skipping" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val stats = o.agg(
+        max(col("o_custkey")).as("max_c"),
+        max(datediff(col("o_orderdate"), lit("1992-01-01"))).cast("long")
+          .as("max_d"))
+      graft.sources.Lake.fileSkipping(
         o.crossJoin(broadcast(stats)).select(
           expr("(o_custkey * 65536) div (max_c + 1)").as("cust16"),
           expr(s"(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
@@ -3463,6 +3497,39 @@ object SparkEntry {
           |FROM documents dd JOIN tc USING (doc_id)
           |LEFT JOIN cc USING (doc_id)
           |GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "docs_dup_line_removal" ->
+      // keep-first over identical lines corpus-wide: row_number on
+      // the natural (doc_id, idx) order — discrete, tie-free; the
+      // lined replay's t2.lines IS the operator's filtered line list
+      (s"""WITH $linedCtes,
+        |lp AS (SELECT doc_id, u.i - 1 AS idx, lines[u.i] AS line
+        | FROM t2, LATERAL (SELECT unnest(generate_series(1,
+        |   len(lines))) AS i) u),
+        |fl AS (SELECT doc_id, idx, line, row_number() OVER
+        |  (PARTITION BY line ORDER BY doc_id, idx) AS rn FROM lp),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS lines_total,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS lines_removed,
+        |  CAST(sum(length(line)) AS BIGINT) AS line_chars,
+        |  CAST(sum(CASE WHEN rn > 1 THEN length(line) ELSE 0 END)
+        |   AS BIGINT) AS chars_removed
+        | FROM fl GROUP BY 1)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN coalesce(pd.lines_removed, 0) > 0 THEN 1
+        |   ELSE 0 END) AS BIGINT) AS n_docs_affected,
+        | CAST(sum(coalesce(pd.lines_total, 0)) AS BIGINT) AS lines_total,
+        | CAST(sum(coalesce(pd.lines_removed, 0)) AS BIGINT)
+        |  AS lines_removed,
+        | CAST(sum(coalesce(pd.line_chars, 0)) AS BIGINT) AS line_chars,
+        | CAST(sum(coalesce(pd.chars_removed, 0)) AS BIGINT)
+        |  AS chars_removed,
+        | CASE WHEN sum(coalesce(pd.line_chars, 0)) > 0 THEN
+        |  CAST(sum(coalesce(pd.line_chars, 0))
+        |    - sum(coalesce(pd.chars_removed, 0)) AS BIGINT)
+        |   / CAST(sum(coalesce(pd.line_chars, 0)) AS BIGINT)
+        |  ELSE 1.0 END AS char_retention
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |GROUP BY 1""").stripMargin.replace("\n", " "),
     "docs_gopher_cost" -> {
       // survivors chain joined to RAW token counts; all sums exact
       val th = operators.TextAnalysis.GopherGateThresholds.toMap
@@ -4317,6 +4384,32 @@ object SparkEntry {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, group_id, doc_id = group_id AS keep
          |FROM lab""").stripMargin.replace("\n", " "),
+    "mm_phash_incremental" ->
+      // EXHAUSTIVE new-batch x store comparison over the shared
+      // signature replay (no candidate rule — the banded plan must
+      // be lossless); best match = min (hamming, store_id)
+      (s"""WITH $phashSigCtes,
+        |nd AS (SELECT doc_id, dhash FROM sig WHERE doc_id % 5 = 1),
+        |st AS (SELECT doc_id AS store_id, dhash FROM sig
+        | WHERE doc_id % 5 <> 1),
+        |p AS (SELECT nd.doc_id, st.store_id,
+        |  CAST(bit_count(xor(nd.dhash, st.dhash)) AS INTEGER) AS hamming
+        | FROM nd JOIN st ON bit_count(xor(nd.dhash, st.dhash)) <= 6),
+        |b AS (SELECT doc_id, store_id, hamming, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY hamming, store_id) AS rn FROM p),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(max(CASE WHEN rn = 1 THEN store_id END) AS BIGINT)
+        |   AS match_id,
+        |  CAST(max(CASE WHEN rn = 1 THEN hamming END) AS INTEGER)
+        |   AS best_hamming
+        | FROM b GROUP BY 1)
+        |SELECT nd.doc_id,
+        | CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+        | CAST(coalesce(a.match_id, -1) AS BIGINT) AS match_id,
+        | CAST(coalesce(a.best_hamming, -1) AS INTEGER) AS best_hamming,
+        | coalesce(a.n_matches, 0) = 0 AS keep
+        |FROM nd LEFT JOIN agg a USING (doc_id)""").stripMargin
+        .replace("\n", " "),
     "mm_phash_dedup" ->
       // per-blob summary tail: the keep decision over the same
       // exhaustive pair relation (keep = no smaller-id perceptual
@@ -6734,6 +6827,48 @@ object SparkEntry {
          | CAST(min(y) AS BIGINT) AS min_day16,
          | CAST(max(y) AS BIGINT) AS max_day16
          |FROM z GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
+    "lake_file_skipping" -> {
+      // both manifests + the probe workload replayed in integer SQL:
+      // the z interleave shared with lake_zorder_plan, the
+      // single-sort bucket a plain top-bit prefix of the leading dim,
+      // the hit test the same [min,max]-intersects-band predicate
+      val terms = (0 until 16).flatMap { bit =>
+        Seq(s"((x // ${1L << bit}) % 2) * ${1L << (2 * bit)}",
+          s"((y // ${1L << bit}) % 2) * ${1L << (2 * bit + 1)}")
+      }.mkString(" + ")
+      s"""WITH mm AS (SELECT max(o_custkey) AS max_c,
+         |  max(CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+         |    AS BIGINT)) AS max_d FROM orders),
+         |q AS (SELECT
+         |  least(greatest((o_custkey * 65536) // (mm.max_c + 1), 0),
+         |    65535) AS x,
+         |  least(greatest((CAST(date_diff('day', DATE '1992-01-01',
+         |    o_orderdate) AS BIGINT) * 65536) // (mm.max_d + 1), 0),
+         |    65535) AS y
+         | FROM orders, mm),
+         |zm AS (SELECT 'zorder' AS layout,
+         |  ($terms) // ${1L << 26} AS file_bucket,
+         |  min(y) AS min_day16, max(y) AS max_day16 FROM q GROUP BY 2),
+         |sm AS (SELECT 'sorted_cust16' AS layout, x // ${1L << 10}
+         |   AS file_bucket,
+         |  min(y) AS min_day16, max(y) AS max_day16 FROM q GROUP BY 2),
+         |m AS (SELECT * FROM zm UNION ALL SELECT * FROM sm),
+         |nf AS (SELECT layout, count(*) AS n_files FROM m GROUP BY 1),
+         |pr AS (SELECT i AS probe_id, i * 8192 AS lo,
+         |  i * 8192 + 511 AS hi FROM range(8) t(i)),
+         |hits AS (SELECT m.layout, pr.probe_id, pr.lo, pr.hi,
+         |  sum(CASE WHEN m.min_day16 <= pr.hi AND m.max_day16 >= pr.lo
+         |    THEN 1 ELSE 0 END) AS files_hit
+         | FROM m, pr GROUP BY 1, 2, 3, 4)
+         |SELECT h.layout, CAST(h.probe_id AS BIGINT) AS probe_id,
+         | CAST(h.lo AS BIGINT) AS lo, CAST(h.hi AS BIGINT) AS hi,
+         | CAST(nf.n_files AS BIGINT) AS n_files,
+         | CAST(h.files_hit AS BIGINT) AS files_hit,
+         | CAST(nf.n_files - h.files_hit AS BIGINT)
+         |  / CAST(nf.n_files AS BIGINT) AS skip_rate
+         |FROM hits h JOIN nf USING (layout)""".stripMargin
+        .replace("\n", " ")
     },
     "text_bm25_topk" ->
       // same tokenization + df-capped postings trunk as the RRF

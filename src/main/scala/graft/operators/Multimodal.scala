@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.F): treat image/audio/
@@ -547,6 +548,63 @@ object Multimodal {
     Dedup.dedupGroups(
       sigs.map(_.select("doc_id")).getOrElse(blobs.select("doc_id")),
       phashPairs(blobs, side, maxHamming, bands, sigs))
+
+  /** Incremental perceptual dedup — the nightly-ingest shape of the
+    * phash tier, completing the family's parity with the text/chunk
+    * incremental keys ([[Dedup]]'s `dedup_incremental`,
+    * [[incrementalBlobPairs]]): NEW blobs are decoded and hashed
+    * once, then matched against the persisted signature STORE
+    * (8 bytes per historical blob) via the same
+    * pigeonhole-lossless banded equi-join as [[phashPairs]] —
+    * history is never re-decoded or re-scanned at payload grain,
+    * so a day's ingest costs O(new) codec work + a signature-only
+    * join. One row per new blob: match count against the store,
+    * the best match (min `(hamming, store_id)` — discrete,
+    * tie-free), and keep = no perceptual dup in the store. At
+    * scale the banded new side is the small relation and
+    * broadcasts; only signatures ever shuffle.
+    */
+  def phashIncremental(newBlobs: DataFrame, storeSigs: DataFrame,
+                       side: Int = 8, maxHamming: Int = 6, bands: Int = 7,
+                       newSigs: Option[DataFrame] = None): DataFrame = {
+    val totalBits = side * (side - 1)
+    require(totalBits % bands == 0,
+      s"bands must divide $totalBits, got $bands")
+    require(bands > maxHamming,
+      s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
+    val bits = totalBits / bands
+    val mask = (1L << bits) - 1
+    val ns = newSigs.getOrElse(
+      phashSignatures(newBlobs, side).localCheckpoint(true))
+    def banded(df: DataFrame, id: String, h: String) =
+      df.select(col("doc_id").as(id), col("dhash").as(h),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> shiftright(dhash, b * $bits) & ${mask}L)")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_bits")
+    val pairs = banded(ns, "doc_id", "h_n")
+      .join(banded(storeSigs, "store_id", "h_s"), Seq("band", "band_bits"))
+      .select("doc_id", "store_id", "h_n", "h_s").distinct()
+      .withColumn("hamming",
+        bit_count(col("h_n").bitwiseXOR(col("h_s"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hamming"), col("store_id"))
+    val best = pairs
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_matches"),
+        max(when(col("rn") === 1, col("store_id"))).as("match_id"),
+        max(when(col("rn") === 1, col("hamming"))).as("best_hamming"))
+    ns.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("best_hamming"), lit(-1)).cast("int")
+          .as("best_hamming"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
 
   /** Per-document pooled feature embedding: decode frames, mean-pool
     * their (stub) features into one `array<float>` per document —

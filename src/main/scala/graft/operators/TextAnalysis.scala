@@ -372,6 +372,54 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** C4-style cross-document LINE dedup, applied and audited at
+    * corpus grain: every non-empty line is keyed exactly; of all
+    * occurrences of an identical line anywhere in the corpus, the
+    * FIRST (smallest `(doc_id, line_idx)`) is kept and every later
+    * one — same doc or not — is removed (the C4 "dedup repeated
+    * lines across the dataset" recipe; Raffel et al. 2020 §2.2).
+    * Output is the per-source billing readout: docs, lines and line
+    * characters before/after, and the character retention as one
+    * division of exact integer counters.
+    *
+    * Distributed shape: lines explode off one scan and shuffle ONCE
+    * on the line text; keep-first is a `row_number` over that
+    * exchange ordered by the natural `(doc_id, line_idx)` key —
+    * discrete and tie-free, so bit-stable cross-engine. Per-doc
+    * counters regroup on doc_id, sources roll up exact longs. A
+    * boilerplate line repeated across millions of docs is one
+    * window partition that sorts, never joins — the same hot-key
+    * posture as [[dupNgramCorpus]].
+    */
+  def dupLineRemoval(lined: DataFrame): DataFrame = {
+    val lines = lined
+      .select(col("doc_id"), posexplode(
+        filter(split(col("text"), "\n"), x => x =!= lit(""))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "line")
+    val w = Window.partitionBy("line").orderBy(col("doc_id"), col("idx"))
+    val perDoc = lines
+      .withColumn("removed", row_number().over(w) > 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("lines_total"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("lines_removed"),
+        sum(length(col("line")).cast("long")).as("line_chars"),
+        sum(when(col("removed"), length(col("line")).cast("long"))
+          .otherwise(0L)).as("chars_removed"))
+    lined.select("doc_id", "source").join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("lines_removed"), lit(0L)) > 0, 1L)
+          .otherwise(0L)).as("n_docs_affected"),
+        sum(coalesce(col("lines_total"), lit(0L))).as("lines_total"),
+        sum(coalesce(col("lines_removed"), lit(0L))).as("lines_removed"),
+        sum(coalesce(col("line_chars"), lit(0L))).as("line_chars"),
+        sum(coalesce(col("chars_removed"), lit(0L))).as("chars_removed"))
+      .withColumn("char_retention",
+        when(col("line_chars") > 0,
+          (col("line_chars") - col("chars_removed")) / col("line_chars"))
+          .otherwise(lit(1.0)))
+  }
+
   /** The Gopher repetition thresholds (Rae et al. 2021, table A1)
     * as data: metric column → removal threshold. Public paper
     * constants, shared by the operator and the oracle so they can

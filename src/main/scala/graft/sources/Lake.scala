@@ -109,6 +109,61 @@ object Lake {
       .select("part", "file_id", "bytes", "bin", "bin_bytes", "bin_files")
   }
 
+  /** File-SKIPPING estimator — the "why" readout behind
+    * [[zorderPlan]]: for the same table, same quantized dims and the
+    * SAME file count, build two pruning-stat manifests — the z-order
+    * layout and the single-sort layout on the leading dim (bucket =
+    * fixed top-bit prefix of that dim, the same no-sample range
+    * rule) — then replay a deterministic range-probe workload on the
+    * NON-leading dim against each manifest's min/max stats. A file
+    * is hit iff `[min, max]` of the probed dim intersects the probe
+    * band — exactly the test a parquet reader's row-group pruning
+    * runs. Output: one row per (layout, probe) with files hit and
+    * the skip rate (one division of exact integer counters).
+    *
+    * Scale shape: ONE scan — each row explodes into its two
+    * (layout, file_bucket) assignments (both pure codegen'd
+    * projections), one partial-friendly aggregate builds both
+    * manifests together, and everything after runs on
+    * metadata-sized stat rows (O(2^bucketBits) per layout) — the
+    * data is never touched by the probes, which is the entire point
+    * of stats-based skipping at 100 TB.
+    */
+  def fileSkipping(df: DataFrame, dimNames: Seq[String],
+                   bitsPerDim: Int = 16, bucketBits: Int = 6,
+                   probes: Int = 8, probeWidth: Long = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dimNames.size == 2, "fileSkipping compares 2-dim layouts")
+    require(probes >= 1 && probeWidth >= 1, "need a non-empty workload")
+    val Seq(lead, probed) = dimNames
+    val zb = shiftright(zorderValue(dimNames.map(col), bitsPerDim),
+      bitsPerDim * dimNames.size - bucketBits)
+    val sb = shiftright(col(lead).cast("long"), bitsPerDim - bucketBits)
+    val manifests = df
+      .select(explode(array(
+          struct(lit("zorder").as("layout"), zb.as("file_bucket")),
+          struct(lit(s"sorted_$lead").as("layout"),
+            sb.as("file_bucket")))).as("lb"),
+        col(probed))
+      .groupBy(col("lb.layout").as("layout"),
+        col("lb.file_bucket").as("file_bucket"))
+      .agg(min(col(probed)).as("min_p"), max(col(probed)).as("max_p"))
+      .withColumn("n_files",
+        count(lit(1)).over(Window.partitionBy("layout")))
+    val step = (1L << bitsPerDim) / probes
+    val probesDf = df.sparkSession.range(probes)
+      .select(col("id").as("probe_id"), (col("id") * step).as("lo"),
+        (col("id") * step + probeWidth - 1).as("hi"))
+    manifests.crossJoin(broadcast(probesDf))
+      .groupBy("layout", "probe_id", "lo", "hi", "n_files")
+      .agg(sum(when(col("min_p") <= col("hi") &&
+          col("max_p") >= col("lo"), 1L).otherwise(0L)).as("files_hit"))
+      .withColumn("skip_rate",
+        (col("n_files") - col("files_hit")) / col("n_files"))
+      .select("layout", "probe_id", "lo", "hi", "n_files", "files_hit",
+        "skip_rate")
+  }
+
   /** Write parquet range-partitioned + sorted by the z-order key of
     * `dims`: each output file covers a tight hyper-rectangle of the
     * clustered dimensions, so min/max stats prune on any of them.

@@ -181,4 +181,32 @@ class LakeSpec extends SparkSpec {
     assert(planStr.split("Exchange").length <= 2,
       s"one aggregate exchange only:\n$planStr")
   }
+
+  test("fileSkipping: zorder skips on the non-leading dim, single-sort cannot") {
+    // x uniform via a multiplicative walk, y striped so every
+    // x-prefix bucket sees the full y range — the single-sort
+    // manifest's y stats are then useless while the z buckets stay
+    // tight on y by construction
+    val data = (0 until 4096)
+      .map(i => ((i * 2654435761L) % 1024, (i * 733L) % 1024))
+      .toDF("x", "y")
+    val out = Lake.fileSkipping(data, Seq("x", "y"), bitsPerDim = 10,
+      bucketBits = 4, probes = 4, probeWidth = 16).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out.size == 8, s"2 layouts x 4 probes: ${out.keySet}")
+    (0L until 4L).foreach { p =>
+      val (zn, zHit, zSkip) = out(("zorder", p))
+      val (sn, sHit, sSkip) = out(("sorted_x", p))
+      // a 16-wide y band lies inside ONE y quarter -> only the 4
+      // buckets of that y prefix can be hit
+      assert(zn == 16 && zHit <= 4 && zSkip >= 0.75,
+        s"probe $p zorder: ($zn, $zHit, $zSkip)")
+      // single-sort buckets span ~all of y -> (near-)zero skipping;
+      // a stray bucket whose y-min just misses a band is fixture
+      // noise, not pruning
+      assert(sn == 16 && sHit >= 14 && sSkip <= 0.15,
+        s"probe $p sorted_x: ($sn, $sHit, $sSkip)")
+    }
+  }
 }

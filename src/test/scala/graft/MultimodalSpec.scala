@@ -381,6 +381,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count(!_._2._2) == 3, "exactly the three copies suppress")
   }
 
+  test("phashIncremental: new batch probes the store — copies match, originals keep") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val blobs = Multimodal.synthMixedCorpus(docs).cache()
+    // new batch = doc_id % 5 == 1: {1, 11, 21} are BMP re-encodes of
+    // {0, 10, 20} (in the store) and must match; {6, 16, 26} are
+    // originals with no perceptual twin and must keep
+    val out = Multimodal.phashIncremental(
+        blobs.filter($"doc_id" % 5 === 1),
+        storeSigs = Multimodal.phashSignatures(
+          blobs.filter($"doc_id" % 5 =!= 1))).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 6L, 11L, 16L, 21L, 26L))
+    Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (n, s) =>
+      val (m, id, hm, keep) = out(n)
+      assert(m == 1L && id == s && hm <= 2 && !keep, s"copy $n: ${out(n)}")
+    }
+    Seq(6L, 16L, 26L).foreach { n =>
+      assert(out(n) == ((0L, -1L, -1, true)), s"original $n: ${out(n)}")
+    }
+    blobs.unpersist()
+  }
+
   test("audioFeatures: a STEREO payload throws instead of interleaving") {
     // a linear sample walk over interleaved stereo would alternate
     // L/R and corrupt rms + zero-crossings — the mono contract must

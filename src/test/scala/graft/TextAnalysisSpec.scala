@@ -90,6 +90,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2") == ((2L, 0L, 19L, 0L, 0.0)), s"${out("s2")}")
   }
 
+  test("dupLineRemoval: keep-first corpus-wide, later occurrences billed") {
+    val lined = Seq(
+      (0L, "s1", "a b\nc d"),        // both lines first occurrences
+      (1L, "s1", "c d\ne f"),        // "c d" seen at (0,1) -> removed
+      (2L, "s2", "g h\ng h"),        // within-doc repeat: 2nd removed
+      (3L, "s2", ""))                // empty doc: zero lines
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupLineRemoval(lined).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    assert(out("s1") == ((2L, 1L, 4L, 1L, 12L, 3L, 9.0 / 12)),
+      s"${out("s1")}")
+    assert(out("s2") == ((2L, 1L, 2L, 1L, 6L, 3L, 0.5)), s"${out("s2")}")
+  }
+
   test("gopherGate: gate families fire exactly where their metrics cross") {
     val lined = Seq(
       // para duplicated verbatim -> para + line + dup-gram gates
