@@ -77,7 +77,8 @@ object ExplainMain {
       "docs_gopher_apply", "docs_gopher_cost", "stream_gopher_gate",
       "mm_phash_dedup", "mm_phash_groups", "lake_compaction_plan",
       "docs_dup_ngram_corpus", "docs_dup_line_removal",
-      "mm_phash_incremental", "lake_file_skipping")
+      "mm_phash_incremental", "lake_file_skipping",
+      "docs_dup_ngram_apply", "stream_compaction_monitor")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -90,6 +90,16 @@ object SparkEntry {
         operators.Multimodal.synthMixedCorpus(Tables.documents(s, dir)))
         .localCheckpoint(true)))
 
+  // corpus-duplication coverage trunk: the doc-grain relation both
+  // the source rollup and the per-doc gate read — the corpus-wide
+  // 8-gram window runs ONCE per (session, dir)
+  private val dupNgramDocsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedDupNgramDocs(s: SparkSession, dir: String): DataFrame =
+    dupNgramDocsCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_docs")(
+      TextAnalysis.dupNgramDocs(Tables.documents(s, dir))
+        .localCheckpoint(true)))
+
   private val candsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   // sets and candidates cache separately: minhash/groups consume only
@@ -242,6 +252,7 @@ object SparkEntry {
     Await.result(Future.sequence(Seq(
       Future(sharedBlockedPairs(s, dir)),
       Future(sharedPhashSigs(s, dir)),
+      Future(sharedDupNgramDocs(s, dir)),
       Future { sharedBasketTrunk(s, dir); sharedBasketPairs(s, dir) },
       Future(sharedBm25Postings(s, dir)),
       Future(annIndexPaths(s, dir)))), Duration.Inf)
@@ -467,7 +478,11 @@ object SparkEntry {
     // corpus-grain dup n-grams: char coverage of n-grams occurring
     // in >= 2 distinct docs, rolled up per source (n=8)
     "docs_dup_ngram_corpus" -> ((s, dir) =>
-      TextAnalysis.dupNgramCorpus(Tables.documents(s, dir))),
+      TextAnalysis.dupNgramCorpusOf(sharedDupNgramDocs(s, dir))),
+    // per-doc keep/drop under the corpus-duplication gate (same
+    // pinned doc-grain relation the rollup above aggregates)
+    "docs_dup_ngram_apply" -> ((s, dir) =>
+      TextAnalysis.dupNgramApplyOf(sharedDupNgramDocs(s, dir))),
     // C4 cross-document line dedup: keep the first occurrence of
     // every identical line corpus-wide, bill the rest per source
     "docs_dup_line_removal" -> ((s, dir) =>
@@ -1265,6 +1280,15 @@ object SparkEntry {
           .groupBy(col("source").as("part"),
             (col("doc_id") % 37).as("file_id"))
           .agg(sum("n_chars").as("bytes")))),
+    // batch fold of the live small-file monitor feeding the nightly
+    // compaction plan: O(parts) state, trigger once 12 sub-300-byte
+    // files accumulate (own oracle below)
+    "stream_compaction_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.compactionMonitorState(
+        Tables.documents(s, dir)
+          .groupBy(col("source").as("part"),
+            (col("doc_id") % 37).as("file_id"))
+          .agg(sum("n_chars").as("bytes")))),
     "lake_zorder_plan" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val stats = o.agg(
@@ -1623,6 +1647,32 @@ object SparkEntry {
       |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
       |  list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
       | FROM txt)""".stripMargin.replace("\n", " ")
+
+  /** Corpus-duplicated n-gram coverage CTE chain (DuckDB dialect),
+    * appended after [[toksCte]]: 8-gram occurrences, the ≥2-distinct
+    * -docs duplicate set, and per-doc covered characters (position
+    * union) — ends in `cc(doc_id, dup_chars)`; shared by the
+    * source-rollup and per-doc-gate oracles so the definition can
+    * never drift. Trailing comma-free: callers append their SELECT.
+    */
+  private val dupNgramCoverageCtes: String =
+    """tc AS (SELECT doc_id,
+      |  CAST(list_sum(list_transform(toks, x -> length(x)))
+      |   AS BIGINT) AS tok_chars FROM t),
+      |g AS (SELECT t.doc_id, u.i - 1 AS start,
+      |  array_to_string(t.toks[u.i:u.i + 7], ' ') AS ng
+      | FROM t, LATERAL (SELECT unnest(generate_series(1,
+      |   len(t.toks) - 7)) AS i) u
+      | WHERE len(t.toks) >= 8),
+      |d AS (SELECT ng FROM g GROUP BY ng
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |cpos AS (SELECT DISTINCT g.doc_id, u.p
+      | FROM g JOIN d USING (ng),
+      |  LATERAL (SELECT unnest(range(g.start, g.start + 8)) AS p) u),
+      |cc AS (SELECT c.doc_id,
+      |  CAST(sum(length(t.toks[c.p + 1])) AS BIGINT) AS dup_chars
+      | FROM cpos c JOIN t USING (doc_id) GROUP BY c.doc_id) """
+      .stripMargin.replace("\n", " ")
 
   /** Shared token-array CTE for the text oracles (DuckDB dialect). */
   private val toksCte: String =
@@ -3468,24 +3518,8 @@ object SparkEntry {
       // cross-doc dup 8-grams over the RAW documents table: the
       // textbook definition (distinct-doc count >= 2, position
       // coverage union, exact integer counters, one division)
-      (toksCte +
-        """, tc AS (SELECT doc_id,
-          |  CAST(list_sum(list_transform(toks, x -> length(x)))
-          |   AS BIGINT) AS tok_chars FROM t),
-          |g AS (SELECT t.doc_id, u.i - 1 AS start,
-          |  array_to_string(t.toks[u.i:u.i + 7], ' ') AS ng
-          | FROM t, LATERAL (SELECT unnest(generate_series(1,
-          |   len(t.toks) - 7)) AS i) u
-          | WHERE len(t.toks) >= 8),
-          |d AS (SELECT ng FROM g GROUP BY ng
-          |  HAVING count(DISTINCT doc_id) >= 2),
-          |cpos AS (SELECT DISTINCT g.doc_id, u.p
-          | FROM g JOIN d USING (ng),
-          |  LATERAL (SELECT unnest(range(g.start, g.start + 8)) AS p) u),
-          |cc AS (SELECT c.doc_id,
-          |  CAST(sum(length(t.toks[c.p + 1])) AS BIGINT) AS dup_chars
-          | FROM cpos c JOIN t USING (doc_id) GROUP BY c.doc_id)
-          |SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
+      (toksCte + ", " + dupNgramCoverageCtes +
+        """SELECT dd.source, CAST(count(*) AS BIGINT) AS n_docs,
           | CAST(sum(CASE WHEN coalesce(cc.dup_chars, 0) > 0 THEN 1
           |   ELSE 0 END) AS BIGINT) AS n_docs_with_dup,
           | CAST(sum(tc.tok_chars) AS BIGINT) AS tok_chars,
@@ -3497,6 +3531,21 @@ object SparkEntry {
           |FROM documents dd JOIN tc USING (doc_id)
           |LEFT JOIN cc USING (doc_id)
           |GROUP BY 1""".stripMargin.replace("\n", " ")),
+    "docs_dup_ngram_apply" ->
+      // the same coverage chain at doc grain: keep iff the exact
+      // duplicated-char fraction stays under the 0.5 gate
+      (toksCte + ", " + dupNgramCoverageCtes +
+        """SELECT dd.doc_id, dd.source,
+          | tc.tok_chars,
+          | CAST(coalesce(cc.dup_chars, 0) AS BIGINT) AS dup_chars,
+          | CASE WHEN tc.tok_chars > 0 THEN
+          |  CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / tc.tok_chars
+          |  ELSE 0.0 END AS dup_char_fraction,
+          | CASE WHEN tc.tok_chars > 0 THEN
+          |  CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / tc.tok_chars
+          |  ELSE 0.0 END <= 0.5 AS keep
+          |FROM documents dd JOIN tc USING (doc_id)
+          |LEFT JOIN cc USING (doc_id)""".stripMargin.replace("\n", " ")),
     "docs_dup_line_removal" ->
       // keep-first over identical lines corpus-wide: row_number on
       // the natural (doc_id, idx) order — discrete, tie-free; the
@@ -6828,6 +6877,19 @@ object SparkEntry {
          | CAST(max(y) AS BIGINT) AS max_day16
          |FROM z GROUP BY 1""".stripMargin.replace("\n", " ")
     },
+    "stream_compaction_monitor" ->
+      // same manifest, same counters in plain SQL; all exact longs
+      """WITH m AS (SELECT source AS part,
+        |  CAST(doc_id % 37 AS BIGINT) AS file_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes
+        | FROM documents GROUP BY 1, 2)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        | CAST(sum(CASE WHEN bytes < 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_small,
+        | sum(CASE WHEN bytes < 300 THEN 1 ELSE 0 END) >= 12
+        |  AS compact_now
+        |FROM m GROUP BY 1""".stripMargin.replace("\n", " "),
     "lake_file_skipping" -> {
       // both manifests + the probe workload replayed in integer SQL:
       // the z interleave shared with lake_zorder_plan, the

@@ -333,7 +333,31 @@ object TextAnalysis {
     * per-n-gram aggregate carries, and it sorts — never joins —
     * so the hot key costs O(occ log occ), not O(occ²).
     */
-  def dupNgramCorpus(docs0: DataFrame, n: Int = 8): DataFrame = {
+  def dupNgramCorpus(docs0: DataFrame, n: Int = 8): DataFrame =
+    dupNgramCorpusOf(dupNgramDocs(docs0, n))
+
+  /** Source rollup over a prebuilt [[dupNgramDocs]] relation — the
+    * shared-trunk entry point (rollup and gate read one pinned
+    * doc-grain pass instead of re-running the corpus window). */
+  def dupNgramCorpusOf(perDoc: DataFrame): DataFrame =
+    perDoc
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("dup_chars"), lit(0L)) > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_dup"),
+        sum(col("tok_chars")).as("tok_chars"),
+        sum(coalesce(col("dup_chars"), lit(0L))).as("dup_chars"))
+      .withColumn("dup_char_fraction",
+        when(col("tok_chars") > 0, col("dup_chars") / col("tok_chars"))
+          .otherwise(lit(0.0)))
+
+  /** Doc-grain relation under [[dupNgramCorpus]] — one row per
+    * document with its exact corpus-duplicated character coverage
+    * (`dup_chars` already coalesced to 0 for untouched docs). The
+    * source rollup above and the per-doc gate readout
+    * ([[dupNgramApply]]) both derive from this single definition.
+    */
+  def dupNgramDocs(docs0: DataFrame, n: Int = 8): DataFrame = {
     val docs = Spread.spread(docs0.select(col("doc_id"), col("source"),
         col("text")))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
@@ -361,16 +385,30 @@ object TextAnalysis {
            |  0L, (a, p) -> a + length(element_at(toks, p + 1)))"""
           .stripMargin.replace("\n", " ")).as("dup_chars"))
     docs.join(coveredChars, Seq("doc_id"), "left")
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(coalesce(col("dup_chars"), lit(0L)) > 0, 1L)
-          .otherwise(0L)).as("n_docs_with_dup"),
-        sum(col("tok_chars")).as("tok_chars"),
-        sum(coalesce(col("dup_chars"), lit(0L))).as("dup_chars"))
+      .select(col("doc_id"), col("source"), col("tok_chars"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** The per-doc KEEP/DROP readout of the corpus-duplication gate —
+    * [[dupNgramCorpus]]'s `docs_gopher_apply`-shaped twin: each doc
+    * carries its exact duplicated-character fraction and drops iff
+    * the fraction crosses `maxDupFrac` (the RefinedWeb-style "mostly
+    * shared boilerplate" cut). Same single doc-grain definition as
+    * the rollup, so gate and audit can never drift.
+    */
+  def dupNgramApply(docs0: DataFrame, n: Int = 8,
+                    maxDupFrac: Double = 0.5): DataFrame =
+    dupNgramApplyOf(dupNgramDocs(docs0, n), maxDupFrac)
+
+  /** Gate readout over a prebuilt [[dupNgramDocs]] relation (the
+    * shared-trunk twin of [[dupNgramCorpusOf]]). */
+  def dupNgramApplyOf(perDoc: DataFrame,
+                      maxDupFrac: Double = 0.5): DataFrame =
+    perDoc
       .withColumn("dup_char_fraction",
         when(col("tok_chars") > 0, col("dup_chars") / col("tok_chars"))
           .otherwise(lit(0.0)))
-  }
+      .withColumn("keep", col("dup_char_fraction") <= maxDupFrac)
 
   /** C4-style cross-document LINE dedup, applied and audited at
     * corpus grain: every non-empty line is keyed exactly; of all

@@ -144,6 +144,26 @@ object DocStream {
     * sorted group pass, reproducing `row_number() OVER (PARTITION BY
     * source ORDER BY doc_id) <= cap` — the driver oracle.
     */
+  /** Continuously-maintained compaction MONITOR over a stream of
+    * file-commit events (part, file_id, bytes) — the live trigger
+    * feeding the nightly [[graft.sources.Lake.compactionPlan]]:
+    * per partition, files/bytes so far, how many landed under the
+    * small-file threshold, and `compact_now` once `minSmall` of
+    * them accumulate. A plain streaming aggregate (update mode,
+    * state O(parts) — three longs each, never file-grain); the
+    * batch run of the same code path over the full commit log IS
+    * the oracle, and the spec shows cross-batch accumulation:
+    * commits split across micro-batches reach the same counters.
+    */
+  def compactionMonitorState(manifest: DataFrame, smallBytes: Long = 300L,
+                             minSmall: Long = 12L): DataFrame =
+    manifest.groupBy("part").agg(
+        count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        sum(when(col("bytes") < smallBytes, 1L).otherwise(0L))
+          .as("n_small"))
+      .withColumn("compact_now", col("n_small") >= minSmall)
+
   def capState(docs: DataFrame, cap: Long = 10L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -311,6 +311,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compaction monitor accumulates file commits across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.DocStream.compactionMonitorState(
+        mem.toDF().toDF("part", "file_id", "bytes"),
+        smallBytes = 300L, minSmall = 2L)
+      .writeStream.format("memory").queryName("compact_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(("p1", 0L, 100L), ("p1", 1L, 500L), ("p2", 0L, 100L))
+      q.processAllAvailable()
+      mem.addData( // second batch: p1 crosses the trigger only now
+        ("p1", 2L, 120L), ("p2", 1L, 800L))
+      q.processAllAvailable()
+      val rows = spark.table("compact_test").collect()
+        .map(r => (r.getString(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (p, occ) => p -> occ.maxBy(_._2)._1._2 }
+      assert(latest == Map(
+        "p1" -> ((3L, 720L, 2L, true)),
+        "p2" -> ((2L, 900L, 1L, false))),
+        s"counters must accumulate across batches: ${rows.toSeq}")
+      // the first batch must NOT have triggered p1 yet
+      val p1First = rows.collect { case ("p1", t) => t }.head
+      assert(!p1First._4, s"p1 pre-trigger emission must be false: $p1First")
+    } finally q.stop()
+  }
+
   test("streaming upsert sink merges micro-batches by key") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_upsert").toString

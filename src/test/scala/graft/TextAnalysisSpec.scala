@@ -90,6 +90,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2") == ((2L, 0L, 19L, 0L, 0.0)), s"${out("s2")}")
   }
 
+  test("dupNgramApply: the shared-gram docs cross the 0.5 cut, others keep") {
+    val docs = Seq(
+      (0L, "s1", "a b c d e f g h x"),
+      (1L, "s1", "z a b c d e f g h"),
+      (2L, "s2", "p q r"),
+      (3L, "s2", "m n o p q r s t m n o p q r s t"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupNgramApply(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // docs 0/1: 8 of 9 single-char tokens covered -> 8/9 > 0.5 -> drop
+    assert(out(0L) == ((9L, 8L, 8.0 / 9, false)), s"${out(0L)}")
+    assert(out(1L) == ((9L, 8L, 8.0 / 9, false)), s"${out(1L)}")
+    // doc 2 too short, doc 3 within-doc repeat only -> keep
+    assert(out(2L) == ((3L, 0L, 0.0, true)), s"${out(2L)}")
+    assert(out(3L) == ((16L, 0L, 0.0, true)), s"${out(3L)}")
+  }
+
   test("dupLineRemoval: keep-first corpus-wide, later occurrences billed") {
     val lined = Seq(
       (0L, "s1", "a b\nc d"),        // both lines first occurrences
