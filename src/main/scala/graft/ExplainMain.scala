@@ -78,7 +78,8 @@ object ExplainMain {
       "mm_phash_dedup", "mm_phash_groups", "lake_compaction_plan",
       "docs_dup_ngram_corpus", "docs_dup_line_removal",
       "mm_phash_incremental", "lake_file_skipping",
-      "docs_dup_ngram_apply", "stream_compaction_monitor")
+      "docs_dup_ngram_apply", "stream_compaction_monitor",
+      "dedup_embedding_incremental")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

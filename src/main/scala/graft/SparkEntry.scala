@@ -581,6 +581,16 @@ object SparkEntry {
       Dedup.embeddingGroups(e, tau = 0.9,
         pairs = Some(Dedup.embeddingPairs(e, tau = 0.9)))
     }),
+    // nightly-ingest semantic dedup: new vectors (vec_id % 10 == 3)
+    // vs the stored corpus, exact tier (new side broadcasts, corpus
+    // streams once); τ = 0.4 is the corpus-calibrated same-cluster
+    // band of the synthetic embeddings (max pairwise cosine ≈ 0.51)
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.embeddingIncremental(
+        e.filter(col("vec_id") % 10 === 3),
+        e.filter(col("vec_id") % 10 =!= 3), tau = 0.4)
+    }),
     "dedup_groups" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dedupGroups(docs, Dedup.minhashPairs(docs, tau = 0.4,
@@ -3873,6 +3883,33 @@ object SparkEntry {
           | coalesce(NOT p.dominated, true) AS keep
           |FROM embeddings e LEFT JOIN perdoc p ON p.doc_id = e.vec_id""")
         .stripMargin.replace("\n", " "),
+    "dedup_embedding_incremental" ->
+      // EXHAUSTIVE new-batch × corpus comparison (no candidate
+      // rule); best match on the 1e-6-rounded cosine then corpus_id
+      // — the same discrete-cut convention as bm25/matryoshka
+      """WITH nn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id % 10 = 3),
+        |cc AS (SELECT vec_id AS corpus_id,
+        |  CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE vec_id % 10 <> 3),
+        |p AS (SELECT nn.vec_id, cc.corpus_id,
+        |  list_cosine_similarity(nn.e, cc.e) AS cosine
+        | FROM nn, cc WHERE list_cosine_similarity(nn.e, cc.e) >= 0.4),
+        |b AS (SELECT vec_id, corpus_id, cosine, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY round(cosine, 6) DESC,
+        |   corpus_id) AS rn FROM p),
+        |agg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(max(CASE WHEN rn = 1 THEN corpus_id END) AS BIGINT)
+        |   AS match_id,
+        |  max(CASE WHEN rn = 1 THEN cosine END) AS best_cosine
+        | FROM b GROUP BY 1)
+        |SELECT nn.vec_id,
+        | CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+        | CAST(coalesce(a.match_id, -1) AS BIGINT) AS match_id,
+        | coalesce(a.best_cosine, -1.0) AS best_cosine,
+        | coalesce(a.n_matches, 0) = 0 AS keep
+        |FROM nn LEFT JOIN agg a USING (vec_id)""".stripMargin
+        .replace("\n", " "),
     "dedup_embedding_groups_lsh" ->
       // the production SemDeDup path: closure over the REPLAYED
       // LSH-fed pair relation (same recursive tail as the exact

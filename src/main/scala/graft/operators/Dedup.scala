@@ -540,6 +540,47 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Incremental embedding near-dup — the nightly-ingest member of
+    * the SemDeDup family, completing incremental parity across all
+    * modalities ([[incrementalExact]]/[[incrementalNearDupPairs]]
+    * for text, chunk-hash and perceptual twins for blobs): NEW
+    * vectors compare against the stored corpus at cosine ≥ tau; one
+    * row per new vector with its match count, best match (ordered
+    * by the 1e-6-ROUNDED cosine then corpus_id — the discrete cut
+    * is last-ulp-proof cross-engine, the bm25/matryoshka
+    * convention), and keep = no semantic dup in the corpus. This is
+    * the EXACT tier: the new batch broadcasts and the corpus
+    * streams ONCE with no shuffle — the right audit anchor for a
+    * day's ingest. The scale path probes a persisted hyperplane
+    * signature store with [[embeddingPairs]]'s banded buckets
+    * (the [[Multimodal.phashIncremental]] store shape); its recall
+    * is anchored to this tier the same way the groups family pins
+    * LSH against exact.
+    */
+  def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame,
+                           tau: Double = 0.9): DataFrame = {
+    val n = newVecs.select(col("vec_id"), col("embedding").as("emb_n"))
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("emb_c"))
+    val pairs = c.crossJoin(broadcast(n))
+      .withColumn("cosine", gf.cosineSim(col("emb_n"), col("emb_c")))
+      .filter(col("cosine") >= tau)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(round(col("cosine"), 6).desc, col("corpus_id"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .groupBy("vec_id").agg(
+        count(lit(1)).as("n_matches"),
+        max(when(col("rn") === 1, col("corpus_id"))).as("match_id"),
+        max(when(col("rn") === 1, col("cosine"))).as("best_cosine"))
+    n.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("best_cosine"), lit(-1.0)).as("best_cosine"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
   /** SemDeDup-style semantic duplicate CLUSTERS: connected
     * components over the embedding near-dup pair relation — "these k
     * documents say the same thing" rather than the pairwise view.

@@ -329,6 +329,26 @@ class DedupSpec extends SparkSpec {
     assert(groups(13L) == ((13L, true)), "isolated vector survives alone")
   }
 
+  test("embeddingIncremental: new batch vs corpus, best match rounded-cut, keep on miss") {
+    val mk = (f: Int => Double) => Seq.tabulate(64)(i => f(i).toFloat)
+    val corpus = Seq(
+      (0L, mk(i => math.sin(i + 1))),
+      (2L, mk(i => math.cos(i * 2 + 3))))
+      .toDF("vec_id", "embedding")
+    val fresh = Seq(
+      // near-copy of corpus 0 -> matches; orthogonal-ish -> keeps
+      (101L, mk(i => math.sin(i + 1) * 1.02 + 0.001)),
+      (102L, mk(i => math.sin(i * 5 + 2) * math.cos(i))))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingIncremental(fresh, corpus, tau = 0.95)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (m, id, cos, keep) = out(101L)
+    assert(m == 1L && id == 0L && cos > 0.99 && !keep, s"${out(101L)}")
+    assert(out(102L) == ((0L, -1L, -1.0, true)), s"${out(102L)}")
+  }
+
   test("editDistancePairs: banded distance on blocked candidates, threshold binds") {
     val d = Seq(
       (0L, base),
