@@ -486,4 +486,46 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 1,
       s"one shuffle on (window, type):\n$p")
   }
+
+  test("dupNgramDocs: occurrences explode ONCE, dup test is a window, no semi-join") {
+    val p = plan(graft.operators.TextAnalysis.dupNgramDocs(
+      Tables.documents(spark, dir)))
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"the n-gram explode must run once (the rejected dup-set + " +
+        s"semi-join plan re-explodes the corpus):\n$p")
+    assert(p.contains("Window ["), s"min/max-over-ng window expected:\n$p")
+    assert(!p.contains("LeftSemi"), s"no semi-join probe:\n$p")
+  }
+
+  test("dupLineRemoval: lines explode once, keep-first is one window pass") {
+    val p = plan(graft.operators.TextAnalysis.dupLineRemoval(
+      graft.operators.TextAnalysis.synthLinedCorpus(
+        Tables.documents(spark, dir), keep = Seq("source"))))
+    assert("Generate posexplode".r.findAllIn(p).length == 1,
+      s"the line explode must run once:\n$p")
+    assert(p.contains("row_number()"), s"keep-first row_number expected:\n$p")
+  }
+
+  test("fileSkipping: both layout manifests ride ONE fact scan") {
+    val o = Tables.orders(spark, dir)
+    val p = plan(graft.sources.Lake.fileSkipping(
+      o.selectExpr("o_custkey % 65536 AS cust16",
+        "CAST(datediff(o_orderdate, DATE '1992-01-01') % 65536 AS BIGINT)" +
+          " AS day16"),
+      Seq("cust16", "day16")))
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"per-row layout explode must share one scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"probe cross must broadcast the stat rows:\n$p")
+  }
+
+  test("embeddingIncremental: corpus streams, the NEW batch broadcasts") {
+    val e = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Dedup.embeddingIncremental(
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 10 === 3),
+      e.filter(org.apache.spark.sql.functions.col("vec_id") % 10 =!= 3),
+      tau = 0.4))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"the new batch must be the broadcast build side:\n$p")
+  }
 }
