@@ -79,7 +79,8 @@ object ExplainMain {
       "docs_dup_ngram_corpus", "docs_dup_line_removal",
       "mm_phash_incremental", "lake_file_skipping",
       "docs_dup_ngram_apply", "stream_compaction_monitor",
-      "dedup_embedding_incremental")
+      "dedup_embedding_incremental", "dedup_keep_best",
+      "stream_token_budget")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -1118,6 +1118,11 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(
         Dedup.dedupGroups(Tables.documents(s, dir),
           sharedBlockedPairs(s, dir)))),
+    // survivor SELECTION policy over the same components: keep the
+    // longest member (most complete copy), not the smallest id
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBest(Tables.documents(s, dir),
+        sharedBlockedPairs(s, dir))),
     // thresholds calibrated to the testdata's rate/quality spread so
     // every policy branch is exercised (and oracle-compared)
     "docs_source_policy" -> ((s, dir) =>
@@ -1411,6 +1416,10 @@ object SparkEntry {
     // row_number window form (own oracle below)
     "stream_source_cap" -> ((s, dir) =>
       graft.streaming.DocStream.capState(Tables.documents(s, dir))),
+    // batch fold of the O(1)-state TOKEN-budget admission — the
+    // cumulative-sum window form is the oracle (own entry below)
+    "stream_token_budget" -> ((s, dir) =>
+      graft.streaming.DocStream.tokenBudgetState(Tables.documents(s, dir))),
     // the shared batch/stream CDC path, live rows only — shares
     // etl_cdc_apply's semantics (and an equivalent oracle)
     "stream_cdc_apply" -> ((s, dir) =>
@@ -2395,7 +2404,21 @@ object SparkEntry {
           |  CAST(row_number() OVER (PARTITION BY source
           |    ORDER BY doc_id) AS BIGINT) AS admit_rank
           | FROM documents) r
-          |WHERE admit_rank <= 10""".stripMargin.replace("\n", " "))
+          |WHERE admit_rank <= 10""".stripMargin.replace("\n", " ")) +
+      // doc_id-ordered running token sum == the cumulative window:
+      // the sum only grows, so "admit while ≤ budget" is exactly
+      // cumsum-including ≤ budget
+      ("stream_token_budget" ->
+        """WITH n AS (SELECT source, doc_id, CAST(len(list_filter(
+          |   regexp_split_to_array(text, '\s+'), x -> x <> ''))
+          |  AS BIGINT) AS n_tokens FROM documents),
+          |c AS (SELECT source, doc_id, n_tokens,
+          |  CAST(sum(n_tokens) OVER (PARTITION BY source
+          |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+          |   CURRENT ROW) AS BIGINT) AS used_tokens FROM n)
+          |SELECT source, doc_id, n_tokens, used_tokens
+          |FROM c WHERE used_tokens <= 800""".stripMargin
+          .replace("\n", " "))
   }
 
   /** Shared CTE chain of the full curation pipeline (through the
@@ -5819,6 +5842,27 @@ object SparkEntry {
           |  FROM reach GROUP BY doc_id)
           |SELECT doc_id, group_id, doc_id = group_id AS keep
           |FROM lab""".stripMargin.replace("\n", " ")),
+    "dedup_keep_best" ->
+      // same recursive closure; survivor = most tokens then min id —
+      // both rank keys integers, the cut is discrete
+      (blockedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, e AS (SELECT id_a AS src, id_b AS dst FROM m
+          |  UNION ALL SELECT id_b AS src, id_a AS dst FROM m),
+          |reach AS (SELECT doc_id, doc_id AS r FROM documents
+          |  UNION
+          |  SELECT reach.doc_id, e.dst AS r
+          |  FROM reach JOIN e ON e.src = reach.r),
+          |lab AS (SELECT doc_id, min(r) AS group_id
+          |  FROM reach GROUP BY doc_id),
+          |nt AS (SELECT doc_id, CAST(len(list_filter(
+          |   regexp_split_to_array(text, '\s+'), x -> x <> ''))
+          |  AS BIGINT) AS n_tokens FROM documents),
+          |rk AS (SELECT lab.doc_id, lab.group_id, nt.n_tokens,
+          |  row_number() OVER (PARTITION BY lab.group_id
+          |   ORDER BY nt.n_tokens DESC, lab.doc_id) AS rn
+          | FROM lab JOIN nt USING (doc_id))
+          |SELECT doc_id, group_id, n_tokens, rn = 1 AS keep
+          |FROM rk""".stripMargin.replace("\n", " ")),
     "dedup_cluster_sizes" ->
       (blockedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         """, e AS (SELECT id_a AS src, id_b AS dst FROM m

@@ -540,6 +540,31 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Quality-aware survivor selection over duplicate GROUPS — the
+    * production selection policy beside the families' default
+    * min-id rule: within each [[dedupGroups]] component, keep the
+    * member with the MOST tokens (the most complete copy — the
+    * C4/RefinedWeb "keep the longest" convention), ties to the
+    * smaller doc_id. Both rank keys are integers, so the cut is
+    * discrete and bit-stable. One window over the group-labeled
+    * relation; the closure itself is the shared pointer-doubling
+    * propagation, so this adds exactly one exchange (group_id) to
+    * the groups plan.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val labeled = dedupGroups(docs.select(col("doc_id")), pairs)
+      .drop("keep")
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    labeled
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "group_id", "n_tokens", "keep")
+  }
+
   /** Incremental embedding near-dup — the nightly-ingest member of
     * the SemDeDup family, completing incremental parity across all
     * modalities ([[incrementalExact]]/[[incrementalNearDupPairs]]

@@ -123,6 +123,47 @@ object DocStream {
       .toDF()
   }
 
+  case class BudEv(doc_id: Long, source: String, n_tokens: Long)
+  case class BudUsed(used: Long)
+  case class BudRow(source: String, doc_id: Long, n_tokens: Long,
+                    used_tokens: Long)
+
+  /** Streaming TOKEN-budget admission — [[capState]]'s sibling in
+    * the budget currency that matters for a training mix: per
+    * source, docs admit in doc_id order while the RUNNING token sum
+    * stays within the budget; once the sum crosses, nothing later
+    * admits (the sum only grows), so the batch twin is exactly the
+    * cumulative-sum window `sum(n_tokens) OVER (ORDER BY doc_id) ≤
+    * budget` — the oracle. State is ONE long per source; per-batch
+    * events fold in doc_id order, and the emitted `used_tokens`
+    * (cumulative including the doc) makes every admission decision
+    * auditable downstream.
+    */
+  def tokenBudgetState(docs: DataFrame, budget: Long = 800L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    def fn(source: String, it: Iterator[BudEv],
+           st: GroupState[BudUsed]): Iterator[BudRow] = {
+      var used = st.getOption.map(_.used).getOrElse(0L)
+      val out = Vector.newBuilder[BudRow]
+      it.toArray.sortBy(_.doc_id).foreach { e =>
+        used += e.n_tokens
+        if (used <= budget) out += BudRow(source, e.doc_id, e.n_tokens, used)
+      }
+      st.update(BudUsed(used))
+      out.result().iterator
+    }
+
+    docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[BudEv]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class CapEv(doc_id: Long, source: String)
   case class CapCount(admitted: Long)
   case class CapRow(source: String, admit_rank: Long, doc_id: Long)

@@ -329,6 +329,23 @@ class DedupSpec extends SparkSpec {
     assert(groups(13L) == ((13L, true)), "isolated vector survives alone")
   }
 
+  test("keepBest: the longest member survives, not the smallest id") {
+    val docs = Seq(
+      (0L, "a b"),          // in the group, short
+      (1L, "a b c d e f"),  // LONGEST -> must keep despite id 1
+      (2L, "a b c"),        // in the group
+      (9L, "z"))            // isolated -> keeps trivially
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, pairs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((0L, 6L, true)), s"longest keeps: ${out(1L)}")
+    assert(out(0L) == ((0L, 2L, false)) && out(2L) == ((0L, 3L, false)),
+      s"min-id member does NOT auto-keep under the length policy: $out")
+    assert(out(9L) == ((9L, 1L, true)), "isolated doc survives")
+  }
+
   test("embeddingIncremental: new batch vs corpus, best match rounded-cut, keep on miss") {
     val mk = (f: Int => Double) => Seq.tabulate(64)(i => f(i).toFloat)
     val corpus = Seq(

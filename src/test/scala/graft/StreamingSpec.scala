@@ -311,6 +311,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token budget carries the running sum across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DocStream.tokenBudgetState(
+        mem.toDF().toDF("doc_id", "source", "text"), budget = 5L)
+      .writeStream.format("memory").queryName("budget_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L, "s1", "a b c"))        // used 3 -> admit
+      q.processAllAvailable()
+      mem.addData(
+        (1L, "s1", "d e"),                    // used 5 -> admit (boundary)
+        (2L, "s1", "f"),                      // used 6 -> over, rejected
+        (3L, "s1", "g"))                      // sum only grows -> rejected
+      q.processAllAvailable()
+      val rows = spark.table("budget_test").collect()
+        .map(r => (r.getLong(1), r.getLong(3))).toMap
+      assert(rows == Map(0L -> 3L, 1L -> 5L),
+        s"budget must carry across batches and never re-admit: $rows")
+    } finally q.stop()
+  }
+
   test("compaction monitor accumulates file commits across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long, Long)]
