@@ -75,7 +75,7 @@ object ExplainMain {
       "mm_phash_pairs", "mm_phash_dedup", "text_repetition_profile",
       "text_bpe_apply", "text_dup_ngram_mass", "docs_gopher_gate",
       "docs_gopher_apply", "docs_gopher_cost", "stream_gopher_gate",
-      "mm_phash_dedup", "mm_phash_groups", "lake_compaction_plan",
+      "mm_phash_groups", "lake_compaction_plan",
       "docs_dup_ngram_corpus", "docs_dup_line_removal",
       "mm_phash_incremental", "lake_file_skipping",
       "docs_dup_ngram_apply", "stream_compaction_monitor",

@@ -479,14 +479,22 @@ object Multimodal {
     * maxHamming differing bits cannot touch all bands, so every
     * qualifying pair shares a clean band), which is why the driver
     * key's oracle is the EXHAUSTIVE all-pairs definition with no
-    * candidate rule. Buckets are uncapped here because dHash values
-    * of non-dup images are near-uniform (no boilerplate-band
-    * analogue); a corpus of visually-flat images would concentrate
-    * buckets, and the production guard is the same `maxBucket` cap
-    * the SimHash tier carries — a documented recall trade, not a
-    * default. */
+    * candidate rule. Bucket sizes are capped (`maxBucket`, the
+    * SimHash tier's guard): dHash values of non-dup images are
+    * near-uniform (no boilerplate-band analogue), so real corpora
+    * never approach the cap and the banding stays lossless — but a
+    * corpus of visually-FLAT images (solid fills, letterboxing)
+    * concentrates one band value, and without the cap that bucket
+    * explodes quadratically. The capped subset is deterministic
+    * (smallest `maxBucket` doc_ids per bucket), so the recall trade
+    * is replayable, and `MultimodalSpec` pins the concentrated case:
+    * a flat corpus's candidate volume is bounded by
+    * bands·maxBucket², not n². The banding stays LOSSLESS while
+    * buckets sit under the cap — true of the driver fixture with
+    * margin (max measured bucket 115 of 5 000 blobs at sf0.1 vs the
+    * 256 default), so the exhaustive oracle still holds exactly. */
   def phashPairs(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
-                 bands: Int = 7,
+                 bands: Int = 7, maxBucket: Int = 256,
                  sigs: Option[DataFrame] = None): DataFrame = {
     val totalBits = side * (side - 1)
     require(totalBits % bands == 0,
@@ -495,12 +503,12 @@ object Multimodal {
       s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
     val bits = totalBits / bands
     val mask = (1L << bits) - 1
-    // pinned: both sides of the banded self-join read the signature
-    // relation — without the pin each side re-runs the DECODE (and,
-    // on the synth fixture, the encode) over every payload. The pin
-    // is two longs per doc; the codec pass it halves is the key's
-    // dominant cost. A caller holding a persisted signature store
-    // (the production shape — perceptual hashes are written once per
+    // pinned: every band group reads the signature relation —
+    // without the pin the group-by re-runs the DECODE (and, on the
+    // synth fixture, the encode) over every payload. The pin is two
+    // longs per doc; the codec pass it saves is the key's dominant
+    // cost. A caller holding a persisted signature store (the
+    // production shape — perceptual hashes are written once per
     // corpus snapshot) threads it in and skips the decode entirely.
     val sg = sigs.getOrElse(phashSignatures(blobs, side).localCheckpoint(true))
     val banded = sg.select(col("doc_id"), col("dhash"),
@@ -508,13 +516,21 @@ object Multimodal {
         s"transform(sequence(0, ${bands - 1}), " +
           s"b -> shiftright(dhash, b * $bits) & ${mask}L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
-    banded.select(col("band"), col("band_bits"),
-        col("doc_id").as("id_a"), col("dhash").as("h_a"))
-      .join(banded.select(col("band"), col("band_bits"),
-        col("doc_id").as("id_b"), col("dhash").as("h_b")),
-        Seq("band", "band_bits"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "h_a", "h_b").distinct()
+    // ONE shuffle on the band key; each bucket folds to its (sorted,
+    // capped) member set and pairs expand row-locally — the
+    // candidatePairs shape, so a degenerate bucket costs
+    // O(maxBucket²) instead of O(bucket²)
+    banded
+      .groupBy("band", "band_bits")
+      .agg(collect_set(struct(col("doc_id"), col("dhash"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(slice(sort_array(col("ms")), 1, maxBucket).as("ms"))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.dhash").as("h_a"), col("b.dhash").as("h_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -524,16 +540,17 @@ object Multimodal {
     * over [[phashPairs]], completing the tier into the same shape as
     * the simhash/minhash summaries: one row per blob, `keep` =
     * false iff a smaller-id perceptual duplicate exists, score =
-    * 56 − hamming so bigger is more similar. On the planted-copy
+    * totalBits − hamming (side·(side−1), 56 at the default side = 8)
+    * so bigger is more similar. On the planted-copy
     * corpus exactly the BMP re-encodes (doc_id % 10 == 1) read
     * keep = false while their PNG originals survive. */
   def phashSummary(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
-                   bands: Int = 7,
+                   bands: Int = 7, maxBucket: Int = 256,
                    sigs: Option[DataFrame] = None): DataFrame =
     Dedup.pairSummary(
       sigs.map(_.select("doc_id")).getOrElse(blobs),
-      phashPairs(blobs, side, maxHamming, bands, sigs)
-        .withColumn("sim", lit(56) - col("hamming")), "sim")
+      phashPairs(blobs, side, maxHamming, bands, maxBucket, sigs)
+        .withColumn("sim", lit(side * (side - 1)) - col("hamming")), "sim")
 
   /** Transitive closure of [[phashPairs]] — perceptual duplicate
     * GROUPS (a re-encode of a re-encode chains to its root):
@@ -543,11 +560,11 @@ object Multimodal {
     * tier's pairs → summary → groups parity with the text dedup
     * family. */
   def phashGroups(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
-                  bands: Int = 7,
+                  bands: Int = 7, maxBucket: Int = 256,
                   sigs: Option[DataFrame] = None): DataFrame =
     Dedup.dedupGroups(
       sigs.map(_.select("doc_id")).getOrElse(blobs.select("doc_id")),
-      phashPairs(blobs, side, maxHamming, bands, sigs))
+      phashPairs(blobs, side, maxHamming, bands, maxBucket, sigs))
 
   /** Incremental perceptual dedup — the nightly-ingest shape of the
     * phash tier, completing the family's parity with the text/chunk

@@ -19,6 +19,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
   private[graft] def spread(df: DataFrame): DataFrame = {
+    // streaming plans have no .rdd (it forces physical planning of a
+    // batch plan); a micro-batch already arrives pre-split by the
+    // source, so the fixture-side skew this fixes cannot occur there
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -138,6 +138,14 @@ object DocStream {
     * events fold in doc_id order, and the emitted `used_tokens`
     * (cumulative including the doc) makes every admission decision
     * auditable downstream.
+    *
+    * In-order-ingest contract (shared with [[capState]]): doc_id
+    * order is pinned WITHIN each micro-batch only. A cross-batch
+    * straggler with a smaller doc_id than an already-billed doc
+    * folds at arrival position, so its admission (and everyone
+    * after) can diverge from the batch cumulative-sum oracle —
+    * the documented price of O(1) state; sources that can reorder
+    * across batches need the nightly batch form, not the meter.
     */
   def tokenBudgetState(docs: DataFrame, budget: Long = 800L): DataFrame = {
     val spark = docs.sparkSession

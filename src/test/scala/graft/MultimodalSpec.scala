@@ -355,6 +355,26 @@ class MultimodalSpec extends SparkSpec {
     blobs.unpersist()
   }
 
+  test("phashPairs: maxBucket caps a concentrated (flat-image) bucket deterministically") {
+    // 20 visually-flat blobs — identical dHash, so every band folds
+    // into ONE bucket: the concentration hazard the scaladoc names.
+    // The cap bounds candidate volume to O(maxBucket²) per band and
+    // the survivor subset is the smallest doc_ids (deterministic).
+    val sigs = (0L until 20L).map(d => (d, 0L)).toDF("doc_id", "dhash")
+    val noBlobs = Seq.empty[Long].toDF("doc_id") // sigs threaded, codec untouched
+    val capped = Multimodal.phashPairs(noBlobs, maxBucket = 5,
+        sigs = Some(sigs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for { a <- 0L until 5L; b <- a + 1 until 5L }
+      yield (a, b)).toSet
+    assert(capped == want,
+      s"cap must keep exactly the 5 smallest ids' pairs: $capped")
+    // uncapped (default 256 > 20): the full quadratic set — the cap,
+    // not the banding, is what bounded the volume above
+    val full = Multimodal.phashPairs(noBlobs, sigs = Some(sigs)).count()
+    assert(full == 190L, s"20 identical sigs pair exhaustively: $full")
+  }
+
   test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
     val docs = (0L until 30L).toDF("doc_id")
     val out = Multimodal.phashSummary(
