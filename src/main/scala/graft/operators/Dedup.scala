@@ -379,6 +379,18 @@ object Dedup {
     // per-doc-pure, so the shared pinned trunk substitutes exactly
     // (see the restriction note on shingleSetsOf)
     val sets = shingles.getOrElse(shingleSets(docs, n))
+    verifiedJaccard(prefixJaccardCandidates(sets, tau), sets, tau)
+  }
+
+  /** The candidate relation under [[prefixJaccardPairs]] — exposed
+    * at package scope so the CONTRACT can be pinned as candidate
+    * VOLUME (DedupSpec asserts the sf0.1 count stays under the
+    * suffix-filtered bound) rather than as host-sensitive wall
+    * clock: the key's cost driver is exactly this pair count, and a
+    * filter regression shows up here before it shows up in seconds.
+    */
+  private[graft] def prefixJaccardCandidates(sets: DataFrame,
+                                             tau: Double): DataFrame = {
     // sz rides the array (computed before the explode) instead of a
     // second window over the doc partition
     val ex = sets.select(col("doc_id"),
@@ -434,7 +446,7 @@ object Dedup {
       .filter(col("c") + least(col("sz_a") - col("mx_a"),
         col("sz_b") - col("mx_b")) >= overlapMin)
       .select("id_a", "id_b")
-    verifiedJaccard(cand, sets, tau)
+    cand
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, banded into

@@ -366,6 +366,52 @@ class DedupSpec extends SparkSpec {
     assert(out(102L) == ((0L, -1L, -1.0, true)), s"${out(102L)}")
   }
 
+  test("embeddingIncremental: production tau=0.9 binds at the boundary") {
+    // the driver fixture runs the corpus-calibrated tau=0.4 (its max
+    // pairwise cosine is ~0.51), so this crafted corpus pins the
+    // PRODUCTION default: planted near-dup ABOVE 0.9, a close
+    // distractor BELOW it — a comparison-semantics regression
+    // (wrong norm, wrong cut side, tau drift) flips one of them.
+    // cos(theta) construction: the 2-dim rotation of the anchor has
+    // exactly the requested cosine against it.
+    def tilted(c: Double) = {
+      val s = math.sqrt(1 - c * c)
+      Seq.tabulate(64)(i =>
+        (if (i == 0) c else if (i == 1) s else 0.0).toFloat)
+    }
+    val corpus = Seq(
+      (0L, Seq.tabulate(64)(i => (if (i == 0) 1.0 else 0.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val fresh = Seq(
+      (201L, tilted(0.95)), // above tau -> semantic dup, suppress
+      (202L, tilted(0.85))) // below tau but close -> must keep
+      .toDF("vec_id", "embedding")
+    val out = Dedup.embeddingIncremental(fresh, corpus, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val (m, id, cos, keep) = out(201L)
+    assert(m == 1L && id == 0L && math.abs(cos - 0.95) < 1e-6 && !keep,
+      s"planted near-dup must match the corpus anchor: ${out(201L)}")
+    assert(out(202L) == ((0L, -1L, -1.0, true)),
+      s"close distractor below tau must keep: ${out(202L)}")
+  }
+
+  test("prefixJaccardCandidates: sf0.1 candidate volume stays under the suffix-filtered bound") {
+    // the dedup_exact_jaccard_pairs contract, pinned as VOLUME (the
+    // key's cost driver) instead of host-sensitive wall clock: the
+    // prefix + length + PPJoin-suffix filters hold the sf0.1
+    // candidate count at ~120k (measured 119,807 at r13; the r11
+    // suffix-bound figure was ~125k). A lossless-filter regression
+    // (prefix too long, suffix bound dropped) blows through this
+    // before any bench run would notice.
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.1")
+    val sets = Dedup.shingleSetsForTest(docs, 3)
+    val n = Dedup.prefixJaccardCandidates(sets, 0.5).count()
+    assert(n <= 125000L, s"candidate volume regressed: $n > 125000")
+    assert(n > 0L, "fixture must generate candidates")
+  }
+
   test("editDistancePairs: banded distance on blocked candidates, threshold binds") {
     val d = Seq(
       (0L, base),
