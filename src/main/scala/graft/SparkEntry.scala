@@ -458,22 +458,29 @@ object SparkEntry {
     "text_dup_ngram_mass" -> ((s, dir) =>
       TextAnalysis.dupNgramMass(
         TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
-    // the 13 Gopher thresholds applied as a per-source removal gate
+    // all 20 Gopher thresholds (13 repetition + 7 quality, r13)
+    // applied as a per-source removal gate over the combined fixture
+    // (quality plants per doc_id % 17 class + planted dup paragraphs)
     "docs_gopher_gate" -> ((s, dir) =>
       TextAnalysis.gopherGate(Tables.documents(s, dir),
-        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
     "docs_gopher_apply" -> ((s, dir) =>
       TextAnalysis.gopherGateApply(Tables.documents(s, dir),
-        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
     // what the gate costs the budget: per-source kept docs/tokens
     "docs_gopher_cost" -> ((s, dir) =>
       TextAnalysis.gopherGateCost(Tables.documents(s, dir),
-        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir)))),
+        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
+    // the QUALITY half's per-doc metric profile (r13): the 7 paper
+    // metrics over the combined fixture, one row-local projection
+    "docs_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(
+        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
     // the same gate at STREAM intake: one row-local projection,
     // append mode, zero state stores
     "stream_gopher_gate" -> ((s, dir) =>
       graft.streaming.DocStream.repetitionGate(
-        TextAnalysis.synthLinedCorpus(Tables.documents(s, dir),
+        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir),
           keep = Seq("source")))),
     // corpus-grain dup n-grams: char coverage of n-grams occurring
     // in >= 2 distinct docs, rolled up per source (n=8)
@@ -1647,10 +1654,14 @@ object SparkEntry {
     * re-tokenizes the LINED text — the planted copy adds tokens.
     * Ends in `t2(doc_id, toks, lines, paras)`; consumers needing
     * only the token stream let the optimizer prune lines/paras. */
-  private val linedCtes: String =
-    """t AS (SELECT doc_id,
-      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-      | FROM documents),
+  /** [[linedCtes]] parameterized on the source relation, so the
+    * quality-fixture oracles can run the SAME lining replay over the
+    * defect-planted corpus (`qd`) that the plain profile keys run
+    * over raw `documents`. */
+  private def linedCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+      | FROM $src),
       |p AS (SELECT doc_id, list_transform(range(1, len(toks) + 1), i ->
       |  CASE WHEN i = 1 THEN toks[i]
       |   WHEN (i - 1) % 8 = 0 THEN chr(10) || chr(10) || toks[i]
@@ -1662,10 +1673,95 @@ object SparkEntry {
       |   list_reduce(pieces[1:least(8, len(pieces))], (a, b) -> a || b)
       |  ELSE list_reduce(pieces, (a, b) -> a || b) END AS text FROM p),
       |t2 AS (SELECT doc_id,
-      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+      |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
       |  list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
       |  list_filter(string_split(text, chr(10) || chr(10)), x -> x <> '') AS paras
       | FROM txt)""".stripMargin.replace("\n", " ")
+
+  private val linedCtes: String = linedCtesFrom("documents")
+
+  /** Quality-defect fixture replay (DuckDB dialect) — the verbatim
+    * SQL twin of [[operators.TextAnalysis.synthQualityDefects]]:
+    * ends in `qd(doc_id, source, text)`, which [[linedCtesFrom]]
+    * then lines exactly as the operator's [[operators.TextAnalysis
+    * .synthQualityCorpus]] does. Plant sizes and the healthy tail
+    * come from the SAME constants the operator reads. */
+  private val qualCorpusCte: String = {
+    import operators.TextAnalysis.{GopherQualityTail => T}
+    import operators.TextAnalysis.QualityPlant._
+    s"""qraw AS (SELECT doc_id, source, text,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+       |   AS toks0 FROM documents),
+       |qd AS (SELECT doc_id, source,
+       |  CASE CAST(doc_id % $mod AS INTEGER)
+       |  WHEN 1 THEN array_to_string(toks0[1:3], ' ')
+       |  WHEN 2 THEN array_to_string(list_transform(range(1, ${longWords + 1}),
+       |   i -> 'verylongsyntheticword' || doc_id || 'x' || i), ' ') || ' $T'
+       |  WHEN 3 THEN array_to_string(list_transform(range(1, ${shortWords + 1}),
+       |   i -> chr(CAST(97 + i % 26 AS INTEGER)) ||
+       |    chr(CAST(97 + (i // 26) % 26 AS INTEGER))), ' ') || ' $T'
+       |  WHEN 4 THEN text || ' ' || array_to_string(list_transform(
+       |   range(1, ${tagWords + 1}), i -> 'tag#' || i), ' ') || ' $T'
+       |  WHEN 5 THEN array_to_string(list_transform(range(1, ${bulletWords + 1}),
+       |   i -> '-b' || i), ' ') || ' $T'
+       |  WHEN 6 THEN array_to_string(list_transform(range(1, ${ellipsisWords + 1}),
+       |   i -> 'w' || i || '...'), ' ') || ' $T'
+       |  WHEN 7 THEN array_to_string(list_transform(range(1, ${digitWords + 1}),
+       |   i -> CAST(90000 + i AS VARCHAR)), ' ') || ' $T'
+       |  WHEN 8 THEN text || ' ' || array_to_string(list_transform(
+       |   range(1, ${padWords + 1}), i -> 'pad' || i), ' ')
+       |  ELSE text || ' $T' END AS text
+       | FROM qraw)""".stripMargin.replace("\n", " ")
+  }
+
+  /** The 7 Gopher quality metrics as a CTE over [[linedCtesFrom]]'s
+    * `t2` (token/line arrays) joined to `txt` (the lined text, for
+    * the char-level symbol counters) — ends in `qprof`, the exact
+    * SQL twin of [[operators.TextAnalysis.gopherQualityCols]]. */
+  private val qualProfileCtes: String = {
+    val stops = operators.TextAnalysis.GopherQualityStopWords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    """qprof AS (SELECT t2.doc_id,
+      | CAST(len(t2.toks) AS BIGINT) AS n_words,
+      | CASE WHEN len(t2.toks) > 0 THEN
+      |  CAST(coalesce(list_sum(list_transform(t2.toks, x -> length(x))), 0)
+      |   AS BIGINT) / CAST(len(t2.toks) AS BIGINT)
+      |  ELSE 0.0 END AS mean_word_len,
+      | CASE WHEN len(t2.toks) > 0 THEN
+      |  CAST(2 * length(txt.text) - length(replace(txt.text, '#', ''))
+      |   - length(replace(txt.text, '…', '')) AS BIGINT)
+      |   / CAST(len(t2.toks) AS BIGINT) ELSE 0.0 END AS symbol_word_ratio,
+      | CASE WHEN len(t2.lines) > 0 THEN
+      |  CAST(len(list_filter(t2.lines, l -> l LIKE '-%' OR l LIKE '*%'
+      |   OR l LIKE '•%')) AS BIGINT) / CAST(len(t2.lines) AS BIGINT)
+      |  ELSE 0.0 END AS bullet_line_fraction,
+      | CASE WHEN len(t2.lines) > 0 THEN
+      |  CAST(len(list_filter(t2.lines, l -> l LIKE '%...' OR l LIKE '%…'))
+      |   AS BIGINT) / CAST(len(t2.lines) AS BIGINT)
+      |  ELSE 0.0 END AS ellipsis_line_fraction,
+      | CASE WHEN len(t2.toks) > 0 THEN
+      |  CAST(len(list_filter(t2.toks, x -> regexp_matches(x, '[A-Za-z]')))
+      |   AS BIGINT) / CAST(len(t2.toks) AS BIGINT)
+      |  ELSE 0.0 END AS alpha_word_fraction,
+      | CAST(len(list_filter(""".stripMargin.replace("\n", " ") +
+      stops +
+      """, s -> list_contains(list_transform(t2.toks, x -> lower(x)), s)))
+      |  AS BIGINT) AS stop_word_hits
+      |FROM t2 JOIN txt USING (doc_id))""".stripMargin.replace("\n", " ")
+  }
+
+  /** One quality-rule flag as SQL over `qprof` columns — the
+    * [[operators.TextAnalysis.GopherQualityThresholds]] row
+    * interpolated, value-outside-[lo, hi] semantics. */
+  private def qualFlagSql(name: String): String = {
+    val (_, lo, hi) = operators.TextAnalysis.GopherQualityThresholds
+      .find(_._1 == name).get
+    s"($name < $lo OR $name > $hi)"
+  }
+
+  private def qualAnySql: String =
+    operators.TextAnalysis.GopherQualityThresholds
+      .map(t => qualFlagSql(t._1)).mkString("(", " OR ", ")")
 
   /** Corpus-duplicated n-gram coverage CTE chain (DuckDB dialect),
     * appended after [[toksCte]]: 8-gram occurrences, the ≥2-distinct
@@ -3617,11 +3713,14 @@ object SparkEntry {
       val th = operators.TextAnalysis.GopherGateThresholds.toMap
       val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
         .mkString("(", " OR ", ")")
-      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes,
-         |k AS (SELECT r.doc_id, NOT $fAny AS keep
-         | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id),
-         |tc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
-         | FROM t)
+      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")},
+         |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes,
+         |k AS (SELECT r.doc_id, NOT ($fAny OR $qualAnySql) AS keep
+         | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         | JOIN qprof q ON q.doc_id = r.doc_id),
+         |tc AS (SELECT doc_id, CAST(len(list_filter(
+         |  regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+         |  AS BIGINT) AS n_toks FROM documents)
          |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          | CAST(sum(tc.n_toks) AS BIGINT) AS tokens_total,
@@ -3636,19 +3735,29 @@ object SparkEntry {
          |GROUP BY 1""").stripMargin.replace("\n", " ")
     },
     "stream_gopher_gate" -> {
-      // survivors of the 13-threshold gate: same chains, NOT(any)
+      // survivors of the 20-threshold gate: same chains, NOT(any)
       val th = operators.TextAnalysis.GopherGateThresholds.toMap
       val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
         .mkString("(", " OR ", ")")
-      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes
+      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")},
+         |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes
          |SELECT r.doc_id, d.source
          |FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         |JOIN qprof q ON q.doc_id = r.doc_id
          |JOIN documents d ON d.doc_id = r.doc_id
-         |WHERE NOT $fAny""").stripMargin.replace("\n", " ")
+         |WHERE NOT ($fAny OR $qualAnySql)""").stripMargin.replace("\n", " ")
     },
+    "docs_gopher_quality" ->
+      // the 7 quality metrics straight off the qprof chain
+      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")}, $qualProfileCtes
+         |SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         | bullet_line_fraction, ellipsis_line_fraction,
+         | alpha_word_fraction, stop_word_hits
+         |FROM qprof""").stripMargin.replace("\n", " "),
     "docs_gopher_apply" -> {
-      // per-doc CASE in fixed family precedence over the same joined
-      // profile relation; keep = no family fired
+      // per-doc CASE in fixed family precedence (7 quality families
+      // in table order, then the repetition four) over the same
+      // joined profile relations; keep = no family fired
       val th = operators.TextAnalysis.GopherGateThresholds.toMap
       def fam(names: String*): String =
         names.map(n => s"$n > ${th(n)}").mkString("(", " OR ", ")")
@@ -3657,20 +3766,29 @@ object SparkEntry {
       val fTop = fam("top2gram_char_fraction", "top3gram_char_fraction",
         "top4gram_char_fraction")
       val fDup = fam((5 to 10).map(n => s"dup${n}gram_char_fraction"): _*)
-      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes,
+      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")},
+         |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes,
          |j AS (SELECT d.doc_id, d.source,
-         |  CASE WHEN $fLine THEN 'line'
+         |  CASE WHEN ${qualFlagSql("n_words")} THEN 'word_count'
+         |   WHEN ${qualFlagSql("mean_word_len")} THEN 'word_len'
+         |   WHEN ${qualFlagSql("symbol_word_ratio")} THEN 'symbol'
+         |   WHEN ${qualFlagSql("bullet_line_fraction")} THEN 'bullet'
+         |   WHEN ${qualFlagSql("ellipsis_line_fraction")} THEN 'ellipsis_line'
+         |   WHEN ${qualFlagSql("alpha_word_fraction")} THEN 'alpha'
+         |   WHEN ${qualFlagSql("stop_word_hits")} THEN 'stop_word'
+         |   WHEN $fLine THEN 'line'
          |   WHEN $fPara THEN 'para'
          |   WHEN $fTop THEN 'top_gram'
          |   WHEN $fDup THEN 'dup_gram' END AS gate_family
          | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         | JOIN qprof q ON q.doc_id = r.doc_id
          | JOIN documents d ON d.doc_id = r.doc_id)
          |SELECT doc_id, source, gate_family IS NULL AS keep, gate_family
          |FROM j""").stripMargin.replace("\n", " ")
     },
     "docs_gopher_gate" -> {
-      // both per-doc profile chains joined to sources, then the 13
-      // paper thresholds as CASE counters - every comparison is a
+      // all three per-doc profile chains joined to sources, then the
+      // 20 paper thresholds as CASE counters - every comparison is a
       // deterministic double (one exact-integer division) against a
       // shared literal, every output an integer count or one final
       // division
@@ -3682,20 +3800,26 @@ object SparkEntry {
       val fTop = fam("top2gram_char_fraction", "top3gram_char_fraction",
         "top4gram_char_fraction")
       val fDup = fam((5 to 10).map(n => s"dup${n}gram_char_fraction"): _*)
-      val fAny = s"($fLine OR $fPara OR $fTop OR $fDup)"
+      val fAny = s"($qualAnySql OR $fLine OR $fPara OR $fTop OR $fDup)"
       def cnt(f: String, as: String) =
         s"CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS $as"
-      (s"""WITH $linedCtes, $gopherProfileCtes, $dupMassCtes,
+      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")},
+         |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes,
          |j AS (SELECT d.source, r.dup_line_fraction, r.dup_para_fraction,
          |  r.dup_line_char_fraction, r.dup_para_char_fraction,
          |  r.top2gram_char_fraction, r.top3gram_char_fraction,
          |  r.top4gram_char_fraction, g.dup5gram_char_fraction,
          |  g.dup6gram_char_fraction, g.dup7gram_char_fraction,
          |  g.dup8gram_char_fraction, g.dup9gram_char_fraction,
-         |  g.dup10gram_char_fraction
+         |  g.dup10gram_char_fraction, q.n_words, q.mean_word_len,
+         |  q.symbol_word_ratio, q.bullet_line_fraction,
+         |  q.ellipsis_line_fraction, q.alpha_word_fraction,
+         |  q.stop_word_hits
          | FROM rep_profile r JOIN dng g ON g.doc_id = r.doc_id
+         | JOIN qprof q ON q.doc_id = r.doc_id
          | JOIN documents d ON d.doc_id = r.doc_id)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | ${cnt(qualAnySql, "n_quality_gate")},
          | ${cnt(fLine, "n_dup_line_gate")},
          | ${cnt(fPara, "n_dup_para_gate")},
          | ${cnt(fTop, "n_top_gram_gate")},

@@ -166,6 +166,92 @@ object TextAnalysis {
           .otherwise(col("lined")))
       .select((Seq("doc_id", "text") ++ keep).map(col): _*)
 
+  /** Healthy-tail sentence the quality fixture appends to
+    * undefected documents: 44 distinct words (all token bigrams
+    * distinct, so no repetition metric moves), all 8
+    * [[GopherQualityStopWords]] present, mean word length mid-band,
+    * no `#`/`…`/bullet/ellipsis — it repairs the SYNTHETIC corpus's
+    * natural quality failures (every raw doc carries ≤ 1 stop word;
+    * ~45 % sit under 50 words) so the paper thresholds have a
+    * healthy baseline to discriminate against. Shared verbatim with
+    * the oracle. */
+  val GopherQualityTail: String =
+    "the analysts reviewed forty unique telemetry snapshots and " +
+      "compiled a concise digest of operational findings that " +
+      "engineers have requested with measured optimism to guide " +
+      "upcoming maintenance windows be they routine or exceptional " +
+      "across distributed ingestion clusters while preserving " +
+      "throughput headroom during seasonal demand peaks"
+
+  /** Plant sizes of the quality-defect fixture — one constant per
+    * doc_id % mod class, shared operator ↔ oracle. */
+  private[graft] object QualityPlant {
+    val mod = 17
+    val longWords = 60     // class 2: >10-char mean word length
+    val shortWords = 200   // class 3: <3-char mean word length
+    val tagWords = 20      // class 4: '#' symbol ratio > 0.1
+    val bulletWords = 600  // class 5: >90 % bullet-initial lines
+    val ellipsisWords = 200 // class 6: >30 % ellipsis-terminal lines
+    val digitWords = 300   // class 7: <80 % alphabetic words
+    val padWords = 50      // class 8: <2 stop words at healthy length
+  }
+
+  /** Quality-defect plants over the RAW corpus — the fixture the
+    * quality half of the gate needs, exactly as [[synthLinedCorpus]]
+    * plants duplicated paragraphs for the repetition half: each
+    * `doc_id % 17` class 1–8 REWRITES its text to fail exactly one
+    * quality rule while passing the rest (all planted words are
+    * distinct, so no repetition threshold fires from a plant), and
+    * every other class appends [[GopherQualityTail]] so the healthy
+    * baseline genuinely passes all 7 rules. Pure per-row string
+    * arithmetic, replayed verbatim by the oracle. Classes:
+    * 1 = truncate to 3 words (word count); 2 = 60 ~28-char words
+    * (mean length high); 3 = 200 2-char words (mean length low);
+    * 4 = 20 `tag#i` words (symbol ratio); 5 = 600 `-b i` words
+    * (bullet lines); 6 = 200 `w i...` words (ellipsis lines);
+    * 7 = 300 digit words (alpha share); 8 = raw + 50 pad words, NO
+    * tail (stop words — the corpus's natural deficiency, kept).
+    */
+  def synthQualityDefects(docs: DataFrame,
+                          keep: Seq[String] = Nil): DataFrame = {
+    import QualityPlant._
+    val tail = GopherQualityTail
+    def gen(n: Int, word: String) =
+      expr(s"array_join(transform(sequence(1, $n), i -> $word), ' ')")
+    val cls = col("doc_id") % mod
+    docs.select(col("doc_id") +: col("text") +: keep.map(col): _*)
+      .withColumn("toks0", tokens(col("text")))
+      .withColumn("text",
+        when(cls === 1, expr("array_join(slice(toks0, 1, 3), ' ')"))
+          .when(cls === 2, concat(gen(longWords,
+            "concat('verylongsyntheticword', CAST(doc_id AS STRING), 'x'," +
+              " CAST(i AS STRING))"), lit(" " + tail)))
+          .when(cls === 3, concat(gen(shortWords,
+            "concat(chr(97 + i % 26), chr(97 + (i div 26) % 26))"),
+            lit(" " + tail)))
+          .when(cls === 4, concat(col("text"), lit(" "),
+            gen(tagWords, "concat('tag#', CAST(i AS STRING))"),
+            lit(" " + tail)))
+          .when(cls === 5, concat(gen(bulletWords,
+            "concat('-b', CAST(i AS STRING))"), lit(" " + tail)))
+          .when(cls === 6, concat(gen(ellipsisWords,
+            "concat('w', CAST(i AS STRING), '...')"), lit(" " + tail)))
+          .when(cls === 7, concat(gen(digitWords,
+            "CAST(90000 + i AS STRING)"), lit(" " + tail)))
+          .when(cls === 8, concat(col("text"), lit(" "),
+            gen(padWords, "concat('pad', CAST(i AS STRING))")))
+          .otherwise(concat(col("text"), lit(" " + tail))))
+      .select((Seq("doc_id", "text") ++ keep).map(col): _*)
+  }
+
+  /** The COMBINED Gopher fixture: quality plants at token level
+    * ([[synthQualityDefects]]) then line/paragraph structure with
+    * planted duplicate paragraphs ([[synthLinedCorpus]]) — the input
+    * the full 20-threshold gate family runs on. */
+  def synthQualityCorpus(docs: DataFrame,
+                         keep: Seq[String] = Nil): DataFrame =
+    synthLinedCorpus(synthQualityDefects(docs, keep), keep = keep)
+
   /** The REST of the Gopher repetition suite (Rae et al. 2021,
     * table A1) beside [[repetition]]'s duplicate-bigram fraction:
     * duplicate-LINE and duplicate-PARAGRAPH fractions (1 −
@@ -471,49 +557,147 @@ object TextAnalysis {
     "dup7gram_char_fraction" -> 0.13, "dup8gram_char_fraction" -> 0.12,
     "dup9gram_char_fraction" -> 0.11, "dup10gram_char_fraction" -> 0.10)
 
+  /** The Gopher QUALITY thresholds (Rae et al. 2021, table A1 — the
+    * quality-filter half beside [[GopherGateThresholds]]'s
+    * repetition half) as data: metric column → inclusive [lo, hi]
+    * KEEP band; a document fails a rule iff its metric falls
+    * outside the band. Public paper constants (word count
+    * 50–100 000; mean word length 3–10; symbol-to-word ratio ≤ 0.1
+    * for `#`/`…`; ≤ 90 % of lines bullet-initial; ≤ 30 % of lines
+    * ellipsis-terminal; ≥ 80 % of words with an alphabetic char;
+    * ≥ 2 of the paper's 8 required stop words), shared by the
+    * operator and the oracle so they can never drift. */
+  val GopherQualityStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  val GopherQualityThresholds: Seq[(String, Double, Double)] = Seq(
+    ("n_words", 50.0, 100000.0),
+    ("mean_word_len", 3.0, 10.0),
+    ("symbol_word_ratio", 0.0, 0.1),
+    ("bullet_line_fraction", 0.0, 0.9),
+    ("ellipsis_line_fraction", 0.0, 0.3),
+    ("alpha_word_fraction", 0.8, 1.0),
+    ("stop_word_hits", 2.0, 1e18))
+
+  /** The 7 Gopher quality metrics as ONE row-local projection over
+    * (…, text[, toks, lines]) — the single definition the profile
+    * key, the gate keys, and the streaming intake gate share.
+    * Reuses `toks`/`lines` when a [[gopherMetricCols]] pass already
+    * materialized them (the combined-gate shape — tokenize once);
+    * derives them otherwise. Every fraction is one division of
+    * exact integer counters — bit-replayable cross-engine.
+    */
+  private[graft] def gopherQualityCols(df0: DataFrame): DataFrame = {
+    val df =
+      if (df0.columns.contains("toks")) df0
+      else df0
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("lines",
+          expr("filter(split(text, '\\n'), x -> x <> '')"))
+    val nWords = size(col("toks")).cast("long")
+    val nLines = size(col("lines")).cast("long")
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num / den).otherwise(lit(0.0))
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        frac(expr("aggregate(toks, 0L, (a, t) -> a + length(t))"), nWords))
+      // '#' and the one-char '…' only; the three-dot spelling is the
+      // LINE-ending rule's job, so the two rules stay independent
+      .withColumn("symbol_word_ratio",
+        frac(expr("CAST(2 * length(text) - length(replace(text, '#', ''))" +
+          " - length(replace(text, '…', '')) AS BIGINT)"), nWords))
+      .withColumn("bullet_line_fraction",
+        frac(size(expr("filter(lines, l -> startswith(l, '-') OR " +
+          "startswith(l, '*') OR startswith(l, '•'))")).cast("long"), nLines))
+      .withColumn("ellipsis_line_fraction",
+        frac(size(expr("filter(lines, l -> endswith(l, '...') OR " +
+          "endswith(l, '…'))")).cast("long"), nLines))
+      .withColumn("alpha_word_fraction",
+        frac(size(expr("filter(toks, t -> t rlike '[A-Za-z]')")).cast("long"),
+          nWords))
+      .withColumn("stop_word_hits",
+        size(array_intersect(expr("transform(toks, t -> lower(t))"),
+          typedlit(GopherQualityStopWords))).cast("long"))
+  }
+
+  /** The quality-family flag columns (one per threshold row) over a
+    * [[gopherQualityCols]] projection — [[GopherQualityThresholds]]
+    * applied once, shared by every gate consumer. */
+  private[graft] def gopherQualityFlags(df: DataFrame): DataFrame =
+    GopherQualityThresholds.foldLeft(df) { case (d, (name, lo, hi)) =>
+      d.withColumn(s"f_q_$name", col(name) < lit(lo) || col(name) > lit(hi))
+    }
+
+  /** Per-doc Gopher QUALITY profile — the driver key's shape: one
+    * row per document with the 7 paper metrics, over the quality
+    * fixture ([[synthQualityCorpus]]). Pure row-local projection,
+    * scales with the scan. */
+  def gopherQuality(lined: DataFrame): DataFrame =
+    gopherQualityCols(Spread.spread(lined.select("doc_id", "text")))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_fraction", "ellipsis_line_fraction",
+        "alpha_word_fraction", "stop_word_hits")
+
+  private def anyQualityFlag: Column =
+    GopherQualityThresholds.map(t => col(s"f_q_${t._1}")).reduce(_ || _)
+
   /** Per-document APPLY form of [[gopherGate]] — the decision a
     * curation pipeline actually consumes: one row per doc with
     * `keep` and, for dropped docs, the FIRST firing gate family in
-    * fixed precedence (line → para → top-gram → dup-gram; a
-    * deterministic CASE both engines evaluate identically). Same
-    * threshold table, same single-projection metric pass.
+    * fixed precedence (the 7 quality families in table order, then
+    * line → para → top-gram → dup-gram — quality before repetition,
+    * the paper's filter order; a deterministic CASE both engines
+    * evaluate identically). Same threshold tables, same
+    * single-projection metric pass (quality metrics reuse the
+    * repetition pass's token/line arrays — one tokenization).
     */
   def gopherGateApply(docs: DataFrame, linedDocs: DataFrame): DataFrame =
-    gopherFlagCols(gopherMetricCols(
-        Spread.spread(linedDocs.select("doc_id", "text"))))
+    gopherQualityFlags(gopherQualityCols(gopherFlagCols(gopherMetricCols(
+        Spread.spread(linedDocs.select("doc_id", "text"))))))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .withColumn("gate_family",
-        when(col("f_line"), "line").when(col("f_para"), "para")
+        when(col("f_q_n_words"), "word_count")
+          .when(col("f_q_mean_word_len"), "word_len")
+          .when(col("f_q_symbol_word_ratio"), "symbol")
+          .when(col("f_q_bullet_line_fraction"), "bullet")
+          .when(col("f_q_ellipsis_line_fraction"), "ellipsis_line")
+          .when(col("f_q_alpha_word_fraction"), "alpha")
+          .when(col("f_q_stop_word_hits"), "stop_word")
+          .when(col("f_line"), "line").when(col("f_para"), "para")
           .when(col("f_top"), "top_gram").when(col("f_dup"), "dup_gram"))
       .withColumn("keep", col("gate_family").isNull)
       .select("doc_id", "source", "keep", "gate_family")
 
-  /** The Gopher repetition suite applied as an actual per-source
-    * GATE — the fleet-scale readout the per-doc profiles feed: for
-    * each source, how many documents the paper's 13 repetition
-    * thresholds would REMOVE, grouped by gate family (line dup,
-    * paragraph dup, top-n-gram mass, dup-n-gram mass) plus the
-    * any-gate total and its share. Every threshold comparison is a
-    * double computed as ONE division of exact integers compared to
-    * a shared literal — deterministic cross-engine — so all outputs
-    * are integer counts and one final single division. Plan: ONE
-    * row-local metric projection (both fused kernels + the segment
-    * folds — [[gopherMetricCols]], the stream-safe shape) joined to
-    * sources, one hash aggregate.
+  /** The FULL Gopher suite (13 repetition + 7 quality thresholds)
+    * applied as an actual per-source GATE — the fleet-scale readout
+    * the per-doc profiles feed: for each source, how many documents
+    * the paper's thresholds would REMOVE, grouped by gate family
+    * (the 7 quality rules rolled into one counter; line dup,
+    * paragraph dup, top-n-gram mass, dup-n-gram mass individually)
+    * plus the any-gate total and its share. Every threshold
+    * comparison is a double computed as ONE division of exact
+    * integers compared to a shared literal — deterministic
+    * cross-engine — so all outputs are integer counts and one final
+    * single division. Plan: ONE row-local metric projection (both
+    * fused kernels + the segment folds — [[gopherMetricCols]] +
+    * [[gopherQualityCols]] sharing its arrays, the stream-safe
+    * shape) joined to sources, one hash aggregate.
     */
   def gopherGate(docs: DataFrame, linedDocs: DataFrame): DataFrame = {
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    val flagged = gopherFlagCols(gopherMetricCols(
-        Spread.spread(linedDocs.select("doc_id", "text"))))
+    val flagged = gopherQualityFlags(gopherQualityCols(
+        gopherFlagCols(gopherMetricCols(
+          Spread.spread(linedDocs.select("doc_id", "text"))))))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
     flagged.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
+        cnt(anyQualityFlag).as("n_quality_gate"),
         cnt(col("f_line")).as("n_dup_line_gate"),
         cnt(col("f_para")).as("n_dup_para_gate"),
         cnt(col("f_top")).as("n_top_gram_gate"),
         cnt(col("f_dup")).as("n_dup_gram_gate"),
-        cnt(col("f_line") || col("f_para") || col("f_top") || col("f_dup"))
-          .as("n_flagged"))
+        cnt(anyQualityFlag || col("f_line") || col("f_para") ||
+          col("f_top") || col("f_dup")).as("n_flagged"))
       .withColumn("flag_share", col("n_flagged") / col("n_docs"))
   }
 

@@ -49,10 +49,12 @@ object DocStream {
       .select("doc_id", "n_tokens", "quality_score")
   }
 
-  /** Streaming repetition gate — the 13 Gopher thresholds applied
-    * at ingest: the whole metric computation is ONE row-local
-    * projection ([[TextAnalysis.gopherMetricCols]], two fused
-    * native kernels + segment folds), so the stream query runs in
+  /** Streaming Gopher gate — all 20 thresholds (13 repetition + 7
+    * quality, Rae et al. 2021 A1) applied at ingest: the whole
+    * metric computation is ONE row-local projection
+    * ([[TextAnalysis.gopherMetricCols]] + the quality metrics
+    * sharing its token/line arrays — two fused native kernels +
+    * segment folds, one tokenization), so the stream query runs in
     * append mode with ZERO state stores, the same contract as
     * [[curateGate]]. Emits surviving (doc_id, source); the dropped
     * docs' family attribution is the batch diagnostics' job
@@ -62,18 +64,21 @@ object DocStream {
   def repetitionGate(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val qualFlags = TextAnalysis.GopherQualityThresholds
+      .map(t => col(s"f_q_${t._1}"))
     // the keep decision applies through a TYPED filter, deliberately:
     // a Column predicate here pushes below the metric projection and
-    // inlines the whole 13-metric tree into a scan-level Filter —
+    // inlines the whole 20-metric tree into a scan-level Filter —
     // Filter evaluation has no subexpression elimination, so the
     // fused kernels re-evaluate once PER THRESHOLD BRANCH (measured
     // 0.9 s → 5.6 s at sf0.1). The object boundary is a fence
     // predicate pushdown cannot cross; it costs one ser/de of
     // (long, string, bool) rows against the metric pass it protects.
-    TextAnalysis.gopherFlagCols(TextAnalysis.gopherMetricCols(docs))
+    TextAnalysis.gopherQualityFlags(TextAnalysis.gopherQualityCols(
+        TextAnalysis.gopherFlagCols(TextAnalysis.gopherMetricCols(docs))))
       .select(col("doc_id"), col("source"),
-        (!col("f_line") && !col("f_para") &&
-          !col("f_top") && !col("f_dup")).as("keep"))
+        (!col("f_line") && !col("f_para") && !col("f_top") &&
+          !col("f_dup") && !qualFlags.reduce(_ || _)).as("keep"))
       .as[(Long, String, Boolean)]
       .filter(_._3)
       .map(t => (t._1, t._2))

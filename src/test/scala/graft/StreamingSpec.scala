@@ -876,7 +876,10 @@ class StreamingSpec extends SparkSpec {
 
   test("repetitionGate streams append-mode with ZERO state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
-    val lined = graft.operators.TextAnalysis.synthLinedCorpus(
+    // the combined fixture: quality plants + planted dup paragraphs
+    // (the plain lined corpus would fail the stop-word rule on EVERY
+    // doc — the synthetic text's natural deficiency the tail repairs)
+    val lined = graft.operators.TextAnalysis.synthQualityCorpus(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
       keep = Seq("source"))
     val batchKept = graft.streaming.DocStream.repetitionGate(lined)

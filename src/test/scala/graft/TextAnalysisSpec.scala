@@ -124,42 +124,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("s2") == ((2L, 1L, 2L, 1L, 6L, 3L, 0.5)), s"${out("s2")}")
   }
 
+  // a doc that genuinely passes ALL 20 thresholds: ≥50 distinct
+  // mid-length words, ≥2 stop words, no symbols/bullets/ellipses,
+  // distinct lines and grams
+  private val healthyLined: String =
+    ("the and " + (1 to 60).map(i => f"word$i%02dx").mkString(" "))
+      .split(" ").grouped(2).map(_.mkString(" ")).mkString("\n")
+
   test("gopherGate: gate families fire exactly where their metrics cross") {
     val lined = Seq(
-      // para duplicated verbatim -> para + line + dup-gram gates
+      // para duplicated verbatim -> para + line + dup-gram gates;
+      // ALSO fails quality (20 one-char words: count, length, stops)
       (0L, "a b c d e\na b c d e\n\na b c d e\na b c d e"),
-      // clean doc: all-distinct tokens, long enough that the
-      // singleton top-gram mass (gram chars / doc chars) stays
-      // under every threshold — short docs cross them trivially
-      (1L, ('a' to 'z').map(_.toString).grouped(2)
-        .map(_.mkString(" ")).mkString("\n"))).toDF("doc_id", "text")
+      (1L, healthyLined)).toDF("doc_id", "text")
     val docs = Seq((0L, "dirty"), (1L, "clean")).toDF("doc_id", "source")
+    val cols = Seq("n_docs", "n_quality_gate", "n_dup_line_gate",
+      "n_dup_para_gate", "n_dup_gram_gate", "n_flagged", "flag_share")
     val out = TextAnalysis.gopherGate(docs, lined).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(5),
-          r.getLong(6), r.getDouble(7))).toMap
-    assert(out("dirty") == ((1L, 1L, 1L, 1L, 1L, 1.0)), s"${out("dirty")}")
-    assert(out("clean") == ((1L, 0L, 0L, 0L, 0L, 0.0)), s"${out("clean")}")
+      .map(r => r.getString(0) -> cols.map(r.getAs[Any])).toMap
+    assert(out("dirty") == Seq(1L, 1L, 1L, 1L, 1L, 1L, 1.0),
+      s"${out("dirty")}")
+    assert(out("clean") == Seq(1L, 0L, 0L, 0L, 0L, 0L, 0.0),
+      s"${out("clean")}")
   }
 
-  test("gopherGateApply: family precedence is line > para > top > dup") {
+  test("gopherGateApply: quality precedes repetition; line > para > top > dup") {
+    val dupLine = "alpha beta gamma delta epsilon"
     val lined = Seq(
-      // duplicated LINES inside one paragraph (line gate fires first)
-      (0L, "a b c d e\na b c d e\na b c d e\nz z z z z"),
-      (1L, ('a' to 'z').map(_.toString).grouped(2)
-        .map(_.mkString(" ")).mkString("\n"))).toDF("doc_id", "text")
-    val docs = Seq((0L, "s"), (1L, "s")).toDF("doc_id", "source")
+      // passes every QUALITY rule (62 words, stop words present,
+      // mid-length tokens) but repeats one line 12x -> 'line'
+      (0L, "the and\n" + Seq.fill(12)(dupLine).mkString("\n")),
+      // fails quality AND repetition -> quality family wins, and
+      // word_count (first in table order) beats word_len/stop_word
+      (2L, "a b c d e\na b c d e\na b c d e\nz z z z z"),
+      (1L, healthyLined)).toDF("doc_id", "text")
+    val docs = Seq((0L, "s"), (1L, "s"), (2L, "s")).toDF("doc_id", "source")
     val out = TextAnalysis.gopherGateApply(docs, lined).collect()
       .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
     assert(out(0L) == ((false, Some("line"))), s"${out(0L)}")
+    assert(out(2L) == ((false, Some("word_count"))), s"${out(2L)}")
     assert(out(1L) == ((true, None)), s"${out(1L)}")
   }
 
   test("gopherGateCost charges dropped docs' raw tokens to the source") {
     val lined = Seq(
       (0L, "a b c d e\na b c d e\n\na b c d e\na b c d e"),
-      (1L, ('a' to 'z').map(_.toString).grouped(2)
-        .map(_.mkString(" ")).mkString("\n"))).toDF("doc_id", "text")
+      (1L, healthyLined)).toDF("doc_id", "text")
     // RAW corpus: doc 0 has 4 raw tokens, doc 1 has 26
     val docs = Seq((0L, "s", "w x y z"),
       (1L, "s", ('a' to 'z').map(_.toString).mkString(" ")))
@@ -168,6 +178,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       ((2L, 1L, 30L, 26L)), s"$r")
     assert(math.abs(r.getDouble(5) - 26.0 / 30) < 1e-15)
+  }
+
+  test("synthQualityCorpus: every planted class fires exactly its quality family") {
+    // raw docs: 10 distinct tokens each (healthy once the tail lands)
+    val docs = (0L until 17L).map(id =>
+      (id, (1 to 10).map(i => s"tok${id}x$i").mkString(" "), s"s${id % 2}"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.gopherGateApply(
+        docs.select("doc_id", "source"),
+        TextAnalysis.synthQualityCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(2), Option(r.getString(3)))).toMap
+    val want = Map(1L -> "word_count", 2L -> "word_len", 3L -> "word_len",
+      4L -> "symbol", 5L -> "bullet", 6L -> "ellipsis_line",
+      7L -> "alpha", 8L -> "stop_word")
+    want.foreach { case (id, fam) =>
+      assert(out(id) == ((false, Some(fam))),
+        s"class $id must attribute to $fam: ${out(id)}")
+    }
+    // healthy classes keep — except doc_id % 5 == 0, where the LINED
+    // fixture's planted duplicate paragraph fires a repetition family
+    Seq(9L, 11L, 12L, 13L, 14L, 16L).foreach(id =>
+      assert(out(id) == ((true, None)), s"healthy $id: ${out(id)}"))
+    Seq(0L, 10L, 15L).foreach { id =>
+      val (keep, fam) = out(id)
+      assert(!keep && fam.exists(Set("line", "para", "top_gram", "dup_gram")),
+        s"dup-para plant on $id must fire a repetition family: ${out(id)}")
+    }
+  }
+
+  test("gopherQuality: metrics replay the planted defects exactly") {
+    val docs = (0L until 17L).map(id =>
+      (id, (1 to 10).map(i => s"tok${id}x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(
+        TextAnalysis.synthQualityCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // class 1: exactly 3 words survive the truncation
+    assert(out(1L).getAs[Long]("n_words") == 3L)
+    // class 2/3: mean word length lands outside [3, 10] on the
+    // planted side
+    assert(out(2L).getAs[Double]("mean_word_len") > 10.0)
+    assert(out(3L).getAs[Double]("mean_word_len") < 3.0)
+    // class 4: exactly tagWords '#' chars over the word count
+    val r4 = out(4L)
+    assert(r4.getAs[Double]("symbol_word_ratio") ===
+      20.0 / r4.getAs[Long]("n_words"))
+    assert(r4.getAs[Double]("symbol_word_ratio") > 0.1)
+    // class 5/6: line-shape fractions cross their thresholds
+    assert(out(5L).getAs[Double]("bullet_line_fraction") > 0.9)
+    assert(out(6L).getAs[Double]("ellipsis_line_fraction") > 0.3)
+    // class 7: 44 alphabetic tail words over 344 total
+    assert(out(7L).getAs[Double]("alpha_word_fraction") < 0.8)
+    // class 8: the raw corpus's natural stop-word deficiency, kept
+    assert(out(8L).getAs[Long]("stop_word_hits") < 2L)
+    // healthy: all 8 paper stop words arrive with the tail
+    assert(out(9L).getAs[Long]("stop_word_hits") == 8L)
+    assert(out(9L).getAs[Long]("n_words") == 54L)
   }
 
   test("dupNgramMass counts code points, not UTF-16 units") {
