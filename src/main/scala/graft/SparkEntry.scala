@@ -93,11 +93,24 @@ object SparkEntry {
   // corpus-duplication coverage trunk: the doc-grain relation both
   // the source rollup and the per-doc gate read — the corpus-wide
   // 8-gram window runs ONCE per (session, dir)
+  // the family's ONE corpus-wide n-gram window, pinned as the starts
+  // relation (one int array per affected doc) — the coverage fold,
+  // the gate, and the r13 span extraction all derive from it
+  private val dupStartsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedDupNgramStarts(s: SparkSession, dir: String): DataFrame =
+    dupStartsCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_starts")(
+      TextAnalysis.dupNgramStarts(
+        TextAnalysis.dupNgramToks(Tables.documents(s, dir)))
+        .localCheckpoint(true)))
+
   private val dupNgramDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedDupNgramDocs(s: SparkSession, dir: String): DataFrame =
     dupNgramDocsCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_docs")(
-      TextAnalysis.dupNgramDocs(Tables.documents(s, dir))
+      TextAnalysis.dupNgramDocsOf2(
+        TextAnalysis.dupNgramToks(Tables.documents(s, dir)),
+        sharedDupNgramStarts(s, dir))
         .localCheckpoint(true)))
 
   private val candsCache =
@@ -490,6 +503,12 @@ object SparkEntry {
     // pinned doc-grain relation the rollup above aggregates)
     "docs_dup_ngram_apply" -> ((s, dir) =>
       TextAnalysis.dupNgramApplyOf(sharedDupNgramDocs(s, dir))),
+    // maximal duplicate SPANS (r13, Lee et al. exact-substring
+    // target): adjacent corpus-duplicated positions chain into
+    // per-doc spans via gaps-and-islands over the SAME pinned trunk
+    "docs_dup_spans" -> ((s, dir) =>
+      TextAnalysis.dupSpans(Tables.documents(s, dir),
+        starts = Some(sharedDupNgramStarts(s, dir)))),
     // C4 cross-document line dedup: keep the first occurrence of
     // every identical line corpus-wide, bill the rest per source
     "docs_dup_line_removal" -> ((s, dir) =>
@@ -3675,6 +3694,35 @@ object SparkEntry {
           |  ELSE 0.0 END <= 0.5 AS keep
           |FROM documents dd JOIN tc USING (doc_id)
           |LEFT JOIN cc USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "docs_dup_spans" ->
+      // gaps-and-islands over the SAME covered-position relation the
+      // coverage chain derives: island = p - row_number, spans =
+      // per-island min/max/count, char masses from the token arrays
+      (toksCte + ", " + dupNgramCoverageCtes +
+        """, isl AS (SELECT doc_id, p,
+          |  p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+          |   AS island FROM cpos),
+          |sp AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS start_pos,
+          |  CAST(max(p) AS BIGINT) AS end_pos,
+          |  CAST(count(*) AS BIGINT) AS span_tokens
+          | FROM isl GROUP BY doc_id, island)
+          |SELECT sp.doc_id,
+          | CAST(row_number() OVER (PARTITION BY sp.doc_id
+          |  ORDER BY sp.start_pos) AS BIGINT) AS span_idx,
+          | sp.start_pos, sp.end_pos, sp.span_tokens,
+          | CAST(coalesce(list_sum(list_transform(
+          |  t.toks[1:sp.start_pos], x -> length(x))), 0) AS BIGINT)
+          |  AS char_start,
+          | CAST(list_sum(list_transform(
+          |  t.toks[sp.start_pos + 1:sp.end_pos + 1], x -> length(x)))
+          |  AS BIGINT) AS span_chars,
+          | CASE WHEN tc.tok_chars > 0 THEN
+          |  CAST(list_sum(list_transform(
+          |   t.toks[sp.start_pos + 1:sp.end_pos + 1], x -> length(x)))
+          |   AS BIGINT) / tc.tok_chars
+          |  ELSE 0.0 END AS removal_fraction
+          |FROM sp JOIN t USING (doc_id) JOIN tc USING (doc_id)"""
+          .stripMargin.replace("\n", " ")),
     "docs_dup_line_removal" ->
       // keep-first over identical lines corpus-wide: row_number on
       // the natural (doc_id, idx) order — discrete, tie-free; the

@@ -444,11 +444,27 @@ object TextAnalysis {
     * ([[dupNgramApply]]) both derive from this single definition.
     */
   def dupNgramDocs(docs0: DataFrame, n: Int = 8): DataFrame = {
-    val docs = Spread.spread(docs0.select(col("doc_id"), col("source"),
-        col("text")))
+    val docs = dupNgramToks(docs0)
+    dupNgramDocsOf2(docs, dupNgramStarts(docs, n), n)
+  }
+
+  /** Token projection under the corpus-duplication family — cheap
+    * and row-local, re-derived per consumer; the expensive piece
+    * ([[dupNgramStarts]]'s corpus window) is what callers pin. */
+  private[graft] def dupNgramToks(docs0: DataFrame): DataFrame =
+    Spread.spread(docs0.select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("tok_chars",
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+
+  /** (doc_id, starts) of corpus-duplicated n-gram occurrence
+    * positions — the ONE n-gram-key shuffle the whole family
+    * (rollup, per-doc gate, span extraction) rides: occurrences
+    * explode off one scan, "occurs in ≥ 2 distinct docs" is decided
+    * in place by a `min(doc_id) ≠ max(doc_id)` window over that
+    * exchange, and each doc folds its duplicated start positions to
+    * one array row. Input is a [[dupNgramToks]] projection. */
+  private[graft] def dupNgramStarts(docs: DataFrame, n: Int = 8): DataFrame = {
     val occ = docs
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -458,11 +474,18 @@ object TextAnalysis {
           .stripMargin.replace("\n", " "))).as("o"))
       .select(col("doc_id"), col("o.start"), col("o.ng"))
     val w = Window.partitionBy("ng")
-    val coveredChars = occ
+    occ
       .withColumn("cross_doc",
         min("doc_id").over(w) =!= max("doc_id").over(w))
       .filter(col("cross_doc"))
       .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+  }
+
+  /** Doc-grain coverage fold over a prebuilt [[dupNgramStarts]]
+    * relation — the row-local tail of [[dupNgramDocs]]. */
+  private[graft] def dupNgramDocsOf2(docs: DataFrame, starts: DataFrame,
+                                     n: Int = 8): DataFrame = {
+    val coveredChars = starts
       .join(docs.select("doc_id", "toks"), Seq("doc_id"))
       .select(col("doc_id"), expr(
         s"""aggregate(
@@ -473,6 +496,60 @@ object TextAnalysis {
     docs.join(coveredChars, Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("tok_chars"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  /** Maximal duplicate-SPAN extraction (Lee et al. 2022's
+    * exact-substring dedup target, at token grain): chain ADJACENT
+    * corpus-duplicated n-gram positions — the per-position flags the
+    * [[dupNgramStarts]] trunk already holds — into maximal per-doc
+    * spans. A position is duplicated iff it lies inside ANY
+    * occurrence of an n-gram shared by ≥ 2 distinct docs (the same
+    * position-union billing as [[dupNgramDocs]]); a span is a
+    * maximal run of consecutive duplicated positions. One row per
+    * span: token bounds, token/char mass, the char offset where the
+    * span starts (separator-free token-stream chars — the family's
+    * `tok_chars` convention), and the doc-level removal fraction it
+    * would reclaim.
+    *
+    * Distributed shape: positions explode off the pinned trunk
+    * (array rows, not the corpus), islands form with the classic
+    * gaps-and-islands rule (`pos − row_number` over the doc
+    * exchange — the `q_purchase_streaks` skeleton); the island
+    * group-by and the span-index window ride the SAME doc_id
+    * exchange (subset-key reuse), and the token join is doc-grain.
+    * Everything downstream of the trunk is proportional to
+    * duplicated positions, not corpus size.
+    */
+  def dupSpans(docs0: DataFrame, n: Int = 8,
+               toks: Option[DataFrame] = None,
+               starts: Option[DataFrame] = None): DataFrame = {
+    val d = toks.getOrElse(dupNgramToks(docs0))
+    val st = starts.getOrElse(dupNgramStarts(d, n))
+    val pos = st.select(col("doc_id"), explode(expr(
+      s"array_distinct(flatten(transform(starts," +
+        s" s -> sequence(s, s + ${n - 1}))))")).as("pos"))
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = pos
+      .withColumn("island", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").cast("long").as("start_pos"),
+        max("pos").cast("long").as("end_pos"),
+        count(lit(1)).as("span_tokens"))
+    val wspan = Window.partitionBy("doc_id").orderBy("start_pos")
+    spans
+      .withColumn("span_idx", row_number().over(wspan).cast("long"))
+      .join(d.select("doc_id", "toks", "tok_chars"), Seq("doc_id"))
+      .withColumn("char_start", expr(
+        "aggregate(slice(toks, 1, CAST(start_pos AS INT)), 0L," +
+          " (a, t) -> a + length(t))"))
+      .withColumn("span_chars", expr(
+        "aggregate(slice(toks, CAST(start_pos AS INT) + 1," +
+          " CAST(span_tokens AS INT)), 0L, (a, t) -> a + length(t))"))
+      .withColumn("removal_fraction",
+        when(col("tok_chars") > 0, col("span_chars") / col("tok_chars"))
+          .otherwise(lit(0.0)))
+      .select("doc_id", "span_idx", "start_pos", "end_pos",
+        "span_tokens", "char_start", "span_chars", "removal_fraction")
   }
 
   /** The per-doc KEEP/DROP readout of the corpus-duplication gate —

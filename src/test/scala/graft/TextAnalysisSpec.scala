@@ -237,6 +237,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(9L).getAs[Long]("n_words") == 54L)
   }
 
+  test("dupSpans: a planted repeated paragraph yields ONE maximal span") {
+    // 12 shared tokens: five overlapping duplicated 8-grams must
+    // CHAIN into a single maximal span, not five fragments
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val sharedChars = shared.split(" ").map(_.length).sum
+    val docs = Seq(
+      (0L, "s", s"zero0 zero1 $shared tail0a tail0b"),
+      (1L, "s", s"one0 $shared tail1a"),
+      (2L, "s", "unrelated distinct words nothing here repeats across " +
+        "any document at all ever"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    assert(out.keySet == Set((0L, 1L), (1L, 1L)),
+      s"exactly one span per sharing doc: ${out.keySet}")
+    // doc 0: tokens 2..13; char offset = len(zero0)+len(zero1)
+    assert(out((0L, 1L)) == ((2L, 13L, 12L, 10L, sharedChars.toLong)),
+      s"${out((0L, 1L))}")
+    // doc 1: tokens 1..12; char offset = len(one0)
+    assert(out((1L, 1L)) == ((1L, 12L, 12L, 4L, sharedChars.toLong)),
+      s"${out((1L, 1L))}")
+  }
+
+  test("dupSpans: separated duplicated runs stay separate spans") {
+    val runA = "aa1 aa2 aa3 aa4 aa5 aa6 aa7 aa8"       // 8 tokens
+    val runB = "bb1 bb2 bb3 bb4 bb5 bb6 bb7 bb8 bb9"   // 9 tokens
+    val docs = Seq(
+      (0L, "s", s"$runA mid01 mid02 mid03 $runB"),
+      (1L, "s", s"pre1a $runA post1a"),
+      (2L, "s", s"pre2a $runB post2a"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 0 carries BOTH runs, split by the undup'd middle
+    assert(out((0L, 1L)) == ((0L, 7L)), s"${out((0L, 1L))}")
+    assert(out((0L, 2L)) == ((11L, 19L)), s"${out((0L, 2L))}")
+    assert(out((1L, 1L)) == ((1L, 8L)) && out((2L, 1L)) == ((1L, 9L)),
+      s"$out")
+  }
+
   test("dupNgramMass counts code points, not UTF-16 units") {
     // 𝄞 is an astral char: String.length 2, SQL length 1 — the
     // kernel must agree with the oracle's length()
