@@ -93,14 +93,15 @@ object SparkEntry {
   // corpus-duplication coverage trunk: the doc-grain relation both
   // the source rollup and the per-doc gate read — the corpus-wide
   // 8-gram window runs ONCE per (session, dir)
-  // the family's ONE corpus-wide n-gram window, pinned as the starts
-  // relation (one int array per affected doc) — the coverage fold,
-  // the gate, and the r13 span extraction all derive from it
-  private val dupStartsCache =
+  // the family's ONE corpus-wide n-gram window, pinned as the
+  // DUPLICATED-occurrence relation (proportional to duplicated
+  // positions, not the corpus) — the coverage fold, the gate, the
+  // r13 span extraction, and the intake store all derive from it
+  private val dupOccCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def sharedDupNgramStarts(s: SparkSession, dir: String): DataFrame =
-    dupStartsCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_starts")(
-      TextAnalysis.dupNgramStarts(
+  private def sharedDupNgramOcc(s: SparkSession, dir: String): DataFrame =
+    dupOccCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_occ")(
+      TextAnalysis.dupNgramDupOcc(
         TextAnalysis.dupNgramToks(Tables.documents(s, dir)))
         .localCheckpoint(true)))
 
@@ -110,7 +111,7 @@ object SparkEntry {
     dupNgramDocsCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_docs")(
       TextAnalysis.dupNgramDocsOf2(
         TextAnalysis.dupNgramToks(Tables.documents(s, dir)),
-        sharedDupNgramStarts(s, dir))
+        TextAnalysis.startsOfOcc(sharedDupNgramOcc(s, dir)))
         .localCheckpoint(true)))
 
   private val candsCache =
@@ -508,7 +509,14 @@ object SparkEntry {
     // per-doc spans via gaps-and-islands over the SAME pinned trunk
     "docs_dup_spans" -> ((s, dir) =>
       TextAnalysis.dupSpans(Tables.documents(s, dir),
-        starts = Some(sharedDupNgramStarts(s, dir)))),
+        starts = Some(TextAnalysis.startsOfOcc(sharedDupNgramOcc(s, dir))))),
+    // the corpus-duplication gate at STREAM intake (r13): new docs
+    // probe the persisted dup-gram store — history never re-explodes;
+    // zero persisted state (the per-doc fold is micro-batch-local)
+    "stream_dup_ngram_gate" -> ((s, dir) =>
+      graft.streaming.DocStream.dupNgramGate(Tables.documents(s, dir),
+        TextAnalysis.dupNgramStore(Tables.documents(s, dir),
+          occ = Some(sharedDupNgramOcc(s, dir))))),
     // C4 cross-document line dedup: keep the first occurrence of
     // every identical line corpus-wide, bill the rest per source
     "docs_dup_line_removal" -> ((s, dir) =>
@@ -1768,6 +1776,25 @@ object SparkEntry {
       |  AS BIGINT) AS stop_word_hits
       |FROM t2 JOIN txt USING (doc_id))""".stripMargin.replace("\n", " ")
   }
+
+  /** Doc-grain coverage gate oracle — the coverage chain at doc
+    * grain, keep iff the exact duplicated-char fraction stays under
+    * the 0.5 gate; shared VERBATIM by `docs_dup_ngram_apply` and its
+    * intake twin `stream_dup_ngram_gate` (same relation by
+    * definition). */
+  private lazy val dupNgramApplySql: String =
+    toksCte + ", " + dupNgramCoverageCtes +
+      """SELECT dd.doc_id, dd.source,
+        | tc.tok_chars,
+        | CAST(coalesce(cc.dup_chars, 0) AS BIGINT) AS dup_chars,
+        | CASE WHEN tc.tok_chars > 0 THEN
+        |  CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / tc.tok_chars
+        |  ELSE 0.0 END AS dup_char_fraction,
+        | CASE WHEN tc.tok_chars > 0 THEN
+        |  CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / tc.tok_chars
+        |  ELSE 0.0 END <= 0.5 AS keep
+        |FROM documents dd JOIN tc USING (doc_id)
+        |LEFT JOIN cc USING (doc_id)""".stripMargin.replace("\n", " ")
 
   /** One quality-rule flag as SQL over `qprof` columns — the
     * [[operators.TextAnalysis.GopherQualityThresholds]] row
@@ -3679,21 +3706,11 @@ object SparkEntry {
           |FROM documents dd JOIN tc USING (doc_id)
           |LEFT JOIN cc USING (doc_id)
           |GROUP BY 1""".stripMargin.replace("\n", " ")),
-    "docs_dup_ngram_apply" ->
-      // the same coverage chain at doc grain: keep iff the exact
-      // duplicated-char fraction stays under the 0.5 gate
-      (toksCte + ", " + dupNgramCoverageCtes +
-        """SELECT dd.doc_id, dd.source,
-          | tc.tok_chars,
-          | CAST(coalesce(cc.dup_chars, 0) AS BIGINT) AS dup_chars,
-          | CASE WHEN tc.tok_chars > 0 THEN
-          |  CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / tc.tok_chars
-          |  ELSE 0.0 END AS dup_char_fraction,
-          | CASE WHEN tc.tok_chars > 0 THEN
-          |  CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / tc.tok_chars
-          |  ELSE 0.0 END <= 0.5 AS keep
-          |FROM documents dd JOIN tc USING (doc_id)
-          |LEFT JOIN cc USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "docs_dup_ngram_apply" -> dupNgramApplySql,
+    // the intake gate computes the SAME relation by definition (the
+    // store probe reproduces the coverage chain exactly), so the
+    // batch gate's oracle is this key's oracle verbatim
+    "stream_dup_ngram_gate" -> dupNgramApplySql,
     "docs_dup_spans" ->
       // gaps-and-islands over the SAME covered-position relation the
       // coverage chain derives: island = p - row_number, spans =

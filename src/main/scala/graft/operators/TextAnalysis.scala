@@ -457,14 +457,14 @@ object TextAnalysis {
       .withColumn("tok_chars",
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
 
-  /** (doc_id, starts) of corpus-duplicated n-gram occurrence
-    * positions — the ONE n-gram-key shuffle the whole family
-    * (rollup, per-doc gate, span extraction) rides: occurrences
-    * explode off one scan, "occurs in ≥ 2 distinct docs" is decided
-    * in place by a `min(doc_id) ≠ max(doc_id)` window over that
-    * exchange, and each doc folds its duplicated start positions to
-    * one array row. Input is a [[dupNgramToks]] projection. */
-  private[graft] def dupNgramStarts(docs: DataFrame, n: Int = 8): DataFrame = {
+  /** Corpus-DUPLICATED n-gram occurrences (doc_id, start, ng) — the
+    * ONE n-gram-key shuffle the whole family (rollup, per-doc gate,
+    * span extraction, intake store) rides: occurrences explode off
+    * one scan, "occurs in ≥ 2 distinct docs" is decided in place by
+    * a `min(doc_id) ≠ max(doc_id)` window over that exchange. Input
+    * is a [[dupNgramToks]] projection; output is proportional to
+    * DUPLICATED occurrences, the relation callers pin. */
+  private[graft] def dupNgramDupOcc(docs: DataFrame, n: Int = 8): DataFrame = {
     val occ = docs
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
@@ -478,8 +478,27 @@ object TextAnalysis {
       .withColumn("cross_doc",
         min("doc_id").over(w) =!= max("doc_id").over(w))
       .filter(col("cross_doc"))
-      .groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+      .select("doc_id", "start", "ng")
   }
+
+  /** Per-doc duplicated start positions folded from a
+    * [[dupNgramDupOcc]] relation (cheap — dup rows only). */
+  private[graft] def startsOfOcc(occ: DataFrame): DataFrame =
+    occ.groupBy("doc_id").agg(collect_list(col("start")).as("starts"))
+
+  /** The persisted dup-gram STORE a streaming intake gate probes:
+    * the distinct corpus-duplicated n-grams of the nightly corpus —
+    * what [[graft.streaming.DocStream.dupNgramGate]] joins new
+    * documents against (history never re-explodes at intake time). */
+  def dupNgramStore(docs0: DataFrame, n: Int = 8,
+                    occ: Option[DataFrame] = None): DataFrame =
+    occ.getOrElse(dupNgramDupOcc(dupNgramToks(docs0), n))
+      .select("ng").distinct()
+
+  /** (doc_id, starts) of corpus-duplicated n-gram occurrence
+    * positions — [[dupNgramDupOcc]] + the per-doc fold. */
+  private[graft] def dupNgramStarts(docs: DataFrame, n: Int = 8): DataFrame =
+    startsOfOcc(dupNgramDupOcc(docs, n))
 
   /** Doc-grain coverage fold over a prebuilt [[dupNgramStarts]]
     * relation — the row-local tail of [[dupNgramDocs]]. */

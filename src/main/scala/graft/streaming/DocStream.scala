@@ -85,6 +85,88 @@ object DocStream {
       .toDF("doc_id", "source")
   }
 
+  case class DupGateEv(doc_id: Long, source: String, tok_chars: Long,
+                       start: Int, lens: Seq[Int])
+  case class DupGateRow(doc_id: Long, source: String, tok_chars: Long,
+                        dup_chars: Long, dup_char_fraction: Double,
+                        keep: Boolean)
+
+  /** Corpus-duplication gate at STREAM intake — the
+    * `docs_dup_ngram_apply` twin probing the PERSISTED dup-gram
+    * store ([[TextAnalysis.dupNgramStore]], built by the nightly
+    * batch): each arriving document's n-grams meet the store in a
+    * stream-static equi-join (the store broadcasts — history never
+    * re-explodes or re-shuffles at intake time), matched occurrences
+    * regroup per doc, and covered positions union into the exact
+    * duplicated-character fraction — the SAME definition, so the
+    * batch gate's oracle is this key's oracle verbatim.
+    *
+    * State contract: ZERO persisted state. The per-doc fold runs in
+    * [[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroupsWithState]] but NEVER writes its state store —
+    * a document's rows are atomic within one micro-batch (every
+    * file/row-grain source commits documents whole), so the fold is
+    * batch-local by contract and the group operator reports 0 state
+    * rows (spec-asserted). A base row per doc (start = −1) rides the
+    * union so gram-less and match-less documents still emit
+    * keep = true.
+    */
+  def dupNgramGate(docs: DataFrame, store: DataFrame, n: Int = 8,
+                   maxDupFrac: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val base = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .withColumn("tok_chars",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+    val baseRows = base.select(col("doc_id"), col("source"),
+      col("tok_chars"), lit(-1).as("start"),
+      expr("CAST(array() AS ARRAY<INT>)").as("lens"))
+    // matched duplicated occurrences: (start, the n token lengths) —
+    // enough to union covered positions exactly, nothing else moves
+    val matched = base
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"), col("tok_chars"),
+        explode(expr(
+          s"""transform(sequence(0, size(toks) - $n),
+             |  i -> struct(i AS start,
+             |    array_join(slice(toks, i + 1, $n), ' ') AS ng,
+             |    transform(slice(toks, i + 1, $n), t ->
+             |      CAST(length(t) AS INT)) AS lens))"""
+            .stripMargin.replace("\n", " "))).as("o"))
+      .select(col("doc_id"), col("source"), col("tok_chars"),
+        col("o.start").as("start"), col("o.ng").as("ng"),
+        col("o.lens").as("lens"))
+      .join(broadcast(store.select("ng")), Seq("ng"))
+      .drop("ng")
+    def fn(id: Long, it: Iterator[DupGateEv],
+           st: GroupState[Long]): Iterator[DupGateRow] = {
+      // st deliberately untouched: zero state rows ever persist
+      val evs = it.toArray
+      val posLen = scala.collection.mutable.HashMap.empty[Int, Int]
+      evs.foreach { e =>
+        if (e.start >= 0) {
+          var i = 0
+          while (i < e.lens.length) {
+            posLen.update(e.start + i, e.lens(i)); i += 1
+          }
+        }
+      }
+      val dup = posLen.valuesIterator.map(_.toLong).sum
+      val tokChars = evs.head.tok_chars
+      val frac = if (tokChars > 0) dup.toDouble / tokChars else 0.0
+      Iterator.single(DupGateRow(id, evs.head.source, tokChars, dup,
+        frac, frac <= maxDupFrac))
+    }
+    baseRows.unionByName(matched)
+      .as[DupGateEv]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class SampEv(doc_id: Long, source: String, skey: String)
   case class SampState(keep: List[(String, Long)])
   case class SampleRow(source: String, sample_rank: Long, doc_id: Long)

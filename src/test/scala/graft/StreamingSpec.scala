@@ -874,6 +874,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dupNgramGate: store probe streams with ZERO persisted state, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // crafted corpus: doc 1 is mostly a verbatim copy of doc 0
+    // (dup fraction > 0.5 -> drop), docs 0/2 share only a minority
+    // run (keep), doc 3 is gram-less (keep trivially)
+    val shared = (1 to 20).map(i => s"sh$i").mkString(" ")
+    val minor = (1 to 8).map(i => s"mn$i").mkString(" ")
+    val corpus = Seq(
+      StreamingSpec.LinedDoc(0L, s"$shared $minor " +
+        (1 to 45).map(i => s"alpha$i").mkString(" "), "s0"),
+      StreamingSpec.LinedDoc(1L, s"$shared x1 x2", "s0"),
+      StreamingSpec.LinedDoc(2L, s"$minor " +
+        (1 to 30).map(i => s"c$i").mkString(" "), "s1"),
+      StreamingSpec.LinedDoc(3L, "tiny doc here", "s1"))
+    val docs = corpus.toDF()
+    val store = graft.operators.TextAnalysis.dupNgramStore(docs)
+      .localCheckpoint(true)
+    def fold(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    val batch = fold(graft.streaming.DocStream.dupNgramGate(docs, store)
+      .collect())
+    // the batch run IS docs_dup_ngram_apply's relation
+    val applyTwin = fold(graft.operators.TextAnalysis.dupNgramApplyOf(
+      graft.operators.TextAnalysis.dupNgramDocs(docs)).collect())
+    assert(batch == applyTwin, s"store probe must reproduce the " +
+      s"coverage chain:\n$batch\nvs\n$applyTwin")
+    assert(!batch(1L)._3 && batch(0L)._3 && batch(2L)._3 && batch(3L)._3,
+      s"the mostly-copied doc drops, the rest keep: $batch")
+    assert(batch(2L)._2 > 0L, "the minority run must still bill chars")
+
+    val mem = MemoryStream[StreamingSpec.LinedDoc]
+    val q = graft.streaming.DocStream.dupNgramGate(mem.toDF(), store)
+      .writeStream.format("memory").queryName("dup_gate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = fold(spark.table("dup_gate_test").collect())
+      assert(streamed == batch,
+        s"cross-batch intake must match the batch gate: $streamed")
+      // the architectural claim: the group operator persists NOTHING
+      val ops = q.lastProgress.stateOperators
+      assert(ops != null && ops.nonEmpty && ops.forall(_.numRowsTotal == 0),
+        s"fold must never write state: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("repetitionGate streams append-mode with ZERO state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the combined fixture: quality plants + planted dup paragraphs
