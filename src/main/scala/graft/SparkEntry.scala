@@ -1329,6 +1329,15 @@ object SparkEntry {
           .groupBy(col("source").as("part"),
             (col("doc_id") % 37).as("file_id"))
           .agg(sum("n_chars").as("bytes")))),
+    // EXECUTE the plan's bins (r13): post-compaction manifest — one
+    // merged file per (part, bin), byte mass conserved, parity specs
+    // prove row identity and the monitor's trigger reset
+    "lake_compaction_apply" -> ((s, dir) =>
+      graft.sources.Lake.compactionApply(
+        Tables.documents(s, dir)
+          .groupBy(col("source").as("part"),
+            (col("doc_id") % 37).as("file_id"))
+          .agg(sum("n_chars").as("bytes")))),
     // batch fold of the live small-file monitor feeding the nightly
     // compaction plan: O(parts) state, trigger once 12 sub-300-byte
     // files accumulate (own oracle below)
@@ -7119,6 +7128,22 @@ object SparkEntry {
         | CAST(count(*) OVER (PARTITION BY part, cum_before // 4096)
         |  AS BIGINT) AS bin_files
         |FROM b""".stripMargin.replace("\n", " "),
+    "lake_compaction_apply" ->
+      // the same plan chain folded per (part, bin): bytes conserve,
+      // input files count — everything integer, bit-replayable
+      """WITH m AS (SELECT source AS part,
+        |  CAST(doc_id % 37 AS BIGINT) AS file_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes
+        | FROM documents GROUP BY 1, 2),
+        |b AS (SELECT part, file_id, bytes,
+        |  COALESCE(sum(bytes) OVER (PARTITION BY part
+        |    ORDER BY bytes DESC, file_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cum_before FROM m)
+        |SELECT part, CAST(cum_before // 4096 AS BIGINT) AS file_id,
+        | CAST(sum(bytes) AS BIGINT) AS bytes,
+        | CAST(count(*) AS BIGINT) AS files_merged
+        |FROM b GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "lake_zorder_plan" -> {
       // the 2×16-bit Morton interleave unrolled term-by-term (dim 0
       // at even bit positions, dim 1 at odd — zorderValue's layout),

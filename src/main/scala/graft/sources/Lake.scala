@@ -109,6 +109,32 @@ object Lake {
       .select("part", "file_id", "bytes", "bin", "bin_bytes", "bin_files")
   }
 
+  /** EXECUTE [[compactionPlan]]'s bins — the apply half that turns
+    * the planner from advice into a maintenance loop: each (part,
+    * bin) group rewrites into ONE output file whose manifest row
+    * carries the merged byte mass and the input-file count. The
+    * rewrite is lossless at both grains by construction — every
+    * input file lands in exactly one bin (the plan is a partition of
+    * the manifest) and bytes are conserved (`sum(bytes)` per bin ==
+    * the plan's `bin_bytes` window) — and `LakeSpec` proves it at
+    * ROW grain too: data rows routed through the plan's (part,
+    * file_id) → bin map keep identity exactly, and the
+    * post-compaction manifest resets
+    * [[graft.streaming.DocStream.compactionMonitorState]]'s
+    * `compact_now` trigger. One aggregate over the plan relation
+    * (file-count-sized, never the data); the actual data movement at
+    * 100 TB is the per-bin file rewrite this manifest drives, block
+    * I/O with no shuffle (bin assignment is already co-located by
+    * part).
+    */
+  def compactionApply(manifest: DataFrame,
+                      targetBytes: Long = 4096L): DataFrame =
+    compactionPlan(manifest, targetBytes)
+      .groupBy(col("part"), col("bin"))
+      .agg(sum("bytes").as("bytes"), count(lit(1)).as("files_merged"))
+      .select(col("part"), col("bin").as("file_id"), col("bytes"),
+        col("files_merged"))
+
   /** File-SKIPPING estimator — the "why" readout behind
     * [[zorderPlan]]: for the same table, same quantized dims and the
     * SAME file count, build two pruning-stat manifests — the z-order

@@ -114,6 +114,49 @@ class LakeSpec extends SparkSpec {
     assert(out(("b", 2L)) == ((2L, 3L, 1L)))
   }
 
+  test("compactionApply: bins rewrite losslessly — rows, bytes, file count, trigger reset") {
+    import org.apache.spark.sql.functions._
+    // 20 small files per part, one data row per (part, file) cell
+    val rows = (0L until 40L).map(d =>
+      (d, if (d < 20) "a" else "b", 100L)).toDF("row_id", "part", "bytes")
+    val manifest = rows.groupBy(col("part"), (col("row_id") % 20).as("file_id"))
+      .agg(sum("bytes").as("bytes"))
+    val target = 1000L
+    val pre = graft.streaming.DocStream.compactionMonitorState(manifest)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(pre == Map("a" -> true, "b" -> true),
+      s"20 sub-300-byte files must trip the monitor: $pre")
+    val plan = Lake.compactionPlan(manifest, target).localCheckpoint(true)
+    val post = Lake.compactionApply(manifest, target).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // FILE-COUNT parity: 20 x 100B per part at target 1000 -> 2 bins
+    assert(post.keySet == Set(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)),
+      s"$post")
+    // BYTE parity: mass conserved per part, split 1000/1000
+    assert(post.values.forall(_ == ((1000L, 10L))), s"$post")
+    // ROW identity: routing data rows through the plan's
+    // (part, file_id) -> bin map loses and duplicates nothing
+    val rewritten = rows
+      .withColumn("file_id", col("row_id") % 20)
+      .join(plan.select("part", "file_id", "bin"), Seq("part", "file_id"))
+    assert(rewritten.count() == 40L, "every row lands in exactly one bin")
+    assert(rewritten.select("row_id").distinct().count() == 40L)
+    // per-bin row byte sums reproduce the post manifest exactly
+    val binBytes = rewritten.groupBy("part", "bin")
+      .agg(sum("bytes").as("bytes")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(binBytes == post.map { case (k, v) => k -> v._1 }, s"$binBytes")
+    // TRIGGER RESET: the post-compaction manifest feeds the monitor
+    // and reads compact_now = false everywhere
+    val postMonitor = graft.streaming.DocStream.compactionMonitorState(
+        Lake.compactionApply(manifest, target)
+          .select("part", "file_id", "bytes"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(postMonitor == Map("a" -> false, "b" -> false),
+      s"compaction must reset the trigger: $postMonitor")
+  }
+
   test("zorderValue interleaves bits like the reference computation") {
     def ref(xs: Seq[Long], bits: Int): Long = {
       var z = 0L
