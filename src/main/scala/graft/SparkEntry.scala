@@ -652,8 +652,11 @@ object SparkEntry {
     // ann_filtered_topk's exact result
     "ann_ivf_filtered_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // r13 probe escalation 8→12 (the ivfpq-append precedent):
+      // recall 0.69 → 0.91 at sf0.1 — the selective predicate thins
+      // probed cells below k eligible, so the dial is nprobe
       Similarity.ivfFilteredTopK(e, e.filter(col("vec_id") % 100 === 0),
-        col("label") % 3 === 0, k = 10, nprobe = 8)
+        col("label") % 3 === 0, k = 10, nprobe = 12)
     }),
     "mm_near_dup_blobs" -> ((s, dir) =>
       Multimodal.blobNearDupPairs(Tables.documents(s, dir))),
@@ -4254,7 +4257,7 @@ object SparkEntry {
         |     CAST(e.embedding[1:32] AS DOUBLE[]),
         |     CAST(q.embedding[1:32] AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
         | FROM embeddings e, q WHERE e.vec_id != q.query_id) x
-        | WHERE rn <= 80)
+        | WHERE rn <= 160)
         |SELECT query_id, neighbor_id, cosine FROM (
         | SELECT a.query_id, a.neighbor_id,
         |  list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),

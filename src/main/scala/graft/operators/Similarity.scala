@@ -1519,7 +1519,7 @@ object Similarity {
     */
   def matryoshkaTopK(embeddings: DataFrame, queryMod: Int = 100,
                      k: Int = 10, prefixDims: Int = 32,
-                     rerank: Int = 8): DataFrame = {
+                     rerank: Int = 16): DataFrame = {
     val corpus = embeddings.select(col("vec_id").as("neighbor_id"),
       col("embedding"))
     val queries = embeddings.filter(col("vec_id") % queryMod === 0)
