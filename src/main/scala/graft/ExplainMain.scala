@@ -80,7 +80,10 @@ object ExplainMain {
       "mm_phash_incremental", "lake_file_skipping",
       "docs_dup_ngram_apply", "stream_compaction_monitor",
       "dedup_embedding_incremental", "dedup_keep_best",
-      "stream_token_budget")
+      "stream_token_budget",
+      // r13 batch
+      "docs_gopher_quality", "docs_dup_spans", "stream_dup_ngram_gate",
+      "lake_compaction_apply")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

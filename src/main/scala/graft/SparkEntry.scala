@@ -648,8 +648,8 @@ object SparkEntry {
     // ZERO model state) — the Matryoshka serving trick, exact-rerank
     "ann_matryoshka_topk" -> ((s, dir) =>
       Similarity.matryoshkaTopK(Tables.embeddings(s, dir))),
-    // rows-only (randomized-index family): recall spec anchors it to
-    // ann_filtered_topk's exact result
+    // full oracle (the xxhash64 centroid-pick replay); recall spec
+    // additionally anchors it to ann_filtered_topk's exact result
     "ann_ivf_filtered_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // r13 probe escalation 8→12 (the ivfpq-append precedent):
@@ -2492,7 +2492,8 @@ object SparkEntry {
   /** Argmax cell assignment + nprobe-8 probe + exact-cosine top-10
     * tail over `cents`; `assignWhere` filters the ASSIGNED corpus
     * (the shared-index filtered tier). */
-  private def ivfProbeTail(assignWhere: String = ""): String =
+  private def ivfProbeTail(assignWhere: String = "",
+                           nprobe: Int = 8): String =
     s"""assigned AS MATERIALIZED (SELECT vec_id, cell FROM (
        | SELECT e.vec_id, c.cell, row_number() OVER (
        |   PARTITION BY e.vec_id ORDER BY
@@ -2505,7 +2506,7 @@ object SparkEntry {
        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
        | FROM embeddings e, cents c WHERE e.vec_id % 100 = 0) x
-       | WHERE rn <= 8),
+       | WHERE rn <= $nprobe),
        |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
        | FROM probes p JOIN assigned a ON a.cell = p.cell
        | WHERE a.vec_id != p.query_id)
@@ -4061,7 +4062,7 @@ object SparkEntry {
       // probes, the predicate drops ineligible vectors at
       // assignment time (one index serves every predicate)
       (s"""WITH ${ivfCentsCtes("")},
-          |${ivfProbeTail("WHERE e.label % 3 = 0")}""")
+          |${ivfProbeTail("WHERE e.label % 3 = 0", nprobe = 12)}""")
         .stripMargin.replace("\n", " "),
     "ann_index_ivf_append_probe" ->
       // the incrementally-maintained index: centroids picked from
