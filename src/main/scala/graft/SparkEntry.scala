@@ -79,6 +79,19 @@ object SparkEntry {
     setsCache.getOrElseUpdate((s, dir), primeTimed("shingle_sets")(
       Dedup.blockingTrunk(Tables.documents(s, dir)).sets
         .localCheckpoint(true)))
+  // the 20-threshold Gopher metric+flag pass over the quality
+  // fixture: the fused kernels and segment folds run ONCE per
+  // (session, dir) — gate, apply, cost, and the quality profile all
+  // read this relation (the stream key keeps its own full code path:
+  // the streaming plan IS its product)
+  private val gopherFlaggedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedGopherFlagged(s: SparkSession, dir: String): DataFrame =
+    gopherFlaggedCache.getOrElseUpdate((s, dir), primeTimed("gopher_flagged")(
+      TextAnalysis.gopherFlagged(
+        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))
+        .localCheckpoint(true)))
+
   // perceptual-hash signature store: the decode runs ONCE per
   // (session, dir) — production persists these per corpus snapshot;
   // all three phash keys read the store instead of re-decoding
@@ -476,20 +489,19 @@ object SparkEntry {
     // applied as a per-source removal gate over the combined fixture
     // (quality plants per doc_id % 17 class + planted dup paragraphs)
     "docs_gopher_gate" -> ((s, dir) =>
-      TextAnalysis.gopherGate(Tables.documents(s, dir),
-        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
+      TextAnalysis.gopherGateOf(Tables.documents(s, dir),
+        sharedGopherFlagged(s, dir))),
     "docs_gopher_apply" -> ((s, dir) =>
-      TextAnalysis.gopherGateApply(Tables.documents(s, dir),
-        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
+      TextAnalysis.gopherGateApplyOf(Tables.documents(s, dir),
+        sharedGopherFlagged(s, dir))),
     // what the gate costs the budget: per-source kept docs/tokens
     "docs_gopher_cost" -> ((s, dir) =>
-      TextAnalysis.gopherGateCost(Tables.documents(s, dir),
-        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
+      TextAnalysis.gopherGateCostOf(Tables.documents(s, dir),
+        sharedGopherFlagged(s, dir))),
     // the QUALITY half's per-doc metric profile (r13): the 7 paper
-    // metrics over the combined fixture, one row-local projection
+    // metrics over the combined fixture, off the same pinned pass
     "docs_gopher_quality" -> ((s, dir) =>
-      TextAnalysis.gopherQuality(
-        TextAnalysis.synthQualityCorpus(Tables.documents(s, dir)))),
+      TextAnalysis.gopherQualityOf(sharedGopherFlagged(s, dir))),
     // the same gate at STREAM intake: one row-local projection,
     // append mode, zero state stores
     "stream_gopher_gate" -> ((s, dir) =>

@@ -729,7 +729,14 @@ object TextAnalysis {
     * fixture ([[synthQualityCorpus]]). Pure row-local projection,
     * scales with the scan. */
   def gopherQuality(lined: DataFrame): DataFrame =
-    gopherQualityCols(Spread.spread(lined.select("doc_id", "text")))
+    gopherQualityOf(gopherQualityCols(
+      Spread.spread(lined.select("doc_id", "text"))))
+
+  /** The profile projection over any relation carrying the
+    * [[gopherQualityCols]] metric columns (the pinned
+    * [[gopherFlagged]] pass qualifies). */
+  def gopherQualityOf(metrics: DataFrame): DataFrame =
+    metrics
       .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
         "bullet_line_fraction", "ellipsis_line_fraction",
         "alpha_word_fraction", "stop_word_hits")
@@ -748,8 +755,19 @@ object TextAnalysis {
     * repetition pass's token/line arrays — one tokenization).
     */
   def gopherGateApply(docs: DataFrame, linedDocs: DataFrame): DataFrame =
+    gopherGateApplyOf(docs, gopherFlagged(linedDocs))
+
+  /** The ONE metric-and-flag pass all three batch gate keys read —
+    * all 20 thresholds' flag columns over a single tokenization.
+    * The driver pins this per (session, dir) so gate/apply/cost
+    * never recompute the fused kernels. */
+  def gopherFlagged(linedDocs: DataFrame): DataFrame =
     gopherQualityFlags(gopherQualityCols(gopherFlagCols(gopherMetricCols(
-        Spread.spread(linedDocs.select("doc_id", "text"))))))
+      Spread.spread(linedDocs.select("doc_id", "text"))))))
+
+  /** [[gopherGateApply]] over a prebuilt [[gopherFlagged]] relation. */
+  def gopherGateApplyOf(docs: DataFrame, flagged: DataFrame): DataFrame =
+    flagged
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .withColumn("gate_family",
         when(col("f_q_n_words"), "word_count")
@@ -779,11 +797,13 @@ object TextAnalysis {
     * [[gopherQualityCols]] sharing its arrays, the stream-safe
     * shape) joined to sources, one hash aggregate.
     */
-  def gopherGate(docs: DataFrame, linedDocs: DataFrame): DataFrame = {
+  def gopherGate(docs: DataFrame, linedDocs: DataFrame): DataFrame =
+    gopherGateOf(docs, gopherFlagged(linedDocs))
+
+  /** [[gopherGate]] over a prebuilt [[gopherFlagged]] relation. */
+  def gopherGateOf(docs: DataFrame, flagged0: DataFrame): DataFrame = {
     def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    val flagged = gopherQualityFlags(gopherQualityCols(
-        gopherFlagCols(gopherMetricCols(
-          Spread.spread(linedDocs.select("doc_id", "text"))))))
+    val flagged = flagged0
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
     flagged.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
@@ -806,7 +826,11 @@ object TextAnalysis {
     * 8-byte keys, one aggregate.
     */
   def gopherGateCost(docs: DataFrame, linedDocs: DataFrame): DataFrame =
-    gopherGateApply(docs, linedDocs).select("doc_id", "source", "keep")
+    gopherGateCostOf(docs, gopherFlagged(linedDocs))
+
+  /** [[gopherGateCost]] over a prebuilt [[gopherFlagged]] relation. */
+  def gopherGateCostOf(docs: DataFrame, flagged: DataFrame): DataFrame =
+    gopherGateApplyOf(docs, flagged).select("doc_id", "source", "keep")
       .join(docs.select(col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_toks")), Seq("doc_id"))
       .groupBy("source")
