@@ -83,7 +83,8 @@ object ExplainMain {
       "stream_token_budget",
       // r13 batch
       "docs_gopher_quality", "docs_dup_spans", "stream_dup_ngram_gate",
-      "lake_compaction_apply")
+      "lake_compaction_apply", "docs_dup_spans_apply",
+      "docs_quality_drift")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -571,6 +571,36 @@ object TextAnalysis {
         "span_tokens", "char_start", "span_chars", "removal_fraction")
   }
 
+  /** APPLY the span extraction — the Lee-et-al exact-substring
+    * dedup's actual OUTPUT: each document's corpus-duplicated spans
+    * are CUT and the residual text emitted (untouched docs pass
+    * through verbatim), alongside the before/after token counts a
+    * billing pass consumes. Removal is at token grain over the same
+    * covered-position union as [[dupSpans]]/[[dupNgramDocs]] — the
+    * three keys can never disagree about WHAT is duplicated. Pure
+    * row-local array surgery over the pinned trunk (one left join;
+    * the rewrite is transform + filter + join, codegen'd — no
+    * shuffle beyond the trunk's).
+    */
+  def dupSpansApply(docs0: DataFrame, n: Int = 8,
+                    toks: Option[DataFrame] = None,
+                    starts: Option[DataFrame] = None): DataFrame = {
+    val d = toks.getOrElse(dupNgramToks(docs0))
+    val st = starts.getOrElse(dupNgramStarts(d, n))
+    d.join(st, Seq("doc_id"), "left")
+      .withColumn("covered", expr(
+        s"""array_distinct(flatten(transform(
+           |  coalesce(starts, CAST(array() AS ARRAY<INT>)),
+           |  s -> sequence(s, s + ${n - 1}))))"""
+          .stripMargin.replace("\n", " ")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(col("covered")).cast("long").as("n_toks_removed"),
+        expr("array_join(filter(transform(toks, (t, i) -> " +
+          "IF(array_contains(covered, i), NULL, t)), x -> x IS NOT NULL)" +
+          ", ' ')").as("clean_text"))
+  }
+
   /** The per-doc KEEP/DROP readout of the corpus-duplication gate —
     * [[dupNgramCorpus]]'s `docs_gopher_apply`-shaped twin: each doc
     * carries its exact duplicated-character fraction and drops iff
@@ -740,6 +770,74 @@ object TextAnalysis {
       .select("doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
         "bullet_line_fraction", "ellipsis_line_fraction",
         "alpha_word_fraction", "stop_word_hits")
+
+  /** Fixed bin edges per quality metric for drift monitoring —
+    * value-independent grids (no quantile training, so two corpus
+    * snapshots bucket identically and the comparison needs no model
+    * state); integer-valued metrics get half-integer edges so no
+    * value can straddle a cut. Shared operator ↔ oracle. */
+  val QualityDriftBins: Seq[(String, Seq[Double])] = Seq(
+    ("n_words", Seq(25, 50, 100, 200, 500)),
+    ("mean_word_len", Seq(2, 3, 5, 7, 10, 15)),
+    ("symbol_word_ratio", Seq(0.01, 0.05, 0.1, 0.2)),
+    ("bullet_line_fraction", Seq(0.1, 0.5, 0.9)),
+    ("ellipsis_line_fraction", Seq(0.1, 0.3)),
+    ("alpha_word_fraction", Seq(0.5, 0.8, 0.95)),
+    ("stop_word_hits", Seq(0.5, 1.5, 3.5, 7.5)))
+
+  /** Quality-distribution DRIFT between two corpus snapshots — the
+    * "did today's crawl shift under me" monitor every intake
+    * pipeline wants next to its gates: for each of the 7 quality
+    * metrics, the two snapshots' populations histogram into the
+    * FIXED [[QualityDriftBins]] grid and compare by Population
+    * Stability Index (the [[EventOps.valuePsi]] convention —
+    * Laplace-0.5 smoothing over the metric's theoretical bucket
+    * count, `psi = Σ (p_b − p_a)·ln(p_b/p_a)`, drift flag at the
+    * classic 0.2). Input is any relation carrying the
+    * [[gopherQualityCols]] metric columns (the pinned pass
+    * qualifies); `isA` splits the snapshots. One stack projection,
+    * one (metric, bucket) aggregate, one metric-partitioned window
+    * — counts shuffle, never documents. Fixed bins are the scale
+    * decision: quantile cuts would need a training pass per
+    * snapshot and drift with it.
+    */
+  def qualityDrift(metrics: DataFrame,
+                   isA: Column = col("doc_id") % 2 === 0): DataFrame = {
+    val stackExpr = s"stack(${QualityDriftBins.size}, " +
+      QualityDriftBins.map { case (m, _) => s"'$m', CAST($m AS DOUBLE)" }
+        .mkString(", ") + ") AS (metric, value)"
+    val tagged = metrics.select(col("doc_id"), expr(stackExpr))
+      .withColumn("is_a", isA)
+    val bucket = QualityDriftBins.foldRight(lit(-1L): Column) {
+      case ((m, edges), acc) =>
+        when(col("metric") === m,
+          edges.map(e => when(col("value") > lit(e), 1L).otherwise(0L))
+            .reduce(_ + _)).otherwise(acc)
+    }
+    val halfN = QualityDriftBins.foldRight(lit(0.0): Column) {
+      case ((m, edges), acc) =>
+        when(col("metric") === m, lit((edges.size + 1) * 0.5)).otherwise(acc)
+    }
+    val counts = tagged
+      .groupBy(col("metric"), bucket.as("bucket"))
+      .agg(
+        sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+    val wAll = Window.partitionBy("metric")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pa = (col("n_a") + lit(0.5)) / (sum("n_a").over(wAll) + halfN)
+    val pb = (col("n_b") + lit(0.5)) / (sum("n_b").over(wAll) + halfN)
+    counts
+      .withColumn("p_a", pa).withColumn("p_b", pb)
+      .withColumn("psi_term",
+        (col("p_b") - col("p_a")) * log(col("p_b") / col("p_a")))
+      .withColumn("psi_raw", sum("psi_term").over(wAll))
+      .select(col("metric"), col("bucket"), col("n_a"), col("n_b"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("psi_term"), 6).as("psi_term"),
+        round(col("psi_raw"), 6).as("psi_total"),
+        (col("psi_raw") > 0.2).as("drifted"))
+  }
 
   private def anyQualityFlag: Column =
     GopherQualityThresholds.map(t => col(s"f_q_${t._1}")).reduce(_ || _)

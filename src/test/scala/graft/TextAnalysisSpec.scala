@@ -281,6 +281,49 @@ class TextAnalysisSpec extends SparkSpec {
       s"$out")
   }
 
+  test("dupSpansApply: spans cut, residual text exact, full coverage empties") {
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"  // 8 toks
+    val docs = Seq(
+      (0L, "s", s"pre0a pre0b $shared post0a"),
+      (1L, "s", shared),                      // fully covered -> ''
+      (2L, "s", "unique2 words2 here2 nothing2 repeats2 at2 all2 ever2"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupSpansApply(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out(0L) == ((11L, 8L, "pre0a pre0b post0a")), s"${out(0L)}")
+    assert(out(1L) == ((8L, 8L, "")), s"fully-covered doc: ${out(1L)}")
+    assert(out(2L) == ((8L, 0L,
+      "unique2 words2 here2 nothing2 repeats2 at2 all2 ever2")),
+      s"untouched doc passes through verbatim: ${out(2L)}")
+  }
+
+  test("qualityDrift: identical snapshots read no drift; a planted shift flags its metric") {
+    def mk(id: Long, text: String) = (id, text)
+    // snapshot A (even ids) = healthy prose; snapshot B (odd ids)
+    // HALF healthy, HALF bullet-heavy -> only the bullet metric's
+    // distribution moves
+    val healthy = "the and " + (1 to 60).map(i => s"w$i$i").mkString(" ")
+    val bullets = "the and " +
+      (1 to 60).map(i => s"-b$i").mkString(" ")
+    val docs = ((0L until 40L by 2).map(id => mk(id, healthy)) ++
+      (1L until 40L by 2).map(id =>
+        mk(id, if (id < 20) bullets else healthy)))
+      .toDF("doc_id", "text")
+    val lined = TextAnalysis.synthLinedCorpus(docs, dupMod = 1000000)
+    val out = TextAnalysis.qualityDrift(
+        TextAnalysis.gopherFlagged(lined)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(7), r.getBoolean(8))).toMap
+    val byMetric = out.groupBy(_._1._1).view
+      .mapValues(_.values.head._2).toMap
+    assert(byMetric("bullet_line_fraction"),
+      s"the planted bullet shift must flag: $out")
+    Seq("n_words", "stop_word_hits", "alpha_word_fraction",
+      "ellipsis_line_fraction").foreach(m =>
+      assert(!byMetric(m), s"$m must not drift: ${out.filter(_._1._1 == m)}"))
+  }
+
   test("dupNgramMass counts code points, not UTF-16 units") {
     // 𝄞 is an astral char: String.length 2, SQL length 1 — the
     // kernel must agree with the oracle's length()
