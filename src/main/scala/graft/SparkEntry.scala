@@ -532,6 +532,16 @@ object SparkEntry {
     // fixed-bin PSI per quality metric off the pinned metric pass
     "docs_quality_drift" -> ((s, dir) =>
       TextAnalysis.qualityDrift(sharedGopherFlagged(s, dir))),
+    // the LIVE twin (r13): the odd half streams against the even
+    // half's persisted baseline histogram; state = the histogram
+    // itself (~40 longs), emissions recompute PSI per micro-batch
+    "stream_quality_drift" -> ((s, dir) => {
+      val flagged = sharedGopherFlagged(s, dir)
+      graft.streaming.DocStream.qualityDriftState(
+        flagged.filter(col("doc_id") % 2 =!= 0),
+        TextAnalysis.qualityBaseline(
+          flagged.filter(col("doc_id") % 2 === 0)))
+    }),
     // the corpus-duplication gate at STREAM intake (r13): new docs
     // probe the persisted dup-gram store — history never re-explodes;
     // zero persisted state (the per-doc fold is micro-batch-local)
@@ -1829,6 +1839,42 @@ object SparkEntry {
         |  ELSE 0.0 END <= 0.5 AS keep
         |FROM documents dd JOIN tc USING (doc_id)
         |LEFT JOIN cc USING (doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Fixed-bin PSI per quality metric over the qprof chain —
+    * shared VERBATIM by `docs_quality_drift` and its streaming twin
+    * `stream_quality_drift` (the stream folds the same counters
+    * against the same baseline split, so the relation is identical
+    * by construction). */
+  private lazy val qualityDriftSql: String =
+
+      // fixed-bin PSI per metric over the qprof chain: Laplace-0.5
+      // smoothing over each metric's theoretical bucket count, the
+      // events_value_psi convention
+      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")}, $qualProfileCtes,
+         |st AS (__STACK__),
+         |tg AS (SELECT metric, value, doc_id % 2 = 0 AS is_a FROM st),
+         |bk AS (SELECT metric, is_a, __BUCKET__ AS bucket FROM tg),
+         |ct AS (SELECT metric, bucket,
+         |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         | FROM bk GROUP BY 1, 2),
+         |pr AS (SELECT metric, bucket, n_a, n_b,
+         |  (n_a + 0.5) / (CAST(sum(n_a) OVER (PARTITION BY metric)
+         |    AS DOUBLE) + (__HALFN__)) AS p_a,
+         |  (n_b + 0.5) / (CAST(sum(n_b) OVER (PARTITION BY metric)
+         |    AS DOUBLE) + (__HALFN__)) AS p_b FROM ct),
+         |ps AS (SELECT *, (p_b - p_a) * ln(p_b / p_a) AS psi_term
+         | FROM pr),
+         |tt AS (SELECT *, sum(psi_term) OVER (PARTITION BY metric)
+         |  AS psi_raw FROM ps)
+         |SELECT metric, bucket, n_a, n_b,
+         | round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+         | round(psi_term, 6) AS psi_term,
+         | round(psi_raw, 6) AS psi_total, psi_raw > 0.2 AS drifted
+         |FROM tt""").stripMargin.replace("\n", " ")
+        .replace("__STACK__", "SELECT doc_id, 'n_words' AS metric, CAST(n_words AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'mean_word_len' AS metric, CAST(mean_word_len AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'symbol_word_ratio' AS metric, CAST(symbol_word_ratio AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'bullet_line_fraction' AS metric, CAST(bullet_line_fraction AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'ellipsis_line_fraction' AS metric, CAST(ellipsis_line_fraction AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'alpha_word_fraction' AS metric, CAST(alpha_word_fraction AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'stop_word_hits' AS metric, CAST(stop_word_hits AS DOUBLE) AS value FROM qprof")
+        .replace("__BUCKET__", "CASE metric WHEN 'n_words' THEN CAST((CASE WHEN value > 25 THEN 1 ELSE 0 END) + (CASE WHEN value > 50 THEN 1 ELSE 0 END) + (CASE WHEN value > 100 THEN 1 ELSE 0 END) + (CASE WHEN value > 200 THEN 1 ELSE 0 END) + (CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'mean_word_len' THEN CAST((CASE WHEN value > 2 THEN 1 ELSE 0 END) + (CASE WHEN value > 3 THEN 1 ELSE 0 END) + (CASE WHEN value > 5 THEN 1 ELSE 0 END) + (CASE WHEN value > 7 THEN 1 ELSE 0 END) + (CASE WHEN value > 10 THEN 1 ELSE 0 END) + (CASE WHEN value > 15 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'symbol_word_ratio' THEN CAST((CASE WHEN value > 0.01 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.05 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.1 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.2 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'bullet_line_fraction' THEN CAST((CASE WHEN value > 0.1 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.9 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'ellipsis_line_fraction' THEN CAST((CASE WHEN value > 0.1 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.3 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'alpha_word_fraction' THEN CAST((CASE WHEN value > 0.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.8 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.95 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'stop_word_hits' THEN CAST((CASE WHEN value > 0.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 1.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 3.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 7.5 THEN 1 ELSE 0 END) AS BIGINT) END")
+        .replace("__HALFN__", "CASE metric WHEN 'n_words' THEN 3.0 WHEN 'mean_word_len' THEN 3.5 WHEN 'symbol_word_ratio' THEN 2.5 WHEN 'bullet_line_fraction' THEN 2.0 WHEN 'ellipsis_line_fraction' THEN 1.5 WHEN 'alpha_word_fraction' THEN 2.0 WHEN 'stop_word_hits' THEN 2.5 END")
 
   /** One quality-rule flag as SQL over `qprof` columns — the
     * [[operators.TextAnalysis.GopherQualityThresholds]] row
@@ -3791,35 +3837,8 @@ object SparkEntry {
           |  AS clean_text
           |FROM t JOIN documents d USING (doc_id)
           |LEFT JOIN cv USING (doc_id)""".stripMargin.replace("\n", " ")),
-    "docs_quality_drift" ->
-      // fixed-bin PSI per metric over the qprof chain: Laplace-0.5
-      // smoothing over each metric's theoretical bucket count, the
-      // events_value_psi convention
-      (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")}, $qualProfileCtes,
-         |st AS (__STACK__),
-         |tg AS (SELECT metric, value, doc_id % 2 = 0 AS is_a FROM st),
-         |bk AS (SELECT metric, is_a, __BUCKET__ AS bucket FROM tg),
-         |ct AS (SELECT metric, bucket,
-         |  CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         |  CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-         | FROM bk GROUP BY 1, 2),
-         |pr AS (SELECT metric, bucket, n_a, n_b,
-         |  (n_a + 0.5) / (CAST(sum(n_a) OVER (PARTITION BY metric)
-         |    AS DOUBLE) + (__HALFN__)) AS p_a,
-         |  (n_b + 0.5) / (CAST(sum(n_b) OVER (PARTITION BY metric)
-         |    AS DOUBLE) + (__HALFN__)) AS p_b FROM ct),
-         |ps AS (SELECT *, (p_b - p_a) * ln(p_b / p_a) AS psi_term
-         | FROM pr),
-         |tt AS (SELECT *, sum(psi_term) OVER (PARTITION BY metric)
-         |  AS psi_raw FROM ps)
-         |SELECT metric, bucket, n_a, n_b,
-         | round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
-         | round(psi_term, 6) AS psi_term,
-         | round(psi_raw, 6) AS psi_total, psi_raw > 0.2 AS drifted
-         |FROM tt""").stripMargin.replace("\n", " ")
-        .replace("__STACK__", "SELECT doc_id, 'n_words' AS metric, CAST(n_words AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'mean_word_len' AS metric, CAST(mean_word_len AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'symbol_word_ratio' AS metric, CAST(symbol_word_ratio AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'bullet_line_fraction' AS metric, CAST(bullet_line_fraction AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'ellipsis_line_fraction' AS metric, CAST(ellipsis_line_fraction AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'alpha_word_fraction' AS metric, CAST(alpha_word_fraction AS DOUBLE) AS value FROM qprof UNION ALL SELECT doc_id, 'stop_word_hits' AS metric, CAST(stop_word_hits AS DOUBLE) AS value FROM qprof")
-        .replace("__BUCKET__", "CASE metric WHEN 'n_words' THEN CAST((CASE WHEN value > 25 THEN 1 ELSE 0 END) + (CASE WHEN value > 50 THEN 1 ELSE 0 END) + (CASE WHEN value > 100 THEN 1 ELSE 0 END) + (CASE WHEN value > 200 THEN 1 ELSE 0 END) + (CASE WHEN value > 500 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'mean_word_len' THEN CAST((CASE WHEN value > 2 THEN 1 ELSE 0 END) + (CASE WHEN value > 3 THEN 1 ELSE 0 END) + (CASE WHEN value > 5 THEN 1 ELSE 0 END) + (CASE WHEN value > 7 THEN 1 ELSE 0 END) + (CASE WHEN value > 10 THEN 1 ELSE 0 END) + (CASE WHEN value > 15 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'symbol_word_ratio' THEN CAST((CASE WHEN value > 0.01 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.05 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.1 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.2 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'bullet_line_fraction' THEN CAST((CASE WHEN value > 0.1 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.9 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'ellipsis_line_fraction' THEN CAST((CASE WHEN value > 0.1 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.3 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'alpha_word_fraction' THEN CAST((CASE WHEN value > 0.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.8 THEN 1 ELSE 0 END) + (CASE WHEN value > 0.95 THEN 1 ELSE 0 END) AS BIGINT) WHEN 'stop_word_hits' THEN CAST((CASE WHEN value > 0.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 1.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 3.5 THEN 1 ELSE 0 END) + (CASE WHEN value > 7.5 THEN 1 ELSE 0 END) AS BIGINT) END")
-        .replace("__HALFN__", "CASE metric WHEN 'n_words' THEN 3.0 WHEN 'mean_word_len' THEN 3.5 WHEN 'symbol_word_ratio' THEN 2.5 WHEN 'bullet_line_fraction' THEN 2.0 WHEN 'ellipsis_line_fraction' THEN 1.5 WHEN 'alpha_word_fraction' THEN 2.0 WHEN 'stop_word_hits' THEN 2.5 END"),
+    "docs_quality_drift" -> qualityDriftSql,
+    "stream_quality_drift" -> qualityDriftSql,
     "docs_dup_line_removal" ->
       // keep-first over identical lines corpus-wide: row_number on
       // the natural (doc_id, idx) order — discrete, tie-free; the

@@ -803,23 +803,13 @@ object TextAnalysis {
     */
   def qualityDrift(metrics: DataFrame,
                    isA: Column = col("doc_id") % 2 === 0): DataFrame = {
-    val stackExpr = s"stack(${QualityDriftBins.size}, " +
-      QualityDriftBins.map { case (m, _) => s"'$m', CAST($m AS DOUBLE)" }
-        .mkString(", ") + ") AS (metric, value)"
-    val tagged = metrics.select(col("doc_id"), expr(stackExpr))
-      .withColumn("is_a", isA)
-    val bucket = QualityDriftBins.foldRight(lit(-1L): Column) {
-      case ((m, edges), acc) =>
-        when(col("metric") === m,
-          edges.map(e => when(col("value") > lit(e), 1L).otherwise(0L))
-            .reduce(_ + _)).otherwise(acc)
-    }
     val halfN = QualityDriftBins.foldRight(lit(0.0): Column) {
       case ((m, edges), acc) =>
         when(col("metric") === m, lit((edges.size + 1) * 0.5)).otherwise(acc)
     }
-    val counts = tagged
-      .groupBy(col("metric"), bucket.as("bucket"))
+    val counts = qualityBuckets(metrics)
+      .withColumn("is_a", isA)
+      .groupBy(col("metric"), col("bucket"))
       .agg(
         sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
@@ -838,6 +828,31 @@ object TextAnalysis {
         round(col("psi_raw"), 6).as("psi_total"),
         (col("psi_raw") > 0.2).as("drifted"))
   }
+
+  /** Per-doc (metric, bucket) assignment under [[QualityDriftBins]]
+    * — the shared projection under the drift monitor's batch and
+    * streaming forms. Keeps doc_id for snapshot splitting. */
+  private[graft] def qualityBuckets(metrics: DataFrame): DataFrame = {
+    val stackExpr = s"stack(${QualityDriftBins.size}, " +
+      QualityDriftBins.map { case (m, _) => s"'$m', CAST($m AS DOUBLE)" }
+        .mkString(", ") + ") AS (metric, value)"
+    val bucket = QualityDriftBins.foldRight(lit(-1L): Column) {
+      case ((m, edges), acc) =>
+        when(col("metric") === m,
+          edges.map(e => when(col("value") > lit(e), 1L).otherwise(0L))
+            .reduce(_ + _)).otherwise(acc)
+    }
+    metrics.select(col("doc_id"), expr(stackExpr))
+      .select(col("doc_id"), col("metric"), bucket.as("bucket"))
+  }
+
+  /** Baseline snapshot histogram — what a nightly batch persists
+    * and the streaming drift monitor probes: exact (metric, bucket)
+    * doc counts, |metrics|·|buckets| rows total (the histogram IS
+    * the model; no quantile state). */
+  def qualityBaseline(metrics: DataFrame): DataFrame =
+    qualityBuckets(metrics)
+      .groupBy("metric", "bucket").agg(count(lit(1)).as("n_a"))
 
   private def anyQualityFlag: Column =
     GopherQualityThresholds.map(t => col(s"f_q_${t._1}")).reduce(_ || _)

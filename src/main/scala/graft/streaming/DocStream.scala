@@ -167,6 +167,78 @@ object DocStream {
       .toDF()
   }
 
+  case class QDriftEv(metric: String, bucket: Long)
+  case class QDriftRow(metric: String, bucket: Long, n_a: Long, n_b: Long,
+                       p_a: Double, p_b: Double, psi_term: Double,
+                       psi_total: Double, drifted: Boolean)
+
+  /** Streaming quality-drift monitor — the live twin of
+    * [[TextAnalysis.qualityDrift]]: arriving documents' 7 quality
+    * metrics bucket into the FIXED [[TextAnalysis.QualityDriftBins]]
+    * grid row-locally, and per metric a running histogram compares
+    * against the persisted BASELINE snapshot
+    * ([[TextAnalysis.qualityBaseline]], the nightly batch's
+    * artifact) by the same Laplace-0.5 PSI — "did today's crawl
+    * shift" as a continuously-updated readout instead of a nightly
+    * one.
+    *
+    * State is the per-metric bucket histogram: O(|metrics| ·
+    * |buckets|) longs TOTAL (≤ ~40 counters — the histogram IS the
+    * model), accumulated across micro-batches and spec-asserted
+    * bounded. The baseline relation is collected once at plan time
+    * (bounded by the same grid) and rides the closure, so arriving
+    * documents never join anything. Emits every (metric, bucket)
+    * row with recomputed PSI each time a metric's histogram moves
+    * (update mode); the batch run of [[TextAnalysis.qualityDrift]]
+    * over (baseline ∪ stream) is the oracle — identical counters,
+    * identical float ops, identical rounding.
+    */
+  def qualityDriftState(docs: DataFrame, baseline: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base: Map[String, Map[Long, Long]] = baseline.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (m, rows) =>
+        m -> rows.map(r => r._2 -> r._3).toMap }
+    val binsMap = TextAnalysis.QualityDriftBins.toMap
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fn(metric: String, it: Iterator[QDriftEv],
+           st: GroupState[Map[Long, Long]]): Iterator[QDriftRow] = {
+      val upd = it.foldLeft(st.getOption.getOrElse(Map.empty[Long, Long])) {
+        (m, e) => m.updated(e.bucket, m.getOrElse(e.bucket, 0L) + 1L)
+      }
+      st.update(upd)
+      val aCounts = base.getOrElse(metric, Map.empty)
+      val halfN = (binsMap(metric).size + 1) * 0.5
+      val buckets = (upd.keySet ++ aCounts.keySet).toSeq.sorted
+      val sumA = aCounts.values.sum
+      val sumB = upd.values.sum
+      val rows = buckets.map { b =>
+        val nA = aCounts.getOrElse(b, 0L)
+        val nB = upd.getOrElse(b, 0L)
+        val pA = (nA + 0.5) / (sumA + halfN)
+        val pB = (nB + 0.5) / (sumB + halfN)
+        (b, nA, nB, pA, pB, (pB - pA) * math.log(pB / pA))
+      }
+      val psiRaw = rows.map(_._6).sum
+      rows.iterator.map { case (b, nA, nB, pA, pB, term) =>
+        QDriftRow(metric, b, nA, nB, round6(pA), round6(pB),
+          round6(term), round6(psiRaw), psiRaw > 0.2)
+      }
+    }
+    val metricsDf =
+      if (docs.columns.contains("n_words")) docs
+      else TextAnalysis.gopherQualityCols(docs)
+    TextAnalysis.qualityBuckets(metricsDf)
+      .select(col("metric"), col("bucket"))
+      .as[QDriftEv]
+      .groupByKey(_.metric)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class SampEv(doc_id: Long, source: String, skey: String)
   case class SampState(keep: List[(String, Long)])
   case class SampleRow(source: String, sample_rank: Long, doc_id: Long)

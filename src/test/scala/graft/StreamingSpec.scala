@@ -874,6 +874,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("qualityDriftState: histogram accumulates across batches, state stays grid-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    // PRE-lined texts (the intake gate sees line structure): 2-token
+    // lines, the stop words leading — the bullet variant's lines all
+    // start with '-' except that first one
+    def linedText(words: Seq[String]): String =
+      ("the" +: "and" +: words).grouped(2).map(_.mkString(" "))
+        .mkString("\n")
+    val healthy = linedText((1 to 60).map(i => s"w$i$i"))
+    val bullets = linedText((1 to 60).map(i => s"-b$i"))
+    // baseline = 20 healthy docs; stream = 10 bullet-heavy + 10
+    // healthy, split ACROSS two micro-batches
+    val baseDocs = (0L until 20L).map(id => (id, healthy)).toDF("doc_id", "text")
+    val streamRows = ((100L until 110L).map(id =>
+      StreamingSpec.LinedDoc(id, bullets, "s")) ++
+      (110L until 120L).map(id => StreamingSpec.LinedDoc(id, healthy, "s")))
+    val baseline = graft.operators.TextAnalysis.qualityBaseline(
+      graft.operators.TextAnalysis.gopherQualityCols(baseDocs))
+      .localCheckpoint(true)
+    // batch twin: the SAME fold over the whole stream side at once
+    val streamDf = streamRows.toDF().select(col("doc_id"), col("text"))
+    val want = graft.streaming.DocStream.qualityDriftState(streamDf, baseline)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(7), r.getBoolean(8))).toMap
+    assert(want.exists { case ((m, _), (_, _, _, drifted)) =>
+      m == "bullet_line_fraction" && drifted },
+      s"the planted bullet shift must read drifted: $want")
+
+    val mem = MemoryStream[StreamingSpec.LinedDoc]
+    val q = graft.streaming.DocStream.qualityDriftState(
+        mem.toDF().select(col("doc_id"), col("text")), baseline)
+      .writeStream.format("memory").queryName("qdrift_test")
+      .outputMode("update").start()
+    try {
+      mem.addData(streamRows.take(10): _*)
+      q.processAllAvailable()
+      mem.addData(streamRows.drop(10): _*)
+      q.processAllAvailable()
+      val rows = spark.table("qdrift_test").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(7), r.getBoolean(8)))
+      val latest = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (k, occ) => k -> occ.maxBy(_._2)._1._2 }
+      assert(latest == want,
+        s"cross-batch histogram must land on the batch fold:\n$latest\nvs\n$want")
+      // state is the grid, nothing more: per-metric bucket counters
+      val ops = q.lastProgress.stateOperators
+      assert(ops.map(_.numRowsTotal).sum <=
+        graft.operators.TextAnalysis.QualityDriftBins.size,
+        s"state must stay one histogram per metric: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("dupNgramGate: store probe streams with ZERO persisted state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // crafted corpus: doc 1 is mostly a verbatim copy of doc 0
