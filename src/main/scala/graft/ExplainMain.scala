@@ -84,7 +84,7 @@ object ExplainMain {
       // r13 batch
       "docs_gopher_quality", "docs_dup_spans", "stream_dup_ngram_gate",
       "lake_compaction_apply", "docs_dup_spans_apply",
-      "docs_quality_drift", "stream_quality_drift")
+      "docs_quality_drift", "stream_quality_drift", "stream_dup_span_scrub")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

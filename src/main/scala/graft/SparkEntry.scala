@@ -542,6 +542,13 @@ object SparkEntry {
         TextAnalysis.qualityBaseline(
           flagged.filter(col("doc_id") % 2 === 0)))
     }),
+    // exact-substring SCRUB at stream intake (r13): store-matched
+    // spans cut from arriving text; docs_dup_spans_apply's relation
+    // by definition, zero persisted state
+    "stream_dup_span_scrub" -> ((s, dir) =>
+      graft.streaming.DocStream.dupSpanScrub(Tables.documents(s, dir),
+        TextAnalysis.dupNgramStore(Tables.documents(s, dir),
+          occ = Some(sharedDupNgramOcc(s, dir))))),
     // the corpus-duplication gate at STREAM intake (r13): new docs
     // probe the persisted dup-gram store — history never re-explodes;
     // zero persisted state (the per-doc fold is micro-batch-local)
@@ -1839,6 +1846,28 @@ object SparkEntry {
         |  ELSE 0.0 END <= 0.5 AS keep
         |FROM documents dd JOIN tc USING (doc_id)
         |LEFT JOIN cc USING (doc_id)""".stripMargin.replace("\n", " ")
+
+  /** Residual-text span removal oracle — shared VERBATIM by
+    * `docs_dup_spans_apply` and its intake twin
+    * `stream_dup_span_scrub` (the store probe reproduces the
+    * covered-position union exactly). */
+  private lazy val dupSpansApplySql: String =
+
+      // residual text after cutting covered positions — the same
+      // cpos relation, rebuilt row-locally via an indexed transform
+      (toksCte + ", " + dupNgramCoverageCtes +
+        """, cv AS (SELECT doc_id, list(p) AS cov FROM cpos GROUP BY 1)
+          |SELECT t.doc_id, d.source,
+          | CAST(len(t.toks) AS BIGINT) AS n_toks,
+          | CAST(coalesce(len(cv.cov), 0) AS BIGINT) AS n_toks_removed,
+          | coalesce(array_to_string(list_filter(list_transform(
+          |   range(1, len(t.toks) + 1),
+          |   i -> CASE WHEN cv.cov IS NOT NULL AND
+          |     list_contains(cv.cov, i - 1) THEN NULL
+          |    ELSE t.toks[i] END), x -> x IS NOT NULL), ' '), '')
+          |  AS clean_text
+          |FROM t JOIN documents d USING (doc_id)
+          |LEFT JOIN cv USING (doc_id)""".stripMargin.replace("\n", " "))
 
   /** Fixed-bin PSI per quality metric over the qprof chain —
     * shared VERBATIM by `docs_quality_drift` and its streaming twin
@@ -3821,22 +3850,8 @@ object SparkEntry {
           |  ELSE 0.0 END AS removal_fraction
           |FROM sp JOIN t USING (doc_id) JOIN tc USING (doc_id)"""
           .stripMargin.replace("\n", " ")),
-    "docs_dup_spans_apply" ->
-      // residual text after cutting covered positions — the same
-      // cpos relation, rebuilt row-locally via an indexed transform
-      (toksCte + ", " + dupNgramCoverageCtes +
-        """, cv AS (SELECT doc_id, list(p) AS cov FROM cpos GROUP BY 1)
-          |SELECT t.doc_id, d.source,
-          | CAST(len(t.toks) AS BIGINT) AS n_toks,
-          | CAST(coalesce(len(cv.cov), 0) AS BIGINT) AS n_toks_removed,
-          | coalesce(array_to_string(list_filter(list_transform(
-          |   range(1, len(t.toks) + 1),
-          |   i -> CASE WHEN cv.cov IS NOT NULL AND
-          |     list_contains(cv.cov, i - 1) THEN NULL
-          |    ELSE t.toks[i] END), x -> x IS NOT NULL), ' '), '')
-          |  AS clean_text
-          |FROM t JOIN documents d USING (doc_id)
-          |LEFT JOIN cv USING (doc_id)""".stripMargin.replace("\n", " ")),
+    "docs_dup_spans_apply" -> dupSpansApplySql,
+    "stream_dup_span_scrub" -> dupSpansApplySql,
     "docs_quality_drift" -> qualityDriftSql,
     "stream_quality_drift" -> qualityDriftSql,
     "docs_dup_line_removal" ->

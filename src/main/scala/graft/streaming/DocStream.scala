@@ -167,6 +167,73 @@ object DocStream {
       .toDF()
   }
 
+  case class ScrubEv(doc_id: Long, source: String, toks: Seq[String],
+                     start: Int)
+  case class ScrubRow(doc_id: Long, source: String, n_toks: Long,
+                      n_toks_removed: Long, clean_text: String)
+
+  /** Exact-substring SCRUB at stream intake — the live twin of
+    * [[TextAnalysis.dupSpansApply]]: arriving documents' n-grams
+    * probe the persisted dup-gram store (the [[dupNgramGate]]
+    * mechanics — broadcast stream-static equi-join, history never
+    * re-explodes), and every store-matched span is CUT from the
+    * emitted text. Output is `docs_dup_spans_apply`'s relation by
+    * definition (same covered-position union against the same
+    * store), so that key's oracle is shared verbatim.
+    *
+    * Same zero-persisted-state contract as [[dupNgramGate]]: the
+    * per-doc fold never writes its store (documents are atomic per
+    * micro-batch). The base row carries the token array ONCE per
+    * doc (the scrub has to ship the text it rewrites — that is the
+    * operator's payload, not overhead); matched rows carry only
+    * (start).
+    */
+  def dupSpanScrub(docs: DataFrame, store: DataFrame,
+                   n: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val base = docs.select(col("doc_id"), col("source"),
+      TextAnalysis.tokens(col("text")).as("toks"))
+    val baseRows = base.select(col("doc_id"), col("source"), col("toks"),
+      lit(-1).as("start"))
+    val matched = base
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"""transform(sequence(0, size(toks) - $n),
+             |  i -> struct(i AS start,
+             |    array_join(slice(toks, i + 1, $n), ' ') AS ng))"""
+            .stripMargin.replace("\n", " "))).as("o"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(array() AS ARRAY<STRING>)").as("toks"),
+        col("o.start").as("start"), col("o.ng").as("ng"))
+      .join(broadcast(store.select("ng")), Seq("ng"))
+      .drop("ng")
+    def fn(id: Long, it: Iterator[ScrubEv],
+           st: GroupState[Long]): Iterator[ScrubRow] = {
+      // st deliberately untouched: zero state rows ever persist
+      val evs = it.toArray
+      val baseRow = evs.find(_.start < 0).get
+      val covered = new scala.collection.mutable.BitSet()
+      evs.foreach { e =>
+        if (e.start >= 0) { var p = e.start; val end = e.start + n
+          while (p < end) { covered += p; p += 1 } }
+      }
+      val toks = baseRow.toks
+      val clean = toks.iterator.zipWithIndex
+        .collect { case (t, i) if !covered(i) => t }.mkString(" ")
+      Iterator.single(ScrubRow(id, baseRow.source, toks.length.toLong,
+        covered.size.toLong, clean))
+    }
+    baseRows.unionByName(matched)
+      .as[ScrubEv]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   case class QDriftEv(metric: String, bucket: Long)
   case class QDriftRow(metric: String, bucket: Long, n_a: Long, n_b: Long,
                        p_a: Double, p_b: Double, psi_term: Double,

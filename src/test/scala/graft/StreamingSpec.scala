@@ -874,6 +874,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dupSpanScrub: store-matched spans cut at intake, ZERO state, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val corpus = Seq(
+      StreamingSpec.LinedDoc(0L, s"pre0a pre0b $shared post0a", "s0"),
+      StreamingSpec.LinedDoc(1L, shared, "s0"),
+      StreamingSpec.LinedDoc(2L,
+        "unique2 words2 here2 nothing2 repeats2 at2 all2 ever2", "s1"),
+      StreamingSpec.LinedDoc(3L, s"lead3 $shared tail3a tail3b", "s1"))
+    val docs = corpus.toDF()
+    val store = graft.operators.TextAnalysis.dupNgramStore(docs)
+      .localCheckpoint(true)
+    def fold(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val batch = fold(graft.streaming.DocStream.dupSpanScrub(docs, store)
+      .collect())
+    // the batch run IS docs_dup_spans_apply's relation
+    val applyTwin = fold(graft.operators.TextAnalysis.dupSpansApply(docs)
+      .collect())
+    assert(batch == applyTwin, s"$batch\nvs\n$applyTwin")
+    assert(batch(1L) == ((8L, 8L, "")), s"fully covered: ${batch(1L)}")
+    assert(batch(0L)._3 == "pre0a pre0b post0a", s"${batch(0L)}")
+
+    val mem = MemoryStream[StreamingSpec.LinedDoc]
+    val q = graft.streaming.DocStream.dupSpanScrub(mem.toDF(), store)
+      .writeStream.format("memory").queryName("scrub_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = fold(spark.table("scrub_test").collect())
+      assert(streamed == batch,
+        s"cross-batch scrub must match the batch form: $streamed")
+      val ops = q.lastProgress.stateOperators
+      assert(ops != null && ops.nonEmpty && ops.forall(_.numRowsTotal == 0),
+        s"fold must never write state: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("qualityDriftState: histogram accumulates across batches, state stays grid-bounded") {
     implicit val sqlCtx = spark.sqlContext
     // PRE-lined texts (the intake gate sees line structure): 2-token
