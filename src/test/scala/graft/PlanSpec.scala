@@ -528,4 +528,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
       s"the new batch must be the broadcast build side:\n$p")
   }
+
+  // r13 scale shapes
+
+  test("dupSpans: islands + span index ride ONE doc_id exchange above the trunk") {
+    val ta = graft.operators.TextAnalysis
+    val toks = ta.dupNgramToks(Tables.documents(spark, dir))
+    val p = plan(ta.dupSpans(Tables.documents(spark, dir),
+      toks = Some(toks), starts = Some(ta.dupNgramStarts(toks))))
+    // exchanges: the n-gram window (trunk), the starts fold, and the
+    // doc_id window the islands/group/span-index chain SHARES — the
+    // subset-key reuse means no fourth hash exchange appears
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 3, s"expected <=3 hash exchanges (trunk window, " +
+      s"starts fold, one shared doc window), got $hashEx:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert("Generate explode".r.findAllIn(p).length == 2,
+      s"one gram explode (trunk) + one position explode:\n$p")
+  }
+
+  test("dupNgramGate / dupSpanScrub: the store BROADCASTS, never sort-merges") {
+    val docs = Tables.documents(spark, dir)
+    val store = graft.operators.TextAnalysis.dupNgramStore(docs)
+    Seq(
+      graft.streaming.DocStream.dupNgramGate(docs, store),
+      graft.streaming.DocStream.dupSpanScrub(docs, store)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"store probe must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"the corpus side must never shuffle for the store:\n$p")
+    }
+  }
+
+  test("qualityDrift: every exchange is count-grain, documents never shuffle") {
+    val ta = graft.operators.TextAnalysis
+    val p = plan(ta.qualityDrift(ta.gopherFlagged(
+      ta.synthQualityCorpus(Tables.documents(spark, dir)))))
+    // two exchanges, BOTH post-partial-aggregation: the (metric,
+    // bucket) agg moves map-side partials (≤ grid-size rows per
+    // task) and the metric window moves the ~40 final count rows —
+    // the per-doc metric rows themselves never cross the wire
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected agg + window exchanges only:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"map-side partials must precede the agg exchange:\n$p")
+  }
 }
