@@ -103,6 +103,16 @@ object SparkEntry {
         operators.Multimodal.synthMixedCorpus(Tables.documents(s, dir)))
         .localCheckpoint(true)))
 
+  // perceptual-audio signature store, same economics as the phash
+  // store: decode once per (session, dir), both audio keys read it
+  private val audioSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedAudioSigs(s: SparkSession, dir: String): DataFrame =
+    audioSigCache.getOrElseUpdate((s, dir), primeTimed("audio_sigs")(
+      operators.Multimodal.audioSignatures(
+        operators.Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)))
+        .localCheckpoint(true)))
+
   // corpus-duplication coverage trunk: the doc-grain relation both
   // the source rollup and the per-doc gate read — the corpus-wide
   // 8-gram window runs ONCE per (session, dir)
@@ -977,6 +987,18 @@ object SparkEntry {
         storeSigs = sigs.filter(col("doc_id") % 5 =!= 1),
         newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
     }),
+    // perceptual AUDIO near-dup (r13): sign-of-delta signatures over
+    // really-decoded PCM — volume-scaled copies (doc_id % 10 == 1,
+    // truncation-halved samples) pair here while every byte tier
+    // misses them; banding lossless, oracle exhaustive
+    "mm_audio_sig_pairs" -> ((s, dir) =>
+      Multimodal.audioSigPairs(
+        Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioSigs(s, dir)))),
+    "mm_audio_sig_dedup" -> ((s, dir) =>
+      Multimodal.audioSigDedup(
+        Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioSigs(s, dir)))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -2367,6 +2389,35 @@ object SparkEntry {
     def signed(h: String): String =
       s"(CASE WHEN ($h) >= 9223372036854775808 " +
         s"THEN ($h) - $M ELSE ($h) END)"
+  }
+
+  /** Perceptual-audio signature replay: xxhash64 samples (the
+    * Xx64Sql step chain per (doc, i) row, packed key src·64 + i,
+    * seed 42) with the scaled-copy rule (doc_id % 10 == 1 carries
+    * the previous doc's samples truncation-halved), then 63
+    * sign-of-delta bits via the i+1 self-join — ends in
+    * `asg(doc_id, asig)`. */
+  private lazy val audioSigCtes: String = {
+    val (frags, ref) = Xx64Sql.hashLong("au", "base.k", "42")
+    (s"""base AS (SELECT doc_id, i,
+       |  CAST((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1
+       |    ELSE doc_id END) * 64 + i AS HUGEINT) AS k
+       | FROM documents, LATERAL (SELECT
+       |   unnest(generate_series(0, 63)) AS i) g),
+       |hh AS (SELECT doc_id, i, $ref AS h FROM base, $frags),
+       |v AS (SELECT doc_id, i,
+       |  CAST(CASE WHEN (h // 256) % 65536 >= 32768
+       |   THEN (h // 256) % 65536 - 65536
+       |   ELSE (h // 256) % 65536 END AS BIGINT) AS smp0 FROM hh),
+       |vv AS (SELECT doc_id, i,
+       |  CASE WHEN doc_id % 10 = 1 THEN (smp0 - (smp0 % 2)) // 2
+       |   ELSE smp0 END AS smp FROM v),
+       |asg AS (SELECT a.doc_id,
+       |  CAST(coalesce(sum(CASE WHEN b.smp > a.smp
+       |   THEN (CAST(1 AS BIGINT) << CAST(a.i AS INTEGER))
+       |   ELSE 0 END), 0) AS BIGINT) AS asig
+       | FROM vv a JOIN vv b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       | WHERE a.i < 63 GROUP BY 1)""").stripMargin.replace("\n", " ")
   }
 
   /** IVF centroid-pick replay (r10): Similarity.pickCentroids over
@@ -4842,6 +4893,35 @@ object SparkEntry {
         | coalesce(NOT p.dominated, true) AS keep
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""").stripMargin
         .replace("\n", " "),
+    "mm_audio_sig_pairs" ->
+      // exhaustive all-pairs definition, no candidate rule: the
+      // banding is pigeonhole-lossless; samples replay the xxhash64
+      // recipe (Xx64Sql step chain) with the scaled-copy rule,
+      // sig = 63 sign-of-delta bits
+      (s"""WITH $audioSigCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(bit_count(xor(a.asig, b.asig)) AS INTEGER) AS hamming
+         |FROM asg a JOIN asg b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.asig, b.asig)) <= 6""")
+        .stripMargin.replace("\n", " "),
+    "mm_audio_sig_dedup" ->
+      // the pair-summary tail over the same exhaustive relation
+      (s"""WITH $audioSigCtes,
+         |verified AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  63 - bit_count(xor(a.asig, b.asig)) AS sim
+         | FROM asg a JOIN asg b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.asig, b.asig)) <= 6),
+         |sides AS (SELECT id_a AS doc_id, CAST(sim AS DOUBLE) AS score,
+         |  false AS is_junior FROM verified
+         | UNION ALL SELECT id_b, CAST(sim AS DOUBLE), true FROM verified),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+         |  max(score) AS max_score, bool_or(is_junior) AS dominated
+         | FROM sides GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+         | coalesce(p.max_score, 0.0) AS max_score,
+         | coalesce(NOT p.dominated, true) AS keep
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""")
+        .stripMargin.replace("\n", " "),
     "mm_decode_wav" ->
       // replay of the synthesized SAMPLES, never the codec: sample i
       // is the sign-extended low-16 window of FNV-1a("doc_id:i")

@@ -511,25 +511,39 @@ object Multimodal {
     // production shape — perceptual hashes are written once per
     // corpus snapshot) threads it in and skips the decode entirely.
     val sg = sigs.getOrElse(phashSignatures(blobs, side).localCheckpoint(true))
-    val banded = sg.select(col("doc_id"), col("dhash"),
+    bandedHammingPairs(sg, "dhash", totalBits, maxHamming, bands, maxBucket)
+  }
+
+  /** Pigeonhole-lossless banded Hamming self-join over any integer
+    * signature relation — the shared core under the perceptual image
+    * ([[phashPairs]]) and audio ([[audioSigPairs]]) tiers: `bands`
+    * bit-slices key the candidate buckets (bands > maxHamming makes
+    * the banding lossless while buckets stay under `maxBucket` — the
+    * pigeonhole argument in [[phashPairs]]'s scaladoc), ONE shuffle
+    * on the band key, each bucket folds to its (sorted, capped)
+    * member set and pairs expand row-locally, exact Hamming
+    * verifies. A degenerate bucket costs O(maxBucket²), not
+    * O(bucket²). */
+  private def bandedHammingPairs(sg: DataFrame, sigCol: String,
+                                 totalBits: Int, maxHamming: Int,
+                                 bands: Int, maxBucket: Int): DataFrame = {
+    val bits = totalBits / bands
+    val mask = (1L << bits) - 1
+    val banded = sg.select(col("doc_id"), col(sigCol).as("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> shiftright(dhash, b * $bits) & ${mask}L)")))
+          s"b -> shiftright($sigCol, b * $bits) & ${mask}L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
-    // ONE shuffle on the band key; each bucket folds to its (sorted,
-    // capped) member set and pairs expand row-locally — the
-    // candidatePairs shape, so a degenerate bucket costs
-    // O(maxBucket²) instead of O(bucket²)
     banded
       .groupBy("band", "band_bits")
-      .agg(collect_set(struct(col("doc_id"), col("dhash"))).as("ms"))
+      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("ms"))
       .filter(size(col("ms")) > 1)
       .select(slice(sort_array(col("ms")), 1, maxBucket).as("ms"))
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.dhash").as("h_a"), col("b.dhash").as("h_b"))
+        col("a.sig").as("h_a"), col("b.sig").as("h_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
@@ -750,6 +764,124 @@ object Multimodal {
       WavBlob(d, bos.toByteArray)
     }.toDF()
   }
+
+  /** The perceptual-audio fixture: [[synthWavCorpus]] plus planted
+    * VOLUME-SCALED copies — `doc_id % 10 == 1` carries the previous
+    * doc's samples truncation-halved (v/2 toward zero, the exact op
+    * both engines replay), a re-level of the same recording. The
+    * chunk/byte tiers structurally miss these (every PCM byte
+    * differs); the sign-of-delta signature below is
+    * amplitude-invariant up to truncation ties, so they pair
+    * perceptually — the audio twin of the phash BMP-re-encode story.
+    */
+  def synthScaledWavCorpus(docs: DataFrame, nSamples: Int = 64,
+                           sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val src = if (d % 10 == 1) d - 1 else d
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        // xxhash64 (Spark's XXH64), NOT the FNV recipe of
+        // [[synthWavCorpus]], deliberately: the sign-of-DELTA
+        // signature compares consecutive samples, and FNV-1a of
+        // "d:i" strings barely avalanches between adjacent i (the
+        // final-digit xor+multiply moves the 8..23-bit window by
+        // ~δ·435/256) — the delta signs collapse to ~50 distinct
+        // patterns per 500 docs. One xxhash64 round over the packed
+        // (src, i) key restores full per-sample independence:
+        // measured exactly the 50 planted copies pair at sf0.01 and
+        // min cross-doc Hamming ≈ 13 at sf0.1 scale.
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(src * 64L + i, 42L)
+        val v0 = (((h >>> 8) & 0xffffL).toInt << 16) >> 16
+        val v = if (d % 10 == 1) v0 / 2 else v0
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavBlob(d, bos.toByteArray)
+    }.toDF()
+  }
+
+  case class AudioSig(doc_id: Long, asig: Long)
+
+  /** Perceptual audio signature over REALLY-decoded PCM — the audio
+    * dHash: 63 sign-of-delta bits over the first 64 samples (bit i =
+    * sample(i+1) > sample(i)). Amplitude-INVARIANT for any positive
+    * re-leveling up to truncation ties (scaling preserves strict
+    * comparisons except where quantization collapses a ±1 step), so
+    * a volume-changed copy lands within a small Hamming radius of
+    * its source while the container bytes share nothing. MONO 16-bit
+    * audit-tier contract like [[audioFeatures]]; requires ≥ 64
+    * samples (signatures compare equal-length windows). */
+  def audioSignatures(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"doc $d: expected MONO signed 16-bit PCM, got $fmt")
+        val data = ais.readAllBytes()
+        require(data.length >= 128,
+          s"doc $d: signature needs >= 64 samples, got ${data.length / 2}")
+        val le = !fmt.isBigEndian
+        def smp(i: Int): Int = {
+          val lo = data(if (le) 2 * i else 2 * i + 1) & 0xff
+          val hi = data(if (le) 2 * i + 1 else 2 * i).toInt
+          (hi << 8) | lo
+        }
+        var sig = 0L
+        var i = 0
+        while (i < 63) {
+          if (smp(i + 1) > smp(i)) sig |= 1L << i
+          i += 1
+        }
+        AudioSig(d, sig)
+      }.toDF()
+  }
+
+  /** Perceptual near-dup pairs over audio signatures — the
+    * [[phashPairs]] machinery on the 63-bit sign-of-delta hash
+    * (7 bands × 9 bits; bands > maxHamming keeps the banding
+    * pigeonhole-LOSSLESS under the bucket cap, so the driver key's
+    * oracle is the EXHAUSTIVE all-pairs definition with no candidate
+    * rule). On the scaled-copy fixture exactly the re-leveled copies
+    * pair with their sources. */
+  def audioSigPairs(blobs: DataFrame, maxHamming: Int = 6,
+                    bands: Int = 7, maxBucket: Int = 256,
+                    sigs: Option[DataFrame] = None): DataFrame = {
+    require(63 % bands == 0, s"bands must divide 63, got $bands")
+    require(bands > maxHamming,
+      s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
+    val sg = sigs.getOrElse(audioSignatures(blobs).localCheckpoint(true))
+    bandedHammingPairs(sg, "asig", 63, maxHamming, bands, maxBucket)
+  }
+
+  /** Per-blob perceptual-audio dup summary — keep = no smaller-id
+    * perceptual duplicate, score = 63 − hamming; completes the audio
+    * tier into the same pairs → summary shape as phash/simhash. */
+  def audioSigDedup(blobs: DataFrame, maxHamming: Int = 6,
+                    bands: Int = 7, maxBucket: Int = 256,
+                    sigs: Option[DataFrame] = None): DataFrame =
+    Dedup.pairSummary(
+      sigs.map(_.select("doc_id")).getOrElse(blobs),
+      audioSigPairs(blobs, maxHamming, bands, maxBucket, sigs)
+        .withColumn("sim", lit(63) - col("hamming")), "sim")
 
   /** True when the leading bytes carry the RIFF/WAVE container magic
     * the JDK's `javax.sound.sampled` reader decodes. */

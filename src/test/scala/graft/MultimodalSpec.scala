@@ -355,6 +355,38 @@ class MultimodalSpec extends SparkSpec {
     blobs.unpersist()
   }
 
+  test("audioSigPairs: volume-scaled copies pair perceptually; byte identity misses them") {
+    val docs = (0L until 40L).toDF("doc_id")
+    val blobs = Multimodal.synthScaledWavCorpus(docs).cache()
+    val pairs = Multimodal.audioSigPairs(blobs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.keySet == Set((0L, 1L), (10L, 11L), (20L, 21L), (30L, 31L)),
+      s"exactly the planted re-leveled copies must pair: ${pairs.keySet}")
+    assert(pairs.values.forall(_ <= 2),
+      s"truncation ties flip at most a couple of delta signs: $pairs")
+    // the byte tier CANNOT see these pairs: every PCM sample differs
+    // after the re-level, so the payloads share no identity
+    val p = blobs.filter($"doc_id" < 2L).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(!java.util.Arrays.equals(p(0L), p(1L)),
+      "the scaled copy must differ byte-wise from its source")
+    blobs.unpersist()
+  }
+
+  test("audioSigDedup: scaled copies suppress, their sources survive") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val out = Multimodal.audioSigDedup(
+        Multimodal.synthScaledWavCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    val copies = Set(1L, 11L, 21L)
+    copies.foreach(d =>
+      assert(out(d) == ((1L, false)), s"copy $d must suppress: ${out(d)}"))
+    (0L until 30L).filterNot(copies).foreach(d =>
+      assert(out(d)._2, s"non-copy $d must keep: ${out(d)}"))
+    assert(out(0L) == ((1L, true)) && out(10L) == ((1L, true)),
+      "sources still count their dup but keep")
+  }
+
   test("phashPairs: maxBucket caps a concentrated (flat-image) bucket deterministically") {
     // 20 visually-flat blobs — identical dHash, so every band folds
     // into ONE bucket: the concentration hazard the scaladoc names.
