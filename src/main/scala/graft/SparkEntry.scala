@@ -999,6 +999,17 @@ object SparkEntry {
       Multimodal.audioSigDedup(
         Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioSigs(s, dir)))),
+    // nightly-ingest audio dedup (r13): new batch (doc_id % 5 == 1 —
+    // half re-leveled copies that must match, half originals that
+    // must not) probes the signature store; history pays zero codec
+    "mm_audio_sig_incremental" -> ((s, dir) => {
+      val sigs = sharedAudioSigs(s, dir)
+      Multimodal.audioSigIncremental(
+        Multimodal.synthScaledWavCorpus(Tables.documents(s, dir))
+          .filter(col("doc_id") % 5 === 1),
+        storeSigs = sigs.filter(col("doc_id") % 5 =!= 1),
+        newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
+    }),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
@@ -4922,6 +4933,32 @@ object SparkEntry {
          | coalesce(NOT p.dominated, true) AS keep
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)""")
         .stripMargin.replace("\n", " "),
+    "mm_audio_sig_incremental" ->
+      // EXHAUSTIVE new-batch x store comparison over the xxhash64
+      // signature replay (no candidate rule); best match =
+      // min (hamming, store_id)
+      (s"""WITH $audioSigCtes,
+        |nd AS (SELECT doc_id, asig FROM asg WHERE doc_id % 5 = 1),
+        |st AS (SELECT doc_id AS store_id, asig FROM asg
+        | WHERE doc_id % 5 <> 1),
+        |p AS (SELECT nd.doc_id, st.store_id,
+        |  CAST(bit_count(xor(nd.asig, st.asig)) AS INTEGER) AS hamming
+        | FROM nd JOIN st ON bit_count(xor(nd.asig, st.asig)) <= 6),
+        |b AS (SELECT doc_id, store_id, hamming, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY hamming, store_id) AS rn FROM p),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |  CAST(max(CASE WHEN rn = 1 THEN store_id END) AS BIGINT)
+        |   AS match_id,
+        |  CAST(max(CASE WHEN rn = 1 THEN hamming END) AS INTEGER)
+        |   AS best_hamming
+        | FROM b GROUP BY 1)
+        |SELECT nd.doc_id,
+        | CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+        | CAST(coalesce(a.match_id, -1) AS BIGINT) AS match_id,
+        | CAST(coalesce(a.best_hamming, -1) AS INTEGER) AS best_hamming,
+        | coalesce(a.n_matches, 0) = 0 AS keep
+        |FROM nd LEFT JOIN agg a USING (doc_id)""").stripMargin
+        .replace("\n", " "),
     "mm_decode_wav" ->
       // replay of the synthesized SAMPLES, never the codec: sample i
       // is the sign-extended low-16 window of FNV-1a("doc_id:i")

@@ -607,15 +607,33 @@ object Multimodal {
     val mask = (1L << bits) - 1
     val ns = newSigs.getOrElse(
       phashSignatures(newBlobs, side).localCheckpoint(true))
+    bandedHammingIncremental(ns.withColumnRenamed("dhash", "sig"),
+      storeSigs.withColumnRenamed("dhash", "sig"),
+      totalBits, maxHamming, bands)
+  }
+
+  /** Asymmetric new × store banded Hamming probe — the shared
+    * incremental core under the perceptual image and audio tiers:
+    * only new×history candidates form (history never re-pairs with
+    * itself), banding pigeonhole-lossless as in
+    * [[bandedHammingPairs]]; one row per new blob with match count,
+    * best match (min (hamming, store_id) — discrete, tie-free), and
+    * keep = no perceptual dup in the store. Expects (doc_id, sig)
+    * relations. */
+  private def bandedHammingIncremental(ns: DataFrame, store: DataFrame,
+                                       totalBits: Int, maxHamming: Int,
+                                       bands: Int): DataFrame = {
+    val bits = totalBits / bands
+    val mask = (1L << bits) - 1
     def banded(df: DataFrame, id: String, h: String) =
-      df.select(col("doc_id").as(id), col("dhash").as(h),
+      df.select(col("doc_id").as(id), col("sig").as(h),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), " +
-            s"b -> shiftright(dhash, b * $bits) & ${mask}L)")))
+            s"b -> shiftright(sig, b * $bits) & ${mask}L)")))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_bits")
     val pairs = banded(ns, "doc_id", "h_n")
-      .join(banded(storeSigs, "store_id", "h_s"), Seq("band", "band_bits"))
+      .join(banded(store, "store_id", "h_s"), Seq("band", "band_bits"))
       .select("doc_id", "store_id", "h_n", "h_s").distinct()
       .withColumn("hamming",
         bit_count(col("h_n").bitwiseXOR(col("h_s"))).cast("int"))
@@ -635,6 +653,24 @@ object Multimodal {
         coalesce(col("best_hamming"), lit(-1)).cast("int")
           .as("best_hamming"),
         (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
+  /** Incremental perceptual-audio dedup — the nightly-ingest shape,
+    * completing the audio tier's parity with the image/text/chunk
+    * incremental keys: NEW audio decodes and signs once, then probes
+    * the persisted 8-bytes-per-blob signature STORE via the same
+    * pigeonhole-lossless banded join — history pays zero codec work.
+    */
+  def audioSigIncremental(newBlobs: DataFrame, storeSigs: DataFrame,
+                          maxHamming: Int = 6, bands: Int = 7,
+                          newSigs: Option[DataFrame] = None): DataFrame = {
+    require(63 % bands == 0, s"bands must divide 63, got $bands")
+    require(bands > maxHamming,
+      s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
+    val ns = newSigs.getOrElse(
+      audioSignatures(newBlobs).localCheckpoint(true))
+    bandedHammingIncremental(ns.withColumnRenamed("asig", "sig"),
+      storeSigs.withColumnRenamed("asig", "sig"), 63, maxHamming, bands)
   }
 
   /** Per-document pooled feature embedding: decode frames, mean-pool

@@ -387,6 +387,28 @@ class MultimodalSpec extends SparkSpec {
       "sources still count their dup but keep")
   }
 
+  test("audioSigIncremental: new batch probes the store — copies match, originals keep") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val blobs = Multimodal.synthScaledWavCorpus(docs).cache()
+    // new batch = doc_id % 5 == 1: {1, 11, 21} are re-leveled copies
+    // of {0, 10, 20} (in the store) and must match; {6, 16, 26} are
+    // originals with no perceptual twin and must keep
+    val out = Multimodal.audioSigIncremental(
+        blobs.filter($"doc_id" % 5 === 1),
+        storeSigs = Multimodal.audioSignatures(
+          blobs.filter($"doc_id" % 5 =!= 1))).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3), r.getBoolean(4))).toMap
+    assert(out.keySet == Set(1L, 6L, 11L, 16L, 21L, 26L))
+    Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (n, src) =>
+      val (m, id, hm, keep) = out(n)
+      assert(m == 1L && id == src && hm <= 2 && !keep, s"copy $n: ${out(n)}")
+    }
+    Seq(6L, 16L, 26L).foreach(n =>
+      assert(out(n) == ((0L, -1L, -1, true)), s"original $n: ${out(n)}"))
+    blobs.unpersist()
+  }
+
   test("phashPairs: maxBucket caps a concentrated (flat-image) bucket deterministically") {
     // 20 visually-flat blobs — identical dHash, so every band folds
     // into ONE bucket: the concentration hazard the scaladoc names.
