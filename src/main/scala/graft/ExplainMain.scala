@@ -85,7 +85,8 @@ object ExplainMain {
       "docs_gopher_quality", "docs_dup_spans", "stream_dup_ngram_gate",
       "lake_compaction_apply", "docs_dup_spans_apply",
       "docs_quality_drift", "stream_quality_drift", "stream_dup_span_scrub",
-      "mm_audio_sig_pairs", "mm_audio_sig_dedup", "mm_audio_sig_incremental")
+      "mm_audio_sig_pairs", "mm_audio_sig_dedup", "mm_audio_sig_incremental",
+      "mm_audio_sig_groups")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

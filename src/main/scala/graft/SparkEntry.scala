@@ -999,6 +999,10 @@ object SparkEntry {
       Multimodal.audioSigDedup(
         Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioSigs(s, dir)))),
+    "mm_audio_sig_groups" -> ((s, dir) =>
+      Multimodal.audioSigGroups(
+        Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioSigs(s, dir)))),
     // nightly-ingest audio dedup (r13): new batch (doc_id % 5 == 1 —
     // half re-leveled copies that must match, half originals that
     // must not) probes the signature store; history pays zero codec
@@ -4933,6 +4937,23 @@ object SparkEntry {
          | coalesce(NOT p.dominated, true) AS keep
          |FROM documents d LEFT JOIN perdoc p USING (doc_id)""")
         .stripMargin.replace("\n", " "),
+    "mm_audio_sig_groups" ->
+      // recursive reachability closure over the exhaustive pair
+      // relation: label = min id reachable through undirected edges
+      (s"""WITH RECURSIVE $audioSigCtes,
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM asg a JOIN asg b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.asig, b.asig)) <= 6),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id)
+         |SELECT doc_id, group_id, doc_id = group_id AS keep
+         |FROM lab""").stripMargin.replace("\n", " "),
     "mm_audio_sig_incremental" ->
       // EXHAUSTIVE new-batch x store comparison over the xxhash64
       // signature replay (no candidate rule); best match =

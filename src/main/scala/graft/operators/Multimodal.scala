@@ -655,6 +655,19 @@ object Multimodal {
         (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
   }
 
+  /** Transitive closure of [[audioSigPairs]] — perceptual audio
+    * duplicate GROUPS (a re-level of a re-level chains to its root):
+    * min-label components via [[Dedup.dedupGroups]]'s adaptive
+    * pointer-doubling propagation, completing the audio tier's
+    * pairs → summary → groups → incremental parity with the image
+    * tier. */
+  def audioSigGroups(blobs: DataFrame, maxHamming: Int = 6,
+                     bands: Int = 7, maxBucket: Int = 256,
+                     sigs: Option[DataFrame] = None): DataFrame =
+    Dedup.dedupGroups(
+      sigs.map(_.select("doc_id")).getOrElse(blobs.select("doc_id")),
+      audioSigPairs(blobs, maxHamming, bands, maxBucket, sigs))
+
   /** Incremental perceptual-audio dedup — the nightly-ingest shape,
     * completing the audio tier's parity with the image/text/chunk
     * incremental keys: NEW audio decodes and signs once, then probes

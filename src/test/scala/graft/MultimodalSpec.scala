@@ -409,6 +409,18 @@ class MultimodalSpec extends SparkSpec {
     blobs.unpersist()
   }
 
+  test("audioSigGroups: re-leveled copies land in their sources' groups") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val out = Multimodal.audioSigGroups(
+        Multimodal.synthScaledWavCorpus(docs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (copy, src) =>
+      assert(out(copy) == ((src, false)), s"copy $copy: ${out(copy)}")
+      assert(out(src) == ((src, true)), s"source $src: ${out(src)}")
+    }
+    assert(out.count(!_._2._2) == 3, "exactly the three copies suppress")
+  }
+
   test("phashPairs: maxBucket caps a concentrated (flat-image) bucket deterministically") {
     // 20 visually-flat blobs — identical dHash, so every band folds
     // into ONE bucket: the concentration hazard the scaladoc names.
