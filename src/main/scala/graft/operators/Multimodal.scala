@@ -842,8 +842,12 @@ object Multimodal {
         // (src, i) key restores full per-sample independence:
         // measured exactly the 50 planted copies pair at sf0.01 and
         // min cross-doc Hamming ≈ 13 at sf0.1 scale.
+        // stride = nSamples so adjacent docs' sample keys can never
+        // collide at ANY nSamples (a hardcoded 64 would alias doc d
+        // sample i>=64 with doc d+1 sample i-64); the DuckDB replay
+        // (audioSigCtes) pins the driver fixture's nSamples = 64
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(src * 64L + i, 42L)
+          .hashLong(src * nSamples.toLong + i, 42L)
         val v0 = (((h >>> 8) & 0xffffL).toInt << 16) >> 16
         val v = if (d % 10 == 1) v0 / 2 else v0
         pcm(2 * i) = (v & 0xff).toByte

@@ -587,18 +587,40 @@ object TextAnalysis {
                     starts: Option[DataFrame] = None): DataFrame = {
     val d = toks.getOrElse(dupNgramToks(docs0))
     val st = starts.getOrElse(dupNgramStarts(d, n))
+    // O(len) mask/merge walk (the stream twin's BitSet shape): sorted
+    // starts → merged spans (intervals [s, s+n) chain into one island
+    // iff the next start is within n of the previous — exactly the
+    // consecutive-covered-position islands) → the KEPT inter-span
+    // segments slice out in one indexed transform. The former
+    // array_contains(covered, i) rewrite paid O(len · |covered|) per
+    // doc — quadratic on the long fully-duplicated documents this
+    // operator exists to cut.
     d.join(st, Seq("doc_id"), "left")
-      .withColumn("covered", expr(
-        s"""array_distinct(flatten(transform(
-           |  coalesce(starts, CAST(array() AS ARRAY<INT>)),
-           |  s -> sequence(s, s + ${n - 1}))))"""
+      .withColumn("ss", expr(
+        "array_sort(coalesce(starts, CAST(array() AS ARRAY<INT>)))"))
+      .withColumn("bnds", expr(
+        s"""IF(size(ss) = 0, CAST(array() AS ARRAY<INT>),
+           |  filter(sequence(0, size(ss) - 1),
+           |    i -> i = 0 OR element_at(ss, i + 1)
+           |      > element_at(ss, i) + $n))"""
+          .stripMargin.replace("\n", " ")))
+      .withColumn("spans", expr(
+        s"""transform(bnds, (b, j) -> struct(
+           |  element_at(ss, b + 1) AS s,
+           |  element_at(ss, IF(j + 1 < size(bnds),
+           |    element_at(bnds, j + 2), size(ss))) + $n AS e))"""
           .stripMargin.replace("\n", " ")))
       .select(col("doc_id"), col("source"),
         size(col("toks")).cast("long").as("n_toks"),
-        size(col("covered")).cast("long").as("n_toks_removed"),
-        expr("array_join(filter(transform(toks, (t, i) -> " +
-          "IF(array_contains(covered, i), NULL, t)), x -> x IS NOT NULL)" +
-          ", ' ')").as("clean_text"))
+        expr("aggregate(spans, 0L, (a, sp) -> a + sp.e - sp.s)")
+          .as("n_toks_removed"),
+        expr(
+          """array_join(flatten(transform(sequence(0, size(spans)),
+            |  j -> slice(toks,
+            |    IF(j = 0, 0, element_at(spans, j).e) + 1,
+            |    IF(j < size(spans), element_at(spans, j + 1).s, size(toks))
+            |      - IF(j = 0, 0, element_at(spans, j).e)))), ' ')"""
+            .stripMargin.replace("\n", " ")).as("clean_text"))
   }
 
   /** The per-doc KEEP/DROP readout of the corpus-duplication gate —
@@ -856,6 +878,14 @@ object TextAnalysis {
 
   private def anyQualityFlag: Column =
     GopherQualityThresholds.map(t => col(s"f_q_${t._1}")).reduce(_ || _)
+
+  /** The any-of-20-thresholds DROP decision over a [[gopherFlagged]]
+    * relation — the one boolean the composed curation pipeline
+    * ([[Curation.curateFull]]) consumes from the gate family's
+    * pinned pass. */
+  def gopherAnyFlag: Column =
+    anyQualityFlag || col("f_line") || col("f_para") ||
+      col("f_top") || col("f_dup")
 
   /** Per-document APPLY form of [[gopherGate]] — the decision a
     * curation pipeline actually consumes: one row per doc with

@@ -214,7 +214,13 @@ object DocStream {
            st: GroupState[Long]): Iterator[ScrubRow] = {
       // st deliberately untouched: zero state rows ever persist
       val evs = it.toArray
-      val baseRow = evs.find(_.start < 0).get
+      // a matched-only group means a source split a document's rows
+      // across micro-batches, violating the documented atomicity
+      // contract — drop the orphan rows (the doc re-emits whole when
+      // its base row's batch arrives) instead of killing the query
+      val baseOpt = evs.find(_.start < 0)
+      if (baseOpt.isEmpty) return Iterator.empty
+      val baseRow = baseOpt.get
       val covered = new scala.collection.mutable.BitSet()
       evs.foreach { e =>
         if (e.start >= 0) { var p = e.start; val end = e.start + n

@@ -70,4 +70,50 @@ class DupSpanPropertySpec extends SparkSpec {
           s"got:  ${got.toSeq.sortBy(_._1)}\nwant: ${want.toSeq.sortBy(_._1)}")
     }
   }
+
+  test("dupSpansApply: a LONG fully-duplicated doc cuts to empty in one pass") {
+    // the exact target of the r14 O(len) mask/merge rewrite: two
+    // long verbatim copies — every position covered, |starts| ≈ len.
+    // The former array_contains(covered, i) rewrite paid O(len²)
+    // here; the merged-span walk must stay linear AND produce the
+    // identical residual (empty) and removal count (all tokens).
+    val len = 4000
+    val long = Vector.tabulate(len)(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "s", long), (1L, "s", long),
+      (2L, "s", Vector.tabulate(40)(i => s"solo$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupSpansApply(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    Seq(0L, 1L).foreach { id =>
+      assert(out(id) == ((len.toLong, len.toLong, "")),
+        s"doc $id must cut to empty: ${out(id)._1} toks, " +
+          s"${out(id)._2} removed")
+    }
+    assert(out(2L)._2 == 0L && out(2L)._3.startsWith("solo0 "),
+      "the unique doc passes through verbatim")
+  }
+
+  test("dupSpansApply: interleaved dup/clean segments rebuild exactly") {
+    // many SEPARATE merged spans per doc (the other shape the merge
+    // walk must get right): three distinct shared runs split by
+    // unique filler; residual = the filler in order
+    val runA = (0 until 9).map(i => s"a$i")
+    val runB = (0 until 10).map(i => s"b$i")
+    val runC = (0 until 8).map(i => s"c$i")
+    def fill(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val d0 = fill("x", 5) ++ runA ++ fill("y", 4) ++ runB ++
+      fill("z", 6) ++ runC ++ fill("q", 3)
+    val d1 = runA ++ fill("m", 7) ++ runB ++ fill("n", 2) ++ runC
+    val docs = Seq((0L, "s", d0.mkString(" ")), (1L, "s", d1.mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupSpansApply(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out(0L) == ((27L,
+      (fill("x", 5) ++ fill("y", 4) ++ fill("z", 6) ++ fill("q", 3))
+        .mkString(" "))), s"doc 0: ${out(0L)}")
+    assert(out(1L) == ((27L,
+      (fill("m", 7) ++ fill("n", 2)).mkString(" "))), s"doc 1: ${out(1L)}")
+  }
 }

@@ -441,6 +441,37 @@ class MultimodalSpec extends SparkSpec {
     assert(full == 190L, s"20 identical sigs pair exhaustively: $full")
   }
 
+  test("driver-fixture band buckets stay under HALF the cap (lossless-banding headroom)") {
+    // the pairs keys' oracle is the EXHAUSTIVE all-pairs definition,
+    // which is only valid while every band bucket sits under
+    // maxBucket (256): pigeonhole-lossless banding truncates nothing
+    // below the cap. This pins 2x headroom on the LARGEST driver
+    // fixture (sf0.1, 5000 blobs; measured image max 115 in r12) so
+    // a corpus change drifting buckets toward the cap fails a test
+    // before it can silently break oracle parity.
+    import org.apache.spark.sql.functions.{posexplode, expr, count, lit, max}
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id")
+    def maxBucketOf(sigs: org.apache.spark.sql.DataFrame, sigCol: String,
+                    totalBits: Int, bands: Int): Long = {
+      val bits = totalBits / bands
+      val mask = (1L << bits) - 1
+      sigs.select(posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> shiftright($sigCol, b * $bits) & ${mask}L)")))
+        .groupBy("pos", "col").agg(count(lit(1)).as("n"))
+        .agg(max("n")).head().getLong(0)
+    }
+    val img = maxBucketOf(
+      Multimodal.phashSignatures(Multimodal.synthMixedCorpus(docs)),
+      "dhash", 56, 7)
+    assert(img <= 128, s"image band bucket $img exceeds half the 256 cap")
+    val aud = maxBucketOf(
+      Multimodal.audioSignatures(Multimodal.synthScaledWavCorpus(docs)),
+      "asig", 63, 7)
+    assert(aud <= 128, s"audio band bucket $aud exceeds half the 256 cap")
+  }
+
   test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
     val docs = (0L until 30L).toDF("doc_id")
     val out = Multimodal.phashSummary(

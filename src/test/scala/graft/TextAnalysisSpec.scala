@@ -237,6 +237,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(9L).getAs[Long]("n_words") == 54L)
   }
 
+  test("quality fixture at driver scale: every class-4 doc trips the SYMBOL rule") {
+    // the class-4 plant appends a FIXED 20 tag# words, which only
+    // pushes symbol_word_ratio over the 0.1 threshold while the raw
+    // doc stays under ~136 words — this pins that the driver corpus'
+    // length distribution keeps the plant effective (per-class
+    // discrimination would otherwise weaken silently as the corpus
+    // grows longer docs)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val class4 = TextAnalysis.gopherQuality(
+        TextAnalysis.synthQualityCorpus(docs))
+      .filter($"doc_id" % 17 === 4)
+    val n = class4.count()
+    val firing = class4.filter($"symbol_word_ratio" > 0.1).count()
+    assert(n > 0 && firing == n,
+      s"only $firing of $n class-4 docs fire the symbol rule at sf0.01")
+  }
+
   test("dupSpans: a planted repeated paragraph yields ONE maximal span") {
     // 12 shared tokens: five overlapping duplicated 8-grams must
     // CHAIN into a single maximal span, not five fragments
