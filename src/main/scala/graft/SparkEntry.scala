@@ -864,15 +864,26 @@ object SparkEntry {
       operators.Curation.manifest(Tables.documents(s, dir))),
     "docs_curate_capped" -> ((s, dir) =>
       operators.Curation.curateCapped(Tables.documents(s, dir), cap = 10)),
-    // both ride the SHARED shingle trunk for their near-dup gate:
-    // shingle sets are per-doc pure, so the primed corpus relation
-    // restricted to survivors is exactly the subset build
+    // the flagship composition rides FOUR pinned trunks the
+    // standalone gate families already share per (session, dir):
+    // shingles (near-dup blocking), the 20-threshold Gopher
+    // metric+flag pass, the corpus-duplication doc-grain coverage,
+    // and the duplicated-occurrence starts (residual token billing)
+    // — the r14 recomposition adds gates, not corpus scans
     "docs_curate_full" -> ((s, dir) =>
       operators.Curation.curateFull(Tables.documents(s, dir),
-        shingles = Some(sharedShingleSets(s, dir)))),
+        shingles = Some(sharedShingleSets(s, dir)),
+        gopherFlags = Some(sharedGopherFlagged(s, dir)),
+        dupDocs = Some(sharedDupNgramDocs(s, dir)),
+        dupStarts = Some(TextAnalysis.startsOfOcc(
+          sharedDupNgramOcc(s, dir))))),
     "docs_curate_funnel" -> ((s, dir) =>
       operators.Curation.curateFunnel(Tables.documents(s, dir),
-        shingles = Some(sharedShingleSets(s, dir)))),
+        shingles = Some(sharedShingleSets(s, dir)),
+        gopherFlags = Some(sharedGopherFlagged(s, dir)),
+        dupDocs = Some(sharedDupNgramDocs(s, dir)),
+        dupStarts = Some(TextAnalysis.startsOfOcc(
+          sharedDupNgramOcc(s, dir))))),
     "docs_token_budget" -> ((s, dir) =>
       // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
       operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),
@@ -2740,33 +2751,70 @@ object SparkEntry {
   }
 
   /** Shared CTE chain of the full curation pipeline (through the
-    * source-cap stage) — consumed by both the docs_curate_full
-    * result oracle and the docs_curate_funnel per-stage counts. */
-  private val curateFullCtes: String =
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    * source-cap stage, plus the residual-token billing relation) —
+    * consumed by both the docs_curate_full result oracle and the
+    * docs_curate_funnel per-stage counts. r14 recomposition: the
+    * 20-threshold Gopher gate chain (the gate family's verbatim
+    * fixture + profile CTEs) leads, the corpus-duplication gate and
+    * the span-scrub residual billing ride one raw-corpus 8-gram
+    * coverage chain (the docs_dup_ngram_apply definition), and the
+    * legacy stages keep their exact prior SQL (raw-corpus CTEs
+    * renamed rt/cp to coexist with the fixture chain's t/p). */
+  private val curateFullCtes: String = {
+    val th = operators.TextAnalysis.GopherGateThresholds.toMap
+    val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
+      .mkString("(", " OR ", ")")
+    (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")},
+        |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes,
+        |gflag AS (SELECT r.doc_id
+        | FROM rep_profile r JOIN dng gg ON gg.doc_id = r.doc_id
+        | JOIN qprof qq ON qq.doc_id = r.doc_id
+        | WHERE ($fAny OR $qualAnySql)),
+        |rt AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
         | FROM documents),
         |sc AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  least(1.0, len(toks) / 128.0)
         |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
         |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
-        |   AS quality_score FROM t),
+        |   AS quality_score FROM rt),
         |q AS (SELECT doc_id FROM sc
-        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2
+        |  AND doc_id NOT IN (SELECT doc_id FROM gflag)),
         |dd AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) nn GROUP BY norm),
+        |rtc AS (SELECT doc_id, CAST(list_sum(list_transform(toks,
+        |  x -> length(x))) AS BIGINT) AS tok_chars FROM rt),
+        |og AS (SELECT rt.doc_id, u.i - 1 AS start,
+        |  array_to_string(rt.toks[u.i:u.i + 7], ' ') AS ng
+        | FROM rt, LATERAL (SELECT unnest(generate_series(1,
+        |   len(rt.toks) - 7)) AS i) u
+        | WHERE len(rt.toks) >= 8),
+        |du AS (SELECT ng FROM og GROUP BY ng
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |cpos AS (SELECT DISTINCT og.doc_id, u.p
+        | FROM og JOIN du USING (ng),
+        |  LATERAL (SELECT unnest(range(og.start, og.start + 8)) AS p) u),
+        |cc AS (SELECT c.doc_id,
+        |  CAST(sum(length(rt.toks[c.p + 1])) AS BIGINT) AS dup_chars,
+        |  CAST(count(*) AS BIGINT) AS n_cov
+        | FROM cpos c JOIN rt USING (doc_id) GROUP BY c.doc_id),
+        |ddrop AS (SELECT rtc.doc_id FROM rtc JOIN cc USING (doc_id)
+        | WHERE rtc.tok_chars > 0
+        |  AND CAST(cc.dup_chars AS BIGINT) / rtc.tok_chars > 0.5),
         |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
         |  THEN list_transform(range(1, len(toks) - 1),
         |   i -> array_to_string(toks[i:i+2], ' '))
-        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM rt),
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
         |cont AS (SELECT DISTINCT c.doc_id FROM
         |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
         |  JOIN bench USING (gram)),
         |cur AS (SELECT d.doc_id, d.source FROM documents d
         | WHERE d.doc_id IN (SELECT doc_id FROM dd)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM ddrop)
         |  AND d.doc_id % 97 <> 0
         |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
         |tl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
@@ -2774,16 +2822,16 @@ object SparkEntry {
         |   i -> array_to_string(toks[i:i+2], ' ')))
         |  ELSE CAST([] AS VARCHAR[]) END AS grams
         | FROM (SELECT doc_id, list_filter(
-        |   regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |   regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
         |  FROM documents WHERE doc_id IN (SELECT doc_id FROM cur)) lt),
         |inv AS (SELECT doc_id, unnest(grams) AS gram FROM tl),
         |idf AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
-        |p AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        |cp AS (SELECT a.doc_id AS id_a, c.doc_id AS id_b
         |  FROM inv a JOIN idf ON idf.gram = a.gram JOIN inv c ON c.gram = a.gram
         |  WHERE a.doc_id < c.doc_id AND idf.df BETWEEN 2 AND 64
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |j AS (SELECT p.id_a, p.id_b FROM p
-        | JOIN tl ga ON ga.doc_id = p.id_a JOIN tl gb ON gb.doc_id = p.id_b
+        |j AS (SELECT cp.id_a, cp.id_b FROM cp
+        | JOIN tl ga ON ga.doc_id = cp.id_a JOIN tl gb ON gb.doc_id = cp.id_b
         | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
         |  / (len(ga.grams) + len(gb.grams)
         |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
@@ -2799,8 +2847,12 @@ object SparkEntry {
         | SELECT sup.doc_id, sup.source,
         |  row_number() OVER (PARTITION BY sup.source
         |    ORDER BY sc.quality_score DESC, sup.doc_id) AS rk
-        | FROM sup JOIN sc ON sc.doc_id = sup.doc_id) r WHERE rk <= 10)"""
+        | FROM sup JOIN sc ON sc.doc_id = sup.doc_id) r WHERE rk <= 10),
+        |rsc AS (SELECT sc.doc_id, sc.n_tokens,
+        |  CAST(sc.n_tokens - coalesce(cc.n_cov, 0) AS BIGINT) AS n_res,
+        |  sc.quality_score FROM sc LEFT JOIN cc USING (doc_id))""")
       .stripMargin.replace("\n", " ")
+  }
 
   private def base: Map[String, String] = Map(
     "etl_extract_typed" -> salesSql("WHERE l_linestatus = 'F'"),
@@ -5275,37 +5327,45 @@ object SparkEntry {
         | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
         .stripMargin.replace("\n", " "),
     "docs_curate_full" ->
-      // the whole nightly pipeline: quality → exact dedup → benchmark
-      // exclusion → decontamination → near-dup suppression (pairs and
-      // gram df scoped to curated survivors) → source cap(10) →
-      // token budget(5000, fill-then-stop)
+      // the whole nightly pipeline: 20-threshold Gopher gate →
+      // quality bounds → exact dedup → corpus-duplication gate →
+      // benchmark exclusion → decontamination → near-dup suppression
+      // (pairs and gram df scoped to curated survivors) → source
+      // cap(10) → token budget(5000, fill-then-stop) billed at the
+      // RESIDUAL post-span-scrub token count
       (curateFullCtes +
-        """ SELECT doc_id, source, n_tokens, quality_score FROM (
-          | SELECT capped.doc_id, capped.source, sc.n_tokens, sc.quality_score,
-          |  COALESCE(sum(sc.n_tokens) OVER (
-          |    ORDER BY sc.quality_score DESC, capped.doc_id
+        """ SELECT doc_id, source, n_tokens, n_tokens_kept, quality_score
+          |FROM (
+          | SELECT capped.doc_id, capped.source, rsc.n_tokens,
+          |  rsc.n_res AS n_tokens_kept, rsc.quality_score,
+          |  COALESCE(sum(rsc.n_res) OVER (
+          |    ORDER BY rsc.quality_score DESC, capped.doc_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
-          | FROM capped JOIN sc ON sc.doc_id = capped.doc_id) f
+          | FROM capped JOIN rsc ON rsc.doc_id = capped.doc_id) f
           |WHERE cum_excl < 5000""".stripMargin.replace("\n", " ")),
     "docs_curate_funnel" ->
       // same CTE chain, counted per stage; n_dropped via lag
       (curateFullCtes +
         """, fin AS (SELECT doc_id FROM (
           | SELECT capped.doc_id,
-          |  COALESCE(sum(sc.n_tokens) OVER (
-          |    ORDER BY sc.quality_score DESC, capped.doc_id
+          |  COALESCE(sum(rsc.n_res) OVER (
+          |    ORDER BY rsc.quality_score DESC, capped.doc_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
-          | FROM capped JOIN sc ON sc.doc_id = capped.doc_id) f
+          | FROM capped JOIN rsc ON rsc.doc_id = capped.doc_id) f
           | WHERE cum_excl < 5000),
           |counts AS (
           | SELECT 0 AS i, 'input' AS stage,
           |  (SELECT count(*) FROM documents) AS n
-          | UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q)
-          | UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM dd)
-          | UNION ALL SELECT 3, 'decontam', (SELECT count(*) FROM cur)
-          | UNION ALL SELECT 4, 'near_dup', (SELECT count(*) FROM sup)
-          | UNION ALL SELECT 5, 'source_cap', (SELECT count(*) FROM capped)
-          | UNION ALL SELECT 6, 'token_budget', (SELECT count(*) FROM fin))
+          | UNION ALL SELECT 1, 'gopher', (SELECT count(*) FROM documents
+          |   WHERE doc_id NOT IN (SELECT doc_id FROM gflag))
+          | UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM q)
+          | UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM dd)
+          | UNION ALL SELECT 4, 'dup_gram', (SELECT count(*) FROM dd
+          |   WHERE doc_id NOT IN (SELECT doc_id FROM ddrop))
+          | UNION ALL SELECT 5, 'decontam', (SELECT count(*) FROM cur)
+          | UNION ALL SELECT 6, 'near_dup', (SELECT count(*) FROM sup)
+          | UNION ALL SELECT 7, 'source_cap', (SELECT count(*) FROM capped)
+          | UNION ALL SELECT 8, 'token_budget', (SELECT count(*) FROM fin))
           |SELECT CAST(i AS BIGINT) AS stage_idx, stage, n AS n_docs,
           | lag(n) OVER (ORDER BY i) - n AS n_dropped
           |FROM counts""".stripMargin.replace("\n", " ")),

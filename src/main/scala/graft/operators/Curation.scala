@@ -143,41 +143,133 @@ object Curation {
       cap, scored)
   }
 
-  /** THE full nightly pipeline, every gate in one oracle-checked
-    * query: [[curate]] (quality → exact dedup → benchmark exclusion →
-    * decontamination) → [[graft.operators.Dedup.nearDupSuppress]]
-    * (quality-dominated near-dups drop; pairs and gram df are scoped
-    * to the curated survivors — yesterday's rejects must not block
-    * today's docs) → [[sourceCap]] (domain balancing) →
-    * [[selectToBudget]] (global token budget). Stage order is the
-    * policy: dedup before capping (a duplicate never holds a budget
-    * slot), balancing before the budget (the budget must not be
-    * spent on one domain). Every stage narrows — the composition
-    * costs roughly the sum of its stages, nothing re-widens.
+  /** THE full nightly pipeline, every gate family in one
+    * oracle-checked query, in the papers' order: the 20-threshold
+    * Gopher gate (quality + repetition,
+    * [[TextAnalysis.gopherAnyFlag]] over the gate family's pinned
+    * flag pass — Rae et al. filter BEFORE dedup) → C4-style score
+    * bounds → exact dedup (keep-min survivor) → the
+    * corpus-duplication gate (RefinedWeb-style: docs whose
+    * corpus-duplicated 8-gram coverage exceeds `maxDupFrac` drop
+    * outright) → benchmark exclusion → n-gram decontamination →
+    * [[graft.operators.Dedup.nearDupSuppress]] (quality-dominated
+    * near-dups; pairs and gram df scoped to the survivors) →
+    * [[sourceCap]] (domain balancing) → [[selectToBudget]] over
+    * RESIDUAL tokens: survivors are billed at their post-span-scrub
+    * token count (the Lee-et-al exact-substring cut,
+    * [[TextAnalysis.dupSpansApply]]'s covered-position union), so
+    * the budget buys unique training tokens, not re-counted
+    * boilerplate. Output carries both counts (`n_tokens` raw,
+    * `n_tokens_kept` residual).
+    *
+    * Stage order is the policy: quality gates before dedup (a
+    * low-quality copy must not steal survivorship), dedup before
+    * capping (a duplicate never holds a budget slot), balancing
+    * before the budget. Every stage narrows, and every gate reads a
+    * pinned trunk the standalone gate keys already share
+    * (`gopherFlags`, `dupDocs`, `dupStarts`, `shingles`) — the
+    * composition adds NO corpus scans beyond its stages' own.
     */
   def curateFull(docs: DataFrame, cap: Int = 10, tokenBudget: Long = 5000L,
                  minTokens: Long = 20L, maxTokens: Long = 100000L,
                  minQuality: Double = 0.2, benchMod: Int = 97,
-                 shingles: Option[DataFrame] = None): DataFrame = {
+                 shingles: Option[DataFrame] = None,
+                 gopherFlags: Option[DataFrame] = None,
+                 dupDocs: Option[DataFrame] = None,
+                 dupStarts: Option[DataFrame] = None,
+                 maxDupFrac: Double = 0.5,
+                 dupN: Int = 8): DataFrame = {
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-    // ONE tokenization scan scores the corpus; four gates (quality,
-    // suppression, cap ranking, budget walk) reuse it — per-doc
+    // ONE tokenization scan scores the corpus; the quality gate,
+    // suppression, cap ranking and budget walk all reuse it — per-doc
     // scores don't depend on which docs survived earlier gates
     val scored = Some(scoreDocs(docs).localCheckpoint(true))
-    val curated = restrict(
-      curate(docs, minTokens, maxTokens, minQuality, benchMod, scored))
-    val suppressed = restrict(Dedup.nearDupSuppress(curated,
-      scored = scored, shingles = shingles))
+    val stages = curateFullStages(docs, scored, minTokens, maxTokens,
+      minQuality, benchMod, gopherFlags, dupDocs, dupStarts, maxDupFrac)
+    val suppressed = restrict(Dedup.nearDupSuppress(
+      restrict(stages.curatedIds), scored = scored, shingles = shingles))
     // pin the post-cap survivors: the budget walk consumes its input
     // twice (band totals + final window), and without this pin both
     // consumers would re-run the whole gate chain incl. the near-dup
     // blocking joins (selectToBudget no longer pins thread-in input)
     val capped = restrict(sourceCap(suppressed, cap, scored))
       .localCheckpoint(true)
-    selectToBudget(capped, tokenBudget, scored)
+    selectToBudget(capped, tokenBudget, Some(stages.residualScored))
+      .withColumnRenamed("n_tokens", "n_tokens_kept")
+      .join(scored.get.select("doc_id", "n_tokens"), Seq("doc_id"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .select("doc_id", "source", "n_tokens", "quality_score")
+      .select("doc_id", "source", "n_tokens", "n_tokens_kept",
+        "quality_score")
+  }
+
+  /** The shared gate relations under [[curateFull]] and
+    * [[curateFunnel]] — one definition so the result key and its
+    * funnel can never disagree about what a stage means.
+    *
+    * `gopherDrop`: doc_ids any of the 20 Gopher thresholds flag
+    * (from the gate family's pinned metric+flag pass).
+    * `dupDrop`: doc_ids over the corpus-duplication fraction gate.
+    * `residualScored`: the scored relation with `n_tokens` rebilled
+    * to the post-span-scrub residual (raw − covered positions, the
+    * exact [[TextAnalysis.dupSpansApply]] union).
+    */
+  private[graft] case class CurateStages(gopherDrop: DataFrame,
+                                         dupDrop: DataFrame,
+                                         keptIds: DataFrame,
+                                         keeperIds: DataFrame,
+                                         contaminatedIds: DataFrame,
+                                         curatedIds: DataFrame,
+                                         residualScored: DataFrame)
+
+  private[graft] def curateFullStages(docs: DataFrame,
+                                      scored: Option[DataFrame],
+                                      minTokens: Long, maxTokens: Long,
+                                      minQuality: Double, benchMod: Int,
+                                      gopherFlags: Option[DataFrame],
+                                      dupDocs: Option[DataFrame],
+                                      dupStarts: Option[DataFrame],
+                                      maxDupFrac: Double,
+                                      dupN: Int = 8): CurateStages = {
+    val sc = scored.getOrElse(scoreDocs(docs))
+    val gopherDrop = gopherFlags
+      .getOrElse(TextAnalysis.gopherFlagged(
+        TextAnalysis.synthQualityCorpus(docs)))
+      .filter(TextAnalysis.gopherAnyFlag)
+      .select("doc_id")
+    val qualityIds = sc
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality)
+      .select("doc_id")
+      .join(gopherDrop, Seq("doc_id"), "left_anti")
+    val kept = docs.join(qualityIds, Seq("doc_id"), "left_semi")
+    val keeperIds = Dedup.exact(kept).select("doc_id")
+    val dupDrop = TextAnalysis
+      .dupNgramApplyOf(dupDocs.getOrElse(TextAnalysis.dupNgramDocs(docs, dupN)),
+        maxDupFrac)
+      .filter(!col("keep")).select("doc_id")
+    val contaminated = TextAnalysis
+      .decontaminate(docs, n = 3, benchMod = benchMod).select("doc_id")
+    val curatedIds = keeperIds
+      .join(dupDrop, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") % benchMod =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // residual billing: covered-position counts fold row-locally off
+    // the pinned duplicated-occurrence starts (proportional to
+    // duplicated positions, never a corpus scan)
+    val nCov = dupStarts
+      .getOrElse(TextAnalysis.dupNgramStarts(
+        TextAnalysis.dupNgramToks(docs), dupN))
+      .select(col("doc_id"), expr(
+        s"size(array_distinct(flatten(transform(starts," +
+          s" s -> sequence(s, s + ${dupN - 1})))))").cast("long").as("n_cov"))
+    val residualScored = sc
+      .join(nCov, Seq("doc_id"), "left")
+      .withColumn("n_tokens",
+        col("n_tokens") - coalesce(col("n_cov"), lit(0L)))
+      .select("doc_id", "n_tokens", "quality_score")
+    CurateStages(gopherDrop, dupDrop, kept.select("doc_id"), keeperIds,
+      contaminated, curatedIds, residualScored)
   }
 
   /** Per-gate funnel of [[curateFull]] — the "which gate ate my
@@ -196,7 +288,11 @@ object Curation {
   def curateFunnel(docs: DataFrame, cap: Int = 10, tokenBudget: Long = 5000L,
                    minTokens: Long = 20L, maxTokens: Long = 100000L,
                    minQuality: Double = 0.2, benchMod: Int = 97,
-                   shingles: Option[DataFrame] = None): DataFrame = {
+                   shingles: Option[DataFrame] = None,
+                   gopherFlags: Option[DataFrame] = None,
+                   dupDocs: Option[DataFrame] = None,
+                   dupStarts: Option[DataFrame] = None,
+                   maxDupFrac: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // measured at sf0.1: the funnel's floor is its three serial
@@ -210,27 +306,43 @@ object Curation {
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
     val qualityPred = col("n_tokens") >= minTokens &&
       col("n_tokens") <= maxTokens && col("quality_score") >= minQuality
-    // ONE pinned per-doc relation fuses everything the first three
-    // gates decide: the tokenization scores plus quality /
-    // exact-keeper / contamination flags (each gate a boolean
-    // column, each downstream stage a filter — no per-stage
-    // checkpoint, no per-stage re-scan). One checkpoint job instead
-    // of the former scored + curated pair.
     val statsRel = scoreDocs(docs)
-    val kept = docs.join(statsRel.filter(qualityPred).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    val stages = curateFullStages(docs, Some(statsRel), minTokens,
+      maxTokens, minQuality, benchMod, gopherFlags, dupDocs, dupStarts,
+      maxDupFrac)
+    // ONE pinned per-doc relation fuses everything the first five
+    // gates decide: the tokenization scores plus gopher / quality /
+    // exact-keeper / dup-gram / contamination flags AND the residual
+    // token billing (each gate a boolean column, each downstream
+    // stage a filter — no per-stage checkpoint, no per-stage
+    // re-scan). One checkpoint job total for the gate chain.
     val flags = statsRel
       .withColumn("f_quality", qualityPred)
-      .join(Dedup.exact(kept).select("doc_id")
-        .withColumn("f_keeper", lit(true)), Seq("doc_id"), "left")
-      .join(TextAnalysis.decontaminate(docs, n = 3, benchMod = benchMod)
-        .select("doc_id").withColumn("f_contam", lit(true)),
+      .join(stages.gopherDrop.withColumn("f_goph", lit(true)),
         Seq("doc_id"), "left")
+      .join(stages.keeperIds.withColumn("f_keeper", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.dupDrop.withColumn("f_dg", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.contaminatedIds.withColumn("f_contam", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.residualScored
+        .select(col("doc_id"), col("n_tokens").as("n_res")),
+        Seq("doc_id"))
       .localCheckpoint(true)
     val scored = Some(flags.select("doc_id", "n_tokens", "quality_score"))
-    val curatedIds = flags.filter(col("f_quality") && col("f_keeper") &&
-      col("doc_id") % benchMod =!= 0 && col("f_contam").isNull)
-      .select("doc_id")
+    val residual = flags
+      .select(col("doc_id"), col("n_res").as("n_tokens"),
+        col("quality_score"))
+    val chain = Seq(
+      ("gopher", col("f_goph").isNull),
+      ("quality", col("f_quality")),
+      ("exact_dedup", col("f_keeper").isNotNull),
+      ("dup_gram", col("f_dg").isNull),
+      ("decontam",
+        col("doc_id") % benchMod =!= 0 && col("f_contam").isNull))
+    val curatedIds = flags
+      .filter(chain.map(_._2).reduce(_ && _)).select("doc_id")
     // the near-dup gate is the one remaining expensive relation
     // consumed by two downstreams (cap chain + counts) — pin its
     // OUTPUT so the blocking joins run exactly once. capped/budgeted
@@ -241,12 +353,13 @@ object Curation {
         scored = scored, shingles = shingles))
       .localCheckpoint(true)
     val capped = restrict(sourceCap(suppressed, cap, scored))
-    val budgeted = selectToBudget(capped, tokenBudget, scored)
+    val budgeted = selectToBudget(capped, tokenBudget, Some(residual))
     // the stage id-sets are a strict chain (each ⊆ its predecessor),
     // so every doc's deepest-surviving stage is recoverable from
-    // membership flags — the first three stages are ALREADY columns
+    // membership flags — the first five stages are ALREADY columns
     // of the pinned flags relation, so the count spine joins only
-    // the three post-near-dup id sets: ONE aggregate action total
+    // the three post-gate id sets: ONE aggregate action total
+    val prefixes = chain.inits.toSeq.reverse.tail // chain[0..k], k=1..5
     val row = flags
       .join(suppressed.select("doc_id").withColumn("f_nd", lit(1L)),
         Seq("doc_id"), "left")
@@ -254,20 +367,16 @@ object Curation {
         Seq("doc_id"), "left")
       .join(budgeted.select("doc_id").withColumn("f_bud", lit(1L)),
         Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("input"),
-        sum(when(col("f_quality"), 1L).otherwise(0L)).as("quality"),
-        sum(when(col("f_quality") && col("f_keeper"), 1L).otherwise(0L))
-          .as("exact_dedup"),
-        sum(when(col("f_quality") && col("f_keeper") &&
-          col("doc_id") % benchMod =!= 0 && col("f_contam").isNull, 1L)
-          .otherwise(0L)).as("decontam"),
-        sum(coalesce(col("f_nd"), lit(0L))).as("near_dup"),
-        sum(coalesce(col("f_cap"), lit(0L))).as("source_cap"),
-        sum(coalesce(col("f_bud"), lit(0L))).as("token_budget"))
+      .agg(count(lit(1)).as("input"),
+        prefixes.map(pre =>
+          sum(when(pre.map(_._2).reduce(_ && _), 1L).otherwise(0L))
+            .as(pre.last._1)) ++ Seq(
+          sum(coalesce(col("f_nd"), lit(0L))).as("near_dup"),
+          sum(coalesce(col("f_cap"), lit(0L))).as("source_cap"),
+          sum(coalesce(col("f_bud"), lit(0L))).as("token_budget")): _*)
       .head()
-    val names = Seq("quality", "exact_dedup", "decontam", "near_dup",
-      "source_cap", "token_budget")
+    val names = chain.map(_._1) ++
+      Seq("near_dup", "source_cap", "token_budget")
     val counts = ("input" -> row.getAs[Long]("input")) +:
       names.map(n => n -> row.getAs[Long](n))
     counts.zipWithIndex.map { case ((stage, n), i) =>

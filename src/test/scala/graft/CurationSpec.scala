@@ -89,23 +89,32 @@ class CurationSpec extends SparkSpec {
       .parquet("/root/testdata/sf0.001/documents.parquet")
     val (cap, budget) = (5, 2000L)
     val full = Curation.curateFull(docs, cap = cap, tokenBudget = budget)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(full.nonEmpty, "the composed pipeline should keep something")
     val keptIds = full.map(_._1).toSet
-    // subset chain: the final set survived curation AND suppression
-    val curated = docs.join(
-      Curation.curate(docs).select("doc_id"), Seq("doc_id"), "left_semi")
-    val suppressed = graft.operators.Dedup.nearDupSuppress(curated)
-      .collect().map(_.getLong(0)).toSet
-    assert(keptIds.subsetOf(suppressed),
-      "final set must be a subset of the suppressed curated corpus")
+    // the r14 gate families bite: no survivor is Gopher-flagged or
+    // over the corpus-duplication fraction cut
+    val gflagged = graft.operators.TextAnalysis.gopherFlagged(
+        graft.operators.TextAnalysis.synthQualityCorpus(docs))
+      .filter(graft.operators.TextAnalysis.gopherAnyFlag)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.intersect(gflagged).isEmpty,
+      "a Gopher-flagged doc must never survive the composition")
+    val dupDropped = graft.operators.TextAnalysis.dupNgramApply(docs)
+      .filter(!col("keep")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.intersect(dupDropped).isEmpty,
+      "a corpus-duplication-gated doc must never survive")
+    // residual billing: n_tokens_kept = raw − covered positions, ≤ raw
+    assert(full.forall(r => r._4 <= r._3 && r._4 >= 0L),
+      "residual tokens must sit in [0, raw]")
     // domain cap holds
     full.groupBy(_._2).foreach { case (src, rows) =>
       assert(rows.length <= cap, s"source $src exceeds cap: ${rows.length}") }
-    // budget holds, fill-then-stop
-    val total = full.map(_._3).sum
-    assert(total - full.map(_._3).max < budget,
-      s"kept $total tokens for budget $budget")
+    // budget holds on the RESIDUAL billing, fill-then-stop
+    val total = full.map(_._4).sum
+    assert(total - full.map(_._4).max < budget,
+      s"kept $total residual tokens for budget $budget")
   }
 
   test("curateFunnel: stage counts tie to the pipeline, drops reconcile") {
@@ -116,8 +125,9 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
       .sortBy(_._1)
-    assert(rows.map(_._2).toSeq == Seq("input", "quality", "exact_dedup",
-      "decontam", "near_dup", "source_cap", "token_budget"), s"stages: ${rows.toSeq}")
+    assert(rows.map(_._2).toSeq == Seq("input", "gopher", "quality",
+      "exact_dedup", "dup_gram", "decontam", "near_dup", "source_cap",
+      "token_budget"), s"stages: ${rows.toSeq}")
     // monotone narrowing, and each drop reconciles with its neighbor
     rows.sliding(2).foreach { case Array(prev, cur) =>
       assert(cur._3 <= prev._3, s"stage must narrow: $prev -> $cur")

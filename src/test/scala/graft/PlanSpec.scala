@@ -562,6 +562,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // r14 scale shapes
+
+  test("curateFull recomposition: the r14 gates add ZERO corpus scans") {
+    // with the four trunks threaded as pinned relations (the driver
+    // shape), every r14 gate — Gopher 20-threshold, corpus-dup
+    // fraction, residual billing — must read `Scan ExistingRDD`
+    // rows, never a new parquet pass: the documents table is scanned
+    // exactly as often as the r13 composition scanned it (scored
+    // tokenization, exact-dedup norm, decontamination grams, and the
+    // restrict/doc_id projections — 8 column-pruned scans measured).
+    val ta = graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val shingles = graft.operators.Dedup.blockingTrunk(docs)
+      .sets.localCheckpoint(true)
+    val gf = ta.gopherFlagged(ta.synthQualityCorpus(docs))
+      .localCheckpoint(true)
+    val occ = ta.dupNgramDupOcc(ta.dupNgramToks(docs)).localCheckpoint(true)
+    val dd = ta.dupNgramDocsOf2(ta.dupNgramToks(docs), ta.startsOfOcc(occ))
+      .localCheckpoint(true)
+    val p = plan(graft.operators.Curation.curateFull(docs,
+      shingles = Some(shingles), gopherFlags = Some(gf),
+      dupDocs = Some(dd), dupStarts = Some(ta.startsOfOcc(occ))))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 8, s"the recomposition must not add corpus scans " +
+      s"(r13 budget 8), got $scans:\n$p")
+    // the gate trunks arrive pinned: no Gopher metric kernel and no
+    // corpus 8-gram window may appear in the composition's own plan
+    assert(!p.contains("stop_word_hits"),
+      s"Gopher metrics must come from the pinned trunk, not recompute:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"pinned trunks must appear as ExistingRDD scans:\n$p")
+  }
+
   test("qualityDrift: every exchange is count-grain, documents never shuffle") {
     val ta = graft.operators.TextAnalysis
     val p = plan(ta.qualityDrift(ta.gopherFlagged(
