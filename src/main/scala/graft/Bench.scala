@@ -68,6 +68,44 @@ object Bench {
     if (only.isEmpty) SparkEntry.primeSharedCaches(spark, sfDir)
     else SparkEntry.primeForKeys(spark, sfDir, selected.keys)
     val primeSec = (System.nanoTime() - primeT0) / 1e9
+
+    // band reference (r13 verdict ask): the committed banded
+    // artifact's per-key [min, max] — a key whose min-of-two still
+    // reads > 2× its recorded band max is a scheduling one-off
+    // candidate (BENCH_r13 shipped text_lm_score at 6.53 s vs the
+    // same-binary 0.896 s band), so it earns up to two EXTRA runs;
+    // if it stays over band after that, the attempts ship in the
+    // contract line as in-artifact evidence that the number is
+    // reproducible, not a one-off.
+    val bandMax: Map[String, Double] = try {
+      val path = sys.env.get("SPARK_GRAFT_BAND_REF").orElse {
+        val d = new java.io.File("docs")
+        Option(d.listFiles()).map(_.map(_.getName)
+          .filter(n => n.startsWith("bench_full_r") && n.endsWith(".json"))
+          .sortBy(n => n.stripPrefix("bench_full_r").stripSuffix(".json")
+            .takeWhile(_.isDigit).toIntOption.getOrElse(0)))
+          .flatMap(_.lastOption).map("docs/" + _)
+      }.getOrElse("")
+      if (path.isEmpty) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(path))
+        Option(root.get("band")).map { b =>
+          val it = b.fields()
+          val m = scala.collection.mutable.Map.empty[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isArray && e.getValue.size() >= 2)
+              m(e.getKey) = e.getValue.get(1).asDouble()
+          }
+          m.toMap
+        }.getOrElse(Map.empty)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] band ref unreadable: ${e.getMessage}")
+      Map.empty
+    }
+    val overBand = scala.collection.mutable.Map.empty[String, Seq[Double]]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -85,7 +123,20 @@ object Bench {
       // don't re-run a failing query — the retry pays the same
       // time-to-failure for the same -1
       name -> (if (first < 0) -1.0 else { val second = once()
-        if (second < 0) -1.0 else math.min(first, second) })
+        if (second < 0) -1.0
+        else {
+          var attempts = Seq(first, second)
+          val bm = bandMax.getOrElse(name, Double.MaxValue)
+          while (attempts.min > 2 * bm && attempts.size < 4)
+            attempts = attempts :+ once()
+          if (attempts.min > 2 * bm) {
+            overBand(name) = attempts
+            System.err.println(f"[bench] OVER BAND after ${attempts.size} " +
+              f"runs: $name ${attempts.min}%.3f vs band max $bm%.3f")
+          }
+          if (attempts.exists(_ < 0)) -1.0 else attempts.min
+        }
+      })
     }
     // cap the failed list: a systemic failure (bad SF dir → ~all
     // queries throw) must not blow the contract line past the 2KB
@@ -157,10 +208,20 @@ object Bench {
     // prime_detail: per-artifact build timings (ann_* entries nest
     // inside ann_indexes — see SparkEntry.primeDetail), so a prime
     // regression is attributable to one artifact, not the whole lump
+    // over-band evidence: attempts for every key that stayed > 2× its
+    // recorded band max after the extra runs — reproducibility
+    // evidence riding the artifact itself (capped for the contract
+    // line's 2KB window; the detail file carries all of them)
+    def overBandJson(cap: Int) = overBand.toSeq.sortBy(_._1).take(cap)
+      .map { case (k, as) =>
+        "\"" + k + "\":" + as.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", (if (overBand.size > cap)
+        s""","_truncated":${overBand.size - cap}""" else "") + "}")
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":${jsonOf(
         results + ("shared_prime" -> primeSec))},"recall":$recallJson,""" +
       s""""prime_detail":${jsonOf(SparkEntry.primeDetail.toMap)},""" +
+      s""""over_band":${overBandJson(Int.MaxValue)},""" +
       s""""sf":"$sfDir"}"""
     // best-effort: an unwritable detail path (read-only target/, bad
     // SPARK_GRAFT_BENCH_OUT) must not kill the run after all timing
@@ -189,6 +250,6 @@ object Bench {
     // stop BEFORE the contract line so no Spark shutdown logging can
     // trail it — the driver parses the last stdout line as JSON
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"recall":$recallJson,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"recall":$recallJson,"failed":$failed,"over_band":${overBandJson(6)},"sf":"$sfDir"}""")
   }
 }
