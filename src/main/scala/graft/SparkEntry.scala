@@ -137,6 +137,22 @@ object SparkEntry {
         TextAnalysis.startsOfOcc(sharedDupNgramOcc(s, dir)))
         .localCheckpoint(true)))
 
+  // the persisted dup-gram STORE + its Bloom, built once per
+  // (session, dir): production writes both as nightly artifacts next
+  // to each other, and the intake gates probe the Bloom map-side
+  // before the store join ever sees a row (r14). Without the shared
+  // build, every gate construction would pay the store count +
+  // Bloom aggregate as serial driver actions.
+  private val dupStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
+  private def sharedDupStore(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.util.sketch.BloomFilter) =
+    dupStoreCache.getOrElseUpdate((s, dir), primeTimed("dup_store_bloom") {
+      val store = TextAnalysis.dupNgramStore(Tables.documents(s, dir),
+        occ = Some(sharedDupNgramOcc(s, dir))).localCheckpoint(true)
+      (store, graft.streaming.DocStream.storeBloom(store))
+    })
+
   private val candsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   // sets and candidates cache separately: minhash/groups consume only
@@ -555,17 +571,21 @@ object SparkEntry {
     // exact-substring SCRUB at stream intake (r13): store-matched
     // spans cut from arriving text; docs_dup_spans_apply's relation
     // by definition, zero persisted state
-    "stream_dup_span_scrub" -> ((s, dir) =>
+    "stream_dup_span_scrub" -> ((s, dir) => {
+      val (store, bloom) = sharedDupStore(s, dir)
       graft.streaming.DocStream.dupSpanScrub(Tables.documents(s, dir),
-        TextAnalysis.dupNgramStore(Tables.documents(s, dir),
-          occ = Some(sharedDupNgramOcc(s, dir))))),
+        store, bloom = Some(bloom))
+    }),
     // the corpus-duplication gate at STREAM intake (r13): new docs
     // probe the persisted dup-gram store — history never re-explodes;
-    // zero persisted state (the per-doc fold is micro-batch-local)
-    "stream_dup_ngram_gate" -> ((s, dir) =>
+    // zero persisted state (the per-doc fold is micro-batch-local).
+    // r14: the store's Bloom pre-filters grams map-side, so clean
+    // documents short-circuit before the join
+    "stream_dup_ngram_gate" -> ((s, dir) => {
+      val (store, bloom) = sharedDupStore(s, dir)
       graft.streaming.DocStream.dupNgramGate(Tables.documents(s, dir),
-        TextAnalysis.dupNgramStore(Tables.documents(s, dir),
-          occ = Some(sharedDupNgramOcc(s, dir))))),
+        store, bloom = Some(bloom))
+    }),
     // C4 cross-document line dedup: keep the first occurrence of
     // every identical line corpus-wide, bill the rest per source
     "docs_dup_line_removal" -> ((s, dir) =>

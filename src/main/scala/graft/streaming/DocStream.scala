@@ -91,6 +91,51 @@ object DocStream {
                         dup_chars: Long, dup_char_fraction: Double,
                         keep: Boolean)
 
+  /** Broadcast-Bloom pre-filter over the store's gram set — the
+    * r14 cut on the intake grammers' honest explode-every-gram cost:
+    * a CLEAN document's grams now die map-side against ~1.2
+    * bytes/gram of Bloom bits (FNV-1a hashes, 1% FPP) instead of
+    * probing the broadcast store hash relation; only might-match
+    * rows (true matches + FPP) reach the join, which then drops the
+    * false positives — results exactly unchanged, so both intake
+    * gates keep sharing their batch twins' oracles verbatim
+    * (`q3_bloom_pruned` precedent). At real intake rates this is
+    * also the broadcast-budget story: the Bloom is ~100× smaller
+    * than the gram strings, so the pre-filter keeps working at store
+    * sizes where broadcasting the strings would already have fallen
+    * to a shuffle. Returns `grams` unchanged when the store is
+    * empty-by-construction races aside (an empty Bloom rejects
+    * everything — correct: nothing can match an empty store). */
+  private[graft] def bloomPruneGrams(grams: DataFrame, store: DataFrame,
+                                     n: Int = 8,
+                                     bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val bf = bloom.getOrElse(storeBloom(store, n))
+    grams.filter(
+      graft.functions.gf.bloomMightContain(gramHash(col("ng"), n), bf))
+  }
+
+  /** The Bloom key of one space-joined n-gram string: the SAME
+    * separator-mixed shingle hash [[graft.functions.gf.shingleHashes]]
+    * computes over a token array — so the document side can probe
+    * straight off its fused per-doc shingle-hash pass without ever
+    * building a gram string for clean positions. Splitting the store
+    * gram on ' ' reproduces the token array exactly (tokens are
+    * whitespace-split upstream, so they contain no spaces). */
+  private def gramHash(ng: org.apache.spark.sql.Column, n: Int) =
+    element_at(graft.functions.gf.shingleHashes(split(ng, " "), n), 1)
+
+  /** Build the store's Bloom (two driver actions over the gram set).
+    * Production persists this next to the store itself — a nightly
+    * artifact, not a per-batch cost — which is exactly how the
+    * driver keys consume it (built once per (session, dir)). */
+  def storeBloom(store: DataFrame,
+                 n: Int = 8): org.apache.spark.util.sketch.BloomFilter = {
+    val nGrams = store.count()
+    store
+      .select(gramHash(col("ng"), n).as("h"))
+      .stat.bloomFilter("h", math.max(nGrams, 1L), 0.01)
+  }
+
   /** Corpus-duplication gate at STREAM intake — the
     * `docs_dup_ngram_apply` twin probing the PERSISTED dup-gram
     * store ([[TextAnalysis.dupNgramStore]], built by the nightly
@@ -112,7 +157,8 @@ object DocStream {
     * keep = true.
     */
   def dupNgramGate(docs: DataFrame, store: DataFrame, n: Int = 8,
-                   maxDupFrac: Double = 0.5): DataFrame = {
+                   maxDupFrac: Double = 0.5,
+                   bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
@@ -124,17 +170,38 @@ object DocStream {
       col("tok_chars"), lit(-1).as("start"),
       expr("CAST(array() AS ARRAY<INT>)").as("lens"))
     // matched duplicated occurrences: (start, the n token lengths) —
-    // enough to union covered positions exactly, nothing else moves
-    val matched = base
+    // enough to union covered positions exactly, nothing else moves.
+    // r14: candidate positions filter INSIDE the array against the
+    // store's Bloom, keyed on the fused per-doc shingle-hash pass —
+    // a clean document's positions die before any gram STRING, any
+    // lens array, or any exploded row exists; only might-match
+    // positions (true matches + ~1% FPP) materialize, and the store
+    // join then drops the false positives, so results are exactly
+    // unchanged and the batch twin's oracle still applies verbatim.
+    val bf = bloom.getOrElse(storeBloom(store, n))
+    val pruned = base
       .filter(size(col("toks")) >= n)
+      // the hash array is the HOF's INPUT child (evaluated once per
+      // row, then iterated) — binding it as a separate column and
+      // probing element_at(hs, i) inside the lambda lets
+      // CollapseProject inline the kernel into the lambda body and
+      // re-run it per position, O(len²) (measured 6.4 s at sf0.1)
+      .withColumn("cand",
+        org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.transform(
+            graft.functions.gf.shingleHashes(col("toks"), n),
+            (h, i) => when(
+              graft.functions.gf.bloomMightContain(h, bf), i)
+              .otherwise(lit(-1))),
+          x => x >= 0))
       .select(col("doc_id"), col("source"), col("tok_chars"),
-        explode(expr(
-          s"""transform(sequence(0, size(toks) - $n),
-             |  i -> struct(i AS start,
-             |    array_join(slice(toks, i + 1, $n), ' ') AS ng,
-             |    transform(slice(toks, i + 1, $n), t ->
-             |      CAST(length(t) AS INT)) AS lens))"""
-            .stripMargin.replace("\n", " "))).as("o"))
+        explode(org.apache.spark.sql.functions.transform(col("cand"),
+          i => struct(
+            i.cast("int").as("start"),
+            array_join(slice(col("toks"), i + 1, lit(n)), " ").as("ng"),
+            org.apache.spark.sql.functions.transform(
+              slice(col("toks"), i + 1, lit(n)),
+              t => length(t).cast("int")).as("lens")))).as("o"))
       .select(col("doc_id"), col("source"), col("tok_chars"),
         col("o.start").as("start"), col("o.ng").as("ng"),
         col("o.lens").as("lens"))
@@ -159,7 +226,7 @@ object DocStream {
       Iterator.single(DupGateRow(id, evs.head.source, tokChars, dup,
         frac, frac <= maxDupFrac))
     }
-    baseRows.unionByName(matched)
+    baseRows.unionByName(pruned)
       .as[DupGateEv]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append(),
@@ -189,7 +256,8 @@ object DocStream {
     * (start).
     */
   def dupSpanScrub(docs: DataFrame, store: DataFrame,
-                   n: Int = 8): DataFrame = {
+                   n: Int = 8,
+                   bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
@@ -197,14 +265,31 @@ object DocStream {
       TextAnalysis.tokens(col("text")).as("toks"))
     val baseRows = base.select(col("doc_id"), col("source"), col("toks"),
       lit(-1).as("start"))
+    // r14: same in-array Bloom position filter as [[dupNgramGate]] —
+    // clean documents' positions never build a gram string or an
+    // exploded row; the store join drops the ~1% FPP survivors
+    val bf = bloom.getOrElse(storeBloom(store, n))
     val matched = base
       .filter(size(col("toks")) >= n)
+      // the hash array is the HOF's INPUT child (evaluated once per
+      // row, then iterated) — binding it as a separate column and
+      // probing element_at(hs, i) inside the lambda lets
+      // CollapseProject inline the kernel into the lambda body and
+      // re-run it per position, O(len²) (measured 6.4 s at sf0.1)
+      .withColumn("cand",
+        org.apache.spark.sql.functions.filter(
+          org.apache.spark.sql.functions.transform(
+            graft.functions.gf.shingleHashes(col("toks"), n),
+            (h, i) => when(
+              graft.functions.gf.bloomMightContain(h, bf), i)
+              .otherwise(lit(-1))),
+          x => x >= 0))
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"""transform(sequence(0, size(toks) - $n),
-             |  i -> struct(i AS start,
-             |    array_join(slice(toks, i + 1, $n), ' ') AS ng))"""
-            .stripMargin.replace("\n", " "))).as("o"))
+        explode(org.apache.spark.sql.functions.transform(col("cand"),
+          i => struct(
+            i.cast("int").as("start"),
+            array_join(slice(col("toks"), i + 1, lit(n)), " ").as("ng"))))
+          .as("o"))
       .select(col("doc_id"), col("source"),
         expr("CAST(array() AS ARRAY<STRING>)").as("toks"),
         col("o.start").as("start"), col("o.ng").as("ng"))

@@ -1019,6 +1019,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bloomPruneGrams: clean documents' grams die map-side, matches survive") {
+    // the r14 intake cut: a mostly-clean batch's gram rows must be
+    // dropped by the broadcast Bloom BEFORE the store join — only
+    // true matches (+ ≤1% FPP) reach it. 60 all-unique-vocab docs +
+    // one planted shared run against a store built from the corpus.
+    val shared = (1 to 15).map(i => s"dup$i").mkString(" ")
+    val docs = ((0L until 60L).map(d =>
+      (d, (1 to 40).map(i => s"u${d}x$i").mkString(" "), "s")) ++ Seq(
+      (60L, s"$shared " + (1 to 25).map(i => s"a$i").mkString(" "), "s"),
+      (61L, s"$shared " + (1 to 25).map(i => s"b$i").mkString(" "), "s")))
+      .toDF("doc_id", "text", "source")
+    val store = graft.operators.TextAnalysis.dupNgramStore(docs)
+      .localCheckpoint(true)
+    val grams = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.gf.tokenNgrams(
+            org.apache.spark.sql.functions.col("text"), 8)).as("ng"))
+    val total = grams.count()
+    val pruned = graft.streaming.DocStream.bloomPruneGrams(grams, store)
+    val survivors = pruned.count()
+    val trueMatches = grams.join(store, Seq("ng"), "left_semi").count()
+    assert(survivors >= trueMatches,
+      "the Bloom must never drop a true match (join input would lose rows)")
+    assert(survivors <= trueMatches + (total * 0.02).toLong + 2,
+      s"pre-filter must cut the join input to matches + ~1% FPP: " +
+        s"$survivors of $total (true $trueMatches)")
+    assert(trueMatches < total / 10,
+      s"fixture sanity: the batch must be mostly clean ($trueMatches/$total)")
+  }
+
   test("repetitionGate streams append-mode with ZERO state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the combined fixture: quality plants + planted dup paragraphs
