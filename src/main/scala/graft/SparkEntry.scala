@@ -1470,6 +1470,27 @@ object SparkEntry {
             s" * 65536) div (max_d + 1)").as("day16")),
         Seq("cust16", "day16"))
     }),
+    // EXECUTE the z-order plan (r14): every row routes to its
+    // planned file, the POST-layout manifest emits with byte mass
+    // (synthetic per-row payload, exact integers — the orders
+    // fixture carries no text column) and the pruning stats the
+    // written footers would carry; LakeSpec closes the loop —
+    // fileSkippingOf over this manifest reproduces fileSkipping's
+    // z-order skip rates
+    "lake_zorder_apply" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val stats = o.agg(
+        max(col("o_custkey")).as("max_c"),
+        max(datediff(col("o_orderdate"), lit("1992-01-01"))).cast("long")
+          .as("max_d"))
+      graft.sources.Lake.zorderApply(
+        o.crossJoin(broadcast(stats)).select(
+          expr("(o_custkey * 65536) div (max_c + 1)").as("cust16"),
+          expr(s"(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)" +
+            s" * 65536) div (max_d + 1)").as("day16"),
+          (col("o_orderkey") % 1901 + 128).cast("long").as("row_bytes")),
+        Seq("cust16", "day16"), col("row_bytes"))
+    }),
     // the skip-rate readout BEHIND the z-order plan: same quantized
     // dims, same file count — z-order skips on the non-leading dim,
     // the single-sort layout cannot
@@ -7489,6 +7510,34 @@ object SparkEntry {
          |z AS (SELECT x, y, ($terms) // ${1L << 26} AS file_bucket FROM q)
          |SELECT CAST(file_bucket AS BIGINT) AS file_bucket,
          | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(min(x) AS BIGINT) AS min_cust16,
+         | CAST(max(x) AS BIGINT) AS max_cust16,
+         | CAST(min(y) AS BIGINT) AS min_day16,
+         | CAST(max(y) AS BIGINT) AS max_day16
+         |FROM z GROUP BY 1""".stripMargin.replace("\n", " ")
+    },
+    "lake_zorder_apply" -> {
+      // the zorder_plan interleave chain + the per-file byte mass
+      // (o_comment's exact char count) — all integer, bit-replayable
+      val terms = (0 until 16).flatMap { bit =>
+        Seq(s"((x // ${1L << bit}) % 2) * ${1L << (2 * bit)}",
+          s"((y // ${1L << bit}) % 2) * ${1L << (2 * bit + 1)}")
+      }.mkString(" + ")
+      s"""WITH mm AS (SELECT max(o_custkey) AS max_c,
+         |  max(CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+         |    AS BIGINT)) AS max_d FROM orders),
+         |q AS (SELECT
+         |  least(greatest((o_custkey * 65536) // (mm.max_c + 1), 0),
+         |    65535) AS x,
+         |  least(greatest((CAST(date_diff('day', DATE '1992-01-01',
+         |    o_orderdate) AS BIGINT) * 65536) // (mm.max_d + 1), 0),
+         |    65535) AS y,
+         |  CAST(o_orderkey % 1901 + 128 AS BIGINT) AS b
+         | FROM orders, mm),
+         |z AS (SELECT x, y, b, ($terms) // ${1L << 26} AS file_id FROM q)
+         |SELECT CAST(file_id AS BIGINT) AS file_id,
+         | CAST(count(*) AS BIGINT) AS n_rows,
+         | CAST(sum(b) AS BIGINT) AS bytes,
          | CAST(min(x) AS BIGINT) AS min_cust16,
          | CAST(max(x) AS BIGINT) AS max_cust16,
          | CAST(min(y) AS BIGINT) AS min_day16,

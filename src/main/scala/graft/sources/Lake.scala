@@ -135,6 +135,68 @@ object Lake {
       .select(col("part"), col("bin").as("file_id"), col("bytes"),
         col("files_merged"))
 
+  /** EXECUTE [[zorderPlan]]'s layout — the apply half closing the
+    * z-order maintenance loop the way [[compactionApply]] closed
+    * compaction's: every row routes to its planned file (the fixed
+    * top-`bucketBits` prefix of the interleaved key — a pure
+    * codegen'd projection, so the "rewrite" shuffles each row
+    * exactly once on its target file at 100 TB, no global sort, no
+    * sampling), and the POST-layout file manifest emits: one row per
+    * output file with its row count, byte mass, and the
+    * per-dimension min/max pruning stats the written footers would
+    * carry. Lossless at both grains by construction — the routing is
+    * a partition of the input (row identity) and `sum(bytes)`
+    * telescopes (byte conservation) — and `LakeSpec` proves both,
+    * plus the loop-closer: [[fileSkippingOf]] over THIS manifest
+    * reproduces [[fileSkipping]]'s z-order skip rates exactly
+    * (plan → apply → measured skip-rate, nothing hypothetical left).
+    */
+  def zorderApply(df: DataFrame, dimNames: Seq[String], byteCol: Column,
+                  bitsPerDim: Int = 16, bucketBits: Int = 6): DataFrame = {
+    val width = bitsPerDim * dimNames.size
+    require(bucketBits >= 1 && bucketBits <= width,
+      s"bucketBits $bucketBits outside 1..$width")
+    df.withColumn("file_bucket",
+        shiftright(zorderValue(dimNames.map(col), bitsPerDim),
+          width - bucketBits))
+      .withColumn("__bytes", byteCol.cast("long"))
+      .groupBy("file_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__bytes")).as("bytes") +:
+          dimNames.flatMap(n =>
+            Seq(min(col(n)).as(s"min_$n"), max(col(n)).as(s"max_$n"))): _*)
+      .withColumnRenamed("file_bucket", "file_id")
+  }
+
+  /** Probe replay against an EXISTING post-layout manifest — the
+    * loop-closer behind [[zorderApply]]: the same deterministic
+    * range-probe workload and the same [min, max]-intersects-band
+    * hit test as [[fileSkipping]], but consuming a manifest relation
+    * (`minCol`/`maxCol` = the probed dim's per-file stats) instead
+    * of rebuilding layouts from data. Metadata-sized end to end:
+    * the manifest is O(2^bucketBits) rows and the probes broadcast.
+    */
+  def fileSkippingOf(manifest: DataFrame, minCol: String, maxCol: String,
+                     bitsPerDim: Int = 16, probes: Int = 8,
+                     probeWidth: Long = 512): DataFrame = {
+    require(probes >= 1 && probeWidth >= 1, "need a non-empty workload")
+    val step = (1L << bitsPerDim) / probes
+    val probesDf = manifest.sparkSession.range(probes)
+      .select(col("id").as("probe_id"), (col("id") * step).as("lo"),
+        (col("id") * step + probeWidth - 1).as("hi"))
+    val nf = manifest.agg(count(lit(1)).as("n_files"))
+    manifest
+      .select(col(minCol).as("min_p"), col(maxCol).as("max_p"))
+      .crossJoin(broadcast(probesDf))
+      .groupBy("probe_id", "lo", "hi")
+      .agg(sum(when(col("min_p") <= col("hi") &&
+        col("max_p") >= col("lo"), 1L).otherwise(0L)).as("files_hit"))
+      .crossJoin(broadcast(nf))
+      .withColumn("skip_rate",
+        (col("n_files") - col("files_hit")) / col("n_files"))
+      .select("probe_id", "lo", "hi", "n_files", "files_hit", "skip_rate")
+  }
+
   /** File-SKIPPING estimator — the "why" readout behind
     * [[zorderPlan]]: for the same table, same quantized dims and the
     * SAME file count, build two pruning-stat manifests — the z-order

@@ -225,6 +225,47 @@ class LakeSpec extends SparkSpec {
       s"one aggregate exchange only:\n$planStr")
   }
 
+  test("zorderApply: lossless rewrite + skip-rate loop closes on the POST manifest") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val data = (0 until 4096)
+      .map(i => ((i * 2654435761L) % 1024, (i * 733L) % 1024,
+        100L + i % 57))
+      .toDF("x", "y", "row_bytes")
+    val manifest = Lake.zorderApply(data, Seq("x", "y"), col("row_bytes"),
+      bitsPerDim = 10, bucketBits = 4)
+    val rows = manifest.collect()
+    // conservation at both grains: rows partition, bytes telescope
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == 4096L,
+      "every input row lands in exactly one output file")
+    assert(rows.map(_.getAs[Long]("bytes")).sum ==
+      (0 until 4096).map(i => 100L + i % 57).sum,
+      "byte mass conserves through the rewrite")
+    // ROW identity through the routing: every row's dims sit inside
+    // its file's published pruning stats
+    val routed = data.withColumn("file_id",
+        org.apache.spark.sql.functions.shiftright(
+          Lake.zorderValue(Seq(col("x"), col("y")), 10), 20 - 4))
+      .join(manifest, Seq("file_id"))
+      .filter(col("x") < col("min_x") || col("x") > col("max_x") ||
+        col("y") < col("min_y") || col("y") > col("max_y"))
+    assert(routed.count() == 0L,
+      "a file's stats must bound every row routed into it")
+    // the loop-closer: probing the POST-layout manifest reproduces
+    // fileSkipping's z-order rows exactly — the plan's promised skip
+    // rates are the applied layout's measured ones
+    val measured = Lake.fileSkippingOf(manifest, "min_y", "max_y",
+        bitsPerDim = 10, probes = 4, probeWidth = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    val promised = Lake.fileSkipping(data, Seq("x", "y"), bitsPerDim = 10,
+        bucketBits = 4, probes = 4, probeWidth = 16)
+      .filter(col("layout") === "zorder").collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(measured == promised,
+      s"post-layout skip rates must equal the plan's:\n$measured\nvs\n$promised")
+  }
+
   test("fileSkipping: zorder skips on the non-leading dim, single-sort cannot") {
     // x uniform via a multiplicative walk, y striped so every
     // x-prefix bucket sees the full y range — the single-sort
