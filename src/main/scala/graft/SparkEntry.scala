@@ -1006,6 +1006,13 @@ object SparkEntry {
       Multimodal.phashGroups(
         Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedPhashSigs(s, dir)))),
+    // keep-THE-BEST-copy over the image closure (r14): survivor =
+    // highest decoded pixel count, ties min id — the store carries
+    // the rank key, no second decode; same closure as groups
+    "mm_phash_keep_best" -> ((s, dir) =>
+      Multimodal.phashKeepBest(
+        Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedPhashSigs(s, dir)))),
     // nightly-ingest perceptual dedup: new batch (doc_id % 5 == 1 —
     // half planted BMP re-encodes that must match, half originals
     // that must not) probes the signature STORE of the rest; both
@@ -1032,6 +1039,12 @@ object SparkEntry {
         sigs = Some(sharedAudioSigs(s, dir)))),
     "mm_audio_sig_groups" -> ((s, dir) =>
       Multimodal.audioSigGroups(
+        Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioSigs(s, dir)))),
+    // audio keep-best (r14): survivor = longest decoded recording
+    // (sample count off the store), ties min id; groups' closure
+    "mm_audio_keep_best" -> ((s, dir) =>
+      Multimodal.audioSigKeepBest(
         Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioSigs(s, dir)))),
     // nightly-ingest audio dedup (r13): new batch (doc_id % 5 == 1 —
@@ -4955,6 +4968,31 @@ object SparkEntry {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, group_id, doc_id = group_id AS keep
          |FROM lab""").stripMargin.replace("\n", " "),
+    "mm_phash_keep_best" ->
+      // the groups closure + the best-copy window: rank = decoded
+      // pixel count (the synth recipe is uniformly 8×8, so the
+      // replay is the recipe constant 64 — every group ties and the
+      // min-id tiebreak decides; MultimodalSpec plants differing
+      // resolutions to prove the policy itself)
+      (s"""WITH RECURSIVE $phashSigCtes,
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.dhash, b.dhash)) <= 6),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id),
+         |rk AS (SELECT doc_id, group_id, rank_key,
+         |  row_number() OVER (PARTITION BY group_id
+         |    ORDER BY rank_key DESC, doc_id) AS rn
+         | FROM (SELECT doc_id, group_id, CAST(64 AS BIGINT) AS rank_key
+         |   FROM lab) lr)
+         |SELECT doc_id, group_id, rank_key, rn = 1 AS keep
+         |FROM rk""").stripMargin.replace("\n", " "),
     "mm_phash_incremental" ->
       // EXHAUSTIVE new-batch x store comparison over the shared
       // signature replay (no candidate rule — the banded plan must
@@ -5047,6 +5085,30 @@ object SparkEntry {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, group_id, doc_id = group_id AS keep
          |FROM lab""").stripMargin.replace("\n", " "),
+    "mm_audio_keep_best" ->
+      // the audio closure + the best-copy window: rank = decoded
+      // sample count (the synth recipe is uniformly 64 samples, so
+      // the replay is the recipe constant — ties fall to min id;
+      // MultimodalSpec plants differing lengths to prove the policy)
+      (s"""WITH RECURSIVE $audioSigCtes,
+         |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM asg a JOIN asg b ON a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.asig, b.asig)) <= 6),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id),
+         |rk AS (SELECT doc_id, group_id, rank_key,
+         |  row_number() OVER (PARTITION BY group_id
+         |    ORDER BY rank_key DESC, doc_id) AS rn
+         | FROM (SELECT doc_id, group_id, CAST(64 AS BIGINT) AS rank_key
+         |   FROM lab) lr)
+         |SELECT doc_id, group_id, rank_key, rn = 1 AS keep
+         |FROM rk""").stripMargin.replace("\n", " "),
     "mm_audio_sig_incremental" ->
       // EXHAUSTIVE new-batch x store comparison over the xxhash64
       // signature replay (no candidate rule); best match =

@@ -425,7 +425,7 @@ object Multimodal {
     }.toDF()
   }
 
-  case class PhashSig(doc_id: Long, dhash: Long)
+  case class PhashSig(doc_id: Long, dhash: Long, px: Long)
 
   /** 56-bit dHash over REALLY-decoded pixels: Rec.601 luma kept as
     * the exact INTEGER numerator (299r+587g+114b — no division, no
@@ -464,7 +464,7 @@ object Multimodal {
           }
           y += 1
         }
-        PhashSig(d, sig)
+        PhashSig(d, sig, img.getWidth.toLong * img.getHeight)
       }.toDF()
   }
 
@@ -579,6 +579,50 @@ object Multimodal {
     Dedup.dedupGroups(
       sigs.map(_.select("doc_id")).getOrElse(blobs.select("doc_id")),
       phashPairs(blobs, side, maxHamming, bands, maxBucket, sigs))
+
+  /** Keep-THE-BEST-copy over the perceptual image groups — the r12
+    * text lesson ([[Dedup.keepBest]]) ported to the perceptual tier:
+    * min-id survivorship keeps whichever copy crawled first, but the
+    * production policy keeps the HIGHEST-RESOLUTION copy (the
+    * signature store carries each blob's decoded pixel count — an
+    * integer rank key, 8 extra bytes/blob, no second decode), ties
+    * broken to min doc_id. One window over the closure's groups;
+    * same transitive closure as [[phashGroups]], so the two keys can
+    * never disagree about MEMBERSHIP, only about the survivor. */
+  def phashKeepBest(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
+                    bands: Int = 7, maxBucket: Int = 256,
+                    sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(phashSignatures(blobs, side).localCheckpoint(true))
+    keepBestOf(
+      Dedup.dedupGroups(sg.select("doc_id"),
+        phashPairs(blobs, side, maxHamming, bands, maxBucket, Some(sg))),
+      sg.select(col("doc_id"), col("px").as("rank_key")))
+  }
+
+  /** Audio twin of [[phashKeepBest]]: the best copy of a perceptual
+    * audio group is the LONGEST recording (decoded sample count —
+    * the master beats the trimmed/re-leveled derivative), ties to
+    * min doc_id; same closure as [[audioSigGroups]]. */
+  def audioSigKeepBest(blobs: DataFrame, maxHamming: Int = 6,
+                       bands: Int = 7, maxBucket: Int = 256,
+                       sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(audioSignatures(blobs).localCheckpoint(true))
+    keepBestOf(
+      Dedup.dedupGroups(sg.select("doc_id"),
+        audioSigPairs(blobs, maxHamming, bands, maxBucket, Some(sg))),
+      sg.select(col("doc_id"), col("n_samples").as("rank_key")))
+  }
+
+  /** Shared survivor selection under the two perceptual keep-best
+    * tiers: one row_number window per group over (rank desc, id). */
+  private def keepBestOf(groups: DataFrame, rank: DataFrame): DataFrame = {
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("rank_key").desc, col("doc_id"))
+    groups.drop("keep")
+      .join(rank, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "group_id", "rank_key", "keep")
+  }
 
   /** Incremental perceptual dedup — the nightly-ingest shape of the
     * phash tier, completing the family's parity with the text/chunk
@@ -865,7 +909,7 @@ object Multimodal {
     }.toDF()
   }
 
-  case class AudioSig(doc_id: Long, asig: Long)
+  case class AudioSig(doc_id: Long, asig: Long, n_samples: Long)
 
   /** Perceptual audio signature over REALLY-decoded PCM — the audio
     * dHash: 63 sign-of-delta bits over the first 64 samples (bit i =
@@ -904,7 +948,7 @@ object Multimodal {
           if (smp(i + 1) > smp(i)) sig |= 1L << i
           i += 1
         }
-        AudioSig(d, sig)
+        AudioSig(d, sig, data.length.toLong / 2)
       }.toDF()
   }
 

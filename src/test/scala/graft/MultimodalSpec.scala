@@ -486,6 +486,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L) == ((1L, true)) && out(10L) == ((1L, true)))
   }
 
+  test("keep-best: the HIGHEST-RESOLUTION / LONGEST copy survives, not min-id") {
+    import org.apache.spark.sql.functions.col
+    // identical signatures -> one group {0,1,2}; doc 1 carries 4x the
+    // pixels, so it must beat the min-id doc 0 for survivorship
+    val imgSigs = Seq((0L, 7L, 64L), (1L, 7L, 256L), (2L, 7L, 64L),
+      (9L, (1L << 28) - 1, 64L)).toDF("doc_id", "dhash", "px")
+    val none = Seq.empty[Long].toDF("doc_id")
+    val img = Multimodal.phashKeepBest(none, sigs = Some(imgSigs)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(img(1L) == ((0L, 256L, true)), s"the 256-px copy wins: ${img(1L)}")
+    assert(img(0L) == ((0L, 64L, false)) && img(2L) == ((0L, 64L, false)),
+      s"min-id no longer implies survivorship: $img")
+    assert(img(9L) == ((9L, 64L, true)), "singletons keep themselves")
+    // audio: the 96-sample master beats the 64-sample derivative
+    val audSigs = Seq((10L, 5L, 64L), (11L, 5L, 96L))
+      .toDF("doc_id", "asig", "n_samples")
+    val aud = Multimodal.audioSigKeepBest(none, sigs = Some(audSigs))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(aud(11L) == ((10L, 96L, true)) && aud(10L) == ((10L, 64L, false)),
+      s"the longest recording survives: $aud")
+    // driver-fixture tie case: same closure as groups, min-id decides
+    val docs = (0L until 30L).toDF("doc_id")
+    val kb = Multimodal.phashKeepBest(Multimodal.synthMixedCorpus(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val gr = Multimodal.phashGroups(Multimodal.synthMixedCorpus(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(kb.sortBy(_._1).toSeq == gr.sortBy(_._1).toSeq,
+      "uniform-resolution corpus: keep-best == min-id groups")
+  }
+
   test("phashGroups: planted copies land in their originals' groups") {
     val docs = (0L until 30L).toDF("doc_id")
     val out = Multimodal.phashGroups(
