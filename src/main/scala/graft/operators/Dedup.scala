@@ -618,6 +618,50 @@ object Dedup {
         (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
   }
 
+  /** SEMANTIC decontamination — the embedding-plane twin of
+    * [[TextAnalysis.decontaminate]]: the benchmark slice's
+    * embeddings broadcast against the corpus, and any corpus
+    * document within cosine ≥ `tau` of ANY benchmark item flags as
+    * contaminated. The n-gram tier structurally misses a
+    * PARAPHRASED benchmark item (token-disjoint rewrites share zero
+    * 3-grams); this tier catches it — and `DedupSpec` proves the
+    * separation on a crafted token-disjoint paraphrase the n-gram
+    * tier provably passes. One row per corpus vector with its match
+    * count, best benchmark match (1e-6-rounded cosine then
+    * bench_id — the discrete-cut convention), and the flag.
+    *
+    * 100 TB shape: the benchmark is the SMALL side by contract
+    * (eval sets are thousands of items) — it broadcasts, the corpus
+    * streams ONCE with no shuffle, exactly
+    * [[embeddingIncremental]]'s plan with the probe side flipped.
+    * A benchmark too large to broadcast drops into the banded
+    * hyperplane-LSH candidate path ([[embeddingPairs]]) unchanged.
+    */
+  def semanticDecontaminate(embeddings: DataFrame, benchMod: Int = 97,
+                            tau: Double = 0.4): DataFrame = {
+    val bench = embeddings.filter(col("vec_id") % benchMod === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("emb_b"))
+    val corpus = embeddings.filter(col("vec_id") % benchMod =!= 0)
+      .select(col("vec_id"), col("embedding").as("emb_c"))
+    val pairs = corpus.crossJoin(broadcast(bench))
+      .withColumn("cosine", gf.cosineSim(col("emb_b"), col("emb_c")))
+      .filter(col("cosine") >= tau)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(round(col("cosine"), 6).desc, col("bench_id"))
+    val best = pairs.withColumn("rn", row_number().over(w))
+      .groupBy("vec_id").agg(
+        count(lit(1)).as("n_bench_matches"),
+        max(when(col("rn") === 1, col("bench_id"))).as("bench_id"),
+        max(when(col("rn") === 1, col("cosine"))).as("best_cosine"))
+    corpus.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(col("bench_id"), lit(-1L)).as("bench_id"),
+        coalesce(col("best_cosine"), lit(-1.0)).as("best_cosine"),
+        (coalesce(col("n_bench_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SemDeDup-style semantic duplicate CLUSTERS: connected
     * components over the embedding near-dup pair relation — "these k
     * documents say the same thing" rather than the pairwise view.

@@ -397,6 +397,44 @@ class DedupSpec extends SparkSpec {
       s"close distractor below tau must keep: ${out(202L)}")
   }
 
+  test("semanticDecontaminate catches the token-disjoint paraphrase n-grams miss") {
+    // benchmark item (doc 0, the % 97 slice) and its PARAPHRASE
+    // (doc 1): zero shared tokens -> zero shared 3-grams, so the
+    // n-gram tier provably passes it; the embeddings sit at cosine
+    // ~0.98 -> the semantic tier flags it. doc 2 is unrelated on
+    // both planes.
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"),
+      (1L, "a speedy russet vulpine leaps above an idle canine beside that stream"),
+      (2L, unrelated))
+      .toDF("doc_id", "text")
+    val ngramFlagged = graft.operators.TextAnalysis
+      .decontaminate(docs, n = 3, benchMod = 97)
+      .collect().map(_.getLong(0)).toSet
+    assert(!ngramFlagged.contains(1L),
+      s"precondition: the token-disjoint paraphrase must PASS the " +
+        s"n-gram tier: $ngramFlagged")
+    def tilted(c: Double) = {
+      val s = math.sqrt(1 - c * c)
+      Seq.tabulate(64)(i =>
+        (if (i == 0) c else if (i == 1) s else 0.0).toFloat)
+    }
+    val emb = Seq(
+      (0L, tilted(1.0)),   // the benchmark item's embedding
+      (1L, tilted(0.98)),  // the paraphrase: nearly parallel
+      (2L, Seq.tabulate(64)(i => (if (i == 5) 1.0 else 0.0).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDecontaminate(emb, benchMod = 97, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((1L, 0L, true)),
+      s"the paraphrase must flag against benchmark item 0: ${out(1L)}")
+    assert(out(2L) == ((0L, -1L, false)),
+      s"the unrelated doc must pass: ${out(2L)}")
+    assert(!out.contains(0L), "benchmark items are not corpus rows")
+  }
+
   test("prefixJaccardCandidates: sf0.1 candidate volume stays under the suffix-filtered bound") {
     // the dedup_exact_jaccard_pairs contract, pinned as VOLUME (the
     // key's cost driver) instead of host-sensitive wall clock: the
