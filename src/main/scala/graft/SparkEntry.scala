@@ -113,6 +113,18 @@ object SparkEntry {
         operators.Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)))
         .localCheckpoint(true)))
 
+  // offset-robust winnowed audio fingerprint store (r14): decode +
+  // winnow runs ONCE per (session, dir) over the offset fixture;
+  // the pairs and incremental keys read the store
+  private val audioWinnowSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedAudioWinnowSigs(s: SparkSession, dir: String): DataFrame =
+    audioWinnowSigCache.getOrElseUpdate((s, dir),
+      primeTimed("audio_winnow_sigs")(
+        operators.Multimodal.audioWinnowSignatures(
+          operators.Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)))
+          .localCheckpoint(true)))
+
   // corpus-duplication coverage trunk: the doc-grain relation both
   // the source rollup and the per-doc gate read — the corpus-wide
   // 8-gram window runs ONCE per (session, dir)
@@ -1046,6 +1058,25 @@ object SparkEntry {
       Multimodal.audioSigGroups(
         Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioSigs(s, dir)))),
+    // OFFSET-ROBUST audio pairs (r14): winnowed per-window
+    // sign-of-delta fingerprints — trimmed copies (doc_id % 10 == 1,
+    // first 37 samples cut) pair with their masters here while the
+    // prefix tier provably misses them (spec-pinned)
+    "mm_audio_winnow_pairs" -> ((s, dir) =>
+      Multimodal.audioWinnowPairs(
+        Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioWinnowSigs(s, dir)))),
+    // nightly-ingest twin: new batch (doc_id % 5 == 1 — half trimmed
+    // copies that must match, half originals that must not) probes
+    // the winnowed fingerprint store; history pays zero codec work
+    "mm_audio_winnow_incremental" -> ((s, dir) => {
+      val sigs = sharedAudioWinnowSigs(s, dir)
+      Multimodal.audioWinnowIncremental(
+        Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir))
+          .filter(col("doc_id") % 5 === 1),
+        storeSigs = sigs.filter(col("doc_id") % 5 =!= 1),
+        newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
+    }),
     // audio keep-best (r14): survivor = longest decoded recording
     // (sample count off the store), ties min id; groups' closure
     "mm_audio_keep_best" -> ((s, dir) =>
@@ -2503,6 +2534,55 @@ object SparkEntry {
        |   ELSE 0 END), 0) AS BIGINT) AS asig
        | FROM vv a JOIN vv b ON b.doc_id = a.doc_id AND b.i = a.i + 1
        | WHERE a.i < 63 GROUP BY 1)""").stripMargin.replace("\n", " ")
+  }
+
+  /** Offset-fixture winnowed-fingerprint replay (r14): xxhash64
+    * samples (stride 192 = the fixture's nSamples; doc_id % 10 == 1
+    * carries the previous doc's samples with the first 37 cut), the
+    * per-position 63-bit sign-of-delta signatures, and the
+    * winnowing min-per-16-position-window selection — ends in
+    * `wsg(doc_id, wsig)`, the operator's fingerprint relation. */
+  private lazy val audioWinnowCtes: String = {
+    val (frags, ref) = Xx64Sql.hashLong("aw", "wbase.k", "42")
+    (s"""wbase AS (SELECT d.doc_id,
+       |  CAST(CASE WHEN d.doc_id % 10 = 1 THEN 155 ELSE 192 END
+       |   AS BIGINT) AS n, g.j,
+       |  CAST((CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
+       |    ELSE d.doc_id END) * 192 + g.j +
+       |   (CASE WHEN d.doc_id % 10 = 1 THEN 37 ELSE 0 END) AS HUGEINT)
+       |   AS k
+       | FROM documents d, LATERAL (SELECT
+       |   unnest(generate_series(0, 191)) AS j) g
+       | WHERE g.j < CASE WHEN d.doc_id % 10 = 1 THEN 155 ELSE 192 END),
+       |whh AS (SELECT doc_id, n, j, $ref AS h FROM wbase, $frags),
+       |wv AS MATERIALIZED (SELECT doc_id, n, j,
+       |  CAST(CASE WHEN (h // 256) % 65536 >= 32768
+       |   THEN (h // 256) % 65536 - 65536
+       |   ELSE (h // 256) % 65536 END AS BIGINT) AS smp FROM whh),
+       |wdb AS MATERIALIZED (SELECT a.doc_id, a.n, a.j AS i,
+       |  CASE WHEN b.smp > a.smp THEN 1 ELSE 0 END AS bit
+       | FROM wv a JOIN wv b ON b.doc_id = a.doc_id AND b.j = a.j + 1),
+       |wdn AS (SELECT DISTINCT doc_id, n FROM wdb),
+       |wpos AS (SELECT doc_id, n,
+       |  unnest(generate_series(0, CAST(n - 64 AS INTEGER))) AS p
+       | FROM wdn),
+       |wps AS MATERIALIZED (SELECT w.doc_id, w.n, w.p,
+       |  CAST(coalesce(sum(CAST(db.bit AS BIGINT) *
+       |    (CAST(1 AS BIGINT) << CAST(db.i - w.p AS INTEGER))), 0)
+       |   AS BIGINT) AS ps
+       | FROM wpos w JOIN wdb db ON db.doc_id = w.doc_id
+       |   AND db.i >= w.p AND db.i <= w.p + 62
+       | GROUP BY 1, 2, 3),
+       |wwin AS (SELECT doc_id, n,
+       |  unnest(generate_series(0,
+       |    CAST(greatest(n - 63 - 16, 0) AS INTEGER))) AS w
+       | FROM wdn),
+       |wsel AS (SELECT ww.doc_id, ww.w, min(ps.ps) AS sel
+       | FROM wwin ww JOIN wps ps ON ps.doc_id = ww.doc_id
+       |   AND ps.p >= ww.w AND ps.p <= least(ww.w + 15, ww.n - 64)
+       | GROUP BY 1, 2),
+       |wsg AS MATERIALIZED (SELECT DISTINCT doc_id, sel AS wsig
+       | FROM wsel)""").stripMargin.replace("\n", " ")
   }
 
   /** IVF centroid-pick replay (r10): Similarity.pickCentroids over
@@ -5143,6 +5223,40 @@ object SparkEntry {
          |   FROM lab) lr)
          |SELECT doc_id, group_id, rank_key, rn = 1 AS keep
          |FROM rk""").stripMargin.replace("\n", " "),
+    "mm_audio_winnow_pairs" ->
+      // exact fingerprint-match definition over the winnowed replay
+      // (the production tier: shared-fingerprint equi-join, zero
+      // Hamming slack — redundancy across O(n/wSel) fingerprints is
+      // the robustness); doc pairs fold to the shared count
+      (s"""WITH $audioWinnowCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | CAST(0 AS INTEGER) AS best_hamming,
+         | CAST(count(*) AS BIGINT) AS n_shared
+         |FROM wsg a JOIN wsg b
+         | ON b.wsig = a.wsig AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "mm_audio_winnow_incremental" ->
+      // exact new-fingerprints x store match (the production tier);
+      // n_matches = distinct store docs sharing a fingerprint, best
+      // match = min store_id (every match is exact, hamming 0)
+      (s"""WITH $audioWinnowCtes,
+         |nd AS (SELECT doc_id, wsig FROM wsg WHERE doc_id % 5 = 1),
+         |st AS (SELECT doc_id AS store_id, wsig AS swsig FROM wsg
+         | WHERE doc_id % 5 <> 1),
+         |p AS (SELECT DISTINCT nd.doc_id, st.store_id
+         | FROM nd JOIN st ON st.swsig = nd.wsig),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(store_id) AS BIGINT) AS match_id
+         | FROM p GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+         | CAST(coalesce(a.match_id, -1) AS BIGINT) AS match_id,
+         | CAST(CASE WHEN a.n_matches IS NULL THEN -1 ELSE 0 END
+         |  AS INTEGER) AS best_hamming,
+         | a.n_matches IS NULL AS keep
+         |FROM (SELECT DISTINCT doc_id FROM nd) d
+         |LEFT JOIN agg a USING (doc_id)""").stripMargin.replace("\n", " "),
     "mm_audio_sig_incremental" ->
       // EXHAUSTIVE new-batch x store comparison over the xxhash64
       // signature replay (no candidate rule); best match =

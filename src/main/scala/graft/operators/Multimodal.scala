@@ -952,6 +952,241 @@ object Multimodal {
       }.toDF()
   }
 
+  /** The OFFSET-copy fixture: every doc is a 192-sample recording
+    * (xxhash64 recipe, stride = nSamples so sample keys never alias
+    * across docs), and `doc_id % 10 == 1` carries the previous doc's
+    * samples with the first `trim` samples cut — a trimmed re-master,
+    * the commonest audio edit after re-leveling. The prefix tier
+    * ([[audioSignatures]]) PROVABLY misses these (its window reads
+    * samples [0, 64) — the copy's are the source's [trim, trim+64),
+    * a different bitstring); the winnowed tier below catches them. */
+  def synthOffsetWavCorpus(docs: DataFrame, nSamples: Int = 192,
+                           trim: Int = 37, sampleRate: Int = 8000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].map { d =>
+      val isCopy = d % 10 == 1
+      val src = if (isCopy) d - 1 else d
+      val off = if (isCopy) trim else 0
+      val n = if (isCopy) nSamples - trim else nSamples
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(src * nSamples.toLong + (i + off), 42L)
+        val v = (((h >>> 8) & 0xffffL).toInt << 16) >> 16
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavBlob(d, bos.toByteArray)
+    }.toDF()
+  }
+
+  case class AudioWinnowSig(doc_id: Long, wsig: Long)
+
+  /** OFFSET-ROBUST audio fingerprints — the text-winnowing idea on
+    * PCM, fixing the prefix tier's alignment blindness: the 63-bit
+    * sign-of-delta signature computes at EVERY window position (an
+    * O(n) bit-slide over the delta bitstring, not O(n·63) — sig(p+1)
+    * = sig(p) >> 1 | nextBit << 62), then winnowing selects the MIN
+    * signature of each `wSel`-position window (one global window
+    * when fewer positions exist) and the doc's fingerprint set is
+    * the distinct selected values. The standard winnowing guarantee
+    * applies: two recordings sharing ≥ win + wSel − 1 contiguous
+    * samples share ≥ 1 selected fingerprint at ANY offset, so a
+    * trimmed/padded copy meets its master in an equi-join bucket —
+    * no alignment assumption anywhere. Fingerprint count is
+    * O(n / wSel) per doc (8 bytes each — the persisted store
+    * stays tiny); amplitude-invariance carries over from the
+    * sign-of-delta base. */
+  def audioWinnowSignatures(blobs: DataFrame, win: Int = 64,
+                            wSel: Int = 16): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (d, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"doc $d: expected MONO signed 16-bit PCM, got $fmt")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        require(n >= win,
+          s"doc $d: winnow signatures need >= $win samples, got $n")
+        val le = !fmt.isBigEndian
+        def smp(i: Int): Int = {
+          val lo = data(if (le) 2 * i else 2 * i + 1) & 0xff
+          val hi = data(if (le) 2 * i + 1 else 2 * i).toInt
+          (hi << 8) | lo
+        }
+        val nPos = n - win + 1
+        val sigs = new Array[Long](nPos)
+        var s = 0L
+        var j = 0
+        while (j < win - 1) { if (smp(j + 1) > smp(j)) s |= 1L << j; j += 1 }
+        sigs(0) = s
+        var p = 1
+        while (p < nPos) {
+          s = (s >>> 1) |
+            (if (smp(p + win - 1) > smp(p + win - 2)) 1L << (win - 2) else 0L)
+          sigs(p) = s
+          p += 1
+        }
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        val lastW = math.max(nPos - wSel, 0)
+        var w = 0
+        while (w <= lastW) {
+          var mv = Long.MaxValue
+          var q = w
+          val end = math.min(w + wSel, nPos)
+          while (q < end) { if (sigs(q) < mv) mv = sigs(q); q += 1 }
+          sel += mv
+          w += 1
+        }
+        sel.iterator.map(AudioWinnowSig(d, _)).toSeq
+      }.toDF()
+  }
+
+  /** Offset-robust perceptual audio PAIRS over the winnowed
+    * fingerprints. DEFAULT (`maxHamming = 0`) is the production
+    * fingerprint-match design (winnowing/Shazam lineage): doc pairs
+    * form on EXACTLY-shared fingerprints — robustness to
+    * re-leveling comes from REDUNDANCY (a doc carries O(n/wSel)
+    * fingerprints; one surviving shared fingerprint suffices), not
+    * from per-fingerprint tolerance, so the join is a plain
+    * equi-join on the 63-bit value with capped buckets and scales
+    * like exact dedup. `maxHamming > 0` switches to the banded
+    * Hamming verify (7 × 9-bit slices, pigeonhole-lossless per
+    * fingerprint pair — spec-exercised; measured 26× the join
+    * volume of the exact path at sf0.1, which is why it is the
+    * non-default tier). Doc pairs fold to best (minimum) Hamming
+    * plus the qualifying fingerprint-pair count. On the offset
+    * fixture exactly the trimmed copies pair with their masters —
+    * the pairs the prefix tier provably misses (spec-pinned, the
+    * mm_phash_pairs pattern). */
+  def audioWinnowPairs(blobs: DataFrame, maxHamming: Int = 0,
+                       bands: Int = 7, maxBucket: Int = 256,
+                       sigs: Option[DataFrame] = None): DataFrame = {
+    require(63 % bands == 0, s"bands must divide 63, got $bands")
+    require(bands > maxHamming,
+      s"lossless banding needs bands > maxHamming ($bands vs $maxHamming)")
+    val sg = sigs.getOrElse(
+      audioWinnowSignatures(blobs).localCheckpoint(true))
+    if (maxHamming == 0) {
+      return sg.groupBy("wsig")
+        .agg(collect_set(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) > 1)
+        .select(slice(sort_array(col("ds")), 1, maxBucket).as("ds"))
+        .select(explode(col("ds")).as("id_a"), col("ds"))
+        .select(col("id_a"), explode(col("ds")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(min(lit(0)).cast("int").as("best_hamming"),
+          count(lit(1)).as("n_shared"))
+    }
+    val bits = 63 / bands
+    val mask = (1L << bits) - 1
+    val banded = sg.select(col("doc_id"), col("wsig").as("sig"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> shiftright(wsig, b * $bits) & ${mask}L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_bits")
+    banded
+      .groupBy("band", "band_bits")
+      .agg(collect_set(struct(col("doc_id"), col("sig"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(slice(sort_array(col("ms")), 1, maxBucket).as("ms"))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("s_a"), col("b.sig").as("s_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("s_a").bitwiseXOR(col("s_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).cast("int").as("best_hamming"),
+        count(lit(1)).as("n_shared"))
+  }
+
+  /** Nightly-ingest twin of [[audioWinnowPairs]]: NEW audio decodes
+    * and winnows once, then its fingerprints probe the persisted
+    * store via the same banded join — history pays zero codec or
+    * winnow work. One row per new blob: count of store docs it
+    * collides with, best match on the discrete (hamming, store_id)
+    * cut, keep = no offset-duplicate in the store. */
+  def audioWinnowIncremental(newBlobs: DataFrame, storeSigs: DataFrame,
+                             maxHamming: Int = 0, bands: Int = 7,
+                             newSigs: Option[DataFrame] = None): DataFrame = {
+    require(63 % bands == 0 && bands > maxHamming, "lossless banding")
+    val ns = newSigs.getOrElse(
+      audioWinnowSignatures(newBlobs).localCheckpoint(true))
+    if (maxHamming == 0) {
+      val p = ns.join(storeSigs
+          .select(col("doc_id").as("store_id"), col("wsig")), Seq("wsig"))
+        .select("doc_id", "store_id").distinct()
+      val best = p.groupBy("doc_id").agg(
+        count(lit(1)).as("n_matches"),
+        min(col("store_id")).as("match_id"))
+      return ns.select("doc_id").distinct()
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(col("match_id"), lit(-1L)).as("match_id"),
+          when(col("n_matches").isNotNull, lit(0)).otherwise(lit(-1))
+            .cast("int").as("best_hamming"),
+          col("n_matches").isNull.as("keep"))
+    }
+    val bits = 63 / bands
+    val mask = (1L << bits) - 1
+    def banded(df: DataFrame, id: String) =
+      df.select(col("doc_id").as(id), col("wsig").as(s"sig_$id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> shiftright(wsig, b * $bits) & ${mask}L)")))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_bits")
+    // Hamming filters BEFORE the dedup: the band join emits up to
+    // `bands`× duplicated candidate rows and bit_count is a codegen'd
+    // scalar, so filtering first leaves the 4-column distinct a
+    // survivor-sized set instead of the whole join output (measured
+    // 6.9 s → sub-second at sf0.1)
+    val qualifying = banded(ns, "doc_id")
+      .join(banded(storeSigs, "store_id"), Seq("band", "band_bits"))
+      .withColumn("hamming", bit_count(
+        col("sig_doc_id").bitwiseXOR(col("sig_store_id"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_id", "store_id", "sig_doc_id", "sig_store_id", "hamming")
+      .distinct()
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("hamming"), col("store_id"))
+    val best = qualifying
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id").agg(
+        countDistinct(col("store_id")).as("n_matches"),
+        max(when(col("rn") === 1, col("store_id"))).as("match_id"),
+        max(when(col("rn") === 1, col("hamming"))).as("best_hamming"))
+    ns.select("doc_id").distinct().join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        coalesce(col("best_hamming"), lit(-1)).cast("int")
+          .as("best_hamming"),
+        (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
   /** Perceptual near-dup pairs over audio signatures — the
     * [[phashPairs]] machinery on the 63-bit sign-of-delta hash
     * (7 bands × 9 bits; bands > maxHamming keeps the banding

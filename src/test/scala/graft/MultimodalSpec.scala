@@ -472,6 +472,47 @@ class MultimodalSpec extends SparkSpec {
     assert(aud <= 128, s"audio band bucket $aud exceeds half the 256 cap")
   }
 
+  test("audio winnow tier catches the trimmed copies the prefix tier provably misses") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val corpus = Multimodal.synthOffsetWavCorpus(docs)
+    // precondition (the mm_phash_pairs pattern): the PREFIX tier
+    // reads samples [0, 64) — a 37-sample trim shifts the window,
+    // so the prefix signatures share nothing and no copy pairs
+    val prefix = Multimodal.audioSigPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Set((0L, 1L), (10L, 11L), (20L, 21L))
+    assert(prefix.intersect(planted).isEmpty,
+      s"the prefix tier must MISS every trimmed copy: $prefix")
+    // the winnowed tier pairs exactly the planted trims, hamming 0
+    // (identical PCM after the shift), ≥1 shared fingerprint each
+    val winnow = Multimodal.audioWinnowPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getLong(3))).toMap
+    assert(winnow.keySet == planted,
+      s"exactly the trimmed copies must pair: ${winnow.keySet}")
+    winnow.foreach { case (p, (h, n)) =>
+      assert(h == 0 && n >= 1, s"pair $p: hamming $h, $n shared") }
+    // the banded-Hamming tier (maxHamming > 0) finds the same
+    // planted pairs — tolerance can only ADD pairs, never lose one
+    val banded = Multimodal.audioWinnowPairs(corpus, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(banded),
+      s"banded tier must cover the exact tier's pairs: $banded")
+    // store/incremental parity: the copies flag against the store,
+    // the originals in the same new batch keep
+    val sigs = Multimodal.audioWinnowSignatures(corpus)
+    val inc = Multimodal.audioWinnowIncremental(
+        corpus.filter($"doc_id" % 5 === 1),
+        storeSigs = sigs.filter($"doc_id" % 5 =!= 1),
+        newSigs = Some(sigs.filter($"doc_id" % 5 === 1)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+      .toMap
+    Seq(1L, 11L, 21L).foreach(d =>
+      assert(inc(d) == ((d - 1, false)), s"copy $d must match: ${inc(d)}"))
+    Seq(6L, 16L, 26L).foreach(d =>
+      assert(inc(d)._2, s"original $d must keep: ${inc(d)}"))
+  }
+
   test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
     val docs = (0L until 30L).toDF("doc_id")
     val out = Multimodal.phashSummary(
