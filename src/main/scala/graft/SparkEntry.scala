@@ -891,6 +891,16 @@ object SparkEntry {
     // paraphrased contamination the n-gram tier structurally misses
     "text_decontaminate_semantic" -> ((s, dir) =>
       Dedup.semanticDecontaminate(Tables.embeddings(s, dir))),
+    // the INTAKE twin (r14): bench matrix rides the closure, each
+    // arriving vector compares row-locally in the batch kernel's
+    // exact arithmetic — zero state, zero joins; shares the batch
+    // key's oracle verbatim
+    "stream_semantic_gate" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.streaming.DocStream.semanticGate(
+        e.filter(col("vec_id") % 97 =!= 0),
+        e.filter(col("vec_id") % 97 === 0))
+    }),
     "docs_contamination_by_source" -> ((s, dir) =>
       TextAnalysis.contaminationBySource(Tables.documents(s, dir))),
     "events_key_skew" -> ((s, dir) =>
@@ -2535,6 +2545,38 @@ object SparkEntry {
        | FROM vv a JOIN vv b ON b.doc_id = a.doc_id AND b.i = a.i + 1
        | WHERE a.i < 63 GROUP BY 1)""").stripMargin.replace("\n", " ")
   }
+
+  /** EXHAUSTIVE corpus × benchmark-slice comparison (no candidate
+    * rule — the broadcast plan compares every pair anyway); best
+    * match on the 1e-6-rounded cosine then bench_id. Shared
+    * VERBATIM by text_decontaminate_semantic and its intake twin
+    * stream_semantic_gate. */
+  private lazy val semanticDecontamSql: String =
+    """WITH bb AS (SELECT vec_id AS bench_id,
+        |  CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE vec_id % 97 = 0),
+        |cc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings WHERE vec_id % 97 <> 0),
+        |p AS (SELECT cc.vec_id, bb.bench_id,
+        |  list_cosine_similarity(cc.e, bb.e) AS cosine
+        | FROM cc, bb WHERE list_cosine_similarity(cc.e, bb.e) >= 0.4),
+        |b AS (SELECT vec_id, bench_id, cosine, row_number() OVER
+        |  (PARTITION BY vec_id ORDER BY round(cosine, 6) DESC,
+        |   bench_id) AS rn FROM p),
+        |agg AS (SELECT vec_id, CAST(count(*) AS BIGINT)
+        |   AS n_bench_matches,
+        |  CAST(max(CASE WHEN rn = 1 THEN bench_id END) AS BIGINT)
+        |   AS bench_id,
+        |  max(CASE WHEN rn = 1 THEN cosine END) AS best_cosine
+        | FROM b GROUP BY 1)
+        |SELECT cc.vec_id,
+        | CAST(coalesce(a.n_bench_matches, 0) AS BIGINT)
+        |  AS n_bench_matches,
+        | CAST(coalesce(a.bench_id, -1) AS BIGINT) AS bench_id,
+        | coalesce(a.best_cosine, -1.0) AS best_cosine,
+        | coalesce(a.n_bench_matches, 0) > 0 AS contaminated
+        |FROM cc LEFT JOIN agg a USING (vec_id)""".stripMargin
+        .replace("\n", " ")
 
   /** Offset-fixture winnowed-fingerprint replay (r14): xxhash64
     * samples (stride 192 = the fixture's nSamples; doc_id % 10 == 1
@@ -4493,35 +4535,12 @@ object SparkEntry {
         | coalesce(a.n_matches, 0) = 0 AS keep
         |FROM nn LEFT JOIN agg a USING (vec_id)""".stripMargin
         .replace("\n", " "),
-    "text_decontaminate_semantic" ->
-      // EXHAUSTIVE corpus × benchmark-slice comparison (no candidate
-      // rule — the broadcast plan compares every pair anyway); best
-      // match on the 1e-6-rounded cosine then bench_id
-      """WITH bb AS (SELECT vec_id AS bench_id,
-        |  CAST(embedding AS DOUBLE[]) AS e
-        | FROM embeddings WHERE vec_id % 97 = 0),
-        |cc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        | FROM embeddings WHERE vec_id % 97 <> 0),
-        |p AS (SELECT cc.vec_id, bb.bench_id,
-        |  list_cosine_similarity(cc.e, bb.e) AS cosine
-        | FROM cc, bb WHERE list_cosine_similarity(cc.e, bb.e) >= 0.4),
-        |b AS (SELECT vec_id, bench_id, cosine, row_number() OVER
-        |  (PARTITION BY vec_id ORDER BY round(cosine, 6) DESC,
-        |   bench_id) AS rn FROM p),
-        |agg AS (SELECT vec_id, CAST(count(*) AS BIGINT)
-        |   AS n_bench_matches,
-        |  CAST(max(CASE WHEN rn = 1 THEN bench_id END) AS BIGINT)
-        |   AS bench_id,
-        |  max(CASE WHEN rn = 1 THEN cosine END) AS best_cosine
-        | FROM b GROUP BY 1)
-        |SELECT cc.vec_id,
-        | CAST(coalesce(a.n_bench_matches, 0) AS BIGINT)
-        |  AS n_bench_matches,
-        | CAST(coalesce(a.bench_id, -1) AS BIGINT) AS bench_id,
-        | coalesce(a.best_cosine, -1.0) AS best_cosine,
-        | coalesce(a.n_bench_matches, 0) > 0 AS contaminated
-        |FROM cc LEFT JOIN agg a USING (vec_id)""".stripMargin
-        .replace("\n", " "),
+    "text_decontaminate_semantic" -> semanticDecontamSql,
+    // the intake gate computes the SAME relation by definition (the
+    // closure matrix replays the batch kernel's arithmetic exactly),
+    // so the batch key's oracle is this key's oracle verbatim
+    "stream_semantic_gate" -> semanticDecontamSql,
+
     "dedup_embedding_groups_lsh" ->
       // the production SemDeDup path: closure over the REPLAYED
       // LSH-fed pair relation (same recursive tail as the exact

@@ -85,6 +85,66 @@ object DocStream {
       .toDF("doc_id", "source")
   }
 
+  case class SemGateRow(vec_id: Long, n_bench_matches: Long,
+                        bench_id: Long, best_cosine: Double,
+                        contaminated: Boolean)
+
+  /** SEMANTIC decontamination at stream intake — the live twin of
+    * [[graft.operators.Dedup.semanticDecontaminate]]: the benchmark
+    * slice's embeddings are collected ONCE at plan time (bounded by
+    * the eval-set contract, the [[curateGate]] convention) and ride
+    * the closure; each arriving vector compares against the matrix
+    * row-locally in the EXACT arithmetic of the batch kernel
+    * ([[graft.functions.VectorOps.cosine]] — double accumulation in
+    * element order, 1e-6 HALF_UP rounding for the best-match cut),
+    * so the batch key's oracle is shared VERBATIM. Pure stateless
+    * map: zero state stores, zero joins, zero shuffles at intake.
+    */
+  def semanticGate(vecs: DataFrame, bench: DataFrame,
+                   tau: Double = 0.4): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val benchArr: Array[(Long, Array[Float])] = bench
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        var nM = 0L
+        var bestId = -1L
+        var bestCos = -1.0
+        var bestR = Double.NegativeInfinity
+        var i = 0
+        while (i < benchArr.length) {
+          val c = cos(emb, benchArr(i)._2)
+          if (c >= tau) {
+            nM += 1
+            val cr = r6(c)
+            // same discrete cut as the batch window: rounded cosine
+            // DESC, then bench_id ASC (benchArr is id-sorted, so the
+            // strict > keeps the smaller id on ties)
+            if (cr > bestR) { bestR = cr; bestId = benchArr(i)._1; bestCos = c }
+          }
+          i += 1
+        }
+        SemGateRow(id, nM, bestId, if (nM == 0) -1.0 else bestCos, nM > 0)
+      }.toDF()
+  }
+
   case class DupGateEv(doc_id: Long, source: String, tok_chars: Long,
                        start: Int, lens: Seq[Int])
   case class DupGateRow(doc_id: Long, source: String, tok_chars: Long,

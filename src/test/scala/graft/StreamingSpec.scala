@@ -1050,6 +1050,42 @@ class StreamingSpec extends SparkSpec {
       s"fixture sanity: the batch must be mostly clean ($trueMatches/$total)")
   }
 
+  test("semanticGate streams with ZERO state, matches the batch decontaminator") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter($"vec_id" % 97 === 0)
+    val corpus = emb.filter($"vec_id" % 97 =!= 0)
+    def fold(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    val batch = fold(graft.operators.Dedup
+      .semanticDecontaminate(emb, benchMod = 97, tau = 0.4).collect())
+    val gateBatch = fold(graft.streaming.DocStream
+      .semanticGate(corpus, bench, tau = 0.4).collect())
+    assert(gateBatch == batch,
+      "the closure-matrix gate must reproduce the broadcast-join batch relation")
+    val corpusRows = corpus.select($"vec_id", $"embedding")
+      .collect().map(r => StreamingSpec.Vec(r.getLong(0),
+        r.getSeq[Float](1)))
+    val mem = MemoryStream[StreamingSpec.Vec]
+    val q = graft.streaming.DocStream.semanticGate(mem.toDF(), bench, tau = 0.4)
+      .writeStream.format("memory").queryName("sem_gate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpusRows.take(20): _*)
+      q.processAllAvailable()
+      mem.addData(corpusRows.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = fold(spark.table("sem_gate_test").collect())
+      assert(streamed == batch,
+        s"cross-batch intake must match the batch decontaminator")
+      // stateless by construction: a pure map plans NO state operator
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty || ops.forall(_.numRowsTotal == 0),
+        s"gate must carry no state: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("repetitionGate streams append-mode with ZERO state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the combined fixture: quality plants + planted dup paragraphs
@@ -1546,6 +1582,7 @@ class StreamingSpec extends SparkSpec {
 
 object StreamingSpec {
   final case class Doc(doc_id: Long, text: String)
+  final case class Vec(vec_id: Long, embedding: Seq[Float])
   final case class SrcDoc(doc_id: Long, source: String)
   final case class LinedDoc(doc_id: Long, text: String, source: String)
 }
