@@ -125,6 +125,20 @@ object SparkEntry {
           operators.Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)))
           .localCheckpoint(true)))
 
+  // the HISTORY slice's dup-gram store (doc_id % 10 <> 0 — what the
+  // nightly batch would have persisted before today's delta): the
+  // incremental curation gate probes it; grams duplicated only via
+  // the delta must NOT appear, so this is NOT a filter of the
+  // full-corpus store
+  private val histDupStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedHistDupStore(s: SparkSession, dir: String): DataFrame =
+    histDupStoreCache.getOrElseUpdate((s, dir),
+      primeTimed("hist_dup_store")(
+        TextAnalysis.dupNgramStore(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0))
+          .localCheckpoint(true)))
+
   // corpus-duplication coverage trunk: the doc-grain relation both
   // the source rollup and the per-doc gate read — the corpus-wide
   // 8-gram window runs ONCE per (session, dir)
@@ -1356,8 +1370,14 @@ object SparkEntry {
     }),
     "docs_curate_incremental" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
+      // r14: the incremental twin gains the gate families too — the
+      // pinned Gopher flag pass (per-doc pure, delta rows read by
+      // id) and the HISTORY-built dup-gram store (what the nightly
+      // batch would have persisted yesterday)
       Curation.curateIncremental(
-        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0))
+        d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
+        gopherFlags = Some(sharedGopherFlagged(s, dir)),
+        dupStore = Some(sharedHistDupStore(s, dir)))
     }),
     "q_top_supplier" -> ((s, dir) =>
       Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
@@ -6811,32 +6831,65 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
     "docs_curate_incremental" ->
       // the daily-ingest curation gate, every stage deterministic:
-      // quality on the delta only, batch keep-min, exact-vs-history
-      // fingerprints, near-dup-vs-history (df over gated-delta ∪
-      // history, the incrementalNearDupPairs scope), benchmark slice
-      // + decontamination vs the static benchmark
-      """WITH t AS (SELECT doc_id, text,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      // Gopher 20-threshold gate on the delta (fixture chain
+      // verbatim), quality on the delta only, batch keep-min,
+      // exact-vs-history fingerprints, dup-gram gate vs the
+      // HISTORY-built store, near-dup-vs-history (df over
+      // gated-delta ∪ history), benchmark slice + decontamination
+      // vs the static benchmark
+      {
+        val th = operators.TextAnalysis.GopherGateThresholds.toMap
+        val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
+          .mkString("(", " OR ", ")")
+        (s"""WITH $qualCorpusCte, ${linedCtesFrom("qd")},
+        |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes,
+        |gflag AS (SELECT r.doc_id
+        | FROM rep_profile r JOIN dng gg ON gg.doc_id = r.doc_id
+        | JOIN qprof qq ON qq.doc_id = r.doc_id
+        | WHERE ($fAny OR $qualAnySql)),
+        |rt AS (SELECT doc_id, text,
+        |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
         | FROM documents),
         |q AS (SELECT doc_id FROM (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
         |  least(1.0, len(toks) / 128.0)
         |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
         |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
-        |   AS quality_score FROM t WHERE doc_id % 10 = 0) s
-        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2),
+        |   AS quality_score FROM rt WHERE doc_id % 10 = 0) s
+        | WHERE n_tokens >= 20 AND n_tokens <= 100000 AND quality_score >= 0.2
+        |  AND doc_id NOT IN (SELECT doc_id FROM gflag)),
         |bx AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id,
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) n GROUP BY norm),
+        |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM q)) nn GROUP BY norm),
         |hist AS (SELECT DISTINCT
-        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
         | FROM documents WHERE doc_id % 10 <> 0),
         |fresh AS (SELECT doc_id FROM documents b
         | WHERE doc_id IN (SELECT doc_id FROM bx)
         |  AND NOT EXISTS (SELECT 1 FROM hist
-        |   WHERE hist.norm = trim(regexp_replace(lower(b.text), '\s+', ' ', 'g')))),
+        |   WHERE hist.norm = trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g')))),
+        |og AS (SELECT rt.doc_id, u.i - 1 AS start,
+        |  array_to_string(rt.toks[u.i:u.i + 7], ' ') AS ng
+        | FROM rt, LATERAL (SELECT unnest(generate_series(1,
+        |   len(rt.toks) - 7)) AS i) u
+        | WHERE len(rt.toks) >= 8),
+        |hstore AS (SELECT ng FROM og WHERE doc_id % 10 <> 0
+        | GROUP BY ng HAVING count(DISTINCT doc_id) >= 2),
+        |dcpos AS (SELECT DISTINCT og.doc_id, u.p
+        | FROM og JOIN hstore USING (ng),
+        |  LATERAL (SELECT unnest(range(og.start, og.start + 8)) AS p) u
+        | WHERE og.doc_id % 10 = 0),
+        |dcc AS (SELECT c.doc_id,
+        |  CAST(sum(length(rt.toks[c.p + 1])) AS BIGINT) AS dup_chars
+        | FROM dcpos c JOIN rt USING (doc_id) GROUP BY c.doc_id),
+        |dtc AS (SELECT doc_id, CAST(list_sum(list_transform(toks,
+        |  x -> length(x))) AS BIGINT) AS tok_chars FROM rt
+        | WHERE doc_id % 10 = 0),
+        |ddrop AS (SELECT dtc.doc_id FROM dtc JOIN dcc USING (doc_id)
+        | WHERE dtc.tok_chars > 0
+        |  AND CAST(dcc.dup_chars AS BIGINT) / dtc.tok_chars > 0.5),
         |tl AS (SELECT doc_id, list_filter(
-        |  regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+        |  regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
         | FROM documents),
         |gl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
@@ -6845,30 +6898,32 @@ object SparkEntry {
         | WHERE doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM q)),
         |inv AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
         |dfr AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
-        |p AS (SELECT a.doc_id AS new_id, c.doc_id AS corpus_id
+        |cp AS (SELECT a.doc_id AS new_id, c.doc_id AS corpus_id
         |  FROM inv a JOIN dfr ON dfr.gram = a.gram JOIN inv c ON c.gram = a.gram
         |  WHERE a.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
         |   AND dfr.df BETWEEN 2 AND 64
         |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |nd AS (SELECT DISTINCT p.new_id AS doc_id FROM p
-        | JOIN gl ga ON ga.doc_id = p.new_id JOIN gl gb ON gb.doc_id = p.corpus_id
+        |nd AS (SELECT DISTINCT cp.new_id AS doc_id FROM cp
+        | JOIN gl ga ON ga.doc_id = cp.new_id JOIN gl gb ON gb.doc_id = cp.corpus_id
         | WHERE CAST(len(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
         |  / (len(ga.grams) + len(gb.grams)
         |     - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
         |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
         |  THEN list_transform(range(1, len(toks) - 1),
         |   i -> array_to_string(toks[i:i+2], ' '))
-        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM t),
+        |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM rt),
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
         |cont AS (SELECT DISTINCT c.doc_id FROM
         |  (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 0 AND doc_id % 97 <> 0) c
         |  JOIN bench USING (gram))
         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
         |WHERE d.doc_id IN (SELECT doc_id FROM fresh)
+        | AND d.doc_id NOT IN (SELECT doc_id FROM ddrop)
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM nd)
-        | AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
-        .stripMargin.replace("\n", " "),
+        | AND d.doc_id NOT IN (SELECT doc_id FROM cont)""")
+        .stripMargin.replace("\n", " ")
+      },
     "q_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
         |  sum(l_extendedprice * (1 - l_discount)) AS total_revenue

@@ -52,13 +52,18 @@ object Curation {
 
   /** INCREMENTAL curation — the daily-ingest twin of [[curate]]: only
     * the new batch is scored, gated, and deduplicated; history is
-    * consulted, never re-curated. The gates, in order: per-doc
+    * consulted, never re-curated. The gates, in order: the
+    * 20-threshold Gopher gate (r14 — per-doc pure, so gating the
+    * delta alone is exact), per-doc
     * quality/token bounds (pure per-document — scoring the delta
     * alone is exact, not an approximation), batch-internal exact
     * dedup (keep-min within the delta), exact-vs-history
     * ([[Dedup.incrementalExact]] — history reduces to distinct
     * fingerprints; production reads the [[DedupStore]] instead of
-    * text), near-dup-vs-history ([[Dedup.incrementalNearDupPairs]] —
+    * text), the corpus-duplication gate vs the PERSISTED dup-gram
+    * store (r14 — delta grams broadcast-probe what the nightly batch
+    * wrote, history never re-explodes), near-dup-vs-history
+    * ([[Dedup.incrementalNearDupPairs]] —
     * new×corpus candidates only, old×old pairs never form), benchmark
     * slice exclusion, and decontamination against the STATIC
     * benchmark (history text is touched only for its benchmark
@@ -70,12 +75,31 @@ object Curation {
   def curateIncremental(newDocs: DataFrame, corpus: DataFrame,
                         minTokens: Long = 20L, maxTokens: Long = 100000L,
                         minQuality: Double = 0.2, benchMod: Int = 97,
-                        tau: Double = 0.5): DataFrame = {
+                        tau: Double = 0.5,
+                        gopherFlags: Option[DataFrame] = None,
+                        dupStore: Option[DataFrame] = None,
+                        maxDupFrac: Double = 0.5): DataFrame = {
+    // r14 gate parity with the recomposed [[curateFull]]: the
+    // 20-threshold Gopher gate leads (per-doc pure, so gating the
+    // DELTA alone is exact — the same reason delta-only quality
+    // scoring is), and the corpus-duplication gate probes the
+    // PERSISTED dup-gram store the nightly batch wrote (delta grams
+    // broadcast-semi-join the store; history never re-explodes)
+    val gopherDrop = gopherFlags
+      .getOrElse(TextAnalysis.gopherFlagged(
+        TextAnalysis.synthQualityCorpus(newDocs)))
+      .filter(TextAnalysis.gopherAnyFlag)
+      .select("doc_id")
     val quality = scoreDocs(newDocs)
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("quality_score") >= minQuality)
       .select("doc_id")
+      .join(gopherDrop, Seq("doc_id"), "left_anti")
     val gated = newDocs.join(quality, Seq("doc_id"), "left_semi")
+    val dupDrop = TextAnalysis
+      .dupNgramApplyOf(TextAnalysis.dupNgramDocsVsStore(newDocs,
+        dupStore.getOrElse(TextAnalysis.dupNgramStore(corpus))), maxDupFrac)
+      .filter(!col("keep")).select("doc_id")
     // exact: within-batch keep-min, then anti-join history fingerprints
     val batchKeep = Dedup.exact(gated).select("doc_id")
     val fresh = Dedup.incrementalExact(
@@ -92,6 +116,7 @@ object Curation {
       .select("doc_id")
     gated
       .join(fresh, Seq("doc_id"), "left_semi")
+      .join(dupDrop, Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % benchMod =!= 0)
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")

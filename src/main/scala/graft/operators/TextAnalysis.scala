@@ -623,6 +623,32 @@ object TextAnalysis {
             .stripMargin.replace("\n", " ")).as("clean_text"))
   }
 
+  /** Delta-vs-STORE coverage — the batch spelling of the intake
+    * gate's relation ([[graft.streaming.DocStream.dupNgramGate]]):
+    * only the NEW docs explode; their n-grams probe the persisted
+    * dup-gram store (broadcast semi-join — history never re-explodes)
+    * and covered positions union into the exact duplicated-char
+    * coverage per delta doc. The incremental member of the
+    * corpus-duplication family, consumed by
+    * [[Curation.curateIncremental]]'s r14 gate. */
+  def dupNgramDocsVsStore(newDocs0: DataFrame, store: DataFrame,
+                          n: Int = 8): DataFrame = {
+    val d = dupNgramToks(newDocs0)
+    val occ = d
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $n),
+           |  i -> struct(i AS start,
+           |    array_join(slice(toks, i + 1, $n), ' ') AS ng))"""
+          .stripMargin.replace("\n", " "))).as("o"))
+      .select(col("doc_id"), col("o.start").as("start"), col("o.ng").as("ng"))
+      .join(org.apache.spark.sql.functions.broadcast(store.select("ng")),
+        Seq("ng"), "left_semi")
+      .select("doc_id", "start")
+    dupNgramDocsOf2(d,
+      occ.groupBy("doc_id").agg(collect_list(col("start")).as("starts")), n)
+  }
+
   /** The per-doc KEEP/DROP readout of the corpus-duplication gate —
     * [[dupNgramCorpus]]'s `docs_gopher_apply`-shaped twin: each doc
     * carries its exact duplicated-character fraction and drops iff

@@ -328,8 +328,12 @@ class CurationSpec extends SparkSpec {
       doc(101L, "totally different historic content words here"))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val delta = Seq(
-      // near-dup of history 100: shares 3 rare grams, jaccard 3/5
-      doc(10L, "alpha beta gamma delta epsilon eta"),
+      // near-dup of history 100: shares 3 rare grams, jaccard 3/5.
+      // id 16, not 10: the r14 Gopher gate runs on the quality
+      // fixture, whose lined twin plants a duplicate paragraph on
+      // doc_id % 5 == 0 — id 10 would drop for repetition before
+      // the near-dup gate ever saw it
+      doc(16L, "alpha beta gamma delta epsilon eta"),
       // exact dup of history 101
       doc(11L, "totally different historic content words here"),
       // batch-internal dup pair: min id 12 survives, 13 dies
@@ -343,21 +347,28 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(12L),
       s"only the fresh unique batch winner survives: $kept")
     // the near-dup threshold is live: loosening tau above the crafted
-    // pair's jaccard (0.6) lets doc 10 back in
+    // pair's jaccard (0.6) lets doc 16 back in
     val loose = Curation.curateIncremental(delta, history,
       minTokens = 2L, minQuality = 0.0, tau = 0.7)
       .collect().map(_.getLong(0)).toSet
-    assert(loose == Set(10L, 12L), s"tau gate must be the dropper: $loose")
+    assert(loose == Set(16L, 12L), s"tau gate must be the dropper: $loose")
   }
 
-  test("curateIncremental with empty history degenerates to curate") {
-    // day-zero bootstrap: with nothing in history, every history-
-    // facing gate is vacuous and the incremental pass must equal the
-    // batch curation of the same delta, doc for doc
+  test("curateIncremental with empty history degenerates to gopher-gated curate") {
+    // day-zero bootstrap: with nothing in history, every
+    // history-facing gate is vacuous (the dup-gram store is empty —
+    // nothing can match it), so the incremental pass must equal the
+    // batch curation of the same delta MINUS the r14 Gopher gate's
+    // drops (curateIncremental carries the gate; plain curate does
+    // not — docs_curate_full is the batch twin that does)
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val ids = (df: org.apache.spark.sql.DataFrame) =>
       df.collect().map(_.getLong(0)).toSet
-    val full = ids(Curation.curate(docs))
+    val gflagged = graft.operators.TextAnalysis.gopherFlagged(
+        graft.operators.TextAnalysis.synthQualityCorpus(docs))
+      .filter(graft.operators.TextAnalysis.gopherAnyFlag)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val full = ids(Curation.curate(docs)) -- gflagged
     val incr = ids(Curation.curateIncremental(docs, docs.filter(lit(false))))
     assert(full == incr, s"day-zero mismatch: ${(full -- incr, incr -- full)}")
     assert(full.nonEmpty, "vacuously-equal empty results prove nothing")
