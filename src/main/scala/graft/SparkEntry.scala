@@ -1090,6 +1090,12 @@ object SparkEntry {
       Multimodal.audioWinnowPairs(
         Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioWinnowSigs(s, dir)))),
+    // closure over the winnow pairs: a trim of a trim chains to its
+    // master; completes the tier's pairs → groups → incremental parity
+    "mm_audio_winnow_groups" -> ((s, dir) =>
+      Multimodal.audioWinnowGroups(
+        Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioWinnowSigs(s, dir)))),
     // nightly-ingest twin: new batch (doc_id % 5 == 1 — half trimmed
     // copies that must match, half originals that must not) probes
     // the winnowed fingerprint store; history pays zero codec work
@@ -5274,6 +5280,23 @@ object SparkEntry {
          |FROM wsg a JOIN wsg b
          | ON b.wsig = a.wsig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "mm_audio_winnow_groups" ->
+      // recursive reachability closure over the exact-match
+      // fingerprint pair relation; label = min reachable id
+      (s"""WITH RECURSIVE $audioWinnowCtes,
+         |pp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM wsg a JOIN wsg b
+         |  ON b.wsig = a.wsig AND a.doc_id < b.doc_id),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id)
+         |SELECT doc_id, group_id, doc_id = group_id AS keep
+         |FROM lab""").stripMargin.replace("\n", " "),
     "mm_audio_winnow_incremental" ->
       // exact new-fingerprints x store match (the production tier);
       // n_matches = distinct store docs sharing a fingerprint, best

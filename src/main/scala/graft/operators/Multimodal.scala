@@ -1121,6 +1121,20 @@ object Multimodal {
         count(lit(1)).as("n_shared"))
   }
 
+  /** Transitive closure of [[audioWinnowPairs]] — OFFSET-duplicate
+    * GROUPS (a trim of a trim chains to its master): min-label
+    * components via [[Dedup.dedupGroups]]'s pointer-doubling
+    * propagation, completing the winnow tier's pairs → groups →
+    * incremental parity with the other perceptual tiers. */
+  def audioWinnowGroups(blobs: DataFrame, maxHamming: Int = 0,
+                        bands: Int = 7, maxBucket: Int = 256,
+                        sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      audioWinnowSignatures(blobs).localCheckpoint(true))
+    Dedup.dedupGroups(sg.select("doc_id").distinct(),
+      audioWinnowPairs(blobs, maxHamming, bands, maxBucket, Some(sg)))
+  }
+
   /** Nightly-ingest twin of [[audioWinnowPairs]]: NEW audio decodes
     * and winnows once, then its fingerprints probe the persisted
     * store via the same banded join — history pays zero codec or

@@ -511,6 +511,14 @@ class MultimodalSpec extends SparkSpec {
       assert(inc(d) == ((d - 1, false)), s"copy $d must match: ${inc(d)}"))
     Seq(6L, 16L, 26L).foreach(d =>
       assert(inc(d)._2, s"original $d must keep: ${inc(d)}"))
+    // groups parity: each trimmed copy lands in its master's group
+    val grp = Multimodal.audioWinnowGroups(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (c, m) =>
+      assert(grp(c) == ((m, false)) && grp(m) == ((m, true)),
+        s"copy $c must join master $m: ${grp(c)} / ${grp(m)}") }
+    assert(grp.count(!_._2._2) == 3, "exactly the three copies suppress")
   }
 
   test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
