@@ -595,6 +595,31 @@ class PlanSpec extends SparkSpec {
       s"pinned trunks must appear as ExistingRDD scans:\n$p")
   }
 
+  test("semanticDecontaminate: the benchmark broadcasts, the corpus never shuffles") {
+    val e = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.Dedup.semanticDecontaminate(e))
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"the benchmark slice must be the broadcast build side:\n$p")
+    // the one permitted sort-merge is the final id-grain rejoin of
+    // the per-vec fold onto the corpus ids (8-byte keys) — the
+    // EMBEDDINGS themselves must only ever meet in the broadcast
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj <= 1, s"only the id-grain rejoin may sort-merge:\n$p")
+  }
+
+  test("audioWinnowPairs (exact tier): one fingerprint exchange, no join at all") {
+    import spark.implicits._
+    // threaded signatures (the store shape): candidates form in
+    // equi-buckets via ONE groupBy on the fingerprint value and
+    // expand row-locally — no join node, no cartesian anywhere
+    val sigs = (0L until 40L).map(d => (d, d % 7)).toDF("doc_id", "wsig")
+    val none = Seq.empty[Long].toDF("doc_id")
+    val p = plan(graft.operators.Multimodal.audioWinnowPairs(
+      none, sigs = Some(sigs)))
+    assert(!p.contains("Join"), s"exact tier must not plan any join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("qualityDrift: every exchange is count-grain, documents never shuffle") {
     val ta = graft.operators.TextAnalysis
     val p = plan(ta.qualityDrift(ta.gopherFlagged(
