@@ -86,7 +86,12 @@ object ExplainMain {
       "lake_compaction_apply", "docs_dup_spans_apply",
       "docs_quality_drift", "stream_quality_drift", "stream_dup_span_scrub",
       "mm_audio_sig_pairs", "mm_audio_sig_dedup", "mm_audio_sig_incremental",
-      "mm_audio_sig_groups")
+      "mm_audio_sig_groups",
+      // r14 batch
+      "lake_zorder_apply", "mm_phash_keep_best", "mm_audio_keep_best",
+      "text_decontaminate_semantic", "stream_semantic_gate",
+      "mm_audio_winnow_pairs", "mm_audio_winnow_incremental",
+      "mm_audio_winnow_groups", "docs_curate_incremental")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -521,6 +521,43 @@ class MultimodalSpec extends SparkSpec {
     assert(grp.count(!_._2._2) == 3, "exactly the three copies suppress")
   }
 
+  test("winnow guarantee: ANY trim offset still shares a fingerprint (property)") {
+    // the winnowing theorem in practice: for random PCM and a RANDOM
+    // trim, master and copy must share >= 1 selected fingerprint
+    // (they share >= win + wSel - 1 contiguous samples by
+    // construction). Exercises offsets the fixed fixture (37) never
+    // hits, including window-multiple and off-by-one cases.
+    val rnd = new scala.util.Random(20260815L)
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val offsets = Seq(1, 15, 16, 17, 63, 64, 79, 100)
+    val master = Array.fill(260)(rnd.nextInt(65536).toShort)
+    val blobs = (0L, wav(master)) +: offsets.zipWithIndex.map {
+      case (off, i) => ((i + 1).toLong, wav(master.drop(off))) }
+    val df = spark.createDataFrame(blobs).toDF("doc_id", "payload")
+    val sigs = Multimodal.audioWinnowSignatures(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byDoc = sigs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    offsets.zipWithIndex.foreach { case (off, i) =>
+      val shared = byDoc(0L).intersect(byDoc((i + 1).toLong))
+      assert(shared.nonEmpty,
+        s"trim offset $off must share a fingerprint with the master " +
+          s"(master ${byDoc(0L).size} fps, copy ${byDoc((i + 1).toLong).size})")
+    }
+  }
+
   test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
     val docs = (0L until 30L).toDF("doc_id")
     val out = Multimodal.phashSummary(
