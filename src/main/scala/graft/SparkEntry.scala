@@ -113,6 +113,26 @@ object SparkEntry {
         operators.Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)))
         .localCheckpoint(true)))
 
+  // the perceptual GROUP closures, pinned (r14): the groups key and
+  // its keep-best twin read the SAME min-label relation — without
+  // the pin each key re-runs the pointer-doubling closure
+  private val phashGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedPhashGroups(s: SparkSession, dir: String): DataFrame =
+    phashGroupsCache.getOrElseUpdate((s, dir), primeTimed("phash_groups")(
+      operators.Multimodal.phashGroups(
+        operators.Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedPhashSigs(s, dir)))
+        .localCheckpoint(true)))
+  private val audioGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedAudioGroups(s: SparkSession, dir: String): DataFrame =
+    audioGroupsCache.getOrElseUpdate((s, dir), primeTimed("audio_groups")(
+      operators.Multimodal.audioSigGroups(
+        operators.Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioSigs(s, dir)))
+        .localCheckpoint(true)))
+
   // offset-robust winnowed audio fingerprint store (r14): decode +
   // winnow runs ONCE per (session, dir) over the offset fixture;
   // the pairs and incremental keys read the store
@@ -124,6 +144,21 @@ object SparkEntry {
         operators.Multimodal.audioWinnowSignatures(
           operators.Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)))
           .localCheckpoint(true)))
+
+  // the quality-FIXTURE corpus's dup-gram store + Bloom (r14): the
+  // nightly artifact the composed intake gate probes — built from
+  // the same fixture corpus the gate streams
+  private val qualityDupStoreCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
+  private def sharedQualityDupStore(s: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.util.sketch.BloomFilter) =
+    qualityDupStoreCache.getOrElseUpdate((s, dir),
+      primeTimed("quality_dup_store") {
+        val store = TextAnalysis.dupNgramStore(
+          TextAnalysis.synthIntakeCorpus(Tables.documents(s, dir)))
+          .localCheckpoint(true)
+        (store, graft.streaming.DocStream.storeBloom(store))
+      })
 
   // the HISTORY slice's dup-gram store (doc_id % 10 <> 0 — what the
   // nightly batch would have persisted before today's delta): the
@@ -475,6 +510,25 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       graft.streaming.DocStream.curateGate(
         docs, docs.filter(col("doc_id") % 97 === 0))
+    }),
+    // THE whole intake pipeline in one stream (r14): quality +
+    // benchmark + decontamination + the 20-threshold Gopher gate +
+    // the dup-store probe, zero persisted state end to end. Runs on
+    // the INTAKE fixture (per-doc-unique stop-word tails: repairs
+    // the raw corpus's natural stop-word deficiency without
+    // creating cross-doc grams, so every gate keeps its raw
+    // discrimination) with the store built from the same corpus
+    // (the nightly artifact the intake probes).
+    "stream_intake_gate" -> ((s, dir) => {
+      val docs = TextAnalysis.synthIntakeCorpus(Tables.documents(s, dir))
+      // the fixture is per-doc pure, so the benchmark slice
+      // synthesizes from the FILTERED raw docs — the plan-time gram
+      // collect touches ~1% of the corpus, not all of it
+      val bench = TextAnalysis.synthIntakeCorpus(
+        Tables.documents(s, dir).filter(col("doc_id") % 97 === 0))
+      val (store, bloom) = sharedQualityDupStore(s, dir)
+      graft.streaming.DocStream.fullIntakeGate(docs, bench, store,
+        bloom = Some(bloom))
     }),
     "stream_heavy_hitters" -> ((s, dir) =>
       graft.streaming.EventStream.heavyHittersState(Tables.events(s, dir))),
@@ -1043,17 +1097,15 @@ object SparkEntry {
       Multimodal.phashSummary(
         Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedPhashSigs(s, dir)))),
-    "mm_phash_groups" -> ((s, dir) =>
-      Multimodal.phashGroups(
-        Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
-        sigs = Some(sharedPhashSigs(s, dir)))),
+    "mm_phash_groups" -> ((s, dir) => sharedPhashGroups(s, dir)),
     // keep-THE-BEST-copy over the image closure (r14): survivor =
     // highest decoded pixel count, ties min id — the store carries
     // the rank key, no second decode; same closure as groups
     "mm_phash_keep_best" -> ((s, dir) =>
       Multimodal.phashKeepBest(
         Multimodal.synthMixedCorpus(Tables.documents(s, dir)),
-        sigs = Some(sharedPhashSigs(s, dir)))),
+        sigs = Some(sharedPhashSigs(s, dir)),
+        groups = Some(sharedPhashGroups(s, dir)))),
     // nightly-ingest perceptual dedup: new batch (doc_id % 5 == 1 —
     // half planted BMP re-encodes that must match, half originals
     // that must not) probes the signature STORE of the rest; both
@@ -1078,10 +1130,7 @@ object SparkEntry {
       Multimodal.audioSigDedup(
         Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioSigs(s, dir)))),
-    "mm_audio_sig_groups" -> ((s, dir) =>
-      Multimodal.audioSigGroups(
-        Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
-        sigs = Some(sharedAudioSigs(s, dir)))),
+    "mm_audio_sig_groups" -> ((s, dir) => sharedAudioGroups(s, dir)),
     // OFFSET-ROBUST audio pairs (r14): winnowed per-window
     // sign-of-delta fingerprints — trimmed copies (doc_id % 10 == 1,
     // first 37 samples cut) pair with their masters here while the
@@ -1112,7 +1161,8 @@ object SparkEntry {
     "mm_audio_keep_best" -> ((s, dir) =>
       Multimodal.audioSigKeepBest(
         Multimodal.synthScaledWavCorpus(Tables.documents(s, dir)),
-        sigs = Some(sharedAudioSigs(s, dir)))),
+        sigs = Some(sharedAudioSigs(s, dir)),
+        groups = Some(sharedAudioGroups(s, dir)))),
     // nightly-ingest audio dedup (r13): new batch (doc_id % 5 == 1 —
     // half re-leveled copies that must match, half originals that
     // must not) probes the signature store; history pays zero codec
@@ -5698,6 +5748,71 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
           | FROM sc) c
           |WHERE cum_excl < 10000""".stripMargin.replace("\n", " ")),
+    "stream_intake_gate" -> {
+      // every intake gate composed over the INTAKE fixture (raw
+      // text + per-doc-unique stop-word tails, lined): quality score
+      // bounds + benchmark slice + any-gram decontamination, the 20
+      // Gopher thresholds (profile chains over the lined fixture),
+      // and the corpus-duplication fraction vs the fixture-built
+      // store. The LINED text is the corpus (t2/txt), so every rule
+      // tokenizes the same stream the operator sees.
+      val th = operators.TextAnalysis.GopherGateThresholds.toMap
+      val fAny = th.keys.toSeq.sorted.map(n => s"$n > ${th(n)}")
+        .mkString("(", " OR ", ")")
+      val tailSql = operators.TextAnalysis.GopherQualityStopWords.zipWithIndex
+        .map { case (w, i) =>
+          s"' $w s' || CAST(doc_id AS VARCHAR) || 'x$i'" }
+        .mkString(" || ")
+      (s"""WITH qd2 AS (SELECT doc_id, source,
+          |  text || $tailSql AS text FROM documents),
+          |${linedCtesFrom("qd2")},
+          |$gopherProfileCtes, $dupMassCtes, $qualProfileCtes,
+          |gflag AS (SELECT r.doc_id
+          | FROM rep_profile r JOIN dng gg ON gg.doc_id = r.doc_id
+          | JOIN qprof qq ON qq.doc_id = r.doc_id
+          | WHERE ($fAny OR $qualAnySql)),
+          |lt AS (SELECT t2.doc_id, txt.text, t2.toks
+          | FROM t2 JOIN txt USING (doc_id)),
+          |sc AS (SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  least(1.0, len(toks) / 128.0)
+          |   * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / greatest(length(text), 1)) * 4.0))
+          |   * (0.3 + 0.7 * least(1.0, (len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) / greatest(len(toks), 1)) * 5.0))
+          |   AS quality_score FROM lt),
+          |dgr AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+          |  THEN list_transform(range(1, len(toks) - 1),
+          |   i -> array_to_string(toks[i:i+2], ' '))
+          |  ELSE CAST([] AS VARCHAR[]) END)) AS gram FROM lt),
+          |dbench AS (SELECT DISTINCT gram FROM dgr WHERE doc_id % 97 = 0),
+          |rtc AS (SELECT doc_id, CAST(list_sum(list_transform(toks,
+          |  x -> length(x))) AS BIGINT) AS tok_chars FROM lt),
+          |og AS (SELECT lt.doc_id, u.i - 1 AS start,
+          |  array_to_string(lt.toks[u.i:u.i + 7], ' ') AS ng
+          | FROM lt, LATERAL (SELECT unnest(generate_series(1,
+          |   len(lt.toks) - 7)) AS i) u
+          | WHERE len(lt.toks) >= 8),
+          |du AS (SELECT ng FROM og GROUP BY ng
+          |  HAVING count(DISTINCT doc_id) >= 2),
+          |cpos AS (SELECT DISTINCT og.doc_id, u.p
+          | FROM og JOIN du USING (ng),
+          |  LATERAL (SELECT unnest(range(og.start, og.start + 8)) AS p) u),
+          |cc AS (SELECT c.doc_id,
+          |  CAST(sum(length(lt.toks[c.p + 1])) AS BIGINT) AS dup_chars
+          | FROM cpos c JOIN lt USING (doc_id) GROUP BY c.doc_id)
+          |SELECT sc.doc_id, d.source FROM sc
+          |JOIN documents d ON d.doc_id = sc.doc_id
+          |JOIN rtc ON rtc.doc_id = sc.doc_id
+          |LEFT JOIN cc ON cc.doc_id = sc.doc_id
+          |WHERE sc.n_tokens >= 20 AND sc.n_tokens <= 100000
+          | AND sc.quality_score >= 0.2
+          | AND sc.doc_id % 97 <> 0
+          | AND sc.doc_id NOT IN (SELECT c.doc_id FROM dgr c
+          |   JOIN dbench USING (gram))
+          | AND sc.doc_id NOT IN (SELECT doc_id FROM gflag)
+          | AND (CASE WHEN rtc.tok_chars > 0 THEN
+          |   CAST(coalesce(cc.dup_chars, 0) AS BIGINT) / rtc.tok_chars
+          |   ELSE 0.0 END) <= 0.5""").stripMargin.replace("\n", " ")
+    },
     "stream_curate_gate" ->
       // the stateless curation prefix: quality band + benchmark-slice
       // exclusion + any-gram decontamination (no dedup stage)

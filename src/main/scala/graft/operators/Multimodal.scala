@@ -591,11 +591,12 @@ object Multimodal {
     * never disagree about MEMBERSHIP, only about the survivor. */
   def phashKeepBest(blobs: DataFrame, side: Int = 8, maxHamming: Int = 6,
                     bands: Int = 7, maxBucket: Int = 256,
-                    sigs: Option[DataFrame] = None): DataFrame = {
+                    sigs: Option[DataFrame] = None,
+                    groups: Option[DataFrame] = None): DataFrame = {
     val sg = sigs.getOrElse(phashSignatures(blobs, side).localCheckpoint(true))
     keepBestOf(
-      Dedup.dedupGroups(sg.select("doc_id"),
-        phashPairs(blobs, side, maxHamming, bands, maxBucket, Some(sg))),
+      groups.getOrElse(Dedup.dedupGroups(sg.select("doc_id"),
+        phashPairs(blobs, side, maxHamming, bands, maxBucket, Some(sg)))),
       sg.select(col("doc_id"), col("px").as("rank_key")))
   }
 
@@ -605,11 +606,12 @@ object Multimodal {
     * min doc_id; same closure as [[audioSigGroups]]. */
   def audioSigKeepBest(blobs: DataFrame, maxHamming: Int = 6,
                        bands: Int = 7, maxBucket: Int = 256,
-                       sigs: Option[DataFrame] = None): DataFrame = {
+                       sigs: Option[DataFrame] = None,
+                       groups: Option[DataFrame] = None): DataFrame = {
     val sg = sigs.getOrElse(audioSignatures(blobs).localCheckpoint(true))
     keepBestOf(
-      Dedup.dedupGroups(sg.select("doc_id"),
-        audioSigPairs(blobs, maxHamming, bands, maxBucket, Some(sg))),
+      groups.getOrElse(Dedup.dedupGroups(sg.select("doc_id"),
+        audioSigPairs(blobs, maxHamming, bands, maxBucket, Some(sg)))),
       sg.select(col("doc_id"), col("n_samples").as("rank_key")))
   }
 

@@ -248,6 +248,30 @@ object TextAnalysis {
     * ([[synthQualityDefects]]) then line/paragraph structure with
     * planted duplicate paragraphs ([[synthLinedCorpus]]) — the input
     * the full 20-threshold gate family runs on. */
+  /** The composed-intake-gate fixture: raw text + a PER-DOC-UNIQUE
+    * stop-word tail — each of the 8 [[GopherQualityStopWords]]
+    * interleaved with a doc-specific token (`the s{id}x0 be s{id}x1
+    * …`), then lined. The interleaving is the point: the tail
+    * repairs the synthetic corpus's natural stop-word deficiency
+    * (the Gopher stop-word rule would otherwise fire on EVERY raw
+    * doc) WITHOUT creating any cross-doc 3-gram or 8-gram — every
+    * gram window contains a doc-specific token — so the
+    * decontamination and corpus-duplication gates keep their raw
+    * discrimination instead of seeing one globally-shared tail.
+    * The [[synthQualityCorpus]] fixture deliberately makes the
+    * opposite trade (shared tail, per-class defects) for the
+    * per-rule gate keys; this one exists for gate COMPOSITION. */
+  def synthIntakeCorpus(docs: DataFrame): DataFrame = {
+    val tail = GopherQualityStopWords.zipWithIndex.flatMap {
+      case (w, i) =>
+        Seq(lit(s" $w"), lit(s" s"), col("doc_id"), lit(s"x$i"))
+    }
+    synthLinedCorpus(
+      docs.select(col("doc_id"), col("source"),
+        concat(col("text") +: tail: _*).as("text")),
+      keep = Seq("source"))
+  }
+
   def synthQualityCorpus(docs: DataFrame,
                          keep: Seq[String] = Nil): DataFrame =
     synthLinedCorpus(synthQualityDefects(docs, keep), keep = keep)

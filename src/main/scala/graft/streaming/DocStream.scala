@@ -85,6 +85,62 @@ object DocStream {
       .toDF("doc_id", "source")
   }
 
+  /** THE WHOLE INTAKE PIPELINE as one stream — every intake gate the
+    * r12–r14 rounds built, composed in the batch flagship's order
+    * over a single arriving-document pass: C4 quality bounds +
+    * benchmark-slice exclusion + n-gram decontamination (the
+    * [[curateGate]] rules — static bench grams fold to a plan-time
+    * literal), the 20-threshold Gopher gate (the [[repetitionGate]]
+    * metric pass, behind the same typed fence so the fused kernels
+    * evaluate once, not once per threshold branch), and the
+    * corpus-duplication gate probing the PERSISTED dup-gram store
+    * ([[dupNgramGate]] — Bloom pre-filter, broadcast probe,
+    * zero-state fold). Emits the surviving (doc_id, source).
+    *
+    * State contract: ZERO persisted rows end to end — the first two
+    * stages are row-local filters, and the store probe's fold is
+    * micro-batch-local by the documented atomicity contract. The
+    * batch composition of the same gate relations is the oracle.
+    */
+  def fullIntakeGate(docs: DataFrame, bench: DataFrame, store: DataFrame,
+                     n: Int = 8, minTokens: Long = 20L,
+                     maxTokens: Long = 100000L, minQuality: Double = 0.2,
+                     benchMod: Int = 97, maxDupFrac: Double = 0.5,
+                     bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchGrams = bench
+      .select(explode(graft.functions.gf.tokenNgrams(col("text"), 3)).as("gram"))
+      .distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val s1 = TextAnalysis.stats(docs, keep = Seq("text", "source"))
+      .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("quality_score") >= minQuality &&
+        col("doc_id") % benchMod =!= 0)
+      .filter(!arrays_overlap(
+        graft.functions.gf.tokenNgrams(col("text"), 3),
+        typedlit(benchGrams)))
+      .select("doc_id", "source", "text")
+    // gopher metrics behind the TYPED fence ([[repetitionGate]]'s
+    // lesson): a Column predicate would inline the fused kernels
+    // once per threshold branch
+    val qualFlags = TextAnalysis.GopherQualityThresholds
+      .map(t => col(s"f_q_${t._1}"))
+    val s2 = TextAnalysis.gopherQualityFlags(TextAnalysis.gopherQualityCols(
+        TextAnalysis.gopherFlagCols(TextAnalysis.gopherMetricCols(
+          s1.withColumn("keep_text", col("text"))))))
+      .select(col("doc_id"), col("source"), col("keep_text"),
+        (!col("f_line") && !col("f_para") && !col("f_top") &&
+          !col("f_dup") && !qualFlags.reduce(_ || _)).as("keep"))
+      .as[(Long, String, String, Boolean)]
+      .filter(_._4)
+      .map(t => (t._1, t._2, t._3))
+      .toDF("doc_id", "source", "text")
+    dupNgramGate(s2, store, n, maxDupFrac, bloom)
+      .filter(col("keep"))
+      .select("doc_id", "source")
+  }
+
   case class SemGateRow(vec_id: Long, n_bench_matches: Long,
                         bench_id: Long, best_cosine: Double,
                         contaminated: Boolean)

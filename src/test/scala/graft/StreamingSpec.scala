@@ -1086,6 +1086,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fullIntakeGate: ALL gate families in one stream, ZERO state, matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.operators.TextAnalysis.synthIntakeCorpus(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .localCheckpoint(true)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val store = graft.operators.TextAnalysis.dupNgramStore(docs)
+      .localCheckpoint(true)
+    val batch = graft.streaming.DocStream
+      .fullIntakeGate(docs, bench, store)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.nonEmpty && batch.size < docs.count(),
+      s"the composed gate must keep a proper nonempty subset: ${batch.size}")
+    // every single-family gate bounds the composition from above
+    val gopherKeep = graft.streaming.DocStream.repetitionGate(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.subsetOf(gopherKeep),
+      "a gopher-dropped doc must never pass the composition")
+    val dupKeep = graft.streaming.DocStream.dupNgramGate(docs, store)
+      .filter($"keep").collect().map(_.getLong(0)).toSet
+    assert(batch.subsetOf(dupKeep),
+      "a dup-gated doc must never pass the composition")
+    val corpusRows = docs.select($"doc_id", $"text", $"source")
+      .collect().map(r => StreamingSpec.LinedDoc(
+        r.getLong(0), r.getString(1), r.getString(2)))
+    val mem = MemoryStream[StreamingSpec.LinedDoc]
+    val q = graft.streaming.DocStream.fullIntakeGate(mem.toDF(), bench, store)
+      .writeStream.format("memory").queryName("intake_gate_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpusRows.take(25): _*)
+      q.processAllAvailable()
+      mem.addData(corpusRows.drop(25): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("intake_gate_test")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == batch,
+        s"cross-batch intake must match the batch composition")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty || ops.forall(_.numRowsTotal == 0),
+        s"the composed gate must persist nothing: ${ops.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("repetitionGate streams append-mode with ZERO state, matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the combined fixture: quality plants + planted dup paragraphs
