@@ -991,14 +991,16 @@ object SparkEntry {
         gopherFlags = Some(sharedGopherFlagged(s, dir)),
         dupDocs = Some(sharedDupNgramDocs(s, dir)),
         dupStarts = Some(TextAnalysis.startsOfOcc(
-          sharedDupNgramOcc(s, dir))))),
+          sharedDupNgramOcc(s, dir))),
+        embeddings = Some(Tables.embeddings(s, dir)))),
     "docs_curate_funnel" -> ((s, dir) =>
       operators.Curation.curateFunnel(Tables.documents(s, dir),
         shingles = Some(sharedShingleSets(s, dir)),
         gopherFlags = Some(sharedGopherFlagged(s, dir)),
         dupDocs = Some(sharedDupNgramDocs(s, dir)),
         dupStarts = Some(TextAnalysis.startsOfOcc(
-          sharedDupNgramOcc(s, dir))))),
+          sharedDupNgramOcc(s, dir))),
+        embeddings = Some(Tables.embeddings(s, dir)))),
     "docs_token_budget" -> ((s, dir) =>
       // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
       operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),
@@ -3069,11 +3071,18 @@ object SparkEntry {
         |cont AS (SELECT DISTINCT c.doc_id FROM
         |  (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) c
         |  JOIN bench USING (gram)),
+        |sem AS (SELECT DISTINCT ce.vec_id AS doc_id FROM
+        |  (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |   FROM embeddings WHERE vec_id % 97 <> 0) ce,
+        |  (SELECT CAST(embedding AS DOUBLE[]) AS e
+        |   FROM embeddings WHERE vec_id % 97 = 0) be
+        | WHERE list_cosine_similarity(ce.e, be.e) >= 0.4),
         |cur AS (SELECT d.doc_id, d.source FROM documents d
         | WHERE d.doc_id IN (SELECT doc_id FROM dd)
         |  AND d.doc_id NOT IN (SELECT doc_id FROM ddrop)
         |  AND d.doc_id % 97 <> 0
-        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM sem)),
         |tl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
         |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
         |   i -> array_to_string(toks[i:i+2], ' ')))
@@ -5725,10 +5734,15 @@ object SparkEntry {
           | UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM dd)
           | UNION ALL SELECT 4, 'dup_gram', (SELECT count(*) FROM dd
           |   WHERE doc_id NOT IN (SELECT doc_id FROM ddrop))
-          | UNION ALL SELECT 5, 'decontam', (SELECT count(*) FROM cur)
-          | UNION ALL SELECT 6, 'near_dup', (SELECT count(*) FROM sup)
-          | UNION ALL SELECT 7, 'source_cap', (SELECT count(*) FROM capped)
-          | UNION ALL SELECT 8, 'token_budget', (SELECT count(*) FROM fin))
+          | UNION ALL SELECT 5, 'decontam', (SELECT count(*) FROM dd
+          |   WHERE doc_id NOT IN (SELECT doc_id FROM ddrop)
+          |    AND doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM cont))
+          | UNION ALL SELECT 6, 'decontam_semantic',
+          |   (SELECT count(*) FROM cur)
+          | UNION ALL SELECT 7, 'near_dup', (SELECT count(*) FROM sup)
+          | UNION ALL SELECT 8, 'source_cap', (SELECT count(*) FROM capped)
+          | UNION ALL SELECT 9, 'token_budget', (SELECT count(*) FROM fin))
           |SELECT CAST(i AS BIGINT) AS stage_idx, stage, n AS n_docs,
           | lag(n) OVER (ORDER BY i) - n AS n_dropped
           |FROM counts""".stripMargin.replace("\n", " ")),

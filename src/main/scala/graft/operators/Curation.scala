@@ -203,7 +203,9 @@ object Curation {
                  dupDocs: Option[DataFrame] = None,
                  dupStarts: Option[DataFrame] = None,
                  maxDupFrac: Double = 0.5,
-                 dupN: Int = 8): DataFrame = {
+                 dupN: Int = 8,
+                 embeddings: Option[DataFrame] = None,
+                 semTau: Double = 0.4): DataFrame = {
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
     // ONE tokenization scan scores the corpus; the quality gate,
@@ -211,7 +213,8 @@ object Curation {
     // scores don't depend on which docs survived earlier gates
     val scored = Some(scoreDocs(docs).localCheckpoint(true))
     val stages = curateFullStages(docs, scored, minTokens, maxTokens,
-      minQuality, benchMod, gopherFlags, dupDocs, dupStarts, maxDupFrac)
+      minQuality, benchMod, gopherFlags, dupDocs, dupStarts, maxDupFrac,
+      dupN, embeddings, semTau)
     val suppressed = restrict(Dedup.nearDupSuppress(
       restrict(stages.curatedIds), scored = scored, shingles = shingles))
     // pin the post-cap survivors: the budget walk consumes its input
@@ -244,6 +247,7 @@ object Curation {
                                          keptIds: DataFrame,
                                          keeperIds: DataFrame,
                                          contaminatedIds: DataFrame,
+                                         semContaminatedIds: DataFrame,
                                          curatedIds: DataFrame,
                                          residualScored: DataFrame)
 
@@ -255,7 +259,9 @@ object Curation {
                                       dupDocs: Option[DataFrame],
                                       dupStarts: Option[DataFrame],
                                       maxDupFrac: Double,
-                                      dupN: Int = 8): CurateStages = {
+                                      dupN: Int = 8,
+                                      embeddings: Option[DataFrame] = None,
+                                      semTau: Double = 0.4): CurateStages = {
     val sc = scored.getOrElse(scoreDocs(docs))
     val gopherDrop = gopherFlags
       .getOrElse(TextAnalysis.gopherFlagged(
@@ -275,10 +281,20 @@ object Curation {
       .filter(!col("keep")).select("doc_id")
     val contaminated = TextAnalysis
       .decontaminate(docs, n = 3, benchMod = benchMod).select("doc_id")
+    // SEMANTIC decontamination (r14): paraphrased benchmark items
+    // the n-gram tier misses — embeddings align 1:1 with documents
+    // (vec_id ≡ doc_id), so the benchMod slice is the same slice;
+    // vacuous when no embedding table is threaded in
+    val semContaminated = embeddings
+      .map(e => Dedup.semanticDecontaminate(e, benchMod, semTau)
+        .filter(col("contaminated"))
+        .select(col("vec_id").as("doc_id")))
+      .getOrElse(docs.select("doc_id").limit(0))
     val curatedIds = keeperIds
       .join(dupDrop, Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % benchMod =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(semContaminated, Seq("doc_id"), "left_anti")
     // residual billing: covered-position counts fold row-locally off
     // the pinned duplicated-occurrence starts (proportional to
     // duplicated positions, never a corpus scan)
@@ -294,7 +310,7 @@ object Curation {
         col("n_tokens") - coalesce(col("n_cov"), lit(0L)))
       .select("doc_id", "n_tokens", "quality_score")
     CurateStages(gopherDrop, dupDrop, kept.select("doc_id"), keeperIds,
-      contaminated, curatedIds, residualScored)
+      contaminated, semContaminated, curatedIds, residualScored)
   }
 
   /** Per-gate funnel of [[curateFull]] — the "which gate ate my
@@ -317,7 +333,9 @@ object Curation {
                    gopherFlags: Option[DataFrame] = None,
                    dupDocs: Option[DataFrame] = None,
                    dupStarts: Option[DataFrame] = None,
-                   maxDupFrac: Double = 0.5): DataFrame = {
+                   maxDupFrac: Double = 0.5,
+                   embeddings: Option[DataFrame] = None,
+                   semTau: Double = 0.4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // measured at sf0.1: the funnel's floor is its three serial
@@ -334,8 +352,8 @@ object Curation {
     val statsRel = scoreDocs(docs)
     val stages = curateFullStages(docs, Some(statsRel), minTokens,
       maxTokens, minQuality, benchMod, gopherFlags, dupDocs, dupStarts,
-      maxDupFrac)
-    // ONE pinned per-doc relation fuses everything the first five
+      maxDupFrac, 8, embeddings, semTau)
+    // ONE pinned per-doc relation fuses everything the first six
     // gates decide: the tokenization scores plus gopher / quality /
     // exact-keeper / dup-gram / contamination flags AND the residual
     // token billing (each gate a boolean column, each downstream
@@ -351,6 +369,8 @@ object Curation {
         Seq("doc_id"), "left")
       .join(stages.contaminatedIds.withColumn("f_contam", lit(true)),
         Seq("doc_id"), "left")
+      .join(stages.semContaminatedIds.withColumn("f_sem", lit(true)),
+        Seq("doc_id"), "left")
       .join(stages.residualScored
         .select(col("doc_id"), col("n_tokens").as("n_res")),
         Seq("doc_id"))
@@ -365,7 +385,8 @@ object Curation {
       ("exact_dedup", col("f_keeper").isNotNull),
       ("dup_gram", col("f_dg").isNull),
       ("decontam",
-        col("doc_id") % benchMod =!= 0 && col("f_contam").isNull))
+        col("doc_id") % benchMod =!= 0 && col("f_contam").isNull),
+      ("decontam_semantic", col("f_sem").isNull))
     val curatedIds = flags
       .filter(chain.map(_._2).reduce(_ && _)).select("doc_id")
     // the near-dup gate is the one remaining expensive relation
@@ -381,7 +402,7 @@ object Curation {
     val budgeted = selectToBudget(capped, tokenBudget, Some(residual))
     // the stage id-sets are a strict chain (each ⊆ its predecessor),
     // so every doc's deepest-surviving stage is recoverable from
-    // membership flags — the first five stages are ALREADY columns
+    // membership flags — the first six stages are ALREADY columns
     // of the pinned flags relation, so the count spine joins only
     // the three post-gate id sets: ONE aggregate action total
     val prefixes = chain.inits.toSeq.reverse.tail // chain[0..k], k=1..5

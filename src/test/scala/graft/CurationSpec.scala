@@ -87,8 +87,11 @@ class CurationSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
     val (cap, budget) = (5, 2000L)
-    val full = Curation.curateFull(docs, cap = cap, tokenBudget = budget)
+    val full = Curation.curateFull(docs, cap = cap, tokenBudget = budget,
+        embeddings = Some(emb))
       .collect().map(r =>
         (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(full.nonEmpty, "the composed pipeline should keep something")
@@ -105,6 +108,11 @@ class CurationSpec extends SparkSpec {
       .filter(!col("keep")).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(keptIds.intersect(dupDropped).isEmpty,
       "a corpus-duplication-gated doc must never survive")
+    val semDropped = graft.operators.Dedup.semanticDecontaminate(emb)
+      .filter(col("contaminated"))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(keptIds.intersect(semDropped).isEmpty,
+      "a semantically contaminated doc must never survive")
     // residual billing: n_tokens_kept = raw − covered positions, ≤ raw
     assert(full.forall(r => r._4 <= r._3 && r._4 >= 0L),
       "residual tokens must sit in [0, raw]")
@@ -120,14 +128,17 @@ class CurationSpec extends SparkSpec {
   test("curateFunnel: stage counts tie to the pipeline, drops reconcile") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
-    val rows = Curation.curateFunnel(docs, cap = 5, tokenBudget = 2000L)
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Curation.curateFunnel(docs, cap = 5, tokenBudget = 2000L,
+        embeddings = Some(emb))
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
       .sortBy(_._1)
     assert(rows.map(_._2).toSeq == Seq("input", "gopher", "quality",
-      "exact_dedup", "dup_gram", "decontam", "near_dup", "source_cap",
-      "token_budget"), s"stages: ${rows.toSeq}")
+      "exact_dedup", "dup_gram", "decontam", "decontam_semantic",
+      "near_dup", "source_cap", "token_budget"), s"stages: ${rows.toSeq}")
     // monotone narrowing, and each drop reconciles with its neighbor
     rows.sliding(2).foreach { case Array(prev, cur) =>
       assert(cur._3 <= prev._3, s"stage must narrow: $prev -> $cur")
@@ -136,7 +147,8 @@ class CurationSpec extends SparkSpec {
     assert(rows.head._4.isEmpty, "input row carries no drop")
     assert(rows.head._3 == docs.count(), "input count is the corpus")
     // endpoints tie to the real pipeline
-    val end = Curation.curateFull(docs, cap = 5, tokenBudget = 2000L).count()
+    val end = Curation.curateFull(docs, cap = 5, tokenBudget = 2000L,
+      embeddings = Some(emb)).count()
     assert(rows.last._3 == end, s"funnel end ${rows.last._3} != pipeline $end")
   }
 

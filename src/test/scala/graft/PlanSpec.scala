@@ -583,10 +583,13 @@ class PlanSpec extends SparkSpec {
       .localCheckpoint(true)
     val p = plan(graft.operators.Curation.curateFull(docs,
       shingles = Some(shingles), gopherFlags = Some(gf),
-      dupDocs = Some(dd), dupStarts = Some(ta.startsOfOcc(occ))))
+      dupDocs = Some(dd), dupStarts = Some(ta.startsOfOcc(occ)),
+      embeddings = Some(Tables.embeddings(spark, dir))))
+    // ≤ 8 documents scans (the r13 budget) + the semantic stage's
+    // two embeddings scans (bench + corpus sides of the broadcast)
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans <= 8, s"the recomposition must not add corpus scans " +
-      s"(r13 budget 8), got $scans:\n$p")
+    assert(scans <= 10, s"the recomposition must not add corpus scans " +
+      s"(r13 budget 8 + 2 embeddings sides), got $scans:\n$p")
     // the gate trunks arrive pinned: no Gopher metric kernel and no
     // corpus 8-gram window may appear in the composition's own plan
     assert(!p.contains("stop_word_hits"),
