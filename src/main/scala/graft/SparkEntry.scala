@@ -1141,6 +1141,12 @@ object SparkEntry {
       Multimodal.audioWinnowPairs(
         Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioWinnowSigs(s, dir)))),
+    // summary tail over the winnow pairs: keep = no smaller-id
+    // offset-duplicate, score = shared-fingerprint count
+    "mm_audio_winnow_dedup" -> ((s, dir) =>
+      Multimodal.audioWinnowDedup(
+        Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioWinnowSigs(s, dir)))),
     // closure over the winnow pairs: a trim of a trim chains to its
     // master; completes the tier's pairs → groups → incremental parity
     "mm_audio_winnow_groups" -> ((s, dir) =>
@@ -5339,6 +5345,27 @@ object SparkEntry {
          |FROM wsg a JOIN wsg b
          | ON b.wsig = a.wsig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "mm_audio_winnow_dedup" ->
+      // the pair-summary tail over the exact-match fingerprint pair
+      // relation; score = shared count, keep = not dominated
+      (s"""WITH $audioWinnowCtes,
+         |verified AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS DOUBLE) AS sim
+         | FROM wsg a JOIN wsg b
+         |  ON b.wsig = a.wsig AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2),
+         |sides AS (SELECT id_a AS doc_id, sim AS score,
+         |  false AS is_junior FROM verified
+         | UNION ALL SELECT id_b, sim, true FROM verified),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+         |  max(score) AS max_score, bool_or(is_junior) AS dominated
+         | FROM sides GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+         | coalesce(p.max_score, 0.0) AS max_score,
+         | coalesce(NOT p.dominated, true) AS keep
+         |FROM (SELECT DISTINCT doc_id FROM wsg) d
+         |LEFT JOIN perdoc p USING (doc_id)""").stripMargin
+        .replace("\n", " "),
     "mm_audio_winnow_groups" ->
       // recursive reachability closure over the exact-match
       // fingerprint pair relation; label = min reachable id

@@ -1123,6 +1123,22 @@ object Multimodal {
         count(lit(1)).as("n_shared"))
   }
 
+  /** Per-blob offset-duplicate summary — the keep/suppress decision
+    * over [[audioWinnowPairs]], completing the winnow tier into the
+    * same pairs → dedup → groups → incremental shape as every other
+    * perceptual tier: keep = no smaller-id offset-duplicate, score =
+    * the shared-fingerprint count (bigger = more shared audio). */
+  def audioWinnowDedup(blobs: DataFrame, maxHamming: Int = 0,
+                       bands: Int = 7, maxBucket: Int = 256,
+                       sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      audioWinnowSignatures(blobs).localCheckpoint(true))
+    Dedup.pairSummary(
+      sg.select("doc_id").distinct(),
+      audioWinnowPairs(blobs, maxHamming, bands, maxBucket, Some(sg))
+        .withColumn("sim", col("n_shared").cast("double")), "sim")
+  }
+
   /** Transitive closure of [[audioWinnowPairs]] — OFFSET-duplicate
     * GROUPS (a trim of a trim chains to its master): min-label
     * components via [[Dedup.dedupGroups]]'s pointer-doubling

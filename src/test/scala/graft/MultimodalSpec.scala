@@ -511,6 +511,12 @@ class MultimodalSpec extends SparkSpec {
       assert(inc(d) == ((d - 1, false)), s"copy $d must match: ${inc(d)}"))
     Seq(6L, 16L, 26L).foreach(d =>
       assert(inc(d)._2, s"original $d must keep: ${inc(d)}"))
+    // summary parity: exactly the trimmed copies suppress
+    val ded = Multimodal.audioWinnowDedup(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    Seq(1L, 11L, 21L).foreach(d =>
+      assert(!ded(d), s"copy $d must suppress in the summary"))
+    assert(ded.count(!_._2) == 3, "exactly the three copies suppress")
     // groups parity: each trimmed copy lands in its master's group
     val grp = Multimodal.audioWinnowGroups(corpus, sigs = Some(sigs))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
