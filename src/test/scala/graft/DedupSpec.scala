@@ -435,6 +435,37 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(0L), "benchmark items are not corpus rows")
   }
 
+  test("semanticDecontaminate equals brute force on random embeddings (property)") {
+    val rnd = new scala.util.Random(14L)
+    for (round <- 1 to 3) {
+      val n = 150 + rnd.nextInt(150)
+      val dim = 16
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      val tau = 0.2 + rnd.nextDouble() * 0.3
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0
+        (0 until dim).foreach { i =>
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i) }
+        if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val bench = vecs.filter(_._1 % 97 == 0)
+      val want = vecs.filter(_._1 % 97 != 0).map { case (id, e) =>
+        val ms = bench.filter(b => cos(e, b._2) >= tau)
+        id -> (ms.size.toLong, ms.nonEmpty)
+      }.toMap
+      val got = Dedup.semanticDecontaminate(
+          spark.createDataFrame(vecs.map { case (i, e) => (i, e.toSeq) })
+            .toDF("vec_id", "embedding"), tau = tau)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+      assert(got == want,
+        s"round $round (n=$n, tau=$tau): diverges from brute force\n" +
+          s"diff: ${got.toSet.diff(want.toSet).take(5)}")
+    }
+  }
+
   test("prefixJaccardCandidates: sf0.1 candidate volume stays under the suffix-filtered bound") {
     // the dedup_exact_jaccard_pairs contract, pinned as VOLUME (the
     // key's cost driver) instead of host-sensitive wall clock: the

@@ -266,6 +266,45 @@ class LakeSpec extends SparkSpec {
       s"post-layout skip rates must equal the plan's:\n$measured\nvs\n$promised")
   }
 
+  test("zorderApply conservation holds on RANDOM shapes (property)") {
+    import org.apache.spark.sql.functions.col
+    // randomized dims / sizes / bucketBits: rows must always
+    // partition, bytes always telescope, and every file's stats must
+    // bound its rows — the invariants the one-fixture test can't
+    // stress across bucket-boundary shapes
+    val rnd = new scala.util.Random(20260815L)
+    for (round <- 1 to 3) {
+      val n = 500 + rnd.nextInt(2000)
+      val bits = 6 + rnd.nextInt(5) // 6..10 bits per dim
+      val bb = 2 + rnd.nextInt(2 * bits - 3) // 2..(2*bits-2)
+      val lim = 1L << bits
+      val rows = (0 until n).map(i =>
+        (rnd.nextLong(lim), rnd.nextLong(lim), 64L + rnd.nextInt(512)))
+      val data = spark.createDataFrame(rows).toDF("x", "y", "row_bytes")
+      val m = Lake.zorderApply(data, Seq("x", "y"), col("row_bytes"),
+        bitsPerDim = bits, bucketBits = bb).collect()
+      assert(m.map(_.getAs[Long]("n_rows")).sum == n.toLong,
+        s"round $round: rows must partition (bits=$bits bb=$bb)")
+      assert(m.map(_.getAs[Long]("bytes")).sum == rows.map(_._3).sum,
+        s"round $round: bytes must telescope")
+      assert(m.length <= (1 << bb),
+        s"round $round: at most 2^bucketBits output files")
+      val routed = data.withColumn("file_id",
+          org.apache.spark.sql.functions.shiftright(
+            Lake.zorderValue(Seq(col("x"), col("y")), bits), 2 * bits - bb))
+        .join(spark.createDataFrame(m.toSeq.asInstanceOf[Seq[org.apache.spark.sql.Row]].map(r =>
+          (r.getAs[Long]("file_id"), r.getAs[Long]("min_x"),
+            r.getAs[Long]("max_x"), r.getAs[Long]("min_y"),
+            r.getAs[Long]("max_y"))))
+          .toDF("file_id", "min_x", "max_x", "min_y", "max_y"),
+          Seq("file_id"))
+        .filter(col("x") < col("min_x") || col("x") > col("max_x") ||
+          col("y") < col("min_y") || col("y") > col("max_y"))
+      assert(routed.count() == 0L,
+        s"round $round: stats must bound every routed row")
+    }
+  }
+
   test("fileSkipping: zorder skips on the non-leading dim, single-sort cannot") {
     // x uniform via a multiplicative walk, y striped so every
     // x-prefix bucket sees the full y range — the single-sort

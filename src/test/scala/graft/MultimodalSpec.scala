@@ -527,6 +527,52 @@ class MultimodalSpec extends SparkSpec {
     assert(grp.count(!_._2._2) == 3, "exactly the three copies suppress")
   }
 
+  test("winnow signatures: the O(n) bit-slide equals per-position recompute (property)") {
+    // the production kernel slides one 63-bit window over the delta
+    // bitstring; this reference recomputes every position's
+    // signature from scratch — a slide bug (wrong shift, wrong tail
+    // bit) diverges immediately on random PCM
+    val rnd = new scala.util.Random(42L)
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    for (round <- 1 to 3) {
+      val n = 64 + rnd.nextInt(200)
+      val samples = Array.fill(n)(rnd.nextInt(65536).toShort)
+      // reference: per-position recompute + the same windowed-min
+      // selection rule
+      def sigAt(p: Int): Long = {
+        var s = 0L
+        (0 until 63).foreach { j =>
+          if (samples(p + j + 1) > samples(p + j)) s |= 1L << j }
+        s
+      }
+      val nPos = n - 63
+      val sigs = (0 until nPos).map(sigAt)
+      val lastW = math.max(nPos - 16, 0)
+      val want = (0 to lastW)
+        .map(w => sigs.slice(w, math.min(w + 16, nPos)).min).toSet
+      val got = Multimodal.audioWinnowSignatures(
+          spark.createDataFrame(Seq((round.toLong, wav(samples))))
+            .toDF("doc_id", "payload"))
+        .collect().map(_.getLong(1)).toSet
+      assert(got == want,
+        s"round $round (n=$n): slide diverges from recompute\n" +
+          s"got-want: ${got -- want}\nwant-got: ${want -- got}")
+    }
+  }
+
   test("winnow guarantee: ANY trim offset still shares a fingerprint (property)") {
     // the winnowing theorem in practice: for random PCM and a RANDOM
     // trim, master and copy must share >= 1 selected fingerprint
