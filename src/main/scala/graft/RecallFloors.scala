@@ -25,9 +25,11 @@ object RecallFloors {
     ("ann_lsh_topk", "ann_bruteforce_topk", 0.65),
     ("ann_ivf_topk", "ann_bruteforce_topk", 0.70),
     ("ann_pq_topk", "ann_bruteforce_topk", 0.78),
-    // late-r9 retune to rerank=16 (docs/ANN_SWEEP.md rerank axis):
-    // plain measured 0.720, residual 0.780, scan bytes unchanged
-    ("ann_ivfpq_topk", "ann_bruteforce_topk", 0.67),
+    // late-r9 retune to rerank=16 (docs/ANN_SWEEP.md rerank axis),
+    // then the r14 probe escalation (nprobe 8→12, the dial that
+    // lifted the filtered/append tiers in r13): measured 0.720 →
+    // 0.840 at sf0.1, floor raised in lockstep
+    ("ann_ivfpq_topk", "ann_bruteforce_topk", 0.80),
     ("ann_ivfpq_res_topk", "ann_bruteforce_topk", 0.73),
     ("ann_sq_topk", "ann_bruteforce_topk", 0.95),
     ("ann_rerank", "ann_bruteforce_topk", 0.85),
@@ -36,7 +38,9 @@ object RecallFloors {
     // persisted-index probes: build params mirror the in-memory
     // tiers, so the floors do too
     ("ann_index_ivf_probe", "ann_bruteforce_topk", 0.70),
-    ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.67),
+    // r14: nprobe=12 in lockstep with the in-memory tier — measured
+    // 0.840, floor raised from 0.67
+    ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.80),
     // incrementally-maintained indexes (model state from the base
     // half, delta appended): measured 0.755 (IVF) — hash-picked
     // half-corpus centroids cover the space as well as the full pick

@@ -872,8 +872,9 @@ object SparkEntry {
     }),
     "ann_index_ivfpq_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // nprobe=12 in lockstep with the in-memory tier (r14)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._2,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8, rerank = 16)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12, rerank = 16)
     }),
     // probe of the INCREMENTALLY-maintained index (built on half the
     // corpus, other half appended against stored centroids — no
@@ -1307,12 +1308,13 @@ object SparkEntry {
           "product_day" -> Seq("product_id", "sale_date")))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // nCodes=32 + rerank=16 (the late-r9 retune, measured 0.720
-      // recall, up from 0.46 via 0.645): both dials leave SCAN bytes
-      // untouched — codes stay m per vector; nCodes only widens the
-      // broadcast codebook and rerank the k·rerank exact-rescore set
+      // nCodes=32 + rerank=16 (the late-r9 retune) + nprobe=12 (r14:
+      // the same probe-escalation dial that lifted the filtered and
+      // append tiers in r13 — measured 0.720 → 0.855 here; scan
+      // fraction 12/16 of code bytes, still corpus-size-proportional
+      // to codes only)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        nprobe = 8, m = 16, nCodes = 32, rerank = 16)
+        nprobe = 12, m = 16, nCodes = 32, rerank = 16)
     }),
     "ann_ivfpq_res_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -4529,9 +4531,10 @@ object SparkEntry {
     "ann_ivfpq_topk" ->
       // the composed FAISS-style tier: cells = first 16 of the SAME
       // 32-vector pick (one sampling pass feeds both structures),
-      // probe prune then code-space scoring, k·16 budget
+      // probe prune (nprobe=12, the r14 escalation) then code-space
+      // scoring, k·16 budget
       (s"""WITH ${ivfCentsCtes("", pick = 32)},
-          |${pqTail(useIvf = true, budget = 160)}""")
+          |${pqTail(useIvf = true, budget = 160, nprobe = 12)}""")
         .stripMargin.replace("\n", " "),
     "ann_index_ivfpq_append_probe" ->
       // incremental IVF-PQ: model state (cells + codebooks) from the
