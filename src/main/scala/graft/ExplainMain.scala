@@ -91,7 +91,8 @@ object ExplainMain {
       "lake_zorder_apply", "mm_phash_keep_best", "mm_audio_keep_best",
       "text_decontaminate_semantic", "stream_semantic_gate",
       "mm_audio_winnow_pairs", "mm_audio_winnow_incremental",
-      "mm_audio_winnow_groups", "docs_curate_incremental")
+      "mm_audio_winnow_groups", "docs_curate_incremental",
+      "mm_audio_winnow_dedup", "stream_intake_gate")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")
