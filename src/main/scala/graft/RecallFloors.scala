@@ -19,32 +19,37 @@ package graft
 object RecallFloors {
   /** approx driver key -> (exact anchor driver key, recall floor). */
   val tiers: Seq[(String, String, Double)] = Seq(
-    // r10: margin-ordered multiprobe (16 tables × 8 planes × 4
-    // probes — unchanged 0.25 candidate budget) lifted the measured
-    // sf0.1 point 0.575 → 0.710
-    ("ann_lsh_topk", "ann_bruteforce_topk", 0.65),
-    ("ann_ivf_topk", "ann_bruteforce_topk", 0.70),
+    // r10: margin-ordered multiprobe (16×8×4) lifted 0.575 → 0.710;
+    // r15: probe budget 4→8 per table (0.25 → 0.50 of corpus,
+    // query-side rows only) lifted the measured sf0.1 point to 0.860
+    ("ann_lsh_topk", "ann_bruteforce_topk", 0.80),
+    // r15: nprobe 8→12 (the r13/r14 escalation dial applied to the
+    // plain tier) — measured 0.740 → 0.935 at sf0.1
+    ("ann_ivf_topk", "ann_bruteforce_topk", 0.88),
     ("ann_pq_topk", "ann_bruteforce_topk", 0.78),
     // late-r9 retune to rerank=16 (docs/ANN_SWEEP.md rerank axis),
     // then the r14 probe escalation (nprobe 8→12, the dial that
     // lifted the filtered/append tiers in r13): measured 0.720 →
     // 0.840 at sf0.1, floor raised in lockstep
     ("ann_ivfpq_topk", "ann_bruteforce_topk", 0.80),
-    ("ann_ivfpq_res_topk", "ann_bruteforce_topk", 0.73),
+    // r15: nprobe 8→12 — measured 0.780 → 0.920 at sf0.1
+    ("ann_ivfpq_res_topk", "ann_bruteforce_topk", 0.87),
     ("ann_sq_topk", "ann_bruteforce_topk", 0.95),
     ("ann_rerank", "ann_bruteforce_topk", 0.85),
     // r13: nprobe 8→12 escalation lifted 0.69 → 0.91 measured
     ("ann_ivf_filtered_topk", "ann_filtered_topk", 0.85),
     // persisted-index probes: build params mirror the in-memory
-    // tiers, so the floors do too
-    ("ann_index_ivf_probe", "ann_bruteforce_topk", 0.70),
+    // tiers, so the floors do too (r15: nprobe 12 in lockstep with
+    // ann_ivf_topk; AnnIndexSpec holds probe ≡ in-memory parity)
+    ("ann_index_ivf_probe", "ann_bruteforce_topk", 0.88),
     // r14: nprobe=12 in lockstep with the in-memory tier — measured
     // 0.840, floor raised from 0.67
     ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.80),
     // incrementally-maintained indexes (model state from the base
-    // half, delta appended): measured 0.755 (IVF) — hash-picked
-    // half-corpus centroids cover the space as well as the full pick
-    ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.70),
+    // half, delta appended): hash-picked half-corpus centroids cover
+    // the space as well as the full pick. r15: nprobe 8→12 in
+    // lockstep with the fresh build — measured 0.755 → 0.925
+    ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.87),
     // the incremental PQ index encodes the appended half with the
     // BASE half's codebooks — measured 0.665 at rerank=16, a real
     // r11: the append path now probes 12 of 16 cells (vs the fresh

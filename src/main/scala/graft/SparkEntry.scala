@@ -844,21 +844,30 @@ object SparkEntry {
     // via the bench contract line's recall map
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // r10 retune: 16×8 with 4 margin-ordered probes/table — SAME
-      // candidate budget as the old 16×6 exact-bucket point
-      // (16·4/2^8 = 16/2^6 = 0.25 of corpus) but measured 0.710 vs
-      // 0.575 at sf0.1 (docs/ANN_SWEEP.md multiprobe axis): adjacent
+      // r10 retune: 16×8 margin-ordered multiprobe (adjacent
       // low-margin buckets hold the neighbors a wider bucket would
-      // only dilute, and the narrower-bucket advantage GROWS with
-      // corpus density (sf0.01 → sf0.1 it went 0.680 → 0.710 while
-      // the 16×7×2 point fell 0.700 → 0.635)
+      // only dilute). r15 probe-budget escalation 4→8 probes/table —
+      // the same operational dial as IVF's nprobe: candidate budget
+      // 0.25→0.50 of corpus lifted measured recall 0.710 → 0.860 at
+      // sf0.1 (docs/ANN_SWEEP.md r15 axis; 6 probes = 0.375 budget
+      // measured 0.800 — no floor headroom, so the driver point
+      // takes 8). Probe count scales the QUERY-side rows only
+      // (|queries|·tables·probes); the corpus signature store and
+      // its shuffle are untouched, which is why probes — not tables
+      // or planes — is the cheap dial at 100 TB.
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        tables = 16, planesPerTable = 8, multiprobe = 4)
+        tables = 16, planesPerTable = 8, multiprobe = 8)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // r15: nprobe 8→12 — the escalation dial that lifted the
+      // filtered (r13) and IVF-PQ (r14) tiers applied to the plain
+      // tier: measured 0.740 → 0.935 at sf0.1 (docs/ANN_SWEEP.md
+      // r15 axis). 12/16 cells is the TOY-index scan fraction; at
+      // 100 TB nlist grows with the corpus (√n rule) and the same
+      // nprobe touches a vanishing fraction
       Similarity.ivfTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        nprobe = 8)
+        nprobe = 12)
     }),
     "ann_ivf_cell_stats" -> ((s, dir) =>
       Similarity.ivfCellStats(Tables.embeddings(s, dir))),
@@ -867,8 +876,9 @@ object SparkEntry {
     // scan claims; RecallFloors gates their recall like every tier)
     "ann_index_ivf_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // nprobe=12 in lockstep with the in-memory tier (r15)
       AnnIndex.probeIvf(s, annIndexPaths(s, dir)._1,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
     }),
     "ann_index_ivfpq_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -882,8 +892,11 @@ object SparkEntry {
     // union-corpus build at fixed centroids
     "ann_index_ivf_append_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // nprobe=12 (r15): the append path's centroids come from the
+      // even half's pick, so probe escalation compensates staleness
+      // exactly as it does for the IVF-PQ append tier
       AnnIndex.probeIvf(s, annIndexPaths(s, dir)._3,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 8)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
     }),
     // the append path probes WIDER than the fresh build (12 vs 8 of
     // 16 cells): append encodes deltas against STORED centroids, so
@@ -1319,10 +1332,12 @@ object SparkEntry {
     "ann_ivfpq_res_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // one refinement round: the index is train-once/probe-forever,
-      // but the bench bills training per run. Same late-r9 retune as
-      // the plain tier (measured 0.780, up from 0.59 via 0.740).
+      // but the bench bills training per run. Late-r9 retune
+      // (nCodes=32, rerank=16) + r15 nprobe 8→12 — measured 0.780 →
+      // 0.920 at sf0.1 (docs/ANN_SWEEP.md r15 axis), the same probe
+      // escalation the plain IVF-PQ tier took in r14
       Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") % 100 === 0),
-        k = 10, nprobe = 8, m = 16, nCodes = 32, rerank = 16,
+        k = 10, nprobe = 12, m = 16, nCodes = 32, rerank = 16,
         kmeansIters = 1)
     }),
     "q_status_priority" -> ((s, dir) =>
@@ -2909,7 +2924,7 @@ object SparkEntry {
        |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
        |     CAST(c.emb AS DOUBLE[])) DESC, c.cell) AS rn
        | FROM embeddings e, c1 c WHERE e.vec_id % 100 = 0) x
-       | WHERE rn <= 8),
+       | WHERE rn <= 12),
        |apx AS (SELECT query_id, neighbor_id FROM (
        | SELECT p.query_id, a.vec_id AS neighbor_id, row_number() OVER (
        |   PARTITION BY p.query_id ORDER BY list_cosine_similarity(
@@ -2930,9 +2945,9 @@ object SparkEntry {
       .stripMargin.replace("\n", " ")
   }
 
-  /** Argmax cell assignment + nprobe-8 probe + exact-cosine top-10
-    * tail over `cents`; `assignWhere` filters the ASSIGNED corpus
-    * (the shared-index filtered tier). */
+  /** Argmax cell assignment + nprobe-cell probe + exact-cosine
+    * top-10 tail over `cents`; `assignWhere` filters the ASSIGNED
+    * corpus (the shared-index filtered tier). */
   private def ivfProbeTail(assignWhere: String = "",
                            nprobe: Int = 8): String =
     s"""assigned AS MATERIALIZED (SELECT vec_id, cell FROM (
@@ -4546,11 +4561,12 @@ object SparkEntry {
         .stripMargin.replace("\n", " "),
     "ann_ivf_topk" ->
       // the IVF tier replayed end to end (r10): the xxhash64
-      // centroid pick, argmax cell assignment, 8-cell probes, exact
-      // cosine top-10 — "deterministic but not SQL-expressible" no
-      // longer holds once xxhash64 itself is decomposed
+      // centroid pick, argmax cell assignment, 12-cell probes (r15
+      // escalation), exact cosine top-10 — "deterministic but not
+      // SQL-expressible" no longer holds once xxhash64 itself is
+      // decomposed
       (s"""WITH ${ivfCentsCtes("")},
-          |${ivfProbeTail()}""").stripMargin.replace("\n", " "),
+          |${ivfProbeTail(nprobe = 12)}""").stripMargin.replace("\n", " "),
     "ann_ivf_filtered_topk" ->
       // shared index, filtered candidates: same centroids and
       // probes, the predicate drops ineligible vectors at
@@ -4565,7 +4581,7 @@ object SparkEntry {
       // corpus to the half-corpus centroid pick (AnnIndexSpec's
       // append ≡ union-at-fixed-centroids identity)
       (s"""WITH ${ivfCentsCtes("WHERE vec_id % 2 = 0")},
-          |${ivfProbeTail()}""").stripMargin.replace("\n", " "),
+          |${ivfProbeTail(nprobe = 12)}""").stripMargin.replace("\n", " "),
     "ann_ivf_cell_stats" ->
       // the cell-balance diagnostic over the same replayed pick
       (s"""WITH ${ivfCentsCtes("")},
@@ -4653,10 +4669,10 @@ object SparkEntry {
           |FROM lab""").stripMargin.replace("\n", " "),
     "ann_lsh_topk" ->
       // the multiprobe LSH tier replayed: 16×8-plane signatures for
-      // the corpus; per (query, table) the exact bucket + the 3
+      // the corpus; per (query, table) the exact bucket + the 7
       // lowest-|projection| single-bit flips (the kernel's margin
-      // order, ties by plane index); candidates meet on (tbl, sig),
-      // exact cosine ranks the top-10
+      // order, ties by plane index — r15 probe escalation 4→8);
+      // candidates meet on (tbl, sig), exact cosine ranks the top-10
       (s"""WITH ${hyperplaneSigCte(16, 8, 23L)},
           |proj AS MATERIALIZED (SELECT e.vec_id, pl.tbl, pl.p,
           |  list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS s
@@ -4672,7 +4688,7 @@ object SparkEntry {
           | SELECT q.vec_id, q.tbl, xor(q.sig,
           |   CAST(CAST(1 AS BIGINT) << f.p AS BIGINT)) AS sig
           | FROM qbase q JOIN flips f
-          |  ON f.vec_id = q.vec_id AND f.tbl = q.tbl AND f.rk <= 3),
+          |  ON f.vec_id = q.vec_id AND f.tbl = q.tbl AND f.rk <= 7),
           |cands AS (SELECT DISTINCT p.vec_id AS query_id,
           |  h.vec_id AS neighbor_id
           | FROM probes p JOIN hsig h

@@ -27,6 +27,34 @@ object SweepMain {
     def recall(m: Map[Long, Set[Long]]): Double =
       exact.keys.toSeq.map(q => (m.getOrElse(q, Set.empty[Long])
         .intersect(exact(q)).size / 10.0)).sum / exact.size
+    // r15 escalation axis: the five sub-0.80 tiers' dials only —
+    // LSH probe-budget at fixed 16×8 geometry, plain-IVF nprobe,
+    // residual-IVF-PQ nprobe (the r13/r14 dial applied to the
+    // stragglers). SPARK_GRAFT_SWEEP=r15 runs ONLY this axis.
+    if (sys.env.get("SPARK_GRAFT_SWEEP").contains("r15")) {
+      println("| LSH 16×8 probes | budget | recall@10 |")
+      println("| --- | --- | --- |")
+      for (probes <- Seq(4, 6, 8, 9)) {
+        val r = recall(sets(Similarity.lshTopK(emb, queries, 10,
+          tables = 16, planesPerTable = 8, multiprobe = probes)))
+        println(f"| $probes | ${16.0 * probes / 256}%.3f | $r%.3f |")
+      }
+      println("| IVF nlist=16 nprobe | recall@10 |")
+      println("| --- | --- |")
+      for (nprobe <- Seq(8, 10, 12, 14)) {
+        val r = recall(sets(Similarity.ivfTopK(emb, queries, 10, 16, nprobe)))
+        println(f"| $nprobe | $r%.3f |")
+      }
+      println("| IVF-PQ residual nprobe | rerank | recall@10 |")
+      println("| --- | --- | --- |")
+      for (nprobe <- Seq(8, 12); rerank <- Seq(16)) {
+        val r = recall(sets(Similarity.ivfPqResidualTopK(emb, queries, 10,
+          nlist = 16, nprobe = nprobe, m = 16, nCodes = 32, rerank = rerank,
+          kmeansIters = 1)))
+        println(f"| $nprobe | $rerank | $r%.3f |")
+      }
+      spark.stop(); return
+    }
     // multiprobe axis at FIXED candidate budget: expected candidate
     // fraction ≈ tables·probes/2^planes — all 0.250 rows spend what
     // the r9 driver point (16×6×1) spends; margin-ordered adjacent
