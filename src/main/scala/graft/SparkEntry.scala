@@ -145,6 +145,30 @@ object SparkEntry {
           operators.Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)))
           .localCheckpoint(true)))
 
+  // the winnow-tier GROUP closure, pinned (r15): the groups key and
+  // the new keep-best key read the same min-label relation
+  private val audioWinnowGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedAudioWinnowGroups(s: SparkSession, dir: String): DataFrame =
+    audioWinnowGroupsCache.getOrElseUpdate((s, dir),
+      primeTimed("audio_winnow_groups")(
+        operators.Multimodal.audioWinnowGroups(
+          operators.Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
+          sigs = Some(sharedAudioWinnowSigs(s, dir)))
+          .localCheckpoint(true)))
+
+  // crop-robust winnowed image fingerprint store (r15): decode +
+  // tile + winnow runs ONCE per (session, dir) over the crop
+  // fixture; all four image-winnow keys read the store
+  private val imageWinnowSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedImageWinnowSigs(s: SparkSession, dir: String): DataFrame =
+    imageWinnowSigCache.getOrElseUpdate((s, dir),
+      primeTimed("image_winnow_sigs")(
+        operators.Multimodal.imageWinnowSignatures(
+          operators.Multimodal.synthCropPngCorpus(Tables.documents(s, dir)))
+          .localCheckpoint(true)))
+
   // the quality-FIXTURE corpus's dup-gram store + Bloom (r14): the
   // nightly artifact the composed intake gate probes — built from
   // the same fixture corpus the gate streams
@@ -1162,11 +1186,9 @@ object SparkEntry {
         Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedAudioWinnowSigs(s, dir)))),
     // closure over the winnow pairs: a trim of a trim chains to its
-    // master; completes the tier's pairs → groups → incremental parity
-    "mm_audio_winnow_groups" -> ((s, dir) =>
-      Multimodal.audioWinnowGroups(
-        Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
-        sigs = Some(sharedAudioWinnowSigs(s, dir)))),
+    // master; completes the tier's pairs → groups → incremental
+    // parity (r15: reads the pinned closure the keep-best key shares)
+    "mm_audio_winnow_groups" -> ((s, dir) => sharedAudioWinnowGroups(s, dir)),
     // nightly-ingest twin: new batch (doc_id % 5 == 1 — half trimmed
     // copies that must match, half originals that must not) probes
     // the winnowed fingerprint store; history pays zero codec work
@@ -1174,6 +1196,48 @@ object SparkEntry {
       val sigs = sharedAudioWinnowSigs(s, dir)
       Multimodal.audioWinnowIncremental(
         Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir))
+          .filter(col("doc_id") % 5 === 1),
+        storeSigs = sigs.filter(col("doc_id") % 5 =!= 1),
+        newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
+    }),
+    // winnow keep-best (r15): survivor = longest decoded recording
+    // over the OFFSET-duplicate closure — and the first keep-best
+    // whose rank ORDERING is oracle-covered: extension copies
+    // (doc_id % 20 == 11) are longer than their smaller-id masters,
+    // so rank and min-id disagree on real fixture rows
+    "mm_audio_winnow_keep_best" -> ((s, dir) =>
+      Multimodal.audioWinnowKeepBest(
+        Multimodal.synthOffsetWavCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedAudioWinnowSigs(s, dir)),
+        groups = Some(sharedAudioWinnowGroups(s, dir)))),
+    // CROP-ROBUST image pairs (r15): winnowed per-tile gradient
+    // fingerprints — cropped copies (doc_id % 10 == 1, an 8×8 crop
+    // of the previous doc's 12×12 pixels at offset (2,3)) pair with
+    // their masters here while the whole-image tier structurally
+    // cannot see them (spec-pinned, the audio-winnow pattern)
+    "mm_phash_winnow_pairs" -> ((s, dir) =>
+      Multimodal.imageWinnowPairs(
+        Multimodal.synthCropPngCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedImageWinnowSigs(s, dir)))),
+    // summary tail over the crop pairs: keep = no smaller-id
+    // crop-duplicate, score = shared-fingerprint count
+    "mm_phash_winnow_dedup" -> ((s, dir) =>
+      Multimodal.imageWinnowDedup(
+        Multimodal.synthCropPngCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedImageWinnowSigs(s, dir)))),
+    // closure over the crop pairs: a crop of a crop chains to its
+    // master; completes the tier's pairs → groups → incremental parity
+    "mm_phash_winnow_groups" -> ((s, dir) =>
+      Multimodal.imageWinnowGroups(
+        Multimodal.synthCropPngCorpus(Tables.documents(s, dir)),
+        sigs = Some(sharedImageWinnowSigs(s, dir)))),
+    // nightly-ingest twin: new batch (doc_id % 5 == 1 — half cropped
+    // copies that must match, half originals that must not) probes
+    // the winnowed fingerprint store; history pays zero codec work
+    "mm_phash_winnow_incremental" -> ((s, dir) => {
+      val sigs = sharedImageWinnowSigs(s, dir)
+      Multimodal.imageWinnowIncremental(
+        Multimodal.synthCropPngCorpus(Tables.documents(s, dir))
           .filter(col("doc_id") % 5 === 1),
         storeSigs = sigs.filter(col("doc_id") % 5 =!= 1),
         newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
@@ -2688,15 +2752,21 @@ object SparkEntry {
   private lazy val audioWinnowCtes: String = {
     val (frags, ref) = Xx64Sql.hashLong("aw", "wbase.k", "42")
     (s"""wbase AS (SELECT d.doc_id,
-       |  CAST(CASE WHEN d.doc_id % 10 = 1 THEN 155 ELSE 192 END
+       |  CAST(CASE WHEN d.doc_id % 20 = 1 THEN 155
+       |   WHEN d.doc_id % 20 = 11 THEN 229 ELSE 192 END
        |   AS BIGINT) AS n, g.j,
-       |  CAST((CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
-       |    ELSE d.doc_id END) * 192 + g.j +
-       |   (CASE WHEN d.doc_id % 10 = 1 THEN 37 ELSE 0 END) AS HUGEINT)
+       |  CAST(CASE WHEN d.doc_id % 20 = 1
+       |    THEN (d.doc_id - 1) * 192 + g.j + 37
+       |   WHEN d.doc_id % 20 = 11 AND g.j < 37
+       |    THEN d.doc_id * 192 + g.j
+       |   WHEN d.doc_id % 20 = 11
+       |    THEN (d.doc_id - 1) * 192 + g.j - 37
+       |   ELSE d.doc_id * 192 + g.j END AS HUGEINT)
        |   AS k
        | FROM documents d, LATERAL (SELECT
-       |   unnest(generate_series(0, 191)) AS j) g
-       | WHERE g.j < CASE WHEN d.doc_id % 10 = 1 THEN 155 ELSE 192 END),
+       |   unnest(generate_series(0, 228)) AS j) g
+       | WHERE g.j < CASE WHEN d.doc_id % 20 = 1 THEN 155
+       |   WHEN d.doc_id % 20 = 11 THEN 229 ELSE 192 END),
        |whh AS (SELECT doc_id, n, j, $ref AS h FROM wbase, $frags),
        |wv AS MATERIALIZED (SELECT doc_id, n, j,
        |  CAST(CASE WHEN (h // 256) % 65536 >= 32768
@@ -2727,6 +2797,107 @@ object SparkEntry {
        |wsg AS MATERIALIZED (SELECT DISTINCT doc_id, sel AS wsig
        | FROM wsel)""").stripMargin.replace("\n", " ")
   }
+
+  /** Capped-bucket pair expansion over `wsg` — mirrors the operator's
+    * `maxBucket` guard exactly (r14 ADVICE: the Spark side caps each
+    * fingerprint bucket at the 256 smallest doc_ids while the old
+    * oracle joined uncapped — a popular fingerprint would silently
+    * diverge): sorted bucket, first 256, pairs within. Ends in
+    * `wpair(id_a, id_b)`, one row per shared fingerprint. */
+  private val audioWinnowPairCte: String =
+    """wbkt AS (SELECT wsig, list_sort(list(doc_id))[1:256] AS ds
+      | FROM wsg GROUP BY wsig HAVING count(*) > 1),
+      |wpair AS (SELECT a.d AS id_a, b.d AS id_b
+      | FROM wbkt, LATERAL (SELECT unnest(ds) AS d) a,
+      |  LATERAL (SELECT unnest(ds) AS d) b
+      | WHERE a.d < b.d)""".stripMargin.replace("\n", " ")
+
+  /** Crop-fixture winnowed image fingerprint replay (r15) — the
+    * [[graft.operators.Multimodal.imageWinnowSignatures]] pipeline
+    * over the [[graft.operators.Multimodal.synthCropPngCorpus]]
+    * recipe, bit for bit: double-FNV pixels (masters 12×12 at flat
+    * index y·12+x, copies 8×8 reading the SOURCE's (y+3)·12+(x+2)),
+    * Rec.601 integer luma, 40-bit per-tile gradient fingerprints
+    * (5×4 horizontal bits then 4×5 vertical), min-per-3×3-tile-window
+    * winnowing — ends in `iwsg(doc_id, fp)` plus the capped pair
+    * expansion `ipair(id_a, id_b)` (one row per shared fingerprint,
+    * buckets capped at the 256 smallest doc_ids, the operator's
+    * guard). */
+  private val imageWinnowCtes: String =
+    """iw0 AS (SELECT d.doc_id,
+      |  CAST(CASE WHEN d.doc_id % 10 = 1 THEN 8 ELSE 12 END
+      |   AS INTEGER) AS w, gx.x, gy.y,
+      |  CAST(CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
+      |    ELSE d.doc_id END AS VARCHAR) || ':' ||
+      |  CAST(CASE WHEN d.doc_id % 10 = 1
+      |    THEN (gy.y + 3) * 12 + gx.x + 2
+      |   ELSE gy.y * 12 + gx.x END AS VARCHAR) AS s
+      | FROM documents d,
+      |  LATERAL (SELECT unnest(generate_series(0, 11)) AS x) gx,
+      |  LATERAL (SELECT unnest(generate_series(0, 11)) AS y) gy
+      | WHERE gx.x < CASE WHEN d.doc_id % 10 = 1 THEN 8 ELSE 12 END
+      |  AND gy.y < CASE WHEN d.doc_id % 10 = 1 THEN 8 ELSE 12 END),
+      |iwf1 AS (SELECT doc_id, w, x, y,
+      |  CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(range(1, length(s) + 1),
+      |      j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+      |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+      |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
+      |    AS VARCHAR) AS s2
+      | FROM iw0),
+      |ilum AS (SELECT doc_id, w, x, y,
+      |  299 * CAST((h // 256) % 256 AS BIGINT)
+      |   + 587 * CAST((h // 65536) % 256 AS BIGINT)
+      |   + 114 * CAST((h // 16777216) % 256 AS BIGINT) AS l
+      | FROM (SELECT doc_id, w, x, y,
+      |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+      |    list_transform(range(1, length(s2) + 1),
+      |      j -> CAST(ord(substr(s2, j, 1)) AS HUGEINT))),
+      |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+      |      CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616)
+      |    AS h
+      |  FROM iwf1) u),
+      |ill AS MATERIALIZED (SELECT doc_id, w,
+      |  list(l ORDER BY y * w + x) AS ll
+      | FROM ilum GROUP BY 1, 2),
+      |itile AS MATERIALIZED (SELECT doc_id, w - 4 AS gw,
+      |  tx.t AS tx, ty.t AS ty,
+      |  CAST(
+      |   list_sum(list_transform(range(0, 5), r ->
+      |    list_sum(list_transform(range(0, 4), c ->
+      |     CASE WHEN ll[CAST((ty.t + r) * w + tx.t + c + 2 AS INTEGER)]
+      |       > ll[CAST((ty.t + r) * w + tx.t + c + 1 AS INTEGER)]
+      |      THEN CAST(1 AS BIGINT) << CAST(r * 4 + c AS INTEGER)
+      |      ELSE 0 END)))) +
+      |   list_sum(list_transform(range(0, 5), c ->
+      |    list_sum(list_transform(range(0, 4), r ->
+      |     CASE WHEN ll[CAST((ty.t + r + 1) * w + tx.t + c + 1 AS INTEGER)]
+      |       > ll[CAST((ty.t + r) * w + tx.t + c + 1 AS INTEGER)]
+      |      THEN CAST(1 AS BIGINT) << CAST(20 + c * 4 + r AS INTEGER)
+      |      ELSE 0 END))))
+      |  AS BIGINT) AS fp
+      | FROM ill,
+      |  LATERAL (SELECT unnest(range(0, w - 4)) AS t) tx,
+      |  LATERAL (SELECT unnest(range(0, w - 4)) AS t) ty),
+      |ifl AS (SELECT doc_id, gw,
+      |  list(fp ORDER BY ty * gw + tx) AS fl
+      | FROM itile GROUP BY 1, 2),
+      |iwin AS (SELECT doc_id,
+      |  list_min(flatten(
+      |   list_transform(range(0, least(3, gw - wy.t)), dy ->
+      |    list_transform(range(0, least(3, gw - wx.t)), dx ->
+      |     fl[CAST((wy.t + dy) * gw + wx.t + dx + 1 AS INTEGER)])))) AS sel
+      | FROM ifl,
+      |  LATERAL (SELECT unnest(range(0, greatest(gw - 3, 0) + 1)) AS t) wx,
+      |  LATERAL (SELECT unnest(range(0, greatest(gw - 3, 0) + 1)) AS t) wy),
+      |iwsg AS MATERIALIZED (SELECT DISTINCT doc_id, sel AS fp
+      | FROM iwin),
+      |ibkt AS (SELECT fp, list_sort(list(doc_id))[1:256] AS ds
+      | FROM iwsg GROUP BY fp HAVING count(*) > 1),
+      |ipair AS (SELECT a.d AS id_a, b.d AS id_b
+      | FROM ibkt, LATERAL (SELECT unnest(ds) AS d) a,
+      |  LATERAL (SELECT unnest(ds) AS d) b
+      | WHERE a.d < b.d)""".stripMargin.replace("\n", " ")
 
   /** IVF centroid-pick replay (r10): Similarity.pickCentroids over
     * `embeddings` rows matching `srcWhere` — hash-thin by
@@ -5356,22 +5527,22 @@ object SparkEntry {
       // exact fingerprint-match definition over the winnowed replay
       // (the production tier: shared-fingerprint equi-join, zero
       // Hamming slack — redundancy across O(n/wSel) fingerprints is
-      // the robustness); doc pairs fold to the shared count
-      (s"""WITH $audioWinnowCtes
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      // the robustness); buckets capped at the operator's 256
+      // smallest ids (r15, mirroring the Spark-side maxBucket
+      // guard); doc pairs fold to the shared count
+      (s"""WITH $audioWinnowCtes, $audioWinnowPairCte
+         |SELECT id_a, id_b,
          | CAST(0 AS INTEGER) AS best_hamming,
          | CAST(count(*) AS BIGINT) AS n_shared
-         |FROM wsg a JOIN wsg b
-         | ON b.wsig = a.wsig AND a.doc_id < b.doc_id
+         |FROM wpair
          |GROUP BY 1, 2""").stripMargin.replace("\n", " "),
     "mm_audio_winnow_dedup" ->
       // the pair-summary tail over the exact-match fingerprint pair
       // relation; score = shared count, keep = not dominated
-      (s"""WITH $audioWinnowCtes,
-         |verified AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      (s"""WITH $audioWinnowCtes, $audioWinnowPairCte,
+         |verified AS (SELECT id_a, id_b,
          |  CAST(count(*) AS DOUBLE) AS sim
-         | FROM wsg a JOIN wsg b
-         |  ON b.wsig = a.wsig AND a.doc_id < b.doc_id
+         | FROM wpair
          | GROUP BY 1, 2),
          |sides AS (SELECT id_a AS doc_id, sim AS score,
          |  false AS is_junior FROM verified
@@ -5387,11 +5558,10 @@ object SparkEntry {
         .replace("\n", " "),
     "mm_audio_winnow_groups" ->
       // recursive reachability closure over the exact-match
-      // fingerprint pair relation; label = min reachable id
-      (s"""WITH RECURSIVE $audioWinnowCtes,
-         |pp AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         | FROM wsg a JOIN wsg b
-         |  ON b.wsig = a.wsig AND a.doc_id < b.doc_id),
+      // fingerprint pair relation (capped buckets, the operator's
+      // guard); label = min reachable id
+      (s"""WITH RECURSIVE $audioWinnowCtes, $audioWinnowPairCte,
+         |pp AS (SELECT DISTINCT id_a, id_b FROM wpair),
          |e AS (SELECT id_a AS src, id_b AS dst FROM pp
          | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
          |reach AS (SELECT doc_id, doc_id AS r FROM documents
@@ -5402,6 +5572,85 @@ object SparkEntry {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, group_id, doc_id = group_id AS keep
          |FROM lab""").stripMargin.replace("\n", " "),
+    "mm_audio_winnow_keep_best" ->
+      // same closure, longest-recording survivor: rank = the decoded
+      // sample count the fixture VARIES in both directions (trims
+      // shorter than their smaller-id master, extensions LONGER), so
+      // the ordering itself is oracle-covered, ties to min id
+      (s"""WITH RECURSIVE $audioWinnowCtes, $audioWinnowPairCte,
+         |pp AS (SELECT DISTINCT id_a, id_b FROM wpair),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id)
+         |SELECT l.doc_id, l.group_id,
+         | CAST(w.n AS BIGINT) AS rank_key,
+         | (row_number() OVER (PARTITION BY l.group_id
+         |   ORDER BY w.n DESC, l.doc_id) = 1) AS keep
+         |FROM lab l JOIN wdn w USING (doc_id)""")
+        .stripMargin.replace("\n", " "),
+    "mm_phash_winnow_pairs" ->
+      // exact tile-fingerprint-match definition over the crop-fixture
+      // winnowed replay (capped buckets, the operator's guard); doc
+      // pairs fold to the shared-fingerprint count
+      (s"""WITH $imageWinnowCtes
+         |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM ipair GROUP BY 1, 2""").stripMargin.replace("\n", " "),
+    "mm_phash_winnow_dedup" ->
+      // the pair-summary tail over the crop pair relation
+      (s"""WITH $imageWinnowCtes,
+         |verified AS (SELECT id_a, id_b,
+         |  CAST(count(*) AS DOUBLE) AS sim
+         | FROM ipair GROUP BY 1, 2),
+         |sides AS (SELECT id_a AS doc_id, sim AS score,
+         |  false AS is_junior FROM verified
+         | UNION ALL SELECT id_b, sim, true FROM verified),
+         |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dupes,
+         |  max(score) AS max_score, bool_or(is_junior) AS dominated
+         | FROM sides GROUP BY 1)
+         |SELECT d.doc_id, coalesce(p.n_dupes, 0) AS n_dupes,
+         | coalesce(p.max_score, 0.0) AS max_score,
+         | coalesce(NOT p.dominated, true) AS keep
+         |FROM (SELECT DISTINCT doc_id FROM iwsg) d
+         |LEFT JOIN perdoc p USING (doc_id)""").stripMargin
+        .replace("\n", " "),
+    "mm_phash_winnow_groups" ->
+      // recursive reachability closure over the crop pair relation
+      (s"""WITH RECURSIVE $imageWinnowCtes,
+         |pp AS (SELECT DISTINCT id_a, id_b FROM ipair),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id)
+         |SELECT doc_id, group_id, doc_id = group_id AS keep
+         |FROM lab""").stripMargin.replace("\n", " "),
+    "mm_phash_winnow_incremental" ->
+      // exact new-fingerprints x store match; n_matches = distinct
+      // store docs sharing a tile fingerprint, best = min store_id
+      (s"""WITH $imageWinnowCtes,
+         |nd AS (SELECT doc_id, fp FROM iwsg WHERE doc_id % 5 = 1),
+         |st AS (SELECT doc_id AS store_id, fp AS sfp FROM iwsg
+         | WHERE doc_id % 5 <> 1),
+         |p AS (SELECT DISTINCT nd.doc_id, st.store_id
+         | FROM nd JOIN st ON st.sfp = nd.fp),
+         |agg AS (SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(store_id) AS BIGINT) AS match_id
+         | FROM p GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+         | CAST(coalesce(a.match_id, -1) AS BIGINT) AS match_id,
+         | a.n_matches IS NULL AS keep
+         |FROM (SELECT DISTINCT doc_id FROM nd) d
+         |LEFT JOIN agg a USING (doc_id)""").stripMargin.replace("\n", " "),
     "mm_audio_winnow_incremental" ->
       // exact new-fingerprints x store match (the production tier);
       // n_matches = distinct store docs sharing a fingerprint, best

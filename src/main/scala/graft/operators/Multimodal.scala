@@ -956,26 +956,49 @@ object Multimodal {
 
   /** The OFFSET-copy fixture: every doc is a 192-sample recording
     * (xxhash64 recipe, stride = nSamples so sample keys never alias
-    * across docs), and `doc_id % 10 == 1` carries the previous doc's
-    * samples with the first `trim` samples cut — a trimmed re-master,
-    * the commonest audio edit after re-leveling. The prefix tier
-    * ([[audioSignatures]]) PROVABLY misses these (its window reads
-    * samples [0, 64) — the copy's are the source's [trim, trim+64),
-    * a different bitstring); the winnowed tier below catches them. */
+    * across docs), and two planted edit kinds exercise BOTH
+    * directions of the offset problem (and, since r15, both
+    * directions of the keep-best rank):
+    *
+    *  - `doc_id % 20 == 1`: the previous doc's samples with the
+    *    first `trim` cut — a trimmed re-master, the commonest audio
+    *    edit after re-leveling. The SHORTER copy has the LARGER id,
+    *    so min-id survivorship and longest-rank survivorship agree.
+    *  - `doc_id % 20 == 11` (r15): the previous doc's FULL samples
+    *    with `trim` new samples prepended (keyed by the extension
+    *    doc's OWN id block, so they alias nothing) — a re-master
+    *    that RESTORES a longer master. Here the LONGER recording has
+    *    the LARGER id, so the keep-best rank key (n_samples desc)
+    *    picks the opposite survivor from min-id — the ordering
+    *    itself is oracle-covered, not just the tie-break (r14
+    *    ADVICE).
+    *
+    * The prefix tier ([[audioSignatures]]) PROVABLY misses both
+    * kinds (its window reads samples [0, 64) — the trim's are the
+    * source's [trim, trim+64) and the extension's are its own fresh
+    * prefix); the winnowed tier below catches them. */
   def synthOffsetWavCorpus(docs: DataFrame, nSamples: Int = 192,
                            trim: Int = 37, sampleRate: Int = 8000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { d =>
-      val isCopy = d % 10 == 1
-      val src = if (isCopy) d - 1 else d
-      val off = if (isCopy) trim else 0
-      val n = if (isCopy) nSamples - trim else nSamples
+      val isTrim = d % 20 == 1
+      val isExt = d % 20 == 11
+      val src = if (isTrim || isExt) d - 1 else d
+      val n = if (isTrim) nSamples - trim
+        else if (isExt) nSamples + trim else nSamples
       val pcm = new Array[Byte](n * 2)
       var i = 0
       while (i < n) {
+        // trim: source keys [trim, nSamples); extension: own keys
+        // [0, trim) then source keys [0, nSamples) — the prepended
+        // samples live in doc d's otherwise-unused key block
+        val key = if (isTrim) src * nSamples.toLong + (i + trim)
+          else if (isExt && i < trim) d * nSamples.toLong + i
+          else if (isExt) src * nSamples.toLong + (i - trim)
+          else src * nSamples.toLong + i
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(src * nSamples.toLong + (i + off), 42L)
+          .hashLong(key, 42L)
         val v = (((h >>> 8) & 0xffffL).toInt << 16) >> 16
         pcm(2 * i) = (v & 0xff).toByte
         pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
@@ -992,7 +1015,7 @@ object Multimodal {
     }.toDF()
   }
 
-  case class AudioWinnowSig(doc_id: Long, wsig: Long)
+  case class AudioWinnowSig(doc_id: Long, wsig: Long, n_samples: Long)
 
   /** OFFSET-ROBUST audio fingerprints — the text-winnowing idea on
     * PCM, fixing the prefix tier's alignment blindness: the 63-bit
@@ -1057,7 +1080,7 @@ object Multimodal {
           sel += mv
           w += 1
         }
-        sel.iterator.map(AudioWinnowSig(d, _)).toSeq
+        sel.iterator.map(AudioWinnowSig(d, _, n.toLong)).toSeq
       }.toDF()
   }
 
@@ -1217,6 +1240,258 @@ object Multimodal {
         coalesce(col("best_hamming"), lit(-1)).cast("int")
           .as("best_hamming"),
         (coalesce(col("n_matches"), lit(0L)) === 0).as("keep"))
+  }
+
+  /** Keep-THE-BEST-copy over the OFFSET-duplicate groups — the
+    * winnow twin of [[audioSigKeepBest]], and the first keep-best
+    * whose rank ORDERING (not just the min-id tie-break) is
+    * oracle-covered: the offset fixture's extension docs
+    * (doc_id % 20 == 11) are LONGER than their smaller-id masters,
+    * so the longest-recording policy picks the larger id there while
+    * picking the smaller id for trimmed copies — any rank-key bug
+    * flips real rows. Rank = decoded sample count, carried on the
+    * winnow fingerprint store (no second decode), ties to min id;
+    * same closure as [[audioWinnowGroups]], so membership can never
+    * disagree between the two keys. */
+  def audioWinnowKeepBest(blobs: DataFrame, maxHamming: Int = 0,
+                          bands: Int = 7, maxBucket: Int = 256,
+                          sigs: Option[DataFrame] = None,
+                          groups: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      audioWinnowSignatures(blobs).localCheckpoint(true))
+    keepBestOf(
+      groups.getOrElse(Dedup.dedupGroups(sg.select("doc_id").distinct(),
+        audioWinnowPairs(blobs, maxHamming, bands, maxBucket, Some(sg)))),
+      sg.groupBy("doc_id").agg(max(col("n_samples")).as("rank_key")))
+  }
+
+  /** The CROPPED-copy image fixture — the symmetric hole the audio
+    * offset fixture closed for trims: every doc is a `side`×`side`
+    * image (the [[synthMixedCorpus]] double-FNV pixel recipe at the
+    * larger side), and `doc_id % 10 == 1` carries the
+    * `cropSide`×`cropSide` crop of the previous doc's pixels at
+    * offset (`dx`, `dy`), re-encoded as BMP. The whole-image tier
+    * ([[phashSignatures]]) structurally CANNOT match these — the
+    * copy is a different geometry hashing a shifted pixel set — and
+    * its uniform-side contract would reject the mixed corpus
+    * outright; the tiled winnow tier below catches them. */
+  def synthCropPngCorpus(docs: DataFrame, side: Int = 12,
+                         cropSide: Int = 8, dx: Int = 2,
+                         dy: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Spread.spread(docs.select(col("doc_id"))).as[Long].map { d =>
+      val isCopy = d % 10 == 1
+      val src = if (isCopy) d - 1 else d
+      val w = if (isCopy) cropSide else side
+      val img = new java.awt.image.BufferedImage(
+        w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < w) {
+        var x = 0
+        while (x < w) {
+          // the copy's pixel (x, y) is the SOURCE's (x+dx, y+dy) —
+          // same double-FNV recipe over the source's flat index, so
+          // the oracle replays the crop as index arithmetic
+          val i = if (isCopy) (y + dy) * side + (x + dx) else y * side + x
+          val h = fnv1a(java.lang.Long.toUnsignedString(fnv1a(s"$src:$i")))
+          val r = ((h >>> 8) & 0xff).toInt
+          val g = ((h >>> 16) & 0xff).toInt
+          val b = ((h >>> 24) & 0xff).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, if (isCopy) "bmp" else "png", bos)
+      PngBlob(d, bos.toByteArray)
+    }.toDF()
+  }
+
+  case class ImageWinnowSig(doc_id: Long, fp: Long, px: Long)
+
+  /** CROP-ROBUST image fingerprints — [[audioWinnowSignatures]]'s
+    * design on pixels: a `tile`×`tile` gradient signature computes
+    * at EVERY tile position of the decoded image (horizontal bits
+    * tile·(tile−1) + vertical (tile−1)·tile = 40 bits at the
+    * default tile = 5 — pure CONTENT bits, no absolute coordinates,
+    * so a crop shifts a tile's position but never its fingerprint),
+    * then 2-D winnowing selects the MIN fingerprint of each
+    * `win`×`win` window of the tile grid and the doc's fingerprint
+    * set is the distinct selected values. The 2-D winnowing
+    * guarantee (Schleimer–Wilkerson–Aiken §5): two images sharing
+    * any axis-aligned pixel region of ≥ tile + win − 1 per side
+    * share a complete win×win tile window, hence ≥ 1 selected
+    * fingerprint, at ANY crop offset. Fingerprint count is
+    * O(w·h / win²) per image (8 bytes each); decode cost is the
+    * same single pass the whole-image hash pays. Images smaller
+    * than the guarantee bound still fingerprint (the window clamps
+    * to the grid, the audio tier's convention) — they just carry a
+    * weaker guarantee. */
+  def imageWinnowSignatures(blobs: DataFrame, tile: Int = 5,
+                            win: Int = 3): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (d, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable payload for doc $d")
+        val w = img.getWidth
+        val h = img.getHeight
+        require(w >= tile && h >= tile,
+          s"doc $d: winnow tiles need >= ${tile}x$tile pixels, got ${w}x$h")
+        val lum = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            lum(y * w + x) = 299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val gw = w - tile + 1
+        val gh = h - tile + 1
+        val hp = tile - 1 // comparisons per row/col inside a tile
+        val fps = new Array[Long](gw * gh)
+        var ty = 0
+        while (ty < gh) {
+          var tx = 0
+          while (tx < gw) {
+            var fp = 0L
+            var r = 0
+            while (r < tile) { // horizontal gradients: bit r·hp + c
+              var c = 0
+              while (c < hp) {
+                if (lum((ty + r) * w + tx + c + 1) >
+                    lum((ty + r) * w + tx + c))
+                  fp |= 1L << (r * hp + c)
+                c += 1
+              }
+              r += 1
+            }
+            var cc = 0
+            while (cc < tile) { // vertical gradients: bit t·hp + c·hp + r
+              var rr = 0
+              while (rr < hp) {
+                if (lum((ty + rr + 1) * w + tx + cc) >
+                    lum((ty + rr) * w + tx + cc))
+                  fp |= 1L << (tile * hp + cc * hp + rr)
+                rr += 1
+              }
+              cc += 1
+            }
+            fps(ty * gw + tx) = fp
+            tx += 1
+          }
+          ty += 1
+        }
+        val sel = scala.collection.mutable.SortedSet.empty[Long]
+        val lastWx = math.max(gw - win, 0)
+        val lastWy = math.max(gh - win, 0)
+        var wy = 0
+        while (wy <= lastWy) {
+          var wx = 0
+          while (wx <= lastWx) {
+            var mv = Long.MaxValue
+            var qy = wy
+            val endY = math.min(wy + win, gh)
+            val endX = math.min(wx + win, gw)
+            while (qy < endY) {
+              var qx = wx
+              while (qx < endX) {
+                val v = fps(qy * gw + qx)
+                if (v < mv) mv = v
+                qx += 1
+              }
+              qy += 1
+            }
+            sel += mv
+            wx += 1
+          }
+          wy += 1
+        }
+        sel.iterator.map(ImageWinnowSig(d, _, w.toLong * h)).toSeq
+      }.toDF()
+  }
+
+  /** Crop-robust perceptual image PAIRS over the winnowed tile
+    * fingerprints — [[audioWinnowPairs]]'s production design
+    * verbatim: doc pairs form on EXACTLY-shared fingerprints (a
+    * plain equi-join on the 40-bit value with `maxBucket`-capped,
+    * deterministically-sorted buckets — scales like exact dedup);
+    * robustness to crop offset comes from REDUNDANCY across the
+    * O(w·h/win²) fingerprints, not per-fingerprint tolerance. Doc
+    * pairs fold to the shared-fingerprint count. On the crop
+    * fixture exactly the cropped copies pair with their masters —
+    * pairs the whole-image tier structurally cannot see
+    * (spec-pinned, the audio-winnow pattern). */
+  def imageWinnowPairs(blobs: DataFrame, maxBucket: Int = 256,
+                       sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      imageWinnowSignatures(blobs).localCheckpoint(true))
+    sg.groupBy("fp")
+      .agg(collect_set(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(slice(sort_array(col("ds")), 1, maxBucket).as("ds"))
+      .select(explode(col("ds")).as("id_a"), col("ds"))
+      .select(col("id_a"), explode(col("ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-blob crop-duplicate summary over [[imageWinnowPairs]]:
+    * keep = no smaller-id crop-duplicate, score = the shared
+    * fingerprint count (bigger = more shared image area). */
+  def imageWinnowDedup(blobs: DataFrame, maxBucket: Int = 256,
+                       sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      imageWinnowSignatures(blobs).localCheckpoint(true))
+    Dedup.pairSummary(
+      sg.select("doc_id").distinct(),
+      imageWinnowPairs(blobs, maxBucket, Some(sg))
+        .withColumn("sim", col("n_shared").cast("double")), "sim")
+  }
+
+  /** Transitive closure of [[imageWinnowPairs]] — CROP-duplicate
+    * GROUPS (a crop of a crop chains to its master): min-label
+    * components via [[Dedup.dedupGroups]], one row per blob. */
+  def imageWinnowGroups(blobs: DataFrame, maxBucket: Int = 256,
+                        sigs: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      imageWinnowSignatures(blobs).localCheckpoint(true))
+    Dedup.dedupGroups(sg.select("doc_id").distinct(),
+      imageWinnowPairs(blobs, maxBucket, Some(sg)))
+  }
+
+  /** Nightly-ingest twin of [[imageWinnowPairs]]: NEW images decode
+    * and winnow once, their fingerprints probe the persisted store
+    * by exact equi-join — history pays zero codec work. One row per
+    * new blob: distinct store docs sharing a fingerprint, best
+    * match (min store_id — every match is exact), keep = no
+    * crop-duplicate in the store. */
+  def imageWinnowIncremental(newBlobs: DataFrame, storeSigs: DataFrame,
+                             newSigs: Option[DataFrame] = None): DataFrame = {
+    val ns = newSigs.getOrElse(
+      imageWinnowSignatures(newBlobs).localCheckpoint(true))
+    val p = ns.join(storeSigs
+        .select(col("doc_id").as("store_id"), col("fp")), Seq("fp"))
+      .select("doc_id", "store_id").distinct()
+    val best = p.groupBy("doc_id").agg(
+      count(lit(1)).as("n_matches"),
+      min(col("store_id")).as("match_id"))
+    ns.select("doc_id").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("match_id"), lit(-1L)).as("match_id"),
+        col("n_matches").isNull.as("keep"))
   }
 
   /** Perceptual near-dup pairs over audio signatures — the

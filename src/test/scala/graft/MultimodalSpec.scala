@@ -527,6 +527,114 @@ class MultimodalSpec extends SparkSpec {
     assert(grp.count(!_._2._2) == 3, "exactly the three copies suppress")
   }
 
+  test("winnow keep-best: the rank ORDERING is exercised, not just the tie-break") {
+    // the offset fixture varies decoded length in BOTH directions:
+    // trim groups (master 192 > copy 155, master has the SMALLER id)
+    // agree with min-id; extension groups (copy 229 > master 192,
+    // the longer recording has the LARGER id) disagree — keep-best
+    // must pick the larger id there, which min-id survivorship and
+    // a constant rank key both get wrong
+    val docs = (0L until 30L).toDF("doc_id")
+    val corpus = Multimodal.synthOffsetWavCorpus(docs)
+    val sigs = Multimodal.audioWinnowSignatures(corpus).localCheckpoint(true)
+    val kb = Multimodal.audioWinnowKeepBest(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // trim group {0 (192), 1 (155)}: rank and min-id agree on 0
+    assert(kb(0L) == ((0L, 192L, true)) && kb(1L) == ((0L, 155L, false)),
+      s"trim group: ${kb(0L)} / ${kb(1L)}")
+    // extension group {10 (192), 11 (229)}: rank picks 11, min-id
+    // would pick 10 — the ordering itself decides
+    assert(kb(11L) == ((10L, 229L, true)) && kb(10L) == ((10L, 192L, false)),
+      s"extension group must keep the LONGER larger-id copy: " +
+        s"${kb(10L)} / ${kb(11L)}")
+    // group membership identical to the groups key (shared closure)
+    val grp = Multimodal.audioWinnowGroups(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kb.view.mapValues(_._1).toMap == grp,
+      "keep-best and groups must agree on membership")
+  }
+
+  test("image winnow tier catches the cropped copies the whole-image tier cannot see") {
+    val docs = (0L until 30L).toDF("doc_id")
+    val corpus = Multimodal.synthCropPngCorpus(docs)
+    // precondition: the whole-image tier's uniform-side contract
+    // REJECTS the mixed-geometry corpus outright — a cropped copy
+    // is not merely missed, it is outside the tier's domain
+    val thrown = intercept[org.apache.spark.SparkException] {
+      Multimodal.phashSignatures(corpus, side = 12).collect()
+    }
+    assert(thrown.getMessage.contains("expected 12x12")
+      || Option(thrown.getCause).exists(_.getMessage.contains("expected 12x12")),
+      s"whole-image tier must reject the 8x8 crops: ${thrown.getMessage}")
+    // the winnowed tier pairs exactly the planted crops
+    val planted = Set((0L, 1L), (10L, 11L), (20L, 21L))
+    val sigs = Multimodal.imageWinnowSignatures(corpus).localCheckpoint(true)
+    val pairs = Multimodal.imageWinnowPairs(corpus, sigs = Some(sigs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == planted,
+      s"exactly the cropped copies must pair: ${pairs.keySet}")
+    pairs.foreach { case (p, n) =>
+      assert(n >= 1, s"pair $p: $n shared fingerprints") }
+    // store/incremental parity: crops flag against the store,
+    // originals in the same new batch keep
+    val inc = Multimodal.imageWinnowIncremental(
+        corpus.filter($"doc_id" % 5 === 1),
+        storeSigs = sigs.filter($"doc_id" % 5 =!= 1),
+        newSigs = Some(sigs.filter($"doc_id" % 5 === 1)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    Seq(1L, 11L, 21L).foreach(d =>
+      assert(inc(d) == ((d - 1, false)), s"crop $d must match: ${inc(d)}"))
+    Seq(6L, 16L, 26L).foreach(d =>
+      assert(inc(d)._2, s"original $d must keep: ${inc(d)}"))
+    // summary + groups parity
+    val ded = Multimodal.imageWinnowDedup(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(Seq(1L, 11L, 21L).forall(!ded(_)) && ded.count(!_._2) == 3,
+      "exactly the three crops suppress")
+    val grp = Multimodal.imageWinnowGroups(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (c, m) =>
+      assert(grp(c) == ((m, false)) && grp(m) == ((m, true)),
+        s"crop $c must join master $m: ${grp(c)} / ${grp(m)}") }
+  }
+
+  test("image winnow guarantee: ANY crop offset still shares a fingerprint (property)") {
+    // the 2-D winnowing theorem in practice: for random pixels and a
+    // RANDOM crop window of >= (tile + win - 1)^2 = 7x7, master and
+    // crop must share >= 1 selected fingerprint. Exercises offsets
+    // and crop sizes the fixed fixture (8x8 at (2,3)) never hits.
+    val rnd = new scala.util.Random(20260815L)
+    def png(px: Array[Array[Int]]): Array[Byte] = {
+      val h = px.length; val w = px(0).length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(y)(x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val master = Array.fill(20, 20)(rnd.nextInt(1 << 24))
+    val crops = Seq((0, 0, 7), (1, 1, 7), (5, 3, 8), (13, 13, 7),
+      (0, 12, 8), (6, 6, 12), (2, 9, 10))
+    val blobs = (0L, png(master)) +: crops.zipWithIndex.map {
+      case ((cx, cy, cs), i) =>
+        ((i + 1).toLong, png(Array.tabulate(cs, cs)(
+          (y, x) => master(cy + y)(cx + x)))) }
+    val df = spark.createDataFrame(blobs).toDF("doc_id", "payload")
+    val byDoc = Multimodal.imageWinnowSignatures(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    crops.zipWithIndex.foreach { case ((cx, cy, cs), i) =>
+      val shared = byDoc(0L).intersect(byDoc((i + 1).toLong))
+      assert(shared.nonEmpty,
+        s"crop ($cx,$cy,$cs) must share a fingerprint with the master " +
+          s"(master ${byDoc(0L).size} fps, crop ${byDoc((i + 1).toLong).size})")
+    }
+  }
+
   test("winnow signatures: the O(n) bit-slide equals per-position recompute (property)") {
     // the production kernel slides one 63-bit window over the delta
     // bitstring; this reference recomputes every position's
