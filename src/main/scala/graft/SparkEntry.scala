@@ -302,6 +302,33 @@ object SparkEntry {
       (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr", s"$base/ivfpq_incr")
     })
 
+  /** The DELETE-lifecycle index (r15): its own layout copy (the
+    * shared probes' index stays immutable — a driver key must never
+    * mutate an artifact other keys read), same build params, plus a
+    * tombstone log covering vec_id % 7 == 3 (~14% of the corpus —
+    * the GDPR-takedown / retention-expiry shape). The delete-probe
+    * and compaction-plan keys read it; compaction APPLY mutates, so
+    * it runs only in AnnIndexSpec against a scratch copy. */
+  private val annDelIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def annDelIndexPath(s: SparkSession, dir: String): String =
+    annDelIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_ivf_del") {
+      val base = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("target", "ann-index",
+          java.lang.Integer.toHexString(dir.hashCode))).toString
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildIvf(emb, s"$base/ivf_del")
+      // start from an empty log: a stale log from a previous JVM on
+      // the same target dir would still read correctly (tombstones()
+      // dedups), but the fresh build's contract is "exactly this
+      // delete batch"
+      val fs = new org.apache.hadoop.fs.Path(s"$base/ivf_del/tombstones")
+      fs.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fs, true)
+      AnnIndex.deleteIvf(emb.filter(col("vec_id") % 7 === 3)
+        .select("vec_id"), s"$base/ivf_del")
+      s"$base/ivf_del"
+    })
+
   /** Per-artifact build timings, recorded INSIDE each shared-cache
     * getter — whoever triggers a build (the full-run
     * [[primeSharedCaches]], or a single key under the bench's lazy
@@ -934,6 +961,25 @@ object SparkEntry {
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12, rerank = 16)
     }),
+    // DELETE lifecycle probe (r15): tombstoned ids (vec_id % 7 == 3)
+    // mask candidates at probe time — exact semantics the moment the
+    // delete lands, no layout rewrite; nprobe=12 in lockstep with
+    // the other IVF probes. AnnIndexSpec holds the parity chain:
+    // masked probe ≡ probe of a survivors-only build ≡ probe after
+    // compaction, and the survivor recall floor.
+    "ann_index_delete_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnIndex.probeIvf(s, annDelIndexPath(s, dir),
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12,
+        maskDeletes = true)
+    }),
+    // the compaction PLAN over the tombstoned index (r15, the
+    // lake_compaction_plan pattern): per cell, live/dead counts and
+    // the rewrite decision at dead_frac > 0.14 — pure metadata,
+    // idempotent (APPLY mutates, so it runs in AnnIndexSpec against
+    // a scratch copy with probe-parity held across the rewrite)
+    "ann_index_compact_plan" -> ((s, dir) =>
+      AnnIndex.compactPlanIvf(s, annDelIndexPath(s, dir))),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     // spherical k-means assignment, training loop unrolled in the
@@ -4753,6 +4799,41 @@ object SparkEntry {
       // append ≡ union-at-fixed-centroids identity)
       (s"""WITH ${ivfCentsCtes("WHERE vec_id % 2 = 0")},
           |${ivfProbeTail(nprobe = 12)}""").stripMargin.replace("\n", " "),
+    "ann_index_delete_probe" ->
+      // tombstone-masked probe (r15): same pick, same 12-cell
+      // probes, candidates drop the deleted ids — logically the
+      // assignment of the SURVIVOR corpus (assignment is per-vector,
+      // so probe-time masking and survivor-only assignment coincide)
+      (s"""WITH ${ivfCentsCtes("")},
+          |${ivfProbeTail("WHERE e.vec_id % 7 <> 3", nprobe = 12)}""")
+        .stripMargin.replace("\n", " "),
+    "ann_index_compact_plan" ->
+      // the compaction-plan manifest replayed: argmax cell
+      // assignment, live/dead counts per cell (dead = the tombstoned
+      // vec_id % 7 == 3 set), rewrite at rounded dead_frac > 0.14
+      (s"""WITH ${ivfCentsCtes("")},
+          |assigned AS (SELECT vec_id, cell FROM (
+          | SELECT e.vec_id, c.cell, row_number() OVER (
+          |   PARTITION BY e.vec_id ORDER BY
+          |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+          | FROM embeddings e, cents c) x WHERE rn = 1),
+          |pc AS (SELECT cell, count(*) AS n_vecs,
+          |  sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS n_dead
+          | FROM assigned GROUP BY 1),
+          |filled AS (SELECT s.cell,
+          |  CAST(coalesce(pc.n_vecs, 0) AS BIGINT) AS n_vecs,
+          |  CAST(coalesce(pc.n_dead, 0) AS BIGINT) AS n_dead
+          | FROM (SELECT unnest(generate_series(0, 15)) AS cell) s
+          | LEFT JOIN pc USING (cell))
+          |SELECT CAST(cell AS INT) AS cell, n_vecs, n_dead,
+          | round(CASE WHEN n_vecs > 0
+          |  THEN CAST(n_dead AS DOUBLE) / n_vecs ELSE 0.0 END, 6)
+          |  AS dead_frac,
+          | round(CASE WHEN n_vecs > 0
+          |  THEN CAST(n_dead AS DOUBLE) / n_vecs ELSE 0.0 END, 6) > 0.14
+          |  AS rewrite
+          |FROM filled""").stripMargin.replace("\n", " "),
     "ann_ivf_cell_stats" ->
       // the cell-balance diagnostic over the same replayed pick
       (s"""WITH ${ivfCentsCtes("")},

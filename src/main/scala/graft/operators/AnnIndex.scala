@@ -73,16 +73,24 @@ object AnnIndex {
   /** Top-k cosine search against the persisted index. The probed
     * cell set (≤ |queries|·nprobe distinct values, typically ≪
     * nlist) becomes a static `IN` partition filter, so the scan
-    * opens only probed cells' files. */
+    * opens only probed cells' files. With `maskDeletes` the
+    * tombstone log masks candidates at probe time (see
+    * [[deleteIvf]]) — EXACT delete semantics without touching the
+    * layout. */
   def probeIvf(spark: SparkSession, path: String, queries: DataFrame,
-               k: Int = 10, nprobe: Int = 4): DataFrame = {
+               k: Int = 10, nprobe: Int = 4,
+               maskDeletes: Boolean = false): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val probed = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"),
       explode(gf.nearestCentroids(col("embedding"), centroids, nprobe)).as("cell"))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
-    val vectors = spark.read.parquet(s"$path/vectors")
+    val raw = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val live = if (!maskDeletes) raw
+      else raw.join(broadcast(tombstones(spark, path)),
+        Seq("vec_id"), "left_anti")
+    val vectors = live
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
         col("cell"))
     Similarity.topKPerQuery(
@@ -90,6 +98,92 @@ object AnnIndex {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           gf.cosineSim(col("q_emb"), col("n_emb")).as("cosine")), k)
+  }
+
+  /** DELETE lifecycle, step 1 of 2 — the tombstone write: dead ids
+    * append to `<path>/tombstones` (8 bytes a deletion; the layout
+    * itself is untouched, so a delete costs O(batch) regardless of
+    * corpus size). Probes mask against the log (`maskDeletes`) —
+    * exact semantics immediately, the standard vector-store design
+    * (tombstone now, reclaim space later). Duplicate tombstones are
+    * harmless: every reader goes through [[tombstones]]' DISTINCT. */
+  def deleteIvf(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(s"$path/tombstones")
+
+  /** The distinct tombstoned ids — empty relation when no delete has
+    * ever run against this index. */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    if (new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+      spark.read.parquet(s"$path/tombstones").select("vec_id").distinct()
+    else Seq.empty[Long].toDF("vec_id")
+  }
+
+  /** DELETE lifecycle, step 2 — the compaction PLAN (the
+    * `lake_compaction_plan` pattern): per cell, live/dead counts and
+    * the rewrite decision (dead fraction above `maxDeadFrac`). Pure
+    * metadata — nlist rows from one cell-grain aggregate over the
+    * layout plus the broadcast tombstone log; nothing is rewritten,
+    * so the plan is idempotent and oracle-able. */
+  def compactPlanIvf(spark: SparkSession, path: String,
+                     maxDeadFrac: Double = 0.14): DataFrame = {
+    val dead = broadcast(tombstones(spark, path))
+    val perCell = spark.read.parquet(s"$path/vectors")
+      .join(dead.withColumn("is_dead", lit(1L)), Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum("is_dead"), lit(0L)).as("n_dead"))
+    val nlist = loadCentroids(spark, path).length
+    spark.range(nlist).select(col("id").cast("int").as("cell"))
+      .join(perCell, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"))
+      .withColumn("dead_frac", round(
+        when(col("n_vecs") > 0,
+          col("n_dead").cast("double") / col("n_vecs")).otherwise(0.0), 6))
+      .withColumn("rewrite", col("dead_frac") > maxDeadFrac)
+  }
+
+  /** DELETE lifecycle, step 3 — compaction APPLY: cells the plan
+    * flags are rewritten without their dead rows (dynamic partition
+    * overwrite — untouched cells' files are never opened), and the
+    * tombstone log shrinks to the dead ids of UNTOUCHED cells only
+    * (a consumed tombstone must not mask a future re-insert of the
+    * same id). Probe results are IDENTICAL before and after
+    * (spec-held parity): compaction reclaims space and join width,
+    * never changes answers. Returns the number of rewritten cells. */
+  def compactApplyIvf(spark: SparkSession, path: String,
+                      maxDeadFrac: Double = 0.14): Int = {
+    val plan = compactPlanIvf(spark, path, maxDeadFrac)
+    val toRewrite = plan.filter(col("rewrite")).select("cell")
+      .collect().map(_.getInt(0))
+    if (toRewrite.isEmpty) return 0
+    val dead = broadcast(tombstones(spark, path))
+    val vectors = spark.read.parquet(s"$path/vectors")
+    // materialize BEFORE overwriting the files they read from
+    val survivors = vectors
+      .filter(col("cell").isin(toRewrite.map(Integer.valueOf): _*))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    val remaining = vectors
+      .filter(!col("cell").isin(toRewrite.map(Integer.valueOf): _*))
+      .join(dead, Seq("vec_id"), "left_semi")
+      .select("vec_id")
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    remaining.write.mode("overwrite").parquet(s"$path/tombstones")
+    toRewrite.length
   }
 
   /** The IVF-PQ SERVING layout: [[buildIvf]]'s cell partitioning

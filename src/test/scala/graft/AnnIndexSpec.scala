@@ -70,6 +70,82 @@ class AnnIndexSpec extends SparkSpec {
       "day-2 vectors must be reachable after append")
   }
 
+  test("delete lifecycle: masked probe = survivors-only build = probe after compact") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val deadPred = col("vec_id") % 7 === 3
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    AnnIndex.deleteIvf(corpus.filter(deadPred).select("vec_id"), s"$base/ivf")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val masked = pairs(AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+      maskDeletes = true))
+    // 1. deleted ids never surface
+    assert(masked.forall { case (_, n) => n % 7 != 3 },
+      "a tombstoned id surfaced from the masked probe")
+    // 2. masked probe ≡ probing an index built on survivors only, at
+    //    the same (full-pick) centroids — per-vector assignment makes
+    //    probe-time masking and survivor-only assignment coincide
+    val cents = AnnIndex.loadCentroids(spark, s"$base/ivf")
+    assert(masked == pairs(Similarity.ivfTopKWith(
+      corpus.filter(!deadPred), queries, cents)))
+    // 3. the plan flags exactly the cells above the dead-frac cut,
+    //    and apply rewrites exactly those
+    val plan = AnnIndex.compactPlanIvf(spark, s"$base/ivf")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    val flagged = plan.filter(_._2._3).keySet
+    assert(flagged.nonEmpty && flagged.size < plan.size,
+      s"threshold must split the cells: $plan")
+    assert(AnnIndex.compactApplyIvf(spark, s"$base/ivf") == flagged.size)
+    // 4. rewritten cells physically hold no dead rows; the log
+    //    shrank to untouched cells' dead ids only
+    val vecs = spark.read.parquet(s"$base/ivf/vectors")
+    assert(vecs.filter(col("cell")
+        .isin(flagged.toSeq.map(Integer.valueOf): _*))
+      .filter(deadPred).count() == 0, "dead rows survived the rewrite")
+    val log = AnnIndex.tombstones(spark, s"$base/ivf")
+      .collect().map(_.getLong(0)).toSet
+    val untouchedDead = vecs.filter(!col("cell")
+        .isin(flagged.toSeq.map(Integer.valueOf): _*))
+      .filter(deadPred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(log == untouchedDead,
+      s"log must shrink to untouched cells' dead ids: ${log.size} vs ${untouchedDead.size}")
+    // 5. probe parity across the rewrite: compaction never changes answers
+    assert(pairs(AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+      maskDeletes = true)) == masked)
+    // 6. post-compact plan flags nothing at the same threshold
+    assert(AnnIndex.compactPlanIvf(spark, s"$base/ivf")
+      .filter(col("rewrite")).count() == 0)
+  }
+
+  test("delete probe holds the survivor recall floor at the driver point") {
+    // recall@10 vs exact brute force over the SURVIVOR corpus, the
+    // same macro-mean metric as RecallFloors — measured ≥ the plain
+    // IVF tier's floor (identical pick, nprobe=12, ~14% of
+    // candidates masked)
+    val sf01 = "/root/testdata/sf0.01"
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, sf01)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val deadPred = col("vec_id") % 7 === 3
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    AnnIndex.deleteIvf(corpus.filter(deadPred).select("vec_id"), s"$base/ivf")
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(
+      corpus.filter(!deadPred), queries))
+    val got = sets(AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+      nprobe = 12, maskDeletes = true))
+    val recall = exact.keys.toSeq.map(q =>
+      got.getOrElse(q, Set.empty[Long]).intersect(exact(q)).size
+        .toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.88, f"survivor recall $recall%.3f under the 0.88 floor")
+  }
+
   test("probing opens only the probed cells' files") {
     val base = Files.createTempDirectory("graft_ann").toString
     val corpus = Tables.embeddings(spark, dir)
