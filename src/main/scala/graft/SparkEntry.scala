@@ -961,6 +961,17 @@ object SparkEntry {
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12, rerank = 16)
     }),
+    // streaming ANN serving (r15): arriving query vectors probe the
+    // PERSISTED index per micro-batch (foreachBatch over the batch
+    // kernel — zero state, StreamingSpec-asserted); the driver key
+    // replays the stream path as two deterministic micro-batches and
+    // unions — batch-split invariance makes the rows ≡
+    // ann_index_ivf_probe, so the oracle is shared
+    "stream_ann_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.streaming.AnnStream.probeReplay(s, annIndexPaths(s, dir)._1,
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
+    }),
     // DELETE lifecycle probe (r15): tombstoned ids (vec_id % 7 == 3)
     // mask candidates at probe time — exact semantics the moment the
     // delete lands, no layout rewrite; nprobe=12 in lockstep with
@@ -3208,6 +3219,10 @@ object SparkEntry {
       // form of the in-memory tiers (AnnIndexSpec parity; identical
       // model state — same pick, same budgets)
       ("ann_index_ivf_probe" -> m("ann_ivf_topk")) +
+      // the stream replay is the same persisted-index probe run as
+      // deterministic micro-batches and unioned (query independence
+      // = batch-split invariance), so the rows are the batch key's
+      ("stream_ann_probe" -> m("ann_ivf_topk")) +
       ("ann_index_ivfpq_probe" -> m("ann_ivfpq_topk")) +
       // exact (no evictions) while distinct keys per partition <= k
       ("events_heavy_hitters_mg" -> m("events_heavy_hitters")) +

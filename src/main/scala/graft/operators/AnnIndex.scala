@@ -85,6 +85,11 @@ object AnnIndex {
       col("embedding").as("q_emb"),
       explode(gf.nearestCentroids(col("embedding"), centroids, nprobe)).as("cell"))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
+    // an empty query batch (a quiet streaming micro-batch) probes
+    // nothing: an empty IN-list must not reach the scan filter
+    if (cells.isEmpty)
+      return probed.select(col("query_id"),
+        col("query_id").as("neighbor_id"), lit(0.0).as("cosine"))
     val raw = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
     val live = if (!maskDeletes) raw

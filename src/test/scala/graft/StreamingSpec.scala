@@ -1622,6 +1622,46 @@ class StreamingSpec extends SparkSpec {
       assert(fin == ((3L, Some(120000000L), true)), s"final: $fin")
     } finally q.stop()
   }
+
+  test("stream ANN probe: per-micro-batch index probe = batch probe, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    val corpus = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    graft.operators.AnnIndex.buildIvf(corpus, s"$base/ivf")
+    val queries = corpus.filter(col("vec_id") % 10 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(graft.operators.AnnIndex.probeIvf(
+      spark, s"$base/ivf", queries, k = 10, nprobe = 12))
+    assert(batch.nonEmpty)
+    // the driver key's replay (two hash-split micro-batches, unioned)
+    // is row-identical — batch-split invariance
+    assert(pairs(graft.streaming.AnnStream.probeReplay(
+      spark, s"$base/ivf", queries, k = 10, nprobe = 12)) == batch)
+    // the live path: MemoryStream batches through the foreachBatch
+    // kernel, including a deliberately EMPTY final micro-batch (a
+    // quiet serving interval must not break the probe)
+    val mem = MemoryStream[StreamingSpec.Vec]
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = graft.streaming.AnnStream.probeSink(
+      mem.toDF(), s"$base/ivf", k = 10, nprobe = 12) { b =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    try {
+      val rows = queries.select("vec_id", "embedding").collect()
+        .map(r => StreamingSpec.Vec(r.getLong(0), r.getSeq[Float](1)))
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      assert(got.toSet == batch,
+        s"stream must reproduce the batch probe: ${got.size} vs ${batch.size}")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty || ops.forall(_.numRowsTotal == 0),
+        s"the probe must keep zero state: ${Option(ops).map(_.mkString(",")).getOrElse("")}")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
