@@ -213,6 +213,24 @@ object SparkEntry {
         TextAnalysis.dupNgramToks(Tables.documents(s, dir)))
         .localCheckpoint(true)))
 
+  // the fused curate FLAGS relation (r15): one row per doc carrying
+  // every per-doc gate decision + residual billing — the intake gate
+  // table a nightly pipeline persists. Both composition keys (full +
+  // funnel) read this one materialization; the gate chain's corpus
+  // work runs once per (session, dir) and bills to prime like every
+  // other trunk.
+  private val curateFlagsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedCurateFlags(s: SparkSession, dir: String): DataFrame =
+    curateFlagsCache.getOrElseUpdate((s, dir), primeTimed("curate_flags")(
+      operators.Curation.curateFlags(Tables.documents(s, dir),
+        gopherFlags = Some(sharedGopherFlagged(s, dir)),
+        dupDocs = Some(sharedDupNgramDocs(s, dir)),
+        dupStarts = Some(operators.TextAnalysis.startsOfOcc(
+          sharedDupNgramOcc(s, dir))),
+        embeddings = Some(Tables.embeddings(s, dir)))
+        .localCheckpoint(true)))
+
   private val dupNgramDocsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def sharedDupNgramDocs(s: SparkSession, dir: String): DataFrame =
@@ -1080,22 +1098,18 @@ object SparkEntry {
     // metric+flag pass, the corpus-duplication doc-grain coverage,
     // and the duplicated-occurrence starts (residual token billing)
     // — the r14 recomposition adds gates, not corpus scans
+    // r15: both composition keys read the ONE pinned flags relation
+    // (the gate chain materializes once per session, in prime); each
+    // key's own cost is its set-shaped stages — near-dup suppression,
+    // cap, budget (full) / the counting aggregate (funnel)
     "docs_curate_full" -> ((s, dir) =>
       operators.Curation.curateFull(Tables.documents(s, dir),
         shingles = Some(sharedShingleSets(s, dir)),
-        gopherFlags = Some(sharedGopherFlagged(s, dir)),
-        dupDocs = Some(sharedDupNgramDocs(s, dir)),
-        dupStarts = Some(TextAnalysis.startsOfOcc(
-          sharedDupNgramOcc(s, dir))),
-        embeddings = Some(Tables.embeddings(s, dir)))),
+        flags = Some(sharedCurateFlags(s, dir)))),
     "docs_curate_funnel" -> ((s, dir) =>
       operators.Curation.curateFunnel(Tables.documents(s, dir),
         shingles = Some(sharedShingleSets(s, dir)),
-        gopherFlags = Some(sharedGopherFlagged(s, dir)),
-        dupDocs = Some(sharedDupNgramDocs(s, dir)),
-        dupStarts = Some(TextAnalysis.startsOfOcc(
-          sharedDupNgramOcc(s, dir))),
-        embeddings = Some(Tables.embeddings(s, dir)))),
+        flags = Some(sharedCurateFlags(s, dir)))),
     "docs_token_budget" -> ((s, dir) =>
       // ~28k corpus tokens at sf0.01 — a 10k budget binds hard
       operators.Curation.selectToBudget(Tables.documents(s, dir), 10000L)),

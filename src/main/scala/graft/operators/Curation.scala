@@ -205,31 +205,101 @@ object Curation {
                  maxDupFrac: Double = 0.5,
                  dupN: Int = 8,
                  embeddings: Option[DataFrame] = None,
-                 semTau: Double = 0.4): DataFrame = {
+                 semTau: Double = 0.4,
+                 flags: Option[DataFrame] = None): DataFrame = {
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-    // ONE tokenization scan scores the corpus; the quality gate,
-    // suppression, cap ranking and budget walk all reuse it — per-doc
-    // scores don't depend on which docs survived earlier gates
-    val scored = Some(scoreDocs(docs).localCheckpoint(true))
-    val stages = curateFullStages(docs, scored, minTokens, maxTokens,
-      minQuality, benchMod, gopherFlags, dupDocs, dupStarts, maxDupFrac,
-      dupN, embeddings, semTau)
+    // ONE pinned per-doc FLAGS relation carries everything the six
+    // per-doc gate families decide plus the residual billing (r15:
+    // the relation is first-class — a nightly pipeline persists it
+    // as the intake gate table, and the funnel reads the SAME one,
+    // so the result key and its readout cannot drift)
+    val fl = flags.getOrElse(curateFlags(docs, None, minTokens, maxTokens,
+      minQuality, gopherFlags, dupDocs, dupStarts, maxDupFrac, dupN,
+      embeddings, semTau, benchMod).localCheckpoint(true))
+    val scored = Some(fl.select("doc_id", "n_tokens", "quality_score"))
+    val residual = fl.select(col("doc_id"), col("n_res").as("n_tokens"),
+      col("quality_score"))
     val suppressed = restrict(Dedup.nearDupSuppress(
-      restrict(stages.curatedIds), scored = scored, shingles = shingles))
+      restrict(curatedIdsOf(fl, benchMod)), scored = scored,
+      shingles = shingles))
     // pin the post-cap survivors: the budget walk consumes its input
     // twice (band totals + final window), and without this pin both
     // consumers would re-run the whole gate chain incl. the near-dup
     // blocking joins (selectToBudget no longer pins thread-in input)
     val capped = restrict(sourceCap(suppressed, cap, scored))
       .localCheckpoint(true)
-    selectToBudget(capped, tokenBudget, Some(stages.residualScored))
+    selectToBudget(capped, tokenBudget, Some(residual))
       .withColumnRenamed("n_tokens", "n_tokens_kept")
-      .join(scored.get.select("doc_id", "n_tokens"), Seq("doc_id"))
+      .join(fl.select("doc_id", "n_tokens"), Seq("doc_id"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .select("doc_id", "source", "n_tokens", "n_tokens_kept",
         "quality_score")
   }
+
+  /** The fused per-doc gate relation under [[curateFull]] and
+    * [[curateFunnel]] (r15): ONE row per document carrying the
+    * tokenization scores, every per-doc gate decision as a boolean/
+    * marker column (C4 quality bounds, the 20-threshold Gopher gate,
+    * exact-dedup survivorship, the corpus-duplication fraction gate,
+    * n-gram and semantic contamination) and the residual token
+    * billing. Evaluating the gates as COLUMNS of one pass — instead
+    * of a chain of per-gate semi/anti-join stages — is what a
+    * nightly pipeline persists as its intake gate table: every
+    * downstream consumer (the curated set, the funnel readout, the
+    * budget walk) is then a filter or aggregate over this relation,
+    * and the gate chain's corpus work runs exactly once. */
+  def curateFlags(docs: DataFrame, scored: Option[DataFrame] = None,
+                  minTokens: Long = 20L, maxTokens: Long = 100000L,
+                  minQuality: Double = 0.2,
+                  gopherFlags: Option[DataFrame] = None,
+                  dupDocs: Option[DataFrame] = None,
+                  dupStarts: Option[DataFrame] = None,
+                  maxDupFrac: Double = 0.5, dupN: Int = 8,
+                  embeddings: Option[DataFrame] = None,
+                  semTau: Double = 0.4, benchMod: Int = 97): DataFrame = {
+    val statsRel = scored.getOrElse(scoreDocs(docs))
+    val stages = curateFullStages(docs, Some(statsRel), minTokens,
+      maxTokens, minQuality, benchMod, gopherFlags, dupDocs, dupStarts,
+      maxDupFrac, dupN, embeddings, semTau)
+    val qualityPred = col("n_tokens") >= minTokens &&
+      col("n_tokens") <= maxTokens && col("quality_score") >= minQuality
+    statsRel
+      .withColumn("f_quality", qualityPred)
+      .join(stages.gopherDrop.withColumn("f_goph", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.keeperIds.withColumn("f_keeper", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.dupDrop.withColumn("f_dg", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.contaminatedIds.withColumn("f_contam", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.semContaminatedIds.withColumn("f_sem", lit(true)),
+        Seq("doc_id"), "left")
+      .join(stages.residualScored
+        .select(col("doc_id"), col("n_tokens").as("n_res")),
+        Seq("doc_id"))
+  }
+
+  /** The per-doc gate chain of [[curateFlags]], in funnel order —
+    * shared by the curated-set filter and the funnel's prefix
+    * counts so the two can never disagree. */
+  private[graft] def curateChain(benchMod: Int)
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    ("gopher", col("f_goph").isNull),
+    ("quality", col("f_quality")),
+    ("exact_dedup", col("f_keeper").isNotNull),
+    ("dup_gram", col("f_dg").isNull),
+    ("decontam",
+      col("doc_id") % benchMod =!= 0 && col("f_contam").isNull),
+    ("decontam_semantic", col("f_sem").isNull))
+
+  /** Training-eligible ids off the flags relation: the full gate
+    * conjunction as one filter. */
+  private[graft] def curatedIdsOf(flags: DataFrame,
+                                  benchMod: Int): DataFrame =
+    flags.filter(curateChain(benchMod).map(_._2).reduce(_ && _))
+      .select("doc_id")
 
   /** The shared gate relations under [[curateFull]] and
     * [[curateFunnel]] — one definition so the result key and its
@@ -335,60 +405,31 @@ object Curation {
                    dupStarts: Option[DataFrame] = None,
                    maxDupFrac: Double = 0.5,
                    embeddings: Option[DataFrame] = None,
-                   semTau: Double = 0.4): DataFrame = {
+                   semTau: Double = 0.4,
+                   flags: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // measured at sf0.1: the funnel's floor is its three serial
-    // actions (flags pin → near-dup pin → counting aggregate), each
-    // fanned by AQE into many small stage-materialization jobs.
-    // Pinning AQE off was tried and REGRESSED (17 jobs but more
-    // task overhead per stage); dropping the near-dup pin was tried
-    // and REGRESSED (the gate re-runs once per downstream consumer).
-    // The action structure below is the minimum for the semantics.
+    // measured at sf0.1: the funnel's floor is its serial actions
+    // (flags pin → near-dup pin → counting aggregate), each fanned
+    // by AQE into many small stage-materialization jobs. Pinning AQE
+    // off was tried and REGRESSED (17 jobs but more task overhead
+    // per stage); dropping the near-dup pin was tried and REGRESSED
+    // (the gate re-runs once per downstream consumer). r15: the
+    // flags relation is [[curateFlags]], shared with [[curateFull]]
+    // — threaded in by the driver as a pinned per-(session, dir)
+    // artifact, so BOTH keys read one materialization of the whole
+    // gate chain.
     def restrict(ids: DataFrame): DataFrame =
       docs.join(ids.select("doc_id"), Seq("doc_id"), "left_semi")
-    val qualityPred = col("n_tokens") >= minTokens &&
-      col("n_tokens") <= maxTokens && col("quality_score") >= minQuality
-    val statsRel = scoreDocs(docs)
-    val stages = curateFullStages(docs, Some(statsRel), minTokens,
-      maxTokens, minQuality, benchMod, gopherFlags, dupDocs, dupStarts,
-      maxDupFrac, 8, embeddings, semTau)
-    // ONE pinned per-doc relation fuses everything the first six
-    // gates decide: the tokenization scores plus gopher / quality /
-    // exact-keeper / dup-gram / contamination flags AND the residual
-    // token billing (each gate a boolean column, each downstream
-    // stage a filter — no per-stage checkpoint, no per-stage
-    // re-scan). One checkpoint job total for the gate chain.
-    val flags = statsRel
-      .withColumn("f_quality", qualityPred)
-      .join(stages.gopherDrop.withColumn("f_goph", lit(true)),
-        Seq("doc_id"), "left")
-      .join(stages.keeperIds.withColumn("f_keeper", lit(true)),
-        Seq("doc_id"), "left")
-      .join(stages.dupDrop.withColumn("f_dg", lit(true)),
-        Seq("doc_id"), "left")
-      .join(stages.contaminatedIds.withColumn("f_contam", lit(true)),
-        Seq("doc_id"), "left")
-      .join(stages.semContaminatedIds.withColumn("f_sem", lit(true)),
-        Seq("doc_id"), "left")
-      .join(stages.residualScored
-        .select(col("doc_id"), col("n_tokens").as("n_res")),
-        Seq("doc_id"))
-      .localCheckpoint(true)
-    val scored = Some(flags.select("doc_id", "n_tokens", "quality_score"))
-    val residual = flags
+    val fl = flags.getOrElse(curateFlags(docs, None, minTokens, maxTokens,
+      minQuality, gopherFlags, dupDocs, dupStarts, maxDupFrac, 8,
+      embeddings, semTau, benchMod).localCheckpoint(true))
+    val scored = Some(fl.select("doc_id", "n_tokens", "quality_score"))
+    val residual = fl
       .select(col("doc_id"), col("n_res").as("n_tokens"),
         col("quality_score"))
-    val chain = Seq(
-      ("gopher", col("f_goph").isNull),
-      ("quality", col("f_quality")),
-      ("exact_dedup", col("f_keeper").isNotNull),
-      ("dup_gram", col("f_dg").isNull),
-      ("decontam",
-        col("doc_id") % benchMod =!= 0 && col("f_contam").isNull),
-      ("decontam_semantic", col("f_sem").isNull))
-    val curatedIds = flags
-      .filter(chain.map(_._2).reduce(_ && _)).select("doc_id")
+    val chain = curateChain(benchMod)
+    val curatedIds = curatedIdsOf(fl, benchMod)
     // the near-dup gate is the one remaining expensive relation
     // consumed by two downstreams (cap chain + counts) — pin its
     // OUTPUT so the blocking joins run exactly once. capped/budgeted
@@ -406,7 +447,7 @@ object Curation {
     // of the pinned flags relation, so the count spine joins only
     // the three post-gate id sets: ONE aggregate action total
     val prefixes = chain.inits.toSeq.reverse.tail // chain[0..k], k=1..5
-    val row = flags
+    val row = fl
       .join(suppressed.select("doc_id").withColumn("f_nd", lit(1L)),
         Seq("doc_id"), "left")
       .join(capped.select("doc_id").withColumn("f_cap", lit(1L)),

@@ -598,6 +598,30 @@ class PlanSpec extends SparkSpec {
       s"pinned trunks must appear as ExistingRDD scans:\n$p")
   }
 
+  test("curateFull over the pinned flags relation: the gate chain never recomputes") {
+    // r15 driver shape: BOTH composition keys read the one pinned
+    // curateFlags materialization, so a key's own plan holds only
+    // its set-shaped stages (suppress → cap → budget) — no Gopher
+    // kernel, no corpus tokenization, no gram window, and the
+    // documents table appears only as the restrict/source
+    // projections (id + source columns)
+    val docs = Tables.documents(spark, dir)
+    val flags = graft.operators.Curation.curateFlags(docs,
+        embeddings = Some(Tables.embeddings(spark, dir)))
+      .localCheckpoint(true)
+    val shingles = graft.operators.Dedup.blockingTrunk(docs)
+      .sets.localCheckpoint(true)
+    val p = plan(graft.operators.Curation.curateFull(docs,
+      flags = Some(flags), shingles = Some(shingles)))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 4, s"flags-threaded curateFull may read documents " +
+      s"only for restrict/source projections, got $scans scans:\n$p")
+    assert(!p.contains("stop_word_hits"),
+      s"Gopher metrics must never recompute off the pinned flags:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the pinned flags must appear as an ExistingRDD scan:\n$p")
+  }
+
   test("semanticDecontaminate: the benchmark broadcasts, the corpus never shuffles") {
     val e = Tables.embeddings(spark, dir)
     val p = plan(graft.operators.Dedup.semanticDecontaminate(e))
