@@ -252,6 +252,90 @@ object Lake {
         "skip_rate")
   }
 
+  /** WRITE [[zorderApply]]'s layout as real parquet — the sink half
+    * closing the remaining gap between the modeled manifest and
+    * physical files (r15): every row routes to its planned file (the
+    * same fixed top-`bucketBits` prefix projection), one physical
+    * parquet file per `file_id` partition directory (the hash
+    * repartition on `file_id` puts each bucket in exactly one task).
+    * The written FOOTERS then carry the min/max stats the modeled
+    * manifest predicted — [[footerManifest]] reads them back without
+    * touching a data page, and `LakeSpec` proves the loop: footer
+    * stats ≡ [[zorderApply]]'s manifest stats, and
+    * [[fileSkippingOf]] over the footer manifest reproduces the
+    * modeled skip rates exactly. Sink contract only (the driver keys
+    * stay on the metadata relations, like SalesJdbc). */
+  def writeZorderApplied(df: DataFrame, dimNames: Seq[String], path: String,
+                         bitsPerDim: Int = 16, bucketBits: Int = 6): Unit = {
+    val width = bitsPerDim * dimNames.size
+    require(bucketBits >= 1 && bucketBits <= width,
+      s"bucketBits $bucketBits outside 1..$width")
+    df.withColumn("file_id",
+        shiftright(zorderValue(dimNames.map(col), bitsPerDim),
+          width - bucketBits))
+      .repartition(col("file_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("file_id").parquet(path)
+  }
+
+  /** Per-file pruning-stat manifest read from REAL parquet footers:
+    * one row per physical file under `path` with its row count and
+    * each dim's min/max column statistics — exactly the metadata a
+    * lakehouse table format keeps and a reader's row-group pruning
+    * consults. Footer-only I/O: no data page is ever decoded, so the
+    * read cost is O(files), not O(bytes) — the economics that make
+    * stats-based skipping free at 100 TB. Long dims only (the
+    * z-order key's input domain). */
+  def footerManifest(spark: SparkSession, path: String,
+                     dimNames: Seq[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.Path]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val rows = files.map { f =>
+      // partition value comes from the directory name (the column is
+      // not in the file's own schema under partitionBy)
+      val fileId = f.getParent.getName.stripPrefix("file_id=").toLong
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val nRows = blocks.map(_.getRowCount).sum
+        val stats = dimNames.map { dim =>
+          val perBlock = blocks.map { b =>
+            val c = b.getColumns.asScala
+              .find(_.getPath.toDotString == dim)
+              .getOrElse(sys.error(s"column $dim missing from footer of $f"))
+            val s = c.getStatistics
+            require(s != null && !s.isEmpty,
+              s"footer of $f carries no stats for $dim")
+            (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+              s.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+          }
+          (perBlock.map(_._1).min, perBlock.map(_._2).max)
+        }
+        (fileId, nRows, stats)
+      } finally reader.close()
+    }
+    import spark.implicits._
+    val flat = rows.map { case (id, n, st) =>
+      (id, n, st.flatMap(p => Seq(p._1, p._2))) }
+    flat.toDF("file_id", "n_rows", "mm")
+      .select(col("file_id") +: col("n_rows") +:
+        dimNames.zipWithIndex.flatMap { case (dim, i) =>
+          Seq(col("mm")(2 * i).as(s"min_$dim"),
+            col("mm")(2 * i + 1).as(s"max_$dim")) }: _*)
+  }
+
   /** Write parquet range-partitioned + sorted by the z-order key of
     * `dims`: each output file covers a tight hyper-rectangle of the
     * clustered dimensions, so min/max stats prune on any of them.

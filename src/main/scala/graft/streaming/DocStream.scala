@@ -323,10 +323,25 @@ object DocStream {
         col("o.lens").as("lens"))
       .join(broadcast(store.select("ng")), Seq("ng"))
       .drop("ng")
+    // observable orphan accounting (r14 ADVICE): rows dropped under a
+    // violated atomicity contract must not vanish silently
+    val orphanRows = spark.sparkContext
+      .longAccumulator("graft.dupNgramGate.orphanRowsDropped")
     def fn(id: Long, it: Iterator[DupGateEv],
            st: GroupState[Long]): Iterator[DupGateRow] = {
       // st deliberately untouched: zero state rows ever persist
       val evs = it.toArray
+      // a matched-only group means a source split a document's rows
+      // across micro-batches, violating the documented atomicity
+      // contract. Best-effort semantics under the violation: drop the
+      // orphan rows (counted in the accumulator) so the doc emits at
+      // most ONCE — when its base row's batch arrives — rather than
+      // emitting a second, duplicate doc_id row. The matched rows
+      // dropped here never reappear, so that one emission may
+      // UNDER-count the doc's duplication; the accumulator is the
+      // audit signal that it happened.
+      val baseOpt = evs.find(_.start < 0)
+      if (baseOpt.isEmpty) { orphanRows.add(evs.length); return Iterator.empty }
       val posLen = scala.collection.mutable.HashMap.empty[Int, Int]
       evs.foreach { e =>
         if (e.start >= 0) {
@@ -337,9 +352,9 @@ object DocStream {
         }
       }
       val dup = posLen.valuesIterator.map(_.toLong).sum
-      val tokChars = evs.head.tok_chars
+      val tokChars = baseOpt.get.tok_chars
       val frac = if (tokChars > 0) dup.toDouble / tokChars else 0.0
-      Iterator.single(DupGateRow(id, evs.head.source, tokChars, dup,
+      Iterator.single(DupGateRow(id, baseOpt.get.source, tokChars, dup,
         frac, frac <= maxDupFrac))
     }
     baseRows.unionByName(pruned)
@@ -411,16 +426,24 @@ object DocStream {
         col("o.start").as("start"), col("o.ng").as("ng"))
       .join(broadcast(store.select("ng")), Seq("ng"))
       .drop("ng")
+    // observable orphan accounting (r14 ADVICE): rows dropped under a
+    // violated atomicity contract must not vanish silently
+    val orphanRows = spark.sparkContext
+      .longAccumulator("graft.dupSpanScrub.orphanRowsDropped")
     def fn(id: Long, it: Iterator[ScrubEv],
            st: GroupState[Long]): Iterator[ScrubRow] = {
       // st deliberately untouched: zero state rows ever persist
       val evs = it.toArray
       // a matched-only group means a source split a document's rows
       // across micro-batches, violating the documented atomicity
-      // contract — drop the orphan rows (the doc re-emits whole when
-      // its base row's batch arrives) instead of killing the query
+      // contract. Best-effort semantics under the violation: the
+      // orphan match rows drop (counted in the accumulator) and the
+      // doc emits ONCE when its base row's batch arrives — with
+      // possibly UNDER-counted scrub coverage, because the dropped
+      // matches never reappear. The accumulator is the audit signal;
+      // killing the query was the rejected alternative.
       val baseOpt = evs.find(_.start < 0)
-      if (baseOpt.isEmpty) return Iterator.empty
+      if (baseOpt.isEmpty) { orphanRows.add(evs.length); return Iterator.empty }
       val baseRow = baseOpt.get
       val covered = new scala.collection.mutable.BitSet()
       evs.foreach { e =>

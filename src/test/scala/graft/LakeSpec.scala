@@ -266,6 +266,57 @@ class LakeSpec extends SparkSpec {
       s"post-layout skip rates must equal the plan's:\n$measured\nvs\n$promised")
   }
 
+  test("z-order WRITE round-trip: real footer stats reproduce the modeled manifest") {
+    import org.apache.spark.sql.functions.col
+    // the r15 sink contract: physically write the applied layout,
+    // read ONLY the parquet footers back, and the real files must
+    // carry exactly the stats the modeled manifest promised — plan →
+    // apply → WRITE → footer-measured skip rate, nothing modeled left
+    val data = (0 until 4096)
+      .map(i => ((i * 2654435761L) % 1024, (i * 733L) % 1024,
+        100L + i % 57))
+      .toDF("x", "y", "row_bytes")
+    val path = Files.createTempDirectory("graft_zwrite").toString + "/t"
+    Lake.writeZorderApplied(data, Seq("x", "y"), path,
+      bitsPerDim = 10, bucketBits = 4)
+    // row identity through the physical round trip
+    val back = spark.read.parquet(path)
+    assert(back.count() == 4096L)
+    assert(back.select("x", "y", "row_bytes").except(
+        data.select("x", "y", "row_bytes")).count() == 0L &&
+      data.select("x", "y", "row_bytes").except(
+        back.select("x", "y", "row_bytes")).count() == 0L,
+      "written rows must be exactly the input rows")
+    // footer stats (no data page read) == the modeled manifest
+    val fromFooters = Lake.footerManifest(spark, path, Seq("x", "y"))
+      .collect().map(r => r.getAs[Long]("file_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_x"),
+          r.getAs[Long]("max_x"), r.getAs[Long]("min_y"),
+          r.getAs[Long]("max_y"))).toMap
+    val modeled = Lake.zorderApply(data, Seq("x", "y"), col("row_bytes"),
+        bitsPerDim = 10, bucketBits = 4)
+      .collect().map(r => r.getAs[Long]("file_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("min_x"),
+          r.getAs[Long]("max_x"), r.getAs[Long]("min_y"),
+          r.getAs[Long]("max_y"))).toMap
+    assert(fromFooters == modeled,
+      s"real footers must carry the modeled stats:\n$fromFooters\nvs\n$modeled")
+    // one physical file per planned bucket (the repartition contract)
+    assert(fromFooters.size == modeled.size)
+    // and the measured-from-REAL-files skip rates equal the modeled ones
+    val real = Lake.fileSkippingOf(
+        Lake.footerManifest(spark, path, Seq("x", "y")), "min_y", "max_y",
+        bitsPerDim = 10, probes = 4, probeWidth = 16).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val model = Lake.fileSkippingOf(
+        Lake.zorderApply(data, Seq("x", "y"), col("row_bytes"),
+          bitsPerDim = 10, bucketBits = 4), "min_y", "max_y",
+        bitsPerDim = 10, probes = 4, probeWidth = 16).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(real == model,
+      s"footer-measured skip rates must equal the modeled:\n$real\nvs\n$model")
+  }
+
   test("zorderApply conservation holds on RANDOM shapes (property)") {
     import org.apache.spark.sql.functions.col
     // randomized dims / sizes / bucketBits: rows must always
