@@ -169,6 +169,18 @@ object SparkEntry {
           operators.Multimodal.synthCropPngCorpus(Tables.documents(s, dir)))
           .localCheckpoint(true)))
 
+  // the image-winnow GROUP closure, pinned (r15): groups + keep-best
+  // read the same min-label relation
+  private val imageWinnowGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedImageWinnowGroups(s: SparkSession, dir: String): DataFrame =
+    imageWinnowGroupsCache.getOrElseUpdate((s, dir),
+      primeTimed("image_winnow_groups")(
+        operators.Multimodal.imageWinnowGroups(
+          operators.Multimodal.synthCropPngCorpus(Tables.documents(s, dir)),
+          sigs = Some(sharedImageWinnowSigs(s, dir)))
+          .localCheckpoint(true)))
+
   // the quality-FIXTURE corpus's dup-gram store + Bloom (r14): the
   // nightly artifact the composed intake gate probes — built from
   // the same fixture corpus the gate streams
@@ -1297,11 +1309,17 @@ object SparkEntry {
         Multimodal.synthCropPngCorpus(Tables.documents(s, dir)),
         sigs = Some(sharedImageWinnowSigs(s, dir)))),
     // closure over the crop pairs: a crop of a crop chains to its
-    // master; completes the tier's pairs → groups → incremental parity
-    "mm_phash_winnow_groups" -> ((s, dir) =>
-      Multimodal.imageWinnowGroups(
+    // master; pinned, shared with the keep-best key
+    "mm_phash_winnow_groups" -> ((s, dir) => sharedImageWinnowGroups(s, dir)),
+    // image winnow keep-best (r15): survivor = highest decoded pixel
+    // count over the crop-duplicate closure — padded restorations
+    // (doc_id % 20 == 11) are LARGER than their smaller-id masters,
+    // so the rank ordering is oracle-covered, not just the tie-break
+    "mm_phash_winnow_keep_best" -> ((s, dir) =>
+      Multimodal.imageWinnowKeepBest(
         Multimodal.synthCropPngCorpus(Tables.documents(s, dir)),
-        sigs = Some(sharedImageWinnowSigs(s, dir)))),
+        sigs = Some(sharedImageWinnowSigs(s, dir)),
+        groups = Some(sharedImageWinnowGroups(s, dir)))),
     // nightly-ingest twin: new batch (doc_id % 5 == 1 — half cropped
     // copies that must match, half originals that must not) probes
     // the winnowed fingerprint store; history pays zero codec work
@@ -2896,18 +2914,28 @@ object SparkEntry {
     * guard). */
   private val imageWinnowCtes: String =
     """iw0 AS (SELECT d.doc_id,
-      |  CAST(CASE WHEN d.doc_id % 10 = 1 THEN 8 ELSE 12 END
+      |  CAST(CASE WHEN d.doc_id % 20 = 1 THEN 8
+      |   WHEN d.doc_id % 20 = 11 THEN 16 ELSE 12 END
       |   AS INTEGER) AS w, gx.x, gy.y,
-      |  CAST(CASE WHEN d.doc_id % 10 = 1 THEN d.doc_id - 1
-      |    ELSE d.doc_id END AS VARCHAR) || ':' ||
-      |  CAST(CASE WHEN d.doc_id % 10 = 1
-      |    THEN (gy.y + 3) * 12 + gx.x + 2
-      |   ELSE gy.y * 12 + gx.x END AS VARCHAR) AS s
+      |  CASE WHEN d.doc_id % 20 = 1
+      |    THEN CAST(d.doc_id - 1 AS VARCHAR) || ':' ||
+      |     CAST((gy.y + 3) * 12 + gx.x + 2 AS VARCHAR)
+      |   WHEN d.doc_id % 20 = 11 AND gx.x >= 2 AND gx.x < 14
+      |     AND gy.y >= 3 AND gy.y < 15
+      |    THEN CAST(d.doc_id - 1 AS VARCHAR) || ':' ||
+      |     CAST((gy.y - 3) * 12 + gx.x - 2 AS VARCHAR)
+      |   WHEN d.doc_id % 20 = 11
+      |    THEN CAST(d.doc_id AS VARCHAR) || ':' ||
+      |     CAST(gy.y * 16 + gx.x AS VARCHAR)
+      |   ELSE CAST(d.doc_id AS VARCHAR) || ':' ||
+      |    CAST(gy.y * 12 + gx.x AS VARCHAR) END AS s
       | FROM documents d,
-      |  LATERAL (SELECT unnest(generate_series(0, 11)) AS x) gx,
-      |  LATERAL (SELECT unnest(generate_series(0, 11)) AS y) gy
-      | WHERE gx.x < CASE WHEN d.doc_id % 10 = 1 THEN 8 ELSE 12 END
-      |  AND gy.y < CASE WHEN d.doc_id % 10 = 1 THEN 8 ELSE 12 END),
+      |  LATERAL (SELECT unnest(generate_series(0, 15)) AS x) gx,
+      |  LATERAL (SELECT unnest(generate_series(0, 15)) AS y) gy
+      | WHERE gx.x < CASE WHEN d.doc_id % 20 = 1 THEN 8
+      |   WHEN d.doc_id % 20 = 11 THEN 16 ELSE 12 END
+      |  AND gy.y < CASE WHEN d.doc_id % 20 = 1 THEN 8
+      |   WHEN d.doc_id % 20 = 11 THEN 16 ELSE 12 END),
       |iwf1 AS (SELECT doc_id, w, x, y,
       |  CAST(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
       |    list_transform(range(1, length(s) + 1),
@@ -5742,6 +5770,29 @@ object SparkEntry {
          | FROM reach GROUP BY doc_id)
          |SELECT doc_id, group_id, doc_id = group_id AS keep
          |FROM lab""").stripMargin.replace("\n", " "),
+    "mm_phash_winnow_keep_best" ->
+      // same closure, highest-resolution survivor: rank = the
+      // decoded pixel count the fixture VARIES in both directions
+      // (crops smaller than their smaller-id masters, padded
+      // restorations LARGER), so the ordering itself is
+      // oracle-covered, ties to min id
+      (s"""WITH RECURSIVE $imageWinnowCtes,
+         |pp AS (SELECT DISTINCT id_a, id_b FROM ipair),
+         |e AS (SELECT id_a AS src, id_b AS dst FROM pp
+         | UNION ALL SELECT id_b AS src, id_a AS dst FROM pp),
+         |reach AS (SELECT doc_id, doc_id AS r FROM documents
+         | UNION
+         | SELECT reach.doc_id, e.dst AS r
+         | FROM reach JOIN e ON e.src = reach.r),
+         |lab AS (SELECT doc_id, min(r) AS group_id
+         | FROM reach GROUP BY doc_id),
+         |iwn AS (SELECT DISTINCT doc_id,
+         |  CAST(w AS BIGINT) * w AS px FROM iw0)
+         |SELECT l.doc_id, l.group_id, iwn.px AS rank_key,
+         | (row_number() OVER (PARTITION BY l.group_id
+         |   ORDER BY iwn.px DESC, l.doc_id) = 1) AS keep
+         |FROM lab l JOIN iwn USING (doc_id)""")
+        .stripMargin.replace("\n", " "),
     "mm_phash_winnow_incremental" ->
       // exact new-fingerprints x store match; n_matches = distinct
       // store docs sharing a tile fingerprint, best = min store_id

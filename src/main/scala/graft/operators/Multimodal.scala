@@ -1265,36 +1265,57 @@ object Multimodal {
       sg.groupBy("doc_id").agg(max(col("n_samples")).as("rank_key")))
   }
 
-  /** The CROPPED-copy image fixture — the symmetric hole the audio
-    * offset fixture closed for trims: every doc is a `side`×`side`
-    * image (the [[synthMixedCorpus]] double-FNV pixel recipe at the
-    * larger side), and `doc_id % 10 == 1` carries the
-    * `cropSide`×`cropSide` crop of the previous doc's pixels at
-    * offset (`dx`, `dy`), re-encoded as BMP. The whole-image tier
-    * ([[phashSignatures]]) structurally CANNOT match these — the
-    * copy is a different geometry hashing a shifted pixel set — and
-    * its uniform-side contract would reject the mixed corpus
-    * outright; the tiled winnow tier below catches them. */
+  /** The CROPPED/PADDED-copy image fixture — the symmetric hole the
+    * audio offset fixture closed for trims, with both rank
+    * directions planted (the audio fixture's r15 convention): every
+    * doc is a `side`×`side` image (the [[synthMixedCorpus]]
+    * double-FNV pixel recipe at the larger side), and two edit kinds
+    * derive from the previous doc:
+    *
+    *  - `doc_id % 20 == 1`: the `cropSide`×`cropSide` CROP of the
+    *    previous doc's pixels at offset (`dx`, `dy`), re-encoded as
+    *    BMP — the SMALLER copy has the larger id, so min-id and
+    *    highest-resolution survivorship agree.
+    *  - `doc_id % 20 == 11`: the previous doc's FULL pixels PADDED
+    *    into a `padSide`×`padSide` canvas at the same offset, the
+    *    border filled from the copy's OWN pixel recipe (aliasing
+    *    nothing) — a restored master LARGER than its smaller-id
+    *    source, so the keep-best rank (pixel count desc) picks the
+    *    opposite survivor from min-id and the ordering itself is
+    *    oracle-covered.
+    *
+    * The whole-image tier ([[phashSignatures]]) structurally CANNOT
+    * match either kind — different geometries hashing shifted pixel
+    * sets; its uniform-side contract rejects the mixed corpus
+    * outright — while the tiled winnow tier catches both. */
   def synthCropPngCorpus(docs: DataFrame, side: Int = 12,
-                         cropSide: Int = 8, dx: Int = 2,
-                         dy: Int = 3): DataFrame = {
+                         cropSide: Int = 8, padSide: Int = 16,
+                         dx: Int = 2, dy: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     Spread.spread(docs.select(col("doc_id"))).as[Long].map { d =>
-      val isCopy = d % 10 == 1
-      val src = if (isCopy) d - 1 else d
-      val w = if (isCopy) cropSide else side
+      val isCrop = d % 20 == 1
+      val isPad = d % 20 == 11
+      val src = if (isCrop || isPad) d - 1 else d
+      val w = if (isCrop) cropSide else if (isPad) padSide else side
       val img = new java.awt.image.BufferedImage(
         w, w, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var y = 0
       while (y < w) {
         var x = 0
         while (x < w) {
-          // the copy's pixel (x, y) is the SOURCE's (x+dx, y+dy) —
-          // same double-FNV recipe over the source's flat index, so
-          // the oracle replays the crop as index arithmetic
-          val i = if (isCopy) (y + dy) * side + (x + dx) else y * side + x
-          val h = fnv1a(java.lang.Long.toUnsignedString(fnv1a(s"$src:$i")))
+          // crop: pixel (x, y) is the SOURCE's (x+dx, y+dy); pad:
+          // the interior window holds the source's full raster, the
+          // border keys into the copy's OWN (otherwise unused)
+          // recipe — all index arithmetic, so the oracle replays it
+          val interior = isPad && x >= dx && x < dx + side &&
+            y >= dy && y < dy + side
+          val (keyId, i) =
+            if (isCrop) (src, (y + dy) * side + (x + dx))
+            else if (interior) (src, (y - dy) * side + (x - dx))
+            else if (isPad) (d, y * padSide + x)
+            else (src, y * side + x)
+          val h = fnv1a(java.lang.Long.toUnsignedString(fnv1a(s"$keyId:$i")))
           val r = ((h >>> 8) & 0xff).toInt
           val g = ((h >>> 16) & 0xff).toInt
           val b = ((h >>> 24) & 0xff).toInt
@@ -1304,7 +1325,8 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, if (isCopy) "bmp" else "png", bos)
+      javax.imageio.ImageIO.write(img,
+        if (isCrop || isPad) "bmp" else "png", bos)
       PngBlob(d, bos.toByteArray)
     }.toDF()
   }
@@ -1468,6 +1490,26 @@ object Multimodal {
       imageWinnowSignatures(blobs).localCheckpoint(true))
     Dedup.dedupGroups(sg.select("doc_id").distinct(),
       imageWinnowPairs(blobs, maxBucket, Some(sg)))
+  }
+
+  /** Keep-THE-BEST-copy over the CROP-duplicate groups — the image
+    * twin of [[audioWinnowKeepBest]], with the same oracle-covered
+    * rank ORDERING: the crop fixture varies decoded pixel count in
+    * both directions (crops smaller than their smaller-id masters,
+    * padded restorations LARGER), so the highest-resolution policy
+    * picks the larger id on padded groups where min-id would pick
+    * the smaller. Rank = pixel count carried on the winnow
+    * fingerprint store (no second decode), ties to min id; same
+    * closure as [[imageWinnowGroups]]. */
+  def imageWinnowKeepBest(blobs: DataFrame, maxBucket: Int = 256,
+                          sigs: Option[DataFrame] = None,
+                          groups: Option[DataFrame] = None): DataFrame = {
+    val sg = sigs.getOrElse(
+      imageWinnowSignatures(blobs).localCheckpoint(true))
+    keepBestOf(
+      groups.getOrElse(Dedup.dedupGroups(sg.select("doc_id").distinct(),
+        imageWinnowPairs(blobs, maxBucket, Some(sg)))),
+      sg.groupBy("doc_id").agg(max(col("px")).as("rank_key")))
   }
 
   /** Nightly-ingest twin of [[imageWinnowPairs]]: NEW images decode

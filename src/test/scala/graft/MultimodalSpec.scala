@@ -599,6 +599,20 @@ class MultimodalSpec extends SparkSpec {
     Seq(1L -> 0L, 11L -> 10L, 21L -> 20L).foreach { case (c, m) =>
       assert(grp(c) == ((m, false)) && grp(m) == ((m, true)),
         s"crop $c must join master $m: ${grp(c)} / ${grp(m)}") }
+    // keep-best rank coverage: crop group {0 (144 px), 1 (64 px)}
+    // agrees with min-id; padded group {10 (144), 11 (256)} picks
+    // the LARGER larger-id restoration — the ordering decides
+    val kb = Multimodal.imageWinnowKeepBest(corpus, sigs = Some(sigs))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(kb(0L) == ((0L, 144L, true)) && kb(1L) == ((0L, 64L, false)),
+      s"crop group: ${kb(0L)} / ${kb(1L)}")
+    assert(kb(11L) == ((10L, 256L, true)) && kb(10L) == ((10L, 144L, false)),
+      s"padded group must keep the larger-id restoration: " +
+        s"${kb(10L)} / ${kb(11L)}")
+    assert(kb.view.mapValues(_._1).toMap ==
+      grp.view.mapValues(_._1).toMap,
+      "keep-best and groups must agree on membership")
   }
 
   test("image winnow guarantee: ANY crop offset still shares a fingerprint (property)") {
