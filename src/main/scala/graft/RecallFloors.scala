@@ -59,11 +59,12 @@ object RecallFloors {
     // 0.665→0.860. Probe escalation is the operational dial between
     // rebuilds; the floor sits under the escalated point
     ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.80),
-    // PCA-compressed first pass (64 → 32 dims, rerank 8) + exact
-    // rerank: measured 0.775. The 16-dim point measured 0.305 — the
-    // testdata embeddings are near-isotropic, so the spectrum gives
-    // PCA little to keep; 32 dims is the honest byte/recall point
-    ("ann_pca_topk", "ann_bruteforce_topk", 0.72),
+    // PCA-compressed first pass (64 → 32 dims) + exact rerank. The
+    // 16-dim point measured 0.305 — the testdata embeddings are
+    // near-isotropic, so the spectrum gives PCA little to keep; 32
+    // dims is the honest byte/recall point. r15: rerank 8→16 lifted
+    // the measured sf0.1 point 0.775 → 0.910 (stage-1 scan unchanged)
+    ("ann_pca_topk", "ann_bruteforce_topk", 0.86),
     // r11 at 32 dims/rerank 8 measured 0.670 (prefix ≈ kept-fraction
     // recall on the isotropic testdata); r13 rerank 8→16 lifted the
     // measured point to 0.825 with the stage-1 scan unchanged — the

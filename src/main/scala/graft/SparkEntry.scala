@@ -340,23 +340,28 @@ object SparkEntry {
     * and compaction-plan keys read it; compaction APPLY mutates, so
     * it runs only in AnnIndexSpec against a scratch copy. */
   private val annDelIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private def annDelIndexPath(s: SparkSession, dir: String): String =
-    annDelIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_ivf_del") {
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  private def annDelIndexPaths(s: SparkSession, dir: String): (String, String) =
+    annDelIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_del_indexes") {
       val base = java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target", "ann-index",
           java.lang.Integer.toHexString(dir.hashCode))).toString
       val emb = Tables.embeddings(s, dir)
+      val ids = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+      def freshLog(p: String): Unit = {
+        // start from an empty log: a stale log from a previous JVM on
+        // the same target dir would still read correctly (tombstones()
+        // dedups), but the fresh build's contract is "exactly this
+        // delete batch"
+        val t = new org.apache.hadoop.fs.Path(s"$p/tombstones")
+        t.getFileSystem(s.sparkContext.hadoopConfiguration).delete(t, true)
+        AnnIndex.deleteIvf(ids, p)
+      }
       AnnIndex.buildIvf(emb, s"$base/ivf_del")
-      // start from an empty log: a stale log from a previous JVM on
-      // the same target dir would still read correctly (tombstones()
-      // dedups), but the fresh build's contract is "exactly this
-      // delete batch"
-      val fs = new org.apache.hadoop.fs.Path(s"$base/ivf_del/tombstones")
-      fs.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fs, true)
-      AnnIndex.deleteIvf(emb.filter(col("vec_id") % 7 === 3)
-        .select("vec_id"), s"$base/ivf_del")
-      s"$base/ivf_del"
+      freshLog(s"$base/ivf_del")
+      AnnIndex.buildIvfPq(emb, s"$base/ivfpq_del", m = 16, nCodes = 32)
+      freshLog(s"$base/ivfpq_del")
+      (s"$base/ivf_del", s"$base/ivfpq_del")
     })
 
   /** Per-artifact build timings, recorded INSIDE each shared-cache
@@ -1010,9 +1015,20 @@ object SparkEntry {
     // compaction, and the survivor recall floor.
     "ann_index_delete_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      AnnIndex.probeIvf(s, annDelIndexPath(s, dir),
+      AnnIndex.probeIvf(s, annDelIndexPaths(s, dir)._1,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12,
         maskDeletes = true)
+    }),
+    // the PQ layout under the same delete batch (r15): the tombstone
+    // log masks the CODE-scan candidates, so a deleted id never
+    // scores and never reaches the rerank — same model state and
+    // budgets as ann_index_ivfpq_probe, so the oracle is the PQ
+    // replay probing the survivor assignment
+    "ann_index_ivfpq_delete_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      AnnIndex.probeIvfPq(s, annDelIndexPaths(s, dir)._2,
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12,
+        rerank = 16, maskDeletes = true)
     }),
     // the compaction PLAN over the tombstoned index (r15, the
     // lake_compaction_plan pattern): per cell, live/dead counts and
@@ -1020,7 +1036,7 @@ object SparkEntry {
     // idempotent (APPLY mutates, so it runs in AnnIndexSpec against
     // a scratch copy with probe-parity held across the rewrite)
     "ann_index_compact_plan" -> ((s, dir) =>
-      AnnIndex.compactPlanIvf(s, annDelIndexPath(s, dir))),
+      AnnIndex.compactPlanIvf(s, annDelIndexPaths(s, dir)._1)),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     // spherical k-means assignment, training loop unrolled in the
@@ -1041,8 +1057,11 @@ object SparkEntry {
     }),
     "ann_pca_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
+      // r15: rerank 8→16 (the matryoshka r13 dial) — measured 0.775
+      // → 0.910 at sf0.1 with the 32-dim stage-1 scan unchanged; the
+      // rerank join stays O(queries·k·16) candidate ids
       Pca.pcaTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        pcaDims = 32, rerank = 8)
+        pcaDims = 32, rerank = 16)
     }),
     "split_assign" -> ((s, dir) =>
       DataSplit.assign(Tables.documents(s, dir), "doc_id",
@@ -3035,7 +3054,7 @@ object SparkEntry {
     * reconstruction. `useIvf` adds the cell probe prune (cells =
     * first 16 of the pick); `budget` = k·rerank. */
   private def pqTail(useIvf: Boolean, budget: Int,
-                     nprobe: Int = 8): String = {
+                     nprobe: Int = 8, assignWhere: String = ""): String = {
     val d2 = (1 to 4).map(i =>
       s"(CAST(e.embedding[cb.sub * 4 + $i] AS DOUBLE) - cb.entry[$i])" +
         s" * (CAST(e.embedding[cb.sub * 4 + $i] AS DOUBLE) - cb.entry[$i])")
@@ -3048,7 +3067,7 @@ object SparkEntry {
               |   PARTITION BY e.vec_id ORDER BY
               |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
               |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
-              | FROM embeddings e, icents c) x WHERE rn = 1),
+              | FROM embeddings e, icents c $assignWhere) x WHERE rn = 1),
               |probes AS (SELECT vec_id AS query_id, cell FROM (
               | SELECT e.vec_id, c.cell, row_number() OVER (
               |   PARTITION BY e.vec_id ORDER BY
@@ -4824,6 +4843,15 @@ object SparkEntry {
       // scoring, k·16 budget
       (s"""WITH ${ivfCentsCtes("", pick = 32)},
           |${pqTail(useIvf = true, budget = 160, nprobe = 12)}""")
+        .stripMargin.replace("\n", " "),
+    "ann_index_ivfpq_delete_probe" ->
+      // the PQ layout under the delete batch (r15): same pick, same
+      // code-space scoring and k·16 budget, candidates drop the
+      // tombstoned ids — logically the survivor assignment (per-
+      // vector, so probe-time masking coincides)
+      (s"""WITH ${ivfCentsCtes("", pick = 32)},
+          |${pqTail(useIvf = true, budget = 160, nprobe = 12,
+            assignWhere = "WHERE e.vec_id % 7 <> 3")}""")
         .stripMargin.replace("\n", " "),
     "ann_index_ivfpq_append_probe" ->
       // incremental IVF-PQ: model state (cells + codebooks) from the

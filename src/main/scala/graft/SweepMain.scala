@@ -53,6 +53,13 @@ object SweepMain {
           kmeansIters = 1)))
         println(f"| $nprobe | $rerank | $r%.3f |")
       }
+      println("| PCA dims | rerank | recall@10 |")
+      println("| --- | --- | --- |")
+      for (rerank <- Seq(8, 16, 24)) {
+        val r = recall(sets(graft.operators.Pca.pcaTopK(emb, queries, 10,
+          pcaDims = 32, rerank = rerank)))
+        println(f"| 32 | $rerank | $r%.3f |")
+      }
       spark.stop(); return
     }
     // multiprobe axis at FIXED candidate budget: expected candidate

@@ -257,9 +257,14 @@ object AnnIndex {
 
   /** IVF-PQ probe against the persisted layout: candidate scoring
     * reads codes only (pruned to probed cells), the top k·rerank
-    * re-score exactly from a second candidates-only read. */
+    * re-score exactly from a second candidates-only read. With
+    * `maskDeletes` the tombstone log masks the code-scan candidates
+    * (the [[probeIvf]] delete semantics on the PQ layout — a
+    * tombstoned id never scores, so it never reaches the rerank
+    * either). */
   def probeIvfPq(spark: SparkSession, path: String, queries: DataFrame,
-                 k: Int = 10, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+                 k: Int = 10, nprobe: Int = 4, rerank: Int = 4,
+                 maskDeletes: Boolean = false): DataFrame = {
     val centroids = loadCentroids(spark, path)
     val cbs = loadCodebooks(spark, path)
     val q = queries.select(col("vec_id").as("query_id"),
@@ -267,9 +272,14 @@ object AnnIndex {
     val probed = broadcast(q.select(col("query_id"), col("q_emb"),
       explode(gf.nearestCentroids(col("q_emb"), centroids, nprobe)).as("cell")))
     val cells = probed.select("cell").distinct().collect().map(_.getInt(0))
-    def prunedScan(cols: Seq[String]) = spark.read.parquet(s"$path/vectors")
-      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
-      .select(col("vec_id").as("neighbor_id") +: cols.map(col): _*)
+    val dead = if (maskDeletes) Some(broadcast(tombstones(spark, path)))
+      else None
+    def prunedScan(cols: Seq[String]) = {
+      val raw = spark.read.parquet(s"$path/vectors")
+        .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+      dead.fold(raw)(d => raw.join(d, Seq("vec_id"), "left_anti"))
+        .select(col("vec_id").as("neighbor_id") +: cols.map(col): _*)
+    }
     val approx = Similarity.topKPerQuery(
       probed.join(prunedScan(Seq("codes", "cell")), Seq("cell"))
         .filter(col("neighbor_id") =!= col("query_id"))

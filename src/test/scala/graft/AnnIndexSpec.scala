@@ -121,6 +121,34 @@ class AnnIndexSpec extends SparkSpec {
       .filter(col("rewrite")).count() == 0)
   }
 
+  test("IVF-PQ delete lifecycle: masked probe = survivors-only search, compact keeps parity") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val deadPred = col("vec_id") % 7 === 3
+    AnnIndex.buildIvfPq(corpus, s"$base/ivfpq", m = 16, nCodes = 32)
+    AnnIndex.deleteIvf(corpus.filter(deadPred).select("vec_id"),
+      s"$base/ivfpq")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val masked = pairs(AnnIndex.probeIvfPq(spark, s"$base/ivfpq", queries,
+      nprobe = 12, rerank = 16, maskDeletes = true))
+    assert(masked.forall { case (_, n) => n % 7 != 3 },
+      "a tombstoned id surfaced from the masked PQ probe")
+    // ≡ the in-memory search over survivors at the index's model
+    val cents = AnnIndex.loadCentroids(spark, s"$base/ivfpq")
+    val cbs = AnnIndex.loadCodebooks(spark, s"$base/ivfpq")
+    assert(masked == pairs(Similarity.ivfPqTopKWith(
+      corpus.filter(!deadPred), queries, cents, cbs,
+      nprobe = 12, rerank = 16)))
+    // compaction on the PQ layout (codes ride the rewrite) keeps
+    // probe parity and physically removes flagged cells' dead rows
+    val n = AnnIndex.compactApplyIvf(spark, s"$base/ivfpq")
+    assert(n > 0, "the threshold must flag at least one cell here")
+    assert(pairs(AnnIndex.probeIvfPq(spark, s"$base/ivfpq", queries,
+      nprobe = 12, rerank = 16, maskDeletes = true)) == masked)
+  }
+
   test("delete probe holds the survivor recall floor at the driver point") {
     // recall@10 vs exact brute force over the SURVIVOR corpus, the
     // same macro-mean metric as RecallFloors — measured ≥ the plain
