@@ -1037,6 +1037,14 @@ object SparkEntry {
     // a scratch copy with probe-parity held across the rewrite)
     "ann_index_compact_plan" -> ((s, dir) =>
       AnnIndex.compactPlanIvf(s, annDelIndexPaths(s, dir)._1)),
+    // the maintenance DECISION table (r15): per cell, dead fraction
+    // (compact dial) + balance (probe-concentration dial append
+    // drift moves); cell_action = rewrite over the dead cut,
+    // index_action = rebuild when any cell's balance crosses 1.25 —
+    // an index-level call (hot cells need retrained centroids, not
+    // compacted files), carried on every row
+    "ann_index_health" -> ((s, dir) =>
+      AnnIndex.indexHealth(s, annDelIndexPaths(s, dir)._1)),
     "q_embedding_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(Tables.embeddings(s, dir))),
     // spherical k-means assignment, training loop unrolled in the
@@ -4919,6 +4927,41 @@ object SparkEntry {
           |  THEN CAST(n_dead AS DOUBLE) / n_vecs ELSE 0.0 END, 6) > 0.14
           |  AS rewrite
           |FROM filled""").stripMargin.replace("\n", " "),
+    "ann_index_health" ->
+      // the maintenance decision table replayed: compact-plan
+      // arithmetic + per-cell balance + the two action columns
+      (s"""WITH ${ivfCentsCtes("")},
+          |assigned AS (SELECT vec_id, cell FROM (
+          | SELECT e.vec_id, c.cell, row_number() OVER (
+          |   PARTITION BY e.vec_id ORDER BY
+          |   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+          |     CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+          | FROM embeddings e, cents c) x WHERE rn = 1),
+          |pc AS (SELECT cell, count(*) AS n_vecs,
+          |  sum(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS n_dead
+          | FROM assigned GROUP BY 1),
+          |filled AS (SELECT s.cell,
+          |  CAST(coalesce(pc.n_vecs, 0) AS BIGINT) AS n_vecs,
+          |  CAST(coalesce(pc.n_dead, 0) AS BIGINT) AS n_dead
+          | FROM (SELECT unnest(generate_series(0, 15)) AS cell) s
+          | LEFT JOIN pc USING (cell)),
+          |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM filled),
+          |hb AS (SELECT max(round(CASE WHEN tt.total > 0
+          |  THEN CAST(f.n_vecs AS DOUBLE) * 16 / tt.total
+          |  ELSE 0.0 END, 6)) AS mx FROM filled f, tt)
+          |SELECT CAST(cell AS INT) AS cell, n_vecs, n_dead,
+          | round(CASE WHEN n_vecs > 0
+          |  THEN CAST(n_dead AS DOUBLE) / n_vecs ELSE 0.0 END, 6)
+          |  AS dead_frac,
+          | round(CASE WHEN tt.total > 0
+          |  THEN CAST(n_vecs AS DOUBLE) * 16 / tt.total
+          |  ELSE 0.0 END, 6) AS balance,
+          | CASE WHEN round(CASE WHEN n_vecs > 0
+          |   THEN CAST(n_dead AS DOUBLE) / n_vecs ELSE 0.0 END, 6) > 0.14
+          |  THEN 'rewrite' ELSE 'ok' END AS cell_action,
+          | CASE WHEN hb.mx > 1.25 THEN 'rebuild' ELSE 'ok' END
+          |  AS index_action
+          |FROM filled, tt, hb""").stripMargin.replace("\n", " "),
     "ann_ivf_cell_stats" ->
       // the cell-balance diagnostic over the same replayed pick
       (s"""WITH ${ivfCentsCtes("")},

@@ -153,6 +153,41 @@ object AnnIndex {
       .withColumn("rewrite", col("dead_frac") > maxDeadFrac)
   }
 
+  /** Index HEALTH readout — the decision table the maintenance loop
+    * exists to drive (r15), closing build → append → delete →
+    * compact with the "when do I rebuild" answer: per cell, the
+    * live/dead counts and dead fraction (the compact dial) PLUS the
+    * cell balance (n_vecs · nlist / total — the probe-concentration
+    * dial append drift moves); `cell_action` = rewrite when the dead
+    * fraction crosses `maxDeadFrac`, and `index_action` = rebuild
+    * when ANY cell's balance crosses `maxBalance` (a hot cell makes
+    * every probe that touches it scan its overweight share — the
+    * fix is retraining centroids, not compacting files, which is
+    * why it is an INDEX-level decision carried on every row).
+    * Metadata-sized: nlist rows off one cell-grain aggregate; the
+    * same plan at any corpus size. */
+  def indexHealth(spark: SparkSession, path: String,
+                  maxDeadFrac: Double = 0.14,
+                  maxBalance: Double = 1.25): DataFrame = {
+    val plan = compactPlanIvf(spark, path, maxDeadFrac)
+    val nlist = loadCentroids(spark, path).length
+    val tot = plan.agg(sum("n_vecs").as("total"))
+    import org.apache.spark.sql.expressions.Window
+    plan.crossJoin(broadcast(tot))
+      .withColumn("balance", round(
+        when(col("total") > 0,
+          col("n_vecs").cast("double") * nlist / col("total"))
+          .otherwise(0.0), 6))
+      .withColumn("cell_action",
+        when(col("rewrite"), lit("rewrite")).otherwise(lit("ok")))
+      .withColumn("index_action",
+        when(max(col("balance")).over(
+          Window.partitionBy(lit(1))) > maxBalance,
+          lit("rebuild")).otherwise(lit("ok")))
+      .select("cell", "n_vecs", "n_dead", "dead_frac", "balance",
+        "cell_action", "index_action")
+  }
+
   /** DELETE lifecycle, step 3 — compaction APPLY: cells the plan
     * flags are rewritten without their dead rows (dynamic partition
     * overwrite — untouched cells' files are never opened), and the

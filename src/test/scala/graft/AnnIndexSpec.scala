@@ -149,6 +149,60 @@ class AnnIndexSpec extends SparkSpec {
       nprobe = 12, rerank = 16, maskDeletes = true)) == masked)
   }
 
+  test("delete lifecycle invariants hold on RANDOM tombstone sets (property)") {
+    // randomized delete fractions and compact thresholds: the
+    // fixed-predicate test can't stress empty-flag, all-flag, or
+    // boundary cells. Invariants per round: masked probe ==
+    // survivors-only search; apply rewrites exactly the plan's
+    // flags; rewritten cells hold no dead rows; the log shrinks to
+    // untouched cells' dead ids; probe parity across the rewrite.
+    val rnd = new scala.util.Random(20260815L)
+    val corpus = Tables.embeddings(spark, dir).localCheckpoint(true)
+    val ids = corpus.select("vec_id").collect().map(_.getLong(0))
+    for (round <- 1 to 3) {
+      val base = Files.createTempDirectory(s"graft_ann_p$round").toString
+      val frac = 0.05 + rnd.nextDouble() * 0.4
+      val dead = ids.filter(_ => rnd.nextDouble() < frac).toSet
+      val thr = 0.05 + rnd.nextDouble() * 0.3
+      AnnIndex.buildIvf(corpus, s"$base/ivf")
+      import spark.implicits._
+      AnnIndex.deleteIvf(dead.toSeq.toDF("vec_id"), s"$base/ivf")
+      val queries = corpus.filter(col("vec_id") % 50 === 0)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val masked = pairs(AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+        maskDeletes = true))
+      assert(masked.forall { case (_, n) => !dead.contains(n) },
+        s"round $round (frac=$frac): tombstoned id surfaced")
+      val cents = AnnIndex.loadCentroids(spark, s"$base/ivf")
+      val survivors = corpus.filter(!col("vec_id")
+        .isin(dead.toSeq.map(java.lang.Long.valueOf): _*))
+      assert(masked == pairs(Similarity.ivfTopKWith(survivors, queries,
+        cents)), s"round $round: masked != survivor search")
+      val flagged = AnnIndex.compactPlanIvf(spark, s"$base/ivf", thr)
+        .filter(col("rewrite")).select("cell")
+        .collect().map(_.getInt(0)).toSet
+      assert(AnnIndex.compactApplyIvf(spark, s"$base/ivf", thr)
+        == flagged.size, s"round $round: apply != plan flags")
+      if (flagged.nonEmpty) {
+        val vecs = spark.read.parquet(s"$base/ivf/vectors")
+        assert(vecs.filter(col("cell")
+            .isin(flagged.toSeq.map(Integer.valueOf): _*))
+          .collect().forall(r => !dead.contains(r.getAs[Long]("vec_id"))),
+          s"round $round: dead rows survived the rewrite")
+        val log = AnnIndex.tombstones(spark, s"$base/ivf")
+          .collect().map(_.getLong(0)).toSet
+        val untouchedDead = vecs.filter(!col("cell")
+            .isin(flagged.toSeq.map(Integer.valueOf): _*))
+          .collect().map(_.getAs[Long]("vec_id")).filter(dead).toSet
+        assert(log == untouchedDead, s"round $round: log mismatch")
+      }
+      assert(pairs(AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+        maskDeletes = true)) == masked,
+        s"round $round: compaction changed probe answers")
+    }
+  }
+
   test("delete probe holds the survivor recall floor at the driver point") {
     // recall@10 vs exact brute force over the SURVIVOR corpus, the
     // same macro-mean metric as RecallFloors — measured ≥ the plain
