@@ -1638,7 +1638,10 @@ object SparkEntry {
       Curation.curateIncremental(
         d.filter(col("doc_id") % 10 === 0), d.filter(col("doc_id") % 10 =!= 0),
         gopherFlags = Some(sharedGopherFlagged(s, dir)),
-        dupStore = Some(sharedHistDupStore(s, dir)))
+        dupStore = Some(sharedHistDupStore(s, dir)),
+        // r15: full-pipeline parity — the delta's vectors score
+        // against the broadcast static benchmark (O(delta) daily)
+        embeddings = Some(Tables.embeddings(s, dir)))
     }),
     "q_top_supplier" -> ((s, dir) =>
       Analytics.topSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
@@ -7594,13 +7597,20 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
         |cont AS (SELECT DISTINCT c.doc_id FROM
         |  (SELECT doc_id, gram FROM g WHERE doc_id % 10 = 0 AND doc_id % 97 <> 0) c
-        |  JOIN bench USING (gram))
+        |  JOIN bench USING (gram)),
+        |sv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        | FROM embeddings),
+        |semc AS (SELECT DISTINCT c.vec_id AS doc_id
+        | FROM sv c JOIN sv b ON b.vec_id % 97 = 0
+        | WHERE c.vec_id % 10 = 0 AND c.vec_id % 97 <> 0
+        |  AND list_cosine_similarity(c.e, b.e) >= 0.4)
         |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
         |WHERE d.doc_id IN (SELECT doc_id FROM fresh)
         | AND d.doc_id NOT IN (SELECT doc_id FROM ddrop)
         | AND d.doc_id % 97 <> 0
         | AND d.doc_id NOT IN (SELECT doc_id FROM nd)
-        | AND d.doc_id NOT IN (SELECT doc_id FROM cont)""")
+        | AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+        | AND d.doc_id NOT IN (SELECT doc_id FROM semc)""")
         .stripMargin.replace("\n", " ")
       },
     "q_top_supplier" ->

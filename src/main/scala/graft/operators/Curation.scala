@@ -78,7 +78,9 @@ object Curation {
                         tau: Double = 0.5,
                         gopherFlags: Option[DataFrame] = None,
                         dupStore: Option[DataFrame] = None,
-                        maxDupFrac: Double = 0.5): DataFrame = {
+                        maxDupFrac: Double = 0.5,
+                        embeddings: Option[DataFrame] = None,
+                        semTau: Double = 0.4): DataFrame = {
     // r14 gate parity with the recomposed [[curateFull]]: the
     // 20-threshold Gopher gate leads (per-doc pure, so gating the
     // DELTA alone is exact — the same reason delta-only quality
@@ -114,12 +116,23 @@ object Curation {
       newDocs.unionByName(corpus.filter(col("doc_id") % benchMod === 0)),
       n = 3, benchMod = benchMod)
       .select("doc_id")
+    // SEMANTIC decontamination of the DELTA only (r15 — full-pipeline
+    // parity with [[curateFull]]'s r14 gate): the static benchmark
+    // slice broadcasts, only the delta's vectors score against it —
+    // the daily cost is O(delta), history is never re-scored
+    val semContaminated = embeddings
+      .map(e => Dedup.semanticDecontaminate(e, benchMod, semTau,
+          corpusIds = Some(newDocs.select(col("doc_id").as("vec_id"))))
+        .filter(col("contaminated"))
+        .select(col("vec_id").as("doc_id")))
+      .getOrElse(newDocs.select("doc_id").limit(0))
     gated
       .join(fresh, Seq("doc_id"), "left_semi")
       .join(dupDrop, Seq("doc_id"), "left_anti")
       .filter(col("doc_id") % benchMod =!= 0)
       .join(nearDup, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(semContaminated, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
   }
 

@@ -638,11 +638,17 @@ object Dedup {
     * hyperplane-LSH candidate path ([[embeddingPairs]]) unchanged.
     */
   def semanticDecontaminate(embeddings: DataFrame, benchMod: Int = 97,
-                            tau: Double = 0.4): DataFrame = {
+                            tau: Double = 0.4,
+                            corpusIds: Option[DataFrame] = None): DataFrame = {
     val bench = embeddings.filter(col("vec_id") % benchMod === 0)
       .select(col("vec_id").as("bench_id"), col("embedding").as("emb_b"))
-    val corpus = embeddings.filter(col("vec_id") % benchMod =!= 0)
+    // corpusIds restricts the STREAMED side (the incremental shape:
+    // only a delta batch probes the static broadcast benchmark — the
+    // daily cost is O(delta), history is never re-scored)
+    val corpusAll = embeddings.filter(col("vec_id") % benchMod =!= 0)
       .select(col("vec_id"), col("embedding").as("emb_c"))
+    val corpus = corpusIds.fold(corpusAll)(ids =>
+      corpusAll.join(ids.select("vec_id"), Seq("vec_id"), "left_semi"))
     val pairs = corpus.crossJoin(broadcast(bench))
       .withColumn("cosine", gf.cosineSim(col("emb_b"), col("emb_c")))
       .filter(col("cosine") >= tau)

@@ -366,6 +366,37 @@ class CurationSpec extends SparkSpec {
     assert(loose == Set(16L, 12L), s"tau gate must be the dropper: $loose")
   }
 
+  test("curateIncremental: the semantic gate drops a paraphrase-poisoned delta doc") {
+    // the r15 parity gate, pinned at spec grain because the driver's
+    // sf0.01 delta happens to be semantically clean (the gate bites
+    // at sf0.1: 2 delta docs): poison a kept delta doc's VECTOR to
+    // match a benchmark vector — token-disjoint, so every n-gram
+    // gate passes it — and only the embeddings-threaded run drops it
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val hist = docs.filter(col("doc_id") % 10 =!= 0)
+    val base = Curation.curateIncremental(delta, hist)
+      .collect().map(_.getLong(0)).toSet
+    assert(base.nonEmpty, "need a kept delta doc to poison")
+    val victim = base.min
+    // clean-table sanity: without embeddings the gate is absent
+    assert(Curation.curateIncremental(delta, hist, embeddings = Some(emb))
+      .collect().map(_.getLong(0)).toSet == base,
+      "the sf0.001 vectors must be semantically clean (else pick another victim)")
+    val benchVec = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    import org.apache.spark.sql.functions.{typedlit, when}
+    val poisoned = emb.withColumn("embedding",
+      when(col("vec_id") === victim, typedlit(benchVec))
+        .otherwise(col("embedding")))
+    val gated = Curation.curateIncremental(delta, hist,
+        embeddings = Some(poisoned))
+      .collect().map(_.getLong(0)).toSet
+    assert(gated == base - victim,
+      s"only the poisoned doc may drop: base=$base gated=$gated victim=$victim")
+  }
+
   test("curateIncremental with empty history degenerates to gopher-gated curate") {
     // day-zero bootstrap: with nothing in history, every
     // history-facing gate is vacuous (the dup-gram store is empty —
