@@ -1121,6 +1121,16 @@ object SparkEntry {
         e.filter(col("vec_id") % 97 =!= 0),
         e.filter(col("vec_id") % 97 === 0))
     }),
+    // the LEARNED quality filter (r15, the DCLM/fastText pattern):
+    // full-batch logistic GD distills the composite gate into 5
+    // float weights (train) and runs it per doc (score) — training
+    // is iters partial-agg scans each folding to ONE 5-float row,
+    // scoring a stateless projection; float-snapped steps make the
+    // whole loop oracle-replayable (the kmeans convention)
+    "text_quality_lr_train" -> ((s, dir) =>
+      operators.QualityLr.trainDf(Tables.documents(s, dir))),
+    "text_quality_lr_score" -> ((s, dir) =>
+      operators.QualityLr.score(Tables.documents(s, dir))),
     "docs_contamination_by_source" -> ((s, dir) =>
       TextAnalysis.contaminationBySource(Tables.documents(s, dir))),
     "events_key_skew" -> ((s, dir) =>
@@ -2381,6 +2391,52 @@ object SparkEntry {
     """WITH t AS (SELECT doc_id, text,
       | list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
       |FROM documents)""".stripMargin.replace("\n", " ")
+
+  /** Learned-quality-filter training replay (r15): the
+    * [[graft.operators.QualityLr]] full-batch GD unrolled — exact
+    * rational features off the stats counters, per-iteration weight
+    * CTEs with the gradient sum FLOAT-narrowed exactly as the
+    * operator narrows it, `iters` rows deep. Ends in `ff` (features
+    * + label) and `w<iters>` (the trained 5-float row). */
+  private def qualityLrCtes(iters: Int = 3): String = {
+    val feat =
+      """ffs AS (SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS BIGINT) AS punct_count,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS stopword_count,
+        | CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS token_chars
+        | FROM t),
+        |ff AS MATERIALIZED (SELECT doc_id,
+        | 1.0 AS x0,
+        | least(n_tokens, 128) / 128.0 AS x1,
+        | punct_count / greatest(n_chars, 1) AS x2,
+        | stopword_count / greatest(n_tokens, 1) AS x3,
+        | (token_chars / greatest(n_tokens, 1)) / 10.0 AS x4,
+        | CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+        |  AND least(1.0, n_tokens / 128.0)
+        |   * (1.0 - least(1.0, (punct_count / greatest(n_chars, 1)) * 4.0))
+        |   * (0.3 + 0.7 * least(1.0, (stopword_count / greatest(n_tokens, 1)) * 5.0)) >= 0.2
+        |  THEN 1.0 ELSE 0.0 END AS y
+        | FROM ffs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ff)"""
+        .stripMargin.replace("\n", " ")
+    def wCte(k: Int): String = {
+      val prev = if (k == 1) (0 until 5).map(_ => "0.0")
+        else (0 until 5).map(j => s"w${k - 1}.w$j")
+      val margin = (0 until 5).map(j => s"${prev(j)} * ff.x$j")
+        .mkString(" + ")
+      val from = if (k == 1) "FROM ff, nn" else s"FROM ff, w${k - 1}, nn"
+      val grp = if (k == 1) "GROUP BY nn.n"
+        else s"GROUP BY ${(0 until 5).map(j => s"w${k - 1}.w$j").mkString(", ")}, nn.n"
+      val cols = (0 until 5).map(j =>
+        s"CAST(${prev(j)} - 2.0 * CAST(sum((1.0 / (1.0 + exp(-($margin)))" +
+          s" - ff.y) * ff.x$j) / nn.n AS FLOAT) AS FLOAT) AS w$j")
+        .mkString(", ")
+      s"w$k AS MATERIALIZED (SELECT $cols $from $grp)"
+    }
+    feat + ", " + (1 to iters).map(wCte).mkString(", ")
+  }
 
   /** Verified blocked near-dup pairs as a CTE chain ending in
     * `m(id_a, id_b)` — the DuckDB mirror of
@@ -5028,6 +5084,28 @@ object SparkEntry {
         | coalesce(a.n_matches, 0) = 0 AS keep
         |FROM nn LEFT JOIN agg a USING (vec_id)""".stripMargin
         .replace("\n", " "),
+    "text_quality_lr_train" ->
+      // the trained model row: three float-snapped GD iterations
+      // unrolled, weights emitted as float-exact doubles
+      (toksCte + ", " + qualityLrCtes(3) + " " +
+        (0 until 5).zip(operators.QualityLr.FeatureNames).map {
+          case (j, name) =>
+            s"SELECT CAST($j AS INT) AS feature_idx, '$name' AS feature," +
+              s" CAST(w3.w$j AS DOUBLE) AS weight FROM w3"
+        }.mkString(" UNION ALL ")),
+    "text_quality_lr_score" ->
+      // the trained filter applied: sigmoid score (rounded — the one
+      // last-ulp column), hard prediction on the EXACT margin, gate
+      // label, agreement flag
+      (toksCte + ", " + qualityLrCtes(3) + """,
+        |mg AS (SELECT ff.doc_id,
+        |  w3.w0 * ff.x0 + w3.w1 * ff.x1 + w3.w2 * ff.x2
+        |   + w3.w3 * ff.x3 + w3.w4 * ff.x4 AS m, ff.y
+        | FROM ff, w3)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-m)), 6) AS score,
+        | (m >= 0.0) AS predicted, (y = 1.0) AS label,
+        | ((m >= 0.0) = (y = 1.0)) AS correct
+        |FROM mg""".stripMargin.replace("\n", " ")),
     "text_decontaminate_semantic" -> semanticDecontamSql,
     // the intake gate computes the SAME relation by definition (the
     // closure matrix replays the batch kernel's arithmetic exactly),
