@@ -1131,6 +1131,13 @@ object SparkEntry {
       operators.QualityLr.trainDf(Tables.documents(s, dir))),
     "text_quality_lr_score" -> ((s, dir) =>
       operators.QualityLr.score(Tables.documents(s, dir))),
+    // the live twin (r15): nightly-trained weights ride the plan as
+    // literals, arriving docs score row-locally — zero state, zero
+    // shuffles; arithmetic is the batch kernel's verbatim, so the
+    // batch key's oracle is shared
+    "stream_quality_lr" -> ((s, dir) =>
+      graft.streaming.DocStream.qualityLrGate(Tables.documents(s, dir),
+        operators.QualityLr.trainWeights(Tables.documents(s, dir)))),
     "docs_contamination_by_source" -> ((s, dir) =>
       TextAnalysis.contaminationBySource(Tables.documents(s, dir))),
     "events_key_skew" -> ((s, dir) =>
@@ -3351,6 +3358,9 @@ object SparkEntry {
       // deterministic micro-batches and unioned (query independence
       // = batch-split invariance), so the rows are the batch key's
       ("stream_ann_probe" -> m("ann_ivf_topk")) +
+      // the stream gate IS the batch score kernel with the trained
+      // weights as plan-time literals
+      ("stream_quality_lr" -> m("text_quality_lr_score")) +
       ("ann_index_ivfpq_probe" -> m("ann_ivfpq_topk")) +
       // exact (no evictions) while distinct keys per partition <= k
       ("events_heavy_hitters_mg" -> m("events_heavy_hitters")) +

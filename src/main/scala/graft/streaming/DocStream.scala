@@ -201,6 +201,27 @@ object DocStream {
       }.toDF()
   }
 
+  /** The learned quality filter at stream intake — the live twin of
+    * [[graft.operators.QualityLr.score]]: the nightly-trained 5-float
+    * model rides the plan as literals (the semanticGate convention:
+    * model state is plan-time constants, NOT a join side), each
+    * arriving document's exact-rational features score row-locally.
+    * Pure stateless projection — zero state, zero shuffles; the
+    * batch key's oracle is shared verbatim because the arithmetic is
+    * the batch kernel's, weights included. */
+  def qualityLrGate(docs: DataFrame, weights: Array[Float]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val f = graft.operators.QualityLr.featureLabel(docs)
+    val margin = weights.indices
+      .map(j => lit(weights(j).toDouble) * col(s"x$j")).reduce(_ + _)
+    f.withColumn("margin", margin)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("margin"))), 6).as("score"),
+        (col("margin") >= 0.0).as("predicted"),
+        (col("y") === 1.0).as("label"),
+        ((col("margin") >= 0.0) === (col("y") === 1.0)).as("correct"))
+  }
+
   case class DupGateEv(doc_id: Long, source: String, tok_chars: Long,
                        start: Int, lens: Seq[Int])
   case class DupGateRow(doc_id: Long, source: String, tok_chars: Long,

@@ -8,6 +8,7 @@ import graft.operators.QualityLr
   * re-partitioning (the float-snap claim), usefulness of the learned
   * model, and the exact-margin prediction contract. */
 class QualityLrSpec extends SparkSpec {
+  import spark.implicits._
 
   private val docs =
     graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
@@ -39,6 +40,35 @@ class QualityLrSpec extends SparkSpec {
     // its learned weight must be positive; the bias alone can't do it
     val w = QualityLr.trainWeights(docs)
     assert(w(3) > 0.0f, s"stopword_ratio weight must be positive: ${w.toSeq}")
+  }
+
+  test("stream gate over MemoryStream reproduces the batch score, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val w = QualityLr.trainWeights(docs)
+    val batch = QualityLr.score(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = graft.streaming.DocStream.qualityLrGate(mem.toDF(), w)
+      .writeStream.format("memory").queryName("lr_gate_test")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect()
+        .map(r => StreamingSpec.Doc(r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("lr_gate_test").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4))).toSet
+      assert(streamed == batch,
+        s"stream must reproduce the batch score rows: ${streamed.size} vs ${batch.size}")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty || ops.forall(_.numRowsTotal == 0),
+        "the gate must keep zero state")
+    } finally q.stop()
   }
 
   test("prediction cuts on the exact margin: predicted == (score >= 0.5) everywhere") {
