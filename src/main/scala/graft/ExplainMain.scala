@@ -92,7 +92,15 @@ object ExplainMain {
       "text_decontaminate_semantic", "stream_semantic_gate",
       "mm_audio_winnow_pairs", "mm_audio_winnow_incremental",
       "mm_audio_winnow_groups", "docs_curate_incremental",
-      "mm_audio_winnow_dedup", "stream_intake_gate")
+      "mm_audio_winnow_dedup", "stream_intake_gate",
+      // r15 batch
+      "mm_phash_winnow_pairs", "mm_phash_winnow_dedup",
+      "mm_phash_winnow_groups", "mm_phash_winnow_incremental",
+      "mm_phash_winnow_keep_best", "mm_audio_winnow_keep_best",
+      "ann_index_delete_probe", "ann_index_ivfpq_delete_probe",
+      "ann_index_compact_plan", "ann_index_health", "stream_ann_probe",
+      "text_quality_lr_train", "text_quality_lr_score",
+      "stream_quality_lr")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -1127,6 +1127,18 @@ object SparkEntry {
     // is iters partial-agg scans each folding to ONE 5-float row,
     // scoring a stateless projection; float-snapped steps make the
     // whole loop oracle-replayable (the kmeans convention)
+    // the unigram-LM tokenizer (r15, the SentencePiece family beside
+    // BPE): hard-EM training — Viterbi re-segmentation, INTEGER
+    // piece counts, float(count/total) renormalization — so the
+    // whole loop is bit-deterministic with no float folds anywhere;
+    // model = top-V pieces (bounded, broadcast-sized)
+    "text_unigram_train" -> ((s, dir) =>
+      operators.Unigram.train(Tables.documents(s, dir))),
+    // the trained tokenizer at corpus grain: per-doc word/piece
+    // counts, fertility, and an FNV path signature witnessing every
+    // segmentation decision (order-free sum mod 2^53)
+    "text_unigram_apply" -> ((s, dir) =>
+      operators.Unigram.applyTokenizer(Tables.documents(s, dir))),
     "text_quality_lr_train" -> ((s, dir) =>
       operators.QualityLr.trainDf(Tables.documents(s, dir))),
     "text_quality_lr_score" -> ((s, dir) =>
@@ -2444,6 +2456,120 @@ object SparkEntry {
     }
     feat + ", " + (1 to iters).map(wCte).mkString(", ")
   }
+
+  /** Unigram-tokenizer oracle machinery (r15): hard-EM training and
+    * Viterbi segmentation replayed end to end. [[unigramDpCte]]
+    * emits one recursive-CTE Viterbi pass over DISTINCT words under
+    * a given prob relation (4-slot sliding alpha state, longest
+    * piece wins ties — the operator's exact CASE order);
+    * [[unigramTrainCtes]] chains candidate extraction, the top-V
+    * cut, and two EM rounds. All model math is
+    * float(int count / int total) — no order-dependent float folds
+    * anywhere, so the replay is bit-exact. */
+  private def unigramDpCte(name: String, probs: String): String = {
+    // candidate branch chain, longest piece first (ties → longer)
+    def pick(expr4: String, expr3: String, expr2: String,
+             expr1: String): String =
+      s"""CASE WHEN dp.a3 * c.p4 >= dp.a2 * c.p3
+         |  AND dp.a3 * c.p4 >= dp.a1 * c.p2
+         |  AND dp.a3 * c.p4 >= dp.a0 * c.p1 THEN $expr4
+         | WHEN dp.a2 * c.p3 >= dp.a1 * c.p2
+         |  AND dp.a2 * c.p3 >= dp.a0 * c.p1 THEN $expr3
+         | WHEN dp.a1 * c.p2 >= dp.a0 * c.p1 THEN $expr2
+         | ELSE $expr1 END""".stripMargin.replace("\n", " ")
+    s"""${name}_cand AS (SELECT w.word, i.i, l.l,
+       |  substr(w.word, CAST(i.i - l.l + 1 AS INTEGER),
+       |   CAST(l.l AS INTEGER)) AS piece
+       | FROM wt w,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS i) i,
+       |  LATERAL (SELECT unnest(generate_series(1, least(i.i, 4))) AS l) l
+       | WHERE len(w.word) <= 32),
+       |${name}_cp AS (SELECT c.word, c.i,
+       |  max(CASE WHEN c.l = 1 THEN coalesce(p.p, 0.0) ELSE 0.0 END) AS p1,
+       |  max(CASE WHEN c.l = 2 THEN coalesce(p.p, 0.0) ELSE 0.0 END) AS p2,
+       |  max(CASE WHEN c.l = 3 THEN coalesce(p.p, 0.0) ELSE 0.0 END) AS p3,
+       |  max(CASE WHEN c.l = 4 THEN coalesce(p.p, 0.0) ELSE 0.0 END) AS p4
+       | FROM ${name}_cand c LEFT JOIN $probs p USING (piece)
+       | GROUP BY 1, 2),
+       |${name}_dp AS (
+       | SELECT word, 0 AS i, CAST(1.0 AS DOUBLE) AS a0,
+       |  CAST(0.0 AS DOUBLE) AS a1, CAST(0.0 AS DOUBLE) AS a2,
+       |  CAST(0.0 AS DOUBLE) AS a3,
+       |  CAST(0 AS BIGINT) AS n0, CAST(0 AS BIGINT) AS n1,
+       |  CAST(0 AS BIGINT) AS n2, CAST(0 AS BIGINT) AS n3,
+       |  CAST([] AS VARCHAR[]) AS s0, CAST([] AS VARCHAR[]) AS s1,
+       |  CAST([] AS VARCHAR[]) AS s2, CAST([] AS VARCHAR[]) AS s3
+       | FROM wt WHERE len(word) <= 32
+       | UNION ALL
+       | SELECT dp.word, dp.i + 1,
+       |  ${pick("dp.a3 * c.p4", "dp.a2 * c.p3", "dp.a1 * c.p2",
+            "dp.a0 * c.p1")},
+       |  dp.a0, dp.a1, dp.a2,
+       |  ${pick("dp.n3 + 1", "dp.n2 + 1", "dp.n1 + 1", "dp.n0 + 1")},
+       |  dp.n0, dp.n1, dp.n2,
+       |  ${pick(
+            "list_append(dp.s3, substr(dp.word, CAST(dp.i - 2 AS INTEGER), 4))",
+            "list_append(dp.s2, substr(dp.word, CAST(dp.i - 1 AS INTEGER), 3))",
+            "list_append(dp.s1, substr(dp.word, CAST(dp.i AS INTEGER), 2))",
+            "list_append(dp.s0, substr(dp.word, CAST(dp.i + 1 AS INTEGER), 1))")},
+       |  dp.s0, dp.s1, dp.s2
+       | FROM ${name}_dp dp JOIN ${name}_cp c
+       |  ON c.word = dp.word AND c.i = dp.i + 1),
+       |$name AS (
+       | SELECT dp.word, dp.n0 AS np, dp.s0 AS pieces
+       | FROM ${name}_dp dp JOIN wt ON wt.word = dp.word
+       |  AND dp.i = len(wt.word)
+       | UNION ALL
+       | SELECT word, CAST(len(word) AS BIGINT),
+       |  list_transform(range(1, CAST(len(word) + 1 AS BIGINT)),
+       |   i -> substr(word, CAST(i AS INTEGER), 1))
+       | FROM wt WHERE len(word) > 32)""".stripMargin.replace("\n", " ")
+  }
+
+  private def unigramTrainCtes: String =
+    s"""wt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n_occ
+       | FROM (SELECT unnest(toks) AS word FROM t) x GROUP BY 1),
+       |sub AS (SELECT substr(w.word, CAST(i.i AS INTEGER),
+       |   CAST(l.l AS INTEGER)) AS piece, w.n_occ
+       | FROM wt w,
+       |  LATERAL (SELECT unnest(generate_series(1, len(w.word))) AS i) i,
+       |  LATERAL (SELECT unnest(generate_series(1,
+       |    least(4, len(w.word) - i.i + 1))) AS l) l),
+       |sc AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS cnt
+       | FROM sub GROUP BY 1),
+       |v0 AS MATERIALIZED (SELECT piece, cnt FROM sc WHERE length(piece) = 1
+       | UNION ALL SELECT piece, cnt FROM (
+       |  SELECT piece, cnt FROM sc WHERE length(piece) > 1 AND cnt >= 2
+       |  ORDER BY cnt DESC, piece LIMIT 4096) tv),
+       |p0 AS MATERIALIZED (SELECT piece,
+       |  CAST(cnt / CAST((SELECT sum(cnt) FROM v0) AS DOUBLE) AS FLOAT) AS p
+       | FROM v0),
+       |${unigramDpCte("s1g", "p0")},
+       |u1 AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS uses FROM (
+       |  SELECT s1g.word, unnest(s1g.pieces) AS piece FROM s1g) x
+       | JOIN wt USING (word) GROUP BY 1),
+       |v1 AS MATERIALIZED (SELECT piece, uses, sm FROM (
+       |  SELECT v.piece, coalesce(u.uses, 0) AS uses,
+       |   CASE WHEN length(v.piece) = 1
+       |    THEN greatest(coalesce(u.uses, 0), 1)
+       |    ELSE coalesce(u.uses, 0) END AS sm
+       |  FROM v0 v LEFT JOIN u1 u USING (piece)) z WHERE sm > 0),
+       |p1 AS MATERIALIZED (SELECT piece,
+       |  CAST(sm / CAST((SELECT sum(sm) FROM v1) AS DOUBLE) AS FLOAT) AS p
+       | FROM v1),
+       |${unigramDpCte("s2g", "p1")},
+       |u2 AS (SELECT piece, CAST(sum(n_occ) AS BIGINT) AS uses FROM (
+       |  SELECT s2g.word, unnest(s2g.pieces) AS piece FROM s2g) x
+       | JOIN wt USING (word) GROUP BY 1),
+       |v2 AS MATERIALIZED (SELECT piece, uses, sm FROM (
+       |  SELECT v.piece, coalesce(u.uses, 0) AS uses,
+       |   CASE WHEN length(v.piece) = 1
+       |    THEN greatest(coalesce(u.uses, 0), 1)
+       |    ELSE coalesce(u.uses, 0) END AS sm
+       |  FROM v1 v LEFT JOIN u2 u USING (piece)) z WHERE sm > 0),
+       |p2 AS MATERIALIZED (SELECT piece,
+       |  CAST(sm / CAST((SELECT sum(sm) FROM v2) AS DOUBLE) AS FLOAT) AS p
+       | FROM v2)""".stripMargin.replace("\n", " ")
 
   /** Verified blocked near-dup pairs as a CTE chain ending in
     * `m(id_a, id_b)` — the DuckDB mirror of
@@ -5094,6 +5220,46 @@ object SparkEntry {
         | coalesce(a.n_matches, 0) = 0 AS keep
         |FROM nn LEFT JOIN agg a USING (vec_id)""".stripMargin
         .replace("\n", " "),
+    "text_unigram_train" ->
+      // hard-EM unigram training replayed end to end: candidate
+      // substrings, the top-V cut, two Viterbi re-segmentation
+      // rounds (recursive-CTE DP over distinct words), integer
+      // re-counts, float renormalization — bit-exact by construction
+      (toksCte.replace("WITH ", "WITH RECURSIVE ") + ", " +
+        unigramTrainCtes +
+        """ SELECT v2.piece, v2.uses AS n_uses,
+          | CAST(p2.p AS DOUBLE) AS prob
+          |FROM v2 JOIN p2 USING (piece)""".stripMargin.replace("\n", " ")),
+    "text_unigram_apply" ->
+      // the trained tokenizer applied: one more Viterbi pass under
+      // the final probs, per-doc fold with the FNV path signature
+      (toksCte.replace("WITH ", "WITH RECURSIVE ") + ", " +
+        unigramTrainCtes + ", " + unigramDpCte("sfin", "p2") + """,
+        |dtok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |wsig AS (SELECT word, np,
+        |  CAST(list_reduce(list_prepend(
+        |    CAST(14695981039346656037 AS HUGEINT),
+        |    list_transform(range(1, length(sj) + 1),
+        |     j -> CAST(ord(substr(sj, j, 1)) AS HUGEINT))),
+        |    (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |      CAST(b AS BIGINT))) * 1099511628211
+        |      % 18446744073709551616)
+        |   % 9007199254740992 AS BIGINT) AS sig
+        | FROM (SELECT word, np, '|' || array_to_string(pieces, '|') AS sj
+        |  FROM sfin) z),
+        |da AS (SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(ws.sig) AS BIGINT) AS sig
+        | FROM dtok dt JOIN wsig ws USING (word) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+        | CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+        | CASE WHEN coalesce(a.n_words, 0) > 0
+        |  THEN round(CAST(a.n_pieces AS DOUBLE) / a.n_words, 6)
+        |  ELSE 0.0 END AS pieces_per_word,
+        | CAST(coalesce(a.sig, 0) AS BIGINT) AS path_sig
+        |FROM documents d LEFT JOIN da a USING (doc_id)""".stripMargin
+        .replace("\n", " ")),
     "text_quality_lr_train" ->
       // the trained model row: three float-snapped GD iterations
       // unrolled, weights emitted as float-exact doubles
