@@ -455,6 +455,7 @@ object SparkEntry {
       Future(sharedDupNgramDocs(s, dir)),
       Future { sharedBasketTrunk(s, dir); sharedBasketPairs(s, dir) },
       Future(sharedBm25Postings(s, dir)),
+      Future(sharedEntityGroups(s, dir)),
       Future(annIndexPaths(s, dir)))), Duration.Inf)
     ()
   }
@@ -489,6 +490,30 @@ object SparkEntry {
       partials = Seq(sum("quantity").as("q"), sum("sale_amount").as("a")),
       merge = Seq(sum("q").as("total_quantity"), sum("a").as("total_sale_amount")))
 
+  // shared entity-resolution chain (r15): the dirty-CRM fixture, its
+  // blocked fuzzy pairs, and the transitive closure — built once and
+  // read by all three etl_entity_* keys (pairs feed the closure, the
+  // closure feeds survivorship; rebuilding the chain per key would
+  // re-pay the blocked join three times)
+  private val crmRecsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedCrmRecs(s: SparkSession, dir: String): DataFrame =
+    crmRecsCache.getOrElseUpdate((s, dir), primeTimed("crm_recs")(
+      operators.EntityResolution.synthCrmCorpus(Tables.customer(s, dir))
+        .localCheckpoint(true)))
+  private val entityPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedEntityPairs(s: SparkSession, dir: String): DataFrame =
+    entityPairsCache.getOrElseUpdate((s, dir), primeTimed("entity_pairs")(
+      operators.EntityResolution.entityPairs(sharedCrmRecs(s, dir))
+        .localCheckpoint(true)))
+  private val entityGroupsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedEntityGroups(s: SparkSession, dir: String): DataFrame =
+    entityGroupsCache.getOrElseUpdate((s, dir), primeTimed("entity_groups")(
+      operators.EntityResolution.entityGroups(sharedCrmRecs(s, dir),
+        sharedEntityPairs(s, dir)).localCheckpoint(true)))
+
   // ---- the inventory ---------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -504,6 +529,18 @@ object SparkEntry {
     "etl_incremental_summary" -> ((s, dir) => incrementalSummary(s, dir)),
     "etl_backfill_plan" -> ((s, dir) =>
       RetailEtl.backfillPlan(cleanSales(s, dir))),
+    // entity resolution over the customer dimension (r15): the MDM
+    // layer the reference's per-row cleaning stops short of —
+    // normalize → block → bounded-Levenshtein match → transitive
+    // closure → survivorship, each stage a driver key. The dirty-CRM
+    // corpus derives deterministically from `customer`
+    // (EntityResolution.synthCrmCorpus), so all three keys replay
+    // bit-for-bit in DuckDB including the fuzzy distances.
+    "etl_entity_pairs" -> ((s, dir) => sharedEntityPairs(s, dir)),
+    "etl_entity_groups" -> ((s, dir) => sharedEntityGroups(s, dir)),
+    "etl_entity_golden" -> ((s, dir) =>
+      operators.EntityResolution.goldenRecords(sharedCrmRecs(s, dir),
+        sharedEntityGroups(s, dir))),
     // §2.B analytics
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_top_unshipped" -> ((s, dir) =>
@@ -663,6 +700,16 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir))
         .select("doc_id", "fingerprint_md5")),
+    // Count-Min sketch (r15): the third mergeable sketch beside HLL
+    // and Misra-Gries — O(depth·width) counters answer point
+    // frequency queries with one-sided error; shuffle volume is
+    // O(partitions·depth·width) regardless of corpus size. Fully
+    // deterministic (FNV token hash + splitmix multiply-shift rows),
+    // so unlike the HLL twins BOTH keys are hash-oracled.
+    "text_cms_sketch" -> ((s, dir) =>
+      operators.CountMin.sketch(Tables.documents(s, dir))),
+    "text_cms_token_freq" -> ((s, dir) =>
+      operators.CountMin.topTokenEstimates(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
     // the REST of the Gopher suite (dup line/para + top-n-gram mass)
@@ -2618,6 +2665,31 @@ object SparkEntry {
         s"${u(b)}::HUGEINT)"
     }.mkString(", ")
 
+  /** Count-Min replay: per-instance token FNV (the shingle oracle's
+    * hash, sans shingling), the 4 splitmix multiply-shift rows as
+    * VALUES literals (the minhash permutation generator at the CMS
+    * seed), bucket = unsigned(a·h + b mod 2⁶⁴) mod 1024, and the
+    * (r, bucket) counter table. */
+  private def cmsCtes: String =
+    s"""ti AS MATERIALIZED (SELECT t,
+       |  list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |   list_transform(range(1, length(t) + 1),
+       |    j -> CAST(ord(substr(t, j, 1)) AS HUGEINT))),
+       |   (h, c) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+       |    CAST(c AS BIGINT))) * 1099511628211 % 18446744073709551616)
+       |   AS th
+       | FROM (SELECT list_filter(
+       |    regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents) d,
+       |  LATERAL (SELECT unnest(toks) AS t) u),
+       |pm AS (SELECT * FROM (VALUES ${minhashPermValues(4, 1337L)})
+       | AS t(r, a_hi, a_lo, b)),
+       |sk AS MATERIALIZED (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+       | FROM (SELECT pm.r,
+       |   CAST((a_lo * th + ((a_hi * th) % 4294967296) * 4294967296 + b)
+       |    % 18446744073709551616 // 18014398509481984 AS BIGINT) AS bucket
+       |  FROM ti, pm) b GROUP BY 1, 2)""".stripMargin
+
   /** Shared BPE-training CTE chain: word counts → char split (`s0`)
     * → 6 unrolled (pair-count, argmax `b{i}`, merge-fold `s{i}`)
     * iterations. `text_bpe_train` reads the `b*` relations,
@@ -3639,6 +3711,41 @@ object SparkEntry {
       .stripMargin.replace("\n", " ")
   }
 
+  /** Shared front half of the etl_entity_* oracles: the dirty-CRM
+    * derivation from `customer` (EntityResolution.synthCrmCorpus
+    * replayed), normalization, prefix blocking with the length
+    * band, and the Levenshtein-≤1 match pairs. */
+  private val crmPairsCte: String =
+    """WITH nm AS (SELECT c_custkey AS k,
+      |  list_aggregate(list_transform(range(1, 7), i ->
+      |   (['ba0','ce1','di2','fo3','gu4','hy5','jr6','ks7','lt8','mw9'])[
+      |    CAST(substr(reverse(lpad(CAST(c_custkey AS VARCHAR), 6, '0')),
+      |     CAST(i AS INT), 1) AS INT) + 1]), 'string_agg', '') AS name,
+      |  CAST(c_nationkey AS BIGINT) AS nat, c_acctbal AS bal
+      | FROM customer),
+      |v1 AS (SELECT k, substr(name, 1, 16) || substr(name, 18) AS name1,
+      |  nat, bal FROM nm WHERE k % 3 = 1),
+      |recs AS (
+      | SELECT k * 4 AS rec_id, name AS raw_name, 'crm' AS src,
+      |  nat AS nationkey, bal AS acctbal FROM nm
+      | UNION ALL SELECT k * 4 + 1, '  ' || upper(name) || ' ', 'web',
+      |  nat, bal FROM nm WHERE k % 5 = 2
+      | UNION ALL SELECT k * 4 + 2, name1, 'pos', (nat + 1) % 25,
+      |  round(bal) FROM v1
+      | UNION ALL SELECT k * 4 + 3, substr(name1, 1, 16) || substr(name1, 18),
+      |  'legacy', (nat + 1) % 25, round(bal) FROM v1 WHERE k % 6 = 1),
+      |nb AS (SELECT rec_id, src, nationkey, acctbal,
+      |  lower(trim(regexp_replace(raw_name, '\s+', ' ', 'g'))) AS norm,
+      |  substr(lower(trim(regexp_replace(raw_name, '\s+', ' ', 'g'))), 1, 6)
+      |   AS block,
+      |  length(lower(trim(regexp_replace(raw_name, '\s+', ' ', 'g')))) AS len
+      | FROM recs),
+      |pr AS (SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
+      |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev
+      | FROM nb a JOIN nb b ON a.block = b.block AND a.rec_id < b.rec_id
+      |  AND abs(a.len - b.len) <= 1
+      | WHERE levenshtein(a.norm, b.norm) <= 1)""".stripMargin
+
   private def base: Map[String, String] = Map(
     "etl_extract_typed" -> salesSql("WHERE l_linestatus = 'F'"),
     "etl_union_sources" ->
@@ -3722,6 +3829,50 @@ object SparkEntry {
          |SELECT s.day, coalesce(d.n_rows, 0) AS n_rows,
          | d.n_rows IS NULL AS is_gap
          |FROM s LEFT JOIN d ON d.day = s.day""".stripMargin.replace("\n", " "),
+    // entity resolution: the dirty-CRM derivation (syllable-encoded
+    // custkey names + deterministic deletion typos), normalization,
+    // prefix blocking with the length band, and the thresholded
+    // Levenshtein all replay verbatim — crmPairsCte is the shared
+    // front half of all three oracles
+    "etl_entity_pairs" ->
+      (crmPairsCte + """
+        |SELECT rec_a, rec_b, lev,
+        | CASE WHEN lev = 0 THEN 'exact_norm' ELSE 'fuzzy' END AS rule
+        |FROM pr""").stripMargin.replace("\n", " "),
+    "etl_entity_groups" ->
+      (crmPairsCte.replace("WITH ", "WITH RECURSIVE ") + """,
+        |e AS (SELECT rec_a AS src, rec_b AS dst FROM pr
+        |  UNION ALL SELECT rec_b, rec_a FROM pr),
+        |reach AS (SELECT rec_id, rec_id AS r FROM recs
+        |  UNION
+        |  SELECT reach.rec_id, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |lab AS (SELECT rec_id, min(r) AS entity_id FROM reach GROUP BY 1)
+        |SELECT rec_id, entity_id, rec_id = entity_id AS keep
+        |FROM lab""").stripMargin.replace("\n", " "),
+    "etl_entity_golden" ->
+      (crmPairsCte.replace("WITH ", "WITH RECURSIVE ") + """,
+        |e AS (SELECT rec_a AS src, rec_b AS dst FROM pr
+        |  UNION ALL SELECT rec_b, rec_a FROM pr),
+        |reach AS (SELECT rec_id, rec_id AS r FROM recs
+        |  UNION
+        |  SELECT reach.rec_id, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |lab AS (SELECT rec_id, min(r) AS entity_id FROM reach GROUP BY 1),
+        |m AS (SELECT l.rec_id, l.entity_id, nb.src, nb.nationkey,
+        |  nb.acctbal, nb.norm,
+        |  CASE nb.src WHEN 'crm' THEN 0 WHEN 'web' THEN 1
+        |   WHEN 'pos' THEN 2 ELSE 3 END AS prio
+        | FROM lab l JOIN nb ON nb.rec_id = l.rec_id),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY entity_id
+        |  ORDER BY prio, rec_id) AS rk FROM m),
+        |ag AS (SELECT entity_id, count(*) AS n_members,
+        |  count(DISTINCT src) AS n_sources,
+        |  max(nationkey) <> min(nationkey) AS nation_conflict,
+        |  round(max(acctbal), 2) AS acctbal_max FROM m GROUP BY 1)
+        |SELECT r.entity_id, r.rec_id AS golden_rec, r.norm AS name,
+        | r.nationkey, round(r.acctbal, 2) AS acctbal, a.n_members,
+        | a.n_sources, a.nation_conflict, a.acctbal_max
+        |FROM rn r JOIN ag a USING (entity_id)
+        |WHERE r.rk = 1""").stripMargin.replace("\n", " "),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | sum(l_extendedprice) AS sum_base_price,
@@ -4474,6 +4625,22 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint_md5
         |FROM documents""".stripMargin.replace("\n", " "),
+    "text_cms_sketch" ->
+      (s"WITH $cmsCtes " +
+        "SELECT r, bucket, cnt FROM sk").replace("\n", " "),
+    "text_cms_token_freq" ->
+      (s"""WITH $cmsCtes,
+        |ex AS (SELECT t AS tok, CAST(count(*) AS BIGINT) AS exact_cnt,
+        |  min(th) AS th FROM ti GROUP BY 1),
+        |top AS (SELECT * FROM ex ORDER BY exact_cnt DESC, tok LIMIT 30),
+        |pj AS (SELECT top.tok, top.exact_cnt, pm.r,
+        |  CAST((a_lo * th + ((a_hi * th) % 4294967296) * 4294967296 + b)
+        |   % 18446744073709551616 // 18014398509481984 AS BIGINT) AS bucket
+        | FROM top, pm)
+        |SELECT pj.tok, pj.exact_cnt, min(sk.cnt) AS cms_est,
+        | min(sk.cnt) - pj.exact_cnt AS overcount
+        |FROM pj JOIN sk USING (r, bucket)
+        |GROUP BY 1, 2""").stripMargin.replace("\n", " "),
     "text_pii_scrub" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, DupNgramCoverage, TopNgramStats, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
+import org.apache.spark.sql.graft.{BloomMightContainLong, CharShingleHashes, CharTrigrams, CmsBucket, DupNgramCoverage, TopNgramStats, ChunkMd5s, ColumnShim, CosineSimilarity, DeflateRatio, Hash64, HyperplaneSignature, MinHashSignature, MultiprobeSignatures, NearestCentroids, PcaProject, PqCosine, PqCosineResidual, PqEncode, PqEncodeResidual, ShingleHashes, SimHash64, TokenDropout, TokenNgrams, TokenShingleHashes, WinnowMd5Fingerprints}
 
 /** Column-API facade over graft's native expressions — use like
   * `org.apache.spark.sql.functions`:
@@ -27,6 +27,11 @@ object gf {
 
   /** 64-bit FNV-1a fingerprint of a string column. */
   def hash64(s: Column): Column = c(Hash64(e(s)))
+
+  /** Count-Min multiply-shift bucket of a long column: top
+    * `64 − shift` bits of `a·h + b mod 2⁶⁴` (wraparound). */
+  def cmsBucket(h: Column, a: Long, b: Long, shift: Int): Column =
+    c(CmsBucket(e(h), a, b, shift))
 
   /** Hashes of all k-token shingles of an `array<string>` column. */
   def shingleHashes(tokens: Column, k: Int): Column = c(ShingleHashes(e(tokens), k))

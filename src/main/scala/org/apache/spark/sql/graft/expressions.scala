@@ -55,6 +55,31 @@ case class Hash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Count-Min multiply-shift bucket (Dietzfelbinger): take the TOP
+  * `64 − shift` bits of the wraparound product `a·h + b mod 2⁶⁴` —
+  * the high bits mix every input bit, unlike a low-bit mask, so the
+  * depth rows are pairwise-independent-ish as the sketch bound
+  * needs. Exists as a native expression because ANSI-mode Column
+  * arithmetic rejects the deliberate overflow. */
+case class CmsBucket(child: Expression, a: Long, b: Long, shift: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(shift > 0 && shift < 64, s"shift must be in (0,64), got $shift")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_bucket"
+
+  override protected def nullSafeEval(h: Any): Any =
+    (a * h.asInstanceOf[Long] + b) >>> shift
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"((${a}L * $h + ${b}L) >>> $shift)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Hashes of all k-token shingles of a token array. */
 case class ShingleHashes(child: Expression, k: Int)
   extends UnaryExpression with ExpectsInputTypes {
