@@ -1266,6 +1266,12 @@ object SparkEntry {
       // POST-curation per-source counts (τ=1/2 → exact-IEEE sqrt)
       operators.Curation.curateTemperature(Tables.documents(s, dir),
         minQuality = 0.05, benchMod = 997)),
+    // SEMANTIC-cluster rebalancing (r15): the stratum is the k-means
+    // cell of the document's embedding, not the source label — an
+    // over-represented topic flattens even when it spans sources
+    "docs_cluster_temperature" -> ((s, dir) =>
+      operators.Curation.clusterTemperature(Tables.documents(s, dir),
+        Tables.embeddings(s, dir))),
     "q_forecast_revenue" -> ((s, dir) =>
       Analytics.forecastRevenue(Tables.lineitem(s, dir))),
     "q_priority_check" -> ((s, dir) =>
@@ -2689,6 +2695,47 @@ object SparkEntry {
        |   CAST((a_lo * th + ((a_hi * th) % 4294967296) * 4294967296 + b)
        |    % 18446744073709551616 // 18014398509481984 AS BIGINT) AS bucket
        |  FROM ti, pm) b GROUP BY 1, 2)""".stripMargin
+
+  /** Spherical-k-means replay, two Lloyd iterations unrolled (the
+    * MMR/pagerank CTE pattern on VECTOR state): assignment =
+    * per-vector cosine argmax over the centroid table (tie: cell
+    * asc, the kernel's order); update = per-(cell, dim) mean
+    * FLOAT-narrowed (summation-order ulps snap away, so both engines
+    * train on identical state); an empty cell keeps its previous
+    * centroid. Ends at `fa` = (vec_id, cell BIGINT), the final
+    * assignment — emb_kmeans_assign reads it directly, the
+    * cluster-temperature key appends its sampling tail. */
+  private def kmeansCtes: String = {
+    def assign(src: String, cents: String) =
+      s"""(SELECT vec_id, cell FROM (
+         | SELECT e.vec_id, c.cell, row_number() OVER (
+         |   PARTITION BY e.vec_id ORDER BY
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
+         | FROM $src e, $cents c) x WHERE rn = 1)"""
+    def update(assigned: String, prev: String) =
+      s"""(SELECT p.cell,
+         |  coalesce(m.emb, CAST(p.embedding AS FLOAT[])) AS embedding
+         | FROM $prev p LEFT JOIN (
+         |  SELECT a.cell, list(v ORDER BY i) AS emb FROM (
+         |   SELECT a.cell, g.i,
+         |    CAST(avg(CAST(e.embedding[g.i] AS DOUBLE)) AS FLOAT) AS v
+         |   FROM $assigned a JOIN embeddings e USING (vec_id),
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |      len(e.embedding))) AS i) g
+         |   GROUP BY 1, 2) a GROUP BY 1) m USING (cell))"""
+    s"""c0 AS MATERIALIZED (
+       | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |  embedding
+       | FROM (SELECT vec_id, embedding FROM embeddings
+       |  ORDER BY vec_id LIMIT 8) s),
+       |a0 AS MATERIALIZED ${assign("embeddings", "c0")},
+       |c1 AS MATERIALIZED ${update("a0", "c0")},
+       |a1 AS MATERIALIZED ${assign("embeddings", "c1")},
+       |c2 AS MATERIALIZED ${update("a1", "c1")},
+       |fa AS MATERIALIZED (SELECT vec_id, CAST(cell AS BIGINT) AS cell
+       | FROM ${assign("embeddings", "c2")} f)""".stripMargin
+  }
 
   /** Shared BPE-training CTE chain: word counts → char split (`s0`)
     * → 6 unrolled (pair-count, argmax `b{i}`, merge-fold `s{i}`)
@@ -5650,44 +5697,29 @@ object SparkEntry {
          |$steps
          |$unions""".stripMargin.replace("\n", " ")
     },
-    "emb_kmeans_assign" -> {
-      // two Lloyd iterations unrolled (the MMR/pagerank CTE pattern
-      // on VECTOR state): assignment = per-vector cosine argmax over
-      // the centroid table (tie: cell asc, the kernel's order);
-      // update = per-(cell, dim) mean FLOAT-narrowed (summation-order
-      // ulps snap away, so both engines train on identical state);
-      // an empty cell keeps its previous centroid
-      def assign(src: String, cents: String) =
-        s"""(SELECT vec_id, cell FROM (
-           | SELECT e.vec_id, c.cell, row_number() OVER (
-           |   PARTITION BY e.vec_id ORDER BY
-           |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-           |      CAST(c.embedding AS DOUBLE[])) DESC, c.cell) AS rn
-           | FROM $src e, $cents c) x WHERE rn = 1)"""
-      def update(assigned: String, prev: String) =
-        s"""(SELECT p.cell,
-           |  coalesce(m.emb, CAST(p.embedding AS FLOAT[])) AS embedding
-           | FROM $prev p LEFT JOIN (
-           |  SELECT a.cell, list(v ORDER BY i) AS emb FROM (
-           |   SELECT a.cell, g.i,
-           |    CAST(avg(CAST(e.embedding[g.i] AS DOUBLE)) AS FLOAT) AS v
-           |   FROM $assigned a JOIN embeddings e USING (vec_id),
-           |    LATERAL (SELECT unnest(generate_series(1,
-           |      len(e.embedding))) AS i) g
-           |   GROUP BY 1, 2) a GROUP BY 1) m USING (cell))"""
-      s"""WITH c0 AS MATERIALIZED (
-         | SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-         |  embedding
-         | FROM (SELECT vec_id, embedding FROM embeddings
-         |  ORDER BY vec_id LIMIT 8) s),
-         |a0 AS MATERIALIZED ${assign("embeddings", "c0")},
-         |c1 AS MATERIALIZED ${update("a0", "c0")},
-         |a1 AS MATERIALIZED ${assign("embeddings", "c1")},
-         |c2 AS MATERIALIZED ${update("a1", "c1")}
-         |SELECT vec_id, CAST(cell AS BIGINT) AS cell
-         |FROM ${assign("embeddings", "c2")} f"""
-        .stripMargin.replace("\n", " ")
-    },
+    "emb_kmeans_assign" ->
+      (s"WITH $kmeansCtes " +
+        "SELECT vec_id, cell FROM fa").replace("\n", " "),
+    // semantic-cluster temperature rebalancing: the kmeans loop's
+    // final assignment becomes the STRATUM of the τ=1/2 sampler —
+    // same rate arithmetic (one division + one sqrt, both
+    // correctly-rounded IEEE) and hash filter as the source-keyed
+    // temperature key, so the selected SET is engine-exact
+    "docs_cluster_temperature" ->
+      (s"""WITH $kmeansCtes,
+        |asg AS (SELECT vec_id AS doc_id, cell FROM fa),
+        |cl AS (SELECT d.doc_id, a.cell
+        | FROM documents d JOIN asg a USING (doc_id)),
+        |cnt AS (SELECT cell, count(*) AS n FROM cl GROUP BY 1),
+        |m AS (SELECT min(n) AS nmin FROM cnt),
+        |r AS (SELECT cell,
+        |  sqrt(CAST((SELECT nmin FROM m) AS DOUBLE) / CAST(n AS DOUBLE))
+        |   AS rate FROM cnt)
+        |SELECT c.doc_id, c.cell FROM cl c JOIN r USING (cell)
+        |WHERE substring(md5(CAST(c.doc_id AS VARCHAR) || ':t42'), 1, 8) <
+        | CASE WHEN r.rate >= 1.0 THEN 'g'
+        |  ELSE printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))
+        |  END""").stripMargin.replace("\n", " "),
     "ann_rrf_hybrid" ->
       // both retrievers replayed in full: dense ranks from the same
       // DOUBLE[] cosine as ann_bruteforce_topk; lexical ranks from

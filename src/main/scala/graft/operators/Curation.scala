@@ -537,6 +537,33 @@ object Curation {
       .select("doc_id", "source")
   }
 
+  /** SEMANTIC-cluster temperature rebalancing (r15 — the
+    * cluster-balance idea from the SemDeDup/DoReMi line applied at
+    * the sampling layer): the stratum is not the source LABEL but
+    * the k-means CELL of the document's embedding, so an
+    * over-represented topic is flattened even when it spans sources
+    * (and a rare topic inside a big source survives the flattening
+    * that a source-keyed rate would apply to it). Composition:
+    * [[Similarity.kmeansAssign]]'s deterministic spherical k-means
+    * (vectors never shuffle; the model is k·dim floats on the
+    * driver) labels each document, then the τ=1/2 temperature
+    * sampler runs with the cell as the stratum — `sqrt(n_min/n_c)`
+    * keep-rates, the exact-IEEE rule that replays in the oracle.
+    * Cost on top of the assignment is one O(k)-row aggregate and a
+    * stateless hash filter — the same economics as the source-keyed
+    * twin at any corpus size. */
+  def clusterTemperature(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val cells = Similarity.kmeansAssign(embeddings)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    // sampleTemperature consumes its input twice (per-stratum
+    // counts, then the rate filter) — pin the assignment join
+    val clustered = docs.select("doc_id").join(cells, "doc_id")
+      .withColumn("cluster", col("cell").cast("string"))
+      .localCheckpoint(true)
+    Sampling.sampleTemperature(clustered, "doc_id", "cluster")
+      .select("doc_id", "cell")
+  }
+
   /** Token-budget corpus selection: walk the corpus in quality order
     * (desc; ties → doc_id) and keep documents while the cumulative
     * token count stays under `tokenBudget` — "the best `B` tokens",

@@ -416,4 +416,42 @@ class CurationSpec extends SparkSpec {
     assert(full == incr, s"day-zero mismatch: ${(full -- incr, incr -- full)}")
     assert(full.nonEmpty, "vacuously-equal empty results prove nothing")
   }
+
+  test("clusterTemperature: strata are the kmeans cells, the smallest " +
+    "cell keeps everything, bigger cells flatten at sqrt(n_min/n)") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val embs = graft.sources.Tables.embeddings(spark, dir)
+    val cells = graft.operators.Similarity.kmeansAssign(embs)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+      .localCheckpoint(true)
+    val kept = Curation.clusterTemperature(docs, embs)
+      .localCheckpoint(true)
+    // every kept doc carries ITS OWN cell label
+    assert(kept.join(cells.withColumnRenamed("cell", "expected"), "doc_id")
+      .filter(col("cell") =!= col("expected")).count() === 0L)
+    val sizes = cells.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keptSizes = kept.groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nMin = sizes.values.min
+    // rate-1 strata (n == n_min) keep every member
+    sizes.filter(_._2 == nMin).keys.foreach { c =>
+      assert(keptSizes.getOrElse(c, 0L) === sizes(c),
+        s"minimum cell $c must keep all its members")
+    }
+    // brute-force replay: kept set == the per-cell hash filter at
+    // sqrt(n_min/n) exactly (the sampler is deterministic, so this
+    // is equality, not a statistical bound)
+    val expect = cells.collect().filter { r =>
+      val rate = math.sqrt(nMin.toDouble / sizes(r.getLong(1)).toDouble)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${r.getLong(0)}:t42".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      val thr = if (rate >= 1.0) "g"
+        else "%08x".format(math.floor(rate * 4294967296.0).toLong)
+      key < thr
+    }.map(_.getLong(0)).toSet
+    assert(kept.collect().map(_.getLong(0)).toSet === expect)
+  }
 }
