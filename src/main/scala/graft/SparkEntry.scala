@@ -513,6 +513,25 @@ object SparkEntry {
     entityGroupsCache.getOrElseUpdate((s, dir), primeTimed("entity_groups")(
       operators.EntityResolution.entityGroups(sharedCrmRecs(s, dir),
         sharedEntityPairs(s, dir)).localCheckpoint(true)))
+  // the HISTORY entity store (base k%7≠0 + pos feeds, resolved by
+  // their own closure) the incremental/stream intake keys probe —
+  // what yesterday's nightly batch would have persisted
+  private val entityStoreCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedEntityHistStore(s: SparkSession, dir: String): DataFrame =
+    entityStoreCache.getOrElseUpdate((s, dir), primeTimed("entity_store") {
+      val hist = sharedCrmRecs(s, dir)
+        .filter((col("rec_id") % 4).isin(0L, 2L) && col("rec_id") % 28 =!= 0)
+      operators.EntityResolution.entityStore(hist,
+        operators.EntityResolution.entityGroups(hist,
+          operators.EntityResolution.entityPairs(hist)))
+        .localCheckpoint(true)
+    })
+  // the arriving delta: the web/legacy feeds plus brand-new base
+  // records (k % 7 == 0 ⇔ rec_id % 28 == 0) with no history trace
+  private def crmDelta(s: SparkSession, dir: String): DataFrame =
+    sharedCrmRecs(s, dir)
+      .filter((col("rec_id") % 4).isin(1L, 3L) || col("rec_id") % 28 === 0)
 
   // ---- the inventory ---------------------------------------------------
 
@@ -541,6 +560,19 @@ object SparkEntry {
     "etl_entity_golden" -> ((s, dir) =>
       operators.EntityResolution.goldenRecords(sharedCrmRecs(s, dir),
         sharedEntityGroups(s, dir))),
+    // incremental attach (r15): the daily delta (web/legacy feeds +
+    // brand-new customers) matches the PERSISTED history store only —
+    // delta × store-within-block, the store never re-pairs; unmatched
+    // records found new entities (is_new)
+    "etl_entity_incremental" -> ((s, dir) =>
+      operators.EntityResolution.attachToStore(crmDelta(s, dir),
+        sharedEntityHistStore(s, dir))),
+    // streaming intake twin: the same attach kernel per micro-batch,
+    // zero state (attach depends only on the record and the store —
+    // batch-split invariance shares the incremental key's oracle)
+    "stream_entity_match" -> ((s, dir) =>
+      graft.streaming.EntityStream.attachReplay(crmDelta(s, dir),
+        sharedEntityHistStore(s, dir))),
     // §2.B analytics
     "q1_pricing_summary" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_top_unshipped" -> ((s, dir) =>
@@ -3606,6 +3638,9 @@ object SparkEntry {
       // the stream gate IS the batch score kernel with the trained
       // weights as plan-time literals
       ("stream_quality_lr" -> m("text_quality_lr_score")) +
+      // per-record attach vs the static store — batch-split invariant,
+      // so the stream replay shares the incremental key's oracle
+      ("stream_entity_match" -> m("etl_entity_incremental")) +
       ("ann_index_ivfpq_probe" -> m("ann_ivfpq_topk")) +
       // exact (no evictions) while distinct keys per partition <= k
       ("events_heavy_hitters_mg" -> m("events_heavy_hitters")) +
@@ -3920,6 +3955,38 @@ object SparkEntry {
         | a.n_sources, a.nation_conflict, a.acctbal_max
         |FROM rn r JOIN ag a USING (entity_id)
         |WHERE r.rk = 1""").stripMargin.replace("\n", " "),
+    "etl_entity_incremental" ->
+      // history = base (k%7≠0) + pos feeds resolved by their OWN
+      // closure (never touching the delta); delta = web/legacy +
+      // brand-new base records; attach = min matched store entity
+      // within block/band/lev≤1, else found a new entity
+      (crmPairsCte.replace("WITH ", "WITH RECURSIVE ") + """,
+        |hist AS (SELECT * FROM nb
+        |  WHERE rec_id % 4 IN (0, 2) AND rec_id % 28 <> 0),
+        |hp AS (SELECT a.rec_id AS rec_a, b.rec_id AS rec_b
+        | FROM hist a JOIN hist b ON a.block = b.block
+        |  AND a.rec_id < b.rec_id AND abs(a.len - b.len) <= 1
+        | WHERE levenshtein(a.norm, b.norm) <= 1),
+        |he AS (SELECT rec_a AS src, rec_b AS dst FROM hp
+        |  UNION ALL SELECT rec_b, rec_a FROM hp),
+        |hreach AS (SELECT rec_id, rec_id AS r FROM hist
+        |  UNION
+        |  SELECT hreach.rec_id, he.dst FROM hreach
+        |   JOIN he ON he.src = hreach.r),
+        |hlab AS (SELECT rec_id, min(r) AS entity_id
+        | FROM hreach GROUP BY 1),
+        |st AS (SELECT h.rec_id, h.norm, h.block, h.len, l.entity_id
+        | FROM hist h JOIN hlab l USING (rec_id)),
+        |dl AS (SELECT * FROM nb
+        |  WHERE rec_id % 4 IN (1, 3) OR rec_id % 28 = 0),
+        |att AS (SELECT d.rec_id, min(s.entity_id) AS matched
+        | FROM dl d LEFT JOIN st s ON s.block = d.block
+        |  AND abs(d.len - s.len) <= 1
+        |  AND levenshtein(d.norm, s.norm) <= 1
+        | GROUP BY 1)
+        |SELECT rec_id, coalesce(matched, rec_id) AS entity_id,
+        | matched IS NULL AS is_new
+        |FROM att""").stripMargin.replace("\n", " "),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
         | sum(l_extendedprice) AS sum_base_price,

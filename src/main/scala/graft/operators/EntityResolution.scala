@@ -138,6 +138,41 @@ object EntityResolution {
       .select(col("doc_id").as("rec_id"), col("group_id").as("entity_id"),
         col("keep"))
 
+  /** The persisted ENTITY STORE an incremental pass probes: every
+    * resolved record with its normalized name, blocking key, and
+    * entity label — what the nightly closure writes out. */
+  def entityStore(recs: DataFrame, groups: DataFrame): DataFrame =
+    normalized(recs).join(groups.select("rec_id", "entity_id"), "rec_id")
+
+  /** Incremental attach — the daily-ingest twin of the batch chain
+    * (the `dedup_incremental` economics applied to MDM): arriving
+    * records match against the persisted store ONLY (delta ×
+    * store-within-block; the store never re-pairs against itself),
+    * each attaching to the SMALLEST matched entity label or founding
+    * a new entity under its own rec_id (`is_new`). Within-batch
+    * duplicates deliberately do NOT resolve against each other —
+    * two records of one unseen customer arriving in the same batch
+    * found two entities, and the nightly closure merges them; that
+    * deferral is what keeps the intake path O(delta · block) with
+    * zero cross-delta work, the correct trade at ingest rates. */
+  def attachToStore(delta: DataFrame, store: DataFrame,
+                    maxLev: Int = 1): DataFrame = {
+    val d = normalized(delta).select(col("rec_id"),
+      col("norm").as("norm_d"), col("block"), col("len").as("len_d"))
+    val s = store.select(col("norm").as("norm_s"), col("block"),
+      col("len").as("len_s"), col("entity_id").as("store_entity"))
+    d.join(s,
+        d("block") === s("block") &&
+          abs(col("len_d") - col("len_s")) <= maxLev &&
+          levenshtein(col("norm_d"), col("norm_s"), maxLev) >= 0,
+        "left")
+      .groupBy(d("rec_id"))
+      .agg(min("store_entity").as("matched"))
+      .select(col("rec_id"),
+        coalesce(col("matched"), col("rec_id")).as("entity_id"),
+        col("matched").isNull.as("is_new"))
+  }
+
   /** Source trust order for survivorship: the operational system of
     * record wins, the decaying feeds lose. */
   private val srcPriority: Column =

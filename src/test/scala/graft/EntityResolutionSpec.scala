@@ -123,6 +123,62 @@ class EntityResolutionSpec extends SparkSpec {
     assert(cntWrong === 0L)
   }
 
+  test("incremental attach: deltas land on the store's closure label, " +
+    "new customers found entities, within-batch resolution defers") {
+    val hist = recs
+      .filter((col("rec_id") % 4).isin(0L, 2L) && col("rec_id") % 28 =!= 0)
+    val store = EntityResolution.entityStore(hist,
+      EntityResolution.entityGroups(hist, EntityResolution.entityPairs(hist)))
+      .localCheckpoint(true)
+    val delta = recs
+      .filter((col("rec_id") % 4).isin(1L, 3L) || col("rec_id") % 28 === 0)
+    val att = EntityResolution.attachToStore(delta, store)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // nothing ever attaches across customers
+    val storeEntities = store.select("entity_id").collect()
+      .map(_.getLong(0)).toSet
+    att.foreach { case (rec, (ent, isNew)) =>
+      assert(ent / 4 === rec / 4,
+        s"record $rec attached to another customer's entity $ent")
+      // an attach carries a label the store owns; a found entity is
+      // labeled by the record itself (delta rec ids are never store
+      // labels, so the two cases cannot alias)
+      if (isNew) assert(ent === rec && !storeEntities.contains(ent))
+      else assert(storeEntities.contains(ent))
+    }
+    val ks = customer.select("c_custkey").collect().map(_.getLong(0))
+    ks.filter(k => k % 5 == 2).foreach { k =>
+      val (ent, isNew) = att(k * 4 + 1)
+      if (k % 7 != 0) {
+        // web finds the base record → the store's entity label
+        assert(ent === k * 4 && !isNew)
+      } else if (k % 3 == 1) {
+        // base is absent from history; the pos feed carries the
+        // entity, so the attach lands on ITS closure label
+        assert(ent === k * 4 + 2 && !isNew)
+      } else {
+        // truly unseen customer → founds a new entity
+        assert(ent === k * 4 + 1 && isNew)
+      }
+    }
+    // legacy is 2 edits from base but 1 from pos — it attaches to the
+    // store label of the POS record, which the history closure
+    // resolved to the base: label indirection, not a direct match
+    ks.filter(k => k % 6 == 1 && k % 7 != 0).foreach { k =>
+      assert(att(k * 4 + 3) === ((k * 4, false)))
+    }
+    // the same-batch deferral: a brand-new customer arriving as BOTH
+    // base and web founds TWO entities this batch (the nightly
+    // closure merges them) — asserted wherever the fixture plants it
+    val deferred = ks.filter(k => k % 7 == 0 && k % 5 == 2 && k % 3 != 1)
+    deferred.foreach { k =>
+      assert(att(k * 4) === ((k * 4, true)))
+      assert(att(k * 4 + 1) === ((k * 4 + 1, true)))
+    }
+    assert(deferred.nonEmpty, "fixture must exercise the deferral path")
+  }
+
   test("plan: the match is a blocked equi-join — no cartesian, no " +
     "nested-loop fallback anywhere in the pair build") {
     val plan = EntityResolution.entityPairs(recs)

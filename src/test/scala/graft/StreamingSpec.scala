@@ -1662,6 +1662,50 @@ class StreamingSpec extends SparkSpec {
         s"the probe must keep zero state: ${Option(ops).map(_.mkString(",")).getOrElse("")}")
     } finally q.stop()
   }
+
+  test("stream entity intake: per-micro-batch attach = batch attach, zero state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.EntityResolution
+    val customer = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+    val recs = EntityResolution.synthCrmCorpus(customer).localCheckpoint(true)
+    val hist = recs
+      .filter((col("rec_id") % 4).isin(0L, 2L) && col("rec_id") % 28 =!= 0)
+    val store = EntityResolution.entityStore(hist,
+      EntityResolution.entityGroups(hist, EntityResolution.entityPairs(hist)))
+      .localCheckpoint(true)
+    val delta = recs
+      .filter((col("rec_id") % 4).isin(1L, 3L) || col("rec_id") % 28 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batch = rows(EntityResolution.attachToStore(delta, store))
+    assert(batch.nonEmpty && batch.exists(_._3) && batch.exists(!_._3),
+      "fixture must exercise both attach and found-new paths")
+    // the driver key's two-batch replay is row-identical
+    assert(rows(graft.streaming.EntityStream.attachReplay(delta, store)) == batch)
+    // the live path, with an empty final micro-batch (quiet intake)
+    val mem = MemoryStream[StreamingSpec.CrmRec]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Boolean)]
+    val q = graft.streaming.EntityStream.attachSink(mem.toDF(), store) { b =>
+      got ++= b.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    }
+    try {
+      val drows = delta.collect().map(r => StreamingSpec.CrmRec(
+        r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getDouble(4)))
+      mem.addData(drows.take(drows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(drows.drop(drows.length / 2): _*)
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(got.toSet == batch,
+        s"stream must reproduce the batch attach: ${got.size} vs ${batch.size}")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty || ops.forall(_.numRowsTotal == 0),
+        s"the attach must keep zero state: ${Option(ops).map(_.mkString(",")).getOrElse("")}")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
@@ -1669,4 +1713,6 @@ object StreamingSpec {
   final case class Vec(vec_id: Long, embedding: Seq[Float])
   final case class SrcDoc(doc_id: Long, source: String)
   final case class LinedDoc(doc_id: Long, text: String, source: String)
+  final case class CrmRec(rec_id: Long, raw_name: String, src: String,
+                          nationkey: Long, acctbal: Double)
 }
