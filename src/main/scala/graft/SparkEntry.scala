@@ -742,6 +742,12 @@ object SparkEntry {
       operators.CountMin.sketch(Tables.documents(s, dir))),
     "text_cms_token_freq" -> ((s, dir) =>
       operators.CountMin.topTokenEstimates(Tables.documents(s, dir))),
+    // streaming CMS maintenance (r15): the sketch as BOUNDED live
+    // state (≤ depth·width counter rows forever); replay = per-batch
+    // partial sketches summed — the state-update rule applied
+    // associatively, so the batch key's oracle is shared
+    "stream_cms_sketch" -> ((s, dir) =>
+      graft.streaming.SketchStream.sketchReplay(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir))),
     // the REST of the Gopher suite (dup line/para + top-n-gram mass)
@@ -3641,6 +3647,9 @@ object SparkEntry {
       // per-record attach vs the static store — batch-split invariant,
       // so the stream replay shares the incremental key's oracle
       ("stream_entity_match" -> m("etl_entity_incremental")) +
+      // bucket-wise additive state update — partial sketches summed
+      // equal the one-pass batch sketch
+      ("stream_cms_sketch" -> m("text_cms_sketch")) +
       ("ann_index_ivfpq_probe" -> m("ann_ivfpq_topk")) +
       // exact (no evictions) while distinct keys per partition <= k
       ("events_heavy_hitters_mg" -> m("events_heavy_hitters")) +

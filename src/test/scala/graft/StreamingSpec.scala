@@ -1706,6 +1706,42 @@ class StreamingSpec extends SparkSpec {
         s"the attach must keep zero state: ${Option(ops).map(_.mkString(",")).getOrElse("")}")
     } finally q.stop()
   }
+
+  test("stream CMS: live counters equal the batch sketch, state is " +
+    "CAPPED at depth x width no matter the vocabulary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.CountMin
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = counters(CountMin.sketch(docs))
+    assert(batch.nonEmpty)
+    // the driver key's replay (two partial sketches, summed) is
+    // counter-identical — the state-update rule is associative
+    assert(counters(graft.streaming.SketchStream.sketchReplay(docs)) == batch)
+    // the live path: a real streaming aggregation in complete mode
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = graft.streaming.SketchStream.sketchQuery(mem.toDF())
+      .writeStream.format("memory").queryName("cms_live")
+      .outputMode("complete").start()
+    try {
+      val rows = docs.select("doc_id", "text").collect()
+        .map(r => StreamingSpec.Doc(r.getLong(0), r.getString(1)))
+      mem.addData(rows.take(rows.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2): _*)
+      q.processAllAvailable()
+      assert(counters(spark.table("cms_live")) == batch,
+        "live counters must equal the one-pass batch sketch")
+      val ops = q.lastProgress.stateOperators
+      assert(ops != null && ops.nonEmpty, "the sketch IS stateful")
+      val cap = (CountMin.Depth * CountMin.Width).toLong
+      assert(ops.forall(_.numRowsTotal <= cap),
+        s"state must stay within depth*width = $cap rows: " +
+          ops.map(_.numRowsTotal).mkString(","))
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
