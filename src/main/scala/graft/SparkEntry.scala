@@ -1497,6 +1497,13 @@ object SparkEntry {
         newSigs = Some(sigs.filter(col("doc_id") % 5 === 1)))
     }),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSample(Tables.documents(s, dir))),
+    // video scene structure (r15): cuts = consecutive-frame luma
+    // jumps over the stub decode's exact-rational luma; the shot
+    // summary drives frame-sampling budgets (one keyframe per shot)
+    "mm_scene_cuts" -> ((s, dir) =>
+      Multimodal.sceneCuts(Tables.documents(s, dir))),
+    "mm_shot_stats" -> ((s, dir) =>
+      Multimodal.shotStats(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
     "q_segment_migration" -> ((s, dir) =>
@@ -2774,6 +2781,24 @@ object SparkEntry {
        |fa AS MATERIALIZED (SELECT vec_id, CAST(cell AS BIGINT) AS cell
        | FROM ${assign("embeddings", "c2")} f)""".stripMargin
   }
+
+  /** Scene-structure replay: the frame grid + the stub decode's
+    * exact-rational mean luma (the mm_pooled_topk fragment) + each
+    * frame's predecessor luma — shared front half of the two
+    * scene keys so the cut rule is written once. */
+  private def sceneLumaCtes: String =
+    """f AS (SELECT doc_id, i AS frame_idx, substr(text, i * 128 + 1, 64)
+      |  AS frame
+      | FROM documents, LATERAL (SELECT unnest(generate_series(0,
+      |   greatest((length(text) - 1) // 128, 0))) AS i) g),
+      |l AS (SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CASE WHEN length(frame) = 0 THEN 0.0 ELSE
+      |   CAST(list_sum(list_transform(range(1, length(frame) + 1),
+      |     j -> ord(substr(frame, j, 1)))) AS DOUBLE) / length(frame)
+      |  END AS ml FROM f),
+      |d AS (SELECT doc_id, frame_idx, ml, lag(ml) OVER (
+      |  PARTITION BY doc_id ORDER BY frame_idx) AS pml FROM l)"""
+      .stripMargin
 
   /** Shared BPE-training CTE chain: word counts → char split (`s0`)
     * → 6 unrolled (pair-count, argmax `b{i}`, merge-fold `s{i}`)
@@ -6550,6 +6575,23 @@ object SparkEntry {
         |FROM documents, LATERAL (SELECT unnest(generate_series(0,
         |  greatest((length(text) - 1) // 128, 0))) AS i) g""".stripMargin
         .replace("\n", " "),
+    "mm_scene_cuts" ->
+      (s"WITH $sceneLumaCtes " +
+        """SELECT doc_id, frame_idx, round(pml, 6) AS prev_luma,
+          | round(ml, 6) AS luma, round(abs(ml - pml), 6) AS delta
+          |FROM d WHERE pml IS NOT NULL AND abs(ml - pml) > 6.0"""
+          .stripMargin).replace("\n", " "),
+    "mm_shot_stats" ->
+      (s"WITH $sceneLumaCtes " +
+        """SELECT doc_id, count(*) AS n_frames,
+          | CAST(sum(CASE WHEN pml IS NOT NULL AND abs(ml - pml) > 6.0
+          |  THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+          | CAST(sum(CASE WHEN pml IS NOT NULL AND abs(ml - pml) > 6.0
+          |  THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots,
+          | round(count(*) / (sum(CASE WHEN pml IS NOT NULL
+          |   AND abs(ml - pml) > 6.0 THEN 1 ELSE 0 END) + 1.0), 6)
+          |  AS avg_shot_len
+          |FROM d GROUP BY 1""".stripMargin).replace("\n", " "),
     "mm_chunk_dedup" ->
       """SELECT frame_md5, count(DISTINCT doc_id) AS n_docs,
         | count(*) AS n_occurrences, min(doc_id) AS first_doc_id

@@ -741,6 +741,58 @@ object Multimodal {
     * mapPartitions step emits model features and nothing else
     * changes.
     */
+  /** Frames with their predecessor's luma — the shared front half of
+    * the two scene-structure keys, so the cut rule cannot drift
+    * between them. The window partitions by doc_id (frames per
+    * payload are bounded by payload size — no global window), and
+    * the luma is the decode router's: exact integer byte-sum over
+    * frame length, so the whole relation replays in the oracle. */
+  private def framesWithPrev(docs: DataFrame, frameSize: Int,
+                             stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    decodeFrames(docs, frameSize, stride).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("mean_luma"))
+      .withColumn("prev_luma", lag("mean_luma", 1).over(w))
+  }
+
+  /** Scene-CUT detection over the frame grid — the video-side
+    * structure pass (shot boundaries drive frame-sampling budgets:
+    * one keyframe per shot beats every-Nth-frame for training-data
+    * coverage). A cut is a jump in consecutive frames' mean luma
+    * above `threshold` — the classical intensity-delta detector, on
+    * the stub decode's exact-rational luma so the cut set is
+    * bit-deterministic (swap the real codec in and only the luma
+    * values change, the plan shape stays). Cost: the frame explode +
+    * one per-doc window — no shuffle beyond the doc_id partition. */
+  def sceneCuts(docs: DataFrame, frameSize: Int = 64, stride: Int = 128,
+                threshold: Double = 6.0): DataFrame =
+    framesWithPrev(docs, frameSize, stride)
+      .filter(col("prev_luma").isNotNull &&
+        abs(col("mean_luma") - col("prev_luma")) > threshold)
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("prev_luma"), 6).as("prev_luma"),
+        round(col("mean_luma"), 6).as("luma"),
+        round(abs(col("mean_luma") - col("prev_luma")), 6).as("delta"))
+
+  /** Per-payload SHOT structure summary over the same cut rule:
+    * frame count, cut count, shot count (cuts + 1), and mean shot
+    * length — the manifest a frame-sampling budget reads (long
+    * static shots sample sparsely, rapid cutting samples densely).
+    * Shares [[sceneCuts]]' front half verbatim. */
+  def shotStats(docs: DataFrame, frameSize: Int = 64, stride: Int = 128,
+                threshold: Double = 6.0): DataFrame =
+    framesWithPrev(docs, frameSize, stride)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("prev_luma").isNotNull &&
+          abs(col("mean_luma") - col("prev_luma")) > threshold, 1L)
+          .otherwise(0L)).as("n_cuts"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_shots"),
+        round(col("n_frames") / (col("n_cuts") + lit(1.0)), 6)
+          .as("avg_shot_len"))
+
   def pooledFeatures(docs: DataFrame, frameSize: Int = 64,
                      stride: Int = 128): DataFrame =
     decodeFrames(docs, frameSize, stride).toDF()

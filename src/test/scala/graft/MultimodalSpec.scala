@@ -814,6 +814,34 @@ class MultimodalSpec extends SparkSpec {
     blobs.unpersist()
   }
 
+  test("sceneCuts/shotStats: a planted luma jump is the one cut; the " +
+    "two keys agree on the cut count") {
+    // frames are 64-byte windows at stride 128: frame 0 = chars
+    // 1-64, frame 1 = chars 129-192, frame 2 = chars 257-320.
+    // 'a'(97) -> 'c'(99) is a 2.0 drift (below the 6.0 cut), then
+    // 'z'(122) is a 23.0 jump (the planted cut at frame 2)
+    val video = ("a" * 128) + ("c" * 128) + ("z" * 128)
+    val still = "m" * (3 * 128) // three identical frames: no cuts
+    val vd = Seq((0L, video), (1L, still)).toDF("doc_id", "text")
+    val cuts = Multimodal.sceneCuts(vd).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(cuts.toSeq === Seq((0L, 2L, 23.0)),
+      s"exactly the planted jump must cut: ${cuts.mkString(",")}")
+    val stats = Multimodal.shotStats(vd).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(stats(0L) === ((3L, 1L, 2L, 1.5)))
+    assert(stats(1L) === ((3L, 0L, 1L, 3.0)))
+    // cross-key parity on the real corpus: per-doc cut rows == n_cuts
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val byDoc = Multimodal.sceneCuts(real).groupBy("doc_id").count()
+    val mismatch = Multimodal.shotStats(real)
+      .join(byDoc, Seq("doc_id"), "left")
+      .filter(org.apache.spark.sql.functions.coalesce($"count",
+        org.apache.spark.sql.functions.lit(0L)) =!= $"n_cuts").count()
+    assert(mismatch === 0L)
+  }
+
   test("audioFeatures: a STEREO payload throws instead of interleaving") {
     // a linear sample walk over interleaved stereo would alternate
     // L/R and corrupt rms + zero-crossings — the mono contract must
