@@ -1918,6 +1918,22 @@ object SparkEntry {
           .groupBy(col("source").as("part"),
             (col("doc_id") % 37).as("file_id"))
           .agg(sum("n_chars").as("bytes")))),
+    // VACUUM planner (r15): snapshot-expiry decisions over the same
+    // synthetic file manifest, extended with deterministic snapshot
+    // lineage — live files keep, files removed inside the 2-snapshot
+    // time-travel window keep, older tombstones expire with their
+    // reclaimable bytes; pure metadata, O(files) rows
+    "lake_vacuum_plan" -> ((s, dir) =>
+      graft.sources.Lake.vacuumPlan(
+        Tables.documents(s, dir)
+          .groupBy(col("source").as("part"),
+            (col("doc_id") % 37).as("file_id"))
+          .agg(sum("n_chars").as("bytes"),
+            (min("doc_id") % 7).as("created_snap"),
+            when(max("doc_id") % 3 === 0,
+              min("doc_id") % 7 + 1 + max("doc_id") % 4)
+              .as("removed_snap")),
+        currentSnap = 8L, retainSnaps = 2L)),
     // batch fold of the live small-file monitor feeding the nightly
     // compaction plan: O(parts) state, trigger once 12 sub-300-byte
     // files accumulate (own oracle below)
@@ -8997,6 +9013,23 @@ object SparkEntry {
         | (se_a + se_b) * (se_a + se_b) / (se_a * se_a / (n_a - 1)
         |   + se_b * se_b / (n_b - 1)) AS welch_df
         |FROM w WHERE se_a + se_b > 0""".stripMargin.replace("\n", " "),
+    "lake_vacuum_plan" ->
+      // the manifest's snapshot lineage + the retention rule, all
+      // integer arithmetic (horizon = 8 − 2 = 6)
+      """WITH m AS (SELECT source AS part,
+        |  CAST(doc_id % 37 AS BIGINT) AS file_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  CAST(min(doc_id) % 7 AS BIGINT) AS created_snap,
+        |  CASE WHEN max(doc_id) % 3 = 0
+        |   THEN CAST(min(doc_id) % 7 + 1 + max(doc_id) % 4 AS BIGINT)
+        |   ELSE NULL END AS removed_snap
+        | FROM documents GROUP BY 1, 2),
+        |p AS (SELECT *, CASE WHEN removed_snap IS NULL THEN 'keep-live'
+        |  WHEN removed_snap >= 6 THEN 'keep-travel'
+        |  ELSE 'expire' END AS action FROM m)
+        |SELECT part, file_id, bytes, created_snap, removed_snap, action,
+        | CASE WHEN action = 'expire' THEN bytes ELSE 0 END AS reclaim_bytes
+        |FROM p""".stripMargin.replace("\n", " "),
     "lake_compaction_plan" ->
       // same manifest + the same prefix-sum rule in window SQL;
       // everything integer, bit-replayable

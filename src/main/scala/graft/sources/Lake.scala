@@ -353,6 +353,36 @@ object Lake {
       .write.mode(mode).parquet(path)
   }
 
+  /** VACUUM planner — the retention half of the lake maintenance
+    * loop beside compaction (small files) and z-order (layout):
+    * which physical files a snapshot-expiry pass may safely delete.
+    * Table-format semantics (the Delta/Iceberg rule): a file is
+    * deletable only when it is (a) no longer referenced by the live
+    * snapshot (`removed_snap` set) AND (b) its removal predates the
+    * time-travel horizon `current − retain` — a file removed inside
+    * the window must stay on disk or rollback/as-of reads break.
+    * Per file: the decision (`keep-live` / `keep-travel` /
+    * `expire`) and the bytes an expire reclaims.
+    *
+    * Scale shape: pure metadata — one projection over the file
+    * manifest (O(files) rows, never data paths); the horizon is
+    * snapshot-id arithmetic, not wall clock, so the plan is
+    * deterministic and replayable. At 100 TB the deletes this plan
+    * drives are object-store calls; no data ever shuffles.
+    */
+  def vacuumPlan(manifest: DataFrame, currentSnap: Long,
+                 retainSnaps: Long): DataFrame = {
+    require(retainSnaps >= 0, s"retention must be >= 0, got $retainSnaps")
+    val horizon = currentSnap - retainSnaps
+    manifest.select(col("part"), col("file_id"), col("bytes"),
+      col("created_snap"), col("removed_snap"),
+      when(col("removed_snap").isNull, lit("keep-live"))
+        .when(col("removed_snap") >= horizon, lit("keep-travel"))
+        .otherwise(lit("expire")).as("action"))
+      .withColumn("reclaim_bytes",
+        when(col("action") === "expire", col("bytes")).otherwise(lit(0L)))
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write

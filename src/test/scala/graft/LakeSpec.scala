@@ -356,6 +356,37 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("vacuumPlan: live and in-window files keep, only tombstones " +
+    "older than the time-travel horizon expire") {
+    // current snapshot 8, retain 2 → horizon 6: removal at 5 is
+    // reclaimable, removals at 6/7 must stay for rollback, live
+    // files (null removal) are untouchable regardless of age
+    val mf = Seq(
+      ("p", 0L, 100L, 1L, None),       // live forever
+      ("p", 1L, 200L, 1L, Some(5L)),   // stale tombstone → expire
+      ("p", 2L, 300L, 2L, Some(6L)),   // exactly at horizon → keep
+      ("p", 3L, 400L, 3L, Some(7L)),   // inside window → keep
+      ("q", 4L, 500L, 0L, Some(0L)))   // ancient tombstone → expire
+      .toDF("part", "file_id", "bytes", "created_snap", "removed_snap")
+    val plan = Lake.vacuumPlan(mf, currentSnap = 8L, retainSnaps = 2L)
+      .collect().map(r => r.getLong(1) -> (r.getString(5), r.getLong(6)))
+      .toMap
+    assert(plan(0L) === (("keep-live", 0L)))
+    assert(plan(1L) === (("expire", 200L)))
+    assert(plan(2L) === (("keep-travel", 0L)))
+    assert(plan(3L) === (("keep-travel", 0L)))
+    assert(plan(4L) === (("expire", 500L)))
+    // reclaim telescopes: total reclaimable == the expired files' mass
+    val total = Lake.vacuumPlan(mf, 8L, 2L)
+      .agg(sum("reclaim_bytes")).first().getLong(0)
+    assert(total === 700L)
+    // retention 0 reclaims every tombstone; a huge window reclaims none
+    assert(Lake.vacuumPlan(mf, 8L, 0L)
+      .filter($"action" === "expire").count() === 4L)
+    assert(Lake.vacuumPlan(mf, 8L, 100L)
+      .filter($"action" === "expire").count() === 0L)
+  }
+
   test("fileSkipping: zorder skips on the non-leading dim, single-sort cannot") {
     // x uniform via a multiplicative walk, y striped so every
     // x-prefix bucket sees the full y range — the single-sort
