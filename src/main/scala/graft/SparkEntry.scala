@@ -725,6 +725,12 @@ object SparkEntry {
       TextAnalysis.langConfusion(Tables.documents(s, dir))),
     "docs_perplexity_filter" -> ((s, dir) =>
       TextAnalysis.perplexityFilter(Tables.documents(s, dir))),
+    // Kneser–Ney reference-LM scoring (r15): the model trains on the
+    // corpus minus the held-out tenth; held-out docs exercise the
+    // backoff paths (discounted continuation, OOV floor) a
+    // self-scored MLE never reaches
+    "text_lm_kn_score" -> ((s, dir) =>
+      TextAnalysis.knScore(Tables.documents(s, dir))),
     "docs_augment_dropout" -> ((s, dir) =>
       TextAnalysis.augmentTokenDropout(Tables.documents(s, dir))),
     "docs_vocab_growth" -> ((s, dir) =>
@@ -7554,6 +7560,37 @@ object SparkEntry {
           | round(avg(-ln(c_bigram / c_first)), 6) AS avg_surprisal
           |FROM p JOIN b USING (w1, w2) JOIN f USING (w1)
           |GROUP BY doc_id""".stripMargin.replace("\n", " ")),
+    "text_lm_kn_score" ->
+      // the KN arithmetic replayed term-by-term in the SAME
+      // expression order (greatest-discount + lambda*continuation;
+      // the OOV floor 1/(2B)); only ln rides the 6-decimal round
+      (toksCte +
+        """, p AS (SELECT doc_id,
+          |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+          | FROM t WHERE len(toks) >= 2),
+          |b AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM p
+          | WHERE doc_id % 10 <> 7 GROUP BY 1, 2),
+          |f AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1, count(*) AS nf
+          | FROM b GROUP BY 1),
+          |pc AS (SELECT w2, count(*) AS np FROM b GROUP BY 1),
+          |tot AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM b),
+          |s AS (SELECT p.doc_id, b.c, f.c1, f.nf, tot.bt,
+          |  coalesce(pc.np, 0) / tot.bt AS cont
+          | FROM p LEFT JOIN b USING (w1, w2) LEFT JOIN f USING (w1)
+          |  LEFT JOIN pc USING (w2), tot),
+          |s2 AS (SELECT doc_id, c, bt,
+          |  CASE WHEN c1 IS NOT NULL THEN
+          |    greatest(coalesce(c, 0) - 0.75, 0.0) / c1
+          |     + (0.75 * nf) / c1 * cont
+          |   ELSE cont END AS p0 FROM s),
+          |s3 AS (SELECT doc_id, c, CASE WHEN p0 > 0.0 THEN p0
+          |  ELSE 1.0 / (2.0 * bt) END AS pr FROM s2)
+          |SELECT doc_id, count(*) AS n_bigrams,
+          | round(avg(-ln(pr)), 6) AS avg_surprisal,
+          | round(avg(CASE WHEN c IS NULL THEN 1.0 ELSE 0.0 END), 6)
+          |  AS oov_rate,
+          | doc_id % 10 = 7 AS held_out
+          |FROM s3 GROUP BY doc_id""".stripMargin.replace("\n", " ")),
     "docs_vocab_growth" ->
       (toksCte +
         """, f AS (SELECT unnest(list_distinct(toks)) AS word,

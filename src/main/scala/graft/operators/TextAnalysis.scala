@@ -1235,14 +1235,19 @@ object TextAnalysis {
     * size is unbounded. Score rounded to 6 decimals (ln differs in
     * the last ulp across engines).
     */
-  def lmScore(docs: DataFrame): DataFrame = {
-    val pairs = docs
+  /** (doc_id, w1, w2) bigram instances — the shared postings shape
+    * under both LM scorers. */
+  private def bigramPairs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(expr(
         "CASE WHEN size(toks) < 2 THEN array() " +
           "ELSE transform(sequence(0, size(toks) - 2), " +
           "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) END")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val pairs = bigramPairs(docs)
     val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
     val firstCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c_first"))
     pairs
@@ -1252,6 +1257,66 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(-log(col("c_bigram") / col("c_first"))), 6).as("avg_surprisal"))
+  }
+
+  /** Kneser–Ney smoothed bigram scoring against a HELD-OUT model —
+    * the reference-LM perplexity filter in its production shape
+    * (CCNet trains KenLM on a reference corpus and scores the crawl;
+    * [[lmScore]] is the self-scored MLE degenerate). The model
+    * trains on the corpus MINUS the held-out slice (`doc_id %
+    * holdoutMod == holdoutRes`); EVERY document then scores against
+    * it, and the held-out docs exercise the smoothing paths a
+    * self-scored MLE never reaches: an unseen bigram in a seen
+    * context falls to the discounted continuation backoff
+    * `λ(w1)·P_cont(w2)`, an unseen context falls to `P_cont(w2)`
+    * alone, and a fully-unseen pair lands on the `1/(2B)` OOV floor
+    * (never log 0). Absolute discount D = 0.75 — exactly
+    * representable, so every probability is fixed-order IEEE
+    * arithmetic; only `ln` needs the 6-decimal round (the
+    * [[lmScore]] precedent).
+    *
+    * Plan: the lmScore postings shape with the model aggregates
+    * restricted to the training slice — the bigram-count relation is
+    * pinned (three consumers: context totals, continuation counts,
+    * the score join), joins stay vocabulary-keyed and distributed,
+    * and the only driver-sized state is the scalar distinct-bigram
+    * total riding a broadcast. Output per doc: bigram count, mean
+    * surprisal, the unseen-bigram fraction (the OOV-pressure
+    * diagnostic), and the held-out flag.
+    */
+  def knScore(docs: DataFrame, holdoutMod: Int = 10, holdoutRes: Int = 7,
+              discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"absolute discount must be in (0,1), got $discount")
+    val pairs = bigramPairs(docs)
+    val b = pairs.filter(col("doc_id") % holdoutMod =!= holdoutRes)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+      .localCheckpoint(true)
+    val f = b.groupBy("w1").agg(sum("c_bigram").as("c_first"),
+      count(lit(1)).as("n_follow"))
+    val pc = b.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val tot = b.agg(count(lit(1)).cast("double").as("b_total"))
+    pairs
+      .join(b, Seq("w1", "w2"), "left")
+      .join(f, Seq("w1"), "left")
+      .join(pc, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("cont", coalesce(col("n_prec"), lit(0L)) / col("b_total"))
+      .withColumn("p0",
+        when(col("c_first").isNotNull,
+          greatest(coalesce(col("c_bigram"), lit(0L)) - lit(discount),
+            lit(0.0)) / col("c_first") +
+            (lit(discount) * col("n_follow")) / col("c_first") * col("cont"))
+          .otherwise(col("cont")))
+      .withColumn("p", when(col("p0") > 0.0, col("p0"))
+        .otherwise(lit(1.0) / (lit(2.0) * col("b_total"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("avg_surprisal"),
+        round(avg(when(col("c_bigram").isNull, 1.0).otherwise(0.0)), 6)
+          .as("oov_rate"))
+      .withColumn("held_out", col("doc_id") % holdoutMod === holdoutRes)
   }
 
   /** Vocabulary GROWTH curve (Heaps' law): distinct token types seen

@@ -844,4 +844,44 @@ class TextAnalysisSpec extends SparkSpec {
     // source b: 2 words, 6+3=9 chars, 2+1=3 bpe tokens
     assert(out("b") == ((1L, 2L, 9L, 3L, 1.5, 3.0)), s"b: ${out("b")}")
   }
+
+  test("knScore: hand-checked smoothing — discounted mass routes to " +
+    "continuation, unseen pairs hit the backoff chain, never log 0") {
+    import org.apache.spark.sql.functions.col
+    // train slice (ids 0..2): bigrams (a,b)x2, (a,c)x1 → B = 2
+    // distinct bigrams; context a: c1 = 3, follows 2; continuation
+    // counts: b → 1, c → 1.
+    //   P(b|a) = (2 − .75)/3 + (.75·2)/3 · (1/2) = 2/3
+    //   P(c|a) = (1 − .75)/3 + .25 · 1/2     = 1/3   (sums to 1!)
+    // held-out doc 7 "a b a d x y":
+    //   (a,b) seen → 2/3
+    //   (b,a) context b unseen in train → pure continuation of a = 0
+    //        → OOV floor 1/(2B) = 1/4
+    //   (a,d) seen context, unseen word → λ(a)·0 = 0 → floor 1/4
+    //   (d,x),(x,y) all unseen → floor 1/4
+    val docs = Seq((0L, "a b"), (1L, "a b"), (2L, "a c"),
+      (7L, "a b a d x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.knScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    def sur(ps: Seq[Double]) =
+      BigDecimal(ps.map(p => -math.log(p)).sum / ps.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) === ((1L, sur(Seq(2.0 / 3)), 0.0, false)))
+    assert(out(2L) === ((1L, sur(Seq(1.0 / 3)), 0.0, false)))
+    val exp7 = sur(Seq(2.0 / 3, 0.25, 0.25, 0.25, 0.25))
+    assert(out(7L) === ((5L, exp7, 0.8, true)),
+      s"held-out doc: ${out(7L)} vs $exp7")
+    // in-train docs can never see an unseen bigram
+    assert(out.collect { case (id, v) if id != 7L => v._3 }.forall(_ == 0.0))
+    // smoothing property on the real corpus: the held-out slice is
+    // scorable (no log-0 NaN/Inf anywhere) and strictly oov-pressured
+    val real = TextAnalysis.knScore(spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet"))
+      .localCheckpoint(true)
+    assert(real.filter(col("avg_surprisal").isNull ||
+      org.apache.spark.sql.functions.isnan(col("avg_surprisal"))).count() === 0L)
+    assert(real.filter(col("held_out") && col("oov_rate") > 0.0).count() > 0L)
+  }
 }
