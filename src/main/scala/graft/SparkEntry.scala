@@ -567,6 +567,16 @@ object SparkEntry {
     "etl_entity_incremental" -> ((s, dir) =>
       operators.EntityResolution.attachToStore(crmDelta(s, dir),
         sharedEntityHistStore(s, dir))),
+    // privacy-release audit (r15): k-anonymity + l-diversity per
+    // (nation, balance-band) class with the market segment as the
+    // sensitive attribute — the band makes classes fine enough that
+    // both failure modes actually occur at every SF; one
+    // partial-aggregable groupBy, O(classes) rows
+    "etl_anonymity_audit" -> ((s, dir) =>
+      RetailEtl.anonymityAudit(
+        Tables.customer(s, dir).withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long")),
+        Seq("c_nationkey", "bal_band"), "c_mktsegment")),
     // streaming intake twin: the same attach kernel per micro-batch,
     // zero state (attach depends only on the record and the store —
     // batch-split invariance shares the incremental key's oracle)
@@ -4011,6 +4021,18 @@ object SparkEntry {
         | a.n_sources, a.nation_conflict, a.acctbal_max
         |FROM rn r JOIN ag a USING (entity_id)
         |WHERE r.rk = 1""").stripMargin.replace("\n", " "),
+    "etl_anonymity_audit" ->
+      """SELECT c_nationkey,
+        | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        | count(*) AS class_size,
+        | count(DISTINCT c_mktsegment) AS n_sensitive,
+        | count(*) >= 5 AS k_anonymous,
+        | count(DISTINCT c_mktsegment) >= 2 AS l_diverse,
+        | CASE WHEN count(*) < 5 THEN 're_identification'
+        |  WHEN count(DISTINCT c_mktsegment) < 2
+        |   THEN 'attribute_disclosure'
+        |  ELSE 'none' END AS risk
+        |FROM customer GROUP BY 1, 2""".stripMargin.replace("\n", " "),
     "etl_entity_incremental" ->
       // history = base (k%7≠0) + pos feeds resolved by their OWN
       // closure (never touching the delta); delta = web/legacy +

@@ -403,6 +403,38 @@ object RetailEtl {
       .withColumn("passes", col("n_violations") === 0L)
   }
 
+  /** Privacy-release audit over quasi-identifiers (r15 — the
+    * governance gate beside the PII scrub): k-ANONYMITY and
+    * l-DIVERSITY per equivalence class. A class (one combination of
+    * the quasi-identifier columns) smaller than `k` re-identifies
+    * its members by linkage; a class whose SENSITIVE attribute takes
+    * fewer than `l` distinct values discloses that attribute even
+    * without re-identification (everyone in the class shares it) —
+    * the two standard release criteria (Sweeney 2002; Machanavajjhala
+    * et al. 2007). `risk` names the dominant failure so the steward
+    * reads one column.
+    *
+    * Scale shape: ONE partial-aggregable groupBy on the
+    * quasi-identifier tuple — count + count-distinct, map-side
+    * combinable; output is O(#classes) rows at any table size. The
+    * fix for a failing class (generalize a quasi-identifier, i.e.
+    * coarsen a column) is a re-run with a coarser expression — the
+    * audit itself never moves data.
+    */
+  def anonymityAudit(df: DataFrame, quasi: Seq[String], sensitive: String,
+                     k: Int = 5, l: Int = 2): DataFrame = {
+    require(quasi.nonEmpty, "anonymityAudit needs quasi-identifier columns")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("n_sensitive"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+      .withColumn("risk",
+        when(!col("k_anonymous"), lit("re_identification"))
+          .when(!col("l_diverse"), lit("attribute_disclosure"))
+          .otherwise(lit("none")))
+  }
+
   /** Functional-dependency audit — the schema-contract check a
     * pipeline runs on a feed whose documentation CLAIMS "column Y is
     * determined by key X" (a denormalized attribute, a business

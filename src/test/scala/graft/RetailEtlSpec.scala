@@ -478,4 +478,27 @@ class RetailEtlSpec extends SparkSpec {
       Seq("a" -> fresh, "b" -> fresh)).collect()
     assert(twin.forall(!_.getBoolean(5)), "equal feeds must not read stale")
   }
+
+  test("anonymityAudit: small classes re-identify, homogeneous classes " +
+    "disclose, size wins the precedence") {
+    import spark.implicits._
+    val rows =
+      // class (1, "x"): 5 members, 2 sensitive values → clean
+      Seq((1, "x", "A"), (1, "x", "A"), (1, "x", "B"), (1, "x", "B"),
+        (1, "x", "A")) ++
+        // class (2, "x"): 3 members (diverse!) → re_identification
+        Seq((2, "x", "A"), (2, "x", "B"), (2, "x", "C")) ++
+        // class (3, "y"): 6 members, ONE sensitive value →
+        // attribute_disclosure (k holds, l fails)
+        Seq.fill(6)((3, "y", "A"))
+    val df = rows.toDF("nation", "band", "segment")
+    val out = RetailEtl.anonymityAudit(df, Seq("nation", "band"), "segment")
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5),
+          r.getString(6))).toMap
+    assert(out((1, "x")) === ((5L, 2L, true, true, "none")))
+    assert(out((2, "x")) === ((3L, 3L, false, true, "re_identification")),
+      "a small class re-identifies even when the sensitive column is diverse")
+    assert(out((3, "y")) === ((6L, 1L, true, false, "attribute_disclosure")))
+  }
 }
