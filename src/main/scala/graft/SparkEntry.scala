@@ -567,6 +567,21 @@ object SparkEntry {
     "etl_entity_incremental" -> ((s, dir) =>
       operators.EntityResolution.attachToStore(crmDelta(s, dir),
         sharedEntityHistStore(s, dir))),
+    // right-to-be-forgotten cascade (r15): plan = per-request row
+    // counts through customer → orders → lineitem; apply = per-table
+    // before/removed/after with structural referential integrity
+    // (requests: every 53rd customer — the deterministic stand-in
+    // for the day's deletion queue)
+    "etl_rtbf_plan" -> ((s, dir) =>
+      RetailEtl.rtbfPlan(
+        Tables.customer(s, dir).filter(col("c_custkey") % 53 === 3),
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    "etl_rtbf_apply" -> ((s, dir) =>
+      RetailEtl.rtbfApply(
+        Tables.customer(s, dir).filter(col("c_custkey") % 53 === 3),
+        Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
     // privacy-release audit (r15): k-anonymity + l-diversity per
     // (nation, balance-band) class with the market segment as the
     // sensitive attribute — the band makes classes fine enough that
@@ -4021,6 +4036,38 @@ object SparkEntry {
         | a.n_sources, a.nation_conflict, a.acctbal_max
         |FROM rn r JOIN ag a USING (entity_id)
         |WHERE r.rk = 1""").stripMargin.replace("\n", " "),
+    "etl_rtbf_plan" ->
+      """WITH r AS (SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey % 53 = 3),
+        |o AS (SELECT r.c_custkey, o_orderkey FROM orders
+        | JOIN r ON o_custkey = r.c_custkey),
+        |oc AS (SELECT c_custkey, count(*) AS n_orders FROM o GROUP BY 1),
+        |lc AS (SELECT o.c_custkey, count(*) AS n_lineitems
+        | FROM o JOIN lineitem ON l_orderkey = o.o_orderkey GROUP BY 1)
+        |SELECT r.c_custkey, coalesce(oc.n_orders, 0) AS n_orders,
+        | coalesce(lc.n_lineitems, 0) AS n_lineitems,
+        | 1 + coalesce(oc.n_orders, 0) + coalesce(lc.n_lineitems, 0)
+        |  AS n_rows_total
+        |FROM r LEFT JOIN oc USING (c_custkey)
+        | LEFT JOIN lc USING (c_custkey)""".stripMargin.replace("\n", " "),
+    "etl_rtbf_apply" ->
+      """WITH r AS (SELECT DISTINCT c_custkey FROM customer
+        |  WHERE c_custkey % 53 = 3),
+        |ca AS (SELECT count(*) AS a FROM customer
+        | WHERE c_custkey NOT IN (SELECT c_custkey FROM r)),
+        |oa AS (SELECT count(*) AS a FROM orders
+        | WHERE o_custkey NOT IN (SELECT c_custkey FROM r)),
+        |la AS (SELECT count(*) AS a FROM lineitem
+        | WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey NOT IN (SELECT c_custkey FROM r))),
+        |cb AS (SELECT count(*) AS b FROM customer),
+        |ob AS (SELECT count(*) AS b FROM orders),
+        |lb AS (SELECT count(*) AS b FROM lineitem)
+        |SELECT 'customer' AS "table", cb.b AS rows_before,
+        | cb.b - ca.a AS rows_removed, ca.a AS rows_after FROM cb, ca
+        |UNION ALL SELECT 'orders', ob.b, ob.b - oa.a, oa.a FROM ob, oa
+        |UNION ALL SELECT 'lineitem', lb.b, lb.b - la.a, la.a
+        |FROM lb, la""".stripMargin.replace("\n", " "),
     "etl_anonymity_audit" ->
       """SELECT c_nationkey,
         | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,

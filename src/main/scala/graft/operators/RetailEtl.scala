@@ -435,6 +435,70 @@ object RetailEtl {
           .otherwise(lit("none")))
   }
 
+  /** Right-to-be-forgotten CASCADE planner (r15 — the erasure half
+    * of the governance family: the anonymity audit says what a
+    * release may show, this says what a deletion request must
+    * touch): per requested customer, the row counts the cascade
+    * reaches through the foreign-key chain customer → orders →
+    * lineitem. The plan is what an operator reviews and a compliance
+    * log records BEFORE any data moves — the `lake_compaction_plan`
+    * plan/apply discipline applied to erasure.
+    *
+    * Scale shape: the request list is ingest-sized (broadcast
+    * semi-join side); orders filter by one broadcast probe, lineitem
+    * counts ride the natural o_orderkey shuffle join. Output is
+    * O(requests) rows.
+    */
+  def rtbfPlan(requests: DataFrame, customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame): DataFrame = {
+    val reqs = requests.select(col("c_custkey")).distinct()
+    val reqOrders = orders
+      .join(broadcast(reqs), orders("o_custkey") === reqs("c_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"))
+    val liCounts = reqOrders
+      .join(lineitem, reqOrders("o_orderkey") === lineitem("l_orderkey"))
+      .groupBy("c_custkey").agg(count(lit(1)).as("n_lineitems"))
+    val ordCounts = reqOrders.groupBy("c_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    reqs.join(customer.select(col("c_custkey")), Seq("c_custkey"), "left_semi")
+      .join(ordCounts, Seq("c_custkey"), "left")
+      .join(liCounts, Seq("c_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_lineitems"), lit(0L)).as("n_lineitems"),
+        (lit(1L) + coalesce(col("n_orders"), lit(0L)) +
+          coalesce(col("n_lineitems"), lit(0L))).as("n_rows_total"))
+  }
+
+  /** EXECUTE the erasure cascade — the apply half: per table, rows
+    * before / removed / after, where removal is the anti-join
+    * against the request closure (customers by key, orders by
+    * custkey, lineitems by surviving-order key). Conservation and
+    * referential integrity are structural: removed ≡ before − after,
+    * and no surviving lineitem can reference a removed order because
+    * the lineitem filter IS the surviving-orders semi-join. The
+    * summary is O(3) rows; at 100 TB the deletes this drives are the
+    * per-partition anti-join rewrite. */
+  def rtbfApply(requests: DataFrame, customer: DataFrame, orders: DataFrame,
+                lineitem: DataFrame): DataFrame = {
+    val reqs = requests.select(col("c_custkey")).distinct()
+    val custAfter = customer.join(broadcast(reqs), Seq("c_custkey"),
+      "left_anti")
+    val ordAfter = orders.join(broadcast(reqs),
+      orders("o_custkey") === reqs("c_custkey"), "left_anti")
+    val liAfter = lineitem.join(ordAfter.select(col("o_orderkey")),
+      lineitem("l_orderkey") === ordAfter("o_orderkey"), "left_semi")
+    def row(name: String, before: DataFrame, after: DataFrame) =
+      before.agg(count(lit(1)).as("rows_before"))
+        .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+        .select(lit(name).as("table"), col("rows_before"),
+          (col("rows_before") - col("rows_after")).as("rows_removed"),
+          col("rows_after"))
+    row("customer", customer, custAfter)
+      .unionByName(row("orders", orders, ordAfter))
+      .unionByName(row("lineitem", lineitem, liAfter))
+  }
+
   /** Functional-dependency audit — the schema-contract check a
     * pipeline runs on a feed whose documentation CLAIMS "column Y is
     * determined by key X" (a denormalized attribute, a business

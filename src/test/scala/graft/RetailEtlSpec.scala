@@ -501,4 +501,34 @@ class RetailEtlSpec extends SparkSpec {
       "a small class re-identifies even when the sensitive column is diverse")
     assert(out((3, "y")) === ((6L, 1L, true, false, "attribute_disclosure")))
   }
+
+  test("rtbf: the plan's counts are exactly what apply removes, and " +
+    "the cascade reaches every dependent row") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val ords = graft.sources.Tables.orders(spark, dir)
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val reqs = cust.filter(col("c_custkey") % 53 === 3)
+    val plan = RetailEtl.rtbfPlan(reqs, cust, ords, li).localCheckpoint(true)
+    val apply = RetailEtl.rtbfApply(reqs, cust, ords, li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // plan/apply parity per table
+    val planTotals = plan.agg(count(lit(1)), sum("n_orders"),
+      sum("n_lineitems")).head()
+    assert(apply("customer")._2 === planTotals.getLong(0))
+    assert(apply("orders")._2 === planTotals.getLong(1))
+    assert(apply("lineitem")._2 === planTotals.getLong(2))
+    // conservation: removed + after == before, every table
+    apply.values.foreach { case (before, removed, after) =>
+      assert(before === removed + after) }
+    // the cascade is COMPLETE: apply's orders removal equals the
+    // requested customers' full order count (nothing escapes), and
+    // the fixture actually cascades (some request has orders)
+    val directOrders = ords.join(reqs.select("c_custkey"),
+      ords("o_custkey") === reqs("c_custkey"), "left_semi").count()
+    assert(apply("orders")._2 === directOrders)
+    assert(directOrders > 0L, "fixture must exercise the cascade")
+  }
 }
