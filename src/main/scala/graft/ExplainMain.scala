@@ -100,7 +100,14 @@ object ExplainMain {
       "ann_index_delete_probe", "ann_index_ivfpq_delete_probe",
       "ann_index_compact_plan", "ann_index_health", "stream_ann_probe",
       "text_quality_lr_train", "text_quality_lr_score",
-      "stream_quality_lr")
+      "stream_quality_lr",
+      // r15 second batch
+      "etl_entity_pairs", "etl_entity_groups", "etl_entity_golden",
+      "etl_entity_incremental", "stream_entity_match",
+      "text_cms_sketch", "text_cms_token_freq", "stream_cms_sketch",
+      "docs_cluster_temperature", "mm_scene_cuts", "mm_shot_stats",
+      "lake_vacuum_plan", "text_lm_kn_score", "etl_anonymity_audit",
+      "etl_rtbf_plan", "etl_rtbf_apply")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

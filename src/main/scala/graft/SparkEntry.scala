@@ -649,6 +649,11 @@ object SparkEntry {
       Analytics.survivalCurve(Tables.orders(s, dir))),
     "q_holt_forecast" -> ((s, dir) =>
       Analytics.holtForecast(Tables.lineitem(s, dir))),
+    // seasonal extension (r15): level + trend + rotating 12-slot
+    // seasonal index; init from exact cent sums, recursion unrolled
+    // in the oracle with the seasonal LIST as recursive state
+    "q_holtwinters_forecast" -> ((s, dir) =>
+      Analytics.holtWintersForecast(Tables.lineitem(s, dir))),
     "q_decile_lift" -> ((s, dir) =>
       Analytics.decileLift(Tables.orders(s, dir))),
     "events_rolling_active_users" -> ((s, dir) =>
@@ -4458,6 +4463,50 @@ object SparkEntry {
         |        * CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 9)
         | END AS autocorr
         |FROM s""".stripMargin.replace("\n", " "),
+    "q_holtwinters_forecast" ->
+      // the triple-smoothing recursion with the rotating seasonal
+      // LIST as recursive state: sl[1] is the current month's index,
+      // consumed from the head, re-appended updated at the tail; the
+      // l2 expression repeats inline in t2/s2/tail (a recursive CTE
+      // step cannot name intermediates) and every (1 - k) stays
+      // unevaluated — the holtForecast double-identity convention
+      """WITH RECURSIVE m AS (SELECT
+        |  date_trunc('month', CAST(l_shipdate AS DATE)) AS mth,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT)
+        |   AS c
+        | FROM lineitem GROUP BY 1),
+        |s AS (SELECT mth, c, CAST(c AS DOUBLE) / 10000.0 AS x,
+        |  row_number() OVER (ORDER BY mth) AS i FROM m),
+        |init AS (SELECT
+        |  (SELECT CAST(sum(c) AS DOUBLE) / 10000.0 / 12.0 FROM s
+        |    WHERE i <= 12) AS m1,
+        |  (SELECT CAST(sum(c) AS DOUBLE) / 10000.0 / 12.0 FROM s
+        |    WHERE i BETWEEN 13 AND 24) AS m2),
+        |seas0 AS (SELECT list(x - (SELECT m1 FROM init) ORDER BY i) AS sl
+        | FROM s WHERE i <= 12),
+        |r AS (
+        | SELECT CAST(12 AS BIGINT) AS i, CAST(NULL AS DATE) AS mth,
+        |  CAST(NULL AS DOUBLE) AS x,
+        |  (SELECT m1 FROM init) AS lvl,
+        |  (SELECT (m2 - m1) / 12.0 FROM init) AS tr,
+        |  CAST(NULL AS DOUBLE) AS snew, CAST(NULL AS DOUBLE) AS fitted,
+        |  (SELECT sl FROM seas0) AS sl
+        | UNION ALL
+        | SELECT s.i, s.mth, s.x,
+        |  0.3 * (s.x - r.sl[1]) + (1 - 0.3) * (r.lvl + r.tr),
+        |  0.1 * ((0.3 * (s.x - r.sl[1]) + (1 - 0.3) * (r.lvl + r.tr))
+        |    - r.lvl) + (1 - 0.1) * r.tr,
+        |  0.2 * (s.x - (0.3 * (s.x - r.sl[1])
+        |    + (1 - 0.3) * (r.lvl + r.tr))) + (1 - 0.2) * r.sl[1],
+        |  r.lvl + r.tr + r.sl[1],
+        |  r.sl[2:12] || [0.2 * (s.x - (0.3 * (s.x - r.sl[1])
+        |    + (1 - 0.3) * (r.lvl + r.tr))) + (1 - 0.2) * r.sl[1]]
+        | FROM r JOIN s ON s.i = r.i + 1)
+        |SELECT mth AS month, round(x, 6) AS revenue,
+        | round(lvl, 6) AS level, round(tr, 6) AS trend,
+        | round(snew, 6) AS seasonal, round(fitted, 6) AS fitted
+        |FROM r WHERE i > 12""".stripMargin.replace("\n", " "),
     "q_holt_forecast" ->
       // the identical recursion as a recursive CTE; (1 - 0.3) left
       // unevaluated — the literal 0.7 is a DIFFERENT double

@@ -1628,6 +1628,70 @@ object Analytics {
         round(col("fitted"), 6).as("fitted"))
   }
 
+  /** Additive HOLT–WINTERS (triple exponential smoothing) — the
+    * seasonal extension of [[holtForecast]]: level + trend + a
+    * rotating 12-slot seasonal index, the standard monthly-revenue
+    * forecaster when the series has a repeating annual shape the
+    * level/trend pair systematically laggs. Classical
+    * initialization: level₀ = mean of year 1, trend₀ = (mean of
+    * year 2 − mean of year 1)/12, seasonal₀ = year-1 deviations from
+    * its mean — all three derived from EXACT integer cent sums (one
+    * double division chain each), so the whole recursion starts from
+    * bit-identical state in both engines and every subsequent update
+    * is a fixed-order double expression (the `(1 - 0.3)` unevaluated
+    * literal convention from holtForecast). The oracle unrolls the
+    * recursion as a recursive CTE whose state carries the rotating
+    * seasonal LIST — `sl[1]` is always the current month's index,
+    * consumed from the head and re-appended updated at the tail.
+    *
+    * Scale: identical to holtForecast — the monthly series is
+    * calendar-bounded (83 rows here; ~1200 for a century), so the
+    * driver-side fold is O(months) after ONE distributed exact-cents
+    * aggregate; nothing else leaves the cluster.
+    */
+  def holtWintersForecast(lineitem: DataFrame, alpha: Double = 0.3,
+                          beta: Double = 0.1, gamma: Double = 0.2,
+                          period: Int = 12): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+    val monthly = lineitem
+      .groupBy(date_trunc("month", to_date(col("l_shipdate"))).cast("date")
+        .as("mth"))
+      .agg(sum(centsX).as("c"))
+      .orderBy("mth")
+      .as[(java.sql.Date, Long)].collect() // O(months), calendar-bounded
+    require(monthly.length >= 2 * period,
+      s"Holt-Winters needs >= ${2 * period} months, got ${monthly.length}")
+    val xs = monthly.map(_._2.toDouble / 10000.0)
+    // init from exact integer cent sums (one division chain each)
+    val mean1 = (monthly.take(period).map(_._2).sum.toDouble / 10000.0) /
+      period.toDouble
+    val mean2 = (monthly.slice(period, 2 * period).map(_._2).sum.toDouble /
+      10000.0) / period.toDouble
+    var lvl = mean1
+    var tr = (mean2 - mean1) / period.toDouble
+    val seas = scala.collection.mutable.Queue(
+      xs.take(period).map(_ - mean1): _*)
+    val rows = (period until monthly.length).map { i =>
+      val x = xs(i)
+      val sOld = seas.dequeue()
+      val fitted = lvl + tr + sOld
+      val l2 = alpha * (x - sOld) + (1 - alpha) * (lvl + tr)
+      val t2 = beta * (l2 - lvl) + (1 - beta) * tr
+      val s2 = gamma * (x - l2) + (1 - gamma) * sOld
+      lvl = l2; tr = t2
+      seas.enqueue(s2)
+      (monthly(i)._1, x, l2, t2, s2, fitted)
+    }
+    rows.toDF("month", "revenue", "level", "trend", "seasonal", "fitted")
+      .select(col("month"), round(col("revenue"), 6).as("revenue"),
+        round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("fitted"), 6).as("fitted"))
+  }
+
   /** Kaplan–Meier customer survival curve — the censoring-aware
     * answer to "how long does a customer stay", where a naive
     * average lifetime is biased DOWN by every customer who is still

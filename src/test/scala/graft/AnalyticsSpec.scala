@@ -761,4 +761,36 @@ class AnalyticsSpec extends SparkSpec {
       maxLag = 1).collect().head
     assert(flat.isNullAt(2), s"flat must be null: $flat")
   }
+
+  test("holtWinters: a perfectly periodic series fits EXACTLY — zero " +
+    "trend, constant seasonal indices, fitted == revenue") {
+    // 36 months, revenue(t) = 100 + 10·(t mod 12): the annual shape
+    // the level/trend pair cannot represent but triple smoothing
+    // nails. Classical init on exact cent sums makes every update a
+    // fixed point: lvl stays at the year mean (155), trend at 0,
+    // seasonal at the true deviation — so fitted must equal revenue
+    // to the bit, not approximately.
+    val rows = (0 until 36).map { t =>
+      val price = 100.0 + 10.0 * (t % 12)
+      val m = java.sql.Date.valueOf(f"${1995 + t / 12}%04d-${t % 12 + 1}%02d-15")
+      (price, 0.0, m)
+    }
+    val li = rows.toDF("l_extendedprice", "l_discount", "l_shipdate")
+    val out = Analytics.holtWintersForecast(li).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.length === 24)
+    out.foreach { case (revenue, level, trend, seasonal, fitted) =>
+      assert(fitted === revenue, s"periodic series must fit exactly: " +
+        s"fitted $fitted vs revenue $revenue")
+      assert(level === 155.0 && trend === 0.0)
+      assert(seasonal === revenue - 155.0)
+    }
+    // and the guard: too short a series fails fast, not garbage-fits
+    val short = rows.take(20).toDF("l_extendedprice", "l_discount",
+      "l_shipdate")
+    intercept[IllegalArgumentException] {
+      Analytics.holtWintersForecast(short)
+    }
+  }
 }
