@@ -107,7 +107,8 @@ object ExplainMain {
       "text_cms_sketch", "text_cms_token_freq", "stream_cms_sketch",
       "docs_cluster_temperature", "mm_scene_cuts", "mm_shot_stats",
       "lake_vacuum_plan", "text_lm_kn_score", "etl_anonymity_audit",
-      "etl_rtbf_plan", "etl_rtbf_apply")
+      "etl_rtbf_plan", "etl_rtbf_apply", "q_holtwinters_forecast",
+      "q_forecast_backtest", "mm_keyframe_sample")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -654,6 +654,10 @@ object SparkEntry {
     // in the oracle with the seasonal LIST as recursive state
     "q_holtwinters_forecast" -> ((s, dir) =>
       Analytics.holtWintersForecast(Tables.lineitem(s, dir))),
+    // the model-selection readout: one-step-ahead MAE/MAPE per
+    // smoother, computed on the published (rounded) fitted columns
+    "q_forecast_backtest" -> ((s, dir) =>
+      Analytics.forecastBacktest(Tables.lineitem(s, dir))),
     "q_decile_lift" -> ((s, dir) =>
       Analytics.decileLift(Tables.orders(s, dir))),
     "events_rolling_active_users" -> ((s, dir) =>
@@ -1540,6 +1544,10 @@ object SparkEntry {
       Multimodal.sceneCuts(Tables.documents(s, dir))),
     "mm_shot_stats" -> ((s, dir) =>
       Multimodal.shotStats(Tables.documents(s, dir))),
+    // the budget consumer: one keyframe per shot (first frame of
+    // each), numbered in playback order — same shared cut rule
+    "mm_keyframe_sample" -> ((s, dir) =>
+      Multimodal.keyframeSample(Tables.documents(s, dir))),
     "mm_chunk_dedup" -> ((s, dir) => Multimodal.chunkDedup(Tables.documents(s, dir))),
     "q_priority_mix" -> ((s, dir) => Analytics.priorityMix(Tables.orders(s, dir))),
     "q_segment_migration" -> ((s, dir) =>
@@ -4463,6 +4471,58 @@ object SparkEntry {
         |        * CAST(n_pairs * sbb - sb * sb AS DOUBLE)), 9)
         | END AS autocorr
         |FROM s""".stripMargin.replace("\n", " "),
+    "q_forecast_backtest" ->
+      // BOTH recursion chains composed verbatim (the holt and
+      // holt-winters oracles' CTEs side by side over one monthly
+      // series), errors on the ROUNDED published columns
+      """WITH RECURSIVE m AS (SELECT
+        |  date_trunc('month', CAST(l_shipdate AS DATE)) AS mth,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS HUGEINT)
+        |   AS c
+        | FROM lineitem GROUP BY 1),
+        |s AS (SELECT mth, c, CAST(c AS DOUBLE) / 10000.0 AS x,
+        |  row_number() OVER (ORDER BY mth) AS i FROM m),
+        |rh AS (
+        | SELECT i, x, x AS lvl, CAST(0.0 AS DOUBLE) AS tr,
+        |  CAST(NULL AS DOUBLE) AS fitted FROM s WHERE i = 1
+        | UNION ALL
+        | SELECT s.i, s.x,
+        |  0.3 * s.x + (1 - 0.3) * (rh.lvl + rh.tr),
+        |  0.1 * ((0.3 * s.x + (1 - 0.3) * (rh.lvl + rh.tr)) - rh.lvl)
+        |   + (1 - 0.1) * rh.tr,
+        |  rh.lvl + rh.tr
+        | FROM rh JOIN s ON s.i = rh.i + 1),
+        |init AS (SELECT
+        |  (SELECT CAST(sum(c) AS DOUBLE) / 10000.0 / 12.0 FROM s
+        |    WHERE i <= 12) AS m1,
+        |  (SELECT CAST(sum(c) AS DOUBLE) / 10000.0 / 12.0 FROM s
+        |    WHERE i BETWEEN 13 AND 24) AS m2),
+        |seas0 AS (SELECT list(x - (SELECT m1 FROM init) ORDER BY i) AS sl
+        | FROM s WHERE i <= 12),
+        |rw AS (
+        | SELECT CAST(12 AS BIGINT) AS i, CAST(NULL AS DOUBLE) AS x,
+        |  (SELECT m1 FROM init) AS lvl,
+        |  (SELECT (m2 - m1) / 12.0 FROM init) AS tr,
+        |  CAST(NULL AS DOUBLE) AS fitted,
+        |  (SELECT sl FROM seas0) AS sl
+        | UNION ALL
+        | SELECT s.i, s.x,
+        |  0.3 * (s.x - rw.sl[1]) + (1 - 0.3) * (rw.lvl + rw.tr),
+        |  0.1 * ((0.3 * (s.x - rw.sl[1]) + (1 - 0.3) * (rw.lvl + rw.tr))
+        |    - rw.lvl) + (1 - 0.1) * rw.tr,
+        |  rw.lvl + rw.tr + rw.sl[1],
+        |  rw.sl[2:12] || [0.2 * (s.x - (0.3 * (s.x - rw.sl[1])
+        |    + (1 - 0.3) * (rw.lvl + rw.tr))) + (1 - 0.2) * rw.sl[1]]
+        | FROM rw JOIN s ON s.i = rw.i + 1),
+        |u AS (SELECT 'holt' AS model, round(x, 6) AS revenue,
+        |  round(fitted, 6) AS fitted FROM rh WHERE fitted IS NOT NULL
+        | UNION ALL SELECT 'holt_winters', round(x, 6), round(fitted, 6)
+        | FROM rw WHERE i > 12)
+        |SELECT model, count(*) AS n_months,
+        | round(avg(abs(revenue - fitted)), 6) AS mae,
+        | round(avg(abs(revenue - fitted) / revenue), 6) AS mape
+        |FROM u GROUP BY model""".stripMargin.replace("\n", " "),
     "q_holtwinters_forecast" ->
       // the triple-smoothing recursion with the rotating seasonal
       // LIST as recursive state: sl[1] is the current month's index,
@@ -6732,6 +6792,15 @@ object SparkEntry {
           |   AND abs(ml - pml) > 6.0 THEN 1 ELSE 0 END) + 1.0), 6)
           |  AS avg_shot_len
           |FROM d GROUP BY 1""".stripMargin).replace("\n", " "),
+    "mm_keyframe_sample" ->
+      (s"WITH $sceneLumaCtes " +
+        """SELECT doc_id, frame_idx,
+          | row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx)
+          |  - 1 AS shot_idx,
+          | round(ml, 6) AS luma
+          |FROM d WHERE frame_idx = 0
+          | OR (pml IS NOT NULL AND abs(ml - pml) > 6.0)"""
+          .stripMargin).replace("\n", " "),
     "mm_chunk_dedup" ->
       """SELECT frame_md5, count(DISTINCT doc_id) AS n_docs,
         | count(*) AS n_occurrences, min(doc_id) AS first_doc_id

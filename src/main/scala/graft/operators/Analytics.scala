@@ -1692,6 +1692,32 @@ object Analytics {
         round(col("fitted"), 6).as("fitted"))
   }
 
+  /** Forecast BACKTEST — the model-selection readout over the two
+    * smoothers: per model, the one-step-ahead fit errors (MAE, MAPE)
+    * from each recursion's own fitted column, on the months both
+    * models score. This is the ops question the forecasts exist to
+    * answer ("which one do I trust for capacity planning"), and the
+    * seasonal model must EARN its extra state here: on a seasonal
+    * series its MAPE beats the level/trend pair's, and the spec
+    * plants exactly that. Errors are computed on the keys' ROUNDED
+    * outputs (the published numbers, not internal state), so the
+    * oracle composes the two existing recursion chains verbatim.
+    * Cost: both driver folds are calendar-bounded; the comparison
+    * itself is an O(months) union + one aggregate. */
+  def forecastBacktest(lineitem: DataFrame): DataFrame = {
+    val h = holtForecast(lineitem)
+      .select(lit("holt").as("model"), col("revenue"), col("fitted"))
+    val w = holtWintersForecast(lineitem)
+      .select(lit("holt_winters").as("model"), col("revenue"), col("fitted"))
+    h.unionByName(w)
+      .filter(col("fitted").isNotNull)
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_months"),
+        round(avg(abs(col("revenue") - col("fitted"))), 6).as("mae"),
+        round(avg(abs(col("revenue") - col("fitted")) / col("revenue")), 6)
+          .as("mape"))
+  }
+
   /** Kaplan–Meier customer survival curve — the censoring-aware
     * answer to "how long does a customer stay", where a naive
     * average lifetime is biased DOWN by every customer who is still

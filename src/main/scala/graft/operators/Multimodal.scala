@@ -793,6 +793,28 @@ object Multimodal {
         round(col("n_frames") / (col("n_cuts") + lit(1.0)), 6)
           .as("avg_shot_len"))
 
+  /** KEYFRAME selection — the budget consumer of the scene
+    * structure: one frame per shot (the shot's FIRST frame — frame 0
+    * plus every cut frame), the sampling policy that beats
+    * every-Nth-frame for coverage because static shots contribute
+    * one frame no matter how long they run while rapid cutting
+    * contributes one per cut. `shot_idx` numbers the shots in
+    * playback order. Same shared cut rule as [[sceneCuts]] /
+    * [[shotStats]] — the three keys cannot disagree on where a shot
+    * starts (spec holds keyframes-per-doc == n_shots). */
+  def keyframeSample(docs: DataFrame, frameSize: Int = 64,
+                     stride: Int = 128, threshold: Double = 6.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    framesWithPrev(docs, frameSize, stride)
+      .filter(col("frame_idx") === 0 ||
+        (col("prev_luma").isNotNull &&
+          abs(col("mean_luma") - col("prev_luma")) > threshold))
+      .select(col("doc_id"), col("frame_idx"),
+        (row_number().over(w) - 1).cast("long").as("shot_idx"),
+        round(col("mean_luma"), 6).as("luma"))
+  }
+
   def pooledFeatures(docs: DataFrame, frameSize: Int = 64,
                      stride: Int = 128): DataFrame =
     decodeFrames(docs, frameSize, stride).toDF()

@@ -792,5 +792,19 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Analytics.holtWintersForecast(short)
     }
+
+    // the backtest makes the seasonal model EARN its state: on this
+    // periodic series holt_winters fits exactly (mae 0) while the
+    // level/trend pair chases the season and pays real error — the
+    // readout that justifies picking the bigger model (on the
+    // non-seasonal shipped corpus the same readout favors holt,
+    // which is the point of having it)
+    val bt = Analytics.forecastBacktest(li).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(bt("holt_winters") === ((24L, 0.0, 0.0)))
+    assert(bt("holt")._1 === 35L)
+    assert(bt("holt")._3 > bt("holt_winters")._3,
+      s"seasonal series must favor the seasonal model: $bt")
   }
 }
