@@ -4517,10 +4517,10 @@ object SparkEntry {
         | FROM rw JOIN s ON s.i = rw.i + 1),
         |u AS (SELECT 'holt' AS model, round(x, 6) AS revenue,
         |  round(fitted, 6) AS fitted FROM rh WHERE fitted IS NOT NULL
-        | UNION ALL SELECT 'holt_winters', round(x, 6), round(fitted, 6)
+        | UNION ALL SELECT 'holt_winters', round(x, 4), round(fitted, 4)
         | FROM rw WHERE i > 12)
         |SELECT model, count(*) AS n_months,
-        | round(avg(abs(revenue - fitted)), 6) AS mae,
+        | round(avg(abs(revenue - fitted)), 2) AS mae,
         | round(avg(abs(revenue - fitted) / revenue), 6) AS mape
         |FROM u GROUP BY model""".stripMargin.replace("\n", " "),
     "q_holtwinters_forecast" ->
@@ -4563,9 +4563,9 @@ object SparkEntry {
         |  r.sl[2:12] || [0.2 * (s.x - (0.3 * (s.x - r.sl[1])
         |    + (1 - 0.3) * (r.lvl + r.tr))) + (1 - 0.2) * r.sl[1]]
         | FROM r JOIN s ON s.i = r.i + 1)
-        |SELECT mth AS month, round(x, 6) AS revenue,
-        | round(lvl, 6) AS level, round(tr, 6) AS trend,
-        | round(snew, 6) AS seasonal, round(fitted, 6) AS fitted
+        |SELECT mth AS month, round(x, 4) AS revenue,
+        | round(lvl, 4) AS level, round(tr, 4) AS trend,
+        | round(snew, 4) AS seasonal, round(fitted, 4) AS fitted
         |FROM r WHERE i > 12""".stripMargin.replace("\n", " "),
     "q_holt_forecast" ->
       // the identical recursion as a recursive CTE; (1 - 0.3) left

@@ -1685,11 +1685,17 @@ object Analytics {
       seas.enqueue(s2)
       (monthly(i)._1, x, l2, t2, s2, fitted)
     }
+    // grid 1e-4, not holtForecast's 1e-6: these columns sit at 1e7
+    // scale, where a 1e-6 grid leaves only ~130 ulps of headroom to
+    // the rounding boundary and the two engines' round() algorithms
+    // CAN disagree on the same double (observed: 1 of 71 rows at
+    // sf0.01) — 1e-4 restores the ~1e6-ulp margin the rounded-column
+    // ledger's flip bound assumes (docs/ORACLE_NOTES.md r15)
     rows.toDF("month", "revenue", "level", "trend", "seasonal", "fitted")
-      .select(col("month"), round(col("revenue"), 6).as("revenue"),
-        round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
-        round(col("seasonal"), 6).as("seasonal"),
-        round(col("fitted"), 6).as("fitted"))
+      .select(col("month"), round(col("revenue"), 4).as("revenue"),
+        round(col("level"), 4).as("level"), round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("fitted"), 4).as("fitted"))
   }
 
   /** Forecast BACKTEST — the model-selection readout over the two
@@ -1713,7 +1719,9 @@ object Analytics {
       .filter(col("fitted").isNotNull)
       .groupBy("model")
       .agg(count(lit(1)).as("n_months"),
-        round(avg(abs(col("revenue") - col("fitted"))), 6).as("mae"),
+        // mae sits at 1e6 scale → 1e-2 grid (the scale-aware rule);
+        // mape is O(1e-1) and keeps the fine grid
+        round(avg(abs(col("revenue") - col("fitted"))), 2).as("mae"),
         round(avg(abs(col("revenue") - col("fitted")) / col("revenue")), 6)
           .as("mape"))
   }
