@@ -226,6 +226,35 @@ object AnnIndex {
     toRewrite.length
   }
 
+  /** DRIFT lifecycle, final step — REBUILD: the executor for
+    * [[indexHealth]]'s `index_action = 'rebuild'` call. A hot cell
+    * means the STORED centroids no longer describe the data (append
+    * drift, deletions), and no amount of compaction fixes that —
+    * only retraining does, and retraining necessarily re-cells
+    * history, which is exactly what append/compact are forbidden to
+    * do. So the rebuild: retrain centroids on the SURVIVING corpus
+    * (tombstones consumed — the one operation allowed to rewrite
+    * everything), lay out every survivor under the new cells, and
+    * reset the log (a consumed tombstone must not mask a future
+    * re-insert). At 100 TB this is the scheduled full rewrite the
+    * health table exists to make RARE: everything cheaper (append,
+    * tombstone-mask, compact) runs between rebuilds.
+    * AnnIndexSpec holds: deleted ids stay gone, the log resets, max
+    * cell balance does not degrade vs the drifted layout, and the
+    * survivor recall floor holds after the rebuild. */
+  def rebuildIvf(spark: SparkSession, path: String, nlist: Int = 16,
+                 iters: Int = 3): Unit = {
+    val dead = broadcast(tombstones(spark, path))
+    val survivors = spark.read.parquet(s"$path/vectors")
+      .select(col("vec_id"), col("embedding"))
+      .join(dead, Seq("vec_id"), "left_anti")
+      // materialize BEFORE buildIvf overwrites the files it reads
+      .localCheckpoint(true)
+    buildIvf(survivors, path, nlist, iters)
+    survivors.select("vec_id").limit(0)
+      .write.mode("overwrite").parquet(s"$path/tombstones")
+  }
+
   /** The IVF-PQ SERVING layout: [[buildIvf]]'s cell partitioning
     * plus a PQ code column stored NEXT TO the raw vector. The probe
     * then gets both prunings physically: partition pruning skips

@@ -283,4 +283,56 @@ class AnnIndexSpec extends SparkSpec {
     assert(!codeScan.contains("embedding"),
       s"candidate scan must not read embeddings:\n$codeScan")
   }
+
+  test("rebuild: retrained centroids consume the tombstones, reset the " +
+    "log, improve assignment quality, and hold the survivor recall floor") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val deadPred = col("vec_id") % 7 === 3
+    AnnIndex.buildIvf(corpus, s"$base/ivf") // iters=0 pick — drift-prone
+    AnnIndex.deleteIvf(corpus.filter(deadPred).select("vec_id"),
+      s"$base/ivf")
+    // assignment quality = the k-means objective retraining exists
+    // to improve: mean cosine of each stored vector to its own cell's
+    // centroid (survivor rows only, so pre and post measure the same
+    // population). Occupancy balance is NOT asserted — k-means
+    // optimizes quantization error, and tighter cells can
+    // legitimately be less even; the health table's balance dial is
+    // a probe-cost alarm, not the retrain objective.
+    def meanAssignCos(survivorsOnly: Boolean): Double = {
+      import spark.implicits._
+      val cdf = AnnIndex.loadCentroids(spark, s"$base/ivf").zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid")
+      spark.read.parquet(s"$base/ivf/vectors")
+        .filter(if (survivorsOnly) !deadPred else lit(true))
+        .join(broadcast(cdf), "cell")
+        .select(graft.functions.gf.cosineSim(col("embedding"),
+          col("centroid")).as("cos"))
+        .agg(avg("cos")).first().getDouble(0)
+    }
+    val pre = meanAssignCos(survivorsOnly = true)
+    AnnIndex.rebuildIvf(spark, s"$base/ivf", iters = 2)
+    // 1. deleted ids are physically gone from the new layout
+    assert(spark.read.parquet(s"$base/ivf/vectors")
+      .filter(deadPred).count() === 0L)
+    // 2. the tombstone log is reset (consumed tombstones must not
+    //    mask a future re-insert of the same id)
+    assert(AnnIndex.tombstones(spark, s"$base/ivf").count() === 0L)
+    // 3. retrained centroids describe the surviving data strictly
+    //    better than the drifted pick they replace
+    val post = meanAssignCos(survivorsOnly = false)
+    assert(post > pre, s"rebuild must improve assignment: $pre -> $post")
+    // 4. the survivor recall floor holds against brute force
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+      k = 10, nprobe = 12))
+    assert(got.forall { case (_, n) => n % 7 != 3 },
+      "a consumed-delete id resurfaced after the rebuild")
+    val exact = pairs(Similarity.bruteForceTopK(
+      corpus.filter(!deadPred), queries, k = 10))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-rebuild survivor recall $recall < 0.8")
+  }
 }
