@@ -613,6 +613,13 @@ object SparkEntry {
     "stream_enrich" -> ((s, dir) =>
       graft.streaming.EventStream.enrichedSegmentStats(
         Tables.events(s, dir), Tables.customer(s, dir))),
+    // erasure gate at intake (r15): already-forgotten users'
+    // arriving events broadcast-anti-join against the deletion
+    // registry — zero state; replay = two hash-split micro-batches
+    "stream_rtbf_gate" -> ((s, dir) =>
+      graft.streaming.EventStream.rtbfGateReplay(Tables.events(s, dir),
+        Tables.events(s, dir).filter(col("user_id") % 53 === 3)
+          .select("user_id"))),
     "q5_regional_revenue" -> ((s, dir) =>
       Analytics.regionalRevenue(Tables.region(s, dir), Tables.nation(s, dir),
         Tables.customer(s, dir), Tables.supplier(s, dir), Tables.orders(s, dir),
@@ -6976,6 +6983,10 @@ object SparkEntry {
         |SELECT user_id, n_events FROM c
         |WHERE n_events > (SELECT avg(n_events) * 1.25 FROM c)""".stripMargin
         .replace("\n", " "),
+    "stream_rtbf_gate" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events WHERE user_id % 53 <> 3"""
+        .stripMargin.replace("\n", " "),
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events,
         | sum(value) AS total_value

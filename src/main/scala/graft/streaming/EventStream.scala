@@ -129,6 +129,33 @@ object EventStream extends Serializable {
       .groupBy("c_mktsegment", "event_type")
       .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
 
+  /** ERASURE gate at stream intake (r15 — the prevention half of the
+    * right-to-be-forgotten family: `etl_rtbf_apply` removes history,
+    * this keeps an already-forgotten user's NEW events from ever
+    * entering the lake, which the erasure obligation requires).
+    * Stream-static broadcast ANTI-join against the deletion registry
+    * — zero streaming state, no shuffle (the registry broadcasts;
+    * at 100 TB the registry is user-grain and registry-sized, never
+    * event-sized), and per-row independence gives batch-split
+    * invariance, so the batch form is the oracle twin verbatim.
+    */
+  def rtbfGate(events: DataFrame, forgotten: DataFrame): DataFrame =
+    events
+      .join(broadcast(forgotten.select(col("user_id")).distinct()),
+        Seq("user_id"), "left_anti")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+
+  /** Batch replay of [[rtbfGate]] as deterministic micro-batches
+    * (the attachReplay convention) — exercises the batch-split
+    * invariance that lets the stream share the batch oracle. */
+  def rtbfGateReplay(events: DataFrame, forgotten: DataFrame,
+                     batches: Int = 2): DataFrame =
+    (0 until batches).map { i =>
+      rtbfGate(events.filter(
+        pmod(xxhash64(col("event_id")), lit(batches)) === i), forgotten)
+    }.reduce(_ unionByName _)
+
   /** Watermark + dropDuplicates on event_id — exactly-once style
     * dedup with bounded state in streaming; plain distinct-by-key in
     * batch.

@@ -1707,6 +1707,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream rtbf gate: forgotten users' arriving events never pass, " +
+    "zero state, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val forgotten = events.filter(col("user_id") % 53 === 3)
+      .select("user_id").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val batch = rows(graft.streaming.EventStream.rtbfGate(events, forgotten))
+    assert(batch.nonEmpty && batch.size < events.count(),
+      "fixture must both pass and drop events")
+    assert(rows(graft.streaming.EventStream.rtbfGateReplay(events, forgotten))
+      == batch)
+    // the live path: a real stream-static anti-join
+    val mem = MemoryStream[StreamingSpec.GateEvent]
+    val q = graft.streaming.EventStream.rtbfGate(mem.toDF(), forgotten)
+      .writeStream.format("memory").queryName("rtbf_gate")
+      .outputMode("append").start()
+    try {
+      val evs = events.select("event_id", "user_id", "event_type", "value")
+        .collect().map(r => StreamingSpec.GateEvent(r.getLong(0),
+          r.getLong(1), r.getString(2), r.getDouble(3)))
+      mem.addData(evs.take(evs.length / 2): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(evs.length / 2): _*)
+      q.processAllAvailable()
+      assert(rows(spark.table("rtbf_gate")) == batch,
+        "stream must pass exactly the batch survivors")
+      val ops = q.lastProgress.stateOperators
+      assert(ops == null || ops.isEmpty || ops.forall(_.numRowsTotal == 0),
+        "the gate must keep zero state")
+    } finally q.stop()
+  }
+
   test("stream CMS: live counters equal the batch sketch, state is " +
     "CAPPED at depth x width no matter the vocabulary") {
     implicit val sqlCtx = spark.sqlContext
@@ -1751,4 +1786,6 @@ object StreamingSpec {
   final case class LinedDoc(doc_id: Long, text: String, source: String)
   final case class CrmRec(rec_id: Long, raw_name: String, src: String,
                           nationkey: Long, acctbal: Double)
+  final case class GateEvent(event_id: Long, user_id: Long,
+                             event_type: String, value: Double)
 }
