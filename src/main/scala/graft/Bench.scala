@@ -11,6 +11,35 @@ import org.apache.spark.sql.SparkSession
   * startup cost isn't billed to whichever query happens to run first.
   */
 object Bench {
+
+  /** The per-key measurement protocol, extracted pure so BenchSpec
+    * can pin it (r16, ADVICE): a failing FIRST run ships -1 without
+    * paying a retry (the retry would pay the same time-to-failure
+    * for the same -1); otherwise the key is measured twice, and
+    * while the running min exceeds 2× `bandMax` (and fewer than 4
+    * attempts are in hand) one more `retry()` attempt is taken —
+    * `retry` is the caller's primed+instrumented wrapper around the
+    * timed run. A THROWN retry returns -1, which (a) stops the loop
+    * (the min goes negative) and (b) is DROPPED before shipping, so
+    * a twice-measured key can never be failed by its own retry: the
+    * honest min of the valid attempts ships. Returns
+    * (shipped value, every attempt in order). */
+  private[graft] def measureKey(once: () => Double, retry: () => Double,
+                                bandMax: Double): (Double, Seq[Double]) = {
+    val first = once()
+    if (first < 0) (-1.0, Seq(first))
+    else {
+      val second = once()
+      if (second < 0) (-1.0, Seq(first, second))
+      else {
+        var attempts = Seq(first, second)
+        while (attempts.min > 2 * bandMax && attempts.size < 4)
+          attempts = attempts :+ retry()
+        (attempts.filter(_ >= 0).min, attempts)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -147,46 +176,37 @@ object Bench {
           -1.0
         }
       }
-      val first = once()
-      // don't re-run a failing query — the retry pays the same
-      // time-to-failure for the same -1
-      name -> (if (first < 0) -1.0 else { val second = once()
-        if (second < 0) -1.0
-        else {
-          var attempts = Seq(first, second)
-          val spins = scala.collection.mutable.ArrayBuffer.empty[Double]
-          val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val builds = scala.collection.mutable.Map.empty[String, Double]
-          val bm = bandMax.getOrElse(name, Double.MaxValue)
-          while (attempts.min > 2 * bm && attempts.size < 4) {
-            // re-prime before timing: reconstruct the frame untimed so
-            // a shared artifact evicted since the prime is rebuilt
-            // OUTSIDE the timed window — and the rebuild, if any, is
-            // named via the primeDetail delta it leaves behind
-            val before = SparkEntry.primeDetail.readOnlySnapshot().toMap
-            try { fn(spark, sfDir); () }
-            catch { case scala.util.control.NonFatal(_) => () }
-            builds ++= SparkEntry.primeDetail.readOnlySnapshot()
-              .filter { case (k, v) => !before.get(k).contains(v) }
-            spins += spinMs()
-            val gc0 = gcMs()
-            attempts = attempts :+ once()
-            gcs += gcMs() - gc0
-          }
-          if (attempts.size > 2) retried(name) = attempts.size
-          if (attempts.min > 2 * bm) {
-            overBand(name) = OverBandEvidence(attempts, spins.toSeq,
-              gcs.toSeq, builds.toMap)
-            System.err.println(f"[bench] OVER BAND after ${attempts.size} " +
-              f"runs: $name ${attempts.min}%.3f vs band max $bm%.3f " +
-              f"(spin base $spinBase%.1f ms, retry spins ${spins.mkString(",")})")
-          }
-          // a throwing RETRY attempt must not discard the two valid
-          // earlier measurements (the loop is only entered when both
-          // are non-negative) — drop negatives, keep the honest min
-          attempts.filter(_ >= 0).min
-        }
-      })
+      val spins = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val builds = scala.collection.mutable.Map.empty[String, Double]
+      val bm = bandMax.getOrElse(name, Double.MaxValue)
+      def retry(): Double = {
+        // re-prime before timing: reconstruct the frame untimed so
+        // a shared artifact evicted since the prime is rebuilt
+        // OUTSIDE the timed window — and the rebuild, if any, is
+        // named via the primeDetail delta it leaves behind
+        val before = SparkEntry.primeDetail.readOnlySnapshot().toMap
+        try { fn(spark, sfDir); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+        builds ++= SparkEntry.primeDetail.readOnlySnapshot()
+          .filter { case (k, v) => !before.get(k).contains(v) }
+        spins += spinMs()
+        val gc0 = gcMs()
+        val v = once()
+        gcs += gcMs() - gc0
+        v
+      }
+      val (shipped, attempts) = measureKey(once _, retry _, bm)
+      if (attempts.size > 2) retried(name) = attempts.size
+      if (shipped >= 0 && attempts.filter(_ >= 0).min > 2 * bm) {
+        overBand(name) = OverBandEvidence(attempts, spins.toSeq,
+          gcs.toSeq, builds.toMap)
+        System.err.println(f"[bench] OVER BAND after ${attempts.size} " +
+          f"runs: $name ${attempts.filter(_ >= 0).min}%.3f vs band max " +
+          f"$bm%.3f (spin base $spinBase%.1f ms, retry spins " +
+          f"${spins.mkString(",")})")
+      }
+      name -> shipped
     }
     // cap the failed list: a systemic failure (bad SF dir → ~all
     // queries throw) must not blow the contract line past the 2KB

@@ -671,10 +671,11 @@ object SparkEntry {
       Analytics.rollingActiveUsers(Tables.events(s, dir))),
     "q_revenue_changepoint" -> ((s, dir) =>
       Analytics.revenueChangepoint(Tables.lineitem(s, dir))),
-    // the sketch twin: HLL cardinalities have no SQL oracle
-    // (rows-only; ApproxSpec bounds WAU/DAU error ≤5% vs the exact key)
+    // the sketch twin, graduated r16 via the calibration pattern:
+    // exact WAU/DAU anchors + the engine's-own-HLL-within-5%
+    // booleans (the sketch route still runs inside the booleans)
     "events_rolling_active_approx" -> ((s, dir) =>
-      Analytics.rollingActiveUsersApprox(Tables.events(s, dir))),
+      Analytics.rollingActiveCalibration(Tables.events(s, dir))),
     "q_supplier_reliability" -> ((s, dir) =>
       Analytics.supplierReliability(Tables.lineitem(s, dir),
         Tables.orders(s, dir), Tables.supplier(s, dir))),
@@ -1187,21 +1188,26 @@ object SparkEntry {
       Similarity.normProfile(Tables.embeddings(s, dir))),
     // scalar (vec_id, dim, value) shape — the raw array<float> column
     // is not sortable by the harness rows-check; 1e-6 rounding pins
-    // the float→double widening to a stable grid
-    "emb_pca_project" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      Pca.project(e, Pca.fit(e))
+    // the float→double widening to a stable grid. r16: projects
+    // through the PUBLISHED transform (PcaFrozen, the frozen model
+    // artifact — a 100 TB pipeline ships one trained transform, it
+    // does not refit per batch), which is what lets the oracle
+    // replay the projection from the model literals; Pca.fit stays
+    // the trainer, PcaSpec pins the artifact against a live refit
+    "emb_pca_project" -> ((s, dir) =>
+      Pca.project(Tables.embeddings(s, dir), PcaFrozen.model)
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "value")))
         .select(col("vec_id"), col("dim"),
-          round(col("value").cast("double"), 6).as("value"))
-    }),
+          round(col("value").cast("double"), 6).as("value"))),
     "ann_pca_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // r15: rerank 8→16 (the matryoshka r13 dial) — measured 0.775
       // → 0.910 at sf0.1 with the 32-dim stage-1 scan unchanged; the
-      // rerank join stays O(queries·k·16) candidate ids
+      // rerank join stays O(queries·k·16) candidate ids. r16: the
+      // published PcaFrozen transform + 1e-6-snapped stage-1 rank →
+      // the whole two-stage search replays in the oracle
       Pca.pcaTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        pcaDims = 32, rerank = 16)
+        pcaDims = 32, rerank = 16, model = Some(PcaFrozen.model))
     }),
     "split_assign" -> ((s, dir) =>
       DataSplit.assign(Tables.documents(s, dir), "doc_id",
@@ -1572,8 +1578,12 @@ object SparkEntry {
       Analytics.segmentQuartiles(Tables.customer(s, dir))),
     "events_approx_stats" -> ((s, dir) =>
       EventOps.approxTypeStats(Tables.events(s, dir))),
+    // r16: graduated from rows-only to a full oracle via the
+    // sketch-calibration pattern — exact anchor columns + the
+    // engine's-own-sketch-within-tol boolean (the sketch
+    // inclusion–exclusion route still runs inside the boolean)
     "events_audience_overlap" -> ((s, dir) =>
-      EventOps.approxAudienceOverlap(Tables.events(s, dir))),
+      EventOps.overlapCalibration(Tables.events(s, dir))),
     "events_sketch_reach" -> ((s, dir) =>
       EventOps.reachFromSketches(
         EventOps.dailyAudienceSketches(Tables.events(s, dir)),
@@ -1832,10 +1842,11 @@ object SparkEntry {
     "etl_dq_profile" -> ((s, dir) =>
       operators.RetailEtl.dqProfile(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
-    // the single-pass HLL twin (rows-only: sketch cardinalities have
-    // no SQL oracle; ApproxSpec bounds the error vs the exact key)
+    // the single-pass HLL twin, graduated r16 via the calibration
+    // pattern: exact profile anchors + the engine's-own-HLL-
+    // within-5% boolean (the HLL route still runs inside it)
     "etl_dq_profile_approx" -> ((s, dir) =>
-      operators.RetailEtl.dqProfileApprox(Tables.lineitem(s, dir),
+      operators.RetailEtl.dqCalibration(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
     "etl_check_constraints" -> ((s, dir) =>
       operators.RetailEtl.checkConstraints(Tables.lineitem(s, dir), Seq(
@@ -2234,7 +2245,7 @@ object SparkEntry {
         |  FROM documents,
         |   LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g) t),
         |px AS (SELECT doc_id, i,
-        | CASE WHEN doc_id % 10 = 1 AND i = 0 THEN (r + 1) % 256
+        | CASE WHEN doc_id % 20 = 1 AND i = 0 THEN (r + 1) % 256
         |  ELSE r END AS r, g, b
         |FROM (SELECT doc_id, i,
         |  CAST((h // 256) % 256 AS BIGINT) AS r,
@@ -3129,6 +3140,30 @@ object SparkEntry {
       }
     }.mkString(", ")
 
+  /** The PUBLISHED PCA transform (PcaFrozen) as DuckDB CTEs — the
+    * frozen-model-artifact convention (r16): `pmean`/`pcomp` hold
+    * the float-snapped model as exact DOUBLE literals (float→double
+    * widening is exact; Double.toString shortest-repr re-parses to
+    * the identical double), `pval` replays [[kernels.pcaProject]]'s
+    * per-component double-accumulate-then-snap-to-float exactly —
+    * `list_sum` over the ascending transform IS the kernel's
+    * ascending loop. Ends in `pval(vec_id, j, v FLOAT)`. */
+  private lazy val pcaFrozenCtes: String = {
+    val mean = operators.PcaFrozen.mean.map(_.toDouble.toString)
+      .mkString(", ")
+    val comps = operators.PcaFrozen.components.zipWithIndex
+      .map { case (c, j) =>
+        s"($j, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+    s"""pmean AS (SELECT [$mean]::DOUBLE[] AS m),
+       |pcomp AS (SELECT * FROM (VALUES $comps) t(j, w)),
+       |pval AS MATERIALIZED (SELECT e.vec_id, pcomp.j,
+       |  CAST(list_sum(list_transform(range(1, 65), i ->
+       |    pcomp.w[i] * (CAST(e.embedding[i] AS DOUBLE) - pmean.m[i])))
+       |   AS FLOAT) AS v
+       | FROM embeddings e, pcomp, pmean)""".stripMargin
+  }
+
   /** Signature CTE over `embeddings` for a plane set: one row per
     * (vec_id, tbl) with the packed sign-bit signature. */
   private def hyperplaneSigCte(tables: Int, planes: Int,
@@ -3258,7 +3293,7 @@ object SparkEntry {
        |   THEN (h // 256) % 65536 - 65536
        |   ELSE (h // 256) % 65536 END AS BIGINT) AS smp0 FROM hh),
        |vv AS (SELECT doc_id, i,
-       |  CASE WHEN doc_id % 10 = 1 THEN (smp0 - (smp0 % 2)) // 2
+       |  CASE WHEN doc_id % 20 = 1 THEN (smp0 - (smp0 % 2)) // 2
        |   ELSE smp0 END AS smp FROM v),
        |asg AS (SELECT a.doc_id,
        |  CAST(coalesce(sum(CASE WHEN b.smp > a.smp
@@ -3923,9 +3958,12 @@ object SparkEntry {
       |   AS block,
       |  length(lower(trim(regexp_replace(raw_name, '\s+', ' ', 'g')))) AS len
       | FROM recs),
+      |nbk AS (SELECT * FROM (SELECT *, row_number() OVER (
+      |   PARTITION BY block ORDER BY rec_id) AS bn FROM nb) c
+      | WHERE bn <= 256),
       |pr AS (SELECT a.rec_id AS rec_a, b.rec_id AS rec_b,
       |  CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS lev
-      | FROM nb a JOIN nb b ON a.block = b.block AND a.rec_id < b.rec_id
+      | FROM nbk a JOIN nbk b ON a.block = b.block AND a.rec_id < b.rec_id
       |  AND abs(a.len - b.len) <= 1
       | WHERE levenshtein(a.norm, b.norm) <= 1)""".stripMargin
 
@@ -4124,8 +4162,11 @@ object SparkEntry {
         | FROM hist h JOIN hlab l USING (rec_id)),
         |dl AS (SELECT * FROM nb
         |  WHERE rec_id % 4 IN (1, 3) OR rec_id % 28 = 0),
+        |stk AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |   PARTITION BY block ORDER BY rec_id) AS bn FROM st) c
+        | WHERE bn <= 256),
         |att AS (SELECT d.rec_id, min(s.entity_id) AS matched
-        | FROM dl d LEFT JOIN st s ON s.block = d.block
+        | FROM dl d LEFT JOIN stk s ON s.block = d.block
         |  AND abs(d.len - s.len) <= 1
         |  AND levenshtein(d.norm, s.norm) <= 1
         | GROUP BY 1)
@@ -5943,6 +5984,42 @@ object SparkEntry {
         | JOIN embeddings n ON n.vec_id = a.neighbor_id) s
         |QUALIFY row_number() OVER (PARTITION BY query_id
         |  ORDER BY cosine DESC, neighbor_id) <= 10""".stripMargin.replace("\n", " "),
+    "emb_pca_project" ->
+      // the published transform replayed from the frozen-model
+      // literals (r16): pval IS kernels.pcaProject — per-component
+      // ascending double accumulate, snap to float — and the key's
+      // 1e-6-rounded double widening on top
+      (s"""WITH $pcaFrozenCtes
+         |SELECT vec_id, CAST(j AS INT) AS dim,
+         | round(CAST(v AS DOUBLE), 6) AS value
+         |FROM pval""").stripMargin.replace("\n", " "),
+    "ann_pca_topk" ->
+      // the matryoshka two-stage oracle with the PCA projection in
+      // place of the prefix slice: stage 1 ranks the 1e-6-ROUNDED
+      // cosine of the frozen-model projections (float-snapped per
+      // component, then exact double widening — bit-identical to the
+      // Spark stage), exact full-dim rerank of the k·16 candidates
+      (s"""WITH $pcaFrozenCtes,
+         |proj AS MATERIALIZED (SELECT vec_id,
+         |  list(CAST(v AS DOUBLE) ORDER BY j) AS p
+         | FROM pval GROUP BY 1),
+         |apx AS (SELECT query_id, neighbor_id FROM (
+         | SELECT qp.vec_id AS query_id, cp.vec_id AS neighbor_id,
+         |  row_number() OVER (PARTITION BY qp.vec_id
+         |   ORDER BY round(list_cosine_similarity(qp.p, cp.p), 6)
+         |    DESC, cp.vec_id) AS rn
+         | FROM proj qp JOIN proj cp ON cp.vec_id != qp.vec_id
+         | WHERE qp.vec_id % 100 = 0) x WHERE rn <= 160)
+         |SELECT query_id, neighbor_id, cosine FROM (
+         | SELECT a.query_id, a.neighbor_id,
+         |  list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),
+         |    CAST(n.embedding AS DOUBLE[])) AS cosine
+         | FROM apx a
+         | JOIN embeddings qq ON qq.vec_id = a.query_id
+         | JOIN embeddings n ON n.vec_id = a.neighbor_id) s
+         |QUALIFY row_number() OVER (PARTITION BY query_id
+         |  ORDER BY cosine DESC, neighbor_id) <= 10""").stripMargin
+        .replace("\n", " "),
     "ann_mmr_diverse" -> {
       // greedy MMR unrolled: k=10 fixed, so the 10 argmax steps chain
       // as CTEs (the q_copurchase_pagerank unrolling pattern). Pool =
@@ -6357,10 +6434,10 @@ object SparkEntry {
          |FROM lab""").stripMargin.replace("\n", " "),
     "mm_phash_keep_best" ->
       // the groups closure + the best-copy window: rank = decoded
-      // pixel count (the synth recipe is uniformly 8×8, so the
-      // replay is the recipe constant 64 — every group ties and the
-      // min-id tiebreak decides; MultimodalSpec plants differing
-      // resolutions to prove the policy itself)
+      // pixel count, replayed from the fixture recipe (r16: the
+      // % 20 == 11 class is a 2× upscale, 256 px vs 64) — padded
+      // restorations out-rank their smaller-id masters, so the rank
+      // ORDERING itself is oracle-covered, not just the tie-break
       (s"""WITH RECURSIVE $phashSigCtes,
          |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -6376,7 +6453,9 @@ object SparkEntry {
          |rk AS (SELECT doc_id, group_id, rank_key,
          |  row_number() OVER (PARTITION BY group_id
          |    ORDER BY rank_key DESC, doc_id) AS rn
-         | FROM (SELECT doc_id, group_id, CAST(64 AS BIGINT) AS rank_key
+         | FROM (SELECT doc_id, group_id,
+         |   CAST(CASE WHEN doc_id % 20 = 11 THEN 256 ELSE 64 END
+         |    AS BIGINT) AS rank_key
          |   FROM lab) lr)
          |SELECT doc_id, group_id, rank_key, rn = 1 AS keep
          |FROM rk""").stripMargin.replace("\n", " "),
@@ -6474,9 +6553,10 @@ object SparkEntry {
          |FROM lab""").stripMargin.replace("\n", " "),
     "mm_audio_keep_best" ->
       // the audio closure + the best-copy window: rank = decoded
-      // sample count (the synth recipe is uniformly 64 samples, so
-      // the replay is the recipe constant — ties fall to min id;
-      // MultimodalSpec plants differing lengths to prove the policy)
+      // sample count, replayed from the fixture recipe (r16: the
+      // % 20 == 11 class is a 96-sample extended master vs 64) —
+      // the longer restoration out-ranks its smaller-id source, so
+      // the rank ORDERING itself is oracle-covered
       (s"""WITH RECURSIVE $audioSigCtes,
          |pp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
          | FROM asg a JOIN asg b ON a.doc_id < b.doc_id
@@ -6492,7 +6572,9 @@ object SparkEntry {
          |rk AS (SELECT doc_id, group_id, rank_key,
          |  row_number() OVER (PARTITION BY group_id
          |    ORDER BY rank_key DESC, doc_id) AS rn
-         | FROM (SELECT doc_id, group_id, CAST(64 AS BIGINT) AS rank_key
+         | FROM (SELECT doc_id, group_id,
+         |   CAST(CASE WHEN doc_id % 20 = 11 THEN 96 ELSE 64 END
+         |    AS BIGINT) AS rank_key
          |   FROM lab) lr)
          |SELECT doc_id, group_id, rank_key, rn = 1 AS keep
          |FROM rk""").stripMargin.replace("\n", " "),
@@ -8576,6 +8658,36 @@ object SparkEntry {
         |   AS BIGINT),
         |  count(DISTINCT l_quantity) FROM lineitem) p"""
         .stripMargin.replace("\n", " "),
+    "etl_dq_profile_approx" ->
+      // calibration form (r16): the exact profile anchor + a
+      // within-5% claim over DuckDB's OWN approx_count_distinct per
+      // column; tolerance max(2, n_distinct·5%) in floored integers
+      """SELECT col_name, n_rows, n_nulls, n_distinct,
+        | round(n_nulls * 1.0 / n_rows, 6) AS null_frac,
+        | abs(apx - n_distinct) <= greatest(2, (n_distinct * 5) // 100)
+        |  AS distinct_within_tol
+        |FROM (
+        | SELECT 'l_partkey' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nulls,
+        |  count(DISTINCT l_partkey) AS n_distinct,
+        |  approx_count_distinct(l_partkey) AS apx FROM lineitem
+        | UNION ALL SELECT 'l_returnflag', count(*),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        |  count(DISTINCT l_returnflag),
+        |  approx_count_distinct(l_returnflag) FROM lineitem
+        | UNION ALL SELECT 'l_shipdate', count(*),
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        |  count(DISTINCT l_shipdate),
+        |  approx_count_distinct(l_shipdate) FROM lineitem
+        | UNION ALL SELECT 'l_quantity', count(*),
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        |  count(DISTINCT l_quantity),
+        |  approx_count_distinct(l_quantity) FROM lineitem) p"""
+        .stripMargin.replace("\n", " "),
     "etl_check_constraints" -> {
       // CASE … THEN 0 ELSE 1 sends NULL predicates to ELSE —
       // matching the Spark side's coalesce(pred, false)
@@ -9070,6 +9182,69 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
         | AND CAST(ts AS DATE) < DATE '2024-01-15'
         |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "events_audience_overlap" ->
+      // calibration form (r16): exact anchors + the within-tol claim
+      // over DuckDB's OWN approx_count_distinct inclusion–exclusion —
+      // each engine checks its own sketches against the same exact
+      // intersection; tolerance max(3, union·18%) in floored integers
+      """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        |pt AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |ta AS (SELECT event_type,
+        |  approx_count_distinct(user_id) AS apx FROM ut GROUP BY 1),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS ov
+        | FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type GROUP BY 1, 2),
+        |uni AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  approx_count_distinct(u.user_id) AS apx_union
+        | FROM pt x JOIN pt y ON x.event_type < y.event_type
+        | JOIN ut u ON u.event_type = x.event_type
+        |  OR u.event_type = y.event_type
+        | GROUP BY 1, 2)
+        |SELECT pa.event_type AS type_a, pb.event_type AS type_b,
+        | pa.n AS users_a, pb.n AS users_b,
+        | coalesce(iv.ov, 0) AS overlap,
+        | abs(greatest(aa.apx + ab.apx - u.apx_union, 0)
+        |   - coalesce(iv.ov, 0))
+        |  <= greatest(3, ((pa.n + pb.n - coalesce(iv.ov, 0)) * 18) // 100)
+        |  AS ov_within_tol
+        |FROM pt pa JOIN pt pb ON pa.event_type < pb.event_type
+        | LEFT JOIN iv ON iv.type_a = pa.event_type
+        |  AND iv.type_b = pb.event_type
+        | JOIN ta aa ON aa.event_type = pa.event_type
+        | JOIN ta ab ON ab.event_type = pb.event_type
+        | JOIN uni u ON u.type_a = pa.event_type
+        |  AND u.type_b = pb.event_type""".stripMargin.replace("\n", " "),
+    "events_rolling_active_approx" ->
+      // calibration form (r16): the exact rolling WAU/DAU anchor
+      // (events_rolling_active_users' fan-out collapse) + within-5%
+      // claims over DuckDB's OWN approx_count_distinct of the same
+      // fan-out; tolerance max(2, exact·5%) in floored integers
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        | FROM events),
+        |days AS (SELECT DISTINCT day AS target_day FROM ud),
+        |fan AS (SELECT ud.user_id, d.target_day,
+        |  CASE WHEN ud.day = d.target_day THEN 1 ELSE 0 END AS is_today
+        | FROM ud JOIN days d
+        |  ON d.target_day BETWEEN ud.day AND ud.day + 6),
+        |g AS (SELECT target_day, user_id, max(is_today) AS active_today
+        | FROM fan GROUP BY 1, 2),
+        |ex AS (SELECT target_day AS day, count(*) AS wau,
+        |  CAST(sum(active_today) AS BIGINT) AS dau,
+        |  round(CAST(sum(active_today) AS BIGINT) * 1.0 / count(*), 6)
+        |   AS stickiness
+        | FROM g GROUP BY 1),
+        |ap AS (SELECT target_day AS day,
+        |  approx_count_distinct(user_id) AS wau_apx,
+        |  approx_count_distinct(CASE WHEN is_today = 1 THEN user_id END)
+        |   AS dau_apx
+        | FROM fan GROUP BY 1)
+        |SELECT ex.day, ex.wau, ex.dau, ex.stickiness,
+        | abs(ap.wau_apx - ex.wau) <= greatest(2, (ex.wau * 5) // 100)
+        |  AS wau_within_tol,
+        | abs(ap.dau_apx - ex.dau) <= greatest(2, (ex.dau * 5) // 100)
+        |  AS dau_within_tol
+        |FROM ex JOIN ap ON ap.day = ex.day""".stripMargin.replace("\n", " "),
     "events_ab_srm" ->
       // distinct USERS per arm (the randomization unit), chi-square
       // GOF vs 50/50, flag at the fixed χ²₁(0.95) literal — exact

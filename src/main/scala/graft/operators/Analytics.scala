@@ -2073,6 +2073,31 @@ object Analytics {
           when(col("i") === 0, col("user_id")), rsd).as("dau_approx"))
   }
 
+  /** Rolling-actives CALIBRATION — [[EventOps.sketchCalibration]]'s
+    * pattern over the WAU/DAU tier, graduating the approx key from
+    * rows-only to a full oracle: per day, the EXACT anchor columns
+    * ([[rollingActiveUsers]] — wau, dau) plus engine-agnostic
+    * boolean claims that the engine's OWN per-day HLL route
+    * ([[rollingActiveUsersApprox]], the no-user-grain-shuffle 100 TB
+    * path) lands within tolerance of each. Raw estimates can never
+    * hash across engines; the claims can, because each engine checks
+    * ITS sketches against the SAME exact anchor. Tolerance
+    * `max(2, exact·tolPct/100)` integer-exact on both engines;
+    * tolPct=5 is ApproxSpec's bound (~2.5σ at rsd 2%) made portable.
+    */
+  def rollingActiveCalibration(events: DataFrame, days: Int = 7,
+                               rsd: Double = 0.02,
+                               tolPct: Int = 5): DataFrame =
+    rollingActiveUsers(events, days)
+      .join(rollingActiveUsersApprox(events, days, rsd), Seq("day"))
+      .select(col("day"), col("wau"), col("dau"), col("stickiness"),
+        (abs(col("wau_approx") - col("wau")) <=
+          greatest(lit(2L), expr(s"wau * $tolPct div 100")))
+          .as("wau_within_tol"),
+        (abs(col("dau_approx") - col("dau")) <=
+          greatest(lit(2L), expr(s"dau * $tolPct div 100")))
+          .as("dau_within_tol"))
+
   /** CUSUM mean-shift changepoint over the daily revenue series —
     * the level-shift detector for a KPI feed (did revenue move
     * regime on some day, and which day): cumulative sum of

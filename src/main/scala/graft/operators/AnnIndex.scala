@@ -239,20 +239,36 @@ object AnnIndex {
     * re-insert). At 100 TB this is the scheduled full rewrite the
     * health table exists to make RARE: everything cheaper (append,
     * tombstone-mask, compact) runs between rebuilds.
+    *
+    * Restart safety (r16, ADVICE): survivors are STAGED to durable
+    * parquet (`vectors.staging`) before anything is overwritten —
+    * never executor-local checkpoint blocks, whose lineage-truncated
+    * state dies with a lost executor mid-overwrite. The staging dir
+    * doubles as the recovery marker: present at entry ⇒ a previous
+    * rebuild crashed after staging, and the rebuild RESUMES from the
+    * staged survivors (the live `vectors` dir may be half-rewritten
+    * and is never trusted); deleted only after the tombstone reset,
+    * so every crash window replays idempotently from durable state.
     * AnnIndexSpec holds: deleted ids stay gone, the log resets, max
-    * cell balance does not degrade vs the drifted layout, and the
-    * survivor recall floor holds after the rebuild. */
+    * cell balance does not degrade vs the drifted layout, the
+    * survivor recall floor holds after the rebuild, and a planted
+    * staging dir is resumed from (and cleaned up). */
   def rebuildIvf(spark: SparkSession, path: String, nlist: Int = 16,
                  iters: Int = 3): Unit = {
-    val dead = broadcast(tombstones(spark, path))
-    val survivors = spark.read.parquet(s"$path/vectors")
-      .select(col("vec_id"), col("embedding"))
-      .join(dead, Seq("vec_id"), "left_anti")
-      // materialize BEFORE buildIvf overwrites the files it reads
-      .localCheckpoint(true)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/vectors.staging")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(staging)) {
+      val dead = broadcast(tombstones(spark, path))
+      spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id"), col("embedding"))
+        .join(dead, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(staging.toString)
+    }
+    val survivors = spark.read.parquet(staging.toString)
     buildIvf(survivors, path, nlist, iters)
     survivors.select("vec_id").limit(0)
       .write.mode("overwrite").parquet(s"$path/tombstones")
+    fs.delete(staging, true) // commit marker: gone ⇒ rebuild complete
   }
 
   /** The IVF-PQ SERVING layout: [[buildIvf]]'s cell partitioning

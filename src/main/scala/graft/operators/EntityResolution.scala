@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution / master-data-management over the customer
@@ -15,10 +16,15 @@ import org.apache.spark.sql.functions._
   *   - BLOCKING makes the candidate space O(Σ block²) instead of
   *     O(n²): records only ever compare within their 6-char
   *     normalized-name prefix block. Blocks are uniform here (the
-  *     prefix encodes the two lowest custkey digits); a skewed
-  *     production corpus would add a block cap or a second
-  *     blocking pass — the maxBucket precedent from the winnow
-  *     tiers.
+  *     prefix encodes the two lowest custkey digits), but a
+  *     production name corpus has hot prefixes ("john s…"), so the
+  *     pairing tiers carry a `maxBlock` CAP (r16, the winnow tiers'
+  *     maxBucket precedent): only the `maxBlock` smallest rec_ids
+  *     of a block participate in pairing, bounding candidate volume
+  *     to O(maxBlock²) per block with a deterministic survivor
+  *     subset — EntityResolutionSpec plants a 1000-record hot block
+  *     and asserts the bound. Membership/survivorship always read
+  *     the FULL record set; only pair generation is capped.
   *   - The LENGTH BAND (|len_a − len_b| ≤ maxLev) is a free
   *     pre-filter: Levenshtein distance is bounded below by the
   *     length gap, so the band drops most of each block before any
@@ -67,7 +73,19 @@ object EntityResolution {
     * strings, and the reason prefix blocking is usable at all. */
   def synthCrmCorpus(customer: DataFrame): DataFrame = {
     val syl = array(Syllables.map(lit): _*)
-    val rev = reverse(lpad(col("c_custkey").cast("string"), 6, "0"))
+    // lpad silently TRUNCATES to 6 chars once custkey has 7+ digits
+    // (TPC-H SF ≳ 6.7): distinct customers would collide on
+    // identical canonical names and the "distinct customers are
+    // ≥ 3 edits apart" guarantee would silently fail at scale — so
+    // the encoding fails LOUDLY instead (r16, ADVICE). Distributed
+    // guard, no extra job; the oracle replays only the guarded range.
+    val guarded = when(col("c_custkey") >= 1000000L,
+      raise_error(concat(lit("synthCrmCorpus: c_custkey "),
+        col("c_custkey").cast("string"),
+        lit(" has 7+ digits — the 6-syllable name encoding would " +
+          "collide; widen the pad and the oracle in lockstep"))))
+      .otherwise(col("c_custkey"))
+    val rev = reverse(lpad(guarded.cast("string"), 6, "0"))
     val nameCol = concat((1 to 6).map(i =>
       element_at(syl, substring(rev, i, 1).cast("int") + 1)): _*)
     val named = customer.select(
@@ -108,12 +126,25 @@ object EntityResolution {
       .withColumn("block", substring(col("norm"), 1, 6))
       .withColumn("len", length(col("norm")))
 
+  /** Deterministic block cap (r16, the winnow maxBucket precedent):
+    * only the `maxBlock` smallest rec_ids of each block participate
+    * in pairing, bounding a hot prefix ("john s…") to O(maxBlock²)
+    * candidates instead of O(block²). The window shuffles on the
+    * same `block` key the pair join shuffles on, so the cap rides
+    * the partitioning the join needs anyway. */
+  private def capBlocks(n: DataFrame, maxBlock: Int): DataFrame =
+    n.withColumn("bn", row_number().over(
+        Window.partitionBy("block").orderBy("rec_id")))
+      .filter(col("bn") <= maxBlock).drop("bn")
+
   /** Blocked fuzzy match: within each block, pairs inside the
     * length band score a THRESHOLDED Levenshtein; `lev ≤ maxLev`
     * matches, labeled `exact_norm` when normalization alone closed
-    * the gap. Output: (rec_a, rec_b, lev, rule), rec_a < rec_b. */
-  def entityPairs(recs: DataFrame, maxLev: Int = 1): DataFrame = {
-    val n = normalized(recs)
+    * the gap. Output: (rec_a, rec_b, lev, rule), rec_a < rec_b.
+    * `maxBlock` caps each block's participants (see [[capBlocks]]). */
+  def entityPairs(recs: DataFrame, maxLev: Int = 1,
+                  maxBlock: Int = 256): DataFrame = {
+    val n = capBlocks(normalized(recs), maxBlock)
     val a = n.select(col("rec_id").as("rec_a"), col("norm").as("norm_a"),
       col("block"), col("len").as("len_a"))
     val b = n.select(col("rec_id").as("rec_b"), col("norm").as("norm_b"),
@@ -156,11 +187,15 @@ object EntityResolution {
     * deferral is what keeps the intake path O(delta · block) with
     * zero cross-delta work, the correct trade at ingest rates. */
   def attachToStore(delta: DataFrame, store: DataFrame,
-                    maxLev: Int = 1): DataFrame = {
+                    maxLev: Int = 1, maxBlock: Int = 256): DataFrame = {
     val d = normalized(delta).select(col("rec_id"),
       col("norm").as("norm_d"), col("block"), col("len").as("len_d"))
-    val s = store.select(col("norm").as("norm_s"), col("block"),
-      col("len").as("len_s"), col("entity_id").as("store_entity"))
+    // the store side carries the hot-prefix hazard (history >> delta)
+    // — cap its per-block participants like the batch pairing tier
+    val s = capBlocks(store.select(col("rec_id"), col("norm"), col("block"),
+        col("len"), col("entity_id")), maxBlock)
+      .select(col("norm").as("norm_s"), col("block"),
+        col("len").as("len_s"), col("entity_id").as("store_entity"))
     d.join(s,
         d("block") === s("block") &&
           abs(col("len_d") - col("len_s")) <= maxLev &&

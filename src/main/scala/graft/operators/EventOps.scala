@@ -256,6 +256,36 @@ object EventOps {
           .as("est_within_tol"))
   }
 
+  /** Overlap CALIBRATION — [[sketchCalibration]]'s pattern applied
+    * to the pairwise-audience tier, which is what graduates the
+    * overlap key from rows-only to a full oracle: per type pair, the
+    * EXACT anchor columns ([[audienceOverlapExact]] — users_a,
+    * users_b, overlap) plus one engine-agnostic boolean claim that
+    * the engine's OWN sketch route ([[approxAudienceOverlap]], the
+    * same inclusion–exclusion over merged sketches the 100 TB path
+    * runs) lands within tolerance of the exact intersection. The
+    * raw estimate can never hash-match across engines; the claim
+    * can, because each engine checks ITS sketches against the SAME
+    * exact anchor. Tolerance is integer-exact on both engines —
+    * `max(3, union·tolPct/100)` with floored integer division —
+    * and sized for inclusion–exclusion compounding: three ~2%-rsd
+    * estimates of sets as large as the UNION bound the intersection
+    * error by ~3·3σ·2% of the union (ApproxSpec's measured bound),
+    * so tolPct=18 is the spec bound made portable. */
+  def overlapCalibration(events: DataFrame, lgConfigK: Int = 12,
+                         tolPct: Int = 18): DataFrame = {
+    val approx = approxAudienceOverlap(events, lgConfigK)
+      .select(col("type_a"), col("type_b"), col("approx_overlap"))
+    audienceOverlapExact(events)
+      .join(approx, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("overlap"),
+        (abs(col("approx_overlap") - col("overlap")) <=
+          greatest(lit(3L),
+            expr(s"(users_a + users_b - overlap) * $tolPct div 100")))
+          .as("ov_within_tol"))
+  }
+
   /** Exact distinct-user variant (shuffles user ids; the approx one
     * above is the 100 TB default). */
   def hourlyDistinctUsers(events: DataFrame): DataFrame =

@@ -386,22 +386,38 @@ object Multimodal {
 
   /** [[synthPngCorpus]] with PLANTED RE-ENCODED COPIES — the fixture
     * the perceptual tier needs and the chunk tier structurally
-    * cannot handle: docs with `doc_id % dupMod == 1` carry the
-    * PIXELS of doc_id−1's recipe (one channel of one pixel nudged
-    * +1, below any perceptual threshold) written by the JDK's BMP
-    * encoder instead of PNG — same image, zero shared container
-    * bytes. Both formats are lossless, so every pixel (original and
-    * copy) replays from the FNV recipe alone and the whole corpus
-    * stays oracle-checkable without a codec. */
+    * cannot handle — in BOTH rank directions (r16, the audio offset
+    * fixture's convention ported to the dHash tier):
+    *
+    *  - `doc_id % 20 == 1`: the PIXELS of doc_id−1's recipe (one
+    *    channel of one pixel nudged +1, below any perceptual
+    *    threshold) written by the JDK's BMP encoder instead of
+    *    PNG — a same-resolution re-encode, so min-id and
+    *    highest-resolution survivorship agree.
+    *  - `doc_id % 20 == 11`: doc_id−1's pixels UPSCALED 2× by
+    *    nearest neighbour (each source pixel becomes a constant 2×2
+    *    block), BMP-encoded — a RESTORED HI-RES master with the
+    *    LARGER id, so the keep-best rank (pixel count desc) picks
+    *    the opposite survivor from min-id and the rank ORDERING
+    *    itself is oracle-covered, not just the tie-break. The
+    *    block-aggregate dHash ([[phashSignatures]]) is exactly
+    *    invariant under integer upscales, so the copy still lands
+    *    at Hamming 0 from its source.
+    *
+    * All formats are lossless, so every pixel (original and copy)
+    * replays from the FNV recipe alone and the whole corpus stays
+    * oracle-checkable without a codec. */
   def synthMixedCorpus(docs: DataFrame, side: Int = 8,
                        dupMod: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     Spread.spread(docs.select(col("doc_id"))).as[Long].map { d =>
-      val isCopy = d % dupMod == 1
-      val src = if (isCopy) d - 1 else d
+      val isUpscale = d % (2 * dupMod) == dupMod + 1
+      val isCopy = d % dupMod == 1 && !isUpscale
+      val src = if (isCopy || isUpscale) d - 1 else d
+      val outSide = if (isUpscale) 2 * side else side
       val img = new java.awt.image.BufferedImage(
-        side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        outSide, outSide, java.awt.image.BufferedImage.TYPE_INT_RGB)
       var i = 0
       while (i < side * side) {
         // DOUBLE FNV fold (re-hash the unsigned-decimal rendering of
@@ -416,11 +432,18 @@ object Multimodal {
         val r = if (isCopy && i == 0) (r0 + 1) % 256 else r0
         val g = ((h >>> 16) & 0xff).toInt
         val b = ((h >>> 24) & 0xff).toInt
-        img.setRGB(i % side, i / side, (r << 16) | (g << 8) | b)
+        val rgb = (r << 16) | (g << 8) | b
+        if (isUpscale) {
+          // nearest-neighbour 2x: the recipe pixel fills its block
+          val x0 = (i % side) * 2; val y0 = (i / side) * 2
+          img.setRGB(x0, y0, rgb); img.setRGB(x0 + 1, y0, rgb)
+          img.setRGB(x0, y0 + 1, rgb); img.setRGB(x0 + 1, y0 + 1, rgb)
+        } else img.setRGB(i % side, i / side, rgb)
         i += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, if (isCopy) "bmp" else "png", bos)
+      javax.imageio.ImageIO.write(img,
+        if (isCopy || isUpscale) "bmp" else "png", bos)
       PngBlob(d, bos.toByteArray)
     }.toDF()
   }
@@ -433,10 +456,19 @@ object Multimodal {
     * (bit y·7+x = 1 ⇔ luma(x+1,y) > luma(x,y)). Gradient signs are
     * what survive re-encoding: any lossless container (and mild
     * lossy noise below the comparison margins) yields the identical
-    * hash, so a PNG and its BMP re-encode collide exactly. Decode
-    * throws on undecodable payloads ([[decodeImageStats]]'s audit
-    * discipline) and requires the corpus-wide `side` so adjacency
-    * is well-defined. */
+    * hash, so a PNG and its BMP re-encode collide exactly.
+    *
+    * Scale normalization (r16): an image k·side × k·side folds to
+    * the side×side comparison grid by k×k block-aggregate luma —
+    * the bit compares block luma SUMS, which over equal-size blocks
+    * orders identically to averages with zero division, so the
+    * hash stays an exact integer and is EXACTLY invariant under
+    * integer-ratio nearest-neighbour resizes (each source pixel is
+    * a constant block): a 2× restored master collides with its
+    * source at Hamming 0 while carrying 4× the rank-key pixels.
+    * k=1 degenerates to the plain per-pixel dHash. Decode throws on
+    * undecodable or non-square / non-multiple payloads
+    * ([[decodeImageStats]]'s audit discipline). */
   def phashSignatures(blobs: DataFrame, side: Int = 8): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._
@@ -446,19 +478,31 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable payload for doc $d")
-        require(img.getWidth == side && img.getHeight == side,
-          s"doc $d: expected ${side}x$side, got ${img.getWidth}x${img.getHeight}")
-        def luma(x: Int, y: Int): Int = {
-          val rgb = img.getRGB(x, y)
-          299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
-            114 * (rgb & 0xff)
+        require(img.getWidth == img.getHeight && img.getWidth % side == 0,
+          s"doc $d: expected a square multiple of ${side}x$side, " +
+            s"got ${img.getWidth}x${img.getHeight}")
+        val k = img.getWidth / side
+        def blockLuma(gx: Int, gy: Int): Long = {
+          var s = 0L
+          var y = gy * k
+          while (y < (gy + 1) * k) {
+            var x = gx * k
+            while (x < (gx + 1) * k) {
+              val rgb = img.getRGB(x, y)
+              s += 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          s
         }
         var sig = 0L
         var y = 0
         while (y < side) {
           var x = 0
           while (x < side - 1) {
-            if (luma(x + 1, y) > luma(x, y))
+            if (blockLuma(x + 1, y) > blockLuma(x, y))
               sig |= 1L << (y * (side - 1) + x)
             x += 1
           }
@@ -935,23 +979,38 @@ object Multimodal {
   }
 
   /** The perceptual-audio fixture: [[synthWavCorpus]] plus planted
-    * VOLUME-SCALED copies — `doc_id % 10 == 1` carries the previous
-    * doc's samples truncation-halved (v/2 toward zero, the exact op
-    * both engines replay), a re-level of the same recording. The
-    * chunk/byte tiers structurally miss these (every PCM byte
-    * differs); the sign-of-delta signature below is
-    * amplitude-invariant up to truncation ties, so they pair
-    * perceptually — the audio twin of the phash BMP-re-encode story.
+    * copies in BOTH rank directions (r16, completing the audio twin
+    * of the phash BMP-re-encode story):
+    *
+    *  - `doc_id % 20 == 1`: the previous doc's samples
+    *    truncation-halved (v/2 toward zero, the exact op both
+    *    engines replay) — a VOLUME-SCALED re-level of the same
+    *    recording, same length, so min-id and longest-recording
+    *    survivorship agree. The chunk/byte tiers structurally miss
+    *    it (every PCM byte differs); the sign-of-delta signature is
+    *    amplitude-invariant up to truncation ties.
+    *  - `doc_id % 20 == 11`: the previous doc's samples UNSCALED
+    *    with `nSamples/2` extra samples appended, keyed by the
+    *    extension doc's OWN id block (which its recipe never
+    *    otherwise uses, so they alias nothing) — a RESTORED LONGER
+    *    master with the LARGER id. The signature window reads
+    *    samples [0, 64) only, so it collides at Hamming 0 while
+    *    `n_samples` carries the larger rank key, and the keep-best
+    *    rank ORDERING (not just the min-id tie-break) is
+    *    oracle-covered.
     */
   def synthScaledWavCorpus(docs: DataFrame, nSamples: Int = 64,
                            sampleRate: Int = 8000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].map { d =>
-      val src = if (d % 10 == 1) d - 1 else d
-      val pcm = new Array[Byte](nSamples * 2)
+      val isExt = d % 20 == 11
+      val isScaled = d % 10 == 1 && !isExt
+      val src = if (isScaled || isExt) d - 1 else d
+      val n = if (isExt) nSamples + nSamples / 2 else nSamples
+      val pcm = new Array[Byte](n * 2)
       var i = 0
-      while (i < nSamples) {
+      while (i < n) {
         // xxhash64 (Spark's XXH64), NOT the FNV recipe of
         // [[synthWavCorpus]], deliberately: the sign-of-DELTA
         // signature compares consecutive samples, and FNV-1a of
@@ -966,10 +1025,15 @@ object Multimodal {
         // collide at ANY nSamples (a hardcoded 64 would alias doc d
         // sample i>=64 with doc d+1 sample i-64); the DuckDB replay
         // (audioSigCtes) pins the driver fixture's nSamples = 64
+        // the extension tail (i >= nSamples) keys on the copy's OWN
+        // id block — the copy's recipe never uses it for i < nSamples
+        // (those read the source's block), so nothing aliases
+        val key = if (isExt && i >= nSamples) d * nSamples.toLong + (i - nSamples)
+          else src * nSamples.toLong + i
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(src * nSamples.toLong + i, 42L)
+          .hashLong(key, 42L)
         val v0 = (((h >>> 8) & 0xffffL).toInt << 16) >> 16
-        val v = if (d % 10 == 1) v0 / 2 else v0
+        val v = if (isScaled) v0 / 2 else v0
         pcm(2 * i) = (v & 0xff).toByte
         pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
         i += 1
@@ -977,7 +1041,7 @@ object Multimodal {
       val fmt = new javax.sound.sampled.AudioFormat(
         sampleRate.toFloat, 16, 1, true, false)
       val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
       val bos = new java.io.ByteArrayOutputStream()
       javax.sound.sampled.AudioSystem.write(ais,
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)

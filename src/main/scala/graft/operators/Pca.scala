@@ -177,23 +177,40 @@ object Pca {
     * exactly on raw vectors. Candidate generation is the broadcast-
     * queries × corpus stream of [[Similarity.bruteForceTopK]]; the
     * rerank join touches only candidate ids.
+    *
+    * `model`: pass the PUBLISHED transform ([[PcaFrozen.model]], the
+    * r16 frozen-artifact convention — a 100 TB pipeline ships one
+    * trained transform, it does not refit per query) and the whole
+    * two-stage search replays in SQL from the model literals; None
+    * refits on the corpus ([[fit]]) for ad-hoc use. Stage-1 ranks on
+    * the 1e-6-ROUNDED projected cosine ([[Similarity.matryoshkaTopK]]
+    * discipline): the candidate set is discrete, so boundary ranks
+    * must snap to the id tie-break identically cross-engine; the
+    * exact rerank re-scores on raw doubles.
     */
   def pcaTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-              pcaDims: Int = 16, rerank: Int = 4, dim: Int = 64): DataFrame = {
-    val model = fit(corpus, dim, pcaDims)
+              pcaDims: Int = 16, rerank: Int = 4, dim: Int = 64,
+              model: Option[Model] = None): DataFrame = {
+    val m = model.getOrElse(fit(corpus, dim, pcaDims))
+    require(m.components.length == pcaDims,
+      s"model has ${m.components.length} components, expected $pcaDims")
     val pCorpus = project(
-      corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), model)
+      corpus.select(col("vec_id").as("neighbor_id"), col("embedding")), m)
       .withColumnRenamed("embedding", "p_emb")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
     val pq = broadcast(project(
-      queries.select(col("vec_id").as("query_id"), col("embedding")), model)
+      queries.select(col("vec_id").as("query_id"), col("embedding")), m)
       .withColumnRenamed("embedding", "pq_emb"))
-    val approx = Similarity.topKPerQuery(
-      pCorpus.crossJoin(pq)
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          gf.cosineSim(col("pq_emb"), col("p_emb")).as("cosine")), k * rerank)
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    val approx = pCorpus.crossJoin(pq)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        gf.cosineSim(col("pq_emb"), col("p_emb")).as("cosine"))
+      .withColumn("rn", row_number().over(wApprox))
+      .filter(col("rn") <= k * rerank).drop("rn")
     val exact = broadcast(approx.select("query_id", "neighbor_id"))
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb")), Seq("neighbor_id"))

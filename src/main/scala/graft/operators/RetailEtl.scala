@@ -223,6 +223,29 @@ object RetailEtl {
                       rsd: Double = 0.02): DataFrame =
     dqProfileWith(df, cols, c => approx_count_distinct(col(c), rsd))
 
+  /** DQ-profile CALIBRATION — [[EventOps.sketchCalibration]]'s
+    * pattern over the profile tier, graduating the approx key from
+    * rows-only to a full oracle: per column, the EXACT anchor row
+    * ([[dqProfile]] — n_rows, n_nulls, n_distinct, null_frac) plus
+    * one engine-agnostic boolean claim that the engine's OWN
+    * single-pass HLL route ([[dqProfileApprox]], the 100 TB form)
+    * lands within tolerance of the exact cardinality. Raw HLL
+    * counts never hash across engines; the claim does, because each
+    * engine checks ITS sketch against the SAME exact anchor.
+    * Tolerance `max(2, n_distinct·tolPct/100)` integer-exact on both
+    * engines; tolPct=5 is ApproxSpec's bound (~2.5σ at rsd 2%). */
+  def dqCalibration(df: DataFrame, cols: Seq[String], rsd: Double = 0.02,
+                    tolPct: Int = 5): DataFrame =
+    dqProfile(df, cols)
+      .join(dqProfileApprox(df, cols, rsd)
+          .select(col("col_name"), col("n_distinct").as("apx_distinct")),
+        Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("null_frac"),
+        (abs(col("apx_distinct") - col("n_distinct")) <=
+          greatest(lit(2L), expr(s"n_distinct * $tolPct div 100")))
+          .as("distinct_within_tol"))
+
   private def dqProfileWith(df: DataFrame, cols: Seq[String],
                             distinctOf: String => Column): DataFrame = {
     require(cols.nonEmpty, "dqProfile needs at least one column")

@@ -334,5 +334,36 @@ class AnnIndexSpec extends SparkSpec {
       corpus.filter(!deadPred), queries, k = 10))
     val recall = got.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"post-rebuild survivor recall $recall < 0.8")
+    // 5. the staging dir is gone — its absence IS the commit marker
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/ivf/vectors.staging")),
+      "completed rebuild must remove the staging survivors")
+  }
+
+  test("rebuild crash recovery: a present staging dir is resumed from — " +
+    "the half-rewritten live layout is never trusted") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    // simulate a rebuild that crashed mid-overwrite: the durable
+    // staging survivors exist (here: only vec_id % 2 = 0 — content
+    // DIFFERENT from the live vectors dir, so resuming from the
+    // live dir instead would be caught), and the live layout is in
+    // an arbitrary half-rewritten state
+    corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/ivf/vectors.staging")
+    AnnIndex.rebuildIvf(spark, s"$base/ivf", iters = 1)
+    val ids = spark.read.parquet(s"$base/ivf/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === want,
+      "resumed rebuild must lay out exactly the STAGED survivors")
+    assert(AnnIndex.tombstones(spark, s"$base/ivf").count() === 0L,
+      "resumed rebuild still resets the log")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/ivf/vectors.staging")),
+      "resumed rebuild must clean up the staging marker")
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench measurement protocol ([[Bench.measureKey]], r16):
+  * fail-fast on a failing first run, min-of-two inside the band,
+  * bounded retries past it, and — the ADVICE behaviors — a thrown
+  * retry never discards the valid earlier measurements, and every
+  * extra attempt is visible to the caller for the artifact's
+  * `retried` map. Pure function, no Spark session. */
+class BenchSpec extends AnyFunSuite {
+
+  private def scripted(values: Double*): () => Double = {
+    val it = values.iterator
+    () => { assert(it.hasNext, "protocol took more attempts than scripted")
+      it.next() }
+  }
+
+  test("failing FIRST run ships -1 and never pays a retry") {
+    val (v, attempts) = Bench.measureKey(scripted(-1.0),
+      () => fail("retry must not run after a failed first attempt"),
+      bandMax = 1.0)
+    assert(v === -1.0 && attempts === Seq(-1.0))
+  }
+
+  test("failing SECOND run ships -1 after exactly two attempts") {
+    val (v, attempts) = Bench.measureKey(scripted(0.5, -1.0),
+      () => fail("retry must not run after a failed second attempt"),
+      bandMax = 1.0)
+    assert(v === -1.0 && attempts === Seq(0.5, -1.0))
+  }
+
+  test("inside the band: min of exactly two measurements ships") {
+    val (v, attempts) = Bench.measureKey(scripted(1.4, 1.2),
+      () => fail("no retry inside the band"), bandMax = 1.0)
+    assert(v === 1.2 && attempts === Seq(1.4, 1.2))
+  }
+
+  test("over the band: retries run until one lands inside, min ships") {
+    val retries = scripted(5.0, 1.5)
+    val (v, attempts) = Bench.measureKey(scripted(9.0, 8.0), retries,
+      bandMax = 1.0)
+    assert(v === 1.5, "the honest min across all attempts ships")
+    assert(attempts === Seq(9.0, 8.0, 5.0, 1.5),
+      "attempt count > 2 is what feeds the artifact's retried map")
+  }
+
+  test("a THROWN retry stops the loop but never fails the " +
+    "twice-measured key: the valid min ships") {
+    val (v, attempts) = Bench.measureKey(scripted(9.0, 8.0),
+      scripted(-1.0), bandMax = 1.0)
+    assert(v === 8.0,
+      "negative retry attempts are dropped, not shipped as a failure")
+    assert(attempts === Seq(9.0, 8.0, -1.0),
+      "the thrown attempt stays visible in the evidence trail")
+  }
+
+  test("retries are capped at 4 total attempts even while over band") {
+    val (v, attempts) = Bench.measureKey(scripted(9.0, 8.0),
+      scripted(7.0, 6.0), bandMax = 1.0)
+    assert(v === 6.0 && attempts.size === 4,
+      s"cap must stop the loop at 4: $attempts")
+  }
+}

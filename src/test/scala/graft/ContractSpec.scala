@@ -36,7 +36,7 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented eleven") {
+  test("rows-only queries are the documented six") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
@@ -44,24 +44,24 @@ class ContractSpec extends AnyFunSuite {
       // r10 second batch: simhash + char-n-gram jaccard replay too
       // r10 third batch: the xxhash64 decomposition graduated the
       // whole IVF pick/probe family and the xxhash64 split twin
+      // r16: events_audience_overlap, events_rolling_active_approx
+      // and etl_dq_profile_approx graduated via the calibration
+      // pattern (exact anchors + each-engine's-own-sketch-within-tol
+      // booleans, cf. events_sketch_calibration)
 
-      "events_approx_stats", "events_audience_overlap", "events_sketch_reach",
+      "events_approx_stats", "events_sketch_reach",
       // r9 additions, each spec-bounded against an exact anchor:
-      // LSH SemDeDup closure (DedupRecallSpec), the two approx twins
+      // LSH SemDeDup closure (DedupRecallSpec), approx twins
       // (ApproxSpec error bounds), the persisted-index probes
       // (AnnIndexSpec parity + AnnRecallGateSpec floors)
-      "etl_dq_profile_approx",
       "events_user_lifespan_approx",
 
-      // PCA: eigen state is driver-trained, not SQL-expressible —
-      // PcaSpec invariants + the recall gate carry correctness
-      "emb_pca_project", "ann_pca_topk",
+      // r16: emb_pca_project + ann_pca_topk graduated via the
+      // frozen-model-artifact convention (PcaFrozen literals replay
+      // the projection and the two-stage search in the oracle;
+      // PcaSpec pins the artifact against a live refit)
       // zlib has no DuckDB twin; invariants spec-held
       "text_compression_signal",
-      // HLL day sketches are error-bounded vs the exact key
-      // (ApproxSpec); ann_mmr_diverse graduated to an unrolled-CTE
-      // oracle in r10
-      "events_rolling_active_approx",
       // live DQ monitor: HLL state per column (ApproxSpec bounds,
       // StreamingSpec cross-batch accumulation)
       "stream_dq_profile",

@@ -188,4 +188,43 @@ class EntityResolutionSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "the length band must ride the equi-join, not force a theta join")
   }
+
+  test("maxBlock cap bounds a planted 1000-record hot block (and never " +
+    "binds on the uniform driver fixture)") {
+    import spark.implicits._
+    // a production hot prefix: 1000 records sharing one block with
+    // identical normalized names — uncapped that is C(1000,2) =
+    // 499 500 candidate pairs from ONE block
+    val hot = (0L until 1000L)
+      .map(i => (i, "johnsmith")).toDF("rec_id", "raw_name")
+    val capped = EntityResolution.entityPairs(hot, maxBlock = 30).collect()
+    assert(capped.length === 30 * 29 / 2,
+      s"cap must keep exactly C(30,2) pairs, got ${capped.length}")
+    val ids = capped.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids === (0L until 30L).toSet,
+      "the survivor subset must be the deterministic smallest rec_ids")
+    // attach tier: a delta record probing a 1000-member hot STORE
+    // block compares against maxBlock members only, and still lands
+    // on the smallest capped entity label
+    val store = hot.select(col("rec_id"),
+        lower(col("raw_name")).as("norm"),
+        substring(lower(col("raw_name")), 1, 6).as("block"),
+        length(col("raw_name")).as("len"),
+        col("rec_id").as("entity_id"))
+    val att = EntityResolution.attachToStore(
+        Seq((5000L, "johnsmith")).toDF("rec_id", "raw_name"),
+        store, maxBlock = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(att.toSeq === Seq((5000L, 0L, false)),
+      s"delta must attach to the smallest capped store entity: ${att.toSeq}")
+    // the driver fixture's blocks sit far under the 256 default —
+    // the cap can never bind there, which is what keeps the capped
+    // oracle and the uncapped exhaustive definition identical
+    val blockSizes = recs
+      .select(EntityResolution.normName(col("raw_name")).as("norm"))
+      .select(substring(col("norm"), 1, 6).as("block"))
+      .groupBy("block").count().agg(max("count")).head().getLong(0)
+    assert(blockSizes <= 128,
+      s"driver fixture max block $blockSizes exceeds half the 256 cap")
+  }
 }

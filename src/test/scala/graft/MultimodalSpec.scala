@@ -558,14 +558,18 @@ class MultimodalSpec extends SparkSpec {
   test("image winnow tier catches the cropped copies the whole-image tier cannot see") {
     val docs = (0L until 30L).toDF("doc_id")
     val corpus = Multimodal.synthCropPngCorpus(docs)
-    // precondition: the whole-image tier's uniform-side contract
-    // REJECTS the mixed-geometry corpus outright — a cropped copy
-    // is not merely missed, it is outside the tier's domain
+    // precondition: the whole-image tier's geometry contract (square
+    // integer multiples of the grid — r16's block-aggregate
+    // normalization widens it from exact-side only) still REJECTS
+    // the crop corpus outright: an 8x8 crop of a 12-grid is not a
+    // multiple, so a cropped copy is not merely missed, it is
+    // outside the tier's domain
     val thrown = intercept[org.apache.spark.SparkException] {
       Multimodal.phashSignatures(corpus, side = 12).collect()
     }
-    assert(thrown.getMessage.contains("expected 12x12")
-      || Option(thrown.getCause).exists(_.getMessage.contains("expected 12x12")),
+    val want = "expected a square multiple of 12x12"
+    assert(thrown.getMessage.contains(want)
+      || Option(thrown.getCause).exists(_.getMessage.contains(want)),
       s"whole-image tier must reject the 8x8 crops: ${thrown.getMessage}")
     // the winnowed tier pairs exactly the planted crops
     val planted = Set((0L, 1L), (10L, 11L), (20L, 21L))
@@ -769,14 +773,27 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(aud(11L) == ((10L, 96L, true)) && aud(10L) == ((10L, 64L, false)),
       s"the longest recording survives: $aud")
-    // driver-fixture tie case: same closure as groups, min-id decides
+    // driver fixture (r16): membership always agrees with groups,
+    // but on the upscaled group {10, 11} the 256-px restoration
+    // out-ranks its min-id master — rank ordering, not the
+    // tie-break, decides; ties elsewhere still fall to min id
     val docs = (0L until 30L).toDF("doc_id")
     val kb = Multimodal.phashKeepBest(Multimodal.synthMixedCorpus(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
     val gr = Multimodal.phashGroups(Multimodal.synthMixedCorpus(docs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(kb.sortBy(_._1).toSeq == gr.sortBy(_._1).toSeq,
-      "uniform-resolution corpus: keep-best == min-id groups")
+      .sortBy(_._1).toSeq
+    assert(kb.map(t => (t._1, t._2)) == gr.map(t => (t._1, t._2)),
+      "keep-best and groups must agree on membership")
+    val kbKeep = kb.map(t => t._1 -> t._3).toMap
+    val grKeep = gr.map(t => t._1 -> t._3).toMap
+    assert(!kbKeep(10L) && kbKeep(11L),
+      s"the 2x upscale (doc 11) must beat its min-id master: $kbKeep")
+    assert(grKeep(10L) && !grKeep(11L),
+      "min-id groups pick the opposite survivor on the upscaled group")
+    ((0L until 30L).toSet -- Set(10L, 11L)).foreach(d =>
+      assert(kbKeep(d) == grKeep(d), s"non-upscaled doc $d must tie to min id"))
   }
 
   test("phashGroups: planted copies land in their originals' groups") {

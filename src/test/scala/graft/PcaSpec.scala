@@ -87,4 +87,31 @@ class PcaSpec extends SparkSpec {
     assert(byQ.values.forall(_.length == 5), "k rows per query")
     assert(res.forall(r => r.getLong(0) != r.getLong(1)), "self excluded")
   }
+
+  test("PcaFrozen: the published artifact matches a live refit (sign-aligned)") {
+    // the frozen-model convention's drift guard (r16): the committed
+    // PcaFrozen literals must be the float-snap of what Pca.fit
+    // produces TODAY on the reference corpus — a fit-code or
+    // testdata change without a PcaFreezeMain re-run fails here, not
+    // in a silent oracle divergence. Eigenvector sign is arbitrary
+    // and partial-merge order shifts the Gram sums ~1 ulp, so the
+    // compare is |dot| ≈ 1 per eigenpair (plus mean/eigenvalue
+    // tolerance), not bit equality.
+    import graft.operators.PcaFrozen
+    val refit = Pca.fit(
+      Tables.embeddings(spark, "/root/testdata/sf0.1"), dim = 64, k = 32)
+    refit.mean.zip(PcaFrozen.mean).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"mean drift: $a vs $b") }
+    refit.explainedVariance.zip(PcaFrozen.explainedVariance).foreach {
+      case (a, b) => assert(math.abs(a - b) < 1e-6 * (1.0 + math.abs(b)),
+        s"eigenvalue drift: $a vs $b") }
+    refit.components.zip(PcaFrozen.components).zipWithIndex.foreach {
+      case ((a, b), j) =>
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+          s"component $j drifted from the artifact: |dot| = ${math.abs(dot)}")
+    }
+    assert(math.abs(refit.totalVariance - PcaFrozen.totalVariance) <
+      1e-6 * (1.0 + PcaFrozen.totalVariance), "total variance drift")
+  }
 }
