@@ -108,7 +108,10 @@ object ExplainMain {
       "docs_cluster_temperature", "mm_scene_cuts", "mm_shot_stats",
       "lake_vacuum_plan", "text_lm_kn_score", "etl_anonymity_audit",
       "etl_rtbf_plan", "etl_rtbf_apply", "q_holtwinters_forecast",
-      "q_forecast_backtest", "mm_keyframe_sample", "stream_rtbf_gate")
+      "q_forecast_backtest", "mm_keyframe_sample", "stream_rtbf_gate",
+      // r16 batch
+      "lake_vacuum_apply", "lake_time_travel_read",
+      "rtbf_ml_plan", "rtbf_ml_apply")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

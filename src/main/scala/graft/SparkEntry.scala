@@ -491,6 +491,29 @@ object SparkEntry {
       merge = Seq(sum("q").as("total_quantity"), sum("a").as("total_sale_amount")))
 
   // shared entity-resolution chain (r15): the dirty-CRM fixture, its
+  // the pinned CMS sketch relation shared by both text_cms keys
+  // (r16): ≤ depth·width rows, one tokenize+explode pass per
+  // (session, dir) instead of one per key
+  private val cmsSketchCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedCmsSketch(s: SparkSession, dir: String): DataFrame =
+    cmsSketchCache.getOrElseUpdate((s, dir), primeTimed("cms_sketch")(
+      operators.CountMin.sketch(Tables.documents(s, dir))
+        .localCheckpoint(true)))
+
+  // the synthetic file manifest with snapshot lineage shared by the
+  // lake retention keys (vacuum plan/apply + as-of read): one
+  // documents collapse, O(files) rows, pure metadata
+  private def snapManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source").as("part"),
+        (col("doc_id") % 37).as("file_id"))
+      .agg(sum("n_chars").as("bytes"),
+        (min("doc_id") % 7).as("created_snap"),
+        when(max("doc_id") % 3 === 0,
+          min("doc_id") % 7 + 1 + max("doc_id") % 4)
+          .as("removed_snap"))
+
   // blocked fuzzy pairs, and the transitive closure — built once and
   // read by all three etl_entity_* keys (pairs feed the closure, the
   // closure feeds survivorship; rebuilding the chain per key would
@@ -582,6 +605,33 @@ object SparkEntry {
         Tables.customer(s, dir).filter(col("c_custkey") % 53 === 3),
         Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir))),
+    // RTBF reaches the ML stores (r16): the subject's derived rows in
+    // the dedup-fingerprint store, the winnow fp store and the ANN
+    // vector rows — plan counts, apply = anti-join erasure readout;
+    // the physical index path (deleteIvf tombstones) is spec-driven
+    // on a scratch index so the shared fixtures stay untouched
+    "rtbf_ml_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      operators.MlErasure.rtbfMlPlan(
+        docs.filter(col("doc_id") % 53 === 3),
+        emb.filter(col("vec_id") % 53 === 3),
+        operators.DedupStore.fingerprintRows(docs),
+        docs.select(col("doc_id"), explode(
+          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        emb.select("vec_id"))
+    }),
+    "rtbf_ml_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      operators.MlErasure.rtbfMlApply(
+        docs.filter(col("doc_id") % 53 === 3),
+        emb.filter(col("vec_id") % 53 === 3),
+        operators.DedupStore.fingerprintRows(docs),
+        docs.select(col("doc_id"), explode(
+          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        emb.select("vec_id"))
+    }),
     // privacy-release audit (r15): k-anonymity + l-diversity per
     // (nation, balance-band) class with the market segment as the
     // sensitive attribute — the band makes classes fine enough that
@@ -786,10 +836,14 @@ object SparkEntry {
     // O(partitions·depth·width) regardless of corpus size. Fully
     // deterministic (FNV token hash + splitmix multiply-shift rows),
     // so unlike the HLL twins BOTH keys are hash-oracled.
-    "text_cms_sketch" -> ((s, dir) =>
-      operators.CountMin.sketch(Tables.documents(s, dir))),
+    // both CMS keys read ONE pinned sketch build (r16, the pinned
+    // shared-relation convention): the corpus pays one
+    // tokenize+explode for the sketch and one for the exact counts,
+    // not three
+    "text_cms_sketch" -> ((s, dir) => sharedCmsSketch(s, dir)),
     "text_cms_token_freq" -> ((s, dir) =>
-      operators.CountMin.topTokenEstimates(Tables.documents(s, dir))),
+      operators.CountMin.topTokenEstimates(Tables.documents(s, dir),
+        prebuilt = Some(sharedCmsSketch(s, dir)))),
     // streaming CMS maintenance (r15): the sketch as BOUNDED live
     // state (≤ depth·width counter rows forever); replay = per-batch
     // partial sketches summed — the state-update rule applied
@@ -1986,16 +2040,22 @@ object SparkEntry {
     // time-travel window keep, older tombstones expire with their
     // reclaimable bytes; pure metadata, O(files) rows
     "lake_vacuum_plan" -> ((s, dir) =>
-      graft.sources.Lake.vacuumPlan(
-        Tables.documents(s, dir)
-          .groupBy(col("source").as("part"),
-            (col("doc_id") % 37).as("file_id"))
-          .agg(sum("n_chars").as("bytes"),
-            (min("doc_id") % 7).as("created_snap"),
-            when(max("doc_id") % 3 === 0,
-              min("doc_id") % 7 + 1 + max("doc_id") % 4)
-              .as("removed_snap")),
+      graft.sources.Lake.vacuumPlan(snapManifest(s, dir),
         currentSnap = 8L, retainSnaps = 2L)),
+    // EXECUTE the expiry (r16): the post-vacuum manifest — exactly
+    // the plan's keep rows; parity + byte conservation LakeSpec-held
+    "lake_vacuum_apply" -> ((s, dir) =>
+      graft.sources.Lake.vacuumApply(snapManifest(s, dir),
+        currentSnap = 8L, retainSnaps = 2L)),
+    // AS-OF read at the horizon boundary over the VACUUMED manifest
+    // (r16): within-window reads resolve identically pre/post vacuum
+    // (LakeSpec proves every in-window snapshot; below-horizon reads
+    // throw instead of silently missing expired files)
+    "lake_time_travel_read" -> ((s, dir) =>
+      graft.sources.Lake.timeTravelRead(
+        graft.sources.Lake.vacuumApply(snapManifest(s, dir),
+          currentSnap = 8L, retainSnaps = 2L),
+        asOfSnap = 6L, currentSnap = 8L, retainSnaps = 2L)),
     // batch fold of the live small-file monitor feeding the nightly
     // compaction plan: O(parts) state, trigger once 12 sub-300-byte
     // files accumulate (own oracle below)
@@ -3933,6 +3993,23 @@ object SparkEntry {
     * derivation from `customer` (EntityResolution.synthCrmCorpus
     * replayed), normalization, prefix blocking with the length
     * band, and the Levenshtein-≤1 match pairs. */
+  /** The MOSS winnow fingerprint inversion as a CTE chain — ends in
+    * `w(doc_id, fp)`, one row per per-doc-distinct winnow
+    * fingerprint (the text_winnow_dedup front half, shared by the
+    * r16 ML-erasure keys). */
+  private val winnowFpCtes: String =
+    """t AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      | FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+      |  THEN list_transform(range(1, len(toks) - 1),
+      |   i -> md5(array_to_string(toks[i:i+2], ' ')))
+      |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
+      |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(grams) >= 4
+      |  THEN list_transform(range(1, len(grams) - 2),
+      |   j -> list_min(grams[j:j+3]))
+      |  ELSE grams END)) AS fp FROM g)""".stripMargin
+
   private val crmPairsCte: String =
     """WITH nm AS (SELECT c_custkey AS k,
       |  list_aggregate(list_transform(range(1, 7), i ->
@@ -4126,6 +4203,41 @@ object SparkEntry {
         |UNION ALL SELECT 'orders', ob.b, ob.b - oa.a, oa.a FROM ob, oa
         |UNION ALL SELECT 'lineitem', lb.b, lb.b - la.a, la.a
         |FROM lb, la""".stripMargin.replace("\n", " "),
+    "rtbf_ml_plan" ->
+      // per ML store: total rows + the subject's rows (fingerprints
+      // 1/doc; winnow fps replayed through the shared MOSS CTE;
+      // vectors 1/vec) — all exact integer counts
+      (s"""WITH $winnowFpCtes,
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 53 = 3 THEN 1 ELSE 0 END),
+         |   0) AS BIGINT) AS e FROM documents),
+         |wn AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 53 = 3 THEN 1 ELSE 0 END),
+         |   0) AS BIGINT) AS e FROM w),
+         |av AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(coalesce(sum(CASE WHEN vec_id % 53 = 3 THEN 1 ELSE 0 END),
+         |   0) AS BIGINT) AS e FROM embeddings)
+         |SELECT 'fingerprints' AS store, f.t AS rows_total,
+         | f.e AS rows_to_erase FROM f
+         |UNION ALL SELECT 'winnow_fps', wn.t, wn.e FROM wn
+         |UNION ALL SELECT 'ann_vectors', av.t, av.e FROM av""")
+        .stripMargin.replace("\n", " "),
+    "rtbf_ml_apply" ->
+      (s"""WITH $winnowFpCtes,
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 53 = 3 THEN 1 ELSE 0 END),
+         |   0) AS BIGINT) AS e FROM documents),
+         |wn AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(coalesce(sum(CASE WHEN doc_id % 53 = 3 THEN 1 ELSE 0 END),
+         |   0) AS BIGINT) AS e FROM w),
+         |av AS (SELECT CAST(count(*) AS BIGINT) AS t,
+         |  CAST(coalesce(sum(CASE WHEN vec_id % 53 = 3 THEN 1 ELSE 0 END),
+         |   0) AS BIGINT) AS e FROM embeddings)
+         |SELECT 'fingerprints' AS store, f.t AS rows_before,
+         | f.e AS rows_removed, f.t - f.e AS rows_after FROM f
+         |UNION ALL SELECT 'winnow_fps', wn.t, wn.e, wn.t - wn.e FROM wn
+         |UNION ALL SELECT 'ann_vectors', av.t, av.e, av.t - av.e
+         |FROM av""").stripMargin.replace("\n", " "),
     "etl_anonymity_audit" ->
       """SELECT c_nationkey,
         | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
@@ -4564,7 +4676,8 @@ object SparkEntry {
         |    + (1 - 0.3) * (rw.lvl + rw.tr))) + (1 - 0.2) * rw.sl[1]]
         | FROM rw JOIN s ON s.i = rw.i + 1),
         |u AS (SELECT 'holt' AS model, round(x, 6) AS revenue,
-        |  round(fitted, 6) AS fitted FROM rh WHERE fitted IS NOT NULL
+        |  round(fitted, 6) AS fitted FROM rh
+        |  WHERE fitted IS NOT NULL AND i > 12
         | UNION ALL SELECT 'holt_winters', round(x, 4), round(fitted, 4)
         | FROM rw WHERE i > 12)
         |SELECT model, count(*) AS n_months,
@@ -9440,6 +9553,37 @@ object SparkEntry {
         |SELECT part, file_id, bytes, created_snap, removed_snap, action,
         | CASE WHEN action = 'expire' THEN bytes ELSE 0 END AS reclaim_bytes
         |FROM p""".stripMargin.replace("\n", " "),
+    "lake_vacuum_apply" ->
+      // the post-vacuum manifest: exactly the plan's keep rows
+      // (removed_snap null = live, or inside the [6, 8] window)
+      """WITH m AS (SELECT source AS part,
+        |  CAST(doc_id % 37 AS BIGINT) AS file_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  CAST(min(doc_id) % 7 AS BIGINT) AS created_snap,
+        |  CASE WHEN max(doc_id) % 3 = 0
+        |   THEN CAST(min(doc_id) % 7 + 1 + max(doc_id) % 4 AS BIGINT)
+        |   ELSE NULL END AS removed_snap
+        | FROM documents GROUP BY 1, 2)
+        |SELECT part, file_id, bytes, created_snap, removed_snap
+        |FROM m WHERE removed_snap IS NULL OR removed_snap >= 6"""
+        .stripMargin.replace("\n", " "),
+    "lake_time_travel_read" ->
+      // live files at snapshot 6 read from the VACUUMED manifest:
+      // created at-or-before 6 and not removed at-or-before 6
+      """WITH m AS (SELECT source AS part,
+        |  CAST(doc_id % 37 AS BIGINT) AS file_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  CAST(min(doc_id) % 7 AS BIGINT) AS created_snap,
+        |  CASE WHEN max(doc_id) % 3 = 0
+        |   THEN CAST(min(doc_id) % 7 + 1 + max(doc_id) % 4 AS BIGINT)
+        |   ELSE NULL END AS removed_snap
+        | FROM documents GROUP BY 1, 2),
+        |v AS (SELECT * FROM m
+        | WHERE removed_snap IS NULL OR removed_snap >= 6)
+        |SELECT part, file_id, bytes, created_snap, removed_snap
+        |FROM v WHERE created_snap <= 6
+        | AND (removed_snap IS NULL OR removed_snap > 6)"""
+        .stripMargin.replace("\n", " "),
     "lake_compaction_plan" ->
       // same manifest + the same prefix-sum rule in window SQL;
       // everything integer, bit-replayable

@@ -1705,18 +1705,28 @@ object Analytics {
     * answer ("which one do I trust for capacity planning"), and the
     * seasonal model must EARN its extra state here: on a seasonal
     * series its MAPE beats the level/trend pair's, and the spec
-    * plants exactly that. Errors are computed on the keys' ROUNDED
+    * plants exactly that. "Months both models score" is enforced
+    * LITERALLY (r16, ADVICE): holt fits from month 2 but
+    * holt-winters only from period+1, so both error windows
+    * restrict to the seasonal model's scored months — without the
+    * restriction the comparison is biased by the first 11 months
+    * only holt scores. Errors are computed on the keys' ROUNDED
     * outputs (the published numbers, not internal state), so the
     * oracle composes the two existing recursion chains verbatim.
     * Cost: both driver folds are calendar-bounded; the comparison
     * itself is an O(months) union + one aggregate. */
   def forecastBacktest(lineitem: DataFrame): DataFrame = {
     val h = holtForecast(lineitem)
-      .select(lit("holt").as("model"), col("revenue"), col("fitted"))
+      .select(lit("holt").as("model"), col("month"), col("revenue"),
+        col("fitted"))
     val w = holtWintersForecast(lineitem)
-      .select(lit("holt_winters").as("model"), col("revenue"), col("fitted"))
+      .select(lit("holt_winters").as("model"), col("month"), col("revenue"),
+        col("fitted"))
+    // the shared window = the stricter model's scored months
+    val scored = w.filter(col("fitted").isNotNull).select("month")
     h.unionByName(w)
       .filter(col("fitted").isNotNull)
+      .join(broadcast(scored), Seq("month"), "left_semi")
       .groupBy("model")
       .agg(count(lit(1)).as("n_months"),
         // mae sits at 1e6 scale → 1e-2 grid (the scale-aware rule);

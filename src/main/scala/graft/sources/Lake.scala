@@ -383,6 +383,49 @@ object Lake {
         when(col("action") === "expire", col("bytes")).otherwise(lit(0L)))
   }
 
+  /** EXECUTE [[vacuumPlan]]'s expiry — the apply half that closes
+    * the retention loop the way compaction and z-order closed theirs
+    * (r16): the post-vacuum manifest keeps exactly the plan's
+    * `keep-live` and `keep-travel` rows; `expire` tombstones leave
+    * the metadata (their object-store deletes are the calls this
+    * relation drives). Pure manifest arithmetic — plan↔apply parity
+    * and byte conservation (kept + reclaimed = before) are
+    * LakeSpec-held, and the driver key oracles the surviving rows.
+    */
+  def vacuumApply(manifest: DataFrame, currentSnap: Long,
+                  retainSnaps: Long): DataFrame =
+    vacuumPlan(manifest, currentSnap, retainSnaps)
+      .filter(col("action") =!= "expire")
+      .select("part", "file_id", "bytes", "created_snap", "removed_snap")
+
+  /** AS-OF snapshot read over the file manifest — the time-travel
+    * consumer the vacuum horizon exists to protect (r16): the files
+    * live at snapshot `asOfSnap` are those created at or before it
+    * and not yet removed (`removed_snap` null or strictly later —
+    * a file removed AT snapshot R no longer serves reads ≥ R).
+    *
+    * The retention contract is enforced LOUDLY: reading below the
+    * horizon `currentSnap − retainSnaps` would silently MISS files a
+    * vacuum already expired (the read would "succeed" with holes in
+    * history — the worst failure mode a lakehouse read can have), so
+    * an out-of-window `asOfSnap` throws instead. Within the window,
+    * reads resolve identically against the pre- and post-vacuum
+    * manifests — that equivalence is exactly what [[vacuumPlan]]'s
+    * `keep-travel` class buys, and LakeSpec proves it at every
+    * in-window snapshot. */
+  def timeTravelRead(manifest: DataFrame, asOfSnap: Long,
+                     currentSnap: Long, retainSnaps: Long): DataFrame = {
+    val horizon = currentSnap - retainSnaps
+    require(asOfSnap >= horizon && asOfSnap <= currentSnap,
+      s"as-of snapshot $asOfSnap outside the retention window " +
+        s"[$horizon, $currentSnap]: files expired by vacuum may be " +
+        "missing — widen retainSnaps or restore from backup")
+    manifest
+      .filter(col("created_snap") <= asOfSnap &&
+        (col("removed_snap").isNull || col("removed_snap") > asOfSnap))
+      .select("part", "file_id", "bytes", "created_snap", "removed_snap")
+  }
+
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write

@@ -9,7 +9,7 @@ import graft.operators.TextAnalysis
 /** Streaming document intake (SURVEY.md §2.G): the STATELESS prefix
   * of the curation pipeline, applied at ingest.
   */
-object DocStream {
+object DocStream extends Serializable {
 
   /** Stateless streaming curation gate: C4-style quality filter +
     * benchmark-slice exclusion + n-gram decontamination against a
@@ -349,41 +349,46 @@ object DocStream {
     val orphanRows = spark.sparkContext
       .longAccumulator("graft.dupNgramGate.orphanRowsDropped")
     def fn(id: Long, it: Iterator[DupGateEv],
-           st: GroupState[Long]): Iterator[DupGateRow] = {
+           st: GroupState[Long]): Iterator[DupGateRow] =
       // st deliberately untouched: zero state rows ever persist
-      val evs = it.toArray
-      // a matched-only group means a source split a document's rows
-      // across micro-batches, violating the documented atomicity
-      // contract. Best-effort semantics under the violation: drop the
-      // orphan rows (counted in the accumulator) so the doc emits at
-      // most ONCE — when its base row's batch arrives — rather than
-      // emitting a second, duplicate doc_id row. The matched rows
-      // dropped here never reappear, so that one emission may
-      // UNDER-count the doc's duplication; the accumulator is the
-      // audit signal that it happened.
-      val baseOpt = evs.find(_.start < 0)
-      if (baseOpt.isEmpty) { orphanRows.add(evs.length); return Iterator.empty }
-      val posLen = scala.collection.mutable.HashMap.empty[Int, Int]
-      evs.foreach { e =>
-        if (e.start >= 0) {
-          var i = 0
-          while (i < e.lens.length) {
-            posLen.update(e.start + i, e.lens(i)); i += 1
-          }
-        }
-      }
-      val dup = posLen.valuesIterator.map(_.toLong).sum
-      val tokChars = baseOpt.get.tok_chars
-      val frac = if (tokChars > 0) dup.toDouble / tokChars else 0.0
-      Iterator.single(DupGateRow(id, baseOpt.get.source, tokChars, dup,
-        frac, frac <= maxDupFrac))
-    }
+      dupGateFold(id, it.toArray, maxDupFrac, orphanRows)
     baseRows.unionByName(pruned)
       .as[DupGateEv]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
       .toDF()
+  }
+
+  /** The per-group fold of [[dupNgramGate]], extracted so the orphan
+    * guard is directly chaos-testable (r16). A matched-only group
+    * means a source split a document's rows across micro-batches,
+    * violating the documented atomicity contract. Best-effort
+    * semantics under the violation: drop the orphan rows (counted in
+    * the accumulator) so the doc emits at most ONCE — when its base
+    * row's batch arrives — rather than emitting a second, duplicate
+    * doc_id row. The matched rows dropped here never reappear, so
+    * that one emission may UNDER-count the doc's duplication; the
+    * accumulator is the audit signal that it happened. */
+  private[graft] def dupGateFold(id: Long, evs: Array[DupGateEv],
+      maxDupFrac: Double,
+      orphanRows: org.apache.spark.util.LongAccumulator): Iterator[DupGateRow] = {
+    val baseOpt = evs.find(_.start < 0)
+    if (baseOpt.isEmpty) { orphanRows.add(evs.length); return Iterator.empty }
+    val posLen = scala.collection.mutable.HashMap.empty[Int, Int]
+    evs.foreach { e =>
+      if (e.start >= 0) {
+        var i = 0
+        while (i < e.lens.length) {
+          posLen.update(e.start + i, e.lens(i)); i += 1
+        }
+      }
+    }
+    val dup = posLen.valuesIterator.map(_.toLong).sum
+    val tokChars = baseOpt.get.tok_chars
+    val frac = if (tokChars > 0) dup.toDouble / tokChars else 0.0
+    Iterator.single(DupGateRow(id, baseOpt.get.source, tokChars, dup,
+      frac, frac <= maxDupFrac))
   }
 
   case class ScrubEv(doc_id: Long, source: String, toks: Seq[String],
@@ -452,37 +457,42 @@ object DocStream {
     val orphanRows = spark.sparkContext
       .longAccumulator("graft.dupSpanScrub.orphanRowsDropped")
     def fn(id: Long, it: Iterator[ScrubEv],
-           st: GroupState[Long]): Iterator[ScrubRow] = {
+           st: GroupState[Long]): Iterator[ScrubRow] =
       // st deliberately untouched: zero state rows ever persist
-      val evs = it.toArray
-      // a matched-only group means a source split a document's rows
-      // across micro-batches, violating the documented atomicity
-      // contract. Best-effort semantics under the violation: the
-      // orphan match rows drop (counted in the accumulator) and the
-      // doc emits ONCE when its base row's batch arrives — with
-      // possibly UNDER-counted scrub coverage, because the dropped
-      // matches never reappear. The accumulator is the audit signal;
-      // killing the query was the rejected alternative.
-      val baseOpt = evs.find(_.start < 0)
-      if (baseOpt.isEmpty) { orphanRows.add(evs.length); return Iterator.empty }
-      val baseRow = baseOpt.get
-      val covered = new scala.collection.mutable.BitSet()
-      evs.foreach { e =>
-        if (e.start >= 0) { var p = e.start; val end = e.start + n
-          while (p < end) { covered += p; p += 1 } }
-      }
-      val toks = baseRow.toks
-      val clean = toks.iterator.zipWithIndex
-        .collect { case (t, i) if !covered(i) => t }.mkString(" ")
-      Iterator.single(ScrubRow(id, baseRow.source, toks.length.toLong,
-        covered.size.toLong, clean))
-    }
+      dupScrubFold(id, it.toArray, n, orphanRows)
     baseRows.unionByName(matched)
       .as[ScrubEv]
       .groupByKey(_.doc_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(fn)
       .toDF()
+  }
+
+  /** The per-group fold of [[dupSpanScrub]], extracted so the orphan
+    * guard is directly chaos-testable (r16). A matched-only group
+    * means a source split a document's rows across micro-batches,
+    * violating the documented atomicity contract. Best-effort
+    * semantics under the violation: the orphan match rows drop
+    * (counted in the accumulator) and the doc emits ONCE when its
+    * base row's batch arrives — with possibly UNDER-counted scrub
+    * coverage, because the dropped matches never reappear. The
+    * accumulator is the audit signal; killing the query was the
+    * rejected alternative. */
+  private[graft] def dupScrubFold(id: Long, evs: Array[ScrubEv], n: Int,
+      orphanRows: org.apache.spark.util.LongAccumulator): Iterator[ScrubRow] = {
+    val baseOpt = evs.find(_.start < 0)
+    if (baseOpt.isEmpty) { orphanRows.add(evs.length); return Iterator.empty }
+    val baseRow = baseOpt.get
+    val covered = new scala.collection.mutable.BitSet()
+    evs.foreach { e =>
+      if (e.start >= 0) { var p = e.start; val end = e.start + n
+        while (p < end) { covered += p; p += 1 } }
+    }
+    val toks = baseRow.toks
+    val clean = toks.iterator.zipWithIndex
+      .collect { case (t, i) if !covered(i) => t }.mkString(" ")
+    Iterator.single(ScrubRow(id, baseRow.source, toks.length.toLong,
+      covered.size.toLong, clean))
   }
 
   case class QDriftEv(metric: String, bucket: Long)

@@ -803,7 +803,11 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
         r.getDouble(3))).toMap
     assert(bt("holt_winters") === ((24L, 0.0, 0.0)))
-    assert(bt("holt")._1 === 35L)
+    // r16: both error windows restrict to the months BOTH models
+    // score (i > period) — the comparison is no longer biased by the
+    // first 11 months only holt fits
+    assert(bt("holt")._1 === 24L,
+      s"holt must score the same window as the seasonal model: $bt")
     assert(bt("holt")._3 > bt("holt_winters")._3,
       s"seasonal series must favor the seasonal model: $bt")
   }

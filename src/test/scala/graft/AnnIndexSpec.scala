@@ -340,6 +340,49 @@ class AnnIndexSpec extends SparkSpec {
       "completed rebuild must remove the staging survivors")
   }
 
+  test("rtbfMlApply: the erased subject's vectors never score again — " +
+    "tombstoned immediately, physically gone after rebuild") {
+    import graft.operators.MlErasure
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    val reqDocs = docs.filter(col("doc_id") % 53 === 3)
+    val reqVecs = corpus.filter(col("vec_id") % 53 === 3)
+    val out = MlErasure.rtbfMlApply(reqDocs, reqVecs,
+        graft.operators.DedupStore.fingerprintRows(docs),
+        docs.select(col("doc_id"), explode(
+          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        corpus.select("vec_id"), annPath = Some(s"$base/ivf"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // conservation per store, and the request really bites
+    out.foreach { case (store, (before, removed, after)) =>
+      assert(before === removed + after, s"$store conservation")
+      assert(removed > 0, s"$store: the subject must own rows to erase") }
+    // plan↔apply parity on the removal counts
+    val plan = MlErasure.rtbfMlPlan(reqDocs, reqVecs,
+        graft.operators.DedupStore.fingerprintRows(docs),
+        docs.select(col("doc_id"), explode(
+          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        corpus.select("vec_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(plan === out.map { case (k, v) => k -> v._2 },
+      "apply must remove exactly what the plan counted")
+    // the legal clock: probes exclude the subject IMMEDIATELY (the
+    // tombstone mask), before any physical rewrite
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val probed = AnnIndex.probeIvf(spark, s"$base/ivf", queries,
+      k = 10, nprobe = 16, maskDeletes = true).collect().map(_.getLong(1))
+    assert(probed.nonEmpty && probed.forall(_ % 53 != 3),
+      "an erased vector scored from the tombstoned index")
+    // and physically gone once the rebuild consumes the tombstones
+    AnnIndex.rebuildIvf(spark, s"$base/ivf", iters = 1)
+    assert(spark.read.parquet(s"$base/ivf/vectors")
+      .filter(col("vec_id") % 53 === 3).count() === 0L,
+      "the rebuild must remove the erased bytes")
+  }
+
   test("rebuild crash recovery: a present staging dir is resumed from — " +
     "the half-rewritten live layout is never trusted") {
     val base = Files.createTempDirectory("graft_ann").toString

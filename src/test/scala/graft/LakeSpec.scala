@@ -387,6 +387,48 @@ class LakeSpec extends SparkSpec {
       .filter($"action" === "expire").count() === 0L)
   }
 
+  test("vacuumApply + timeTravelRead: plan-apply parity, byte " +
+    "conservation, in-window as-of equivalence, loud out-of-window reads") {
+    val mf = Seq(
+      ("p", 0L, 100L, 1L, None),       // live forever
+      ("p", 1L, 200L, 1L, Some(5L)),   // stale tombstone → expires
+      ("p", 2L, 300L, 2L, Some(6L)),   // at horizon → survives
+      ("p", 3L, 400L, 3L, Some(7L)),   // inside window → survives
+      ("p", 5L, 250L, 7L, None),       // created inside the window
+      ("q", 4L, 500L, 0L, Some(0L)))   // ancient tombstone → expires
+      .toDF("part", "file_id", "bytes", "created_snap", "removed_snap")
+    val vacuumed = Lake.vacuumApply(mf, currentSnap = 8L, retainSnaps = 2L)
+      .localCheckpoint(true)
+    // plan↔apply parity: apply keeps exactly the plan's non-expire rows
+    val plan = Lake.vacuumPlan(mf, 8L, 2L)
+    assert(vacuumed.select("file_id").collect().map(_.getLong(0)).toSet ===
+      plan.filter($"action" =!= "expire")
+        .select("file_id").collect().map(_.getLong(0)).toSet)
+    // byte conservation: kept + reclaimed = before
+    val kept = vacuumed.agg(sum("bytes")).first().getLong(0)
+    val reclaimed = plan.agg(sum("reclaim_bytes")).first().getLong(0)
+    assert(kept + reclaimed === mf.agg(sum("bytes")).first().getLong(0))
+    // in-window as-of reads resolve IDENTICALLY pre/post vacuum —
+    // every snapshot the retention contract covers, not just one
+    def files(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    (6L to 8L).foreach { snap =>
+      assert(files(Lake.timeTravelRead(vacuumed, snap, 8L, 2L)) ===
+        files(Lake.timeTravelRead(mf, snap, 8L, 2L)),
+        s"as-of $snap must not see vacuum")
+    }
+    // the boundary read still resolves the at-horizon removal
+    // correctly: file 2 (removed AT 6) serves no read >= 6
+    assert(!files(Lake.timeTravelRead(vacuumed, 6L, 8L, 2L))
+      .contains(("p", 2L)))
+    // below the horizon: fail loudly instead of returning holes —
+    // file 1 (removed at 5) WAS live at snapshot 4 but is expired
+    val thrown = intercept[IllegalArgumentException] {
+      Lake.timeTravelRead(vacuumed, 4L, 8L, 2L)
+    }
+    assert(thrown.getMessage.contains("outside the retention window"))
+  }
+
   test("fileSkipping: zorder skips on the non-leading dim, single-sort cannot") {
     // x uniform via a multiplicative walk, y striped so every
     // x-prefix bucket sees the full y range — the single-sort

@@ -44,10 +44,18 @@ class SalesJdbcSpec extends SparkSpec {
         "VALUES (?, ?, ?) " +
         "ON DUPLICATE KEY UPDATE total_quantity = VALUES(total_quantity), " +
         "total_sale_amount = VALUES(total_sale_amount)"))
+    // golden-text pin (r16): the Postgres branch is untestable
+    // end-to-end in this sandbox (no container runtime), so the EXACT
+    // generated statement is asserted — not a substring — mirroring
+    // the MySQL golden above
     val pg = SalesJdbc.upsertSql("jdbc:postgresql://db/retail", "sales_summary",
       cols, Seq("product_id"))
-    assert(pg.exists(_.contains("ON CONFLICT (product_id) DO UPDATE SET " +
-      "total_quantity = EXCLUDED.total_quantity")))
+    assert(pg.contains(
+      "INSERT INTO sales_summary (product_id, total_quantity, total_sale_amount) " +
+        "VALUES (?, ?, ?) " +
+        "ON CONFLICT (product_id) DO UPDATE SET " +
+        "total_quantity = EXCLUDED.total_quantity, " +
+        "total_sale_amount = EXCLUDED.total_sale_amount"))
     // Derby has no parameterizable one-statement form
     assert(SalesJdbc.upsertSql(url, "sales_summary", cols, Seq("product_id")).isEmpty)
     val (up, ins) = SalesJdbc.updateThenInsertSql("sales_summary", cols, Seq("product_id"))

@@ -1777,6 +1777,43 @@ class StreamingSpec extends SparkSpec {
           ops.map(_.numRowsTotal).mkString(","))
     } finally q.stop()
   }
+
+  test("orphan chaos: a doc split across micro-batches emits at most " +
+    "once per gate, and every dropped orphan row is counted") {
+    // simulate the atomicity violation directly against the extracted
+    // folds (r16): batch 1 carries only the doc's MATCHED rows (its
+    // base row went elsewhere), batch 2 carries the base row. The
+    // guard must (a) emit ZERO rows for the orphan batch — no
+    // duplicate doc_id under the violated contract — (b) count every
+    // dropped row, (c) still emit exactly once when the base arrives.
+    import graft.streaming.DocStream
+    val gateOrphans = spark.sparkContext.longAccumulator("chaos_gate")
+    val orphanBatch = Array(
+      DocStream.DupGateEv(7L, "web", 0L, 0, Seq(3, 3, 3)),
+      DocStream.DupGateEv(7L, "web", 0L, 4, Seq(3, 3, 3)))
+    assert(DocStream.dupGateFold(7L, orphanBatch, 0.5, gateOrphans).isEmpty,
+      "matched-only group must not emit a duplicate doc_id row")
+    assert(gateOrphans.value === 2L, "both orphan rows must be counted")
+    val baseBatch = Array(
+      DocStream.DupGateEv(7L, "web", 30L, -1, Nil),
+      DocStream.DupGateEv(7L, "web", 30L, 0, Seq(3, 3, 3)))
+    val emitted = DocStream.dupGateFold(7L, baseBatch, 0.5, gateOrphans).toSeq
+    assert(emitted.map(r => (r.doc_id, r.dup_chars, r.keep)) ===
+      Seq((7L, 9L, true)), s"base batch emits exactly once: $emitted")
+    assert(gateOrphans.value === 2L,
+      "a complete group must not touch the orphan counter")
+    // the scrub twin: same guard, same accounting
+    val scrubOrphans = spark.sparkContext.longAccumulator("chaos_scrub")
+    assert(DocStream.dupScrubFold(7L,
+        Array(DocStream.ScrubEv(7L, "web", Nil, 0)), 2, scrubOrphans).isEmpty)
+    assert(scrubOrphans.value === 1L)
+    val scrubbed = DocStream.dupScrubFold(7L, Array(
+        DocStream.ScrubEv(7L, "web", Seq("a", "b", "c", "d"), -1),
+        DocStream.ScrubEv(7L, "web", Nil, 1)), 2, scrubOrphans).toSeq
+    assert(scrubbed.map(r => (r.n_toks, r.n_toks_removed, r.clean_text)) ===
+      Seq((4L, 2L, "a d")), s"scrub emits once with the covered cut: $scrubbed")
+    assert(scrubOrphans.value === 1L)
+  }
 }
 
 object StreamingSpec {
