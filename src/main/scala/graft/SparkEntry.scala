@@ -1630,18 +1630,25 @@ object SparkEntry {
     "q_cohort_ltv" -> ((s, dir) => Analytics.cohortLtv(Tables.orders(s, dir))),
     "q_segment_quartiles" -> ((s, dir) =>
       Analytics.segmentQuartiles(Tables.customer(s, dir))),
+    // graduated r16 via the calibration pattern: exact anchors +
+    // each-engine's-own-sketch booleans (HLL ratio; percentiles by
+    // tie-safe rank containment — the only cross-engine-fair
+    // criterion for GK vs t-digest internals)
     "events_approx_stats" -> ((s, dir) =>
-      EventOps.approxTypeStats(Tables.events(s, dir))),
+      EventOps.typeStatsCalibration(Tables.events(s, dir))),
     // r16: graduated from rows-only to a full oracle via the
     // sketch-calibration pattern — exact anchor columns + the
     // engine's-own-sketch-within-tol boolean (the sketch
     // inclusion–exclusion route still runs inside the boolean)
     "events_audience_overlap" -> ((s, dir) =>
       EventOps.overlapCalibration(Tables.events(s, dir))),
+    // graduated r16 via the calibration pattern, through the LONGER
+    // compacted route (day store → month compaction → merged reach):
+    // exact month-window anchor + the engine's-own-lifecycle-
+    // within-5% boolean — additionally gates compaction losslessness
     "events_sketch_reach" -> ((s, dir) =>
-      EventOps.reachFromSketches(
-        EventOps.dailyAudienceSketches(Tables.events(s, dir)),
-        "2024-01-05", "2024-01-15")),
+      EventOps.reachCalibration(Tables.events(s, dir),
+        "2024-01-01", "2024-02-01")),
     // the ORACLED calibration claim over the same sketch-store route:
     // exact anchor + each engine's own-sketch-within-5% boolean —
     // bit-comparable where the raw estimate can never be
@@ -1967,10 +1974,11 @@ object SparkEntry {
       EventOps.newVsReturning(Tables.events(s, dir))),
     "events_user_lifespan" -> ((s, dir) =>
       EventOps.userLifespan(Tables.events(s, dir))),
-    // bounded-state percentile_approx twin (rows-only; ApproxSpec
-    // bounds the percentile rank error vs the exact key)
+    // bounded-state percentile_approx twin, graduated r16 via the
+    // calibration pattern: exact rollup anchors + tie-safe
+    // rank-containment booleans for the engine's own sketch
     "events_user_lifespan_approx" -> ((s, dir) =>
-      EventOps.userLifespanApprox(Tables.events(s, dir))),
+      EventOps.lifespanCalibration(Tables.events(s, dir))),
     "text_zipf_spectrum" -> ((s, dir) =>
       TextAnalysis.zipfSpectrum(Tables.documents(s, dir))),
     "text_readability" -> ((s, dir) =>
@@ -2155,11 +2163,13 @@ object SparkEntry {
     "split_temporal_leakage" -> ((s, dir) =>
       DataSplit.temporalSplitAudit(Tables.events(s, dir), "ts", "user_id",
         "2024-01-21 00:00:00")),
-    // batch fold of the sliding-window HLL actives — rows-only
-    // (sketches have no SQL oracle; ApproxSpec ties each window to
-    // the exact rolling-actives key, StreamingSpec drives the stream)
+    // batch fold of the sliding-window HLL actives, graduated r16
+    // via the calibration pattern: exact per-window anchors + the
+    // engine's-own-windowed-HLL boolean (the HLL agg still runs
+    // inside); StreamingSpec keeps driving the watermarked stream
     "stream_sliding_actives" -> ((s, dir) =>
-      graft.streaming.EventStream.slidingActives(Tables.events(s, dir))),
+      graft.streaming.EventStream.slidingActivesCalibration(
+        Tables.events(s, dir))),
     "etl_benford_check" -> ((s, dir) =>
       operators.RetailEtl.benfordCheck(Tables.orders(s, dir), "o_totalprice")),
     "q_seasonality_strength" -> ((s, dir) =>
@@ -2168,11 +2178,12 @@ object SparkEntry {
       Multimodal.dedupByType(Tables.documents(s, dir))),
     "mm_format_psi" -> ((s, dir) =>
       Multimodal.formatPsi(Tables.documents(s, dir))),
-    // batch fold of the live DQ monitor — rows-only (HLL sketches
-    // have no SQL oracle; ApproxSpec bounds error vs the exact
-    // profile, StreamingSpec holds cross-batch accumulation)
+    // batch fold of the live DQ monitor, graduated r16 via the
+    // calibration pattern: the fold's exact columns + exact distinct
+    // anchors + the engine's-own-HLL-state boolean (the fold still
+    // runs inside); StreamingSpec holds cross-batch accumulation
     "stream_dq_profile" -> ((s, dir) =>
-      graft.streaming.EventStream.dqProfileState(Tables.events(s, dir),
+      graft.streaming.EventStream.dqStateCalibration(Tables.events(s, dir),
         Seq("user_id", "event_type", "value"))),
     // batch fold of the O(feeds)-state live freshness monitor —
     // aggregate + poll-side sibling comparison (own oracle below)
@@ -5262,6 +5273,80 @@ object SparkEntry {
         | round(CAST(sum(CASE WHEN ld = 0 THEN 1 ELSE 0 END) AS DOUBLE)
         |  / count(*), 6) AS single_day_frac
         |FROM u""".stripMargin.replace("\n", " "),
+    "stream_dq_profile" ->
+      // calibration form (r16): exact per-column anchors + DuckDB's
+      // own approx_count_distinct within the same integer tolerance
+      """SELECT col_name, n_rows, n_nulls, n_distinct,
+        | round(n_nulls * 1.0 / n_rows, 6) AS null_frac,
+        | abs(apx - n_distinct) <= greatest(2, (n_distinct * 5) // 100)
+        |  AS distinct_within_tol
+        |FROM (
+        | SELECT 'user_id' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nulls,
+        |  count(DISTINCT user_id) AS n_distinct,
+        |  approx_count_distinct(user_id) AS apx FROM events
+        | UNION ALL SELECT 'event_type', count(*),
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        |  count(DISTINCT event_type),
+        |  approx_count_distinct(event_type) FROM events
+        | UNION ALL SELECT 'value', count(*),
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+        |   AS BIGINT),
+        |  count(DISTINCT value),
+        |  approx_count_distinct(value) FROM events) p""".stripMargin
+        .replace("\n", " "),
+    "stream_sliding_actives" ->
+      // calibration form (r16): the 7d/1d sliding windows replayed
+      // by day fan-out (slide aligns to the epoch day grid), exact
+      // per-window anchors + DuckDB's own windowed
+      // approx_count_distinct within the same integer tolerance
+      """WITH f AS (SELECT e.user_id,
+        |  CAST(CAST(e.ts AS DATE) - CAST(g.k AS INTEGER) AS TIMESTAMP)
+        |   AS window_start
+        | FROM events e,
+        |  LATERAL (SELECT unnest(generate_series(0, 6)) AS k) g)
+        |SELECT window_start,
+        | window_start + INTERVAL 7 DAY AS window_end,
+        | count(DISTINCT user_id) AS active_users,
+        | count(*) AS n_events,
+        | abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        |  <= greatest(2, (count(DISTINCT user_id) * 5) // 100)
+        |  AS users_within_tol
+        |FROM f GROUP BY 1""".stripMargin.replace("\n", " "),
+    "events_user_lifespan_approx" ->
+      // calibration form (r16): exact rollup anchors + DuckDB's OWN
+      // approx_quantile scored by the tie-safe rank-containment rule
+      // against the same exact lifespan distribution
+      """WITH u AS (SELECT user_id,
+        |  date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS ld,
+        |  count(DISTINCT CAST(ts AS DATE)) AS ad,
+        |  count(*) AS n
+        | FROM events GROUP BY 1),
+        |apx AS (SELECT
+        |  CAST(approx_quantile(ld, 0.5) AS DOUBLE) AS p50,
+        |  CAST(approx_quantile(ld, 0.9) AS DOUBLE) AS p90,
+        |  CAST(approx_quantile(ld, 0.99) AS DOUBLE) AS p99 FROM u)
+        |SELECT count(*) AS n_users,
+        | round(CAST(sum(ad) AS DOUBLE) / count(*), 6) AS mean_active_days,
+        | round(CAST(sum(n) AS DOUBLE) / count(*), 6) AS mean_events_per_user,
+        | round(CAST(sum(CASE WHEN ld = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / count(*), 6) AS single_day_frac,
+        | (sum(CASE WHEN ld < apx.p50 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |   <= 0.52 AND
+        |  sum(CASE WHEN ld <= apx.p50 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |   >= 0.48) AS p50_within_tol,
+        | (sum(CASE WHEN ld < apx.p90 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |   <= 0.92 AND
+        |  sum(CASE WHEN ld <= apx.p90 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |   >= 0.88) AS p90_within_tol,
+        | (sum(CASE WHEN ld < apx.p99 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |   <= 1.01 AND
+        |  sum(CASE WHEN ld <= apx.p99 THEN 1 ELSE 0 END) * 1.0 / count(*)
+        |   >= 0.97) AS p99_within_tol
+        |FROM u, apx GROUP BY apx.p50, apx.p90, apx.p99""".stripMargin
+        .replace("\n", " "),
     "events_inter_event_gaps" ->
       """WITH g AS (SELECT epoch_us(ts - lag(ts) OVER (PARTITION BY user_id
         |   ORDER BY ts, event_id)) // 1000000 AS gap_s
@@ -9294,6 +9379,51 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-05'
         | AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY 1""".stripMargin.replace("\n", " "),
+    "events_approx_stats" ->
+      // calibration form (r16): DuckDB scores its OWN
+      // approx_count_distinct + t-digest approx_quantile against the
+      // same exact anchors and rank-containment rule
+      """WITH apx AS (SELECT event_type,
+        |  approx_count_distinct(user_id) AS au,
+        |  approx_quantile(value, 0.5) AS p50,
+        |  approx_quantile(value, 0.9) AS p90
+        | FROM events GROUP BY 1),
+        |ex AS (SELECT event_type,
+        |  count(DISTINCT user_id) AS eu, count(*) AS n
+        | FROM events GROUP BY 1),
+        |r AS (SELECT e.event_type,
+        |  sum(CASE WHEN e.value < a.p50 THEN 1 ELSE 0 END) * 1.0
+        |   / count(*) AS lt50,
+        |  sum(CASE WHEN e.value <= a.p50 THEN 1 ELSE 0 END) * 1.0
+        |   / count(*) AS le50,
+        |  sum(CASE WHEN e.value < a.p90 THEN 1 ELSE 0 END) * 1.0
+        |   / count(*) AS lt90,
+        |  sum(CASE WHEN e.value <= a.p90 THEN 1 ELSE 0 END) * 1.0
+        |   / count(*) AS le90
+        | FROM events e JOIN apx a USING (event_type) GROUP BY 1)
+        |SELECT ex.event_type, CAST(ex.eu AS BIGINT) AS exact_users,
+        | CAST(ex.n AS BIGINT) AS n_values,
+        | abs(CAST(a.au AS DOUBLE) / ex.eu - 1.0) <= 0.05
+        |  AS users_within_tol,
+        | (r.lt50 <= 0.52 AND r.le50 >= 0.48) AS p50_within_tol,
+        | (r.lt90 <= 0.92 AND r.le90 >= 0.88) AS p90_within_tol
+        |FROM ex JOIN apx a USING (event_type)
+        | JOIN r USING (event_type)""".stripMargin.replace("\n", " "),
+    "events_sketch_reach" ->
+      // calibration form (r16, the compacted-lifecycle route): each
+      // engine checks its OWN sketch pipeline against the same exact
+      // month-window anchor — DuckDB's approx_count_distinct stands
+      // in for its day-sketch→compact→merge (its HLL union is
+      // equally lossless), and the boolean + exact columns hash
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+        |   / count(DISTINCT user_id) - 1.0) <= 0.05 AS est_within_tol
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+        | AND CAST(ts AS DATE) < DATE '2024-02-01'
         |GROUP BY 1""".stripMargin.replace("\n", " "),
     "events_audience_overlap" ->
       // calibration form (r16): exact anchors + the within-tol claim

@@ -1920,11 +1920,15 @@ object Analytics {
     * collapse for per-day HLL sketches merged across the window
     * ([[EventOps.sketchReach]]'s pattern) — same fan-out shape.
     */
-  def rollingActiveUsers(events: DataFrame, days: Int = 7): DataFrame = {
-    val userDays = events
+  def rollingActiveUsers(events: DataFrame, days: Int = 7,
+                         userDaysOpt: Option[DataFrame] = None): DataFrame = {
+    // fan-out + present-days spine share the pinned relation;
+    // userDaysOpt lets the calibration tier thread ONE build through
+    // both the exact and the sketch route (r16)
+    val userDays = userDaysOpt.getOrElse(events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .localCheckpoint(true) // fan-out + present-days spine share it
+      .localCheckpoint(true))
     val present = userDays.select(col("day").as("target_day")).distinct()
     userDays
       .select(col("user_id"), col("day"),
@@ -2064,11 +2068,12 @@ object Analytics {
     * becomes a null-gated second sketch (nulls don't enter HLL).
     */
   def rollingActiveUsersApprox(events: DataFrame, days: Int = 7,
-                               rsd: Double = 0.02): DataFrame = {
-    val userDays = events
+                               rsd: Double = 0.02,
+                               userDaysOpt: Option[DataFrame] = None): DataFrame = {
+    val userDays = userDaysOpt.getOrElse(events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val present = userDays.select(col("day").as("target_day")).distinct()
     userDays
       .select(col("user_id"), col("day"),
@@ -2097,9 +2102,16 @@ object Analytics {
     */
   def rollingActiveCalibration(events: DataFrame, days: Int = 7,
                                rsd: Double = 0.02,
-                               tolPct: Int = 5): DataFrame =
-    rollingActiveUsers(events, days)
-      .join(rollingActiveUsersApprox(events, days, rsd), Seq("day"))
+                               tolPct: Int = 5): DataFrame = {
+    // ONE deduplicated user-day build feeds both tiers (one events
+    // scan + one distinct shuffle instead of two)
+    val userDays = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .localCheckpoint(true)
+    rollingActiveUsers(events, days, userDaysOpt = Some(userDays))
+      .join(rollingActiveUsersApprox(events, days, rsd,
+        userDaysOpt = Some(userDays)), Seq("day"))
       .select(col("day"), col("wau"), col("dau"), col("stickiness"),
         (abs(col("wau_approx") - col("wau")) <=
           greatest(lit(2L), expr(s"wau * $tolPct div 100")))
@@ -2107,6 +2119,7 @@ object Analytics {
         (abs(col("dau_approx") - col("dau")) <=
           greatest(lit(2L), expr(s"dau * $tolPct div 100")))
           .as("dau_within_tol"))
+  }
 
   /** CUSUM mean-shift changepoint over the daily revenue series —
     * the level-shift detector for a KPI feed (did revenue move

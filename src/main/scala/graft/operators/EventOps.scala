@@ -43,6 +43,54 @@ object EventOps {
       percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
       percentile_approx(col("value"), lit(0.9), lit(1000)).as("approx_p90"))
 
+  /** Type-stats CALIBRATION (r16) — what graduates
+    * `events_approx_stats` from rows-only: per type, the exact
+    * distinct-user and row-count anchors plus engine-agnostic
+    * boolean claims that the engine's OWN approximate tier
+    * ([[approxTypeStats]]: HLL users + quantile-sketch p50/p90)
+    * is calibrated. The HLL claim is the usual within-`tol` ratio;
+    * the PERCENTILE claims use RANK CONTAINMENT, the only
+    * cross-engine-fair criterion for sketches with different
+    * internals (GK here, t-digest in DuckDB): a value v is an
+    * ε-valid q-quantile iff `frac(value < v) ≤ q+ε` and
+    * `frac(value ≤ v) ≥ q−ε` — each engine scores its own v against
+    * the SAME exact distribution, and the two-sided form is
+    * tie-safe on discrete data. ε=0.02 is ~20× the GK bound at
+    * accuracy 1000 and comfortably above t-digest mid-quantile
+    * error. */
+  def typeStatsCalibration(events: DataFrame, tol: Double = 0.05,
+                           rankEps: Double = 0.02,
+                           rsd: Double = 0.02): DataFrame = {
+    // rsd 0.02 (the suite-wide HLL dial), NOT approxTypeStats'
+    // coarser 0.05 default: the 5% claim must sit ≥ 2.5σ from the
+    // sketch's rsd or it false-fails on ordinary draws (observed at
+    // sf0.1 with rsd 0.05 — 1σ against its own tolerance)
+    val apx = approxTypeStats(events, relativeError = rsd)
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"),
+        count(lit(1)).as("n_values"))
+    def frac(cmp: Column): Column =
+      sum(when(cmp, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    val ranks = events
+      .join(broadcast(apx), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        first("approx_users").as("approx_users"),
+        frac(col("value") < col("approx_p50")).as("lt50"),
+        frac(col("value") <= col("approx_p50")).as("le50"),
+        frac(col("value") < col("approx_p90")).as("lt90"),
+        frac(col("value") <= col("approx_p90")).as("le90"))
+    exact.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_values"),
+        (abs(col("approx_users").cast("double") /
+          col("exact_users").cast("double") - lit(1.0)) <= lit(tol))
+          .as("users_within_tol"),
+        (col("lt50") <= lit(0.5 + rankEps) &&
+          col("le50") >= lit(0.5 - rankEps)).as("p50_within_tol"),
+        (col("lt90") <= lit(0.9 + rankEps) &&
+          col("le90") >= lit(0.9 - rankEps)).as("p90_within_tol"))
+  }
+
   /** Misra-Gries heavy hitters: each partition keeps at most `k`
     * counters (the decrement-all step evicts light keys), then the
     * ≤ partitions·k surviving (key, count) summaries merge with one
@@ -137,9 +185,13 @@ object EventOps {
     * user-level join, pair counts at types² grain, one Jaccard
     * quotient rounded once.
     */
-  def audienceOverlapExact(events: DataFrame): DataFrame = {
-    val ut = events.select(col("event_type"), col("user_id")).distinct()
-      .localCheckpoint(true) // per-type counts + intersection join
+  def audienceOverlapExact(events: DataFrame,
+                           utOpt: Option[DataFrame] = None): DataFrame = {
+    // per-type counts + intersection join share the deduped relation;
+    // utOpt lets the calibration tier thread an already-pinned one
+    val ut = utOpt.getOrElse(
+      events.select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true))
     val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n"))
     val inter = ut.select(col("user_id"), col("event_type").as("type_a"))
       .join(ut.select(col("user_id"), col("event_type").as("type_b")),
@@ -256,6 +308,36 @@ object EventOps {
           .as("est_within_tol"))
   }
 
+  /** Reach CALIBRATION through the COMPACTED store route (r16) —
+    * what graduates `events_sketch_reach` from rows-only: per type
+    * over a MONTH-ALIGNED `[lo, hi)`, the exact distinct-user anchor
+    * and event count, plus the boolean claim that the engine's OWN
+    * full store lifecycle — [[dailyAudienceSketches]] →
+    * [[compactSketches]] → [[reachFromCompacted]] — lands within
+    * `tol`. This is a strictly LONGER route than
+    * [[sketchCalibration]]'s (which probes the day store directly):
+    * the boolean additionally gates the compaction's union
+    * losslessness cross-engine, the property that justifies keeping
+    * a month-grain store at all. Tolerance integer-free (HLL++ at
+    * lgConfigK=12, rsd ≈ 1.6% → 5% ≈ 3σ; sparse-exact at small
+    * cardinalities). */
+  def reachCalibration(events: DataFrame, lo: String, hi: String,
+                       tol: Double = 0.05): DataFrame = {
+    val approx = reachFromCompacted(
+        compactSketches(dailyAudienceSketches(events)), lo, hi)
+      .select(col("event_type"), col("approx_users"))
+    events
+      .filter(to_date(col("ts")) >= lit(lo) && to_date(col("ts")) < lit(hi))
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .join(approx, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("approx_users").cast("double") /
+          col("exact_users").cast("double") - lit(1.0)) <= lit(tol))
+          .as("est_within_tol"))
+  }
+
   /** Overlap CALIBRATION — [[sketchCalibration]]'s pattern applied
     * to the pairwise-audience tier, which is what graduates the
     * overlap key from rows-only to a full oracle: per type pair, the
@@ -274,9 +356,16 @@ object EventOps {
     * so tolPct=18 is the spec bound made portable. */
   def overlapCalibration(events: DataFrame, lgConfigK: Int = 12,
                          tolPct: Int = 18): DataFrame = {
-    val approx = approxAudienceOverlap(events, lgConfigK)
+    // ONE deduplicated (type, user) relation feeds both tiers: HLL
+    // is idempotent on duplicates (sketch of a multiset == sketch of
+    // its set), so the sketch route loses nothing by reading the
+    // distinct rows the exact tier needs anyway — one events scan,
+    // one distinct shuffle, instead of two scans
+    val ut = events.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true)
+    val approx = approxAudienceOverlap(ut, lgConfigK)
       .select(col("type_a"), col("type_b"), col("approx_overlap"))
-    audienceOverlapExact(events)
+    audienceOverlapExact(ut, utOpt = Some(ut))
       .join(approx, Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
         col("overlap"),
@@ -773,6 +862,58 @@ object EventOps {
     * the exact twin's schema); ApproxSpec bounds the rank error
     * against the exact profile.
     */
+  /** Lifespan CALIBRATION (r16) — what graduates
+    * `events_user_lifespan_approx` from rows-only: the exact rollup
+    * anchors (user count, means, single-day fraction — already
+    * order-independent exact integers/quotients) plus rank-
+    * containment booleans for the engine's OWN
+    * quantile-sketch p50/p90/p99 ([[typeStatsCalibration]]'s
+    * tie-safe two-sided rule, essential here: `lifespan_days` is a
+    * small-integer column with massive ties, where a value-distance
+    * criterion would be meaningless and a one-sided rank check would
+    * false-fail on every cdf jump). One user-grain collapse feeds
+    * the sketch pass and the rank pass (pinned). */
+  def lifespanCalibration(events: DataFrame, accuracy: Int = 10000,
+                          rankEps: Double = 0.02): DataFrame = {
+    val per = events.groupBy("user_id")
+      .agg(
+        datediff(to_date(max("ts")), to_date(min("ts"))).as("lifespan_days"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        count(lit(1)).as("n_events"))
+      .localCheckpoint(true)
+    val apx = per.agg(
+      percentile_approx(col("lifespan_days"), lit(0.5), lit(accuracy))
+        .cast("double").as("p50"),
+      percentile_approx(col("lifespan_days"), lit(0.9), lit(accuracy))
+        .cast("double").as("p90"),
+      percentile_approx(col("lifespan_days"), lit(0.99), lit(accuracy))
+        .cast("double").as("p99"))
+    def frac(cmp: Column): Column =
+      sum(when(cmp, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    def contained(q: Double, lo: Column, hi: Column): Column =
+      lo <= lit(q + rankEps) && hi >= lit(q - rankEps)
+    per.crossJoin(broadcast(apx))
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(sum("active_days").cast("double") / count(lit(1)), 6)
+          .as("mean_active_days"),
+        round(sum("n_events").cast("double") / count(lit(1)), 6)
+          .as("mean_events_per_user"),
+        round(sum(when(col("lifespan_days") === 0, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("single_day_frac"),
+        frac(col("lifespan_days") < col("p50")).as("lt50"),
+        frac(col("lifespan_days") <= col("p50")).as("le50"),
+        frac(col("lifespan_days") < col("p90")).as("lt90"),
+        frac(col("lifespan_days") <= col("p90")).as("le90"),
+        frac(col("lifespan_days") < col("p99")).as("lt99"),
+        frac(col("lifespan_days") <= col("p99")).as("le99"))
+      .select(col("n_users"), col("mean_active_days"),
+        col("mean_events_per_user"), col("single_day_frac"),
+        contained(0.5, col("lt50"), col("le50")).as("p50_within_tol"),
+        contained(0.9, col("lt90"), col("le90")).as("p90_within_tol"),
+        contained(0.99, col("lt99"), col("le99")).as("p99_within_tol"))
+  }
+
   def userLifespanApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events
       .groupBy("user_id")

@@ -927,4 +927,58 @@ object EventStream extends Serializable {
         approx_count_distinct(col("v"), rsd).as("n_distinct"))
       .withColumn("null_frac", round(col("n_nulls") / col("n_rows"), 6))
   }
+
+  /** DQ-state CALIBRATION (r16) — what graduates `stream_dq_profile`
+    * from rows-only: the fold's exact columns (rows/nulls/null_frac,
+    * already order-independent) ride through, the exact distinct
+    * anchor is computed beside them, and the boolean claims the
+    * engine's OWN live HLL state ([[dqProfileState]], still running
+    * inside) sits within tolerance. Tolerance is the integer-exact
+    * `max(2, n_distinct·tolPct/100)` of the batch dq calibration. */
+  def dqStateCalibration(events: DataFrame, cols: Seq[String],
+                         rsd: Double = 0.02, tolPct: Int = 5): DataFrame = {
+    val fold = dqProfileState(events, cols, rsd)
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("null_frac"), col("n_distinct").as("apx"))
+    val exact = events
+      .select(expr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
+          ") as (col_name, v)"))
+      .groupBy("col_name")
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    fold.join(exact, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("null_frac"),
+        (abs(col("apx") - col("n_distinct")) <=
+          greatest(lit(2L), expr(s"n_distinct * $tolPct div 100")))
+          .as("distinct_within_tol"))
+  }
+
+  /** Sliding-actives CALIBRATION (r16) — what graduates
+    * `stream_sliding_actives` from rows-only: per sliding window,
+    * the exact trailing distinct-user anchor and event count, plus
+    * the boolean claim that the engine's OWN windowed HLL
+    * ([[slidingActives]]' aggregation, still running inside) sits
+    * within tolerance. Batch form of the monitor; the stream twin
+    * keeps its watermarked update path spec-held. */
+  def slidingActivesCalibration(events: DataFrame, windowDays: Int = 7,
+                                slideDays: Int = 1, rsd: Double = 0.02,
+                                tolPct: Int = 5): DataFrame = {
+    val apx = slidingActives(events, windowDays, slideDays, rsd)
+      .select(col("window_start"), col("active_users").as("apx"))
+    events
+      .groupBy(window(col("ts"), s"$windowDays days", s"$slideDays days"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("active_users"), col("n_events"))
+      .join(apx, Seq("window_start"))
+      .select(col("window_start"), col("window_end"), col("active_users"),
+        col("n_events"),
+        (abs(col("apx") - col("active_users")) <=
+          greatest(lit(2L), expr(s"active_users * $tolPct div 100")))
+          .as("users_within_tol"))
+  }
 }

@@ -36,38 +36,31 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented six") {
+  test("rows-only queries are down to the documented one") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
-      // full oracles (embedded-permutation HUGEINT replay)
-      // r10 second batch: simhash + char-n-gram jaccard replay too
-      // r10 third batch: the xxhash64 decomposition graduated the
-      // whole IVF pick/probe family and the xxhash64 split twin
-      // r16: events_audience_overlap, events_rolling_active_approx
-      // and etl_dq_profile_approx graduated via the calibration
-      // pattern (exact anchors + each-engine's-own-sketch-within-tol
-      // booleans, cf. events_sketch_calibration)
+      // full oracles (embedded-permutation HUGEINT replay), then
+      // simhash, char-n-gram jaccard, and the whole IVF pick/probe
+      // family via the xxhash64 decomposition.
+      // r16 first batch: events_audience_overlap,
+      // events_rolling_active_approx, etl_dq_profile_approx
+      // graduated via the calibration pattern (exact anchors +
+      // each-engine's-own-sketch-within-tol booleans, cf.
+      // events_sketch_calibration); emb_pca_project + ann_pca_topk
+      // via the frozen-model artifact (PcaFrozen literals replay the
+      // projection and two-stage search; PcaSpec pins the artifact
+      // against a live refit).
+      // r16 second batch: events_approx_stats +
+      // events_user_lifespan_approx (rank-containment percentile
+      // claims — the tie-safe cross-engine criterion for GK vs
+      // t-digest), events_sketch_reach (the compacted-lifecycle
+      // route, gating compaction losslessness), stream_dq_profile +
+      // stream_sliding_actives (the live folds' exact columns +
+      // own-HLL booleans).
 
-      "events_approx_stats", "events_sketch_reach",
-      // r9 additions, each spec-bounded against an exact anchor:
-      // LSH SemDeDup closure (DedupRecallSpec), approx twins
-      // (ApproxSpec error bounds), the persisted-index probes
-      // (AnnIndexSpec parity + AnnRecallGateSpec floors)
-      "events_user_lifespan_approx",
-
-      // r16: emb_pca_project + ann_pca_topk graduated via the
-      // frozen-model-artifact convention (PcaFrozen literals replay
-      // the projection and the two-stage search in the oracle;
-      // PcaSpec pins the artifact against a live refit)
-      // zlib has no DuckDB twin; invariants spec-held
-      "text_compression_signal",
-      // live DQ monitor: HLL state per column (ApproxSpec bounds,
-      // StreamingSpec cross-batch accumulation)
-      "stream_dq_profile",
-      // sliding-window HLL actives: ApproxSpec ties each window to
-      // the exact rolling-actives key; StreamingSpec drives updates
-      "stream_sliding_actives"),
+      // zlib genuinely has no DuckDB twin; invariants spec-held
+      "text_compression_signal"),
       s"unexpected rows-only set: $rowsOnly")
   }
 }
