@@ -111,7 +111,10 @@ object ExplainMain {
       "q_forecast_backtest", "mm_keyframe_sample", "stream_rtbf_gate",
       // r16 batch
       "lake_vacuum_apply", "lake_time_travel_read",
-      "rtbf_ml_plan", "rtbf_ml_apply")
+      "rtbf_ml_plan", "rtbf_ml_apply",
+      "mm_thumbnail", "mm_audio_decimate",
+      "events_approx_stats", "events_sketch_reach",
+      "stream_sliding_actives")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -1441,6 +1441,13 @@ object SparkEntry {
     // JDK's PNG writer and decoded by its reader; integer channel
     // sums survive the lossless round trip bit-for-bit, so the
     // oracle needs only the pixel recipe, never a codec
+    // REAL-codec resize (r16): thumbnails box-average the decoded
+    // pixels by integer factor and re-encode; the stats pass then
+    // REALLY re-decodes the thumbnails, so the oracle's recipe
+    // replay checks the resized pixels bit-for-bit
+    "mm_thumbnail" -> ((s, dir) =>
+      Multimodal.decodeImageStats(Multimodal.thumbnail(
+        Multimodal.synthPngCorpus(Tables.documents(s, dir))))),
     "mm_decode_png" -> ((s, dir) =>
       Multimodal.decodeImageStats(
         Multimodal.synthPngCorpus(Tables.documents(s, dir)))),
@@ -1452,6 +1459,13 @@ object SparkEntry {
     "mm_decode_wav" -> ((s, dir) =>
       Multimodal.decodeAudioStats(
         Multimodal.synthWavCorpus(Tables.documents(s, dir)))),
+    // REAL-codec audio resample (r16, the thumbnail's audio twin):
+    // decimate by 2 (exact sample selection, no float kernel),
+    // re-encode at half rate, REALLY re-decode — the oracle replays
+    // the kept samples from the recipe bit-for-bit
+    "mm_audio_decimate" -> ((s, dir) =>
+      Multimodal.decodeAudioStats(Multimodal.audioDecimate(
+        Multimodal.synthWavCorpus(Tables.documents(s, dir))))),
     // feature extraction over the REALLY-decoded samples: RMS / peak
     // / zero-crossings, all exact-integer-derived (one sqrt), so the
     // whole row replays bit-for-bit through the codec round trip
@@ -6582,6 +6596,35 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
         | sha256(text) AS sha256, hex(substr(text, 1, 4)) AS magic_hex
         |FROM documents""".stripMargin.replace("\n", " "),
+    "mm_thumbnail" ->
+      // the resize replayed from the pixel recipe: 2×2 block floored
+      // channel means over the FNV pixels, summed over the 4×4 grid —
+      // the Spark side's decode→average→encode→decode chain must
+      // return exactly these integers (PNG lossless both ways)
+      """WITH px AS (SELECT doc_id, i,
+        | list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |   list_transform(range(1, length(s) + 1),
+        |     j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |   (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |     CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616) AS h
+        | FROM (SELECT doc_id, i,
+        |   CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, 63))
+        |   AS i) g) t),
+        |c AS (SELECT doc_id, i,
+        |  CAST((h // 256) % 256 AS BIGINT) AS r,
+        |  CAST((h // 65536) % 256 AS BIGINT) AS g,
+        |  CAST((h // 16777216) % 256 AS BIGINT) AS b FROM px),
+        |o AS (SELECT doc_id,
+        |  ((i // 8) // 2) * 4 + ((i % 8) // 2) AS op,
+        |  sum(r) // 4 AS orr, sum(g) // 4 AS og, sum(b) // 4 AS ob
+        | FROM c GROUP BY 1, 2)
+        |SELECT doc_id, CAST(4 AS INTEGER) AS width,
+        | CAST(4 AS INTEGER) AS height,
+        | CAST(sum(orr) AS BIGINT) AS sum_r,
+        | CAST(sum(og) AS BIGINT) AS sum_g,
+        | CAST(sum(ob) AS BIGINT) AS sum_b
+        |FROM o GROUP BY 1""".stripMargin.replace("\n", " "),
     "mm_decode_png" ->
       // replay of the synthesized PIXELS, never the codec: pixel i's
       // channels are shifted windows of FNV-1a("doc_id:i") (the
@@ -6997,6 +7040,31 @@ object SparkEntry {
         |   ELSE (h // 256) % 65536 END AS smp
         | FROM sm)
         |SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+        | CAST(1 AS INTEGER) AS channels,
+        | CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(smp) AS BIGINT) AS sum_samples,
+        | CAST(sum(abs(smp)) AS BIGINT) AS sum_abs
+        |FROM v GROUP BY 1""".stripMargin.replace("\n", " "),
+    "mm_audio_decimate" ->
+      // the resample replayed from the sample recipe: keep i % 2 = 0,
+      // half the rate — the Spark side's decode→decimate→encode→
+      // decode chain must return exactly these integers
+      """WITH sm AS (SELECT doc_id, i,
+        | list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |   list_transform(range(1, length(s) + 1),
+        |     j -> CAST(ord(substr(s, j, 1)) AS HUGEINT))),
+        |   (h, b) -> ((h - (h % 256)) + xor(CAST(h % 256 AS BIGINT),
+        |     CAST(b AS BIGINT))) * 1099511628211 % 18446744073709551616) AS h
+        | FROM (SELECT doc_id, i,
+        |   CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) AS s
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(0, 63))
+        |   AS i) g) t),
+        |v AS (SELECT doc_id,
+        |  CASE WHEN (h // 256) % 65536 >= 32768
+        |   THEN (h // 256) % 65536 - 65536
+        |   ELSE (h // 256) % 65536 END AS smp
+        | FROM sm WHERE i % 2 = 0)
+        |SELECT doc_id, CAST(4000 AS INTEGER) AS sample_rate,
         | CAST(1 AS INTEGER) AS channels,
         | CAST(count(*) AS BIGINT) AS n_samples,
         | CAST(sum(smp) AS BIGINT) AS sum_samples,

@@ -384,6 +384,67 @@ object Multimodal {
       }.toDF()
   }
 
+  /** REAL-codec THUMBNAIL resize (r16 — the `resize` member of the
+    * decode / feature-extract / resize / frame-sample multimodal
+    * quartet): whole-blob decode, BOX-AVERAGE downsample by integer
+    * `factor` (each output channel is the floored mean of its
+    * factor×factor block — exact integer arithmetic, no float
+    * resampling kernel), real PNG re-encode. Deterministic and
+    * oracle-replayable end to end: over a [[synthPngCorpus]] input
+    * the decode→average→encode→decode chain returns exactly the
+    * recipe's block-floor means (PNG lossless both ways), so the
+    * driver key pipes thumbnails through [[decodeImageStats]] and
+    * hash-checks the resized pixels themselves. Audit-tier contract:
+    * throws on undecodable payloads and on dimensions the integer
+    * grid cannot tile ([[phashSignatures]]' discipline — a silent
+    * crop inside a resize is how training corpora rot). Per-row
+    * O(pixels) with no shuffle; at 100 TB this is the classic
+    * embarrassingly-parallel byte-in/byte-out map. */
+  def thumbnail(blobs: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, s"undecodable payload for doc $d")
+        val w = img.getWidth; val h = img.getHeight
+        require(w % factor == 0 && h % factor == 0,
+          s"doc $d: ${w}x$h not tileable by factor $factor")
+        val ow = w / factor; val oh = h / factor
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val area = factor * factor
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var sr = 0; var sg = 0; var sb = 0
+            var y = oy * factor
+            while (y < (oy + 1) * factor) {
+              var x = ox * factor
+              while (x < (ox + 1) * factor) {
+                val rgb = img.getRGB(x, y)
+                sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff
+                sb += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            out.setRGB(ox, oy,
+              ((sr / area) << 16) | ((sg / area) << 8) | (sb / area))
+            ox += 1
+          }
+          oy += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        PngBlob(d, bos.toByteArray)
+      }.toDF()
+  }
+
   /** [[synthPngCorpus]] with PLANTED RE-ENCODED COPIES — the fixture
     * the perceptual tier needs and the chunk tier structurally
     * cannot handle — in BOTH rank directions (r16, the audio offset
@@ -1780,6 +1841,59 @@ object Multimodal {
     * never-throw production router remains [[decodeFrame]] (which
     * stubs formats outside its codec set).
     */
+  /** REAL-codec audio DECIMATION resample (r16 — [[thumbnail]]'s
+    * audio twin): whole-blob decode, keep every `factor`-th sample
+    * (mono 16-bit contract), real WAV re-encode at
+    * `sampleRate / factor`. Decimation without an anti-alias filter
+    * is the deterministic-by-construction resampler — exact sample
+    * selection, no float kernel — which is what lets the driver key
+    * pipe decimated blobs back through [[decodeAudioStats]] and
+    * hash-check the resampled SAMPLES against the recipe (WAV
+    * lossless both ways). A production pipeline would low-pass
+    * first; that filter is a float convolution with no cross-engine
+    * bit contract, so it stays out of the oracled path by design.
+    * Audit-tier: throws on non-mono/non-16-bit payloads and on
+    * rates the factor cannot divide. */
+  def audioDecimate(blobs: DataFrame, factor: Int = 2): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (d, bytes) =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"doc $d: expected MONO signed 16-bit PCM, got $fmt")
+        val rate = fmt.getSampleRate.toInt
+        require(rate % factor == 0,
+          s"doc $d: rate $rate not divisible by factor $factor")
+        val data = ais.readAllBytes()
+        val le = !fmt.isBigEndian
+        val n = data.length / 2
+        val kept = (n + factor - 1) / factor
+        val pcm = new Array[Byte](kept * 2)
+        var i = 0; var o = 0
+        while (i < n) {
+          // keep little-endian output regardless of source endianness
+          pcm(2 * o) = data(if (le) 2 * i else 2 * i + 1)
+          pcm(2 * o + 1) = data(if (le) 2 * i + 1 else 2 * i)
+          o += 1; i += factor
+        }
+        val outFmt = new javax.sound.sampled.AudioFormat(
+          (rate / factor).toFloat, 16, 1, true, false)
+        val outAis = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), outFmt, kept.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(outAis,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        WavBlob(d, bos.toByteArray)
+      }.toDF()
+  }
+
   def decodeAudioStats(blobs: DataFrame): DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._

@@ -736,6 +736,89 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("thumbnail: box-average resize is exact integer arithmetic, " +
+    "identity at factor 1, loud on non-tileable dims") {
+    val docs = (0L until 8L).toDF("doc_id")
+    val corpus = Multimodal.synthPngCorpus(docs).cache()
+    // factor 1 is the identity: stats equal the raw decode's
+    val raw = Multimodal.decodeImageStats(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(3), r.getLong(4),
+        r.getLong(5))).toMap
+    val id = Multimodal.decodeImageStats(Multimodal.thumbnail(corpus, 1))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(id === raw, "factor 1 must be the identity resize")
+    // factor 2: hand-compute the floored block means from the recipe
+    def fnv(s: String): Long = {
+      var h = -3750763034362895579L // FNV-1a offset basis
+      s.foreach { c => h = (h ^ (c.toInt & 0xff)) * 1099511628211L }
+      h
+    }
+    def chan(d: Long, i: Int): (Int, Int, Int) = {
+      val h = fnv(s"$d:$i")
+      (((h >>> 8) & 0xff).toInt, ((h >>> 16) & 0xff).toInt,
+        ((h >>> 24) & 0xff).toInt)
+    }
+    val want = (0 until 4).flatMap(oy => (0 until 4).map { ox =>
+      val block = for (dy <- 0 to 1; dx <- 0 to 1)
+        yield chan(3L, (oy * 2 + dy) * 8 + (ox * 2 + dx))
+      (block.map(_._1).sum / 4, block.map(_._2).sum / 4,
+        block.map(_._3).sum / 4)
+    })
+    val got = Multimodal.decodeImageStats(
+        Multimodal.thumbnail(corpus.filter($"doc_id" === 3L), 2))
+      .collect().head
+    assert(got.getInt(1) === 4 && got.getInt(2) === 4)
+    assert(got.getLong(3) === want.map(_._1.toLong).sum, "sum_r")
+    assert(got.getLong(4) === want.map(_._2.toLong).sum, "sum_g")
+    assert(got.getLong(5) === want.map(_._3.toLong).sum, "sum_b")
+    // 8x8 is not tileable by 3 — a silent crop inside a resize is
+    // how training corpora rot, so the contract throws
+    val thrown = intercept[org.apache.spark.SparkException] {
+      Multimodal.thumbnail(corpus, 3).collect()
+    }
+    assert(thrown.getMessage.contains("not tileable")
+      || Option(thrown.getCause).exists(_.getMessage.contains("not tileable")))
+    corpus.unpersist()
+  }
+
+  test("audioDecimate: exact sample selection, half rate, identity at " +
+    "factor 1, indivisible rates throw") {
+    val docs = (0L until 6L).toDF("doc_id")
+    val corpus = Multimodal.synthWavCorpus(docs).cache()
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeAudioStats(df).collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    val raw = stats(corpus)
+    assert(stats(Multimodal.audioDecimate(corpus, 1)) === raw,
+      "factor 1 must be the identity resample")
+    val dec = stats(Multimodal.audioDecimate(corpus, 2))
+    // hand-compute the kept samples (i % 2 == 0) from the recipe
+    def fnv(s: String): Long = {
+      var h = -3750763034362895579L
+      s.foreach { c => h = (h ^ (c.toInt & 0xff)) * 1099511628211L }
+      h
+    }
+    def smp(d: Long, i: Int): Int =
+      ((((fnv(s"$d:$i") >>> 8) & 0xffffL).toInt << 16) >> 16)
+    docs.collect().map(_.getLong(0)).foreach { d =>
+      val kept = (0 until 64 by 2).map(smp(d, _))
+      val (rate, n, sum, sabs) = dec(d)
+      assert(rate === 4000 && n === 32L, s"doc $d header: $rate/$n")
+      assert(sum === kept.map(_.toLong).sum, s"doc $d sum")
+      assert(sabs === kept.map(v => math.abs(v).toLong).sum, s"doc $d abs")
+    }
+    // 8000 Hz is not divisible by 3 — the header would lie about the
+    // duration, so the contract throws instead of rounding the rate
+    val thrown = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioDecimate(corpus, 3).collect()
+    }
+    assert(thrown.getMessage.contains("not divisible")
+      || Option(thrown.getCause).exists(_.getMessage.contains("not divisible")))
+    corpus.unpersist()
+  }
+
   test("phashSummary: exactly the re-encoded copies suppress, originals survive") {
     val docs = (0L until 30L).toDF("doc_id")
     val out = Multimodal.phashSummary(
