@@ -490,7 +490,6 @@ object SparkEntry {
       partials = Seq(sum("quantity").as("q"), sum("sale_amount").as("a")),
       merge = Seq(sum("q").as("total_quantity"), sum("a").as("total_sale_amount")))
 
-  // shared entity-resolution chain (r15): the dirty-CRM fixture, its
   // the pinned CMS sketch relation shared by both text_cms keys
   // (r16): ≤ depth·width rows, one tokenize+explode pass per
   // (session, dir) instead of one per key
@@ -499,6 +498,24 @@ object SparkEntry {
   private def sharedCmsSketch(s: SparkSession, dir: String): DataFrame =
     cmsSketchCache.getOrElseUpdate((s, dir), primeTimed("cms_sketch")(
       operators.CountMin.sketch(Tables.documents(s, dir))
+        .localCheckpoint(true)))
+
+  // the pinned ML stores the RTBF pair erases from (r16): the
+  // fingerprint rows and the winnow-fp inversion are each built ONCE
+  // per (session, dir) — without the pin, plan and apply would pay
+  // the md5+minhash and tokenize+winnow passes independently
+  private val fpRowsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedFingerprintRows(s: SparkSession, dir: String): DataFrame =
+    fpRowsCache.getOrElseUpdate((s, dir), primeTimed("fp_rows")(
+      operators.DedupStore.fingerprintRows(Tables.documents(s, dir))
+        .localCheckpoint(true)))
+  private val winnowFpsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
+    winnowFpsCache.getOrElseUpdate((s, dir), primeTimed("winnow_fps")(
+      Tables.documents(s, dir).select(col("doc_id"), explode(
+          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp"))
         .localCheckpoint(true)))
 
   // the synthetic file manifest with snapshot lineage shared by the
@@ -514,6 +531,7 @@ object SparkEntry {
           min("doc_id") % 7 + 1 + max("doc_id") % 4)
           .as("removed_snap"))
 
+  // shared entity-resolution chain (r15): the dirty-CRM fixture, its
   // blocked fuzzy pairs, and the transitive closure — built once and
   // read by all three etl_entity_* keys (pairs feed the closure, the
   // closure feeds survivorship; rebuilding the chain per key would
@@ -616,9 +634,8 @@ object SparkEntry {
       operators.MlErasure.rtbfMlPlan(
         docs.filter(col("doc_id") % 53 === 3),
         emb.filter(col("vec_id") % 53 === 3),
-        operators.DedupStore.fingerprintRows(docs),
-        docs.select(col("doc_id"), explode(
-          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        sharedFingerprintRows(s, dir),
+        sharedWinnowFps(s, dir),
         emb.select("vec_id"))
     }),
     "rtbf_ml_apply" -> ((s, dir) => {
@@ -627,9 +644,8 @@ object SparkEntry {
       operators.MlErasure.rtbfMlApply(
         docs.filter(col("doc_id") % 53 === 3),
         emb.filter(col("vec_id") % 53 === 3),
-        operators.DedupStore.fingerprintRows(docs),
-        docs.select(col("doc_id"), explode(
-          graft.functions.gf.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+        sharedFingerprintRows(s, dir),
+        sharedWinnowFps(s, dir),
         emb.select("vec_id"))
     }),
     // privacy-release audit (r15): k-anonymity + l-diversity per
@@ -7801,39 +7817,21 @@ object SparkEntry {
         |FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
         .replace("\n", " "),
     "text_winnow_dedup" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        | FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-        |  THEN list_transform(range(1, len(toks) - 1),
-        |   i -> md5(array_to_string(toks[i:i+2], ' ')))
-        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
-        |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(grams) >= 4
-        |  THEN list_transform(range(1, len(grams) - 2),
-        |   j -> list_min(grams[j:j+3]))
-        |  ELSE grams END)) AS fp FROM g)
+      // front half shared with the r16 ML-erasure oracles (winnowFpCtes)
+      (s"""WITH $winnowFpCtes
         |SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         | count(*) AS n_occurrences
-        |FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
+        |FROM w GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""").stripMargin
         .replace("\n", " "),
     "text_winnow_pairs" ->
-      """WITH t AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
-        | FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
-        |  THEN list_transform(range(1, len(toks) - 1),
-        |   i -> md5(array_to_string(toks[i:i+2], ' ')))
-        |  ELSE CAST([] AS VARCHAR[]) END AS grams FROM t),
-        |w AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(grams) >= 4
-        |  THEN list_transform(range(1, len(grams) - 2),
-        |   j -> list_min(grams[j:j+3]))
-        |  ELSE grams END)) AS fp FROM g),
+      // front half shared with the r16 ML-erasure oracles (winnowFpCtes)
+      (s"""WITH $winnowFpCtes,
         |d AS (SELECT fp FROM w GROUP BY fp
         |  HAVING count(*) BETWEEN 2 AND 64)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         |FROM w a JOIN d ON a.fp = d.fp JOIN w b ON b.fp = a.fp
         |WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin.replace("\n", " "),
+        |GROUP BY 1, 2 HAVING count(*) >= 2""").stripMargin.replace("\n", " "),
     "split_kfold" ->
       // 5 equal hex-range cuts of md5(doc_id || ':cv42')
       """SELECT doc_id, source,

@@ -249,24 +249,37 @@ object AnnIndex {
     * staged survivors (the live `vectors` dir may be half-rewritten
     * and is never trusted); deleted only after the tombstone reset,
     * so every crash window replays idempotently from durable state.
+    * The staged survivors are re-masked against the CURRENT log
+    * unconditionally: a delete (e.g. an RTBF erasure) landing
+    * between the crash and the retry would otherwise be silently
+    * RESURRECTED by the replay-then-reset — the one crash window
+    * where "idempotent" and "re-read the log" differ. The mask is a
+    * broadcast anti-join against the distinct tombstones and a
+    * no-op on the fresh path (staging was built from the same log).
     * AnnIndexSpec holds: deleted ids stay gone, the log resets, max
     * cell balance does not degrade vs the drifted layout, the
     * survivor recall floor holds after the rebuild, and a planted
-    * staging dir is resumed from (and cleaned up). */
+    * staging dir is resumed from (and cleaned up) with a
+    * post-staging delete still honoured. */
   def rebuildIvf(spark: SparkSession, path: String, nlist: Int = 16,
                  iters: Int = 3): Unit = {
     val staging = new org.apache.hadoop.fs.Path(s"$path/vectors.staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = broadcast(tombstones(spark, path))
     if (!fs.exists(staging)) {
-      val dead = broadcast(tombstones(spark, path))
       spark.read.parquet(s"$path/vectors")
         .select(col("vec_id"), col("embedding"))
         .join(dead, Seq("vec_id"), "left_anti")
         .write.mode("overwrite").parquet(staging.toString)
     }
     val survivors = spark.read.parquet(staging.toString)
+      .join(dead, Seq("vec_id"), "left_anti")
     buildIvf(survivors, path, nlist, iters)
-    survivors.select("vec_id").limit(0)
+    // reset from a LITERAL empty frame: survivors' lineage now reads
+    // the tombstone files (the resume mask), and Spark refuses an
+    // overwrite of a path its own plan is reading
+    import spark.implicits._
+    Seq.empty[Long].toDF("vec_id")
       .write.mode("overwrite").parquet(s"$path/tombstones")
     fs.delete(staging, true) // commit marker: gone ⇒ rebuild complete
   }

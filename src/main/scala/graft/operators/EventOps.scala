@@ -851,17 +851,6 @@ object EventOps {
         round(sum(when(col("lifespan_days") === 0, 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 6).as("single_day_frac"))
 
-  /** [[userLifespan]] with `percentile_approx` — the 100 TB form as
-    * a FIRST-CLASS twin: exact `percentile` buffers every value per
-    * group (the whole |users|-row lifespan column on one reducer for
-    * this single-group rollup), while the KLL-style approx sketch
-    * holds bounded state at `accuracy` and merges associatively, so
-    * the rollup stays one partial-aggregating pass no matter how
-    * large the user base grows. Same output shape (approx percentile
-    * of an integer column is integer-valued, cast to double to match
-    * the exact twin's schema); ApproxSpec bounds the rank error
-    * against the exact profile.
-    */
   /** Lifespan CALIBRATION (r16) — what graduates
     * `events_user_lifespan_approx` from rows-only: the exact rollup
     * anchors (user count, means, single-day fraction — already
@@ -914,6 +903,17 @@ object EventOps {
         contained(0.99, col("lt99"), col("le99")).as("p99_within_tol"))
   }
 
+  /** [[userLifespan]] with `percentile_approx` — the 100 TB form as
+    * a FIRST-CLASS twin: exact `percentile` buffers every value per
+    * group (the whole |users|-row lifespan column on one reducer for
+    * this single-group rollup), while the KLL-style approx sketch
+    * holds bounded state at `accuracy` and merges associatively, so
+    * the rollup stays one partial-aggregating pass no matter how
+    * large the user base grows. Same output shape (approx percentile
+    * of an integer column is integer-valued, cast to double to match
+    * the exact twin's schema); ApproxSpec bounds the rank error
+    * against the exact profile.
+    */
   def userLifespanApprox(events: DataFrame, accuracy: Int = 10000): DataFrame =
     events
       .groupBy("user_id")

@@ -396,13 +396,23 @@ class AnnIndexSpec extends SparkSpec {
     corpus.filter(col("vec_id") % 2 === 0)
       .select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$base/ivf/vectors.staging")
+    // a delete lands BETWEEN the crash and the retry (e.g. an RTBF
+    // erasure): the resume must NOT resurrect it from the stale
+    // staged survivors — the one crash window where "replay the
+    // staging" and "honour the log" differ
+    import spark.implicits._
+    val postCrashDeleted = corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id").limit(3).collect().map(_.getLong(0)).toSet
+    AnnIndex.deleteIvf(
+      postCrashDeleted.toSeq.toDF("vec_id"), s"$base/ivf")
     AnnIndex.rebuildIvf(spark, s"$base/ivf", iters = 1)
     val ids = spark.read.parquet(s"$base/ivf/vectors")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val want = corpus.filter(col("vec_id") % 2 === 0)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
+      .select("vec_id").collect().map(_.getLong(0)).toSet -- postCrashDeleted
     assert(ids === want,
-      "resumed rebuild must lay out exactly the STAGED survivors")
+      "resumed rebuild must lay out the STAGED survivors minus every " +
+        "post-staging delete")
     assert(AnnIndex.tombstones(spark, s"$base/ivf").count() === 0L,
       "resumed rebuild still resets the log")
     assert(!java.nio.file.Files.exists(

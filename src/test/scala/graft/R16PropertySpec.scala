@@ -20,12 +20,16 @@ class R16PropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(161)
     for (round <- 1 to 3) {
       // a few hot prefixes + a uniform tail; identical names inside a
-      // prefix so every in-block pair matches at lev 0
+      // prefix so every in-block pair matches at lev 0. The block key
+      // is the first SIX normalized chars, so the hot-block id must
+      // land inside them (f"hot$b%02dx") — a suffix-varied name would
+      // collapse every "hot" corpus into ONE block and leave the
+      // per-block assertions vacuous for b >= 1 (r16 review finding)
       val hotBlocks = 2 + rnd.nextInt(3)
       val rows = (0 until hotBlocks).flatMap { b =>
         val size = 20 + rnd.nextInt(60)
         (0 until size).map(i =>
-          (b * 1000L + i, s"prefix$b-common"))
+          (b * 1000L + i, f"hot$b%02dx-common"))
       } ++ (0 until 30).map(i => (90000L + i, s"tail${i}name"))
       val recs = rnd.shuffle(rows).toDF("rec_id", "raw_name")
       val cap = 5 + rnd.nextInt(12)
@@ -40,13 +44,15 @@ class R16PropertySpec extends SparkSpec {
       byBlock.foreach { case (b, ps) =>
         assert(ps.size <= cap * (cap - 1) / 2,
           s"round $round block $b: ${ps.size} pairs exceed C($cap,2)") }
-      // determinism: participants are exactly the smallest rec_ids
+      // determinism: EVERY hot block must pair (>= 20 identical
+      // names against cap <= 16 — a vacuous block means the fixture
+      // broke), and its participants are exactly the smallest ids
       (0 until hotBlocks).foreach { b =>
         val ids = capped.filter(_._1 / 1000L == b)
           .flatMap(p => Seq(p._1, p._2))
-        if (ids.nonEmpty)
-          assert(ids == (0 until cap).map(b * 1000L + _).toSet,
-            s"round $round block $b: survivor subset not the min ids")
+        assert(ids == (0 until cap).map(b * 1000L + _).toSet,
+          s"round $round block $b: survivor subset not the min ids " +
+            s"(${ids.size} participants)")
       }
     }
   }
