@@ -2103,16 +2103,39 @@ object Analytics {
   def rollingActiveCalibration(events: DataFrame, days: Int = 7,
                                rsd: Double = 0.02,
                                tolPct: Int = 5): DataFrame = {
-    // ONE deduplicated user-day build feeds both tiers (one events
-    // scan + one distinct shuffle instead of two)
+    // ONE fan-out, ONE (target_day, user) collapse, ONE day-grain
+    // aggregate carrying the exact WAU/DAU anchors AND the engine's
+    // own HLL estimates side by side. The sketches read the COLLAPSED
+    // relation, which changes nothing: HLL register updates are
+    // idempotent, so the sketch of the deduplicated (day, user) set
+    // is bit-identical to rollingActiveUsersApprox's over the raw
+    // fan-out — the boolean still scores the sketch route. Fusing
+    // drops the approx tier's second fan-out chain and the day join
+    // a naive twin-query composition pays.
     val userDays = events
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
       .localCheckpoint(true)
-    rollingActiveUsers(events, days, userDaysOpt = Some(userDays))
-      .join(rollingActiveUsersApprox(events, days, rsd,
-        userDaysOpt = Some(userDays)), Seq("day"))
-      .select(col("day"), col("wau"), col("dau"), col("stickiness"),
+    val present = userDays.select(col("day").as("target_day")).distinct()
+    userDays
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(days - 1))).as("i"))
+      .select(col("user_id"), col("day"),
+        date_add(col("day"), col("i")).as("target_day"),
+        when(col("i") === 0, 1L).otherwise(0L).as("is_today"))
+      .join(present, Seq("target_day"), "left_semi")
+      .groupBy("target_day", "user_id")
+      .agg(max("is_today").as("active_today"))
+      .groupBy(col("target_day").as("day"))
+      .agg(
+        count(lit(1)).as("wau"),
+        sum("active_today").as("dau"),
+        approx_count_distinct(col("user_id"), rsd).as("wau_approx"),
+        approx_count_distinct(
+          when(col("active_today") === 1L, col("user_id")), rsd)
+          .as("dau_approx"))
+      .select(col("day"), col("wau"), col("dau"),
+        round(col("dau") / col("wau"), 6).as("stickiness"),
         (abs(col("wau_approx") - col("wau")) <=
           greatest(lit(2L), expr(s"wau * $tolPct div 100")))
           .as("wau_within_tol"),

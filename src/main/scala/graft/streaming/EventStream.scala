@@ -937,19 +937,28 @@ object EventStream extends Serializable {
     * `max(2, n_distinct·tolPct/100)` of the batch dq calibration. */
   def dqStateCalibration(events: DataFrame, cols: Seq[String],
                          rsd: Double = 0.02, tolPct: Int = 5): DataFrame = {
-    val fold = dqProfileState(events, cols, rsd)
-      .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("null_frac"), col("n_distinct").as("apx"))
-    val exact = events
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column name must be a plain identifier, got '$c'"))
+    // ONE stack-unpivot aggregate carries the fold's running columns,
+    // the exact anchor AND the fold's own HLL state side by side —
+    // the HLL expression IS dqProfileState's update rule, so the
+    // boolean still scores the live fold's sketch; fusing drops the
+    // second unpivot scan and the per-column join a naive
+    // fold-vs-anchor composition would pay
+    events
       .select(expr(
         s"stack(${cols.size}, " + cols.map(c =>
           s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
           ") as (col_name, v)"))
       .groupBy("col_name")
-      .agg(countDistinct(col("v")).as("n_distinct"))
-    fold.join(exact, Seq("col_name"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        approx_count_distinct(col("v"), rsd).as("apx"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("null_frac"),
+        col("n_distinct"),
+        round(col("n_nulls") / col("n_rows"), 6).as("null_frac"),
         (abs(col("apx") - col("n_distinct")) <=
           greatest(lit(2L), expr(s"n_distinct * $tolPct div 100")))
           .as("distinct_within_tol"))
@@ -964,21 +973,21 @@ object EventStream extends Serializable {
     * keeps its watermarked update path spec-held. */
   def slidingActivesCalibration(events: DataFrame, windowDays: Int = 7,
                                 slideDays: Int = 1, rsd: Double = 0.02,
-                                tolPct: Int = 5): DataFrame = {
-    val apx = slidingActives(events, windowDays, slideDays, rsd)
-      .select(col("window_start"), col("active_users").as("apx"))
+                                tolPct: Int = 5): DataFrame =
+    // ONE windowed aggregate carries the exact anchor AND the
+    // engine's own windowed HLL side by side — the HLL expression IS
+    // [[slidingActives]]' aggregation, so the boolean still scores
+    // the monitor's sketch; fusing drops the second window fan-out
+    // and the window-start join a naive twin-query composition pays
     events
       .groupBy(window(col("ts"), s"$windowDays days", s"$slideDays days"))
       .agg(countDistinct(col("user_id")).as("active_users"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("apx"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
-        col("active_users"), col("n_events"))
-      .join(apx, Seq("window_start"))
-      .select(col("window_start"), col("window_end"), col("active_users"),
-        col("n_events"),
+        col("active_users"), col("n_events"),
         (abs(col("apx") - col("active_users")) <=
           greatest(lit(2L), expr(s"active_users * $tolPct div 100")))
           .as("users_within_tol"))
-  }
 }
