@@ -114,7 +114,9 @@ object ExplainMain {
       "rtbf_ml_plan", "rtbf_ml_apply",
       "mm_thumbnail", "mm_audio_decimate",
       "events_approx_stats", "events_sketch_reach",
-      "stream_sliding_actives")
+      "stream_sliding_actives",
+      // r17 batch
+      "text_compression_signal")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

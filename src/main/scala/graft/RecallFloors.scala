@@ -26,12 +26,15 @@ object RecallFloors {
     // r15: nprobe 8→12 (the r13/r14 escalation dial applied to the
     // plain tier) — measured 0.740 → 0.935 at sf0.1
     ("ann_ivf_topk", "ann_bruteforce_topk", 0.88),
-    ("ann_pq_topk", "ann_bruteforce_topk", 0.78),
-    // late-r9 retune to rerank=16 (docs/ANN_SWEEP.md rerank axis),
-    // then the r14 probe escalation (nprobe 8→12, the dial that
-    // lifted the filtered/append tiers in r13): measured 0.720 →
-    // 0.840 at sf0.1, floor raised in lockstep
-    ("ann_ivfpq_topk", "ann_bruteforce_topk", 0.80),
+    // r17: rerank 8→16 (flat PQ's loss is pure rank error — the
+    // sweep's rerank axis ran 0.815/0.915/0.965/0.985 at 8/16/24/32)
+    // — measured 0.915 at sf0.1
+    ("ann_pq_topk", "ann_bruteforce_topk", 0.86),
+    // late-r9 retune to rerank=16, r14 nprobe 8→12, then r17 nprobe
+    // 12→14: the sweep isolated the residual loss as CELL miss
+    // (rerank 16→32 at nprobe 12 moved 0.840 → 0.865 only; nprobe
+    // 12→14 at rerank 16 reached 0.895) — measured 0.895 at sf0.1
+    ("ann_ivfpq_topk", "ann_bruteforce_topk", 0.85),
     // r15: nprobe 8→12 — measured 0.780 → 0.920 at sf0.1
     ("ann_ivfpq_res_topk", "ann_bruteforce_topk", 0.87),
     ("ann_sq_topk", "ann_bruteforce_topk", 0.95),
@@ -42,9 +45,10 @@ object RecallFloors {
     // tiers, so the floors do too (r15: nprobe 12 in lockstep with
     // ann_ivf_topk; AnnIndexSpec holds probe ≡ in-memory parity)
     ("ann_index_ivf_probe", "ann_bruteforce_topk", 0.88),
-    // r14: nprobe=12 in lockstep with the in-memory tier — measured
-    // 0.840, floor raised from 0.67
-    ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.80),
+    // r17: nprobe=14 in lockstep with the in-memory tier (the
+    // cell-miss finding applies identically to the persisted
+    // layout — 14 of 16 cell partitions read, pruning intact)
+    ("ann_index_ivfpq_probe", "ann_bruteforce_topk", 0.85),
     // incrementally-maintained indexes (model state from the base
     // half, delta appended): hash-picked half-corpus centroids cover
     // the space as well as the full pick. r15: nprobe 8→12 in
@@ -66,8 +70,8 @@ object RecallFloors {
     // the measured sf0.1 point 0.775 → 0.910 (stage-1 scan unchanged)
     ("ann_pca_topk", "ann_bruteforce_topk", 0.86),
     // r11 at 32 dims/rerank 8 measured 0.670 (prefix ≈ kept-fraction
-    // recall on the isotropic testdata); r13 rerank 8→16 lifted the
-    // measured point to 0.825 with the stage-1 scan unchanged — the
-    // rerank join stays O(queries·k·16) candidate ids
-    ("ann_matryoshka_topk", "ann_bruteforce_topk", 0.78))
+    // recall on the isotropic testdata); r13 rerank 8→16 → 0.825;
+    // r17 rerank 16→32 → 0.895 measured — stage-1 scan unchanged,
+    // the rerank join stays O(queries·k·32) candidate ids
+    ("ann_matryoshka_topk", "ann_bruteforce_topk", 0.85))
 }

@@ -56,6 +56,44 @@ object SparkEntry {
       existing = sourceSummary(s, dir, "F"),
       updates = sourceSummary(s, dir, "O"))
 
+  /** Session-scoped shared-relation cache (r17, ADVICE): a TrieMap
+    * keyed by (session, dir) whose entries are EVICTED when the
+    * owning SparkContext ends — a bare TrieMap pins stopped sessions
+    * and their eagerly localCheckpoint'ed blocks for the JVM
+    * lifetime (harmless in the one-session bench/driver processes, a
+    * leak in any long-lived multi-session embedding). Every instance
+    * registers in one global set; the first insert for a session
+    * installs a single ApplicationEnd listener that sweeps that
+    * session's keys from every registered cache. */
+  private final class SessionCache[V] {
+    private val m = scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), V]
+    SessionCache.all.add(this)
+    def getOrElseUpdate(k: (SparkSession, String), v: => V): V = {
+      SessionCache.hookEviction(k._1)
+      m.getOrElseUpdate(k, v)
+    }
+    def evict(s: SparkSession): Unit =
+      m.keySet.filter(_._1 eq s).foreach(m.remove)
+  }
+  private object SessionCache {
+    val all: java.util.Set[SessionCache[_]] =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[SessionCache[_]]()
+    private val hooked =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    def hookEviction(s: SparkSession): Unit =
+      if (hooked.add(s))
+        s.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+                : Unit = {
+              all.forEach(_.evict(s))
+              hooked.remove(s)
+            }
+          })
+  }
+
   /** Default-parameter [[Dedup.blockingTrunk]] over the documents
     * table (shingle sets + df-capped candidate pairs) and the
     * verified Jaccard pair relation over it, each materialized ONCE
@@ -71,10 +109,13 @@ object SparkEntry {
     * which local mode tolerates, and which a production pipeline
     * would persist per corpus snapshot as a table (DISK_ONLY, not
     * executor memory — see the [[Dedup.BlockingTrunk]] scaladoc).
-    * Caches are keyed on (session, dir) and never evicted — sessions
-    * here live for one driver/bench JVM. */
+    * Caches are keyed on (session, dir) and EVICTED when the
+    * session's context ends (see [[SessionCache]]) — in the
+    * one-session driver/bench JVMs that is process exit, but a
+    * long-lived multi-session embedding must not pin stopped
+    * sessions and their checkpoint blocks forever. */
   private val setsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedShingleSets(s: SparkSession, dir: String): DataFrame =
     setsCache.getOrElseUpdate((s, dir), primeTimed("shingle_sets")(
       Dedup.blockingTrunk(Tables.documents(s, dir)).sets
@@ -85,7 +126,7 @@ object SparkEntry {
   // read this relation (the stream key keeps its own full code path:
   // the streaming plan IS its product)
   private val gopherFlaggedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedGopherFlagged(s: SparkSession, dir: String): DataFrame =
     gopherFlaggedCache.getOrElseUpdate((s, dir), primeTimed("gopher_flagged")(
       TextAnalysis.gopherFlagged(
@@ -96,7 +137,7 @@ object SparkEntry {
   // (session, dir) — production persists these per corpus snapshot;
   // all three phash keys read the store instead of re-decoding
   private val phashSigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedPhashSigs(s: SparkSession, dir: String): DataFrame =
     phashSigCache.getOrElseUpdate((s, dir), primeTimed("phash_sigs")(
       operators.Multimodal.phashSignatures(
@@ -106,7 +147,7 @@ object SparkEntry {
   // perceptual-audio signature store, same economics as the phash
   // store: decode once per (session, dir), both audio keys read it
   private val audioSigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedAudioSigs(s: SparkSession, dir: String): DataFrame =
     audioSigCache.getOrElseUpdate((s, dir), primeTimed("audio_sigs")(
       operators.Multimodal.audioSignatures(
@@ -117,7 +158,7 @@ object SparkEntry {
   // its keep-best twin read the SAME min-label relation — without
   // the pin each key re-runs the pointer-doubling closure
   private val phashGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedPhashGroups(s: SparkSession, dir: String): DataFrame =
     phashGroupsCache.getOrElseUpdate((s, dir), primeTimed("phash_groups")(
       operators.Multimodal.phashGroups(
@@ -125,7 +166,7 @@ object SparkEntry {
         sigs = Some(sharedPhashSigs(s, dir)))
         .localCheckpoint(true)))
   private val audioGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedAudioGroups(s: SparkSession, dir: String): DataFrame =
     audioGroupsCache.getOrElseUpdate((s, dir), primeTimed("audio_groups")(
       operators.Multimodal.audioSigGroups(
@@ -137,7 +178,7 @@ object SparkEntry {
   // winnow runs ONCE per (session, dir) over the offset fixture;
   // the pairs and incremental keys read the store
   private val audioWinnowSigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedAudioWinnowSigs(s: SparkSession, dir: String): DataFrame =
     audioWinnowSigCache.getOrElseUpdate((s, dir),
       primeTimed("audio_winnow_sigs")(
@@ -148,7 +189,7 @@ object SparkEntry {
   // the winnow-tier GROUP closure, pinned (r15): the groups key and
   // the new keep-best key read the same min-label relation
   private val audioWinnowGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedAudioWinnowGroups(s: SparkSession, dir: String): DataFrame =
     audioWinnowGroupsCache.getOrElseUpdate((s, dir),
       primeTimed("audio_winnow_groups")(
@@ -161,7 +202,7 @@ object SparkEntry {
   // tile + winnow runs ONCE per (session, dir) over the crop
   // fixture; all four image-winnow keys read the store
   private val imageWinnowSigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedImageWinnowSigs(s: SparkSession, dir: String): DataFrame =
     imageWinnowSigCache.getOrElseUpdate((s, dir),
       primeTimed("image_winnow_sigs")(
@@ -172,7 +213,7 @@ object SparkEntry {
   // the image-winnow GROUP closure, pinned (r15): groups + keep-best
   // read the same min-label relation
   private val imageWinnowGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedImageWinnowGroups(s: SparkSession, dir: String): DataFrame =
     imageWinnowGroupsCache.getOrElseUpdate((s, dir),
       primeTimed("image_winnow_groups")(
@@ -184,8 +225,8 @@ object SparkEntry {
   // the quality-FIXTURE corpus's dup-gram store + Bloom (r14): the
   // nightly artifact the composed intake gate probes — built from
   // the same fixture corpus the gate streams
-  private val qualityDupStoreCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
+  private val qualityDupStoreCache = new SessionCache[
+    (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
   private def sharedQualityDupStore(s: SparkSession, dir: String)
       : (DataFrame, org.apache.spark.util.sketch.BloomFilter) =
     qualityDupStoreCache.getOrElseUpdate((s, dir),
@@ -202,7 +243,7 @@ object SparkEntry {
   // the delta must NOT appear, so this is NOT a filter of the
   // full-corpus store
   private val histDupStoreCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedHistDupStore(s: SparkSession, dir: String): DataFrame =
     histDupStoreCache.getOrElseUpdate((s, dir),
       primeTimed("hist_dup_store")(
@@ -218,7 +259,7 @@ object SparkEntry {
   // positions, not the corpus) — the coverage fold, the gate, the
   // r13 span extraction, and the intake store all derive from it
   private val dupOccCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedDupNgramOcc(s: SparkSession, dir: String): DataFrame =
     dupOccCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_occ")(
       TextAnalysis.dupNgramDupOcc(
@@ -232,7 +273,7 @@ object SparkEntry {
   // work runs once per (session, dir) and bills to prime like every
   // other trunk.
   private val curateFlagsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedCurateFlags(s: SparkSession, dir: String): DataFrame =
     curateFlagsCache.getOrElseUpdate((s, dir), primeTimed("curate_flags")(
       operators.Curation.curateFlags(Tables.documents(s, dir),
@@ -244,7 +285,7 @@ object SparkEntry {
         .localCheckpoint(true)))
 
   private val dupNgramDocsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedDupNgramDocs(s: SparkSession, dir: String): DataFrame =
     dupNgramDocsCache.getOrElseUpdate((s, dir), primeTimed("dup_ngram_docs")(
       TextAnalysis.dupNgramDocsOf2(
@@ -258,8 +299,8 @@ object SparkEntry {
   // before the store join ever sees a row (r14). Without the shared
   // build, every gate construction would pay the store count +
   // Bloom aggregate as serial driver actions.
-  private val dupStoreCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
+  private val dupStoreCache = new SessionCache[
+    (DataFrame, org.apache.spark.util.sketch.BloomFilter)]
   private def sharedDupStore(s: SparkSession, dir: String)
       : (DataFrame, org.apache.spark.util.sketch.BloomFilter) =
     dupStoreCache.getOrElseUpdate((s, dir), primeTimed("dup_store_bloom") {
@@ -269,7 +310,7 @@ object SparkEntry {
     })
 
   private val candsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   // sets and candidates cache separately: minhash/groups consume only
   // the sets, and must not pay the inverted-index candidate build as
   // a side effect of asking for them
@@ -280,7 +321,7 @@ object SparkEntry {
         Dedup.candidatesOf(sets).localCheckpoint(true))))
   }
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedBlockedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir), primeTimed("blocked_pairs")(
       Dedup.blockedJaccardPairsOf(sharedTrunk(s, dir))
@@ -296,7 +337,7 @@ object SparkEntry {
     * the corresponding in-memory tier and sits under the same
     * [[RecallFloors]] gate. */
   private val annIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String, String)]
+    new SessionCache[(String, String, String, String)]
   private def annIndexPaths(s: SparkSession, dir: String): (String, String, String, String) =
     annIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_indexes") {
       val base = java.nio.file.Files.createDirectories(
@@ -340,7 +381,7 @@ object SparkEntry {
     * and compaction-plan keys read it; compaction APPLY mutates, so
     * it runs only in AnnIndexSpec against a scratch copy. */
   private val annDelIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+    new SessionCache[(String, String)]
   private def annDelIndexPaths(s: SparkSession, dir: String): (String, String) =
     annDelIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_del_indexes") {
       val base = java.nio.file.Files.createDirectories(
@@ -376,11 +417,31 @@ object SparkEntry {
     * clock of the slowest chain, not the sum of entries. */
   val primeDetail: scala.collection.concurrent.TrieMap[String, Double] =
     scala.collection.concurrent.TrieMap.empty
+
+  /** EXCLUSIVE per-store build time (r17, verdict): [[primeDetail]]
+    * minus any nested builds triggered on the SAME thread, so a
+    * prime regression names exactly ONE store instead of every
+    * ancestor that happened to wrap it (blocked_pairs' inclusive
+    * time moves whenever shingle_sets does; its exclusive time only
+    * moves when the pair verify itself does). The ann_* children
+    * build on their own threads inside `ann_indexes`, so that
+    * parent's exclusive time equals its wall — a regression there
+    * still names the child, because the child has its own entry. */
+  val primeSelf: scala.collection.concurrent.TrieMap[String, Double] =
+    scala.collection.concurrent.TrieMap.empty
+  private val primeChildTime = new ThreadLocal[Double] {
+    override def initialValue: Double = 0.0
+  }
   private def primeTimed[T](name: String)(f: => T): T = {
+    val parentAcc = primeChildTime.get()
+    primeChildTime.set(0.0)
     val t0 = System.nanoTime()
-    val r = f
-    primeDetail(name) = (System.nanoTime() - t0) / 1e9
-    r
+    try f finally {
+      val wall = (System.nanoTime() - t0) / 1e9
+      primeDetail(name) = wall
+      primeSelf(name) = math.max(0.0, wall - primeChildTime.get())
+      primeChildTime.set(parentAcc + wall)
+    }
   }
 
   /** Force-build every shared cache for (session, dir). Bench calls
@@ -397,7 +458,7 @@ object SparkEntry {
     * the dominant shuffle, and five queries re-deriving it is four
     * wasted passes over the fact. Billed to `shared_prime`. */
   private val basketPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedBasketPairs(s: SparkSession, dir: String): DataFrame =
     // derived from the PINNED trunk (identical composition to
     // basketAffinity) — the second guarded-basket pass the old
@@ -406,7 +467,7 @@ object SparkEntry {
       operators.Analytics.basketAffinityOf(sharedBasketTrunk(s, dir))
         .localCheckpoint(true)))
   private val basketTrunkCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedBasketTrunk(s: SparkSession, dir: String): DataFrame =
     basketTrunkCache.getOrElseUpdate((s, dir), primeTimed("basket_trunk")(
       operators.Analytics.guardedBasketsShared(Tables.lineitem(s, dir))
@@ -416,7 +477,7 @@ object SparkEntry {
   // for the BM25 family — at 100 TB this is the postings table a
   // search pipeline persists per corpus snapshot
   private val tfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedTfPostings(s: SparkSession, dir: String): DataFrame =
     tfCache.getOrElseUpdate((s, dir), primeTimed("tf_postings")(
       Tables.documents(s, dir)
@@ -430,7 +491,7 @@ object SparkEntry {
   // system never recomputes idf per query), so the build is billed
   // to prime like the other persisted indexes
   private val bm25Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedBm25Postings(s: SparkSession, dir: String): DataFrame =
     bm25Cache.getOrElseUpdate((s, dir), primeTimed("bm25_index")(
       operators.Similarity.bm25Postings(Tables.documents(s, dir),
@@ -438,7 +499,7 @@ object SparkEntry {
         .localCheckpoint(true)))
 
   def primeSharedCaches(s: SparkSession, dir: String): Unit = {
-    primeDetail.clear()
+    primeDetail.clear(); primeSelf.clear()
     // four independent chains (disjoint caches, disjoint inputs
     // beyond the shared parquet scans) submit concurrently: each is
     // a sequence of small jobs whose wall cost is stage-scheduling
@@ -467,7 +528,7 @@ object SparkEntry {
     * failures surface in the timed run, not here. */
   def primeForKeys(s: SparkSession, dir: String,
                    keys: Iterable[String]): Unit = {
-    primeDetail.clear()
+    primeDetail.clear(); primeSelf.clear()
     keys.foreach(k =>
       try { queries(k)(s, dir); () }
       catch { case scala.util.control.NonFatal(_) => () })
@@ -494,7 +555,7 @@ object SparkEntry {
   // (r16): ≤ depth·width rows, one tokenize+explode pass per
   // (session, dir) instead of one per key
   private val cmsSketchCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedCmsSketch(s: SparkSession, dir: String): DataFrame =
     cmsSketchCache.getOrElseUpdate((s, dir), primeTimed("cms_sketch")(
       operators.CountMin.sketch(Tables.documents(s, dir))
@@ -505,13 +566,13 @@ object SparkEntry {
   // per (session, dir) — without the pin, plan and apply would pay
   // the md5+minhash and tokenize+winnow passes independently
   private val fpRowsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedFingerprintRows(s: SparkSession, dir: String): DataFrame =
     fpRowsCache.getOrElseUpdate((s, dir), primeTimed("fp_rows")(
       operators.DedupStore.fingerprintRows(Tables.documents(s, dir))
         .localCheckpoint(true)))
   private val winnowFpsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedWinnowFps(s: SparkSession, dir: String): DataFrame =
     winnowFpsCache.getOrElseUpdate((s, dir), primeTimed("winnow_fps")(
       Tables.documents(s, dir).select(col("doc_id"), explode(
@@ -537,19 +598,19 @@ object SparkEntry {
   // closure feeds survivorship; rebuilding the chain per key would
   // re-pay the blocked join three times)
   private val crmRecsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedCrmRecs(s: SparkSession, dir: String): DataFrame =
     crmRecsCache.getOrElseUpdate((s, dir), primeTimed("crm_recs")(
       operators.EntityResolution.synthCrmCorpus(Tables.customer(s, dir))
         .localCheckpoint(true)))
   private val entityPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedEntityPairs(s: SparkSession, dir: String): DataFrame =
     entityPairsCache.getOrElseUpdate((s, dir), primeTimed("entity_pairs")(
       operators.EntityResolution.entityPairs(sharedCrmRecs(s, dir))
         .localCheckpoint(true)))
   private val entityGroupsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedEntityGroups(s: SparkSession, dir: String): DataFrame =
     entityGroupsCache.getOrElseUpdate((s, dir), primeTimed("entity_groups")(
       operators.EntityResolution.entityGroups(sharedCrmRecs(s, dir),
@@ -558,7 +619,7 @@ object SparkEntry {
   // their own closure) the incremental/stream intake keys probe —
   // what yesterday's nightly batch would have persisted
   private val entityStoreCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new SessionCache[DataFrame]
   private def sharedEntityHistStore(s: SparkSession, dir: String): DataFrame =
     entityStoreCache.getOrElseUpdate((s, dir), primeTimed("entity_store") {
       val hist = sharedCrmRecs(s, dir)
@@ -1083,9 +1144,13 @@ object SparkEntry {
       Similarity.sqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10)
     }),
     // prefix-truncation two-stage ANN (half the stage-1 scan bytes,
-    // ZERO model state) — the Matryoshka serving trick, exact-rerank
+    // ZERO model state) — the Matryoshka serving trick, exact-rerank.
+    // r17 rerank 16→32 (sweep: 0.825 → 0.895 at sf0.1): the
+    // isotropic testdata makes the 32-dim prefix a weak ranker, so
+    // the exact tier reads twice the candidates — still
+    // O(queries·32) id-joined rows, stage-1 scan unchanged
     "ann_matryoshka_topk" -> ((s, dir) =>
-      Similarity.matryoshkaTopK(Tables.embeddings(s, dir))),
+      Similarity.matryoshkaTopK(Tables.embeddings(s, dir), rerank = 32)),
     // full oracle (the xxhash64 centroid-pick replay); recall spec
     // additionally anchors it to ann_filtered_topk's exact result
     "ann_ivf_filtered_topk" -> ((s, dir) => {
@@ -1171,9 +1236,11 @@ object SparkEntry {
     }),
     "ann_index_ivfpq_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // nprobe=12 in lockstep with the in-memory tier (r14)
+      // nprobe=14 in lockstep with the in-memory tier (r17 — the
+      // cell-miss finding applies identically to the persisted
+      // layout: 14 of 16 cell partitions read, pruning intact)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._2,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12, rerank = 16)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 14, rerank = 16)
     }),
     // probe of the INCREMENTALLY-maintained index (built on half the
     // corpus, other half appended against stored centroids — no
@@ -1310,8 +1377,13 @@ object SparkEntry {
       DataSplit.interleaveOrder(Tables.documents(s, dir))),
     "docs_ngram_diversity" -> ((s, dir) =>
       TextAnalysis.ngramDiversity(Tables.documents(s, dir))),
+    // calibration form (r17): graduated from rows-only — the
+    // lined-corpus anchors replay in DuckDB, the two booleans pin
+    // the engine's OWN deflate kernel (format-feasibility band +
+    // planted-copy back-reference claim); the raw-ratio operator
+    // (compressionSignal) stays the user surface, spec-held
     "text_compression_signal" -> ((s, dir) =>
-      TextAnalysis.compressionSignal(Tables.documents(s, dir))),
+      TextAnalysis.compressionCalibration(Tables.documents(s, dir))),
     "text_decontaminate" -> ((s, dir) =>
       TextAnalysis.decontaminate(Tables.documents(s, dir))),
     // SEMANTIC decontamination (r14): benchmark-slice embeddings
@@ -1738,10 +1810,14 @@ object SparkEntry {
       Analytics.aboveAvgOrders(Tables.orders(s, dir))),
     "ann_pq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // m=16 (4-dim subspaces), 32-entry codebooks, rerank 8: the
-      // measured 0.82-recall point — still a 16× scan-bandwidth cut
+      // m=16 (4-dim subspaces), 32-entry codebooks; r17 rerank 8→16
+      // (docs/ANN_SWEEP.md r17 axis: 0.815 → 0.915 measured at
+      // sf0.1 — flat PQ's loss is pure rank error, so the exact
+      // rerank of twice the candidates buys it back at
+      // O(queries·16) re-reads; the 16× scan-bandwidth cut of the
+      // code scan is untouched)
       Similarity.pqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        m = 16, nCodes = 32, rerank = 8)
+        m = 16, nCodes = 32, rerank = 16)
     }),
     "q_brand_revenue_salted" -> ((s, dir) =>
       Analytics.brandRevenueSalted(Tables.lineitem(s, dir), Tables.part(s, dir))),
@@ -1780,13 +1856,13 @@ object SparkEntry {
           "product_day" -> Seq("product_id", "sale_date")))),
     "ann_ivfpq_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // nCodes=32 + rerank=16 (the late-r9 retune) + nprobe=12 (r14:
-      // the same probe-escalation dial that lifted the filtered and
-      // append tiers in r13 — measured 0.720 → 0.855 here; scan
-      // fraction 12/16 of code bytes, still corpus-size-proportional
-      // to codes only)
+      // nCodes=32 + rerank=16 (late-r9) + nprobe=14 (r17: the sweep
+      // showed the residual loss at nprobe=12 was CELL miss, not
+      // rank error — rerank 16→32 moved 0.840 only to 0.865 while
+      // nprobe 12→14 lifted it to 0.895 at unchanged rerank; scan
+      // fraction 14/16 of code bytes, still codes-only-proportional)
       Similarity.ivfPqTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        nprobe = 12, m = 16, nCodes = 32, rerank = 16)
+        nprobe = 14, m = 16, nCodes = 32, rerank = 16)
     }),
     "ann_ivfpq_res_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -5493,6 +5569,17 @@ object SparkEntry {
       // same lined-corpus replay; the quadratic textbook
       // definition the fused kernel must reproduce exactly
       s"WITH $linedCtes, $dupMassCtes SELECT * FROM dng",
+    "text_compression_signal" ->
+      // calibration form (r17): zlib has no DuckDB twin, so the
+      // oracle replays the EXACT anchors (the shared lined-corpus
+      // synth's final text length) and asserts the two claims as
+      // literals — each engine scores its OWN deflate kernel
+      // against the same fixture structure, the sketch-calibration
+      // epistemics (docs/ORACLE_NOTES.md r17)
+      (s"WITH $linedCtes SELECT x.doc_id, d.source, " +
+        "CAST(length(x.text) AS BIGINT) AS n_chars_text, " +
+        "TRUE AS ratio_format_band, TRUE AS copy_compresses " +
+        "FROM txt x JOIN documents d USING (doc_id)"),
     "docs_dup_ngram_corpus" ->
       // cross-doc dup 8-grams over the RAW documents table: the
       // textbook definition (distinct-doc count >= 2, position
@@ -5825,18 +5912,18 @@ object SparkEntry {
     "ann_pq_topk" ->
       // the PQ tier replayed (r10): 32-entry codebooks = 4-dim
       // slices of the xxhash64-picked sample, per-subspace L2-argmin
-      // encode, cosine against the reconstruction, k·8 budget, exact
-      // rerank
+      // encode, cosine against the reconstruction, k·16 budget
+      // (r17 rerank escalation), exact rerank
       (s"""WITH ${ivfCentsCtes("", pick = 32)},
-          |${pqTail(useIvf = false, budget = 80)}""")
+          |${pqTail(useIvf = false, budget = 160)}""")
         .stripMargin.replace("\n", " "),
     "ann_ivfpq_topk" ->
       // the composed FAISS-style tier: cells = first 16 of the SAME
       // 32-vector pick (one sampling pass feeds both structures),
-      // probe prune (nprobe=12, the r14 escalation) then code-space
-      // scoring, k·16 budget
+      // probe prune (nprobe=14, the r17 cell-miss escalation) then
+      // code-space scoring, k·16 budget
       (s"""WITH ${ivfCentsCtes("", pick = 32)},
-          |${pqTail(useIvf = true, budget = 160, nprobe = 12)}""")
+          |${pqTail(useIvf = true, budget = 160, nprobe = 14)}""")
         .stripMargin.replace("\n", " "),
     "ann_index_ivfpq_delete_probe" ->
       // the PQ layout under the delete batch (r15): same pick, same
@@ -6192,8 +6279,8 @@ object SparkEntry {
       // on the 1e-6-ROUNDED prefix cosine (bm25 stage-1 discipline:
       // the candidate set is discrete, so boundary ties must break by
       // id identically cross-engine), exact full-dim rerank of the
-      // k·8 candidates — the bruteforce exactness argument at both
-      // stages
+      // k·32 candidates (r17 escalation) — the bruteforce exactness
+      // argument at both stages
       """WITH q AS (SELECT vec_id AS query_id, embedding
         | FROM embeddings WHERE vec_id % 100 = 0),
         |apx AS (SELECT query_id, neighbor_id FROM (
@@ -6202,7 +6289,7 @@ object SparkEntry {
         |     CAST(e.embedding[1:32] AS DOUBLE[]),
         |     CAST(q.embedding[1:32] AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
         | FROM embeddings e, q WHERE e.vec_id != q.query_id) x
-        | WHERE rn <= 160)
+        | WHERE rn <= 320)
         |SELECT query_id, neighbor_id, cosine FROM (
         | SELECT a.query_id, a.neighbor_id,
         |  list_cosine_similarity(CAST(qq.embedding AS DOUBLE[]),

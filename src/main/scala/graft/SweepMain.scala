@@ -31,6 +31,37 @@ object SweepMain {
     // LSH probe-budget at fixed 16×8 geometry, plain-IVF nprobe,
     // residual-IVF-PQ nprobe (the r13/r14 dial applied to the
     // stragglers). SPARK_GRAFT_SWEEP=r15 runs ONLY this axis.
+    // r17 escalation axis: the four sub-0.85 stragglers' dials —
+    // rerank depth for the rank-error-bound tiers (PQ, matryoshka,
+    // IVF-PQ; the stage-1 scan is unchanged, the rerank join grows
+    // O(queries·rerank) exact re-reads) and one nprobe step beside
+    // it to confirm the loss is rank error, not cell miss.
+    if (sys.env.get("SPARK_GRAFT_SWEEP").contains("r17")) {
+      println("| PQ m=16 nCodes=32 rerank | recall@10 |")
+      println("| --- | --- |")
+      for (rerank <- Seq(8, 16, 24, 32)) {
+        val r = recall(sets(Similarity.pqTopK(emb, queries, 10, m = 16,
+          nCodes = 32, rerank = rerank)))
+        println(f"| $rerank | $r%.3f |")
+      }
+      println("| Matryoshka prefix=32 rerank | recall@10 |")
+      println("| --- | --- |")
+      for (rerank <- Seq(16, 24, 32)) {
+        val r = recall(sets(Similarity.matryoshkaTopK(emb,
+          k = 10, prefixDims = 32, rerank = rerank)
+          .select("query_id", "neighbor_id")))
+        println(f"| $rerank | $r%.3f |")
+      }
+      println("| IVF-PQ m=16 nCodes=32 nprobe | rerank | recall@10 |")
+      println("| --- | --- | --- |")
+      for (nprobe <- Seq(12, 14); rerank <- Seq(16, 24, 32)) {
+        val r = recall(sets(Similarity.ivfPqTopK(emb, queries, 10,
+          nlist = 16, nprobe = nprobe, m = 16, nCodes = 32,
+          rerank = rerank)))
+        println(f"| $nprobe | $rerank | $r%.3f |")
+      }
+      spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_SWEEP").contains("r15")) {
       println("| LSH 16×8 probes | budget | recall@10 |")
       println("| --- | --- | --- |")

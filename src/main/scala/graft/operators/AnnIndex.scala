@@ -243,12 +243,20 @@ object AnnIndex {
     * Restart safety (r16, ADVICE): survivors are STAGED to durable
     * parquet (`vectors.staging`) before anything is overwritten —
     * never executor-local checkpoint blocks, whose lineage-truncated
-    * state dies with a lost executor mid-overwrite. The staging dir
-    * doubles as the recovery marker: present at entry ⇒ a previous
-    * rebuild crashed after staging, and the rebuild RESUMES from the
-    * staged survivors (the live `vectors` dir may be half-rewritten
-    * and is never trusted); deleted only after the tombstone reset,
-    * so every crash window replays idempotently from durable state.
+    * state dies with a lost executor mid-overwrite. The staging
+    * dir's `_SUCCESS` marker (Spark's own commit protocol) is the
+    * recovery marker — NOT bare directory existence, because Spark
+    * creates the output dir at job start, so a crash mid-staging-
+    * write leaves a partial dir that must be re-staged, not trusted
+    * (r17, ADVICE). Marker present at entry ⇒ a previous rebuild
+    * crashed after staging committed, and the rebuild RESUMES from
+    * the staged survivors (the live `vectors` dir may be
+    * half-rewritten and is never trusted); marker absent but dir
+    * present ⇒ partial staging, deleted and rebuilt from the
+    * still-intact live vectors (buildIvf cannot have run before
+    * staging committed). Staging is deleted only after the tombstone
+    * reset, so every crash window replays idempotently from durable
+    * state.
     * The staged survivors are re-masked against the CURRENT log
     * unconditionally: a delete (e.g. an RTBF erasure) landing
     * between the crash and the retry would otherwise be silently
@@ -265,8 +273,14 @@ object AnnIndex {
                  iters: Int = 3): Unit = {
     val staging = new org.apache.hadoop.fs.Path(s"$path/vectors.staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
     val dead = broadcast(tombstones(spark, path))
-    if (!fs.exists(staging)) {
+    if (!fs.exists(staged)) {
+      // no staging, or a partial dir from a crash mid-staging-write
+      // (Spark creates the dir at job start; only _SUCCESS means the
+      // survivors are all there) — (re-)stage from live vectors,
+      // which are still intact because buildIvf runs after staging
+      fs.delete(staging, true)
       spark.read.parquet(s"$path/vectors")
         .select(col("vec_id"), col("embedding"))
         .join(dead, Seq("vec_id"), "left_anti")

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *    the subject's content in vector form).
   *
   * Plan and apply are pure metadata over the store relations
-  * (O(stores) output rows; every count is one partial-aggregable
-  * pass with a broadcast semi/anti-join against the request set).
+  * (O(stores) output rows; each store is read ONCE — a broadcast
+  * left-join presence marker feeds a single conditional aggregate
+  * carrying both counts).
   * The PHYSICAL index erasure reuses the r15 delete lifecycle as its
   * execution primitive — [[AnnIndex.deleteIvf]] tombstones the
   * requested ids so probes exclude them IMMEDIATELY (the legal
@@ -30,13 +31,23 @@ import org.apache.spark.sql.functions._
   */
 object MlErasure {
 
+  /** One scan per store: LEFT-join the broadcast request set as a
+    * presence marker (distinct on the key, so no row multiplication)
+    * and read total + to-erase from one conditional aggregate —
+    * half the passes of the agg ⋈ semi-join-agg shape, which at
+    * 100 TB means half the store reads. */
+  private def markReqs(df: DataFrame, key: String,
+                       reqs: DataFrame): DataFrame =
+    df.select(col(key)).join(
+      broadcast(reqs.select(col(key)).distinct()
+        .withColumn("__req", lit(1))),
+      Seq(key), "left")
+
   private def planRow(store: String, df: DataFrame, key: String,
                       reqs: DataFrame): DataFrame =
-    df.agg(count(lit(1)).as("rows_total"))
-      .crossJoin(
-        df.join(broadcast(reqs.select(col(key)).distinct()), Seq(key),
-            "left_semi")
-          .agg(count(lit(1)).as("rows_to_erase")))
+    markReqs(df, key, reqs)
+      .agg(count(lit(1)).as("rows_total"),
+        count(col("__req")).as("rows_to_erase"))
       .select(lit(store).as("store"), col("rows_total"),
         col("rows_to_erase"))
 
@@ -52,20 +63,18 @@ object MlErasure {
       .unionByName(planRow("ann_vectors", annVectors, "vec_id", reqVecs))
 
   private def applyRow(store: String, df: DataFrame, key: String,
-                       reqs: DataFrame): DataFrame = {
-    val after = df.join(broadcast(reqs.select(col(key)).distinct()),
-      Seq(key), "left_anti")
-    df.agg(count(lit(1)).as("rows_before"))
-      .crossJoin(after.agg(count(lit(1)).as("rows_after")))
+                       reqs: DataFrame): DataFrame =
+    markReqs(df, key, reqs)
+      .agg(count(lit(1)).as("rows_before"),
+        count(col("__req")).as("rows_removed"))
       .select(lit(store).as("store"), col("rows_before"),
-        (col("rows_before") - col("rows_after")).as("rows_removed"),
-        col("rows_after"))
-  }
+        col("rows_removed"),
+        (col("rows_before") - col("rows_removed")).as("rows_after"))
 
   /** EXECUTE the erasure over the ML stores: per store, rows
-    * before / removed / after, where removal is the anti-join
-    * against the request set (conservation `removed ≡ before −
-    * after` is structural, the [[RetailEtl.rtbfApply]] discipline).
+    * before / removed / after, where removal is membership in the
+    * request set (conservation `after ≡ before − removed` is
+    * structural, the [[RetailEtl.rtbfApply]] discipline).
     * When `annPath` names a persisted [[AnnIndex]] layout, the
     * subject's vectors are ALSO tombstoned there via the delete
     * lifecycle ([[AnnIndex.deleteIvf]]) — probes exclude them from

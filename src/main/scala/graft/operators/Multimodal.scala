@@ -310,6 +310,23 @@ object Multimodal {
       .mapPartitions(_.map(decodeFrame))
   }
 
+  /** Attribution wrapper for the audit-tier codec maps (r17): a
+    * hostile payload's failure must name its doc_id FROM THE LOG
+    * ALONE — at 100 TB the stack trace of executor 731's task is
+    * all the operator ever gets to leave behind. Our own `require`
+    * messages already carry the id; this re-attributes what the JDK
+    * codecs throw (IIOException on a truncated PNG,
+    * UnsupportedAudioFileException on a zero-length WAV, …), which
+    * otherwise surfaces with no row context. */
+  private def attributed[T](docId: Long)(f: => T): T =
+    try f catch {
+      case e: IllegalArgumentException => throw e // requires name the doc
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"doc $docId: undecodable payload " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})", e)
+    }
+
   private def fnv1a(s: String): Long = {
     var h = 0xcbf29ce484222325L
     s.getBytes("UTF-8").foreach(b => h = (h ^ (b & 0xffL)) * 0x100000001b3L)
@@ -406,7 +423,7 @@ object Multimodal {
     import spark.implicits._
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (d, bytes) =>
+      .map { case (d, bytes) => attributed(d) {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable payload for doc $d")
@@ -442,7 +459,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
         PngBlob(d, bos.toByteArray)
-      }.toDF()
+      } }.toDF()
   }
 
   /** [[synthPngCorpus]] with PLANTED RE-ENCODED COPIES — the fixture
@@ -1860,7 +1877,7 @@ object Multimodal {
     import spark.implicits._
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .map { case (d, bytes) =>
+      .map { case (d, bytes) => attributed(d) {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
         val fmt = ais.getFormat
@@ -1891,7 +1908,7 @@ object Multimodal {
         javax.sound.sampled.AudioSystem.write(outAis,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
         WavBlob(d, bos.toByteArray)
-      }.toDF()
+      } }.toDF()
   }
 
   def decodeAudioStats(blobs: DataFrame): DataFrame = {

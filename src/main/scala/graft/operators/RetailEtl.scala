@@ -233,18 +233,35 @@ object RetailEtl {
     * counts never hash across engines; the claim does, because each
     * engine checks ITS sketch against the SAME exact anchor.
     * Tolerance `max(2, n_distinct·tolPct/100)` integer-exact on both
-    * engines; tolPct=5 is ApproxSpec's bound (~2.5σ at rsd 2%). */
+    * engines; tolPct=5 is ApproxSpec's bound (~2.5σ at rsd 2%).
+    *
+    * ONE scan: HLL is just another aggregate function, so the approx
+    * cardinality rides in the SAME wide aggregate as the exact
+    * anchor (the precedent argument in
+    * [[EventOps.overlapCalibration]]) — no second pass over the
+    * table, no |cols|-row join. */
   def dqCalibration(df: DataFrame, cols: Seq[String], rsd: Double = 0.02,
-                    tolPct: Int = 5): DataFrame =
-    dqProfile(df, cols)
-      .join(dqProfileApprox(df, cols, rsd)
-          .select(col("col_name"), col("n_distinct").as("apx_distinct")),
-        Seq("col_name"))
+                    tolPct: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "dqCalibration needs at least one column")
+    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"dqCalibration column name must be a plain identifier, got '$c'"))
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__distinct"),
+      approx_count_distinct(col(c), rsd).as(s"${c}__apx")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', n_rows, `${c}__nulls`, `${c}__distinct`, `${c}__apx`")
+          .mkString(", ") +
+          ") as (col_name, n_rows, n_nulls, n_distinct, apx_distinct)"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("null_frac"),
+        col("n_distinct"),
+        round(col("n_nulls") / col("n_rows"), 6).as("null_frac"),
         (abs(col("apx_distinct") - col("n_distinct")) <=
           greatest(lit(2L), expr(s"n_distinct * $tolPct div 100")))
           .as("distinct_within_tol"))
+  }
 
   private def dqProfileWith(df: DataFrame, cols: Seq[String],
                             distinctOf: String => Column): DataFrame = {

@@ -1714,6 +1714,65 @@ object TextAnalysis {
       graft.functions.gf.deflateRatio(col("text")).as("deflate_ratio"))
       .withColumn("is_low_entropy", col("deflate_ratio") < flagBelow)
 
+  /** CALIBRATION form of [[compressionSignal]] (r17) — what
+    * graduates the driver key from rows-only to a full oracle. zlib
+    * itself will never replay in DuckDB, but the calibration pattern
+    * doesn't need it to: the key runs over the [[synthLinedCorpus]]
+    * fixture (the dup-mass machinery — `doc_id % dupMod = 0` docs
+    * carry an EXACT copy of their first paragraph), emits exact
+    * anchors both engines compute (doc_id, source, final-text char
+    * length via the shared lined-corpus replay) and two boolean
+    * claims about the engine's OWN deflate kernel, TRUE by
+    * construction on a working zlib and falsified by a broken one:
+    *
+    *  - `ratio_format_band`: the compressed size sits inside raw
+    *    deflate's FEASIBLE band — `[max(2, n/1100), n + 16]` bytes
+    *    (1032:1 is deflate's hard maximum compression; stored
+    *    blocks bound expansion at 5 bytes per 64 KiB + slack).
+    *    A theorem over any input, not a fixture fit.
+    *  - `copy_compresses`: on planted-copy docs, compressing
+    *    base+copy costs at most `max(12, copy_bytes/2)` more than
+    *    the base alone — the window finds the repeat and emits
+    *    back-references, never the copy's bytes (fixture overhead
+    *    measures 3-10 bytes vs 36-54-byte copies). A stored-block
+    *    or wrong-input kernel fails this.
+    *
+    * Byte counts are reconstructed as `round(ratio · octet_length)`
+    * — exact for any document under ~4 PB, far past the 2 GiB
+    * column limit. Two kernel invocations per planted row, still a
+    * pure per-row map: no shuffle at any scale. */
+  def compressionCalibration(docs: DataFrame, lineTok: Int = 2,
+                             paraTok: Int = 8, dupMod: Int = 5): DataFrame =
+    Spread.spread(docs.select(col("doc_id"), col("source"),
+        tokens(col("text")).as("toks")))
+      .withColumn("pieces", expr(
+        s"transform(toks, (t, i) -> CASE WHEN i = 0 THEN t " +
+          s"WHEN i % $paraTok = 0 THEN '\\n\\n' || t " +
+          s"WHEN i % $lineTok = 0 THEN '\\n' || t ELSE ' ' || t END)"))
+      .withColumn("base", concat_ws("", col("pieces")))
+      .withColumn("copy",
+        when(col("doc_id") % dupMod === 0 && size(col("pieces")) > 0,
+          concat(lit("\n\n"), concat_ws("", slice(col("pieces"), 1, paraTok))))
+          .otherwise(lit("")))
+      .withColumn("text", concat(col("base"), col("copy")))
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        round(graft.functions.gf.deflateRatio(col("base"))
+          * octet_length(col("base"))).cast("long").as("c_base"),
+        round(graft.functions.gf.deflateRatio(col("text"))
+          * octet_length(col("text"))).cast("long").as("c_with"),
+        octet_length(col("text")).cast("long").as("nb"),
+        octet_length(col("copy")).cast("long").as("copy_bytes"))
+      .select(col("doc_id"), col("source"), col("n_chars_text"),
+        (col("nb") === 0 ||
+          (col("c_with") >= greatest(lit(2L), expr("nb div 1100")) &&
+            col("c_with") <= col("nb") + lit(16L)))
+          .as("ratio_format_band"),
+        (col("copy_bytes") === 0 ||
+          col("c_with") <= col("c_base") +
+            greatest(lit(12L), expr("copy_bytes div 2")))
+          .as("copy_compresses"))
+
   /** Per-source n-gram diversity — the corpus-variety diagnostic a
     * data-mixture designer reads next to the dup rate: a source
     * whose gram vocabulary is tiny relative to its gram volume is

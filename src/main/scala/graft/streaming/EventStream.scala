@@ -910,16 +910,35 @@ object EventStream extends Serializable {
           .as("stale"))
   }
 
-  def dqProfileState(events: DataFrame, cols: Seq[String],
-                     rsd: Double = 0.02): DataFrame = {
-    require(cols.nonEmpty, "dqProfileState needs at least one column")
+  /** Stringified stack-unpivot shared by the dq-state family.
+    * Floating-point values are normalized with `+ 0.0` before the
+    * cast so the stringified distinct matches the NATIVE distinct
+    * both engines compute: -0.0 and 0.0 compare equal natively but
+    * stringify differently, so an unnormalized cast would inflate
+    * the count and fail the cross-engine hash on a feed carrying
+    * both zeros (NaN needs no help — every rendering casts to
+    * "NaN"). (r17, ADVICE.) */
+  private def stackStringified(events: DataFrame,
+                               cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "dq profile needs at least one column")
     cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
       s"column name must be a plain identifier, got '$c'"))
-    events
-      .select(expr(
-        s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
-          ") as (col_name, v)"))
+    val slots = cols.map { c =>
+      val v = events.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+            org.apache.spark.sql.types.FloatType =>
+          s"CAST(`$c` + 0.0 AS STRING)"
+        case _ => s"CAST(`$c` AS STRING)"
+      }
+      s"'$c', $v"
+    }
+    events.select(expr(
+      s"stack(${cols.size}, ${slots.mkString(", ")}) as (col_name, v)"))
+  }
+
+  def dqProfileState(events: DataFrame, cols: Seq[String],
+                     rsd: Double = 0.02): DataFrame = {
+    stackStringified(events, cols)
       .groupBy("col_name")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -937,19 +956,13 @@ object EventStream extends Serializable {
     * `max(2, n_distinct·tolPct/100)` of the batch dq calibration. */
   def dqStateCalibration(events: DataFrame, cols: Seq[String],
                          rsd: Double = 0.02, tolPct: Int = 5): DataFrame = {
-    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"column name must be a plain identifier, got '$c'"))
     // ONE stack-unpivot aggregate carries the fold's running columns,
     // the exact anchor AND the fold's own HLL state side by side —
     // the HLL expression IS dqProfileState's update rule, so the
     // boolean still scores the live fold's sketch; fusing drops the
     // second unpivot scan and the per-column join a naive
     // fold-vs-anchor composition would pay
-    events
-      .select(expr(
-        s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', CAST(`$c` AS STRING)").mkString(", ") +
-          ") as (col_name, v)"))
+    stackStringified(events, cols)
       .groupBy("col_name")
       .agg(
         count(lit(1)).as("n_rows"),

@@ -419,4 +419,31 @@ class AnnIndexSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$base/ivf/vectors.staging")),
       "resumed rebuild must clean up the staging marker")
   }
+
+  test("rebuild crash recovery: a PARTIAL staging dir (no _SUCCESS) is " +
+    "re-staged from the intact live vectors, never trusted") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    // simulate a crash MID-staging-write: Spark creates the output
+    // dir at job start, so the dir exists with partial content (here
+    // deliberately WRONG — odd ids only, so resuming from it would
+    // be caught) but no _SUCCESS commit marker; the live vectors are
+    // still intact because buildIvf never ran
+    corpus.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/ivf/vectors.staging")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/ivf/vectors.staging/_SUCCESS"))
+    AnnIndex.rebuildIvf(spark, s"$base/ivf", iters = 1)
+    val ids = spark.read.parquet(s"$base/ivf/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === want,
+      "an uncommitted staging dir must be discarded and re-staged " +
+        "from the live vectors — trusting the partial set loses data")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/ivf/vectors.staging")),
+      "re-staged rebuild must clean up the staging marker")
+  }
 }

@@ -211,6 +211,23 @@ class ApproxSpec extends SparkSpec {
     }
   }
 
+  test("dq-state stack normalizes floats: -0.0/0.0 collapse so the " +
+    "stringified distinct equals the native distinct (r17, ADVICE)") {
+    import spark.implicits._
+    val df = Seq(0.0, -0.0, Double.NaN, 1.5, 1.5).toDF("value")
+    val native = df.agg(countDistinct(col("value"))).head().getLong(0)
+    val row = graft.streaming.EventStream
+      .dqStateCalibration(df, Seq("value")).head()
+    assert(row.getAs[Long]("n_distinct") === native,
+      "a double column holding both zeros must not inflate the " +
+        "stringified distinct past the native count both engines use")
+    assert(row.getAs[Boolean]("distinct_within_tol"))
+    // the HLL fold twin sees the same normalized values
+    val fold = graft.streaming.EventStream
+      .dqProfileState(df, Seq("value")).head()
+    assert(fold.getAs[Long]("n_distinct") === native)
+  }
+
   test("slidingActives: each 7d window within 5% of the exact trailing WAU") {
     import graft.operators.Analytics
     val exact = Analytics.rollingActiveUsers(events).collect()

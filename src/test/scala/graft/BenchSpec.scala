@@ -61,4 +61,17 @@ class BenchSpec extends AnyFunSuite {
     assert(v === 6.0 && attempts.size === 4,
       s"cap must stop the loop at 4: $attempts")
   }
+
+  test("noisy verdict (r17): stamped only when the live spin exceeds " +
+    "2x the committed reference spin") {
+    assert(!Bench.noisyVerdict(27.8, None),
+      "no reference spin (older artifacts) must never stamp noisy")
+    assert(!Bench.noisyVerdict(25.9, Some(13.0)),
+      "at or under 2x the reference is within normal scheduling jitter")
+    assert(!Bench.noisyVerdict(26.0, Some(13.0)), "boundary is exclusive")
+    assert(Bench.noisyVerdict(27.8, Some(13.0)),
+      "the r16 contended-driver shape (spin ~2.1x) must be stamped")
+    assert(!Bench.noisyVerdict(27.8, Some(0.0)),
+      "a degenerate zero reference must not divide the verdict")
+  }
 }

@@ -36,31 +36,18 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are down to the documented one") {
+  test("rows-only queries are down to ZERO (r17)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set(
-      // r10: dedup_minhash_lsh + dedup_lsh_band_stats graduated to
-      // full oracles (embedded-permutation HUGEINT replay), then
-      // simhash, char-n-gram jaccard, and the whole IVF pick/probe
-      // family via the xxhash64 decomposition.
-      // r16 first batch: events_audience_overlap,
-      // events_rolling_active_approx, etl_dq_profile_approx
-      // graduated via the calibration pattern (exact anchors +
-      // each-engine's-own-sketch-within-tol booleans, cf.
-      // events_sketch_calibration); emb_pca_project + ann_pca_topk
-      // via the frozen-model artifact (PcaFrozen literals replay the
-      // projection and two-stage search; PcaSpec pins the artifact
-      // against a live refit).
-      // r16 second batch: events_approx_stats +
-      // events_user_lifespan_approx (rank-containment percentile
-      // claims — the tie-safe cross-engine criterion for GK vs
-      // t-digest), events_sketch_reach (the compacted-lifecycle
-      // route, gating compaction losslessness), stream_dq_profile +
-      // stream_sliding_actives (the live folds' exact columns +
-      // own-HLL booleans).
-
-      // zlib genuinely has no DuckDB twin; invariants spec-held
-      "text_compression_signal"),
-      s"unexpected rows-only set: $rowsOnly")
+    // The graduation history: r10 took the minhash/LSH + IVF
+    // families via hash-replay decompositions; r16 took the sketch
+    // family via calibration booleans (exact anchors +
+    // each-engine's-own-sketch-within-tol) and the PCA pair via the
+    // frozen-model artifact; r17 closed the set with
+    // text_compression_signal — zlib has no DuckDB twin, but the
+    // calibration pattern doesn't need one (lined-corpus anchors +
+    // deflate-format-feasibility band + planted-copy
+    // back-reference claim, docs/ORACLE_NOTES.md r17).
+    assert(rowsOnly.isEmpty,
+      s"every key must carry an oracle now: $rowsOnly")
   }
 }

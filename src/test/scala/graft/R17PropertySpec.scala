@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** Round-17 hostile-payload fuzz for the audit-tier codec maps
+  * (verdict task): at 100 TB the only trace a failed task leaves is
+  * its log line, so EVERY failure path — our own contract requires
+  * AND whatever the JDK codecs throw — must name the doc_id in the
+  * surfaced message. Each case plants one poisoned row in an
+  * otherwise-healthy corpus and asserts the error is attributable
+  * to it from the message alone.
+  */
+class R17PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Every message along the failure's cause chain, concatenated —
+    * Spark wraps task failures in SparkException layers. */
+  private def chainMessages(t: Throwable): String = {
+    val sb = new StringBuilder
+    var cur: Throwable = t
+    var depth = 0
+    while (cur != null && depth < 12) {
+      sb.append(Option(cur.getMessage).getOrElse("")).append(" | ")
+      cur = cur.getCause; depth += 1
+    }
+    sb.toString
+  }
+
+  private def assertNamesDoc(msgs: String, docId: Long, what: String): Unit =
+    assert(msgs.contains(s"doc $docId"),
+      s"$what must name doc $docId in the surfaced message chain: $msgs")
+
+  private def pngOf(side: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      side, side, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until side; x <- 0 until side)
+      img.setRGB(x, y, (x * 31 + y * 7) % 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavOf(rate: Float, bits: Int, channels: Int,
+                    nFrames: Int = 64): Array[Byte] = {
+    val bytesPerFrame = channels * bits / 8
+    val pcm = new Array[Byte](nFrames * bytesPerFrame)
+    pcm.indices.foreach(i => pcm(i) = ((i * 37) % 251).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate, bits, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("thumbnail under hostile payloads: truncated PNG, zero-length, " +
+    "garbage, and non-tileable dims all name the poisoned doc_id") {
+    val good = pngOf(8)
+    val cases: Seq[(String, Array[Byte], Int)] = Seq(
+      // the PNG magic survives, the IDAT stream does not — the JDK
+      // reader throws its own IIOException, which the attribution
+      // wrapper must re-tag with the row
+      ("truncated PNG", good.take(40), 2),
+      ("zero-length payload", Array.empty[Byte], 2),
+      ("garbage bytes", Array.tabulate[Byte](64)(i => (i * 83).toByte), 2),
+      // 5x5 is not tileable by 2 — our own contract require
+      ("non-tileable dims", pngOf(5), 2))
+    cases.foreach { case (what, poison, factor) =>
+      val corpus = Seq((1L, good), (7L, poison), (9L, good))
+        .toDF("doc_id", "payload")
+      val thrown = intercept[Throwable] {
+        Multimodal.thumbnail(corpus, factor).collect()
+      }
+      assertNamesDoc(chainMessages(thrown), 7L, s"thumbnail($what)")
+    }
+  }
+
+  test("audioDecimate under hostile payloads: zero-length WAV, garbage, " +
+    "stereo, 8-bit, and non-divisible rates all name the poisoned doc_id") {
+    val good = wavOf(8000f, 16, 1)
+    val cases: Seq[(String, Array[Byte], Int)] = Seq(
+      // AudioSystem throws UnsupportedAudioFileException — no row
+      // context without the attribution wrapper
+      ("zero-length WAV", Array.empty[Byte], 2),
+      ("garbage bytes", Array.tabulate[Byte](64)(i => (i * 89).toByte), 2),
+      ("truncated WAV header", good.take(10), 2),
+      // format contract requires: each names the doc itself
+      ("stereo payload", wavOf(8000f, 16, 2), 2),
+      ("8-bit payload", wavOf(8000f, 8, 1), 2),
+      ("non-divisible rate", wavOf(22051f, 16, 1), 2))
+    cases.foreach { case (what, poison, factor) =>
+      val corpus = Seq((1L, good), (7L, poison), (9L, good))
+        .toDF("doc_id", "payload")
+      val thrown = intercept[Throwable] {
+        Multimodal.audioDecimate(corpus, factor).collect()
+      }
+      assertNamesDoc(chainMessages(thrown), 7L, s"audioDecimate($what)")
+    }
+  }
+
+  test("healthy corpus is untouched by the attribution wrapper: " +
+    "round trips still replay the recipe exactly") {
+    val docs = (0L until 4L).toDF("doc_id")
+    val png = Multimodal.synthPngCorpus(docs)
+    val before = Multimodal.decodeImageStats(png).collect()
+      .map(_.toString).sorted.toSeq
+    val thumbId = Multimodal.decodeImageStats(
+        Multimodal.thumbnail(png, 1)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(thumbId === before,
+      "factor-1 thumbnail must stay the identity under the wrapper")
+    val wav = Multimodal.synthWavCorpus(docs)
+    val rawStats = Multimodal.decodeAudioStats(wav).collect()
+      .map(_.toString).sorted.toSeq
+    val decId = Multimodal.decodeAudioStats(
+        Multimodal.audioDecimate(wav, 1)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(decId === rawStats,
+      "factor-1 decimate must stay the identity under the wrapper")
+  }
+}

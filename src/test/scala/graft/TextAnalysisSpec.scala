@@ -721,6 +721,41 @@ class TextAnalysisSpec extends SparkSpec {
       "partition-dependent deflate ratio")
   }
 
+  test("compressionCalibration (r17): both claims hold on real docs, " +
+    "and the copy claim is DISCRIMINATING — random tails cost full " +
+    "price where planted copies cost back-references") {
+    // doc_id 0/5/10 get the planted first-paragraph copy (dupMod 5)
+    val docs = (0L to 11L).map(i => (i,
+      (1 to 60).map(j => s"w${(i * 131 + j * 7919) % 997}t$j").mkString(" "),
+      "s")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.compressionCalibration(docs).collect()
+    assert(got.length === 12)
+    assert(got.forall(_.getBoolean(3)),
+      "format band must hold for every doc (it is a deflate theorem)")
+    assert(got.forall(_.getBoolean(4)),
+      "the planted copy must compress to back-references")
+    // falsifiability probe: appending INCOMPRESSIBLE text of the
+    // same length as a typical copy costs ~its full byte price —
+    // the claim's max(12, len/2) budget would be blown, so a kernel
+    // that passes the claim is genuinely exploiting the repetition
+    val base = (1 to 60).map(j => s"w${j * 7919 % 997}t$j").mkString(" ")
+    val tail = "\n\n" + (1 to 8).map(j => s"z${j * 104729 % 9973}q").mkString(" ")
+    def bytes(s: String): Long = math.round(
+      graft.functions.TextChars.deflateRatio(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)) *
+        s.getBytes("UTF-8").length)
+    val overheadFresh = bytes(base + tail) - bytes(base)
+    assert(overheadFresh > math.max(12L, tail.getBytes("UTF-8").length / 2),
+      s"fresh-text tail must cost more than the copy budget " +
+        s"($overheadFresh vs ${tail.length}B tail) — otherwise the " +
+        "claim could not distinguish a working window from a broken one")
+    // deterministic across partitionings (pure per-row kernel)
+    val again = TextAnalysis.compressionCalibration(docs.repartition(5))
+      .collect().sortBy(_.getLong(0))
+    assert(again.map(_.toString).toSeq ===
+      got.sortBy(_.getLong(0)).map(_.toString).toSeq)
+  }
+
   test("ngramDiversity: template source scores low, unique source scores 1") {
     val docs = Seq(
       // template: two identical 4-token docs → each contributes 2

@@ -43,6 +43,15 @@ def main() -> None:
         "queries": queries,
         "recall": runs[0].get("recall", {}),
         "prime_detail": runs[0].get("prime_detail", {}),
+        "prime_self": runs[0].get("prime_self", {}),
+        # min over runs = the quietest observation of the fixed
+        # CPU probe; Bench compares its live spin against this to
+        # stamp a run `noisy` (r17)
+        "spin_base_ms": min(
+            (r["spin_base_ms"] for r in runs if "spin_base_ms" in r),
+            default=None,
+        ),
+        "noisy_runs": [r.get("noisy", False) for r in runs],
         "sf": runs[0].get("sf"),
         "band": band,
         "runs": len(runs),
