@@ -116,7 +116,7 @@ object ExplainMain {
       "events_approx_stats", "events_sketch_reach",
       "stream_sliding_actives",
       // r17 batch
-      "text_compression_signal")
+      "text_compression_signal", "etl_dq_profile_onescan")
     for (name <- names) {
       println(s"\n## $name\n")
       println("```")

@@ -2015,6 +2015,13 @@ object SparkEntry {
     "etl_dq_profile_approx" -> ((s, dir) =>
       operators.RetailEtl.dqCalibration(Tables.lineitem(s, dir),
         Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
+    // the ONE-SCAN calibration (r17): unpivot-first, exact distinct
+    // + HLL in one aggregate per column — the 100 TB form for when
+    // the fact scan dominates (see dqCalibration's measured shape
+    // note); same output contract, same oracle
+    "etl_dq_profile_onescan" -> ((s, dir) =>
+      operators.RetailEtl.dqCalibrationOneScan(Tables.lineitem(s, dir),
+        Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity"))),
     "etl_check_constraints" -> ((s, dir) =>
       operators.RetailEtl.checkConstraints(Tables.lineitem(s, dir), Seq(
         ("qty_in_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
@@ -3931,6 +3938,10 @@ object SparkEntry {
     // result-parity keys: same semantics, different physical strategy
     // (or, for stream_dedup_within_wm, the batch degenerate form)
     m + ("q_brand_revenue_salted" -> m("q_brand_revenue")) +
+      // one-scan dq calibration: same output contract as the
+      // composed form (stringified distincts are injective for
+      // these columns; floats normalized), so the oracle is shared
+      ("etl_dq_profile_onescan" -> m("etl_dq_profile_approx")) +
       ("stream_session_window" -> m("q_session_window")) +
       ("stream_dedup_within_wm" -> m("stream_dedup")) +
       ("sample_uniform_k_agg" -> m("sample_uniform_k")) +

@@ -235,26 +235,67 @@ object RetailEtl {
     * Tolerance `max(2, n_distinct·tolPct/100)` integer-exact on both
     * engines; tolPct=5 is ApproxSpec's bound (~2.5σ at rsd 2%).
     *
-    * ONE scan: HLL is just another aggregate function, so the approx
-    * cardinality rides in the SAME wide aggregate as the exact
-    * anchor (the precedent argument in
-    * [[EventOps.overlapCalibration]]) — no second pass over the
-    * table, no |cols|-row join. */
+    * Shape note (r17, MEASURED): the tempting "one wide aggregate"
+    * fusion — HLL beside the exact distincts in the same agg — is a
+    * 3.7× PESSIMIZATION here, not a win. Multi-countDistinct plans
+    * via Expand (|cols|+1 arms), and adding the HLLs to that
+    * aggregate allocates a sketch buffer per EXPANDED GROUP (every
+    * distinct value tuple), then ships them all through the
+    * exchange: 4.53 s vs this compose's 1.22 s at sf0.1/local[32]
+    * (exact alone 0.62, approx alone 0.79). The scan the compose
+    * "wastes" is 4 pruned columns of parquet — cheap at bench SF.
+    * When the scan is NOT cheap, use [[dqCalibrationOneScan]]. */
   def dqCalibration(df: DataFrame, cols: Seq[String], rsd: Double = 0.02,
-                    tolPct: Int = 5): DataFrame = {
-    require(cols.nonEmpty, "dqCalibration needs at least one column")
+                    tolPct: Int = 5): DataFrame =
+    dqProfile(df, cols)
+      .join(dqProfileApprox(df, cols, rsd)
+          .select(col("col_name"), col("n_distinct").as("apx_distinct")),
+        Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("null_frac"),
+        (abs(col("apx_distinct") - col("n_distinct")) <=
+          greatest(lit(2L), expr(s"n_distinct * $tolPct div 100")))
+          .as("distinct_within_tol"))
+
+  /** [[dqCalibration]] in ONE pass over the table — the 100 TB form,
+    * for when the fact scan itself is the dominant cost and paying
+    * it twice is worse than anything the aggregate layout does.
+    * Unpivot first (`stack` → (col_name, value) — |cols|·n narrow
+    * rows, map-side combined before any exchange), then ONE
+    * aggregate per column name carrying the exact distinct and the
+    * HLL side by side. This dodges the fused-wide-aggregate trap
+    * ([[dqCalibration]]'s shape note): a single distinct column per
+    * group plans as a two-arm Expand over values already deduped
+    * map-side, not sketch-buffers-per-distinct-tuple. Measured
+    * 2.24 s at sf0.1/local[32] — slower than the compose at bench SF
+    * (string-cast per value; the scan is cheap here), faster
+    * wherever the scan dominates. Values stringify for the stack's
+    * type unifier with floats normalized (`+ 0.0`) so the distinct
+    * count matches the native count (the
+    * [[graft.streaming.EventStream]] dq-state discipline); same
+    * output schema and booleans, shares the calibration oracle. */
+  def dqCalibrationOneScan(df: DataFrame, cols: Seq[String],
+                           rsd: Double = 0.02,
+                           tolPct: Int = 5): DataFrame = {
+    require(cols.nonEmpty, "dqCalibrationOneScan needs at least one column")
     cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"dqCalibration column name must be a plain identifier, got '$c'"))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__distinct"),
-      approx_count_distinct(col(c), rsd).as(s"${c}__apx")))
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(
-        s"stack(${cols.size}, " + cols.map(c =>
-          s"'$c', n_rows, `${c}__nulls`, `${c}__distinct`, `${c}__apx`")
-          .mkString(", ") +
-          ") as (col_name, n_rows, n_nulls, n_distinct, apx_distinct)"))
+      s"dqCalibrationOneScan column name must be a plain identifier, got '$c'"))
+    val slots = cols.map { c =>
+      val v = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+            org.apache.spark.sql.types.FloatType =>
+          s"CAST(`$c` + 0.0 AS STRING)"
+        case _ => s"CAST(`$c` AS STRING)"
+      }
+      s"'$c', $v"
+    }
+    df.select(expr(
+        s"stack(${cols.size}, ${slots.mkString(", ")}) as (col_name, v)"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("v")).as("n_distinct"),
+        approx_count_distinct(col("v"), rsd).as("apx_distinct"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"),
         round(col("n_nulls") / col("n_rows"), 6).as("null_frac"),
