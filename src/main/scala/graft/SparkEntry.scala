@@ -75,6 +75,16 @@ object SparkEntry {
     }
     def evict(s: SparkSession): Unit =
       m.keySet.filter(_._1 eq s).foreach(m.remove)
+    def countFor(s: SparkSession): Int = m.keySet.count(_._1 eq s)
+  }
+
+  /** Test hook (r17): live shared-cache entries for `s` across every
+    * registered cache — lets the eviction listener be asserted
+    * without stopping the suite's shared context. */
+  private[graft] def sessionCacheEntries(s: SparkSession): Int = {
+    var n = 0
+    SessionCache.all.forEach(c => n += c.countFor(s))
+    n
   }
   private object SessionCache {
     val all: java.util.Set[SessionCache[_]] =

@@ -247,7 +247,7 @@ object Multimodal {
   def decodeFrame(f: Frame): DecodedFrame =
     if (!isImageMagic(f.bytes)) decodeStub(f)
     else try {
-      val img = javax.imageio.ImageIO.read(
+      val img = ioRead(
         new java.io.ByteArrayInputStream(f.bytes))
       if (img == null) decodeStub(f)
       else {
@@ -310,6 +310,32 @@ object Multimodal {
       .mapPartitions(_.map(decodeFrame))
   }
 
+  /** ImageIO's default stream cache is DISK-backed — every
+    * read/write of an in-memory blob detours through a temp file,
+    * measured 4× slower in isolation (0.485 s vs 0.115 s for the
+    * sf0.1 thumbnail pass) and arbitrarily worse when /tmp is
+    * contended (the r17 full-bench runs read 3×+ the key's band
+    * from exactly this). The blobs here are byte arrays already in
+    * memory; cache to memory. Referenced from every ImageIO map
+    * body so each EXECUTOR JVM flips the static once — an object
+    * init on the driver alone would not reach a real cluster's
+    * executors. */
+  @transient private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** All in-object ImageIO decode/encode goes through these, so the
+    * cache flip reaches whichever JVM actually runs the row. */
+  private def ioRead(in: java.io.InputStream): java.awt.image.BufferedImage = {
+    imageIoMemCache
+    javax.imageio.ImageIO.read(in)
+  }
+  private def ioWrite(img: java.awt.image.RenderedImage, fmt: String,
+                      out: java.io.OutputStream): Unit = {
+    imageIoMemCache
+    javax.imageio.ImageIO.write(img, fmt, out)
+    ()
+  }
+
   /** Attribution wrapper for the audit-tier codec maps (r17): a
     * hostile payload's failure must name its doc_id FROM THE LOG
     * ALONE — at 100 TB the stack trace of executor 731's task is
@@ -360,7 +386,7 @@ object Multimodal {
         i += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      ioWrite(img, "png", bos)
       PngBlob(d, bos.toByteArray)
     }.toDF()
   }
@@ -382,7 +408,7 @@ object Multimodal {
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .map { case (d, bytes) =>
-        val img = javax.imageio.ImageIO.read(
+        val img = ioRead(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable payload for doc $d")
         val w = img.getWidth; val h = img.getHeight
@@ -424,7 +450,7 @@ object Multimodal {
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .map { case (d, bytes) => attributed(d) {
-        val img = javax.imageio.ImageIO.read(
+        val img = ioRead(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable payload for doc $d")
         val w = img.getWidth; val h = img.getHeight
@@ -457,7 +483,7 @@ object Multimodal {
           oy += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
+        ioWrite(out, "png", bos)
         PngBlob(d, bos.toByteArray)
       } }.toDF()
   }
@@ -520,7 +546,7 @@ object Multimodal {
         i += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img,
+      ioWrite(img,
         if (isCopy || isUpscale) "bmp" else "png", bos)
       PngBlob(d, bos.toByteArray)
     }.toDF()
@@ -553,7 +579,7 @@ object Multimodal {
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .map { case (d, bytes) =>
-        val img = javax.imageio.ImageIO.read(
+        val img = ioRead(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable payload for doc $d")
         require(img.getWidth == img.getHeight && img.getWidth % side == 0,
@@ -1541,7 +1567,7 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img,
+      ioWrite(img,
         if (isCrop || isPad) "bmp" else "png", bos)
       PngBlob(d, bos.toByteArray)
     }.toDF()
@@ -1574,7 +1600,7 @@ object Multimodal {
     blobs.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (d, bytes) =>
-        val img = javax.imageio.ImageIO.read(
+        val img = ioRead(
           new java.io.ByteArrayInputStream(bytes))
         require(img != null, s"undecodable payload for doc $d")
         val w = img.getWidth

@@ -102,6 +102,60 @@ class R17PropertySpec extends SparkSpec {
     }
   }
 
+  test("SessionCache eviction (r17, ADVICE): ApplicationEnd sweeps the " +
+    "session's shared-cache entries without stopping the context") {
+    // touch one cached getter so at least one entry exists
+    SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
+    assert(SparkEntry.sessionCacheEntries(spark) > 0,
+      "touching a cms key must populate its shared cache")
+    // fire the end-of-application signal through the real listener
+    // bus (reflection: listenerBus is private[spark]) — the shared
+    // suite context must NOT be stopped, only the caches swept
+    val sc = spark.sparkContext
+    val busM = sc.getClass.getMethod("listenerBus")
+    val bus = busM.invoke(sc)
+    val post = bus.getClass.getMethods.find(m =>
+      m.getName == "post" && m.getParameterCount == 1).get
+    post.invoke(bus,
+      org.apache.spark.scheduler.SparkListenerApplicationEnd(1L))
+    // the bus is async — poll briefly for the sweep
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (SparkEntry.sessionCacheEntries(spark) > 0 &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    assert(SparkEntry.sessionCacheEntries(spark) === 0,
+      "ApplicationEnd must evict every cache entry keyed by the session")
+    // and the caches keep working afterwards (rebuild on next touch)
+    SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
+    assert(SparkEntry.sessionCacheEntries(spark) > 0,
+      "a swept cache must rebuild on the next touch, not wedge")
+  }
+
+  test("prime_self is exclusive: never exceeds the inclusive " +
+    "prime_detail, and a nesting parent's self-time drops") {
+    // trailing slash = a distinct (session, dir) cache key, so the
+    // chain rebuilds even if another suite primed the plain dir
+    val dir = "/root/testdata/sf0.001/"
+    SparkEntry.primeForKeys(spark, dir, Seq("dedup_minhash_lsh"))
+    assert(SparkEntry.primeSelf.nonEmpty, "prime must record builds")
+    SparkEntry.primeSelf.foreach { case (k, self) =>
+      val wall = SparkEntry.primeDetail(k)
+      assert(self >= 0 && self <= wall + 1e-9,
+        s"$k: exclusive $self must sit within inclusive $wall")
+    }
+    // blocked_pairs builds shingle_sets + blocked_cands inside it on
+    // the same thread — its exclusive time must shed that child time
+    for (parent <- Seq("blocked_pairs")
+         if SparkEntry.primeDetail.contains(parent) &&
+           SparkEntry.primeDetail.contains("blocked_cands")) {
+      val wall = SparkEntry.primeDetail(parent)
+      val self = SparkEntry.primeSelf(parent)
+      val child = SparkEntry.primeDetail("blocked_cands")
+      assert(self <= wall - child + 1e-9,
+        s"$parent self ($self) must exclude the nested blocked_cands " +
+          s"build ($child of $wall)")
+    }
+  }
+
   test("healthy corpus is untouched by the attribution wrapper: " +
     "round trips still replay the recipe exactly") {
     val docs = (0L until 4L).toDF("doc_id")
