@@ -64,7 +64,14 @@ object SparkEntry {
     * leak in any long-lived multi-session embedding). Every instance
     * registers in one global set; the first insert for a session
     * installs a single ApplicationEnd listener that sweeps that
-    * session's keys from every registered cache. */
+    * session's keys from every registered cache, and every insert
+    * opportunistically purges entries whose context has already
+    * stopped (covering the insert-after-sweep race). Known
+    * boundary: sessions CHURNED over one long-lived context
+    * (newSession/cloneSession per tenant) are reclaimed only when
+    * that context ends — there is no per-session lifecycle event to
+    * hook; an embedding with per-tenant sessions should reuse them
+    * per (tenant, dir), which is also what makes this cache pay. */
   private final class SessionCache[V] {
     private val m = scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), V]
@@ -75,6 +82,8 @@ object SparkEntry {
     }
     def evict(s: SparkSession): Unit =
       m.keySet.filter(_._1 eq s).foreach(m.remove)
+    def evictStopped(): Unit =
+      m.keySet.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     def countFor(s: SparkSession): Int = m.keySet.count(_._1 eq s)
   }
 
@@ -91,7 +100,14 @@ object SparkEntry {
       java.util.concurrent.ConcurrentHashMap.newKeySet[SessionCache[_]]()
     private val hooked =
       java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-    def hookEviction(s: SparkSession): Unit =
+    def hookEviction(s: SparkSession): Unit = {
+      // opportunistic reclamation on the way in (r17 review): an
+      // entry whose owning context already stopped can never be
+      // swept by its own listener again — either it was inserted in
+      // the race window after the sweep ran, or the listener fired
+      // before the insert existed. Purging here bounds that window
+      // to "until any session touches any cache next".
+      all.forEach(_.evictStopped())
       if (hooked.add(s))
         s.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
@@ -102,6 +118,7 @@ object SparkEntry {
               hooked.remove(s)
             }
           })
+    }
   }
 
   /** Default-parameter [[Dedup.blockingTrunk]] over the documents

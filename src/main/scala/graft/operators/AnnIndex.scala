@@ -244,11 +244,14 @@ object AnnIndex {
     * parquet (`vectors.staging`) before anything is overwritten —
     * never executor-local checkpoint blocks, whose lineage-truncated
     * state dies with a lost executor mid-overwrite. The staging
-    * dir's `_SUCCESS` marker (Spark's own commit protocol) is the
-    * recovery marker — NOT bare directory existence, because Spark
-    * creates the output dir at job start, so a crash mid-staging-
-    * write leaves a partial dir that must be re-staged, not trusted
-    * (r17, ADVICE). Marker present at entry ⇒ a previous rebuild
+    * dir's commit marker (`_SUCCESS` from Spark's commit protocol,
+    * or `_GRAFT_STAGED` which this operator stamps itself after the
+    * staging write returns, so the decision survives deployments
+    * that disable marksuccessfuljobs) is the recovery marker — NOT
+    * bare directory existence, because Spark creates the output dir
+    * at job start, so a crash mid-staging-write leaves a partial
+    * dir that must be re-staged, not trusted (r17, ADVICE +
+    * review). Marker present at entry ⇒ a previous rebuild
     * crashed after staging committed, and the rebuild RESUMES from
     * the staged survivors (the live `vectors` dir may be
     * half-rewritten and is never trusted); marker absent but dir
@@ -273,18 +276,32 @@ object AnnIndex {
                  iters: Int = 3): Unit = {
     val staging = new org.apache.hadoop.fs.Path(s"$path/vectors.staging")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // two accepted commit markers: Spark's own _SUCCESS, plus a
+    // marker THIS operator writes after the staging job returns —
+    // deployments that disable marksuccessfuljobs (common with
+    // cloud committers) would otherwise make every committed
+    // staging look partial, and the recovery path would delete good
+    // staged survivors and re-stage from a possibly half-rewritten
+    // live layout (r17 review finding — strictly worse than no
+    // recovery at all)
     val staged = new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+    val graftStaged = new org.apache.hadoop.fs.Path(staging, "_GRAFT_STAGED")
     val dead = broadcast(tombstones(spark, path))
-    if (!fs.exists(staged)) {
+    if (!fs.exists(staged) && !fs.exists(graftStaged)) {
       // no staging, or a partial dir from a crash mid-staging-write
-      // (Spark creates the dir at job start; only _SUCCESS means the
-      // survivors are all there) — (re-)stage from live vectors,
-      // which are still intact because buildIvf runs after staging
+      // (Spark creates the dir at job start; only a commit marker
+      // means the survivors are all there) — (re-)stage from live
+      // vectors, which are still intact because buildIvf runs after
+      // staging
       fs.delete(staging, true)
       spark.read.parquet(s"$path/vectors")
         .select(col("vec_id"), col("embedding"))
         .join(dead, Seq("vec_id"), "left_anti")
         .write.mode("overwrite").parquet(staging.toString)
+      // the write API returned ⇒ the job committed; stamp our own
+      // marker so the resume decision never depends on committer
+      // configuration
+      fs.create(graftStaged, true).close()
     }
     val survivors = spark.read.parquet(staging.toString)
       .join(dead, Seq("vec_id"), "left_anti")

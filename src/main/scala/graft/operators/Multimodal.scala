@@ -346,7 +346,14 @@ object Multimodal {
     * otherwise surfaces with no row context. */
   private def attributed[T](docId: Long)(f: => T): T =
     try f catch {
-      case e: IllegalArgumentException => throw e // requires name the doc
+      // pass through only failures that ALREADY name this doc (our
+      // own contract requires) — the JDK codecs also throw bare
+      // IllegalArgumentException on crafted headers (e.g. a PNG
+      // whose IHDR declares zero width), and those need the re-tag
+      // like any other codec error (r17 review)
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains(s"doc $docId")) =>
+        throw e
       case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(
           s"doc $docId: undecodable payload " +

@@ -276,21 +276,8 @@ object RetailEtl {
     * output schema and booleans, shares the calibration oracle. */
   def dqCalibrationOneScan(df: DataFrame, cols: Seq[String],
                            rsd: Double = 0.02,
-                           tolPct: Int = 5): DataFrame = {
-    require(cols.nonEmpty, "dqCalibrationOneScan needs at least one column")
-    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"dqCalibrationOneScan column name must be a plain identifier, got '$c'"))
-    val slots = cols.map { c =>
-      val v = df.schema(c).dataType match {
-        case org.apache.spark.sql.types.DoubleType |
-            org.apache.spark.sql.types.FloatType =>
-          s"CAST(`$c` + 0.0 AS STRING)"
-        case _ => s"CAST(`$c` AS STRING)"
-      }
-      s"'$c', $v"
-    }
-    df.select(expr(
-        s"stack(${cols.size}, ${slots.mkString(", ")}) as (col_name, v)"))
+                           tolPct: Int = 5): DataFrame =
+    stackStringified(df, cols)
       .groupBy("col_name")
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
@@ -302,6 +289,45 @@ object RetailEtl {
         (abs(col("apx_distinct") - col("n_distinct")) <=
           greatest(lit(2L), expr(s"n_distinct * $tolPct div 100")))
           .as("distinct_within_tol"))
+
+  /** Stringified stack-unpivot shared by the dq calibration family —
+    * batch ([[dqCalibrationOneScan]]) and stream
+    * ([[graft.streaming.EventStream.dqProfileState]] /
+    * `dqStateCalibration`); ONE copy of the normalization rule (r17
+    * review), because the rule exists precisely to keep cross-engine
+    * distinct counts aligned and two drifting copies would undo it.
+    * Columns resolve like the rest of the engine: exact name first,
+    * else a UNIQUE case-insensitive match (ambiguity or absence
+    * throws naming the column). Floating-point values normalize
+    * with `+ 0.0` before the cast so the stringified distinct
+    * matches the NATIVE distinct both engines compute (-0.0 and 0.0
+    * compare equal natively but stringify differently; NaN needs no
+    * help — every rendering casts to "NaN"). */
+  private[graft] def stackStringified(df: DataFrame,
+                                      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "dq profile needs at least one column")
+    val slots = cols.map { c =>
+      val field = df.schema.fields.find(_.name == c).getOrElse {
+        val ci = df.schema.fields.filter(_.name.equalsIgnoreCase(c))
+        require(ci.nonEmpty, s"dq profile column '$c' does not exist")
+        require(ci.length == 1,
+          s"dq profile column '$c' is ambiguous case-insensitively: " +
+            ci.map(_.name).mkString(", "))
+        ci.head
+      }
+      val n = field.name
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"dq profile column name must be a plain identifier, got '$n'")
+      val v = field.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+            org.apache.spark.sql.types.FloatType =>
+          s"CAST(`$n` + 0.0 AS STRING)"
+        case _ => s"CAST(`$n` AS STRING)"
+      }
+      s"'$n', $v"
+    }
+    df.select(expr(
+      s"stack(${cols.size}, ${slots.mkString(", ")}) as (col_name, v)"))
   }
 
   private def dqProfileWith(df: DataFrame, cols: Seq[String],

@@ -150,20 +150,35 @@ object TextAnalysis {
     * paragraph-dup counters have deterministic nonzero signal. Pure
     * per-row string arithmetic, replayed verbatim by the oracle.
     */
-  def synthLinedCorpus(docs: DataFrame, lineTok: Int = 2, paraTok: Int = 8,
-                       dupMod: Int = 5, keep: Seq[String] = Nil): DataFrame =
+  /** The lining recipe DECOMPOSED — (doc_id, base, copy, keep...)
+    * where `base` is the lined text and `copy` the planted
+    * first-paragraph duplicate ('' for non-planted docs). The ONE
+    * source of the recipe both [[synthLinedCorpus]] (base ++ copy)
+    * and [[compressionCalibration]] (needs the parts separately to
+    * price the copy) consume — the oracle replays this via the
+    * shared lined CTEs, so a second Scala copy drifting from the
+    * first would break parity in a way no compiler catches (r17
+    * review). */
+  private[operators] def linedParts(docs: DataFrame, lineTok: Int = 2,
+                                    paraTok: Int = 8, dupMod: Int = 5,
+                                    keep: Seq[String] = Nil): DataFrame =
     Spread.spread(docs.select(col("doc_id") +: tokens(col("text")).as("toks")
         +: keep.map(col): _*))
       .withColumn("pieces", expr(
         s"transform(toks, (t, i) -> CASE WHEN i = 0 THEN t " +
           s"WHEN i % $paraTok = 0 THEN '\\n\\n' || t " +
           s"WHEN i % $lineTok = 0 THEN '\\n' || t ELSE ' ' || t END)"))
-      .withColumn("lined", concat_ws("", col("pieces")))
-      .withColumn("text",
+      .withColumn("base", concat_ws("", col("pieces")))
+      .withColumn("copy",
         when(col("doc_id") % dupMod === 0 && size(col("pieces")) > 0,
-          concat(col("lined"), lit("\n\n"),
-            concat_ws("", slice(col("pieces"), 1, paraTok))))
-          .otherwise(col("lined")))
+          concat(lit("\n\n"), concat_ws("", slice(col("pieces"), 1, paraTok))))
+          .otherwise(lit("")))
+      .select((Seq("doc_id", "base", "copy") ++ keep).map(col): _*)
+
+  def synthLinedCorpus(docs: DataFrame, lineTok: Int = 2, paraTok: Int = 8,
+                       dupMod: Int = 5, keep: Seq[String] = Nil): DataFrame =
+    linedParts(docs, lineTok, paraTok, dupMod, keep)
+      .withColumn("text", concat(col("base"), col("copy")))
       .select((Seq("doc_id", "text") ++ keep).map(col): _*)
 
   /** Healthy-tail sentence the quality fixture appends to
@@ -1726,16 +1741,20 @@ object TextAnalysis {
     * construction on a working zlib and falsified by a broken one:
     *
     *  - `ratio_format_band`: the compressed size sits inside raw
-    *    deflate's FEASIBLE band — `[max(2, n/1100), n + 16]` bytes
-    *    (1032:1 is deflate's hard maximum compression; stored
-    *    blocks bound expansion at 5 bytes per 64 KiB + slack).
-    *    A theorem over any input, not a fixture fit.
-    *  - `copy_compresses`: on planted-copy docs, compressing
-    *    base+copy costs at most `max(12, copy_bytes/2)` more than
-    *    the base alone — the window finds the repeat and emits
-    *    back-references, never the copy's bytes (fixture overhead
-    *    measures 3-10 bytes vs 36-54-byte copies). A stored-block
-    *    or wrong-input kernel fails this.
+    *    deflate's FEASIBLE band — `[max(2, n/1100), n + 16 +
+    *    5·(n div 65535)]` bytes (1032:1 is deflate's hard maximum
+    *    compression; stored blocks bound expansion at 5 bytes per
+    *    64 KiB block + slack). A theorem over input of ANY size,
+    *    not a fixture fit.
+    *  - `copy_compresses`: on planted-copy docs whose base+copy
+    *    fits deflate's 32 KiB window (≤30 KB with margin; beyond
+    *    it the window cannot see the paragraph and the claim is
+    *    vacuously true), compressing base+copy costs at most
+    *    `max(12, copy_bytes/2)` more than the base alone — the
+    *    window finds the repeat and emits back-references, never
+    *    the copy's bytes (fixture overhead measures 3-10 bytes vs
+    *    36-54-byte copies). A stored-block or wrong-input kernel
+    *    fails this.
     *
     * Byte counts are reconstructed as `round(ratio · octet_length)`
     * — exact for any document under ~4 PB, far past the 2 GiB
@@ -1743,17 +1762,7 @@ object TextAnalysis {
     * pure per-row map: no shuffle at any scale. */
   def compressionCalibration(docs: DataFrame, lineTok: Int = 2,
                              paraTok: Int = 8, dupMod: Int = 5): DataFrame =
-    Spread.spread(docs.select(col("doc_id"), col("source"),
-        tokens(col("text")).as("toks")))
-      .withColumn("pieces", expr(
-        s"transform(toks, (t, i) -> CASE WHEN i = 0 THEN t " +
-          s"WHEN i % $paraTok = 0 THEN '\\n\\n' || t " +
-          s"WHEN i % $lineTok = 0 THEN '\\n' || t ELSE ' ' || t END)"))
-      .withColumn("base", concat_ws("", col("pieces")))
-      .withColumn("copy",
-        when(col("doc_id") % dupMod === 0 && size(col("pieces")) > 0,
-          concat(lit("\n\n"), concat_ws("", slice(col("pieces"), 1, paraTok))))
-          .otherwise(lit("")))
+    linedParts(docs, lineTok, paraTok, dupMod, keep = Seq("source"))
       .withColumn("text", concat(col("base"), col("copy")))
       .select(col("doc_id"), col("source"),
         length(col("text")).cast("long").as("n_chars_text"),
@@ -1764,11 +1773,21 @@ object TextAnalysis {
         octet_length(col("text")).cast("long").as("nb"),
         octet_length(col("copy")).cast("long").as("copy_bytes"))
       .select(col("doc_id"), col("source"), col("n_chars_text"),
+        // upper bound scales with the stored-block count (5 bytes
+        // per 64 KiB block), so the theorem holds for documents of
+        // ANY size, not just ones under two blocks (r17 review)
         (col("nb") === 0 ||
           (col("c_with") >= greatest(lit(2L), expr("nb div 1100")) &&
-            col("c_with") <= col("nb") + lit(16L)))
+            col("c_with") <= col("nb") + lit(16L) +
+              lit(5L) * expr("nb div 65535")))
           .as("ratio_format_band"),
-        (col("copy_bytes") === 0 ||
+        // the back-reference claim is only a theorem while the
+        // copy's SOURCE sits inside deflate's 32 KiB window at the
+        // copy position — i.e. base+copy fits the window (with
+        // margin); beyond that the window cannot see the paragraph
+        // and the claim is vacuously true (r17 review: a >32 KiB
+        // healthy doc must not fail the driver contract)
+        (col("copy_bytes") === 0 || col("nb") > 30000 ||
           col("c_with") <= col("c_base") +
             greatest(lit(12L), expr("copy_bytes div 2")))
           .as("copy_compresses"))

@@ -910,31 +910,16 @@ object EventStream extends Serializable {
           .as("stale"))
   }
 
-  /** Stringified stack-unpivot shared by the dq-state family.
-    * Floating-point values are normalized with `+ 0.0` before the
-    * cast so the stringified distinct matches the NATIVE distinct
-    * both engines compute: -0.0 and 0.0 compare equal natively but
-    * stringify differently, so an unnormalized cast would inflate
-    * the count and fail the cross-engine hash on a feed carrying
-    * both zeros (NaN needs no help — every rendering casts to
-    * "NaN"). (r17, ADVICE.) */
+  /** Stringified stack-unpivot for the dq-state family — the ONE
+    * shared implementation lives in
+    * [[graft.operators.RetailEtl.stackStringified]] (float
+    * normalization + case-tolerant resolution; r17 ADVICE +
+    * review), because the normalization rule exists to keep
+    * cross-engine distinct counts aligned and a second drifting
+    * copy would undo it. */
   private def stackStringified(events: DataFrame,
-                               cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "dq profile needs at least one column")
-    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"column name must be a plain identifier, got '$c'"))
-    val slots = cols.map { c =>
-      val v = events.schema(c).dataType match {
-        case org.apache.spark.sql.types.DoubleType |
-            org.apache.spark.sql.types.FloatType =>
-          s"CAST(`$c` + 0.0 AS STRING)"
-        case _ => s"CAST(`$c` AS STRING)"
-      }
-      s"'$c', $v"
-    }
-    events.select(expr(
-      s"stack(${cols.size}, ${slots.mkString(", ")}) as (col_name, v)"))
-  }
+                               cols: Seq[String]): DataFrame =
+    graft.operators.RetailEtl.stackStringified(events, cols)
 
   def dqProfileState(events: DataFrame, cols: Seq[String],
                      rsd: Double = 0.02): DataFrame = {

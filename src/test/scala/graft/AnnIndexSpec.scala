@@ -420,6 +420,33 @@ class AnnIndexSpec extends SparkSpec {
       "resumed rebuild must clean up the staging marker")
   }
 
+  test("rebuild crash recovery: a committed staging with only the " +
+    "operator's own marker (_SUCCESS disabled) is still resumed from") {
+    val base = Files.createTempDirectory("graft_ann").toString
+    val corpus = Tables.embeddings(spark, dir)
+    AnnIndex.buildIvf(corpus, s"$base/ivf")
+    // a deployment with marksuccessfuljobs=false: the staging job
+    // committed (content complete — here even ids only, DIFFERENT
+    // from live so re-staging would be caught) but Spark wrote no
+    // _SUCCESS; the operator's own _GRAFT_STAGED marker must carry
+    // the resume decision alone
+    corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/ivf/vectors.staging")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$base/ivf/vectors.staging/_SUCCESS"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$base/ivf/vectors.staging/_GRAFT_STAGED"))
+    AnnIndex.rebuildIvf(spark, s"$base/ivf", iters = 1)
+    val ids = spark.read.parquet(s"$base/ivf/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = corpus.filter(col("vec_id") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === want,
+      "a staging committed under marksuccessfuljobs=false must be " +
+        "resumed from via the operator's own marker, never re-staged")
+  }
+
   test("rebuild crash recovery: a PARTIAL staging dir (no _SUCCESS) is " +
     "re-staged from the intact live vectors, never trusted") {
     val base = Files.createTempDirectory("graft_ann").toString

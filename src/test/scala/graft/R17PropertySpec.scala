@@ -42,6 +42,22 @@ class R17PropertySpec extends SparkSpec {
     bos.toByteArray
   }
 
+  /** A structurally valid PNG whose IHDR declares width 0 (CRC
+    * recomputed so the chunk parses) — the crafted-header shape that
+    * makes the JDK reader throw its own IllegalArgumentException
+    * rather than an IIOException. */
+  private def zeroWidthPng: Array[Byte] = {
+    val b = pngOf(8).clone()
+    // IHDR layout: len@8, type@12..15, data@16..28 (width first), crc@29..32
+    b(16) = 0; b(17) = 0; b(18) = 0; b(19) = 0
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 17) // chunk type + 13 data bytes
+    val v = crc.getValue
+    b(29) = ((v >>> 24) & 0xff).toByte; b(30) = ((v >>> 16) & 0xff).toByte
+    b(31) = ((v >>> 8) & 0xff).toByte; b(32) = (v & 0xff).toByte
+    b
+  }
+
   private def wavOf(rate: Float, bits: Int, channels: Int,
                     nFrames: Int = 64): Array[Byte] = {
     val bytesPerFrame = channels * bits / 8
@@ -68,7 +84,11 @@ class R17PropertySpec extends SparkSpec {
       ("zero-length payload", Array.empty[Byte], 2),
       ("garbage bytes", Array.tabulate[Byte](64)(i => (i * 83).toByte), 2),
       // 5x5 is not tileable by 2 — our own contract require
-      ("non-tileable dims", pngOf(5), 2))
+      ("non-tileable dims", pngOf(5), 2),
+      // crafted header: IHDR declares width 0 with a VALID CRC — the
+      // JDK reader rejects it with its own exception (an IAE on some
+      // JDK versions), which must still be re-tagged with the doc
+      ("zero-width IHDR", zeroWidthPng, 2))
     cases.foreach { case (what, poison, factor) =>
       val corpus = Seq((1L, good), (7L, poison), (9L, good))
         .toDF("doc_id", "payload")
@@ -133,10 +153,19 @@ class R17PropertySpec extends SparkSpec {
   test("prime_self is exclusive: never exceeds the inclusive " +
     "prime_detail, and a nesting parent's self-time drops") {
     // trailing slash = a distinct (session, dir) cache key, so the
-    // chain rebuilds even if another suite primed the plain dir
+    // chain rebuilds even if another suite primed the plain dir.
+    // split_leakage_pairs consumes sharedBlockedPairs, whose build
+    // nests shingle_sets + blocked_cands on the same thread — the
+    // nesting case the exclusive-time deduction exists for (the
+    // r17 review caught the earlier choice of key building no
+    // nested artifact, which left the assertion below vacuous)
     val dir = "/root/testdata/sf0.001/"
-    SparkEntry.primeForKeys(spark, dir, Seq("dedup_minhash_lsh"))
+    SparkEntry.primeForKeys(spark, dir, Seq("split_leakage_pairs"))
     assert(SparkEntry.primeSelf.nonEmpty, "prime must record builds")
+    assert(SparkEntry.primeDetail.contains("blocked_pairs") &&
+      SparkEntry.primeDetail.contains("blocked_cands"),
+      "the chosen key must actually build the nested chain — " +
+        "otherwise the nesting assertion below is vacuous")
     SparkEntry.primeSelf.foreach { case (k, self) =>
       val wall = SparkEntry.primeDetail(k)
       assert(self >= 0 && self <= wall + 1e-9,
