@@ -185,6 +185,35 @@ class R17PropertySpec extends SparkSpec {
     }
   }
 
+  test("dqCalibrationOneScan ≡ dqCalibration row-for-row; columns " +
+    "resolve case-insensitively; ambiguity and absence throw by name") {
+    import graft.operators.RetailEtl
+    val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val cols = Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity")
+    val composed = RetailEtl.dqCalibration(li, cols)
+      .collect().map(_.toString).sorted.toSeq
+    val oneScan = RetailEtl.dqCalibrationOneScan(li, cols)
+      .collect().map(_.toString).sorted.toSeq
+    assert(oneScan === composed,
+      "the one-scan form must reproduce the composed calibration " +
+        "exactly (stringified distincts are injective for these columns)")
+    // case-insensitive resolution emits the RESOLVED field name, so
+    // the output stays oracle-comparable regardless of caller case
+    val ci = RetailEtl.dqCalibrationOneScan(li, Seq("L_PARTKEY")).collect()
+    assert(ci.length === 1 && ci.head.getString(0) === "l_partkey")
+    // two case-variant fields: a third spelling matches both → throws
+    val amb = li.select(col("l_partkey"), col("l_partkey").as("L_PARTKEY"))
+    val e = intercept[IllegalArgumentException] {
+      RetailEtl.dqCalibrationOneScan(amb, Seq("l_PartKey"))
+    }
+    assert(e.getMessage.contains("l_PartKey") &&
+      e.getMessage.toLowerCase.contains("ambiguous"))
+    val missing = intercept[IllegalArgumentException] {
+      RetailEtl.dqCalibrationOneScan(li, Seq("no_such_col"))
+    }
+    assert(missing.getMessage.contains("no_such_col"))
+  }
+
   test("healthy corpus is untouched by the attribution wrapper: " +
     "round trips still replay the recipe exactly") {
     val docs = (0L until 4L).toDF("doc_id")
