@@ -261,15 +261,14 @@ object RetailEtl {
     * for when the fact scan itself is the dominant cost and paying
     * it twice is worse than anything the aggregate layout does.
     * Unpivot first (`stack` → (col_name, value) — |cols|·n narrow
-    * rows, map-side combined before any exchange), then ONE
-    * aggregate per column name carrying the exact distinct and the
-    * HLL side by side. This dodges the fused-wide-aggregate trap
-    * ([[dqCalibration]]'s shape note): a single distinct column per
-    * group plans as a two-arm Expand over values already deduped
-    * map-side, not sketch-buffers-per-distinct-tuple. Measured
-    * 2.24 s at sf0.1/local[32] — slower than the compose at bench SF
-    * (string-cast per value; the scan is cheap here), faster
-    * wherever the scan dominates. Values stringify for the stack's
+    * rows), collapse to the (col_name, value) grain with a plain
+    * count, then ONE roll-up per column name carrying the exact
+    * distinct (now a plain `count`) and the HLL side by side. The
+    * r17 spelling kept the distinct and the HLL fused in one
+    * aggregate and still paid the trap (the one-distinct plan
+    * carries regular-agg partials — sketch buffers included — at
+    * the value grain); the r18 two-level grain removes it
+    * (2.42 → ~1.1 s at sf0.1/local[4]). Values stringify for the stack's
     * type unifier with floats normalized (`+ 0.0`) so the distinct
     * count matches the native count (the
     * [[graft.streaming.EventStream]] dq-state discipline); same
@@ -277,11 +276,26 @@ object RetailEtl {
   def dqCalibrationOneScan(df: DataFrame, cols: Seq[String],
                            rsd: Double = 0.02,
                            tolPct: Int = 5): DataFrame =
+    // TWO-LEVEL GRAIN (r18): collapse to (col_name, v) with a plain
+    // count FIRST, then roll up. Fusing the HLL beside a distinct
+    // aggregate in ONE agg is the measured Expand×HLL trap even with
+    // a single distinct column — Spark's one-distinct plan carries
+    // every regular agg's partial at the (group, value) grain, i.e.
+    // one HLL buffer PER DISTINCT VALUE through the exchange
+    // (dq_fused 1.09 s vs two-level 0.43 s on events at sf0.1). The
+    // roll-up's HLL reads the collapsed values, which changes
+    // nothing: HLL register updates are idempotent, so the sketch of
+    // the deduplicated set is bit-identical (the
+    // [[graft.operators.EventOps.rollingActiveCalibration]]
+    // discipline). Level 1 is map-side combined; level-2 state is
+    // one sketch per column NAME, not per value.
     stackStringified(df, cols)
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("col_name")
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("v")).as("n_distinct"),
+      .agg(sum("cnt").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
         approx_count_distinct(col("v"), rsd).as("apx_distinct"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"),

@@ -941,18 +941,26 @@ object EventStream extends Serializable {
     * `max(2, n_distinct·tolPct/100)` of the batch dq calibration. */
   def dqStateCalibration(events: DataFrame, cols: Seq[String],
                          rsd: Double = 0.02, tolPct: Int = 5): DataFrame = {
-    // ONE stack-unpivot aggregate carries the fold's running columns,
-    // the exact anchor AND the fold's own HLL state side by side —
-    // the HLL expression IS dqProfileState's update rule, so the
-    // boolean still scores the live fold's sketch; fusing drops the
-    // second unpivot scan and the per-column join a naive
-    // fold-vs-anchor composition would pay
+    // ONE unpivot scan still feeds everything, but via the TWO-LEVEL
+    // GRAIN (r18): collapse to (col_name, v) with a plain count,
+    // then roll up exact distinct (a plain count over the grain) and
+    // the HLL side by side. The r16 fusion that put countDistinct
+    // and the HLL in ONE aggregate was the measured Expand×HLL trap
+    // (the one-distinct plan carries the sketch's partial per
+    // VALUE through the exchange): it landed AFTER the r16 band run
+    // and doubled this key, 1.09 s fused vs 0.43 s two-level at
+    // sf0.1 (the r18 adjudication that closed the r17 "host noise"
+    // question). The roll-up HLL reads deduplicated values —
+    // bit-identical sketch, HLL updates are idempotent — so the
+    // boolean still scores [[dqProfileState]]'s update rule.
     stackStringified(events, cols)
+      .groupBy("col_name", "v")
+      .agg(count(lit(1)).as("cnt"))
       .groupBy("col_name")
       .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col("v")).as("n_distinct"),
+        sum("cnt").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
         approx_count_distinct(col("v"), rsd).as("apx"))
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"),
@@ -972,15 +980,26 @@ object EventStream extends Serializable {
   def slidingActivesCalibration(events: DataFrame, windowDays: Int = 7,
                                 slideDays: Int = 1, rsd: Double = 0.02,
                                 tolPct: Int = 5): DataFrame =
-    // ONE windowed aggregate carries the exact anchor AND the
-    // engine's own windowed HLL side by side — the HLL expression IS
-    // [[slidingActives]]' aggregation, so the boolean still scores
-    // the monitor's sketch; fusing drops the second window fan-out
-    // and the window-start join a naive twin-query composition pays
+    // ONE window fan-out still feeds everything, but via the
+    // TWO-LEVEL GRAIN (r18): collapse to (window, user) with a plain
+    // count, then roll up the exact anchor (a plain count over the
+    // grain) and the engine's own windowed HLL side by side. The r16
+    // fusion that put countDistinct and the HLL in ONE windowed
+    // aggregate was the measured Expand×HLL trap (sketch partials
+    // per (window, user) through the exchange): it landed AFTER the
+    // r16 band run and doubled this key, 1.29 s fused vs 0.51 s
+    // two-level at sf0.1 (the r18 adjudication that closed the r17
+    // "host noise" question). The roll-up HLL reads each window's
+    // deduplicated users — bit-identical sketch, HLL updates are
+    // idempotent — so the boolean still scores [[slidingActives]]'
+    // aggregation.
     events
-      .groupBy(window(col("ts"), s"$windowDays days", s"$slideDays days"))
-      .agg(countDistinct(col("user_id")).as("active_users"),
-        count(lit(1)).as("n_events"),
+      .groupBy(window(col("ts"), s"$windowDays days", s"$slideDays days"),
+        col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("window")
+      .agg(count(col("user_id")).as("active_users"),
+        sum("cnt").as("n_events"),
         approx_count_distinct(col("user_id"), rsd).as("apx"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
