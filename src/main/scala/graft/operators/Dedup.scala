@@ -276,12 +276,19 @@ object Dedup {
           least(col("group_id"), coalesce(col("neighbor_label"), col("group_id")))
             .as("group_id"),
           (col("neighbor_label") < col("group_id")).as("changed"))
-      // adaptive pointer doubling past round 3:
+      // adaptive pointer doubling from round 2 (r18; was round 4):
       // label(v) := min(label(v), label(label(v))). Inner join is
-      // total — every group_id IS some doc's id. localCheckpoint
-      // truncates lineage: each iteration otherwise doubles the plan.
+      // total — every group_id IS some doc's id. Round 1 stays plain
+      // (labels are still identity — label(label) is a no-op there);
+      // from round 2 the doubling halves remaining chain length per
+      // round, so the common diameter-3 group (A→B→C variant chains)
+      // closes in 2 propagation rounds + 1 confirm instead of 3 + 1
+      // — one fewer checkpoint+convergence-check job pair, the
+      // round-latency that actually bills at bench scale.
+      // localCheckpoint truncates lineage: each iteration otherwise
+      // doubles the plan.
       val next =
-        if (iter < 3) stepped.localCheckpoint(true)
+        if (iter < 1) stepped.localCheckpoint(true)
         else stepped
           .join(stepped.select(col("doc_id").as("group_id"),
             col("group_id").as("parent_label")), Seq("group_id"))

@@ -137,22 +137,54 @@ object EntityResolution {
         Window.partitionBy("block").orderBy("rec_id")))
       .filter(col("bn") <= maxBlock).drop("bn")
 
+  /** Pigeonhole pre-filter for `lev ≤ 1` (PassJoin's partition rule
+    * at maxLev=1): ONE edit leaves either the first 8 or the last 8
+    * characters untouched (an edit at position p shares the p−1-char
+    * prefix and the end-aligned suffix beyond it; for
+    * `max(len) ≥ 16`, one of the two is ≥ 8). Two codegen'd string
+    * equalities replace the O(len·band) DP on the overwhelming
+    * majority of block candidates — distinct customers differ in the
+    * MIDDLE syllables, so both probes miss. EXACT: a necessary
+    * condition only (the survivors still score real Levenshtein),
+    * guarded to maxLev=1 and longer-side ≥ 16 (shorter strings pass
+    * straight to the DP — an edit can touch both 8-grams). */
+  private def levOnePrefilter(normA: Column, normB: Column,
+                              lenA: Column, lenB: Column): Column =
+    when(greatest(lenA, lenB) < 16, lit(true))
+      .otherwise(
+        substring(normA, 1, 8) === substring(normB, 1, 8) ||
+          substring(normA, -8, 8) === substring(normB, -8, 8))
+
+  /** [[levOnePrefilter]] with the 8-grams PRECOMPUTED per record
+    * (columns `p8`/`s8` from [[withLevOneGrams]]) — the per-pair
+    * work is then two binary comparisons instead of four substring
+    * allocations, which matters when the block join fans out to
+    * millions of candidates. */
+  private def withLevOneGrams(n: DataFrame): DataFrame =
+    n.withColumn("p8", substring(col("norm"), 1, 8))
+      .withColumn("s8", substring(col("norm"), -8, 8))
+
   /** Blocked fuzzy match: within each block, pairs inside the
     * length band score a THRESHOLDED Levenshtein; `lev ≤ maxLev`
     * matches, labeled `exact_norm` when normalization alone closed
     * the gap. Output: (rec_a, rec_b, lev, rule), rec_a < rec_b.
-    * `maxBlock` caps each block's participants (see [[capBlocks]]). */
+    * `maxBlock` caps each block's participants (see [[capBlocks]]);
+    * at maxLev=1 the [[levOnePrefilter]] prunes candidates before
+    * the DP (result-identical — spec-held). */
   def entityPairs(recs: DataFrame, maxLev: Int = 1,
                   maxBlock: Int = 256): DataFrame = {
-    val n = capBlocks(normalized(recs), maxBlock)
-    val a = n.select(col("rec_id").as("rec_a"), col("norm").as("norm_a"),
-      col("block"), col("len").as("len_a"))
-    val b = n.select(col("rec_id").as("rec_b"), col("norm").as("norm_b"),
-      col("block"), col("len").as("len_b"))
+    val n0 = capBlocks(normalized(recs), maxBlock)
+    val n = if (maxLev == 1) withLevOneGrams(n0) else n0
+    def side(sfx: String) = n.select(
+      n.columns.map(c => col(c).as(if (c == "block") c else s"${c}_$sfx")): _*)
+    val (a, b) = (side("a"), side("b"))
+    val pre = if (maxLev != 1) lit(true)
+      else when(greatest(col("len_a"), col("len_b")) < 16, lit(true))
+        .otherwise(col("p8_a") === col("p8_b") || col("s8_a") === col("s8_b"))
     a.join(b, Seq("block"))
-      .filter(col("rec_a") < col("rec_b") &&
-        abs(col("len_a") - col("len_b")) <= maxLev)
-      .select(col("rec_a"), col("rec_b"),
+      .filter(col("rec_id_a") < col("rec_id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxLev && pre)
+      .select(col("rec_id_a").as("rec_a"), col("rec_id_b").as("rec_b"),
         levenshtein(col("norm_a"), col("norm_b"), maxLev).cast("long").as("lev"))
       .filter(col("lev") >= 0)
       .withColumn("rule",
@@ -196,9 +228,12 @@ object EntityResolution {
         col("len"), col("entity_id")), maxBlock)
       .select(col("norm").as("norm_s"), col("block"),
         col("len").as("len_s"), col("entity_id").as("store_entity"))
+    val pre = if (maxLev != 1) lit(true)
+      else levOnePrefilter(col("norm_d"), col("norm_s"),
+        col("len_d"), col("len_s"))
     d.join(s,
         d("block") === s("block") &&
-          abs(col("len_d") - col("len_s")) <= maxLev &&
+          abs(col("len_d") - col("len_s")) <= maxLev && pre &&
           levenshtein(col("norm_d"), col("norm_s"), maxLev) >= 0,
         "left")
       .groupBy(d("rec_id"))

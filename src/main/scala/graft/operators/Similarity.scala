@@ -260,8 +260,13 @@ object Similarity {
     * (TakeOrderedAndProject) keeps every stage partition-parallel.
     * Real k-means refinement drops in via [[trainCentroids]].
     */
-  def pickCentroids(corpus: DataFrame, nlist: Int): Array[Array[Float]] = {
-    val n = corpus.count()
+  def pickCentroids(corpus: DataFrame, nlist: Int,
+                    knownN: Long = -1L): Array[Array[Float]] = {
+    // knownN: a caller that builds several indexes over the SAME
+    // corpus (the persisted-index prime) passes the count it already
+    // paid for — the thinning step is a pure function of n, so the
+    // result is identical and one count job per sibling build drops
+    val n = if (knownN >= 0) knownN else corpus.count()
     val step = math.max(n / math.max(nlist, 1) / 4, 1L)
     // cut the survivors in HASH order, not id order: an id-ordered cut
     // would draw every centroid from the low end of the id range,
