@@ -19,6 +19,22 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getString(1) == "text/plain")
   }
 
+  test("ImageIO runs memory-cached on the JVM that decodes (r18 pin: " +
+    "the r17 disk-cache fix cannot silently revert)") {
+    // drive a real codec map so Multimodal's lazy per-JVM flip runs
+    // on an executor thread, then read the static back FROM A TASK —
+    // in local mode executor and driver share the JVM, so this pins
+    // exactly what a cluster executor would see after its first row
+    val png = Multimodal.synthPngCorpus((0L until 2L).toDF("doc_id"))
+    assert(Multimodal.decodeImageStats(png).count() == 2L)
+    val onExecutor = spark.range(1)
+      .mapPartitions(_.map(_ => javax.imageio.ImageIO.getUseCache))
+      .collect()
+    assert(onExecutor.forall(_ == false),
+      "ImageIO.getUseCache must be false wherever codec rows run — " +
+        "the disk-backed default taxed every image key 2-4x (r17)")
+  }
+
   test("blobStats: sizes, sha256, magic bytes") {
     val r = Multimodal.blobStats(docs).collect()
       .map(row => row.getLong(0) -> row).toMap

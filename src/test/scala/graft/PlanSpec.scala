@@ -647,6 +647,82 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  // r18 pins: the r17 perf fixes' shapes, asserted so they can't
+  // silently regress (r17 verdict #3)
+
+  test("rtbfMlPlan: each store is scanned ONCE (presence-marker " +
+    "aggregate), requests broadcast") {
+    import spark.implicits._
+    // in-memory request sets so every FileScan in the plan is a
+    // STORE read — the pin is "one scan per store per readout"
+    val reqDocs = Seq(1L, 2L).toDF("doc_id")
+    val reqVecs = Seq(3L).toDF("vec_id")
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val p = plan(graft.operators.MlErasure.rtbfMlPlan(
+      reqDocs, reqVecs,
+      docs.select("doc_id"), docs.select("doc_id"), emb.select("vec_id")))
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 3,
+      s"3 stores must plan exactly 3 scans (one each), got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the request set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a store must never shuffle against the request set:\n$p")
+  }
+
+  /** True iff some aggregate whose GROUPING KEYS include `valueKey`
+    * carries an HLL buffer — the Expand×HLL trap's signature: a
+    * sketch allocated per distinct value and shipped through the
+    * value-grain exchange (r17 SCALING.md; the r18 adjudication
+    * measured it at 2-2.6× on three keys). */
+  private def hllAtValueGrain(p: String, valueKey: String): Boolean =
+    p.linesIterator.exists { l =>
+      val i = l.indexOf("HashAggregate(keys=[")
+      i >= 0 && {
+        val end = l.indexOf("]", i)
+        val keys = if (end > i) l.substring(i, end) else l
+        keys.contains(valueKey) && l.contains("approx_count_distinct")
+      }
+    }
+
+  test("dqCalibrationOneScan: ONE scan, no Expand, two-level grain " +
+    "(no sketch buffers at the value grain)") {
+    val p = plan(RetailEtl.dqCalibrationOneScan(Tables.lineitem(spark, dir),
+      Seq("l_partkey", "l_returnflag", "l_shipdate", "l_quantity")))
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"the one-scan form must scan once:\n$p")
+    assert(!p.contains("Expand"),
+      s"no Expand — the Expand x HLL trap (r17 SCALING.md):\n$p")
+    // two-level grain: the (col_name, v) collapse exchanges partial
+    // COUNTS only; the HLL may exist only at the col_name grain
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected the two grain exchanges only:\n$p")
+    assert(!hllAtValueGrain(p, "v#"),
+      s"value-grain aggregate must not carry HLL buffers:\n$p")
+  }
+
+  test("stream dq/sliding calibrations: two-level grain — no sketch " +
+    "buffers at the value grain (the r16 fusion cannot come back)") {
+    val ev = Tables.events(spark, dir)
+    val dq = plan(graft.streaming.EventStream.dqStateCalibration(ev,
+      Seq("user_id", "event_type", "value")))
+    assert(!dq.contains("Expand"), s"no Expand x HLL:\n$dq")
+    assert(!hllAtValueGrain(dq, "v#"),
+      s"dq value-grain aggregate must not carry HLL buffers:\n$dq")
+    val sla = plan(graft.streaming.EventStream.slidingActivesCalibration(ev))
+    // the ONE Expand here is the sliding window()'s 7-way fan-out
+    // (inherent to the semantics); the trap signature is the HLL
+    // riding an aggregate keyed by user_id
+    assert("Expand".r.findAllIn(sla).length == 1,
+      s"only the window fan-out may Expand:\n$sla")
+    assert(!hllAtValueGrain(sla, "user_id#"),
+      s"(window, user) grain must not carry HLL buffers:\n$sla")
+    Seq(dq, sla).foreach(p =>
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+        s"two grain exchanges only (value collapse + rollup):\n$p"))
+  }
+
   test("qualityDrift: every exchange is count-grain, documents never shuffle") {
     val ta = graft.operators.TextAnalysis
     val p = plan(ta.qualityDrift(ta.gopherFlagged(
