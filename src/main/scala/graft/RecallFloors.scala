@@ -20,9 +20,10 @@ object RecallFloors {
   /** approx driver key -> (exact anchor driver key, recall floor). */
   val tiers: Seq[(String, String, Double)] = Seq(
     // r10: margin-ordered multiprobe (16×8×4) lifted 0.575 → 0.710;
-    // r15: probe budget 4→8 per table (0.25 → 0.50 of corpus,
-    // query-side rows only) lifted the measured sf0.1 point to 0.860
-    ("ann_lsh_topk", "ann_bruteforce_topk", 0.80),
+    // r15: probe budget 4→8 per table lifted to 0.860; r18: probes
+    // SATURATED at 16 tables (8→12 bought +0.005), so the TABLE axis
+    // moved instead — 24×8×6 measured 0.910 at budget 0.563
+    ("ann_lsh_topk", "ann_bruteforce_topk", 0.86),
     // r15: nprobe 8→12 (the r13/r14 escalation dial applied to the
     // plain tier) — measured 0.740 → 0.935 at sf0.1
     ("ann_ivf_topk", "ann_bruteforce_topk", 0.88),
@@ -56,13 +57,14 @@ object RecallFloors {
     ("ann_index_ivf_append_probe", "ann_bruteforce_topk", 0.87),
     // the incremental PQ index encodes the appended half with the
     // BASE half's codebooks — measured 0.665 at rerank=16, a real
-    // r11: the append path now probes 12 of 16 cells (vs the fresh
-    // build's 8) — the sweep showed its 0.665 plateau was CELL miss
-    // (stale centroid assignment of the appended half), not rank
-    // miss: rerank 16→64 moved nothing while nprobe 8→12 lifted
-    // 0.665→0.860. Probe escalation is the operational dial between
-    // rebuilds; the floor sits under the escalated point
-    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.80),
+    // r11: the append path's 0.665 plateau was CELL miss (stale
+    // centroid assignment of the appended half), not rank miss:
+    // rerank 16→64 moved nothing while nprobe 8→12 lifted
+    // 0.665→0.860. r18: one more step, 12→14 (the dial value the
+    // fresh ivfpq probe escalated to in r17) — measured 0.945
+    // (13 → 0.900). Probe escalation is the operational dial
+    // between rebuilds; the floor sits under the escalated point
+    ("ann_index_ivfpq_append_probe", "ann_bruteforce_topk", 0.88),
     // PCA-compressed first pass (64 → 32 dims) + exact rerank. The
     // 16-dim point measured 0.305 — the testdata embeddings are
     // near-isotropic, so the spectrum gives PCA little to keep; 32

@@ -1246,19 +1246,19 @@ object SparkEntry {
     // via the bench contract line's recall map
     "ann_lsh_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      // r10 retune: 16×8 margin-ordered multiprobe (adjacent
-      // low-margin buckets hold the neighbors a wider bucket would
-      // only dilute). r15 probe-budget escalation 4→8 probes/table —
-      // the same operational dial as IVF's nprobe: candidate budget
-      // 0.25→0.50 of corpus lifted measured recall 0.710 → 0.860 at
-      // sf0.1 (docs/ANN_SWEEP.md r15 axis; 6 probes = 0.375 budget
-      // measured 0.800 — no floor headroom, so the driver point
-      // takes 8). Probe count scales the QUERY-side rows only
-      // (|queries|·tables·probes); the corpus signature store and
-      // its shuffle are untouched, which is why probes — not tables
-      // or planes — is the cheap dial at 100 TB.
+      // r18 retune: the r15 probe dial SATURATED at 16 tables
+      // (probes 8→12 bought 0.860→0.865 — every 1-bit-adjacent
+      // bucket was already probed; what's left lives further away),
+      // so the r18 grid moved the TABLE axis instead: 24×8 with 6
+      // margin-ordered probes reads 0.910 at candidate budget 0.563
+      // (docs/ANN_SWEEP.md r18 axis; 28×9×10 ties at 0.910/0.547
+      // but pays 1.75× the corpus-side signature compute for the
+      // same recall). More tables = more independent chances to
+      // co-bucket — the axis that still pays once multiprobe is
+      // exhausted. Corpus-side cost is tables·sig per vector; the
+      // candidate join stays budget-bounded.
       Similarity.lshTopK(e, e.filter(col("vec_id") % 100 === 0), k = 10,
-        tables = 16, planesPerTable = 8, multiprobe = 8)
+        tables = 24, planesPerTable = 8, multiprobe = 6)
     }),
     "ann_ivf_topk" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -1302,17 +1302,19 @@ object SparkEntry {
       AnnIndex.probeIvf(s, annIndexPaths(s, dir)._3,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
     }),
-    // the append path probes WIDER than the fresh build (12 vs 8 of
+    // the append path probes WIDER than the fresh build (14 vs 8 of
     // 16 cells): append encodes deltas against STORED centroids, so
     // a query's true cell is more often outside the top-8 — the r11
     // sweep (docs/ANN_SWEEP.md) shows rerank saturated at 16 (cell
-    // miss, not rank miss) while nprobe 8→12 lifts 0.665→0.860.
-    // Probe escalation with index age is the standard operational
+    // miss, not rank miss) while nprobe 8→12 lifted 0.665→0.860 and
+    // the r18 step 12→14 reads 0.945 (13 → 0.900) — the same dial
+    // value the fresh ivfpq probe escalated to in r17. Probe
+    // escalation with index age is the standard operational
     // compensation between rebuilds.
     "ann_index_ivfpq_append_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
-        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12, rerank = 16)
+        e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 14, rerank = 16)
     }),
     // streaming ANN serving (r15): arriving query vectors probe the
     // PERSISTED index per micro-batch (foreachBatch over the batch
@@ -1339,9 +1341,12 @@ object SparkEntry {
     }),
     // the PQ layout under the same delete batch (r15): the tombstone
     // log masks the CODE-scan candidates, so a deleted id never
-    // scores and never reaches the rerank — same model state and
-    // budgets as ann_index_ivfpq_probe, so the oracle is the PQ
-    // replay probing the survivor assignment
+    // scores and never reaches the rerank — same model state as
+    // ann_index_ivfpq_probe but INTENTIONALLY held at nprobe=12
+    // (its own nprobe=12 oracle below) while the probe tier moved to
+    // 14 in r17: the delete mask SHRINKS the candidate set, it does
+    // not displace cells, so the staleness-compensation escalation
+    // doesn't apply; the survivor recall floor gates it separately
     "ann_index_ivfpq_delete_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       AnnIndex.probeIvfPq(s, annDelIndexPaths(s, dir)._2,
@@ -5996,10 +6001,10 @@ object SparkEntry {
     "ann_index_ivfpq_append_probe" ->
       // incremental IVF-PQ: model state (cells + codebooks) from the
       // even half's pick, the full corpus encoded against it; probes
-      // 12 of 16 cells — the append path's staleness-compensation
-      // dial (see the queries entry)
+      // 14 of 16 cells — the append path's staleness-compensation
+      // dial at the r18 step (see the queries entry)
       (s"""WITH ${ivfCentsCtes("WHERE vec_id % 2 = 0", pick = 32)},
-          |${pqTail(useIvf = true, budget = 160, nprobe = 12)}""")
+          |${pqTail(useIvf = true, budget = 160, nprobe = 14)}""")
         .stripMargin.replace("\n", " "),
     "ann_ivf_topk" ->
       // the IVF tier replayed end to end (r10): the xxhash64
@@ -6242,12 +6247,13 @@ object SparkEntry {
           |SELECT vec_id, group_id, vec_id = group_id AS keep
           |FROM lab""").stripMargin.replace("\n", " "),
     "ann_lsh_topk" ->
-      // the multiprobe LSH tier replayed: 16×8-plane signatures for
-      // the corpus; per (query, table) the exact bucket + the 7
+      // the multiprobe LSH tier replayed: 24×8-plane signatures for
+      // the corpus; per (query, table) the exact bucket + the 5
       // lowest-|projection| single-bit flips (the kernel's margin
-      // order, ties by plane index — r15 probe escalation 4→8);
+      // order, ties by plane index — r18 table escalation 16→24 at
+      // probes 6, the post-multiprobe-saturation axis);
       // candidates meet on (tbl, sig), exact cosine ranks the top-10
-      (s"""WITH ${hyperplaneSigCte(16, 8, 23L)},
+      (s"""WITH ${hyperplaneSigCte(24, 8, 23L)},
           |proj AS MATERIALIZED (SELECT e.vec_id, pl.tbl, pl.p,
           |  list_inner_product(CAST(e.embedding AS DOUBLE[]), pl.w) AS s
           | FROM embeddings e, pl WHERE e.vec_id % 100 = 0),
@@ -6262,7 +6268,7 @@ object SparkEntry {
           | SELECT q.vec_id, q.tbl, xor(q.sig,
           |   CAST(CAST(1 AS BIGINT) << f.p AS BIGINT)) AS sig
           | FROM qbase q JOIN flips f
-          |  ON f.vec_id = q.vec_id AND f.tbl = q.tbl AND f.rk <= 7),
+          |  ON f.vec_id = q.vec_id AND f.tbl = q.tbl AND f.rk <= 5),
           |cands AS (SELECT DISTINCT p.vec_id AS query_id,
           |  h.vec_id AS neighbor_id
           | FROM probes p JOIN hsig h

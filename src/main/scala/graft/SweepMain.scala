@@ -62,6 +62,41 @@ object SweepMain {
       }
       spark.stop(); return
     }
+    // r18 escalation axis: the two 0.86 stragglers' own dials.
+    // LSH: probe budget (the r15 dial, two more steps). IVF-PQ
+    // APPEND probe: nprobe on the PERSISTED appended layout (the
+    // build-on-even / append-odd store the driver key reads — the
+    // sweep builds its own scratch copy), rerank held at 16 since
+    // the r11 grid showed the append loss is cell miss, not rank.
+    if (sys.env.get("SPARK_GRAFT_SWEEP").contains("r18")) {
+      println("| LSH tables | planes | probes | budget | recall@10 |")
+      println("| --- | --- | --- | --- | --- |")
+      for ((tables, planes, probes) <- Seq(
+        (16, 8, 8), (16, 8, 10), (16, 8, 12), (16, 9, 10), (20, 9, 10),
+        (24, 9, 10), (24, 9, 12), (28, 9, 10), (20, 8, 8), (24, 8, 6),
+        (24, 8, 8))) {
+        val r = recall(sets(Similarity.lshTopK(emb, queries, 10,
+          tables = tables, planesPerTable = planes, multiprobe = probes)))
+        val budget = tables.toDouble * probes / (1 << planes)
+        println(f"| $tables | $planes | $probes | $budget%.3f | $r%.3f |")
+      }
+      val base = java.nio.file.Files
+        .createTempDirectory("sweep-ivfpq-incr").toString
+      graft.operators.AnnIndex.buildIvfPq(
+        emb.filter(col("vec_id") % 2 === 0), s"$base/ivfpq_incr",
+        m = 16, nCodes = 32)
+      graft.operators.AnnIndex.appendIvfPq(
+        emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
+      println("| IVF-PQ APPEND probe nprobe | rerank | recall@10 |")
+      println("| --- | --- | --- |")
+      for (nprobe <- Seq(12, 13, 14); rerank <- Seq(16)) {
+        val r = recall(sets(graft.operators.AnnIndex.probeIvfPq(spark,
+          s"$base/ivfpq_incr", queries, k = 10, nprobe = nprobe,
+          rerank = rerank).select("query_id", "neighbor_id")))
+        println(f"| $nprobe | $rerank | $r%.3f |")
+      }
+      spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_SWEEP").contains("r15")) {
       println("| LSH 16×8 probes | budget | recall@10 |")
       println("| --- | --- | --- |")
