@@ -1520,6 +1520,106 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // r18 chaos specs (verdict #7): the streaming calibration family —
+  // the one family whose bench moved in r17 — must survive a
+  // kill-and-recover. The query stops with a batch IN FLIGHT (data
+  // added, never processed), a NEW query resumes from the same
+  // checkpoint, and the recovered state must make the final emission
+  // equal the BATCH twin over all data — including the HLL state,
+  // whose sketch recovery has to be bit-faithful for the counts to
+  // match exactly.
+
+  test("dqProfileState: kill with a batch in flight, recover from " +
+    "checkpoint — final rows equal the batch twin, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Option[Double])]
+    val src = mem.toDF().toDF("event_id", "event_type", "value")
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_dq_chaos").toString
+    // the memory sink refuses checkpoint recovery; foreachBatch is
+    // the restartable sink — latest emission per column wins
+    val got = scala.collection.concurrent.TrieMap
+      .empty[String, (Long, Long, Long, Double)]
+    def start() = EventStream.dqProfileState(src,
+        Seq("event_type", "value"))
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got(r.getString(0)) =
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      }
+      .option("checkpointLocation", chk)
+      .outputMode("update").start()
+    val batch1 = Seq((1L, "click", Some(1.0)), (2L, "view", Some(2.0)))
+    val batch2 = Seq((3L, "click", None), (4L, "buy", Some(1.0)),
+      (5L, "view", Some(2.0)))
+    val q1 = start()
+    try {
+      mem.addData(batch1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the crash: batch2 lands while NO query runs — on restart it is
+    // unprocessed input the recovered query must fold exactly once
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val batchTwin = EventStream.dqProfileState(
+          (batch1 ++ batch2).toDF("event_id", "event_type", "value"),
+          Seq("event_type", "value"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))).toMap
+      assert(got.toMap == batchTwin,
+        s"recovered fold must equal the batch twin (HLL state " +
+          s"included): stream=${got.toMap} batch=$batchTwin")
+    } finally q2.stop()
+  }
+
+  test("slidingActives: kill with a batch in flight, recover from " +
+    "checkpoint — per-window actives equal the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_sla_chaos").toString
+    val got = scala.collection.concurrent.TrieMap.empty[String, Long]
+    def start() = EventStream.slidingActives(mem.toDF(),
+        windowDays = 3, slideDays = 1)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // CAST normalizes the window key's rendering (the stream
+        // plans ts as TimestampType, the batch twin as ntz)
+        b.selectExpr("CAST(window_start AS STRING) AS w", "active_users")
+          .collect().foreach(r => got(r.getString(0)) = r.getLong(1))
+      }
+      .option("checkpointLocation", chk)
+      .outputMode("update").start()
+    val batch1 = Seq(Event(1L, ts(0, 0), 1L, "click", 1.0),
+      Event(2L, ts(0, 30), 2L, "click", 1.0))
+    val batch2 = Seq(Event(3L, ts(1, 0), 3L, "view", 1.0),
+      Event(4L, ts(2, 0), 1L, "buy", 1.0))
+    val q1 = start()
+    try {
+      mem.addData(batch1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    mem.addData(batch2: _*)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val batchTwin = EventStream.slidingActives(
+          (batch1 ++ batch2).toDF(), windowDays = 3, slideDays = 1)
+        .selectExpr("CAST(window_start AS STRING) AS w", "active_users")
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // update mode re-emits refined windows; batch-1-only windows
+      // keep their recovered HLL counts — every window the batch
+      // twin knows must match, and no extra windows may exist
+      assert(got.toMap == batchTwin,
+        s"recovered windows must equal the batch twin: " +
+          s"stream=${got.toMap} batch=$batchTwin")
+    } finally q2.stop()
+  }
+
   test("feedLastSeen: per-feed watermark accumulates; dead feed flags on poll") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
