@@ -62,15 +62,18 @@ object SparkEntry {
     * and their eagerly localCheckpoint'ed blocks for the JVM
     * lifetime (harmless in the one-session bench/driver processes, a
     * leak in any long-lived multi-session embedding). Every instance
-    * registers in one global set; the first insert for a session
-    * installs a single ApplicationEnd listener that sweeps that
-    * session's keys from every registered cache, and every insert
+    * registers in one global set; the first insert for a CONTEXT
+    * installs a single ApplicationEnd listener (r18: one per
+    * context, not per session — per-session listeners accumulated
+    * on the bus under session churn) that sweeps every session of
+    * that context from every registered cache, and every insert
     * opportunistically purges entries whose context has already
     * stopped (covering the insert-after-sweep race). Known
     * boundary: sessions CHURNED over one long-lived context
-    * (newSession/cloneSession per tenant) are reclaimed only when
-    * that context ends — there is no per-session lifecycle event to
-    * hook; an embedding with per-tenant sessions should reuse them
+    * (newSession/cloneSession per tenant) hold their CACHE ENTRIES
+    * until that context ends — there is no per-session lifecycle
+    * event to hook (the listener itself no longer grows with churn);
+    * an embedding with per-tenant sessions should reuse them
     * per (tenant, dir), which is also what makes this cache pay. */
   private final class SessionCache[V] {
     private val m = scala.collection.concurrent.TrieMap
@@ -80,8 +83,8 @@ object SparkEntry {
       SessionCache.hookEviction(k._1)
       m.getOrElseUpdate(k, v)
     }
-    def evict(s: SparkSession): Unit =
-      m.keySet.filter(_._1 eq s).foreach(m.remove)
+    def evictContext(sc: org.apache.spark.SparkContext): Unit =
+      m.keySet.filter(_._1.sparkContext eq sc).foreach(m.remove)
     def evictStopped(): Unit =
       m.keySet.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     def countFor(s: SparkSession): Int = m.keySet.count(_._1 eq s)
@@ -98,8 +101,24 @@ object SparkEntry {
   private object SessionCache {
     val all: java.util.Set[SessionCache[_]] =
       java.util.concurrent.ConcurrentHashMap.newKeySet[SessionCache[_]]()
-    private val hooked =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+    // hooked per CONTEXT, not per session (r18, ADVICE): a
+    // per-session listener meant churned sessions over one long-lived
+    // context accumulated listeners and strong session refs on the
+    // bus until context end — every bus event fanning out to dead
+    // sessions' listeners. One context-level listener sweeps every
+    // session of that context; contexts are few and long-lived by
+    // construction, so the set is bounded.
+    private val hooked = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[org.apache.spark.SparkContext]()
+    /** The ApplicationEnd sweep, callable directly (the r18 test
+      * hook — posting a synthetic ApplicationEnd onto a LIVE bus
+      * also feeds Spark's own AppStatus/SQL listeners on a context
+      * still in use). */
+    def sweepContext(sc: org.apache.spark.SparkContext): Unit = {
+      all.forEach(_.evictContext(sc))
+      hooked.remove(sc)
+      ()
+    }
     def hookEviction(s: SparkSession): Unit = {
       // opportunistic reclamation on the way in (r17 review): an
       // entry whose owning context already stopped can never be
@@ -108,18 +127,23 @@ object SparkEntry {
       // before the insert existed. Purging here bounds that window
       // to "until any session touches any cache next".
       all.forEach(_.evictStopped())
-      if (hooked.add(s))
-        s.sparkContext.addSparkListener(
+      val sc = s.sparkContext
+      if (hooked.add(sc))
+        sc.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler.SparkListenerApplicationEnd)
-                : Unit = {
-              all.forEach(_.evict(s))
-              hooked.remove(s)
-            }
+                : Unit = sweepContext(sc)
           })
     }
   }
+
+  /** Test hook (r18): run the context sweep directly — what the
+    * ApplicationEnd listener does, without poisoning a live bus
+    * with a synthetic end-of-application event. */
+  private[graft] def sessionCacheSweep(
+      sc: org.apache.spark.SparkContext): Unit =
+    SessionCache.sweepContext(sc)
 
   /** Default-parameter [[Dedup.blockingTrunk]] over the documents
     * table (shingle sets + df-capped candidate pairs) and the

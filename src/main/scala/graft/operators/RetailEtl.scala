@@ -317,21 +317,37 @@ object RetailEtl {
     * matches the NATIVE distinct both engines compute (-0.0 and 0.0
     * compare equal natively but stringify differently; NaN needs no
     * help — every rendering casts to "NaN"). */
+  /** The dq family's ONE column-resolution rule (r18, ADVICE —
+    * previously only the stringified path had it, so case-variant
+    * callers got differing `col_name` rows from the composed and
+    * one-scan twins): exact schema name first, else a UNIQUE
+    * case-insensitive match; absence and ambiguity throw naming the
+    * caller's spelling; the RESOLVED schema field is what every
+    * emitter uses, so `col_name` output is caller-case-independent. */
+  private def resolveDqColumn(df: DataFrame,
+                              c: String): org.apache.spark.sql.types.StructField = {
+    val field = df.schema.fields.find(_.name == c).getOrElse {
+      val ci = df.schema.fields.filter(_.name.equalsIgnoreCase(c))
+      require(ci.nonEmpty, s"dq profile column '$c' does not exist")
+      require(ci.length == 1,
+        s"dq profile column '$c' is ambiguous case-insensitively: " +
+          ci.map(_.name).mkString(", "))
+      ci.head
+    }
+    // names are interpolated into stack() SQL — restrict to plain
+    // identifiers rather than attempt escaping
+    require(field.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"dq profile column name must be a plain identifier, " +
+        s"got '${field.name}'")
+    field
+  }
+
   private[graft] def stackStringified(df: DataFrame,
                                       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "dq profile needs at least one column")
     val slots = cols.map { c =>
-      val field = df.schema.fields.find(_.name == c).getOrElse {
-        val ci = df.schema.fields.filter(_.name.equalsIgnoreCase(c))
-        require(ci.nonEmpty, s"dq profile column '$c' does not exist")
-        require(ci.length == 1,
-          s"dq profile column '$c' is ambiguous case-insensitively: " +
-            ci.map(_.name).mkString(", "))
-        ci.head
-      }
+      val field = resolveDqColumn(df, c)
       val n = field.name
-      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"dq profile column name must be a plain identifier, got '$n'")
       val v = field.dataType match {
         case org.apache.spark.sql.types.DoubleType |
             org.apache.spark.sql.types.FloatType =>
@@ -347,16 +363,16 @@ object RetailEtl {
   private def dqProfileWith(df: DataFrame, cols: Seq[String],
                             distinctOf: String => Column): DataFrame = {
     require(cols.nonEmpty, "dqProfile needs at least one column")
-    // names are interpolated into stack() SQL below — restrict to
-    // plain identifiers rather than attempt escaping
-    cols.foreach(c => require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
-      s"dqProfile column name must be a plain identifier, got '$c'"))
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+    // resolve-then-emit-schema-name, same rule as the stringified
+    // path (r18, ADVICE): the composed and one-scan twins must emit
+    // IDENTICAL col_name rows for case-variant callers
+    val names = cols.map(c => resolveDqColumn(df, c).name)
+    val aggs = count(lit(1)).as("n_rows") +: names.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
       distinctOf(c).as(s"${c}__distinct")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(
-        s"stack(${cols.size}, " + cols.map(c =>
+        s"stack(${names.size}, " + names.map(c =>
           s"'$c', n_rows, `${c}__nulls`, `${c}__distinct`").mkString(", ") +
           ") as (col_name, n_rows, n_nulls, n_distinct)"))
       .withColumn("null_frac",

@@ -122,28 +122,28 @@ class R17PropertySpec extends SparkSpec {
     }
   }
 
-  test("SessionCache eviction (r17, ADVICE): ApplicationEnd sweeps the " +
-    "session's shared-cache entries without stopping the context") {
-    // touch one cached getter so at least one entry exists
+  test("SessionCache eviction (r17, ADVICE; r18: direct sweep hook): " +
+    "the context sweep clears every session of the context — churned " +
+    "sessions included — without stopping it") {
+    // touch one cached getter on the suite session AND on a churned
+    // newSession of the same context: the r18 context-level sweep
+    // must clear BOTH (the r17 per-session listener would have
+    // needed one listener each — the bus-growth ADVICE item)
     SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
-    assert(SparkEntry.sessionCacheEntries(spark) > 0,
-      "touching a cms key must populate its shared cache")
-    // fire the end-of-application signal through the real listener
-    // bus (reflection: listenerBus is private[spark]) — the shared
-    // suite context must NOT be stopped, only the caches swept
-    val sc = spark.sparkContext
-    val busM = sc.getClass.getMethod("listenerBus")
-    val bus = busM.invoke(sc)
-    val post = bus.getClass.getMethods.find(m =>
-      m.getName == "post" && m.getParameterCount == 1).get
-    post.invoke(bus,
-      org.apache.spark.scheduler.SparkListenerApplicationEnd(1L))
-    // the bus is async — poll briefly for the sweep
-    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (SparkEntry.sessionCacheEntries(spark) > 0 &&
-      System.nanoTime() < deadline) Thread.sleep(50)
+    val churned = spark.newSession()
+    SparkEntry.queries("text_cms_token_freq")(churned, "/root/testdata/sf0.001")
+    assert(SparkEntry.sessionCacheEntries(spark) > 0 &&
+      SparkEntry.sessionCacheEntries(churned) > 0,
+      "touching a cms key must populate its shared cache per session")
+    // invoke the sweep the ApplicationEnd listener runs, DIRECTLY
+    // (r18, ADVICE: posting a synthetic ApplicationEnd onto the
+    // live bus also feeds Spark's own AppStatus/SQL listeners on a
+    // context still in use — a corruption hazard for later suites)
+    SparkEntry.sessionCacheSweep(spark.sparkContext)
     assert(SparkEntry.sessionCacheEntries(spark) === 0,
-      "ApplicationEnd must evict every cache entry keyed by the session")
+      "the context sweep must evict the suite session's entries")
+    assert(SparkEntry.sessionCacheEntries(churned) === 0,
+      "the context sweep must evict churned sessions' entries too")
     // and the caches keep working afterwards (rebuild on next touch)
     SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
     assert(SparkEntry.sessionCacheEntries(spark) > 0,
@@ -201,6 +201,15 @@ class R17PropertySpec extends SparkSpec {
     // the output stays oracle-comparable regardless of caller case
     val ci = RetailEtl.dqCalibrationOneScan(li, Seq("L_PARTKEY")).collect()
     assert(ci.length === 1 && ci.head.getString(0) === "l_partkey")
+    // r18 (ADVICE): the COMPOSED twin resolves identically — a
+    // case-variant caller gets the same col_name rows from both forms
+    val ciComposed = RetailEtl.dqCalibration(li, Seq("L_PARTKEY")).collect()
+    assert(ciComposed.length === 1 &&
+      ciComposed.head.getString(0) === "l_partkey",
+      "dqCalibration must emit the resolved schema-case col_name")
+    assert(ciComposed.map(_.toString).sorted.toSeq ===
+      ci.map(_.toString).sorted.toSeq,
+      "case-variant callers must get identical rows from both twins")
     // two case-variant fields: a third spelling matches both → throws
     val amb = li.select(col("l_partkey"), col("l_partkey").as("L_PARTKEY"))
     val e = intercept[IllegalArgumentException] {
