@@ -62,6 +62,27 @@ class BenchSpec extends AnyFunSuite {
       s"cap must stop the loop at 4: $attempts")
   }
 
+  test("growth trend guard (r18): >5% over the committed total or " +
+    "shared_prime earns a note; the committer's reason rides along") {
+    assert(Bench.growthNote(100.0, 5.0, Some(100.0), Some(5.0), None).isEmpty,
+      "flat round must not stamp growth")
+    assert(Bench.growthNote(104.9, 5.2, Some(100.0), Some(5.0), None).isEmpty,
+      "under the 5% gate on both axes: no note")
+    val tot = Bench.growthNote(106.0, 5.0, Some(100.0), Some(5.0), None)
+    assert(tot.exists(n => n.contains("total") && n.contains("6.0%")),
+      s"total growth must be named with its percentage: $tot")
+    val prm = Bench.growthNote(100.0, 5.6, Some(100.0), Some(5.0), None)
+    assert(prm.exists(n => n.contains("shared_prime") && !n.contains("total")),
+      s"prime-only growth names only the prime: $prm")
+    val both = Bench.growthNote(106.0, 5.6, Some(100.0), Some(5.0),
+      Some("new key family landed"))
+    assert(both.exists(n => n.contains("total") && n.contains("shared_prime")
+      && n.contains("new key family landed")),
+      s"both axes + the committer's reason must ride the note: $both")
+    assert(Bench.growthNote(500.0, 50.0, None, None, None).isEmpty,
+      "no reference (older artifacts) must never stamp growth")
+  }
+
   test("noisy verdict (r17): stamped only when the live spin exceeds " +
     "2x the committed reference spin") {
     assert(!Bench.noisyVerdict(27.8, None),
