@@ -41,11 +41,16 @@ object Bench {
     * a `growth_note` artifact field, so the next +5% is named at
     * commit time, not at judging time. `explain` (the
     * SPARK_GRAFT_GROWTH_NOTE env) lets the committer attach the
-    * reason to the artifact itself. */
+    * reason to the artifact itself. When the run's [[noisyVerdict]]
+    * is true the note is prefixed as NOT attributable — a contended
+    * host inflates total/prime exactly like committed growth would,
+    * and blaming the binary for weather is the misattribution the
+    * spin probe exists to prevent (r18 review). */
   private[graft] def growthNote(total: Double, prime: Double,
                                 refTotal: Option[Double],
                                 refPrime: Option[Double],
-                                explain: Option[String]): Option[String] = {
+                                explain: Option[String],
+                                noisy: Boolean = false): Option[String] = {
     def over(v: Double, r: Double) =
       f"${(v / r - 1) * 100}%.1f%% over the committed ${r}%.1f s"
     val msgs =
@@ -54,8 +59,11 @@ object Bench {
       refPrime.filter(r => prime > 1.05 * r)
         .map(r => f"shared_prime $prime%.1f s is ${over(prime, r)}")
     if (msgs.isEmpty) None
-    else Some((msgs.mkString("; ") +
-      explain.filter(_.nonEmpty).map(" — " + _).getOrElse("")))
+    else Some(
+      (if (noisy) "noisy host (spin >2x the committed ref) — growth " +
+        "not attributable to the binary, re-measure quiet: " else "") +
+      msgs.mkString("; ") +
+      explain.filter(_.nonEmpty).map(" — " + _).getOrElse(""))
   }
 
   private[graft] def measureKey(once: () => Double, retry: () => Double,
@@ -83,12 +91,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // FAIR job scheduling (r18): the prime runs seven sequential
-      // chains concurrently, and under FIFO each chain's many SMALL
-      // jobs queue behind whichever long stage holds the task slots —
-      // measured 7.9 s → 6.4 s on the timed prime at sf0.1. Neutral
-      // for the per-key timings: keys run one at a time (a single
-      // job submitter sees FIFO and FAIR identically).
+      // FAIR job scheduling (r18; corrected by the r18 review): FAIR
+      // is a NO-OP without per-chain pool assignment — every TaskSet
+      // lands in the single default pool, which is FIFO inside even
+      // under FAIR mode (FairSchedulableBuilder.buildDefaultPool in
+      // the shipped spark-core jar), so the 7.9→6.4 s delta the r18
+      // commit attributed to this flag was the warm pass + host
+      // variance. primeSharedCaches now assigns each prime chain its
+      // OWN pool, which makes the flag real; A/B at sf0.1 (3
+      // interleaved JVM runs each): FAIR 6.0–6.3 s vs FIFO
+      // 5.5–13.9 s — min-neutral, variance-reducing (FIFO's convoy
+      // tail is the 13.9). Kept for the 100 TB posture: one driver
+      // multiplexing pipelines is exactly the FAIR-pools shape.
+      // Neutral for the per-key timings: keys run one at a time (a
+      // single job submitter sees FIFO and FAIR identically).
       .config("spark.scheduler.mode", "FAIR")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -359,8 +375,9 @@ object Bench {
     // last 2000 chars of stdout — a 200+-entry map is ~7KB and can
     // never ride the contract line); the contract line carries the
     // headline subset + recall and stays well under 2KB.
-    // prime_detail: per-artifact build timings (ann_* entries nest
-    // inside ann_indexes — see SparkEntry.primeDetail), so a prime
+    // prime_detail: per-artifact build timings (ann_* build entries
+    // nest inside ann_indexes / ann_incr_indexes — see
+    // SparkEntry.primeDetail), so a prime
     // regression is attributable to one artifact, not the whole lump
     // over-band evidence: attempts for every key that stayed > 2× its
     // recorded band max after the extra runs, ANNOTATED so the entry
@@ -389,10 +406,21 @@ object Bench {
     // total is incomparable to the committed full total)
     val growth = if (only.nonEmpty) None
       else growthNote(total, primeSec, refTotal, refPrime,
-        sys.env.get("SPARK_GRAFT_GROWTH_NOTE"))
+        sys.env.get("SPARK_GRAFT_GROWTH_NOTE"), noisy)
     growth.foreach(g => System.err.println(s"[bench] GROWTH: $g"))
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\")
-      .replace("\"", "\\\"").replace("\n", " ") + "\""
+    // JSON string escape incl. ALL control chars (r18 review): a tab
+    // or CR in SPARK_GRAFT_GROWTH_NOTE would otherwise make the
+    // contract line invalid JSON — and the next round's band-ref
+    // load silently drops every band when the artifact won't parse
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":${jsonOf(
         results + ("shared_prime" -> primeSec))},"recall":$recallJson,""" +

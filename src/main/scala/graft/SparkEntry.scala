@@ -116,7 +116,15 @@ object SparkEntry {
       * still in use). */
     def sweepContext(sc: org.apache.spark.SparkContext): Unit = {
       all.forEach(_.evictContext(sc))
-      hooked.remove(sc)
+      // un-hook only a STOPPED context (isStopped is already true
+      // inside onApplicationEnd — SparkContext.stop() flips the flag
+      // before posting the event). A direct sweep on a LIVE context
+      // (the reclamation/test path) must keep its `hooked` entry:
+      // removing it would make the next cache touch addSparkListener
+      // a SECOND identical listener while the first is still on the
+      // bus — re-growing per sweep+touch cycle, the exact
+      // accumulation this r18 change exists to prevent.
+      if (sc.isStopped) hooked.remove(sc)
       ()
     }
     def hookEviction(s: SparkSession): Unit = {
@@ -127,6 +135,10 @@ object SparkEntry {
       // before the insert existed. Purging here bounds that window
       // to "until any session touches any cache next".
       all.forEach(_.evictStopped())
+      // and drop dead contexts whose listener never fired (bus
+      // already stopped at the time of the post) — bounds `hooked`'s
+      // strong SparkContext refs under context churn
+      hooked.removeIf(_.isStopped)
       val sc = s.sparkContext
       if (hooked.add(sc))
         sc.addSparkListener(
@@ -387,48 +399,83 @@ object SparkEntry {
     * IVF-PQ m=16/nCodes=32, the r9 retune), so probe recall equals
     * the corresponding in-memory tier and sits under the same
     * [[RecallFloors]] gate. */
-  private val annIndexCache =
-    new SessionCache[(String, String, String, String)]
-  private def annIndexPaths(s: SparkSession, dir: String): (String, String, String, String) =
-    annIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_indexes") {
-      val base = java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get("target", "ann-index",
-          java.lang.Integer.toHexString(dir.hashCode))).toString
+  private def annIndexBaseDir(dir: String): String =
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "ann-index",
+        java.lang.Integer.toHexString(dir.hashCode))).toString
+  // SPLIT caches (r18 review): the base pair (full-corpus ivf/ivfpq)
+  // and the incremental pair are independent consumers' artifacts —
+  // the delete-lifecycle copy and the plain probe keys read only the
+  // base pair, the *_incr probes only the incremental pair. One
+  // fused getter made a SPARK_GRAFT_ONLY delete-key run build all
+  // four (violating the lazy-subset-prime invariant: a subset never
+  // pays for indexes its keys never read). Within each pair the
+  // builds are independent (distinct output paths, distinct
+  // trainers), each a chain of small driver-fold jobs —
+  // stage-latency-bound, not CPU-bound — so they submit CONCURRENTLY
+  // (Spark's scheduler interleaves jobs from multiple threads; a
+  // real cluster runs them as parallel pipelines), and each pair's
+  // input count is paid ONCE and handed to both sibling builds
+  // (pickCentroids' thinning is a pure function of n — identical
+  // centroids, one count job per sibling saved).
+  private val annBaseIndexCache =
+    new SessionCache[(String, String)]
+  private def annBaseIndexPaths(s: SparkSession, dir: String): (String, String) =
+    annBaseIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_indexes") {
+      val base = annIndexBaseDir(dir)
       val emb = Tables.embeddings(s, dir)
-      // the four builds are independent (distinct output paths,
-      // distinct trainers) and each is a chain of small driver-fold
-      // jobs — stage-latency-bound, not CPU-bound — so they submit
-      // CONCURRENTLY (Spark's scheduler interleaves jobs from
-      // multiple threads; a real cluster runs them as parallel
-      // pipelines). The incremental twins: built on the even half
-      // ("yesterday"), the odd half appended against the STORED
-      // centroids (and, for IVF-PQ, STORED codebooks) — no retrain,
-      // no history rewrite (the daily-ingest shape).
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      // each input set's count is paid ONCE and handed to both
-      // sibling builds (pickCentroids' thinning is a pure function
-      // of n — identical centroids, one count job per sibling saved)
-      val even = emb.filter(col("vec_id") % 2 === 0)
-      val (nFull, nEven) = Await.result(
-        Future(emb.count()).zip(Future(even.count())), Duration.Inf)
+      val nFull = emb.count()
+      // the sibling futures run on pooled EC threads that do NOT
+      // inherit the chain's scheduler-pool property — re-pin it
+      def sib[T](body: => T): Future[T] = Future {
+        val sc = s.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", "prime_ann")
+        try body finally sc.setLocalProperty("spark.scheduler.pool", null)
+      }
       Await.result(Future.sequence(Seq(
-        Future(primeTimed("ann_ivf_build")(
+        sib(primeTimed("ann_ivf_build")(
           AnnIndex.buildIvf(emb, s"$base/ivf", knownN = nFull))),
-        Future(primeTimed("ann_ivfpq_build")(
+        sib(primeTimed("ann_ivfpq_build")(
           AnnIndex.buildIvfPq(emb, s"$base/ivfpq", m = 16, nCodes = 32,
-            knownN = nFull))),
-        Future(primeTimed("ann_ivf_incr") {
+            knownN = nFull))))), Duration.Inf)
+      (s"$base/ivf", s"$base/ivfpq")
+    })
+  // the incremental twins: built on the even half ("yesterday"), the
+  // odd half appended against the STORED centroids (and, for IVF-PQ,
+  // STORED codebooks) — no retrain, no history rewrite (the
+  // daily-ingest shape)
+  private val annIncrIndexCache =
+    new SessionCache[(String, String)]
+  private def annIncrIndexPaths(s: SparkSession, dir: String): (String, String) =
+    annIncrIndexCache.getOrElseUpdate((s, dir), primeTimed("ann_incr_indexes") {
+      val base = annIndexBaseDir(dir)
+      val emb = Tables.embeddings(s, dir)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val nEven = even.count()
+      // re-pin the scheduler pool on the sibling futures' threads
+      // (pooled EC threads don't inherit the chain's property)
+      def sib[T](body: => T): Future[T] = Future {
+        val sc = s.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", "prime_ann_incr")
+        try body finally sc.setLocalProperty("spark.scheduler.pool", null)
+      }
+      Await.result(Future.sequence(Seq(
+        sib(primeTimed("ann_ivf_incr") {
           AnnIndex.buildIvf(even, s"$base/ivf_incr", knownN = nEven)
           AnnIndex.appendIvf(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivf_incr")
         }),
-        Future(primeTimed("ann_ivfpq_incr") {
+        sib(primeTimed("ann_ivfpq_incr") {
           AnnIndex.buildIvfPq(even,
             s"$base/ivfpq_incr", m = 16, nCodes = 32, knownN = nEven)
           AnnIndex.appendIvfPq(emb.filter(col("vec_id") % 2 =!= 0), s"$base/ivfpq_incr")
         }))), Duration.Inf)
-      (s"$base/ivf", s"$base/ivfpq", s"$base/ivf_incr", s"$base/ivfpq_incr")
+      (s"$base/ivf_incr", s"$base/ivfpq_incr")
     })
 
   /** The DELETE-lifecycle index (r15): its own layout copy (the
@@ -461,7 +508,7 @@ object SparkEntry {
       // the build is deterministic, so a file copy IS the build
       // (r18: two full rebuild passes dropped from the first
       // delete-key run)
-      val (ivfSrc, ivfpqSrc, _, _) = annIndexPaths(s, dir)
+      val (ivfSrc, ivfpqSrc) = annBaseIndexPaths(s, dir)
       val conf = s.sparkContext.hadoopConfiguration
       def copyLayout(src: String, dst: String): Unit = {
         val sp = new org.apache.hadoop.fs.Path(src)
@@ -484,7 +531,8 @@ object SparkEntry {
     * map as `prime_detail` in its detail file. Timings NEST
     * (shingle_sets + blocked_cands build inside blocked_pairs,
     * tf_postings inside bm25_index when the tf trunk isn't built
-    * yet, the ann_* entries inside ann_indexes) and the full-run
+    * yet, the ann_* build entries inside ann_indexes /
+    * ann_incr_indexes) and the full-run
     * chains execute CONCURRENTLY, so `shared_prime` is the wall
     * clock of the slowest chain, not the sum of entries. */
   val primeDetail: scala.collection.concurrent.TrieMap[String, Double] =
@@ -496,9 +544,10 @@ object SparkEntry {
     * ancestor that happened to wrap it (blocked_pairs' inclusive
     * time moves whenever shingle_sets does; its exclusive time only
     * moves when the pair verify itself does). The ann_* children
-    * build on their own threads inside `ann_indexes`, so that
-    * parent's exclusive time equals its wall — a regression there
-    * still names the child, because the child has its own entry. */
+    * build on their own threads inside `ann_indexes` /
+    * `ann_incr_indexes`, so those parents' exclusive time equals
+    * their wall — a regression there still names the child, because
+    * the child has its own entry. */
   val primeSelf: scala.collection.concurrent.TrieMap[String, Double] =
     scala.collection.concurrent.TrieMap.empty
   private val primeChildTime = new ThreadLocal[Double] {
@@ -572,24 +621,41 @@ object SparkEntry {
 
   def primeSharedCaches(s: SparkSession, dir: String): Unit = {
     primeDetail.clear(); primeSelf.clear()
-    // four independent chains (disjoint caches, disjoint inputs
-    // beyond the shared parquet scans) submit concurrently: each is
-    // a sequence of small jobs whose wall cost is stage-scheduling
+    // independent chains (disjoint caches, disjoint inputs beyond
+    // the shared parquet scans) submit concurrently: each is a
+    // sequence of small jobs whose wall cost is stage-scheduling
     // latency, not CPU — exactly what multi-threaded job submission
     // overlaps (and what a cluster runs as parallel pipelines).
+    // Under spark.scheduler.mode=FAIR each chain submits into its
+    // OWN pool (auto-created on first use; the root pool FAIR-shares
+    // slots between pools): without the per-chain pool assignment
+    // every TaskSet lands in the single default pool, which is FIFO
+    // INSIDE even under FAIR mode — a no-op (r18 review; verified
+    // against FairSchedulableBuilder.buildDefaultPool in the
+    // shipped spark-core jar). Under FIFO mode the property is
+    // ignored, so the assignment is safe either way. The property
+    // is thread-local to the submitting thread and cleared in
+    // `finally`, so pooled ExecutionContext threads never leak a
+    // prime pool onto later bench-key submissions.
     // Billing: each getter times itself, so prime_detail still
     // attributes cost per artifact; shared_prime = slowest chain.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    Await.result(Future.sequence(Seq(
-      Future(sharedBlockedPairs(s, dir)),
-      Future(sharedPhashSigs(s, dir)),
-      Future(sharedDupNgramDocs(s, dir)),
-      Future { sharedBasketTrunk(s, dir); sharedBasketPairs(s, dir) },
-      Future(sharedBm25Postings(s, dir)),
-      Future(sharedEntityGroups(s, dir)),
-      Future(annIndexPaths(s, dir)))), Duration.Inf)
+    def chain[T](pool: String)(body: => T): Future[T] = Future {
+      val sc = s.sparkContext
+      sc.setLocalProperty("spark.scheduler.pool", s"prime_$pool")
+      try body finally sc.setLocalProperty("spark.scheduler.pool", null)
+    }
+    Await.result(Future.sequence(Seq[Future[Any]](
+      chain("blocked")(sharedBlockedPairs(s, dir)),
+      chain("phash")(sharedPhashSigs(s, dir)),
+      chain("ngram")(sharedDupNgramDocs(s, dir)),
+      chain("basket") { sharedBasketTrunk(s, dir); sharedBasketPairs(s, dir) },
+      chain("bm25")(sharedBm25Postings(s, dir)),
+      chain("entity")(sharedEntityGroups(s, dir)),
+      chain("ann")(annBaseIndexPaths(s, dir)),
+      chain("ann_incr")(annIncrIndexPaths(s, dir)))), Duration.Inf)
     ()
   }
 
@@ -1303,7 +1369,7 @@ object SparkEntry {
     "ann_index_ivf_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       // nprobe=12 in lockstep with the in-memory tier (r15)
-      AnnIndex.probeIvf(s, annIndexPaths(s, dir)._1,
+      AnnIndex.probeIvf(s, annBaseIndexPaths(s, dir)._1,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
     }),
     "ann_index_ivfpq_probe" -> ((s, dir) => {
@@ -1311,7 +1377,7 @@ object SparkEntry {
       // nprobe=14 in lockstep with the in-memory tier (r17 — the
       // cell-miss finding applies identically to the persisted
       // layout: 14 of 16 cell partitions read, pruning intact)
-      AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._2,
+      AnnIndex.probeIvfPq(s, annBaseIndexPaths(s, dir)._2,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 14, rerank = 16)
     }),
     // probe of the INCREMENTALLY-maintained index (built on half the
@@ -1323,7 +1389,7 @@ object SparkEntry {
       // nprobe=12 (r15): the append path's centroids come from the
       // even half's pick, so probe escalation compensates staleness
       // exactly as it does for the IVF-PQ append tier
-      AnnIndex.probeIvf(s, annIndexPaths(s, dir)._3,
+      AnnIndex.probeIvf(s, annIncrIndexPaths(s, dir)._1,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
     }),
     // the append path probes WIDER than the fresh build (14 vs 8 of
@@ -1337,7 +1403,7 @@ object SparkEntry {
     // compensation between rebuilds.
     "ann_index_ivfpq_append_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      AnnIndex.probeIvfPq(s, annIndexPaths(s, dir)._4,
+      AnnIndex.probeIvfPq(s, annIncrIndexPaths(s, dir)._2,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 14, rerank = 16)
     }),
     // streaming ANN serving (r15): arriving query vectors probe the
@@ -1348,7 +1414,7 @@ object SparkEntry {
     // ann_index_ivf_probe, so the oracle is shared
     "stream_ann_probe" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      graft.streaming.AnnStream.probeReplay(s, annIndexPaths(s, dir)._1,
+      graft.streaming.AnnStream.probeReplay(s, annBaseIndexPaths(s, dir)._1,
         e.filter(col("vec_id") % 100 === 0), k = 10, nprobe = 12)
     }),
     // DELETE lifecycle probe (r15): tombstoned ids (vec_id % 7 == 3)

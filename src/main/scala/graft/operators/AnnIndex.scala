@@ -36,7 +36,7 @@ object AnnIndex {
     // the model write and the layout write share nothing once the
     // centroids are on the driver — submit them concurrently (two
     // independent jobs; a cluster runs them as parallel pipelines)
-    concurrently(
+    concurrently(spark.sparkContext)(
       () => centroids.zipWithIndex
         .map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "centroid")
@@ -51,13 +51,24 @@ object AnnIndex {
   /** Run independent build-side writes on concurrent threads —
     * Spark's scheduler interleaves jobs submitted from multiple
     * threads, so a build's driver-sized model writes stop
-    * serializing in front of its corpus-sized layout write. */
-  private def concurrently(fs: (() => Unit)*): Unit = {
+    * serializing in front of its corpus-sized layout write. The
+    * CALLING thread's scheduler-pool property (if any) is re-pinned
+    * on each worker thread: pooled ExecutionContext threads don't
+    * inherit it, and without the pin a FAIR-scheduled caller's
+    * writes would drop into the default pool. */
+  private def concurrently(sc: org.apache.spark.SparkContext)
+                          (fs: (() => Unit)*): Unit = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val pool = Option(sc.getLocalProperty("spark.scheduler.pool"))
     Await.result(
-      scala.concurrent.Future.sequence(fs.map(f => Future(f()))),
+      scala.concurrent.Future.sequence(fs.map(f => Future {
+        pool.foreach(p => sc.setLocalProperty("spark.scheduler.pool", p))
+        try f()
+        finally pool.foreach(_ =>
+          sc.setLocalProperty("spark.scheduler.pool", null))
+      })),
       Duration.Inf)
   }
 
@@ -355,7 +366,7 @@ object AnnIndex {
     val cbs = Similarity.codebooksFromSample(sample.take(nCodes), m, dim)
     // three independent writes once the model is on the driver —
     // concurrent submission (see [[buildIvf]])
-    concurrently(
+    concurrently(spark.sparkContext)(
       () => cents.zipWithIndex
         .map { case (c, i) => (i, c) }.toSeq
         .toDF("cell", "centroid")

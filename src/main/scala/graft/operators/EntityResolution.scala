@@ -150,10 +150,21 @@ object EntityResolution {
     * straight to the DP — an edit can touch both 8-grams). */
   private def levOnePrefilter(normA: Column, normB: Column,
                               lenA: Column, lenB: Column): Column =
+    levOneGramPrefilter(
+      substring(normA, 1, 8), substring(normB, 1, 8),
+      substring(normA, -8, 8), substring(normB, -8, 8), lenA, lenB)
+
+  /** The pigeonhole rule itself, over already-extracted 8-grams —
+    * the ONE site that owns the 16-char guard and the
+    * prefix-or-suffix disjunction (both [[levOnePrefilter]] and the
+    * precomputed-gram path in [[entityPairs]] route here, so a
+    * retune of the threshold or gram width cannot drift between the
+    * two result-identical paths). */
+  private def levOneGramPrefilter(p8a: Column, p8b: Column,
+                                  s8a: Column, s8b: Column,
+                                  lenA: Column, lenB: Column): Column =
     when(greatest(lenA, lenB) < 16, lit(true))
-      .otherwise(
-        substring(normA, 1, 8) === substring(normB, 1, 8) ||
-          substring(normA, -8, 8) === substring(normB, -8, 8))
+      .otherwise(p8a === p8b || s8a === s8b)
 
   /** [[levOnePrefilter]] with the 8-grams PRECOMPUTED per record
     * (columns `p8`/`s8` from [[withLevOneGrams]]) — the per-pair
@@ -179,8 +190,8 @@ object EntityResolution {
       n.columns.map(c => col(c).as(if (c == "block") c else s"${c}_$sfx")): _*)
     val (a, b) = (side("a"), side("b"))
     val pre = if (maxLev != 1) lit(true)
-      else when(greatest(col("len_a"), col("len_b")) < 16, lit(true))
-        .otherwise(col("p8_a") === col("p8_b") || col("s8_a") === col("s8_b"))
+      else levOneGramPrefilter(col("p8_a"), col("p8_b"),
+        col("s8_a"), col("s8_b"), col("len_a"), col("len_b"))
     a.join(b, Seq("block"))
       .filter(col("rec_id_a") < col("rec_id_b") &&
         abs(col("len_a") - col("len_b")) <= maxLev && pre)

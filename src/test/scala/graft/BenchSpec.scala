@@ -81,6 +81,18 @@ class BenchSpec extends AnyFunSuite {
       s"both axes + the committer's reason must ride the note: $both")
     assert(Bench.growthNote(500.0, 50.0, None, None, None).isEmpty,
       "no reference (older artifacts) must never stamp growth")
+    // noisy-host interaction (r18 review): a contended host inflates
+    // total/prime exactly like committed growth — the note must not
+    // blame the binary when the spin probe already called the
+    // weather, but it must still surface the numbers
+    val noisy = Bench.growthNote(106.0, 5.0, Some(100.0), Some(5.0),
+      None, noisy = true)
+    assert(noisy.exists(n => n.startsWith("noisy host") &&
+      n.contains("not attributable") && n.contains("6.0%")),
+      s"a noisy run's growth must be flagged as weather, not code: $noisy")
+    assert(Bench.growthNote(106.0, 5.0, Some(100.0), Some(5.0), None)
+      .exists(!_.contains("noisy host")),
+      "a quiet run's note must carry no noisy prefix")
   }
 
   test("noisy verdict (r17): stamped only when the live spin exceeds " +

@@ -150,6 +150,51 @@ class R17PropertySpec extends SparkSpec {
       "a swept cache must rebuild on the next touch, not wedge")
   }
 
+  /** The bus listeners whose class lives in the graft package — the
+    * eviction hook's anonymous listener is the only graft-authored
+    * listener ever registered. Reflection because SparkContext
+    * .listenerBus is private[spark] (public at the bytecode level). */
+  private def graftBusListeners: Seq[AnyRef] = {
+    val bus = spark.sparkContext.getClass
+      .getMethod("listenerBus").invoke(spark.sparkContext)
+    bus.getClass.getMethod("listeners").invoke(bus)
+      .asInstanceOf[java.util.List[AnyRef]]
+      .toArray.toSeq.asInstanceOf[Seq[AnyRef]]
+      .filter(_.getClass.getName.startsWith("graft."))
+  }
+
+  test("SessionCache listener registration (r18 review): sweep+touch " +
+    "cycles on a LIVE context never stack a second bus listener, and " +
+    "the REAL registered listener's ApplicationEnd callback sweeps") {
+    SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
+    assert(graftBusListeners.size === 1,
+      "exactly one context-level eviction listener on the bus")
+    // the regression shape: a direct sweep on the live context used
+    // to drop the context from `hooked`, so the next cache touch
+    // re-registered a DUPLICATE listener while the first stayed on
+    // the bus — one extra listener per sweep+touch cycle
+    (1 to 3).foreach { _ =>
+      SparkEntry.sessionCacheSweep(spark.sparkContext)
+      SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
+    }
+    assert(graftBusListeners.size === 1,
+      "a live-context sweep must not make the next touch stack a " +
+        "duplicate listener on the bus")
+    // drive the REAL registered listener object's callback (not the
+    // bus, not the test hook): covers the wiring from registration
+    // through onApplicationEnd to the sweep
+    assert(SparkEntry.sessionCacheEntries(spark) > 0)
+    val ev = org.apache.spark.scheduler.SparkListenerApplicationEnd(0L)
+    graftBusListeners.foreach(l =>
+      l.asInstanceOf[org.apache.spark.scheduler.SparkListener]
+        .onApplicationEnd(ev))
+    assert(SparkEntry.sessionCacheEntries(spark) === 0,
+      "the registered listener's own onApplicationEnd must sweep")
+    SparkEntry.queries("text_cms_token_freq")(spark, "/root/testdata/sf0.001")
+    assert(SparkEntry.sessionCacheEntries(spark) > 0,
+      "caches must rebuild after the listener-driven sweep")
+  }
+
   test("prime_self is exclusive: never exceeds the inclusive " +
     "prime_detail, and a nesting parent's self-time drops") {
     // trailing slash = a distinct (session, dir) cache key, so the
