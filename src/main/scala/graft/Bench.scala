@@ -164,8 +164,18 @@ object Bench {
     // `prime_warm` so round-over-round readers know the protocol.
     val primeWarmDir = sys.env.getOrElse("SPARK_GRAFT_PRIME_WARM_DIR",
       "/root/testdata/sf0.001")
+    // never warm on the BENCH fixture itself (r18 review): the warm
+    // pass populates every SessionCache under the exact (session,
+    // dir) key the timed prime would look up, so warmDir == sfDir
+    // would make the timed prime an all-cache-hit ~0 s and every
+    // per-key artifact prebuilt untimed — silently meaningless
+    // numbers. A sf0.001 bench run (the smoke shape) skips the warm
+    // pass and measures a cold prime instead.
+    def canon(p: String) =
+      try new java.io.File(p).getCanonicalPath catch { case _: Exception => p }
     val primeWarmed = only.isEmpty && primeWarmDir.nonEmpty &&
-      new java.io.File(primeWarmDir).isDirectory
+      new java.io.File(primeWarmDir).isDirectory &&
+      canon(primeWarmDir) != canon(sfDir)
     if (primeWarmed)
       try SparkEntry.primeSharedCaches(spark, primeWarmDir)
       catch { case scala.util.control.NonFatal(e) =>

@@ -235,12 +235,20 @@ object Dedup {
     * halves the remaining propagation distance, so convergence is
     * O(log diameter) rounds, not O(diameter): a 150-doc copy CHAIN
     * (the adversarial boilerplate shape) closes in ~8 rounds where
-    * pure neighbor-min needs 150. Doubling is ADAPTIVE: the first
-    * three rounds run the plain one-hop step (real dedup clusters
-    * have diameter ≤3 and converge there, never paying the
-    * self-join — measured ~0.5 s/query at sf0.1 when unconditional);
-    * only a component still open after that — a long chain — turns
-    * the jump on. The loop exits as soon as an iteration changes no
+    * pure neighbor-min needs 150. Doubling starts at ROUND 2 (r18;
+    * the original design deferred it to round 4 because an
+    * UNCONDITIONAL jump measured ~0.5 s/query at sf0.1 — but round 1
+    * is the only genuinely free skip, since labels are still
+    * identity there and label(label) is a no-op): from round 2 the
+    * jump rides the SAME iteration as the hop, so the common
+    * diameter-3 component closes one checkpoint+convergence-check
+    * job pair sooner, and that per-round latency — not the
+    * self-join's compute — is what bills at bench scale. The cost
+    * trade vs the old adaptive-after-3 shape: diameter-≤3
+    * components now pay the label self-join in their rounds 2+
+    * (small — the label table, not the corpus), buying one fewer
+    * round; the r18 shared-prime measurement took the trade. The
+    * loop exits as soon as an iteration changes no
     * label; the convergence count is a cheap scan of the already-
     * materialized iteration result, far cheaper than the shuffles it
     * skips.

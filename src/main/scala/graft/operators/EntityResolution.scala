@@ -231,17 +231,29 @@ object EntityResolution {
     * zero cross-delta work, the correct trade at ingest rates. */
   def attachToStore(delta: DataFrame, store: DataFrame,
                     maxLev: Int = 1, maxBlock: Int = 256): DataFrame = {
-    val d = normalized(delta).select(col("rec_id"),
-      col("norm").as("norm_d"), col("block"), col("len").as("len_d"))
+    // grams precomputed per RECORD (r18 review, the entityPairs
+    // discipline): the delta × store-within-block join is exactly
+    // the fan-out shape the precomputed form exists for (history >>
+    // delta, up to maxBlock store rows per delta record) — two
+    // binary compares per candidate instead of four substring
+    // evaluations inside the join condition
+    val withGrams = (n: DataFrame) =>
+      if (maxLev == 1) withLevOneGrams(n) else n
+    def gramCols(sfx: String) = if (maxLev == 1)
+      Seq(col("p8").as(s"p8_$sfx"), col("s8").as(s"s8_$sfx")) else Nil
+    val d = withGrams(normalized(delta)).select(col("rec_id") +:
+      col("norm").as("norm_d") +: col("block") +:
+      col("len").as("len_d") +: gramCols("d"): _*)
     // the store side carries the hot-prefix hazard (history >> delta)
     // — cap its per-block participants like the batch pairing tier
-    val s = capBlocks(store.select(col("rec_id"), col("norm"), col("block"),
-        col("len"), col("entity_id")), maxBlock)
-      .select(col("norm").as("norm_s"), col("block"),
-        col("len").as("len_s"), col("entity_id").as("store_entity"))
+    val s = withGrams(capBlocks(store.select(col("rec_id"), col("norm"),
+        col("block"), col("len"), col("entity_id")), maxBlock))
+      .select(col("norm").as("norm_s") +: col("block") +:
+        col("len").as("len_s") +: col("entity_id").as("store_entity") +:
+        gramCols("s"): _*)
     val pre = if (maxLev != 1) lit(true)
-      else levOnePrefilter(col("norm_d"), col("norm_s"),
-        col("len_d"), col("len_s"))
+      else levOneGramPrefilter(col("p8_d"), col("p8_s"),
+        col("s8_d"), col("s8_s"), col("len_d"), col("len_s"))
     d.join(s,
         d("block") === s("block") &&
           abs(col("len_d") - col("len_s")) <= maxLev && pre &&
