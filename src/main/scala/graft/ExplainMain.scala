@@ -117,12 +117,30 @@ object ExplainMain {
       "stream_sliding_actives",
       // r17 batch
       "text_compression_signal", "etl_dq_profile_onescan")
+    // r18 optimization round: GRAFT_EXPLAIN_OUT=<dir> writes ONE
+    // formatted-mode file per key (plans/r18/<key>_<suffix>.txt, the
+    // judge-facing deliverable) instead of the PLANS.md stream;
+    // GRAFT_EXPLAIN_SUFFIX names the files (before/after).
+    val outDir = sys.env.get("GRAFT_EXPLAIN_OUT")
+    val suffix = sys.env.getOrElse("GRAFT_EXPLAIN_SUFFIX", "before")
     for (name <- names) {
-      println(s"\n## $name\n")
-      println("```")
-      println(SparkEntry.queries(name)(spark, dir)
-        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
-      println("```")
+      outDir match {
+        case Some(d) =>
+          val plan = SparkEntry.queries(name)(spark, dir)
+            .queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(d, s"${name}_$suffix.txt"),
+            plan.getBytes("UTF-8"))
+          println(s"wrote $d/${name}_$suffix.txt")
+        case None =>
+          println(s"\n## $name\n")
+          println("```")
+          println(SparkEntry.queries(name)(spark, dir)
+            .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+          println("```")
+      }
     }
     spark.stop()
   }

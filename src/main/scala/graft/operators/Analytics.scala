@@ -1597,18 +1597,33 @@ object Analytics {
     * double `1 − 0.3`). Init: l₁ = x₁, b₁ = 0. Revenue is exact
     * cents until the single division; outputs rounded once.
     */
-  def holtForecast(lineitem: DataFrame, alpha: Double = 0.3,
-                   beta: Double = 0.1): DataFrame = {
+  /** The shared exact-cents monthly series both smoothers fold over:
+    * one distributed aggregate, one O(months) collect. Extracted
+    * (r18 optimization round) so [[forecastBacktest]] scans lineitem
+    * ONCE for its two recursions instead of once per smoother — the
+    * collected array is bit-identical to what each smoother computed
+    * for itself, so the recursions (and the keys' oracles) are
+    * untouched. */
+  private[graft] def monthlyRevenueCents(
+      lineitem: DataFrame): Array[(java.sql.Date, Long)] = {
     val spark = lineitem.sparkSession
     import spark.implicits._
     val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
       (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
-    val monthly = lineitem
+    lineitem
       .groupBy(date_trunc("month", to_date(col("l_shipdate"))).cast("date")
         .as("mth"))
       .agg(sum(centsX).as("c"))
       .orderBy("mth")
       .as[(java.sql.Date, Long)].collect() // O(months), calendar-bounded
+  }
+
+  def holtForecast(lineitem: DataFrame, alpha: Double = 0.3,
+                   beta: Double = 0.1,
+                   series: Option[Array[(java.sql.Date, Long)]] = None): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    val monthly = series.getOrElse(monthlyRevenueCents(lineitem))
     var lvl = 0.0
     var tr = 0.0
     val rows = monthly.zipWithIndex.map { case ((m, c), i) =>
@@ -1651,17 +1666,11 @@ object Analytics {
     */
   def holtWintersForecast(lineitem: DataFrame, alpha: Double = 0.3,
                           beta: Double = 0.1, gamma: Double = 0.2,
-                          period: Int = 12): DataFrame = {
+                          period: Int = 12,
+                          series: Option[Array[(java.sql.Date, Long)]] = None): DataFrame = {
     val spark = lineitem.sparkSession
     import spark.implicits._
-    val centsX = round(col("l_extendedprice") * 100, 0).cast("long") *
-      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
-    val monthly = lineitem
-      .groupBy(date_trunc("month", to_date(col("l_shipdate"))).cast("date")
-        .as("mth"))
-      .agg(sum(centsX).as("c"))
-      .orderBy("mth")
-      .as[(java.sql.Date, Long)].collect() // O(months), calendar-bounded
+    val monthly = series.getOrElse(monthlyRevenueCents(lineitem))
     require(monthly.length >= 2 * period,
       s"Holt-Winters needs >= ${2 * period} months, got ${monthly.length}")
     val xs = monthly.map(_._2.toDouble / 10000.0)
@@ -1716,10 +1725,16 @@ object Analytics {
     * Cost: both driver folds are calendar-bounded; the comparison
     * itself is an O(months) union + one aggregate. */
   def forecastBacktest(lineitem: DataFrame): DataFrame = {
-    val h = holtForecast(lineitem)
+    // ONE lineitem scan feeds both recursions (r18 optimization
+    // round, guide §2.4): the smoothers consumed the identical
+    // monthly exact-cents series, each paying its own aggregate +
+    // collect — the shared array is what each would have computed,
+    // so both recursion chains (and the oracle) are bit-unchanged.
+    val monthly = Some(monthlyRevenueCents(lineitem))
+    val h = holtForecast(lineitem, series = monthly)
       .select(lit("holt").as("model"), col("month"), col("revenue"),
         col("fitted"))
-    val w = holtWintersForecast(lineitem)
+    val w = holtWintersForecast(lineitem, series = monthly)
       .select(lit("holt_winters").as("model"), col("month"), col("revenue"),
         col("fitted"))
     // the shared window = the stricter model's scored months

@@ -950,8 +950,15 @@ object Dedup {
                               maxDf: Int = 64, minShared: Int = 3): DataFrame = {
     val tagged = newDocs.select(col("doc_id"), col("text"), lit(true).as("is_new"))
       .unionByName(corpus.select(col("doc_id"), col("text"), lit(false).as("is_new")))
+    // pinned ONCE (r18 optimization round): three consumers — the
+    // posting explode plus BOTH verify hydration sides — otherwise
+    // each re-run the full union + canonicalize + shingle pass over
+    // new AND corpus text (3 corpus-wide scans measured in the plan;
+    // the batch family reads its prime-pinned trunk for the same
+    // reason). Same rows, same results.
     val sets = tagged.select(col("doc_id"), col("is_new"),
       array_distinct(gf.tokenShingleHashes(col("text"), n)).as("shingles"))
+      .localCheckpoint(true)
     // is_new rides in the posting id's low bit so the bounded
     // single-pass collector (longs) applies unchanged
     val inv = sets.select(

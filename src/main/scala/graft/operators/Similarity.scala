@@ -1576,6 +1576,14 @@ object Similarity {
   def hubness(embeddings: DataFrame, sampleMod: Int = 5, k: Int = 10): DataFrame = {
     val s = embeddings.filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("embedding"))
+    // three consumers (in-degree, both reciprocity sides) re-derive
+    // the |sample|² brute-force pass — MEASURED faster than pinning
+    // it (r18 optimization round: localCheckpoint(true) here read
+    // 0.79 s vs 0.73 s min-of-3; the redundant cosine work runs
+    // inside ONE wide job across all cores, while the checkpoint
+    // adds an action + materialization the sample-sized key never
+    // amortizes at bench SF; revisit at cluster scale where the
+    // sample itself is large)
     val topk = bruteForceTopK(s, s, k)
       .select(col("query_id"), col("neighbor_id"))
     val inDeg = topk.groupBy(col("neighbor_id").as("vec_id"))
