@@ -473,8 +473,13 @@ object Dedup {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
+    // pinned ONCE (r18 optimization round): the banding explode and
+    // both pair-payload sides otherwise each re-run the canonicalize
+    // + tokenize + simhash corpus pass; the pinned relation is two
+    // longs per doc
     val sigs = docs.select(col("doc_id"),
       gf.simhash64(TextAnalysis.tokens(TextAnalysis.canonical(col("text")))).as("sig"))
+      .localCheckpoint(true)
     // (sig >> n) & mask == (sig >>> n) & mask once masked, so signed
     // shiftright is fine here
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -503,9 +508,14 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 5, numPerms: Int = 64,
                         bands: Int = 16, tau: Double = 0.5, seed: Long = 7L,
                         maxBucket: Int = 64): DataFrame = {
+    // pinned ONCE (r18 optimization round): three consumers — the
+    // signature pass and both verify hydration sides — otherwise
+    // each re-run the canonicalize + char-shingle corpus pass (the
+    // incrementalNearDupPairs lesson, measured −19% there)
     val grams = docs.select(col("doc_id"),
       array_distinct(gf.charShingleHashes(
         TextAnalysis.canonical(col("text")), n)).as("shingles"))
+      .localCheckpoint(true)
     val sigs = grams.select(col("doc_id"),
       gf.minhashSignature(col("shingles"), numPerms, seed).as("sig"))
     verifiedJaccard(bandedPairs(sigs, "doc_id", "sig", bands, maxBucket), grams, tau)

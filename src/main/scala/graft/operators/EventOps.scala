@@ -1021,12 +1021,23 @@ object EventOps {
     val spark = events.sparkSession
     import spark.implicits._
     val s = sessionize(events, gapMinutes)
+    // ONE sessionize pass (r18 optimization round): the old
+    // union-of-two-selects evaluated the whole sessionize subtree
+    // once per side, and the two consumers below (the O(hours)
+    // totals collect and the offset-join sweep) doubled it again —
+    // four sessionize passes in the plan. The explode emits the
+    // identical (ts, delta) multiset from a single pass, and the
+    // pinned boundary relation (two tiny rows per session) feeds
+    // both consumers. Same rows, same results.
     val bounds = s
-      .select(col("session_start").as("ts"), lit(1L).as("delta"))
-      .unionByName(s.select(col("session_end").as("ts"), lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col("session_start").as("ts"), lit(1L).as("delta")),
+        struct(col("session_end").as("ts"), lit(-1L).as("delta")))).as("b"))
+      .select(col("b.ts").as("ts"), col("b.delta").as("delta"))
     val bucketed = bounds
       .withColumn("bucket", date_trunc("hour", col("ts")))
       .withColumn("bucket_us", unix_micros(col("bucket").cast("timestamp")))
+      .localCheckpoint(true)
     val totals = bucketed.groupBy("bucket_us").agg(sum("delta").as("bdelta"))
       .as[(Long, Long)].collect().sortBy(_._1)
     var acc = 0L

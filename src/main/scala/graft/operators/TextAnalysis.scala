@@ -1223,8 +1223,15 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // the [[lmScore]]/[[knScore]] model shape (r18 optimization
+    // round): pin the (doc, term) counts — two consumers — and
+    // derive df from them: tf is exactly one row per (doc, term), so
+    // count-per-term over tf ≡ countDistinct(doc_id) over the raw
+    // postings. Identical integers, one fewer corpus-wide
+    // explode+distinct pass, and the df aggregate reads |tf| rows.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .localCheckpoint(true)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -1263,8 +1270,20 @@ object TextAnalysis {
 
   def lmScore(docs: DataFrame): DataFrame = {
     val pairs = bigramPairs(docs)
-    val bigramCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
-    val firstCounts = pairs.groupBy("w1").agg(count(lit(1)).as("c_first"))
+    // the [[knScore]] model shape, back-ported (r18 optimization
+    // round): pin the bigram-count relation (two consumers — the
+    // score join and the context-total roll-up), and derive
+    // c_first(w1) = Σ_w2 c_bigram(w1,w2) from it instead of a second
+    // corpus-wide explode+aggregate — the counts are identical
+    // integers by definition, so scores (and the oracle) are
+    // untouched; the tokenize+explode pass runs twice instead of
+    // three times and the w1 aggregate reads |vocab²| rows, not the
+    // corpus.
+    val bigramCounts = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c_bigram"))
+      .localCheckpoint(true)
+    val firstCounts = bigramCounts.groupBy("w1")
+      .agg(sum("c_bigram").as("c_first"))
     pairs
       .join(bigramCounts, Seq("w1", "w2"))
       .join(firstCounts, Seq("w1"))
