@@ -36,6 +36,19 @@ object Bench {
                                   refSpinMs: Option[Double]): Boolean =
     refSpinMs.exists(r => r > 0 && spinBaseMs > 2 * r)
 
+  /** Mid-run contention verdict (r18 optimization round): the same
+    * 2×-reference bar as [[noisyVerdict]], applied to a trail of
+    * spin samples taken BETWEEN keys across the whole run — the
+    * "quiet launch, inflated run" failure mode the r18 coda
+    * documented (a run launched at spin 24.9 ms inflated 56% when
+    * contention arrived minutes in; the single startup probe
+    * couldn't see it). Any one inflated sample stamps the run: the
+    * per-key min-of-two can absorb a short spike, but the artifact
+    * must say the spike happened. */
+  private[graft] def midRunNoisy(trailMs: Seq[Double],
+                                 refSpinMs: Option[Double]): Boolean =
+    refSpinMs.exists(r => r > 0 && trailMs.exists(_ > 2 * r))
+
   /** Trend guard (r18, verdict #8): total or shared_prime more than
     * 5% over the committed band reference earns a stderr warning and
     * a `growth_note` artifact field, so the next +5% is named at
@@ -273,7 +286,22 @@ object Bench {
                                       built: Map[String, Double])
     val overBand = scala.collection.mutable.Map.empty[String, OverBandEvidence]
     val retried = scala.collection.mutable.Map.empty[String, Int]
+    // MID-RUN contention trail (r18 optimization round — the r18
+    // coda's open item): the startup spin alone misses contention
+    // that arrives mid-run (observed: a run launched at spin 24.9 ms
+    // inflated 56% when the host loaded up minutes later). Re-sample
+    // the same fixed CPU probe every `spinEvery` keys; the trail
+    // ships in the detail artifact (`spin_trail`) and a trail MAX
+    // > 2× the committed reference stamps `noisy_mid` — so a reader
+    // can tell "quiet run" from "quiet launch" without guessing.
+    // Cost: ~16 probes ≈ 0.4 s per full run, outside every timed
+    // window (between keys); timing protocol per key is unchanged.
+    val spinTrail = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val spinEvery = 25
+    var keyIdx = 0
     val results = selected.map { case (name, fn) =>
+      keyIdx += 1
+      if (keyIdx % spinEvery == 0) spinTrail += spinMs()
       def once(): Double = {
         val t0 = System.nanoTime()
         try {
@@ -431,6 +459,15 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // mid-run noisy verdict: any trail sample > 2× the committed
+    // reference — same bar as the startup stamp, applied to the
+    // whole run's duration instead of its first second
+    val noisyMid = midRunNoisy(spinTrail.toSeq, refSpinMs)
+    if (noisyMid) System.err.println(
+      f"[bench] MID-RUN CONTENTION: spin trail max ${spinTrail.max}%.1f ms" +
+        f" > 2x committed reference ${refSpinMs.getOrElse(0.0)}%.1f ms — " +
+        "part of this run measured the machine, not the binary")
+    val spinTrailJson = spinTrail.map(fmt).mkString("[", ",", "]")
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""n_queries":${results.size},"queries":${jsonOf(
         results + ("shared_prime" -> primeSec))},"recall":$recallJson,""" +
@@ -440,6 +477,7 @@ object Bench {
       s""""retried":$retriedJson,"spin_base_ms":${fmt(spinBase)},""" +
       s""""spin_ref_ms":${refSpinMs.map(fmt).getOrElse("null")},""" +
       s""""noisy":$noisy,""" +
+      s""""spin_trail":$spinTrailJson,"noisy_mid":$noisyMid,""" +
       s""""prime_warm":${if (primeWarmed) jstr(primeWarmDir) else "null"},""" +
       s""""growth_note":${growth.map(jstr).getOrElse("null")},""" +
       s""""sf":"$sfDir"}"""
@@ -470,6 +508,6 @@ object Bench {
     // stop BEFORE the contract line so no Spark shutdown logging can
     // trail it — the driver parses the last stdout line as JSON
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"recall":$recallJson,"failed":$failed,"over_band":${overBandJson(4)},"spin_base_ms":${fmt(spinBase)},"noisy":$noisy,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"recall":$recallJson,"failed":$failed,"over_band":${overBandJson(4)},"spin_base_ms":${fmt(spinBase)},"noisy":$noisy,"noisy_mid":$noisyMid,"sf":"$sfDir"}""")
   }
 }

@@ -107,4 +107,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.noisyVerdict(27.8, Some(0.0)),
       "a degenerate zero reference must not divide the verdict")
   }
+
+  test("mid-run contention verdict (r18): any trail sample over 2x the " +
+    "committed reference stamps the run") {
+    assert(!Bench.midRunNoisy(Seq(24.0, 25.1, 23.8), Some(13.0)),
+      "a quiet trail must not stamp")
+    assert(Bench.midRunNoisy(Seq(24.0, 55.0, 23.8), Some(24.8)),
+      "one inflated sample mid-run is exactly the quiet-launch/" +
+        "inflated-run shape the trail exists to catch")
+    assert(!Bench.midRunNoisy(Seq(80.0, 90.0), None),
+      "no reference spin (older artifacts) must never stamp")
+    assert(!Bench.midRunNoisy(Seq.empty, Some(13.0)),
+      "an empty trail (subset runs under 25 keys) must not stamp")
+    assert(!Bench.midRunNoisy(Seq(26.0), Some(13.0)),
+      "boundary is exclusive, matching the startup verdict")
+  }
 }

@@ -52,6 +52,11 @@ def main() -> None:
             default=None,
         ),
         "noisy_runs": [r.get("noisy", False) for r in runs],
+        # r18: the mid-run contention stamp (spin trail max > 2x the
+        # committed reference at any point DURING the run, not just
+        # at launch) — the r18 coda's "quiet launch, inflated run"
+        # failure mode, now diagnosable per run
+        "noisy_mid_runs": [r.get("noisy_mid", False) for r in runs],
         "sf": runs[0].get("sf"),
         "band": band,
         "runs": len(runs),
