@@ -87,19 +87,26 @@ object Curation {
     // scoring is), and the corpus-duplication gate probes the
     // PERSISTED dup-gram store the nightly batch wrote (delta grams
     // broadcast-semi-join the store; history never re-explodes)
+    // r18 optimization round: the delta is consumed by FIVE gates
+    // (quality scoring, the gated semi-join, the dup-gram probe, the
+    // decontamination union, the semantic corpus-id slice) plus the
+    // final projection — each re-ran the parquet scan + %-filter.
+    // Pin it once; the daily delta is ingest-sized by contract, so
+    // the materialization is the cheap side at any scale.
+    val delta = newDocs.localCheckpoint(true)
     val gopherDrop = gopherFlags
       .getOrElse(TextAnalysis.gopherFlagged(
-        TextAnalysis.synthQualityCorpus(newDocs)))
+        TextAnalysis.synthQualityCorpus(delta)))
       .filter(TextAnalysis.gopherAnyFlag)
       .select("doc_id")
-    val quality = scoreDocs(newDocs)
+    val quality = scoreDocs(delta)
       .filter(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("quality_score") >= minQuality)
       .select("doc_id")
       .join(gopherDrop, Seq("doc_id"), "left_anti")
-    val gated = newDocs.join(quality, Seq("doc_id"), "left_semi")
+    val gated = delta.join(quality, Seq("doc_id"), "left_semi")
     val dupDrop = TextAnalysis
-      .dupNgramApplyOf(TextAnalysis.dupNgramDocsVsStore(newDocs,
+      .dupNgramApplyOf(TextAnalysis.dupNgramDocsVsStore(delta,
         dupStore.getOrElse(TextAnalysis.dupNgramStore(corpus))), maxDupFrac)
       .filter(!col("keep")).select("doc_id")
     // exact: within-batch keep-min, then anti-join history fingerprints
@@ -113,7 +120,7 @@ object Curation {
     // decontamination vs the static benchmark: history contributes
     // ONLY its benchmark slice (tiny) — never a full text rescan
     val contaminated = TextAnalysis.decontaminate(
-      newDocs.unionByName(corpus.filter(col("doc_id") % benchMod === 0)),
+      delta.unionByName(corpus.filter(col("doc_id") % benchMod === 0)),
       n = 3, benchMod = benchMod)
       .select("doc_id")
     // SEMANTIC decontamination of the DELTA only (r15 — full-pipeline
@@ -122,10 +129,10 @@ object Curation {
     // the daily cost is O(delta), history is never re-scored
     val semContaminated = embeddings
       .map(e => Dedup.semanticDecontaminate(e, benchMod, semTau,
-          corpusIds = Some(newDocs.select(col("doc_id").as("vec_id"))))
+          corpusIds = Some(delta.select(col("doc_id").as("vec_id"))))
         .filter(col("contaminated"))
         .select(col("vec_id").as("doc_id")))
-      .getOrElse(newDocs.select("doc_id").limit(0))
+      .getOrElse(delta.select("doc_id").limit(0))
     gated
       .join(fresh, Seq("doc_id"), "left_semi")
       .join(dupDrop, Seq("doc_id"), "left_anti")
