@@ -1223,15 +1223,16 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    // the [[lmScore]]/[[knScore]] model shape (r18 optimization
-    // round): pin the (doc, term) counts — two consumers — and
-    // derive df from them: tf is exactly one row per (doc, term), so
-    // count-per-term over tf ≡ countDistinct(doc_id) over the raw
-    // postings. Identical integers, one fewer corpus-wide
-    // explode+distinct pass, and the df aggregate reads |tf| rows.
+    // NOT the [[lmScore]] pinned-model shape, deliberately (r18
+    // optimization round, measured): pinning the (doc, term) tf
+    // relation and deriving df from it read +8% contention-adjusted
+    // at sf0.1 — unlike lmScore's vocab²-bounded bigram counts, tf
+    // is postings-sized, and its materialization costs more than the
+    // second explode+distinct pass it saves. Spark's one-distinct
+    // countDistinct plan already collapses to the (term, doc) grain
+    // map-side, so the two shapes shuffle the same bytes.
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
