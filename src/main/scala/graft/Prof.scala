@@ -13,8 +13,11 @@ import org.apache.spark.scheduler._
   */
 object Prof {
   def main(args: Array[String]): Unit = {
-    val key = args.headOption.getOrElse("text_bm25_maxscore")
-    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    // several keys in one JVM: last arg that looks like a path is the
+    // SF dir, everything else is a key list
+    val (dirs, keys0) = args.partition(_.startsWith("/"))
+    val keys = if (keys0.nonEmpty) keys0.toSeq else Seq("text_bm25_maxscore")
+    val sfDir = dirs.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,16 +34,24 @@ object Prof {
         jobs += ((j.jobId, starts.getOrElse(j.jobId, j.time), j.time))
     })
     SparkEntry.primeSharedCaches(spark, sfDir)
-    Thread.sleep(500); jobs.clear()
-    val t0 = System.nanoTime()
-    SparkEntry.queries(key)(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(500)
-    val sum = jobs.map { case (_, s, e) => e - s }.sum / 1e3
-    println(f"WALL: $wall%.3f s, jobs: ${jobs.size}, job-time sum: $sum%.3f s")
-    jobs.sortBy(_._1).foreach { case (id, s, e) =>
-      println(f"job $id%3d ${(e - s) / 1e3}%8.3f s")
+    for (key <- keys) {
+      // GRAFT_PROF_WARM=1: run the key once untimed first, so the
+      // profiled run matches the bench's shipped min-of-two (lazy
+      // store builds and JIT land in the warm pass, not the numbers)
+      if (sys.env.get("GRAFT_PROF_WARM").contains("1"))
+        SparkEntry.queries(key)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      Thread.sleep(500); jobs.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(key)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val sum = jobs.map { case (_, s, e) => e - s }.sum / 1e3
+      println(f"KEY $key WALL: $wall%.3f s, jobs: ${jobs.size}, job-time sum: $sum%.3f s")
+      jobs.sortBy(_._1).foreach { case (id, s, e) =>
+        println(f"  job $id%3d ${(e - s) / 1e3}%8.3f s")
+      }
     }
     spark.stop()
   }

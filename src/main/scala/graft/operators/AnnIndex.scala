@@ -73,11 +73,52 @@ object AnnIndex {
   }
 
   /** The broadcastable model state back from disk. */
+  /** Session-scoped MODEL-STATE memo (r19): a serving probe loads an
+    * index's centroids/codebooks once and keeps them — re-reading
+    * nlist rows of immutable model parquet per probe batch is a
+    * Spark job (file listing + scan + collect) paid for nothing.
+    * Keyed by (session, dir, directory stamp): the stamp folds every
+    * file's (name, length, mtime), so [[rebuildIvf]]'s in-place
+    * centroid rewrite — the one mutation of model files this layout
+    * has — misses the memo and reloads. Appends/deletes touch only
+    * `vectors`/`tombstones`, never the model dirs, so their hits are
+    * correct by construction. Stale entries for a rewritten dir are
+    * dropped on reload (same (session, dir) prefix), so the memo
+    * holds O(live indexes) driver-sized arrays, not history. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Long), AnyRef]
+  private def dirStamp(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).foldLeft(0L) { (acc, st) =>
+      var h = acc * 1000003L + st.getPath.getName.hashCode
+      h = h * 1000003L + st.getLen
+      h * 1000003L + st.getModificationTime
+    }
+  }
+  private def cachedModel[T <: AnyRef](spark: SparkSession, dir: String)
+                                      (load: => T): T = {
+    val key = (spark, dir, dirStamp(spark, dir))
+    modelCache.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = load
+        // drop superseded stamps of the same dir before inserting
+        modelCache.keys
+          .filter(k => k._1 == spark && k._2 == dir && k != key)
+          .foreach(modelCache.remove)
+        modelCache.putIfAbsent(key, v)
+        v
+    }
+  }
+
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
-    spark.read.parquet(s"$path/centroids")
-      .orderBy("cell")
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
+    cachedModel(spark, s"$path/centroids") {
+      spark.read.parquet(s"$path/centroids")
+        .orderBy("cell")
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+    }
 
   /** INCREMENTAL maintenance — the daily-ingest shape for a serving
     * index: assign a new vector batch to the index's STORED
@@ -407,11 +448,13 @@ object AnnIndex {
   /** The persisted codebooks back in [[graft.functions.gf.pqCosine]]
     * shape — m·nCodes·subDim floats, driver/broadcast-sized. */
   def loadCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
-    spark.read.parquet(s"$path/codebooks")
-      .orderBy("subspace", "code")
-      .collect()
-      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray))
+    cachedModel(spark, s"$path/codebooks") {
+      spark.read.parquet(s"$path/codebooks")
+        .orderBy("subspace", "code")
+        .collect()
+        .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray))
+    }
 
   /** IVF-PQ probe against the persisted layout: candidate scoring
     * reads codes only (pruned to probed cells), the top k·rerank

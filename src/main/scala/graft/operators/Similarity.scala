@@ -289,10 +289,15 @@ object Similarity {
     * (the FAISS default trains on ~256 vectors/cell). `cap ≤ 0` or a
     * small corpus degenerates to the full input.
     */
-  private[operators] def trainSample(corpus: DataFrame, cap: Int): DataFrame =
+  private[operators] def trainSample(corpus: DataFrame, cap: Int,
+                                     knownN: Long = -1L): DataFrame =
     if (cap <= 0) corpus
     else {
-      val n = corpus.count()
+      // knownN: a caller that trains several structures over the SAME
+      // corpus (ivfPqResidualTopK's two stages) passes the count it
+      // already paid for — the thinning filter is a pure function of
+      // n, so the sample is identical and the extra count job drops
+      val n = if (knownN >= 0) knownN else corpus.count()
       val step = n / math.max(cap, 1)
       if (step <= 1) corpus
       else corpus.filter(pmod(xxhash64(col("vec_id"), lit(7)), lit(step)) === 0)
@@ -315,6 +320,18 @@ object Similarity {
     // caching the full corpus would pin 100 TB of executor memory
     val thinned = sampled ne corpus
     val trainOn = if (thinned) sampled.cache() else sampled
+    val cents = trainCentroidsOn(trainOn, nlist, iters)
+    if (thinned) trainOn.unpersist(false)
+    cents
+  }
+
+  /** The Lloyd loop of [[trainCentroids]] over an ALREADY-prepared
+    * (sampled + cached) training relation — split out so a caller
+    * training several structures over the same corpus
+    * ([[ivfPqResidualTopK]]) can share ONE sample build across all
+    * of them. Identical arithmetic, identical centroids. */
+  private[operators] def trainCentroidsOn(trainOn: DataFrame, nlist: Int,
+                                          iters: Int): Array[Array[Float]] = {
     var cents = pickCentroids(trainOn, nlist)
     for (_ <- 0 until iters) {
       val byCell = trainOn
@@ -330,7 +347,6 @@ object Similarity {
           .getOrElse(cents(c)) // empty cell keeps its centroid
       }.toArray
     }
-    if (thinned) trainOn.unpersist(false)
     cents
   }
 
@@ -583,7 +599,8 @@ object Similarity {
     */
   def trainResidualCodebooks(corpus: DataFrame, centroids: Array[Array[Float]],
                              m: Int = 8, k: Int = 16,
-                             dim: Int = 64): Array[Array[Array[Float]]] = {
+                             dim: Int = 64,
+                             knownN: Long = -1L): Array[Array[Array[Float]]] = {
     def nearestIdx(v: Array[Float]): Int = {
       var best = 0; var bestSim = Double.NegativeInfinity
       var c = 0
@@ -600,7 +617,7 @@ object Similarity {
       }
       best
     }
-    val sample = pickCentroids(corpus, k)
+    val sample = pickCentroids(corpus, k, knownN)
     val residuals = sample.map { v =>
       val cent = centroids(nearestIdx(v))
       Array.tabulate(v.length)(i => v(i) - cent(i))
@@ -623,12 +640,28 @@ object Similarity {
                                    m: Int = 8, k: Int = 16, dim: Int = 64,
                                    iters: Int = 2,
                                    sampleCap: Int = 4096): Array[Array[Array[Float]]] = {
-    var cbs = trainResidualCodebooks(corpus, centroids, m, k, dim)
-    val sub = dim / m
-    val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
     val sampled = trainSample(corpus, sampleCap)
     val thinned = sampled ne corpus
     val trainOn = if (thinned) sampled.cache() else sampled
+    val cbs = trainResidualCodebooksKMeansOn(trainOn, corpus, centroids,
+      m, k, dim, iters)
+    if (thinned) trainOn.unpersist(false)
+    cbs
+  }
+
+  /** The refinement loop of [[trainResidualCodebooksKMeans]] over an
+    * ALREADY-prepared training relation (same split as
+    * [[trainCentroidsOn]]); `corpus`/`knownN` feed only the
+    * deterministic codebook INIT ([[trainResidualCodebooks]]'
+    * pickCentroids cut, which samples the full corpus). Identical
+    * arithmetic, identical codebooks. */
+  private[operators] def trainResidualCodebooksKMeansOn(
+      trainOn: DataFrame, corpus: DataFrame,
+      centroids: Array[Array[Float]], m: Int, k: Int, dim: Int,
+      iters: Int, knownN: Long = -1L): Array[Array[Array[Float]]] = {
+    var cbs = trainResidualCodebooks(corpus, centroids, m, k, dim, knownN)
+    val sub = dim / m
+    val centsLit = typedlit(centroids.map(_.toSeq).toSeq)
     for (_ <- 0 until iters) {
       val stats = trainOn
         .select(col("embedding"),
@@ -651,7 +684,6 @@ object Similarity {
       }
       cbs = next
     }
-    if (thinned) trainOn.unpersist(false)
     cbs
   }
 
@@ -675,13 +707,23 @@ object Similarity {
     // the shared code budget then spends itself on.
     // training (both stages) runs over the bounded hash-thinned
     // sample; only the one-time cell assignment below scans the
-    // full corpus
-    val cents = trainCentroids(corpus, nlist,
-      iters = math.max(kmeansIters, 1), sampleCap = 4096)
+    // full corpus. The count and the cached sample are built ONCE
+    // and shared across both stages (r19): the two trainers derive
+    // the identical thinning filter from the identical n, so the
+    // standalone path's three corpus counts and two cache builds
+    // collapse to one of each — same model bits, fewer jobs.
+    val n = corpus.count()
+    val sampled = trainSample(corpus, 4096, knownN = n)
+    val thinned = sampled ne corpus
+    val trainOn = if (thinned) sampled.cache() else sampled
+    val cents = trainCentroidsOn(trainOn, nlist,
+      iters = math.max(kmeansIters, 1))
     val cbs =
       if (kmeansIters > 0)
-        trainResidualCodebooksKMeans(corpus, cents, m, nCodes, dim, kmeansIters)
-      else trainResidualCodebooks(corpus, cents, m, nCodes, dim)
+        trainResidualCodebooksKMeansOn(trainOn, corpus, cents, m, nCodes,
+          dim, kmeansIters, knownN = n)
+      else trainResidualCodebooks(corpus, cents, m, nCodes, dim, knownN = n)
+    if (thinned) trainOn.unpersist(false)
     val assigned = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"),
       gf.nearestCentroids(col("embedding"), cents, 1)(0).as("cell"))
     val encoded = assigned.select(col("neighbor_id"), col("cell"),
@@ -1253,7 +1295,11 @@ object Similarity {
       .filter(pmod(col("doc_id"), lit(sampleMod)) === lit(1 % sampleMod))
     val wS = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("neighbor_id"))
-    qPosts.join(samplePosts, Seq("tok"))
+    // the query side is |queries|·|toks-per-query| rows — broadcast
+    // it explicitly (r19): the planner's estimate for a filtered
+    // checkpoint is not trusted, and a sort-merge here would shuffle
+    // the postings sample by tok for nothing
+    broadcast(qPosts).join(samplePosts, Seq("tok"))
       .filter(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id").as("neighbor_id"), col("term"))
       .groupBy("query_id", "neighbor_id").agg(sum("term").as("s"))
@@ -1313,7 +1359,9 @@ object Similarity {
     val wq = Window.partitionBy("query_id")
       .orderBy(col("ub").asc, col("tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    qPosts
+    // query side broadcast (r19) — ubDf is the postings aggregate;
+    // hinting the O(queries·toks) side keeps it un-shuffled
+    broadcast(qPosts)
       .join(ubDf, Seq("tok"))
       .join(broadcast(theta), Seq("query_id"), "left")
       .withColumn("theta",
@@ -1362,7 +1410,9 @@ object Similarity {
     val bub = posts
       .withColumn("blk", expr(s"doc_id div $blockSize"))
       .groupBy("tok", "blk").agg(max("term").as("bub"))
-    qPosts.join(bub, Seq("tok"))
+    // query side broadcast (r19) — bub is postings-bounded and
+    // already partitioned by its own aggregate; never re-shuffle it
+    broadcast(qPosts).join(bub, Seq("tok"))
       .groupBy("query_id", "blk").agg(sum("bub").as("bound"))
       .join(broadcast(theta), Seq("query_id"), "left")
       .filter(col("theta").isNull || col("bound") >= col("theta"))
@@ -1450,19 +1500,21 @@ object Similarity {
       // anti-self filter) → pin the tiny O(queries) θ relation once
       val thetaCk = theta.localCheckpoint(true)
       val surviving = bm25SurvivingBlocks(posts, qPosts, thetaCk, blockSize)
-      val cands = bm25QTok(posts, qPosts, thetaCk)
-        .filter(col("cum") >= col("theta"))
-        .select("query_id", "tok")
+      // essential (query, tok) relation is query-bounded → broadcast
+      // (r19), so the postings side never shuffles for the fan-out
+      val cands = broadcast(bm25QTok(posts, qPosts, thetaCk)
+          .filter(col("cum") >= col("theta"))
+          .select("query_id", "tok"))
         .join(posts.select(col("doc_id"), col("tok"),
           expr(s"doc_id div $blockSize").as("blk")), Seq("tok"))
         .filter(col("doc_id") =!= col("query_id"))
         .join(surviving, Seq("query_id", "blk"), "left_semi")
         .select(col("query_id"), col("doc_id").as("neighbor_id"))
         .distinct()
-      cands.join(qPosts, Seq("query_id"))
+      cands.join(broadcast(qPosts), Seq("query_id"))
         .join(corpusSide, Seq("neighbor_id", "tok"))
     } else {
-      qPosts.join(corpusSide, Seq("tok"))
+      broadcast(qPosts).join(corpusSide, Seq("tok"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"), col("tok"), col("term"))
     })
