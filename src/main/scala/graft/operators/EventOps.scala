@@ -1354,33 +1354,42 @@ object EventOps {
     * is visible in the step before it drains). Every relation here
     * is ≤ |event types|² rows after one windowed pass over the fact
     * table, so iterations are latency, not data volume; only the
-    * state-count scalar reaches the driver.
+    * O(types²) edge-count matrix reaches the driver (r19: the six
+    * join+aggregate+checkpoint rounds over that matrix were pure
+    * scheduling latency — the forecast-family discipline applies:
+    * ONE distributed aggregate, then a model-sized driver fold.
+    * Degree sums are integer (order-independent); the per-step
+    * double products fold in ascending (prev, next) state order, a
+    * deterministic order inside the same reassociation envelope the
+    * two engines already matched under).
     */
   def markovStationary(events: DataFrame, steps: Int = 6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val edges = events
       .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev_type").isNotNull)
       .groupBy(col("prev_type"), col("event_type").as("next_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // deg + frac share it
-    val deg = edges.groupBy("prev_type").agg(sum("n").as("d"))
-      .localCheckpoint(true) // state seed + count + frac join share it
-    val nStates = deg.count()
-    val frac = edges.join(deg, "prev_type")
-      .select(col("prev_type"), col("next_type"),
-        (col("n").cast("double") / col("d").cast("double")).as("frac"))
-      .localCheckpoint(true) // re-joined every iteration
-    var pi = deg.select(col("prev_type").as("state"))
-      .withColumn("p", lit(1.0) / nStates.toDouble)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2))
+    val deg: Map[String, Long] =
+      edges.groupBy(_._1).map { case (p, es) => p -> es.map(_._3).sum }
+    // seed: uniform over states WITH outgoing edges (deg's states) —
+    // the sub-stochastic readout sheds terminal-state mass exactly
+    // as the relational form did
+    var pi: Map[String, Double] =
+      deg.keys.map(_ -> 1.0 / deg.size).toMap
     for (_ <- 1 to steps) {
-      pi = frac.join(pi, col("prev_type") === col("state"))
-        .groupBy(col("next_type"))
-        .agg(sum(col("p") * col("frac")).as("s"))
-        .select(col("next_type").as("state"), col("s").as("p"))
-        .localCheckpoint(true)
+      val next = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      for ((p, nx, n) <- edges; mass <- pi.get(p))
+        next(nx) = next.getOrElse(nx, 0.0) + mass * (n.toDouble / deg(p))
+      pi = next.toMap
     }
-    pi.select(col("state"), round(col("p"), 9).as("p_stationary"))
+    pi.toSeq.sortBy(_._1).toDF("state", "p")
+      .select(col("state"), round(col("p"), 9).as("p_stationary"))
   }
 
   /** Population-stability index of the event `value` distribution

@@ -1978,12 +1978,104 @@ object TextAnalysis {
           greatest(col("bpe_tokens"), lit(1L)).cast("double"), 6))
   }
 
+  /** Word dicts at or under this row count run the BPE merge loop as
+    * a driver fold; bigger dicts keep the distributed loop. 64k words
+    * × ~40 bytes is single-digit MB of driver state — far under any
+    * broadcast this engine already ships — while a 100 TB crawl's
+    * distinct-word dict (URLs, typos — NOT vocab-bounded) stays out
+    * of the driver. Adaptive plan choice, bm25MaxScore's pattern:
+    * both branches produce bit-identical merges (integer counts,
+    * UTF8-binary tie-breaks), only cost differs. */
+  private val BpeDriverFoldMaxWords = 65536L
+
   private def bpeLoop(docs: DataFrame, merges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
-    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
-    var syms = docs
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE corpus aggregate builds the word-frequency dict — the
+    // classic BPE training state. When the dict is driver-sized the
+    // merge loop folds on the DRIVER (r19): every round is integer
+    // pair counts and string re-splits over O(|dict|) rows, and
+    // running it as `merges` aggregate+orderBy+checkpoint rounds was
+    // pure scheduling latency — the markov/forecast driver-fold
+    // discipline. Arithmetic is exact (long sums, string equality),
+    // so the learned merge table is bit-identical; the tie-break
+    // comparator mirrors Spark's UTF8String BINARY order so the
+    // chosen pair matches the relational `orderBy(a, b)` even on
+    // non-ASCII symbols.
+    def u8lt(x: String, y: String): Boolean = {
+      val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    // per-CODE-POINT split, matching SQL substring's character grain
+    def charSplit(w: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toList
+    }
+    val dict = docs
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    if (dict.count() <= BpeDriverFoldMaxWords) {
+      var state: Array[(String, Long, List[String])] = dict
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), charSplit(r.getString(0))))
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+      var i = 1
+      var exhausted = false
+      while (i <= merges && !exhausted) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        for ((_, n, syms) <- state) {
+          var j = 0
+          val arr = syms.toArray
+          while (j < arr.length - 1) {
+            val k = (arr(j), arr(j + 1))
+            counts(k) = counts.getOrElse(k, 0L) + n
+            j += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (c, a, b) }(
+            Ordering.Tuple3(Ordering.Long.reverse,
+              Ordering.fromLessThan(u8lt), Ordering.fromLessThan(u8lt)))
+          out += ((i.toLong, a, b, a + b, cnt))
+          // left-to-right adjacent-pair merge — the exact fold the SQL
+          // `aggregate(...)` expression ran: a freshly merged symbol
+          // can itself be the left side of the next comparison
+          state = state.map { case (w, n, syms) =>
+            (w, n, syms.foldLeft(List.empty[String])((acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+              else acc :+ x))
+          }
+        }
+        i += 1
+      }
+      (out.toSeq, state.toSeq.map { case (w, n, syms) => (w, n, syms) }
+        .toDF("word", "n", "syms"))
+    } else bpeLoopDistributed(dict, merges)
+  }
+
+  /** The distributed merge loop — the pre-r19 form, kept as the
+    * big-dict branch of [[bpeLoop]]'s adaptive choice: per round, one
+    * pair-count aggregate + orderBy(1) over the dict and one re-split
+    * checkpoint; only the best pair ever reaches the driver. */
+  private def bpeLoopDistributed(dict: DataFrame, merges: Int)
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+    def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+    var syms = dict
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint(true)

@@ -121,20 +121,102 @@ object Unigram {
     }.filter(_._3 > 0L).toArray
   }
 
+  /** Word dicts at or under this row count run candidate extraction
+    * and the EM rounds as a driver fold; bigger dicts keep the
+    * distributed loop (a 100 TB crawl's distinct-word dict is NOT
+    * vocab-bounded). Same adaptive-plan-choice pattern and bound as
+    * the BPE trainer — both branches are bit-identical (integer
+    * counts, UTF8-binary tie-breaks, the same [[viterbi]] kernel). */
+  private val DriverFoldMaxWords = 65536L
+
+  private def u8lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Full training: init vocab → `iters` hard-EM rounds. Returns the
     * final (piece, rawUses, prob). */
   def trainModel(docs: DataFrame, iters: Int = 2,
                  vocabSize: Int = DefaultVocab): Array[(String, Long, Float)] = {
     val words = wordsOf(docs).localCheckpoint(true)
-    var counts: Array[(String, Long)] = initVocab(words, vocabSize)
+    val driverDict: Option[Array[(String, Long)]] =
+      if (words.count() <= DriverFoldMaxWords)
+        Some(words.collect().map(r => (r.getString(0), r.getLong(1))))
+      else None
+    var counts: Array[(String, Long)] = driverDict
+      .map(initVocabLocal(_, vocabSize))
+      .getOrElse(initVocab(words, vocabSize))
     var raw: Map[String, Long] = counts.toMap
     for (_ <- 0 until iters) {
-      val r = emRound(words, probsOf(counts))
+      val r = driverDict
+        .map(emRoundLocal(_, probsOf(counts)))
+        .getOrElse(emRound(words, probsOf(counts)))
       raw = r.map(t => t._1 -> t._2).toMap
       counts = r.map(t => (t._1, t._3))
     }
     val probs = probsOf(counts)
     counts.map { case (piece, _) => (piece, raw(piece), probs(piece)) }
+  }
+
+  /** [[initVocab]] as a driver fold over the collected dict —
+    * identical pieces and counts (integer sums; the top-V cut orders
+    * by (count desc, piece UTF8-binary asc), the same total order the
+    * relational orderBy used). Substring enumeration is per CODE
+    * POINT, matching SQL substring/length semantics. */
+  private def initVocabLocal(dict: Array[(String, Long)],
+                             vocabSize: Int): Array[(String, Long)] = {
+    def cps(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, n) <- dict) {
+      val c = cps(w)
+      var i = 0
+      while (i < c.length) {
+        var l = 1
+        val maxL = math.min(MaxPiece, c.length - i)
+        while (l <= maxL) {
+          val piece = c.slice(i, i + l).mkString
+          cnt(piece) = cnt.getOrElse(piece, 0L) + n
+          l += 1
+        }
+        i += 1
+      }
+    }
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    val chars = cnt.toArray.filter(p => cpLen(p._1) == 1)
+    val multi = cnt.toArray.filter(p => cpLen(p._1) > 1 && p._2 >= 2L)
+      .sortWith((x, y) =>
+        if (x._2 != y._2) x._2 > y._2 else u8lt(x._1, y._1))
+      .take(vocabSize)
+    chars ++ multi
+  }
+
+  /** [[emRound]] as a driver fold over the collected dict — the same
+    * [[viterbi]] kernel, integer use sums, identical smoothing. */
+  private def emRoundLocal(dict: Array[(String, Long)],
+                           probs: Map[String, Float])
+      : Array[(String, Long, Long)] = {
+    val uses = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, nOcc) <- dict; p <- viterbi(w, probs))
+      uses(p) = uses.getOrElse(p, 0L) + nOcc
+    probs.keysIterator.map { piece =>
+      val u = uses.getOrElse(piece, 0L)
+      (piece, u, if (piece.length == 1) math.max(u, 1L) else u)
+    }.filter(_._3 > 0L).toArray
   }
 
   /** The trained model as a relation: (piece, n_uses, prob) — the
