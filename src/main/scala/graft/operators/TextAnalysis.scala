@@ -1988,7 +1988,7 @@ object TextAnalysis {
     * UTF8-binary tie-breaks), only cost differs. */
   private val BpeDriverFoldMaxWords = 65536L
 
-  private def bpeLoop(docs: DataFrame, merges: Int)
+  private[graft] def bpeLoop(docs: DataFrame, merges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2072,7 +2072,7 @@ object TextAnalysis {
     * big-dict branch of [[bpeLoop]]'s adaptive choice: per round, one
     * pair-count aggregate + orderBy(1) over the dict and one re-split
     * checkpoint; only the best pair ever reaches the driver. */
-  private def bpeLoopDistributed(dict: DataFrame, merges: Int)
+  private[graft] def bpeLoopDistributed(dict: DataFrame, merges: Int)
       : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
     var syms = dict

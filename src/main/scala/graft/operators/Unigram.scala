@@ -105,7 +105,7 @@ object Unigram {
     * fold weighted piece uses, smooth (single chars never drop —
     * segmentation must stay total), return (piece, rawUses,
     * smoothedCount). */
-  private def emRound(words: DataFrame, probs: Map[String, Float])
+  private[graft] def emRound(words: DataFrame, probs: Map[String, Float])
       : Array[(String, Long, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -169,7 +169,7 @@ object Unigram {
     * by (count desc, piece UTF8-binary asc), the same total order the
     * relational orderBy used). Substring enumeration is per CODE
     * POINT, matching SQL substring/length semantics. */
-  private def initVocabLocal(dict: Array[(String, Long)],
+  private[graft] def initVocabLocal(dict: Array[(String, Long)],
                              vocabSize: Int): Array[(String, Long)] = {
     def cps(w: String): Array[String] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -207,7 +207,7 @@ object Unigram {
 
   /** [[emRound]] as a driver fold over the collected dict — the same
     * [[viterbi]] kernel, integer use sums, identical smoothing. */
-  private def emRoundLocal(dict: Array[(String, Long)],
+  private[graft] def emRoundLocal(dict: Array[(String, Long)],
                            probs: Map[String, Float])
       : Array[(String, Long, Long)] = {
     val uses = scala.collection.mutable.HashMap.empty[String, Long]
